@@ -1,0 +1,3 @@
+from data_warehouse_copy_spark.functions import dedup, similarity, text
+
+__all__ = ["dedup", "similarity", "text"]

@@ -1,0 +1,188 @@
+"""Text analysis operators for training-data pipelines.
+
+Not in the reference (it has no scalar function surface at all — SURVEY.md
+§2.1); mandated by the extension surface. Everything here is built from
+JVM-side ``pyspark.sql.functions`` (whole-stage codegen, no Python in the
+hot path) and each operator has exactly-matching ANSI-SQL semantics so the
+DuckDB oracle can verify it value-for-value:
+
+- token counting: whitespace tokens and a BPE-ish regex pre-tokenizer,
+- quality scoring: length / punctuation / digit / stopword ratios folded
+  into one deterministic [0,1] score,
+- language ID: marker-stopword-hit scoring over a small language table
+  (pure n-gram/stopword heuristic — no model, no network),
+- document fingerprinting: polynomial rolling hash over codepoints
+  (Karp-Rabin style), plus a length-bucketed near-dup prefilter key.
+
+At 100 TB all of these are embarrassingly parallel single-pass projections:
+no shuffle, no UDF, fully pushed into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small curated marker-word lists (public common stopwords). Keep them SHORT
+# and frozen: they are part of the operator's contract with the SQL oracle.
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "for", "on", "with", "as", "at", "by", "it", "this", "that",
+)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "vous"),
+    "es": ("el", "la", "los", "y", "es", "una", "para", "en", "que", "por"),
+}
+
+# modulus/base of the rolling hash — fits in int64 at every fold step:
+# acc < 1e9+7, acc*31 + codepoint < 3.3e10 << 2^63.
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array (a bare
+    ``split`` would yield ``[""]``)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap token estimator)."""
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count: runs of letters, runs of digits, or a
+    single non-alphanumeric non-space char — the classic GPT-2-style
+    pre-tokenization shape, expressible as one regex scan on both engines."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), F.lit(0))
+    )
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = whitespace_tokens(F.lower(text))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def _strip_regex_count(text: Column, char_class: str) -> Column:
+    """#chars matching char_class = len(text) - len(text with them removed)."""
+    return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single-pass projection adding the quality-signal columns.
+
+    All ratios are over ``n_chars`` / ``n_tokens`` with divide-by-zero
+    guarded to 0.0; ``quality_score`` is a deterministic fold of the signals
+    (higher = cleaner prose), rounded to 6 decimals for cross-engine
+    comparability.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    punct = _strip_regex_count(text, r"[^A-Za-z0-9\s]")
+    digits = _strip_regex_count(text, r"[^0-9]")
+    spaces = _strip_regex_count(text, r"[^\s]")
+    alpha = n_chars - punct - digits - spaces
+    sw = stopword_count(text)
+
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    safe_toks = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(1.0))
+
+    punct_ratio = F.round(punct / safe_chars, 6)
+    digit_ratio = F.round(digits / safe_chars, 6)
+    alpha_ratio = F.round(alpha / safe_chars, 6)
+    stop_ratio = F.round(sw / safe_toks, 6)
+    mean_tok_len = F.round(
+        F.when(n_tokens > 0, (n_chars - spaces).cast("double") / safe_toks).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    # quality: alpha-heavy, some stopwords (real prose), sane token length,
+    # low digit/punct noise, not too short. All terms in [0,1].
+    quality = F.round(
+        alpha_ratio
+        * (1.0 - digit_ratio)
+        * (1.0 - punct_ratio)
+        * F.least(stop_ratio * 4.0, F.lit(1.0))
+        * F.least(n_tokens.cast("double") / 20.0, F.lit(1.0)),
+        6,
+    )
+
+    return df.select(
+        "*",
+        n_chars.alias("stat_n_chars"),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over lowercased whitespace tokens."""
+    toks = whitespace_tokens(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker hits, ties broken by language
+    code ascending, zero hits -> 'und' (undetermined). Deterministic and
+    SQL-expressible (a greatest-of-N + CASE chain)."""
+    scores = language_scores(F.col(text_col))
+    langs = sorted(scores)  # tie-break order = lexicographic
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs override later on ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    cols = [df["*"], pred.alias("lang_pred")] + [
+        scores[lang].alias(f"score_{lang}") for lang in langs
+    ]
+    return df.select(*cols)
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over unicode codepoints:
+    ``fold(0, c -> (acc*31 + codepoint(c)) % 1_000_000_007)``.
+
+    A classic Karp-Rabin document fingerprint — order-sensitive (unlike a
+    bag-of-words hash) and exactly reproducible in ANSI SQL (DuckDB
+    ``list_reduce``). Stays entirely in codegen'd expressions.
+    """
+    chars = F.split(text, "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+    )
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    text = F.col(text_col)
+    return df.select(
+        "*",
+        rolling_fingerprint(text).alias("fingerprint"),
+        # cheap near-dup prefilter bucket: same first-8-chars hash + length/32
+        (
+            rolling_fingerprint(F.substring(text, 1, 8)) * 1024
+            + (F.length(text) / 32).cast("long")
+        ).alias("fp_bucket"),
+    )

@@ -1,0 +1,75 @@
+"""Source catalog: read the warehouse tables from a scale-factor directory.
+
+The reference reads from SQL Server over ``SqlDataReader``
+(``TableCopyService.cs:125-140``); here sources are columnar parquet (the
+driver's fixtures) read through the DataFrame API so Catalyst keeps predicate
+pushdown and column pruning all the way into the scan. A JDBC source reader
+is provided behind the same interface for parity with the reference's
+deployment shape (untested here — no database in the container).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one source table. Accepts both ``<dir>/<name>.parquet`` (driver
+    fixtures) and ``<dir>/<name>`` (directory-style parquet)."""
+    base = Path(sf_dir)
+    for candidate in (base / f"{name}.parquet", base / name):
+        if candidate.exists():
+            return spark.read.parquet(str(candidate))
+    raise FileNotFoundError(f"table {name!r} not found under {sf_dir}")
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in tables:
+        try:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        except FileNotFoundError:
+            pass
+
+
+def load_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    schema: str = "",
+    predicate: str | None = None,
+    partition_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source for parity with the reference's SQL Server reader
+    (``TableCopyService.cs:125-140``). Catalyst pushes filters into the
+    remote ``SELECT`` (the reference hand-builds the same ``WHERE``); for big
+    tables pass ``partitionColumn/lowerBound/upperBound/numPartitions`` so
+    the scan parallelizes across executors instead of one cursor."""
+    qualified = f"{schema}.{table}" if schema else table
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", qualified)
+        .option("pushDownPredicate", "true")
+    )
+    for k, v in (partition_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df.where(predicate) if predicate else df

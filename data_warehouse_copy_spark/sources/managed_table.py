@@ -1,0 +1,421 @@
+"""ManagedTable — an atomic, manifest-based parquet table (mini-lakehouse).
+
+The reference wraps every per-table load in a SQL Server transaction spanning
+``DELETE``/``TRUNCATE`` + ``SqlBulkCopy`` (``TableCopyService.cs:89,170``,
+``TableUpdateService.cs:74,164``). Plain ``parquet`` directories cannot give
+that atomicity (overwrite-in-place is visible mid-write), and Delta Lake is
+not on the classpath here, so this module implements the minimal
+log-structured table needed for the reference's semantics:
+
+- every write lands in an immutable commit directory under ``data/``;
+- a JSON *manifest* lists the live files (with their partition value);
+- a commit is one atomic rename of the ``_LATEST`` pointer — readers see
+  either the old or the new manifest, never a half-written table (O16).
+
+Scale design (the 100 TB story):
+
+- **partition pruning is metadata-only**: a fact table is partitioned by the
+  day of its ``date_column``; a range delete (reference O3,
+  ``TableCopyService.cs:106-117``) removes manifest entries and touches no
+  data files, and a range *reload* writes only the window's partitions.
+- **merge is join-based**: the changed-key upsert (reference O9/O10's
+  2000-key ``IN``-list batches, ``TableUpdateService.cs:110-161``) becomes
+  one ``left_anti`` join + union that rewrites only the partitions
+  containing affected keys — no driver-side key materialization (avoids
+  reference O8 collect), no per-batch round trips.
+- readers get an explicit pruned file list, so Spark never lists or reads
+  dead files; the parquet scan keeps predicate pushdown and column pruning.
+
+Single-writer-per-table is assumed (the reference processes each table from
+one thread too); concurrent writers would be last-commit-wins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import uuid
+from collections import defaultdict
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PART_DIR = "_part"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str  # relative to table root
+    partition: str | None
+    rows: int
+
+
+@dataclass(frozen=True)
+class Manifest:
+    version: int
+    partition_date_col: str | None
+    schema_json: str | None
+    files: tuple[FileEntry, ...]
+    op: str
+    ts: str
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+
+# In-process commit locks keyed by table root: concurrent writers within one
+# driver (e.g. parallel dim loads appending to the shared audit table,
+# reference BulkCopyManager.cs:182-195) serialize snapshot->commit so no
+# manifest version is lost. Cross-process concurrent writes are last-wins
+# (the reference is likewise a single process).
+_COMMIT_LOCKS: dict[str, threading.Lock] = defaultdict(threading.Lock)
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _lock_for(root: Path) -> threading.Lock:
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS[str(root.resolve())]
+
+
+class ManagedTable:
+    """Atomic parquet table with a file manifest and optional day partitioning."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+
+    # ---------------------------------------------------------------- setup
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str | Path,
+        partition_date_col: str | None = None,
+        exist_ok: bool = True,
+    ) -> "ManagedTable":
+        t = cls(spark, root)
+        if t.exists():
+            if not exist_ok:
+                raise FileExistsError(f"managed table already exists at {root}")
+            return t
+        (t.root / "_log").mkdir(parents=True, exist_ok=True)
+        (t.root / "data").mkdir(parents=True, exist_ok=True)
+        t._commit(
+            Manifest(
+                version=0,
+                partition_date_col=partition_date_col,
+                schema_json=None,
+                files=(),
+                op="create",
+                ts=_utcnow(),
+            )
+        )
+        return t
+
+    def exists(self) -> bool:
+        return (self.root / "_log" / "_LATEST").exists()
+
+    # ------------------------------------------------------------- manifest
+
+    def snapshot(self, version: int | None = None) -> Manifest:
+        if version is None:
+            version = int((self.root / "_log" / "_LATEST").read_text())
+        raw = json.loads((self.root / "_log" / f"{version:020d}.json").read_text())
+        return Manifest(
+            version=raw["version"],
+            partition_date_col=raw["partition_date_col"],
+            schema_json=raw["schema_json"],
+            files=tuple(FileEntry(**f) for f in raw["files"]),
+            op=raw["op"],
+            ts=raw["ts"],
+        )
+
+    def history(self) -> list[Manifest]:
+        latest = self.snapshot()
+        return [self.snapshot(v) for v in range(latest.version + 1)]
+
+    def _commit(self, m: Manifest) -> None:
+        log_dir = self.root / "_log"
+        (log_dir / f"{m.version:020d}.json").write_text(
+            json.dumps(
+                {
+                    "version": m.version,
+                    "partition_date_col": m.partition_date_col,
+                    "schema_json": m.schema_json,
+                    "files": [f.__dict__ for f in m.files],
+                    "op": m.op,
+                    "ts": m.ts,
+                },
+                indent=1,
+            )
+        )
+        tmp = log_dir / f"_LATEST.tmp.{uuid.uuid4().hex}"
+        tmp.write_text(str(m.version))
+        os.replace(tmp, log_dir / "_LATEST")  # atomic pointer flip
+
+    # ----------------------------------------------------------------- read
+
+    def read(
+        self,
+        partition_min: str | None = None,
+        partition_max: str | None = None,
+        partitions: set[str] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the table, pruning files by partition value at the manifest
+        level (metadata-only; ISO day strings compare lexicographically)."""
+        m = self.snapshot(version)
+        files = [
+            str(self.root / f.path)
+            for f in m.files
+            if _partition_live(f.partition, partition_min, partition_max, partitions)
+        ]
+        if not files:
+            schema = (
+                T.StructType.fromJson(json.loads(m.schema_json))
+                if m.schema_json
+                else T.StructType([])
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*files)
+
+    def count(self) -> int:
+        """Row count from manifest metadata — no Spark job (reference O19's
+        rows-copied metric comes from parquet footers at write time)."""
+        return self.snapshot().total_rows
+
+    # ---------------------------------------------------------------- write
+
+    def append(self, df: DataFrame) -> int:
+        """Append rows atomically (reference O5 streaming bulk insert,
+        ``TableCopyService.cs:144-169``). Returns rows written."""
+        with _lock_for(self.root):
+            m = self.snapshot()
+            new_files = self._write_files(df, m.partition_date_col)
+            self._commit_files(m, tuple(m.files) + new_files, df.schema.json(), "append")
+        return sum(f.rows for f in new_files)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Truncate + load as ONE commit (reference O4,
+        ``TableCopyService.cs:94-101`` + the bulk insert, inside one
+        transaction). Old files become unreferenced, readers never see an
+        empty table in between."""
+        with _lock_for(self.root):
+            m = self.snapshot()
+            new_files = self._write_files(df, m.partition_date_col)
+            self._commit_files(m, new_files, df.schema.json(), "overwrite")
+        return sum(f.rows for f in new_files)
+
+    def overwrite_range(
+        self, df: DataFrame, date_from: str, date_to: str
+    ) -> tuple[int, int]:
+        """Range delete + reload as ONE atomic commit (reference O3+O5 inside
+        a transaction, ``TableCopyService.cs:106-170``).
+
+        ``[date_from, date_to]`` are day strings; a file is dropped when its
+        partition day falls in the window. For a partitioned table this is a
+        pure metadata delete + a write of only the window's partitions — at
+        100 TB the cost is proportional to the window, not the table.
+        Unpartitioned fallback: rewrite of rows outside the window (correct,
+        but O(table) — declare a partition column for big facts).
+
+        Returns (rows_deleted, rows_written).
+        """
+        with _lock_for(self.root):
+            m = self.snapshot()
+            if m.partition_date_col is None:
+                raise ValueError(
+                    "overwrite_range requires a partition_date_col; "
+                    "use delete_where + append for unpartitioned tables"
+                )
+            new_files = self._write_files(df, m.partition_date_col)
+            out_of_range = [
+                f for f in new_files if not _in_day_range(f.partition, date_from, date_to)
+            ]
+            if out_of_range:
+                raise ValueError(
+                    f"overwrite_range: incoming data has partitions outside "
+                    f"[{date_from}, {date_to}]: {[f.partition for f in out_of_range][:5]}"
+                )
+            kept = tuple(
+                f for f in m.files if not _in_day_range(f.partition, date_from, date_to)
+            )
+            deleted = m.total_rows - sum(f.rows for f in kept)
+            schema_json = df.schema.json() if df.schema.fields else m.schema_json
+            self._commit_files(m, kept + new_files, schema_json, "overwrite_range")
+        return deleted, sum(f.rows for f in new_files)
+
+    def merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
+        """Delete+reinsert by key as ONE atomic commit — the reference's
+        upsert (O9 batched ``IN``-list delete + O10 re-select/insert,
+        ``TableUpdateService.cs:108-161``) expressed as a join:
+
+        1. affected partitions = partitions holding any source key (in the
+           target, via semi-join) plus the source rows' own partitions;
+        2. replacement data for those partitions = target rows with the key
+           removed (``left_anti``) union the source rows;
+        3. only those partitions' files are rewritten.
+
+        No key set ever reaches the driver (reference O8 ``collect`` is
+        deliberately NOT ported, SURVEY.md §7 risk 6). Returns the number of
+        distinct keys merged — matching the reference's metric, which reports
+        the *key* count, not the row count (``TableUpdateService.cs:163``).
+        """
+        with _lock_for(self.root):
+            return self._merge_by_key(source_df, primary_key)
+
+    def _merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
+        m = self.snapshot()
+        keys = source_df.select(primary_key).distinct()
+        n_keys = keys.count()
+        if n_keys == 0:
+            # Empty key set still commits + completes (TableUpdateService.cs:167-172)
+            self._commit_files(m, tuple(m.files), m.schema_json, "merge_noop")
+            return 0
+
+        if m.partition_date_col is None:
+            target = self.read()
+            merged = target.join(keys, on=primary_key, how="left_anti").unionByName(
+                source_df.select(*target.columns) if target.columns else source_df
+            )
+            new_files = self._write_files(merged, None)
+            self._commit_files(m, new_files, merged.schema.json(), "merge")
+            return n_keys
+
+        part_col = m.partition_date_col
+        target = self.read()
+        # Partitions containing affected keys — a column-pruned scan of
+        # (pk, date) only; result is a small day-string list (metadata scale).
+        # No broadcast hint: Catalyst/AQE broadcasts the key side automatically
+        # when it is under the threshold; at 100 TB the key set may be large
+        # and a forced broadcast would OOM the executors.
+        tgt_parts = (
+            target.join(keys, on=primary_key, how="left_semi")
+            .select(F.date_format(F.col(part_col), "yyyy-MM-dd").alias("p"))
+            .distinct()
+        )
+        src_parts = source_df.select(
+            F.date_format(F.col(part_col), "yyyy-MM-dd").alias("p")
+        ).distinct()
+        affected = {r["p"] for r in tgt_parts.union(src_parts).distinct().collect()}
+        # Null-day rows can hold affected keys but live in the null partition;
+        # the reference's key-delete reaches them too (DELETE ... WHERE pk IN).
+        if any(f.partition is None for f in m.files):
+            affected.add(None)
+        if not affected:
+            self._commit_files(m, tuple(m.files), m.schema_json, "merge_noop")
+            return n_keys
+
+        target_affected = self.read(partitions=affected)
+        cols = target_affected.columns or source_df.columns
+        merged = target_affected.join(
+            keys, on=primary_key, how="left_anti"
+        ).unionByName(source_df.select(*cols))
+        new_files = self._write_files(merged, part_col)
+        kept = tuple(f for f in m.files if f.partition not in affected)
+        self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
+        return n_keys
+
+    # ------------------------------------------------------------ internals
+
+    def _commit_files(
+        self, prev: Manifest, files: tuple[FileEntry, ...], schema_json: str | None, op: str
+    ) -> None:
+        self._commit(
+            Manifest(
+                version=prev.version + 1,
+                partition_date_col=prev.partition_date_col,
+                schema_json=schema_json or prev.schema_json,
+                files=files,
+                op=op,
+                ts=_utcnow(),
+            )
+        )
+
+    def _write_files(
+        self, df: DataFrame, partition_date_col: str | None
+    ) -> tuple[FileEntry, ...]:
+        """Write df into an immutable commit dir; return its file entries.
+
+        Partitioned writes duplicate the day key into ``_part`` and use
+        ``partitionBy`` so the files keep the original date column while the
+        directory layout (and thus the manifest) carries the partition value.
+        Row counts come from parquet footers — no extra Spark action.
+        """
+        commit_id = uuid.uuid4().hex[:16]
+        staging = self.root / "_staging" / commit_id
+        final = self.root / "data" / commit_id
+        writer = df.write.mode("overwrite")
+        if partition_date_col is not None:
+            df = df.withColumn(
+                _PART_DIR, F.date_format(F.col(partition_date_col), "yyyy-MM-dd")
+            )
+            writer = df.write.mode("overwrite").partitionBy(_PART_DIR)
+        writer.parquet(str(staging))
+        final.parent.mkdir(parents=True, exist_ok=True)
+        shutil.move(str(staging), str(final))
+
+        entries: list[FileEntry] = []
+        for p in sorted(final.rglob("*.parquet")):
+            partition: str | None = None
+            for seg in p.relative_to(final).parts[:-1]:
+                if seg.startswith(f"{_PART_DIR}="):
+                    val = seg.split("=", 1)[1]
+                    partition = None if val == _HIVE_NULL else val
+            entries.append(
+                FileEntry(
+                    path=str(p.relative_to(self.root)),
+                    partition=partition,
+                    rows=pq.ParquetFile(p).metadata.num_rows,
+                )
+            )
+        return tuple(entries)
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the latest manifest. Returns
+        number of files removed. (Old versions become unreadable — run only
+        when time travel is not needed.)"""
+        live = {str(self.root / f.path) for f in self.snapshot().files}
+        removed = 0
+        for p in (self.root / "data").rglob("*.parquet"):
+            if str(p) not in live:
+                p.unlink()
+                removed += 1
+        return removed
+
+
+def _utcnow() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def _in_day_range(partition: str | None, lo: str, hi: str) -> bool:
+    if partition is None:
+        return False  # null-day rows are never range-deleted (SQL BETWEEN semantics)
+    return lo <= partition <= hi
+
+
+def _partition_live(
+    partition: str | None,
+    lo: str | None,
+    hi: str | None,
+    allowed: set[str] | None,
+) -> bool:
+    if allowed is not None and partition not in allowed:
+        return False
+    if partition is None:
+        return True  # unknown partition: cannot prune
+    if lo is not None and partition < lo:
+        return False
+    if hi is not None and partition > hi:
+        return False
+    return True

@@ -1,0 +1,165 @@
+"""ManagedTable: atomic commits, partition pruning, range overwrite, merge."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+
+@pytest.fixture()
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_create_append_read_roundtrip(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    sample = lineitem.limit(100)
+    assert t.append(sample) == 100
+    assert t.read().count() == 100
+    assert t.count() == 100  # metadata count, no Spark job
+    assert set(t.read().columns) == set(lineitem.columns)
+
+
+def test_overwrite_replaces_atomically(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(50))
+    v1 = t.snapshot().version
+    t.overwrite(lineitem.limit(10))
+    assert t.read().count() == 10
+    # time travel: the pre-overwrite version is still readable
+    assert t.read(version=v1).count() == 50
+
+
+def test_empty_table_read_has_schema(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(5))
+    t.overwrite(lineitem.limit(0))
+    df = t.read()
+    assert df.count() == 0
+    assert "l_orderkey" in df.columns
+
+
+def test_partitioned_write_and_prune(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
+    t.append(lineitem.filter(F.col("l_shipdate") < "1995-03-01"))
+    m = t.snapshot()
+    assert all(f.partition is not None for f in m.files)
+    # partition pruning at manifest level
+    one_day = t.read(partition_min="1995-01-05", partition_max="1995-01-05")
+    expected = lineitem.filter(
+        F.to_date("l_shipdate") == F.lit("1995-01-05").cast("date")
+    ).count()
+    assert one_day.count() == expected
+    # original date column survives in the data files
+    assert "l_shipdate" in one_day.columns
+
+
+def test_overwrite_range_is_partition_scoped(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
+    base = lineitem.filter(F.col("l_shipdate").between("1995-01-01", "1995-02-01"))
+    t.append(base)
+    files_before = {
+        f.path for f in t.snapshot().files if f.partition and f.partition < "1995-01-10"
+    }
+
+    window = lineitem.filter(
+        F.col("l_shipdate").between("1995-01-10 00:00:00", "1995-01-15 23:59:59.997")
+    )
+    deleted, written = t.overwrite_range(window, "1995-01-10", "1995-01-15")
+    assert written == window.count()
+    # untouched partitions keep their exact files (no full rewrite)
+    files_after = {
+        f.path for f in t.snapshot().files if f.partition and f.partition < "1995-01-10"
+    }
+    assert files_before == files_after
+    # total state converges to base outside window + window data
+    assert t.read().count() == base.count()
+
+
+def test_overwrite_range_removes_vanished_partitions(spark, tmp_path, lineitem):
+    """A day present in target but absent from the new window data must be
+    deleted (SQL DELETE semantics — dynamic partition overwrite alone would
+    leave it)."""
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
+    t.append(lineitem.filter(F.col("l_shipdate").between("1995-01-01", "1995-01-31")))
+    empty_window = lineitem.filter(F.lit(False))
+    deleted, written = t.overwrite_range(empty_window, "1995-01-01", "1995-01-10")
+    assert written == 0 and deleted > 0
+    assert (
+        t.read(partition_min="1995-01-01", partition_max="1995-01-10").count() == 0
+    )
+    assert t.read().count() > 0  # rest of January intact
+
+
+def test_overwrite_range_rejects_out_of_window_data(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
+    with pytest.raises(ValueError, match="outside"):
+        t.overwrite_range(lineitem.limit(1000), "1995-01-01", "1995-01-02")
+
+
+def test_merge_by_key_upserts(spark, tmp_path, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="o_orderdate")
+    t.append(orders)
+    v_before = t.snapshot().version
+
+    changed = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    n = t.merge_by_key(changed, "o_orderkey")
+    assert n == changed.count()
+
+    after = t.read()
+    assert after.count() == orders.count()  # delete+reinsert, no dup keys
+    assert after.filter(F.col("o_orderstatus") == "X").count() == changed.count()
+    # only partitions containing changed keys were rewritten
+    before_files = {f.path for f in t.snapshot(v_before).files}
+    after_files = {f.path for f in t.snapshot().files}
+    assert before_files & after_files, "untouched partitions must keep their files"
+
+
+def test_merge_by_key_inserts_new_keys(spark, tmp_path, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="o_orderdate")
+    t.append(orders.filter(F.col("o_orderkey") > 100))
+    newrows = orders.filter(F.col("o_orderkey") <= 100)
+    t.merge_by_key(newrows, "o_orderkey")
+    assert t.read().count() == orders.count()
+
+
+def test_merge_empty_keyset_commits_noop(spark, tmp_path, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="o_orderdate")
+    t.append(orders)
+    v = t.snapshot().version
+    assert t.merge_by_key(orders.filter(F.lit(False)), "o_orderkey") == 0
+    assert t.snapshot().version == v + 1  # still commits (reference :167-172)
+    assert t.snapshot().op == "merge_noop"
+
+
+def test_concurrent_appends_lose_nothing(spark, tmp_path, sf_dir):
+    """Parallel dim loads append to the shared audit table (reference
+    Parallel.ForEach); the commit lock must serialize manifest versions."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    threads = [
+        threading.Thread(target=lambda: ManagedTable(spark, tmp_path / "t").append(region))
+        for _ in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert t.read().count() == region.count() * 4
+
+
+def test_vacuum_removes_dead_files(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(10))
+    t.overwrite(lineitem.limit(5))
+    removed = t.vacuum()
+    assert removed > 0
+    assert t.read().count() == 5
