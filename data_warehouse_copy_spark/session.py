@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # The driver fixtures carry TIMESTAMP(NANOS) columns (events.ts);
+        # read them as epoch-nanos longs and restore in catalog.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # FAIR scheduling so parallel dim reloads (reference
         # BulkCopyManager.cs:182-195) share the cluster instead of FIFO-queueing.
         .config("spark.scheduler.mode", "FAIR")

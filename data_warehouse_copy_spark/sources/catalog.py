@@ -13,6 +13,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,13 +29,47 @@ TABLES = (
 )
 
 
+def ns_timestamp_columns(path: Path) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized reader
+    rejects these outright, so they need the nanosAsLong escape hatch plus an
+    explicit ns→µs restore (see :func:`load_table`)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path if path.is_file() else next(Path(path).glob("*.parquet"), None)
+    if f is None:
+        return []
+    schema = pq.read_schema(str(f))
+    return [
+        field.name
+        for field in schema
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+    ]
+
+
+def restore_ns_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Convert nanosAsLong-read epoch-nanos longs back to TimestampType
+    (truncating to Spark's native µs precision)."""
+    for c in cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one source table. Accepts both ``<dir>/<name>.parquet`` (driver
-    fixtures) and ``<dir>/<name>`` (directory-style parquet)."""
+    fixtures) and ``<dir>/<name>`` (directory-style parquet).
+
+    Handles parquet TIMESTAMP(NANOS) columns (e.g. the events fixture's
+    ``ts``) transparently: read as epoch-nanos longs, then restored to
+    TimestampType — a pure projection, so pushdown/pruning are unaffected."""
     base = Path(sf_dir)
     for candidate in (base / f"{name}.parquet", base / name):
         if candidate.exists():
-            return spark.read.parquet(str(candidate))
+            ns_cols = ns_timestamp_columns(candidate)
+            if ns_cols:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(str(candidate))
+            return restore_ns_timestamps(df, ns_cols)
     raise FileNotFoundError(f"table {name!r} not found under {sf_dir}")
 
 

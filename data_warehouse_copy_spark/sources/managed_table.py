@@ -217,7 +217,7 @@ class ManagedTable:
         return sum(f.rows for f in new_files)
 
     def overwrite_range(
-        self, df: DataFrame, date_from: str, date_to: str
+        self, df: DataFrame, date_from: str, date_to: str, date_column: str | None = None
     ) -> tuple[int, int]:
         """Range delete + reload as ONE atomic commit (reference O3+O5 inside
         a transaction, ``TableCopyService.cs:106-170``).
@@ -226,18 +226,36 @@ class ManagedTable:
         partition day falls in the window. For a partitioned table this is a
         pure metadata delete + a write of only the window's partitions — at
         100 TB the cost is proportional to the window, not the table.
-        Unpartitioned fallback: rewrite of rows outside the window (correct,
-        but O(table) — declare a partition column for big facts).
+        Unpartitioned fallback (requires ``date_column``): one-commit rewrite
+        of rows outside the window unioned with the new data — correct but
+        O(table); declare a partition column for big facts.
 
         Returns (rows_deleted, rows_written).
         """
         with _lock_for(self.root):
             m = self.snapshot()
             if m.partition_date_col is None:
-                raise ValueError(
-                    "overwrite_range requires a partition_date_col; "
-                    "use delete_where + append for unpartitioned tables"
+                if date_column is None:
+                    raise ValueError(
+                        "overwrite_range on an unpartitioned table requires "
+                        "date_column for the delete predicate"
+                    )
+                from data_warehouse_copy_spark.window import day_bounds
+
+                start, end = day_bounds(date_from, date_to)
+                old = self.read()
+                kept_rows = (
+                    old.filter(~F.col(date_column).between(F.lit(start), F.lit(end)))
+                    if old.columns
+                    else old
                 )
+                merged = kept_rows.unionByName(df) if old.columns else df
+                new_files = self._write_files(merged, None)
+                written_total = sum(f.rows for f in new_files)
+                new_window_rows = df.count()
+                deleted = m.total_rows - (written_total - new_window_rows)
+                self._commit_files(m, new_files, merged.schema.json(), "overwrite_range")
+                return deleted, new_window_rows
             new_files = self._write_files(df, m.partition_date_col)
             out_of_range = [
                 f for f in new_files if not _in_day_range(f.partition, date_from, date_to)

@@ -1,0 +1,154 @@
+"""Structured Streaming over the ``events`` table (extension surface).
+
+The reference is batch-only (SURVEY.md §2.1 — no streaming surface at all);
+this module is the Spark-native streaming slice the BASELINE mandates: the
+same aggregations work identically as batch DataFrame transforms (for the
+DuckDB oracle) and as incremental streaming queries with watermarked late-
+data handling (for the streaming tests, which feed the parquet fixture
+through ``readStream``).
+
+Design: every transform takes and returns DataFrames, so one definition
+serves batch and streaming (Structured Streaming's core promise). Sinks go
+through ``foreachBatch`` into :class:`ManagedTable` so each micro-batch is
+one atomic manifest commit — exactly-once per batch on top of checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling-window per-event-type aggregate: count, sum(value), distinct
+    users (exact in batch, approximate in streaming — count_distinct is not
+    supported incrementally).
+
+    Output columns: window_start, window_end, event_type, n_events,
+    total_value, n_users.
+    """
+    src = events.withWatermark("ts", watermark) if streaming else events
+    distinct_users = (
+        F.approx_count_distinct("user_id") if streaming else F.count_distinct("user_id")
+    )
+    return (
+        src.groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            distinct_users.alias("n_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when the
+    gap to the previous event of the same user exceeds ``gap_minutes``.
+
+    Classic lag + conditional cumsum over a per-user window — one shuffle on
+    user_id. (The streaming equivalent is ``session_window(ts, gap)``;
+    see ``tests/test_streaming.py``.) Output: one row per session with
+    bounds and event count.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    with_breaks = events.withColumn(
+        "_new_session",
+        F.when(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > gap_s
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_seq",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def stream_events_to_managed_table(
+    spark,
+    source_dir: str,
+    target: ManagedTable,
+    checkpoint_dir: str,
+    schema=None,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+):
+    """Streaming ingest demo: parquet-source stream -> watermarked tumbling
+    aggregate -> ``foreachBatch`` append into a ManagedTable (each
+    micro-batch one atomic commit). Returns the StreamingQuery; callers
+    ``processAllAvailable()`` + ``stop()`` to drain a finite fixture.
+
+    The raw file schema is discovered via a batch read so TIMESTAMP(NANOS)
+    columns (read as longs under nanosAsLong) are restored to timestamps
+    before the watermark is applied."""
+    from pathlib import Path
+
+    from data_warehouse_copy_spark.sources.catalog import (
+        ns_timestamp_columns,
+        restore_ns_timestamps,
+    )
+
+    ns_cols = ns_timestamp_columns(Path(source_dir))
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = schema if schema is not None else spark.read.parquet(source_dir).schema
+    if Path(source_dir).is_file():
+        # FileStreamSource needs a directory; stage a symlink to single-file
+        # fixtures next to the checkpoint.
+        staged = Path(checkpoint_dir).parent / (Path(checkpoint_dir).name + "_src")
+        staged.mkdir(parents=True, exist_ok=True)
+        link = staged / Path(source_dir).name
+        if not link.exists():
+            link.symlink_to(source_dir)
+        source_dir = str(staged)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    stream = restore_ns_timestamps(stream, ns_cols)
+    agg = tumbling_window_agg(
+        stream, window_duration, watermark, streaming=True
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        target.append(batch_df)
+
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )

@@ -1,0 +1,79 @@
+"""Structured Streaming tests over the events fixture.
+
+Batch/stream parity is the core assertion: the same transform definition
+must give identical results run as a batch DataFrame and fed incrementally
+through readStream (watermark + append mode), modulo the documented
+count_distinct -> approx_count_distinct substitution.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+from data_warehouse_copy_spark.streaming.events import (
+    sessionize,
+    stream_events_to_managed_table,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from data_warehouse_copy_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_tumbling_window_batch(events):
+    out = tumbling_window_agg(events, "1 hour").collect()
+    assert len(out) > 0
+    total = sum(r.n_events for r in out)
+    assert total == events.count()
+    for r in out:
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+        assert r.n_users <= r.n_events
+
+
+def test_sessionize_covers_all_events(events):
+    sess = sessionize(events, gap_minutes=30)
+    rows = sess.collect()
+    assert sum(r.n_events for r in rows) == events.count()
+    assert all(r.session_start <= r.session_end for r in rows)
+    # session bounds of the same user never overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 < s2
+
+
+def test_stream_matches_batch(spark, events, sf_dir, tmp_path):
+    target = ManagedTable.create(spark, str(tmp_path / "tbl"))
+    q = stream_events_to_managed_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        target,
+        str(tmp_path / "ckpt"),
+        window_duration="1 hour",
+        watermark="0 seconds",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = target.read()
+    # append mode only emits windows the watermark has passed; with a finite
+    # fixture the final (max-ts) window may be withheld — compare on the
+    # emitted windows only.
+    batch = tumbling_window_agg(events, "1 hour")
+    emitted = [r.window_start for r in got.select("window_start").distinct().collect()]
+    assert len(emitted) > 0
+    key = ["window_start", "event_type"]
+    b = {
+        tuple(r[k] for k in key): (r.n_events, r.total_value)
+        for r in batch.filter(F.col("window_start").isin(emitted)).collect()
+    }
+    g = {tuple(r[k] for k in key): (r.n_events, r.total_value) for r in got.collect()}
+    assert g == b
