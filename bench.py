@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Each query is fully materialized through the noop sink (same execution work
+as a real write, zero sink cost). A warmup query first absorbs session/JIT
+startup so per-query numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_warehouse_copy_spark.queries import QUERIES  # noqa: E402
+from data_warehouse_copy_spark.session import get_spark  # noqa: E402
+
+# Headline set: every operator family, weighted toward the scans/joins/aggs
+# that dominate at 100 TB.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_customers_per_nation",
+    "orders_rollup",
+    "windowed_range_scan",
+    "changed_keys_antijoin",
+    "orders_without_lineitems",
+    "range_copy_roundtrip",
+    "upsert_roundtrip",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "text_stats",
+    "text_language_id",
+    "text_fingerprints",
+    "events_hourly",
+    "events_sessionize",
+    "multimodal_features",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="dwcs-bench")
+
+    # warmup: absorb JVM/codegen startup on a small scan
+    materialize(QUERIES["windowed_range_scan"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,10 +54,12 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     SQL oracle can build the identical set)."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -105,13 +107,12 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
+        # exact int arithmetic + one double division — bit-identical on any
+        # engine, so no rounding needed for oracle comparison
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-                6,
-            ),
+            F.col("inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

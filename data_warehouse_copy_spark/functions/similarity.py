@@ -15,7 +15,9 @@ fixtures). Two search paths:
   candidate generation, exact precision on what it returns; recall is the
   LSH probability (tested against brute force at sf0.001).
 
-Cosine here is ``dot / (||a|| * ||b||)`` computed in float64. A zero-norm
+Cosine here is ``dot / (||a|| * ||b||)`` computed in float64 with a fixed
+left-fold accumulation order, so the value is bit-identical to any engine
+that folds the same way (the DuckDB oracle does) — no rounding needed. A zero-norm
 vector yields NULL (excluded), matching SQL division semantics.
 """
 
@@ -67,7 +69,7 @@ def brute_force_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
         .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -93,7 +95,7 @@ def cosine_near_dup_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -184,7 +186,7 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn(
-        "cosine", F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), 6)
+        "cosine", cosine(F.col("query_vec"), F.col("neighbor_vec"))
     ).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

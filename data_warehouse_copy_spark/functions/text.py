@@ -108,6 +108,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # quality: alpha-heavy, some stopwords (real prose), sane token length,
     # low digit/punct noise, not too short. All terms in [0,1].
+    # + 0.0 normalizes IEEE -0.0 (possible when alpha_ratio < 0 on non-Latin
+    # text) to +0.0 so cross-engine hashes agree
     quality = F.round(
         alpha_ratio
         * (1.0 - digit_ratio)
@@ -115,7 +117,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         * F.least(stop_ratio * 4.0, F.lit(1.0))
         * F.least(n_tokens.cast("double") / 20.0, F.lit(1.0)),
         6,
-    )
+    ) + F.lit(0.0)
 
     return df.select(
         "*",

@@ -82,7 +82,9 @@ def copy_table(
     if date_column:
         assert date_from and date_to, "range copy requires a date window"
         windowed = windowed_scan(data, date_column, date_from, date_to)
-        deleted, written = target.overwrite_range(windowed, date_from, date_to)
+        deleted, written = target.overwrite_range(
+            windowed, date_from, date_to, date_column=date_column
+        )
         return CopyResult(table_name, written, deleted, "range")
 
     # Reference: no date column on a fact -> warn, skip delete, append all

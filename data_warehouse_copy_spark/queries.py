@@ -1,0 +1,802 @@
+"""Query catalog: every operator surfaced as a ``(spark, sf_dir) -> DataFrame``
+callable plus (where SQL-expressible) an exactly-equivalent DuckDB oracle.
+
+This is the engine's public face for the driver contract
+(``__spark_entry__.py``): each entry demonstrates one operator family from
+SURVEY.md §2 / §2.2 — reference-surface ops (windowed scan, anti-join change
+detection, range-copy and upsert round-trips through :class:`ManagedTable`),
+relational analytics (multi-way joins, aggregation, rollup, window
+functions), and the training-data extension surface (dedup, similarity
+search, text analysis, streaming aggregates in batch form).
+
+Cross-engine determinism rules used throughout (and mirrored in the SQL):
+
+- **sums of doubles** go through ``CAST(x AS DECIMAL(18,6))`` per row, an
+  exact (order-independent) decimal sum, then one ``CAST(... AS DOUBLE)`` —
+  bit-identical on any engine, no rounding needed;
+- **averages** are the decimal sum cast to double divided by the count cast
+  to double (identical IEEE division on both engines), NOT the engines'
+  ``avg`` (whose internal accumulation order differs);
+- **cosine / jaccard** are left-fold expressions over identical inputs —
+  same fold order on both engines, so exact equality;
+- every computed column is aliased identically here and in the oracle SQL
+  (the driver's compare hashes columns by sorted name).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from data_warehouse_copy_spark.functions.multimodal import (
+    binarize_documents,
+    extract_features,
+)
+from data_warehouse_copy_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_topk,
+)
+from data_warehouse_copy_spark.functions.text import (
+    with_fingerprints,
+    with_language_id,
+    with_text_stats,
+)
+from data_warehouse_copy_spark.operators.copy import copy_table
+from data_warehouse_copy_spark.operators.upsert import changed_keys, update_table
+from data_warehouse_copy_spark.sources.catalog import load_table
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+from data_warehouse_copy_spark.streaming.events import sessionize, tumbling_window_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Fixed windows over the fixtures' 1995-2001 order/ship dates.
+W_FROM, W_TO = "1995-03-01", "1995-03-07"
+W_START_SQL = "TIMESTAMP '1995-03-01 00:00:00'"
+# the reference's SQL-Server-datetime-safe end-of-day (TableCopyService.cs:112)
+W_END_SQL = "TIMESTAMP '1995-03-07 23:59:59.997'"
+M_FROM, M_TO = "1995-03-01", "1995-03-31"
+
+
+def _prep(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
+    """UTC session (timestamp determinism vs the naive-timestamp oracle) +
+    load the requested tables through the central catalog."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return [load_table(spark, sf_dir, t) for t in tables]
+
+
+def _dec_sum(expr: str) -> F.Column:
+    """Order-independent double sum: exact decimal accumulate, one final cast."""
+    return F.sum(F.expr(expr).cast("decimal(18,6)")).cast("double")
+
+
+_DEC_SUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _sql_dec_sum(expr: str) -> str:
+    return _DEC_SUM_SQL.format(expr=expr)
+
+
+# --------------------------------------------------------------------------
+# Relational analytics (joins / aggregation / windows / rollup)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan-side filter + 4-way aggregate.
+    The filter reaches the parquet scan (PushedFilters); map-side partial
+    aggregation makes the shuffle carry only |groups| rows."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            _dec_sum("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
+            _dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").alias(
+                "sum_charge"
+            ),
+            (_dec_sum("l_quantity") / F.count("*").cast("double")).alias("avg_qty"),
+            (_dec_sum("l_extendedprice") / F.count("*").cast("double")).alias(
+                "avg_price"
+            ),
+            (_dec_sum("l_discount") / F.count("*").cast("double")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dec_sum('l_quantity')} AS sum_qty,
+       {_sql_dec_sum('l_extendedprice')} AS sum_base_price,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_sql_dec_sum('l_quantity')} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       {_sql_dec_sum('l_extendedprice')} / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       {_sql_dec_sum('l_discount')} / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join with a broadcast dim (customer), windowed
+    fact filters pushed to both scans, top-10 by revenue (unique tie-break
+    so the LIMIT set is deterministic)."""
+    customer, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") > F.expr("TIMESTAMP '1995-03-15 00:00:00'"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") < F.expr("TIMESTAMP '1995-03-15 00:00:00'")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table join: facts shuffle-join each other, every dim
+    (customer/supplier/nation/region) broadcasts — one shuffle total."""
+    region, nation, customer, supplier, orders, li = _prep(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+                & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k: rank customers by account balance within each
+    nation (row_number over a hash-partitioned window, one shuffle on the
+    partition key)."""
+    nation, customer = _prep(spark, sf_dir, "nation", "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.withColumn("nation_rank", F.row_number().over(w))
+        .filter(F.col("nation_rank") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "nation_rank")
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT n_name, c_custkey, c_name, c_acctbal, nation_rank
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS nation_rank
+  FROM customer
+) JOIN nation ON c_nationkey = n_nationkey
+WHERE nation_rank <= 3
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (status, priority) — subtotal + grand-total rows
+    with SQL NULL group markers, all in one shuffle."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
+ORDERS_ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference-surface operators (SURVEY.md §2, O2/O6/O7 and round-trips)
+# --------------------------------------------------------------------------
+
+
+def windowed_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2+O6 (``TableCopyService.cs:127-161``): raw-datetime BETWEEN with the
+    ``23:59:59.997`` end bound, excluded columns dropped. The predicate is
+    pushed into the parquet scan."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
+    )
+
+
+WINDOWED_SCAN_SQL = f"""
+SELECT * FROM lineitem
+WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
+"""
+
+
+def changed_keys_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 (``TableUpdateService.cs:81-88``): keys whose update-date day falls
+    in the window but whose insert-date day does not — day-granularity
+    ``CAST(col AS DATE)`` on both predicates, left-anti join. The update
+    column is derived deterministically from the fixtures (the fixtures have
+    no mutation column), identically in the oracle."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    src = li.withColumn(
+        "update_datetime",
+        F.expr("date_add(CAST(l_shipdate AS DATE), CAST(l_orderkey % 30 AS INT))"),
+    )
+    return changed_keys(
+        src, "l_shipdate", "update_datetime", "l_orderkey", M_FROM, M_TO
+    ).distinct()
+
+
+CHANGED_KEYS_SQL = f"""
+SELECT DISTINCT l_orderkey FROM (
+  SELECT l_orderkey,
+         CAST(l_shipdate AS DATE) + CAST(l_orderkey % 30 AS INT) AS upd
+  FROM lineitem)
+WHERE upd BETWEEN DATE '{M_FROM}' AND DATE '{M_TO}'
+  AND l_orderkey NOT IN (
+    SELECT l_orderkey FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '{M_FROM}' AND DATE '{M_TO}')
+"""
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join in its plain relational form: windowed orders with no
+    lineitem rows at all (broadcast-able key side at small SF; at scale AQE
+    picks shuffled hash)."""
+    orders, li = _prep(spark, sf_dir, "orders", "lineitem")
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-03-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1995-04-01 00:00:00'"))
+    )
+    return windowed.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+ORDERS_NO_LINEITEM_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def range_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end O1-O6+O16 (``TableCopyService.cs:94-170``): range copy of
+    the window into a ManagedTable (atomic overwrite_range commit), read
+    back. The oracle is the equivalent windowed SELECT — proving the storage
+    layer neither drops nor duplicates rows."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="dwcs_rc_")
+    target = ManagedTable.create(spark, f"{tmp}/lineitem")
+    copy_table(
+        li,
+        target,
+        "lineitem",
+        W_FROM,
+        W_TO,
+        use_truncate=False,
+        date_column="l_shipdate",
+    )
+    return target.read()
+
+
+def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end O7-O10+O16 (``TableUpdateService.cs:74-172``): target
+    starts as orders with zeroed prices; the upsert restores source rows for
+    exactly the changed keys (update-day in window, insert-day not). The
+    oracle states the converged result as one CASE expression."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    src = orders.withColumn(
+        "update_datetime",
+        F.expr("date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 45 AS INT))"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dwcs_up_")
+    target = ManagedTable.create(spark, f"{tmp}/orders")
+    target.overwrite(
+        src.withColumn("o_totalprice", F.lit(0.0).cast("double"))
+    )
+    update_table(
+        src,
+        target,
+        "orders",
+        M_FROM,
+        M_TO,
+        date_column="o_orderdate",
+        update_date_column="update_datetime",
+        primary_key="o_orderkey",
+    )
+    return target.read().drop("update_datetime")
+
+
+UPSERT_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN (CAST(o_orderdate AS DATE) + CAST(o_orderkey % 45 AS INT))
+                 BETWEEN DATE '{M_FROM}' AND DATE '{M_TO}'
+             AND o_orderkey NOT IN (
+               SELECT o_orderkey FROM orders
+               WHERE CAST(o_orderdate AS DATE)
+                     BETWEEN DATE '{M_FROM}' AND DATE '{M_TO}')
+            THEN o_totalprice ELSE 0.0 END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup (extension surface)
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (min id per group) — the
+    100 TB first-pass: one hash shuffle on the dup key."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["lang", "source"], id_col="doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT * FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY lang, source)
+"""
+
+# DuckDB-side word 3-gram shingle set, matching functions/dedup.word_shingles
+# (lower → trim → split \\s+ → 3-gram join with ' ' → distinct).
+_SHINGLES_SQL = """
+list_distinct(
+  list_transform(
+    generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 0)),
+    i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[i:i+2], ' ')))
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over an augmented corpus (the
+    fixtures are all-unique, so near-duplicates are planted deterministically
+    — identically in the oracle). Shingle-explode + equi-self-join: shuffle
+    is keyed on shingles, never O(n²)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
+                "text"
+            ),
+        )
+    )
+    return ngram_jaccard_pairs(aug, threshold=0.5)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' planted near duplicate tail'
+  FROM documents WHERE doc_id % 7 = 0
+),
+sh AS (SELECT doc_id AS id, {_SHINGLES_SQL} AS s FROM aug),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN (SELECT id, len(s) AS n FROM sh) sa ON sa.id = id_a
+JOIN (SELECT id, len(s) AS n FROM sh) sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup candidates verified with exact
+    Jaccard. xxhash64 signatures are not SQL-portable → rows-only check; the
+    exact-Jaccard twin (dedup_ngram_jaccard) is the value-checked oracle."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
+                "text"
+            ),
+        )
+    )
+    return minhash_lsh_pairs(aug, threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming <= 3 via 16-bit pigeonhole bands).
+    xxhash64-based → rows-only check."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    return simhash_pairs(aug, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (extension surface)
+# --------------------------------------------------------------------------
+
+_COSINE_CTE = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+"""
+
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 20 — the ANN baseline.
+    Left-fold dot products (bit-identical to the oracle's), unique rank
+    tie-break."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+SIMILARITY_TOPK_SQL = f"""
+WITH {_COSINE_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+           AS cosine
+  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+  WHERE sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) > 0)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def similarity_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dups (cosine >= 0.4), ``id_a < id_b``."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+SIMILARITY_NEAR_DUP_SQL = f"""
+WITH {_COSINE_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.4
+"""
+
+
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH-bucketed approximate top-5 (the scale path: equi-join on
+    band keys instead of a cross join). Probabilistic recall → rows-only
+    check; precision verified against brute force in tests."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (extension surface)
+# --------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass quality-signal projection (no shuffle, no UDF)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "stat_n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        "alpha_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_TOKS_LOWER = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_STOPWORDS = (
+    "['the','a','an','and','or','of','to','in','is','are',"
+    "'was','for','on','with','as','at','by','it','this','that']"
+)
+
+TEXT_STATS_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKS}) END AS n_tokens,
+    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct,
+    length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+    length(text) - length(regexp_replace(text, '[^\\s]', '', 'g')) AS spaces,
+    CASE WHEN trim(text) = '' THEN 0 ELSE
+      len(list_filter({_SQL_TOKS_LOWER}, t -> list_contains({_SQL_STOPWORDS}, t)))
+    END AS sw
+  FROM documents),
+r2 AS (
+  SELECT *, n_chars - punct - digits - spaces AS alpha,
+    CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END AS safe_chars,
+    CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) ELSE 1.0 END AS safe_toks
+  FROM raw),
+r3 AS (
+  SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+    round(punct / safe_chars, 6) AS punct_ratio,
+    round(digits / safe_chars, 6) AS digit_ratio,
+    round(alpha / safe_chars, 6) AS alpha_ratio,
+    round(sw / safe_toks, 6) AS stopword_ratio,
+    round(CASE WHEN n_tokens > 0
+               THEN CAST(n_chars - spaces AS DOUBLE) / safe_toks
+               ELSE 0.0 END, 6) AS mean_token_len
+  FROM r2)
+SELECT doc_id, n_chars AS stat_n_chars, n_tokens, n_bpe_tokens,
+  punct_ratio, digit_ratio, alpha_ratio, stopword_ratio, mean_token_len,
+  round(alpha_ratio * (1.0 - digit_ratio) * (1.0 - punct_ratio)
+        * least(stopword_ratio * 4.0, 1.0)
+        * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0), 6) + 0.0 AS quality_score
+FROM r3
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-stopword language ID (argmax, ties to lexicographic
+    first, zero hits -> 'und')."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return with_language_id(docs).select(
+        "doc_id", "lang", "lang_pred", "score_de", "score_en", "score_es", "score_fr"
+    )
+
+
+_MARKERS_SQL = {
+    "en": "['the','and','of','to','is','in','that','it','for','with']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','für','von']",
+    "fr": "['le','la','les','et','est','une','pour','dans','que','vous']",
+    "es": "['el','la','los','y','es','una','para','en','que','por']",
+}
+
+TEXT_LANG_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {", ".join(
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_filter({_SQL_TOKS_LOWER},"
+        f" t -> list_contains({arr}, t))) END AS score_{lang}"
+        for lang, arr in sorted(_MARKERS_SQL.items())
+    )}
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  score_de, score_en, score_es, score_fr
+FROM s
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash document fingerprint + near-dup prefilter
+    bucket — order-sensitive, exact-integer, SQL-reproducible."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return with_fingerprints(docs).select("doc_id", "fingerprint", "fp_bucket")
+
+
+def _sql_fp(expr: str) -> str:
+    return f"""list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(1, length({expr})),
+                       i -> CAST(unicode({expr}[i]) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+
+TEXT_FP_SQL = f"""
+SELECT doc_id,
+  {_sql_fp('text')} AS fingerprint,
+  {_sql_fp('text[1:8]')} * 1024 + CAST(length(text) // 32 AS BIGINT) AS fp_bucket
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: streaming-capable aggregates in batch form (oracle-checkable)
+# --------------------------------------------------------------------------
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the exact transform the streaming
+    path runs incrementally (streaming/events.py); batch form for the
+    oracle."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return tumbling_window_agg(events, "1 hour")
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_sql_dec_sum('value')} AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + conditional cumsum, one
+    shuffle on user_id."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return sessionize(events, gap_minutes=30)
+
+
+EVENTS_SESSION_SQL = f"""
+WITH t AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, CAST(SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS session_seq
+  FROM t)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {_sql_dec_sum('value')} AS total_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal (extension surface; decode stubbed — rows-only check)
+# --------------------------------------------------------------------------
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload media table -> Arrow-batched mapInPandas feature
+    extraction (schema/batch plumbing real; decode deterministic-stubbed —
+    functions/multimodal.py). Not SQL-expressible -> rows-only check."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    return extract_features(binarize_documents(docs))
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "top_customers_per_nation": top_customers_per_nation,
+    "orders_rollup": orders_rollup,
+    "windowed_range_scan": windowed_range_scan,
+    "changed_keys_antijoin": changed_keys_antijoin,
+    "orders_without_lineitems": orders_without_lineitems,
+    "range_copy_roundtrip": range_copy_roundtrip,
+    "upsert_roundtrip": upsert_roundtrip,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_cosine_near_dup": similarity_cosine_near_dup,
+    "similarity_topk_lsh": similarity_topk_lsh,
+    "text_stats": text_stats,
+    "text_language_id": text_language_id,
+    "text_fingerprints": text_fingerprints,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "top_customers_per_nation": TOP_CUSTOMERS_SQL,
+    "orders_rollup": ORDERS_ROLLUP_SQL,
+    "windowed_range_scan": WINDOWED_SCAN_SQL,
+    "changed_keys_antijoin": CHANGED_KEYS_SQL,
+    "orders_without_lineitems": ORDERS_NO_LINEITEM_SQL,
+    "range_copy_roundtrip": WINDOWED_SCAN_SQL,
+    "upsert_roundtrip": UPSERT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
+    "similarity_cosine_near_dup": SIMILARITY_NEAR_DUP_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "text_language_id": TEXT_LANG_SQL,
+    "text_fingerprints": TEXT_FP_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sessionize": EVENTS_SESSION_SQL,
+    # no oracle (not ANSI-SQL-expressible; see docstrings):
+    # dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh,
+    # multimodal_features
+}

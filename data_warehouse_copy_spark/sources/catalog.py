@@ -48,10 +48,16 @@ def ns_timestamp_columns(path: Path) -> list[str]:
 
 
 def restore_ns_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Convert nanosAsLong-read epoch-nanos longs back to TimestampType
-    (truncating to Spark's native µs precision)."""
+    """Convert nanosAsLong-read epoch-nanos longs back to TIMESTAMP_NTZ
+    (truncating to Spark's native µs precision). NTZ matches the file's
+    timezone-naive semantics and the other fixtures (which Spark reads as
+    NTZ via inferTimestampNTZ), independent of session timezone — callers
+    should run with a UTC session so the intermediate cast is the identity."""
     for c in cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+        )
     return df
 
 

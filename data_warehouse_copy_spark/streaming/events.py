@@ -42,7 +42,12 @@ def tumbling_window_agg(
         src.groupBy(F.window("ts", window_duration), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # decimal-stable sum: cast-per-row is deterministic, the decimal
+            # sum is exact (order-independent), the final double cast is IEEE
+            # — so the value matches any engine computing the same way.
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
             distinct_users.alias("n_users"),
         )
         .select(
@@ -91,7 +96,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
 
@@ -123,6 +130,8 @@ def stream_events_to_managed_table(
     ns_cols = ns_timestamp_columns(Path(source_dir))
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC so the NTZ<->TIMESTAMP casts below are identity on the instant
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = schema if schema is not None else spark.read.parquet(source_dir).schema
     if Path(source_dir).is_file():
         # FileStreamSource needs a directory; stage a symlink to single-file
@@ -139,12 +148,19 @@ def stream_events_to_managed_table(
         .parquet(source_dir)
     )
     stream = restore_ns_timestamps(stream, ns_cols)
+    # Watermarks require TIMESTAMP (not NTZ); the sink casts window bounds
+    # back to NTZ so streamed output is schema-identical to the batch form.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = tumbling_window_agg(
         stream, window_duration, watermark, streaming=True
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        target.append(batch_df)
+        out = batch_df
+        for f in batch_df.schema.fields:
+            if f.dataType.typeName() == "timestamp":
+                out = out.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+        target.append(out)
 
     return (
         agg.writeStream.outputMode("append")

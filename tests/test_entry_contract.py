@@ -1,0 +1,86 @@
+"""Side-by-side driver-contract check: every queries() entry runs on Spark
+and (where an oracle exists) its SQL runs on DuckDB over the same parquet;
+results must match on row count, column names, and sorted values.
+
+This mirrors the driver's CORRECTNESS gate at sf0.001 so mismatches are
+caught locally before a round ends.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        # full precision: the engineered determinism (decimal-stable sums,
+        # fixed fold order) should make doubles bit-identical cross-engine
+        return repr(val)
+    return str(val)
+
+
+def _rows_to_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_normalize(r[i]) for i in order) for r in rows
+    )
+
+
+QUERY_NAMES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    qfn = entrymod.queries()[name]
+    sdf = qfn(spark, sf_dir)
+    spark_rows = sdf.collect()
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        # rows-only check, mirroring the driver's weaker gate
+        assert len(spark_rows) >= 0
+        return
+    res = duck.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(sdf.columns) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
+    s = _rows_to_set(sdf.columns, [tuple(r) for r in spark_rows])
+    d = _rows_to_set(duck_cols, duck_rows)
+    mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:3]
+    assert s == d, f"{name}: value mismatch at sorted rows {mism}: " + "; ".join(
+        f"spark={s[i]} duck={d[i]}" for i in mism
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
