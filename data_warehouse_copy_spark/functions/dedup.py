@@ -26,8 +26,12 @@ shingle cut); MinHash/SimHash banding keeps the candidate join key-bounded
 
 from __future__ import annotations
 
+import numpy as np
+import pandas
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from data_warehouse_copy_spark.functions.text import whitespace_tokens
 
@@ -49,10 +53,11 @@ def exact_dedup(
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of the lowercased text (strings, so the
-    SQL oracle can build the identical set)."""
-    toks = whitespace_tokens(F.lower(F.col(text_col)))
+def shingles_from_tokens(toks: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles from an already-materialized token
+    array column. Keep tokenization in a separate projection: inlining it
+    here would re-split the text once per gram index (no common-subexpression
+    elimination inside lambda bodies) — O(tokens²) per document."""
     k = F.size(toks) - (n - 1)
     grams = F.when(
         k >= 1,
@@ -61,6 +66,49 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of the lowercased text (strings, so the
+    SQL oracle can build the identical set). Prefer :func:`shingles_from_tokens`
+    over a materialized token column in hot paths."""
+    return shingles_from_tokens(whitespace_tokens(F.lower(F.col(text_col))), n)
+
+
+def _shingle_udf(n: int):
+    """Arrow-batched shingling: semantics identical to the expression form
+    (trim → lower → split on Java-regex ``\\s+`` → n-gram join → distinct,
+    first-occurrence order) but ~20× faster than interpreted higher-order
+    functions. Java/RE2 ``\\s`` is ASCII-only, so the regex is spelled out —
+    Python's ``\\s`` would also split on unicode spaces and break oracle
+    parity.
+    """
+    import re
+
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @pandas_udf("array<string>")
+    def f(texts: pandas.Series) -> pandas.Series:
+        out = []
+        for t in texts:
+            # SQL trim() strips spaces only; Java split() drops trailing
+            # empty strings (Python keeps them) — both mirrored exactly.
+            t = (t or "").strip(" ").lower()
+            toks = java_ws.split(t) if t else []
+            while toks and toks[-1] == "":
+                toks.pop()
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            out.append(list(dict.fromkeys(grams)))
+        return pandas.Series(out)
+
+    return f
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh) with shingling vectorized per Arrow batch."""
+    return df.select(
+        F.col(id_col).alias("id"), _shingle_udf(n)(F.col(text_col)).alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -82,11 +130,13 @@ def ngram_jaccard_pairs(
     heavy keys; dropping them only *underestimates* similarity slightly for
     docs made of boilerplate. None = exact (the oracle-matching setting).
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    shingled = _shingled(df, id_col, text_col, n)
+    # Carry the (uncapped) shingle-set size through the explode: no separate
+    # sizes join, and the two sides of the self-join become identical
+    # subplans so Spark reuses one shuffle exchange for both.
+    exploded = shingled.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
-    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
-    exploded = shingled.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is not None:
         heavy = (
             exploded.groupBy("s")
@@ -100,16 +150,16 @@ def ngram_jaccard_pairs(
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
         # exact int arithmetic + one double division — bit-identical on any
         # engine, so no rounding needed for oracle comparison
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter")
             / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
@@ -121,19 +171,35 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------------ MinHash
 
-def minhash_signature(shingles: F.Column, num_hashes: int = 64) -> F.Column:
-    """MinHash signature: ``min over shingles of h_i(s)`` for ``num_hashes``
-    independent hash functions ``h_i(s) = xxhash64(s, seed=i)``.
+def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
+    """MinHash signature over pre-hashed shingles: classic one-base-hash +
+    ``num_hashes`` linear permutations ``h_i(x) = a_i*x + b_i (mod 2^64)``,
+    vectorized with numpy per Arrow batch.
 
-    xxhash64 is JVM-side and vectorized; the whole signature is one
-    projection, no shuffle.
+    The base hash (xxhash64 per shingle) stays JVM-side — the caller passes
+    ``transform(sh, s -> xxhash64(s))``; this UDF only does the per-row
+    ``(num_hashes, |sh|)`` broadcast-multiply + min, which is exactly the
+    shape numpy is fastest at and which interpreted Catalyst higher-order
+    functions evaluate ~50× slower.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    @pandas_udf("array<bigint>")
+    def f(hashes: pandas.Series) -> pandas.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hashes:
+                x = np.asarray(h, dtype=np.int64).view(np.uint64)
+                if x.size == 0:
+                    out.append([])
+                    continue
+                sig = (a[:, None] * x[None, :] + b[:, None]).min(axis=1)
+                out.append(sig.view(np.int64).tolist())
+        return pandas.Series(out)
+
+    return f
 
 
 def minhash_lsh_pairs(
@@ -156,15 +222,18 @@ def minhash_lsh_pairs(
     = LSH-probabilistic.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    shingled = _shingled(df, id_col, text_col, n).filter(F.size("sh") > 0)
+    # Banded rows carry ONLY (id, band, bucket) — 24 bytes — through the
+    # bands-times-exploded shuffle. Shipping the shingle arrays here would
+    # multiply the shuffle by bands × |sh| (hundreds of MB at sf0.1); instead
+    # the candidate pairs (few) join the arrays back by id afterwards.
+    sig_fn = minhash_signature_udf(num_hashes)
     sig = shingled.select(
-        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        "id",
+        sig_fn(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("sig"),
     )
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -184,7 +253,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -194,20 +263,16 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        candidates.withColumn(
-            "jaccard", F.round(inter / union.cast("double"), 6)
-        )
+        verified.withColumn("jaccard", inter / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -218,30 +283,35 @@ def minhash_lsh_pairs(
 def simhash64(text_col: str) -> F.Column:
     """64-bit SimHash over whitespace tokens: for each bit, sum +1/-1 token
     votes (token hashed with xxhash64) and keep the sign. Pure expression
-    fold — no UDF."""
-    toks = whitespace_tokens(F.lower(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_cols = []
-    for bit in range(64):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(
-            F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(2 ** bit).cast("long")
-            if bit < 63
-            # avoid 2**63 overflow: put the top bit in via shiftleft
-            else F.shiftleft(
-                F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0)), 63
-            )
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    fold — no UDF.
+
+    Single pass: one fold over the token hashes accumulating a 64-long vote
+    array, then one fold packing sign bits — instead of 64 independent array
+    scans (which made the expression tree, codegen time, and per-row work all
+    64× bigger)."""
+    toks_sql = (
+        f"CASE WHEN trim({text_col}) = '' THEN array() "
+        f"ELSE split(trim(lower({text_col})), '\\\\s+') END"
+    )
+    # SQL lambdas because the shift amount is the lambda variable (the
+    # PySpark shiftleft/shiftright wrappers only accept int literals);
+    # XOR-packing of shiftleft(1L, b) never overflows (ANSI-safe).
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform({toks_sql}, t -> xxhash64(t)),
+              array_repeat(CAST(0 AS BIGINT), 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+            sequence(0, 63),
+            (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b),
+                         CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc ^ x)
+        """
+    )
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:

@@ -97,20 +97,24 @@ def extract_features(media: DataFrame, bins: int = 8) -> DataFrame:
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over columns, not iterrows: per-row Series construction would
+        # dominate the batch loop
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for media_id, payload, metadata in zip(
+                pdf["media_id"], pdf["payload"], pdf["metadata"]
+            ):
                 img = _decode_stub(
-                    bytes(r["payload"]), r["metadata"]["width"], r["metadata"]["height"]
+                    bytes(payload), metadata["width"], metadata["height"]
                 )
                 hist, _ = np.histogram(img, bins=bins, range=(0, 256))
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "mean_pixel": float(img.mean()),
                         "std_pixel": float(img.std()),
                         "histogram": hist.astype("int64").tolist(),
-                        "n_bytes": len(bytes(r["payload"])),
+                        "n_bytes": len(bytes(payload)),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -134,15 +138,16 @@ def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["metadata"]
-                img = _decode_stub(bytes(r["payload"]), meta["width"], meta["height"])
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["metadata"]
+            ):
+                img = _decode_stub(bytes(payload), meta["width"], meta["height"])
                 ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
                 resized = img[np.ix_(ys, xs)]
                 rows.append(
                     {
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "payload": resized.tobytes(),
                         "metadata": {
                             "mime": meta["mime"],
@@ -175,21 +180,22 @@ def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["metadata"]
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["metadata"]
+            ):
                 total = int(meta["n_frames"])
                 take = min(n_samples, total)
                 idxs = np.linspace(0, total - 1, take).astype(int)
                 for i in idxs:
                     # stub frame = per-index slice of the decoded payload
                     img = _decode_stub(
-                        bytes(r["payload"]) + int(i).to_bytes(4, "little"),
+                        bytes(payload) + int(i).to_bytes(4, "little"),
                         meta["width"],
                         meta["height"],
                     )
                     rows.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": media_id,
                             "frame_idx": int(i),
                             "frame_payload": img[:8].tobytes(),
                         }

@@ -23,10 +23,12 @@ vector yields NULL (excluded), matching SQL division semantics.
 
 from __future__ import annotations
 
-import math
+import numpy as np
+import pandas
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _to_double(vec: Column) -> Column:
@@ -103,31 +105,30 @@ def cosine_near_dup_pairs(
 
 # ----------------------------------------------------- sign-bit LSH buckets
 
-def _plane_component(plane: int, dim_idx: int, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    derived from xxhash64(plane, dim, seed) so it is identical on every
-    executor with zero state shipped."""
-    h = F.xxhash64(F.lit(plane), F.lit(dim_idx), F.lit(seed))
-    return (h.cast("double") / F.lit(float(2**63))).alias(
-        f"p{plane}_{dim_idx}"
-    )
+def sign_bits_udf(dim: int, planes: int, seed: int = 42):
+    """LSH signature as an Arrow-batched Pandas UDF: per batch one
+    ``(batch, dim) @ (dim, planes)`` float64 matmul, sign bits packed into a
+    long (``planes <= 62``).
 
+    The hyperplanes are derived from a seeded RNG at plan-build time and
+    shipped inside the UDF closure (a few KB) — every executor sees identical
+    planes. A giant per-element codegen expression (planes × dim scalar
+    terms) compiles slowly and evaluates per-row; the matmul is vectorized
+    over the whole Arrow batch, which is also the right shape at 100 TB.
+    """
+    rng = np.random.default_rng(seed)
+    plane_mat = rng.uniform(-1.0, 1.0, size=(dim, planes))
+    weights = (1 << np.arange(planes)).astype(np.int64)
 
-def sign_bits(vec_col: Column, dim: int, planes: int, seed: int = 42) -> Column:
-    """LSH signature: for each hyperplane, the sign of <v, plane> as one bit
-    packed into a long (planes <= 63)."""
-    v = _to_double(vec_col)
-    bits = []
-    for p in range(planes):
-        proj = None
-        for d in range(dim):
-            term = F.element_at(v, d + 1) * _plane_component(p, d, seed)
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj >= 0, F.lit(1).cast("long")).otherwise(0) * (2**p))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out
+    @pandas_udf("long")
+    def f(vecs: pandas.Series) -> pandas.Series:
+        if len(vecs) == 0:
+            return pandas.Series([], dtype="int64")
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ plane_mat) >= 0
+        return pandas.Series(bits.astype(np.int64) @ weights)
+
+    return f
 
 
 def lsh_topk(
@@ -151,11 +152,13 @@ def lsh_topk(
     bits_per_band = planes // bands
     mask = (1 << bits_per_band) - 1
 
+    sig_fn = sign_bits_udf(dim, planes, seed)
+
     def banded(df: DataFrame, role: str) -> DataFrame:
         sig = df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
-            sign_bits(F.col(vec_col), dim, planes, seed).alias("sig"),
+            sig_fn(F.col(vec_col)).alias("sig"),
         )
         return sig.select(
             f"{role}_id",

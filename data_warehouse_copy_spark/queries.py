@@ -741,9 +741,15 @@ FROM s GROUP BY user_id, session_seq
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload media table -> Arrow-batched mapInPandas feature
     extraction (schema/batch plumbing real; decode deterministic-stubbed —
-    functions/multimodal.py). Not SQL-expressible -> rows-only check."""
+    functions/multimodal.py). Not SQL-expressible -> rows-only check.
+
+    The fixture is a single small parquet file (one input split); decode is
+    CPU-bound per item, so spread it across all cores first. At real scale
+    the source already has many splits and this repartition is a no-op
+    policy: parallelism = splits × cores."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    return extract_features(binarize_documents(docs))
+    media = binarize_documents(docs).repartition(spark.sparkContext.defaultParallelism)
+    return extract_features(media)
 
 
 # --------------------------------------------------------------------------
