@@ -1,0 +1,180 @@
+"""End-to-end orchestration tests: fixed execution order, per-table error
+isolation vs sproc rethrow, audit bracketing, midnight override — the
+reference's BulkCopyManager.Run surface (SURVEY.md §3.1, O11-O18)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+import data_warehouse_copy_spark as dwcs
+from data_warehouse_copy_spark.plans import run
+from data_warehouse_copy_spark.plans.audit import AuditLog
+from data_warehouse_copy_spark.plans.sprocs import SprocRegistry
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+
+def _cfg(tmp_path, sf_dir, tables, **extra):
+    return dwcs.load_config(
+        {
+            "source": sf_dir,
+            "target": str(tmp_path / "tgt"),
+            "date_from": "1995-03-01",
+            "date_to": "1995-03-07",
+            "tables": tables,
+            **extra,
+        }
+    )
+
+
+def test_run_order_and_outcomes(spark, tmp_path, sf_dir):
+    calls = []
+    reg = SprocRegistry()
+    reg.register(
+        "prep_sproc", lambda s, a, b: calls.append(("sproc", a, b))
+    )
+    cfg = _cfg(
+        tmp_path,
+        sf_dir,
+        [
+            {"table_name": "customer", "table_type": "dim"},
+            {"table_name": "prep_sproc", "table_type": "sproc"},
+            {
+                "table_name": "lineitem",
+                "table_type": "fact",
+                "date_column": "l_shipdate",
+            },
+        ],
+    )
+    res = run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), sprocs=reg)
+    # sproc executed first, with the (non-midnight) window
+    assert calls == [("sproc", "1995-03-01", "1995-03-07")]
+    assert [o.process for o in res.outcomes] == ["Sproc", "Copy", "Copy"]
+    assert all(o.status == "Completed" for o in res.outcomes)
+    li = ManagedTable(spark, str(tmp_path / "tgt" / "lineitem")).read()
+    assert li.count() == res.outcomes[1].records > 0
+
+
+def test_midnight_override_forces_yesterday_for_sprocs(spark, tmp_path, sf_dir):
+    calls = []
+    reg = SprocRegistry()
+    reg.register("s1", lambda s, a, b: calls.append((a, b)))
+    cfg = _cfg(tmp_path, sf_dir, [{"table_name": "s1", "table_type": "sproc"}])
+    run(spark, cfg, now=datetime(2026, 8, 13, 0, 5), sprocs=reg, audit=False)
+    assert calls == [("2026-08-12", "2026-08-12")]
+
+
+def test_per_table_error_isolation_continues_run(spark, tmp_path, sf_dir):
+    cfg = _cfg(
+        tmp_path,
+        sf_dir,
+        [
+            {
+                "table_name": "no_such_table",
+                "table_type": "fact",
+                "date_column": "x",
+            },
+            {"table_name": "customer", "table_type": "dim"},
+        ],
+    )
+    res = run(spark, cfg, now=datetime(2026, 8, 13, 12, 0))
+    by_table = {o.table: o for o in res.outcomes}
+    assert by_table["no_such_table"].status == "Failed"
+    assert by_table["customer"].status == "Completed"
+    # audit recorded the failure with an error message
+    audit = AuditLog(spark, cfg.audit_table_path).current_status()
+    rows = {r["table_name"]: r for r in audit.collect()}
+    assert rows["no_such_table"]["status"] == "Failed"
+    assert rows["no_such_table"]["error_message"]
+    assert rows["customer"]["status"] == "Completed"
+
+
+def test_sproc_failure_aborts_run(spark, tmp_path, sf_dir):
+    reg = SprocRegistry()
+
+    def boom(s, a, b):
+        raise RuntimeError("sproc exploded")
+
+    reg.register("bad_sproc", boom)
+    cfg = _cfg(
+        tmp_path,
+        sf_dir,
+        [
+            {"table_name": "bad_sproc", "table_type": "sproc"},
+            {"table_name": "customer", "table_type": "dim"},
+        ],
+    )
+    with pytest.raises(RuntimeError, match="sproc exploded"):
+        run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), sprocs=reg, audit=False)
+    # the dim never ran — sproc errors rethrow and abort (reference O18)
+    assert not ManagedTable(spark, str(tmp_path / "tgt" / "customer")).exists()
+
+
+def test_unregistered_sproc_raises(spark, tmp_path, sf_dir):
+    cfg = _cfg(tmp_path, sf_dir, [{"table_name": "ghost", "table_type": "sproc"}])
+    with pytest.raises(KeyError):
+        run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), audit=False)
+
+
+def test_sql_template_sproc_runs_with_window(spark, tmp_path, sf_dir):
+    reg = SprocRegistry()
+    spark.sql("DROP TABLE IF EXISTS sproc_out")
+    reg.register(
+        "mk_view",
+        "CREATE OR REPLACE TEMP VIEW sproc_out AS "
+        "SELECT DATE '{start}' AS s, DATE '{end}' AS e",
+    )
+    cfg = _cfg(tmp_path, sf_dir, [{"table_name": "mk_view", "table_type": "sproc"}])
+    run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), sprocs=reg, audit=False)
+    row = spark.table("sproc_out").collect()[0]
+    assert str(row["s"]) == "1995-03-01" and str(row["e"]) == "1995-03-07"
+
+
+def test_historical_classified_but_never_processed(spark, tmp_path, sf_dir):
+    cfg = _cfg(
+        tmp_path,
+        sf_dir,
+        [
+            {"table_name": "orders", "table_type": "historical"},
+            {"table_name": "customer", "table_type": "dim"},
+        ],
+    )
+    res = run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), audit=False)
+    assert [o.table for o in res.outcomes] == ["customer"]
+    assert not ManagedTable(spark, str(tmp_path / "tgt" / "orders")).exists()
+
+
+def test_rerun_same_window_is_idempotent(spark, tmp_path, sf_dir):
+    cfg = _cfg(
+        tmp_path,
+        sf_dir,
+        [
+            {
+                "table_name": "lineitem",
+                "table_type": "fact",
+                "date_column": "l_shipdate",
+            }
+        ],
+    )
+    r1 = run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), audit=False)
+    t = ManagedTable(spark, str(tmp_path / "tgt" / "lineitem"))
+    first = sorted(map(tuple, t.read().collect()))
+    r2 = run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), audit=False)
+    assert sorted(map(tuple, t.read().collect())) == first
+    assert r1.outcomes[0].records == r2.outcomes[0].records
+
+
+def test_parallel_dims_all_load(spark, tmp_path, sf_dir):
+    dims = ["region", "nation", "customer", "supplier", "part"]
+    cfg = _cfg(
+        tmp_path,
+        sf_dir,
+        [{"table_name": d, "table_type": "dim"} for d in dims],
+    )
+    res = run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), audit=False)
+    assert sorted(o.table for o in res.outcomes) == sorted(dims)
+    for d in dims:
+        t = ManagedTable(spark, str(tmp_path / "tgt" / d))
+        assert t.read().count() > 0
