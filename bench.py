@@ -45,6 +45,14 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "events_hourly",
     "events_sessionize",
+    "events_asof_last_purchase",
+    "set_ops_customers",
+    "events_pivot_by_type",
+    "orders_cube",
+    "lineitem_percentiles",
+    "scalar_functions_demo",
+    "customers_with_urgent_orders",
+    "approx_analytics",
     "multimodal_features",
 ]
 

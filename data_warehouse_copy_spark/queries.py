@@ -734,6 +734,213 @@ FROM s GROUP BY user_id, session_seq
 
 
 # --------------------------------------------------------------------------
+# As-of join / set ops / pivot / cube / percentiles / scalar functions
+# --------------------------------------------------------------------------
+
+
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every event annotated with the user's
+    most recent purchase at-or-before it — union + last-non-null window, one
+    shuffle, no range explosion. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    (events,) = _prep(spark, sf_dir, "events")
+    from data_warehouse_copy_spark.operators.asof import asof_join
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["p_value"],
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       p.p_ts AS p_ts_asof, p.p_value AS p_value_asof
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase') p
+ON e.user_id = p.user_id AND e.ts >= p.p_ts
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (BUILDING ∪ AUTOMOBILE) customers EXCEPT those with
+    an open order, INTERSECT those with any order — exercising UNION /
+    EXCEPT / INTERSECT with SQL bag/set semantics."""
+    customer, orders = _prep(spark, sf_dir, "customer", "orders")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    seg2 = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    with_open = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_any = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        seg.union(seg2).exceptAll(with_open).distinct().intersect(with_any)
+    )
+
+
+SET_OPS_SQL = """
+SELECT DISTINCT c_custkey FROM (
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION ALL
+   SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+INTERSECT
+SELECT o_custkey FROM orders
+"""
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per event type
+    (explicit value list so the plan needs no discovery pass)."""
+    (events,) = _prep(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click')    AS click,
+  COUNT(*) FILTER (event_type = 'view')     AS view,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup')   AS signup,
+  COUNT(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY user_id
+"""
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    shuffle (rollup's sibling; NULL markers per ANSI)."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum("o_totalprice").alias("total_price"),
+    )
+
+
+ORDERS_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both the ANSI
+    PERCENTILE_CONT definition)."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.9)  AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def scalar_functions_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library sweep (string/date/math/conditional) — the
+    reference delegates ALL scalar work to server-side sprocs (SURVEY.md
+    §2.1); here it is a single no-shuffle projection."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_code"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1.0), 6).alias("price_log"),
+        (F.col("o_totalprice") % 100.0).alias("price_mod"),
+        F.when(F.col("o_totalprice") > 100000, "high")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+    )
+
+
+SCALARS_SQL = """
+SELECT o_orderkey,
+  upper(substring(o_orderpriority, 1, 1)) AS prio_code,
+  length(o_orderstatus) AS status_len,
+  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(month(o_orderdate) AS INT) AS order_month,
+  CAST(dayofweek(o_orderdate) AS INT) + 1 AS order_dow,
+  CAST(o_orderdate AS DATE) + 30 AS due_date,
+  round(sqrt(o_totalprice), 6) AS price_sqrt,
+  round(ln(o_totalprice + 1.0), 6) AS price_log,
+  fmod(o_totalprice, 100.0) AS price_mod,
+  CASE WHEN o_totalprice > 100000 THEN 'high'
+       WHEN o_totalprice > 10000 THEN 'mid' ELSE 'low' END AS price_band,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+FROM orders
+"""
+
+
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one 1-URGENT
+    order — key-only probe side, no row multiplication."""
+    customer, orders = _prep(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def approx_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate analytics (HLL distinct + quantile sketch): the constant-
+    memory 100 TB path for cardinality/quantile questions. Approximate by
+    design -> rows-only check (the exact twins are oracle-checked in
+    lineitem_percentiles / events_hourly)."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.99))").alias(
+            "approx_p50_p99"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal (extension surface; decode stubbed — rows-only check)
 # --------------------------------------------------------------------------
 
@@ -779,6 +986,14 @@ QUERIES: dict[str, QueryFn] = {
     "text_fingerprints": text_fingerprints,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_asof_last_purchase": events_asof_last_purchase,
+    "set_ops_customers": set_ops_customers,
+    "events_pivot_by_type": events_pivot_by_type,
+    "orders_cube": orders_cube,
+    "lineitem_percentiles": lineitem_percentiles,
+    "scalar_functions_demo": scalar_functions_demo,
+    "customers_with_urgent_orders": customers_with_urgent_orders,
+    "approx_analytics": approx_analytics,
     "multimodal_features": multimodal_features,
 }
 
@@ -802,7 +1017,14 @@ ORACLES: dict[str, str] = {
     "text_fingerprints": TEXT_FP_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
-    # no oracle (not ANSI-SQL-expressible; see docstrings):
-    # dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh,
-    # multimodal_features
+    "events_asof_last_purchase": EVENTS_ASOF_SQL,
+    "set_ops_customers": SET_OPS_SQL,
+    "events_pivot_by_type": EVENTS_PIVOT_SQL,
+    "orders_cube": ORDERS_CUBE_SQL,
+    "lineitem_percentiles": PERCENTILES_SQL,
+    "scalar_functions_demo": SCALARS_SQL,
+    "customers_with_urgent_orders": SEMI_JOIN_SQL,
+    # no oracle (not ANSI-SQL-expressible / approximate by design — see
+    # docstrings): dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh,
+    # approx_analytics, multimodal_features
 }
