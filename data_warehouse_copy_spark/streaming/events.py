@@ -61,6 +61,34 @@ def tumbling_window_agg(
     )
 
 
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Gap-based sessions via Spark's native ``session_window`` — the
+    streaming-capable twin of :func:`sessionize` (same gap-merge semantics;
+    window_end = last event + gap). Works on batch frames too."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when the
     gap to the previous event of the same user exceeds ``gap_minutes``.

@@ -1,0 +1,62 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming surface at all (SURVEY.md §2.1); this is the
+extension-path demo of arbitrary stateful processing: a per-user running
+profile (event count, decimal-stable value total, last-seen timestamp) that
+survives across micro-batches in the state store and emits one updated row
+per user per batch.
+
+Scale shape: state is partitioned by the grouping key across executors
+(shuffle on user_id once per batch), each key's state is O(1) — the pattern
+holds for billions of keys with RocksDB state store; the Arrow batch hands
+the whole per-key group to pandas at once.
+"""
+
+from __future__ import annotations
+
+import pandas
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+STATE_SCHEMA = "n bigint, total double, last_ts timestamp"
+
+
+def _update_user_profile(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        n, total, last_ts = state.get
+    else:
+        n, total, last_ts = 0, 0.0, None
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if last_ts is None or batch_max > last_ts:
+            last_ts = batch_max
+    state.update((n, total, last_ts))
+    yield pandas.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def running_user_profile(events: DataFrame) -> DataFrame:
+    """Apply the stateful per-user profile to a streaming events frame:
+    one output row per user per micro-batch containing the running totals
+    (use ``outputMode("update")``). Streaming-only — Spark rejects
+    ``applyInPandasWithState`` on batch frames; the batch equivalent is a
+    plain groupBy aggregate (asserted equal in the tests).
+    """
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

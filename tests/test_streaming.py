@@ -34,6 +34,16 @@ def test_tumbling_window_batch(events):
         assert r.n_users <= r.n_events
 
 
+def test_session_window_matches_sessionize(events):
+    from data_warehouse_copy_spark.streaming.events import session_window_agg
+
+    native = session_window_agg(events, "30 minutes")
+    rolled = sessionize(events, gap_minutes=30)
+    # same session boundaries: compare (user, start, n_events, total_value)
+    key = lambda r: (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+    assert sorted(map(key, native.collect())) == sorted(map(key, rolled.collect()))
+
+
 def test_sessionize_covers_all_events(events):
     sess = sessionize(events, gap_minutes=30)
     rows = sess.collect()
