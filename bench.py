@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
     "text_stats",
     "text_language_id",
     "text_fingerprints",

@@ -111,6 +111,9 @@ class JobConfig:
     # Path of the audit-log managed table (reference: bronze.tbl_dw_copy_logs,
     # TableCopyService.cs:57-60). Defaults to "<target>/_audit/tbl_dw_copy_logs".
     audit_table: str | None = None
+    # Base dir for the month-bucketed dual log files (reference O20,
+    # Program.cs:18-30); None disables file logging.
+    log_dir: str | None = None
 
     def __post_init__(self) -> None:
         # Config validation per BulkCopyManager.cs:17-35: connection strings
@@ -177,4 +180,5 @@ def load_config(source: str | Path | dict[str, Any]) -> JobConfig:
             c.lower() for c in raw.get("excluded_columns", ("id", "insert_datetime"))
         ),
         audit_table=raw.get("audit_table"),
+        log_dir=raw.get("log_dir"),
     )

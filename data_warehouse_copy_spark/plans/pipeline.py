@@ -82,9 +82,29 @@ def run(
     audit: bool = True,
     max_dim_workers: int = 5,
 ) -> RunResult:
+    from data_warehouse_copy_spark.plans.logfiles import setup_run_logging, teardown
     from data_warehouse_copy_spark.window import derive_window, midnight_override
 
     now = now or datetime.now()
+    run_handler = setup_run_logging(config.log_dir, now) if config.log_dir else None
+    try:
+        return _run_inner(spark, config, now, sprocs, audit, max_dim_workers)
+    finally:
+        if run_handler is not None:
+            teardown(run_handler)  # reference Log.CloseAndFlush (Program.cs:39)
+
+
+def _run_inner(
+    spark: SparkSession,
+    config: JobConfig,
+    now: datetime,
+    sprocs: SprocRegistry | None,
+    audit: bool,
+    max_dim_workers: int,
+) -> RunResult:
+    from data_warehouse_copy_spark.plans.logfiles import per_table_log
+    from data_warehouse_copy_spark.window import derive_window, midnight_override
+
     date_from, date_to = derive_window(
         config.schedule_mode, config.date_from, config.date_to, now
     )
@@ -111,6 +131,11 @@ def run(
         result.outcomes.append(TableOutcome(spec.table_name, "Sproc", "Completed"))
 
     def do_copy(spec: TableSpec, use_truncate: bool) -> TableOutcome:
+        with per_table_log(config.log_dir, spec.table_name):
+            log.info("Processing table: %s", spec.table_name)
+            return _copy_inner(spec, use_truncate)
+
+    def _copy_inner(spec: TableSpec, use_truncate: bool) -> TableOutcome:
         run_id = (
             audit_log.start(
                 spec.table_name,
@@ -149,6 +174,11 @@ def run(
             return TableOutcome(spec.table_name, "Copy", "Failed", 0, str(exc))
 
     def do_update(spec: TableSpec) -> TableOutcome:
+        with per_table_log(config.log_dir, spec.table_name):
+            log.info("Updating table: %s", spec.table_name)
+            return _update_inner(spec)
+
+    def _update_inner(spec: TableSpec) -> TableOutcome:
         run_id = (
             audit_log.start(
                 spec.table_name,

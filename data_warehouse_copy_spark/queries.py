@@ -554,6 +554,18 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5: coarse k-means quantizer on a bounded
+    sample, inverted-list equi-join probe, exact-cosine re-rank.
+    Approximate recall → rows-only check; recall vs brute force tested."""
+    from data_warehouse_copy_spark.functions.similarity import ivf_topk
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, nprobe=3
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (extension surface)
 # --------------------------------------------------------------------------
@@ -981,6 +993,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_cosine_near_dup": similarity_cosine_near_dup,
     "similarity_topk_lsh": similarity_topk_lsh,
+    "similarity_topk_ivf": similarity_topk_ivf,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,

@@ -178,3 +178,32 @@ def test_parallel_dims_all_load(spark, tmp_path, sf_dir):
     for d in dims:
         t = ManagedTable(spark, str(tmp_path / "tgt" / d))
         assert t.read().count() > 0
+
+
+def test_dual_log_files_written(spark, tmp_path, sf_dir):
+    logs = tmp_path / "logs"
+    cfg = _cfg(
+        tmp_path,
+        sf_dir,
+        [
+            {
+                "table_name": "lineitem",
+                "table_type": "fact",
+                "date_column": "l_shipdate",
+            },
+            {"table_name": "customer", "table_type": "dim"},
+        ],
+        log_dir=str(logs),
+    )
+    run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), audit=False)
+    month = logs / "2026-08"
+    main_logs = list((month / "Main").glob("bulk_copy_log_*.txt"))
+    assert len(main_logs) == 1
+    content = main_logs[0].read_text()
+    assert "Starting bulk copy process" in content
+    assert "lineitem" in content
+    # per-table logs exist and mention their own table
+    for t in ["lineitem", "customer"]:
+        files = list((month / t).glob(f"{t}-*.log"))
+        assert files, f"missing per-table log for {t}"
+        assert t in files[0].read_text()

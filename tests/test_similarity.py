@@ -1,0 +1,125 @@
+"""Similarity-search operators: exactness of brute force vs a numpy oracle,
+and recall of the approximate paths (LSH, IVF) against brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    lsh_bucket_near_dup_pairs,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from data_warehouse_copy_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, query_ids, k):
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    out = {}
+    for qi in query_ids:
+        q = int(np.where(ids == qi)[0][0])
+        order = sorted(
+            (i for i in range(len(ids)) if i != q),
+            key=lambda i: (-sims[q, i], ids[i]),
+        )
+        out[qi] = [int(ids[i]) for i in order[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    got = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    expected = _numpy_topk(ids, mat, sorted(by_q), 5)
+    assert by_q == expected
+
+
+def test_lsh_topk_finds_planted_near_duplicates(spark, emb, emb_np):
+    # LSH's contract is high recall on truly-similar vectors (near-dups),
+    # not on the fixture's barely-correlated "nearest" random pairs. Plant
+    # noisy copies (cos ≈ 0.995) and require each to find its source.
+    ids, mat = emb_np
+    rng = np.random.default_rng(7)
+    n_q = 40
+    noisy = mat[:n_q] + 0.1 * rng.standard_normal((n_q, mat.shape[1])) * np.abs(
+        mat[:n_q]
+    ).mean()
+    qs = spark.createDataFrame(
+        [(int(ids[i]) + 10000, noisy[i].astype("float32").tolist()) for i in range(n_q)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = lsh_topk(emb, qs, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"] - 10000, []).append(r["neighbor_id"])
+    found = sum(1 for src, neighbors in by_q.items() if src in neighbors)
+    assert found / n_q >= 0.9, f"planted-near-dup recall {found / n_q:.2f}"
+
+
+def test_lsh_topk_generic_recall_sanity(emb):
+    qs = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in lsh_topk(emb, qs, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # weakly-correlated neighbors: sign-LSH recall is probabilistic and low
+    # by design here; IVF is the generic-top-k scale path (tested above)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} below sanity floor"
+
+
+def test_ivf_topk_recall_vs_brute_force(emb):
+    qs = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # rank/cosine columns well-formed
+    rows = ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=3).collect()
+    for r in rows:
+        assert 1 <= r["rank"] <= 5 and -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_lsh_bucket_near_dup_subset_of_exact(emb):
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_bucket_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    assert set(bucketed) <= set(exact)  # exact precision
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]
+    assert len(bucketed) > 0
