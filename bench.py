@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q7_nation_volume",
+    "q10_returned_items",
     "top_customers_per_nation",
     "orders_rollup",
     "windowed_range_scan",

@@ -216,6 +216,104 @@ GROUP BY n_name
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nation pairs by year —
+    double-role nation dim (supplier vs customer side), symmetric pair
+    predicate, year extraction feeding the aggregate."""
+    nation, customer, supplier, orders, li = _prep(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.expr("TIMESTAMP '1995-01-01 00:00:00'"),
+                F.expr("TIMESTAMP '1996-12-31 23:59:59.999'"),
+            )
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_sql_dec_sum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 23:59:59.999')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by lost revenue on returned items
+    in one quarter — selective fact filters + dim joins + ordered LIMIT with
+    a unique tie-break."""
+    nation, customer, orders, li = _prep(
+        spark, sf_dir, "nation", "customer", "orders", "lineitem"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-10-01 00:00:00'"))
+                & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function top-k: rank customers by account balance within each
     nation (row_number over a hash-partitioned window, one shuffle on the
@@ -979,6 +1077,8 @@ QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
     "top_customers_per_nation": top_customers_per_nation,
     "orders_rollup": orders_rollup,
     "windowed_range_scan": windowed_range_scan,
@@ -1014,6 +1114,8 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
     "top_customers_per_nation": TOP_CUSTOMERS_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "windowed_range_scan": WINDOWED_SCAN_SQL,

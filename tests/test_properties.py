@@ -1,0 +1,89 @@
+"""Property-based convergence tests (SURVEY.md §5.4): for random mutation
+sets and windows, the copy+update pipeline converges the target to the
+source for every row whose insert-day OR update-day falls in the window,
+and re-running the same window is a no-op."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.operators.copy import copy_table
+from data_warehouse_copy_spark.operators.upsert import update_table
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+BASE = date(2024, 1, 1)
+SCHEMA = "pk bigint, ins timestamp_ntz, upd timestamp_ntz, val double"
+
+
+def _mk_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                pk,
+                _ts(ins_off),
+                _ts(upd_off),
+                float(val),
+            )
+            for pk, ins_off, upd_off, val in rows
+        ],
+        SCHEMA,
+    )
+
+
+def _ts(day_offset):
+    from datetime import datetime, time
+
+    d = BASE + timedelta(days=day_offset)
+    return datetime.combine(d, time(12, 0))
+
+
+row_strategy = st.tuples(
+    st.integers(0, 30),  # insert-day offset
+    st.integers(0, 30),  # update-day offset
+    st.integers(0, 1000),  # value
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(row_strategy, min_size=1, max_size=25),
+    win_start=st.integers(0, 25),
+    win_len=st.integers(0, 8),
+)
+def test_copy_plus_update_converges(spark, tmp_path_factory, rows, win_start, win_len):
+    tmp = tmp_path_factory.mktemp("prop")
+    src_rows = [(i, *r) for i, r in enumerate(rows)]
+    old_rows = [(pk, ins, upd, val - 10000.0) for pk, ins, upd, val in src_rows]
+    d1 = BASE + timedelta(days=win_start)
+    d2 = d1 + timedelta(days=win_len)
+    f, t = d1.isoformat(), d2.isoformat()
+
+    src = _mk_df(spark, src_rows)
+    target = ManagedTable.create(spark, str(tmp / "t"))
+    target.overwrite(_mk_df(spark, old_rows))  # stale target
+
+    copy_table(src, target, "t", f, t, use_truncate=False, date_column="ins")
+    update_table(src, target, "t", f, t, "ins", "upd", "pk")
+
+    got = {r["pk"]: r["val"] for r in target.read().collect()}
+    for pk, ins_off, upd_off, val in src_rows:
+        ins_d = BASE + timedelta(days=ins_off)
+        upd_d = BASE + timedelta(days=upd_off)
+        touched = (d1 <= ins_d <= d2) or (d1 <= upd_d <= d2)
+        expected = float(val) if touched else float(val) - 10000.0
+        assert got[pk] == expected, (pk, touched)
+
+    # idempotence: running the same window again changes nothing
+    before = sorted(map(tuple, target.read().collect()))
+    copy_table(src, target, "t", f, t, use_truncate=False, date_column="ins")
+    update_table(src, target, "t", f, t, "ins", "upd", "pk")
+    assert sorted(map(tuple, target.read().collect())) == before
