@@ -1,0 +1,72 @@
+"""Physical-plan regression guards: the properties that make these plans
+survive a 100×-scale-up must not silently regress — filters reach the
+parquet scan (including the .997 day bound), scans are column-pruned,
+dimension joins broadcast, and no query falls back to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_windowed_scan_pushes_997_bound(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "windowed_range_scan")
+    assert "PushedFilters" in plan
+    assert "1995-03-07T23:59:59.997" in plan  # the day-end bound reaches the scan
+
+
+def test_q1_scan_is_column_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 7 of 11 lineitem columns used; the scan must not read the rest
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_shipdate" in read
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 5  # customer+supplier+nation+region
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_and_semi_joins_stay_hash_joins(spark, sf_dir):
+    for name in ["orders_without_lineitems", "customers_with_urgent_orders"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Join" in plan, name
+
+
+def test_dedup_band_joins_are_equi_joins(spark, sf_dir):
+    # the LSH candidate joins must be hash-partitioned equi-joins on the
+    # band keys, never nested-loop over all pairs
+    for name in ["dedup_minhash_lsh", "dedup_simhash"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_events_hourly_shuffle_count(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "events_hourly")
+    # exact count_distinct needs a two-phase aggregate = 2 exchanges, but no
+    # third shuffle may creep in (each node appears once as "(n) Exchange")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 2
+    # partial (map-side) aggregation present before the first shuffle
+    assert "HashAggregate" in plan
