@@ -131,6 +131,24 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop rows whose ``keys`` were already
+    seen within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the streaming twin of the batch exact dedup. State is bounded by the
+    watermark, so it runs forever at 100 TB/day; an at-least-once upstream
+    (e.g. Kafka replays) becomes exactly-once downstream."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def stream_events_to_managed_table(
     spark,
     source_dir: str,
