@@ -90,6 +90,50 @@ def register_views(
             pass
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Generic file source (parquet/csv/json/orc/text). CSV/JSON default to
+    header+schema-inference for ad-hoc use; pass an explicit ``schema`` in
+    pipelines — at scale, inference is an extra full read of the data."""
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Generic file sink. ``mode="overwrite"`` reproduces the reference's
+    truncate+load (O4); ``"append"`` its bulk insert (O5). For the
+    transactional per-table guarantees use :class:`ManagedTable` instead —
+    plain file sinks are not atomic against concurrent readers."""
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 def load_jdbc_table(
     spark: SparkSession,
     url: str,

@@ -399,6 +399,38 @@ class ManagedTable:
             )
         return tuple(entries)
 
+    def compact(self, max_files_per_partition: int = 1) -> tuple[int, int]:
+        """Small-file compaction: rewrite every partition holding more than
+        ``max_files_per_partition`` files into coalesced files, as ONE
+        atomic commit (readers never block; prior versions stay readable
+        until vacuum). Streaming appends / frequent micro-batches accumulate
+        small files; compaction restores scan efficiency — fewer tasks,
+        dense row groups — which at 100 TB is the difference between a scan
+        bounded by file-open overhead and one bounded by IO bandwidth.
+
+        Returns (files_before, files_after)."""
+        from collections import Counter
+
+        with _lock_for(self.root):
+            m = self.snapshot()
+            by_part = Counter(f.partition for f in m.files)
+            crowded = {p for p, n in by_part.items() if n > max_files_per_partition}
+            if not crowded:
+                return (len(m.files), len(m.files))
+            df = self.read(partitions=crowded)
+            if m.partition_date_col is not None:
+                # one task per day -> one output file per partition dir
+                df = df.repartition(
+                    max(len(crowded), 1),
+                    F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
+                )
+                new_files = self._write_files(df, m.partition_date_col)
+            else:
+                new_files = self._write_files(df.coalesce(1), None)
+            kept = tuple(f for f in m.files if f.partition not in crowded)
+            self._commit_files(m, kept + new_files, m.schema_json, "compact")
+            return (len(m.files), len(kept) + len(new_files))
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the latest manifest. Returns
         number of files removed. (Old versions become unreadable — run only

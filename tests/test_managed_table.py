@@ -163,3 +163,40 @@ def test_vacuum_removes_dead_files(spark, tmp_path, lineitem):
     removed = t.vacuum()
     assert removed > 0
     assert t.read().count() == 5
+
+
+def test_compact_unpartitioned_merges_files(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, str(tmp_path / "c1"))
+    part = lineitem.limit(100)
+    for _ in range(4):
+        t.append(part)
+    before_rows = sorted(map(tuple, t.read().collect()))
+    v_before = t.snapshot().version
+    n_before, n_after = t.compact()
+    assert n_before >= 4 and n_after == 1
+    assert sorted(map(tuple, t.read().collect())) == before_rows
+    # time travel: the pre-compaction version still reads identically
+    assert sorted(map(tuple, t.read(version=v_before).collect())) == before_rows
+
+
+def test_compact_partitioned_one_file_per_day(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, str(tmp_path / "c2"), "l_shipdate")
+    from pyspark.sql import functions as F
+
+    window = lineitem.filter(
+        F.col("l_shipdate").between("1995-03-01", "1995-03-03")
+    )
+    t.append(window)
+    t.append(window)  # duplicate appends -> >=2 files per day
+    rows_before = t.read().count()
+    n_before, n_after = t.compact()
+    assert n_before > n_after
+    per_part = {}
+    for f in t.snapshot().files:
+        per_part[f.partition] = per_part.get(f.partition, 0) + 1
+    assert all(n == 1 for n in per_part.values()), per_part
+    assert t.read().count() == rows_before
+    # partition pruning still works after compaction
+    assert (
+        t.read(partition_min="1995-03-02", partition_max="1995-03-02").count() > 0
+    )
