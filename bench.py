@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",
     "top_customers_per_nation",

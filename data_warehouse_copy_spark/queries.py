@@ -216,6 +216,38 @@ GROUP BY n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style, routed through the SQL front end (``spark.sql`` over
+    registered temp views — same Catalyst plan as the DataFrame API):
+    single-table scan with three pushed filters and one aggregate."""
+    from data_warehouse_copy_spark.sources.catalog import register_views
+
+    _prep(spark, sf_dir)
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        f"""
+        SELECT {_sql_dec_sum('l_extendedprice * l_discount')} AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+Q6_SQL = f"""
+SELECT {_sql_dec_sum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style: shipping volume between two nation pairs by year —
     double-role nation dim (supplier vs customer side), symmetric pair
@@ -1077,6 +1109,7 @@ QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "top_customers_per_nation": top_customers_per_nation,
@@ -1114,6 +1147,7 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "q7_nation_volume": Q7_SQL,
     "q10_returned_items": Q10_SQL,
     "top_customers_per_nation": TOP_CUSTOMERS_SQL,

@@ -52,12 +52,19 @@ def restore_ns_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
     (truncating to Spark's native µs precision). NTZ matches the file's
     timezone-naive semantics and the other fixtures (which Spark reads as
     NTZ via inferTimestampNTZ), independent of session timezone — callers
-    should run with a UTC session so the intermediate cast is the identity."""
+    should run with a UTC session so the intermediate cast is the identity.
+
+    Only columns that actually loaded as longs are touched: INT96 files
+    surface as ns in pyarrow metadata but Spark already reads them as
+    timestamps (nanosAsLong applies only to annotated TIMESTAMP(NANOS))."""
+    from pyspark.sql import types as T
+
     for c in cols:
-        df = df.withColumn(
-            c,
-            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
-        )
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
     return df
 
 
@@ -158,3 +165,35 @@ def load_jdbc_table(
         reader = reader.option(k, v)
     df = reader.load()
     return df.where(predicate) if predicate else df
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    schema: str = "",
+    mode: str = "append",
+    truncate: bool = False,
+    batch_size: int = 10000,
+    options: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink for parity with the reference's ``SqlBulkCopy`` writer
+    (``TableCopyService.cs:144-169``) — untested here (no database in the
+    container). ``mode="append"`` is the streaming bulk insert (O5);
+    ``mode="overwrite", truncate=True`` reproduces the dim truncate+reload
+    (O4: TRUNCATE keeps the table definition, as the reference's
+    ``TRUNCATE TABLE`` does). Executors write partitions concurrently in
+    ``batch_size`` row batches — the scalable analogue of the reference's
+    single SqlBulkCopy stream."""
+    qualified = f"{schema}.{table}" if schema else table
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", qualified)
+        .option("truncate", str(truncate).lower())
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -198,9 +198,23 @@ class ManagedTable:
 
     def append(self, df: DataFrame) -> int:
         """Append rows atomically (reference O5 streaming bulk insert,
-        ``TableCopyService.cs:144-169``). Returns rows written."""
+        ``TableCopyService.cs:144-169``). Returns rows written.
+
+        Column names must match the table's current schema (order-free;
+        columns are realigned). A silent mismatch would poison the table:
+        parquet reads take the first file's schema, so later readers would
+        drop or misread the divergent files."""
         with _lock_for(self.root):
             m = self.snapshot()
+            if m.schema_json:
+                existing = T.StructType.fromJson(json.loads(m.schema_json))
+                have, want = set(df.columns), {f.name for f in existing.fields}
+                if have != want:
+                    raise ValueError(
+                        f"append schema mismatch: table has {sorted(want)}, "
+                        f"dataframe has {sorted(have)}"
+                    )
+                df = df.select(*[f.name for f in existing.fields])
             new_files = self._write_files(df, m.partition_date_col)
             self._commit_files(m, tuple(m.files) + new_files, df.schema.json(), "append")
         return sum(f.rows for f in new_files)

@@ -87,3 +87,58 @@ def test_stream_matches_batch(spark, events, sf_dir, tmp_path):
     }
     g = {tuple(r[k] for k in key): (r.n_events, r.total_value) for r in got.collect()}
     assert g == b
+
+
+def test_watermark_drops_late_data(spark, events, tmp_path):
+    """Late-data semantics: with a finite watermark, an event arriving far
+    behind the stream's max timestamp is dropped from its (already closed)
+    window; the aggregate emitted for that window excludes it."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+    from data_warehouse_copy_spark.streaming.events import (
+        stream_events_to_managed_table,
+    )
+
+    src = str(tmp_path / "src")
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    on_time = base.filter(F.col("event_id") != 0)
+    # one event rewound to the very start of the stream = very late arrival
+    min_ts = base.agg(F.min("ts")).collect()[0][0]
+    late = base.filter(F.col("event_id") == 0).withColumn("ts", F.lit(min_ts))
+    # phase 1: everything on time; phase 2 (strictly later micro-batch,
+    # after the watermark has advanced): the late event
+    on_time.coalesce(1).write.parquet(src)
+
+    target = ManagedTable.create(spark, str(tmp_path / "tbl"))
+    q = stream_events_to_managed_table(
+        spark,
+        src,
+        target,
+        str(tmp_path / "ckpt"),
+        window_duration="1 hour",
+        watermark="1 minute",
+    )
+    try:
+        q.processAllAvailable()  # drain phase 1 -> watermark = max_ts - 1min
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # phase 2: late event must be dropped
+    finally:
+        q.stop()
+    got = target.read()
+    # the late event's window already closed: its count excludes the event
+    late_row = late.collect()[0]
+    win_start = late_row["ts"].replace(minute=0, second=0, microsecond=0)
+    emitted = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    k = (win_start, late_row["event_type"])
+    if k in emitted:
+        expected_without_late = (
+            on_time.filter(
+                (F.col("ts") >= F.lit(win_start))
+                & (F.col("ts") < F.lit(win_start) + F.expr("INTERVAL 1 HOUR"))
+                & (F.col("event_type") == late_row["event_type"])
+            ).count()
+        )
+        assert emitted[k] == expected_without_late
