@@ -30,15 +30,18 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_items",
+    "q14_promo_revenue",
     "top_customers_per_nation",
     "orders_rollup",
     "windowed_range_scan",
     "changed_keys_antijoin",
     "orders_without_lineitems",
     "range_copy_roundtrip",
+    "pipeline_e2e_audit",
     "upsert_roundtrip",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",

@@ -346,6 +346,36 @@ LIMIT 20
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share — conditional aggregation over
+    a broadcast part join in one month's window."""
+    part, li = _prep(spark, sf_dir, "part", "lineitem")
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1995-09-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1995-10-01 00:00:00'"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = _dec_sum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+        "ELSE 0.0 END"
+    )
+    total = _dec_sum("l_extendedprice * (1 - l_discount)")
+    return joined.agg(
+        (F.lit(100.0) * promo / total).alias("promo_revenue_pct"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * {_sql_dec_sum(
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+)} / {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function top-k: rank customers by account balance within each
     nation (row_number over a hash-partitioned window, one shuffle on the
@@ -590,6 +620,95 @@ FROM inter
 JOIN (SELECT id, len(s) AS n FROM sh) sa ON sa.id = id_a
 JOIN (SELECT id, len(s) AS n FROM sh) sb ON sb.id = id_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale knob of the exact Jaccard join: stop-shingles with document
+    frequency > 20 are dropped before the self-join (join blow-up is Σ df²
+    of hot shingles — SCALING.md). The cap is plain relational algebra, so
+    the oracle applies the identical cap and values still match exactly."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
+                "text"
+            ),
+        )
+    )
+    return ngram_jaccard_pairs(aug, threshold=0.35, max_shingle_df=20)
+
+
+DEDUP_NGRAM_CAPPED_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' planted near duplicate tail'
+  FROM documents WHERE doc_id % 7 = 0
+),
+sh AS (SELECT doc_id AS id, {_SHINGLES_SQL} AS s FROM aug),
+ex AS (SELECT id, unnest(s) AS g FROM sh),
+hot AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > 20),
+ex2 AS (SELECT ex.* FROM ex ANTI JOIN hot USING (g)),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN (SELECT id, len(s) AS n FROM sh) sa ON sa.id = id_a
+JOIN (SELECT id, len(s) AS n FROM sh) sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.35
+"""
+
+
+def pipeline_e2e_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full orchestrated run (reference entry point A, §3.1) through the
+    driver contract: configured fact range-copy + dim reload into a temp
+    target with auditing on; returns the audit's deterministic columns.
+    The oracle states the expected audit table as plain SELECTs — proving
+    classification, windowing, copy semantics, and audit bookkeeping in one
+    end-to-end check."""
+    import data_warehouse_copy_spark as dwcs
+    from data_warehouse_copy_spark.plans import run as run_pipeline
+    from data_warehouse_copy_spark.plans.audit import AuditLog
+    from datetime import datetime
+
+    tmp = tempfile.mkdtemp(prefix="dwcs_e2e_")
+    cfg = dwcs.load_config(
+        {
+            "source": sf_dir,
+            "target": f"{tmp}/tgt",
+            "date_from": W_FROM,
+            "date_to": W_TO,
+            "tables": [
+                {
+                    "table_name": "lineitem",
+                    "table_type": "fact",
+                    "date_column": "l_shipdate",
+                },
+                {"table_name": "customer", "table_type": "dim"},
+            ],
+        }
+    )
+    run_pipeline(spark, cfg, now=datetime(2026, 8, 13, 12, 0))
+    return AuditLog(spark, cfg.audit_table_path).current_status().select(
+        "table_name", "process", "status", "records_copied",
+        "start_date_param", "end_date_param",
+    )
+
+
+PIPELINE_E2E_SQL = f"""
+SELECT 'lineitem' AS table_name, 'Copy' AS process, 'Completed' AS status,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL})
+         AS records_copied,
+       '{W_FROM}' AS start_date_param, '{W_TO}' AS end_date_param
+UNION ALL
+SELECT 'customer', 'Copy', 'Completed',
+       (SELECT COUNT(*) FROM customer), '{W_FROM}', '{W_TO}'
 """
 
 
@@ -1112,15 +1231,18 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "orders_rollup": orders_rollup,
     "windowed_range_scan": windowed_range_scan,
     "changed_keys_antijoin": changed_keys_antijoin,
     "orders_without_lineitems": orders_without_lineitems,
     "range_copy_roundtrip": range_copy_roundtrip,
+    "pipeline_e2e_audit": pipeline_e2e_audit,
     "upsert_roundtrip": upsert_roundtrip,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
@@ -1150,15 +1272,18 @@ ORACLES: dict[str, str] = {
     "q6_forecast_revenue": Q6_SQL,
     "q7_nation_volume": Q7_SQL,
     "q10_returned_items": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
     "top_customers_per_nation": TOP_CUSTOMERS_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "windowed_range_scan": WINDOWED_SCAN_SQL,
     "changed_keys_antijoin": CHANGED_KEYS_SQL,
     "orders_without_lineitems": ORDERS_NO_LINEITEM_SQL,
     "range_copy_roundtrip": WINDOWED_SCAN_SQL,
+    "pipeline_e2e_audit": PIPELINE_E2E_SQL,
     "upsert_roundtrip": UPSERT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_ngram_jaccard_capped": DEDUP_NGRAM_CAPPED_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_cosine_near_dup": SIMILARITY_NEAR_DUP_SQL,
     "text_stats": TEXT_STATS_SQL,
