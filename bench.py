@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "text_stats",
     "text_language_id",
     "text_fingerprints",
+    "training_data_prep",
     "events_hourly",
     "events_sessionize",
     "events_asof_last_purchase",

@@ -1201,6 +1201,43 @@ def approx_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end-to-end in ONE declarative
+    plan: quality signals -> language ID -> fingerprint -> filter (clean
+    prose, confidently-IDed language, long enough) -> exact dedup on the
+    fingerprint. Everything fuses into a single scan + one dedup shuffle —
+    the shape a 100 TB corpus prep job wants.
+
+    Oracle: the same pipeline as chained SQL CTEs, value-exact."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    enriched = with_fingerprints(with_language_id(with_text_stats(docs)))
+    filtered = enriched.filter(
+        (F.col("quality_score") >= 0.05)
+        & (F.col("lang_pred") != "und")
+        & (F.col("n_tokens") >= 20)
+    )
+    return exact_dedup(filtered, ["fingerprint"], id_col="doc_id").select(
+        "doc_id", "lang_pred", "n_tokens", "quality_score", "fingerprint"
+    )
+
+
+TRAINING_PREP_SQL = f"""
+WITH stats AS ({TEXT_STATS_SQL.strip()}),
+langs AS ({TEXT_LANG_SQL.strip()}),
+fps AS ({TEXT_FP_SQL.strip()}),
+enriched AS (
+  SELECT s.doc_id, l.lang_pred, s.n_tokens, s.quality_score, f.fingerprint
+  FROM stats s JOIN langs l ON s.doc_id = l.doc_id
+  JOIN fps f ON s.doc_id = f.doc_id),
+filtered AS (
+  SELECT * FROM enriched
+  WHERE quality_score >= 0.05 AND lang_pred <> 'und' AND n_tokens >= 20)
+SELECT doc_id, lang_pred, n_tokens, quality_score, fingerprint
+FROM filtered
+WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY fingerprint)
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal (extension surface; decode stubbed — rows-only check)
 # --------------------------------------------------------------------------
@@ -1252,6 +1289,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
+    "training_data_prep": training_data_prep,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_last_purchase": events_asof_last_purchase,
@@ -1289,6 +1327,7 @@ ORACLES: dict[str, str] = {
     "text_stats": TEXT_STATS_SQL,
     "text_language_id": TEXT_LANG_SQL,
     "text_fingerprints": TEXT_FP_SQL,
+    "training_data_prep": TRAINING_PREP_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_asof_last_purchase": EVENTS_ASOF_SQL,
