@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "events_asof_last_purchase",
+    "events_json_extract",
+    "embedding_component_stats",
     "set_ops_customers",
     "events_pivot_by_type",
     "orders_cube",

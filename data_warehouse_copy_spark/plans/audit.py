@@ -131,9 +131,9 @@ class AuditLog:
         return agg
 
     def _append(self, row: dict) -> None:
-        full = {f.name: row.get(f.name) for f in AUDIT_SCHEMA.fields}
-        df = self.spark.createDataFrame([tuple(full.values())], AUDIT_SCHEMA)
-        self.table.append(df)
+        # Driver-side pyarrow write: audit events are single metadata rows;
+        # a Spark job per event would dominate small-pipeline wall time.
+        self.table.append_pylist([row], AUDIT_SCHEMA)
 
 
 def _now() -> datetime:

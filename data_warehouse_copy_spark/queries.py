@@ -999,6 +999,66 @@ FROM s GROUP BY user_id, session_seq
 # --------------------------------------------------------------------------
 
 
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling: parse the ``props`` JSON payload, extract a
+    typed field, aggregate on it — get_json_object stays a projection, so
+    the whole thing is scan + one shuffle."""
+    (events,) = _prep(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function sweep over the embedding vectors: size, exact
+    left-fold sum/norm, min/max component — all codegen'd higher-order
+    functions, no UDF, no shuffle."""
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold_sum = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    fold_sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        fold_sum.alias("comp_sum"),
+        F.sqrt(fold_sq).alias("l2_norm"),
+        F.array_min(v).alias("comp_min"),
+        F.array_max(v).alias("comp_max"),
+    )
+
+
+EMBEDDING_STATS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                   (acc, x) -> acc + x) AS comp_sum,
+       sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                        (acc, x) -> acc + x * x)) AS l2_norm,
+       list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS comp_min,
+       list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS comp_max
+FROM embeddings
+"""
+
+
 def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): every event annotated with the user's
     most recent purchase at-or-before it — union + last-non-null window, one
@@ -1293,6 +1353,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_last_purchase": events_asof_last_purchase,
+    "events_json_extract": events_json_extract,
+    "embedding_component_stats": embedding_component_stats,
     "set_ops_customers": set_ops_customers,
     "events_pivot_by_type": events_pivot_by_type,
     "orders_cube": orders_cube,
@@ -1331,6 +1393,8 @@ ORACLES: dict[str, str] = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_asof_last_purchase": EVENTS_ASOF_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "embedding_component_stats": EMBEDDING_STATS_SQL,
     "set_ops_customers": SET_OPS_SQL,
     "events_pivot_by_type": EVENTS_PIVOT_SQL,
     "orders_cube": ORDERS_CUBE_SQL,
