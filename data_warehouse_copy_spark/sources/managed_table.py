@@ -237,11 +237,37 @@ class ManagedTable:
             "timestamp": pa.timestamp("us", tz="UTC"),
             "timestamp_ntz": pa.timestamp("us"),
         }
-        pa_schema = pa.schema(
-            [(f.name, _PA[f.dataType.typeName()]) for f in schema.fields]
-        )
+        fields = []
+        for f in schema.fields:
+            pa_type = _PA.get(f.dataType.typeName())
+            if pa_type is None:
+                raise ValueError(
+                    f"append_pylist does not support field {f.name!r} of type "
+                    f"{f.dataType.simpleString()}; use append() for rich types"
+                )
+            fields.append((f.name, pa_type))
+        pa_schema = pa.schema(fields)
         with _lock_for(self.root):
             m = self.snapshot()
+            if m.partition_date_col is not None:
+                # _write_files derives FileEntry.partition from the data; this
+                # path does not, and a null-partition file on a partitioned
+                # table would escape range deletes forever.
+                raise ValueError(
+                    "append_pylist is for unpartitioned metadata tables; "
+                    "use append() on partitioned tables"
+                )
+            if m.schema_json:
+                existing = {
+                    f.name
+                    for f in T.StructType.fromJson(json.loads(m.schema_json)).fields
+                }
+                if {f.name for f in schema.fields} != existing:
+                    raise ValueError(
+                        f"append_pylist schema mismatch: table has "
+                        f"{sorted(existing)}, rows have "
+                        f"{sorted(f.name for f in schema.fields)}"
+                    )
             commit_id = uuid.uuid4().hex[:16]
             final_dir = self.root / "data" / commit_id
             final_dir.mkdir(parents=True, exist_ok=True)

@@ -200,3 +200,38 @@ def test_compact_partitioned_one_file_per_day(spark, tmp_path, lineitem):
     assert (
         t.read(partition_min="1995-03-02", partition_max="1995-03-02").count() > 0
     )
+
+
+def test_append_pylist_guards(spark, tmp_path):
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = ManagedTable.create(spark, str(tmp_path / "meta"))
+    t.append_pylist([{"k": "a", "n": 1, "ts": datetime(2026, 1, 1)}], schema)
+    assert t.read().count() == 1
+    # schema mismatch rejected
+    bad = T.StructType([T.StructField("other", T.StringType())])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append_pylist([{"other": "x"}], bad)
+    # unsupported type rejected with a useful message
+    rich = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("ts", T.ArrayType(T.LongType())),
+        ]
+    )
+    with pytest.raises(ValueError, match="does not support field"):
+        t.append_pylist([{"k": "a", "n": 1, "ts": [1]}], rich)
+    # partitioned tables rejected
+    tp = ManagedTable.create(spark, str(tmp_path / "part"), "ts")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.append_pylist([{"k": "a", "n": 1, "ts": datetime(2026, 1, 1)}], schema)
