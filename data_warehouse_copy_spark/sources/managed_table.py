@@ -324,7 +324,13 @@ class ManagedTable:
                 start, end = day_bounds(date_from, date_to)
                 old = self.read()
                 kept_rows = (
-                    old.filter(~F.col(date_column).between(F.lit(start), F.lit(end)))
+                    # NULL-date rows are never range-deleted (SQL BETWEEN
+                    # evaluates to NULL for them — the reference's DELETE
+                    # keeps them, and so does the partitioned path)
+                    old.filter(
+                        ~F.col(date_column).between(F.lit(start), F.lit(end))
+                        | F.col(date_column).isNull()
+                    )
                     if old.columns
                     else old
                 )
@@ -335,7 +341,25 @@ class ManagedTable:
                 deleted = m.total_rows - (written_total - new_window_rows)
                 self._commit_files(m, new_files, merged.schema.json(), "overwrite_range")
                 return deleted, new_window_rows
-            new_files = self._write_files(df, m.partition_date_col)
+            # Partitioned path drops whole day partitions, but the reference's
+            # DELETE stops at D2 23:59:59.997 — rows in the last 3 ms of the
+            # final day must survive (TableCopyService.cs:112). Pull that tail
+            # out of the date_to partition and re-insert it with the window.
+            tail_rows = 0
+            if date_column is not None:
+                from data_warehouse_copy_spark.window import day_bounds
+
+                _, end_bound = day_bounds(date_from, date_to)
+                last_day = self.read(partitions={date_to})
+                if date_column in last_day.columns:
+                    tail = last_day.filter(F.col(date_column) > F.lit(end_bound))
+                    tail_rows = tail.count()
+                else:  # partition absent (e.g. first load) -> no tail
+                    tail_rows = 0
+                write_df = df.unionByName(tail) if tail_rows else df
+            else:
+                write_df = df
+            new_files = self._write_files(write_df, m.partition_date_col)
             out_of_range = [
                 f for f in new_files if not _in_day_range(f.partition, date_from, date_to)
             ]
@@ -347,10 +371,13 @@ class ManagedTable:
             kept = tuple(
                 f for f in m.files if not _in_day_range(f.partition, date_from, date_to)
             )
-            deleted = m.total_rows - sum(f.rows for f in kept)
-            schema_json = df.schema.json() if df.schema.fields else m.schema_json
+            # Re-inserted tail rows were never logically deleted nor copied
+            # from source — exclude them from both counts (matches the
+            # unpartitioned path's metrics).
+            deleted = m.total_rows - sum(f.rows for f in kept) - tail_rows
+            schema_json = write_df.schema.json() if write_df.schema.fields else m.schema_json
             self._commit_files(m, kept + new_files, schema_json, "overwrite_range")
-        return deleted, sum(f.rows for f in new_files)
+        return deleted, sum(f.rows for f in new_files) - tail_rows
 
     def merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         """Delete+reinsert by key as ONE atomic commit — the reference's

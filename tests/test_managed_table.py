@@ -93,6 +93,57 @@ def test_overwrite_range_removes_vanished_partitions(spark, tmp_path, lineitem):
     assert t.read().count() > 0  # rest of January intact
 
 
+def test_overwrite_range_keeps_end_of_day_tail(spark, tmp_path):
+    """The reference's DELETE bound is D2 23:59:59.997 (TableCopyService.cs:112)
+    — rows in the last ~3 ms of the final day must survive a range reload,
+    even on the partitioned path where whole day partitions are swapped."""
+    from datetime import datetime
+
+    rows = [
+        ("in_window", datetime(1995, 1, 10, 12, 0, 0)),
+        ("at_bound", datetime(1995, 1, 15, 23, 59, 59, 997000)),
+        ("tail", datetime(1995, 1, 15, 23, 59, 59, 999000)),
+        ("outside", datetime(1995, 1, 20, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="ts")
+    t.append(df)
+
+    window = df.filter(F.col("k") == "in_window").withColumn("k", F.lit("reloaded"))
+    deleted, written = t.overwrite_range(
+        window, "1995-01-10", "1995-01-15", date_column="ts"
+    )
+    keys = {r.k for r in t.read().collect()}
+    # at_bound (== 23:59:59.997) is inside the DELETE range -> gone;
+    # tail (> .997) survives; outside untouched; window row reloaded
+    assert keys == {"reloaded", "tail", "outside"}
+    # in_window + at_bound logically deleted; only the reloaded row was
+    # copied from source (the surviving tail row counts as neither)
+    assert deleted == 2 and written == 1
+
+
+def test_overwrite_range_unpartitioned_keeps_null_dates(spark, tmp_path):
+    """SQL `BETWEEN` is NULL for NULL dates, so the reference's DELETE never
+    removes NULL-date rows; the unpartitioned fallback must match."""
+    from datetime import datetime
+
+    rows = [
+        ("in_window", datetime(1995, 1, 10, 12, 0, 0)),
+        ("null_date", None),
+        ("outside", datetime(1995, 2, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(df)
+    window = df.filter(F.col("k") == "in_window").withColumn("k", F.lit("reloaded"))
+    deleted, written = t.overwrite_range(
+        window, "1995-01-10", "1995-01-15", date_column="ts"
+    )
+    keys = {r.k for r in t.read().collect()}
+    assert keys == {"reloaded", "null_date", "outside"}
+    assert deleted == 1 and written == 1
+
+
 def test_overwrite_range_rejects_out_of_window_data(spark, tmp_path, lineitem):
     t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
     with pytest.raises(ValueError, match="outside"):
