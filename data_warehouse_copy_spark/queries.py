@@ -376,6 +376,424 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check (adapted: the fixture lacks
+    commit/receipt dates, so the EXISTS predicate is "has a returned line"):
+    left-semi join keeps the probe side unduplicated — no distinct needed,
+    and the build side carries only the join key."""
+    orders, li = _prep(spark, sf_dir, "orders", "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-07-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1995-10-01 00:00:00'"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        window.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: for ECONOMY parts sold into
+    EUROPE customers, the revenue fraction supplied by NATION_7 per year.
+    Two distinct nation roles (supplier side vs customer-region side); every
+    dim broadcasts, the lineitem->orders shuffle join dominates."""
+    region, nation, customer, supplier, orders, li, part = _prep(
+        spark, sf_dir,
+        "region", "nation", "customer", "supplier", "orders", "lineitem", "part",
+    )
+    europe_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = "l_extendedprice * (1 - l_discount)"
+    share_num = _dec_sum(
+        f"CASE WHEN supp_nation = 'NATION_7' THEN {vol} ELSE 0.0 END"
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+                & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(europe_nations), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((share_num / _dec_sum(vol)).alias("mkt_share"))
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       {_sql_dec_sum("CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0.0 END")}
+       / {_sql_dec_sum('volume')} AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY o_year
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style (adapted: line status stands in for ship mode):
+    orders x lineitem join with conditional counts — the CASE collapses into
+    the aggregate so the shuffle carries two longs per group."""
+    orders, li = _prep(spark, sf_dir, "orders", "lineitem")
+    high = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.expr(f"CASE WHEN {high} THEN 1 ELSE 0 END")).alias(
+                "high_line_count"
+            ),
+            F.sum(F.expr(f"CASE WHEN {high} THEN 0 ELSE 1 END")).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    (customers with zero orders must survive as count 0) + double
+    aggregation. The outer join's null-extension is the semantic load-bearing
+    part — an inner join would silently drop the c_count=0 bucket."""
+    customer, orders = _prep(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    the max-revenue supplier(s) via a rank window over an unpartitioned
+    frame — the revenue relation is |suppliers| rows, so the single-partition
+    window is trivially cheap (never do this on a fact-sized input)."""
+    supplier, li = _prep(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1995-04-01 00:00:00'"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)").alias("total_revenue"))
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    return (
+        revenue.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lines of one brand
+    whose quantity is below 20% of that part's average quantity. The
+    correlated scalar subquery becomes a per-part aggregate joined back to
+    the fact — two passes over the filtered lineitem, no correlation."""
+    part, li = _prep(spark, sf_dir, "part", "lineitem")
+    brand_parts = part.filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    brand_lines = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    # exact decimal avg (same rule as the oracle: decimal sum / double count)
+    avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (_dec_sum("l_quantity") / F.count("*").cast("double")).alias("part_avg_qty")
+    )
+    return (
+        brand_lines.join(
+            F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(
+            (_dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23' AND p_size < 15),
+avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         {_sql_dec_sum('l_quantity')} / CAST(COUNT(*) AS DOUBLE) AS part_avg_qty
+  FROM brand_lines GROUP BY l_partkey)
+SELECT {_sql_dec_sum('l_extendedprice')} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM brand_lines JOIN avg_qty ON l_partkey = ap_partkey
+WHERE l_quantity < 0.2 * part_avg_qty
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total quantity
+    exceeds a threshold (HAVING over the fact), joined back to customer and
+    re-aggregated. The qualifying-key set is tiny, so the second pass joins
+    against a broadcast of it rather than re-shuffling lineitem."""
+    customer, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 250.0)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    return (
+        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("big_okey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dec_sum("l_quantity").alias("sum_qty"))
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {_sql_dec_sum('l_quantity')} AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250.0)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive join predicate: three (brand, size,
+    quantity) clauses OR-ed together. The part side of each clause broadcasts;
+    Catalyst extracts the common l_partkey = p_partkey equi-condition so the
+    disjunction evaluates as a residual filter, not a cartesian product."""
+    part, li = _prep(spark, sf_dir, "part", "lineitem")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return joined.filter(clause).agg(
+        _dec_sum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style (adapted: returnflag = 'R' stands in for late
+    delivery): suppliers who returned a line on a multi-supplier order where
+    NO other supplier on that order had a return — EXISTS as a left-semi
+    join, NOT EXISTS as a left-anti join, chained on the same fact."""
+    nation, supplier, li = _prep(spark, sf_dir, "nation", "supplier", "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    # EXISTS: another supplier on the same order (any flag)
+    others = li.select(
+        F.col("l_orderkey").alias("e_okey"), F.col("l_suppkey").alias("e_skey")
+    )
+    # NOT EXISTS: another supplier on the same order who ALSO returned
+    other_returned = returned.select(
+        F.col("l_orderkey").alias("ne_okey"), F.col("l_suppkey").alias("ne_skey")
+    )
+    blamed = (
+        returned.join(
+            others,
+            (F.col("l_orderkey") == F.col("e_okey"))
+            & (F.col("l_suppkey") != F.col("e_skey")),
+            "left_semi",
+        )
+        .join(
+            other_returned,
+            (F.col("l_orderkey") == F.col("ne_okey"))
+            & (F.col("l_suppkey") != F.col("ne_skey")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R' AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style (adapted: nation key stands in for phone country
+    code, and "no orders" becomes "no URGENT orders" — every fixture
+    customer has orders): customers with above-average positive balance and
+    no urgent orders — scalar aggregate broadcast as a crossJoin of one row,
+    then a left-anti join against the filtered orders."""
+    customer, orders = _prep(spark, sf_dir, "customer", "orders")
+    pool = customer.filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dec_sum("c_acctbal") / F.count("*").cast("double")).alias("avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       {_sql_dec_sum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (
+    SELECT {_sql_dec_sum('c_acctbal')} / CAST(COUNT(*) AS DOUBLE)
+    FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function top-k: rank customers by account balance within each
     nation (row_number over a hash-partitioned window, one shuffle on the
@@ -1329,6 +1747,16 @@ QUERIES: dict[str, QueryFn] = {
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q8_market_share": q8_market_share,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q21_sole_blame_supplier": q21_sole_blame_supplier,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "top_customers_per_nation": top_customers_per_nation,
     "orders_rollup": orders_rollup,
     "windowed_range_scan": windowed_range_scan,
@@ -1373,6 +1801,16 @@ ORACLES: dict[str, str] = {
     "q7_nation_volume": Q7_SQL,
     "q10_returned_items": Q10_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q8_market_share": Q8_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q21_sole_blame_supplier": Q21_SQL,
+    "q22_global_sales_opportunity": Q22_SQL,
     "top_customers_per_nation": TOP_CUSTOMERS_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "windowed_range_scan": WINDOWED_SCAN_SQL,
