@@ -31,6 +31,16 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q10_returned_items",
     "q14_promo_revenue",
+    "q4_order_priority",
+    "q8_market_share",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q21_sole_blame_supplier",
+    "q22_global_sales_opportunity",
     "top_customers_per_nation",
     "orders_rollup",
     "windowed_range_scan",
