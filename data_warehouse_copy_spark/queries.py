@@ -1383,6 +1383,34 @@ GROUP BY 1, 2, 3
 """
 
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute window aggregate — every event lands in 4
+    overlapping windows (the streaming twin runs this incrementally with a
+    watermark; see streaming/events.py)."""
+    from data_warehouse_copy_spark.streaming.events import sliding_window_agg
+
+    (events,) = _prep(spark, sf_dir, "events")
+    return sliding_window_agg(events, "1 hour", "15 minutes")
+
+
+# each event belongs to the 4 hour-long windows starting at its 15-min
+# bucket and the 3 preceding ones — expressed as a small cross join
+EVENTS_SLIDING_SQL = f"""
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_sql_dec_sum('value')} AS total_value
+FROM (
+  SELECT e.*,
+         date_trunc('hour', ts)
+           + (CAST(FLOOR(EXTRACT(minute FROM ts) / 15) AS INT) * INTERVAL 15 MINUTE)
+           - (k * INTERVAL 15 MINUTE) AS window_start
+  FROM events e CROSS JOIN (VALUES (0), (1), (2), (3)) t(k))
+GROUP BY window_start, event_type
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap): lag + conditional cumsum, one
     shuffle on user_id."""
@@ -1779,6 +1807,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_fingerprints": text_fingerprints,
     "training_data_prep": training_data_prep,
     "events_hourly": events_hourly,
+    "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_asof_last_purchase": events_asof_last_purchase,
     "events_json_extract": events_json_extract,
@@ -1829,6 +1858,7 @@ ORACLES: dict[str, str] = {
     "text_fingerprints": TEXT_FP_SQL,
     "training_data_prep": TRAINING_PREP_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_asof_last_purchase": EVENTS_ASOF_SQL,
     "events_json_extract": EVENTS_JSON_SQL,

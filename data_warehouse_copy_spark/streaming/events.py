@@ -89,6 +89,61 @@ def session_window_agg(
     )
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Sliding (hopping) window aggregate: each event lands in
+    ``window/slide`` overlapping windows. Same batch/stream duality as
+    :func:`tumbling_window_agg`; state per key is bounded by the watermark
+    horizon ÷ slide, so the overlap factor — not the stream length — sets
+    the memory bill at scale.
+
+    Output: window_start, window_end, event_type, n_events, total_value.
+    """
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window_duration, slide), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: dict) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to an event stream. The static side is broadcast to every
+    task, so the stream never shuffles and no state store is involved —
+    the canonical scale pattern for stream-side lookups (the stateful
+    alternative, stream-stream join, costs a state store per key).
+
+    ``on`` maps stream column -> dim column, e.g. ``{"user_id": "c_custkey"}``.
+    Works identically on batch frames (Structured Streaming's duality).
+    """
+    cond = None
+    for s_col, d_col in on.items():
+        c = F.col(f"__ev.{s_col}") == F.col(f"__dim.{d_col}")
+        cond = c if cond is None else (cond & c)
+    return (
+        events.alias("__ev")
+        .join(F.broadcast(dim.alias("__dim")), cond, "left_outer")
+        .drop(*[d for d in on.values()])
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when the
     gap to the previous event of the same user exceeds ``gap_minutes``.

@@ -142,3 +142,97 @@ def test_watermark_drops_late_data(spark, events, tmp_path):
             ).count()
         )
         assert emitted[k] == expected_without_late
+
+
+def test_sliding_window_batch(events):
+    from data_warehouse_copy_spark.streaming.events import sliding_window_agg
+
+    out = sliding_window_agg(events, "1 hour", "15 minutes").collect()
+    # every event lands in exactly window/slide = 4 overlapping windows
+    assert sum(r.n_events for r in out) == events.count() * 4
+    for r in out:
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+    # slide == window degenerates to the tumbling aggregate
+    tumb = tumbling_window_agg(events, "1 hour")
+    slid = sliding_window_agg(events, "1 hour", "1 hour")
+    key = lambda r: (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+    assert sorted(map(key, slid.collect())) == sorted(map(key, tumb.collect()))
+
+
+def test_sliding_window_stream_matches_batch(spark, events, tmp_path):
+    from data_warehouse_copy_spark.streaming.events import sliding_window_agg
+
+    src = str(tmp_path / "src")
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    base.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = sliding_window_agg(stream, "1 hour", "15 minutes",
+                             watermark="0 seconds", streaming=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("slide_par")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM slide_par")
+    emitted = [r.window_start for r in got.select("window_start").distinct().collect()]
+    assert emitted
+    batch = sliding_window_agg(events, "1 hour", "15 minutes")
+    key = ["window_start", "event_type"]
+    b = {
+        tuple(r[k] for k in key): (r.n_events, r.total_value)
+        for r in batch.filter(F.col("window_start").isin(emitted)).collect()
+    }
+    g = {tuple(r[k] for k in key): (r.n_events, r.total_value) for r in got.collect()}
+    assert g == b
+
+
+def test_enrich_with_dim_batch(spark, events, sf_dir):
+    from data_warehouse_copy_spark.sources.catalog import load_table
+    from data_warehouse_copy_spark.streaming.events import enrich_with_dim
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = enrich_with_dim(events, customer, {"user_id": "c_custkey"})
+    # left outer: every event survives, dim attrs attached where keys match
+    assert out.count() == events.count()
+    assert "c_mktsegment" in out.columns and "c_custkey" not in out.columns
+    matched = out.filter(F.col("c_mktsegment").isNotNull()).count()
+    expected = (
+        events.join(
+            customer, events.user_id == customer.c_custkey, "left_semi"
+        ).count()
+    )
+    assert matched == expected
+
+
+def test_enrich_with_dim_stream(spark, events, sf_dir, tmp_path):
+    from data_warehouse_copy_spark.sources.catalog import load_table
+    from data_warehouse_copy_spark.streaming.events import enrich_with_dim
+
+    customer = load_table(spark, sf_dir, "customer")
+    src = str(tmp_path / "src")
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    base.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        enrich_with_dim(stream, customer, {"user_id": "c_custkey"})
+        .writeStream.outputMode("append")
+        .format("memory").queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM enriched")
+    assert got.count() == events.count()
+    assert "c_mktsegment" in got.columns
