@@ -70,3 +70,44 @@ def test_events_hourly_shuffle_count(spark, sf_dir):
     assert n_exchanges <= 2
     # partial (map-side) aggregation present before the first shuffle
     assert "HashAggregate" in plan
+
+
+def test_q19_disjunction_is_not_cartesian(spark, sf_dir):
+    """The OR-of-ANDs predicate must ride the l_partkey equi-join as a
+    residual filter, never degrade to a nested loop over all pairs."""
+    plan = _plan(spark, sf_dir, "q19_discounted_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_self_joins_stay_equi(spark, sf_dir):
+    """EXISTS/NOT EXISTS self-joins carry a non-equi residual (suppkey <>)
+    on top of the orderkey equi-key — they must stay hash joins."""
+    plan = _plan(spark, sf_dir, "q21_sole_blame_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_outer_join_condition_stays_in_join(spark, sf_dir):
+    """The o_orderpriority filter belongs in the LEFT OUTER join condition;
+    if it slips into a post-join Filter the c_count=0 bucket vanishes."""
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+    # the priority predicate reaches the orders parquet scan (it's a filter
+    # on the join's right side, so pushing it preserves null-extension)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q8_all_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_qualifier_broadcast_back(spark, sf_dir):
+    """The per-part average joins back to the fact as a broadcast — the
+    fact must not be re-shuffled for the second pass."""
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
