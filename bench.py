@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "events_asof_last_purchase",
+    "events_purchase_attribution",
     "events_json_extract",
     "embedding_component_stats",
     "set_ops_customers",

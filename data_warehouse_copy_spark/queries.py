@@ -1440,6 +1440,60 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: views/clicks within ±5 minutes of
+    each purchase, via time-bucket banding (operators/range_join.py) — one
+    equi-shuffle on the bucket key, never a nested loop. Purchases with no
+    nearby activity survive with zero counts."""
+    from data_warehouse_copy_spark.operators.range_join import range_join
+
+    (events,) = _prep(spark, sf_dir, "events")
+    points = events.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("ts").alias("p_ts"), F.col("event_type").alias("p_type")
+    )
+    intervals = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    agg = (
+        range_join(points, intervals, "p_ts", "w_start", "w_end", "15 minutes")
+        .groupBy("purchase_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN p_type = 'view' THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_views"),
+            F.sum(F.expr("CASE WHEN p_type = 'click' THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_clicks"),
+        )
+    )
+    return (
+        intervals.select("purchase_id")
+        .join(agg, "purchase_id", "left_outer")
+        .fillna(0, ["n_views", "n_clicks"])
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH pts AS (
+  SELECT ts AS p_ts, event_type AS p_type
+  FROM events WHERE event_type IN ('view', 'click')),
+ivl AS (
+  SELECT event_id AS purchase_id,
+         ts - INTERVAL 5 MINUTE AS w_start,
+         ts + INTERVAL 5 MINUTE AS w_end
+  FROM events WHERE event_type = 'purchase')
+SELECT purchase_id,
+       CAST(COALESCE(SUM(CASE WHEN p_type = 'view' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_views,
+       CAST(COALESCE(SUM(CASE WHEN p_type = 'click' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_clicks
+FROM ivl LEFT JOIN pts ON p_ts BETWEEN w_start AND w_end
+GROUP BY purchase_id
+"""
+
+
 # --------------------------------------------------------------------------
 # As-of join / set ops / pivot / cube / percentiles / scalar functions
 # --------------------------------------------------------------------------
@@ -1810,6 +1864,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_asof_last_purchase": events_asof_last_purchase,
+    "events_purchase_attribution": events_purchase_attribution,
     "events_json_extract": events_json_extract,
     "embedding_component_stats": embedding_component_stats,
     "set_ops_customers": set_ops_customers,
@@ -1861,6 +1916,7 @@ ORACLES: dict[str, str] = {
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_asof_last_purchase": EVENTS_ASOF_SQL,
+    "events_purchase_attribution": EVENTS_RANGE_JOIN_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "embedding_component_stats": EMBEDDING_STATS_SQL,
     "set_ops_customers": SET_OPS_SQL,
