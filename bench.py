@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "training_data_prep",
     "events_hourly",
+    "events_hourly_hybrid",
     "events_sliding",
     "events_sessionize",
     "events_asof_last_purchase",

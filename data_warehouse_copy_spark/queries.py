@@ -1411,6 +1411,24 @@ GROUP BY window_start, event_type
 """
 
 
+def events_hourly_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hours for days before the
+    split are MATERIALIZED into a ManagedTable rollup (one atomic commit),
+    the tail stays raw, and the serving query is rollup ∪ agg(tail). Because
+    hour windows never straddle the day split, the union is exactly the full
+    aggregate — same oracle as ``events_hourly``. At 100 TB the rollup is
+    maintained incrementally per closed day (cost ∝ new data) and reading it
+    replaces re-scanning all history."""
+    (events,) = _prep(spark, sf_dir, "events")
+    split = F.expr("TIMESTAMP '2024-01-20 00:00:00'")
+    rollup_store = ManagedTable.create(
+        spark, f"{tempfile.mkdtemp(prefix='dwcs_ca_')}/events_hourly"
+    )
+    rollup_store.overwrite(tumbling_window_agg(events.filter(F.col("ts") < split), "1 hour"))
+    tail_agg = tumbling_window_agg(events.filter(F.col("ts") >= split), "1 hour")
+    return rollup_store.read().unionByName(tail_agg)
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap): lag + conditional cumsum, one
     shuffle on user_id."""
@@ -1861,6 +1879,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_fingerprints": text_fingerprints,
     "training_data_prep": training_data_prep,
     "events_hourly": events_hourly,
+    "events_hourly_hybrid": events_hourly_hybrid,
     "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_asof_last_purchase": events_asof_last_purchase,
@@ -1913,6 +1932,8 @@ ORACLES: dict[str, str] = {
     "text_fingerprints": TEXT_FP_SQL,
     "training_data_prep": TRAINING_PREP_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
+    # the continuous aggregate must equal the full hourly aggregate exactly
+    "events_hourly_hybrid": EVENTS_HOURLY_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessionize": EVENTS_SESSION_SQL,
     "events_asof_last_purchase": EVENTS_ASOF_SQL,
