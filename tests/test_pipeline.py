@@ -207,3 +207,35 @@ def test_dual_log_files_written(spark, tmp_path, sf_dir):
         files = list((month / t).glob(f"{t}-*.log"))
         assert files, f"missing per-table log for {t}"
         assert t in files[0].read_text()
+
+
+def test_cli_main_exit_codes(spark, sf_dir, tmp_path, capsys):
+    """__main__ mirrors Program.Main: config file in, per-table outcomes
+    out, exit 1 iff any table Failed (error isolation keeps the run going)."""
+    import json as _json
+
+    from data_warehouse_copy_spark.__main__ import main
+
+    cfg = {
+        "source": sf_dir,
+        "target": str(tmp_path / "tgt"),
+        "tables": [
+            {"table_name": "customer", "table_type": "dim"},
+            {"table_name": "missing_table", "table_type": "dim"},
+        ],
+        "date_from": "1995-03-01",
+        "date_to": "1995-03-07",
+    }
+    path = tmp_path / "job.json"
+    path.write_text(_json.dumps(cfg))
+    rc = main([str(path)], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "customer\tCopy\tCompleted" in out
+    assert "missing_table\tCopy\tFailed" in out
+    # healthy config exits 0; window override accepted
+    cfg["tables"] = cfg["tables"][:1]
+    path.write_text(_json.dumps(cfg))
+    rc = main([str(path), "--date-from", "1995-03-01", "--date-to", "1995-03-02"],
+              spark=spark)
+    assert rc == 0
