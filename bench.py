@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_cosine_near_dup",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "text_stats",

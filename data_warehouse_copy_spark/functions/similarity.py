@@ -94,14 +94,73 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, ``id_a < id_b`` — embedding-based
-    near-duplicate detection. O(n²) exact form; for large corpora run it per
-    LSH bucket instead (``lsh_bucket_near_dup_pairs``)."""
+    near-duplicate detection. Exact (oracle-matching) results.
+
+    Two-phase plan — the naive form (``id_a < id_b`` theta-join) is a
+    BroadcastNestedLoopJoin evaluating the fold expression on all n²/2
+    pairs (~80× slower at sf0.1):
+
+    1. **candidate generation**: vectors hash into ``n_blocks`` blocks; each
+       block *pair* is one ``applyInPandas`` group doing a single float64
+       normalized matmul (A @ B.T) and emitting pairs above
+       ``threshold − 1e-6`` (slack covers accumulation-order drift). Every
+       row is shipped once per block pair it touches (×``n_blocks`` dup).
+    2. **exact re-score**: candidates (tiny) join their vectors back and the
+       fixed-left-fold :func:`cosine` recomputes the value — bit-identical
+       to the single-phase form and the SQL oracle; the final ``>=
+       threshold`` filter uses only this exact value.
+
+    Still O(n²) work by nature — ``lsh_bucket_near_dup_pairs`` is the scale
+    path; this is the exact baseline made vectorized.
+    """
+    id_t = df.schema[id_col].dataType.simpleString()
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("b"),
+    )
+    exploded = tagged.select(
+        "id",
+        "v",
+        "b",
+        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("j"),
+    ).withColumn("pk", F.concat_ws("_", F.least("b", "j"), F.greatest("b", "j")))
+    slack = threshold - 1e-6
+
+    def gen(key, pdf: pandas.DataFrame) -> pandas.DataFrame:
+        # key = (pk,) like "0_5"; decide same-vs-cross block from the KEY —
+        # a cross-block group whose other block is empty must emit nothing,
+        # not fall back to within-block pairs (those belong to the b_b group)
+        bi, bj = (int(x) for x in key[0].split("_"))
+        ids = pdf["id"].to_numpy()
+        mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        matn = mat / safe[:, None]
+        matn[norms == 0.0] = 0.0  # zero-norm vectors match nothing
+        blocks = pdf["b"].to_numpy()
+        if bi == bj:
+            sim = matn @ matn.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sim[ii, jj] >= slack
+            ia, ib = ids[ii[keep]], ids[jj[keep]]
+        else:
+            ma, mb = blocks == bi, blocks == bj
+            sim = matn[ma] @ matn[mb].T
+            ii, jj = np.nonzero(sim >= slack)
+            ia, ib = ids[ma][ii], ids[mb][jj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pandas.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = exploded.groupBy("pk").applyInPandas(gen, f"id_a {id_t}, id_b {id_t}")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
