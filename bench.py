@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "set_ops_customers",
     "events_pivot_by_type",
     "orders_cube",
+    "orders_grouping_sets",
     "lineitem_percentiles",
     "scalar_functions_demo",
     "customers_with_urgent_orders",

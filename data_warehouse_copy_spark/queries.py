@@ -1678,6 +1678,39 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General GROUPING SETS (the form rollup/cube specialize): per-status,
+    per-priority, and grand-total groups — but NOT the (status, priority)
+    cross — in one shuffle, via the SQL front end. GROUPING() flags
+    distinguish the NULL group markers."""
+    from data_warehouse_copy_spark.sources.catalog import register_views
+
+    _prep(spark, sf_dir)
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               {_sql_dec_sum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORDERS_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of extended price per return flag
     (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both the ANSI
@@ -1889,6 +1922,7 @@ QUERIES: dict[str, QueryFn] = {
     "set_ops_customers": set_ops_customers,
     "events_pivot_by_type": events_pivot_by_type,
     "orders_cube": orders_cube,
+    "orders_grouping_sets": orders_grouping_sets,
     "lineitem_percentiles": lineitem_percentiles,
     "scalar_functions_demo": scalar_functions_demo,
     "customers_with_urgent_orders": customers_with_urgent_orders,
@@ -1943,6 +1977,7 @@ ORACLES: dict[str, str] = {
     "set_ops_customers": SET_OPS_SQL,
     "events_pivot_by_type": EVENTS_PIVOT_SQL,
     "orders_cube": ORDERS_CUBE_SQL,
+    "orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
     "lineitem_percentiles": PERCENTILES_SQL,
     "scalar_functions_demo": SCALARS_SQL,
     "customers_with_urgent_orders": SEMI_JOIN_SQL,
