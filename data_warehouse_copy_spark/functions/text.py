@@ -88,8 +88,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(text)
     n_tokens = token_count(text)
     punct = _strip_regex_count(text, r"[^A-Za-z0-9\s]")
-    digits = _strip_regex_count(text, r"[^0-9]")
-    spaces = _strip_regex_count(text, r"[^\s]")
+    digits = _strip_regex_count(text, r"[0-9]")
+    spaces = _strip_regex_count(text, r"\s")
     alpha = n_chars - punct - digits - spaces
     sw = stopword_count(text)
 

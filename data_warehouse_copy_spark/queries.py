@@ -495,10 +495,10 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -1006,7 +1006,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over an augmented corpus (the
     fixtures are all-unique, so near-duplicates are planted deterministically
     — identically in the oracle). Shingle-explode + equi-self-join: shuffle
-    is keyed on shingles, never O(n²)."""
+    is keyed on shingles, never O(n²).
+
+    Not in the QUERIES registry: the capped twin below is the registered,
+    oracle-checked form (identical pair set on the fixtures), and keeping
+    one of the two frees a slot inside the driver's 50-entry correctness
+    cap. This uncapped form stays oracle-pinned by
+    tests/test_entry_contract.py::test_uncapped_ngram_jaccard_matches_oracle."""
     (docs,) = _prep(spark, sf_dir, "documents")
     aug = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 7 == 0).select(
@@ -1269,8 +1275,8 @@ WITH raw AS (
     CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKS}) END AS n_tokens,
     len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
     length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct,
-    length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-    length(text) - length(regexp_replace(text, '[^\\s]', '', 'g')) AS spaces,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+    length(text) - length(regexp_replace(text, '[\\s]', '', 'g')) AS spaces,
     CASE WHEN trim(text) = '' THEN 0 ELSE
       len(list_filter({_SQL_TOKS_LOWER}, t -> list_contains({_SQL_STOPWORDS}, t)))
     END AS sw
@@ -1797,6 +1803,97 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+def q18_salted_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 with the fact-to-fact lineitem⋈orders join routed through the
+    explicit salted join (operators/skew.py): the lineitem side gets a
+    uniform salt, orders is replicated once per salt value, and the join key
+    becomes (orderkey, salt) — spreading any pathological hot order key over
+    8 reducers. Semantics-preserving for equi-joins, so the oracle is the
+    plain-join SQL; this is the manual fallback for skew AQE can't split
+    (the salt lives INSIDE the plan, not in the data).
+    """
+    from data_warehouse_copy_spark.operators.skew import salted_join
+
+    customer, orders, li = _prep(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 250.0)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    fact = salted_join(
+        li.select("l_orderkey", "l_quantity"),
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+        ),
+        on=["l_orderkey"],
+        salt=8,
+    )
+    return (
+        fact.join(F.broadcast(big), F.col("l_orderkey") == F.col("big_okey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dec_sum("l_quantity").alias("sum_qty"))
+    )
+
+
+def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-exchange fact-to-fact join via persistent bucketing
+    (sources/bucketed.py): lineitem and orders are both written
+    ``bucketBy(16, orderkey)`` into the session warehouse, so the join reads
+    bucket i of each side with NO shuffle of either fact
+    (tests/test_bucketed.py pins the exchange-free plan). The one-time
+    clustering write is the price; every subsequent orderkey join is free —
+    the 100 TB pattern for keys hit by every report. Result = per-priority
+    revenue, oracle = the plain-join SQL.
+    """
+    from data_warehouse_copy_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders, li = _prep(spark, sf_dir, "orders", "lineitem")
+    write_bucketed(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "bq_lineitem",
+        "l_orderkey",
+        n_buckets=16,
+    )
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderpriority"),
+        "bq_orders",
+        "o_orderkey",
+        n_buckets=16,
+    )
+    bl = read_bucketed(spark, "bq_lineitem")
+    bo = read_bucketed(spark, "bq_orders")
+    # merge hint: at fixture scale orders fits under the auto-broadcast
+    # threshold, which would hide the point — at 100 TB neither fact side
+    # broadcasts, and the sort-merge join over co-bucketed scans is the
+    # exchange-free plan this query demonstrates.
+    return (
+        bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            _dec_sum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def approx_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate analytics (HLL distinct + quantile sketch): the constant-
     memory 100 TB path for cardinality/quantile questions. Approximate by
@@ -1872,6 +1969,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+# Registry ordering contract (pinned by tests/test_registry_order.py):
+# every oracle-backed query precedes every no-oracle one, and all
+# oracle-backed queries sit in the first 50 positions — the driver's
+# correctness gate checks exactly the first 50 entries, so an oracle-backed
+# query past position 50 would silently lose its hash check (this bit
+# round 1: three oracle-backed queries shipped unverified).
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1890,6 +1993,8 @@ QUERIES: dict[str, QueryFn] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q21_sole_blame_supplier": q21_sole_blame_supplier,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q18_salted_variant": q18_salted_variant,
+    "bucketed_orders_revenue": bucketed_orders_revenue,
     "top_customers_per_nation": top_customers_per_nation,
     "orders_rollup": orders_rollup,
     "windowed_range_scan": windowed_range_scan,
@@ -1899,14 +2004,9 @@ QUERIES: dict[str, QueryFn] = {
     "pipeline_e2e_audit": pipeline_e2e_audit,
     "upsert_roundtrip": upsert_roundtrip,
     "dedup_exact": dedup_exact,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_cosine_near_dup": similarity_cosine_near_dup,
-    "similarity_topk_lsh": similarity_topk_lsh,
-    "similarity_topk_ivf": similarity_topk_ivf,
     "text_stats": text_stats,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
@@ -1926,6 +2026,12 @@ QUERIES: dict[str, QueryFn] = {
     "lineitem_percentiles": lineitem_percentiles,
     "scalar_functions_demo": scalar_functions_demo,
     "customers_with_urgent_orders": customers_with_urgent_orders,
+    # -- no-oracle block (rows-only driver check; keep AFTER all
+    # oracle-backed entries — see ordering contract above) --
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "similarity_topk_lsh": similarity_topk_lsh,
+    "similarity_topk_ivf": similarity_topk_ivf,
     "approx_analytics": approx_analytics,
     "multimodal_features": multimodal_features,
 }
@@ -1956,8 +2062,9 @@ ORACLES: dict[str, str] = {
     "range_copy_roundtrip": WINDOWED_SCAN_SQL,
     "pipeline_e2e_audit": PIPELINE_E2E_SQL,
     "upsert_roundtrip": UPSERT_SQL,
+    "q18_salted_variant": Q18_SQL,
+    "bucketed_orders_revenue": BUCKETED_JOIN_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
-    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_CAPPED_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_cosine_near_dup": SIMILARITY_NEAR_DUP_SQL,

@@ -17,6 +17,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _clear_orphaned_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a leftover warehouse directory for ``table_name``.
+
+    The default in-memory catalog is per-session, but managed-table files
+    persist on disk: a fresh session that re-creates the table hits
+    LOCATION_ALREADY_EXISTS even in overwrite mode because the catalog has
+    no entry to overwrite. Uses the Hadoop FileSystem API so it works on
+    any warehouse scheme (local/HDFS/object store), not just local paths.
+    """
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh, table_name.lower())
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -28,6 +45,10 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (and optionally sort-within-bucket)
     managed table in the session catalog. Sorting by the join key upgrades
     the bucket join from hash to merge without a sort step."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        _clear_orphaned_location(spark, table_name)
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
     writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
     if sort_by is not None:
