@@ -21,65 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from data_warehouse_copy_spark.queries import QUERIES  # noqa: E402
 from data_warehouse_copy_spark.session import get_spark  # noqa: E402
 
-# Headline set: every operator family, weighted toward the scans/joins/aggs
-# that dominate at 100 TB.
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q4_order_priority",
-    "q8_market_share",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q21_sole_blame_supplier",
-    "q22_global_sales_opportunity",
-    "top_customers_per_nation",
-    "orders_rollup",
-    "windowed_range_scan",
-    "changed_keys_antijoin",
-    "orders_without_lineitems",
-    "range_copy_roundtrip",
-    "pipeline_e2e_audit",
-    "upsert_roundtrip",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_topk_bruteforce",
-    "similarity_cosine_near_dup",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "text_stats",
-    "text_language_id",
-    "text_fingerprints",
-    "training_data_prep",
-    "events_hourly",
-    "events_hourly_hybrid",
-    "events_sliding",
-    "events_sessionize",
-    "events_asof_last_purchase",
-    "events_purchase_attribution",
-    "events_json_extract",
-    "embedding_component_stats",
-    "set_ops_customers",
-    "events_pivot_by_type",
-    "orders_cube",
-    "orders_grouping_sets",
-    "lineitem_percentiles",
-    "scalar_functions_demo",
-    "customers_with_urgent_orders",
-    "approx_analytics",
-    "multimodal_features",
-]
+# Headline set = the whole driver registry (every operator family), kept in
+# lockstep with QUERIES so the bench can never drift from the contract.
+BENCH_QUERIES = list(QUERIES)
 
 
 def materialize(df) -> None:

@@ -10,12 +10,37 @@ the package logger for the duration of one table's pipeline.
 
 from __future__ import annotations
 
+import contextvars
 import logging
 from datetime import datetime
 from pathlib import Path
 
 PKG_LOGGER = "data_warehouse_copy_spark"
 _FMT = "%(asctime)s [%(levelname)s] %(name)s: %(message)s"
+
+# Which table's pipeline this thread/task is running. Parallel dim reloads
+# share the package logger, so without scoping every per-table file would
+# receive every concurrent table's records (the reference gives each table
+# an isolated Serilog logger — TableCopyService.cs:24-45). A contextvar is
+# set inside the worker, so each ThreadPoolExecutor thread sees its own.
+_CURRENT_TABLE: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "dwcs_current_table", default=None
+)
+
+
+class _TableFilter(logging.Filter):
+    """Pass only records emitted while this handler's table is current.
+    Records from outside any table scope (run-level messages) also pass,
+    matching the reference's per-table logs which include their own
+    bracketing lines but never another table's."""
+
+    def __init__(self, table_name: str):
+        super().__init__()
+        self.table_name = table_name
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        current = _CURRENT_TABLE.get()
+        return current is None or current == self.table_name
 
 
 def _month_dir(base: str | Path, now: datetime) -> Path:
@@ -54,6 +79,7 @@ def table_log_handler(
         d / f"{table_name}-{now.strftime('%Y%m%d_%H%M%S')}.log", encoding="utf-8"
     )
     handler.setFormatter(logging.Formatter(_FMT))
+    handler.addFilter(_TableFilter(table_name))
     logging.getLogger(PKG_LOGGER).addHandler(handler)
     return handler
 
@@ -71,8 +97,10 @@ class per_table_log:
         self.base_dir = base_dir
         self.table_name = table_name
         self._handler: logging.Handler | None = None
+        self._token: contextvars.Token | None = None
 
     def __enter__(self):
+        self._token = _CURRENT_TABLE.set(self.table_name)
         if self.base_dir is not None:
             self._handler = table_log_handler(self.base_dir, self.table_name)
         return self
@@ -80,4 +108,6 @@ class per_table_log:
     def __exit__(self, *exc):
         if self._handler is not None:
             teardown(self._handler)
+        if self._token is not None:
+            _CURRENT_TABLE.reset(self._token)
         return False

@@ -1418,21 +1418,27 @@ GROUP BY window_start, event_type
 
 
 def events_hourly_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style continuous aggregate: hours for days before the
-    split are MATERIALIZED into a ManagedTable rollup (one atomic commit),
-    the tail stays raw, and the serving query is rollup ∪ agg(tail). Because
-    hour windows never straddle the day split, the union is exactly the full
-    aggregate — same oracle as ``events_hourly``. At 100 TB the rollup is
-    maintained incrementally per closed day (cost ∝ new data) and reading it
-    replaces re-scanning all history."""
+    """Hypertable-style continuous aggregate (streaming/rollup.py): hours
+    for days before the split are MATERIALIZED into a ManagedTable rollup,
+    the tail stays raw, and the serving query is rollup ∪ agg(tail). The
+    materialization exercises BOTH maintenance paths the class offers —
+    bulk backfill for history, then ``refresh_day`` for the last closed day
+    (one day's scan, one atomic range-overwrite commit: the cost-∝-new-data
+    path a 100 TB rollup lives on, incl. idempotent re-refresh —
+    tests/test_streaming.py::TestContinuousAggregate). Because hour windows
+    never straddle the day split, the union is exactly the full aggregate —
+    same oracle as ``events_hourly``."""
+    from data_warehouse_copy_spark.streaming.rollup import ContinuousAggregate
+
     (events,) = _prep(spark, sf_dir, "events")
+    closed_day = "2024-01-19"  # last closed day; split = the next midnight
     split = F.expr("TIMESTAMP '2024-01-20 00:00:00'")
-    rollup_store = ManagedTable.create(
+    ca = ContinuousAggregate(
         spark, f"{tempfile.mkdtemp(prefix='dwcs_ca_')}/events_hourly"
     )
-    rollup_store.overwrite(tumbling_window_agg(events.filter(F.col("ts") < split), "1 hour"))
-    tail_agg = tumbling_window_agg(events.filter(F.col("ts") >= split), "1 hour")
-    return rollup_store.read().unionByName(tail_agg)
+    ca.backfill(events.filter(F.col("ts") < F.to_timestamp(F.lit(closed_day))))
+    ca.refresh_day(events, closed_day)
+    return ca.serve(events.filter(F.col("ts") >= split))
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

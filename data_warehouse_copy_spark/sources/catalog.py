@@ -5,7 +5,7 @@ The reference reads from SQL Server over ``SqlDataReader``
 driver's fixtures) read through the DataFrame API so Catalyst keeps predicate
 pushdown and column pruning all the way into the scan. A JDBC source reader
 is provided behind the same interface for parity with the reference's
-deployment shape (untested here — no database in the container).
+deployment shape, exercised against embedded Derby in tests/test_jdbc.py.
 """
 
 from __future__ import annotations
@@ -178,8 +178,8 @@ def write_jdbc_table(
     options: dict[str, str] | None = None,
 ) -> None:
     """JDBC sink for parity with the reference's ``SqlBulkCopy`` writer
-    (``TableCopyService.cs:144-169``) — untested here (no database in the
-    container). ``mode="append"`` is the streaming bulk insert (O5);
+    (``TableCopyService.cs:144-169``), exercised against embedded Derby in
+    tests/test_jdbc.py. ``mode="append"`` is the streaming bulk insert (O5);
     ``mode="overwrite", truncate=True`` reproduces the dim truncate+reload
     (O4: TRUNCATE keeps the table definition, as the reference's
     ``TRUNCATE TABLE`` does). Executors write partitions concurrently in

@@ -200,10 +200,12 @@ class ManagedTable:
         """Append rows atomically (reference O5 streaming bulk insert,
         ``TableCopyService.cs:144-169``). Returns rows written.
 
-        Column names must match the table's current schema (order-free;
-        columns are realigned). A silent mismatch would poison the table:
-        parquet reads take the first file's schema, so later readers would
-        drop or misread the divergent files."""
+        Column names AND types must match the table's current schema
+        (order-free; columns are realigned). A silent mismatch would poison
+        the table: parquet reads take the first file's schema, so later
+        readers would drop or misread the divergent files — a same-named
+        column written with a different type is exactly that poisoning, so
+        it is rejected too."""
         with _lock_for(self.root):
             m = self.snapshot()
             if m.schema_json:
@@ -213,6 +215,17 @@ class ManagedTable:
                     raise ValueError(
                         f"append schema mismatch: table has {sorted(want)}, "
                         f"dataframe has {sorted(have)}"
+                    )
+                new_types = {f.name: f.dataType for f in df.schema.fields}
+                diverged = [
+                    f"{f.name}: table={f.dataType.simpleString()} "
+                    f"df={new_types[f.name].simpleString()}"
+                    for f in existing.fields
+                    if new_types[f.name] != f.dataType
+                ]
+                if diverged:
+                    raise ValueError(
+                        "append type mismatch: " + "; ".join(sorted(diverged))
                     )
                 df = df.select(*[f.name for f in existing.fields])
             new_files = self._write_files(df, m.partition_date_col)

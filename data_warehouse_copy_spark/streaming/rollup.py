@@ -1,0 +1,69 @@
+"""Hypertable-style continuous aggregate with per-day incremental refresh.
+
+The serving shape (materialized rollup ∪ aggregated raw tail) lives in
+``queries.events_hourly_hybrid``; this module is the MAINTENANCE side: when
+a day closes, exactly that day's raw events are re-aggregated and swapped
+into the rollup as one atomic commit. Cost is ∝ the closed day's data, not
+history — at 100 TB the rollup never re-scans old days, and the range
+overwrite makes re-running a day (late data, replays) idempotent.
+
+Not in the reference (it has no aggregation at all — SURVEY.md §2.1); the
+pattern follows public continuous-aggregate designs (TimescaleDB docs,
+Spark Structured Streaming's incremental-window model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+from data_warehouse_copy_spark.streaming.events import tumbling_window_agg
+
+
+class ContinuousAggregate:
+    """An hourly (or any tumbling-window) rollup over an event stream,
+    materialized into a :class:`ManagedTable` and maintained day-by-day.
+
+    The window duration must divide 24 h so no window straddles a day
+    boundary — that makes per-day refresh exact (each rollup row belongs
+    to exactly one day) and makes ``serve`` equal the full aggregate.
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, window_duration: str = "1 hour"
+    ):
+        self.window_duration = window_duration
+        self.store = ManagedTable.create(spark, path)
+
+    def backfill(self, events: DataFrame) -> int:
+        """Initial build: aggregate everything given, one commit (use for
+        first materialization; afterwards prefer :meth:`refresh_day`)."""
+        return self.store.overwrite(
+            tumbling_window_agg(events, self.window_duration)
+        )
+
+    def refresh_day(self, events: DataFrame, day: str) -> tuple[int, int]:
+        """Re-aggregate ONE closed day and swap its rollup rows atomically.
+
+        ``events`` is the raw table (the day filter is applied here and
+        pushed into the scan, so only that day's files are read);
+        ``day`` is a ``yyyy-MM-dd`` string. Returns (rows_deleted,
+        rows_inserted) from the range overwrite. Idempotent: re-refreshing
+        a day replaces its rows instead of duplicating them.
+        """
+        start = F.to_timestamp(F.lit(day))
+        day_events = events.filter(
+            (F.col("ts") >= start)
+            & (F.col("ts") < F.date_add(start.cast("date"), 1).cast("timestamp"))
+        )
+        agg = tumbling_window_agg(day_events, self.window_duration)
+        return self.store.overwrite_range(agg, day, day, date_column="window_start")
+
+    def serve(self, tail_events: DataFrame) -> DataFrame:
+        """Rollup ∪ agg(raw tail): the continuous-aggregate read path.
+        ``tail_events`` must be exactly the events of not-yet-refreshed days
+        (caller filters by its refresh high-water mark)."""
+        return self.store.read().unionByName(
+            tumbling_window_agg(tail_events, self.window_duration)
+        )

@@ -286,3 +286,19 @@ def test_append_pylist_guards(spark, tmp_path):
     tp = ManagedTable.create(spark, str(tmp_path / "part"), "ts")
     with pytest.raises(ValueError, match="unpartitioned"):
         tp.append_pylist([{"k": "a", "n": 1, "ts": datetime(2026, 1, 1)}], schema)
+
+
+def test_append_rejects_type_divergence(spark, tmp_path, lineitem):
+    """Same column names but a divergent type must be rejected: parquet
+    readers take the first file's schema, so a silently-written
+    type-incompatible file poisons every later read."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(10))
+    retyped = lineitem.limit(5).withColumn(
+        "l_quantity", F.col("l_quantity").cast("string")
+    )
+    with pytest.raises(ValueError, match="type mismatch.*l_quantity"):
+        t.append(retyped)
+    # realigned-but-identical schema still appends fine
+    reordered = lineitem.limit(5).select(*reversed(lineitem.columns))
+    assert t.append(reordered) == 5

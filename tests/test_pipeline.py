@@ -239,3 +239,37 @@ def test_cli_main_exit_codes(spark, sf_dir, tmp_path, capsys):
     rc = main([str(path), "--date-from", "1995-03-01", "--date-to", "1995-03-02"],
               spark=spark)
     assert rc == 0
+
+
+def test_parallel_table_logs_are_isolated(tmp_path):
+    """Concurrent per-table handlers share the package logger; the
+    contextvar filter must keep each table's file free of the other
+    table's records (the reference isolates per-table Serilog loggers)."""
+    import logging
+    import threading
+
+    from data_warehouse_copy_spark.plans.logfiles import PKG_LOGGER, per_table_log
+
+    logger = logging.getLogger(PKG_LOGGER + ".paralleltest")
+    logger.setLevel(logging.INFO)
+    start = threading.Barrier(2)
+
+    def work(table: str):
+        with per_table_log(tmp_path, table):
+            start.wait()
+            for i in range(50):
+                logger.info("record %s from %s", i, table)
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in ("alpha", "beta")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    month = next(p for p in tmp_path.iterdir() if p.is_dir())
+    for mine, other in (("alpha", "beta"), ("beta", "alpha")):
+        files = list((month / mine).glob(f"{mine}-*.log"))
+        assert files, f"missing log for {mine}"
+        text = "".join(f.read_text() for f in files)
+        assert f"from {mine}" in text
+        assert f"from {other}" not in text, f"{mine} log captured {other} records"

@@ -236,3 +236,40 @@ def test_enrich_with_dim_stream(spark, events, sf_dir, tmp_path):
     got = spark.sql("SELECT * FROM enriched")
     assert got.count() == events.count()
     assert "c_mktsegment" in got.columns
+
+
+class TestContinuousAggregate:
+    """Incremental rollup maintenance: refresh_day must cost one day's scan
+    and keep the rollup exactly equal to the from-scratch aggregate."""
+
+    @staticmethod
+    def _full(events, upto=None):
+        src = events if upto is None else events.filter(F.col("ts") < F.lit(upto))
+        return {tuple(map(str, r)) for r in tumbling_window_agg(src).collect()}
+
+    def test_successive_refreshes_equal_full_aggregate(
+        self, spark, events, tmp_path
+    ):
+        from data_warehouse_copy_spark.streaming.rollup import ContinuousAggregate
+
+        ca = ContinuousAggregate(spark, str(tmp_path / "rollup"))
+        ca.backfill(events.filter(F.col("ts") < F.lit("2024-01-10")))
+        # two closed days arrive, one refresh each — cost ∝ that day's data
+        ca.refresh_day(events, "2024-01-10")
+        ca.refresh_day(events, "2024-01-11")
+        got = {tuple(map(str, r)) for r in ca.store.read().collect()}
+        assert got == self._full(events, "2024-01-12")
+
+    def test_refresh_is_idempotent_and_serve_is_exact(
+        self, spark, events, tmp_path
+    ):
+        from data_warehouse_copy_spark.streaming.rollup import ContinuousAggregate
+
+        ca = ContinuousAggregate(spark, str(tmp_path / "rollup"))
+        ca.backfill(events.filter(F.col("ts") < F.lit("2024-01-10")))
+        ca.refresh_day(events, "2024-01-10")
+        deleted, inserted = ca.refresh_day(events, "2024-01-10")  # replay
+        assert deleted == inserted  # replaced, not duplicated
+        served = ca.serve(events.filter(F.col("ts") >= F.lit("2024-01-11")))
+        got = {tuple(map(str, r)) for r in served.collect()}
+        assert got == self._full(events)
