@@ -74,6 +74,18 @@ def _prep(spark: SparkSession, sf_dir: str, *tables: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, t) for t in tables]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a single-split fixture table across all cores before heavy
+    per-row compute (regex projections, shingling, hashing). The fixture
+    tables are one small parquet file each = ONE input split, so without
+    this the whole scan stage runs on one core of local[32]. At real scale
+    the source already has >= cores splits and this repartition is a no-op
+    policy (same rationale as multimodal_features' repartition). Values are
+    unaffected: every downstream computation here is order-independent
+    (per-row projections, exact group aggregates, min-id windows)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _dec_sum(expr: str) -> F.Column:
     """Order-independent double sum: exact decimal accumulate, one final cast."""
     return F.sum(F.expr(expr).cast("decimal(18,6)")).cast("double")
@@ -1022,7 +1034,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return ngram_jaccard_pairs(aug, threshold=0.5)
+    return ngram_jaccard_pairs(_spread(aug), threshold=0.5)
 
 
 DEDUP_NGRAM_SQL = f"""
@@ -1061,7 +1073,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return ngram_jaccard_pairs(aug, threshold=0.35, max_shingle_df=20)
+    return ngram_jaccard_pairs(_spread(aug), threshold=0.35, max_shingle_df=20)
 
 
 DEDUP_NGRAM_CAPPED_SQL = f"""
@@ -1149,7 +1161,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return minhash_lsh_pairs(aug, threshold=0.5)
+    return minhash_lsh_pairs(_spread(aug), threshold=0.5)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,7 +1174,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" tail")).alias("text"),
         )
     )
-    return simhash_pairs(aug, max_hamming=3)
+    return simhash_pairs(_spread(aug), max_hamming=3)
 
 
 # --------------------------------------------------------------------------
@@ -1247,7 +1259,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass quality-signal projection (no shuffle, no UDF)."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    return with_text_stats(docs).select(
+    return with_text_stats(_spread(docs)).select(
         "doc_id",
         "stat_n_chars",
         "n_tokens",
@@ -1309,7 +1321,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-stopword language ID (argmax, ties to lexicographic
     first, zero hits -> 'und')."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    return with_language_id(docs).select(
+    return with_language_id(_spread(docs)).select(
         "doc_id", "lang", "lang_pred", "score_de", "score_en", "score_es", "score_fr"
     )
 
@@ -1345,7 +1357,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash document fingerprint + near-dup prefilter
     bucket — order-sensitive, exact-integer, SQL-reproducible."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    return with_fingerprints(docs).select("doc_id", "fingerprint", "fp_bucket")
+    return with_fingerprints(_spread(docs)).select("doc_id", "fingerprint", "fp_bucket")
 
 
 def _sql_fp(expr: str) -> str:
@@ -1924,7 +1936,7 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the same pipeline as chained SQL CTEs, value-exact."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    enriched = with_fingerprints(with_language_id(with_text_stats(docs)))
+    enriched = with_fingerprints(with_language_id(with_text_stats(_spread(docs))))
     filtered = enriched.filter(
         (F.col("quality_score") >= 0.05)
         & (F.col("lang_pred") != "und")
