@@ -127,6 +127,13 @@ class JobConfig:
     def audit_table_path(self) -> str:
         if self.audit_table:
             return self.audit_table
+        if self.target.lower().startswith("jdbc:"):
+            raise ValueError(
+                "audit_table must be set explicitly (a filesystem path) when "
+                "the target is a jdbc: URL — the default derives from the "
+                "target directory, which does not exist for database targets. "
+                "Alternatively pass audit=False to run()."
+            )
         return str(Path(self.target) / "_audit" / "tbl_dw_copy_logs")
 
 

@@ -57,14 +57,25 @@ class RunResult:
         return [o for o in self.outcomes if o.status == "Failed"]
 
 
+def _is_jdbc(location: str) -> bool:
+    return location.lower().startswith("jdbc:")
+
+
 def target_table_path(config: JobConfig, table_name: str) -> str:
     schema_part = config.target_schema or ""
     return str(Path(config.target) / schema_part / table_name)
 
 
-def _open_target(
-    spark: SparkSession, config: JobConfig, spec: TableSpec
-) -> ManagedTable:
+def _open_target(spark: SparkSession, config: JobConfig, spec: TableSpec):
+    """Open the per-table sink: a :class:`ManagedTable` for filesystem
+    targets, a :class:`JdbcTable` for ``jdbc:`` URLs (the reference's
+    actual deployment shape — both implement the same write protocol)."""
+    if _is_jdbc(config.target):
+        from data_warehouse_copy_spark.sources.jdbc_table import JdbcTable
+
+        return JdbcTable(
+            spark, config.target, spec.table_name, config.target_schema
+        )
     # Facts get day-partitioned targets so the range delete is a metadata
     # operation and the reload touches only the window's partitions (§4
     # forward-looking decision: partition facts by date).
@@ -72,6 +83,18 @@ def _open_target(
     return ManagedTable.create(
         spark, target_table_path(config, spec.table_name), partition_col
     )
+
+
+def _load_source(spark: SparkSession, config: JobConfig, table_name: str):
+    """Load one source table from a parquet directory or a ``jdbc:`` URL
+    (reference O1/O2 — the source is a database in its deployment)."""
+    if _is_jdbc(config.source):
+        from data_warehouse_copy_spark.sources.catalog import load_jdbc_table
+
+        return load_jdbc_table(
+            spark, config.source, table_name, config.source_schema
+        )
+    return load_table(spark, _source_dir(config), table_name)
 
 
 def run(
@@ -150,7 +173,7 @@ def _run_inner(
             else None
         )
         try:
-            src = load_table(spark, _source_dir(config), spec.table_name)
+            src = _load_source(spark, config, spec.table_name)
             target = _open_target(spark, config, spec)
             res = copy_table(
                 src,
@@ -193,7 +216,7 @@ def _run_inner(
             else None
         )
         try:
-            src = load_table(spark, _source_dir(config), spec.table_name)
+            src = _load_source(spark, config, spec.table_name)
             target = _open_target(spark, config, spec)
             n_keys = update_table(
                 src,
