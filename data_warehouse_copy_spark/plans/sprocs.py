@@ -36,6 +36,30 @@ class SprocRegistry:
         else:
             self._sprocs[name] = transform
 
+    def register_jdbc(self, name: str, url: str, statement: str) -> None:
+        """Register a GENUINE server-side statement/procedure call executed
+        over a raw JDBC connection on the target database — the reference's
+        literal behavior (``EXEC sproc @StartDateParam, @EndDateParam`` with
+        ``CommandTimeout=0``, ``StoreProcRunService.cs:17-30``).
+
+        ``statement`` is any SQL the server accepts (``CALL proc(?, ?)``,
+        ``UPDATE ...``, ...) with exactly two ``?`` parameters bound to the
+        window's start and end date strings. Failures propagate, aborting
+        the run, same as the Spark-side transforms."""
+
+        def run_jdbc(spark: SparkSession, start: str, end: str) -> None:
+            jvm = spark.sparkContext._jvm
+            conn = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                ps = conn.prepareStatement(statement)
+                ps.setString(1, start)
+                ps.setString(2, end)
+                ps.execute()
+            finally:
+                conn.close()
+
+        self._sprocs[name] = run_jdbc
+
     def execute(self, name: str, spark: SparkSession, start: str, end: str) -> None:
         """Run a registered transform; raises on unknown name or failure —
         the reference rethrows and aborts the run (``StoreProcRunService.cs:

@@ -134,3 +134,52 @@ def test_audit_default_requires_path_for_jdbc_target():
     )
     with pytest.raises(ValueError, match="audit_table must be set"):
         _ = cfg.audit_table_path
+
+
+def test_jdbc_sproc_executes_on_target_database(spark, sf_dir, tmp_path):
+    """O11 for a database target: the registered statement runs server-side
+    over raw JDBC with the window bound as parameters, and its failure
+    aborts the run (rethrow asymmetry vs swallowed copy errors)."""
+    from data_warehouse_copy_spark.plans.sprocs import SprocRegistry
+
+    url = "jdbc:derby:memory:jt_sproc;create=true"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+        "CREATE TABLE sproc_log (win_start VARCHAR(10), win_end VARCHAR(10))"
+    )
+    conn.close()
+
+    reg = SprocRegistry()
+    reg.register_jdbc(
+        "refresh_summary", url, "INSERT INTO sproc_log VALUES (?, ?)"
+    )
+    cfg = dwcs.load_config(
+        {
+            "source": sf_dir, "target": str(tmp_path / "tgt"),
+            "date_from": W_FROM, "date_to": W_TO,
+            "tables": [{"table_name": "refresh_summary", "table_type": "sproc"}],
+        }
+    )
+    res = run(spark, cfg, now=datetime(2026, 8, 13, 12, 0), sprocs=reg, audit=False)
+    assert [o.status for o in res.outcomes] == ["Completed"]
+
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    rs = conn.createStatement().executeQuery("SELECT * FROM sproc_log")
+    rows = []
+    while rs.next():
+        rows.append((rs.getString(1), rs.getString(2)))
+    conn.close()
+    assert rows == [(W_FROM, W_TO)]
+
+    # failure rethrows and aborts (reference StoreProcRunService.cs:32-36)
+    reg.register_jdbc("bad", url, "INSERT INTO missing_table VALUES (?, ?)")
+    cfg_bad = dwcs.load_config(
+        {
+            "source": sf_dir, "target": str(tmp_path / "tgt2"),
+            "date_from": W_FROM, "date_to": W_TO,
+            "tables": [{"table_name": "bad", "table_type": "sproc"}],
+        }
+    )
+    with pytest.raises(Exception):
+        run(spark, cfg_bad, now=datetime(2026, 8, 13, 12, 0), sprocs=reg, audit=False)

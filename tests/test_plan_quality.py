@@ -111,3 +111,26 @@ def test_q17_qualifier_broadcast_back(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_single_exchange(spark, sf_dir):
+    """bucketed_orders_revenue: the fact-to-fact join reads co-bucketed
+    scans with NO join-side exchange; the only exchange is the tiny
+    post-aggregation one on the 5-row grouped result."""
+    import re
+
+    plan = _plan(spark, sf_dir, "bucketed_orders_revenue")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan  # both scans are bucket-pruned reads
+
+
+def test_salted_join_stays_equi_no_bnlj(spark, sf_dir):
+    """q18_salted_variant: the salt must keep the join an equi-join on
+    (key, salt) — never a nested-loop/cartesian — and the big fact side
+    must not be broadcast."""
+    plan = _plan(spark, sf_dir, "q18_salted_variant")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__salt" in plan  # the composite salted key is in the join
