@@ -1192,7 +1192,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Left-fold dot products (bit-identical to the oracle's), unique rank
     tie-break."""
     (emb,) = _prep(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return brute_force_topk(_spread(emb), emb.filter(F.col("vec_id") < 20), k=5)
 
 
 SIMILARITY_TOPK_SQL = f"""
@@ -1236,7 +1236,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys instead of a cross join). Probabilistic recall → rows-only
     check; precision verified against brute force in tests."""
     (emb,) = _prep(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return lsh_topk(_spread(emb), emb.filter(F.col("vec_id") < 20), k=5)
 
 
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,7 +1247,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _prep(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, nprobe=3
+        _spread(emb), emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, nprobe=3
     )
 
 
