@@ -82,10 +82,20 @@ class JdbcTable:
         conn = self._connect()
         try:
             md = conn.getMetaData()
-            for candidate in (self.table, self.table.upper()):
-                rs = md.getTables(None, self.schema.upper() or None, candidate, None)
-                if rs.next():
-                    return True
+            # Unquoted identifiers fold per-database (Derby/Oracle fold UP,
+            # Postgres folds DOWN) — probe every folding of BOTH the schema
+            # and the table so no combination yields a false negative.
+            schemas = (
+                {self.schema, self.schema.upper(), self.schema.lower()}
+                if self.schema
+                else {None}
+            )
+            tables = {self.table, self.table.upper(), self.table.lower()}
+            for s in schemas:
+                for t in tables:
+                    rs = md.getTables(None, s, t, None)
+                    if rs.next():
+                        return True
             return False
         finally:
             conn.close()
@@ -93,10 +103,21 @@ class JdbcTable:
     def read(self) -> DataFrame:
         return load_jdbc_table(self.spark, self.url, self.table, self.schema)
 
-    def _stage_swap(self, df: DataFrame, delete_sql: str, params: list) -> tuple[int, int]:
-        """Parallel-write ``df`` to a staging table, then one transaction:
-        run ``delete_sql`` (against the target) and insert the staged rows.
-        Returns (rows_deleted, rows_inserted)."""
+    def _stage_swap(
+        self,
+        df: DataFrame,
+        build_delete_sql=None,
+        params: list | None = None,
+        scalar_sql=None,
+    ) -> tuple[int, int, int]:
+        """Parallel-write ``df`` to a staging table, then ONE server-side
+        transaction: optional ``build_delete_sql(stage_qualified)`` DELETE
+        against the target, then ``INSERT INTO target SELECT FROM stage``.
+        ``scalar_sql(stage_qualified)``, when given, is evaluated inside the
+        same transaction (e.g. a key count off the staged rows). Returns
+        (rows_deleted, rows_inserted, scalar). The staged write is the only
+        parallel step; readers of the target see the delete+reload
+        atomically (reference O16)."""
         stage = f"{self.table}_stg_{uuid.uuid4().hex[:8]}"
         stage_q = f"{self.schema}.{stage}" if self.schema else stage
         write_jdbc_table(df, self.url, stage, self.schema, mode="overwrite")
@@ -104,25 +125,43 @@ class JdbcTable:
         conn = self._connect()
         try:
             conn.setAutoCommit(False)
+            deleted = scalar = 0
             try:
-                ps = conn.prepareStatement(delete_sql)
-                for i, p in enumerate(params, start=1):
-                    ps.setTimestamp(i, p)
-                deleted = ps.executeUpdate()
+                if build_delete_sql is not None:
+                    ps = conn.prepareStatement(build_delete_sql(stage_q))
+                    for i, p in enumerate(params or [], start=1):
+                        ps.setTimestamp(i, p)
+                    deleted = ps.executeUpdate()
+                if scalar_sql is not None:
+                    rs = conn.createStatement().executeQuery(scalar_sql(stage_q))
+                    rs.next()
+                    scalar = rs.getLong(1)
                 inserted = conn.createStatement().executeUpdate(
                     f"INSERT INTO {self.qualified} ({cols}) "
                     f"SELECT {cols} FROM {stage_q}"
                 )
                 conn.commit()
             except Exception:
-                conn.rollback()  # reference O16 rollback-on-error
+                try:
+                    conn.rollback()  # reference O16 rollback-on-error
+                except Exception:
+                    log.warning("rollback failed for %s", self.qualified)
                 raise
             finally:
-                conn.setAutoCommit(True)
-                conn.createStatement().executeUpdate(f"DROP TABLE {stage_q}")
+                # Cleanup must never mask the transaction's own exception
+                # (a broken connection would throw here too); a leaked stage
+                # table is logged, not raised.
+                try:
+                    conn.setAutoCommit(True)
+                    conn.createStatement().executeUpdate(f"DROP TABLE {stage_q}")
+                except Exception:
+                    log.warning("stage cleanup failed; %s left behind", stage_q)
         finally:
-            conn.close()
-        return deleted, inserted
+            try:
+                conn.close()
+            except Exception:
+                pass
+        return deleted, inserted, scalar
 
     def _ts(self, dt) -> object:
         jvm = self.spark.sparkContext._jvm
@@ -132,22 +171,43 @@ class JdbcTable:
 
     # ------------------------------------------------------------ protocol
 
+    def _count(self) -> int:
+        """Server-side ``COUNT(*)`` of the target — cheap relative to
+        re-running the Spark lineage through a second remote scan."""
+        conn = self._connect()
+        try:
+            rs = conn.createStatement().executeQuery(
+                f"SELECT COUNT(*) FROM {self.qualified}"
+            )
+            rs.next()
+            return rs.getLong(1)
+        finally:
+            conn.close()
+
     def append(self, df: DataFrame) -> int:
         """O5 streaming bulk insert; returns rows written (the reference
-        counts rows through SqlRowsCopied — here one count pass)."""
-        rows = df.count()
-        write_jdbc_table(df, self.url, self.table, self.schema, mode="append")
-        return rows
+        counts rows through SqlRowsCopied — here the count comes from the
+        server-side INSERT, so the Spark lineage runs exactly once)."""
+        if not self.exists():
+            # Creation load: no readers yet, plain parallel write; the
+            # post-write count equals the insert (table was empty).
+            write_jdbc_table(df, self.url, self.table, self.schema, mode="append")
+            return self._count()
+        _, inserted, _ = self._stage_swap(df)
+        return inserted
 
     def overwrite(self, df: DataFrame) -> int:
-        """O4 truncate + reload. ``truncate=True`` keeps the table
-        definition (TRUNCATE TABLE), like the reference's dim reload."""
-        rows = df.count()
-        write_jdbc_table(
-            df, self.url, self.table, self.schema,
-            mode="overwrite", truncate=self.exists(),
+        """O4 truncate + reload, atomic to readers: stage in parallel, then
+        one transaction deletes every target row and inserts the staged
+        reload — the reference's transactional dim reload. (A raw TRUNCATE
+        commits immediately on most engines, so the swap uses DELETE.)"""
+        if not self.exists():
+            write_jdbc_table(df, self.url, self.table, self.schema, mode="append")
+            return self._count()
+        _, inserted, _ = self._stage_swap(
+            df, lambda _stage: f"DELETE FROM {self.qualified}"
         )
-        return rows
+        return inserted
 
     def overwrite_range(
         self,
@@ -159,7 +219,8 @@ class JdbcTable:
         """O3+O5 range delete + reload, atomic to readers via stage-and-swap.
         The DELETE predicate is the reference's raw-datetime BETWEEN with
         the ``23:59:59.997`` end bound (``TableCopyService.cs:106-117``)."""
-        assert date_column, "overwrite_range requires a date column"
+        if not date_column:
+            raise ValueError("overwrite_range requires a date column")
         if not self.exists():
             return 0, self.append(df)
         start, end = day_bounds(date_from, date_to)
@@ -167,44 +228,36 @@ class JdbcTable:
             f"DELETE FROM {self.qualified} "
             f"WHERE {_q(_resolve(df, date_column))} BETWEEN ? AND ?"
         )
-        return self._stage_swap(df, delete_sql, [self._ts(start), self._ts(end)])
+        deleted, inserted, _ = self._stage_swap(
+            df, lambda _stage: delete_sql, [self._ts(start), self._ts(end)]
+        )
+        return deleted, inserted
 
     def merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         """O9+O10 keyed delete + reinsert in ONE transaction (the reference
         batches 2000 keys per statement inside one transaction; the staged
         ``IN (SELECT ...)`` form is the set-based equivalent with no driver
         round-trips). Returns the KEY count (reference metric,
-        ``TableUpdateService.cs:163``)."""
+        ``TableUpdateService.cs:163``), counted off the staged rows so the
+        Spark lineage runs exactly once."""
+        pk = _q(_resolve(source_df, primary_key))
         if not self.exists():
             self.append(source_df)
-            return source_df.select(primary_key).distinct().count()
-        n_keys = source_df.select(primary_key).distinct().count()
-        if n_keys == 0:
-            return 0  # empty key set still "completes" (:167-172)
-        stage = f"{self.table}_stg_{uuid.uuid4().hex[:8]}"
-        stage_q = f"{self.schema}.{stage}" if self.schema else stage
-        write_jdbc_table(source_df, self.url, stage, self.schema, mode="overwrite")
-        cols = ", ".join(_q(c) for c in source_df.columns)
-        pk = _q(_resolve(source_df, primary_key))
-        conn = self._connect()
-        try:
-            conn.setAutoCommit(False)
+            conn = self._connect()
             try:
-                conn.createStatement().executeUpdate(
-                    f"DELETE FROM {self.qualified} WHERE {pk} IN "
-                    f"(SELECT {pk} FROM {stage_q})"
+                rs = conn.createStatement().executeQuery(
+                    f"SELECT COUNT(DISTINCT {pk}) FROM {self.qualified}"
                 )
-                conn.createStatement().executeUpdate(
-                    f"INSERT INTO {self.qualified} ({cols}) "
-                    f"SELECT {cols} FROM {stage_q}"
-                )
-                conn.commit()
-            except Exception:
-                conn.rollback()
-                raise
+                rs.next()
+                return rs.getLong(1)
             finally:
-                conn.setAutoCommit(True)
-                conn.createStatement().executeUpdate(f"DROP TABLE {stage_q}")
-        finally:
-            conn.close()
+                conn.close()
+        _, _, n_keys = self._stage_swap(
+            source_df,
+            lambda stage_q: (
+                f"DELETE FROM {self.qualified} WHERE {pk} IN "
+                f"(SELECT {pk} FROM {stage_q})"
+            ),
+            scalar_sql=lambda stage_q: f"SELECT COUNT(DISTINCT {pk}) FROM {stage_q}",
+        )
         return n_keys

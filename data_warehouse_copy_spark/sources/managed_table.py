@@ -216,12 +216,16 @@ class ManagedTable:
                         f"append schema mismatch: table has {sorted(want)}, "
                         f"dataframe has {sorted(have)}"
                     )
+                # Compare via simpleString(): nullability-insensitive (a
+                # nested containsNull flip is parquet-compatible, and exact
+                # DataType equality would reject it with an error message
+                # that renders both sides identically).
                 new_types = {f.name: f.dataType for f in df.schema.fields}
                 diverged = [
                     f"{f.name}: table={f.dataType.simpleString()} "
                     f"df={new_types[f.name].simpleString()}"
                     for f in existing.fields
-                    if new_types[f.name] != f.dataType
+                    if new_types[f.name].simpleString() != f.dataType.simpleString()
                 ]
                 if diverged:
                     raise ValueError(

@@ -34,7 +34,13 @@ class ContinuousAggregate:
         self, spark: SparkSession, path: str, window_duration: str = "1 hour"
     ):
         self.window_duration = window_duration
-        self.store = ManagedTable.create(spark, path)
+        # Partitioned by window_start's day: refresh_day's range overwrite is
+        # then a metadata-only partition replace (drop one day's files, write
+        # one day's files) — without this the unpartitioned fallback rewrites
+        # the ENTIRE rollup every refresh, O(history) instead of O(day).
+        self.store = ManagedTable.create(
+            spark, path, partition_date_col="window_start"
+        )
 
     def backfill(self, events: DataFrame) -> int:
         """Initial build: aggregate everything given, one commit (use for

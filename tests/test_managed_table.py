@@ -302,3 +302,26 @@ def test_append_rejects_type_divergence(spark, tmp_path, lineitem):
     # realigned-but-identical schema still appends fine
     reordered = lineitem.limit(5).select(*reversed(lineitem.columns))
     assert t.append(reordered) == 5
+
+
+def test_append_tolerates_nested_nullability_divergence(spark, tmp_path):
+    """Nested containsNull flips are parquet-compatible; only genuine type
+    divergence is poisoning. A frame whose array column says
+    containsNull=false must append onto a containsNull=true table."""
+    from pyspark.sql import types as T
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    nullable = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType(), True)),
+        ]
+    )
+    t.append(spark.createDataFrame([(1, ["a", "b"])], nullable))
+    # F.split/F.array expressions produce containsNull=false arrays
+    dense = spark.range(2, 4).select(
+        F.col("id").alias("k"), F.split(F.lit("x,y"), ",").alias("tags")
+    )
+    assert not dense.schema["tags"].dataType.containsNull
+    assert t.append(dense) == 2
+    assert t.read().count() == 3

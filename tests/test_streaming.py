@@ -273,3 +273,23 @@ class TestContinuousAggregate:
         served = ca.serve(events.filter(F.col("ts") >= F.lit("2024-01-11")))
         got = {tuple(map(str, r)) for r in served.collect()}
         assert got == self._full(events)
+
+
+def test_refresh_day_rewrites_only_that_days_files(spark, events, tmp_path):
+    """The rollup store is partitioned by window_start's day, so refresh_day
+    must be a metadata-only partition replace: every file belonging to other
+    days survives the refresh untouched (cost ∝ the refreshed day, not
+    history)."""
+    from data_warehouse_copy_spark.streaming.rollup import ContinuousAggregate
+
+    ca = ContinuousAggregate(spark, str(tmp_path / "rollup"))
+    ca.backfill(events.filter(F.col("ts") < F.lit("2024-01-10")))
+    before = {f.path for f in ca.store.snapshot().files}
+    assert before  # backfill materialized something
+    ca.refresh_day(events, "2024-01-10")
+    after = ca.store.snapshot().files
+    other_days = {f.path for f in after if f.partition != "2024-01-10"}
+    # every pre-refresh file of other days is still referenced verbatim
+    assert before <= {f.path for f in after}
+    assert other_days == before
+    assert any(f.partition == "2024-01-10" for f in after)
