@@ -806,6 +806,252 @@ GROUP BY c_nationkey
 """
 
 
+# The fixtures have no partsupp table, so the five TPC-H queries that need
+# it (Q2/Q9/Q11/Q16/Q20) are adapted: the part<->supplier relation and its
+# cost/stock measures are derived from shipped lineitem rows instead. The
+# join/aggregate SHAPES (and the scale behavior being demonstrated) are the
+# originals'; only the partsupp-sourced measures are substituted.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style min-cost supplier: for each qualifying part, the
+    EUROPE supplier offering it cheapest. "Offer cost" is the supplier's
+    quantity-weighted unit price for the part — a ratio of two exact
+    decimal sums (no partsupp in the fixtures; a per-row division cast to
+    decimal would tie-round differently across engines). Q2's correlated
+    MIN subquery becomes a per-part aggregate joined back; all dims
+    broadcast, so the only shuffle is the (part, supplier) aggregation."""
+    part, supplier, nation, region, li = _prep(
+        spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
+    )
+    europe_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target_parts = part.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    offers = (
+        li.join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(target_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            (_dec_sum("l_extendedprice") / _dec_sum("l_quantity"))
+            .alias("supply_cost")
+        )
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("mp_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return offers.join(
+        F.broadcast(best),
+        (F.col("p_partkey") == F.col("mp_partkey"))
+        & (F.col("supply_cost") == F.col("min_cost")),
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+
+
+Q2_SQL = f"""
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         {_sql_dec_sum('l_extendedprice')}
+           / {_sql_dec_sum('l_quantity')} AS supply_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+  GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM offers o
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM offers m
+                     WHERE m.p_partkey = o.p_partkey)
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by nation and year. Profit per
+    line is revenue minus a retail-price-derived cost (standing in for
+    ps_supplycost). part/supplier/nation broadcast; lineitem |><| orders is
+    the one big shuffle join (both fact-sized at scale — sort-merge, AQE
+    decides), then one partial-aggregated shuffle on (nation, year)."""
+    part, supplier, nation, orders, li = _prep(
+        spark, sf_dir, "part", "supplier", "nation", "orders", "lineitem"
+    )
+    widget_parts = part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        li.join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            _dec_sum(
+                "l_extendedprice * (1 - l_discount)"
+                " - 0.6 * p_retailprice * l_quantity"
+            ).alias("sum_profit")
+        )
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)'
+                     ' - 0.6 * p_retailprice * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+def q11_important_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per-part shipped value from one
+    nation's suppliers, keeping parts whose value exceeds a fixed fraction
+    of the total. The Q11 scalar-subquery total is a single-partition
+    window over the per-part aggregate — |parts| rows, trivially cheap
+    (same pattern as q15; never window an unaggregated fact like this).
+    The total re-sums the per-part doubles through decimals so it is
+    order-independent, exactly like the oracle's."""
+    supplier, nation, li = _prep(spark, sf_dir, "supplier", "nation", "lineitem")
+    # a small nation group rather than Q11's single nation: the sf0.001
+    # fixture has only 10 suppliers, and a single nation can miss them all
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_nationkey").isin(3, 7, 8))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_dec_sum("l_extendedprice * (1 - l_discount)").alias("part_value"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        per_part.withColumn(
+            "total_value",
+            F.sum(F.col("part_value").cast("decimal(18,6)")).over(w).cast("double"),
+        )
+        .filter(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {_sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_nationkey IN (3, 7, 8)
+  GROUP BY l_partkey)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > 0.001 * (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE) FROM per_part)
+"""
+
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style parts/supplier relationship: distinct suppliers per
+    (brand, type, size) over the shipped part<->supplier relation, excluding
+    one brand/type family and negative-balance suppliers (the complaint
+    analog). Both filters broadcast; COUNT(DISTINCT) expands then
+    partial-aggregates — one shuffle keyed on the group columns."""
+    part, supplier, li = _prep(spark, sf_dir, "part", "supplier", "lineitem")
+    ok_supp = supplier.filter(F.col("s_acctbal") >= 0.0).select("s_suppkey")
+    sel_parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(sel_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(ok_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND s_acctbal >= 0.0
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style potential-promotion suppliers: suppliers who moved
+    an outsized volume of one part family in 1995 (the availqty > half-of-
+    shipments test adapted to a shipped-quantity threshold), with their
+    nation. Date + part filters push into the scan; the per-supplier
+    aggregate is the one shuffle; supplier/nation broadcast onto the tiny
+    qualifying set."""
+    part, supplier, nation, li = _prep(
+        spark, sf_dir, "part", "supplier", "nation", "lineitem"
+    )
+    fam = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1995-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        )
+        .join(F.broadcast(fam), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(_dec_sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 300.0)
+    )
+    return (
+        qty.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "shipped_qty")
+    )
+
+
+Q20_SQL = f"""
+SELECT s_name, n_name, shipped_qty
+FROM (
+  SELECT l_suppkey, {_sql_dec_sum('l_quantity')} AS shipped_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY l_suppkey) q
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE shipped_qty > 300.0
+"""
+
+
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function top-k: rank customers by account balance within each
     nation (row_number over a hash-partitioned window, one shuffle on the
@@ -2044,8 +2290,18 @@ QUERIES: dict[str, QueryFn] = {
     "lineitem_percentiles": lineitem_percentiles,
     "scalar_functions_demo": scalar_functions_demo,
     "customers_with_urgent_orders": customers_with_urgent_orders,
-    # -- no-oracle block (rows-only driver check; keep AFTER all
-    # oracle-backed entries — see ordering contract above) --
+    # -- everything below is past the driver's 50 correctness slots (every
+    # slot above is taken by an oracle-backed entry, the maximum possible
+    # driver-side hash coverage). First the partsupp-adapted TPC-H
+    # completions: they DO have oracles, and tests/test_entry_contract.py
+    # hash-checks them side-by-side exactly like the driver would --
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_shipments": q11_important_shipments,
+    "q16_parts_supplier_counts": q16_parts_supplier_counts,
+    "q20_excess_shipments": q20_excess_shipments,
+    # -- no-oracle block (not SQL-expressible / approximate by design;
+    # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "similarity_topk_lsh": similarity_topk_lsh,
@@ -2109,4 +2365,9 @@ ORACLES: dict[str, str] = {
     # no oracle (not ANSI-SQL-expressible / approximate by design — see
     # docstrings): dedup_minhash_lsh, dedup_simhash, similarity_topk_lsh,
     # approx_analytics, multimodal_features
+    "q2_min_cost_supplier": Q2_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q11_important_shipments": Q11_SQL,
+    "q16_parts_supplier_counts": Q16_SQL,
+    "q20_excess_shipments": Q20_SQL,
 }

@@ -134,3 +134,31 @@ def test_salted_join_stays_equi_no_bnlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "__salt" in plan  # the composite salted key is in the join
+
+
+def test_partsupp_adapted_queries_no_cartesian(spark, sf_dir):
+    # the five partsupp-adapted TPC-H completions: dims broadcast, never a
+    # nested-loop fallback (q2's min-cost equality join and q11's windowed
+    # total are the shapes most at risk)
+    for name in [
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q11_important_shipments",
+        "q16_parts_supplier_counts",
+        "q20_excess_shipments",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q9_filter_pushed_and_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    # p_name LIKE filter reaches the part scan; lineitem scan pruned to the
+    # 6 columns the query touches
+    assert "StringContains(p_name,widget)" in plan
+    read = next(
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_orderkey" in l
+    )
+    assert "l_shipdate" not in read and "l_returnflag" not in read

@@ -2,9 +2,16 @@
 
 The driver's correctness gate hash-checks exactly the first 50 entries of
 ``queries()``. Round 1 shipped three oracle-backed queries past position 50
-— they silently received no correctness row at all. These tests make that
-class of silent skip impossible: every oracle-backed query must sit inside
-the first 50 positions, ahead of every no-oracle entry.
+— they silently received no correctness row at all. Since round 2 the
+catalog holds MORE than 50 oracle-backed queries, so "every oracle-backed
+query inside the cap" is no longer satisfiable; the invariant is now:
+
+1. every one of the 50 checked slots is spent on an oracle-backed query
+   (no slot wasted on a rows-only entry while a hash-checkable one waits);
+2. entries past the cap are ordered oracle-backed first, then the
+   no-oracle block, so the local side-by-side check
+   (tests/test_entry_contract.py, which covers ALL entries) is the only
+   verification the tail needs.
 """
 
 from __future__ import annotations
@@ -19,17 +26,22 @@ import __spark_entry__ as entrymod
 DRIVER_CORRECTNESS_CAP = 50
 
 
-def test_every_oracle_backed_query_within_driver_cap():
+def test_oracle_keys_all_have_query_entries():
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     missing = set(oracles) - set(names)
     assert not missing, f"oracle keys without a queries() entry: {missing}"
-    late = [
-        n for i, n in enumerate(names) if n in oracles and i >= DRIVER_CORRECTNESS_CAP
+
+
+def test_every_driver_slot_is_oracle_backed():
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    wasted = [
+        n for n in names[:DRIVER_CORRECTNESS_CAP] if n not in oracles
     ]
-    assert not late, (
-        f"oracle-backed queries past position {DRIVER_CORRECTNESS_CAP} would "
-        f"silently lose their hash check: {late}"
+    assert not wasted, (
+        f"no-oracle entries occupy driver correctness slots that "
+        f"oracle-backed queries could use: {wasted}"
     )
 
 
