@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT64 micros instead of legacy INT96: interoperable, and parquet
+        # keeps min/max footer stats for it — ManagedTable's file-level
+        # data skipping on timestamp columns depends on those stats.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # The driver fixtures carry TIMESTAMP(NANOS) columns (events.ts);
         # read them as epoch-nanos longs and restore in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -39,7 +39,7 @@ import threading
 import uuid
 from collections import defaultdict
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import date, datetime, timezone
 from pathlib import Path
 
 import pyarrow.parquet as pq
@@ -56,6 +56,12 @@ class FileEntry:
     path: str  # relative to table root
     partition: str | None
     rows: int
+    # Per-column [min, max] harvested from the parquet footer at write time
+    # (JSON-native values; timestamps/dates as fixed-width strings that
+    # compare lexicographically). None for pre-stats manifests; columns
+    # without exact footer stats are simply absent. Drives file-level data
+    # skipping in :meth:`ManagedTable.read` (``where=``).
+    stats: dict | None = None
 
 
 @dataclass(frozen=True)
@@ -66,6 +72,11 @@ class Manifest:
     files: tuple[FileEntry, ...]
     op: str
     ts: str
+    # Range-clustering column: writes are repartitionByRange + sorted on it,
+    # giving files tight disjoint min/max spans so ``read(where=)`` on this
+    # column prunes to the few files a point/range can touch (the Delta
+    # OPTIMIZE ZORDER trade: one extra write-side shuffle buys skip-reads).
+    cluster_col: str | None = None
 
     @property
     def total_rows(self) -> int:
@@ -86,6 +97,87 @@ def _lock_for(root: Path) -> threading.Lock:
         return _COMMIT_LOCKS[str(root.resolve())]
 
 
+def _stat_scalar(v):
+    """Normalize a footer statistic (or a user predicate value) to a
+    JSON-native, order-preserving scalar. Timestamps/dates become
+    fixed-width ISO strings, which compare lexicographically in time order
+    — including against bare-day prefixes like ``"2024-01-10"`` (a prefix
+    always sorts before any of its extensions, which keeps range pruning
+    conservative at day boundaries). Returns None for unsupported types."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.strftime("%Y-%m-%d")
+    return None
+
+
+def _harvest_stats(md) -> dict:
+    """Per-column [min, max] for a parquet file, merged across row groups
+    from the footer metadata (no data read). A column drops out of the
+    stats entirely if ANY row group lacks exact min/max for it — partial
+    stats could prune files that still hold matching rows."""
+    out: dict[str, list] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves: file-level pruning is top-level only
+            st = col.statistics
+            lo = _stat_scalar(st.min) if st is not None and st.has_min_max else None
+            hi = _stat_scalar(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                dropped.add(name)
+                out.pop(name, None)
+                continue
+            if name in out:
+                out[name][0] = min(out[name][0], lo)
+                out[name][1] = max(out[name][1], hi)
+            else:
+                out[name] = [lo, hi]
+    return out
+
+
+_WHERE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
+    """False only when the file's stats PROVE no row can satisfy
+    ``col op value`` — missing stats or a type mismatch keep the file
+    (pruning must always return a superset)."""
+    if op not in _WHERE_OPS:
+        raise ValueError(f"unsupported where op {op!r}; use one of {_WHERE_OPS}")
+    if not stats or col not in stats:
+        return True
+    v = _stat_scalar(value)
+    if v is None:
+        return True
+    lo, hi = stats[col]
+    if isinstance(v, str) != isinstance(lo, str):
+        return True
+    if op == "=":
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    return hi >= v  # ">="
+
+
 class ManagedTable:
     """Atomic parquet table with a file manifest and optional day partitioning."""
 
@@ -102,6 +194,7 @@ class ManagedTable:
         root: str | Path,
         partition_date_col: str | None = None,
         exist_ok: bool = True,
+        cluster_col: str | None = None,
     ) -> "ManagedTable":
         t = cls(spark, root)
         if t.exists():
@@ -118,6 +211,7 @@ class ManagedTable:
                 files=(),
                 op="create",
                 ts=_utcnow(),
+                cluster_col=cluster_col,
             )
         )
         return t
@@ -138,6 +232,7 @@ class ManagedTable:
             files=tuple(FileEntry(**f) for f in raw["files"]),
             op=raw["op"],
             ts=raw["ts"],
+            cluster_col=raw.get("cluster_col"),
         )
 
     def history(self) -> list[Manifest]:
@@ -155,6 +250,7 @@ class ManagedTable:
                     "files": [f.__dict__ for f in m.files],
                     "op": m.op,
                     "ts": m.ts,
+                    "cluster_col": m.cluster_col,
                 },
                 indent=1,
             )
@@ -171,14 +267,26 @@ class ManagedTable:
         partition_max: str | None = None,
         partitions: set[str] | None = None,
         version: int | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Read the table, pruning files by partition value at the manifest
-        level (metadata-only; ISO day strings compare lexicographically)."""
+        level (metadata-only; ISO day strings compare lexicographically).
+
+        ``where`` is a list of ``(column, op, value)`` predicates
+        (ops ``= < <= > >=``) used for **file-level data skipping**: files
+        whose footer-harvested min/max prove no row can match are dropped
+        from the plan before Spark ever lists them, and the same predicates
+        are then applied to the DataFrame, so results are exact. At 100 TB
+        this is the difference between opening every footer and opening
+        only the files a point/range lookup can touch — the same planner
+        trick Delta/Iceberg data skipping performs; parquet row-group
+        pushdown still applies inside the files that survive."""
         m = self.snapshot(version)
         files = [
             str(self.root / f.path)
             for f in m.files
             if _partition_live(f.partition, partition_min, partition_max, partitions)
+            and all(_file_may_match(f.stats, c, op, v) for c, op, v in where or [])
         ]
         if not files:
             schema = (
@@ -187,7 +295,14 @@ class ManagedTable:
                 else T.StructType([])
             )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*files)
+        df = self.spark.read.parquet(*files)
+        for c, op, v in where or []:
+            col = F.col(c)
+            df = df.filter(
+                {"=": col == v, "<": col < v, "<=": col <= v,
+                 ">": col > v, ">=": col >= v}[op]
+            )
+        return df
 
     def count(self) -> int:
         """Row count from manifest metadata — no Spark job (reference O19's
@@ -232,7 +347,7 @@ class ManagedTable:
                         "append type mismatch: " + "; ".join(sorted(diverged))
                     )
                 df = df.select(*[f.name for f in existing.fields])
-            new_files = self._write_files(df, m.partition_date_col)
+            new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
             self._commit_files(m, tuple(m.files) + new_files, df.schema.json(), "append")
         return sum(f.rows for f in new_files)
 
@@ -294,7 +409,10 @@ class ManagedTable:
             ]
             pq.write_table(pa.Table.from_pylist(full, schema=pa_schema), path)
             entry = FileEntry(
-                path=str(path.relative_to(self.root)), partition=None, rows=len(rows)
+                path=str(path.relative_to(self.root)),
+                partition=None,
+                rows=len(rows),
+                stats=_harvest_stats(pq.ParquetFile(path).metadata),
             )
             self._commit_files(
                 m, tuple(m.files) + (entry,), schema.json(), "append"
@@ -308,7 +426,7 @@ class ManagedTable:
         empty table in between."""
         with _lock_for(self.root):
             m = self.snapshot()
-            new_files = self._write_files(df, m.partition_date_col)
+            new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
             self._commit_files(m, new_files, df.schema.json(), "overwrite")
         return sum(f.rows for f in new_files)
 
@@ -352,7 +470,7 @@ class ManagedTable:
                     else old
                 )
                 merged = kept_rows.unionByName(df) if old.columns else df
-                new_files = self._write_files(merged, None)
+                new_files = self._write_files(merged, None, m.cluster_col)
                 written_total = sum(f.rows for f in new_files)
                 new_window_rows = df.count()
                 deleted = m.total_rows - (written_total - new_window_rows)
@@ -376,7 +494,7 @@ class ManagedTable:
                 write_df = df.unionByName(tail) if tail_rows else df
             else:
                 write_df = df
-            new_files = self._write_files(write_df, m.partition_date_col)
+            new_files = self._write_files(write_df, m.partition_date_col, m.cluster_col)
             out_of_range = [
                 f for f in new_files if not _in_day_range(f.partition, date_from, date_to)
             ]
@@ -429,7 +547,7 @@ class ManagedTable:
             merged = target.join(keys, on=primary_key, how="left_anti").unionByName(
                 source_df.select(*target.columns) if target.columns else source_df
             )
-            new_files = self._write_files(merged, None)
+            new_files = self._write_files(merged, None, m.cluster_col)
             self._commit_files(m, new_files, merged.schema.json(), "merge")
             return n_keys
 
@@ -462,7 +580,7 @@ class ManagedTable:
         merged = target_affected.join(
             keys, on=primary_key, how="left_anti"
         ).unionByName(source_df.select(*cols))
-        new_files = self._write_files(merged, part_col)
+        new_files = self._write_files(merged, part_col, m.cluster_col)
         kept = tuple(f for f in m.files if f.partition not in affected)
         self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
         return n_keys
@@ -480,28 +598,45 @@ class ManagedTable:
                 files=files,
                 op=op,
                 ts=_utcnow(),
+                cluster_col=prev.cluster_col,
             )
         )
 
     def _write_files(
-        self, df: DataFrame, partition_date_col: str | None
+        self, df: DataFrame, partition_date_col: str | None,
+        cluster_col: str | None = None,
     ) -> tuple[FileEntry, ...]:
         """Write df into an immutable commit dir; return its file entries.
 
         Partitioned writes duplicate the day key into ``_part`` and use
         ``partitionBy`` so the files keep the original date column while the
         directory layout (and thus the manifest) carries the partition value.
+        With ``cluster_col`` the data is range-repartitioned (and sorted) on
+        (day, cluster) so each file covers a tight disjoint span of the
+        cluster column — that is what makes ``read(where=)`` skip files.
         Row counts come from parquet footers — no extra Spark action.
         """
         commit_id = uuid.uuid4().hex[:16]
         staging = self.root / "_staging" / commit_id
         final = self.root / "data" / commit_id
-        writer = df.write.mode("overwrite")
         if partition_date_col is not None:
             df = df.withColumn(
                 _PART_DIR, F.date_format(F.col(partition_date_col), "yyyy-MM-dd")
             )
+            if cluster_col is not None:
+                # day-major range clustering: tasks stay day-local (no
+                # tasks-x-days file explosion), files within a day carry
+                # disjoint cluster_col spans
+                df = df.repartitionByRange(
+                    F.col(_PART_DIR), F.col(cluster_col)
+                ).sortWithinPartitions(_PART_DIR, cluster_col)
             writer = df.write.mode("overwrite").partitionBy(_PART_DIR)
+        else:
+            if cluster_col is not None:
+                df = df.repartitionByRange(F.col(cluster_col)).sortWithinPartitions(
+                    cluster_col
+                )
+            writer = df.write.mode("overwrite")
         writer.parquet(str(staging))
         final.parent.mkdir(parents=True, exist_ok=True)
         shutil.move(str(staging), str(final))
@@ -513,11 +648,18 @@ class ManagedTable:
                 if seg.startswith(f"{_PART_DIR}="):
                     val = seg.split("=", 1)[1]
                     partition = None if val == _HIVE_NULL else val
+            meta = pq.ParquetFile(p).metadata
+            if meta.num_rows == 0:
+                # Spark emits task 0's file even when empty; a zero-row file
+                # contributes nothing (schema lives in the manifest) and
+                # would defeat stats pruning forever. Keep it off the books.
+                continue
             entries.append(
                 FileEntry(
                     path=str(p.relative_to(self.root)),
                     partition=partition,
-                    rows=pq.ParquetFile(p).metadata.num_rows,
+                    rows=meta.num_rows,
+                    stats=_harvest_stats(meta),
                 )
             )
         return tuple(entries)
@@ -547,9 +689,9 @@ class ManagedTable:
                     max(len(crowded), 1),
                     F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
                 )
-                new_files = self._write_files(df, m.partition_date_col)
+                new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
             else:
-                new_files = self._write_files(df.coalesce(1), None)
+                new_files = self._write_files(df.coalesce(1), None, m.cluster_col)
             kept = tuple(f for f in m.files if f.partition not in crowded)
             self._commit_files(m, kept + new_files, m.schema_json, "compact")
             return (len(m.files), len(kept) + len(new_files))

@@ -325,3 +325,133 @@ def test_append_tolerates_nested_nullability_divergence(spark, tmp_path):
     assert not dense.schema["tags"].dataType.containsNull
     assert t.append(dense) == 2
     assert t.read().count() == 3
+
+
+def test_data_skipping_prunes_files_and_keeps_results_exact(spark, tmp_path):
+    """File-level data skipping: footer-harvested min/max must drop files a
+    predicate cannot touch from the scan plan, and read(where=) must equal
+    a full scan + filter exactly."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    # three appends with disjoint key ranges -> three files with disjoint stats
+    for lo in (0, 1000, 2000):
+        t.append(
+            spark.range(lo, lo + 500).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            )
+        )
+    m = t.snapshot()
+    assert all(f.stats and "k" in f.stats for f in m.files)
+
+    def expected_files(pred):
+        return {f.path for f in m.files if pred(*f.stats["k"])}
+
+    # point lookup: only files whose [min, max] contains the key survive
+    got = t.read(where=[("k", "=", 1250)])
+    want = expected_files(lambda lo, hi: lo <= 1250 <= hi)
+    assert len(got.inputFiles()) == len(want) < len(m.files)
+    assert [r.k for r in got.collect()] == [1250]
+    # range predicate spanning two appends (the key space has gaps:
+    # 400-499 from the first append + 1000-1099 from the second)
+    got = t.read(where=[("k", ">=", 400), ("k", "<", 1100)])
+    want = expected_files(lambda lo, hi: hi >= 400 and lo < 1100)
+    assert len(got.inputFiles()) == len(want) < len(m.files)
+    assert got.count() == 200
+    # predicate matching nothing -> empty frame, correct schema, no files
+    got = t.read(where=[("k", ">", 99999)])
+    assert got.count() == 0 and set(got.columns) == {"k", "v"}
+    # results equal full scan + filter
+    full = t.read().filter((F.col("k") >= 900) & (F.col("k") < 1100))
+    assert sorted(r.k for r in full.collect()) == sorted(
+        r.k for r in t.read(where=[("k", ">=", 900), ("k", "<", 1100)]).collect()
+    )
+
+
+def test_data_skipping_is_conservative(spark, tmp_path):
+    """Missing stats (pre-stats manifests), unknown columns, type-mismatched
+    values, and unsupported ops must never prune — pruning returns a
+    superset or raises, never silently drops rows."""
+    import pytest as _pytest
+
+    from data_warehouse_copy_spark.sources.managed_table import (
+        _file_may_match,
+    )
+
+    assert _file_may_match(None, "k", "=", 5)  # pre-stats manifest
+    assert _file_may_match({}, "k", "=", 5)
+    assert _file_may_match({"v": [0, 9]}, "k", "=", 5)  # unknown column
+    assert _file_may_match({"k": [0, 9]}, "k", "=", "text")  # type mismatch
+    assert _file_may_match({"k": [0, 9]}, "k", "=", [1, 2])  # unsupported value
+    with _pytest.raises(ValueError, match="unsupported where op"):
+        _file_may_match({"k": [0, 9]}, "k", "!=", 5)
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    # strip stats to simulate an old manifest; read must still be exact
+    m = t.snapshot()
+    from dataclasses import replace
+    stripped = tuple(replace(f, stats=None) for f in m.files)
+    t._commit(replace(m, version=m.version + 1, files=stripped))
+    got = t.read(where=[("k", "<=", 2)])
+    assert sorted(r.k for r in got.collect()) == [0, 1, 2]
+
+
+def test_data_skipping_on_timestamps(spark, tmp_path):
+    """Timestamp stats are stored as fixed-width strings; day-prefix
+    predicate values must prune conservatively and filter exactly."""
+    from datetime import datetime
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for day in (10, 11, 12):
+        t.append(
+            spark.range(24).select(
+                F.expr(
+                    f"TIMESTAMP '2024-01-{day:02d} 00:00:00' + make_interval(0,0,0,0,id)"
+                ).alias("ts"),
+                F.col("id").alias("h"),
+            )
+        )
+    m = t.snapshot()
+    with_stats = [f for f in m.files if f.stats and "ts" in f.stats]
+    assert with_stats, "timestamp columns must carry footer stats (INT64)"
+    got = t.read(where=[("ts", ">=", "2024-01-11"), ("ts", "<", "2024-01-12")])
+    day11 = {f.path for f in with_stats if f.stats["ts"][1] >= "2024-01-11"
+             and f.stats["ts"][0] < "2024-01-12"}
+    assert len(got.inputFiles()) == len(day11) < len(m.files)
+    assert got.count() == 24
+    # datetime predicate values work the same way
+    got2 = t.read(where=[("ts", ">=", datetime(2024, 1, 12, 5))])
+    assert len(got2.inputFiles()) < len(m.files)
+    assert got2.count() == 19
+
+
+def test_cluster_col_gives_disjoint_file_spans(spark, tmp_path):
+    """A cluster_col table range-repartitions writes so files carry tight,
+    disjoint spans of the cluster column — a point lookup then reads
+    exactly one file even when the input arrives shuffled."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    shuffled = (
+        spark.range(10_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 17 % 1000).alias("v"))
+        .repartition(16)  # arrives in arbitrary order
+    )
+    # AQE would rightly coalesce 10k tiny rows into one file; pin the range
+    # shuffle width so the test materializes multiple cluster spans
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(shuffled)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    m = t.snapshot()
+    assert m.cluster_col == "k"
+    spans = sorted(tuple(f.stats["k"]) for f in m.files)
+    assert len(spans) > 1
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next, "cluster spans must be disjoint"
+    got = t.read(where=[("k", "=", 4321)])
+    assert len(got.inputFiles()) == 1
+    assert [r.k for r in got.collect()] == [4321]
+    # cluster_col survives commits: a second append stays clustered (AQE
+    # may coalesce it into one file; it must still skip the first append's)
+    t.append(shuffled.withColumn("k", F.col("k") + 10_000))
+    got2 = t.read(where=[("k", "=", 14321)])
+    assert len(got2.inputFiles()) < len(t.snapshot().files)
+    assert got2.count() == 1
