@@ -1191,6 +1191,37 @@ def range_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.read()
 
 
+def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse skip-read path: the March window of lineitem is copied into
+    a ManagedTable range-clustered on ``l_orderkey``, then served with
+    ``read(where=)`` — manifest stats (footer-harvested min/max) prune the
+    file list to the spans admitting the key range BEFORE Spark lists any
+    file; the same predicates re-apply on the frame so results are exact.
+    At 100 TB this is a planner-side point lookup: files opened ∝ answer
+    size, not table size. Oracle: the equivalent plain filter on the raw
+    table."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    window = li.filter(
+        F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
+    )
+    t = ManagedTable.create(
+        spark,
+        f"{tempfile.mkdtemp(prefix='dwcs_skip_')}/lineitem",
+        cluster_col="l_orderkey",
+    )
+    t.append(window)
+    return t.read(
+        where=[("l_orderkey", ">=", 1000), ("l_orderkey", "<", 40000)]
+    )
+
+
+CLUSTERED_LOOKUP_SQL = f"""
+SELECT * FROM lineitem
+WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
+  AND l_orderkey >= 1000 AND l_orderkey < 40000
+"""
+
+
 def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end O7-O10+O16 (``TableUpdateService.cs:74-172``): target
     starts as orders with zeroed prices; the upsert restores source rows for
@@ -2300,6 +2331,7 @@ QUERIES: dict[str, QueryFn] = {
     "q11_important_shipments": q11_important_shipments,
     "q16_parts_supplier_counts": q16_parts_supplier_counts,
     "q20_excess_shipments": q20_excess_shipments,
+    "clustered_point_lookup": clustered_point_lookup,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2370,4 +2402,5 @@ ORACLES: dict[str, str] = {
     "q11_important_shipments": Q11_SQL,
     "q16_parts_supplier_counts": Q16_SQL,
     "q20_excess_shipments": Q20_SQL,
+    "clustered_point_lookup": CLUSTERED_LOOKUP_SQL,
 }

@@ -641,8 +641,7 @@ class ManagedTable:
         final.parent.mkdir(parents=True, exist_ok=True)
         shutil.move(str(staging), str(final))
 
-        entries: list[FileEntry] = []
-        for p in sorted(final.rglob("*.parquet")):
+        def entry_for(p: Path) -> FileEntry | None:
             partition: str | None = None
             for seg in p.relative_to(final).parts[:-1]:
                 if seg.startswith(f"{_PART_DIR}="):
@@ -653,15 +652,22 @@ class ManagedTable:
                 # Spark emits task 0's file even when empty; a zero-row file
                 # contributes nothing (schema lives in the manifest) and
                 # would defeat stats pruning forever. Keep it off the books.
-                continue
-            entries.append(
-                FileEntry(
-                    path=str(p.relative_to(self.root)),
-                    partition=partition,
-                    rows=meta.num_rows,
-                    stats=_harvest_stats(meta),
-                )
+                return None
+            return FileEntry(
+                path=str(p.relative_to(self.root)),
+                partition=partition,
+                rows=meta.num_rows,
+                stats=_harvest_stats(meta),
             )
+
+        # Footer reads are driver-side IO; a wide commit (hundreds of files)
+        # would serialize into seconds, so read them in a thread pool.
+        # Ordered map keeps the manifest deterministic.
+        paths = sorted(final.rglob("*.parquet"))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
+            entries = [e for e in pool.map(entry_for, paths) if e is not None]
         return tuple(entries)
 
     def compact(self, max_files_per_partition: int = 1) -> tuple[int, int]:
