@@ -543,12 +543,34 @@ class ManagedTable:
             return 0
 
         if m.partition_date_col is None:
-            target = self.read()
+            # Stats-scoped rewrite (Delta-style merge pruning): a file can
+            # hold an affected key only if its primary-key span admits one.
+            # On a cluster_col=pk table the affected set is a handful of
+            # files; unclustered spans overlap everything and this gracefully
+            # degrades to the full rewrite.
+            affected_paths = self._affected_files_by_stats(m, keys, primary_key)
+            if affected_paths is None:  # stats unusable -> full rewrite
+                target = self.read()
+                kept: tuple[FileEntry, ...] = ()
+            else:
+                schema = (
+                    T.StructType.fromJson(json.loads(m.schema_json))
+                    if m.schema_json
+                    else T.StructType([])
+                )
+                target = (
+                    self.spark.read.parquet(
+                        *[str(self.root / p) for p in affected_paths]
+                    )
+                    if affected_paths
+                    else self.spark.createDataFrame([], schema)
+                )
+                kept = tuple(f for f in m.files if f.path not in affected_paths)
             merged = target.join(keys, on=primary_key, how="left_anti").unionByName(
                 source_df.select(*target.columns) if target.columns else source_df
             )
             new_files = self._write_files(merged, None, m.cluster_col)
-            self._commit_files(m, new_files, merged.schema.json(), "merge")
+            self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
             return n_keys
 
         part_col = m.partition_date_col
@@ -584,6 +606,47 @@ class ManagedTable:
         kept = tuple(f for f in m.files if f.partition not in affected)
         self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
         return n_keys
+
+    def _affected_files_by_stats(
+        self, m: Manifest, keys: DataFrame, primary_key: str
+    ) -> set | None:
+        """File paths that could hold one of ``keys`` per manifest pk spans.
+
+        ``None`` means the spans are unusable (a file without exact pk
+        stats, or mixed stat types) and the caller must fall back to the
+        full rewrite — pruning may only ever narrow, never miss. The probe
+        joins the key set against the broadcast span list (|files| rows,
+        metadata scale); only file PATHS come back to the driver."""
+        if not m.files:
+            return set()
+        spans = []
+        for f in m.files:
+            s = (f.stats or {}).get(primary_key)
+            if not s:
+                return None
+            spans.append((f.path, s[0], s[1]))
+        all_str = all(
+            isinstance(lo, str) and isinstance(hi, str) for _, lo, hi in spans
+        )
+        all_num = all(
+            not isinstance(lo, bool) and isinstance(lo, (int, float))
+            and not isinstance(hi, bool) and isinstance(hi, (int, float))
+            for _, lo, hi in spans
+        )
+        if not (all_str or all_num):
+            return None
+        span_df = self.spark.createDataFrame(spans, ["path", "lo", "hi"])
+        pk = F.col(primary_key)
+        hit = (
+            keys.join(
+                F.broadcast(span_df),
+                (pk >= F.col("lo")) & (pk <= F.col("hi")),
+                "inner",
+            )
+            .select("path")
+            .distinct()
+        )
+        return {r.path for r in hit.collect()}
 
     # ------------------------------------------------------------ internals
 

@@ -455,3 +455,59 @@ def test_cluster_col_gives_disjoint_file_spans(spark, tmp_path):
     got2 = t.read(where=[("k", "=", 14321)])
     assert len(got2.inputFiles()) < len(t.snapshot().files)
     assert got2.count() == 1
+
+
+def test_merge_on_clustered_table_rewrites_only_span_files(spark, tmp_path):
+    """Unpartitioned merge with pk stats: only files whose key span admits
+    an affected key are rewritten; the rest keep their exact paths
+    (Delta-style merge pruning off the manifest stats)."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(
+            spark.range(10_000).select(
+                F.col("id").alias("k"), F.lit("orig").alias("v")
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    before = {f.path for f in t.snapshot().files}
+    assert len(before) > 2
+    # update a narrow key band + insert brand-new keys
+    updates = spark.range(100, 160).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")
+    )
+    inserts = spark.range(20_000, 20_010).select(
+        F.col("id").alias("k"), F.lit("ins").alias("v")
+    )
+    n = t.merge_by_key(updates.unionByName(inserts), "k")
+    assert n == 70
+    after = {f.path for f in t.snapshot().files}
+    # most files untouched: only span-hit files were replaced
+    assert len(before & after) >= len(before) - 2
+    got = t.read()
+    assert got.count() == 10_010
+    assert got.filter(F.col("v") == "new").count() == 60
+    assert got.filter(F.col("v") == "ins").count() == 10
+    assert got.filter((F.col("k") == 100) & (F.col("v") == "orig")).count() == 0
+
+
+def test_merge_without_stats_still_correct(spark, tmp_path):
+    """Pre-stats manifests (stats=None) fall back to the full rewrite and
+    stay correct."""
+    from dataclasses import replace
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(100).select(F.col("id").alias("k"), F.lit("a").alias("v")))
+    m = t.snapshot()
+    t._commit(
+        replace(m, version=m.version + 1,
+                files=tuple(replace(f, stats=None) for f in m.files))
+    )
+    t.merge_by_key(
+        spark.range(5).select(F.col("id").alias("k"), F.lit("b").alias("v")),
+        "k",
+    )
+    got = t.read()
+    assert got.count() == 100
+    assert got.filter(F.col("v") == "b").count() == 5
