@@ -87,3 +87,40 @@ def test_copy_plus_update_converges(spark, tmp_path_factory, rows, win_start, wi
     copy_table(src, target, "t", f, t, use_truncate=False, date_column="ins")
     update_table(src, target, "t", f, t, "ins", "upd", "pk")
     assert sorted(map(tuple, target.read().collect())) == before
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping soundness: for ANY predicate list, read(where=) must return
+# exactly what a full scan + the same filters returns — pruning can drop
+# files, never rows.
+# ---------------------------------------------------------------------------
+
+_ops = st.sampled_from(["=", "<", "<=", ">", ">="])
+_pred = st.tuples(st.sampled_from(["k", "v"]), _ops, st.integers(-50, 1100))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(preds=st.lists(_pred, min_size=1, max_size=3))
+def test_read_where_equals_full_filter(spark, tmp_path_factory, preds):
+    tmp = tmp_path_factory.mktemp("skip")
+    t = ManagedTable.create(spark, tmp / "t", cluster_col="k")
+    t.append(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 311).alias("v")
+        )
+    )
+    got = {
+        tuple(r) for r in t.read(where=list(preds)).collect()
+    }
+    full = t.read()
+    for c, op, val in preds:
+        col = F.col(c)
+        full = full.filter(
+            {"=": col == val, "<": col < val, "<=": col <= val,
+             ">": col > val, ">=": col >= val}[op]
+        )
+    assert got == {tuple(r) for r in full.collect()}
