@@ -231,7 +231,13 @@ def minhash_lsh_pairs(
     sig = shingled.select(
         "id",
         sig_fn(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("sig"),
-    )
+    ).persist()
+    # ^ The sketch is |docs| x num_hashes longs — KBs per million docs —
+    # while its lineage (scan -> shingle -> hash -> numpy min-hash UDF) is
+    # the expensive part. The plan consumes it from BOTH sides of the
+    # band self-join, and without the persist Catalyst re-executes the
+    # whole UDF pipeline per branch (observed: 14 ArrowEvalPython nodes).
+    # Persisting the sketch, never the corpus, is also the 100 TB shape.
     banded = sig.select(
         "id",
         F.explode(
@@ -331,7 +337,12 @@ def simhash_pairs(
     """SimHash near-dup pairs: candidates share at least one of four 16-bit
     bands (any pair within Hamming distance 3 of a 64-bit key must agree on
     one band — pigeonhole), then exact Hamming filter."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    # Persist the sketch (id + one long per doc): both self-join sides read
+    # it from cache instead of re-running the tokenize/vote UDF pipeline
+    # per branch (same rationale as minhash_lsh_pairs' sig persist).
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sim")
+    ).persist()
     banded = sh.select(
         "id",
         "sim",
