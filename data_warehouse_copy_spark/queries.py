@@ -1222,6 +1222,42 @@ WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
 """
 
 
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction + vacuum under the correctness gate: the March
+    orders arrive as three separate micro-batch appends (the streaming
+    accumulation pattern), then ``compact()`` coalesces each crowded day
+    partition into one file in ONE atomic commit and ``vacuum()`` deletes
+    the unreferenced originals. Reads must be byte-identical before and
+    after — the oracle is simply the source rows. At 100 TB this is the
+    maintenance pass that keeps scans IO-bound instead of
+    file-open-bound."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    window = orders.filter(
+        F.col("o_orderdate").between(F.expr(W_START_SQL), F.expr("TIMESTAMP '1995-03-31 23:59:59.997'"))
+    )
+    t = ManagedTable.create(
+        spark,
+        f"{tempfile.mkdtemp(prefix='dwcs_compact_')}/orders",
+        partition_date_col="o_orderdate",
+    )
+    for i in range(3):  # micro-batch arrival: 3 small appends per day
+        t.append(window.filter(F.col("o_orderkey") % 3 == i))
+    before, after = t.compact()
+    if after >= before:
+        raise RuntimeError(
+            f"compaction must reduce the file count ({before} -> {after})"
+        )
+    t.vacuum()
+    return t.read()
+
+
+COMPACTION_SQL = """
+SELECT * FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+                      AND TIMESTAMP '1995-03-31 23:59:59.997'
+"""
+
+
 def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end O7-O10+O16 (``TableUpdateService.cs:74-172``): target
     starts as orders with zeroed prices; the upsert restores source rows for
@@ -2332,6 +2368,7 @@ QUERIES: dict[str, QueryFn] = {
     "q16_parts_supplier_counts": q16_parts_supplier_counts,
     "q20_excess_shipments": q20_excess_shipments,
     "clustered_point_lookup": clustered_point_lookup,
+    "compaction_roundtrip": compaction_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2403,4 +2440,5 @@ ORACLES: dict[str, str] = {
     "q16_parts_supplier_counts": Q16_SQL,
     "q20_excess_shipments": Q20_SQL,
     "clustered_point_lookup": CLUSTERED_LOOKUP_SQL,
+    "compaction_roundtrip": COMPACTION_SQL,
 }
