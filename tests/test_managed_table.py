@@ -511,3 +511,29 @@ def test_merge_without_stats_still_correct(spark, tmp_path):
     got = t.read()
     assert got.count() == 100
     assert got.filter(F.col("v") == "b").count() == 5
+
+
+def test_compact_preserves_clustering(spark, tmp_path):
+    """Compaction rewrites crowded partitions through the same clustered
+    write path, so file spans on the cluster column stay disjoint and
+    point lookups keep skipping after the maintenance pass."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for lo in (0, 2000, 4000):  # three appends -> crowded unpartitioned set
+            t.append(
+                spark.range(lo, lo + 2000).select(
+                    F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+                )
+            )
+        before, after = t.compact()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert after < before
+    spans = sorted(tuple(f.stats["k"]) for f in t.snapshot().files)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next, "compaction must keep cluster spans disjoint"
+    got = t.read(where=[("k", "=", 2500)])
+    assert len(got.inputFiles()) == 1
+    assert [r.k for r in got.collect()] == [2500]
+    assert t.read().count() == 6000
