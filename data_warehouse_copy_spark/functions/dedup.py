@@ -35,6 +35,26 @@ from pyspark.sql.functions import pandas_udf
 
 from data_warehouse_copy_spark.functions.text import whitespace_tokens
 
+# The persisted LSH sketches (see minhash_lsh_pairs / simhash_pairs) are
+# rotated through this holder: each new invocation unpersists the previous
+# call's cache, bounding live storage to one tiny sketch per function even
+# when a driver runs the whole catalog through one session. Unpersisting
+# is safe at that point — the prior result has been materialized (callers
+# consume queries sequentially) and unpersist only drops cached blocks,
+# never correctness (the lineage recomputes if re-read).
+_LIVE_SKETCHES: dict[str, DataFrame] = {}
+
+
+def _persist_rotating(slot: str, df: DataFrame) -> DataFrame:
+    prev = _LIVE_SKETCHES.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session may be gone; nothing to free
+    _LIVE_SKETCHES[slot] = df.persist()
+    return df
+
 
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
@@ -228,16 +248,20 @@ def minhash_lsh_pairs(
     # multiply the shuffle by bands × |sh| (hundreds of MB at sf0.1); instead
     # the candidate pairs (few) join the arrays back by id afterwards.
     sig_fn = minhash_signature_udf(num_hashes)
-    sig = shingled.select(
-        "id",
-        sig_fn(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("sig"),
-    ).persist()
+    sig = _persist_rotating(
+        "minhash_sig",
+        shingled.select(
+            "id",
+            sig_fn(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("sig"),
+        ),
+    )
     # ^ The sketch is |docs| x num_hashes longs — KBs per million docs —
     # while its lineage (scan -> shingle -> hash -> numpy min-hash UDF) is
     # the expensive part. The plan consumes it from BOTH sides of the
     # band self-join, and without the persist Catalyst re-executes the
     # whole UDF pipeline per branch (observed: 14 ArrowEvalPython nodes).
-    # Persisting the sketch, never the corpus, is also the 100 TB shape.
+    # Persisting the sketch, never the corpus, is also the 100 TB shape;
+    # the rotating holder bounds live cache to one sketch per function.
     banded = sig.select(
         "id",
         F.explode(
@@ -339,10 +363,11 @@ def simhash_pairs(
     one band — pigeonhole), then exact Hamming filter."""
     # Persist the sketch (id + one long per doc): both self-join sides read
     # it from cache instead of re-running the tokenize/vote UDF pipeline
-    # per branch (same rationale as minhash_lsh_pairs' sig persist).
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("sim")
-    ).persist()
+    # per branch (same rationale + rotation as minhash_lsh_pairs' sig).
+    sh = _persist_rotating(
+        "simhash",
+        df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim")),
+    )
     banded = sh.select(
         "id",
         "sim",

@@ -156,7 +156,22 @@ _WHERE_OPS = ("=", "<", "<=", ">", ">=")
 def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
     """False only when the file's stats PROVE no row can satisfy
     ``col op value`` — missing stats or a type mismatch keep the file
-    (pruning must always return a superset)."""
+    (pruning must always return a superset).
+
+    Two soundness subtleties:
+
+    - **String prefixes.** Spark casts a string predicate value to the
+      column's type, so ``ts <= '2024-01-11'`` matches the midnight
+      instant whose stored stat is ``'2024-01-11 00:00:00.000000'`` — a
+      string that sorts AFTER its prefix. Upper-bound comparisons
+      therefore extend the value with ``'\\uffff'`` so every extension of
+      the prefix stays inside the kept range.
+    - **NaN.** Footer min/max exclude NaN while Spark orders NaN above
+      every value (and ``NaN = NaN`` is true), so for float predicates
+      ``>``/``>=`` can never prune and ``= NaN`` keeps everything.
+    """
+    import math
+
     if op not in _WHERE_OPS:
         raise ValueError(f"unsupported where op {op!r}; use one of {_WHERE_OPS}")
     if not stats or col not in stats:
@@ -167,12 +182,21 @@ def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
     lo, hi = stats[col]
     if isinstance(v, str) != isinstance(lo, str):
         return True
+    is_float = any(
+        isinstance(x, float) and not isinstance(x, bool) for x in (v, lo, hi)
+    )
+    if is_float:
+        if isinstance(v, float) and math.isnan(v):
+            return op in ("=", ">", ">=")  # NaN = NaN; NaN > x; never < x
+        if op in (">", ">="):
+            return True  # a hidden NaN row satisfies any > / >= predicate
+    v_hi = v + "\uffff" if isinstance(v, str) else v
     if op == "=":
-        return lo <= v <= hi
+        return lo <= v_hi and v <= hi
     if op == "<":
         return lo < v
     if op == "<=":
-        return lo <= v
+        return lo <= v_hi
     if op == ">":
         return hi > v
     return hi >= v  # ">="
@@ -628,25 +652,32 @@ class ManagedTable:
         all_str = all(
             isinstance(lo, str) and isinstance(hi, str) for _, lo, hi in spans
         )
-        all_num = all(
-            not isinstance(lo, bool) and isinstance(lo, (int, float))
-            and not isinstance(hi, bool) and isinstance(hi, (int, float))
+        # Integers only on the numeric path: footer min/max exclude NaN while
+        # Spark orders NaN above everything, so a NaN-keyed row would escape
+        # every span and the stale row would survive the merge. Float pks
+        # fall back to the full rewrite.
+        all_int = all(
+            not isinstance(lo, bool) and isinstance(lo, int)
+            and not isinstance(hi, bool) and isinstance(hi, int)
             for _, lo, hi in spans
         )
-        if not (all_str or all_num):
+        if not (all_str or all_int):
             return None
-        span_df = self.spark.createDataFrame(spans, ["path", "lo", "hi"])
-        pk = F.col(primary_key)
+        # reserved column names: the pk itself may be called path/lo/hi
+        span_df = self.spark.createDataFrame(
+            spans, ["__mt_path", "__mt_lo", "__mt_hi"]
+        )
+        pk = keys[primary_key]
         hit = (
             keys.join(
                 F.broadcast(span_df),
-                (pk >= F.col("lo")) & (pk <= F.col("hi")),
+                (pk >= span_df["__mt_lo"]) & (pk <= span_df["__mt_hi"]),
                 "inner",
             )
-            .select("path")
+            .select("__mt_path")
             .distinct()
         )
-        return {r.path for r in hit.collect()}
+        return {r["__mt_path"] for r in hit.collect()}
 
     # ------------------------------------------------------------ internals
 
@@ -668,6 +699,7 @@ class ManagedTable:
     def _write_files(
         self, df: DataFrame, partition_date_col: str | None,
         cluster_col: str | None = None,
+        cluster_partitions: int | None = None,
     ) -> tuple[FileEntry, ...]:
         """Write df into an immutable commit dir; return its file entries.
 
@@ -677,7 +709,10 @@ class ManagedTable:
         With ``cluster_col`` the data is range-repartitioned (and sorted) on
         (day, cluster) so each file covers a tight disjoint span of the
         cluster column — that is what makes ``read(where=)`` skip files.
-        Row counts come from parquet footers — no extra Spark action.
+        ``cluster_partitions`` pins the range-shuffle width (compaction
+        passes an explicit target so the file count converges; normal
+        writes leave it to AQE). Row counts come from parquet footers —
+        no extra Spark action.
         """
         commit_id = uuid.uuid4().hex[:16]
         staging = self.root / "_staging" / commit_id
@@ -690,15 +725,20 @@ class ManagedTable:
                 # day-major range clustering: tasks stay day-local (no
                 # tasks-x-days file explosion), files within a day carry
                 # disjoint cluster_col spans
-                df = df.repartitionByRange(
-                    F.col(_PART_DIR), F.col(cluster_col)
+                range_cols = [F.col(_PART_DIR), F.col(cluster_col)]
+                df = (
+                    df.repartitionByRange(cluster_partitions, *range_cols)
+                    if cluster_partitions
+                    else df.repartitionByRange(*range_cols)
                 ).sortWithinPartitions(_PART_DIR, cluster_col)
             writer = df.write.mode("overwrite").partitionBy(_PART_DIR)
         else:
             if cluster_col is not None:
-                df = df.repartitionByRange(F.col(cluster_col)).sortWithinPartitions(
-                    cluster_col
-                )
+                df = (
+                    df.repartitionByRange(cluster_partitions, F.col(cluster_col))
+                    if cluster_partitions
+                    else df.repartitionByRange(F.col(cluster_col))
+                ).sortWithinPartitions(cluster_col)
             writer = df.write.mode("overwrite")
         writer.parquet(str(staging))
         final.parent.mkdir(parents=True, exist_ok=True)
@@ -752,15 +792,38 @@ class ManagedTable:
             if not crowded:
                 return (len(m.files), len(m.files))
             df = self.read(partitions=crowded)
-            if m.partition_date_col is not None:
+            if m.cluster_col is not None and m.partition_date_col is not None:
+                # Convergent clustered compaction: hash each day wholly into
+                # one task (1 file/day — a range shuffle's boundary
+                # partitions straddle days and re-crowd them), sorted by
+                # (day, cluster) within the task so the single file stays
+                # cluster-ordered. _write_files must not re-shuffle here.
+                df = df.repartition(
+                    max(len(crowded), 1),
+                    F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
+                ).sortWithinPartitions(
+                    F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
+                    F.col(m.cluster_col),
+                )
+                new_files = self._write_files(df, m.partition_date_col, None)
+            elif m.cluster_col is not None:
+                # Unpartitioned: pin the range-shuffle width to the target
+                # file count so compaction CONVERGES — an unpinned range
+                # shuffle re-emits shuffle-width files and the table would
+                # stay "crowded" forever.
+                new_files = self._write_files(
+                    df, None, m.cluster_col,
+                    cluster_partitions=max(max_files_per_partition, 1),
+                )
+            elif m.partition_date_col is not None:
                 # one task per day -> one output file per partition dir
                 df = df.repartition(
                     max(len(crowded), 1),
                     F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
                 )
-                new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
+                new_files = self._write_files(df, m.partition_date_col, None)
             else:
-                new_files = self._write_files(df.coalesce(1), None, m.cluster_col)
+                new_files = self._write_files(df.coalesce(1), None, None)
             kept = tuple(f for f in m.files if f.partition not in crowded)
             self._commit_files(m, kept + new_files, m.schema_json, "compact")
             return (len(m.files), len(kept) + len(new_files))

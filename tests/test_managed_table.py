@@ -537,3 +537,64 @@ def test_compact_preserves_clustering(spark, tmp_path):
     assert len(got.inputFiles()) == 1
     assert [r.k for r in got.collect()] == [2500]
     assert t.read().count() == 6000
+
+
+def test_file_may_match_boundary_soundness():
+    """Pruning soundness at type-cast boundaries: a bare-day string predicate
+    must keep a file whose timestamp stats start exactly at that midnight
+    (Spark casts the string to a timestamp, so '=' / '<=' match the
+    instant), and float stats must never prune '>' / '>=' (a hidden NaN row
+    satisfies them)."""
+    from data_warehouse_copy_spark.sources.managed_table import _file_may_match
+
+    day_file = {"ts": ["2024-01-11 00:00:00.000000", "2024-01-11 12:00:00.000000"]}
+    assert _file_may_match(day_file, "ts", "<=", "2024-01-11")
+    assert _file_may_match(day_file, "ts", "=", "2024-01-11")
+    assert not _file_may_match(day_file, "ts", "<", "2024-01-11")
+    # floats: NaN is above every value in Spark's ordering
+    fstats = {"x": [1.0, 2.0]}
+    assert _file_may_match(fstats, "x", ">", 100.0)
+    assert _file_may_match(fstats, "x", ">=", 100.0)
+    assert not _file_may_match(fstats, "x", "<", 0.5)
+    assert _file_may_match(fstats, "x", "=", float("nan"))
+    assert not _file_may_match(fstats, "x", "=", 50.0)
+
+
+def test_merge_with_reserved_and_float_pk(spark, tmp_path):
+    """The stats-scoped merge must not break on a pk named like its internal
+    span columns, and float pks (NaN-capable) must fall back to the full
+    rewrite and still converge."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(50).select(F.col("id").alias("lo"), F.lit("a").alias("v")))
+    t.merge_by_key(
+        spark.range(5).select(F.col("id").alias("lo"), F.lit("b").alias("v")), "lo"
+    )
+    got = t.read()
+    assert got.count() == 50 and got.filter(F.col("v") == "b").count() == 5
+
+    tf = ManagedTable.create(spark, tmp_path / "tf")
+    rows = [(float(i), "a") for i in range(10)] + [(float("nan"), "a")]
+    tf.append(spark.createDataFrame(rows, "k double, v string"))
+    upd = spark.createDataFrame([(float("nan"), "b"), (3.0, "b")], "k double, v string")
+    tf.merge_by_key(upd, "k")
+    got = tf.read()
+    assert got.count() == 11  # NaN key replaced, not duplicated
+    assert got.filter(F.col("v") == "b").count() == 2
+
+
+def test_compact_converges_on_clustered_table(spark, tmp_path):
+    """Compacting a clustered table must reach a state compact() calls a
+    no-op — the clustered write path pins the output width, otherwise every
+    pass re-emits shuffle-width files and the table stays crowded forever."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for lo in (0, 1000):
+            t.append(spark.range(lo, lo + 1000).select(F.col("id").alias("k")))
+        b1, a1 = t.compact()
+        b2, a2 = t.compact()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert a1 < b1
+    assert (b2, a2) == (a1, a1), "second compact must be a no-op"
+    assert t.read().count() == 2000
