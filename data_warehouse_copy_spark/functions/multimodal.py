@@ -4,14 +4,23 @@ Convention: media travel as opaque ``binary`` payload columns plus a typed
 metadata struct (``mime``, ``width``, ``height``, ``n_frames``, ``n_bytes``)
 — the path-reference/bytes pattern of ``spark.read.format("binaryFile")``.
 Heavy per-item work (decode, feature extraction, resize, frame sampling)
-runs as Arrow-batched ``mapInPandas`` operators: the Spark-side plumbing
-(schemas, batch iteration, partition parallelism) is real and tested.
+runs as Arrow-batched ``mapInPandas`` operators.
 
-STUB NOTE: this container has no image/audio codecs (no PIL/cv2/ffmpeg), so
-the innermost decode is a clearly-marked deterministic fake
-(:func:`_decode_stub`) — it derives pixel statistics from the payload bytes
-so results are stable and assertable. Swap ``_decode_stub`` for a real
-decoder in production; every signature and schema stays the same.
+Decode is REAL: payloads are genuine self-describing media formats parsed
+with pure numpy —
+
+- ``image/x-portable-pixmap``: binary PPM (P6), full header grammar
+  (whitespace runs, ``#`` comments, maxval).
+- ``image/bmp``: uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER,
+  BGR byte order, 4-byte row padding).
+- ``video/x-ppm-stream``: concatenated P6 frames (the trivial-but-real
+  container; frame sampling genuinely seeks by parsing frame headers).
+- ``audio/wav``: RIFF/WAVE PCM 16-bit mono (chunk walk to ``data``).
+
+Because the container ships no media files, fixture *content* is
+synthesized deterministically (sha256-tiled pixels/samples in
+:func:`binarize_documents`) — but it is encoded into the real formats
+above and every downstream operator round-trips through the real parsers.
 
 At 100 TB: payloads should be stored in their own column (parquet columnar
 pruning keeps metadata-only queries from reading bytes); ``mapInPandas``
@@ -23,6 +32,7 @@ memory (payload column dominates row size — size partitions accordingly).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,42 +51,248 @@ METADATA_TYPE = T.StructType(
     ]
 )
 
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("metadata", METADATA_TYPE),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Real codecs (pure numpy / struct — no external media libraries)
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary PPM (P6) image."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"encode_ppm wants (h, w, 3) uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _ppm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Read one whitespace-delimited PPM header token, skipping ``#``
+    comments (which run to end-of-line), returning (token, next_pos)."""
+    n = len(buf)
+    while pos < n:
+        c = buf[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            while pos < n and buf[pos : pos + 1] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and buf[pos : pos + 1] not in b" \t\r\n":
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PPM header")
+    return buf[start:pos], pos
+
+
+def decode_ppm(payload: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Parse one binary P6 image starting at ``offset``.
+
+    Returns ``(pixels, end_offset)`` where pixels is (h, w, 3) uint8 and
+    ``end_offset`` points just past the raster — which is what lets a
+    concatenated-P6 stream act as a seekable multi-frame container.
+    """
+    if payload[offset : offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = offset + 2
+    w_tok, pos = _ppm_token(payload, pos)
+    h_tok, pos = _ppm_token(payload, pos)
+    maxval_tok, pos = _ppm_token(payload, pos)
+    w, h, maxval = int(w_tok), int(h_tok), int(maxval_tok)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pos += 1  # single whitespace byte after maxval, per spec
+    end = pos + w * h * 3
+    if end > len(payload):
+        raise ValueError("truncated PPM raster")
+    pixels = np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(h, w, 3)
+    return pixels, end
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Parse a concatenated-P6 stream into its frames (real seek: each
+    frame's raster length comes from its own parsed header)."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        frame, pos = decode_ppm(payload, pos)
+        frames.append(frame)
+    return frames
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR order, 4-byte row padding)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"encode_bmp wants (h, w, 3) uint8, got {img.shape} {img.dtype}")
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    raster = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + info + raster
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BMP into (h, w, 3) uint8 RGB. Handles
+    the on-disk realities: pixel-array offset from the file header, padded
+    strides, bottom-up vs top-down (negative height) row order, BGR."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    bitcount, compression = struct.unpack_from("<HI", payload, 28)
+    if bitcount != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported, got {bitcount}/{compression}")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=offset)
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up (the common case)
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+_WAV_FMT = "<HHIIHH"  # audio_format, channels, sample_rate, byte_rate, block_align, bits
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode an int16 mono sample array as RIFF/WAVE PCM."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError(f"encode_wav wants 1-D int16, got {samples.shape} {samples.dtype}")
+    data = samples.tobytes()
+    fmt = struct.pack(_WAV_FMT, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse RIFF/WAVE PCM 16-bit mono: walk chunks to ``fmt `` and
+    ``data`` (real chunk traversal — tolerates extra chunks in between).
+    Returns (int16 samples, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(_WAV_FMT, body)
+            if (audio_format, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM 16-bit mono supported")
+        elif chunk_id == b"data":
+            samples = np.frombuffer(body, dtype=np.int16)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, sample_rate
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes to the right image parser; for a P6 stream
+    (video container) this yields the first frame."""
+    if payload[:2] == b"P6":
+        frame, _ = decode_ppm(payload)
+        return frame
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError(f"unrecognized media magic {payload[:4]!r}")
+
+
+def _decoded_uint8(payload: bytes, mime: str) -> np.ndarray:
+    """Decode any supported payload to a uint8 array for feature stats:
+    images/video-frames as pixels, WAV as int16 samples mapped onto the
+    0..255 amplitude scale (high byte, offset-binary)."""
+    if mime.startswith("audio"):
+        samples, _ = decode_wav(payload)
+        return ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    return decode_image(payload)
+
+
+# --------------------------------------------------------------------------
+# Fixture synthesis (content is deterministic-fake; encoding is real)
+# --------------------------------------------------------------------------
+
+
+def _synth_bytes(seed: bytes, n: int) -> np.ndarray:
+    """sha256-tiled deterministic content — stands in for real media bytes,
+    which this container cannot ship. Everything downstream of the ENCODE
+    step is real parsing."""
+    digest = hashlib.sha256(seed).digest()
+    base = np.frombuffer(digest, dtype=np.uint8)
+    return np.tile(base, n // len(base) + 1)[:n]
+
+
+def _synth_payload(doc_id: int, text: str) -> tuple[bytes, str, int, int, int]:
+    """Build one real-format payload for a document. Returns
+    (payload, mime, width, height, n_frames)."""
+    seed = text.encode("utf-8", errors="ignore") or str(doc_id).encode()
+    w = (doc_id % 16 + 1) * 2  # 2..32 — keeps sf0.1 payload volume sane
+    h = (doc_id % 9 + 1) * 2  # 2..18
+    kind = doc_id % 3
+    if kind == 0:  # still image: PPM or BMP, alternating
+        img = _synth_bytes(seed, w * h * 3).reshape(h, w, 3)
+        if doc_id % 2 == 0:
+            return encode_ppm(img), "image/x-portable-pixmap", w, h, 1
+        return encode_bmp(img), "image/bmp", w, h, 1
+    if kind == 1:  # video: concatenated-P6 stream, per-frame content
+        n_frames = doc_id % 4 + 1
+        frames = [
+            _synth_bytes(seed + i.to_bytes(4, "little"), w * h * 3).reshape(h, w, 3)
+            for i in range(n_frames)
+        ]
+        return b"".join(encode_ppm(f) for f in frames), "video/x-ppm-stream", w, h, n_frames
+    n_samples = (doc_id % 64 + 1) * 32  # audio: PCM WAV
+    samples = _synth_bytes(seed, n_samples * 2).view(np.int16)
+    return encode_wav(samples), "audio/wav", n_samples, 1, 1
+
 
 def binarize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Build a synthetic multimodal table from the documents fixture: the
-    text bytes become the opaque payload, metadata is derived
-    deterministically. (Stands in for a real ingest of image/video files.)"""
-    payload = F.encode(F.col(text_col), "UTF-8")
-    n_bytes = F.octet_length(payload)
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        payload.alias("payload"),
-        F.struct(
-            F.when(F.col("doc_id") % 3 == 0, "image/png")
-            .when(F.col("doc_id") % 3 == 1, "video/mp4")
-            .otherwise("audio/wav")
-            .alias("mime"),
-            ((F.col("doc_id") % 16 + 1) * 64).cast("int").alias("width"),
-            ((F.col("doc_id") % 9 + 1) * 64).cast("int").alias("height"),
-            (F.col("doc_id") % 120 + 1).cast("int").alias("n_frames"),
-            n_bytes.cast("long").alias("n_bytes"),
-        ).alias("metadata"),
-    )
+    """Build a synthetic multimodal table from the documents fixture: each
+    document becomes a REAL encoded media payload (PPM/BMP image, P6-stream
+    video, or PCM WAV — cycling by doc_id) with typed metadata. Stands in
+    for a real ingest of media files; see module docstring."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                payload, mime, w, h, n_frames = _synth_payload(int(doc_id), str(text))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "payload": payload,
+                        "metadata": {
+                            "mime": mime,
+                            "width": w,
+                            "height": h,
+                            "n_frames": n_frames,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(op, MEDIA_SCHEMA)
 
 
-def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """DETERMINISTIC FAKE DECODER (no codecs in this container).
-
-    Produces a (height, width) uint8 'image' whose content is a stable
-    function of the payload bytes (sha256-seeded tiling), so downstream
-    feature extraction is reproducible. A real deployment replaces this
-    with PIL/cv2 decode; nothing else changes.
-    """
-    digest = hashlib.sha256(payload).digest()
-    seed = np.frombuffer(digest, dtype=np.uint8)
-    reps = (width * height) // len(seed) + 1
-    return np.tile(seed, reps)[: width * height].reshape(height, width)
-
+# --------------------------------------------------------------------------
+# Operators (Arrow-batched mapInPandas over real decoded media)
+# --------------------------------------------------------------------------
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -90,11 +306,9 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def extract_features(media: DataFrame, bins: int = 8) -> DataFrame:
-    """Per-item image features via Arrow-batched ``mapInPandas``.
-
-    Batch shape contract: each pandas batch carries the payload bytes and
-    metadata; output is one feature row per media item.
-    """
+    """Per-item features via Arrow-batched ``mapInPandas`` over genuinely
+    decoded media: pixel stats for images (first frame for videos), sample-
+    amplitude stats for audio. One feature row per media item."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # zip over columns, not iterrows: per-row Series construction would
@@ -104,17 +318,16 @@ def extract_features(media: DataFrame, bins: int = 8) -> DataFrame:
             for media_id, payload, metadata in zip(
                 pdf["media_id"], pdf["payload"], pdf["metadata"]
             ):
-                img = _decode_stub(
-                    bytes(payload), metadata["width"], metadata["height"]
-                )
-                hist, _ = np.histogram(img, bins=bins, range=(0, 256))
+                raw = bytes(payload)
+                arr = _decoded_uint8(raw, metadata["mime"])
+                hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
                 rows.append(
                     {
                         "media_id": media_id,
-                        "mean_pixel": float(img.mean()),
-                        "std_pixel": float(img.std()),
+                        "mean_pixel": float(arr.mean()),
+                        "std_pixel": float(arr.std()),
                         "histogram": hist.astype("int64").tolist(),
-                        "n_bytes": len(bytes(payload)),
+                        "n_bytes": len(raw),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -123,44 +336,38 @@ def extract_features(media: DataFrame, bins: int = 8) -> DataFrame:
 
 
 def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """'Resize' every image to (out_w, out_h) — decode stub + nearest-
-    neighbor subsampling (pure numpy, deterministic), re-emitting the payload
-    column and updated metadata. Schema/partition plumbing identical to a
-    real resize."""
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-            T.StructField("metadata", METADATA_TYPE),
-        ]
-    )
-
+    """Resize every IMAGE to (out_w, out_h): real decode (PPM or BMP),
+    nearest-neighbor subsample, re-encode as PPM. Non-image rows are
+    filtered out (a real resize stage routes by modality the same way)."""
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["metadata"]
             ):
-                img = _decode_stub(bytes(payload), meta["width"], meta["height"])
+                img = decode_image(bytes(payload))
                 ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
-                resized = img[np.ix_(ys, xs)]
+                resized = np.ascontiguousarray(img[np.ix_(ys, xs)])
+                out = encode_ppm(resized)
                 rows.append(
                     {
                         "media_id": media_id,
-                        "payload": resized.tobytes(),
+                        "payload": out,
                         "metadata": {
-                            "mime": meta["mime"],
+                            "mime": "image/x-portable-pixmap",
                             "width": out_w,
                             "height": out_h,
-                            "n_frames": meta["n_frames"],
-                            "n_bytes": out_w * out_h,
+                            "n_frames": 1,
+                            "n_bytes": len(out),
                         },
                     }
                 )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(op, out_schema)
+    return media.filter(F.col("metadata.mime").startswith("image")).mapInPandas(
+        op, MEDIA_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(
@@ -173,9 +380,11 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
-    """Uniform frame sampling from 'video' payloads: emits up to
-    ``n_samples`` frame rows per item (a 1->N mapInPandas, the row-exploding
-    batch shape a real ffmpeg sampler would use)."""
+    """Uniform frame sampling from video payloads: REAL container seek —
+    each concatenated-P6 frame is located by parsing its own header — then
+    up to ``n_samples`` frames re-emitted as standalone PPM payloads
+    (a 1->N mapInPandas, the row-exploding batch shape a real ffmpeg
+    sampler would use)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,21 +392,15 @@ def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["metadata"]
             ):
-                total = int(meta["n_frames"])
-                take = min(n_samples, total)
-                idxs = np.linspace(0, total - 1, take).astype(int)
+                frames = decode_ppm_stream(bytes(payload))
+                take = min(n_samples, len(frames))
+                idxs = np.linspace(0, len(frames) - 1, take).astype(int)
                 for i in idxs:
-                    # stub frame = per-index slice of the decoded payload
-                    img = _decode_stub(
-                        bytes(payload) + int(i).to_bytes(4, "little"),
-                        meta["width"],
-                        meta["height"],
-                    )
                     rows.append(
                         {
                             "media_id": media_id,
                             "frame_idx": int(i),
-                            "frame_payload": img[:8].tobytes(),
+                            "frame_payload": encode_ppm(frames[i]),
                         }
                     )
             yield pd.DataFrame(rows)

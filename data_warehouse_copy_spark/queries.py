@@ -2278,14 +2278,14 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY fingerprint)
 
 
 # --------------------------------------------------------------------------
-# Multimodal (extension surface; decode stubbed — rows-only check)
+# Multimodal (extension surface; real PPM/BMP/WAV decode — rows-only check)
 # --------------------------------------------------------------------------
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload media table -> Arrow-batched mapInPandas feature
-    extraction (schema/batch plumbing real; decode deterministic-stubbed —
-    functions/multimodal.py). Not SQL-expressible -> rows-only check.
+    extraction over genuinely decoded media (pure-numpy PPM/BMP/WAV/P6-stream
+    parsers — functions/multimodal.py). Not SQL-expressible -> rows-only check.
 
     The fixture is a single small parquet file (one input split); decode is
     CPU-bound per item, so spread it across all cores first. At real scale

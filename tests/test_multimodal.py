@@ -1,20 +1,127 @@
-"""Multimodal column plumbing tests (schema, batch shape, determinism).
+"""Multimodal tests: REAL codec correctness (exact pixel/sample pins on
+hand-built PPM/BMP/WAV payloads) plus the Spark-side contract (schemas,
+mapInPandas batch iteration, 1->N frame explode, determinism)."""
 
-The decode step is a deterministic stub (no codecs in this container);
-these tests verify the real Spark-side contract: schemas, mapInPandas
-batch iteration, 1->N frame explode, and stable results across runs.
-"""
+import struct
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_copy_spark.functions.multimodal import (
     FEATURE_SCHEMA,
     binarize_documents,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    decode_ppm_stream,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
     extract_features,
     resize_media,
     sample_frames,
 )
+
+# --------------------------------------------------------------------------
+# codec unit tests — exact bytes in, exact pixels out (no Spark)
+# --------------------------------------------------------------------------
+
+
+def test_ppm_decode_handcrafted_with_comment():
+    # 2x2 image, header with a comment and mixed whitespace — the real
+    # P6 grammar, not just what our encoder happens to emit
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    payload = b"P6 # a comment\n2\t2\n# another\n255\n" + raster
+    img, end = decode_ppm(payload)
+    assert end == len(payload)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]], dtype=np.uint8
+    )
+    np.testing.assert_array_equal(img, expect)
+
+
+def test_ppm_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    out, end = decode_ppm(encode_ppm(img))
+    assert end == len(encode_ppm(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_ppm_truncated_raster_raises():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(encode_ppm(img)[:-1])
+
+
+def test_bmp_handcrafted_padding_and_bottom_up():
+    # width=3 -> row data 9 bytes, stride padded to 12; rows stored
+    # bottom-up in BGR. Build the file by hand and pin exact RGB output.
+    top = [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
+    bottom = [(10, 11, 12), (13, 14, 15), (16, 17, 18)]
+    def row(pixels):
+        data = b"".join(bytes([b, g, r]) for (r, g, b) in pixels)
+        return data + b"\x00" * (12 - len(data))
+    raster = row(bottom) + row(top)  # bottom-up: last row first
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    img = decode_bmp(header + info + raster)
+    np.testing.assert_array_equal(img, np.array([top, bottom], dtype=np.uint8))
+
+
+def test_bmp_roundtrip_exact_odd_width():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)  # stride pad 1
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_rejects_compressed():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(encode_bmp(img))
+    struct.pack_into("<I", payload, 30, 1)  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="uncompressed"):
+        decode_bmp(bytes(payload))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=16000)
+    # splice an unknown odd-sized chunk between fmt and data: a real RIFF
+    # parser must skip it (with word alignment), not break
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    out, rate = decode_wav(spliced)
+    assert rate == 16000
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_ppm_stream_seeks_by_header():
+    frames = [
+        np.full((2, 2, 3), 10, dtype=np.uint8),
+        np.full((3, 1, 3), 20, dtype=np.uint8),  # different dims per frame
+        np.full((1, 4, 3), 30, dtype=np.uint8),
+    ]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    out = decode_ppm_stream(stream)
+    assert len(out) == 3
+    for got, want in zip(out, frames):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decode_image_dispatch_and_unknown_magic():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    np.testing.assert_array_equal(decode_image(encode_ppm(img)), img)
+    np.testing.assert_array_equal(decode_image(encode_bmp(img)), img)
+    with pytest.raises(ValueError, match="magic"):
+        decode_image(b"GIF89a....")
+
+
+# --------------------------------------------------------------------------
+# Spark operator tests
+# --------------------------------------------------------------------------
 
 
 @pytest.fixture(scope="module")
@@ -23,19 +130,44 @@ def media(spark, sf_dir):
     return binarize_documents(docs).cache()
 
 
-def test_binarize_schema_and_counts(media):
+def test_binarize_schema_counts_and_real_formats(media):
     assert set(media.columns) == {"media_id", "payload", "metadata"}
     rows = media.select(
         "media_id",
+        "payload",
+        F.col("metadata.mime").alias("mime"),
         F.col("metadata.n_bytes").alias("nb"),
         F.octet_length("payload").alias("ob"),
     ).collect()
     assert len(rows) == 60
+    magics = {"image/x-portable-pixmap": b"P6", "image/bmp": b"BM",
+              "video/x-ppm-stream": b"P6", "audio/wav": b"RIFF"}
     for r in rows:
         assert r.nb == r.ob > 0
+        assert bytes(r.payload).startswith(magics[r.mime])
 
 
-def test_extract_features_deterministic(media):
+def test_features_pinned_exact_pixels(spark):
+    # one hand-built 2x2 PPM through the full Spark path: features must be
+    # the exact stats of those four pixels, proving decode is real
+    img = np.array([[[0, 0, 0], [255, 255, 255]],
+                    [[128, 128, 128], [64, 64, 64]]], dtype=np.uint8)
+    payload = encode_ppm(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), ("image/x-portable-pixmap", 2, 2, 1, len(payload)))],
+        schema="media_id long, payload binary, "
+        "metadata struct<mime:string,width:int,height:int,n_frames:int,n_bytes:long>",
+    )
+    (row,) = extract_features(df, bins=4).collect()
+    flat = img.ravel().astype(np.float64)
+    assert row.mean_pixel == pytest.approx(flat.mean())
+    assert row.std_pixel == pytest.approx(flat.std())
+    # bins of width 64 over 0..256: values 0,64,128,255 land one per bin
+    assert row.histogram == [3, 3, 3, 3]
+    assert row.n_bytes == len(payload)
+
+
+def test_extract_features_deterministic_all_modalities(media):
     feats = extract_features(media, bins=8)
     assert feats.schema == FEATURE_SCHEMA
     a = {r.media_id: (r.mean_pixel, r.histogram) for r in feats.collect()}
@@ -47,22 +179,49 @@ def test_extract_features_deterministic(media):
         assert len(hist) == 8
 
 
-def test_resize_changes_dims_and_payload_size(media):
+def test_resize_nearest_neighbor_exact(spark):
+    # 4x4 gradient -> 2x2: NN picks rows/cols 0 and 3
+    img = (np.arange(48, dtype=np.uint8)).reshape(4, 4, 3)
+    payload = encode_bmp(img)  # BMP in, PPM out: exercises both codecs
+    df = spark.createDataFrame(
+        [(7, bytearray(payload), ("image/bmp", 4, 4, 1, len(payload)))],
+        schema="media_id long, payload binary, "
+        "metadata struct<mime:string,width:int,height:int,n_frames:int,n_bytes:long>",
+    )
+    (row,) = resize_media(df, out_w=2, out_h=2).collect()
+    out, _ = decode_ppm(bytes(row.payload))
+    np.testing.assert_array_equal(out, img[np.ix_([0, 3], [0, 3])])
+    assert (row.metadata.width, row.metadata.height) == (2, 2)
+
+
+def test_resize_images_only(media):
+    n_images = media.filter(F.col("metadata.mime").startswith("image")).count()
     out = resize_media(media, out_w=16, out_h=8)
-    rows = out.select(
-        "metadata.width", "metadata.height", F.octet_length("payload").alias("nb")
-    ).collect()
-    assert len(rows) == 60
+    rows = out.select("metadata.width", "metadata.height", "payload").collect()
+    assert len(rows) == n_images > 0
     for r in rows:
-        assert (r.width, r.height, r.nb) == (16, 8, 128)
+        assert (r.width, r.height) == (16, 8)
+        img, _ = decode_ppm(bytes(r.payload))
+        assert img.shape == (8, 16, 3)
 
 
-def test_sample_frames_explodes_videos_only(media):
-    n_videos = media.filter(F.col("metadata.mime").startswith("video")).count()
+def test_sample_frames_real_seek(media):
+    videos = media.filter(F.col("metadata.mime").startswith("video"))
+    n_videos = videos.count()
+    expected = {
+        r.media_id: min(4, r.n_frames)
+        for r in videos.select("media_id", "metadata.n_frames").collect()
+    }
     frames = sample_frames(media, n_samples=4)
     got = frames.groupBy("media_id").count().collect()
     assert len(got) == n_videos
     for r in got:
-        assert 1 <= r["count"] <= 4
-    idx = frames.select("frame_idx").distinct().collect()
-    assert all(r.frame_idx >= 0 for r in idx)
+        assert r["count"] == expected[r.media_id]
+    # every emitted frame payload is itself a valid standalone PPM whose
+    # pixels match the source stream at that index
+    sources = {r.media_id: bytes(r.payload) for r in videos.collect()}
+    for r in frames.collect():
+        frame, _ = decode_ppm(bytes(r.frame_payload))
+        np.testing.assert_array_equal(
+            frame, decode_ppm_stream(sources[r.media_id])[r.frame_idx]
+        )
