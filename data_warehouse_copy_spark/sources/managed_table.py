@@ -26,8 +26,18 @@ Scale design (the 100 TB story):
 - readers get an explicit pruned file list, so Spark never lists or reads
   dead files; the parquet scan keeps predicate pushdown and column pruning.
 
-Single-writer-per-table is assumed (the reference processes each table from
-one thread too); concurrent writers would be last-commit-wins.
+Concurrent writers are safe — in-process writers serialize on a per-table
+lock, and cross-process writers use optimistic concurrency control: each
+commit CREATES its version file exclusively (an ``os.link`` from a temp
+file, which atomically fails if the version already exists — the same
+put-if-absent primitive Delta Lake uses on its ``_delta_log``). A loser
+re-reads the new latest manifest and either *rebases* (when the files it
+removes are all still live — e.g. two appends, or an append racing a
+compaction) or raises :class:`ConcurrentWriteError` (when the other commit
+rewrote the same files — e.g. two merges of one partition). The reference
+got this serialization for free from SQL Server transactions
+(``TableCopyService.cs:89``); at 100 TB a compactor runs beside ingest, so
+last-commit-wins would silently lose data.
 """
 
 from __future__ import annotations
@@ -49,6 +59,22 @@ from pyspark.sql import types as T
 
 _PART_DIR = "_part"
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Cross-process commit retries: bounded so a livelocked writer fails loudly
+# rather than spinning forever; linear backoff keeps retry cost trivial.
+_COMMIT_MAX_ATTEMPTS = 20
+_COMMIT_BACKOFF_S = 0.05
+
+
+class CommitConflict(Exception):
+    """Internal: another process created this manifest version first."""
+
+
+class ConcurrentWriteError(Exception):
+    """A concurrent commit rewrote files this commit also rewrites (or
+    changed the schema incompatibly), so the commit cannot be rebased and
+    is cleanly rejected — never silently lost. Callers should re-read the
+    table and re-apply their logical operation."""
 
 
 @dataclass(frozen=True)
@@ -227,17 +253,24 @@ class ManagedTable:
             return t
         (t.root / "_log").mkdir(parents=True, exist_ok=True)
         (t.root / "data").mkdir(parents=True, exist_ok=True)
-        t._commit(
-            Manifest(
-                version=0,
-                partition_date_col=partition_date_col,
-                schema_json=None,
-                files=(),
-                op="create",
-                ts=_utcnow(),
-                cluster_col=cluster_col,
+        try:
+            t._commit(
+                Manifest(
+                    version=0,
+                    partition_date_col=partition_date_col,
+                    schema_json=None,
+                    files=(),
+                    op="create",
+                    ts=_utcnow(),
+                    cluster_col=cluster_col,
+                )
             )
-        )
+        except CommitConflict:
+            # Another process created the table between exists() and here.
+            if not exist_ok:
+                raise FileExistsError(
+                    f"managed table already exists at {root}"
+                ) from None
         return t
 
     def exists(self) -> bool:
@@ -247,7 +280,14 @@ class ManagedTable:
 
     def snapshot(self, version: int | None = None) -> Manifest:
         if version is None:
+            # _LATEST is a hint, not the truth: with concurrent committers
+            # the pointer flip can lag (A commits v5, B commits v6, A's flip
+            # lands last). Version files are created atomically-complete
+            # (os.link in _commit), so probing forward for the next version
+            # file always finds the real head.
             version = int((self.root / "_log" / "_LATEST").read_text())
+            while (self.root / "_log" / f"{version + 1:020d}.json").exists():
+                version += 1
         raw = json.loads((self.root / "_log" / f"{version:020d}.json").read_text())
         return Manifest(
             version=raw["version"],
@@ -264,24 +304,41 @@ class ManagedTable:
         return [self.snapshot(v) for v in range(latest.version + 1)]
 
     def _commit(self, m: Manifest) -> None:
+        """Exclusively create manifest version file ``m.version`` (put-if-
+        absent via ``os.link`` from a fully-written temp file — the version
+        file appears atomically complete or not at all), then advance the
+        ``_LATEST`` hint. Raises :class:`CommitConflict` if another process
+        committed this version first."""
         log_dir = self.root / "_log"
-        (log_dir / f"{m.version:020d}.json").write_text(
-            json.dumps(
-                {
-                    "version": m.version,
-                    "partition_date_col": m.partition_date_col,
-                    "schema_json": m.schema_json,
-                    "files": [f.__dict__ for f in m.files],
-                    "op": m.op,
-                    "ts": m.ts,
-                    "cluster_col": m.cluster_col,
-                },
-                indent=1,
-            )
+        payload = json.dumps(
+            {
+                "version": m.version,
+                "partition_date_col": m.partition_date_col,
+                "schema_json": m.schema_json,
+                "files": [f.__dict__ for f in m.files],
+                "op": m.op,
+                "ts": m.ts,
+                "cluster_col": m.cluster_col,
+            },
+            indent=1,
         )
-        tmp = log_dir / f"_LATEST.tmp.{uuid.uuid4().hex}"
-        tmp.write_text(str(m.version))
-        os.replace(tmp, log_dir / "_LATEST")  # atomic pointer flip
+        tmp = log_dir / f".commit.tmp.{uuid.uuid4().hex}"
+        tmp.write_text(payload)
+        try:
+            os.link(tmp, log_dir / f"{m.version:020d}.json")
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {m.version} already committed by another writer"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        # Advance the pointer monotonically; a lost race here only leaves the
+        # hint stale, which snapshot()'s forward probe tolerates.
+        ptr = log_dir / "_LATEST"
+        if not ptr.exists() or int(ptr.read_text()) < m.version:
+            ptmp = log_dir / f"_LATEST.tmp.{uuid.uuid4().hex}"
+            ptmp.write_text(str(m.version))
+            os.replace(ptmp, ptr)  # atomic pointer flip
 
     # ----------------------------------------------------------------- read
 
@@ -312,14 +369,21 @@ class ManagedTable:
             if _partition_live(f.partition, partition_min, partition_max, partitions)
             and all(_file_may_match(f.stats, c, op, v) for c, op, v in where or [])
         ]
+        schema = (
+            T.StructType.fromJson(json.loads(m.schema_json))
+            if m.schema_json
+            else None
+        )
         if not files:
-            schema = (
-                T.StructType.fromJson(json.loads(m.schema_json))
-                if m.schema_json
-                else T.StructType([])
-            )
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(*files)
+            return self.spark.createDataFrame([], schema or T.StructType([]))
+        # Read under the MANIFEST schema, not the first file's: after an
+        # additive schema evolution (append(merge_schema=True)) old files
+        # lack the new columns, and Spark's parquet reader null-backfills
+        # columns absent from a file when given an explicit read schema —
+        # which also skips the footer-sampling schema-inference pass (at
+        # 100 TB, one fewer touch of every footer).
+        reader = self.spark.read.schema(schema) if schema else self.spark.read
+        df = reader.parquet(*files)
         for c, op, v in where or []:
             col = F.col(c)
             df = df.filter(
@@ -335,7 +399,7 @@ class ManagedTable:
 
     # ---------------------------------------------------------------- write
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append rows atomically (reference O5 streaming bulk insert,
         ``TableCopyService.cs:144-169``). Returns rows written.
 
@@ -344,16 +408,27 @@ class ManagedTable:
         the table: parquet reads take the first file's schema, so later
         readers would drop or misread the divergent files — a same-named
         column written with a different type is exactly that poisoning, so
-        it is rejected too."""
+        it is rejected too.
+
+        ``merge_schema=True`` opts into **additive schema evolution** (the
+        ``mergeSchema`` shape Delta/parquet users expect; the reference
+        sidesteps evolution via per-run column remapping,
+        ``TableCopyService.cs:152-161``): new columns in ``df`` widen the
+        table schema, and columns ``df`` lacks are backfilled with typed
+        nulls in the written file. Old files are untouched — :meth:`read`
+        reconciles them to the manifest schema with null backfill, so the
+        widen is a metadata-only commit. Type CHANGES to an existing
+        column are still rejected: evolution adds, it never mutates."""
         with _lock_for(self.root):
             m = self.snapshot()
             if m.schema_json:
                 existing = T.StructType.fromJson(json.loads(m.schema_json))
                 have, want = set(df.columns), {f.name for f in existing.fields}
-                if have != want:
+                if have != want and not merge_schema:
                     raise ValueError(
                         f"append schema mismatch: table has {sorted(want)}, "
-                        f"dataframe has {sorted(have)}"
+                        f"dataframe has {sorted(have)} "
+                        f"(pass merge_schema=True for additive evolution)"
                     )
                 # Compare via simpleString(): nullability-insensitive (a
                 # nested containsNull flip is parquet-compatible, and exact
@@ -364,13 +439,27 @@ class ManagedTable:
                     f"{f.name}: table={f.dataType.simpleString()} "
                     f"df={new_types[f.name].simpleString()}"
                     for f in existing.fields
-                    if new_types[f.name].simpleString() != f.dataType.simpleString()
+                    if f.name in new_types
+                    and new_types[f.name].simpleString() != f.dataType.simpleString()
                 ]
                 if diverged:
                     raise ValueError(
                         "append type mismatch: " + "; ".join(sorted(diverged))
                     )
-                df = df.select(*[f.name for f in existing.fields])
+                if merge_schema and have != want:
+                    # Additive widen: table columns first (stable order for
+                    # existing readers), then df's new columns; columns the
+                    # df lacks are typed-null backfilled so the written file
+                    # carries the full union schema.
+                    for f in existing.fields:
+                        if f.name not in have:
+                            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    union_order = [f.name for f in existing.fields] + [
+                        f.name for f in df.schema.fields if f.name not in want
+                    ]
+                    df = df.select(*union_order)
+                else:
+                    df = df.select(*[f.name for f in existing.fields])
             new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
             self._commit_files(m, tuple(m.files) + new_files, df.schema.json(), "append")
         return sum(f.rows for f in new_files)
@@ -582,10 +671,14 @@ class ManagedTable:
                     if m.schema_json
                     else T.StructType([])
                 )
+                # schema-explicit: pre-evolution files null-backfill
+                reader = (
+                    self.spark.read.schema(schema)
+                    if m.schema_json
+                    else self.spark.read
+                )
                 target = (
-                    self.spark.read.parquet(
-                        *[str(self.root / p) for p in affected_paths]
-                    )
+                    reader.parquet(*[str(self.root / p) for p in affected_paths])
                     if affected_paths
                     else self.spark.createDataFrame([], schema)
                 )
@@ -684,16 +777,66 @@ class ManagedTable:
     def _commit_files(
         self, prev: Manifest, files: tuple[FileEntry, ...], schema_json: str | None, op: str
     ) -> None:
-        self._commit(
-            Manifest(
-                version=prev.version + 1,
-                partition_date_col=prev.partition_date_col,
-                schema_json=schema_json or prev.schema_json,
-                files=files,
-                op=op,
-                ts=_utcnow(),
-                cluster_col=prev.cluster_col,
-            )
+        """Commit ``files`` as the next version on top of ``prev``, with
+        optimistic cross-process concurrency control.
+
+        On a version collision the commit is re-expressed as a logical diff
+        against its base — ``removed`` (paths in prev but not in files) and
+        ``added`` (entries new in files; their uuid commit dirs cannot
+        collide with another writer's) — and rebased onto the new head iff
+        every removed file is still live there (the concurrent commit
+        touched disjoint files: append vs append, append vs compact). If a
+        removed file is gone, both writers rewrote the same data and the
+        loser gets :class:`ConcurrentWriteError` — a clean rejection,
+        matching the serialization SQL Server gave the reference
+        (``TableCopyService.cs:89``), never a silent lost update."""
+        import time
+
+        prev_paths = {f.path for f in prev.files}
+        new_paths = {f.path for f in files}
+        removed_paths = prev_paths - new_paths
+        added = tuple(f for f in files if f.path not in prev_paths)
+        base = prev
+        for attempt in range(_COMMIT_MAX_ATTEMPTS):
+            try:
+                self._commit(
+                    Manifest(
+                        version=base.version + 1,
+                        partition_date_col=base.partition_date_col,
+                        schema_json=schema_json or base.schema_json,
+                        files=files,
+                        op=op,
+                        ts=_utcnow(),
+                        cluster_col=base.cluster_col,
+                    )
+                )
+                return
+            except CommitConflict:
+                cur = self.snapshot()
+                if not removed_paths <= {f.path for f in cur.files}:
+                    raise ConcurrentWriteError(
+                        f"{op} at {self.root}: a concurrent commit "
+                        f"(v{cur.version}, op={cur.op}) rewrote files this "
+                        f"commit also rewrites; re-read and retry the "
+                        f"operation"
+                    ) from None
+                if schema_json is None or schema_json == prev.schema_json:
+                    # Not a schema-changing commit: inherit any concurrent
+                    # evolution from the new head.
+                    schema_json = None if cur.schema_json == prev.schema_json else cur.schema_json
+                elif cur.schema_json not in (prev.schema_json, schema_json):
+                    raise ConcurrentWriteError(
+                        f"{op} at {self.root}: concurrent schema change "
+                        f"conflicts with this commit's schema"
+                    ) from None
+                files = tuple(
+                    f for f in cur.files if f.path not in removed_paths
+                ) + added
+                base = cur
+                time.sleep(_COMMIT_BACKOFF_S * (attempt + 1))
+        raise ConcurrentWriteError(
+            f"{op} at {self.root}: gave up after {_COMMIT_MAX_ATTEMPTS} "
+            f"commit attempts under contention"
         )
 
     def _write_files(
@@ -828,14 +971,24 @@ class ManagedTable:
             self._commit_files(m, kept + new_files, m.schema_json, "compact")
             return (len(m.files), len(kept) + len(new_files))
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_seconds: float = 0.0) -> int:
         """Delete data files not referenced by the latest manifest. Returns
         number of files removed. (Old versions become unreadable — run only
-        when time travel is not needed.)"""
+        when time travel is not needed.)
+
+        ``retention_seconds`` skips files younger than the cutoff: a
+        concurrent writer's files land under ``data/`` moments before its
+        manifest commit, so a zero-retention vacuum racing an ingest could
+        delete an about-to-be-committed file (the same reason Delta's VACUUM
+        defaults to a 7-day retention). Pass a positive retention whenever
+        other writers may be live; 0 is safe only for a quiesced table."""
+        import time
+
         live = {str(self.root / f.path) for f in self.snapshot().files}
+        cutoff = time.time() - retention_seconds
         removed = 0
         for p in (self.root / "data").rglob("*.parquet"):
-            if str(p) not in live:
+            if str(p) not in live and p.stat().st_mtime <= cutoff:
                 p.unlink()
                 removed += 1
         return removed

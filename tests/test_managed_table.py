@@ -598,3 +598,208 @@ def test_compact_converges_on_clustered_table(spark, tmp_path):
     assert a1 < b1
     assert (b2, a2) == (a1, a1), "second compact must be a no-op"
     assert t.read().count() == 2000
+
+
+# ------------------------------------------------------- concurrent writers
+
+
+def _mt_no_spark(root):
+    """ManagedTable handle without a SparkSession — the manifest protocol
+    (snapshot/_commit_files) and append_pylist are pure driver-side code,
+    which lets subprocess tests hammer the commit path without a JVM each."""
+    return ManagedTable(None, root)
+
+
+_WORKER_SCRIPT = r"""
+import sys
+from pyspark.sql import types as T
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+root, wid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+t = ManagedTable(None, root)
+schema = T.StructType([
+    T.StructField("writer", T.LongType()),
+    T.StructField("seq", T.LongType()),
+])
+for i in range(n):
+    t.append_pylist([{"writer": wid, "seq": i}], schema)
+print("OK")
+"""
+
+
+def test_concurrent_cross_process_appends_lose_nothing(spark, tmp_path):
+    """N processes × K appends each: every commit must survive (the O_EXCL
+    version-file commit + rebase). Before round 3 this was last-wins and
+    silently lost updates."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root)
+    schema = T.StructType(
+        [T.StructField("writer", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    t.append_pylist([{"writer": -1, "seq": -1}], schema)  # seed the schema
+
+    n_procs, n_appends = 4, 6
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER_SCRIPT, root, str(w), str(n_appends)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(n_procs)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+        assert "OK" in out
+
+    m = t.snapshot()
+    assert m.total_rows == 1 + n_procs * n_appends  # no lost update
+    assert m.version == 1 + n_procs * n_appends  # every commit got a version
+    assert t.read().count() == 1 + n_procs * n_appends
+
+
+def test_stale_base_append_rebases(spark, tmp_path, lineitem):
+    """An append computed against a stale snapshot must land on the new head
+    without losing the interleaved commit (the in-process analogue of two
+    processes racing)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(10))
+    stale = t.snapshot()
+    t.append(lineitem.limit(5))  # interleaved commit -> stale base
+    new_files = t._write_files(lineitem.limit(3), None, None)
+    t._commit_files(stale, tuple(stale.files) + new_files, None, "append")
+    assert t.snapshot().total_rows == 18
+    assert t.snapshot().version == stale.version + 2
+
+
+def test_conflicting_rewrite_cleanly_rejected(spark, tmp_path, lineitem):
+    """Two writers rewriting the SAME files: the loser must get
+    ConcurrentWriteError, not silently clobber the winner."""
+    from data_warehouse_copy_spark.sources.managed_table import (
+        ConcurrentWriteError,
+    )
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(10))
+    stale = t.snapshot()
+    t.overwrite(lineitem.limit(5))  # winner rewrites (removes) the old files
+    new_files = t._write_files(lineitem.limit(3), None, None)
+    with pytest.raises(ConcurrentWriteError):
+        # loser also removes the (now-gone) old files
+        t._commit_files(stale, new_files, None, "overwrite")
+    assert t.snapshot().total_rows == 5  # winner's data intact
+
+
+def test_append_racing_compact_keeps_both(spark, tmp_path, lineitem):
+    """Compaction computed against a stale base rebases over an interleaved
+    append: the appended rows survive, the compacted files land."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(4))
+    t.append(lineitem.limit(4))
+    stale = t.snapshot()
+    # compaction plan against `stale`: all current files -> one file
+    compacted = t._write_files(t.read().coalesce(1), None, None)
+    t.append(lineitem.limit(7))  # interleaved ingest
+    t._commit_files(stale, compacted, None, "compact")
+    assert t.snapshot().total_rows == 8 + 7
+    names = {f.path for f in t.snapshot().files}
+    assert {f.path for f in compacted} <= names
+
+
+def test_latest_pointer_lag_is_tolerated(spark, tmp_path, lineitem):
+    """snapshot() probes past a stale _LATEST hint to the real head."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(5))
+    t.append(lineitem.limit(5))
+    head = t.snapshot().version
+    (t.root / "_log" / "_LATEST").write_text("0")  # simulate a lost flip race
+    assert t.snapshot().version == head
+    t.append(lineitem.limit(5))  # next commit re-advances the pointer
+    assert int((t.root / "_log" / "_LATEST").read_text()) == head + 1
+
+
+def test_vacuum_retention_spares_young_files(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(5))
+    t.overwrite(lineitem.limit(3))  # orphans the first commit's files
+    assert t.vacuum(retention_seconds=3600) == 0  # young orphans spared
+    assert t.vacuum() >= 1  # quiesced-table vacuum still reclaims
+    assert t.read().count() == 3
+
+
+# --------------------------------------------------------- schema evolution
+
+
+def test_merge_schema_add_column(spark, tmp_path, lineitem):
+    """Additive evolution: new column widens the table; old files read back
+    with typed nulls; type changes stay rejected."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.select("l_orderkey", "l_quantity").limit(10))
+    widened = (
+        lineitem.select("l_orderkey", "l_quantity")
+        .limit(4)
+        .withColumn("source_tag", F.lit("r3"))
+    )
+    # without the opt-in it still rejects
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(widened)
+    assert t.append(widened, merge_schema=True) == 4
+    df = t.read()
+    assert df.columns == ["l_orderkey", "l_quantity", "source_tag"]
+    assert df.count() == 14
+    assert df.filter(F.col("source_tag").isNull()).count() == 10  # backfill
+    assert df.filter(F.col("source_tag") == "r3").count() == 4
+    # plain append must now supply the union schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(lineitem.select("l_orderkey", "l_quantity").limit(1))
+
+
+def test_merge_schema_missing_column_backfilled_on_write(spark, tmp_path, lineitem):
+    """merge_schema also accepts a frame MISSING table columns: they are
+    written as typed nulls (additive both directions, never destructive)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.select("l_orderkey", "l_quantity", "l_shipdate").limit(6))
+    t.append(
+        lineitem.select("l_orderkey").limit(3).withColumn("extra", F.lit(1)),
+        merge_schema=True,
+    )
+    df = t.read()
+    assert df.columns == ["l_orderkey", "l_quantity", "l_shipdate", "extra"]
+    assert df.filter(F.col("l_quantity").isNull()).count() == 3
+    assert df.filter(F.col("extra").isNull()).count() == 6
+
+
+def test_merge_schema_rejects_type_change(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.select("l_orderkey", "l_quantity").limit(5))
+    mutated = lineitem.select(
+        "l_orderkey", F.col("l_quantity").cast("string").alias("l_quantity")
+    ).limit(2)
+    with pytest.raises(ValueError, match="type mismatch"):
+        t.append(mutated, merge_schema=True)
+
+
+def test_merge_by_key_after_evolution(spark, tmp_path, lineitem):
+    """Key-merge over a mix of pre- and post-evolution files reconciles to
+    the union schema (the stats-scoped file read is schema-explicit)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    base = lineitem.select("l_orderkey", "l_quantity").dropDuplicates(
+        ["l_orderkey"]
+    ).limit(20)
+    t.append(base)
+    t.append(
+        base.limit(2).withColumn("flag", F.lit("new")), merge_schema=True
+    )
+    src = base.limit(5).withColumn("l_quantity", F.lit(999.0)).withColumn(
+        "flag", F.lit("merged")
+    )
+    t.merge_by_key(src, "l_orderkey")
+    df = t.read()
+    assert set(df.columns) == {"l_orderkey", "l_quantity", "flag"}
+    assert df.filter(F.col("flag") == "merged").count() == 5
