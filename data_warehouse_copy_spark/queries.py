@@ -2296,6 +2296,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def ml_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned text classifier (TF-IDF + logistic regression,
+    functions/ml_text.py) on a deterministic 80/20 split, scored on the
+    held-out fold; returns the confusion matrix ``(lang, predicted_lang,
+    n)`` plus a total-accuracy row.
+
+    The label is sentiment-style and text-derived (more ``fast`` than
+    ``slow`` tokens -> ``pos``) because the fixtures' ``lang`` column is
+    deliberately label noise (all "languages" share one vocabulary — see
+    tests/test_ml_text.py); a learnable label is what exercises the
+    learned path. Every step is deterministic on a fixed fixture — hash
+    split, fixed HashingTF bucketing, LBFGS over a fixed partition layout
+    — so the exact matrix is pinned at sf0.001 in
+    tests/test_entry_contract.py. A learned model is not
+    ANSI-SQL-expressible -> rows-only driver check.
+
+    100 TB shape: fit is a distributed treeAggregate over gradient
+    updates; scoring is a pure per-row projection (embarrassingly
+    parallel); the confusion matrix is one small groupBy."""
+    from data_warehouse_copy_spark.functions.ml_text import (
+        predicted_labels,
+        train_language_classifier,
+    )
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    n_fast = F.size(F.filter(F.split("text", r"\s+"), lambda t: t == "fast"))
+    n_slow = F.size(F.filter(F.split("text", r"\s+"), lambda t: t == "slow"))
+    labeled = _spread(
+        docs.select(
+            "doc_id",
+            "text",
+            F.when(n_fast > n_slow, "pos").otherwise("neg").alias("lang"),
+        )
+    )
+    fold = F.crc32(F.col("doc_id").cast("string")) % 5
+    model = train_language_classifier(labeled.filter(fold != 0))
+    held_out = labeled.filter(fold == 0)
+    return (
+        predicted_labels(model, held_out)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2377,6 +2422,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk_ivf": similarity_topk_ivf,
     "approx_analytics": approx_analytics,
     "multimodal_features": multimodal_features,
+    "ml_text_metrics": ml_text_metrics,
 }
 
 ORACLES: dict[str, str] = {

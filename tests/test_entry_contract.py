@@ -98,3 +98,20 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_ml_text_metrics_pinned(spark, sf_dir):
+    """The learned-path query (past the driver's 50 oracle slots, rows-only
+    there) gets its exact confusion matrix pinned here: the split is a
+    doc_id hash, HashingTF bucketing is fixed, and LBFGS runs over a fixed
+    partition layout, so the fit is deterministic on the fixture."""
+    from data_warehouse_copy_spark.queries import ml_text_metrics
+
+    rows = ml_text_metrics(spark, sf_dir).collect()
+    matrix = sorted((r.lang, r.predicted_lang, r.n) for r in rows)
+    assert matrix == [
+        ("neg", "neg", 54),
+        ("neg", "pos", 3),
+        ("pos", "neg", 4),
+        ("pos", "pos", 28),
+    ]

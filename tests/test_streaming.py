@@ -293,3 +293,59 @@ def test_refresh_day_rewrites_only_that_days_files(spark, events, tmp_path):
     assert before <= {f.path for f in after}
     assert other_days == before
     assert any(f.partition == "2024-01-10" for f in after)
+
+
+def test_stream_sink_hash_equals_batch_twin(spark, events, tmp_path):
+    """FULL batch≡stream equivalence, same harness as the oracle checks:
+    the whole events fixture goes through a real readStream + watermark +
+    foreachBatch into a ManagedTable, then a sentinel event 2 h past max ts
+    advances the watermark so append mode releases EVERY real window; the
+    sink is then compared to the batch events_hourly twin row-for-row on
+    sorted normalized values (not just on emitted-window subsets).
+
+    n_users is exact count_distinct in batch but approx_count_distinct in
+    streaming (exact isn't incremental); HLL++ is exact at the fixture's
+    per-window cardinalities, so the comparison stays strict equality —
+    asserted separately so a future fixture change points at the right
+    cause."""
+    from tests.test_entry_contract import _rows_to_set
+
+    src = str(tmp_path / "src")
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    base.coalesce(1).write.parquet(src)
+
+    target = ManagedTable.create(spark, str(tmp_path / "tbl"))
+    q = stream_events_to_managed_table(
+        spark, src, target, str(tmp_path / "ckpt"),
+        window_duration="1 hour", watermark="0 seconds",
+    )
+    try:
+        q.processAllAvailable()
+        max_ts = base.agg(F.max("ts")).collect()[0][0]
+        sentinel = base.limit(1).select(
+            (F.lit(max_ts) + F.expr("INTERVAL 2 HOURS")).alias("ts"),
+            F.lit("__sentinel__").alias("event_type"),
+            *[
+                F.col(c)
+                for c in base.columns
+                if c not in ("ts", "event_type")
+            ],
+        ).select(*base.columns)
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = target.read().filter(F.col("event_type") != "__sentinel__")
+    batch = tumbling_window_agg(events, "1 hour")
+
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    g = _rows_to_set(cols, [tuple(r) for r in got.select(*cols).collect()])
+    b = _rows_to_set(cols, [tuple(r) for r in batch.select(*cols).collect()])
+    assert len(g) == len(b) and g == b  # every window, hash-equal
+
+    # distinct users: approx (stream) must equal exact (batch) here
+    key_cols = ["window_start", "event_type", "n_users"]
+    gu = _rows_to_set(key_cols, [tuple(r) for r in got.select(*key_cols).collect()])
+    bu = _rows_to_set(key_cols, [tuple(r) for r in batch.select(*key_cols).collect()])
+    assert gu == bu
