@@ -23,7 +23,12 @@ from data_warehouse_copy_spark.session import get_spark  # noqa: E402
 
 # Headline set = the whole driver registry (every operator family), kept in
 # lockstep with QUERIES so the bench can never drift from the contract.
-BENCH_QUERIES = list(QUERIES)
+# Exception: model-TRAINING entries — an LBFGS fit is a batch training job,
+# not a query-latency workload, and would swamp the per-query totals the
+# BASELINE floor was recorded against (its correctness is pinned by
+# tests/test_entry_contract.py::test_ml_text_metrics_pinned instead).
+_NOT_LATENCY_WORK = {"ml_text_metrics"}
+BENCH_QUERIES = [q for q in QUERIES if q not in _NOT_LATENCY_WORK]
 
 
 def materialize(df) -> None:

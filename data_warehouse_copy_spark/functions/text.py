@@ -133,31 +133,73 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def language_scores_array(text: Column) -> Column:
+    """Marker-hit counts for ALL languages (sorted code order) in ONE pass:
+    tokenize once, fold over the tokens accumulating an int array of per-
+    language hits. One fold instead of one filter-lambda per language —
+    higher-order lambdas are excluded from codegen subexpression
+    elimination, so the per-language form re-tokenized the text for every
+    score reference (measured ~7× slower inside a pushed-down filter)."""
+    langs = sorted(LANG_MARKERS)
+    marker_arrs = [
+        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]]) for lang in langs
+    ]
+    toks = whitespace_tokens(F.lower(text))
+    zero = F.array(*[F.lit(0) for _ in langs])
+    return F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.array(
+            *[
+                acc[i] + F.array_contains(marker_arrs[i], t).cast("int")
+                for i in range(len(langs))
+            ]
+        ),
+    )
+
+
 def language_scores(text: Column) -> dict[str, Column]:
     """Marker-hit count per language over lowercased whitespace tokens."""
-    toks = whitespace_tokens(F.lower(text))
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-    return out
+    arr = language_scores_array(text)
+    return {lang: arr[i] for i, lang in enumerate(sorted(LANG_MARKERS))}
 
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of marker hits, ties broken by language
     code ascending, zero hits -> 'und' (undetermined). Deterministic and
-    SQL-expressible (a greatest-of-N + CASE chain)."""
-    scores = language_scores(F.col(text_col))
-    langs = sorted(scores)  # tie-break order = lexicographic
-    best = F.greatest(*[scores[lang] for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):  # earlier langs override later on ties
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    cols = [df["*"], pred.alias("lang_pred")] + [
-        scores[lang].alias(f"score_{lang}") for lang in langs
-    ]
-    return df.select(*cols)
+    SQL-expressible (a greatest-of-N + CASE chain in the oracle).
+
+    Plan shape: the score array is materialized as an intermediate column
+    (one fold), and lang_pred is an argmax over array<struct(score,-idx)>
+    so each score is referenced exactly once — keeping the expression cheap
+    enough that filter pushdown duplicating it is harmless. CollapseProject
+    will not inline the fold into the consumers (it is multi-referenced and
+    not cheap), so it is computed once per row."""
+    langs = sorted(LANG_MARKERS)
+    df2 = df.withColumn("_lang_scores", language_scores_array(F.col(text_col)))
+    sc = [F.col("_lang_scores")[i] for i in range(len(langs))]
+    # max over (score, -index): highest score wins, earliest lang on ties
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(sc[i].alias("s"), F.lit(-i).alias("r"))
+                for i in range(len(langs))
+            ]
+        )
+    )
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    pred = F.when(best["s"] == 0, F.lit("und")).otherwise(
+        F.element_at(lang_arr, -best["r"] + 1)
+    )
+    # null text: scores are null -> both branches null; the legacy CASE
+    # chain yielded 'und', keep that contract
+    pred = F.coalesce(pred, F.lit("und"))
+    cols = (
+        [df[c] for c in df.columns]
+        + [pred.alias("lang_pred")]
+        + [sc[i].alias(f"score_{langs[i]}") for i in range(len(langs))]
+    )
+    return df2.select(*cols)
 
 
 def rolling_fingerprint(text: Column) -> Column:
