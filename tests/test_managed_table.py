@@ -803,3 +803,54 @@ def test_merge_by_key_after_evolution(spark, tmp_path, lineitem):
     df = t.read()
     assert set(df.columns) == {"l_orderkey", "l_quantity", "flag"}
     assert df.filter(F.col("flag") == "merged").count() == 5
+
+
+# ------------------------------------------------------- incremental reads
+
+
+def test_read_changes_append_only_is_exact_cdc(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    a = lineitem.limit(10)
+    t.append(a)                                     # v1
+    v1 = t.snapshot().version
+    t.append(lineitem.limit(30).subtract(a))        # v2
+    t.compact()                                     # v3: rewrite, no logic
+    t.append(lineitem.limit(35).subtract(lineitem.limit(30)))  # v4
+    head = t.snapshot().version
+    assert head == v1 + 3
+    assert t.read_changes(0).count() == 35          # everything, no replay
+    assert t.read_changes(v1).count() == 25         # v2 + v4 adds only
+    assert t.read_changes(v1, v1 + 1).count() == 20 # just v2
+    assert t.read_changes(v1 + 1, v1 + 2).count() == 0  # compact = no change
+    assert t.read_changes(head, head).count() == 0  # empty cursor advance
+    with pytest.raises(ValueError):
+        t.read_changes(head + 1)
+
+
+def test_read_changes_after_evolution_backfills(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.select("l_orderkey").limit(5))
+    v1 = t.snapshot().version
+    t.append(
+        lineitem.select("l_orderkey").limit(2).withColumn("tag", F.lit("x")),
+        merge_schema=True,
+    )
+    full = t.read_changes(0)
+    assert full.columns == ["l_orderkey", "tag"]
+    assert full.filter(F.col("tag").isNull()).count() == 5
+    assert t.read_changes(v1).count() == 2
+
+
+def test_where_on_evolved_column_stays_sound(spark, tmp_path, lineitem):
+    """Data skipping on a post-evolution column: old files lack stats for
+    it (conservative keep -> they survive pruning) and their backfilled
+    nulls are then filtered exactly."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.select("l_orderkey").limit(10))
+    t.append(
+        lineitem.select("l_orderkey").limit(3).withColumn("v", F.lit(7)),
+        merge_schema=True,
+    )
+    assert t.read(where=[("v", "=", 7)]).count() == 3
+    assert t.read(where=[("v", ">", 7)]).count() == 0
+    assert t.read().count() == 13
