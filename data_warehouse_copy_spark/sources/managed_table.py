@@ -103,6 +103,11 @@ class Manifest:
     # column prunes to the few files a point/range can touch (the Delta
     # OPTIMIZE ZORDER trade: one extra write-side shuffle buys skip-reads).
     cluster_col: str | None = None
+    # Idempotent-writer watermarks: app id -> highest transaction version
+    # committed (the Delta txnAppId/txnVersion pattern). A retried
+    # streaming micro-batch presents the same (app, version) and is
+    # skipped instead of double-appended — see ManagedTable.append(txn=).
+    txns: dict | None = None
 
     @property
     def total_rows(self) -> int:
@@ -297,6 +302,7 @@ class ManagedTable:
             op=raw["op"],
             ts=raw["ts"],
             cluster_col=raw.get("cluster_col"),
+            txns=raw.get("txns"),
         )
 
     def history(self) -> list[Manifest]:
@@ -319,6 +325,7 @@ class ManagedTable:
                 "op": m.op,
                 "ts": m.ts,
                 "cluster_col": m.cluster_col,
+                "txns": m.txns,
             },
             indent=1,
         )
@@ -449,7 +456,12 @@ class ManagedTable:
 
     # ---------------------------------------------------------------- write
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Append rows atomically (reference O5 streaming bulk insert,
         ``TableCopyService.cs:144-169``). Returns rows written.
 
@@ -468,9 +480,18 @@ class ManagedTable:
         nulls in the written file. Old files are untouched — :meth:`read`
         reconciles them to the manifest schema with null backfill, so the
         widen is a metadata-only commit. Type CHANGES to an existing
-        column are still rejected: evolution adds, it never mutates."""
+        column are still rejected: evolution adds, it never mutates.
+
+        ``txn=(app_id, txn_version)`` makes the append IDEMPOTENT per app:
+        if this (or a later) version is already recorded for the app, the
+        append is a no-op returning 0. This is what gives a foreachBatch
+        streaming sink exactly-once semantics — a retried micro-batch
+        presents the same epoch and is skipped instead of double-written
+        (Delta's txnAppId/txnVersion pattern)."""
         with _lock_for(self.root):
             m = self.snapshot()
+            if txn is not None and (m.txns or {}).get(txn[0], -1) >= txn[1]:
+                return 0  # retried transaction: already committed
             if m.schema_json:
                 existing = T.StructType.fromJson(json.loads(m.schema_json))
                 have, want = set(df.columns), {f.name for f in existing.fields}
@@ -511,8 +532,10 @@ class ManagedTable:
                 else:
                     df = df.select(*[f.name for f in existing.fields])
             new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
-            self._commit_files(m, tuple(m.files) + new_files, df.schema.json(), "append")
-        return sum(f.rows for f in new_files)
+            committed = self._commit_files(
+                m, tuple(m.files) + new_files, df.schema.json(), "append", txn=txn
+            )
+        return sum(f.rows for f in new_files) if committed else 0
 
     def append_pylist(self, rows: list[dict], schema: "T.StructType") -> int:
         """Driver-side fast path for tiny appends (audit/metadata rows, a
@@ -825,8 +848,13 @@ class ManagedTable:
     # ------------------------------------------------------------ internals
 
     def _commit_files(
-        self, prev: Manifest, files: tuple[FileEntry, ...], schema_json: str | None, op: str
-    ) -> None:
+        self,
+        prev: Manifest,
+        files: tuple[FileEntry, ...],
+        schema_json: str | None,
+        op: str,
+        txn: tuple[str, int] | None = None,
+    ) -> bool:
         """Commit ``files`` as the next version on top of ``prev``, with
         optimistic cross-process concurrency control.
 
@@ -839,7 +867,13 @@ class ManagedTable:
         removed file is gone, both writers rewrote the same data and the
         loser gets :class:`ConcurrentWriteError` — a clean rejection,
         matching the serialization SQL Server gave the reference
-        (``TableCopyService.cs:89``), never a silent lost update."""
+        (``TableCopyService.cs:89``), never a silent lost update.
+
+        ``txn=(app_id, txn_version)`` makes the commit IDEMPOTENT per app
+        (the Delta txnAppId/txnVersion pattern): if the table has already
+        recorded this or a later version for the app (a retried streaming
+        micro-batch, or a concurrent retry racing this one), the commit is
+        skipped. Returns False for such a skip, True when it landed."""
         import time
 
         prev_paths = {f.path for f in prev.files}
@@ -848,6 +882,11 @@ class ManagedTable:
         added = tuple(f for f in files if f.path not in prev_paths)
         base = prev
         for attempt in range(_COMMIT_MAX_ATTEMPTS):
+            if txn is not None and (base.txns or {}).get(txn[0], -1) >= txn[1]:
+                return False  # this transaction already applied
+            txns = dict(base.txns or {})
+            if txn is not None:
+                txns[txn[0]] = txn[1]
             try:
                 self._commit(
                     Manifest(
@@ -858,9 +897,10 @@ class ManagedTable:
                         op=op,
                         ts=_utcnow(),
                         cluster_col=base.cluster_col,
+                        txns=txns or None,
                     )
                 )
-                return
+                return True
             except CommitConflict:
                 cur = self.snapshot()
                 if not removed_paths <= {f.path for f in cur.files}:

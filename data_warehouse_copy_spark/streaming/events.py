@@ -256,12 +256,19 @@ def stream_events_to_managed_table(
         stream, window_duration, watermark, streaming=True
     )
 
+    # Stable per-stream id: checkpoint identity == stream identity. With
+    # txn=(app, epoch) the sink append is idempotent, closing the
+    # foreachBatch at-least-once gap (a micro-batch retried after a crash
+    # between commit and checkpoint presents the same epoch and is
+    # skipped) — true end-to-end exactly-once into the ManagedTable.
+    txn_app = f"stream:{Path(checkpoint_dir).resolve()}"
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         out = batch_df
         for f in batch_df.schema.fields:
             if f.dataType.typeName() == "timestamp":
                 out = out.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
-        target.append(out)
+        target.append(out, txn=(txn_app, epoch_id))
 
     return (
         agg.writeStream.outputMode("append")

@@ -854,3 +854,42 @@ def test_where_on_evolved_column_stays_sound(spark, tmp_path, lineitem):
     assert t.read(where=[("v", "=", 7)]).count() == 3
     assert t.read(where=[("v", ">", 7)]).count() == 0
     assert t.read().count() == 13
+
+
+# ------------------------------------------------------ idempotent commits
+
+
+def test_txn_append_is_idempotent(spark, tmp_path, lineitem):
+    """Same (app, version) presented twice -> second append is a no-op
+    (the foreachBatch-retry shape); a later version lands normally and
+    per-app watermarks are independent."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    assert t.append(lineitem.limit(10), txn=("streamA", 0)) == 10
+    assert t.append(lineitem.limit(10), txn=("streamA", 0)) == 0  # retry
+    assert t.read().count() == 10
+    assert t.append(lineitem.limit(5), txn=("streamA", 1)) == 5
+    assert t.append(lineitem.limit(3), txn=("streamB", 0)) == 3  # other app
+    assert t.read().count() == 18
+    # stale epoch (lower than watermark) is also skipped
+    assert t.append(lineitem.limit(7), txn=("streamA", 0)) == 0
+    assert t.read().count() == 18
+
+
+def test_txn_survives_interleaved_commits_and_rebase(spark, tmp_path, lineitem):
+    """txn watermarks carry forward through non-txn commits and through the
+    cross-process rebase path."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(4), txn=("s", 0))
+    t.append(lineitem.limit(4))          # plain commit must not drop txns
+    t.compact()
+    assert t.snapshot().txns == {"s": 0}
+    # stale-base txn commit racing an interleaved commit: rebase re-checks
+    # the watermark against the new head and still skips the duplicate
+    stale = t.snapshot()
+    t.append(lineitem.limit(2), txn=("s", 1))
+    new_files = t._write_files(lineitem.limit(9), None, None)
+    assert (
+        t._commit_files(stale, tuple(stale.files) + new_files, None, "append", txn=("s", 1))
+        is False
+    )
+    assert t.read().count() == 10  # 4 + 4 + 2, duplicate epoch rejected

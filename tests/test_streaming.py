@@ -349,3 +349,31 @@ def test_stream_sink_hash_equals_batch_twin(spark, events, tmp_path):
     gu = _rows_to_set(key_cols, [tuple(r) for r in got.select(*key_cols).collect()])
     bu = _rows_to_set(key_cols, [tuple(r) for r in batch.select(*key_cols).collect()])
     assert gu == bu
+
+
+def test_stream_sink_retry_does_not_double_write(spark, events, tmp_path):
+    """Simulated foreachBatch retry against the real stream sink: replaying
+    an epoch that already committed must not change the table (the
+    txn-watermark idempotence that closes the at-least-once gap between a
+    micro-batch commit and its checkpoint write)."""
+    from pathlib import Path
+
+    src = str(tmp_path / "src")
+    events.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    target = ManagedTable.create(spark, str(tmp_path / "tbl"))
+    q = stream_events_to_managed_table(
+        spark, src, target, str(tmp_path / "ckpt"),
+        window_duration="1 hour", watermark="0 seconds",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    txns = target.snapshot().txns or {}
+    assert txns, "stream sink should record txn watermarks"
+    before = sorted(map(tuple, target.read().collect()))
+    app = f"stream:{Path(str(tmp_path / 'ckpt')).resolve()}"
+    assert app in txns
+    # replay an already-seen epoch through the same app id
+    assert target.append(target.read().limit(3), txn=(app, 0)) == 0
+    assert sorted(map(tuple, target.read().collect())) == before
