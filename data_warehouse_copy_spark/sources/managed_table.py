@@ -98,11 +98,15 @@ class Manifest:
     files: tuple[FileEntry, ...]
     op: str
     ts: str
-    # Range-clustering column: writes are repartitionByRange + sorted on it,
-    # giving files tight disjoint min/max spans so ``read(where=)`` on this
-    # column prunes to the few files a point/range can touch (the Delta
-    # OPTIMIZE ZORDER trade: one extra write-side shuffle buys skip-reads).
-    cluster_col: str | None = None
+    # Range-clustering spec: a single column name -> writes are
+    # repartitionByRange + sorted on it, giving files tight disjoint
+    # min/max spans so ``read(where=)`` on this column prunes to the few
+    # files a point/range can touch. A LIST of columns -> Z-ORDER: files
+    # cluster on the bit-interleaved quantile-bucket ids of all the
+    # columns, so stats pruning works on ANY of them (the Delta OPTIMIZE
+    # ZORDER trade: one extra write-side shuffle buys multi-column
+    # skip-reads).
+    cluster_col: str | list | None = None
     # Idempotent-writer watermarks: app id -> highest transaction version
     # committed (the Delta txnAppId/txnVersion pattern). A retried
     # streaming micro-batch presents the same (app, version) and is
@@ -249,8 +253,11 @@ class ManagedTable:
         root: str | Path,
         partition_date_col: str | None = None,
         exist_ok: bool = True,
-        cluster_col: str | None = None,
+        cluster_col: str | list | None = None,
     ) -> "ManagedTable":
+        """Create the table. ``cluster_col``: a column name range-clusters
+        writes on it; a LIST of names Z-ORDERS writes (bit-interleaved
+        quantile buckets) so ``read(where=)`` skips files on any of them."""
         t = cls(spark, root)
         if t.exists():
             if not exist_ok:
@@ -950,28 +957,39 @@ class ManagedTable:
         commit_id = uuid.uuid4().hex[:16]
         staging = self.root / "_staging" / commit_id
         final = self.root / "data" / commit_id
+        # Normalize the clustering spec: single column -> range-cluster on
+        # it; multiple columns -> one z-value expression (multi-dimension
+        # skip-reads; see _zorder_column).
+        if cluster_col is None:
+            cexprs = None
+        elif isinstance(cluster_col, str):
+            cexprs = [F.col(cluster_col)]
+        elif len(cluster_col) == 1:
+            cexprs = [F.col(cluster_col[0])]
+        else:
+            cexprs = [_zorder_column(df, list(cluster_col))]
         if partition_date_col is not None:
             df = df.withColumn(
                 _PART_DIR, F.date_format(F.col(partition_date_col), "yyyy-MM-dd")
             )
-            if cluster_col is not None:
+            if cexprs is not None:
                 # day-major range clustering: tasks stay day-local (no
                 # tasks-x-days file explosion), files within a day carry
-                # disjoint cluster_col spans
-                range_cols = [F.col(_PART_DIR), F.col(cluster_col)]
+                # disjoint cluster spans
+                range_cols = [F.col(_PART_DIR), *cexprs]
                 df = (
                     df.repartitionByRange(cluster_partitions, *range_cols)
                     if cluster_partitions
                     else df.repartitionByRange(*range_cols)
-                ).sortWithinPartitions(_PART_DIR, cluster_col)
+                ).sortWithinPartitions(F.col(_PART_DIR), *cexprs)
             writer = df.write.mode("overwrite").partitionBy(_PART_DIR)
         else:
-            if cluster_col is not None:
+            if cexprs is not None:
                 df = (
-                    df.repartitionByRange(cluster_partitions, F.col(cluster_col))
+                    df.repartitionByRange(cluster_partitions, *cexprs)
                     if cluster_partitions
-                    else df.repartitionByRange(F.col(cluster_col))
-                ).sortWithinPartitions(cluster_col)
+                    else df.repartitionByRange(*cexprs)
+                ).sortWithinPartitions(*cexprs)
             writer = df.write.mode("overwrite")
         writer.parquet(str(staging))
         final.parent.mkdir(parents=True, exist_ok=True)
@@ -1031,12 +1049,17 @@ class ManagedTable:
                 # partitions straddle days and re-crowd them), sorted by
                 # (day, cluster) within the task so the single file stays
                 # cluster-ordered. _write_files must not re-shuffle here.
+                sort_cols = (
+                    [F.col(m.cluster_col)]
+                    if isinstance(m.cluster_col, str)
+                    else [_zorder_column(df, list(m.cluster_col))]
+                )
                 df = df.repartition(
                     max(len(crowded), 1),
                     F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
                 ).sortWithinPartitions(
                     F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
-                    F.col(m.cluster_col),
+                    *sort_cols,
                 )
                 new_files = self._write_files(df, m.partition_date_col, None)
             elif m.cluster_col is not None:
@@ -1082,6 +1105,51 @@ class ManagedTable:
                 p.unlink()
                 removed += 1
         return removed
+
+
+def _zorder_column(df: DataFrame, cols: list, buckets: int = 16) -> "F.Column":
+    """Z-value expression: bit-interleaved quantile-bucket ids of ``cols``.
+
+    Each column is mapped to a bucket id in ``[0, buckets)`` via its own
+    approximate quantile boundaries (one ``approxQuantile`` pass per column
+    at write time — the same write-side cost Delta's OPTIMIZE ZORDER pays),
+    then the ids' bits are interleaved so that sorting by the z-value keeps
+    rows close in EVERY clustered dimension at once. Files written in
+    z-order carry tight min/max footer stats on all the columns, so
+    ``read(where=)`` prunes on any of them. Quantile (not uniform) buckets
+    keep the mapping balanced under skew. Nulls bucket to 0; numeric,
+    date, and timestamp columns are supported (strings have no meaningful
+    interleavable order under truncation and are rejected)."""
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    bits = max(1, (buckets - 1).bit_length())
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    id_exprs = []
+    for c in cols:
+        tn = types.get(c)
+        col = F.col(c)
+        if tn in ("timestamp", "timestamp_ntz", "date"):
+            col = col.cast("timestamp").cast("double")
+        elif tn in numeric:
+            col = col.cast("double")
+        else:
+            raise ValueError(
+                f"zorder column {c!r} must be numeric/date/timestamp, got {tn}"
+            )
+        qs = df.select(col.alias("_q")).approxQuantile(
+            "_q", [i / buckets for i in range(1, buckets)], 0.01
+        )
+        bucket = F.lit(0)
+        for b in sorted(set(qs)):
+            bucket = bucket + (col > F.lit(b)).cast("int")
+        id_exprs.append(F.coalesce(bucket, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, e in enumerate(id_exprs):
+            z = z + F.shiftleft(
+                F.shiftright(e, bit).bitwiseAND(F.lit(1)).cast("long"),
+                bit * len(cols) + j,
+            )
+    return z
 
 
 def _utcnow() -> str:

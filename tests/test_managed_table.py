@@ -893,3 +893,60 @@ def test_txn_survives_interleaved_commits_and_rebase(spark, tmp_path, lineitem):
         is False
     )
     assert t.read().count() == 10  # 4 + 4 + 2, duplicate epoch rejected
+
+
+# ------------------------------------------------------------------ zorder
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """cluster_col=[a, b] z-orders writes: file-level stats prune on EITHER
+    column, and results stay exact. A single-column range cluster can only
+    ever skip on its one column; z-order is the multi-dimension variant."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col=["x", "y"])
+    # two independent dimensions: x ascending, y decorrelated via bit-mix
+    data = spark.range(20_000).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % 20_000).alias("y"),
+        (F.col("id") % 13).alias("payload"),
+    ).repartition(16)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(data)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    m = t.snapshot()
+    assert m.cluster_col == ["x", "y"]
+    assert len(m.files) > 4, "need several files for pruning to be visible"
+
+    for col in ("x", "y"):
+        got = t.read(where=[(col, ">=", 100), (col, "<", 600)])
+        assert len(got.inputFiles()) < len(m.files), f"no pruning on {col}"
+        assert got.count() == 500
+        assert sorted(r[col] for r in got.collect()) == list(range(100, 600))
+    # point lookup on the second dimension also skips
+    got = t.read(where=[("y", "=", 77)])
+    assert len(got.inputFiles()) < len(m.files)
+    assert got.count() == 1
+
+
+def test_zorder_survives_compaction(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col=["x", "y"])
+    for lo in (0, 5000, 10000):
+        t.append(
+            spark.range(lo, lo + 5000).select(
+                F.col("id").alias("x"),
+                ((F.col("id") * 2654435761) % 15_000).alias("y"),
+            )
+        )
+    before = t.read().count()
+    t.compact(max_files_per_partition=2)
+    assert t.read().count() == before
+    assert t.snapshot().cluster_col == ["x", "y"]
+    got = t.read(where=[("x", "=", 7777)])
+    assert got.count() == 1
+
+
+def test_zorder_rejects_string_columns(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col=["l_orderkey", "l_returnflag"])
+    with pytest.raises(ValueError, match="zorder"):
+        t.append(lineitem.limit(10))
