@@ -159,9 +159,21 @@ def language_scores_array(text: Column) -> Column:
 
 
 def language_scores(text: Column) -> dict[str, Column]:
-    """Marker-hit count per language over lowercased whitespace tokens."""
-    arr = language_scores_array(text)
-    return {lang: arr[i] for i, lang in enumerate(sorted(LANG_MARKERS))}
+    """Marker-hit count per language over lowercased whitespace tokens.
+
+    Each entry is an INDEPENDENT single-language filter-count — right when
+    a caller needs one or two scores. Do NOT build this from
+    ``language_scores_array``: higher-order lambdas are excluded from
+    codegen subexpression elimination, so ``arr[i]`` per language would
+    re-run the full all-languages fold |langs| times. Consumers that need
+    every score (``with_language_id``) materialize the array column once
+    instead."""
+    toks = whitespace_tokens(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
 
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:

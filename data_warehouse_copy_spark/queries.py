@@ -2300,7 +2300,7 @@ def ml_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned text classifier (TF-IDF + logistic regression,
     functions/ml_text.py) on a deterministic 80/20 split, scored on the
     held-out fold; returns the confusion matrix ``(lang, predicted_lang,
-    n)`` plus a total-accuracy row.
+    n)``.
 
     The label is sentiment-style and text-derived (more ``fast`` than
     ``slow`` tokens -> ``pos``) because the fixtures' ``lang`` column is

@@ -120,9 +120,10 @@ class Manifest:
 
 # In-process commit locks keyed by table root: concurrent writers within one
 # driver (e.g. parallel dim loads appending to the shared audit table,
-# reference BulkCopyManager.cs:182-195) serialize snapshot->commit so no
-# manifest version is lost. Cross-process concurrent writes are last-wins
-# (the reference is likewise a single process).
+# reference BulkCopyManager.cs:182-195) serialize snapshot->commit cheaply,
+# without burning optimistic-retry attempts. Cross-process writers go
+# through the exclusive version-file commit + rebase protocol in
+# _commit/_commit_files (see the module docstring).
 _COMMIT_LOCKS: dict[str, threading.Lock] = defaultdict(threading.Lock)
 _COMMIT_LOCKS_GUARD = threading.Lock()
 
@@ -279,6 +280,15 @@ class ManagedTable:
             )
         except CommitConflict:
             # Another process created the table between exists() and here.
+            # If that creator died before writing the _LATEST pointer, the
+            # version-0 manifest exists but exists() stays false forever —
+            # repair the pointer (snapshot() probes forward from it, so
+            # writing 0 is always safe even mid-race).
+            ptr = t.root / "_log" / "_LATEST"
+            if not ptr.exists():
+                ptmp = t.root / "_log" / f"_LATEST.tmp.{uuid.uuid4().hex}"
+                ptmp.write_text("0")
+                os.replace(ptmp, ptr)
             if not exist_ok:
                 raise FileExistsError(
                     f"managed table already exists at {root}"
@@ -294,10 +304,16 @@ class ManagedTable:
         if version is None:
             # _LATEST is a hint, not the truth: with concurrent committers
             # the pointer flip can lag (A commits v5, B commits v6, A's flip
-            # lands last). Version files are created atomically-complete
-            # (os.link in _commit), so probing forward for the next version
-            # file always finds the real head.
-            version = int((self.root / "_log" / "_LATEST").read_text())
+            # lands last), and a creator can die between linking version 0
+            # and writing the pointer at all. Version files are created
+            # atomically-complete (os.link in _commit), so probing forward
+            # from the hint (or from 0 when the hint is missing) always
+            # finds the real head.
+            ptr = self.root / "_log" / "_LATEST"
+            try:
+                version = int(ptr.read_text())
+            except FileNotFoundError:
+                version = 0
             while (self.root / "_log" / f"{version + 1:020d}.json").exists():
                 version += 1
         raw = json.loads((self.root / "_log" / f"{version:020d}.json").read_text())
@@ -449,15 +465,20 @@ class ManagedTable:
                 if f.path not in prev_paths and m.op != "compact":
                     added.append(str(self.root / f.path))
             prev_paths = cur_paths
+        # Read under to_version's schema, not the head's: the same
+        # (from, to] range must return the same frame shape regardless of
+        # evolutions committed after to_version (a cursor consumer pins its
+        # downstream schema to the versions it has processed).
+        end = self.snapshot(to_version)
         schema = (
-            T.StructType.fromJson(json.loads(head.schema_json))
-            if head.schema_json
+            T.StructType.fromJson(json.loads(end.schema_json))
+            if end.schema_json
             else T.StructType([])
         )
         if not added:
             return self.spark.createDataFrame([], schema)
         reader = (
-            self.spark.read.schema(schema) if head.schema_json else self.spark.read
+            self.spark.read.schema(schema) if end.schema_json else self.spark.read
         )
         return reader.parquet(*added)
 
@@ -539,8 +560,20 @@ class ManagedTable:
                 else:
                     df = df.select(*[f.name for f in existing.fields])
             new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
+            # Only a genuine widen (or first write) updates the manifest
+            # schema; a same-shape append keeps the table's canonical JSON
+            # (the incoming frame's serialization may differ in nullability
+            # only, and drifting the stored text would read as spurious
+            # schema changes to concurrent writers).
+            widened = m.schema_json is not None and merge_schema and any(
+                c not in {f.name for f in T.StructType.fromJson(json.loads(m.schema_json)).fields}
+                for c in df.columns
+            )
+            commit_schema = (
+                df.schema.json() if (m.schema_json is None or widened) else None
+            )
             committed = self._commit_files(
-                m, tuple(m.files) + new_files, df.schema.json(), "append", txn=txn
+                m, tuple(m.files) + new_files, commit_schema, "append", txn=txn
             )
         return sum(f.rows for f in new_files) if committed else 0
 
@@ -608,7 +641,12 @@ class ManagedTable:
                 stats=_harvest_stats(pq.ParquetFile(path).metadata),
             )
             self._commit_files(
-                m, tuple(m.files) + (entry,), schema.json(), "append"
+                m,
+                tuple(m.files) + (entry,),
+                # keep the table's canonical schema text once set (the
+                # caller's StructType may differ in nullability only)
+                schema.json() if m.schema_json is None else None,
+                "append",
             )
         return len(rows)
 
@@ -887,6 +925,14 @@ class ManagedTable:
         new_paths = {f.path for f in files}
         removed_paths = prev_paths - new_paths
         added = tuple(f for f in files if f.path not in prev_paths)
+        # Schema-change classification is by canonical fingerprint, decided
+        # ONCE against the original base: textual JSON variance (nullability,
+        # metadata) must not be mistaken for evolution.
+        fp_prev = _schema_fp(prev.schema_json)
+        schema_changing = (
+            schema_json is not None and _schema_fp(schema_json) != fp_prev
+        )
+        fp_ours = _schema_fp(schema_json) if schema_changing else fp_prev
         base = prev
         for attempt in range(_COMMIT_MAX_ATTEMPTS):
             if txn is not None and (base.txns or {}).get(txn[0], -1) >= txn[1]:
@@ -917,11 +963,11 @@ class ManagedTable:
                         f"commit also rewrites; re-read and retry the "
                         f"operation"
                     ) from None
-                if schema_json is None or schema_json == prev.schema_json:
-                    # Not a schema-changing commit: inherit any concurrent
-                    # evolution from the new head.
-                    schema_json = None if cur.schema_json == prev.schema_json else cur.schema_json
-                elif cur.schema_json not in (prev.schema_json, schema_json):
+                if not schema_changing:
+                    # Not a schema-changing commit: inherit whatever schema
+                    # the new head carries (including concurrent evolution).
+                    schema_json = None  # commit falls back to base.schema_json
+                elif _schema_fp(cur.schema_json) not in (fp_prev, fp_ours):
                     raise ConcurrentWriteError(
                         f"{op} at {self.root}: concurrent schema change "
                         f"conflicts with this commit's schema"
@@ -1105,6 +1151,19 @@ class ManagedTable:
                 p.unlink()
                 removed += 1
         return removed
+
+
+def _schema_fp(schema_json: str | None) -> tuple | None:
+    """Canonical schema fingerprint: (name, simpleString) per field.
+    Schema-equality decisions must use this, not raw JSON text — two
+    logically identical schemas serialize differently when only
+    nullability/metadata differ (e.g. a frame built from literals is
+    non-nullable), and the append type-guard is deliberately
+    nullability-insensitive."""
+    if not schema_json:
+        return None
+    st = T.StructType.fromJson(json.loads(schema_json))
+    return tuple((f.name, f.dataType.simpleString()) for f in st.fields)
 
 
 def _zorder_column(df: DataFrame, cols: list, buckets: int = 16) -> "F.Column":

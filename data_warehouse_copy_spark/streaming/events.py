@@ -262,6 +262,22 @@ def stream_events_to_managed_table(
     # between commit and checkpoint presents the same epoch and is
     # skipped) — true end-to-end exactly-once into the ManagedTable.
     txn_app = f"stream:{Path(checkpoint_dir).resolve()}"
+    # Guard the txnAppId footgun: deleting the checkpoint restarts epoch
+    # numbering at 0, so a kept table's old watermark would silently
+    # swallow every replayed micro-batch. Fail loudly instead and make the
+    # operator choose (fresh table / fresh checkpoint path).
+    fresh_checkpoint = not (Path(checkpoint_dir) / "offsets").exists()
+    if (
+        fresh_checkpoint
+        and target.exists()
+        and (target.snapshot().txns or {}).get(txn_app) is not None
+    ):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} is new but target table already "
+            f"holds a txn watermark for {txn_app!r}: replayed epochs would "
+            f"be silently skipped. Reprocess into a fresh table, or use a "
+            f"different checkpoint path."
+        )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         out = batch_df

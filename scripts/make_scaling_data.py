@@ -42,8 +42,11 @@ def main() -> None:
     DST.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
+    # shift must clear BOTH key spaces: an order with no lineitems could
+    # carry a key above max(l_orderkey) and collide across replicas
     key_shift = con.execute(
-        f"SELECT max(l_orderkey) + 1 FROM '{SRC}/lineitem.parquet'"
+        f"SELECT greatest((SELECT max(l_orderkey) FROM '{SRC}/lineitem.parquet'),"
+        f" (SELECT max(o_orderkey) FROM '{SRC}/orders.parquet')) + 1"
     ).fetchone()[0]
     doc_shift = con.execute(
         f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'"

@@ -950,3 +950,69 @@ def test_zorder_rejects_string_columns(spark, tmp_path, lineitem):
     t = ManagedTable.create(spark, tmp_path / "t", cluster_col=["l_orderkey", "l_returnflag"])
     with pytest.raises(ValueError, match="zorder"):
         t.append(lineitem.limit(10))
+
+
+# ------------------------------------------------- review-fix regressions
+
+
+def test_missing_latest_pointer_is_recovered(spark, tmp_path, lineitem):
+    """A creator that died between linking version 0 and writing _LATEST
+    must not brick the table: snapshot() probes from 0, and create()
+    repairs the pointer."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(5))
+    (t.root / "_log" / "_LATEST").unlink()  # simulate the crash window
+    assert t.snapshot().total_rows == 5  # probe-from-zero fallback
+    t2 = ManagedTable.create(spark, tmp_path / "t")  # repairs the pointer
+    assert (t2.root / "_log" / "_LATEST").exists()
+    assert t2.read().count() == 5
+
+
+def test_rebase_tolerates_nullability_only_schema_variants(spark, tmp_path):
+    """A plain append of a literal-built (non-nullable) frame must not read
+    as a schema change: a stale-base commit racing it should rebase, not
+    raise ConcurrentWriteError."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(10).select(F.col("id").alias("k")))  # non-nullable
+    stale = t.snapshot()
+    # interleaved append with a NULLABLE variant of the same logical schema
+    nullable = spark.range(5).select(
+        F.when(F.col("id") >= 0, F.col("id")).alias("k")
+    )
+    t.append(nullable)
+    new_files = t._write_files(spark.range(3).select(F.col("id").alias("k")), None, None)
+    t._commit_files(stale, tuple(stale.files) + new_files, None, "append")
+    assert t.snapshot().total_rows == 18
+
+
+def test_plain_append_does_not_drift_manifest_schema_text(spark, tmp_path):
+    """Same-shape appends keep the table's canonical schema JSON verbatim;
+    only a genuine widen updates it."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(4).select(F.when(F.col("id") >= 0, F.col("id")).alias("k")))
+    canonical = t.snapshot().schema_json
+    t.append(spark.range(2).select(F.col("id").alias("k")))  # non-nullable variant
+    assert t.snapshot().schema_json == canonical
+    t.append(
+        spark.range(1).select(F.col("id").alias("k"), F.lit(1).alias("w")),
+        merge_schema=True,
+    )
+    assert t.snapshot().schema_json != canonical  # widen DOES update
+
+
+def test_read_changes_schema_pinned_to_to_version(spark, tmp_path, lineitem):
+    """read_changes(from, to) returns to_version's shape even after later
+    evolutions — a cursor consumer's downstream schema must not drift."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.select("l_orderkey").limit(4))
+    v1 = t.snapshot().version
+    t.append(lineitem.select("l_orderkey").limit(2))
+    v2 = t.snapshot().version
+    t.append(
+        lineitem.select("l_orderkey").limit(1).withColumn("extra", F.lit(1)),
+        merge_schema=True,
+    )
+    delta = t.read_changes(v1, v2)
+    assert delta.columns == ["l_orderkey"]  # no post-hoc widening
+    assert delta.count() == 2
+    assert t.read_changes(v2).columns == ["l_orderkey", "extra"]

@@ -377,3 +377,28 @@ def test_stream_sink_retry_does_not_double_write(spark, events, tmp_path):
     # replay an already-seen epoch through the same app id
     assert target.append(target.read().limit(3), txn=(app, 0)) == 0
     assert sorted(map(tuple, target.read().collect())) == before
+
+
+def test_checkpoint_reset_against_kept_table_fails_loudly(spark, events, tmp_path):
+    """Deleting the checkpoint while keeping the table would replay epochs
+    from 0 under an old watermark — every batch silently skipped. The sink
+    must refuse to start instead."""
+    src = str(tmp_path / "src")
+    events.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    target = ManagedTable.create(spark, str(tmp_path / "tbl"))
+    q = stream_events_to_managed_table(
+        spark, src, target, str(tmp_path / "ckpt"),
+        window_duration="1 hour", watermark="0 seconds",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")  # the operator resets the checkpoint
+    with pytest.raises(ValueError, match="txn watermark"):
+        stream_events_to_managed_table(
+            spark, src, target, str(tmp_path / "ckpt"),
+            window_duration="1 hour", watermark="0 seconds",
+        )
