@@ -1016,3 +1016,42 @@ def test_read_changes_schema_pinned_to_to_version(spark, tmp_path, lineitem):
     assert delta.columns == ["l_orderkey"]  # no post-hoc widening
     assert delta.count() == 2
     assert t.read_changes(v2).columns == ["l_orderkey", "extra"]
+
+
+def test_concurrent_appends_with_live_compaction(spark, tmp_path):
+    """The VERDICT-mandated shape: a compactor running BESIDE ingest.
+    Subprocess appenders race in-process compaction cycles; every append
+    must survive and compaction must converge without lost updates."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root)
+    schema = T.StructType(
+        [T.StructField("writer", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    t.append_pylist([{"writer": -1, "seq": -1}], schema)
+
+    n_procs, n_appends = 3, 5
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER_SCRIPT, root, str(w), str(n_appends)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(n_procs)
+    ]
+    # compact continuously while the appenders run
+    while any(p.poll() is None for p in procs):
+        t.compact(max_files_per_partition=2)
+    for p in procs:
+        out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, err
+    t.compact(max_files_per_partition=2)  # final converge
+    m = t.snapshot()
+    assert m.total_rows == 1 + n_procs * n_appends  # nothing lost
+    assert t.read().count() == 1 + n_procs * n_appends
+    assert len(m.files) <= 2  # compaction converged
