@@ -12,6 +12,15 @@ snake_case layout (see ``config.load_config``). Unlike the reference —
 which aborts the whole run on a sproc error but swallows per-table copy
 errors (``StoreProcRunService.cs:32-36`` vs ``TableCopyService.cs:178``) —
 the exit code reflects BOTH: any Failed outcome exits 1.
+
+A ``maintenance`` subcommand (no reference counterpart — lakehouse
+extension surface) serves the ManagedTable upkeep a long-lived target
+needs: ``compact``/``vacuum``/``history`` on a table path.
+
+    python -m data_warehouse_copy_spark maintenance compact /path/to/table
+    python -m data_warehouse_copy_spark maintenance vacuum /path/to/table \
+        --retention-hours 168
+    python -m data_warehouse_copy_spark maintenance history /path/to/table
 """
 
 from __future__ import annotations
@@ -24,7 +33,56 @@ from data_warehouse_copy_spark.plans.pipeline import run
 from data_warehouse_copy_spark.session import get_spark
 
 
+def _maintenance(argv: list[str], spark=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m data_warehouse_copy_spark maintenance",
+        description="ManagedTable upkeep: compact / vacuum / history.",
+    )
+    p.add_argument("action", choices=["compact", "vacuum", "history"])
+    p.add_argument("table", help="path to the ManagedTable root")
+    p.add_argument(
+        "--max-files-per-partition", type=int, default=1,
+        help="compact: target files per partition (default 1)",
+    )
+    p.add_argument(
+        "--retention-hours", type=float, default=168.0,
+        help="vacuum: skip unreferenced files younger than this "
+        "(default 7 days; pass 0 only on a quiesced table)",
+    )
+    args = p.parse_args(argv)
+
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+    owns_session = spark is None
+    if args.action == "history":
+        # manifest-only: no Spark session needed
+        t = ManagedTable(None, args.table)
+        for m in t.history():
+            print(f"{m.version}\t{m.ts}\t{m.op}\t{len(m.files)} files\t{m.total_rows} rows")
+        return 0
+    spark = spark or get_spark(app_name="dwcs-maintenance")
+    try:
+        t = ManagedTable(spark, args.table)
+        if not t.exists():
+            print(f"no managed table at {args.table}", file=sys.stderr)
+            return 1
+        if args.action == "compact":
+            before, after = t.compact(args.max_files_per_partition)
+            print(f"compact\t{before} -> {after} files")
+        else:
+            removed = t.vacuum(retention_seconds=args.retention_hours * 3600)
+            print(f"vacuum\t{removed} files removed")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "maintenance":
+        return _maintenance(argv[1:], spark=spark)
     p = argparse.ArgumentParser(
         prog="python -m data_warehouse_copy_spark",
         description="Run the configured warehouse-copy pipeline.",

@@ -273,3 +273,36 @@ def test_parallel_table_logs_are_isolated(tmp_path):
         text = "".join(f.read_text() for f in files)
         assert f"from {mine}" in text
         assert f"from {other}" not in text, f"{mine} log captured {other} records"
+
+
+def test_cli_maintenance_commands(spark, tmp_path, capsys):
+    """maintenance compact/vacuum/history drive ManagedTable upkeep from
+    the CLI (lakehouse extension; no reference counterpart)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_copy_spark.__main__ import main
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root)
+    for i in range(3):
+        t.append(spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")))
+
+    assert main(["maintenance", "compact", root], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "-> 1 files" in out
+    assert len(t.snapshot().files) == 1
+
+    # young orphans survive the default retention; --retention-hours 0 reclaims
+    assert main(["maintenance", "vacuum", root], spark=spark) == 0
+    assert "0 files removed" in capsys.readouterr().out
+    assert main(["maintenance", "vacuum", root, "--retention-hours", "0"], spark=spark) == 0
+    assert "3 files removed" in capsys.readouterr().out
+    assert t.read().count() == 30
+
+    assert main(["maintenance", "history", root], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == t.snapshot().version + 1
+    assert "compact" in lines[-1]
+
+    assert main(["maintenance", "compact", str(tmp_path / "missing")], spark=spark) == 1

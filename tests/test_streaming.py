@@ -402,3 +402,57 @@ def test_checkpoint_reset_against_kept_table_fails_loudly(spark, events, tmp_pat
             spark, src, target, str(tmp_path / "ckpt"),
             window_duration="1 hour", watermark="0 seconds",
         )
+
+
+class TestSketchRollup:
+    def test_merged_sketches_match_exact_distinct(self, spark, events, tmp_path):
+        """HLL sketches merged across days must estimate the true range
+        distinct within the published error bound (and be exact at the
+        fixture's small per-key cardinalities)."""
+        from data_warehouse_copy_spark.streaming.rollup import SketchRollup
+
+        ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        sr = SketchRollup(spark, str(tmp_path / "sk"))
+        sr.backfill(ev)
+        lo, hi = "2024-01-05", "2024-01-12"
+        got = {
+            r.event_type: r.n_distinct for r in sr.distinct_over(lo, hi).collect()
+        }
+        in_range = ev.filter(
+            (F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(hi))
+        )
+        exact = {
+            r.event_type: r.n
+            for r in in_range.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for k, n in exact.items():
+            assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)
+        # rows covered must be exact (plain sum, not sketched)
+        total_rows = sum(
+            r.n_rows for r in sr.distinct_over(lo, hi).collect()
+        )
+        assert total_rows == in_range.count()
+
+    def test_refresh_day_is_idempotent_and_incremental(self, spark, events, tmp_path):
+        from data_warehouse_copy_spark.streaming.rollup import SketchRollup
+
+        ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        day = "2024-01-10"
+        sr = SketchRollup(spark, str(tmp_path / "sk"))
+        sr.backfill(ev.filter(F.to_date("ts") < F.lit(day)))
+        v0 = sr.store.snapshot().version
+        sr.refresh_day(ev, day)
+        sr.refresh_day(ev, day)  # re-refresh replaces, never duplicates
+        one_day = sr.distinct_over(day, day, by_key=False).collect()[0]
+        exact = ev.filter(F.to_date("ts") == F.lit(day)).select(
+            "user_id"
+        ).distinct().count()
+        assert abs(one_day.n_distinct - exact) <= max(1, 0.05 * exact)
+        # the refresh touched only the one day partition (metadata check)
+        m = sr.store.snapshot()
+        assert m.version == v0 + 2
+        days = {f.partition for f in m.files}
+        assert day in days and len(days) > 1
