@@ -2341,6 +2341,33 @@ def ml_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch serving path (streaming/rollup.py:SketchRollup):
+    per-day DataSketches HLL sketches are materialized into a
+    day-partitioned ManagedTable — history via bulk backfill, the last
+    closed day via idempotent ``refresh_day`` (both maintenance paths) —
+    then a range distinct-count is answered by ``hll_union_agg`` over the
+    manifest-pruned sketch blobs, touching zero raw events. Approximate by
+    design (HLL) -> rows-only driver check; estimate-vs-exact bounds
+    pinned in tests/test_streaming.py::TestSketchRollup.
+
+    100 TB shape: sketch build cost ∝ new data (one groupBy per day);
+    range queries merge |days|×|keys| kilobyte blobs — metadata scale."""
+    from data_warehouse_copy_spark.streaming.rollup import SketchRollup
+
+    (events,) = _prep(spark, sf_dir, "events")
+    closed_day = "2024-01-19"  # same split the hybrid rollup exercises
+    sr = SketchRollup(
+        spark, f"{tempfile.mkdtemp(prefix='dwcs_sk_')}/events_distinct"
+    )
+    sr.backfill(events.filter(F.to_date("ts") < F.lit(closed_day)))
+    sr.refresh_day(events, closed_day)
+    return (
+        sr.distinct_over("2024-01-01", closed_day)
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2423,6 +2450,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_analytics": approx_analytics,
     "multimodal_features": multimodal_features,
     "ml_text_metrics": ml_text_metrics,
+    "events_distinct_sketch_rollup": events_distinct_sketch_rollup,
 }
 
 ORACLES: dict[str, str] = {
