@@ -242,3 +242,40 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             + (F.length(text) / 32).cast("long")
         ).alias("fp_bucket"),
     )
+
+
+# PII scrubbing (training-corpus redaction). Patterns are deliberately
+# portable between Java regex (Spark) and RE2 (DuckDB oracle): character
+# classes + bounded quantifiers only, no backreferences/lookaround. Order
+# matters and is part of the contract: emails, then URLs, then phones
+# (replacement tokens contain no digits, so later passes cannot re-match).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails/URLs/phone numbers with typed placeholder tokens —
+    the standard pre-training corpus hygiene pass. Pure codegen
+    projection: single pass per pattern, no UDF, no shuffle —
+    embarrassingly parallel at 100 TB."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``scrubbed`` plus per-category redaction counts (counted on the
+    original text, before replacement)."""
+    text = F.col(text_col)
+    return df.select(
+        "*",
+        scrub_pii(text).alias("scrubbed"),
+        *[
+            F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+    )

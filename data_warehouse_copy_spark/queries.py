@@ -49,6 +49,7 @@ from data_warehouse_copy_spark.functions.similarity import (
 from data_warehouse_copy_spark.functions.text import (
     with_fingerprints,
     with_language_id,
+    with_pii_scrub,
     with_text_stats,
 )
 from data_warehouse_copy_spark.operators.copy import copy_table
@@ -2341,6 +2342,53 @@ def ml_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (functions/text.py:scrub_pii): emails, URLs, and
+    phone numbers replaced with typed placeholder tokens, plus per-category
+    counts — standard pre-training corpus hygiene. The fixture text carries
+    no natural PII, so both engines deterministically inject a synthetic
+    contact line derived from doc_id BEFORE scrubbing (a vacuously-passing
+    zero-redaction check would verify nothing — round-1 lesson). Pure
+    codegen regex projection: no shuffle, no UDF; patterns are restricted
+    to the Java-regex ∩ RE2 common subset so the oracle matches
+    byte-for-byte."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com"),
+        F.lit(" via https://docs.example.com/"), did,
+        F.lit(" or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    out = with_pii_scrub(_spread(docs).withColumn("text", injected))
+    return out.select("doc_id", "scrubbed", "n_email", "n_url", "n_phone")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+TEXT_PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' via https://docs.example.com/' || CAST(doc_id AS VARCHAR)
+              || ' or +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_URL}', '<URL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_URL}')) AS INT) AS n_url,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phone
+FROM injected
+"""
+
+
 def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch serving path (streaming/rollup.py:SketchRollup):
     per-day DataSketches HLL sketches are materialized into a
@@ -2441,6 +2489,7 @@ QUERIES: dict[str, QueryFn] = {
     "q20_excess_shipments": q20_excess_shipments,
     "clustered_point_lookup": clustered_point_lookup,
     "compaction_roundtrip": compaction_roundtrip,
+    "text_pii_scrub": text_pii_scrub,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2515,4 +2564,5 @@ ORACLES: dict[str, str] = {
     "q20_excess_shipments": Q20_SQL,
     "clustered_point_lookup": CLUSTERED_LOOKUP_SQL,
     "compaction_roundtrip": COMPACTION_SQL,
+    "text_pii_scrub": TEXT_PII_SQL,
 }

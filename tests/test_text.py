@@ -1,0 +1,41 @@
+"""Direct unit tests for the PII scrubber (the oracle checks cover the
+fixture path; these pin edge behavior on crafted strings)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.functions.text import scrub_pii, with_pii_scrub
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("mail bob.smith+x@corp.example.co now", "mail <EMAIL> now"),
+        ("see https://a.example.com/p?q=1#f end", "see <URL> end"),
+        ("call +1 (555) 010-4242 today", "call <PHONE> today"),
+        ("tel 555-123-4567.", "tel <PHONE>."),
+        (
+            "a@b.io https://x.io/y +44 20 7946 0958",
+            "<EMAIL> <URL> <PHONE>",
+        ),
+        ("no pii here, just words", "no pii here, just words"),
+        ("short num 12345 stays", "short num 12345 stays"),
+    ],
+)
+def test_scrub_pii_cases(spark, raw, expected):
+    got = spark.createDataFrame([(raw,)], ["text"]).select(
+        scrub_pii(F.col("text")).alias("s")
+    ).collect()[0].s
+    assert got == expected
+
+
+def test_with_pii_scrub_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.io or c@d.org via https://e.io call 555-010-9999")],
+        ["doc_id", "text"],
+    )
+    row = with_pii_scrub(df).collect()[0]
+    assert (row.n_email, row.n_url, row.n_phone) == (2, 1, 1)
+    assert "<EMAIL>" in row.scrubbed and "@" not in row.scrubbed
