@@ -2342,6 +2342,52 @@ def ml_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_ngram_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise matches: the capped n-gram Jaccard
+    join emits pairs; min-label connected components
+    (functions/dedup.py:connected_components) collapses transitive groups
+    (A~B, B~C -> one cluster) so a dedup pipeline can keep exactly one
+    survivor per group. Returns (doc_id, component=min doc_id reachable).
+
+    Oracle: the same pair SQL closed under a recursive CTE — transitive
+    closure then MIN per node — value-exact.
+
+    100 TB shape: each propagation round is an equi-join + min-aggregate;
+    near-dup graphs are tiny cliques (diameter 1-2), so a handful of
+    rounds closes the corpus; lineage truncated per round."""
+    from data_warehouse_copy_spark.functions.dedup import connected_components
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
+                "text"
+            ),
+        )
+    )
+    pairs = ngram_jaccard_pairs(_spread(aug), threshold=0.35, max_shingle_df=20)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_NGRAM_CAPPED_SQL.strip()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (functions/text.py:scrub_pii): emails, URLs, and
     phone numbers replaced with typed placeholder tokens, plus per-category
@@ -2490,6 +2536,7 @@ QUERIES: dict[str, QueryFn] = {
     "clustered_point_lookup": clustered_point_lookup,
     "compaction_roundtrip": compaction_roundtrip,
     "text_pii_scrub": text_pii_scrub,
+    "dedup_ngram_clusters": dedup_ngram_clusters,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2565,4 +2612,5 @@ ORACLES: dict[str, str] = {
     "clustered_point_lookup": CLUSTERED_LOOKUP_SQL,
     "compaction_roundtrip": COMPACTION_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
+    "dedup_ngram_clusters": DEDUP_CLUSTERS_SQL,
 }

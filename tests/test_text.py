@@ -39,3 +39,16 @@ def test_with_pii_scrub_counts(spark):
     row = with_pii_scrub(df).collect()[0]
     assert (row.n_email, row.n_url, row.n_phone) == (2, 1, 1)
     assert "<EMAIL>" in row.scrubbed and "@" not in row.scrubbed
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E: two clusters, min-id labels, even though A~C was
+    never emitted as a pair."""
+    from data_warehouse_copy_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4), (10, 11), (11, 12), (12, 13)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 10: 10, 11: 10, 12: 10, 13: 10}
