@@ -408,3 +408,76 @@ def sample_frames(media: DataFrame, n_samples: int = 4) -> DataFrame:
     return media.filter(F.col("metadata.mime").startswith("video")).mapInPandas(
         op, FRAME_SCHEMA
     )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+        T.StructField("spectral_bandwidth_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_spectral_features(media: DataFrame) -> DataFrame:
+    """Real signal-processing features over decoded WAV audio — RMS,
+    zero-crossing rate, and FFT-magnitude spectral centroid / 85% rolloff
+    / bandwidth (the standard librosa-style definitions, pure numpy
+    ``rfft`` — no external audio lib needed). Non-audio rows are filtered
+    by mime, the modality-routing shape a real pipeline uses.
+
+    100 TB shape: Arrow-batched ``mapInPandas``; per-item O(n log n) FFT,
+    embarrassingly parallel, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["metadata"]
+            ):
+                if not str(meta["mime"]).startswith("audio"):
+                    continue
+                samples, sr = decode_wav(bytes(payload))
+                x = samples.astype(np.float64) / 32768.0
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+                )
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                total = mag.sum()
+                if total > 0:
+                    centroid = float((freqs * mag).sum() / total)
+                    cum = np.cumsum(mag)
+                    rolloff = float(freqs[np.searchsorted(cum, 0.85 * total)])
+                    bandwidth = float(
+                        np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total)
+                    )
+                else:
+                    centroid = rolloff = bandwidth = 0.0
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "rms": rms,
+                        "zero_crossing_rate": zcr,
+                        "spectral_centroid_hz": centroid,
+                        "spectral_rolloff_hz": rolloff,
+                        "spectral_bandwidth_hz": bandwidth,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields],
+            )
+
+    return media.filter(
+        F.col("metadata.mime").startswith("audio")
+    ).mapInPandas(op, AUDIO_FEATURE_SCHEMA)

@@ -225,3 +225,41 @@ def test_sample_frames_real_seek(media):
         np.testing.assert_array_equal(
             frame, decode_ppm_stream(sources[r.media_id])[r.frame_idx]
         )
+
+
+def test_audio_spectral_features_physics(spark):
+    """A pure 1 kHz sine at sr=8000 must measure: spectral centroid and
+    85% rolloff at ~1000 Hz, zero-crossing rate ~2f/sr = 0.25, RMS
+    ~amp/sqrt(2), near-zero bandwidth — real FFT math, no fakes."""
+    import numpy as np
+
+    from data_warehouse_copy_spark.functions.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    sr, f, n = 8000, 1000, 8000  # integer periods -> no spectral leakage
+    t = np.arange(n) / sr
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    noise_seed = np.random.default_rng(7).integers(-16384, 16384, n).astype(np.int16)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(sine, sr)), {"mime": "audio/wav"}),
+            (2, bytearray(encode_wav(noise_seed, sr)), {"mime": "audio/wav"}),
+            (3, bytearray(b"BM----"), {"mime": "image/bmp"}),  # filtered out
+        ],
+        "media_id long, payload binary, metadata map<string,string>",
+    )
+    rows = {r.media_id: r for r in audio_spectral_features(media).collect()}
+    assert set(rows) == {1, 2}
+    s = rows[1]
+    assert s.sample_rate == sr and s.n_samples == n
+    assert abs(s.spectral_centroid_hz - f) < 20
+    assert abs(s.spectral_rolloff_hz - f) < 20
+    assert s.spectral_bandwidth_hz < 50
+    assert abs(s.zero_crossing_rate - 2 * f / sr) < 0.01
+    assert abs(s.rms - 0.5 / np.sqrt(2)) < 0.01
+    # white noise: centroid near sr/4 (flat spectrum), much wider bandwidth
+    w = rows[2]
+    assert abs(w.spectral_centroid_hz - sr / 4) < 200
+    assert w.spectral_bandwidth_hz > 500
