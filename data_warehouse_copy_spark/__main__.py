@@ -38,7 +38,7 @@ def _maintenance(argv: list[str], spark=None) -> int:
         prog="python -m data_warehouse_copy_spark maintenance",
         description="ManagedTable upkeep: compact / vacuum / history.",
     )
-    p.add_argument("action", choices=["compact", "vacuum", "history"])
+    p.add_argument("action", choices=["compact", "vacuum", "history", "restore"])
     p.add_argument("table", help="path to the ManagedTable root")
     p.add_argument(
         "--max-files-per-partition", type=int, default=1,
@@ -48,6 +48,10 @@ def _maintenance(argv: list[str], spark=None) -> int:
         "--retention-hours", type=float, default=168.0,
         help="vacuum: skip unreferenced files younger than this "
         "(default 7 days; pass 0 only on a quiesced table)",
+    )
+    p.add_argument(
+        "--version", type=int, default=None,
+        help="restore: the version to roll back to",
     )
     args = p.parse_args(argv)
 
@@ -69,6 +73,11 @@ def _maintenance(argv: list[str], spark=None) -> int:
         if args.action == "compact":
             before, after = t.compact(args.max_files_per_partition)
             print(f"compact\t{before} -> {after} files")
+        elif args.action == "restore":
+            if args.version is None:
+                p.error("restore requires --version")
+            head = t.restore(args.version)
+            print(f"restore\tv{args.version} contents recommitted as v{head}")
         else:
             removed = t.vacuum(retention_seconds=args.retention_hours * 3600)
             print(f"vacuum\t{removed} files removed")

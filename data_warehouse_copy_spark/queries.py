@@ -2297,6 +2297,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio branch of the multimodal pipeline: binarized fixture media ->
+    mime-routed WAV decode -> numpy-rfft spectral features (RMS, ZCR,
+    centroid / rolloff / bandwidth). Real DSP over real decoded samples —
+    not SQL-expressible -> rows-only check; the physics (sine -> its own
+    frequency, noise -> sr/4) is pinned in tests/test_multimodal.py."""
+    from data_warehouse_copy_spark.functions.multimodal import (
+        audio_spectral_features,
+    )
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    media = binarize_documents(docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return audio_spectral_features(media)
+
+
 def ml_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned text classifier (TF-IDF + logistic regression,
     functions/ml_text.py) on a deterministic 80/20 split, scored on the
@@ -2547,6 +2564,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": multimodal_features,
     "ml_text_metrics": ml_text_metrics,
     "events_distinct_sketch_rollup": events_distinct_sketch_rollup,
+    "multimodal_audio_spectral": multimodal_audio_spectral,
 }
 
 ORACLES: dict[str, str] = {

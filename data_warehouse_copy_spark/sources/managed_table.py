@@ -1070,6 +1070,31 @@ class ManagedTable:
             entries = [e for e in pool.map(entry_for, paths) if e is not None]
         return tuple(entries)
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version``'s contents as a NEW commit
+        (Delta RESTORE semantics): history is preserved — the rollback is
+        itself versioned and auditable, and concurrent readers just see
+        another atomic pointer flip. Requires the old version's files to
+        still exist (vacuum retention outlasting the restore window).
+        Returns the new head version."""
+        with _lock_for(self.root):
+            head = self.snapshot()
+            target = self.snapshot(version)  # raises if version never existed
+            missing = [
+                f.path
+                for f in target.files
+                if not (self.root / f.path).exists()
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"restore to v{version} impossible: {len(missing)} data "
+                    f"files already vacuumed (first: {missing[0]})"
+                )
+            self._commit_files(
+                head, target.files, target.schema_json, f"restore_v{version}"
+            )
+            return self.snapshot().version
+
     def compact(self, max_files_per_partition: int = 1) -> tuple[int, int]:
         """Small-file compaction: rewrite every partition holding more than
         ``max_files_per_partition`` files into coalesced files, as ONE

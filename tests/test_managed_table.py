@@ -1055,3 +1055,24 @@ def test_concurrent_appends_with_live_compaction(spark, tmp_path):
     assert m.total_rows == 1 + n_procs * n_appends  # nothing lost
     assert t.read().count() == 1 + n_procs * n_appends
     assert len(m.files) <= 2  # compaction converged
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path, lineitem):
+    """RESTORE semantics: contents return to the old version, history is
+    preserved (the rollback is itself a commit), and vacuuming the old
+    files first makes restore fail loudly instead of losing data."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(10))
+    v_good = t.snapshot().version
+    t.overwrite(lineitem.limit(3))  # the "bad deploy"
+    new_head = t.restore(v_good)
+    assert t.read().count() == 10
+    assert new_head == v_good + 2  # history preserved, not rewritten
+    assert t.snapshot().op == f"restore_v{v_good}"
+    assert t.read(version=v_good + 1).count() == 3  # bad version still readable
+    # restore target destroyed by vacuum -> loud failure
+    t.overwrite(lineitem.limit(2))
+    t.vacuum()  # drops the 10-row files (0 retention, quiesced)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(v_good)
+    assert t.read().count() == 2  # table unharmed

@@ -306,3 +306,11 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     assert "compact" in lines[-1]
 
     assert main(["maintenance", "compact", str(tmp_path / "missing")], spark=spark) == 1
+
+    # restore: recommit a live version's contents (v1's files were already
+    # vacuumed above — restoring THEM loudly fails, covered in
+    # test_managed_table; here restore the current head, which must work)
+    v = t.snapshot().version
+    assert main(["maintenance", "restore", root, "--version", str(v)], spark=spark) == 0
+    assert f"recommitted as v{v + 1}" in capsys.readouterr().out
+    assert t.read().count() == 30
