@@ -15,7 +15,7 @@ the exit code reflects BOTH: any Failed outcome exits 1.
 
 A ``maintenance`` subcommand (no reference counterpart — lakehouse
 extension surface) serves the ManagedTable upkeep a long-lived target
-needs: ``compact``/``vacuum``/``history`` on a table path.
+needs: ``compact``/``vacuum``/``history``/``restore`` on a table path.
 
     python -m data_warehouse_copy_spark maintenance compact /path/to/table
     python -m data_warehouse_copy_spark maintenance vacuum /path/to/table \
@@ -36,7 +36,7 @@ from data_warehouse_copy_spark.session import get_spark
 def _maintenance(argv: list[str], spark=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m data_warehouse_copy_spark maintenance",
-        description="ManagedTable upkeep: compact / vacuum / history.",
+        description="ManagedTable upkeep: compact / vacuum / history / restore.",
     )
     p.add_argument("action", choices=["compact", "vacuum", "history", "restore"])
     p.add_argument("table", help="path to the ManagedTable root")
@@ -54,6 +54,8 @@ def _maintenance(argv: list[str], spark=None) -> int:
         help="restore: the version to roll back to",
     )
     args = p.parse_args(argv)
+    if args.action == "restore" and args.version is None:
+        p.error("restore requires --version")  # before paying Spark startup
 
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
@@ -61,6 +63,9 @@ def _maintenance(argv: list[str], spark=None) -> int:
     if args.action == "history":
         # manifest-only: no Spark session needed
         t = ManagedTable(None, args.table)
+        if not t.exists():
+            print(f"no managed table at {args.table}", file=sys.stderr)
+            return 1
         for m in t.history():
             print(f"{m.version}\t{m.ts}\t{m.op}\t{len(m.files)} files\t{m.total_rows} rows")
         return 0
@@ -74,8 +79,6 @@ def _maintenance(argv: list[str], spark=None) -> int:
             before, after = t.compact(args.max_files_per_partition)
             print(f"compact\t{before} -> {after} files")
         elif args.action == "restore":
-            if args.version is None:
-                p.error("restore requires --version")
             head = t.restore(args.version)
             print(f"restore\tv{args.version} contents recommitted as v{head}")
         else:

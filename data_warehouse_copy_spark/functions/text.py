@@ -252,7 +252,11 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("url", r"https?://[^\s]+", "<URL>"),
-    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+    # 9-15 DIGITS with at most 2 separator chars between digits: matches
+    # international/formatted phone numbers (and 9+-digit account-ish ids,
+    # which a scrubber SHOULD err toward redacting) while passing over
+    # ISO dates (8 digits), version strings, and short numerics.
+    ("phone", r"\+?[0-9]([-. ()]{0,2}[0-9]){8,14}", "<PHONE>"),
 )
 
 

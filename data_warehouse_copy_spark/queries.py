@@ -47,6 +47,7 @@ from data_warehouse_copy_spark.functions.similarity import (
     lsh_topk,
 )
 from data_warehouse_copy_spark.functions.text import (
+    PII_PATTERNS,
     with_fingerprints,
     with_language_id,
     with_pii_scrub,
@@ -1328,6 +1329,23 @@ list_distinct(
 """
 
 
+def _planted_near_dups(docs):
+    """The fixtures are all-unique, so every near-dup query plants
+    duplicates deterministically: each doc_id % 7 == 0 document reappears
+    at doc_id + 100000 with a short tail appended. ONE definition — the
+    SQL oracles' `aug` CTEs must stay byte-equivalent to this, and the
+    clusters oracle embeds the capped-pairs SQL wholesale, so drift here
+    would desynchronize four queries at once."""
+    return docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
+                "text"
+            ),
+        )
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over an augmented corpus (the
     fixtures are all-unique, so near-duplicates are planted deterministically
@@ -1340,14 +1358,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap. This uncapped form stays oracle-pinned by
     tests/test_entry_contract.py::test_uncapped_ngram_jaccard_matches_oracle."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    aug = docs.select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
-                "text"
-            ),
-        )
-    )
+    aug = _planted_near_dups(docs)
     return ngram_jaccard_pairs(_spread(aug), threshold=0.5)
 
 
@@ -1379,14 +1390,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     of hot shingles — SCALING.md). The cap is plain relational algebra, so
     the oracle applies the identical cap and values still match exactly."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    aug = docs.select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
-                "text"
-            ),
-        )
-    )
+    aug = _planted_near_dups(docs)
     return ngram_jaccard_pairs(_spread(aug), threshold=0.35, max_shingle_df=20)
 
 
@@ -1467,14 +1471,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. xxhash64 signatures are not SQL-portable → rows-only check; the
     exact-Jaccard twin (dedup_ngram_jaccard) is the value-checked oracle."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    aug = docs.select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
-                "text"
-            ),
-        )
-    )
+    aug = _planted_near_dups(docs)
     return minhash_lsh_pairs(_spread(aug), threshold=0.5)
 
 
@@ -2375,14 +2372,7 @@ def dedup_ngram_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_copy_spark.functions.dedup import connected_components
 
     (docs,) = _prep(spark, sf_dir, "documents")
-    aug = docs.select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias(
-                "text"
-            ),
-        )
-    )
+    aug = _planted_near_dups(docs)
     pairs = ngram_jaccard_pairs(_spread(aug), threshold=0.35, max_shingle_df=20)
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
@@ -2428,9 +2418,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "scrubbed", "n_email", "n_url", "n_phone")
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_URL = r"https?://[^\s]+"
-_PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+# Single source of truth: the oracle must scrub with EXACTLY the patterns
+# the Spark path uses (functions/text.py:PII_PATTERNS) — duplicated
+# literals here would let the two silently drift apart.
+_PII_EMAIL, _PII_URL, _PII_PHONE = (
+    dict((n, p) for n, p, _ in PII_PATTERNS)[k] for k in ("email", "url", "phone")
+)
 
 TEXT_PII_SQL = f"""
 WITH injected AS (

@@ -1075,24 +1075,50 @@ class ManagedTable:
         (Delta RESTORE semantics): history is preserved — the rollback is
         itself versioned and auditable, and concurrent readers just see
         another atomic pointer flip. Requires the old version's files to
-        still exist (vacuum retention outlasting the restore window).
-        Returns the new head version."""
+        still exist. Returns the new head version.
+
+        Concurrent-vacuum caveat (Delta has the same one): an old
+        version's files are unreferenced by the current head, and vacuum's
+        retention is mtime-based, so old files are NOT protected by
+        retention while a restore races a vacuum in another process. The
+        existence check runs before AND after the commit; if a racing
+        vacuum ate the files in between, the restore rolls itself back to
+        the previous head and raises — the table is never left pointing at
+        deleted data. Quiesce vacuuming while restoring old history."""
         with _lock_for(self.root):
             head = self.snapshot()
             target = self.snapshot(version)  # raises if version never existed
-            missing = [
-                f.path
-                for f in target.files
-                if not (self.root / f.path).exists()
-            ]
-            if missing:
+
+            def missing() -> list[str]:
+                return [
+                    f.path
+                    for f in target.files
+                    if not (self.root / f.path).exists()
+                ]
+
+            gone = missing()
+            if gone:
                 raise FileNotFoundError(
-                    f"restore to v{version} impossible: {len(missing)} data "
-                    f"files already vacuumed (first: {missing[0]})"
+                    f"restore to v{version} impossible: {len(gone)} data "
+                    f"files already vacuumed (first: {gone[0]})"
                 )
             self._commit_files(
                 head, target.files, target.schema_json, f"restore_v{version}"
             )
+            gone = missing()
+            if gone:
+                # racing vacuum deleted the target's files mid-restore:
+                # undo (head's files were referenced by that vacuum's
+                # snapshot, so they are safe) and fail loudly
+                self._commit_files(
+                    self.snapshot(), head.files, head.schema_json,
+                    f"unrestore_v{version}",
+                )
+                raise FileNotFoundError(
+                    f"restore to v{version} aborted: a concurrent vacuum "
+                    f"deleted {len(gone)} of its files (first: {gone[0]}); "
+                    f"table rolled back to the prior head"
+                )
             return self.snapshot().version
 
     def compact(self, max_files_per_partition: int = 1) -> tuple[int, int]:
@@ -1113,7 +1139,13 @@ class ManagedTable:
             crowded = {p for p, n in by_part.items() if n > max_files_per_partition}
             if not crowded:
                 return (len(m.files), len(m.files))
-            df = self.read(partitions=crowded)
+            # Read at THIS snapshot's version, not the live head: a
+            # cross-process append landing between snapshot() and read()
+            # would otherwise get its rows copied into the compacted files
+            # AND kept by the commit rebase — silent duplication. Pinned to
+            # m.version, a concurrent append's file is untouched here and
+            # survives via the rebase; its rows exist exactly once.
+            df = self.read(partitions=crowded, version=m.version)
             if m.cluster_col is not None and m.partition_date_col is not None:
                 # Convergent clustered compaction: hash each day wholly into
                 # one task (1 file/day — a range shuffle's boundary

@@ -22,6 +22,11 @@ from data_warehouse_copy_spark.functions.text import scrub_pii, with_pii_scrub
         ),
         ("no pii here, just words", "no pii here, just words"),
         ("short num 12345 stays", "short num 12345 stays"),
+        # dates (8 digits) and versions survive; 9+-digit ids are redacted
+        # (scrubbers err toward redaction on long digit runs)
+        ("updated 2024-01-05 release", "updated 2024-01-05 release"),
+        ("v 1.2.3.4.5 shipped", "v 1.2.3.4.5 shipped"),
+        ("account 123456789 flagged", "account <PHONE> flagged"),
     ],
 )
 def test_scrub_pii_cases(spark, raw, expected):
