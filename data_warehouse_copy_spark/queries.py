@@ -48,6 +48,7 @@ from data_warehouse_copy_spark.functions.similarity import (
 )
 from data_warehouse_copy_spark.functions.text import (
     PII_PATTERNS,
+    whitespace_tokens,
     with_fingerprints,
     with_language_id,
     with_pii_scrub,
@@ -2356,6 +2357,51 @@ def ml_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary analysis: top-50 whitespace tokens of the
+    lowercased corpus with document frequency — the first step of vocab
+    building / stop-word discovery over a training corpus. Deterministic
+    total order (count desc, token asc, row_number cutoff) so the rank-50
+    tie boundary is identical cross-engine.
+
+    100 TB shape: explode + count is one map-side-combined shuffle keyed
+    on token; the top-k window runs over |vocab| rows, not |corpus|."""
+    from pyspark.sql.window import Window
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = _spread(docs).select(
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token"),
+        "doc_id",
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "token", "n_occurrences", "n_docs")
+    )
+
+
+TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''),
+counts AS (
+  SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM toks WHERE token <> '' GROUP BY token),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT)
+           AS rank,
+         token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+         CAST(n_docs AS BIGINT) AS n_docs
+  FROM counts)
+SELECT rank, token, n_occurrences, n_docs FROM ranked WHERE rank <= 50
+"""
+
+
 def dedup_ngram_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from pairwise matches: the capped n-gram Jaccard
     join emits pairs; min-label connected components
@@ -2547,6 +2593,7 @@ QUERIES: dict[str, QueryFn] = {
     "compaction_roundtrip": compaction_roundtrip,
     "text_pii_scrub": text_pii_scrub,
     "dedup_ngram_clusters": dedup_ngram_clusters,
+    "text_top_tokens": text_top_tokens,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2624,4 +2671,5 @@ ORACLES: dict[str, str] = {
     "compaction_roundtrip": COMPACTION_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "dedup_ngram_clusters": DEDUP_CLUSTERS_SQL,
+    "text_top_tokens": TOP_TOKENS_SQL,
 }
