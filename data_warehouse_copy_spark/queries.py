@@ -2357,6 +2357,66 @@ def ml_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage conversion funnel (view -> click -> purchase): a
+    user converts a stage only with an event strictly AFTER their previous
+    stage's first event — the product-analytics sequence-match shape, as
+    pure relational algebra (conditional min-aggregates + broadcast-sized
+    joins), no sessionization state needed.
+
+    100 TB shape: one shuffle keyed on user per stage over a
+    column-pruned (user, type, ts) projection; per-user state is one
+    timestamp; no windows over raw events."""
+    (events,) = _prep(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stages = [("1_view", views), ("2_click", clicks), ("3_purchase", purchases)]
+    out = None
+    for name, df in stages:
+        row = df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts FROM events e
+  JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts FROM events e
+  JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary analysis: top-50 whitespace tokens of the
     lowercased corpus with document frequency — the first step of vocab
@@ -2594,6 +2654,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_pii_scrub": text_pii_scrub,
     "dedup_ngram_clusters": dedup_ngram_clusters,
     "text_top_tokens": text_top_tokens,
+    "events_funnel": events_funnel,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2672,4 +2733,5 @@ ORACLES: dict[str, str] = {
     "text_pii_scrub": TEXT_PII_SQL,
     "dedup_ngram_clusters": DEDUP_CLUSTERS_SQL,
     "text_top_tokens": TOP_TOKENS_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
 }
