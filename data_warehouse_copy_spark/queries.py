@@ -2426,13 +2426,14 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: explode + count is one map-side-combined shuffle keyed
     on token; the top-k window runs over |vocab| rows, not |corpus|."""
-    from pyspark.sql.window import Window
-
     (docs,) = _prep(spark, sf_dir, "documents")
     toks = _spread(docs).select(
         F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("token"),
         "doc_id",
-    )
+    # guard edge-whitespace corpora: F.trim strips only 0x20, so text
+    # framed by tabs/newlines yields a leading '' token that the oracle's
+    # token <> '' filter would drop — mirror the filter here
+    ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(
         F.count("*").alias("n_occurrences"),
         F.count_distinct("doc_id").alias("n_docs"),
