@@ -2417,6 +2417,50 @@ SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
 """
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-signup day, then
+    distinct active users per (cohort_day, day_offset) for the first week
+    — the standard product-analytics retention triangle, as two shuffles
+    (cohort agg keyed on user, matrix agg keyed on the small composite).
+
+    100 TB shape: activity join is user-keyed against an aggregate-sized
+    cohort table; the matrix is |days|×8 rows — metadata scale out."""
+    (events,) = _prep(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    )
+    return (
+        ev.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+EVENTS_COHORT_SQL = """
+WITH cohorts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+act AS (
+  SELECT c.cohort_day,
+         datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+         e.user_id
+  FROM events e JOIN cohorts c ON c.user_id = e.user_id)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM act WHERE day_offset BETWEEN 0 AND 7
+GROUP BY cohort_day, day_offset
+"""
+
+
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary analysis: top-50 whitespace tokens of the
     lowercased corpus with document frequency — the first step of vocab
@@ -2656,6 +2700,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_clusters": dedup_ngram_clusters,
     "text_top_tokens": text_top_tokens,
     "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2735,4 +2780,5 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_clusters": DEDUP_CLUSTERS_SQL,
     "text_top_tokens": TOP_TOKENS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_cohort_retention": EVENTS_COHORT_SQL,
 }
