@@ -67,7 +67,7 @@ def _maintenance(argv: list[str], spark=None) -> int:
             print(f"no managed table at {args.table}", file=sys.stderr)
             return 1
         for m in t.history():
-            print(f"{m.version}\t{m.ts}\t{m.op}\t{len(m.files)} files\t{m.total_rows} rows")
+            print(f"{m.version}\t{m.ts}\t{m.op}\t{m.n_files} files\t{m.total_rows} rows")
         return 0
     spark = spark or get_spark(app_name="dwcs-maintenance")
     try:

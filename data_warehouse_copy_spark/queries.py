@@ -1250,7 +1250,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"compaction must reduce the file count ({before} -> {after})"
         )
-    t.vacuum()
+    t.vacuum(retention_seconds=0.0)  # quiesced single-writer temp table
     return t.read()
 
 

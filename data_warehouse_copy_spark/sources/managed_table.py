@@ -8,9 +8,19 @@ not on the classpath here, so this module implements the minimal
 log-structured table needed for the reference's semantics:
 
 - every write lands in an immutable commit directory under ``data/``;
-- a JSON *manifest* lists the live files (with their partition value);
-- a commit is one atomic rename of the ``_LATEST`` pointer — readers see
-  either the old or the new manifest, never a half-written table (O16).
+- every commit appends one JSON *action* file to ``_log/`` listing only the
+  files it added/removed (plus any schema/txn change) — payload is
+  O(files touched), never O(table);
+- readers reconstruct the live-file manifest from the newest full-state
+  *checkpoint* at-or-below the requested version plus the short action
+  tail after it (checkpoints are written every ``_CKPT_EVERY`` commits,
+  exactly Delta Lake's ``_delta_log`` checkpoint design) — so a table
+  with 10^4 commits and 10^6 live files costs one checkpoint parse plus
+  ≤ ``_CKPT_EVERY`` small action reads per snapshot, not a 10^4-file
+  replay and not a full manifest rewrite per commit;
+- a commit becomes visible by the atomic creation of its version file —
+  readers see either the old or the new table state, never a
+  half-written one (O16).
 
 Scale design (the 100 TB story):
 
@@ -30,7 +40,10 @@ Concurrent writers are safe — in-process writers serialize on a per-table
 lock, and cross-process writers use optimistic concurrency control: each
 commit CREATES its version file exclusively (an ``os.link`` from a temp
 file, which atomically fails if the version already exists — the same
-put-if-absent primitive Delta Lake uses on its ``_delta_log``). A loser
+put-if-absent primitive Delta Lake uses on its ``_delta_log``; the log
+directory must therefore live on a filesystem with POSIX hard-link
+semantics — local disk, NFSv4 — and a clear error is raised when it
+does not). A loser
 re-reads the new latest manifest and either *rebases* (when the files it
 removes are all still live — e.g. two appends, or an append racing a
 compaction) or raises :class:`ConcurrentWriteError` (when the other commit
@@ -64,6 +77,11 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # rather than spinning forever; linear backoff keeps retry cost trivial.
 _COMMIT_MAX_ATTEMPTS = 20
 _COMMIT_BACKOFF_S = 0.05
+
+# Full-state checkpoint cadence: snapshot() replays at most this many
+# action files on top of the newest checkpoint. Delta uses 10; 20 keeps
+# the same O(1) read bound with half the checkpoint-write amplification.
+_CKPT_EVERY = 20
 
 
 class CommitConflict(Exception):
@@ -116,6 +134,49 @@ class Manifest:
     @property
     def total_rows(self) -> int:
         return sum(f.rows for f in self.files)
+
+
+@dataclass(frozen=True)
+class CommitInfo:
+    """One :meth:`ManagedTable.history` row — a commit-log summary that
+    never materializes a version's full file list (the old
+    ``list[Manifest]`` shape was O(versions × files) memory; at 10^4
+    commits over 10^6 files that is the difference between a log listing
+    and an OOM)."""
+
+    version: int
+    op: str
+    ts: str
+    n_files: int
+    total_rows: int
+    rows_added: int
+    rows_removed: int
+
+
+# Per-process cache of the most recently reconstructed manifest per table
+# root: repeated snapshot() calls replay only the actions committed since,
+# and a head re-read costs one small validation read. Version files are
+# immutable once created, so cached state never goes stale — the only
+# hazard is a table DELETED and recreated at the same root, which the
+# (ts, op) validation read catches.
+_SNAP_CACHE: dict[str, Manifest] = {}
+_SNAP_CACHE_GUARD = threading.Lock()
+_SNAP_CACHE_MAX = 64
+
+
+def _cache_get(key: str) -> Manifest | None:
+    with _SNAP_CACHE_GUARD:
+        return _SNAP_CACHE.get(key)
+
+
+def _cache_put(key: str, m: Manifest) -> None:
+    with _SNAP_CACHE_GUARD:
+        cur = _SNAP_CACHE.get(key)
+        if cur is not None and cur.version > m.version:
+            return  # never regress the cache to an older version
+        if key not in _SNAP_CACHE and len(_SNAP_CACHE) >= _SNAP_CACHE_MAX:
+            _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
+        _SNAP_CACHE[key] = m
 
 
 # In-process commit locks keyed by table root: concurrent writers within one
@@ -300,75 +361,197 @@ class ManagedTable:
 
     # ------------------------------------------------------------- manifest
 
+    def _head_version(self) -> int:
+        # _LATEST is a hint, not the truth: with concurrent committers
+        # the pointer flip can lag (A commits v5, B commits v6, A's flip
+        # lands last), and a creator can die between linking version 0
+        # and writing the pointer at all. Version files are created
+        # atomically-complete (os.link in _put_version), so probing forward
+        # from the hint (or from 0 when the hint is missing) always
+        # finds the real head.
+        ptr = self.root / "_log" / "_LATEST"
+        try:
+            version = int(ptr.read_text())
+        except FileNotFoundError:
+            version = 0
+        while (self.root / "_log" / f"{version + 1:020d}.json").exists():
+            version += 1
+        return version
+
+    def _raw(self, version: int) -> dict:
+        """The raw log record for ``version``: either a full-state manifest
+        (v0, legacy pre-action tables) carrying a ``files`` key, or an
+        incremental action carrying ``add``/``remove``."""
+        return json.loads(
+            (self.root / "_log" / f"{version:020d}.json").read_text()
+        )
+
+    def _ckpt_path(self, version: int) -> Path:
+        return self.root / "_log" / f"{version:020d}.checkpoint.json"
+
     def snapshot(self, version: int | None = None) -> Manifest:
         if version is None:
-            # _LATEST is a hint, not the truth: with concurrent committers
-            # the pointer flip can lag (A commits v5, B commits v6, A's flip
-            # lands last), and a creator can die between linking version 0
-            # and writing the pointer at all. Version files are created
-            # atomically-complete (os.link in _commit), so probing forward
-            # from the hint (or from 0 when the hint is missing) always
-            # finds the real head.
-            ptr = self.root / "_log" / "_LATEST"
+            version = self._head_version()
+        key = str(self.root.resolve())
+        cached = _cache_get(key)
+        base = None
+        if cached is not None and cached.version <= version:
+            # Validate against delete-and-recreate at the same root: the
+            # on-disk record at the cached version must be the same commit
+            # we reconstructed (one small read; version files are
+            # immutable, so a (ts, op) match proves identity).
             try:
-                version = int(ptr.read_text())
-            except FileNotFoundError:
-                version = 0
-            while (self.root / "_log" / f"{version + 1:020d}.json").exists():
-                version += 1
-        raw = json.loads((self.root / "_log" / f"{version:020d}.json").read_text())
+                raw = self._raw(cached.version)
+                if raw.get("ts") == cached.ts and raw.get("op") == cached.op:
+                    if cached.version == version:
+                        return cached
+                    base = cached
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+        m = self._reconstruct(version, base)
+        _cache_put(key, m)
+        return m
+
+    def _reconstruct(self, version: int, base: Manifest | None) -> Manifest:
+        """Build the manifest at ``version`` from the nearest full state at
+        or below it — the validated in-process cache, a checkpoint file, a
+        full-state log record (v0 / legacy) — replaying the action tail on
+        top. Cost: one full-state parse + ≤ ``_CKPT_EVERY`` action reads
+        (``self._last_log_reads``, pinned by tests), independent of how
+        many commits the table has accumulated."""
+        pending: list[dict] = []
+        v = version
+        reads = 0
+        while True:
+            if base is not None and v == base.version:
+                start = base
+                break
+            ck = self._ckpt_path(v)
+            if v and ck.exists():
+                start = _manifest_from_full(json.loads(ck.read_text()))
+                reads += 1
+                break
+            raw = self._raw(v)
+            reads += 1
+            if "files" in raw:
+                start = _manifest_from_full(raw)
+                break
+            pending.append(raw)
+            v -= 1
+        files = {f.path: f for f in start.files}
+        schema_json = start.schema_json
+        txns = dict(start.txns or {})
+        op, ts = start.op, start.ts
+        for raw in reversed(pending):
+            for p in raw["remove"]:
+                files.pop(p)  # strict: a dead remove means log corruption
+            for e in raw["add"]:
+                files[e["path"]] = FileEntry(**e)
+            if raw.get("schema_json"):
+                schema_json = raw["schema_json"]
+            if raw.get("txn"):
+                txns[str(raw["txn"][0])] = raw["txn"][1]
+            op, ts = raw["op"], raw["ts"]
+        self._last_log_reads = reads
         return Manifest(
-            version=raw["version"],
-            partition_date_col=raw["partition_date_col"],
-            schema_json=raw["schema_json"],
-            files=tuple(FileEntry(**f) for f in raw["files"]),
-            op=raw["op"],
-            ts=raw["ts"],
-            cluster_col=raw.get("cluster_col"),
-            txns=raw.get("txns"),
+            version=version,
+            partition_date_col=start.partition_date_col,
+            schema_json=schema_json,
+            files=tuple(files.values()),
+            op=op,
+            ts=ts,
+            cluster_col=start.cluster_col,
+            txns=txns or None,
         )
 
-    def history(self) -> list[Manifest]:
-        latest = self.snapshot()
-        return [self.snapshot(v) for v in range(latest.version + 1)]
+    def history(self) -> list[CommitInfo]:
+        """Commit-log summary, oldest first, in O(live files) memory: one
+        forward replay keeping only per-file row counts — never a full
+        manifest per version."""
+        out: list[CommitInfo] = []
+        rows: dict[str, int] = {}
+        total = 0
+        for v in range(self._head_version() + 1):
+            raw = self._raw(v)
+            if "files" in raw:  # full state (v0 / legacy): diff against prior
+                new_rows = {f["path"]: f["rows"] for f in raw["files"]}
+                r_add = sum(r for p, r in new_rows.items() if p not in rows)
+                r_rem = sum(r for p, r in rows.items() if p not in new_rows)
+                rows = new_rows
+                total = sum(rows.values())
+            else:
+                r_add = sum(e["rows"] for e in raw["add"])
+                r_rem = sum(rows.pop(p) for p in raw["remove"])
+                for e in raw["add"]:
+                    rows[e["path"]] = e["rows"]
+                total += r_add - r_rem
+            out.append(
+                CommitInfo(v, raw["op"], raw["ts"], len(rows), total, r_add, r_rem)
+            )
+        return out
 
-    def _commit(self, m: Manifest) -> None:
-        """Exclusively create manifest version file ``m.version`` (put-if-
-        absent via ``os.link`` from a fully-written temp file — the version
-        file appears atomically complete or not at all), then advance the
-        ``_LATEST`` hint. Raises :class:`CommitConflict` if another process
-        committed this version first."""
+    def _put_version(self, version: int, payload: str) -> None:
+        """Exclusively create log record ``version`` (put-if-absent via
+        ``os.link`` from a fully-written temp file — the version file
+        appears atomically complete or not at all). Raises
+        :class:`CommitConflict` if another process committed this version
+        first, and a clear error on filesystems without hard-link support
+        (object-store/FUSE mounts) instead of an opaque per-commit
+        failure."""
         log_dir = self.root / "_log"
-        payload = json.dumps(
-            {
-                "version": m.version,
-                "partition_date_col": m.partition_date_col,
-                "schema_json": m.schema_json,
-                "files": [f.__dict__ for f in m.files],
-                "op": m.op,
-                "ts": m.ts,
-                "cluster_col": m.cluster_col,
-                "txns": m.txns,
-            },
-            indent=1,
-        )
+        dest = log_dir / f"{version:020d}.json"
         tmp = log_dir / f".commit.tmp.{uuid.uuid4().hex}"
         tmp.write_text(payload)
         try:
-            os.link(tmp, log_dir / f"{m.version:020d}.json")
+            os.link(tmp, dest)
         except FileExistsError:
             raise CommitConflict(
-                f"version {m.version} already committed by another writer"
+                f"version {version} already committed by another writer"
             ) from None
+        except OSError as e:
+            if dest.exists():  # racing writer won; the link failed on exist
+                raise CommitConflict(
+                    f"version {version} already committed by another writer"
+                ) from None
+            raise OSError(
+                f"cannot commit to {log_dir}: the log directory must live "
+                f"on a filesystem with POSIX hard-link support (os.link "
+                f"failed: {e}); NFSv3/FUSE/object-store mounts are not "
+                f"safe for the put-if-absent commit protocol"
+            ) from e
         finally:
             tmp.unlink(missing_ok=True)
-        # Advance the pointer monotonically; a lost race here only leaves the
-        # hint stale, which snapshot()'s forward probe tolerates.
+
+    def _advance_latest(self, version: int) -> None:
+        # Advance the pointer monotonically; a lost race here only leaves
+        # the hint stale, which _head_version's forward probe tolerates.
+        log_dir = self.root / "_log"
         ptr = log_dir / "_LATEST"
-        if not ptr.exists() or int(ptr.read_text()) < m.version:
+        if not ptr.exists() or int(ptr.read_text()) < version:
             ptmp = log_dir / f"_LATEST.tmp.{uuid.uuid4().hex}"
-            ptmp.write_text(str(m.version))
+            ptmp.write_text(str(version))
             os.replace(ptmp, ptr)  # atomic pointer flip
+
+    def _write_checkpoint(self, m: Manifest) -> None:
+        """Best-effort full-state checkpoint: readers replay at most
+        ``_CKPT_EVERY`` actions on top of the newest one. Reconstruction
+        is deterministic, so concurrent writers produce equivalent state
+        (``os.replace`` keeps the swap atomic either way); a failed write
+        only costs replay speed, so OSErrors are swallowed."""
+        payload = json.dumps(_full_payload(m), indent=1)
+        tmp = self.root / "_log" / f".ckpt.tmp.{uuid.uuid4().hex}"
+        try:
+            tmp.write_text(payload)
+            os.replace(tmp, self._ckpt_path(m.version))
+        except OSError:
+            tmp.unlink(missing_ok=True)
+
+    def _commit(self, m: Manifest) -> None:
+        """Commit ``m`` as a FULL-state record — only for version 0
+        (``create``), which doubles as the replay floor for tables that
+        never reach a checkpoint."""
+        self._put_version(m.version, json.dumps(_full_payload(m), indent=1))
+        self._advance_latest(m.version)
 
     # ----------------------------------------------------------------- read
 
@@ -436,9 +619,13 @@ class ManagedTable:
         instead of re-scanning the table (at 100 TB the difference between
         a cursor and a full pass).
 
-        Semantics: walks the manifest history and unions the files each
-        commit added. Maintenance commits (``compact``) are skipped — they
-        rewrite bytes, not logic, so their files would replay old rows.
+        Semantics: walks the action log and unions the files each commit
+        added — O(commits in range), never a per-version manifest
+        reconstruction. Maintenance and rollback commits (``compact``,
+        ``restore_*``/``unrestore_*``) are skipped: compaction rewrites
+        bytes, not logic, and a restore re-references files whose original
+        adds the cursor already consumed (or will consume at their original
+        versions) — replaying either would double-deliver rows.
         For append-only tables this is exact row-level CDC. Rewrite
         commits (``merge``/``overwrite``/``overwrite_range``) rewrite
         whole partitions, so their added files include surviving old rows
@@ -447,24 +634,40 @@ class ManagedTable:
         are read even if a later commit removed them — correct as long as
         ``vacuum`` retention outlasts consumer lag (same contract as
         Delta/Iceberg incremental reads)."""
-        head = self.snapshot()
+        head_version = self._head_version()
         if to_version is None:
-            to_version = head.version
-        if not 0 <= from_version <= to_version <= head.version:
+            to_version = head_version
+        if not 0 <= from_version <= to_version <= head_version:
             raise ValueError(
                 f"read_changes range ({from_version}, {to_version}] outside "
-                f"history 0..{head.version}"
+                f"history 0..{head_version}"
             )
-        prev_paths = {f.path for f in self.snapshot(from_version).files}
         added: list[str] = []
+        prev_paths: set[str] | None = None  # lazy: only legacy records need it
         for v in range(from_version + 1, to_version + 1):
-            m = self.snapshot(v)
-            cur_paths = set()
-            for f in m.files:
-                cur_paths.add(f.path)
-                if f.path not in prev_paths and m.op != "compact":
-                    added.append(str(self.root / f.path))
-            prev_paths = cur_paths
+            raw = self._raw(v)
+            if "files" in raw:  # legacy full-state record: diff against prior
+                if prev_paths is None:
+                    prev_paths = {
+                        f.path for f in self.snapshot(v - 1).files
+                    }
+                cur_paths = {f["path"] for f in raw["files"]}
+                if not _cdc_skip(raw["op"]):
+                    added.extend(
+                        str(self.root / f["path"])
+                        for f in raw["files"]
+                        if f["path"] not in prev_paths
+                    )
+                prev_paths = cur_paths
+            else:
+                if not _cdc_skip(raw["op"]):
+                    added.extend(
+                        str(self.root / e["path"]) for e in raw["add"]
+                    )
+                if prev_paths is not None:
+                    prev_paths = (prev_paths - set(raw["remove"])) | {
+                        e["path"] for e in raw["add"]
+                    }
         # Read under to_version's schema, not the head's: the same
         # (from, to] range must return the same frame shape regardless of
         # evolutions committed after to_version (a cursor consumer pins its
@@ -903,10 +1106,12 @@ class ManagedTable:
         """Commit ``files`` as the next version on top of ``prev``, with
         optimistic cross-process concurrency control.
 
-        On a version collision the commit is re-expressed as a logical diff
-        against its base — ``removed`` (paths in prev but not in files) and
-        ``added`` (entries new in files; their uuid commit dirs cannot
-        collide with another writer's) — and rebased onto the new head iff
+        The commit is expressed as a logical diff against its base —
+        ``removed`` (paths in prev but not in files) and ``added`` (entries
+        new in files; their uuid commit dirs cannot collide with another
+        writer's) — and THAT diff is what the action file records, so
+        commit payload is O(files touched) regardless of table size. On a
+        version collision the same diff is rebased onto the new head iff
         every removed file is still live there (the concurrent commit
         touched disjoint files: append vs append, append vs compact). If a
         removed file is gone, both writers rewrote the same data and the
@@ -937,23 +1142,22 @@ class ManagedTable:
         for attempt in range(_COMMIT_MAX_ATTEMPTS):
             if txn is not None and (base.txns or {}).get(txn[0], -1) >= txn[1]:
                 return False  # this transaction already applied
-            txns = dict(base.txns or {})
-            if txn is not None:
-                txns[txn[0]] = txn[1]
+            version = base.version + 1
+            ts = _utcnow()
+            action = {
+                "version": version,
+                "op": op,
+                "ts": ts,
+                "add": [f.__dict__ for f in added],
+                "remove": sorted(removed_paths),
+                # null = inherit the base's schema at replay time (which,
+                # after a rebase, transparently carries a concurrent
+                # non-conflicting evolution)
+                "schema_json": schema_json if schema_changing else None,
+                "txn": list(txn) if txn is not None else None,
+            }
             try:
-                self._commit(
-                    Manifest(
-                        version=base.version + 1,
-                        partition_date_col=base.partition_date_col,
-                        schema_json=schema_json or base.schema_json,
-                        files=files,
-                        op=op,
-                        ts=_utcnow(),
-                        cluster_col=base.cluster_col,
-                        txns=txns or None,
-                    )
-                )
-                return True
+                self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
                 cur = self.snapshot()
                 if not removed_paths <= {f.path for f in cur.files}:
@@ -963,20 +1167,44 @@ class ManagedTable:
                         f"commit also rewrites; re-read and retry the "
                         f"operation"
                     ) from None
-                if not schema_changing:
-                    # Not a schema-changing commit: inherit whatever schema
-                    # the new head carries (including concurrent evolution).
-                    schema_json = None  # commit falls back to base.schema_json
-                elif _schema_fp(cur.schema_json) not in (fp_prev, fp_ours):
+                if schema_changing and _schema_fp(cur.schema_json) not in (
+                    fp_prev,
+                    fp_ours,
+                ):
                     raise ConcurrentWriteError(
                         f"{op} at {self.root}: concurrent schema change "
                         f"conflicts with this commit's schema"
                     ) from None
-                files = tuple(
-                    f for f in cur.files if f.path not in removed_paths
-                ) + added
                 base = cur
                 time.sleep(_COMMIT_BACKOFF_S * (attempt + 1))
+                continue
+            # Committed. Materialize the new head in replay order (base
+            # minus removed, adds appended — byte-equal to what any other
+            # process reconstructs), prime the cache with it, and drop a
+            # checkpoint on the cadence boundary.
+            txns = dict(base.txns or {})
+            if txn is not None:
+                txns[txn[0]] = txn[1]
+            new_m = Manifest(
+                version=version,
+                partition_date_col=base.partition_date_col,
+                schema_json=(
+                    schema_json if schema_changing else base.schema_json
+                ),
+                files=tuple(
+                    f for f in base.files if f.path not in removed_paths
+                )
+                + added,
+                op=op,
+                ts=ts,
+                cluster_col=base.cluster_col,
+                txns=txns or None,
+            )
+            self._advance_latest(version)
+            _cache_put(str(self.root.resolve()), new_m)
+            if version % _CKPT_EVERY == 0:
+                self._write_checkpoint(new_m)
+            return True
         raise ConcurrentWriteError(
             f"{op} at {self.root}: gave up after {_COMMIT_MAX_ATTEMPTS} "
             f"commit attempts under contention"
@@ -1187,7 +1415,7 @@ class ManagedTable:
             self._commit_files(m, kept + new_files, m.schema_json, "compact")
             return (len(m.files), len(kept) + len(new_files))
 
-    def vacuum(self, retention_seconds: float = 0.0) -> int:
+    def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> int:
         """Delete data files not referenced by the latest manifest. Returns
         number of files removed. (Old versions become unreadable — run only
         when time travel is not needed.)
@@ -1195,9 +1423,11 @@ class ManagedTable:
         ``retention_seconds`` skips files younger than the cutoff: a
         concurrent writer's files land under ``data/`` moments before its
         manifest commit, so a zero-retention vacuum racing an ingest could
-        delete an about-to-be-committed file (the same reason Delta's VACUUM
-        defaults to a 7-day retention). Pass a positive retention whenever
-        other writers may be live; 0 is safe only for a quiesced table."""
+        delete an about-to-be-committed file. The default is therefore a
+        7-day retention — the same default, for the same reason, as Delta's
+        VACUUM — keeping the no-argument call safe beside live writers;
+        ``retention_seconds=0`` is an explicit opt-in for quiesced
+        tables."""
         import time
 
         live = {str(self.root / f.path) for f in self.snapshot().files}
@@ -1208,6 +1438,44 @@ class ManagedTable:
                 p.unlink()
                 removed += 1
         return removed
+
+
+def _full_payload(m: Manifest) -> dict:
+    """Full-state JSON shape shared by v0 records and checkpoints (and by
+    every version file of pre-action-log tables, which read back through
+    the same loader)."""
+    return {
+        "version": m.version,
+        "partition_date_col": m.partition_date_col,
+        "schema_json": m.schema_json,
+        "files": [f.__dict__ for f in m.files],
+        "op": m.op,
+        "ts": m.ts,
+        "cluster_col": m.cluster_col,
+        "txns": m.txns,
+    }
+
+
+def _manifest_from_full(raw: dict) -> Manifest:
+    return Manifest(
+        version=raw["version"],
+        partition_date_col=raw["partition_date_col"],
+        schema_json=raw["schema_json"],
+        files=tuple(FileEntry(**f) for f in raw["files"]),
+        op=raw["op"],
+        ts=raw["ts"],
+        cluster_col=raw.get("cluster_col"),
+        txns=raw.get("txns"),
+    )
+
+
+def _cdc_skip(op: str) -> bool:
+    """Commits whose added files only re-materialize rows a cursor consumer
+    already processed: compaction rewrites bytes, and restore/unrestore
+    re-reference files whose original ``add`` actions the consumer has
+    already seen (or will see at their original versions) — replaying them
+    would double-deliver."""
+    return op == "compact" or op.startswith(("restore_v", "unrestore_v"))
 
 
 def _schema_fp(schema_json: str | None) -> tuple | None:

@@ -211,7 +211,7 @@ def test_vacuum_removes_dead_files(spark, tmp_path, lineitem):
     t = ManagedTable.create(spark, tmp_path / "t")
     t.append(lineitem.limit(10))
     t.overwrite(lineitem.limit(5))
-    removed = t.vacuum()
+    removed = t.vacuum(retention_seconds=0.0)
     assert removed > 0
     assert t.read().count() == 5
 
@@ -729,7 +729,8 @@ def test_vacuum_retention_spares_young_files(spark, tmp_path, lineitem):
     t.append(lineitem.limit(5))
     t.overwrite(lineitem.limit(3))  # orphans the first commit's files
     assert t.vacuum(retention_seconds=3600) == 0  # young orphans spared
-    assert t.vacuum() >= 1  # quiesced-table vacuum still reclaims
+    assert t.vacuum() == 0  # the DEFAULT is a safe 7-day retention
+    assert t.vacuum(retention_seconds=0.0) >= 1  # explicit quiesced opt-in
     assert t.read().count() == 3
 
 
@@ -1072,7 +1073,135 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path, lineitem):
     assert t.read(version=v_good + 1).count() == 3  # bad version still readable
     # restore target destroyed by vacuum -> loud failure
     t.overwrite(lineitem.limit(2))
-    t.vacuum()  # drops the 10-row files (0 retention, quiesced)
+    t.vacuum(retention_seconds=0.0)  # drops the 10-row files (quiesced)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.restore(v_good)
     assert t.read().count() == 2  # table unharmed
+
+
+# ------------------------------------------------- incremental action log
+
+
+def _mini_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([T.StructField("k", T.LongType())])
+
+
+def _commit_n(spark, root, n, start=0):
+    """n tiny commits via the pyarrow fast path (full commit protocol,
+    no Spark job per append)."""
+    t = ManagedTable.create(spark, root)
+    for i in range(start, start + n):
+        t.append_pylist([{"k": i}], _mini_schema())
+    return t
+
+
+def test_commit_payload_is_o_of_files_touched(spark, tmp_path):
+    """The log record of a commit lists only the files it touched — its
+    size must NOT grow with the table (the pre-checkpoint design wrote the
+    full file list per commit: O(total files) write amplification, the one
+    real 100 TB scale-killer)."""
+    import json
+
+    t = _commit_n(spark, tmp_path / "t", 30)
+    head = t.snapshot().version
+    raw_small = json.loads((t.root / "_log" / "00000000000000000005.json").read_text())
+    raw_big = json.loads((t.root / "_log" / f"{head:020d}.json").read_text())
+    for raw in (raw_small, raw_big):
+        assert "files" not in raw  # incremental action, not a full manifest
+        assert len(raw["add"]) == 1 and raw["remove"] == []
+    # 25 commits later the payload is the same shape and size class
+    assert len(json.dumps(raw_big)) < 2 * len(json.dumps(raw_small))
+    assert t.read().count() == 30  # and the reconstructed state is right
+
+
+def test_snapshot_reads_checkpoint_plus_tail(spark, tmp_path):
+    """A fresh reader of a long-history table parses one checkpoint plus
+    at most _CKPT_EVERY action files — never the whole log."""
+    from data_warehouse_copy_spark.sources import managed_table as mt
+
+    t = _commit_n(spark, tmp_path / "t", 45)
+    assert t._ckpt_path(20).exists() and t._ckpt_path(40).exists()
+    mt._SNAP_CACHE.clear()  # simulate a brand-new process
+    t2 = ManagedTable(spark, tmp_path / "t")
+    m = t2.snapshot()
+    assert m.version == 45 and m.total_rows == 45
+    first_reads = t2._last_log_reads
+    assert first_reads <= mt._CKPT_EVERY + 1
+    # warm path: a repeat snapshot is a cache hit — no _reconstruct at all,
+    # so the instrumentation counter is untouched
+    assert t2.snapshot().version == 45
+    assert t2._last_log_reads == first_reads
+
+
+def test_snapshot_cache_survives_table_recreation(spark, tmp_path):
+    """The per-process manifest cache must not serve state from a table
+    that was deleted and recreated at the same root."""
+    import shutil
+
+    t = _commit_n(spark, tmp_path / "t", 3)
+    assert t.snapshot().total_rows == 3  # cache primed at v3
+    shutil.rmtree(tmp_path / "t")
+    t2 = ManagedTable.create(spark, tmp_path / "t")
+    assert t2.snapshot().total_rows == 0  # not the cached v3 state
+    t2.append_pylist([{"k": 99}], _mini_schema())
+    assert t2.snapshot().total_rows == 1
+
+
+def test_legacy_full_manifest_log_still_reads(spark, tmp_path):
+    """Tables written by the pre-action-log format (a full manifest per
+    version) must keep working: snapshot, time travel, read_changes and
+    history all accept full-state records anywhere in the chain."""
+    import json
+
+    from data_warehouse_copy_spark.sources import managed_table as mt
+
+    t = _commit_n(spark, tmp_path / "t", 5)
+    # Rewrite every version file as a legacy full-state manifest
+    for v in range(6):
+        m = t.snapshot(version=v)
+        (t.root / "_log" / f"{v:020d}.json").write_text(
+            json.dumps(mt._full_payload(m), indent=1)
+        )
+    for p in (t.root / "_log").glob("*.checkpoint.json"):
+        p.unlink()
+    mt._SNAP_CACHE.clear()
+    t2 = ManagedTable(spark, tmp_path / "t")
+    assert t2.snapshot().total_rows == 5
+    assert t2.snapshot(version=2).total_rows == 2  # time travel
+    assert t2.read_changes(2).count() == 3
+    assert [h.total_rows for h in t2.history()] == [0, 1, 2, 3, 4, 5]
+    # and a NEW action commit on top of the legacy chain replays cleanly
+    t2.append_pylist([{"k": 100}], _mini_schema())
+    mt._SNAP_CACHE.clear()
+    assert ManagedTable(spark, tmp_path / "t").snapshot().total_rows == 6
+
+
+def test_read_changes_skips_restore_replay(spark, tmp_path, lineitem):
+    """A restore re-references files a cursor consumer already processed —
+    CDC must not double-deliver them (same contract as the compact skip)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(10))  # v1
+    v1 = t.snapshot().version
+    t.overwrite(lineitem.limit(4))  # v2: the "bad deploy"
+    v2 = t.snapshot().version
+    t.restore(v1)  # v3: rollback re-adds v1's files
+    assert t.read_changes(v2).count() == 0  # restore commit replays nothing
+    assert t.read_changes(v1).count() == 4  # just the overwrite's adds
+
+
+def test_commit_fails_clearly_without_hardlinks(spark, tmp_path, monkeypatch):
+    """On a filesystem without hard-link support the commit protocol cannot
+    be atomic — the error must say so instead of an opaque OSError."""
+    import errno
+    import os as _os
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    with pytest.raises(OSError, match="hard-link support"):
+        t.append_pylist([{"k": 1}], _mini_schema())
