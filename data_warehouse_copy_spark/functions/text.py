@@ -146,15 +146,21 @@ def language_scores_array(text: Column) -> Column:
     ]
     toks = whitespace_tokens(F.lower(text))
     zero = F.array(*[F.lit(0) for _ in langs])
-    return F.aggregate(
-        toks,
-        zero,
-        lambda acc, t: F.array(
-            *[
-                acc[i] + F.array_contains(marker_arrs[i], t).cast("int")
-                for i in range(len(langs))
-            ]
+    # NULL text tokenizes to a NULL array and the fold returns NULL —
+    # normalize to all-zero scores so downstream argmax yields 'und'
+    # (matching empty text) instead of silently electing a language.
+    return F.coalesce(
+        F.aggregate(
+            toks,
+            zero,
+            lambda acc, t: F.array(
+                *[
+                    acc[i] + F.array_contains(marker_arrs[i], t).cast("int")
+                    for i in range(len(langs))
+                ]
+            ),
         ),
+        zero,
     )
 
 
@@ -172,7 +178,11 @@ def language_scores(text: Column) -> dict[str, Column]:
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # coalesce: NULL text -> 0 hits, same contract as the array form
+        out[lang] = F.coalesce(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))),
+            F.lit(0),
+        )
     return out
 
 
@@ -200,12 +210,14 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    pred = F.when(best["s"] == 0, F.lit("und")).otherwise(
-        F.element_at(lang_arr, -best["r"] + 1)
-    )
-    # null text: scores are null -> both branches null; the legacy CASE
-    # chain yielded 'und', keep that contract
-    pred = F.coalesce(pred, F.lit("und"))
+    # Guard on the score VALUE including null: a null best-score (possible
+    # only if the scores array is null-backed upstream) must yield 'und',
+    # not index 0's language — array_max tie-breaks on the struct's second
+    # field when every first field is null, so the r=0 entry would win and
+    # elect langs[0] for NULL text.
+    pred = F.when(
+        best["s"].isNull() | (best["s"] == 0), F.lit("und")
+    ).otherwise(F.element_at(lang_arr, -best["r"] + 1))
     cols = (
         [df[c] for c in df.columns]
         + [pred.alias("lang_pred")]

@@ -1649,7 +1649,8 @@ TEXT_LANG_SQL = f"""
 WITH s AS (
   SELECT doc_id, lang,
     {", ".join(
-        f"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_filter({_SQL_TOKS_LOWER},"
+        f"CASE WHEN text IS NULL OR trim(text) = '' THEN 0"
+        f" ELSE len(list_filter({_SQL_TOKS_LOWER},"
         f" t -> list_contains({arr}, t))) END AS score_{lang}"
         for lang, arr in sorted(_MARKERS_SQL.items())
     )}

@@ -57,3 +57,21 @@ def test_connected_components_transitive_chain(spark):
     )
     got = {r.id: r.comp for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_language_id_null_text_is_und(spark):
+    """NULL text must classify as 'und' with zero scores — not silently
+    elect the first language code (the argmax struct tie-breaks on index
+    when every score is null). Fixtures carry no NULL text, so this is the
+    only guard on the contract."""
+    from data_warehouse_copy_spark.functions.text import with_language_id
+
+    df = spark.createDataFrame(
+        [("n", None), ("e", ""), ("b", "   "), ("de", "der hund und die katze")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in with_language_id(df).collect()}
+    for k in ("n", "e", "b"):
+        assert got[k].lang_pred == "und", k
+        assert got[k].score_de == 0 and got[k].score_en == 0, k
+    assert got["de"].lang_pred == "de" and got["de"].score_de > 0
