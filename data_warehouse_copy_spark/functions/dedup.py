@@ -26,6 +26,8 @@ shingle cut); MinHash/SimHash banding keeps the candidate join key-bounded
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas
 
@@ -36,24 +38,53 @@ from pyspark.sql.functions import pandas_udf
 from data_warehouse_copy_spark.functions.text import whitespace_tokens
 
 # The persisted LSH sketches (see minhash_lsh_pairs / simhash_pairs) are
-# rotated through this holder: each new invocation unpersists the previous
-# call's cache, bounding live storage to one tiny sketch per function even
-# when a driver runs the whole catalog through one session. Unpersisting
-# is safe at that point — the prior result has been materialized (callers
-# consume queries sequentially) and unpersist only drops cached blocks,
-# never correctness (the lineage recomputes if re-read).
-_LIVE_SKETCHES: dict[str, DataFrame] = {}
+# rotated through this holder, bounding live storage to a couple of tiny
+# sketches per function even when a driver runs the whole catalog through
+# one session. Entries are keyed by (slot, session, input plan) — NOT by
+# slot alone — so two interleaved evaluations over different inputs in one
+# process keep their own cache instead of unpersisting each other's
+# mid-consumption (correctness would survive via lineage; the re-run of
+# the whole shingle/UDF pipeline would not be cheap). Re-invoking on the
+# SAME input rotates that input's sketch; inputs beyond the per-slot cap
+# evict oldest-first. Unpersist only drops cached blocks, never
+# correctness (the lineage recomputes if re-read).
+_LIVE_SKETCHES: dict[tuple, DataFrame] = {}
+_SKETCHES_PER_SLOT = 2
+_SKETCHES_GUARD = threading.Lock()
+
+
+def _unpersist_quiet(df: DataFrame) -> None:
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # session may be gone; nothing to free
+
+
+def _plan_key(df: DataFrame):
+    """Identity of the input plan: Catalyst's semantic hash when reachable
+    (classic JVM session), else the Python object id — good enough to keep
+    distinct inputs in distinct slots."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return id(df)
 
 
 def _persist_rotating(slot: str, df: DataFrame) -> DataFrame:
-    prev = _LIVE_SKETCHES.pop(slot, None)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session may be gone; nothing to free
-    _LIVE_SKETCHES[slot] = df.persist()
-    return df
+    key = (slot, id(df.sparkSession), _plan_key(df))
+    evict: list[DataFrame] = []
+    with _SKETCHES_GUARD:
+        prev = _LIVE_SKETCHES.pop(key, None)
+        if prev is not None:
+            evict.append(prev)  # same input re-invoked: rotate its sketch
+        same_slot = [k for k in _LIVE_SKETCHES if k[0] == slot]
+        while len(same_slot) >= _SKETCHES_PER_SLOT:
+            evict.append(_LIVE_SKETCHES.pop(same_slot.pop(0)))
+        out = df.persist()
+        _LIVE_SKETCHES[key] = out
+    for old in evict:
+        _unpersist_quiet(old)
+    return out
 
 
 def exact_dedup(

@@ -75,3 +75,38 @@ def test_language_id_null_text_is_und(spark):
         assert got[k].lang_pred == "und", k
         assert got[k].score_de == 0 and got[k].score_en == 0, k
     assert got["de"].lang_pred == "de" and got["de"].score_de > 0
+
+
+def test_lsh_sketch_cache_scoped_per_input(spark, sf_dir):
+    """Two interleaved evaluations over DIFFERENT inputs must each keep
+    their persisted sketch — the old slot-per-function rotation had the
+    second invocation unpersist the first's cache mid-consumption."""
+    from data_warehouse_copy_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    pairs_a = D.minhash_lsh_pairs(a)
+    pairs_b = D.minhash_lsh_pairs(b)  # interleaved: before a is consumed
+    slot_a = [
+        df for k, df in D._LIVE_SKETCHES.items() if k[0] == "minhash_sig"
+    ]
+    assert len(slot_a) == 2  # both inputs cached side by side
+    assert all(df.storageLevel.useMemory for df in slot_a)
+    # both results still evaluate correctly after the interleave
+    assert pairs_a.count() >= 0 and pairs_b.count() >= 0
+
+    # a third distinct input evicts oldest-first, keeping the cap
+    D.minhash_lsh_pairs(docs.filter(F.col("doc_id") % 3 == 0))
+    slot_after = [
+        df for k, df in D._LIVE_SKETCHES.items() if k[0] == "minhash_sig"
+    ]
+    assert len(slot_after) == D._SKETCHES_PER_SLOT
+
+    # re-invoking on the SAME input rotates in place (no growth)
+    D.minhash_lsh_pairs(b)
+    assert (
+        len([k for k in D._LIVE_SKETCHES if k[0] == "minhash_sig"])
+        == D._SKETCHES_PER_SLOT
+    )
