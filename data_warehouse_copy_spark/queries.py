@@ -1849,6 +1849,44 @@ GROUP BY purchase_id
 """
 
 
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM windowed join
+    (``streaming/events.py::stream_stream_click_attribution``): every
+    (click, purchase) pair of the same user with the purchase within 30
+    minutes after the click. One definition serves both modes (Structured
+    Streaming duality); the streaming path adds both-side watermarks so
+    join state stays bounded — tests/test_streaming.py pins
+    batch ≡ drained-stream equality, and this oracle pins the values."""
+    from data_warehouse_copy_spark.streaming.events import (
+        stream_stream_click_attribution,
+    )
+
+    (events,) = _prep(spark, sf_dir, "events")
+    return stream_stream_click_attribution(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        max_delay="30 minutes",
+    )
+
+
+EVENTS_CLICK_ATTR_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts,
+       CAST(floor(epoch(purchase_ts)) AS BIGINT)
+         - CAST(floor(epoch(click_ts)) AS BIGINT) AS delay_seconds,
+       purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+ AND purchase_ts >= click_ts
+ AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+"""
+
+
 # --------------------------------------------------------------------------
 # As-of join / set ops / pivot / cube / percentiles / scalar functions
 # --------------------------------------------------------------------------
@@ -2702,6 +2740,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_top_tokens": text_top_tokens,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
+    "events_click_attribution": events_click_attribution,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2782,4 +2821,5 @@ ORACLES: dict[str, str] = {
     "text_top_tokens": TOP_TOKENS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,
+    "events_click_attribution": EVENTS_CLICK_ATTR_SQL,
 }

@@ -144,6 +144,70 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: dict) -> DataFrame:
     )
 
 
+def stream_stream_click_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "30 minutes",
+    click_watermark: str = "2 hours",
+    purchase_watermark: str = "1 hour",
+    streaming: bool = False,
+) -> DataFrame:
+    """Windowed STREAM-STREAM inner join: every (click, purchase) pair of
+    the same user where the purchase lands within ``max_delay`` after the
+    click — the click→purchase attribution pair stream. (The reference is
+    batch-only; this is the extension surface's two-stream join, the one
+    streaming shape :func:`enrich_with_dim`'s stream-static broadcast
+    cannot express.)
+
+    Streaming shape: BOTH sides carry event-time watermarks, and the join
+    condition bounds ``purchase_ts`` to ``[click_ts, click_ts +
+    max_delay]``. That time-range predicate is what lets Spark's state
+    store evict: a buffered click can be dropped once the purchase
+    watermark passes ``click_ts + max_delay``, a buffered purchase once
+    the click watermark passes ``purchase_ts`` — so state is bounded by
+    watermark horizon × event rate, not by stream length. Inner-join rows
+    emit eagerly on match in append mode (the watermark governs eviction,
+    not emission), so a drained finite stream yields exactly the batch
+    result — pinned by tests/test_streaming.py.
+
+    Works identically on batch frames (``streaming=False``); the batch
+    twin is the DuckDB-oracled ``events_click_attribution`` query.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if streaming:
+        c = c.withWatermark("click_ts", click_watermark)
+        p = p.withWatermark("purchase_ts", purchase_watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("delay_seconds"),
+        "purchase_value",
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when the
     gap to the previous event of the same user exceeds ``gap_minutes``.

@@ -456,3 +456,65 @@ class TestSketchRollup:
         assert m.version == v0 + 2
         days = {f.partition for f in m.files}
         assert day in days and len(days) > 1
+
+
+def test_stream_stream_join_matches_batch(spark, events, tmp_path):
+    """STREAM-STREAM windowed join parity: clicks and purchases arrive as
+    two independent readStream sources (different micro-batches, so the
+    join must buffer one side in the state store), and the drained result
+    must equal the batch twin exactly — inner-join rows emit eagerly on
+    match; the both-side watermarks only govern state eviction."""
+    from data_warehouse_copy_spark.streaming.events import (
+        stream_stream_click_attribution,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks_b = base.filter(F.col("event_type") == "click")
+    purch_b = base.filter(F.col("event_type") == "purchase")
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.coalesce(1).write.parquet(c_src)
+    purch_b.coalesce(1).write.parquet(p_src)
+
+    c_stream = (
+        spark.readStream.schema(clicks_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_src)
+    )
+    p_stream = (
+        spark.readStream.schema(purch_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_src)
+    )
+    joined = stream_stream_click_attribution(
+        c_stream, p_stream, max_delay="30 minutes", streaming=True
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_attr")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    key = lambda r: (
+        r["user_id"],
+        r["click_id"],
+        r["purchase_id"],
+        r["delay_seconds"],
+        r["purchase_value"],
+    )
+    got = sorted(map(key, spark.sql("SELECT * FROM ss_attr").collect()))
+    batch = sorted(
+        map(
+            key,
+            stream_stream_click_attribution(
+                clicks_b, purch_b, max_delay="30 minutes"
+            ).collect(),
+        )
+    )
+    assert len(got) > 0
+    assert got == batch
