@@ -2287,6 +2287,14 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the same pipeline as chained SQL CTEs, value-exact."""
     (docs,) = _prep(spark, sf_dir, "documents")
+    return training_prep_pipeline(docs)
+
+
+def training_prep_pipeline(docs: DataFrame) -> DataFrame:
+    """The pipeline body over ANY documents-shaped frame — the parquet
+    fixture or a JSONL(.gz) corpus via ``sources.catalog.load_text_corpus``
+    (the ingestion path is format-independent by construction; pinned by
+    tests/test_catalog_formats.py)."""
     enriched = with_fingerprints(with_language_id(with_text_stats(_spread(docs))))
     filtered = enriched.filter(
         (F.col("quality_score") >= 0.05)

@@ -14,6 +14,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -95,6 +96,48 @@ def register_views(
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
         except FileNotFoundError:
             pass
+
+
+#: Canonical documents-table schema (matches the parquet fixture): the
+#: shape every text-corpus ingestion path must land in so the downstream
+#: dedup/quality/lang-id operators run unchanged.
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def load_text_corpus(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str | None = None,
+) -> DataFrame:
+    """JSONL / JSONL.gz corpus ingestion into the ``documents`` schema.
+
+    Training corpora rarely arrive as parquet — the common interchange is
+    newline-delimited JSON, usually gzip-compressed. Spark's JSON source
+    handles ``.gz`` (and ``.zst`` where the codec is on the classpath)
+    transparently via filename extension, splits uncompressed files by
+    range, and with an EXPLICIT schema never runs the inference pre-pass
+    (at 100 TB, schema inference is a full extra read of the corpus; a
+    gzip member is also non-splittable, so production drops should arrive
+    as many files — one task each — rather than one giant archive).
+
+    Missing fields are null-backfilled; ``n_chars`` is recomputed from the
+    text when absent so quality filters keep working. Corrupt lines land
+    in ``_corrupt_record``-free PERMISSIVE nulls rather than failing the
+    job (count them via ``doc_id IS NULL AND text IS NULL`` and quarantine
+    upstream). Returns columns in canonical order."""
+    target = T.StructType.fromDDL(schema or DOCUMENTS_SCHEMA)
+    raw = spark.read.schema(target).json(path)
+    out = raw
+    if "n_chars" in raw.columns and "text" in raw.columns:
+        out = out.withColumn(
+            "n_chars",
+            F.coalesce(
+                F.col("n_chars"), F.length(F.col("text")).cast("long")
+            ),
+        )
+    return out.select(*[f.name for f in target.fields])
 
 
 def read_source(
