@@ -162,3 +162,14 @@ def test_q9_filter_pushed_and_pruned(spark, sf_dir):
         if "ReadSchema" in l and "l_orderkey" in l
     )
     assert "l_shipdate" not in read and "l_returnflag" not in read
+
+
+def test_stream_stream_attribution_stays_equi_join(spark, sf_dir):
+    """events_click_attribution: the time-range bound must ride the
+    user_id equi-key as a residual condition — never a nested loop over
+    clicks × purchases (the batch plan's shape is what the streaming
+    state-store join inherits)."""
+    plan = _plan(spark, sf_dir, "events_click_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
