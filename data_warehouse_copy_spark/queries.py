@@ -2323,6 +2323,104 @@ WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY fingerprint)
 """
 
 
+def training_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sampling — the corpus-mixing
+    primitive of a training-data pipeline (e.g. downsample English, keep
+    all of a low-resource language). The sample predicate is a Knuth
+    multiplicative hash of the document id against a per-mille quota, so
+    membership is a pure projection: stable across runs, engines,
+    partitionings, and cluster sizes (unlike ``df.sample``, whose output
+    depends on the partition layout), and trivially incremental — new
+    documents join the sample without re-drawing old ones. Zero shuffles;
+    at 100 TB this is a codegen filter riding the scan."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)
+    ) % F.lit(1000)
+    quota = (
+        F.when(F.col("lang") == "en", 600)
+        .when(F.col("lang") == "de", 350)
+        .when(F.col("lang") == "fr", 200)
+        .when(F.col("lang") == "es", 100)
+        .otherwise(50)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        bucket.cast("long").alias("sample_bucket"),
+    ).filter(F.col("sample_bucket") < quota)
+
+
+QUOTA_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars,
+       ((doc_id % 1000000007) * 2654435761) % 1000 AS sample_bucket
+FROM documents
+WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
+      CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 350 WHEN 'fr' THEN 200
+                WHEN 'es' THEN 100 ELSE 50 END
+"""
+
+_PACK_CTX = 2048  # context-window length in whitespace tokens
+
+
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: per language, documents are
+    concatenated in doc_id order and cut into fixed ``_PACK_CTX``-token
+    context windows — the standard LLM-pretraining packing — and each
+    document reports the window span it lands in (``pack_first`` ..
+    ``pack_last``; a long document legitimately crosses windows).
+
+    Plan shape: one token-count projection (codegen, no UDF) + ONE window
+    cumsum shuffle on the language key. At 100 TB the partition key would
+    be (lang, shard) to bound per-partition state; the per-document
+    arithmetic is unchanged. Deterministic by construction (doc_id order),
+    hence SQL-oracle-exact — most packing implementations are
+    partition-order-dependent and unverifiable."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("tok_end", F.sum("n_tokens").over(w))
+    return cum.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        (F.col("tok_end") - F.col("n_tokens")).alias("tok_start"),
+        F.expr(f"(tok_end - n_tokens) div {_PACK_CTX}").alias("pack_first"),
+        F.expr(f"(tok_end - 1) div {_PACK_CTX}").alias("pack_last"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len({_SQL_TOKS}) END AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS tok_end
+  FROM t WHERE n_tokens > 0)
+SELECT lang, doc_id, n_tokens,
+       tok_end - n_tokens AS tok_start,
+       (tok_end - n_tokens) // {_PACK_CTX} AS pack_first,
+       (tok_end - 1) // {_PACK_CTX} AS pack_last
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal (extension surface; real PPM/BMP/WAV decode — rows-only check)
 # --------------------------------------------------------------------------
@@ -2749,6 +2847,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "events_click_attribution": events_click_attribution,
+    "training_quota_sample": training_quota_sample,
+    "training_pack_sequences": training_pack_sequences,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2830,4 +2930,6 @@ ORACLES: dict[str, str] = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_cohort_retention": EVENTS_COHORT_SQL,
     "events_click_attribution": EVENTS_CLICK_ATTR_SQL,
+    "training_quota_sample": QUOTA_SAMPLE_SQL,
+    "training_pack_sequences": PACK_SEQUENCES_SQL,
 }
