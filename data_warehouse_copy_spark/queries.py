@@ -2421,6 +2421,245 @@ FROM c
 """
 
 
+# Boilerplate line planted for the repetition filter: the fixtures are
+# single-line and repetition-free, so a zero-injection run would verify
+# nothing (round-1 lesson, same pattern as text_pii_scrub's planted PII).
+_BOILER_LINE = "subscribe now click here"
+
+
+def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filter: per-document duplicate-line
+    fraction and top-bigram fraction — the standard boilerplate/spam
+    signals a pre-training corpus filter runs before anything expensive
+    (Rae et al. 2021 "Scaling Language Models", §A1.1, public). Documents
+    with ``doc_id % 11 == 0`` get three identical boilerplate lines
+    appended (identically in the oracle) so the filter provably fires.
+
+    Plan shape: duplicate-line fraction is a pure codegen projection
+    (``array_distinct`` over the line split — no shuffle); top-bigram
+    fraction is explode + two map-side-combined aggregates keyed on
+    (doc_id, bigram) then doc_id — the only shuffle, linear in corpus
+    token count. At 100 TB every step partitions on doc_id with no skew
+    (bigram counts are per-document, never global)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(("\n" + _BOILER_LINE) * 3)),
+    ).otherwise(F.col("text"))
+    d = _spread(docs).select("doc_id", injected.alias("text"))
+    lines = F.split(F.col("text"), "\n")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.size(lines)
+        ).alias("dup_line_frac"),
+        toks.alias("toks"),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(
+            F.slice("toks", 1, F.size("toks") - 1),
+            F.slice("toks", 2, F.size("toks") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bifreq = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    bistats = bifreq.groupBy("doc_id").agg(
+        (F.max("n") / F.sum("n")).alias("top_bigram_frac")
+    )
+    return (
+        base.drop("toks")
+        .join(bistats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_line_frac",
+            "top_bigram_frac",
+            (
+                (F.col("dup_line_frac") <= 0.3)
+                & (F.col("top_bigram_frac") <= 0.11)
+            ).alias("passes_quality"),
+        )
+    )
+
+
+_BOILER_SQL = " || chr(10) || ".join(["text"] + [f"'{_BOILER_LINE}'"] * 3)
+
+QUALITY_REPETITION_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN {_BOILER_SQL} ELSE text END AS text
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         {_SQL_TOKS_LOWER} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM injected),
+stats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+           AS dup_line_frac
+  FROM base),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM base),
+bifreq AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+bistats AS (
+  SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac
+  FROM bifreq GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens, s.dup_line_frac, b.top_bigram_frac,
+       s.dup_line_frac <= 0.3 AND b.top_bigram_frac <= 0.11 AS passes_quality
+FROM stats s JOIN bistats b ON s.doc_id = b.doc_id
+"""
+
+
+def _grams5(col: str) -> F.Column:
+    """Word 5-grams of a tokens column (1-based SQL indexing so the oracle's
+    DuckDB ``range``/``[]`` form is positionally identical)."""
+    return F.when(
+        F.size(col) >= 5,
+        F.expr(
+            f"transform(sequence(1, size({col}) - 4), i -> "
+            f"concat_ws(' ', {col}[i-1], {col}[i], {col}[i+1], "
+            f"{col}[i+2], {col}[i+3]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which corpus documents contain a
+    benchmark prompt? The eval set is derived deterministically (documents
+    with ``doc_id % 97 == 0``, truncated to their first 12 tokens — a
+    benchmark question lifted from a source document), and a corpus
+    document is flagged when it covers >= 50% of an eval item's word
+    5-grams — the n-gram-overlap decontamination rule used by public LLM
+    corpus pipelines (GPT-3 appendix C / Dolma, both published).
+
+    Plan shape: the eval side is tiny by construction (a benchmark is KBs,
+    the corpus is TBs), so the 5-gram match is a **broadcast** equi-join
+    on the gram string against the exploded corpus — no shuffle of corpus
+    rows at all; the per-pair count aggregates on (doc_id, eval_doc_id).
+    At 100 TB the corpus side stays a single scan + broadcast probe."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    d = _spread(docs)
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    corpus = (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(_grams5("t")).alias("g"))
+        .distinct()
+    )
+    eval_toks = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.slice(toks, 1, 12).alias("t"))
+    )
+    eval_g = (
+        eval_toks.select("eval_doc_id", F.explode(_grams5("t")).alias("g"))
+        .distinct()
+    )
+    eval_sizes = eval_g.groupBy("eval_doc_id").agg(F.count("*").alias("n_eval"))
+    shared = (
+        corpus.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(eval_sizes), "eval_doc_id")
+        .withColumn(
+            "contamination", F.col("n_shared") / F.col("n_eval")
+        )
+        .filter(F.col("contamination") >= 0.5)
+        .select("doc_id", "eval_doc_id", "n_shared", "n_eval", "contamination")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS_LOWER} AS t FROM documents),
+cgrams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 3), i ->
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4])) AS g
+    FROM toks WHERE len(t) >= 5)),
+etoks AS (
+  SELECT doc_id AS eval_doc_id, t[1:12] AS t FROM toks WHERE doc_id % 97 = 0),
+egrams AS (
+  SELECT DISTINCT eval_doc_id, g FROM (
+    SELECT eval_doc_id,
+           unnest(list_transform(range(1, len(t) - 3), i ->
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4])) AS g
+    FROM etoks WHERE len(t) >= 5)),
+esizes AS (
+  SELECT eval_doc_id, COUNT(*) AS n_eval FROM egrams GROUP BY eval_doc_id),
+shared AS (
+  SELECT c.doc_id, e.eval_doc_id, COUNT(*) AS n_shared
+  FROM cgrams c JOIN egrams e ON c.g = e.g
+  GROUP BY c.doc_id, e.eval_doc_id)
+SELECT s.doc_id, s.eval_doc_id,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(z.n_eval AS BIGINT) AS n_eval,
+       CAST(s.n_shared AS DOUBLE) / z.n_eval AS contamination
+FROM shared s JOIN esizes z ON s.eval_doc_id = z.eval_doc_id
+WHERE CAST(s.n_shared AS DOUBLE) / z.n_eval >= 0.5
+"""
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    embedding near-dup pairs (exact cosine >= 0.4, the oracle baseline —
+    ``lsh_bucket_near_dup_pairs`` is the banded scale path) closed into
+    transitive clusters by min-label connected components; the survivor of
+    each cluster is its smallest vec_id, everything else is a semantic
+    duplicate a curation pipeline drops.
+
+    Oracle: the pairwise cosine SQL closed under a recursive CTE —
+    value-exact, same shape as the n-gram cluster oracle.
+
+    100 TB shape: pair generation is the measured vectorized block join
+    (or banded LSH at scale); each propagation round is an equi-join +
+    min-agg and semantic-dup graphs are tiny cliques, so 2-3 rounds
+    close the corpus."""
+    from data_warehouse_copy_spark.functions.dedup import connected_components
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.4)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_survivor"),
+    )
+
+
+SEMANTIC_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({SIMILARITY_NEAR_DUP_SQL.strip()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(comp) AS BIGINT) AS component,
+       id = MIN(comp) AS is_survivor
+FROM reach GROUP BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal (extension surface; real PPM/BMP/WAV decode — rows-only check)
 # --------------------------------------------------------------------------
@@ -2849,6 +3088,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_click_attribution": events_click_attribution,
     "training_quota_sample": training_quota_sample,
     "training_pack_sequences": training_pack_sequences,
+    "text_quality_repetition": text_quality_repetition,
+    "text_contamination": text_contamination,
+    "dedup_semantic_clusters": dedup_semantic_clusters,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2932,4 +3174,7 @@ ORACLES: dict[str, str] = {
     "events_click_attribution": EVENTS_CLICK_ATTR_SQL,
     "training_quota_sample": QUOTA_SAMPLE_SQL,
     "training_pack_sequences": PACK_SEQUENCES_SQL,
+    "text_quality_repetition": QUALITY_REPETITION_SQL,
+    "text_contamination": CONTAMINATION_SQL,
+    "dedup_semantic_clusters": SEMANTIC_CLUSTERS_SQL,
 }

@@ -110,3 +110,54 @@ def test_lsh_sketch_cache_scoped_per_input(spark, sf_dir):
         len([k for k in D._LIVE_SKETCHES if k[0] == "minhash_sig"])
         == D._SKETCHES_PER_SLOT
     )
+
+def test_quality_repetition_non_vacuous(spark, sf_dir):
+    """Both repetition signals must actually fire on the fixture (a filter
+    that passes everything verifies nothing): the planted boilerplate
+    lines push dup_line_frac over the bar, and a handful of naturally
+    repetitive fixture docs cross the top-bigram bar independently."""
+    from data_warehouse_copy_spark.queries import text_quality_repetition
+
+    rows = text_quality_repetition(spark, sf_dir).collect()
+    assert any(not r.passes_quality for r in rows)
+    assert any(r.passes_quality for r in rows)
+    assert any(r.dup_line_frac > 0.3 for r in rows)          # planted lines
+    assert any(r.top_bigram_frac > 0.11 and r.dup_line_frac == 0 for r in rows)
+    # every planted doc fails; fractions are well-formed
+    assert all(not r.passes_quality for r in rows if r.doc_id % 11 == 0)
+    assert all(0 <= r.dup_line_frac <= 1 and 0 < r.top_bigram_frac <= 1 for r in rows)
+
+
+def test_contamination_flags_source_docs(spark, sf_dir):
+    """Every eval item is a 12-token prefix lifted from a corpus document,
+    so its source doc must be flagged with contamination exactly 1.0 (all
+    eval 5-grams appear verbatim); the flagged set is the non-vacuity."""
+    from data_warehouse_copy_spark.queries import text_contamination
+
+    rows = text_contamination(spark, sf_dir).collect()
+    self_hits = {r.eval_doc_id for r in rows if r.doc_id == r.eval_doc_id}
+    eval_ids = {r.eval_doc_id for r in rows}
+    assert self_hits == eval_ids and len(eval_ids) > 0
+    assert all(
+        r.contamination == 1.0 for r in rows if r.doc_id == r.eval_doc_id
+    )
+    assert all(0.5 <= r.contamination <= 1.0 for r in rows)
+
+
+def test_semantic_clusters_structure(spark, sf_dir):
+    """Clusters must be non-trivial (at least one multi-member component),
+    labels are the component minimum, and exactly one survivor exists per
+    component."""
+    from collections import Counter
+
+    from data_warehouse_copy_spark.queries import dedup_semantic_clusters
+
+    rows = dedup_semantic_clusters(spark, sf_dir).collect()
+    assert rows
+    by_comp = Counter(r.component for r in rows)
+    assert max(by_comp.values()) >= 2
+    for r in rows:
+        assert r.component <= r.vec_id
+        assert r.is_survivor == (r.vec_id == r.component)
+    survivors = Counter(r.component for r in rows if r.is_survivor)
+    assert survivors == Counter(set(by_comp))
