@@ -389,7 +389,51 @@ class ManagedTable:
     def _ckpt_path(self, version: int) -> Path:
         return self.root / "_log" / f"{version:020d}.checkpoint.json"
 
-    def snapshot(self, version: int | None = None) -> Manifest:
+    def version_at(self, timestamp: "str | datetime") -> int:
+        """Latest committed version whose commit time is <= ``timestamp`` —
+        Delta's ``timestampAsOf`` time travel. Accepts a ``datetime`` or an
+        ISO-8601 UTC string (any prefix works: commit timestamps are
+        fixed-width ``%Y-%m-%dT%H:%M:%S.%fZ``, so lexicographic compare is
+        chronological compare).
+
+        Cost: binary search over the immutable version records — O(log
+        versions) single-record reads, never a manifest reconstruction.
+        Commit timestamps are written by possibly many processes, so tiny
+        wall-clock inversions can exist; like Delta, the boundary is
+        resolved as if each commit's effective time were the max of all
+        timestamps at or below it (a forward fixup after the search), so
+        the chosen version never excludes an earlier-numbered commit."""
+        if isinstance(timestamp, datetime):
+            timestamp = timestamp.astimezone(timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%S.%fZ"
+            )
+        head = self._head_version()
+        if self._raw(0)["ts"] > timestamp:
+            raise ValueError(
+                f"timestamp {timestamp} predates the table's first commit"
+            )
+        lo, hi = 0, head  # invariant: ts(lo) <= timestamp
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self._raw(mid)["ts"] <= timestamp:
+                lo = mid
+            else:
+                hi = mid - 1
+        # Delta-style monotonic fixup: a later-numbered commit stamped
+        # slightly in the past still belongs to this as-of read.
+        while lo < head and self._raw(lo + 1)["ts"] <= timestamp:
+            lo += 1
+        return lo
+
+    def snapshot(
+        self,
+        version: int | None = None,
+        timestamp: "str | datetime | None" = None,
+    ) -> Manifest:
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         if version is None:
             version = self._head_version()
         key = str(self.root.resolve())
@@ -562,9 +606,15 @@ class ManagedTable:
         partitions: set[str] | None = None,
         version: int | None = None,
         where: list[tuple] | None = None,
+        timestamp: "str | datetime | None" = None,
     ) -> DataFrame:
         """Read the table, pruning files by partition value at the manifest
         level (metadata-only; ISO day strings compare lexicographically).
+
+        ``version`` / ``timestamp`` time-travel the read to a historical
+        snapshot (Delta's ``versionAsOf`` / ``timestampAsOf``); files are
+        resolved through :meth:`snapshot`, so a time-traveled read is
+        exactly as cheap as a head read.
 
         ``where`` is a list of ``(column, op, value)`` predicates
         (ops ``= < <= > >=``) used for **file-level data skipping**: files
@@ -575,7 +625,7 @@ class ManagedTable:
         only the files a point/range lookup can touch — the same planner
         trick Delta/Iceberg data skipping performs; parquet row-group
         pushdown still applies inside the files that survive."""
-        m = self.snapshot(version)
+        m = self.snapshot(version, timestamp=timestamp)
         files = [
             str(self.root / f.path)
             for f in m.files

@@ -1205,3 +1205,31 @@ def test_commit_fails_clearly_without_hardlinks(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(_os, "link", no_link)
     with pytest.raises(OSError, match="hard-link support"):
         t.append_pylist([{"k": 1}], _mini_schema())
+
+def test_timestamp_time_travel(spark, tmp_path, lineitem):
+    """timestampAsOf semantics: each commit's own timestamp resolves to
+    that commit, mid-gap timestamps resolve backward, pre-table timestamps
+    error, and far-future timestamps read the head."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(10))
+    t.append(lineitem.limit(20))
+    t.overwrite(lineitem.limit(5))
+    hist = t.history()
+    counts = {0: 0, 1: 10, 2: 30, 3: 5}
+    for info in hist:
+        assert t.version_at(info.ts) == info.version
+        assert t.read(timestamp=info.ts).count() == counts[info.version]
+    # a timestamp strictly between v1 and v2 resolves to v1
+    between = hist[1].ts + "x"  # sorts just after v1, before v2
+    if between < hist[2].ts:
+        assert t.version_at(between) == 1
+    assert t.version_at("2999-01-01") == hist[-1].version
+    assert t.read(timestamp="2999-01-01").count() == 5
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at("1999-01-01")
+    with pytest.raises(ValueError, match="not both"):
+        t.snapshot(version=1, timestamp=hist[1].ts)
+    # datetime objects are accepted too
+    from datetime import datetime, timezone
+
+    assert t.version_at(datetime(2999, 1, 1, tzinfo=timezone.utc)) == 3
