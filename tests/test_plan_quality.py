@@ -173,3 +173,21 @@ def test_stream_stream_attribution_stays_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_contamination_is_broadcast_gram_join(spark, sf_dir):
+    """The corpus×eval 5-gram match must probe a broadcast (the eval set
+    is KBs by construction) — a shuffled join here would reshuffle the
+    whole corpus at 100 TB — and nothing may fall back to a cartesian."""
+    plan = _plan(spark, sf_dir, "text_contamination")
+    assert plan.count("BroadcastHashJoin") >= 2  # gram match + n_eval attach
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_repetition_no_cartesian_single_agg_chain(spark, sf_dir):
+    """Repetition scoring is projections plus per-doc aggregates — no
+    cartesian, and every join stays an equi-join on doc_id."""
+    plan = _plan(spark, sf_dir, "text_quality_repetition")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
