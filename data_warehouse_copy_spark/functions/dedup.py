@@ -464,8 +464,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
+    # Seed each label with min(self, direct neighbors) — one aggregate
+    # instead of a starting labels=self round. For the dominant case
+    # (diameter-1 cliques) this IS the fixpoint, so the loop below runs
+    # exactly one confirming round instead of propagate + confirm.
+    labels = edges.groupBy("a").agg(F.min("b").alias("nb")).select(
+        F.col("a").alias("id"), F.least("a", "nb").alias("comp")
     )
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["a"] == labels["id"]).select(

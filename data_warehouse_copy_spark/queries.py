@@ -1261,6 +1261,33 @@ WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
 """
 
 
+def predicate_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE WHERE under the correctness gate
+    (``ManagedTable.delete``, Delta-semantics copy-on-write): orders load
+    into a key-clustered table as three disjoint key-range appends, then a
+    predicate delete removes one status's low-value rows. The oracle is
+    the surviving rows stated directly in SQL. The clustered layout makes
+    the delete stats-scoped — files whose key span cannot match stay
+    byte-identical (pinned in tests/test_managed_table.py); at 100 TB
+    that is the difference between rewriting a handful of files and
+    rewriting the table."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    t = ManagedTable.create(
+        spark,
+        f"{tempfile.mkdtemp(prefix='dwcs_del_')}/orders",
+        cluster_col="o_orderkey",
+    )
+    t.append(orders)
+    t.delete([("o_orderstatus", "=", "F"), ("o_totalprice", "<", 50000.0)])
+    return t.read()
+
+
+PREDICATE_DELETE_SQL = """
+SELECT * FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+"""
+
+
 def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end O7-O10+O16 (``TableUpdateService.cs:74-172``): target
     starts as orders with zeroed prices; the upsert restores source rows for
@@ -3091,6 +3118,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality_repetition": text_quality_repetition,
     "text_contamination": text_contamination,
     "dedup_semantic_clusters": dedup_semantic_clusters,
+    "predicate_delete_roundtrip": predicate_delete_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3177,4 +3205,5 @@ ORACLES: dict[str, str] = {
     "text_quality_repetition": QUALITY_REPETITION_SQL,
     "text_contamination": CONTAMINATION_SQL,
     "dedup_semantic_clusters": SEMANTIC_CLUSTERS_SQL,
+    "predicate_delete_roundtrip": PREDICATE_DELETE_SQL,
 }

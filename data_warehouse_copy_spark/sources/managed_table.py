@@ -677,9 +677,9 @@ class ManagedTable:
         adds the cursor already consumed (or will consume at their original
         versions) — replaying either would double-deliver rows.
         For append-only tables this is exact row-level CDC. Rewrite
-        commits (``merge``/``overwrite``/``overwrite_range``) rewrite
-        whole partitions, so their added files include surviving old rows
-        too — an over-approximation (every new row IS included; consumers
+        commits (``merge``/``overwrite``/``overwrite_range``/``delete``)
+        rewrite whole partitions or files, so their added files include
+        surviving old rows too — an over-approximation (every new row IS included; consumers
         needing exact upsert deltas should diff on the primary key). Files
         are read even if a later commit removed them — correct as long as
         ``vacuum`` retention outlasts consumer lag (same contract as
@@ -997,6 +997,71 @@ class ManagedTable:
             schema_json = write_df.schema.json() if write_df.schema.fields else m.schema_json
             self._commit_files(m, kept + new_files, schema_json, "overwrite_range")
         return deleted, sum(f.rows for f in new_files) - tail_rows
+
+    def delete(self, where: list[tuple]) -> int:
+        """Row-level predicate DELETE as ONE atomic commit (Delta's
+        ``DELETE WHERE``). ``where`` is the same conjunctive
+        ``(column, op, value)`` list :meth:`read` takes; rows where the
+        conjunction is TRUE are deleted (NULL-predicate rows survive —
+        SQL semantics). Returns rows deleted.
+
+        Plan, copy-on-write like Delta/Iceberg: files whose manifest
+        min/max stats prove no row can match are kept UNTOUCHED (no read,
+        no rewrite); candidate files are scanned once to check a match
+        actually exists (predicate pushed to parquet), and only then
+        rewritten with the surviving rows. At 100 TB a delete keyed on a
+        clustered or partitioned column touches a handful of files; files
+        without usable stats degrade to candidates (a wider rewrite),
+        never to a wrong answer."""
+        if not where:
+            raise ValueError(
+                "delete() requires at least one predicate; "
+                "use overwrite() to truncate"
+            )
+        with _lock_for(self.root):
+            m = self.snapshot()
+            candidates = [
+                f
+                for f in m.files
+                if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
+            ]
+            if not candidates:
+                self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
+                return 0
+            schema = (
+                T.StructType.fromJson(json.loads(m.schema_json))
+                if m.schema_json
+                else T.StructType([])
+            )
+            reader = (
+                self.spark.read.schema(schema) if m.schema_json else self.spark.read
+            )
+            cand_df = reader.parquet(
+                *[str(self.root / f.path) for f in candidates]
+            )
+            pred = None
+            for c, op, v in where:
+                col = F.col(c)
+                p = {
+                    "=": col == v, "<": col < v, "<=": col <= v,
+                    ">": col > v, ">=": col >= v,
+                }[op]
+                pred = p if pred is None else (pred & p)
+            n_match = cand_df.filter(pred).count()
+            if n_match == 0:
+                # stats admitted a match but the rows don't exist — keep
+                # every file byte-identical instead of rewriting them
+                self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
+                return 0
+            survivors = cand_df.filter(~F.coalesce(pred, F.lit(False)))
+            new_files = self._write_files(
+                survivors, m.partition_date_col, m.cluster_col
+            )
+            kept = tuple(
+                f for f in m.files if f.path not in {c.path for c in candidates}
+            )
+            self._commit_files(m, kept + new_files, m.schema_json, "delete")
+            return n_match
 
     def merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         """Delete+reinsert by key as ONE atomic commit — the reference's

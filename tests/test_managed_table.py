@@ -1233,3 +1233,71 @@ def test_timestamp_time_travel(spark, tmp_path, lineitem):
     from datetime import datetime, timezone
 
     assert t.version_at(datetime(2999, 1, 1, tzinfo=timezone.utc)) == 3
+
+def test_delete_where_removes_exact_rows_and_keeps_nulls(spark, tmp_path):
+    """Predicate delete drops exactly the TRUE-predicate rows; rows whose
+    predicate evaluates to NULL survive (SQL DELETE semantics)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 7).alias("v"),
+    )
+    t.append(df)
+    n = t.delete([("v", "=", 3)])
+    expect_deleted = df.filter(F.col("v") == 3).count()
+    assert n == expect_deleted > 0
+    remaining = t.read()
+    assert remaining.count() == 100 - expect_deleted
+    assert remaining.filter(F.col("v") == 3).count() == 0
+    # NULL-v rows all survive
+    assert remaining.filter(F.col("v").isNull()).count() == 10
+    assert t.snapshot().op == "delete"
+
+
+def test_delete_prunes_untouched_files_by_stats(spark, tmp_path):
+    """A delete keyed inside one append's key span must leave the other
+    appends' files byte-identical (same paths in the manifest) — the
+    copy-on-write rewrite is scoped by file stats, not the whole table."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for lo in (0, 1000, 2000):
+        t.append(spark.range(lo, lo + 500).select(F.col("id").alias("k")))
+    before = {f.path for f in t.snapshot().files}
+    n = t.delete([("k", ">=", 1100), ("k", "<", 1200)])
+    assert n == 100
+    after = {f.path for f in t.snapshot().files}
+    # the 0-499 and 2000-2499 files are untouched; only the middle rewrote
+    untouched = before & after
+    assert len(untouched) >= 2
+    assert t.read().count() == 1400
+    assert t.read(where=[("k", ">=", 1100), ("k", "<", 1200)]).count() == 0
+
+
+def test_delete_noop_paths(spark, tmp_path):
+    """No stats-admissible file, or admissible files with no matching rows:
+    both commit a delete_noop that keeps every file identical."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(0, 500).select(F.col("id").alias("k")))
+    before = {f.path for f in t.snapshot().files}
+    assert t.delete([("k", "=", 99999)]) == 0      # pruned by stats
+    assert t.snapshot().op == "delete_noop"
+    assert {f.path for f in t.snapshot().files} == before
+    # stats admit the range but the rows don't exist (gap inside the span)
+    t2 = ManagedTable.create(spark, tmp_path / "t2")
+    t2.append(
+        spark.range(0, 100).select((F.col("id") * 2).alias("k"))  # evens only
+    )
+    b2 = {f.path for f in t2.snapshot().files}
+    assert t2.delete([("k", "=", 51)]) == 0
+    assert {f.path for f in t2.snapshot().files} == b2
+    with pytest.raises(ValueError, match="predicate"):
+        t2.delete([])
+
+
+def test_delete_is_time_travelable(spark, tmp_path, lineitem):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(100))
+    v = t.snapshot().version
+    n = t.delete([("l_quantity", "<=", 10.0)])
+    assert n > 0
+    assert t.read(version=v).count() == 100
+    assert t.read().count() == 100 - n
