@@ -2389,6 +2389,57 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
                 WHEN 'es' THEN 100 ELSE 50 END
 """
 
+_TEMP_C = 8.0  # sqrt-temperature scale: keep ~C*sqrt(n_lang) docs per language
+
+
+def training_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixing: each language keeps
+    ``~C*sqrt(n_lang)`` documents — high-resource languages are
+    downsampled ∝ 1/sqrt(n), low-resource languages kept whole — the
+    standard sqrt-temperature rebalancing of multilingual pre-training
+    corpora (mBERT/XLM-R exponent-smoothed sampling, published). Unlike
+    :func:`training_quota_sample`'s fixed per-mille table, the quota here
+    is DATA-DEPENDENT: one per-language count aggregate, quota =
+    ``min(1000, 1000*C/sqrt(n_lang))`` per-mille, membership by the same
+    Knuth-hash bucket (stable across runs/engines/partitionings,
+    incremental by construction). Per-language arithmetic only — no
+    cross-language normalization sum, so every value is a correctly
+    rounded IEEE sqrt/divide and the oracle matches bit-exactly.
+
+    100 TB shape: one map-side-combined count shuffle producing a
+    |languages|-row table, broadcast back onto the scan; the filter
+    itself is pure codegen riding the scan."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    quota = counts.withColumn(
+        "quota_permille",
+        F.least(F.lit(1000.0), F.lit(1000.0 * _TEMP_C) / F.sqrt("n_lang")),
+    )
+    bucket = (
+        (F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)
+    ) % F.lit(1000)
+    return (
+        docs.join(F.broadcast(quota), "lang")
+        .withColumn("sample_bucket", bucket.cast("long"))
+        .filter(F.col("sample_bucket") < F.col("quota_permille"))
+        .select(
+            "doc_id", "lang", "n_lang", "quota_permille", "sample_bucket"
+        )
+    )
+
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+q AS (SELECT lang, CAST(n_lang AS BIGINT) AS n_lang,
+             LEAST(1000.0, {1000.0 * _TEMP_C} / sqrt(n_lang)) AS quota_permille
+      FROM n)
+SELECT d.doc_id, d.lang, q.n_lang, q.quota_permille,
+       ((d.doc_id % 1000000007) * 2654435761) % 1000 AS sample_bucket
+FROM documents d JOIN q ON d.lang = q.lang
+WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000 < q.quota_permille
+"""
+
+
 _PACK_CTX = 2048  # context-window length in whitespace tokens
 
 
@@ -3119,6 +3170,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_contamination": text_contamination,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "predicate_delete_roundtrip": predicate_delete_roundtrip,
+    "training_temperature_sample": training_temperature_sample,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3206,4 +3258,5 @@ ORACLES: dict[str, str] = {
     "text_contamination": CONTAMINATION_SQL,
     "dedup_semantic_clusters": SEMANTIC_CLUSTERS_SQL,
     "predicate_delete_roundtrip": PREDICATE_DELETE_SQL,
+    "training_temperature_sample": TEMPERATURE_SAMPLE_SQL,
 }

@@ -161,3 +161,25 @@ def test_semantic_clusters_structure(spark, sf_dir):
         assert r.is_survivor == (r.vec_id == r.component)
     survivors = Counter(r.component for r in rows if r.is_survivor)
     assert survivors == Counter(set(by_comp))
+
+
+def test_temperature_sample_flattens_distribution(spark, sf_dir):
+    """sqrt-temperature rebalancing must actually rebalance: the dominant
+    language is downsampled below its corpus share while the smallest
+    language keeps (nearly) all of its documents."""
+    from data_warehouse_copy_spark.queries import training_temperature_sample
+
+    rows = training_temperature_sample(spark, sf_dir).collect()
+    assert rows
+    kept = {}
+    for r in rows:
+        kept.setdefault(r.lang, [0, r.n_lang])
+        kept[r.lang][0] += 1
+    # quota is monotone-decreasing in corpus size
+    by_size = sorted(kept.items(), key=lambda kv: kv[1][1])
+    smallest, largest = by_size[0][1], by_size[-1][1]
+    assert largest[1] > smallest[1]
+    assert largest[0] / largest[1] < smallest[0] / smallest[1]
+    # the dominant language was genuinely cut; every language survives
+    assert largest[0] < largest[1]
+    assert all(n_kept > 0 for n_kept, _ in kept.values())
