@@ -124,3 +124,44 @@ def test_read_where_equals_full_filter(spark, tmp_path_factory, preds):
              ">": col > val, ">=": col >= val}[op]
         )
     assert got == {tuple(r) for r in full.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Predicate-delete soundness: for ANY predicate list, delete(where=) must
+# leave exactly the rows a full scan + NOT(conjunction) keeps (NULL-predicate
+# rows survive), and report exactly the dropped count — regardless of which
+# files the stats pruning chose to rewrite.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(preds=st.lists(_pred, min_size=1, max_size=3))
+def test_delete_where_equals_full_antifilter(spark, tmp_path_factory, preds):
+    tmp = tmp_path_factory.mktemp("del")
+    t = ManagedTable.create(spark, tmp / "t", cluster_col="k")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        # every 9th v is NULL so NULL-predicate survival is exercised
+        F.when(F.col("id") % 9 == 0, None)
+        .otherwise(F.col("id") * 7 % 311)
+        .alias("v"),
+    )
+    t.append(base)
+    pred = None
+    for c, op, val in preds:
+        col = F.col(c)
+        p = {"=": col == val, "<": col < val, "<=": col <= val,
+             ">": col > val, ">=": col >= val}[op]
+        pred = p if pred is None else (pred & p)
+    expected_keep = base.filter(~F.coalesce(pred, F.lit(False)))
+    n_expected_del = 1000 - expected_keep.count()
+
+    n = t.delete(list(preds))
+    assert n == n_expected_del
+    assert {tuple(r) for r in t.read().collect()} == {
+        tuple(r) for r in expected_keep.collect()
+    }
