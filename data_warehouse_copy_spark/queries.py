@@ -1914,6 +1914,45 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+def events_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER twin of the stream-stream attribution join: every click,
+    attributed pairs carrying their purchase and UNATTRIBUTED clicks
+    carrying NULLs — the abandonment stream a funnel pipeline consumes.
+    In streaming mode the NULL rows emit when the purchase watermark
+    proves no match can still arrive (state-expiry emission, pinned by a
+    sentinel-flushed equivalence test); this batch twin pins the values
+    against a plain SQL LEFT JOIN."""
+    from data_warehouse_copy_spark.streaming.events import (
+        stream_stream_click_attribution,
+    )
+
+    (events,) = _prep(spark, sf_dir, "events")
+    return stream_stream_click_attribution(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        max_delay="30 minutes",
+        how="left_outer",
+    )
+
+
+EVENTS_CLICK_ATTR_OUTER_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts,
+       CAST(floor(epoch(purchase_ts)) AS BIGINT)
+         - CAST(floor(epoch(click_ts)) AS BIGINT) AS delay_seconds,
+       purchase_value
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+ AND purchase_ts >= click_ts
+ AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+"""
+
+
 # --------------------------------------------------------------------------
 # As-of join / set ops / pivot / cube / percentiles / scalar functions
 # --------------------------------------------------------------------------
@@ -3171,6 +3210,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "predicate_delete_roundtrip": predicate_delete_roundtrip,
     "training_temperature_sample": training_temperature_sample,
+    "events_click_attribution_outer": events_click_attribution_outer,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3259,4 +3299,5 @@ ORACLES: dict[str, str] = {
     "dedup_semantic_clusters": SEMANTIC_CLUSTERS_SQL,
     "predicate_delete_roundtrip": PREDICATE_DELETE_SQL,
     "training_temperature_sample": TEMPERATURE_SAMPLE_SQL,
+    "events_click_attribution_outer": EVENTS_CLICK_ATTR_OUTER_SQL,
 }

@@ -151,6 +151,7 @@ def stream_stream_click_attribution(
     click_watermark: str = "2 hours",
     purchase_watermark: str = "1 hour",
     streaming: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
     """Windowed STREAM-STREAM inner join: every (click, purchase) pair of
     the same user where the purchase lands within ``max_delay`` after the
@@ -172,7 +173,15 @@ def stream_stream_click_attribution(
 
     Works identically on batch frames (``streaming=False``); the batch
     twin is the DuckDB-oracled ``events_click_attribution`` query.
-    """
+
+    ``how="left_outer"`` additionally emits every UNATTRIBUTED click with
+    NULL purchase columns — the abandonment stream. In streaming mode the
+    NULL row for a click can only emit once the state store PROVES no
+    purchase can still arrive, i.e. when the purchase watermark passes
+    ``click_ts + max_delay`` — so outer results trail the watermark (an
+    inherent property of watermarked outer joins, not a bug), and a
+    drained-plus-sentinel stream equals the batch LEFT JOIN exactly
+    (tests pin this). Same bounded state as the inner form."""
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
@@ -195,7 +204,9 @@ def stream_stream_click_attribution(
             <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return c.join(p, cond, "inner").select(
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    return c.join(p, cond, how).select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",

@@ -518,3 +518,89 @@ def test_stream_stream_join_matches_batch(spark, events, tmp_path):
     )
     assert len(got) > 0
     assert got == batch
+
+
+def test_stream_stream_outer_join_matches_batch(spark, events, tmp_path):
+    """LEFT-OUTER stream-stream parity: unattributed clicks must emit with
+    NULL purchase columns, but only once the purchase watermark PROVES no
+    match can arrive — so after draining the real data, sentinel events 10
+    days past max ts advance both watermarks and flush every pending outer
+    row. The flushed result (sentinels excluded) must equal the batch LEFT
+    JOIN exactly, including the NULL rows."""
+    from data_warehouse_copy_spark.streaming.events import (
+        stream_stream_click_attribution,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks_b = base.filter(F.col("event_type") == "click")
+    purch_b = base.filter(F.col("event_type") == "purchase")
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.coalesce(1).write.parquet(c_src)
+    purch_b.coalesce(1).write.parquet(p_src)
+
+    c_stream = (
+        spark.readStream.schema(clicks_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_src)
+    )
+    p_stream = (
+        spark.readStream.schema(purch_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_src)
+    )
+    joined = stream_stream_click_attribution(
+        c_stream, p_stream, max_delay="30 minutes", streaming=True,
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_attr_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        max_ts = base.agg(F.max("ts")).collect()[0][0]
+
+        def sentinel(src_df):
+            return src_df.limit(1).select(
+                (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+                F.lit(-1).cast(
+                    dict(src_df.dtypes)["user_id"]
+                ).alias("user_id"),
+                *[
+                    F.col(c)
+                    for c in src_df.columns
+                    if c not in ("ts", "user_id")
+                ],
+            ).select(*src_df.columns)
+
+        sentinel(clicks_b).coalesce(1).write.mode("append").parquet(c_src)
+        sentinel(purch_b).coalesce(1).write.mode("append").parquet(p_src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = lambda r: (
+        r["user_id"], r["click_id"], r["purchase_id"], r["delay_seconds"],
+        r["purchase_value"],
+    )
+    got = sorted(
+        key(r)
+        for r in spark.sql("SELECT * FROM ss_attr_outer").collect()
+        if r["user_id"] != -1
+    )
+    batch = sorted(
+        map(
+            key,
+            stream_stream_click_attribution(
+                clicks_b, purch_b, max_delay="30 minutes", how="left_outer"
+            ).collect(),
+        )
+    )
+    n_null = sum(1 for r in got if r[2] is None)
+    assert n_null > 0, "outer rows must actually flush"
+    assert len(got) > len([r for r in got if r[2] is not None]) > 0
+    assert got == batch
