@@ -2428,6 +2428,63 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
                 WHEN 'es' THEN 100 ELSE 50 END
 """
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a NEW ARRIVAL batch is deduplicated
+    against the existing corpus — the operational form at 100 TB, where
+    you never re-dedup the corpus, only the day's arrivals against it.
+    The arrival batch is planted deterministically (every ``doc_id % 13
+    == 0`` document re-arrives verbatim at ``doc_id + 200000`` — an exact
+    dup that must be dropped — and at ``doc_id + 300000`` with a changed
+    tail — genuinely new content that must survive), identically in the
+    oracle.
+
+    Plan shape: both sides project to a 32-hex **md5 content fingerprint**
+    (identical built-in on both engines), the batch ``left_anti``-joins
+    the corpus on it, then dedups within itself (first arrival wins by
+    min id). The anti-join shuffles 32-byte keys instead of document
+    bodies — at 100 TB the fingerprint column is ~3 orders of magnitude
+    smaller than the corpus; in production the corpus side is the stored
+    fingerprint index, not a rescan."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    corpus_fp = _spread(docs).select(fp.alias("fp")).distinct()
+    batch = _spread(docs).filter(F.col("doc_id") % 13 == 0)
+    arrivals = (
+        batch.select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source"
+        )
+        .unionByName(
+            batch.select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" fresh arrival tail")).alias("text"),
+                "lang",
+                "source",
+            )
+        )
+        .withColumn("fp", fp)
+    )
+    survivors = arrivals.join(corpus_fp, "fp", "left_anti")
+    return exact_dedup(survivors, ["fp"], id_col="doc_id").select(
+        "doc_id", "lang", "source", "fp"
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH arrivals AS (
+  SELECT doc_id + 200000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text || ' fresh arrival tail', lang, source
+  FROM documents WHERE doc_id % 13 = 0),
+fp AS (SELECT doc_id, lang, source, md5(text) AS fp FROM arrivals),
+novel AS (
+  SELECT * FROM fp
+  WHERE fp NOT IN (SELECT md5(text) FROM documents))
+SELECT doc_id, lang, source, fp FROM novel
+WHERE doc_id IN (SELECT MIN(doc_id) FROM novel GROUP BY fp)
+"""
+
+
 _TEMP_C = 8.0  # sqrt-temperature scale: keep ~C*sqrt(n_lang) docs per language
 
 
@@ -3211,6 +3268,7 @@ QUERIES: dict[str, QueryFn] = {
     "predicate_delete_roundtrip": predicate_delete_roundtrip,
     "training_temperature_sample": training_temperature_sample,
     "events_click_attribution_outer": events_click_attribution_outer,
+    "dedup_incremental": dedup_incremental,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3300,4 +3358,5 @@ ORACLES: dict[str, str] = {
     "predicate_delete_roundtrip": PREDICATE_DELETE_SQL,
     "training_temperature_sample": TEMPERATURE_SAMPLE_SQL,
     "events_click_attribution_outer": EVENTS_CLICK_ATTR_OUTER_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }

@@ -183,3 +183,19 @@ def test_temperature_sample_flattens_distribution(spark, sf_dir):
     # the dominant language was genuinely cut; every language survives
     assert largest[0] < largest[1]
     assert all(n_kept > 0 for n_kept, _ in kept.values())
+
+
+def test_incremental_dedup_drops_rearrivals_keeps_novel(spark, sf_dir):
+    """Verbatim re-arrivals (+200000 ids) must all be dropped against the
+    corpus; changed-content arrivals (+300000) must all survive."""
+    from data_warehouse_copy_spark.queries import dedup_incremental
+
+    rows = dedup_incremental(spark, sf_dir).collect()
+    assert rows
+    assert all(r.doc_id >= 300000 for r in rows)
+    n_batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 13 == 0)
+        .count()
+    )
+    assert len(rows) == n_batch
