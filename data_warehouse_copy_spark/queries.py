@@ -2428,6 +2428,103 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
                 WHEN 'es' THEN 100 ELSE 50 END
 """
 
+_CHUNK_W, _CHUNK_S = 64, 48  # chunk window / stride in whitespace tokens
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: each document splits into
+    ``_CHUNK_W``-token chunks every ``_CHUNK_S`` tokens (16-token overlap)
+    with the originating token offset — the standard pre-embedding /
+    retrieval-index segmentation step. Chunk boundaries are pure token
+    arithmetic (1-based, mirrored exactly by the SQL oracle), so the
+    emitted text is engine-identical.
+
+    100 TB shape: one projection + explode, no shuffle at all — chunking
+    rides the scan and parallelizes per document; output size is
+    input × (1 + overlap/stride)."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    d = _spread(docs).select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_S))
+        ).alias("chunk_start"),
+        "t",
+    ).select(
+        "doc_id",
+        ((F.col("chunk_start") - 1) / _CHUNK_S).cast("int").alias("chunk_id"),
+        "chunk_start",
+        F.size(F.slice("t", F.col("chunk_start"), F.lit(_CHUNK_W))).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(
+            F.slice("t", F.col("chunk_start"), F.lit(_CHUNK_W)), " "
+        ).alias("chunk_text"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE trim(text) <> ''),
+c AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), {_CHUNK_S})) AS chunk_start
+  FROM t)
+SELECT doc_id,
+       CAST((chunk_start - 1) // {_CHUNK_S} AS INT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(len(t[chunk_start : chunk_start + {_CHUNK_W} - 1]) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(t[chunk_start : chunk_start + {_CHUNK_W} - 1], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def source_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document count, language diversity,
+    mean length, and short-document share per ``source`` — the rollup a
+    curation team reads before deciding per-domain sampling weights. One
+    map-side-combined aggregate keyed on source; averages are sum/count
+    in doubles (engine-identical), never the engine's avg."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    per_doc = docs.select(
+        "source", "lang", "n_chars", F.size(toks).alias("n_tokens")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            (F.sum("n_chars") / F.count("*")).alias("mean_chars"),
+            (F.sum("n_tokens") / F.count("*")).alias("mean_tokens"),
+            (
+                F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0))
+                / F.count("*")
+            ).alias("short_doc_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_ROLLUP_SQL = f"""
+WITH per_doc AS (
+  SELECT source, lang, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len({_SQL_TOKS_LOWER}) END AS n_tokens
+  FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+       CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS short_doc_frac
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup: a NEW ARRIVAL batch is deduplicated
     against the existing corpus — the operational form at 100 TB, where
@@ -3269,6 +3366,8 @@ QUERIES: dict[str, QueryFn] = {
     "training_temperature_sample": training_temperature_sample,
     "events_click_attribution_outer": events_click_attribution_outer,
     "dedup_incremental": dedup_incremental,
+    "text_chunk_documents": text_chunk_documents,
+    "source_curation_rollup": source_curation_rollup,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3359,4 +3458,6 @@ ORACLES: dict[str, str] = {
     "training_temperature_sample": TEMPERATURE_SAMPLE_SQL,
     "events_click_attribution_outer": EVENTS_CLICK_ATTR_OUTER_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "text_chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "source_curation_rollup": SOURCE_ROLLUP_SQL,
 }

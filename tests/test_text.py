@@ -199,3 +199,29 @@ def test_incremental_dedup_drops_rearrivals_keeps_novel(spark, sf_dir):
         .count()
     )
     assert len(rows) == n_batch
+
+
+def test_chunking_structure(spark, sf_dir):
+    """Chunk arithmetic: offsets advance by the stride, every token is
+    covered, multi-chunk docs exist, and chunk text length matches its
+    token count."""
+    from data_warehouse_copy_spark.queries import (
+        _CHUNK_S, _CHUNK_W, text_chunk_documents,
+    )
+
+    rows = text_chunk_documents(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert any(len(v) > 1 for v in by_doc.values())
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+        for j, r in enumerate(chunks):
+            assert r.chunk_id == j
+            assert r.chunk_start == 1 + j * _CHUNK_S
+            assert 1 <= r.n_chunk_tokens <= _CHUNK_W
+            assert len(r.chunk_text.split(" ")) == r.n_chunk_tokens
+        # full coverage: the last chunk reaches the document's end
+        last = chunks[-1]
+        n_total = last.chunk_start - 1 + last.n_chunk_tokens
+        assert n_total > (len(chunks) - 1) * _CHUNK_S
