@@ -191,3 +191,13 @@ def test_quality_repetition_no_cartesian_single_agg_chain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_quality_repetition")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_antijoin_stays_hash_join(spark, sf_dir):
+    """The arrivals-vs-corpus fingerprint anti-join must stay a hash/SMJ
+    equi-join on the md5 key (a BNLJ here would pair every arrival with
+    every corpus row at 100 TB)."""
+    plan = _plan(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
