@@ -1288,6 +1288,40 @@ WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
 """
 
 
+def predicate_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE SET ... WHERE under the correctness gate
+    (``ManagedTable.update``, Delta-semantics copy-on-write, stats-scoped
+    like :func:`predicate_delete_roundtrip`): low-priority urgent orders
+    get re-priced and re-flagged in place; cardinality never changes. The
+    oracle states the converged table as one CASE projection."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    t = ManagedTable.create(
+        spark,
+        f"{tempfile.mkdtemp(prefix='dwcs_upd_')}/orders",
+        cluster_col="o_orderkey",
+    )
+    t.append(orders)
+    t.update(
+        [("o_orderpriority", "=", "1-URGENT"), ("o_totalprice", "<", 100000.0)],
+        {
+            "o_totalprice": "o_totalprice * 1.1",
+            "o_orderstatus": F.lit("R"),
+        },
+    )
+    return t.read()
+
+
+PREDICATE_UPDATE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0
+            THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0
+            THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
 def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end O7-O10+O16 (``TableUpdateService.cs:74-172``): target
     starts as orders with zeroed prices; the upsert restores source rows for
@@ -3363,6 +3397,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_contamination": text_contamination,
     "dedup_semantic_clusters": dedup_semantic_clusters,
     "predicate_delete_roundtrip": predicate_delete_roundtrip,
+    "predicate_update_roundtrip": predicate_update_roundtrip,
     "training_temperature_sample": training_temperature_sample,
     "events_click_attribution_outer": events_click_attribution_outer,
     "dedup_incremental": dedup_incremental,
@@ -3455,6 +3490,7 @@ ORACLES: dict[str, str] = {
     "text_contamination": CONTAMINATION_SQL,
     "dedup_semantic_clusters": SEMANTIC_CLUSTERS_SQL,
     "predicate_delete_roundtrip": PREDICATE_DELETE_SQL,
+    "predicate_update_roundtrip": PREDICATE_UPDATE_SQL,
     "training_temperature_sample": TEMPERATURE_SAMPLE_SQL,
     "events_click_attribution_outer": EVENTS_CLICK_ATTR_OUTER_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,

@@ -1063,6 +1063,86 @@ class ManagedTable:
             self._commit_files(m, kept + new_files, m.schema_json, "delete")
             return n_match
 
+    def update(self, where: list[tuple], set_exprs: dict) -> int:
+        """Row-level predicate UPDATE as ONE atomic commit (Delta's
+        ``UPDATE SET ... WHERE``): rows where the ``where`` conjunction is
+        TRUE get each ``set_exprs`` column replaced (value may be a
+        Column expression or a SQL string); NULL-predicate rows are
+        untouched. Returns rows updated.
+
+        Same copy-on-write shape as :meth:`delete`: stats-pruned
+        candidate files, a match-existence check before any rewrite, and
+        non-matching files byte-identical. Assignments must target
+        existing columns — UPDATE never evolves the schema (that is
+        ``append(merge_schema=True)``'s job) — and values are cast to the
+        column's current type so a same-named type drift cannot poison
+        the table."""
+        if not where:
+            raise ValueError("update() requires at least one predicate")
+        if not set_exprs:
+            raise ValueError("update() requires at least one assignment")
+        with _lock_for(self.root):
+            m = self.snapshot()
+            schema = (
+                T.StructType.fromJson(json.loads(m.schema_json))
+                if m.schema_json
+                else T.StructType([])
+            )
+            known = {f.name: f.dataType for f in schema.fields}
+            bad = sorted(set(set_exprs) - set(known))
+            if bad:
+                raise ValueError(
+                    f"update() assigns unknown columns {bad}; UPDATE never "
+                    f"adds columns (use append(merge_schema=True))"
+                )
+            candidates = [
+                f
+                for f in m.files
+                if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
+            ]
+            if not candidates:
+                self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
+                return 0
+            reader = (
+                self.spark.read.schema(schema) if m.schema_json else self.spark.read
+            )
+            cand_df = reader.parquet(
+                *[str(self.root / f.path) for f in candidates]
+            )
+            pred = None
+            for c, op, v in where:
+                col = F.col(c)
+                p = {
+                    "=": col == v, "<": col < v, "<=": col <= v,
+                    ">": col > v, ">=": col >= v,
+                }[op]
+                pred = p if pred is None else (pred & p)
+            n_match = cand_df.filter(pred).count()
+            if n_match == 0:
+                self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
+                return 0
+            hit = F.coalesce(pred, F.lit(False))
+            # ONE select so every assignment's right-hand side reads the
+            # ORIGINAL row (SQL UPDATE semantics) — sequential withColumn
+            # would let {a: b+1, b: a+1} read each other's new values.
+            assigned = {
+                c: F.when(
+                    hit, (F.expr(v) if isinstance(v, str) else v).cast(known[c])
+                ).otherwise(F.col(c)).alias(c)
+                for c, v in set_exprs.items()
+            }
+            rewritten = cand_df.select(
+                *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
+            )
+            new_files = self._write_files(
+                rewritten, m.partition_date_col, m.cluster_col
+            )
+            kept = tuple(
+                f for f in m.files if f.path not in {c.path for c in candidates}
+            )
+            self._commit_files(m, kept + new_files, m.schema_json, "update")
+            return n_match
+
     def merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         """Delete+reinsert by key as ONE atomic commit — the reference's
         upsert (O9 batched ``IN``-list delete + O10 re-select/insert,

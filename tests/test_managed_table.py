@@ -1301,3 +1301,44 @@ def test_delete_is_time_travelable(spark, tmp_path, lineitem):
     assert n > 0
     assert t.read(version=v).count() == 100
     assert t.read().count() == 100 - n
+
+
+def test_update_where_sets_exact_rows(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 7).alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    t.append(df)
+    n = t.update([("v", "=", 3)], {"w": F.lit(9), "v": "v + 100"})
+    expect = df.filter(F.col("v") == 3).count()
+    assert n == expect > 0
+    out = t.read()
+    assert out.count() == 100  # UPDATE never changes cardinality
+    assert out.filter(F.col("w") == 9.0).count() == expect
+    assert out.filter(F.col("v") >= 100).count() == expect
+    # NULL-predicate rows untouched; w cast to the column's double type
+    assert out.filter(F.col("v").isNull() & (F.col("w") == 1.0)).count() == 10
+    assert dict(out.dtypes)["w"] == "double"
+    assert t.snapshot().op == "update"
+
+
+def test_update_prunes_and_noops(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for lo in (0, 1000, 2000):
+        t.append(spark.range(lo, lo + 500).select(F.col("id").alias("k")))
+    before = {f.path for f in t.snapshot().files}
+    assert t.update([("k", "=", 99999)], {"k": F.lit(0)}) == 0
+    assert t.snapshot().op == "update_noop"
+    assert {f.path for f in t.snapshot().files} == before
+    n = t.update([("k", ">=", 1100), ("k", "<", 1105)], {"k": "k + 100000"})
+    assert n == 5
+    assert len(before & {f.path for f in t.snapshot().files}) >= 2
+    assert t.read().count() == 1500
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update([("k", "=", 1)], {"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="predicate"):
+        t.update([], {"k": F.lit(1)})
+    with pytest.raises(ValueError, match="assignment"):
+        t.update([("k", "=", 1)], {})
