@@ -2462,6 +2462,45 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
                 WHEN 'es' THEN 100 ELSE 50 END
 """
 
+_HIER_TEMPLATE = """
+WITH RECURSIVE chain AS (
+  SELECT p_partkey AS part, p_partkey AS assembly, 0 AS depth FROM {src}
+  UNION ALL
+  SELECT part, assembly {div} 2, depth + 1 FROM chain WHERE assembly > 1
+)
+SELECT CAST(assembly AS BIGINT) AS assembly,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MAX(depth) AS INT) AS max_depth,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS subtree_value
+FROM chain JOIN {src} ON part = p_partkey
+WHERE assembly < 32
+GROUP BY assembly
+"""
+
+
+def parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials subtree rollup via a RECURSIVE CTE (Spark 4's
+    ``WITH RECURSIVE``, executed by Catalyst like any other plan): the
+    assembly hierarchy is derived deterministically from the part key
+    (parent = key div 2), the recursion enumerates every part's ancestor
+    chain, and each top-level assembly (< 32, the top five levels)
+    aggregates its full subtree's part count, depth, and decimal-exact
+    retail value — the transitive-closure aggregation pattern (org
+    charts, BOMs, category trees) that fixed-depth joins cannot express.
+
+    100 TB shape: each recursion step is one equi-join/projection over
+    the frontier, and the frontier HALVES per level (key div 2), so the
+    work is a geometric series in corpus size; the final rollup is one
+    map-side-combined aggregate on the assembly key."""
+    (part,) = _prep(spark, sf_dir, "part")
+    part.createOrReplaceTempView("dwcs_part_hier_src")
+    return spark.sql(_HIER_TEMPLATE.format(src="dwcs_part_hier_src", div="DIV"))
+
+
+PARTS_HIERARCHY_SQL = _HIER_TEMPLATE.format(src="part", div="//")
+
+
 _CHUNK_W, _CHUNK_S = 64, 48  # chunk window / stride in whitespace tokens
 
 
@@ -3403,6 +3442,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": dedup_incremental,
     "text_chunk_documents": text_chunk_documents,
     "source_curation_rollup": source_curation_rollup,
+    "parts_hierarchy_rollup": parts_hierarchy_rollup,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3496,4 +3536,5 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "text_chunk_documents": CHUNK_DOCUMENTS_SQL,
     "source_curation_rollup": SOURCE_ROLLUP_SQL,
+    "parts_hierarchy_rollup": PARTS_HIERARCHY_SQL,
 }
