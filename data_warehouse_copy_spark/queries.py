@@ -2462,6 +2462,45 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
                 WHEN 'es' THEN 100 ELSE 50 END
 """
 
+def orders_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window analytics: each order carries its customer's
+    revenue over the preceding 7 days — a RANGE window frame keyed on
+    event time (peers with equal timestamps share the frame), the moving
+    aggregate shape `rows BETWEEN` cannot express when events are
+    irregularly spaced. Decimal-accumulated sum so the frame total is
+    order-independent and oracle-exact.
+
+    100 TB shape: one shuffle on the customer key; per-key frame state is
+    a sliding 7-day buffer, independent of history length."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_revenue"),
+        F.count("*").over(w).alias("trailing_7d_orders"),
+    )
+
+
+TRAILING_REVENUE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS trailing_7d_revenue,
+       COUNT(*) OVER w AS trailing_7d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
 _HIER_TEMPLATE = """
 WITH RECURSIVE chain AS (
   SELECT p_partkey AS part, p_partkey AS assembly, 0 AS depth FROM {src}
@@ -3443,6 +3482,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_chunk_documents": text_chunk_documents,
     "source_curation_rollup": source_curation_rollup,
     "parts_hierarchy_rollup": parts_hierarchy_rollup,
+    "orders_trailing_revenue": orders_trailing_revenue,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3537,4 +3577,5 @@ ORACLES: dict[str, str] = {
     "text_chunk_documents": CHUNK_DOCUMENTS_SQL,
     "source_curation_rollup": SOURCE_ROLLUP_SQL,
     "parts_hierarchy_rollup": PARTS_HIERARCHY_SQL,
+    "orders_trailing_revenue": TRAILING_REVENUE_SQL,
 }
