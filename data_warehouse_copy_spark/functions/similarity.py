@@ -379,21 +379,26 @@ def ivf_topk(
     probe is an equi-join on the centroid id (shuffle bounded by list
     sizes, never O(|Q|·|C|)); re-rank touches ~nprobe/n_centroids of the
     corpus per query. Recall is tested against brute force."""
-    # Seeded uniform sample, NOT .limit(): limit takes the first partitions
-    # in order, so on a sorted/clustered corpus the quantizer would train on
-    # one region of the space and recall degrades silently. An over-sampled
-    # fraction + limit keeps the driver transfer bounded at sample_size rows
-    # while drawing from every partition.
+    # Seeded uniform sample with a GLOBAL cap: a bare .limit() after
+    # .sample() still satisfies itself from the first partitions in index
+    # order, so on a sorted/clustered corpus later regions would never
+    # train a centroid. TakeOrdered over a deterministic id hash
+    # (orderBy + limit) evaluates EVERY partition and keeps a
+    # pseudo-random sample_size subset — bounded driver transfer,
+    # partition-order-independent, reproducible under the seed.
     n_corpus = corpus.count()
     if n_corpus > sample_size:
         frac = min(1.0, 1.5 * sample_size / n_corpus)
-        sampled = corpus.select(vec_col).sample(fraction=frac, seed=seed)
+        sampled = corpus.select(id_col, vec_col).sample(fraction=frac, seed=seed)
     else:
-        sampled = corpus.select(vec_col)
-    sample = np.asarray(
-        [r[0] for r in sampled.limit(sample_size).collect()],
-        dtype=np.float64,
+        sampled = corpus.select(id_col, vec_col)
+    rows = (
+        sampled.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
     )
+    sample = np.asarray([r[0] for r in rows], dtype=np.float64)
     cents = _kmeans_centroids(sample, n_centroids, seed=seed)
 
     assign1 = _nearest_centroids_udf(cents, 1)

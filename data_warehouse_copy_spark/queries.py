@@ -1264,13 +1264,13 @@ WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
 def predicate_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE WHERE under the correctness gate
     (``ManagedTable.delete``, Delta-semantics copy-on-write): orders load
-    into a key-clustered table as three disjoint key-range appends, then a
-    predicate delete removes one status's low-value rows. The oracle is
-    the surviving rows stated directly in SQL. The clustered layout makes
-    the delete stats-scoped — files whose key span cannot match stay
-    byte-identical (pinned in tests/test_managed_table.py); at 100 TB
-    that is the difference between rewriting a handful of files and
-    rewriting the table."""
+    into a key-clustered table (range-partitioned writes give each file a
+    tight, disjoint key span), then a predicate delete removes one
+    status's low-value rows. The oracle is the surviving rows stated
+    directly in SQL. The clustered layout makes the delete stats-scoped —
+    files whose span cannot match stay byte-identical (pinned in
+    tests/test_managed_table.py); at 100 TB that is the difference
+    between rewriting a handful of files and rewriting the table."""
     (orders,) = _prep(spark, sf_dir, "orders")
     t = ManagedTable.create(
         spark,
@@ -2686,9 +2686,12 @@ WITH arrivals AS (
   SELECT doc_id + 300000, text || ' fresh arrival tail', lang, source
   FROM documents WHERE doc_id % 13 = 0),
 fp AS (SELECT doc_id, lang, source, md5(text) AS fp FROM arrivals),
+-- NOT EXISTS, not NOT IN: one NULL text in the corpus would make NOT IN
+-- return zero rows (NULL poisoning), while Spark's left_anti join keys
+-- never match on NULL — NOT EXISTS has exactly the anti-join semantics.
 novel AS (
-  SELECT * FROM fp
-  WHERE fp NOT IN (SELECT md5(text) FROM documents))
+  SELECT f.* FROM fp f
+  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = f.fp))
 SELECT doc_id, lang, source, fp FROM novel
 WHERE doc_id IN (SELECT MIN(doc_id) FROM novel GROUP BY fp)
 """

@@ -299,6 +299,22 @@ def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
     return hi >= v  # ">="
 
 
+def _where_predicate(where: list[tuple]) -> Column:
+    """ONE Column for a conjunctive ``(column, op, value)`` predicate list —
+    the single definition shared by read-side filtering and DML rewrites,
+    so read-side data skipping and write-side rewriting can never diverge
+    on operator semantics."""
+    pred = None
+    for c, op, v in where:
+        col = F.col(c)
+        p = {
+            "=": col == v, "<": col < v, "<=": col <= v,
+            ">": col > v, ">=": col >= v,
+        }[op]
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
 class ManagedTable:
     """Atomic parquet table with a file manifest and optional day partitioning."""
 
@@ -398,30 +414,44 @@ class ManagedTable:
 
         Cost: binary search over the immutable version records — O(log
         versions) single-record reads, never a manifest reconstruction.
-        Commit timestamps are written by possibly many processes, so tiny
-        wall-clock inversions can exist; like Delta, the boundary is
-        resolved as if each commit's effective time were the max of all
-        timestamps at or below it (a forward fixup after the search), so
-        the chosen version never excludes an earlier-numbered commit."""
+        Commit wall-clocks of concurrent writers can be skewed, so the
+        search key is the record's EFFECTIVE timestamp (``ets``, the
+        running max over the chain, written at commit time) — monotonic
+        by construction, exactly Delta's adjusted-timestamp semantics:
+        a commit stamped in the past by a lagging clock is treated as
+        happening no earlier than its predecessor. Legacy records
+        without ``ets`` fall back to the raw ``ts`` plus a forward
+        fixup (best effort).
+
+        A tz-naive ``datetime`` is interpreted as UTC — commit
+        timestamps are UTC strings, and silently applying the host zone
+        would skew time travel by the UTC offset."""
         if isinstance(timestamp, datetime):
+            if timestamp.tzinfo is None:
+                timestamp = timestamp.replace(tzinfo=timezone.utc)
             timestamp = timestamp.astimezone(timezone.utc).strftime(
                 "%Y-%m-%dT%H:%M:%S.%fZ"
             )
+
+        def ets(v: int) -> str:
+            raw = self._raw(v)
+            return raw.get("ets") or raw["ts"]
+
         head = self._head_version()
-        if self._raw(0)["ts"] > timestamp:
+        if ets(0) > timestamp:
             raise ValueError(
                 f"timestamp {timestamp} predates the table's first commit"
             )
-        lo, hi = 0, head  # invariant: ts(lo) <= timestamp
+        lo, hi = 0, head  # invariant: ets(lo) <= timestamp
         while lo < hi:
             mid = (lo + hi + 1) // 2
-            if self._raw(mid)["ts"] <= timestamp:
+            if ets(mid) <= timestamp:
                 lo = mid
             else:
                 hi = mid - 1
-        # Delta-style monotonic fixup: a later-numbered commit stamped
-        # slightly in the past still belongs to this as-of read.
-        while lo < head and self._raw(lo + 1)["ts"] <= timestamp:
+        # legacy-record fixup (no-op when ets keys are present: they are
+        # monotonic, so the binary search already landed rightmost)
+        while lo < head and ets(lo + 1) <= timestamp:
             lo += 1
         return lo
 
@@ -647,12 +677,8 @@ class ManagedTable:
         # 100 TB, one fewer touch of every footer).
         reader = self.spark.read.schema(schema) if schema else self.spark.read
         df = reader.parquet(*files)
-        for c, op, v in where or []:
-            col = F.col(c)
-            df = df.filter(
-                {"=": col == v, "<": col < v, "<=": col <= v,
-                 ">": col > v, ">=": col >= v}[op]
-            )
+        if where:
+            df = df.filter(_where_predicate(where))
         return df
 
     def count(self) -> int:
@@ -1039,14 +1065,7 @@ class ManagedTable:
             cand_df = reader.parquet(
                 *[str(self.root / f.path) for f in candidates]
             )
-            pred = None
-            for c, op, v in where:
-                col = F.col(c)
-                p = {
-                    "=": col == v, "<": col < v, "<=": col <= v,
-                    ">": col > v, ">=": col >= v,
-                }[op]
-                pred = p if pred is None else (pred & p)
+            pred = _where_predicate(where)
             n_match = cand_df.filter(pred).count()
             if n_match == 0:
                 # stats admitted a match but the rows don't exist — keep
@@ -1057,9 +1076,8 @@ class ManagedTable:
             new_files = self._write_files(
                 survivors, m.partition_date_col, m.cluster_col
             )
-            kept = tuple(
-                f for f in m.files if f.path not in {c.path for c in candidates}
-            )
+            cand_paths = {c.path for c in candidates}
+            kept = tuple(f for f in m.files if f.path not in cand_paths)
             self._commit_files(m, kept + new_files, m.schema_json, "delete")
             return n_match
 
@@ -1109,14 +1127,7 @@ class ManagedTable:
             cand_df = reader.parquet(
                 *[str(self.root / f.path) for f in candidates]
             )
-            pred = None
-            for c, op, v in where:
-                col = F.col(c)
-                p = {
-                    "=": col == v, "<": col < v, "<=": col <= v,
-                    ">": col > v, ">=": col >= v,
-                }[op]
-                pred = p if pred is None else (pred & p)
+            pred = _where_predicate(where)
             n_match = cand_df.filter(pred).count()
             if n_match == 0:
                 self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
@@ -1137,9 +1148,8 @@ class ManagedTable:
             new_files = self._write_files(
                 rewritten, m.partition_date_col, m.cluster_col
             )
-            kept = tuple(
-                f for f in m.files if f.path not in {c.path for c in candidates}
-            )
+            cand_paths = {c.path for c in candidates}
+            kept = tuple(f for f in m.files if f.path not in cand_paths)
             self._commit_files(m, kept + new_files, m.schema_json, "update")
             return n_match
 
@@ -1339,10 +1349,21 @@ class ManagedTable:
                 return False  # this transaction already applied
             version = base.version + 1
             ts = _utcnow()
+            # Effective (monotonic) timestamp for timestampAsOf: running
+            # max over the chain, carried in the record so version_at can
+            # binary-search a sound (sorted) key even when wall clocks of
+            # concurrent writers are skewed. One extra small read of the
+            # base record per commit.
+            try:
+                braw = self._raw(base.version)
+                base_ets = braw.get("ets") or braw["ts"]
+            except (FileNotFoundError, KeyError):
+                base_ets = ts
             action = {
                 "version": version,
                 "op": op,
                 "ts": ts,
+                "ets": max(ts, base_ets),
                 "add": [f.__dict__ for f in added],
                 "remove": sorted(removed_paths),
                 # null = inherit the base's schema at replay time (which,

@@ -1342,3 +1342,47 @@ def test_update_prunes_and_noops(spark, tmp_path):
         t.update([], {"k": F.lit(1)})
     with pytest.raises(ValueError, match="assignment"):
         t.update([("k", "=", 1)], {})
+
+
+def test_version_at_running_max_under_clock_skew(spark, tmp_path, monkeypatch, lineitem):
+    """Concurrent writers can stamp commits with skewed wall clocks; the
+    as-of key is the running-max EFFECTIVE timestamp written at commit, so
+    a commit stamped in the past never lets time travel return data from
+    commits effectively later than the requested instant."""
+    import data_warehouse_copy_spark.sources.managed_table as mt
+
+    stamps = iter([
+        "2026-01-01T00:00:00.000000Z",  # v0 create
+        "2026-01-01T00:00:05.000000Z",  # v1 append
+        "2026-01-01T00:00:03.000000Z",  # v2 append (clock skewed back)
+        "2026-01-01T00:00:06.000000Z",  # v3 append
+    ])
+    monkeypatch.setattr(mt, "_utcnow", lambda: next(stamps))
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for n in (10, 20, 30):
+        t.append(lineitem.limit(n))
+    # v2's record carries ets = max(own ts, v1 ts) = v1's 00:00:05
+    assert t._raw(2)["ets"] == "2026-01-01T00:00:05.000000Z"
+    # at 00:00:04, v1 (effective 00:00:05) has NOT happened yet -> v0
+    assert t.version_at("2026-01-01T00:00:04") == 0
+    assert t.read(timestamp="2026-01-01T00:00:04").count() == 0
+    # at 00:00:05, both v1 and v2 are effective -> rightmost is v2
+    assert t.version_at("2026-01-01T00:00:05.000000Z") == 2
+    assert t.read(timestamp="2026-01-01T00:00:05.000000Z").count() == 30
+    assert t.version_at("2026-01-01T00:00:06.000000Z") == 3
+
+
+def test_version_at_naive_datetime_is_utc(spark, tmp_path, lineitem):
+    """A tz-naive datetime must be read as UTC (commit stamps are UTC);
+    interpreting it in the host zone would skew travel by the UTC offset."""
+    from datetime import datetime, timedelta, timezone
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(lineitem.limit(5))
+    hist = t.history()
+    ts = datetime.strptime(hist[1].ts, "%Y-%m-%dT%H:%M:%S.%fZ")  # naive UTC
+    assert t.version_at(ts) == 1
+    aware = ts.replace(tzinfo=timezone.utc).astimezone(
+        timezone(timedelta(hours=9))
+    )
+    assert t.version_at(aware) == 1  # same instant, any zone
