@@ -1386,3 +1386,35 @@ def test_version_at_naive_datetime_is_utc(spark, tmp_path, lineitem):
         timezone(timedelta(hours=9))
     )
     assert t.version_at(aware) == 1  # same instant, any zone
+
+
+def test_delete_and_update_on_partitioned_table(spark, tmp_path, lineitem):
+    """DML on a day-partitioned table: rewritten rows keep their partition
+    assignment, partitions without matches keep their exact files, and
+    partition-level reads stay consistent afterwards."""
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
+    base = lineitem.filter(F.col("l_shipdate").between("1995-01-01", "1995-01-31"))
+    t.append(base)
+    n0 = base.count()
+    jan5 = {f.path for f in t.snapshot().files if f.partition == "1995-01-05"}
+
+    n_del = t.delete([("l_quantity", "<=", 5.0), ("l_shipdate", ">=", "1995-01-10")])
+    expect_del = base.filter(
+        (F.col("l_quantity") <= 5.0) & (F.col("l_shipdate") >= "1995-01-10")
+    ).count()
+    assert n_del == expect_del > 0
+    assert t.read().count() == n0 - n_del
+    m = t.snapshot()
+    assert all(f.partition is not None for f in m.files)  # layout preserved
+    n_upd = t.update(
+        [("l_quantity", ">=", 49.0)], {"l_extendedprice": "l_extendedprice * 2"}
+    )
+    assert n_upd > 0
+    assert t.read().count() == n0 - n_del
+    # partition pruning still works over the DML-rewritten layout
+    one_day = t.read(partition_min="1995-01-05", partition_max="1995-01-05")
+    expect_day = (
+        base.filter(F.to_date("l_shipdate") == F.lit("1995-01-05").cast("date"))
+        .count()
+    )
+    assert one_day.count() == expect_day  # Jan 5 predates the delete window
