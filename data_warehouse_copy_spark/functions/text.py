@@ -295,3 +295,48 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             for name, pat, _ in PII_PATTERNS
         ],
     )
+
+
+def with_repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add Gopher-style repetition signals per document: ``n_tokens``,
+    ``dup_line_frac`` (share of newline-split lines that repeat — a pure
+    codegen projection), and ``top_bigram_frac`` (most frequent word
+    bigram's share — explode + two map-side-combined aggregates keyed on
+    (id, bigram) then id, the only shuffle). Shared by the oracle-backed
+    ``text_quality_repetition`` query and the streaming curation pipeline
+    so the two can never drift. Documents with fewer than two tokens get
+    ``top_bigram_frac`` 0.0."""
+    lines = F.split(F.col(text_col), "\n")
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+        ).alias("dup_line_frac"),
+        toks.alias("_toks"),
+    )
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.zip_with(
+            F.slice("_toks", 1, F.size("_toks") - 1),
+            F.slice("_toks", 2, F.size("_toks") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bistats = (
+        base.select(id_col, F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("n"))
+        .groupBy(id_col)
+        .agg((F.max("n") / F.sum("n")).alias("top_bigram_frac"))
+    )
+    return (
+        base.drop("_toks")
+        .join(bistats, id_col, "left")
+        .withColumn(
+            "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+        )
+    )

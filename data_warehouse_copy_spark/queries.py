@@ -52,6 +52,7 @@ from data_warehouse_copy_spark.functions.text import (
     with_fingerprints,
     with_language_id,
     with_pii_scrub,
+    with_repetition_scores,
     with_text_stats,
 )
 from data_warehouse_copy_spark.operators.copy import copy_table
@@ -2833,46 +2834,15 @@ def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(("\n" + _BOILER_LINE) * 3)),
     ).otherwise(F.col("text"))
     d = _spread(docs).select("doc_id", injected.alias("text"))
-    lines = F.split(F.col("text"), "\n")
-    toks = whitespace_tokens(F.lower(F.col("text")))
-    base = d.select(
+    return with_repetition_scores(d).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        "n_tokens",
+        "dup_line_frac",
+        "top_bigram_frac",
         (
-            (F.size(lines) - F.size(F.array_distinct(lines)))
-            / F.size(lines)
-        ).alias("dup_line_frac"),
-        toks.alias("toks"),
-    )
-    bigrams = F.when(
-        F.size("toks") >= 2,
-        F.zip_with(
-            F.slice("toks", 1, F.size("toks") - 1),
-            F.slice("toks", 2, F.size("toks") - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bifreq = (
-        base.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("n"))
-    )
-    bistats = bifreq.groupBy("doc_id").agg(
-        (F.max("n") / F.sum("n")).alias("top_bigram_frac")
-    )
-    return (
-        base.drop("toks")
-        .join(bistats, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dup_line_frac",
-            "top_bigram_frac",
-            (
-                (F.col("dup_line_frac") <= 0.3)
-                & (F.col("top_bigram_frac") <= 0.11)
-            ).alias("passes_quality"),
-        )
+            (F.col("dup_line_frac") <= 0.3)
+            & (F.col("top_bigram_frac") <= 0.11)
+        ).alias("passes_quality"),
     )
 
 
@@ -2903,9 +2873,11 @@ bifreq AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2),
 bistats AS (
   SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac
   FROM bifreq GROUP BY doc_id)
-SELECT s.doc_id, s.n_tokens, s.dup_line_frac, b.top_bigram_frac,
-       s.dup_line_frac <= 0.3 AND b.top_bigram_frac <= 0.11 AS passes_quality
-FROM stats s JOIN bistats b ON s.doc_id = b.doc_id
+SELECT s.doc_id, s.n_tokens, s.dup_line_frac,
+       COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       s.dup_line_frac <= 0.3 AND COALESCE(b.top_bigram_frac, 0.0) <= 0.11
+         AS passes_quality
+FROM stats s LEFT JOIN bistats b ON s.doc_id = b.doc_id
 """
 
 

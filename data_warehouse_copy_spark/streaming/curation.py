@@ -1,0 +1,102 @@
+"""Streaming corpus curation: the training-data operators composed
+end-to-end over a DOCUMENT stream — PII scrub → repetition/quality filter
+→ incremental exact dedup (within batch AND against everything already
+curated) → exactly-once atomic append into a :class:`ManagedTable`.
+
+This is the operational shape of corpus curation at 100 TB: documents
+arrive continuously, each micro-batch is cleaned and deduplicated against
+the accumulated corpus, and a retried micro-batch is a no-op (per-epoch
+txn watermarks in the manifest). Every stage is one of the
+individually-oracle-verified operators (``scrub_pii``,
+``with_repetition_scores``, md5-fingerprint anti-join, ``exact_dedup``),
+so the composition inherits their semantics; the stream ≡ sequential-batch
+equivalence is pinned in tests/test_streaming.py.
+
+Scale notes: the scrub and repetition signals ride the batch scan (one
+(id, bigram) agg is the only shuffle); the corpus-side dedup probe reads
+only the target's ``fp`` column — columnar pruning makes that a
+fingerprint-index scan, and a production deployment would maintain that
+index as its own small table rather than re-projecting the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.functions.dedup import exact_dedup
+from data_warehouse_copy_spark.functions.text import (
+    scrub_pii,
+    with_repetition_scores,
+)
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+#: curated corpus schema: the documents shape plus the content fingerprint
+CURATED_COLUMNS = ("doc_id", "text", "lang", "source", "fp")
+
+
+def curate_batch(
+    batch_df: DataFrame,
+    existing_fps: DataFrame | None = None,
+    dup_line_max: float = 0.3,
+    top_bigram_max: float = 0.11,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """One document batch through the curation operators. Batch-callable
+    (the streaming sink calls exactly this), so stream ≡ batch is a
+    testable property, not a hope.
+
+    Order matters and is deliberate: scrub BEFORE fingerprinting (two
+    docs differing only in redacted PII are duplicates), quality-filter
+    BEFORE the dedup join (don't pay shuffle for rows that get dropped),
+    dedup within the batch (first arrival wins by min id) and then
+    against ``existing_fps`` (the already-curated corpus fingerprints)."""
+    scrubbed = batch_df.withColumn("text", scrub_pii(F.col("text")))
+    scored = with_repetition_scores(scrubbed)
+    passed = scored.filter(
+        (F.col("dup_line_frac") <= dup_line_max)
+        & (F.col("top_bigram_frac") <= top_bigram_max)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    fresh = exact_dedup(
+        passed.withColumn("fp", F.md5(F.col("text"))), ["fp"], id_col="doc_id"
+    )
+    if existing_fps is not None:
+        fresh = fresh.join(
+            existing_fps.select("fp").distinct(), "fp", "left_anti"
+        )
+    return fresh.select(*CURATED_COLUMNS)
+
+
+def stream_curate_documents(
+    spark,
+    source_dir: str,
+    target: ManagedTable,
+    checkpoint_dir: str,
+    schema=None,
+    app_id: str = "curation",
+    max_files_per_trigger: int = 1,
+):
+    """Run the curation pipeline as a Structured Streaming query over a
+    parquet document source. Each micro-batch commits at most once
+    (``txn=(app_id, epoch)``), so source replays and foreachBatch retries
+    cannot double-curate. Returns the StreamingQuery — callers
+    ``processAllAvailable()`` + ``stop()`` to drain a finite fixture."""
+    raw_schema = (
+        schema if schema is not None else spark.read.parquet(source_dir).schema
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        has_rows = target.snapshot().schema_json is not None
+        existing = target.read().select("fp") if has_rows else None
+        curated = curate_batch(batch_df, existing)
+        target.append(curated, txn=(app_id, epoch_id))
+
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -604,3 +604,72 @@ def test_stream_stream_outer_join_matches_batch(spark, events, tmp_path):
     assert n_null > 0, "outer rows must actually flush"
     assert len(got) > len([r for r in got if r[2] is not None]) > 0
     assert got == batch
+
+
+def test_stream_curation_matches_sequential_batches(spark, sf_dir, tmp_path):
+    """End-to-end streaming curation: scrub -> quality filter -> in-batch
+    dedup -> corpus-incremental dedup -> exactly-once append, as two
+    ordered micro-batches. The drained table must equal running
+    curate_batch sequentially (batch 2 deduped against batch 1's curated
+    fingerprints): planted PII is scrubbed, boilerplate docs are dropped,
+    verbatim re-arrivals are dropped, and fingerprints are unique."""
+    from data_warehouse_copy_spark.streaming.curation import (
+        curate_batch,
+        stream_curate_documents,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact someone"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org now"),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit("\nbuy now\nbuy now\nbuy now")),
+        ).otherwise(F.col("text")),
+    )
+    b1 = planted.filter(F.col("doc_id") < 300)
+    rearrivals = b1.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    b2 = planted.filter(F.col("doc_id") >= 300).unionByName(rearrivals)
+
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    target = ManagedTable.create(spark, str(tmp_path / "corpus"))
+    q = stream_curate_documents(
+        spark, src, target, str(tmp_path / "ckpt"), schema=b1.schema
+    )
+    try:
+        q.processAllAvailable()  # batch 1 fully curated before batch 2 lands
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    c1 = curate_batch(b1)
+    c2 = curate_batch(b2, c1.select("fp"))
+    expected = sorted(map(tuple, c1.unionByName(c2).collect()))
+    got_rows = target.read().collect()
+    got = sorted(map(tuple, got_rows))
+    assert len(got) > 0 and got == expected
+
+    fps = [r.fp for r in got_rows]
+    assert len(fps) == len(set(fps))                       # corpus-unique
+    ids = {r.doc_id for r in got_rows}
+    assert not any(i >= 10000 for i in ids)                # re-arrivals dropped
+    assert not any(i % 11 == 0 for i in ids if i < 300)    # boilerplate dropped
+    assert any(i % 7 == 0 for i in ids)                    # scrubbed docs kept…
+    assert all("@" not in r.text for r in got_rows)        # …with PII redacted
