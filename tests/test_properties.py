@@ -165,3 +165,43 @@ def test_delete_where_equals_full_antifilter(spark, tmp_path_factory, preds):
     assert {tuple(r) for r in t.read().collect()} == {
         tuple(r) for r in expected_keep.collect()
     }
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(preds=st.lists(_pred, min_size=1, max_size=3), delta=st.integers(1, 500))
+def test_update_where_equals_case_projection(spark, tmp_path_factory, preds, delta):
+    """For ANY predicate list and SET delta, update(where=, set=) must equal
+    the CASE WHEN projection over the original rows: matched rows get the
+    new value, NULL-predicate rows keep theirs, cardinality never changes
+    — independent of which files stats pruning rewrote."""
+    tmp = tmp_path_factory.mktemp("upd")
+    t = ManagedTable.create(spark, tmp / "t", cluster_col="k")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 9 == 0, None)
+        .otherwise(F.col("id") * 7 % 311)
+        .alias("v"),
+    )
+    t.append(base)
+    pred = None
+    for c, op, val in preds:
+        col = F.col(c)
+        p = {"=": col == val, "<": col < val, "<=": col <= val,
+             ">": col > val, ">=": col >= val}[op]
+        pred = p if pred is None else (pred & p)
+    hit = F.coalesce(pred, F.lit(False))
+    expected = base.select(
+        "k", F.when(hit, F.col("v") + delta).otherwise(F.col("v")).alias("v")
+    )
+    n_expected = base.filter(pred).count()
+
+    n = t.update(list(preds), {"v": F.col("v") + delta})
+    assert n == n_expected
+    assert t.read().count() == 1000
+    assert {tuple(r) for r in t.read().collect()} == {
+        tuple(r) for r in expected.collect()
+    }
