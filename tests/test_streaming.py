@@ -673,3 +673,53 @@ def test_stream_curation_matches_sequential_batches(spark, sf_dir, tmp_path):
     assert not any(i % 11 == 0 for i in ids if i < 300)    # boilerplate dropped
     assert any(i % 7 == 0 for i in ids)                    # scrubbed docs kept…
     assert all("@" not in r.text for r in got_rows)        # …with PII redacted
+
+
+def test_session_window_stream_matches_batch(spark, events, tmp_path):
+    """Native session_window under a real readStream: sessions only emit
+    once the watermark proves the gap closed, so a sentinel event 2 days
+    past max ts flushes every real session; the drained result (sentinel
+    excluded) must equal the batch twin exactly — including the merge of
+    multi-batch fragments of the same session into one row."""
+    from data_warehouse_copy_spark.streaming.events import session_window_agg
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "src")
+    base = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    base.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = session_window_agg(stream, "30 minutes", watermark="0 seconds",
+                             streaming=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("sess_par")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        max_ts = base.agg(F.max("ts")).collect()[0][0]
+        sentinel = base.limit(1).select(
+            (F.lit(max_ts) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+            F.lit(-1).cast(dict(base.dtypes)["user_id"]).alias("user_id"),
+            *[F.col(c) for c in base.columns if c not in ("ts", "user_id")],
+        ).select(*base.columns)
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"],
+                     r["n_events"], r["total_value"])
+    got = sorted(
+        key(r)
+        for r in spark.sql("SELECT * FROM sess_par").collect()
+        if r["user_id"] != -1
+    )
+    batch = sorted(map(key, session_window_agg(base, "30 minutes").collect()))
+    assert len(got) > 0
+    assert got == batch
