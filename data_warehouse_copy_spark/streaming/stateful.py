@@ -60,3 +60,73 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas twin — the successor stateful API
+# (typed state handles, timers, TTL) behind the SAME profile semantics.
+# --------------------------------------------------------------------------
+
+try:  # Spark >= 4.0 only; gate so the module imports under older runtimes
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _UserProfileProcessor(StatefulProcessor):
+        """Per-user running profile on a typed ValueState handle. One
+        handle read/update per key per batch; state layout identical to
+        the applyInPandasWithState twin, so the two paths are
+        semantically interchangeable (asserted equal in tests)."""
+
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._profile = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            if self._profile.exists():
+                n, total, last_ts = self._profile.get()
+            else:
+                n, total, last_ts = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = pdf["ts"].max()
+                if last_ts is None or batch_max > last_ts:
+                    last_ts = batch_max
+            self._profile.update((n, total, last_ts))
+            yield pandas.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_profile_tws(events: DataFrame) -> DataFrame:
+        """The :func:`running_user_profile` semantics on Spark 4's
+        ``transformWithStateInPandas`` — the successor API whose typed
+        state handles add composable state variables, timers, and state
+        TTL on the same shuffle-by-key execution shape. Streaming-only;
+        ``outputMode("update")``.
+
+        Runtime boundary (same honesty rule as the JPEG codec note in the
+        README): executing this API needs the ``protobuf`` package (the
+        state-server wire protocol), which this container does not ship —
+        the equivalence test skips with that reason here and runs on any
+        standard deployment; ``running_user_profile`` is the verified
+        stateful path in this environment."""
+        return (
+            events.select("user_id", "ts", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_UserProfileProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover - exercised only on Spark < 4
+    running_user_profile_tws = None
