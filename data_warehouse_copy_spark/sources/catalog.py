@@ -140,6 +140,24 @@ def load_text_corpus(
     return out.select(*[f.name for f in target.fields])
 
 
+def write_text_corpus(
+    df: DataFrame,
+    path: str,
+    shards: int | None = None,
+    compression: str = "gzip",
+) -> None:
+    """Emit a corpus as sharded JSONL(.gz) — the inverse of
+    :func:`load_text_corpus` and the standard interchange a training job
+    consumes. ``shards`` controls output file count: gzip members are
+    non-splittable, so the shard count IS the read parallelism of every
+    downstream consumer — size shards so each lands in the 100 MB-1 GB
+    range (10 TB of curated text → ~10⁴ shards), never one giant archive.
+    ``repartition(shards)`` is a full shuffle by design: it also evens out
+    skew from upstream filters so shards are uniform."""
+    writer = df.repartition(shards) if shards else df
+    writer.write.mode("overwrite").option("compression", compression).json(path)
+
+
 def read_source(
     spark: SparkSession,
     path: str,

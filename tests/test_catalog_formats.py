@@ -103,3 +103,25 @@ class TestTextCorpusIngestion:
         assert sorted(map(tuple, via_jsonl.collect())) == sorted(
             map(tuple, via_parquet.collect())
         )
+
+
+def test_write_text_corpus_roundtrip(spark, tmp_path, sf_dir):
+    """Sharded JSONL.gz emission round-trips through load_text_corpus
+    value-exactly, and the shard count controls the output file count
+    (gzip shards = downstream read parallelism)."""
+    from data_warehouse_copy_spark.sources.catalog import (
+        load_text_corpus,
+        write_text_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "corpus_out")
+    write_text_corpus(docs, out, shards=4)
+    import glob
+
+    files = glob.glob(f"{out}/part-*.json.gz")
+    assert len(files) == 4
+    back = load_text_corpus(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.select(*back.columns).collect())
+    )
