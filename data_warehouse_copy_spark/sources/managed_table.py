@@ -686,6 +686,38 @@ class ManagedTable:
         rows-copied metric comes from parquet footers at write time)."""
         return self.snapshot().total_rows
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The manifest's live file list as a DataFrame (Delta's
+        ``table.detail()``/files inspection surface): path, partition,
+        rows, and the JSON-encoded min/max stats per file. Metadata-only —
+        built from the manifest, no data file is opened — so ops tooling
+        (small-file monitoring, skew dashboards, vacuum planning) can query
+        table layout with plain SQL at any scale."""
+        m = self.snapshot(version)
+        rows = [
+            (f.path, f.partition, f.rows, json.dumps(f.stats) if f.stats else None)
+            for f in m.files
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, partition string, rows long, stats_json string"
+        )
+
+    def detail(self) -> dict:
+        """One-call table summary (DESCRIBE DETAIL shape): version, op,
+        commit time, file/row counts, partition & clustering config.
+        Metadata-only."""
+        m = self.snapshot()
+        return {
+            "version": m.version,
+            "op": m.op,
+            "ts": m.ts,
+            "n_files": len(m.files),
+            "total_rows": m.total_rows,
+            "partition_date_col": m.partition_date_col,
+            "cluster_col": m.cluster_col,
+            "n_partitions": len({f.partition for f in m.files}),
+        }
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -1418,3 +1418,28 @@ def test_delete_and_update_on_partitioned_table(spark, tmp_path, lineitem):
         .count()
     )
     assert one_day.count() == expect_day  # Jan 5 predates the delete window
+
+
+def test_files_df_and_detail_are_metadata_only(spark, tmp_path, lineitem):
+    """Layout inspection: files_df/detail must reflect the manifest exactly
+    (counts, partitions, clustering) and answer from metadata."""
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
+    base = lineitem.filter(F.col("l_shipdate").between("1995-01-01", "1995-01-10"))
+    t.append(base)
+    m = t.snapshot()
+    fdf = t.files_df()
+    rows = fdf.collect()
+    assert len(rows) == len(m.files)
+    assert sum(r.rows for r in rows) == base.count()
+    assert {r.partition for r in rows} == {f.partition for f in m.files}
+    # layout questions in plain SQL: rows per partition
+    per_part = fdf.groupBy("partition").sum("rows").count()
+    assert per_part == len({f.partition for f in m.files})
+    d = t.detail()
+    assert d["version"] == m.version and d["op"] == "append"
+    assert d["total_rows"] == base.count()
+    assert d["partition_date_col"] == "l_shipdate"
+    assert d["n_files"] == len(m.files)
+    # time travel applies to the inspection surface too
+    t.overwrite(base.limit(5))
+    assert t.files_df(version=m.version).count() == len(m.files)
