@@ -26,6 +26,7 @@ needs: ``compact``/``vacuum``/``history``/``restore`` on a table path.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from data_warehouse_copy_spark.config import load_config
@@ -38,7 +39,9 @@ def _maintenance(argv: list[str], spark=None) -> int:
         prog="python -m data_warehouse_copy_spark maintenance",
         description="ManagedTable upkeep: compact / vacuum / history / restore.",
     )
-    p.add_argument("action", choices=["compact", "vacuum", "history", "restore"])
+    p.add_argument(
+        "action", choices=["compact", "vacuum", "history", "restore", "detail"]
+    )
     p.add_argument("table", help="path to the ManagedTable root")
     p.add_argument(
         "--max-files-per-partition", type=int, default=1,
@@ -60,12 +63,15 @@ def _maintenance(argv: list[str], spark=None) -> int:
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
     owns_session = spark is None
-    if args.action == "history":
+    if args.action in ("history", "detail"):
         # manifest-only: no Spark session needed
         t = ManagedTable(None, args.table)
         if not t.exists():
             print(f"no managed table at {args.table}", file=sys.stderr)
             return 1
+        if args.action == "detail":
+            print(json.dumps(t.detail(), indent=1))
+            return 0
         for m in t.history():
             print(f"{m.version}\t{m.ts}\t{m.op}\t{m.n_files} files\t{m.total_rows} rows")
         return 0

@@ -305,6 +305,12 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     assert len(lines) == t.snapshot().version + 1
     assert "compact" in lines[-1]
 
+    import json as _json
+
+    assert main(["maintenance", "detail", root], spark=spark) == 0
+    d = _json.loads(capsys.readouterr().out)
+    assert d["total_rows"] == 30 and d["n_files"] == 1 and d["op"] == "compact"
+
     assert main(["maintenance", "compact", str(tmp_path / "missing")], spark=spark) == 1
 
     # restore: recommit a live version's contents (v1's files were already
