@@ -15,12 +15,14 @@ the exit code reflects BOTH: any Failed outcome exits 1.
 
 A ``maintenance`` subcommand (no reference counterpart — lakehouse
 extension surface) serves the ManagedTable upkeep a long-lived target
-needs: ``compact``/``vacuum``/``history``/``restore`` on a table path.
+needs: ``compact``/``vacuum``/``history``/``restore``/``detail`` on a
+table path.
 
     python -m data_warehouse_copy_spark maintenance compact /path/to/table
     python -m data_warehouse_copy_spark maintenance vacuum /path/to/table \
         --retention-hours 168
     python -m data_warehouse_copy_spark maintenance history /path/to/table
+    python -m data_warehouse_copy_spark maintenance detail /path/to/table
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ from data_warehouse_copy_spark.session import get_spark
 def _maintenance(argv: list[str], spark=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m data_warehouse_copy_spark maintenance",
-        description="ManagedTable upkeep: compact / vacuum / history / restore.",
+        description="ManagedTable upkeep: compact / vacuum / history / restore / detail.",
     )
     p.add_argument(
         "action", choices=["compact", "vacuum", "history", "restore", "detail"]

@@ -307,7 +307,21 @@ def with_repetition_scores(
     (id, bigram) then id, the only shuffle). Shared by the oracle-backed
     ``text_quality_repetition`` query and the streaming curation pipeline
     so the two can never drift. Documents with fewer than two tokens get
-    ``top_bigram_frac`` 0.0."""
+    ``top_bigram_frac`` 0.0.
+
+    ``id_col`` must uniquely identify a text (rows sharing the key have
+    their bigram counts pooled — callers scoring streams key on a content
+    fingerprint for exactly this reason), and the output column names
+    must be free in the input — enforced loudly rather than producing
+    ambiguous duplicate columns downstream."""
+    taken = {"n_tokens", "dup_line_frac", "top_bigram_frac", "_toks"} & set(
+        df.columns
+    )
+    if taken:
+        raise ValueError(
+            f"with_repetition_scores output columns already present in the "
+            f"input frame: {sorted(taken)} — drop or rename them first"
+        )
     lines = F.split(F.col(text_col), "\n")
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     base = df.select(

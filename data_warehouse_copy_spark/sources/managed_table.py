@@ -715,7 +715,8 @@ class ManagedTable:
             "total_rows": m.total_rows,
             "partition_date_col": m.partition_date_col,
             "cluster_col": m.cluster_col,
-            "n_partitions": len({f.partition for f in m.files}),
+            # the None bucket of an unpartitioned table is not a partition
+            "n_partitions": len({f.partition for f in m.files} - {None}),
         }
 
     def read_changes(

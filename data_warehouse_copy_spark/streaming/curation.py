@@ -50,21 +50,29 @@ def curate_batch(
     docs differing only in redacted PII are duplicates), quality-filter
     BEFORE the dedup join (don't pay shuffle for rows that get dropped),
     dedup within the batch (first arrival wins by min id) and then
-    against ``existing_fps`` (the already-curated corpus fingerprints)."""
-    scrubbed = batch_df.withColumn("text", scrub_pii(F.col("text")))
-    scored = with_repetition_scores(scrubbed)
+    against ``existing_fps`` (the already-curated corpus fingerprints).
+
+    Repetition scores key on the content fingerprint, NOT doc_id: a
+    stream can deliver two different texts under one doc_id in a batch
+    (an edited re-publish), and id-keyed scoring would blend their bigram
+    counts — a spammy version could hide behind a clean one. Distinct
+    texts have distinct fps so they never blend; identical texts blend
+    harmlessly (``max(n)/sum(n)`` is invariant under duplication)."""
+    scrubbed = batch_df.withColumn("text", scrub_pii(F.col("text"))).withColumn(
+        "fp", F.md5(F.col("text"))
+    )
+    scored = with_repetition_scores(scrubbed, id_col="fp")
     passed = scored.filter(
         (F.col("dup_line_frac") <= dup_line_max)
         & (F.col("top_bigram_frac") <= top_bigram_max)
         & (F.col("n_tokens") >= min_tokens)
     )
-    fresh = exact_dedup(
-        passed.withColumn("fp", F.md5(F.col("text"))), ["fp"], id_col="doc_id"
-    )
+    fresh = exact_dedup(passed, ["fp"], id_col="doc_id")
     if existing_fps is not None:
-        fresh = fresh.join(
-            existing_fps.select("fp").distinct(), "fp", "left_anti"
-        )
+        # no .distinct() on the corpus side: left_anti is insensitive to
+        # right-side duplicates, and a corpus-sized distinct per batch
+        # would be a full extra aggregate for zero semantic effect
+        fresh = fresh.join(existing_fps.select("fp"), "fp", "left_anti")
     return fresh.select(*CURATED_COLUMNS)
 
 

@@ -23,20 +23,21 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_ts ti
 STATE_SCHEMA = "n bigint, total double, last_ts timestamp"
 
 
-def _update_user_profile(key, pdf_iter, state: GroupState):
-    (user_id,) = key
-    if state.exists:
-        n, total, last_ts = state.get
-    else:
-        n, total, last_ts = 0, 0.0, None
+def _accumulate_profile(n, total, last_ts, pdf_iter):
+    """The ONE accumulation loop both stateful APIs run — extracting it is
+    what makes the applyInPandasWithState and transformWithStateInPandas
+    paths interchangeable by construction, not by parallel maintenance."""
     for pdf in pdf_iter:
         n += len(pdf)
         total += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
         if last_ts is None or batch_max > last_ts:
             last_ts = batch_max
-    state.update((n, total, last_ts))
-    yield pandas.DataFrame(
+    return n, total, last_ts
+
+
+def _profile_row(user_id, n, total, last_ts):
+    return pandas.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
@@ -44,6 +45,14 @@ def _update_user_profile(key, pdf_iter, state: GroupState):
             "last_ts": [last_ts],
         }
     )
+
+
+def _update_user_profile(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+    n, total, last_ts = _accumulate_profile(n, total, last_ts, pdf_iter)
+    state.update((n, total, last_ts))
+    yield _profile_row(user_id, n, total, last_ts)
 
 
 def running_user_profile(events: DataFrame) -> DataFrame:
@@ -81,25 +90,12 @@ try:  # Spark >= 4.0 only; gate so the module imports under older runtimes
 
         def handleInputRows(self, key, rows, timer_values):
             (user_id,) = key
-            if self._profile.exists():
-                n, total, last_ts = self._profile.get()
-            else:
-                n, total, last_ts = 0, 0.0, None
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-                batch_max = pdf["ts"].max()
-                if last_ts is None or batch_max > last_ts:
-                    last_ts = batch_max
-            self._profile.update((n, total, last_ts))
-            yield pandas.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "n_events": [n],
-                    "total_value": [total],
-                    "last_ts": [last_ts],
-                }
+            n, total, last_ts = (
+                self._profile.get() if self._profile.exists() else (0, 0.0, None)
             )
+            n, total, last_ts = _accumulate_profile(n, total, last_ts, rows)
+            self._profile.update((n, total, last_ts))
+            yield _profile_row(user_id, n, total, last_ts)
 
         def close(self) -> None:
             pass

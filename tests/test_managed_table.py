@@ -1406,6 +1406,8 @@ def test_delete_and_update_on_partitioned_table(spark, tmp_path, lineitem):
     assert t.read().count() == n0 - n_del
     m = t.snapshot()
     assert all(f.partition is not None for f in m.files)  # layout preserved
+    # partitions the predicate cannot touch keep their exact files
+    assert jan5 == {f.path for f in m.files if f.partition == "1995-01-05"}
     n_upd = t.update(
         [("l_quantity", ">=", 49.0)], {"l_extendedprice": "l_extendedprice * 2"}
     )

@@ -723,3 +723,33 @@ def test_session_window_stream_matches_batch(spark, events, tmp_path):
     batch = sorted(map(key, session_window_agg(base, "30 minutes").collect()))
     assert len(got) > 0
     assert got == batch
+
+
+def test_curation_scores_by_content_not_id(spark):
+    """Two DIFFERENT texts under one doc_id in a batch must be scored
+    independently (fingerprint-keyed): the spammy version is dropped even
+    though blending its bigrams with the clean version's would have
+    slipped it under the bar."""
+    from data_warehouse_copy_spark.streaming.curation import curate_batch
+
+    clean = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    spam = "buy now " * 20
+    df = spark.createDataFrame(
+        [(42, clean, "en", "s0"), (42, spam.strip(), "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = curate_batch(df).collect()
+    assert len(rows) == 1 and rows[0].text == clean
+
+
+def test_repetition_scores_rejects_colliding_columns(spark):
+    from data_warehouse_copy_spark.functions.text import with_repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 3)], "doc_id long, text string, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="n_tokens"):
+        with_repetition_scores(df)
