@@ -2463,6 +2463,138 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
                 WHEN 'es' THEN 100 ELSE 50 END
 """
 
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over the event stream: each (type, hour)
+    bucket is scored against the trailing 24 closed hours' mean/stddev of
+    the same type, flagging |z| >= 2 — the monitoring query an on-call
+    pipeline runs against its own rollups. The z-score is built from
+    decimal-exact sum/sumsq (population variance, guarded against the
+    negative-epsilon of catastrophic cancellation), so the oracle matches
+    bit-exactly — engine stddev functions are deliberately avoided.
+
+    100 TB shape: one hourly aggregate shuffle over raw events (the same
+    rollup the continuous aggregate materializes — in production this
+    reads the rollup table, not raw events), then window functions over
+    |types × hours| aggregate rows — metadata scale."""
+    (events,) = _prep(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("hour"))
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("*").over(w).alias("n_hours"),
+        F.sum(F.col("n").cast("decimal(18,6)")).over(w).cast("double").alias("s1"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_hours")
+    var = F.greatest(
+        F.col("s2") / F.col("n_hours") - mean * mean, F.lit(0.0)
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        stats.filter(F.col("n_hours") >= 12)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            mean.alias("trailing_mean"),
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= 2.0)
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, hour, n,
+         COUNT(*) OVER w AS n_hours,
+         CAST(SUM(CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(n * n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(hour)) AS BIGINT)
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+SELECT event_type, hour, n,
+       s1 / n_hours AS trailing_mean,
+       (n - s1 / n_hours)
+         / sqrt(GREATEST(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours), 0.0))
+         AS z_score
+FROM stats
+WHERE n_hours >= 12
+  AND abs((n - s1 / n_hours)
+        / sqrt(GREATEST(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours), 0.0)))
+      >= 2.0
+"""
+
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 25 part pairs most often ordered
+    together (same order, distinct parts, ``a < b``) — the co-occurrence
+    primitive behind recommendations and basket analysis. Deterministic
+    top-k (support desc, pair asc).
+
+    100 TB shape: the self-join is keyed on the order — pair fan-out per
+    order is C(lines, 2) with lines ≤ 7 in this schema, so output ∝ 21×
+    orders, never corpus²; the pair aggregate is map-side combined and
+    the top-k window runs over |distinct pairs|."""
+    (lineitem,) = _prep(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select("rank", "part_a", "part_b", "n_orders")
+    )
+
+
+COPURCHASE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY n_orders DESC, part_a ASC, part_b ASC) AS INT) AS rank,
+         part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+  FROM pairs)
+SELECT rank, part_a, part_b, n_orders FROM ranked WHERE rank <= 25
+"""
+
+
 def orders_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window analytics: each order carries its customer's
     revenue over the preceding 7 days — a RANGE window frame keyed on
@@ -3458,6 +3590,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_curation_rollup": source_curation_rollup,
     "parts_hierarchy_rollup": parts_hierarchy_rollup,
     "orders_trailing_revenue": orders_trailing_revenue,
+    "events_hourly_anomalies": events_hourly_anomalies,
+    "copurchase_part_pairs": copurchase_part_pairs,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3553,4 +3687,6 @@ ORACLES: dict[str, str] = {
     "source_curation_rollup": SOURCE_ROLLUP_SQL,
     "parts_hierarchy_rollup": PARTS_HIERARCHY_SQL,
     "orders_trailing_revenue": TRAILING_REVENUE_SQL,
+    "events_hourly_anomalies": EVENTS_ANOMALY_SQL,
+    "copurchase_part_pairs": COPURCHASE_SQL,
 }
