@@ -753,3 +753,45 @@ def test_repetition_scores_rejects_colliding_columns(spark):
     )
     with pytest.raises(ValueError, match="n_tokens"):
         with_repetition_scores(df)
+
+
+def test_curation_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Losing the streaming checkpoint must not double-curate: a second run
+    over the same source with a fresh checkpoint replays every micro-batch
+    with the same epoch ids, and the per-(app, epoch) txn watermarks in the
+    manifest turn each replayed append into a no-op."""
+    from data_warehouse_copy_spark.streaming.curation import (
+        stream_curate_documents,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    target = ManagedTable.create(spark, str(tmp_path / "corpus"))
+
+    q = stream_curate_documents(
+        spark, src, target, str(tmp_path / "ckpt1"), schema=docs.schema
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows_first = sorted(map(tuple, target.read().collect()))
+    v_first = target.snapshot().version
+    assert rows_first
+
+    # checkpoint lost -> full replay from scratch against the SAME table
+    q2 = stream_curate_documents(
+        spark, src, target, str(tmp_path / "ckpt2"), schema=docs.schema
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(map(tuple, target.read().collect())) == rows_first
+    # replayed epochs were skipped before writing, not appended-then-fixed
+    assert target.read().count() == len(rows_first)
+    assert target.snapshot().version == v_first
