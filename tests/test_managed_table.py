@@ -1445,3 +1445,30 @@ def test_files_df_and_detail_are_metadata_only(spark, tmp_path, lineitem):
     # time travel applies to the inspection surface too
     t.overwrite(base.limit(5))
     assert t.files_df(version=m.version).count() == len(m.files)
+
+
+def test_read_changes_over_dml_commits(spark, tmp_path):
+    """Documented CDC semantics over the DML triad: delete/update commits
+    are rewrite commits, so their added files replay the SURVIVING rows
+    (an over-approximation — every new row IS included), and a noop DML
+    commit contributes nothing to the cursor."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(0, 100).select(F.col("id").alias("k")))  # v1
+    t.delete([("k", ">=", 90)])                                   # v2
+    t.update([("k", "<", 5)], {"k": "k + 1000"})                  # v3
+    t.delete([("k", "=", 424242)])                                # v4 noop
+    hist = {h.version: h for h in t.history()}
+    ch = t.read_changes(1)
+    # the DML rewrites are FILE-scoped (stats pruning), so the cursor sees
+    # exactly the rows the rewritten files re-added — far fewer than a
+    # whole-table rewrite would replay
+    assert ch.count() == hist[2].rows_added + hist[3].rows_added < 100
+    # every row the update changed is visible to the cursor
+    assert ch.filter(F.col("k") >= 1000).count() == 5
+    # the noop contributed nothing
+    assert t.read_changes(3).count() == 0
+    # full-history cursor = the original append plus both rewrites
+    assert (
+        t.read_changes(0).count()
+        == 100 + hist[2].rows_added + hist[3].rows_added
+    )
