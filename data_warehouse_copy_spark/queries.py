@@ -2467,44 +2467,63 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection over the event stream: each (type, hour)
     bucket is scored against the trailing 24 closed hours' mean/stddev of
     the same type, flagging |z| >= 2 — the monitoring query an on-call
-    pipeline runs against its own rollups. The z-score is built from
-    decimal-exact sum/sumsq (population variance, guarded against the
-    negative-epsilon of catastrophic cancellation), so the oracle matches
-    bit-exactly — engine stddev functions are deliberately avoided.
+    pipeline runs against its own rollups. Three correctness subtleties a
+    naive version gets wrong, all handled (and mirrored in the oracle):
+
+    - the hour axis is DENSIFIED over each type's observed span, so a
+      zero-event hour — a total outage, the worst volume anomaly — gets a
+      row and a score instead of silently not existing, and quiet hours
+      count as 0 in the trailing statistics;
+    - a zero-variance history (perfect flatline) would make z a division
+      by zero (NULL in Spark, engine-version-dependent in SQL): any
+      deviation off a flatline is flagged explicitly, with a NULL z_score;
+    - sums use decimal(38,0) — n*n over a 1e6-events hour overflows
+      decimal(18,x) into silent NULL-skipping.
+
+    The z-score is decimal-exact sum/sumsq population variance (engine
+    stddev functions deliberately avoided), so the oracle matches
+    bit-exactly.
 
     100 TB shape: one hourly aggregate shuffle over raw events (the same
     rollup the continuous aggregate materializes — in production this
     reads the rollup table, not raw events), then window functions over
-    |types × hours| aggregate rows — metadata scale."""
+    the dense #types x #hours grid — metadata scale."""
     (events,) = _prep(spark, sf_dir, "events")
-    hourly = (
-        events.groupBy(
-            F.col("event_type"),
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-        )
-        .agg(F.count("*").alias("n"))
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.unix_timestamp("hour"))
         .rangeBetween(-24 * 3600, -3600)
     )
-    stats = hourly.select(
+    stats = dense.select(
         "event_type",
         "hour",
         "n",
         F.count("*").over(w).alias("n_hours"),
-        F.sum(F.col("n").cast("decimal(18,6)")).over(w).cast("double").alias("s1"),
-        F.sum((F.col("n") * F.col("n")).cast("decimal(18,6)"))
+        F.sum(F.col("n").cast("decimal(38,0)")).over(w).cast("double").alias("s1"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)"))
         .over(w)
         .cast("double")
         .alias("s2"),
     )
     mean = F.col("s1") / F.col("n_hours")
-    var = F.greatest(
-        F.col("s2") / F.col("n_hours") - mean * mean, F.lit(0.0)
-    )
-    z = (F.col("n") - mean) / F.sqrt(var)
+    var = F.greatest(F.col("s2") / F.col("n_hours") - mean * mean, F.lit(0.0))
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var))
     return (
         stats.filter(F.col("n_hours") >= 12)
         .select(
@@ -2514,7 +2533,10 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             mean.alias("trailing_mean"),
             z.alias("z_score"),
         )
-        .filter(F.abs(F.col("z_score")) >= 2.0)
+        .filter(
+            (F.abs(F.col("z_score")) >= 2.0)
+            | (F.col("z_score").isNull() & (F.col("n") != F.col("trailing_mean")))
+        )
     )
 
 
@@ -2522,25 +2544,35 @@ EVENTS_ANOMALY_SQL = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
   FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY event_type)),
+dense AS (
+  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.hour = h.hour),
 stats AS (
   SELECT event_type, hour, n,
          COUNT(*) OVER w AS n_hours,
-         CAST(SUM(CAST(n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
-         CAST(SUM(CAST(n * n AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
-  FROM hourly
+         CAST(SUM(CAST(n AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(n * n AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s2
+  FROM dense
   WINDOW w AS (PARTITION BY event_type
                ORDER BY CAST(floor(epoch(hour)) AS BIGINT)
-               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
-SELECT event_type, hour, n,
-       s1 / n_hours AS trailing_mean,
-       (n - s1 / n_hours)
-         / sqrt(GREATEST(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours), 0.0))
-         AS z_score
-FROM stats
-WHERE n_hours >= 12
-  AND abs((n - s1 / n_hours)
-        / sqrt(GREATEST(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours), 0.0)))
-      >= 2.0
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)),
+scored AS (
+  SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+         s1 / n_hours AS trailing_mean,
+         CASE WHEN s2 / n_hours - (s1 / n_hours) * (s1 / n_hours) > 0
+              THEN (n - s1 / n_hours)
+                / sqrt(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours))
+         END AS z_score
+  FROM stats WHERE n_hours >= 12)
+SELECT event_type, hour, n, trailing_mean, z_score
+FROM scored
+WHERE abs(z_score) >= 2.0
+   OR (z_score IS NULL AND n <> trailing_mean)
 """
 
 

@@ -1459,10 +1459,12 @@ def test_read_changes_over_dml_commits(spark, tmp_path):
     t.delete([("k", "=", 424242)])                                # v4 noop
     hist = {h.version: h for h in t.history()}
     ch = t.read_changes(1)
-    # the DML rewrites are FILE-scoped (stats pruning), so the cursor sees
-    # exactly the rows the rewritten files re-added — far fewer than a
-    # whole-table rewrite would replay
-    assert ch.count() == hist[2].rows_added + hist[3].rows_added < 100
+    # the cursor sees exactly the rows the DML rewrites re-added
+    assert ch.count() == hist[2].rows_added + hist[3].rows_added
+    if len(t.snapshot(1).files) > 1:
+        # multi-file layout: stats pruning keeps the rewrites FILE-scoped,
+        # so the replay is far smaller than a whole-table rewrite's
+        assert ch.count() < 100
     # every row the update changed is visible to the cursor
     assert ch.filter(F.col("k") >= 1000).count() == 5
     # the noop contributed nothing

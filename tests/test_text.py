@@ -225,3 +225,36 @@ def test_chunking_structure(spark, sf_dir):
         last = chunks[-1]
         n_total = last.chunk_start - 1 + last.n_chunk_tokens
         assert n_total > (len(chunks) - 1) * _CHUNK_S
+
+
+def test_anomaly_detector_flags_outage_and_flatline_spike(spark):
+    """The two failure modes a naive z-score monitor misses: an hour with
+    ZERO events (no row without densification) and a spike off a perfectly
+    flat history (z = x/0). Both must be flagged."""
+    from datetime import datetime, timedelta
+
+    from data_warehouse_copy_spark import queries as q
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for h in range(40):
+        if h == 30:
+            continue  # total outage hour for type 'a'
+        n = 200 if h == 35 else 5  # spike hour for type 'b'
+        rows += [("a", base + timedelta(hours=h, minutes=m % 60)) for m in range(5)]
+        rows += [("b", base + timedelta(hours=h, minutes=m % 60)) for m in range(n)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="anom_")
+    df.selectExpr(
+        "monotonically_increasing_id() AS event_id", "0L AS user_id",
+        "event_type", "ts", "0.0 AS value", "'{}' AS payload",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {(r.event_type, r.hour.hour + 24 * (r.hour.day - 1)): r
+           for r in q.events_hourly_anomalies(spark, sf).collect()}
+    # type a: hour 30 outage — flatline history makes z NULL, still flagged
+    assert ("a", 30) in out and out[("a", 30)].n == 0
+    assert out[("a", 30)].z_score is None
+    # type b: hour 35 spike off a (mostly) flat history
+    assert ("b", 35) in out and out[("b", 35)].n == 200
