@@ -1,0 +1,306 @@
+"""``managed_table`` — a PySpark 4 Python Data Source over the lakehouse log.
+
+Exposes :class:`~data_warehouse_copy_spark.sources.managed_table.ManagedTable`
+through Spark's declarative reader API, so a table becomes addressable the
+way users address Delta/Iceberg — no imperative wrapper object needed:
+
+    spark.dataSource.register(ManagedTableDataSource)
+    df = spark.read.format("managed_table").load("/path/to/table")
+    st = spark.readStream.format("managed_table").load("/path/to/table")
+
+Batch path (``ManagedTableBatchReader``):
+
+- **one input partition per live data file** from the snapshot manifest —
+  the natural parallelism unit at 100 TB (a million files fan out over a
+  thousand executors; no driver-side data movement, only the manifest);
+- **file-level skipping via ``pushFilters``** — supported comparisons are
+  evaluated against the per-file min/max footer stats already in the
+  manifest (the same ``_file_may_match`` the native ``read(where=)`` path
+  uses), so a point lookup on a clustered column opens O(1) files. All
+  filters are returned to Spark for row-level re-application: stats prove
+  absence, never presence, so pruning stays a strict superset;
+- **Arrow record batches, not rows** — ``read()`` yields
+  ``pyarrow.RecordBatch`` (zero-copy into Spark's vectorized pipeline),
+  with additive schema evolution handled per file: columns appended after
+  a file was written materialize as typed nulls, exactly like the native
+  reader;
+- time travel via ``option("versionAsOf", N)`` /
+  ``option("timestampAsOf", ts)``.
+
+Streaming path (``ManagedTableStreamReader``): Delta-style table tailing.
+Offsets are commit versions — ``{"version": N}`` means "commits ≤ N
+consumed". The first batch reads the **current snapshot** (live files at
+the stream-start head, so rows deleted before the stream began are not
+replayed), and every later batch is the action-log tail ``(N, N']`` —
+O(new commits) driver work per trigger, never a table rescan. Maintenance
+commits (``compact``, ``restore_*``) are skipped by the same rule as
+:meth:`ManagedTable.read_changes`. Data-rewriting commits
+(``delete``/``merge``/``overwrite``) raise by default — their added files
+carry surviving old rows, which a tailing consumer would double-count —
+unless the caller opts into ``skipChangeCommits`` (ignore them) or
+``ignoreChanges`` (deliver their adds, documented at-least-once), the
+exact Delta source contract. Replaying a micro-batch after checkpoint
+recovery re-reads the same immutable version range, so delivery into an
+idempotent sink is exactly-once.
+
+Scale note: executors open data files directly by path, so the table root
+must be on storage every executor mounts (the same contract as any
+file-based source); the driver touches only the log.
+
+Reference parity: the reference engine copies whole tables per run
+(`BulkCopyManager.cs:100-104` dispatch); this source is the incremental
+replacement surface — a downstream copy becomes ``readStream`` +
+``foreachBatch`` upsert instead of a nightly full scan.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import TYPE_CHECKING, Iterable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql import types as T
+
+from data_warehouse_copy_spark.sources.managed_table import (
+    ManagedTable,
+    _cdc_skip,
+    _file_may_match,
+)
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+
+class FilePartition(InputPartition):
+    """One parquet data file: absolute path + the reader-schema JSON the
+    executor should project it to (per-partition so a stream batch can pin
+    the range-end schema while the table head evolves further)."""
+
+    def __init__(self, path: str, schema_json: str):
+        self.path = path
+        self.schema_json = schema_json
+
+
+# pushFilters comparison classes -> the manifest-stats op tokens of
+# _file_may_match. Only scalar comparisons on top-level columns prune;
+# everything else (In, StringStartsWith, Not, ...) is simply not used for
+# skipping — correctness is unaffected because Spark re-applies ALL
+# filters row-level (pushFilters returns every filter as unsupported).
+_FILTER_OPS = {
+    EqualTo: "=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+}
+
+
+def _where_triples(filters: Iterable[Filter]) -> list[tuple]:
+    out = []
+    for f in filters:
+        op = _FILTER_OPS.get(type(f))
+        if op is not None and len(f.attribute) == 1 and f.value is not None:
+            out.append((f.attribute[0], op, f.value))
+    return out
+
+
+def _nullable(schema: T.StructType) -> T.StructType:
+    """All-nullable copy: additive schema evolution null-fills columns in
+    files that predate them, so the source's declared schema must not
+    promise non-null — the same laundering Delta applies on evolution."""
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True, f.metadata) for f in schema]
+    )
+
+
+def _read_file_as_batches(
+    path: str, schema_json: str
+) -> "Iterator[pa.RecordBatch]":
+    """Executor-side scan of one parquet file, projected to the table
+    schema: missing columns (added after this file was written) become
+    typed nulls, column order is normalized, and physical types are cast
+    to the arrow types Spark expects for the declared schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    spark_schema = _nullable(T.StructType.fromJson(json.loads(schema_json)))
+    target = to_arrow_schema(spark_schema)
+    tbl = pq.read_table(
+        path, columns=[n for n in target.names if n in pq.read_schema(path).names]
+    )
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            cols.append(tbl.column(field.name))
+        else:  # additive evolution: file predates the column
+            cols.append(pa.nulls(tbl.num_rows, type=field.type))
+    out = pa.Table.from_arrays(cols, schema=pa.schema(list(target)))
+    yield from out.cast(pa.schema(list(target))).to_batches()
+
+
+class ManagedTableBatchReader(DataSourceReader):
+    def __init__(self, root: str, options: dict):
+        self.root = root
+        self.options = options
+        self._where: list[tuple] = []
+
+    def _snapshot(self):
+        t = ManagedTable(None, self.root)
+        v = self.options.get("versionasof")
+        ts = self.options.get("timestampasof")
+        return t.snapshot(
+            version=int(v) if v is not None else None,
+            timestamp=ts,
+        )
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        self._where = _where_triples(filters)
+        # stats pruning is file-granular: Spark must still filter rows, so
+        # every filter is reported back as unsupported
+        return filters
+
+    def partitions(self) -> list[FilePartition]:
+        m = self._snapshot()
+        schema_json = m.schema_json or T.StructType([]).json()
+        return [
+            FilePartition(str(Path(self.root) / f.path), schema_json)
+            for f in m.files
+            if all(
+                _file_may_match(f.stats, c, op, v) for c, op, v in self._where
+            )
+        ]
+
+    def read(self, partition: FilePartition) -> "Iterator[pa.RecordBatch]":
+        # partition is None when partitions() returned [] (all files pruned
+        # or an empty table) — Spark then plans one partitionless task
+        if partition is None:
+            return iter(())
+        return _read_file_as_batches(partition.path, partition.schema_json)
+
+
+class ManagedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, options: dict):
+        self.root = root
+        self.options = options
+        self._skip_changes = options.get("skipchangecommits", "false") == "true"
+        self._ignore_changes = options.get("ignorechanges", "false") == "true"
+        self._starting = options.get("startingversion")
+
+    def _table(self) -> ManagedTable:
+        return ManagedTable(None, self.root)
+
+    def initialOffset(self) -> dict:
+        # version -1 = "nothing consumed": the first batch is the initial
+        # snapshot up to the head observed at planning time. startingVersion
+        # 'latest' tails new commits only; an integer N starts the tail at
+        # N (exclusive) without an initial snapshot, like Delta.
+        if self._starting is None:
+            return {"version": -1}
+        if self._starting == "latest":
+            return {"version": self._table()._head_version()}
+        return {"version": int(self._starting)}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table()._head_version()}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> list[FilePartition]:
+        t = self._table()
+        end_v = end["version"]
+        end_m = t.snapshot(end_v)
+        schema_json = end_m.schema_json or T.StructType([]).json()
+        root = Path(self.root)
+        if start["version"] < 0:
+            # initial snapshot: live files at end_v — deletes that happened
+            # before the stream existed are already reflected
+            paths = [str(root / f.path) for f in end_m.files]
+            return [FilePartition(p, schema_json) for p in paths]
+        paths = []
+        for v in range(start["version"] + 1, end_v + 1):
+            raw = t._raw(v)
+            if "files" in raw:  # legacy full-state record: diff vs prior
+                prev = {f.path for f in t.snapshot(v - 1).files}
+                adds = [f["path"] for f in raw["files"] if f["path"] not in prev]
+                removed = prev - {f["path"] for f in raw["files"]}
+            else:
+                adds = [e["path"] for e in raw["add"]]
+                removed = set(raw["remove"])
+            if _cdc_skip(raw["op"]):
+                continue
+            if removed:
+                if self._skip_changes:
+                    continue
+                if not self._ignore_changes:
+                    raise ValueError(
+                        f"commit v{v} ({raw['op']!r}) rewrote data files; a "
+                        f"tailing stream would double-deliver surviving "
+                        f"rows. Set skipChangeCommits=true to drop such "
+                        f"commits or ignoreChanges=true to accept "
+                        f"at-least-once delivery of their files."
+                    )
+            paths.extend(adds)
+        return [FilePartition(str(root / p), schema_json) for p in paths]
+
+    def read(self, partition: FilePartition) -> "Iterator[pa.RecordBatch]":
+        if partition is None:  # empty batch range (all commits skipped)
+            return iter(())
+        return _read_file_as_batches(partition.path, partition.schema_json)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to release
+
+
+class ManagedTableDataSource(DataSource):
+    """``spark.read.format("managed_table")`` / ``readStream`` entry point.
+
+    The table root comes from ``.load(path)`` or ``option("path", ...)``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "managed_table"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "managed_table requires a table root: .load(path) or "
+                ".option('path', ...)"
+            )
+        return root
+
+    def schema(self) -> T.StructType:
+        t = ManagedTable(None, self._root())
+        v = self.options.get("versionasof")
+        ts = self.options.get("timestampasof")
+        m = t.snapshot(
+            version=int(v) if v is not None else None, timestamp=ts
+        )
+        if not m.schema_json:
+            return T.StructType([])
+        return _nullable(T.StructType.fromJson(json.loads(m.schema_json)))
+
+    def reader(self, schema: T.StructType) -> ManagedTableBatchReader:
+        return ManagedTableBatchReader(self._root(), dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> ManagedTableStreamReader:
+        return ManagedTableStreamReader(self._root(), dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the ``managed_table`` format on a session."""
+    spark.dataSource.register(ManagedTableDataSource)

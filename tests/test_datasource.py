@@ -1,0 +1,175 @@
+"""managed_table Python Data Source (sources/datasource.py): batch reads
+(snapshot parity, time travel, schema evolution, stats-based file pruning)
+and Delta-style stream tailing (initial snapshot, incremental commits,
+checkpoint recovery, change-commit guard)."""
+
+import pytest
+
+from data_warehouse_copy_spark.sources.datasource import (
+    ManagedTableBatchReader,
+    ManagedTableDataSource,
+    register,
+)
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _registered(spark):
+    register(spark)
+
+
+def _mk(spark, tmp_path, n=20, **create_kw):
+    t = ManagedTable.create(spark, tmp_path / "t", **create_kw)
+    t.append(
+        spark.range(n).selectExpr("id", "id * 2 AS v", "concat('k', id) AS k")
+    )
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------------ batch
+
+
+def test_batch_read_matches_native(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(20, 35).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    via_ds = spark.read.format("managed_table").load(str(t.root))
+    assert _rows(via_ds) == _rows(t.read())
+    assert [f.name for f in via_ds.schema.fields] == ["id", "v", "k"]
+
+
+def test_batch_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    t.append(spark.range(10, 20).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    v1 = (
+        spark.read.format("managed_table")
+        .option("versionAsOf", "1")
+        .load(str(t.root))
+    )
+    assert v1.count() == 10
+    assert _rows(v1) == _rows(t.read(version=1))
+
+
+def test_batch_schema_evolution_null_fills(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5)
+    t.append(
+        spark.range(5, 8).selectExpr(
+            "id", "id*2 AS v", "concat('k',id) AS k", "id + 100 AS extra"
+        ),
+        merge_schema=True,
+    )
+    df = spark.read.format("managed_table").load(str(t.root))
+    got = {r.id: r.extra for r in df.collect()}
+    assert got[1] is None and got[6] == 106
+
+
+def test_batch_filter_prunes_files_by_stats(spark, tmp_path):
+    # range-clustered on id -> disjoint per-file min/max spans; a point
+    # predicate must open O(1) files, not the whole table
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="id")
+    # AQE would coalesce 1k tiny rows into one file; pin the range-shuffle
+    # width so multiple disjoint cluster spans materialize
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    n_files = len(t.snapshot().files)
+    assert n_files > 1
+    reader = ManagedTableBatchReader(str(t.root), {})
+    from pyspark.sql.datasource import EqualTo
+
+    kept = reader.pushFilters([EqualTo(("id",), 3)])
+    assert list(kept) == [EqualTo(("id",), 3)]  # Spark still filters rows
+    assert len(reader.partitions()) < n_files
+    # end-to-end: the pruned plan still returns the exact row
+    df = spark.read.format("managed_table").load(str(t.root)).filter("id = 3")
+    assert df.collect() == [(3, 6)]
+    # pruning to ZERO files must yield an empty frame, not a planner crash
+    # (Spark plans one partitionless task when partitions() returns [])
+    none = spark.read.format("managed_table").load(str(t.root)).filter("id = 5000")
+    assert none.count() == 0
+
+
+def test_batch_requires_path():
+    with pytest.raises(Exception):
+        ManagedTableDataSource(options={}).schema()
+
+
+# ----------------------------------------------------------------- stream
+
+
+def _tail_query(spark, root, out, ckpt, **opts):
+    reader = spark.readStream.format("managed_table")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load(str(root))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+
+
+def test_stream_snapshot_then_tail_exactly_once(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5)
+    t.append(spark.range(5, 8).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(spark, t.root, out, ckpt)
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(str(out)).count() == 8  # initial snapshot
+        t.append(spark.range(8, 12).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+        q.processAllAvailable()
+        assert spark.read.parquet(str(out)).count() == 12  # tail only
+    finally:
+        q.stop()
+    # restart from the checkpoint: the commit made while down arrives once
+    t.append(spark.range(12, 15).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    q2 = _tail_query(spark, t.root, out, ckpt)
+    try:
+        q2.processAllAvailable()
+        df = spark.read.parquet(str(out))
+        assert df.count() == 15 == df.distinct().count()
+    finally:
+        q2.stop()
+
+
+def test_stream_change_commit_raises_unless_opted_in(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(spark, t.root, out, ckpt)
+    try:
+        q.processAllAvailable()
+        t.delete([("id", "<", 3)])  # rewrite commit
+        with pytest.raises(Exception, match="rewrote data files"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # skipChangeCommits drops the rewrite but keeps later appends flowing
+    t.append(spark.range(10, 12).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    q2 = _tail_query(spark, t.root, out, ckpt, skipChangeCommits="true")
+    try:
+        q2.processAllAvailable()
+        df = spark.read.parquet(str(out))
+        assert df.count() == 12 and df.agg({"id": "max"}).first()[0] == 11
+    finally:
+        q2.stop()
+
+
+def test_stream_starting_version_latest_skips_history(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(spark, t.root, out, ckpt, startingVersion="latest")
+    try:
+        q.processAllAvailable()
+        t.append(spark.range(10, 13).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+        q.processAllAvailable()
+        df = spark.read.parquet(str(out))
+        assert df.count() == 3 and df.agg({"id": "min"}).first()[0] == 10
+    finally:
+        q.stop()
