@@ -3539,6 +3539,162 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
 # correctness gate checks exactly the first 50 entries, so an oracle-backed
 # query past position 50 would silently lose its hash check (this bit
 # round 1: three oracle-backed queries shipped unverified).
+def training_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CONTENT-keyed train/valid/test split — the
+    leakage-safe alternative to id-hash splitting: the bucket is an md5 of
+    the normalized text, so byte-identical documents (the classic
+    contamination vector — the same page crawled twice under two ids) can
+    never straddle splits. Membership is a pure projection: stable across
+    runs, engines, partitionings, and corpus growth (new docs don't
+    re-shuffle old assignments — the property ``randomSplit`` lacks).
+
+    90/5/5 by the first 8 hex digits of md5 mod 100; the salt pins the
+    split identity so a future re-split can pick a new one without
+    colliding with this assignment.
+
+    100 TB shape: zero shuffles — one codegen projection riding the scan
+    (md5 over the already-materialized text column), then a partial-agg
+    count per (split, lang) for the audit rollup shape."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lower(F.trim(F.col("text"))), F.lit("|split-v1"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT doc_id, lang,
+       ('0x' || substr(md5(lower(trim(text)) || '|split-v1'), 1, 8))::BIGINT % 100
+         AS bucket,
+       CASE WHEN ('0x' || substr(md5(lower(trim(text)) || '|split-v1'), 1, 8))::BIGINT % 100 < 90
+              THEN 'train'
+            WHEN ('0x' || substr(md5(lower(trim(text)) || '|split-v1'), 1, 8))::BIGINT % 100 < 95
+              THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling over the hourly metric series — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` + ``interpolate``
+    surface: the (type, hour) grid is densified over each type's observed
+    span, missing hours get a zero event count, a carried-forward metric
+    (LOCF), and a linearly interpolated one between the nearest observed
+    neighbors (falling back to the single existing neighbor at the edges).
+
+    The metric is a decimal-exact hourly sum cast to double, and the
+    interpolation arithmetic mirrors the oracle expression shape
+    token-for-token so the hash comparison is bit-exact.
+
+    100 TB shape: one hourly-rollup shuffle (in production this reads the
+    continuous aggregate, not raw events) + two window passes over the
+    dense #types x #hours grid — metadata scale, same as the anomaly
+    detector it feeds."""
+    (events,) = _prep(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count("*").alias("n"), _dec_sum("value").alias("v"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.col("v"),
+        F.unix_timestamp("hour").alias("t"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs = F.col("v").isNotNull()
+    prev_v = F.last(F.when(obs, F.col("v")), ignorenulls=True).over(wb)
+    prev_t = F.last(F.when(obs, F.col("t")), ignorenulls=True).over(wb)
+    next_v = F.first(F.when(obs, F.col("v")), ignorenulls=True).over(wf)
+    next_t = F.first(F.when(obs, F.col("t")), ignorenulls=True).over(wf)
+    interp = (
+        F.when(obs, F.col("v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("t") - prev_t)
+            / (next_t - prev_t),
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return dense.select(
+        "event_type",
+        "hour",
+        "n",
+        prev_v.alias("v_locf"),
+        interp.alias("v_interp"),
+    )
+
+
+GAP_FILL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n, {_sql_dec_sum('value')} AS v
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY event_type)),
+dense AS (
+  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n, h.v,
+         CAST(floor(epoch(g.hour)) AS BIGINT) AS t
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.hour = h.hour),
+neighbors AS (
+  SELECT event_type, hour, n, v, t,
+         last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS prev_t,
+         first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS next_t
+  FROM dense
+  WINDOW wb AS (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, hour, n,
+       prev_v AS v_locf,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+            ELSE COALESCE(prev_v, next_v) END AS v_interp
+FROM neighbors
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -3624,6 +3780,8 @@ QUERIES: dict[str, QueryFn] = {
     "orders_trailing_revenue": orders_trailing_revenue,
     "events_hourly_anomalies": events_hourly_anomalies,
     "copurchase_part_pairs": copurchase_part_pairs,
+    "training_split_assign": training_split_assign,
+    "events_gap_fill": events_gap_fill,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3721,4 +3879,6 @@ ORACLES: dict[str, str] = {
     "orders_trailing_revenue": TRAILING_REVENUE_SQL,
     "events_hourly_anomalies": EVENTS_ANOMALY_SQL,
     "copurchase_part_pairs": COPURCHASE_SQL,
+    "training_split_assign": SPLIT_ASSIGN_SQL,
+    "events_gap_fill": GAP_FILL_SQL,
 }
