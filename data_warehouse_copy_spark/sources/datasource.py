@@ -43,6 +43,16 @@ exact Delta source contract. Replaying a micro-batch after checkpoint
 recovery re-reads the same immutable version range, so delivery into an
 idempotent sink is exactly-once.
 
+Write paths complete the pair. Batch
+(``df.write.format("managed_table").mode("append"|"overwrite")``) and
+streaming (``writeStream.format("managed_table")``, exactly-once via a
+required ``txnAppId`` option) both run the Delta two-phase protocol:
+executors stage uuid-named parquet files in parallel (footer stats
+harvested at write), the driver folds them into ONE atomic manifest
+commit — O(files touched) metadata, optimistic rebase against concurrent
+writers, and a retried micro-batch is a txn-watermark no-op whose orphan
+stages fall to ``vacuum()``.
+
 Scale note: executors open data files directly by path, so the table root
 must be on storage every executor mounts (the same contract as any
 file-based source); the driver touches only the log.
@@ -59,9 +69,13 @@ import json
 from pathlib import Path
 from typing import TYPE_CHECKING, Iterable, Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -70,6 +84,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -264,6 +279,180 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         pass  # offsets live in the query checkpoint; nothing to release
 
 
+@dataclass
+class FileCommit(WriterCommitMessage):
+    """One task's staged parquet file: relative path + rows + footer
+    min/max stats, i.e. exactly a manifest :class:`FileEntry` payload."""
+
+    path: str | None  # None: the task received no rows and staged nothing
+    rows: int
+    stats: dict | None
+
+
+def _stage_batches(root: str, iterator) -> FileCommit:
+    """Executor-side half of the two-phase commit: write this task's Arrow
+    batches as ONE parquet file under the table's data dir (a uuid name —
+    no coordination needed), harvest footer stats, and hand the driver a
+    :class:`FileCommit`. The file is invisible until the driver's commit()
+    links it into the log, so a failed/duplicated task leaves only an
+    unreferenced orphan for vacuum()."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    writer = None
+    rel = f"data/dsw-{_uuid.uuid4().hex}.snappy.parquet"
+    abs_path = Path(root) / rel
+    rows = 0
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                abs_path.parent.mkdir(parents=True, exist_ok=True)
+                writer = pq.ParquetWriter(
+                    abs_path, batch.schema, compression="snappy"
+                )
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if rows == 0:
+        return FileCommit(path=None, rows=0, stats=None)
+    from data_warehouse_copy_spark.sources.managed_table import _harvest_stats
+
+    stats = _harvest_stats(pq.ParquetFile(abs_path).metadata)
+    return FileCommit(path=rel, rows=rows, stats=stats or None)
+
+
+def _commit_staged(
+    root: str,
+    schema: T.StructType,
+    messages,
+    op: str,
+    txn: tuple | None = None,
+) -> None:
+    """Driver-side half: validate the write schema against the manifest,
+    then fold every staged file into ONE atomic log commit (O(files
+    touched) payload; optimistic rebase against concurrent writers; txn
+    watermark makes a retried micro-batch a no-op — files staged by the
+    retry stay unreferenced and fall to vacuum)."""
+    from data_warehouse_copy_spark.sources.managed_table import (
+        FileEntry,
+        ManagedTable,
+        _lock_for,
+    )
+
+    t = ManagedTable.create(None, root)  # no-op when the table exists
+    entries = tuple(
+        FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
+        for m in messages
+        if m is not None and m.path is not None
+    )
+    with _lock_for(t.root):
+        m = t.snapshot()
+        if m.partition_date_col:
+            raise ValueError(
+                f"managed_table writer does not support day-partitioned "
+                f"tables (partition_date_col="
+                f"{m.partition_date_col!r}): files written without a "
+                f"partition tag would be invisible to partition-pruned "
+                f"range overwrites. Use ManagedTable.append / a "
+                f"foreachBatch sink for partitioned tables."
+            )
+        if m.schema_json:
+            existing = T.StructType.fromJson(json.loads(m.schema_json))
+            have = {f.name: f.dataType.simpleString() for f in schema.fields}
+            want = {f.name: f.dataType.simpleString() for f in existing.fields}
+            if have != want:
+                raise ValueError(
+                    f"managed_table write schema mismatch: table has "
+                    f"{sorted(want.items())}, dataframe has "
+                    f"{sorted(have.items())} (the declarative writer "
+                    f"never evolves the schema; use "
+                    f"ManagedTable.append(merge_schema=True))"
+                )
+        commit_schema = schema.json() if not m.schema_json else None
+        if op == "overwrite":
+            t._commit_files(m, entries, commit_schema, "overwrite")
+        else:
+            t._commit_files(
+                m, tuple(m.files) + entries, commit_schema, "append", txn=txn
+            )
+
+
+def _abort_staged(root: str, messages) -> None:
+    for msg in messages:
+        if msg is not None and msg.path is not None:
+            (Path(root) / msg.path).unlink(missing_ok=True)
+
+
+class ManagedTableBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("managed_table").mode("append"|"overwrite")``:
+    executors stage parquet files in parallel, the driver lands one atomic
+    manifest commit — the Delta two-phase write protocol. Clustering is
+    not applied by this path (``compact()`` re-clusters); day-partitioned
+    tables are rejected (see :func:`_commit_staged`)."""
+
+    def __init__(self, root: str, schema: T.StructType, overwrite: bool):
+        self.root = root
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> FileCommit:
+        return _stage_batches(self.root, iterator)
+
+    def commit(self, messages) -> None:
+        _commit_staged(
+            self.root,
+            T.StructType.fromJson(json.loads(self.schema_json)),
+            messages,
+            "overwrite" if self.overwrite else "append",
+        )
+
+    def abort(self, messages) -> None:
+        _abort_staged(self.root, messages)
+
+
+class ManagedTableStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("managed_table")``: an EXACTLY-ONCE streaming
+    sink without foreachBatch. Each micro-batch is one atomic manifest
+    commit carrying ``txn=(txnAppId, batchId)`` — a retried batch (task
+    retry, driver restart replaying from the checkpoint) presents the same
+    watermark and commits nothing, so rows land exactly once. ``txnAppId``
+    is REQUIRED and must be unique per query writing this table (two
+    queries sharing an id would swallow each other's batches — same
+    contract as Delta's txnAppId)."""
+
+    def __init__(self, root: str, schema: T.StructType, options: dict):
+        app_id = options.get("txnappid")
+        if not app_id:
+            raise ValueError(
+                "managed_table streaming sink requires option('txnAppId', "
+                "<unique-per-query id>) — the idempotence watermark that "
+                "makes retried micro-batches exactly-once"
+            )
+        self.root = root
+        self.schema_json = schema.json()
+        self.app_id = app_id
+
+    def write(self, iterator) -> FileCommit:
+        return _stage_batches(self.root, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_staged(
+            self.root,
+            T.StructType.fromJson(json.loads(self.schema_json)),
+            messages,
+            "append",
+            txn=(self.app_id, batchId),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_staged(self.root, messages)
+
+
 class ManagedTableDataSource(DataSource):
     """``spark.read.format("managed_table")`` / ``readStream`` entry point.
 
@@ -299,6 +488,12 @@ class ManagedTableDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> ManagedTableStreamReader:
         return ManagedTableStreamReader(self._root(), dict(self.options))
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> ManagedTableBatchWriter:
+        return ManagedTableBatchWriter(self._root(), schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> ManagedTableStreamWriter:
+        return ManagedTableStreamWriter(self._root(), schema, dict(self.options))
 
 
 def register(spark) -> None:

@@ -161,6 +161,108 @@ def test_stream_change_commit_raises_unless_opted_in(spark, tmp_path):
         q2.stop()
 
 
+# ----------------------------------------------------------------- write
+
+
+def test_batch_write_append_and_overwrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id * 3 AS v")
+    # auto-creates the table on first write
+    df.write.format("managed_table").mode("append").save(root)
+    t = ManagedTable(spark, root)
+    assert t.read().count() == 100
+    df.write.format("managed_table").mode("append").save(root)
+    assert t.read().count() == 200
+    spark.range(5).selectExpr("id", "id*3 AS v").write.format(
+        "managed_table"
+    ).mode("overwrite").save(root)
+    assert t.read().count() == 5
+    # staged files carry footer stats -> native data skipping works on them
+    got = t.read(where=[("id", "=", 3)])
+    assert [r.id for r in got.collect()] == [3]
+
+
+def test_batch_write_schema_mismatch_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spark.range(5).selectExpr("id", "id*3 AS v").write.format(
+        "managed_table"
+    ).mode("append").save(root)
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(3).selectExpr(
+            "id", "CAST(id AS STRING) AS v"
+        ).write.format("managed_table").mode("append").save(root)
+    assert ManagedTable(spark, root).read().count() == 5
+
+
+def test_batch_write_partitioned_table_rejected(spark, tmp_path):
+    ManagedTable.create(spark, tmp_path / "t", partition_date_col="d")
+    with pytest.raises(Exception, match="day-partitioned"):
+        spark.sql("SELECT DATE'2024-01-01' AS d, 1 AS v").write.format(
+            "managed_table"
+        ).mode("append").save(str(tmp_path / "t"))
+
+
+def test_stream_sink_exactly_once_and_retry_noop(spark, tmp_path):
+    src = _mk(spark, tmp_path, n=10)
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("managed_table")
+            .load(str(src.root))
+            .writeStream.format("managed_table")
+            .option("txnAppId", "q-test")
+            .option("path", sink_root)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert ManagedTable(spark, sink_root).read().count() == 10
+        src.append(
+            spark.range(10, 14).selectExpr("id", "id*2 AS v", "concat('k',id) AS k")
+        )
+        q.processAllAvailable()
+        sk = ManagedTable(spark, sink_root)
+        assert sk.read().count() == 14 == sk.read().distinct().count()
+    finally:
+        q.stop()
+    # restart from the checkpoint: nothing new -> no duplicates
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        sk = ManagedTable(spark, sink_root)
+        assert sk.read().count() == 14 == sk.read().distinct().count()
+    finally:
+        q2.stop()
+    # a replayed commit (same txnAppId+batchId) is a no-op at the log level
+    from data_warehouse_copy_spark.sources.datasource import (
+        FileCommit,
+        ManagedTableStreamWriter,
+    )
+
+    w = ManagedTableStreamWriter(
+        sink_root,
+        ManagedTable(spark, sink_root).read().schema,
+        {"txnappid": "q-test"},
+    )
+    before = ManagedTable(spark, sink_root).snapshot().version
+    w.commit([FileCommit(path=None, rows=0, stats=None)], batchId=0)
+    assert ManagedTable(spark, sink_root).snapshot().version == before
+
+
+def test_stream_sink_requires_txn_app_id(spark, tmp_path):
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableStreamWriter,
+    )
+
+    with pytest.raises(ValueError, match="txnAppId"):
+        ManagedTableStreamWriter(str(tmp_path / "t"), None, {})
+
+
 def test_stream_starting_version_latest_skips_history(spark, tmp_path):
     t = _mk(spark, tmp_path, n=10)
     out, ckpt = tmp_path / "out", tmp_path / "ckpt"
