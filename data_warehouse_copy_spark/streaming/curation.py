@@ -108,3 +108,38 @@ def stream_curate_documents(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_curate_from_table(
+    spark,
+    bronze_root: str,
+    target: ManagedTable,
+    checkpoint_dir: str,
+    app_id: str = "curation",
+):
+    """Bronze→silver medallion flow: tail a raw-ingest
+    :class:`ManagedTable` through the ``managed_table`` stream source
+    (sources/datasource.py — initial snapshot, then O(new commits) per
+    trigger) and run the same curation sink. End-to-end the lakehouse loop
+    is: any ingest path appends to bronze → this query curates
+    incrementally → silver serves training prep; a driver restart resumes
+    from the checkpointed commit-version offset and re-delivered
+    micro-batches are txn no-ops on the silver manifest — exactly-once
+    from table to table."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        has_rows = target.snapshot().schema_json is not None
+        existing = target.read().select("fp") if has_rows else None
+        curated = curate_batch(batch_df, existing)
+        target.append(curated, txn=(app_id, epoch_id))
+
+    return (
+        spark.readStream.format("managed_table")
+        .load(bronze_root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -675,6 +675,55 @@ def test_stream_curation_matches_sequential_batches(spark, sf_dir, tmp_path):
     assert all("@" not in r.text for r in got_rows)        # …with PII redacted
 
 
+def test_stream_curation_from_bronze_table(spark, sf_dir, tmp_path):
+    """Bronze→silver medallion loop over the managed_table stream source:
+    raw documents land in a bronze ManagedTable by ANY ingest path, the
+    curation query tails its commit log (initial snapshot, then O(new
+    commits) per trigger), and the silver table must equal sequential
+    curate_batch over the same arrival order — including across a
+    query restart from the checkpoint."""
+    from data_warehouse_copy_spark.streaming.curation import (
+        curate_batch,
+        stream_curate_from_table,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    b1 = docs.filter(F.col("doc_id") < 300)
+    rearrivals = b1.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    b2 = docs.filter(F.col("doc_id") >= 300).unionByName(rearrivals)
+
+    bronze = ManagedTable.create(spark, str(tmp_path / "bronze"))
+    bronze.append(b1)
+    silver = ManagedTable.create(spark, str(tmp_path / "silver"))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_curate_from_table(spark, str(bronze.root), silver, ckpt)
+    try:
+        q.processAllAvailable()  # batch 1 curated before batch 2 lands
+    finally:
+        q.stop()
+    bronze.append(b2)  # arrives while the query is down
+    q2 = stream_curate_from_table(spark, str(bronze.root), silver, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    c1 = curate_batch(b1)
+    c2 = curate_batch(b2, c1.select("fp"))
+    expected = sorted(map(tuple, c1.unionByName(c2).collect()))
+    got_rows = silver.read().collect()
+    got = sorted(map(tuple, got_rows))
+    assert len(got) > 0 and got == expected
+    fps = [r.fp for r in got_rows]
+    assert len(fps) == len(set(fps))             # corpus-unique across restart
+    assert not any(r.doc_id >= 10000 for r in got_rows)  # re-arrivals dropped
+
+
 def test_session_window_stream_matches_batch(spark, events, tmp_path):
     """Native session_window under a real readStream: sessions only emit
     once the watermark proves the gap closed, so a sentinel event 2 days
