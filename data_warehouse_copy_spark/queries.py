@@ -3539,6 +3539,34 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
 # correctness gate checks exactly the first 50 entries, so an oracle-backed
 # query past position 50 would silently lose its hash check (this bit
 # round 1: three oracle-backed queries shipped unverified).
+def datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-source roundtrip (sources/datasource.py): the March
+    lineitem window is written through ``df.write.format("managed_table")``
+    (executor-staged files + one atomic manifest commit) and served back
+    through ``spark.read.format(...)`` with an l_orderkey filter, so the
+    pushFilters manifest-stats skipping path is what produces the rows.
+    Oracle: the equivalent plain windowed filter — proving the two-phase
+    writer neither drops nor duplicates rows and the pruned read is a
+    strict superset re-filtered exactly."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    window = li.filter(
+        F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
+    )
+    root = f"{tempfile.mkdtemp(prefix='dwcs_ds_')}/lineitem"
+    window.write.format("managed_table").mode("append").save(root)
+    return (
+        spark.read.format("managed_table")
+        .load(root)
+        .filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 40000))
+    )
+
+
+DATASOURCE_ROUNDTRIP_SQL = CLUSTERED_LOOKUP_SQL
+
+
 def training_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic CONTENT-keyed train/valid/test split — the
     leakage-safe alternative to id-hash splitting: the bucket is an md5 of
@@ -3782,6 +3810,7 @@ QUERIES: dict[str, QueryFn] = {
     "copurchase_part_pairs": copurchase_part_pairs,
     "training_split_assign": training_split_assign,
     "events_gap_fill": events_gap_fill,
+    "datasource_roundtrip": datasource_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3881,4 +3910,5 @@ ORACLES: dict[str, str] = {
     "copurchase_part_pairs": COPURCHASE_SQL,
     "training_split_assign": SPLIT_ASSIGN_SQL,
     "events_gap_fill": GAP_FILL_SQL,
+    "datasource_roundtrip": DATASOURCE_ROUNDTRIP_SQL,
 }

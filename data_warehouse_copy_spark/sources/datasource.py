@@ -497,5 +497,15 @@ class ManagedTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the ``managed_table`` format on a session."""
+    """Idempotently register the ``managed_table`` format on a session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (off by
+    default in Spark 4.1): with it off, Spark refuses any reader that
+    implements ``pushFilters`` rather than silently skipping pruning, so a
+    session built outside :func:`~data_warehouse_copy_spark.session.
+    get_spark` would fail on first read instead of running unpruned."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Connect policy): get_spark set it
     spark.dataSource.register(ManagedTableDataSource)

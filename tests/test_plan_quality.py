@@ -201,3 +201,27 @@ def test_incremental_dedup_antijoin_stays_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_split_assign_is_pure_projection(spark, sf_dir):
+    """The train/valid/test assignment must ride the scan — zero
+    exchanges: at 100 TB any shuffle here would move the whole corpus to
+    compute a per-row md5 bucket."""
+    plan = _plan(spark, sf_dir, "training_split_assign")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_grid_joins_stay_equi(spark, sf_dir):
+    """Gap fill is one hourly rollup plus window passes over the dense
+    (type, hour) grid — the grid join must stay an equi-join (a BNLJ or
+    cartesian would pair every grid cell with every rollup row) and the
+    plan must not exceed the rollup+grid+window exchange budget."""
+    import re
+
+    plan = _plan(spark, sf_dir, "events_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # rollup agg + span agg/grid join + window repartition — nothing more
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 4

@@ -205,3 +205,54 @@ def test_update_where_equals_case_projection(spark, tmp_path_factory, preds, del
     assert {tuple(r) for r in t.read().collect()} == {
         tuple(r) for r in expected.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# managed_table declarative writer ≡ native append/overwrite
+# ---------------------------------------------------------------------------
+
+_ds_op = st.tuples(
+    st.sampled_from(["w_append", "w_overwrite", "n_append"]),
+    st.integers(0, 40),   # range start
+    st.integers(1, 15),   # range length
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_ds_op, min_size=1, max_size=5))
+def test_datasource_writer_interleaves_with_native(
+    spark, tmp_path_factory, ops
+):
+    """Any interleaving of declarative writes (df.write.format) and native
+    ManagedTable.append must equal the same multiset of rows replayed on a
+    plain list — the two write protocols share one log, so neither may
+    drop, duplicate, or resurrect the other's rows."""
+    from data_warehouse_copy_spark.sources.datasource import register
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+    register(spark)
+    tmp = tmp_path_factory.mktemp("dsw_prop")
+    root = str(tmp / "t")
+    t = ManagedTable.create(spark, root)
+    expected: list[tuple] = []
+    for kind, lo, n in ops:
+        rows = [(lo + i, (lo + i) * 2) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        if kind == "w_append":
+            df.write.format("managed_table").mode("append").save(root)
+            expected.extend(rows)
+        elif kind == "w_overwrite":
+            df.write.format("managed_table").mode("overwrite").save(root)
+            expected = list(rows)
+        else:
+            t.append(df)
+            expected.extend(rows)
+    native = sorted(map(tuple, t.read().collect()))
+    via_ds = sorted(
+        map(tuple, spark.read.format("managed_table").load(root).collect())
+    )
+    assert native == via_ds == sorted(expected)
