@@ -57,6 +57,17 @@ Scale note: executors open data files directly by path, so the table root
 must be on storage every executor mounts (the same contract as any
 file-based source); the driver touches only the log.
 
+Deliberate API boundaries (what the Python Data Source API can't express,
+and the honest workaround): (a) column pruning does not cross the
+Python-worker boundary — a bare ``.select("a")`` still scans every column;
+pass ``option("columns", "a,b")`` to narrow the declared schema (per-file
+reads then open only those parquet columns), or use the native
+``ManagedTable.read()`` JVM scan for projection-heavy analytics. (b) the
+streaming API has no ReadLimit hook, so there is no ``maxFilesPerTrigger``
+— the initial snapshot of a huge table arrives as ONE micro-batch; bound a
+backfill with ``startingVersion`` plus a batch read of the history, then
+tail.
+
 Reference parity: the reference engine copies whole tables per run
 (`BulkCopyManager.cs:100-104` dispatch); this source is the incremental
 replacement surface — a downstream copy becomes ``readStream`` +
@@ -131,6 +142,27 @@ def _where_triples(filters: Iterable[Filter]) -> list[tuple]:
     return out
 
 
+def _narrow_schema_json(schema_json: str, options: dict) -> str:
+    """Apply the ``columns`` option (comma-separated projection). The
+    Python Data Source API pushes filters but NOT column pruning — a bare
+    ``.select("a")`` still scans every column through the Python worker —
+    so callers projecting a wide table declare the columns here and the
+    per-file reads open only those parquet columns."""
+    cols_opt = options.get("columns")
+    if not cols_opt:
+        return schema_json
+    want = [c.strip() for c in cols_opt.split(",") if c.strip()]
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    by_name = {f.name: f for f in schema.fields}
+    missing = [c for c in want if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"columns option names absent from the table schema: {missing} "
+            f"(table has {sorted(by_name)})"
+        )
+    return T.StructType([by_name[c] for c in want]).json()
+
+
 def _nullable(schema: T.StructType) -> T.StructType:
     """All-nullable copy: additive schema evolution null-fills columns in
     files that predate them, so the source's declared schema must not
@@ -189,7 +221,9 @@ class ManagedTableBatchReader(DataSourceReader):
 
     def partitions(self) -> list[FilePartition]:
         m = self._snapshot()
-        schema_json = m.schema_json or T.StructType([]).json()
+        schema_json = _narrow_schema_json(
+            m.schema_json or T.StructType([]).json(), self.options
+        )
         return [
             FilePartition(str(Path(self.root) / f.path), schema_json)
             for f in m.files
@@ -237,7 +271,9 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         t = self._table()
         end_v = end["version"]
         end_m = t.snapshot(end_v)
-        schema_json = end_m.schema_json or T.StructType([]).json()
+        schema_json = _narrow_schema_json(
+            end_m.schema_json or T.StructType([]).json(), self.options
+        )
         root = Path(self.root)
         if start["version"] < 0:
             # initial snapshot: live files at end_v — deletes that happened
@@ -481,7 +517,8 @@ class ManagedTableDataSource(DataSource):
         )
         if not m.schema_json:
             return T.StructType([])
-        return _nullable(T.StructType.fromJson(json.loads(m.schema_json)))
+        narrowed = _narrow_schema_json(m.schema_json, dict(self.options))
+        return _nullable(T.StructType.fromJson(json.loads(narrowed)))
 
     def reader(self, schema: T.StructType) -> ManagedTableBatchReader:
         return ManagedTableBatchReader(self._root(), dict(self.options))

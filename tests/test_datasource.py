@@ -161,6 +161,26 @@ def test_stream_change_commit_raises_unless_opted_in(spark, tmp_path):
         q2.stop()
 
 
+def test_batch_columns_option_prunes_scan(spark, tmp_path):
+    """option('columns', ...) narrows the declared schema — the Python DS
+    API has no column-pruning hook, so this is how a projection avoids
+    scanning the wide payload through the Python worker."""
+    t = _mk(spark, tmp_path, n=10)
+    df = (
+        spark.read.format("managed_table")
+        .option("columns", "k, id")
+        .load(str(t.root))
+    )
+    assert df.columns == ["k", "id"]  # declared order, not table order
+    assert sorted((r.k, r.id) for r in df.collect()) == sorted(
+        (f"k{i}", i) for i in range(10)
+    )
+    with pytest.raises(Exception, match="absent from the table schema"):
+        spark.read.format("managed_table").option("columns", "nope").load(
+            str(t.root)
+        ).collect()
+
+
 # ----------------------------------------------------------------- write
 
 
