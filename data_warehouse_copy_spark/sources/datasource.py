@@ -386,6 +386,12 @@ def _commit_staged(
         for m in messages
         if m is not None and m.path is not None
     )
+    if op == "append" and not entries:
+        # nothing staged (an empty micro-batch / empty frame): committing
+        # an empty diff per trigger would churn the log for no data, and
+        # skipping is replay-safe — an empty batch is naturally idempotent.
+        # An empty OVERWRITE still commits: it is a legitimate truncate.
+        return
     with _lock_for(t.root):
         m = t.snapshot()
         if m.partition_date_col:
@@ -515,6 +521,14 @@ class ManagedTableDataSource(DataSource):
         m = t.snapshot(
             version=int(v) if v is not None else None, timestamp=ts
         )
+        # Pin the resolved version for reader(): schema() and partitions()
+        # otherwise race a concurrent commit — declared schema from version
+        # N, file list from N+1 (a widened batch would then fail Spark's
+        # batch-schema check). Batch scans are version-consistent with the
+        # schema Spark planned against; the stream reader ignores this pin
+        # (it resolves schema per batch range).
+        self.options["versionasof"] = str(m.version)
+        self.options.pop("timestampasof", None)  # resolved into the pin
         if not m.schema_json:
             return T.StructType([])
         narrowed = _narrow_schema_json(m.schema_json, dict(self.options))

@@ -161,6 +161,38 @@ def test_stream_change_commit_raises_unless_opted_in(spark, tmp_path):
         q2.stop()
 
 
+def test_batch_read_is_snapshot_isolated(spark, tmp_path):
+    """The version is pinned when Spark plans the schema, so a batch frame
+    is a consistent snapshot: commits landing between load() and the
+    action neither appear in the results nor break the planned schema
+    (a concurrent merge_schema widen would otherwise fail the scan)."""
+    t = _mk(spark, tmp_path, n=10)
+    df = spark.read.format("managed_table").load(str(t.root))
+    t.append(
+        spark.range(10, 20).selectExpr(
+            "id", "id*2 AS v", "concat('k',id) AS k", "id AS late"
+        ),
+        merge_schema=True,
+    )
+    assert df.count() == 10  # the pre-append snapshot
+    assert "late" not in df.columns
+    # a fresh load sees the new version and column
+    df2 = spark.read.format("managed_table").load(str(t.root))
+    assert df2.count() == 20 and "late" in df2.columns
+
+
+def test_batch_timestamp_as_of(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10)
+    ts_v1 = t.history()[-1].ts
+    t.append(spark.range(10, 15).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    df = (
+        spark.read.format("managed_table")
+        .option("timestampAsOf", ts_v1)
+        .load(str(t.root))
+    )
+    assert df.count() == 10
+
+
 def test_batch_columns_option_prunes_scan(spark, tmp_path):
     """option('columns', ...) narrows the declared schema — the Python DS
     API has no column-pruning hook, so this is how a projection avoids
