@@ -24,34 +24,44 @@ Batch path (``ManagedTableBatchReader``):
   with additive schema evolution handled per file: columns appended after
   a file was written materialize as typed nulls, exactly like the native
   reader;
+- **snapshot-isolated**: the table version is pinned when Spark resolves
+  the schema, so commits landing between ``load()`` and the action neither
+  leak into results nor break the planned schema;
 - time travel via ``option("versionAsOf", N)`` /
   ``option("timestampAsOf", ts)``.
 
 Streaming path (``ManagedTableStreamReader``): Delta-style table tailing.
 Offsets are commit versions — ``{"version": N}`` means "commits ≤ N
-consumed". The first batch reads the **current snapshot** (live files at
-the stream-start head, so rows deleted before the stream began are not
-replayed), and every later batch is the action-log tail ``(N, N']`` —
-O(new commits) driver work per trigger, never a table rescan. Maintenance
-commits (``compact``, ``restore_*``) are skipped by the same rule as
-:meth:`ManagedTable.read_changes`. Data-rewriting commits
-(``delete``/``merge``/``overwrite``) raise by default — their added files
-carry surviving old rows, which a tailing consumer would double-count —
-unless the caller opts into ``skipChangeCommits`` (ignore them) or
-``ignoreChanges`` (deliver their adds, documented at-least-once), the
-exact Delta source contract. Replaying a micro-batch after checkpoint
-recovery re-reads the same immutable version range, so delivery into an
-idempotent sink is exactly-once.
+consumed" (the pre-first-batch sentinel additionally carries
+``"snapshot": true``). The first batch reads the **current snapshot**
+(live files at the stream-start head, so rows deleted before the stream
+began are not replayed), and every later batch is the action-log tail
+``(N, N']`` — O(new commits) driver work per trigger, never a table
+rescan. ``startingVersion`` is INCLUSIVE (Delta parity: commits from
+version N on are delivered; ``"latest"`` tails only new commits) and must
+not exceed the head. Maintenance commits (``compact``, ``restore_*``) are
+skipped by the same rule as :meth:`ManagedTable.read_changes`.
+Data-rewriting commits (``delete``/``merge``/``overwrite``) raise by
+default — their added files carry surviving old rows, which a tailing
+consumer would double-count — unless the caller opts into
+``skipChangeCommits`` (ignore them) or ``ignoreChanges`` (deliver their
+adds, documented at-least-once), the exact Delta source contract. Every
+micro-batch projects its files to the schema the stream was PLANNED with,
+so a mid-stream additive evolution does not break the query — the new
+column simply stays invisible until the stream restarts (restart to pick
+it up). Replaying a micro-batch after checkpoint recovery re-reads the
+same immutable version range, so delivery into an idempotent sink is
+exactly-once.
 
 Write paths complete the pair. Batch
 (``df.write.format("managed_table").mode("append"|"overwrite")``) and
 streaming (``writeStream.format("managed_table")``, exactly-once via a
-required ``txnAppId`` option) both run the Delta two-phase protocol:
-executors stage uuid-named parquet files in parallel (footer stats
-harvested at write), the driver folds them into ONE atomic manifest
-commit — O(files touched) metadata, optimistic rebase against concurrent
-writers, and a retried micro-batch is a txn-watermark no-op whose orphan
-stages fall to ``vacuum()``.
+required ``txnAppId`` option; ``outputMode("complete")`` truncates per
+batch) both run the Delta two-phase protocol: executors stage uuid-named
+parquet files in parallel (footer stats harvested at write), the driver
+folds them into ONE atomic manifest commit — O(files touched) metadata,
+optimistic rebase against concurrent writers, and a retried micro-batch
+is a txn-watermark no-op whose orphan stages fall to ``vacuum()``.
 
 Scale note: executors open data files directly by path, so the table root
 must be on storage every executor mounts (the same contract as any
@@ -110,13 +120,28 @@ if TYPE_CHECKING:
 
 
 class FilePartition(InputPartition):
-    """One parquet data file: absolute path + the reader-schema JSON the
-    executor should project it to (per-partition so a stream batch can pin
-    the range-end schema while the table head evolves further)."""
+    """One parquet data file (absolute path). The projection schema lives
+    on the READER, not here: it is fixed per scan / per stream plan, and a
+    per-partition copy would ship the same multi-KB JSON once per file —
+    real money on a million-file table."""
 
-    def __init__(self, path: str, schema_json: str):
+    def __init__(self, path: str):
         self.path = path
-        self.schema_json = schema_json
+
+
+def _opt_bool(options: dict, key: str) -> bool:
+    return str(options.get(key, "false")).strip().lower() == "true"
+
+
+def _require_table(root: str) -> ManagedTable:
+    t = ManagedTable(None, root)
+    if not t.exists():
+        raise ValueError(
+            f"no managed table at {root!r} (missing _log/_LATEST) — check "
+            f"the path, or create the table first (ManagedTable.create or "
+            f"a managed_table write)"
+        )
+    return t
 
 
 # pushFilters comparison classes -> the manifest-stats op tokens of
@@ -175,19 +200,21 @@ def _nullable(schema: T.StructType) -> T.StructType:
 def _read_file_as_batches(
     path: str, schema_json: str
 ) -> "Iterator[pa.RecordBatch]":
-    """Executor-side scan of one parquet file, projected to the table
-    schema: missing columns (added after this file was written) become
-    typed nulls, column order is normalized, and physical types are cast
-    to the arrow types Spark expects for the declared schema."""
+    """Executor-side scan of one parquet file, projected to the DECLARED
+    schema (the one Spark planned the query against): missing columns
+    (added after this file was written, or absent from a user-supplied
+    schema) become typed nulls, extra columns are dropped, column order is
+    normalized, and physical types are cast to the arrow types Spark
+    expects. One footer read per file (``pq.ParquetFile``)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     spark_schema = _nullable(T.StructType.fromJson(json.loads(schema_json)))
     target = to_arrow_schema(spark_schema)
-    tbl = pq.read_table(
-        path, columns=[n for n in target.names if n in pq.read_schema(path).names]
-    )
+    pf = pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    tbl = pf.read(columns=[n for n in target.names if n in present])
     cols = []
     for field in target:
         if field.name in tbl.column_names:
@@ -199,13 +226,18 @@ def _read_file_as_batches(
 
 
 class ManagedTableBatchReader(DataSourceReader):
-    def __init__(self, root: str, options: dict):
+    """Scans are projected to the DECLARED schema Spark planned with —
+    the pinned manifest schema on the normal path, or the user-supplied
+    one when the caller passed ``.schema(...)`` explicitly."""
+
+    def __init__(self, root: str, options: dict, schema: T.StructType):
         self.root = root
         self.options = options
+        self.schema_json = schema.json()
         self._where: list[tuple] = []
 
     def _snapshot(self):
-        t = ManagedTable(None, self.root)
+        t = _require_table(self.root)
         v = self.options.get("versionasof")
         ts = self.options.get("timestampasof")
         return t.snapshot(
@@ -221,11 +253,8 @@ class ManagedTableBatchReader(DataSourceReader):
 
     def partitions(self) -> list[FilePartition]:
         m = self._snapshot()
-        schema_json = _narrow_schema_json(
-            m.schema_json or T.StructType([]).json(), self.options
-        )
         return [
-            FilePartition(str(Path(self.root) / f.path), schema_json)
+            FilePartition(str(Path(self.root) / f.path))
             for f in m.files
             if all(
                 _file_may_match(f.stats, c, op, v) for c, op, v in self._where
@@ -237,30 +266,47 @@ class ManagedTableBatchReader(DataSourceReader):
         # or an empty table) — Spark then plans one partitionless task
         if partition is None:
             return iter(())
-        return _read_file_as_batches(partition.path, partition.schema_json)
+        return _read_file_as_batches(partition.path, self.schema_json)
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, options: dict):
+    """Tails the commit log. Batches project to the PLANNING-TIME declared
+    schema, so the stream survives a mid-flight additive evolution (the
+    new column appears after a restart, never mid-query)."""
+
+    def __init__(self, root: str, options: dict, schema: T.StructType):
         self.root = root
         self.options = options
-        self._skip_changes = options.get("skipchangecommits", "false") == "true"
-        self._ignore_changes = options.get("ignorechanges", "false") == "true"
+        self.schema_json = schema.json()
+        self._skip_changes = _opt_bool(options, "skipchangecommits")
+        self._ignore_changes = _opt_bool(options, "ignorechanges")
         self._starting = options.get("startingversion")
 
     def _table(self) -> ManagedTable:
-        return ManagedTable(None, self.root)
+        return _require_table(self.root)
 
     def initialOffset(self) -> dict:
-        # version -1 = "nothing consumed": the first batch is the initial
-        # snapshot up to the head observed at planning time. startingVersion
-        # 'latest' tails new commits only; an integer N starts the tail at
-        # N (exclusive) without an initial snapshot, like Delta.
+        # Default: the snapshot sentinel — the first batch is the live file
+        # set at the head observed then. startingVersion='latest' tails new
+        # commits only; an integer N delivers commits from N INCLUSIVE
+        # (Delta parity) and must lie within the existing history.
         if self._starting is None:
-            return {"version": -1}
+            return {"version": -1, "snapshot": True}
+        head = self._table()._head_version()
         if self._starting == "latest":
-            return {"version": self._table()._head_version()}
-        return {"version": int(self._starting)}
+            return {"version": head}
+        try:
+            n = int(self._starting)
+        except ValueError:
+            raise ValueError(
+                f"startingVersion must be an integer or 'latest', got "
+                f"{self._starting!r}"
+            ) from None
+        if not 0 <= n <= head:
+            raise ValueError(
+                f"startingVersion {n} outside the table history 0..{head}"
+            )
+        return {"version": n - 1}
 
     def latestOffset(self) -> dict:
         return {"version": self._table()._head_version()}
@@ -270,16 +316,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     ) -> list[FilePartition]:
         t = self._table()
         end_v = end["version"]
-        end_m = t.snapshot(end_v)
-        schema_json = _narrow_schema_json(
-            end_m.schema_json or T.StructType([]).json(), self.options
-        )
         root = Path(self.root)
-        if start["version"] < 0:
+        if start.get("snapshot"):
             # initial snapshot: live files at end_v — deletes that happened
             # before the stream existed are already reflected
-            paths = [str(root / f.path) for f in end_m.files]
-            return [FilePartition(p, schema_json) for p in paths]
+            end_m = t.snapshot(end_v)
+            return [FilePartition(str(root / f.path)) for f in end_m.files]
         paths = []
         for v in range(start["version"] + 1, end_v + 1):
             raw = t._raw(v)
@@ -304,12 +346,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                         f"at-least-once delivery of their files."
                     )
             paths.extend(adds)
-        return [FilePartition(str(root / p), schema_json) for p in paths]
+        return [FilePartition(str(root / p)) for p in paths]
 
     def read(self, partition: FilePartition) -> "Iterator[pa.RecordBatch]":
         if partition is None:  # empty batch range (all commits skipped)
             return iter(())
-        return _read_file_as_batches(partition.path, partition.schema_json)
+        return _read_file_as_batches(partition.path, self.schema_json)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to release
@@ -417,7 +459,7 @@ def _commit_staged(
                 )
         commit_schema = schema.json() if not m.schema_json else None
         if op == "overwrite":
-            t._commit_files(m, entries, commit_schema, "overwrite")
+            t._commit_files(m, entries, commit_schema, "overwrite", txn=txn)
         else:
             t._commit_files(
                 m, tuple(m.files) + entries, commit_schema, "append", txn=txn
@@ -465,9 +507,13 @@ class ManagedTableStreamWriter(DataSourceStreamArrowWriter):
     watermark and commits nothing, so rows land exactly once. ``txnAppId``
     is REQUIRED and must be unique per query writing this table (two
     queries sharing an id would swallow each other's batches — same
-    contract as Delta's txnAppId)."""
+    contract as Delta's txnAppId). ``outputMode("complete")`` (Spark
+    passes ``overwrite=True``) truncates the table each batch — the
+    result-table semantics a complete-mode aggregate expects."""
 
-    def __init__(self, root: str, schema: T.StructType, options: dict):
+    def __init__(
+        self, root: str, schema: T.StructType, options: dict, overwrite: bool
+    ):
         app_id = options.get("txnappid")
         if not app_id:
             raise ValueError(
@@ -478,6 +524,7 @@ class ManagedTableStreamWriter(DataSourceStreamArrowWriter):
         self.root = root
         self.schema_json = schema.json()
         self.app_id = app_id
+        self.overwrite = overwrite
 
     def write(self, iterator) -> FileCommit:
         return _stage_batches(self.root, iterator)
@@ -487,7 +534,7 @@ class ManagedTableStreamWriter(DataSourceStreamArrowWriter):
             self.root,
             T.StructType.fromJson(json.loads(self.schema_json)),
             messages,
-            "append",
+            "overwrite" if self.overwrite else "append",
             txn=(self.app_id, batchId),
         )
 
@@ -515,7 +562,7 @@ class ManagedTableDataSource(DataSource):
         return root
 
     def schema(self) -> T.StructType:
-        t = ManagedTable(None, self._root())
+        t = _require_table(self._root())
         v = self.options.get("versionasof")
         ts = self.options.get("timestampasof")
         m = t.snapshot(
@@ -523,10 +570,9 @@ class ManagedTableDataSource(DataSource):
         )
         # Pin the resolved version for reader(): schema() and partitions()
         # otherwise race a concurrent commit — declared schema from version
-        # N, file list from N+1 (a widened batch would then fail Spark's
-        # batch-schema check). Batch scans are version-consistent with the
-        # schema Spark planned against; the stream reader ignores this pin
-        # (it resolves schema per batch range).
+        # N, file list from N+1. Batch scans are version-consistent with
+        # the schema Spark planned against; the stream reader ignores this
+        # pin (its offsets carry the version per batch).
         self.options["versionasof"] = str(m.version)
         self.options.pop("timestampasof", None)  # resolved into the pin
         if not m.schema_json:
@@ -535,16 +581,21 @@ class ManagedTableDataSource(DataSource):
         return _nullable(T.StructType.fromJson(json.loads(narrowed)))
 
     def reader(self, schema: T.StructType) -> ManagedTableBatchReader:
-        return ManagedTableBatchReader(self._root(), dict(self.options))
+        # `schema` is what Spark planned against: our pinned+narrowed
+        # schema, or the user's explicit .schema(...) — either way it is
+        # the projection target every file is read to.
+        return ManagedTableBatchReader(self._root(), dict(self.options), schema)
 
     def streamReader(self, schema: T.StructType) -> ManagedTableStreamReader:
-        return ManagedTableStreamReader(self._root(), dict(self.options))
+        return ManagedTableStreamReader(self._root(), dict(self.options), schema)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> ManagedTableBatchWriter:
         return ManagedTableBatchWriter(self._root(), schema, overwrite)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> ManagedTableStreamWriter:
-        return ManagedTableStreamWriter(self._root(), schema, dict(self.options))
+        return ManagedTableStreamWriter(
+            self._root(), schema, dict(self.options), overwrite
+        )
 
 
 def register(spark) -> None:

@@ -79,7 +79,7 @@ def test_batch_filter_prunes_files_by_stats(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     n_files = len(t.snapshot().files)
     assert n_files > 1
-    reader = ManagedTableBatchReader(str(t.root), {})
+    reader = ManagedTableBatchReader(str(t.root), {}, t.read().schema)
     from pyspark.sql.datasource import EqualTo
 
     kept = reader.pushFilters([EqualTo(("id",), 3)])
@@ -193,6 +193,22 @@ def test_batch_timestamp_as_of(spark, tmp_path):
     assert df.count() == 10
 
 
+def test_batch_user_supplied_schema_projects(spark, tmp_path):
+    """An explicit .schema(...) (Spark then never calls schema()) must
+    project every file to the user's schema instead of crashing on a
+    declared-vs-batch mismatch."""
+    t = _mk(spark, tmp_path, n=6)
+    df = (
+        spark.read.format("managed_table")
+        .schema("id bigint, k string")
+        .load(str(t.root))
+    )
+    assert df.columns == ["id", "k"]
+    assert sorted((r.id, r.k) for r in df.collect()) == [
+        (i, f"k{i}") for i in range(6)
+    ]
+
+
 def test_batch_columns_option_prunes_scan(spark, tmp_path):
     """option('columns', ...) narrows the declared schema — the Python DS
     API has no column-pruning hook, so this is how a projection avoids
@@ -300,6 +316,7 @@ def test_stream_sink_exactly_once_and_retry_noop(spark, tmp_path):
         sink_root,
         ManagedTable(spark, sink_root).read().schema,
         {"txnappid": "q-test"},
+        overwrite=False,
     )
     before = ManagedTable(spark, sink_root).snapshot().version
     w.commit([FileCommit(path=None, rows=0, stats=None)], batchId=0)
@@ -312,7 +329,7 @@ def test_stream_sink_requires_txn_app_id(spark, tmp_path):
     )
 
     with pytest.raises(ValueError, match="txnAppId"):
-        ManagedTableStreamWriter(str(tmp_path / "t"), None, {})
+        ManagedTableStreamWriter(str(tmp_path / "t"), None, {}, overwrite=False)
 
 
 def test_stream_starting_version_latest_skips_history(spark, tmp_path):
@@ -327,3 +344,94 @@ def test_stream_starting_version_latest_skips_history(spark, tmp_path):
         assert df.count() == 3 and df.agg({"id": "min"}).first()[0] == 10
     finally:
         q.stop()
+
+
+def test_stream_starting_version_is_inclusive(spark, tmp_path):
+    """startingVersion=N delivers commit N itself (Delta parity), not
+    N+1 onward; values beyond the head are rejected up front."""
+    t = _mk(spark, tmp_path, n=5)  # v1 = ids 0..4
+    t.append(spark.range(5, 8).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))  # v2
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(spark, t.root, out, ckpt, startingVersion="2")
+    try:
+        q.processAllAvailable()
+        df = spark.read.parquet(str(out))
+        assert sorted(r.id for r in df.collect()) == [5, 6, 7]  # v2 included
+    finally:
+        q.stop()
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableStreamReader,
+    )
+
+    r = ManagedTableStreamReader(
+        str(t.root), {"startingversion": "99"}, t.read().schema
+    )
+    with pytest.raises(ValueError, match="outside the table history"):
+        r.initialOffset()
+    r2 = ManagedTableStreamReader(
+        str(t.root), {"startingversion": "soon"}, t.read().schema
+    )
+    with pytest.raises(ValueError, match="integer or 'latest'"):
+        r2.initialOffset()
+
+
+def test_stream_survives_mid_flight_schema_evolution(spark, tmp_path):
+    """A merge_schema widen committed while the stream runs must not kill
+    the query: batches project to the planning-time schema, and the new
+    column appears only after a restart."""
+    t = _mk(spark, tmp_path, n=4)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(spark, t.root, out, ckpt)
+    try:
+        q.processAllAvailable()
+        t.append(
+            spark.range(4, 7).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k", "id AS late"
+            ),
+            merge_schema=True,
+        )
+        q.processAllAvailable()
+        df = spark.read.parquet(str(out))
+        assert sorted(r.id for r in df.collect()) == list(range(7))
+        assert "late" not in df.columns
+    finally:
+        q.stop()
+
+
+def test_stream_sink_complete_mode_truncates_per_batch(spark, tmp_path):
+    """outputMode('complete') (overwrite=True) replaces the sink table
+    each micro-batch instead of appending the full result again."""
+    src = _mk(spark, tmp_path, n=6)
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    counts = (
+        spark.readStream.format("managed_table")
+        .load(str(src.root))
+        .groupBy("k")
+        .count()
+    )
+    q = (
+        counts.writeStream.format("managed_table")
+        .outputMode("complete")
+        .option("txnAppId", "q-complete")
+        .option("path", sink_root)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert ManagedTable(spark, sink_root).read().count() == 6
+        src.append(
+            spark.range(6, 9).selectExpr("id", "id*2 AS v", "concat('k',id) AS k")
+        )
+        q.processAllAvailable()
+        got = ManagedTable(spark, sink_root).read()
+        # 9 distinct keys, each exactly once — not 6 stale + 9 new
+        assert got.count() == 9 == got.select("k").distinct().count()
+    finally:
+        q.stop()
+
+
+def test_read_missing_table_fails_clearly(spark, tmp_path):
+    with pytest.raises(Exception, match="no managed table at"):
+        spark.read.format("managed_table").load(str(tmp_path / "nope")).collect()
