@@ -123,10 +123,13 @@ class FilePartition(InputPartition):
     """One parquet data file (absolute path). The projection schema lives
     on the READER, not here: it is fixed per scan / per stream plan, and a
     per-partition copy would ship the same multi-KB JSON once per file —
-    real money on a million-file table."""
+    real money on a million-file table. ``version`` is set only on CDC
+    reads: the commit that added this file, surfaced as the
+    ``_commit_version`` column."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, version: int | None = None):
         self.path = path
+        self.version = version
 
 
 def _opt_bool(options: dict, key: str) -> bool:
@@ -197,15 +200,21 @@ def _nullable(schema: T.StructType) -> T.StructType:
     )
 
 
+#: virtual column carrying the producing commit on CDC reads
+_VERSION_COL = "_commit_version"
+
+
 def _read_file_as_batches(
-    path: str, schema_json: str
+    path: str, schema_json: str, commit_version: int | None = None
 ) -> "Iterator[pa.RecordBatch]":
     """Executor-side scan of one parquet file, projected to the DECLARED
     schema (the one Spark planned the query against): missing columns
     (added after this file was written, or absent from a user-supplied
     schema) become typed nulls, extra columns are dropped, column order is
     normalized, and physical types are cast to the arrow types Spark
-    expects. One footer read per file (``pq.ParquetFile``)."""
+    expects. One footer read per file (``pq.ParquetFile``). On CDC reads
+    the ``_commit_version`` slot in the declared schema is materialized as
+    a constant — the commit that added this file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -214,10 +223,17 @@ def _read_file_as_batches(
     target = to_arrow_schema(spark_schema)
     pf = pq.ParquetFile(path)
     present = set(pf.schema_arrow.names)
-    tbl = pf.read(columns=[n for n in target.names if n in present])
+    want = [
+        n for n in target.names if n in present and n != _VERSION_COL
+    ]
+    tbl = pf.read(columns=want)
     cols = []
     for field in target:
-        if field.name in tbl.column_names:
+        if field.name == _VERSION_COL and commit_version is not None:
+            cols.append(
+                pa.array([commit_version] * tbl.num_rows, type=field.type)
+            )
+        elif field.name in tbl.column_names:
             cols.append(tbl.column(field.name))
         else:  # additive evolution: file predates the column
             cols.append(pa.nulls(tbl.num_rows, type=field.type))
@@ -252,9 +268,23 @@ class ManagedTableBatchReader(DataSourceReader):
         return filters
 
     def partitions(self) -> list[FilePartition]:
+        root = Path(self.root)
+        cf = self.options.get("changesfrom")
+        if cf is not None:
+            # CDC read: files added by data commits in (changesFrom,
+            # changesTo] — same contract as ManagedTable.read_changes —
+            # each tagged with the commit that produced it.
+            t = _require_table(self.root)
+            to = self.options.get("changesto")
+            return [
+                FilePartition(str(root / rel), version=v)
+                for v, rel in t.changed_files(
+                    int(cf), int(to) if to is not None else None
+                )
+            ]
         m = self._snapshot()
         return [
-            FilePartition(str(Path(self.root) / f.path))
+            FilePartition(str(root / f.path))
             for f in m.files
             if all(
                 _file_may_match(f.stats, c, op, v) for c, op, v in self._where
@@ -266,7 +296,9 @@ class ManagedTableBatchReader(DataSourceReader):
         # or an empty table) — Spark then plans one partitionless task
         if partition is None:
             return iter(())
-        return _read_file_as_batches(partition.path, self.schema_json)
+        return _read_file_as_batches(
+            partition.path, self.schema_json, partition.version
+        )
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
@@ -565,6 +597,36 @@ class ManagedTableDataSource(DataSource):
         t = _require_table(self._root())
         v = self.options.get("versionasof")
         ts = self.options.get("timestampasof")
+        cf = self.options.get("changesfrom")
+        if cf is not None:
+            # CDC read: rows added in (changesFrom, changesTo], under the
+            # range-end schema plus the _commit_version tag. Pin the end so
+            # schema and partitions agree under concurrent commits.
+            if v is not None or ts is not None:
+                raise ValueError(
+                    "changesFrom cannot combine with versionAsOf/"
+                    "timestampAsOf (a CDC range already pins its versions)"
+                )
+            to = self.options.get("changesto")
+            to_v = int(to) if to is not None else t._head_version()
+            self.options["changesto"] = str(to_v)
+            end = t.snapshot(to_v)
+            base = (
+                T.StructType.fromJson(json.loads(end.schema_json))
+                if end.schema_json
+                else T.StructType([])
+            )
+            narrowed = T.StructType.fromJson(
+                json.loads(
+                    _narrow_schema_json(base.json(), dict(self.options))
+                )
+            )
+            return _nullable(
+                T.StructType(
+                    list(narrowed.fields)
+                    + [T.StructField(_VERSION_COL, T.LongType(), True)]
+                )
+            )
         m = t.snapshot(
             version=int(v) if v is not None else None, timestamp=ts
         )

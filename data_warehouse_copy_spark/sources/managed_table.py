@@ -719,6 +719,49 @@ class ManagedTable:
             "n_partitions": len({f.partition for f in m.files} - {None}),
         }
 
+    def changed_files(
+        self, from_version: int, to_version: int | None = None
+    ) -> list[tuple[int, str]]:
+        """``(commit_version, relative_path)`` for every file ADDED by a
+        data commit in ``(from_version, to_version]`` — the walk behind
+        :meth:`read_changes`, exposed so declarative consumers (the
+        ``managed_table`` data source's CDC option) can tag rows with the
+        commit that produced them. O(commits in range) log reads; same
+        skip rules as :meth:`read_changes` (compact/restore replay-free)."""
+        head_version = self._head_version()
+        if to_version is None:
+            to_version = head_version
+        if not 0 <= from_version <= to_version <= head_version:
+            raise ValueError(
+                f"read_changes range ({from_version}, {to_version}] outside "
+                f"history 0..{head_version}"
+            )
+        out: list[tuple[int, str]] = []
+        prev_paths: set[str] | None = None  # lazy: only legacy records need it
+        for v in range(from_version + 1, to_version + 1):
+            raw = self._raw(v)
+            if "files" in raw:  # legacy full-state record: diff against prior
+                if prev_paths is None:
+                    prev_paths = {
+                        f.path for f in self.snapshot(v - 1).files
+                    }
+                cur_paths = {f["path"] for f in raw["files"]}
+                if not _cdc_skip(raw["op"]):
+                    out.extend(
+                        (v, f["path"])
+                        for f in raw["files"]
+                        if f["path"] not in prev_paths
+                    )
+                prev_paths = cur_paths
+            else:
+                if not _cdc_skip(raw["op"]):
+                    out.extend((v, e["path"]) for e in raw["add"])
+                if prev_paths is not None:
+                    prev_paths = (prev_paths - set(raw["remove"])) | {
+                        e["path"] for e in raw["add"]
+                    }
+        return out
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -743,40 +786,12 @@ class ManagedTable:
         are read even if a later commit removed them — correct as long as
         ``vacuum`` retention outlasts consumer lag (same contract as
         Delta/Iceberg incremental reads)."""
-        head_version = self._head_version()
         if to_version is None:
-            to_version = head_version
-        if not 0 <= from_version <= to_version <= head_version:
-            raise ValueError(
-                f"read_changes range ({from_version}, {to_version}] outside "
-                f"history 0..{head_version}"
-            )
-        added: list[str] = []
-        prev_paths: set[str] | None = None  # lazy: only legacy records need it
-        for v in range(from_version + 1, to_version + 1):
-            raw = self._raw(v)
-            if "files" in raw:  # legacy full-state record: diff against prior
-                if prev_paths is None:
-                    prev_paths = {
-                        f.path for f in self.snapshot(v - 1).files
-                    }
-                cur_paths = {f["path"] for f in raw["files"]}
-                if not _cdc_skip(raw["op"]):
-                    added.extend(
-                        str(self.root / f["path"])
-                        for f in raw["files"]
-                        if f["path"] not in prev_paths
-                    )
-                prev_paths = cur_paths
-            else:
-                if not _cdc_skip(raw["op"]):
-                    added.extend(
-                        str(self.root / e["path"]) for e in raw["add"]
-                    )
-                if prev_paths is not None:
-                    prev_paths = (prev_paths - set(raw["remove"])) | {
-                        e["path"] for e in raw["add"]
-                    }
+            to_version = self._head_version()
+        added = [
+            str(self.root / rel)
+            for _, rel in self.changed_files(from_version, to_version)
+        ]
         # Read under to_version's schema, not the head's: the same
         # (from, to] range must return the same frame shape regardless of
         # evolutions committed after to_version (a cursor consumer pins its

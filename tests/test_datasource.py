@@ -432,6 +432,53 @@ def test_stream_sink_complete_mode_truncates_per_batch(spark, tmp_path):
         q.stop()
 
 
+def test_batch_cdc_read_tags_commit_version(spark, tmp_path):
+    """option('changesFrom', N) is the declarative read_changes: files
+    added by data commits in (N, changesTo]] tagged with _commit_version;
+    compaction commits are replay-free, same as the native cursor."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(5).selectExpr("id", "id*2 AS v"))    # v1
+    t.append(spark.range(5, 8).selectExpr("id", "id*2 AS v"))  # v2
+    t.compact()                                                # v3: skipped
+    t.append(spark.range(8, 10).selectExpr("id", "id*2 AS v"))  # v4
+    df = (
+        spark.read.format("managed_table")
+        .option("changesFrom", "1")
+        .load(str(t.root))
+    )
+    assert sorted((r.id, r._commit_version) for r in df.collect()) == [
+        (5, 2), (6, 2), (7, 2), (8, 4), (9, 4)
+    ]
+    # same multiset as the native cursor
+    assert sorted(r.id for r in df.collect()) == sorted(
+        r.id for r in t.read_changes(1).collect()
+    )
+    bounded = (
+        spark.read.format("managed_table")
+        .option("changesFrom", "1")
+        .option("changesTo", "2")
+        .load(str(t.root))
+    )
+    assert sorted(r.id for r in bounded.collect()) == [5, 6, 7]
+    with pytest.raises(Exception, match="cannot combine"):
+        spark.read.format("managed_table").option("changesFrom", "0").option(
+            "versionAsOf", "1"
+        ).load(str(t.root)).collect()
+
+
+def test_sql_view_over_managed_table(spark, tmp_path):
+    """The format works from pure SQL too: CREATE TEMPORARY VIEW ... USING
+    managed_table OPTIONS(path ...) — the surface a SQL-only consumer
+    uses."""
+    t = _mk(spark, tmp_path, n=8)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW mt_sql_view "
+        f"USING managed_table OPTIONS (path '{t.root}')"
+    )
+    assert spark.sql("SELECT count(*) FROM mt_sql_view").first()[0] == 8
+    assert spark.sql("SELECT v FROM mt_sql_view WHERE id = 3").first()[0] == 6
+
+
 def test_read_missing_table_fails_clearly(spark, tmp_path):
     with pytest.raises(Exception, match="no managed table at"):
         spark.read.format("managed_table").load(str(tmp_path / "nope")).collect()
