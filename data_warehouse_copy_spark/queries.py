@@ -3567,6 +3567,47 @@ def datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 DATASOURCE_ROUNDTRIP_SQL = CLUSTERED_LOOKUP_SQL
 
 
+def cdc_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative CDC read (sources/datasource.py): the first March week
+    lands as commit 1, the rest of the month as commit 2, and
+    ``option("changesFrom", 1)`` must return EXACTLY the second commit's
+    rows — a cursor consumer reading only what arrived since its last run
+    (the reference's nightly re-copy, replaced by an incremental read).
+    Oracle: the month-minus-week window on the raw table."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    week = li.filter(
+        F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
+    )
+    rest = li.filter(
+        (F.col("l_shipdate") >= F.lit(M_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit(M_TO).cast("timestamp"))
+        & ~F.col("l_shipdate").between(
+            F.expr(W_START_SQL), F.expr(W_END_SQL)
+        )
+    )
+    root = f"{tempfile.mkdtemp(prefix='dwcs_cdc_')}/lineitem"
+    t = ManagedTable.create(spark, root)
+    t.append(week)  # v1: already consumed by the hypothetical cursor
+    t.append(rest)  # v2: what arrived since
+    return (
+        spark.read.format("managed_table")
+        .option("changesFrom", "1")
+        .load(root)
+        .drop("_commit_version")
+    )
+
+
+CDC_READ_SQL = f"""
+SELECT * FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{M_FROM}'
+  AND l_shipdate <= TIMESTAMP '{M_TO}'
+  AND NOT (l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL})
+"""
+
+
 def training_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic CONTENT-keyed train/valid/test split — the
     leakage-safe alternative to id-hash splitting: the bucket is an md5 of
@@ -3811,6 +3852,7 @@ QUERIES: dict[str, QueryFn] = {
     "training_split_assign": training_split_assign,
     "events_gap_fill": events_gap_fill,
     "datasource_roundtrip": datasource_roundtrip,
+    "cdc_read_roundtrip": cdc_read_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3911,4 +3953,5 @@ ORACLES: dict[str, str] = {
     "training_split_assign": SPLIT_ASSIGN_SQL,
     "events_gap_fill": GAP_FILL_SQL,
     "datasource_roundtrip": DATASOURCE_ROUNDTRIP_SQL,
+    "cdc_read_roundtrip": CDC_READ_SQL,
 }
