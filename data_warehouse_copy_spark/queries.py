@@ -3543,11 +3543,12 @@ def datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-source roundtrip (sources/datasource.py): the March
     lineitem window is written through ``df.write.format("managed_table")``
     (executor-staged files + one atomic manifest commit) and served back
-    through ``spark.read.format(...)`` with an l_orderkey filter, so the
-    pushFilters manifest-stats skipping path is what produces the rows.
-    Oracle: the equivalent plain windowed filter — proving the two-phase
-    writer neither drops nor duplicates rows and the pruned read is a
-    strict superset re-filtered exactly."""
+    through ``spark.read.format(...)`` with the relation-scoped ``where``
+    pruning option (manifest file-level + row-group stats skipping —
+    a conservative superset) plus the matching exact filter. Oracle: the
+    equivalent plain windowed filter — proving the two-phase writer
+    neither drops nor duplicates rows and the pruned read is a strict
+    superset re-filtered exactly."""
     from data_warehouse_copy_spark.sources.datasource import register
 
     register(spark)
@@ -3559,6 +3560,7 @@ def datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.write.format("managed_table").mode("append").save(root)
     return (
         spark.read.format("managed_table")
+        .option("where", '[["l_orderkey", ">=", 1000], ["l_orderkey", "<", 40000]]')
         .load(root)
         .filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 40000))
     )

@@ -43,9 +43,6 @@ def get_spark(
         # The driver fixtures carry TIMESTAMP(NANOS) columns (events.ts);
         # read them as epoch-nanos longs and restore in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Lets the managed_table Python data source receive pushFilters()
-        # and prune files on manifest min/max stats (sources/datasource.py).
-        .config("spark.sql.python.filterPushdown.enabled", "true")
         # FAIR scheduling so parallel dim reloads (reference
         # BulkCopyManager.cs:182-195) share the cluster instead of FIFO-queueing.
         .config("spark.scheduler.mode", "FAIR")

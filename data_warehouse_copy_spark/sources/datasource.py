@@ -13,12 +13,21 @@ Batch path (``ManagedTableBatchReader``):
 - **one input partition per live data file** from the snapshot manifest —
   the natural parallelism unit at 100 TB (a million files fan out over a
   thousand executors; no driver-side data movement, only the manifest);
-- **file-level skipping via ``pushFilters``** — supported comparisons are
-  evaluated against the per-file min/max footer stats already in the
-  manifest (the same ``_file_may_match`` the native ``read(where=)`` path
-  uses), so a point lookup on a clustered column opens O(1) files. All
-  filters are returned to Spark for row-level re-application: stats prove
-  absence, never presence, so pruning stays a strict superset;
+- **two-tier skip-reads via ``option("where", ...)``** — a JSON list of
+  ``[col, op, value]`` triples evaluated against per-file min/max footer
+  stats from the manifest (tier 1: whole files never open) and against
+  per-row-group stats inside kept files (tier 2: a point lookup on a
+  clustered column reads one row group of a multi-GB file). The option
+  returns a conservative SUPERSET (stats prove absence, never presence) —
+  pair it with an identical ``.filter(...)`` for exact row semantics.
+  Pruning is deliberately an OPTION (fixed per relation at ``load()``)
+  and NOT ``pushFilters``: Spark 4.1 caches the planned read per relation
+  and re-serves it to later filterless plans, so filter-dependent
+  ``partitions()`` silently corrupts a reused DataFrame that mixes
+  filtered and unfiltered actions (verified empirically; a filterless
+  ``df.count()`` after ``df.filter(...).count()`` returned the pruned
+  subset). An option-scoped predicate is identical in every plan of the
+  relation, so cached-plan reuse is always consistent;
 - **Arrow record batches, not rows** — ``read()`` yields
   ``pyarrow.RecordBatch`` (zero-copy into Spark's vectorized pipeline),
   with additive schema evolution handled per file: columns appended after
@@ -88,7 +97,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import TYPE_CHECKING, Iterable, Iterator
+from typing import TYPE_CHECKING, Iterator
 
 from dataclasses import dataclass
 
@@ -98,19 +107,14 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    EqualTo,
-    Filter,
-    GreaterThan,
-    GreaterThanOrEqual,
     InputPartition,
-    LessThan,
-    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
 from data_warehouse_copy_spark.sources.managed_table import (
     ManagedTable,
+    _WHERE_OPS,
     _cdc_skip,
     _file_may_match,
 )
@@ -147,27 +151,31 @@ def _require_table(root: str) -> ManagedTable:
     return t
 
 
-# pushFilters comparison classes -> the manifest-stats op tokens of
-# _file_may_match. Only scalar comparisons on top-level columns prune;
-# everything else (In, StringStartsWith, Not, ...) is simply not used for
-# skipping — correctness is unaffected because Spark re-applies ALL
-# filters row-level (pushFilters returns every filter as unsupported).
-_FILTER_OPS = {
-    EqualTo: "=",
-    LessThan: "<",
-    LessThanOrEqual: "<=",
-    GreaterThan: ">",
-    GreaterThanOrEqual: ">=",
-}
-
-
-def _where_triples(filters: Iterable[Filter]) -> list[tuple]:
-    out = []
-    for f in filters:
-        op = _FILTER_OPS.get(type(f))
-        if op is not None and len(f.attribute) == 1 and f.value is not None:
-            out.append((f.attribute[0], op, f.value))
-    return out
+def _parse_where_option(options: dict) -> list[tuple]:
+    """Parse ``option("where", '[["col", ">=", 1000], ...]')`` — the
+    relation-scoped pruning predicate (AND of triples). Values are JSON
+    literals: numbers, strings (timestamps/dates as the fixed-width ISO
+    strings the manifest stats use), booleans."""
+    raw = options.get("where")
+    if not raw:
+        return []
+    try:
+        triples = json.loads(raw)
+        assert isinstance(triples, list) and all(
+            isinstance(t, list) and len(t) == 3 and isinstance(t[0], str)
+            for t in triples
+        )
+    except (json.JSONDecodeError, AssertionError):
+        raise ValueError(
+            f"where option must be a JSON list of [column, op, value] "
+            f"triples, got {raw!r}"
+        ) from None
+    for _, op, _ in triples:
+        if op not in _WHERE_OPS:
+            raise ValueError(
+                f"where option op {op!r} not one of {_WHERE_OPS}"
+            )
+    return [tuple(t) for t in triples]
 
 
 def _narrow_schema_json(schema_json: str, options: dict) -> str:
@@ -204,8 +212,43 @@ def _nullable(schema: T.StructType) -> T.StructType:
 _VERSION_COL = "_commit_version"
 
 
+def _matching_row_groups(pf, where: list[tuple]) -> list[int] | None:
+    """Row-group indices whose footer min/max stats admit every pushed
+    predicate — the second pruning tier under the manifest's file-level
+    skip (a clustered file is internally sorted, so its row groups carry
+    tight disjoint spans and a point predicate reads one row group out of
+    a multi-GB file). Conservative: a group without usable stats is kept;
+    returns None when nothing can be pruned (read everything)."""
+    if not where:
+        return None
+    from data_warehouse_copy_spark.sources.managed_table import _stat_scalar
+
+    md = pf.metadata
+    keep = []
+    pruned_any = False
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        stats: dict = {}
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max or "." in col.path_in_schema:
+                continue
+            lo, hi = _stat_scalar(st.min), _stat_scalar(st.max)
+            if lo is not None and hi is not None:
+                stats[col.path_in_schema] = [lo, hi]
+        if all(_file_may_match(stats, c, op, v) for c, op, v in where):
+            keep.append(rg)
+        else:
+            pruned_any = True
+    return keep if pruned_any else None
+
+
 def _read_file_as_batches(
-    path: str, schema_json: str, commit_version: int | None = None
+    path: str,
+    schema_json: str,
+    commit_version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> "Iterator[pa.RecordBatch]":
     """Executor-side scan of one parquet file, projected to the DECLARED
     schema (the one Spark planned the query against): missing columns
@@ -226,7 +269,13 @@ def _read_file_as_batches(
     want = [
         n for n in target.names if n in present and n != _VERSION_COL
     ]
-    tbl = pf.read(columns=want)
+    rgs = _matching_row_groups(pf, where or [])
+    if rgs is None:
+        tbl = pf.read(columns=want)
+    elif not rgs:
+        tbl = pf.schema_arrow.empty_table().select(want)
+    else:
+        tbl = pf.read_row_groups(rgs, columns=want)
     cols = []
     for field in target:
         if field.name == _VERSION_COL and commit_version is not None:
@@ -244,13 +293,15 @@ def _read_file_as_batches(
 class ManagedTableBatchReader(DataSourceReader):
     """Scans are projected to the DECLARED schema Spark planned with —
     the pinned manifest schema on the normal path, or the user-supplied
-    one when the caller passed ``.schema(...)`` explicitly."""
+    one when the caller passed ``.schema(...)`` explicitly. The pruning
+    predicate comes from the relation-scoped ``where`` option, never from
+    per-plan state (see the module docstring's cache-consistency note)."""
 
     def __init__(self, root: str, options: dict, schema: T.StructType):
         self.root = root
         self.options = options
         self.schema_json = schema.json()
-        self._where: list[tuple] = []
+        self.where = _parse_where_option(options)
 
     def _snapshot(self):
         t = _require_table(self.root)
@@ -261,19 +312,14 @@ class ManagedTableBatchReader(DataSourceReader):
             timestamp=ts,
         )
 
-    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
-        self._where = _where_triples(filters)
-        # stats pruning is file-granular: Spark must still filter rows, so
-        # every filter is reported back as unsupported
-        return filters
-
     def partitions(self) -> list[FilePartition]:
         root = Path(self.root)
         cf = self.options.get("changesfrom")
         if cf is not None:
             # CDC read: files added by data commits in (changesFrom,
             # changesTo] — same contract as ManagedTable.read_changes —
-            # each tagged with the commit that produced it.
+            # each tagged with the commit that produced it. No file-level
+            # stats here; the row-group tier still applies in read().
             t = _require_table(self.root)
             to = self.options.get("changesto")
             return [
@@ -287,7 +333,7 @@ class ManagedTableBatchReader(DataSourceReader):
             FilePartition(str(root / f.path))
             for f in m.files
             if all(
-                _file_may_match(f.stats, c, op, v) for c, op, v in self._where
+                _file_may_match(f.stats, c, op, v) for c, op, v in self.where
             )
         ]
 
@@ -297,7 +343,10 @@ class ManagedTableBatchReader(DataSourceReader):
         if partition is None:
             return iter(())
         return _read_file_as_batches(
-            partition.path, self.schema_json, partition.version
+            partition.path,
+            self.schema_json,
+            partition.version,
+            where=self.where,
         )
 
 
@@ -661,15 +710,5 @@ class ManagedTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the ``managed_table`` format on a session.
-
-    Also enables ``spark.sql.python.filterPushdown.enabled`` (off by
-    default in Spark 4.1): with it off, Spark refuses any reader that
-    implements ``pushFilters`` rather than silently skipping pruning, so a
-    session built outside :func:`~data_warehouse_copy_spark.session.
-    get_spark` would fail on first read instead of running unpruned."""
-    try:
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:
-        pass  # conf locked down (e.g. Connect policy): get_spark set it
+    """Idempotently register the ``managed_table`` format on a session."""
     spark.dataSource.register(ManagedTableDataSource)

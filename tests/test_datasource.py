@@ -66,9 +66,10 @@ def test_batch_schema_evolution_null_fills(spark, tmp_path):
     assert got[1] is None and got[6] == 106
 
 
-def test_batch_filter_prunes_files_by_stats(spark, tmp_path):
+def test_where_option_prunes_files_by_stats(spark, tmp_path):
     # range-clustered on id -> disjoint per-file min/max spans; a point
-    # predicate must open O(1) files, not the whole table
+    # predicate via the relation-scoped where option must open O(1)
+    # files, not the whole table
     t = ManagedTable.create(spark, tmp_path / "t", cluster_col="id")
     # AQE would coalesce 1k tiny rows into one file; pin the range-shuffle
     # width so multiple disjoint cluster spans materialize
@@ -79,19 +80,50 @@ def test_batch_filter_prunes_files_by_stats(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     n_files = len(t.snapshot().files)
     assert n_files > 1
-    reader = ManagedTableBatchReader(str(t.root), {}, t.read().schema)
-    from pyspark.sql.datasource import EqualTo
-
-    kept = reader.pushFilters([EqualTo(("id",), 3)])
-    assert list(kept) == [EqualTo(("id",), 3)]  # Spark still filters rows
+    reader = ManagedTableBatchReader(
+        str(t.root), {"where": '[["id", "=", 3]]'}, t.read().schema
+    )
     assert len(reader.partitions()) < n_files
-    # end-to-end: the pruned plan still returns the exact row
-    df = spark.read.format("managed_table").load(str(t.root)).filter("id = 3")
+    # end-to-end: pruned superset + matching filter = exact row
+    df = (
+        spark.read.format("managed_table")
+        .option("where", '[["id", "=", 3]]')
+        .load(str(t.root))
+        .filter("id = 3")
+    )
     assert df.collect() == [(3, 6)]
     # pruning to ZERO files must yield an empty frame, not a planner crash
     # (Spark plans one partitionless task when partitions() returns [])
-    none = spark.read.format("managed_table").load(str(t.root)).filter("id = 5000")
+    none = (
+        spark.read.format("managed_table")
+        .option("where", '[["id", "=", 5000]]')
+        .load(str(t.root))
+    )
     assert none.count() == 0
+    with pytest.raises(Exception, match="JSON list"):
+        spark.read.format("managed_table").option("where", "id = 3").load(
+            str(t.root)
+        ).collect()
+
+
+def test_mixed_filtered_and_unfiltered_actions_stay_consistent(spark, tmp_path):
+    """Regression for the Spark 4.1 readInfo cache: the JVM re-serves the
+    last planned scan to later filterless plans, so filter-dependent
+    partitions() (a pushFilters implementation) silently returns the
+    pruned subset for a bare df.count() after df.filter(...).count().
+    Pruning therefore lives in the relation-scoped where option only —
+    a plain DataFrame must stay exact under any mix of actions."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="id")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    df = spark.read.format("managed_table").load(str(t.root))
+    assert df.filter("id = 3").count() == 1
+    assert df.filter("id = 999").count() == 1
+    assert df.count() == 1000  # the poisoned-cache case: must be full
+    assert df.filter("id = 3").count() == 1
 
 
 def test_batch_requires_path():
@@ -191,6 +223,44 @@ def test_batch_timestamp_as_of(spark, tmp_path):
         .load(str(t.root))
     )
     assert df.count() == 10
+
+
+def test_row_group_pruning_within_a_file(spark, tmp_path):
+    """Second pruning tier: inside a kept file, row groups whose footer
+    stats exclude the pushed predicate are skipped (a sorted multi-GB
+    file serves a point lookup from one row group). Values stay exact —
+    Spark re-applies the filter row-level."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_copy_spark.sources.datasource import (
+        _matching_row_groups,
+    )
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(1000).orderBy("id").coalesce(1).selectExpr("id", "id*2 AS v"))
+    # rewrite the single data file with small row groups (sorted -> tight
+    # disjoint spans), keeping path and row count identical
+    (rel,) = [f.path for f in t.snapshot().files]
+    fpath = str(t.root / rel)
+    tbl = pq.read_table(fpath)
+    pq.write_table(tbl, fpath, row_group_size=100)
+    pf = pq.ParquetFile(fpath)
+    assert pf.metadata.num_row_groups == 10
+    assert _matching_row_groups(pf, [("id", "=", 250)]) == [2]
+    assert _matching_row_groups(pf, [("id", ">=", 850)]) == [8, 9]
+    assert _matching_row_groups(pf, [("id", "=", 5000)]) == []
+    assert _matching_row_groups(pf, []) is None  # no filters -> no pruning
+    # e2e: where-option read over the rewritten file stays exact when
+    # paired with the matching filter, and the plain read stays full
+    df = (
+        spark.read.format("managed_table")
+        .option("where", '[["id", "=", 250]]')
+        .load(str(t.root))
+        .filter("id = 250")
+    )
+    assert df.collect() == [(250, 500)]
+    assert spark.read.format("managed_table").load(str(t.root)).count() == 1000
 
 
 def test_batch_user_supplied_schema_projects(spark, tmp_path):
