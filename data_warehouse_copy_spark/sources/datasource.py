@@ -362,6 +362,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         self._skip_changes = _opt_bool(options, "skipchangecommits")
         self._ignore_changes = _opt_bool(options, "ignorechanges")
         self._starting = options.get("startingversion")
+        # relation-scoped pruning predicate: selective tailing — the
+        # stream subscribes to the subset of the table that may match
+        # (e.g. one tenant's key range on a clustered table), skipping
+        # whole files via manifest stats and row groups via footers.
+        # Conservative superset, same contract as the batch option.
+        self.where = _parse_where_option(options)
 
     def _table(self) -> ManagedTable:
         return _require_table(self.root)
@@ -398,20 +404,33 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         t = self._table()
         end_v = end["version"]
         root = Path(self.root)
+        keep = lambda stats: all(  # noqa: E731 — manifest-stats skip
+            _file_may_match(stats, c, op, v) for c, op, v in self.where
+        )
         if start.get("snapshot"):
             # initial snapshot: live files at end_v — deletes that happened
             # before the stream existed are already reflected
             end_m = t.snapshot(end_v)
-            return [FilePartition(str(root / f.path)) for f in end_m.files]
+            return [
+                FilePartition(str(root / f.path))
+                for f in end_m.files
+                if keep(f.stats)
+            ]
         paths = []
         for v in range(start["version"] + 1, end_v + 1):
             raw = t._raw(v)
             if "files" in raw:  # legacy full-state record: diff vs prior
                 prev = {f.path for f in t.snapshot(v - 1).files}
-                adds = [f["path"] for f in raw["files"] if f["path"] not in prev]
+                adds = [
+                    f["path"]
+                    for f in raw["files"]
+                    if f["path"] not in prev and keep(f.get("stats"))
+                ]
                 removed = prev - {f["path"] for f in raw["files"]}
             else:
-                adds = [e["path"] for e in raw["add"]]
+                adds = [
+                    e["path"] for e in raw["add"] if keep(e.get("stats"))
+                ]
                 removed = set(raw["remove"])
             if _cdc_skip(raw["op"]):
                 continue
@@ -432,7 +451,9 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     def read(self, partition: FilePartition) -> "Iterator[pa.RecordBatch]":
         if partition is None:  # empty batch range (all commits skipped)
             return iter(())
-        return _read_file_as_batches(partition.path, self.schema_json)
+        return _read_file_as_batches(
+            partition.path, self.schema_json, where=self.where
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query checkpoint; nothing to release

@@ -549,6 +549,43 @@ def test_sql_view_over_managed_table(spark, tmp_path):
     assert spark.sql("SELECT v FROM mt_sql_view WHERE id = 3").first()[0] == 6
 
 
+def test_stream_selective_tailing_with_where_option(spark, tmp_path):
+    """A stream with option('where') subscribes to the matching subset:
+    the initial snapshot and every tailed commit are pruned on manifest
+    stats, so a key-range consumer never ships the rest of the table.
+    Superset contract: rows are pruned at file/row-group granularity, so
+    the consumer applies the exact filter downstream."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="id")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(spark.range(400).selectExpr("id", "id*2 AS v").repartition(4))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        spark.readStream.format("managed_table")
+        .option("where", '[["id", "<", 100]]')
+        .load(str(t.root))
+        .filter("id < 100")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(str(out)).count() == 100
+        # tail commit entirely outside the subscription: nothing arrives
+        t.append(spark.range(400, 500).selectExpr("id", "id*2 AS v"))
+        # tail commit overlapping it: only the matching rows arrive
+        t.append(spark.range(90, 110).selectExpr("id", "id*2 AS v"))
+        q.processAllAvailable()
+        df = spark.read.parquet(str(out))
+        assert df.count() == 110 and df.agg({"id": "max"}).first()[0] == 99
+    finally:
+        q.stop()
+
+
 def test_read_missing_table_fails_clearly(spark, tmp_path):
     with pytest.raises(Exception, match="no managed table at"):
         spark.read.format("managed_table").load(str(tmp_path / "nope")).collect()
