@@ -286,8 +286,10 @@ def _read_file_as_batches(
             cols.append(tbl.column(field.name))
         else:  # additive evolution: file predates the column
             cols.append(pa.nulls(tbl.num_rows, type=field.type))
+    # from_arrays with an explicit schema already casts every column to
+    # the target arrow types — no second cast pass needed
     out = pa.Table.from_arrays(cols, schema=pa.schema(list(target)))
-    yield from out.cast(pa.schema(list(target))).to_batches()
+    yield from out.to_batches()
 
 
 class ManagedTableBatchReader(DataSourceReader):
@@ -318,14 +320,18 @@ class ManagedTableBatchReader(DataSourceReader):
         if cf is not None:
             # CDC read: files added by data commits in (changesFrom,
             # changesTo] — same contract as ManagedTable.read_changes —
-            # each tagged with the commit that produced it. No file-level
-            # stats here; the row-group tier still applies in read().
+            # each tagged with the commit that produced it, stats-pruned
+            # by the where option like any other scan.
             t = _require_table(self.root)
             to = self.options.get("changesto")
             return [
                 FilePartition(str(root / rel), version=v)
-                for v, rel in t.changed_files(
+                for v, rel, stats in t.changed_files(
                     int(cf), int(to) if to is not None else None
+                )
+                if all(
+                    _file_may_match(stats, c, op, val)
+                    for c, op, val in self.where
                 )
             ]
         m = self._snapshot()
@@ -419,8 +425,14 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         paths = []
         for v in range(start["version"] + 1, end_v + 1):
             raw = t._raw(v)
-            if "files" in raw:  # legacy full-state record: diff vs prior
-                prev = {f.path for f in t.snapshot(v - 1).files}
+            if "files" in raw:  # full-state record (v0 / legacy): diff vs
+                # prior state — empty at v0 (startingVersion=0 replays the
+                # creating commit itself)
+                prev = (
+                    set()
+                    if v == 0
+                    else {f.path for f in t.snapshot(v - 1).files}
+                )
                 adds = [
                     f["path"]
                     for f in raw["files"]
@@ -665,9 +677,19 @@ class ManagedTableDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         t = _require_table(self._root())
+        head = t._head_version()
         v = self.options.get("versionasof")
         ts = self.options.get("timestampasof")
         cf = self.options.get("changesfrom")
+        for label, val in (
+            ("versionAsOf", v),
+            ("changesFrom", cf),
+            ("changesTo", self.options.get("changesto")),
+        ):
+            if val is not None and not 0 <= int(val) <= head:
+                raise ValueError(
+                    f"{label} {val} outside the table history 0..{head}"
+                )
         if cf is not None:
             # CDC read: rows added in (changesFrom, changesTo], under the
             # range-end schema plus the _commit_version tag. Pin the end so

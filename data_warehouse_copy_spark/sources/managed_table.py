@@ -721,13 +721,14 @@ class ManagedTable:
 
     def changed_files(
         self, from_version: int, to_version: int | None = None
-    ) -> list[tuple[int, str]]:
-        """``(commit_version, relative_path)`` for every file ADDED by a
-        data commit in ``(from_version, to_version]`` — the walk behind
-        :meth:`read_changes`, exposed so declarative consumers (the
+    ) -> list[tuple[int, str, dict | None]]:
+        """``(commit_version, relative_path, stats)`` for every file ADDED
+        by a data commit in ``(from_version, to_version]`` — the walk
+        behind :meth:`read_changes`, exposed so declarative consumers (the
         ``managed_table`` data source's CDC option) can tag rows with the
-        commit that produced them. O(commits in range) log reads; same
-        skip rules as :meth:`read_changes` (compact/restore replay-free)."""
+        commit that produced them and skip files on manifest stats.
+        O(commits in range) log reads; same skip rules as
+        :meth:`read_changes` (compact/restore replay-free)."""
         head_version = self._head_version()
         if to_version is None:
             to_version = head_version
@@ -736,7 +737,7 @@ class ManagedTable:
                 f"read_changes range ({from_version}, {to_version}] outside "
                 f"history 0..{head_version}"
             )
-        out: list[tuple[int, str]] = []
+        out: list[tuple[int, str, dict | None]] = []
         prev_paths: set[str] | None = None  # lazy: only legacy records need it
         for v in range(from_version + 1, to_version + 1):
             raw = self._raw(v)
@@ -748,14 +749,16 @@ class ManagedTable:
                 cur_paths = {f["path"] for f in raw["files"]}
                 if not _cdc_skip(raw["op"]):
                     out.extend(
-                        (v, f["path"])
+                        (v, f["path"], f.get("stats"))
                         for f in raw["files"]
                         if f["path"] not in prev_paths
                     )
                 prev_paths = cur_paths
             else:
                 if not _cdc_skip(raw["op"]):
-                    out.extend((v, e["path"]) for e in raw["add"])
+                    out.extend(
+                        (v, e["path"], e.get("stats")) for e in raw["add"]
+                    )
                 if prev_paths is not None:
                     prev_paths = (prev_paths - set(raw["remove"])) | {
                         e["path"] for e in raw["add"]
@@ -790,7 +793,7 @@ class ManagedTable:
             to_version = self._head_version()
         added = [
             str(self.root / rel)
-            for _, rel in self.changed_files(from_version, to_version)
+            for _, rel, _stats in self.changed_files(from_version, to_version)
         ]
         # Read under to_version's schema, not the head's: the same
         # (from, to] range must return the same frame shape regardless of

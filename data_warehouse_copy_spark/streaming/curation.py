@@ -94,20 +94,28 @@ def stream_curate_documents(
         schema if schema is not None else spark.read.parquet(source_dir).schema
     )
 
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_curation_sink(target, app_id))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _curation_sink(target: ManagedTable, app_id: str):
+    """foreachBatch body shared by both curation entry points: curate the
+    micro-batch against the already-curated corpus fingerprints and land
+    it in ONE txn-watermarked commit (retries are no-ops)."""
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         has_rows = target.snapshot().schema_json is not None
         existing = target.read().select("fp") if has_rows else None
         curated = curate_batch(batch_df, existing)
         target.append(curated, txn=(app_id, epoch_id))
 
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    return sink
 
 
 def stream_curate_from_table(
@@ -129,17 +137,10 @@ def stream_curate_from_table(
     from data_warehouse_copy_spark.sources.datasource import register
 
     register(spark)
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        has_rows = target.snapshot().schema_json is not None
-        existing = target.read().select("fp") if has_rows else None
-        curated = curate_batch(batch_df, existing)
-        target.append(curated, txn=(app_id, epoch_id))
-
     return (
         spark.readStream.format("managed_table")
         .load(bronze_root)
-        .writeStream.foreachBatch(sink)
+        .writeStream.foreachBatch(_curation_sink(target, app_id))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

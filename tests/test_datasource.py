@@ -445,6 +445,37 @@ def test_stream_starting_version_is_inclusive(spark, tmp_path):
         r2.initialOffset()
 
 
+def test_stream_starting_version_zero_replays_from_creation(spark, tmp_path):
+    """startingVersion=0 replays every data commit including the creating
+    one — the v0 full-state record diffs against an EMPTY prior state, not
+    snapshot(-1) (which does not exist)."""
+    t = _mk(spark, tmp_path, n=5)  # v0 create, v1 append
+    t.append(spark.range(5, 8).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(spark, t.root, out, ckpt, startingVersion="0")
+    try:
+        q.processAllAvailable()
+        assert sorted(r.id for r in spark.read.parquet(str(out)).collect()) == list(
+            range(8)
+        )
+    finally:
+        q.stop()
+
+
+def test_batch_version_options_validated_up_front(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=3)
+    for opts in (
+        {"versionAsOf": "99"},
+        {"changesFrom": "0", "changesTo": "99"},
+        {"changesFrom": "99"},
+    ):
+        reader = spark.read.format("managed_table")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        with pytest.raises(Exception, match="outside the table history"):
+            reader.load(str(t.root)).collect()
+
+
 def test_stream_survives_mid_flight_schema_evolution(spark, tmp_path):
     """A merge_schema widen committed while the stream runs must not kill
     the query: batches project to the planning-time schema, and the new
