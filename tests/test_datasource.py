@@ -620,3 +620,81 @@ def test_stream_selective_tailing_with_where_option(spark, tmp_path):
 def test_read_missing_table_fails_clearly(spark, tmp_path):
     with pytest.raises(Exception, match="no managed table at"):
         spark.read.format("managed_table").load(str(tmp_path / "nope")).collect()
+
+
+_DSW_WORKER = r"""
+import sys
+import pyarrow as pa
+from pyspark.sql import types as T
+from data_warehouse_copy_spark.sources.datasource import (
+    _commit_staged, _stage_batches,
+)
+
+root, wid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+schema = T.StructType([
+    T.StructField("writer", T.LongType()),
+    T.StructField("seq", T.LongType()),
+])
+for i in range(n):
+    batch = pa.record_batch(
+        {"writer": pa.array([wid], pa.int64()), "seq": pa.array([i], pa.int64())}
+    )
+    msg = _stage_batches(root, iter([batch]))
+    _commit_staged(root, schema, [msg], "append")
+print("OK")
+"""
+
+
+def test_concurrent_native_and_datasource_writers(spark, tmp_path):
+    """Cross-process storm mixing the declarative writer's two-phase
+    commit with native append_pylist on one log: both paths share
+    _commit_files' exclusive-version + rebase protocol, so every commit
+    from either side must survive."""
+    import subprocess
+    import sys as _sys
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root)
+    schema = T.StructType(
+        [T.StructField("writer", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    t.append_pylist([{"writer": -1, "seq": -1}], schema)  # seed the schema
+
+    native_worker = r"""
+import sys
+from pyspark.sql import types as T
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+root, wid, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+t = ManagedTable(None, root)
+schema = T.StructType([
+    T.StructField("writer", T.LongType()),
+    T.StructField("seq", T.LongType()),
+])
+for i in range(n):
+    t.append_pylist([{"writer": wid, "seq": i}], schema)
+print("OK")
+"""
+    n_each, n_appends = 2, 5
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script, root, str(w), str(n_appends)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w, script in enumerate(
+            [_DSW_WORKER] * n_each + [native_worker] * n_each
+        )
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err
+        assert "OK" in out
+    total = 1 + 2 * n_each * n_appends
+    m = t.snapshot()
+    assert m.total_rows == total and m.version == total - 1 + 1
+    assert t.read().count() == total
+    # both write paths visible through the declarative read too
+    assert spark.read.format("managed_table").load(root).count() == total
