@@ -161,15 +161,19 @@ def _parse_where_option(options: dict) -> list[tuple]:
         return []
     try:
         triples = json.loads(raw)
-        assert isinstance(triples, list) and all(
+    except json.JSONDecodeError:
+        triples = None
+    if not (
+        isinstance(triples, list)
+        and all(
             isinstance(t, list) and len(t) == 3 and isinstance(t[0], str)
             for t in triples
         )
-    except (json.JSONDecodeError, AssertionError):
+    ):
         raise ValueError(
             f"where option must be a JSON list of [column, op, value] "
             f"triples, got {raw!r}"
-        ) from None
+        )
     for _, op, _ in triples:
         if op not in _WHERE_OPS:
             raise ValueError(
@@ -217,12 +221,14 @@ def _matching_row_groups(pf, where: list[tuple]) -> list[int] | None:
     predicate — the second pruning tier under the manifest's file-level
     skip (a clustered file is internally sorted, so its row groups carry
     tight disjoint spans and a point predicate reads one row group out of
-    a multi-GB file). Conservative: a group without usable stats is kept;
-    returns None when nothing can be pruned (read everything)."""
+    a multi-GB file). Only the predicate's columns are consulted (a wide
+    table costs nothing extra). Conservative: a group without usable
+    stats is kept; returns None when nothing can be pruned."""
     if not where:
         return None
     from data_warehouse_copy_spark.sources.managed_table import _stat_scalar
 
+    pred_cols = {c for c, _, _ in where}
     md = pf.metadata
     keep = []
     pruned_any = False
@@ -231,12 +237,15 @@ def _matching_row_groups(pf, where: list[tuple]) -> list[int] | None:
         stats: dict = {}
         for ci in range(g.num_columns):
             col = g.column(ci)
+            name = col.path_in_schema
+            if name not in pred_cols or "." in name:
+                continue
             st = col.statistics
-            if st is None or not st.has_min_max or "." in col.path_in_schema:
+            if st is None or not st.has_min_max:
                 continue
             lo, hi = _stat_scalar(st.min), _stat_scalar(st.max)
             if lo is not None and hi is not None:
-                stats[col.path_in_schema] = [lo, hi]
+                stats[name] = [lo, hi]
         if all(_file_may_match(stats, c, op, v) for c, op, v in where):
             keep.append(rg)
         else:
@@ -264,32 +273,37 @@ def _read_file_as_batches(
 
     spark_schema = _nullable(T.StructType.fromJson(json.loads(schema_json)))
     target = to_arrow_schema(spark_schema)
+    target_schema = pa.schema(list(target))
     pf = pq.ParquetFile(path)
     present = set(pf.schema_arrow.names)
     want = [
         n for n in target.names if n in present and n != _VERSION_COL
     ]
     rgs = _matching_row_groups(pf, where or [])
-    if rgs is None:
-        tbl = pf.read(columns=want)
-    elif not rgs:
-        tbl = pf.schema_arrow.empty_table().select(want)
-    else:
-        tbl = pf.read_row_groups(rgs, columns=want)
-    cols = []
-    for field in target:
-        if field.name == _VERSION_COL and commit_version is not None:
-            cols.append(
-                pa.array([commit_version] * tbl.num_rows, type=field.type)
-            )
-        elif field.name in tbl.column_names:
-            cols.append(tbl.column(field.name))
-        else:  # additive evolution: file predates the column
-            cols.append(pa.nulls(tbl.num_rows, type=field.type))
-    # from_arrays with an explicit schema already casts every column to
-    # the target arrow types — no second cast pass needed
-    out = pa.Table.from_arrays(cols, schema=pa.schema(list(target)))
-    yield from out.to_batches()
+    if rgs == []:
+        return  # every row group excluded by stats
+    # stream row groups batch-by-batch: a multi-GB file must never be
+    # materialized as one in-memory table on the executor
+    batch_iter = pf.iter_batches(
+        columns=want, row_groups=rgs if rgs is not None else None
+    )
+    for batch in batch_iter:
+        cols = []
+        for field in target:
+            if field.name == _VERSION_COL and commit_version is not None:
+                cols.append(
+                    pa.repeat(
+                        pa.scalar(commit_version, type=field.type),
+                        batch.num_rows,
+                    )
+                )
+            elif field.name in batch.schema.names:
+                cols.append(batch.column(field.name))
+            else:  # additive evolution: file predates the column
+                cols.append(pa.nulls(batch.num_rows, type=field.type))
+        # from_arrays with an explicit schema casts every column to the
+        # target arrow types — no second cast pass needed
+        yield from pa.Table.from_arrays(cols, schema=target_schema).to_batches()
 
 
 class ManagedTableBatchReader(DataSourceReader):
@@ -304,6 +318,21 @@ class ManagedTableBatchReader(DataSourceReader):
         self.options = options
         self.schema_json = schema.json()
         self.where = _parse_where_option(options)
+        # Snapshot isolation also on the explicit-.schema(...) path, where
+        # DataSource.schema() (which normally pins) never runs: resolve
+        # the version ONCE at reader construction so partitions() cannot
+        # drift to a later head than the plan was built against.
+        if (
+            options.get("versionasof") is None
+            and options.get("changesfrom") is None
+        ):
+            t = _require_table(root)
+            ts = options.get("timestampasof")
+            if ts is not None:
+                self.options["versionasof"] = str(t.version_at(ts))
+                self.options.pop("timestampasof", None)
+            else:
+                self.options["versionasof"] = str(t._head_version())
 
     def _snapshot(self):
         t = _require_table(self.root)
@@ -368,6 +397,14 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         self._skip_changes = _opt_bool(options, "skipchangecommits")
         self._ignore_changes = _opt_bool(options, "ignorechanges")
         self._starting = options.get("startingversion")
+        if options.get("changesfrom") is not None or (
+            options.get("changesto") is not None
+        ):
+            raise ValueError(
+                "changesFrom/changesTo are batch CDC options; a stream IS "
+                "the change feed — bound where tailing begins with "
+                "startingVersion instead"
+            )
         # relation-scoped pruning predicate: selective tailing — the
         # stream subscribes to the subset of the table that may match
         # (e.g. one tenant's key range on a clustered table), skipping
@@ -423,41 +460,23 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 if keep(f.stats)
             ]
         paths = []
-        for v in range(start["version"] + 1, end_v + 1):
-            raw = t._raw(v)
-            if "files" in raw:  # full-state record (v0 / legacy): diff vs
-                # prior state — empty at v0 (startingVersion=0 replays the
-                # creating commit itself)
-                prev = (
-                    set()
-                    if v == 0
-                    else {f.path for f in t.snapshot(v - 1).files}
-                )
-                adds = [
-                    f["path"]
-                    for f in raw["files"]
-                    if f["path"] not in prev and keep(f.get("stats"))
-                ]
-                removed = prev - {f["path"] for f in raw["files"]}
-            else:
-                adds = [
-                    e["path"] for e in raw["add"] if keep(e.get("stats"))
-                ]
-                removed = set(raw["remove"])
-            if _cdc_skip(raw["op"]):
+        for v, op, adds, removed in t.commit_deltas(start["version"], end_v):
+            if _cdc_skip(op):
                 continue
             if removed:
                 if self._skip_changes:
                     continue
                 if not self._ignore_changes:
                     raise ValueError(
-                        f"commit v{v} ({raw['op']!r}) rewrote data files; a "
+                        f"commit v{v} ({op!r}) rewrote data files; a "
                         f"tailing stream would double-deliver surviving "
                         f"rows. Set skipChangeCommits=true to drop such "
                         f"commits or ignoreChanges=true to accept "
                         f"at-least-once delivery of their files."
                     )
-            paths.extend(adds)
+            paths.extend(
+                e["path"] for e in adds if keep(e.get("stats"))
+            )
         return [FilePartition(str(root / p)) for p in paths]
 
     def read(self, partition: FilePartition) -> "Iterator[pa.RecordBatch]":
@@ -690,6 +709,11 @@ class ManagedTableDataSource(DataSource):
                 raise ValueError(
                     f"{label} {val} outside the table history 0..{head}"
                 )
+        if cf is None and self.options.get("changesto") is not None:
+            raise ValueError(
+                "changesTo requires changesFrom (a CDC range has both "
+                "bounds; a plain read ignores neither silently)"
+            )
         if cf is not None:
             # CDC read: rows added in (changesFrom, changesTo], under the
             # range-end schema plus the _commit_version tag. Pin the end so
@@ -708,15 +732,17 @@ class ManagedTableDataSource(DataSource):
                 if end.schema_json
                 else T.StructType([])
             )
-            narrowed = T.StructType.fromJson(
-                json.loads(
-                    _narrow_schema_json(base.json(), dict(self.options))
-                )
+            # append the tag BEFORE narrowing so option("columns") can
+            # project _commit_version like any other CDC output column
+            full = T.StructType(
+                list(base.fields)
+                + [T.StructField(_VERSION_COL, T.LongType(), True)]
             )
             return _nullable(
-                T.StructType(
-                    list(narrowed.fields)
-                    + [T.StructField(_VERSION_COL, T.LongType(), True)]
+                T.StructType.fromJson(
+                    json.loads(
+                        _narrow_schema_json(full.json(), dict(self.options))
+                    )
                 )
             )
         m = t.snapshot(

@@ -719,6 +719,54 @@ class ManagedTable:
             "n_partitions": len({f.partition for f in m.files} - {None}),
         }
 
+    def commit_deltas(
+        self, from_version: int, to_version: int | None = None
+    ) -> list[tuple[int, str, list[dict], set[str]]]:
+        """``(version, op, added_entries, removed_paths)`` for every
+        commit in ``(from_version, to_version]`` — the ONE commit-walk
+        definition shared by :meth:`read_changes`/:meth:`changed_files`
+        (batch CDC) and the ``managed_table`` stream source's tail
+        planner, so their semantics cannot diverge. ``added_entries`` are
+        raw file dicts (``path``/``rows``/``stats``). Maintenance and
+        rollback commits (``compact``, ``restore_*``) are included with
+        their op — CONSUMERS decide to skip them (``_cdc_skip``).
+        O(commits in range) log reads; legacy full-state records are
+        diffed against the incrementally-tracked prior state."""
+        head_version = self._head_version()
+        if to_version is None:
+            to_version = head_version
+        # from_version=-1 means "from the creating commit inclusive" (the
+        # stream source's startingVersion=0); cursor APIs pass >= 0
+        if not -1 <= from_version <= to_version <= head_version:
+            raise ValueError(
+                f"commit range ({from_version}, {to_version}] outside "
+                f"history 0..{head_version}"
+            )
+        out: list[tuple[int, str, list[dict], set[str]]] = []
+        prev_paths: set[str] | None = None  # lazy: only legacy records need it
+        for v in range(from_version + 1, to_version + 1):
+            raw = self._raw(v)
+            if "files" in raw:  # full-state record (v0/legacy): diff vs prior
+                if prev_paths is None:
+                    prev_paths = (
+                        set()
+                        if v == 0
+                        else {f.path for f in self.snapshot(v - 1).files}
+                    )
+                cur = {f["path"]: f for f in raw["files"]}
+                adds = [f for p, f in cur.items() if p not in prev_paths]
+                removed = prev_paths - set(cur)
+                prev_paths = set(cur)
+            else:
+                adds = list(raw["add"])
+                removed = set(raw["remove"])
+                if prev_paths is not None:
+                    prev_paths = (prev_paths - removed) | {
+                        e["path"] for e in adds
+                    }
+            out.append((v, raw["op"], adds, removed))
+        return out
+
     def changed_files(
         self, from_version: int, to_version: int | None = None
     ) -> list[tuple[int, str, dict | None]]:
@@ -727,43 +775,21 @@ class ManagedTable:
         behind :meth:`read_changes`, exposed so declarative consumers (the
         ``managed_table`` data source's CDC option) can tag rows with the
         commit that produced them and skip files on manifest stats.
-        O(commits in range) log reads; same skip rules as
-        :meth:`read_changes` (compact/restore replay-free)."""
-        head_version = self._head_version()
-        if to_version is None:
-            to_version = head_version
-        if not 0 <= from_version <= to_version <= head_version:
+        Maintenance/rollback commits are skipped (compact/restore
+        replay-free, same contract as :meth:`read_changes`)."""
+        if from_version < 0:
             raise ValueError(
                 f"read_changes range ({from_version}, {to_version}] outside "
-                f"history 0..{head_version}"
+                f"history 0..{self._head_version()}"
             )
-        out: list[tuple[int, str, dict | None]] = []
-        prev_paths: set[str] | None = None  # lazy: only legacy records need it
-        for v in range(from_version + 1, to_version + 1):
-            raw = self._raw(v)
-            if "files" in raw:  # legacy full-state record: diff against prior
-                if prev_paths is None:
-                    prev_paths = {
-                        f.path for f in self.snapshot(v - 1).files
-                    }
-                cur_paths = {f["path"] for f in raw["files"]}
-                if not _cdc_skip(raw["op"]):
-                    out.extend(
-                        (v, f["path"], f.get("stats"))
-                        for f in raw["files"]
-                        if f["path"] not in prev_paths
-                    )
-                prev_paths = cur_paths
-            else:
-                if not _cdc_skip(raw["op"]):
-                    out.extend(
-                        (v, e["path"], e.get("stats")) for e in raw["add"]
-                    )
-                if prev_paths is not None:
-                    prev_paths = (prev_paths - set(raw["remove"])) | {
-                        e["path"] for e in raw["add"]
-                    }
-        return out
+        return [
+            (v, e["path"], e.get("stats"))
+            for v, op, adds, _removed in self.commit_deltas(
+                from_version, to_version
+            )
+            if not _cdc_skip(op)
+            for e in adds
+        ]
 
     def read_changes(
         self, from_version: int, to_version: int | None = None

@@ -567,6 +567,56 @@ def test_batch_cdc_read_tags_commit_version(spark, tmp_path):
         ).load(str(t.root)).collect()
 
 
+def test_cdc_option_guards_and_column_projection(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(5).selectExpr("id", "id*2 AS v"))
+    t.append(spark.range(5, 8).selectExpr("id", "id*2 AS v"))
+    # a stream IS the change feed: batch CDC options are rejected loudly
+    # (the reader is built inside the stream run, so the error surfaces on
+    # the first micro-batch, not at start())
+    q = (
+        spark.readStream.format("managed_table")
+        .option("changesFrom", "1")
+        .load(str(t.root))
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="batch CDC options"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+    # changesTo alone would silently fall through to a full read — reject
+    with pytest.raises(Exception, match="changesTo requires changesFrom"):
+        spark.read.format("managed_table").option("changesTo", "1").load(
+            str(t.root)
+        ).collect()
+    # the _commit_version tag is projectable through the columns option
+    df = (
+        spark.read.format("managed_table")
+        .option("changesFrom", "1")
+        .option("columns", "id,_commit_version")
+        .load(str(t.root))
+    )
+    assert df.columns == ["id", "_commit_version"]
+    assert sorted(map(tuple, df.collect())) == [(5, 2), (6, 2), (7, 2)]
+
+
+def test_explicit_schema_reader_pins_version(spark, tmp_path):
+    """The explicit-.schema(...) path skips DataSource.schema(), so the
+    reader itself must pin the head at construction — partitions() may
+    not drift to commits made after planning."""
+    t = _mk(spark, tmp_path, n=4)
+    reader = ManagedTableBatchReader(str(t.root), {}, t.read().schema)
+    assert reader.options.get("versionasof") == str(t.snapshot().version)
+    n_pinned = len(t.snapshot().files)
+    t.append(spark.range(4, 8).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    assert len(t.snapshot().files) > n_pinned
+    assert len(reader.partitions()) == n_pinned  # the pinned version's files
+
+
 def test_sql_view_over_managed_table(spark, tmp_path):
     """The format works from pure SQL too: CREATE TEMPORARY VIEW ... USING
     managed_table OPTIONS(path ...) — the surface a SQL-only consumer
