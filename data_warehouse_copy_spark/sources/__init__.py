@@ -1,4 +1,12 @@
 from data_warehouse_copy_spark.sources.catalog import load_table, register_views
+from data_warehouse_copy_spark.sources.datasource import (
+    register as register_data_source,
+)
 from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
-__all__ = ["ManagedTable", "load_table", "register_views"]
+__all__ = [
+    "ManagedTable",
+    "load_table",
+    "register_data_source",
+    "register_views",
+]
