@@ -306,6 +306,53 @@ def _read_file_as_batches(
         yield from pa.Table.from_arrays(cols, schema=target_schema).to_batches()
 
 
+#: declared schema of option("history") reads — one row per commit
+_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("ts", T.StringType(), False),
+        T.StructField("n_files", T.LongType(), False),
+        T.StructField("total_rows", T.LongType(), False),
+        T.StructField("rows_added", T.LongType(), False),
+        T.StructField("rows_removed", T.LongType(), False),
+    ]
+)
+
+
+class HistoryPartition(InputPartition):
+    """Sentinel partition for the metadata-only history read."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+
+class ManagedTableHistoryReader(DataSourceReader):
+    """``option("history", "true")``: the commit log as a DataFrame — the
+    DESCRIBE HISTORY surface, SQL-reachable through the same format. One
+    partition, O(live files) memory (the :meth:`ManagedTable.history`
+    forward replay), zero data files opened."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def partitions(self) -> list[HistoryPartition]:
+        return [HistoryPartition(self.root)]
+
+    def read(self, partition) -> "Iterator[tuple]":
+        t = _require_table(partition.root)
+        for c in t.history():
+            yield (
+                c.version,
+                c.op,
+                c.ts,
+                c.n_files,
+                c.total_rows,
+                c.rows_added,
+                c.rows_removed,
+            )
+
+
 class ManagedTableBatchReader(DataSourceReader):
     """Scans are projected to the DECLARED schema Spark planned with —
     the pinned manifest schema on the normal path, or the user-supplied
@@ -695,6 +742,9 @@ class ManagedTableDataSource(DataSource):
         return root
 
     def schema(self) -> T.StructType:
+        if _opt_bool(self.options, "history"):
+            _require_table(self._root())
+            return _HISTORY_SCHEMA
         t = _require_table(self._root())
         head = t._head_version()
         v = self.options.get("versionasof")
@@ -760,7 +810,9 @@ class ManagedTableDataSource(DataSource):
         narrowed = _narrow_schema_json(m.schema_json, dict(self.options))
         return _nullable(T.StructType.fromJson(json.loads(narrowed)))
 
-    def reader(self, schema: T.StructType) -> ManagedTableBatchReader:
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        if _opt_bool(self.options, "history"):
+            return ManagedTableHistoryReader(self._root())
         # `schema` is what Spark planned against: our pinned+narrowed
         # schema, or the user's explicit .schema(...) — either way it is
         # the projection target every file is read to.

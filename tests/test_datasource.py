@@ -617,6 +617,32 @@ def test_explicit_schema_reader_pins_version(spark, tmp_path):
     assert len(reader.partitions()) == n_pinned  # the pinned version's files
 
 
+def test_history_option_exposes_commit_log(spark, tmp_path):
+    """option('history', 'true') is DESCRIBE HISTORY: the commit log as a
+    DataFrame (and thus reachable from pure SQL), metadata-only."""
+    t = _mk(spark, tmp_path, n=5)
+    t.append(spark.range(5, 9).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))
+    t.delete([("id", "<", 2)])
+    h = (
+        spark.read.format("managed_table")
+        .option("history", "true")
+        .load(str(t.root))
+    )
+    rows = sorted(h.collect(), key=lambda r: r.version)
+    assert [r.op for r in rows] == ["create", "append", "append", "delete"]
+    assert rows[-1].total_rows == 7 and rows[-1].rows_removed >= 2
+    assert [tuple(r) for r in rows] == [
+        (c.version, c.op, c.ts, c.n_files, c.total_rows, c.rows_added, c.rows_removed)
+        for c in t.history()
+    ]
+    # SQL surface over the same option
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW mt_hist USING managed_table "
+        f"OPTIONS (path '{t.root}', history 'true')"
+    )
+    assert spark.sql("SELECT count(*) FROM mt_hist").first()[0] == 4
+
+
 def test_sql_view_over_managed_table(spark, tmp_path):
     """The format works from pure SQL too: CREATE TEMPORARY VIEW ... USING
     managed_table OPTIONS(path ...) — the surface a SQL-only consumer
