@@ -327,20 +327,41 @@ class HistoryPartition(InputPartition):
         self.root = root
 
 
-class ManagedTableHistoryReader(DataSourceReader):
-    """``option("history", "true")``: the commit log as a DataFrame — the
-    DESCRIBE HISTORY surface, SQL-reachable through the same format. One
-    partition, O(live files) memory (the :meth:`ManagedTable.history`
-    forward replay), zero data files opened."""
+#: declared schema of option("files") reads — one row per live data file
+_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("partition", T.StringType(), True),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("stats_json", T.StringType(), True),
+    ]
+)
 
-    def __init__(self, root: str):
+
+class ManagedTableHistoryReader(DataSourceReader):
+    """``option("history", "true")`` / ``option("files", "true")``: the
+    commit log (DESCRIBE HISTORY) or the live file manifest as a
+    DataFrame, SQL-reachable through the same format. One partition,
+    metadata-only — zero data files opened."""
+
+    def __init__(self, root: str, mode: str):
         self.root = root
+        self.mode = mode
 
     def partitions(self) -> list[HistoryPartition]:
         return [HistoryPartition(self.root)]
 
     def read(self, partition) -> "Iterator[tuple]":
         t = _require_table(partition.root)
+        if self.mode == "files":
+            for f in t.snapshot().files:
+                yield (
+                    f.path,
+                    f.partition,
+                    f.rows,
+                    json.dumps(f.stats) if f.stats else None,
+                )
+            return
         for c in t.history():
             yield (
                 c.version,
@@ -745,6 +766,9 @@ class ManagedTableDataSource(DataSource):
         if _opt_bool(self.options, "history"):
             _require_table(self._root())
             return _HISTORY_SCHEMA
+        if _opt_bool(self.options, "files"):
+            _require_table(self._root())
+            return _FILES_SCHEMA
         t = _require_table(self._root())
         head = t._head_version()
         v = self.options.get("versionasof")
@@ -812,7 +836,9 @@ class ManagedTableDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         if _opt_bool(self.options, "history"):
-            return ManagedTableHistoryReader(self._root())
+            return ManagedTableHistoryReader(self._root(), "history")
+        if _opt_bool(self.options, "files"):
+            return ManagedTableHistoryReader(self._root(), "files")
         # `schema` is what Spark planned against: our pinned+narrowed
         # schema, or the user's explicit .schema(...) — either way it is
         # the projection target every file is read to.

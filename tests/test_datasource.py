@@ -643,6 +643,22 @@ def test_history_option_exposes_commit_log(spark, tmp_path):
     assert spark.sql("SELECT count(*) FROM mt_hist").first()[0] == 4
 
 
+def test_files_option_exposes_manifest(spark, tmp_path):
+    """option('files', 'true') lists the live manifest (path, partition,
+    rows, stats) — the table-layout inspection surface, metadata-only."""
+    t = _mk(spark, tmp_path, n=10)
+    f = (
+        spark.read.format("managed_table")
+        .option("files", "true")
+        .load(str(t.root))
+    )
+    rows = f.collect()
+    m = t.snapshot()
+    assert sorted(r.path for r in rows) == sorted(x.path for x in m.files)
+    assert sum(r.rows for r in rows) == 10
+    assert all(r.stats_json is None or "id" in r.stats_json for r in rows)
+
+
 def test_sql_view_over_managed_table(spark, tmp_path):
     """The format works from pure SQL too: CREATE TEMPORARY VIEW ... USING
     managed_table OPTIONS(path ...) — the surface a SQL-only consumer
