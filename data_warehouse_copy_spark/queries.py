@@ -98,8 +98,42 @@ def _dec_sum(expr: str) -> F.Column:
 _DEC_SUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
+
+# Roundtrip queries materialize scratch ManagedTables; bench/test loops
+# re-run the catalog many times in one process, so every scratch dir is
+# registered for one atexit sweep instead of stranding table copies in
+# /tmp until the disk fills.
+_TMP_DIRS: list[str] = []
+
+
+def _tmp_table_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _TMP_DIRS:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _TMP_DIRS]
+        )
+    _TMP_DIRS.append(d)
+    return d
+
+
 def _sql_dec_sum(expr: str) -> str:
     return _DEC_SUM_SQL.format(expr=expr)
+
+
+# Knuth multiplicative sample bucket — the STABILITY CONTRACT of every
+# deterministic sampler here (quota + temperature): membership must be
+# identical across runs, engines, partitionings, and corpus growth, so
+# the two constants live in exactly one place on each side.
+_SAMPLE_BUCKET_SQL = "(({id} % 1000000007) * 2654435761) % 1000"
+
+
+def _sample_bucket(id_col: str = "doc_id") -> F.Column:
+    return (
+        (F.col(id_col) % F.lit(1000000007)) * F.lit(2654435761)
+    ) % F.lit(1000)
 
 
 # --------------------------------------------------------------------------
@@ -1109,9 +1143,12 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 def windowed_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2+O6 (``TableCopyService.cs:127-161``): raw-datetime BETWEEN with the
-    ``23:59:59.997`` end bound, excluded columns dropped. The predicate is
-    pushed into the parquet scan."""
+    """O2 (``TableCopyService.cs:127-141``): raw-datetime BETWEEN with the
+    ``23:59:59.997`` end bound, pushed into the parquet scan. The O6
+    column exclusion is exercised inside the copy paths
+    (``operators/copy.py:exclude_columns``; the fixture tables carry no
+    ``Id``/``insert_datetime`` columns, so it would be a no-op here and
+    the oracle stays ``SELECT *``)."""
     (li,) = _prep(spark, sf_dir, "lineitem")
     return li.filter(
         F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
@@ -1181,7 +1218,7 @@ def range_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. The oracle is the equivalent windowed SELECT — proving the storage
     layer neither drops nor duplicates rows."""
     (li,) = _prep(spark, sf_dir, "lineitem")
-    tmp = tempfile.mkdtemp(prefix="dwcs_rc_")
+    tmp = _tmp_table_dir(prefix="dwcs_rc_")
     target = ManagedTable.create(spark, f"{tmp}/lineitem")
     copy_table(
         li,
@@ -1210,7 +1247,7 @@ def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = ManagedTable.create(
         spark,
-        f"{tempfile.mkdtemp(prefix='dwcs_skip_')}/lineitem",
+        f"{_tmp_table_dir(prefix='dwcs_skip_')}/lineitem",
         cluster_col="l_orderkey",
     )
     t.append(window)
@@ -1241,7 +1278,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = ManagedTable.create(
         spark,
-        f"{tempfile.mkdtemp(prefix='dwcs_compact_')}/orders",
+        f"{_tmp_table_dir(prefix='dwcs_compact_')}/orders",
         partition_date_col="o_orderdate",
     )
     for i in range(3):  # micro-batch arrival: 3 small appends per day
@@ -1275,7 +1312,7 @@ def predicate_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _prep(spark, sf_dir, "orders")
     t = ManagedTable.create(
         spark,
-        f"{tempfile.mkdtemp(prefix='dwcs_del_')}/orders",
+        f"{_tmp_table_dir(prefix='dwcs_del_')}/orders",
         cluster_col="o_orderkey",
     )
     t.append(orders)
@@ -1298,7 +1335,7 @@ def predicate_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _prep(spark, sf_dir, "orders")
     t = ManagedTable.create(
         spark,
-        f"{tempfile.mkdtemp(prefix='dwcs_upd_')}/orders",
+        f"{_tmp_table_dir(prefix='dwcs_upd_')}/orders",
         cluster_col="o_orderkey",
     )
     t.append(orders)
@@ -1333,7 +1370,7 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update_datetime",
         F.expr("date_add(CAST(o_orderdate AS DATE), CAST(o_orderkey % 45 AS INT))"),
     )
-    tmp = tempfile.mkdtemp(prefix="dwcs_up_")
+    tmp = _tmp_table_dir(prefix="dwcs_up_")
     target = ManagedTable.create(spark, f"{tmp}/orders")
     target.overwrite(
         src.withColumn("o_totalprice", F.lit(0.0).cast("double"))
@@ -1493,7 +1530,7 @@ def pipeline_e2e_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_copy_spark.plans.audit import AuditLog
     from datetime import datetime
 
-    tmp = tempfile.mkdtemp(prefix="dwcs_e2e_")
+    tmp = _tmp_table_dir(prefix="dwcs_e2e_")
     cfg = dwcs.load_config(
         {
             "source": sf_dir,
@@ -1821,7 +1858,7 @@ def events_hourly_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed_day = "2024-01-19"  # last closed day; split = the next midnight
     split = F.expr("TIMESTAMP '2024-01-20 00:00:00'")
     ca = ContinuousAggregate(
-        spark, f"{tempfile.mkdtemp(prefix='dwcs_ca_')}/events_hourly"
+        spark, f"{_tmp_table_dir(prefix='dwcs_ca_')}/events_hourly"
     )
     ca.backfill(events.filter(F.col("ts") < F.to_timestamp(F.lit(closed_day))))
     ca.refresh_day(events, closed_day)
@@ -2435,9 +2472,7 @@ def training_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents join the sample without re-drawing old ones. Zero shuffles;
     at 100 TB this is a codegen filter riding the scan."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    bucket = (
-        (F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)
-    ) % F.lit(1000)
+    bucket = _sample_bucket()
     quota = (
         F.when(F.col("lang") == "en", 600)
         .when(F.col("lang") == "de", 350)
@@ -2454,14 +2489,53 @@ def training_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("sample_bucket") < quota)
 
 
-QUOTA_SAMPLE_SQL = """
+QUOTA_SAMPLE_SQL = f"""
 SELECT doc_id, lang, source, n_chars,
-       ((doc_id % 1000000007) * 2654435761) % 1000 AS sample_bucket
+       {_SAMPLE_BUCKET_SQL.format(id='doc_id')} AS sample_bucket
 FROM documents
-WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
+WHERE {_SAMPLE_BUCKET_SQL.format(id='doc_id')} <
       CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 350 WHEN 'fr' THEN 200
                 WHEN 'es' THEN 100 ELSE 50 END
 """
+
+def _dense_hourly_grid(events: DataFrame, *aggs: F.Column) -> DataFrame:
+    """The ONE densification definition shared by the anomaly detector and
+    the gap filler: hourly rollup per (event_type, hour), each type's
+    observed span exploded into a dense hour axis, and a left join back —
+    missing hours surface as NULL agg columns for the caller to fill.
+    Mirrored token-for-token by :func:`_dense_hourly_sql`."""
+    hourly = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(*aggs)
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return grid.join(hourly, ["event_type", "hour"], "left")
+
+
+def _dense_hourly_sql(hourly_aggs: str, dense_cols: str) -> str:
+    """SQL twin of :func:`_dense_hourly_grid`: the hourly/grid/dense CTE
+    triple, parameterized by the rollup aggregates and the dense-grid
+    projection (fills applied there)."""
+    return f"""hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, {hourly_aggs}
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY event_type)),
+dense AS (
+  SELECT g.event_type, g.hour, {dense_cols}
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.hour = h.hour)"""
+
 
 def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection over the event stream: each (type, hour)
@@ -2489,20 +2563,7 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the rollup table, not raw events), then window functions over
     the dense #types x #hours grid — metadata scale."""
     (events,) = _prep(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        F.col("event_type"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-    ).agg(F.count("*").alias("n"))
-    span = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    grid = span.select(
-        "event_type",
-        F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour"),
-    )
-    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+    dense = _dense_hourly_grid(events, F.count("*").alias("n")).select(
         "event_type", "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
     w = (
@@ -2540,18 +2601,8 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_ANOMALY_SQL = """
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
-  FROM events GROUP BY 1, 2),
-grid AS (
-  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
-        FROM hourly GROUP BY event_type)),
-dense AS (
-  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
-  FROM grid g LEFT JOIN hourly h
-    ON g.event_type = h.event_type AND g.hour = h.hour),
+EVENTS_ANOMALY_SQL = f"""
+WITH {_dense_hourly_sql("COUNT(*) AS n", "COALESCE(h.n, 0) AS n")},
 stats AS (
   SELECT event_type, hour, n,
          COUNT(*) OVER w AS n_hours,
@@ -2766,8 +2817,14 @@ def source_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in doubles (engine-identical), never the engine's avg."""
     (docs,) = _prep(spark, sf_dir, "documents")
     toks = whitespace_tokens(F.lower(F.col("text")))
+    # NULL text must stay NULL (sum-skipped, not-short) like the oracle's
+    # CASE: Spark's size(NULL array) is -1 under non-ANSI mode, which
+    # would poison mean_tokens AND count the row as short.
     per_doc = docs.select(
-        "source", "lang", "n_chars", F.size(toks).alias("n_tokens")
+        "source",
+        "lang",
+        "n_chars",
+        F.when(F.col("text").isNotNull(), F.size(toks)).alias("n_tokens"),
     )
     return (
         per_doc.groupBy("source")
@@ -2888,9 +2945,7 @@ def training_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quota_permille",
         F.least(F.lit(1000.0), F.lit(1000.0 * _TEMP_C) / F.sqrt("n_lang")),
     )
-    bucket = (
-        (F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)
-    ) % F.lit(1000)
+    bucket = _sample_bucket()
     return (
         docs.join(F.broadcast(quota), "lang")
         .withColumn("sample_bucket", bucket.cast("long"))
@@ -2907,9 +2962,9 @@ q AS (SELECT lang, CAST(n_lang AS BIGINT) AS n_lang,
              LEAST(1000.0, {1000.0 * _TEMP_C} / sqrt(n_lang)) AS quota_permille
       FROM n)
 SELECT d.doc_id, d.lang, q.n_lang, q.quota_permille,
-       ((d.doc_id % 1000000007) * 2654435761) % 1000 AS sample_bucket
+       {_SAMPLE_BUCKET_SQL.format(id='d.doc_id')} AS sample_bucket
 FROM documents d JOIN q ON d.lang = q.lang
-WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000 < q.quota_permille
+WHERE {_SAMPLE_BUCKET_SQL.format(id='d.doc_id')} < q.quota_permille
 """
 
 
@@ -3519,7 +3574,7 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     (events,) = _prep(spark, sf_dir, "events")
     closed_day = "2024-01-19"  # same split the hybrid rollup exercises
     sr = SketchRollup(
-        spark, f"{tempfile.mkdtemp(prefix='dwcs_sk_')}/events_distinct"
+        spark, f"{_tmp_table_dir(prefix='dwcs_sk_')}/events_distinct"
     )
     sr.backfill(events.filter(F.to_date("ts") < F.lit(closed_day)))
     sr.refresh_day(events, closed_day)
@@ -3556,7 +3611,7 @@ def datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     window = li.filter(
         F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
     )
-    root = f"{tempfile.mkdtemp(prefix='dwcs_ds_')}/lineitem"
+    root = f"{_tmp_table_dir(prefix='dwcs_ds_')}/lineitem"
     window.write.format("managed_table").mode("append").save(root)
     return (
         spark.read.format("managed_table")
@@ -3590,7 +3645,7 @@ def cdc_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(W_START_SQL), F.expr(W_END_SQL)
         )
     )
-    root = f"{tempfile.mkdtemp(prefix='dwcs_cdc_')}/lineitem"
+    root = f"{_tmp_table_dir(prefix='dwcs_cdc_')}/lineitem"
     t = ManagedTable.create(spark, root)
     t.append(week)  # v1: already consumed by the hypothetical cursor
     t.append(rest)  # v2: what arrived since
@@ -3676,20 +3731,9 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense #types x #hours grid — metadata scale, same as the anomaly
     detector it feeds."""
     (events,) = _prep(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        F.col("event_type"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-    ).agg(F.count("*").alias("n"), _dec_sum("value").alias("v"))
-    span = hourly.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    grid = span.select(
-        "event_type",
-        F.explode(
-            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour"),
-    )
-    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+    dense = _dense_hourly_grid(
+        events, F.count("*").alias("n"), _dec_sum("value").alias("v")
+    ).select(
         "event_type",
         "hour",
         F.coalesce(F.col("n"), F.lit(0)).alias("n"),
@@ -3732,19 +3776,10 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GAP_FILL_SQL = f"""
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour,
-         COUNT(*) AS n, {_sql_dec_sum('value')} AS v
-  FROM events GROUP BY 1, 2),
-grid AS (
-  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
-        FROM hourly GROUP BY event_type)),
-dense AS (
-  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n, h.v,
-         CAST(floor(epoch(g.hour)) AS BIGINT) AS t
-  FROM grid g LEFT JOIN hourly h
-    ON g.event_type = h.event_type AND g.hour = h.hour),
+WITH {_dense_hourly_sql(
+    f"COUNT(*) AS n, {_sql_dec_sum('value')} AS v",
+    "COALESCE(h.n, 0) AS n, h.v, CAST(floor(epoch(g.hour)) AS BIGINT) AS t",
+)},
 neighbors AS (
   SELECT event_type, hour, n, v, t,
          last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wb AS prev_v,

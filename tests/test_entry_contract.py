@@ -122,3 +122,32 @@ def test_ml_text_metrics_pinned(spark, sf_dir):
         total = sum(n for _, _, n in matrix)
         correct = sum(n for a, b, n in matrix if a == b)
         assert total > 0 and correct / total >= 0.85
+
+
+def test_source_rollup_null_text_matches_oracle(spark, tmp_path):
+    """NULL text must stay NULL in the token count (sum-skipped, not
+    'short'): Spark's size(NULL array) is -1 under non-ANSI mode, which
+    silently skewed mean_tokens and short_doc_frac until guarded. The
+    driver fixtures carry no NULL text, so this pins the divergence on a
+    synthetic corpus with one."""
+    import duckdb
+
+    import data_warehouse_copy_spark.queries as q
+
+    rows = [
+        (1, "a few words here", "en", "web", 16),
+        (2, None, "en", "web", 0),
+        (3, "tiny", "de", "books", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sdf = q.source_curation_rollup(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    _assert_matches_oracle("source_rollup_nulls", sdf, q.SOURCE_ROLLUP_SQL, con)
+    con.close()
