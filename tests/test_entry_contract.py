@@ -151,3 +151,53 @@ def test_source_rollup_null_text_matches_oracle(spark, tmp_path):
     )
     _assert_matches_oracle("source_rollup_nulls", sdf, q.SOURCE_ROLLUP_SQL, con)
     con.close()
+
+
+def test_semantic_lsh_cluster_identity_sf001(spark, sf_dir_med):
+    """The banded scale path of SemDeDup must reproduce the exact entry's
+    clusters bit-for-bit at sf0.01 (12×2-bit banding recovers all 59
+    exact pairs there), so swapping the O(n²) plan for the LSH plan
+    changes cost, not results, at this scale."""
+    from data_warehouse_copy_spark.queries import (
+        dedup_semantic_clusters,
+        dedup_semantic_clusters_lsh,
+    )
+
+    exact = {
+        (r.vec_id, r.component, r.is_survivor)
+        for r in dedup_semantic_clusters(spark, sf_dir_med).collect()
+    }
+    lsh = {
+        (r.vec_id, r.component, r.is_survivor)
+        for r in dedup_semantic_clusters_lsh(spark, sf_dir_med).collect()
+    }
+    assert lsh == exact
+
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+
+@pytest.mark.skipif(
+    not Path(SF01_DIR).is_dir(), reason="sf0.1 fixtures not present"
+)
+def test_semantic_lsh_pair_recall_floor_sf01(spark):
+    """Pair-recall floor for the banded SemDeDup path at sf0.1: the
+    24-plane/12-band signature is seeded and deterministic, so the measured
+    918/920 (0.9978) recall is stable — pin >= 0.99 against drift in the
+    plane derivation, banding math, or cosine fold."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+        lsh_bucket_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    exact = cosine_near_dup_pairs(emb, threshold=0.4).cache()
+    n_exact = exact.count()
+    hit = exact.join(
+        lsh_bucket_near_dup_pairs(emb, threshold=0.4, planes=24, bands=12),
+        ["id_a", "id_b"],
+        "left_semi",
+    ).count()
+    exact.unpersist()
+    assert n_exact >= 900  # the fixture's planted near-dup volume
+    assert hit / n_exact >= 0.99

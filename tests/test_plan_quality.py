@@ -225,3 +225,12 @@ def test_gap_fill_grid_joins_stay_equi(spark, sf_dir):
     # rollup agg + span agg/grid join + window repartition — nothing more
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges <= 4
+
+
+def test_semantic_lsh_clusters_stay_equi(spark, sf_dir):
+    """dedup_semantic_clusters_lsh replaces the O(n²) matmul with banded
+    equi-joins — the whole plan (pair generation AND every closure round)
+    must be hash joins, never a cartesian/nested-loop all-pairs stage."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_clusters_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
