@@ -1301,14 +1301,18 @@ WHERE o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
 
 def predicate_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE WHERE under the correctness gate
-    (``ManagedTable.delete``, Delta-semantics copy-on-write): orders load
-    into a key-clustered table (range-partitioned writes give each file a
-    tight, disjoint key span), then a predicate delete removes one
-    status's low-value rows. The oracle is the surviving rows stated
-    directly in SQL. The clustered layout makes the delete stats-scoped —
-    files whose span cannot match stay byte-identical (pinned in
-    tests/test_managed_table.py); at 100 TB that is the difference
-    between rewriting a handful of files and rewriting the table."""
+    (``ManagedTable.delete``, Delta-semantics, default merge-on-read
+    deletion vectors): orders load into a key-clustered table
+    (range-partitioned writes give each file a tight, disjoint key span),
+    then a predicate delete removes one status's low-value rows. The
+    oracle is the surviving rows stated directly in SQL — so the gate
+    covers both the DV write AND the read-side anti-join that subtracts
+    DV'd positions. The clustered layout keeps the delete stats-scoped —
+    files whose span cannot match are untouched metadata-wise, and no
+    data file is rewritten at all (deleting k rows writes O(k) positions,
+    pinned in tests/test_managed_table.py); at 100 TB that is the
+    difference between kilobytes of DV and gigabytes of rewrite
+    amplification."""
     (orders,) = _prep(spark, sf_dir, "orders")
     t = ManagedTable.create(
         spark,
@@ -1328,9 +1332,11 @@ WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
 
 def predicate_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE SET ... WHERE under the correctness gate
-    (``ManagedTable.update``, Delta-semantics copy-on-write, stats-scoped
-    like :func:`predicate_delete_roundtrip`): low-priority urgent orders
-    get re-priced and re-flagged in place; cardinality never changes. The
+    (``ManagedTable.update``, Delta-semantics, default merge-on-read:
+    matched OLD positions become a deletion vector and only the k
+    rewritten rows land as new files, stats-scoped like
+    :func:`predicate_delete_roundtrip`): low-priority urgent orders get
+    re-priced and re-flagged in place; cardinality never changes. The
     oracle states the converged table as one CASE projection."""
     (orders,) = _prep(spark, sf_dir, "orders")
     t = ManagedTable.create(
@@ -3701,6 +3707,59 @@ WHERE l_shipdate >= TIMESTAMP '{M_FROM}'
 """
 
 
+def datasource_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert through the DECLARATIVE write path (sources/datasource.py
+    ``_commit_merge``): the target starts as orders with zeroed prices on
+    a key-clustered table; the source — true rows for the March keys plus
+    brand-new shifted keys — lands via ``df.write.format("managed_table")
+    .mode("append").option("mergeKey", "o_orderkey")``. The commit
+    tombstones matched target rows with a deletion vector (pyarrow
+    key-column scan of stats-scoped candidate files — no Spark session
+    exists in the Python Data Source commit hook) and appends the staged
+    source files: the same delete+reinsert convergence contract as
+    ``upsert_roundtrip`` (``TableUpdateService.cs:81-161``), now reachable
+    from pure SQL/DataFrame code. The oracle states the converged table:
+    March keys re-priced, everything else still zero, shifted keys
+    inserted."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    (orders,) = _prep(spark, sf_dir, "orders")
+    root = f"{_tmp_table_dir(prefix='dwcs_dsup_')}/orders"
+    t = ManagedTable.create(spark, root, cluster_col="o_orderkey")
+    t.append(orders.withColumn("o_totalprice", F.lit(0.0).cast("double")))
+    march = orders.filter(
+        (F.col("o_orderdate") >= F.lit(M_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit(M_TO).cast("timestamp"))
+    )
+    src = march.unionByName(
+        march.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+    )
+    (
+        src.write.format("managed_table")
+        .mode("append")
+        .option("mergeKey", "o_orderkey")
+        .save(root)
+    )
+    return spark.read.format("managed_table").load(root)
+
+
+DATASOURCE_UPSERT_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderdate >= TIMESTAMP '{M_FROM}'
+             AND o_orderdate <= TIMESTAMP '{M_TO}'
+            THEN o_totalprice ELSE 0.0 END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+UNION ALL
+SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{M_FROM}'
+  AND o_orderdate <= TIMESTAMP '{M_TO}'
+"""
+
+
 def training_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic CONTENT-keyed train/valid/test split — the
     leakage-safe alternative to id-hash splitting: the bucket is an md5 of
@@ -3932,6 +3991,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_gap_fill": events_gap_fill,
     "datasource_roundtrip": datasource_roundtrip,
     "cdc_read_roundtrip": cdc_read_roundtrip,
+    "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4034,4 +4094,5 @@ ORACLES: dict[str, str] = {
     "events_gap_fill": GAP_FILL_SQL,
     "datasource_roundtrip": DATASOURCE_ROUNDTRIP_SQL,
     "cdc_read_roundtrip": CDC_READ_SQL,
+    "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
 }

@@ -96,6 +96,8 @@ replacement surface — a downstream copy becomes ``readStream`` +
 from __future__ import annotations
 
 import json
+import os
+import uuid
 from pathlib import Path
 from typing import TYPE_CHECKING, Iterator
 
@@ -129,11 +131,21 @@ class FilePartition(InputPartition):
     per-partition copy would ship the same multi-KB JSON once per file —
     real money on a million-file table. ``version`` is set only on CDC
     reads: the commit that added this file, surfaced as the
-    ``_commit_version`` column."""
+    ``_commit_version`` column. ``rel``/``dvs`` carry the table-relative
+    path and the absolute deletion-vector parquet paths when the file has
+    DV'd rows (merge-on-read DML) — a compacted table ships neither."""
 
-    def __init__(self, path: str, version: int | None = None):
+    def __init__(
+        self,
+        path: str,
+        version: int | None = None,
+        rel: str | None = None,
+        dvs: tuple = (),
+    ):
         self.path = path
         self.version = version
+        self.rel = rel
+        self.dvs = dvs
 
 
 def _opt_bool(options: dict, key: str) -> bool:
@@ -253,11 +265,28 @@ def _matching_row_groups(pf, where: list[tuple]) -> list[int] | None:
     return keep if pruned_any else None
 
 
+def _dv_positions(dvs: tuple, rel: str) -> "list[int]":
+    """Deleted row positions for data file ``rel`` from its deletion-vector
+    parquets (executor-side, dictionary-filtered read of the tiny DV
+    files). Sorted ascending for the searchsorted window per row group."""
+    import pyarrow.parquet as pq
+
+    pos: list[int] = []
+    for d in dvs:
+        t = pq.read_table(
+            d, columns=["file_path", "pos"], filters=[("file_path", "=", rel)]
+        )
+        pos.extend(t.column("pos").to_pylist())
+    return sorted(set(pos))
+
+
 def _read_file_as_batches(
     path: str,
     schema_json: str,
     commit_version: int | None = None,
     where: list[tuple] | None = None,
+    rel: str | None = None,
+    dvs: tuple = (),
 ) -> "Iterator[pa.RecordBatch]":
     """Executor-side scan of one parquet file, projected to the DECLARED
     schema (the one Spark planned the query against): missing columns
@@ -282,12 +311,8 @@ def _read_file_as_batches(
     rgs = _matching_row_groups(pf, where or [])
     if rgs == []:
         return  # every row group excluded by stats
-    # stream row groups batch-by-batch: a multi-GB file must never be
-    # materialized as one in-memory table on the executor
-    batch_iter = pf.iter_batches(
-        columns=want, row_groups=rgs if rgs is not None else None
-    )
-    for batch in batch_iter:
+
+    def assemble(batch, mask):
         cols = []
         for field in target:
             if field.name == _VERSION_COL and commit_version is not None:
@@ -303,7 +328,43 @@ def _read_file_as_batches(
                 cols.append(pa.nulls(batch.num_rows, type=field.type))
         # from_arrays with an explicit schema casts every column to the
         # target arrow types — no second cast pass needed
-        yield from pa.Table.from_arrays(cols, schema=target_schema).to_batches()
+        t = pa.Table.from_arrays(cols, schema=target_schema)
+        if mask is not None:
+            t = t.filter(pa.array(mask))
+        yield from t.to_batches()
+
+    # stream row groups batch-by-batch: a multi-GB file must never be
+    # materialized as one in-memory table on the executor
+    if not dvs:
+        for batch in pf.iter_batches(
+            columns=want, row_groups=rgs if rgs is not None else None
+        ):
+            yield from assemble(batch, None)
+        return
+    # Merge-on-read: drop deletion-vectored positions. Positions are
+    # absolute within the FILE, so iterate row group by row group with the
+    # true footer offsets — row groups skipped by stats pruning still count
+    # toward the offset.
+    import numpy as np
+
+    dv_arr = np.asarray(_dv_positions(dvs, rel), dtype=np.int64)
+    md = pf.metadata
+    starts = [0]
+    for i in range(md.num_row_groups):
+        starts.append(starts[-1] + md.row_group(i).num_rows)
+    for rg in rgs if rgs is not None else range(md.num_row_groups):
+        offset = starts[rg]
+        for batch in pf.iter_batches(columns=want, row_groups=[rg]):
+            n = batch.num_rows
+            lo = np.searchsorted(dv_arr, offset)
+            hi = np.searchsorted(dv_arr, offset + n)
+            if lo == hi:
+                yield from assemble(batch, None)
+            else:
+                mask = np.ones(n, dtype=bool)
+                mask[dv_arr[lo:hi] - offset] = False
+                yield from assemble(batch, mask)
+            offset += n
 
 
 #: declared schema of option("history") reads — one row per commit
@@ -433,7 +494,11 @@ class ManagedTableBatchReader(DataSourceReader):
             ]
         m = self._snapshot()
         return [
-            FilePartition(str(root / f.path))
+            FilePartition(
+                str(root / f.path),
+                rel=f.path if f.dv_paths else None,
+                dvs=tuple(str(root / p) for p in f.dv_paths),
+            )
             for f in m.files
             if all(
                 _file_may_match(f.stats, c, op, v) for c, op, v in self.where
@@ -450,6 +515,8 @@ class ManagedTableBatchReader(DataSourceReader):
             self.schema_json,
             partition.version,
             where=self.where,
+            rel=partition.rel,
+            dvs=partition.dvs,
         )
 
 
@@ -520,10 +587,15 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         )
         if start.get("snapshot"):
             # initial snapshot: live files at end_v — deletes that happened
-            # before the stream existed are already reflected
+            # before the stream existed are already reflected (including
+            # merge-on-read deletion vectors, applied per file)
             end_m = t.snapshot(end_v)
             return [
-                FilePartition(str(root / f.path))
+                FilePartition(
+                    str(root / f.path),
+                    rel=f.path if f.dv_paths else None,
+                    dvs=tuple(str(root / p) for p in f.dv_paths),
+                )
                 for f in end_m.files
                 if keep(f.stats)
             ]
@@ -543,7 +615,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                         f"at-least-once delivery of their files."
                     )
             paths.extend(
-                e["path"] for e in adds if keep(e.get("stats"))
+                e["path"]
+                for e in adds
+                # removed-and-re-added in one commit = metadata-only DV
+                # re-version; its bytes deliver nothing new (same rule as
+                # changed_files)
+                if keep(e.get("stats")) and e["path"] not in removed
             )
         return [FilePartition(str(root / p)) for p in paths]
 
@@ -551,7 +628,11 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         if partition is None:  # empty batch range (all commits skipped)
             return iter(())
         return _read_file_as_batches(
-            partition.path, self.schema_json, where=self.where
+            partition.path,
+            self.schema_json,
+            where=self.where,
+            rel=partition.rel,
+            dvs=partition.dvs,
         )
 
     def commit(self, end: dict) -> None:
@@ -605,6 +686,35 @@ def _stage_batches(root: str, iterator) -> FileCommit:
     return FileCommit(path=rel, rows=rows, stats=stats or None)
 
 
+def _check_writable(m, schema: T.StructType) -> None:
+    """Writability preconditions shared by the authoritative commit-time
+    check (under the table lock) and the fail-fast check in
+    ``writer()``/``streamWriter()`` — the latter runs BEFORE executors
+    stage a single file, so a doomed write fails in planning instead of
+    staging the full payload and leaning on abort/vacuum cleanup."""
+    if m.partition_date_col:
+        raise ValueError(
+            f"managed_table writer does not support day-partitioned "
+            f"tables (partition_date_col="
+            f"{m.partition_date_col!r}): files written without a "
+            f"partition tag would be invisible to partition-pruned "
+            f"range overwrites. Use ManagedTable.append / a "
+            f"foreachBatch sink for partitioned tables."
+        )
+    if m.schema_json:
+        existing = T.StructType.fromJson(json.loads(m.schema_json))
+        have = {f.name: f.dataType.simpleString() for f in schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in existing.fields}
+        if have != want:
+            raise ValueError(
+                f"managed_table write schema mismatch: table has "
+                f"{sorted(want.items())}, dataframe has "
+                f"{sorted(have.items())} (the declarative writer "
+                f"never evolves the schema; use "
+                f"ManagedTable.append(merge_schema=True))"
+            )
+
+
 def _commit_staged(
     root: str,
     schema: T.StructType,
@@ -637,27 +747,7 @@ def _commit_staged(
         return
     with _lock_for(t.root):
         m = t.snapshot()
-        if m.partition_date_col:
-            raise ValueError(
-                f"managed_table writer does not support day-partitioned "
-                f"tables (partition_date_col="
-                f"{m.partition_date_col!r}): files written without a "
-                f"partition tag would be invisible to partition-pruned "
-                f"range overwrites. Use ManagedTable.append / a "
-                f"foreachBatch sink for partitioned tables."
-            )
-        if m.schema_json:
-            existing = T.StructType.fromJson(json.loads(m.schema_json))
-            have = {f.name: f.dataType.simpleString() for f in schema.fields}
-            want = {f.name: f.dataType.simpleString() for f in existing.fields}
-            if have != want:
-                raise ValueError(
-                    f"managed_table write schema mismatch: table has "
-                    f"{sorted(want.items())}, dataframe has "
-                    f"{sorted(have.items())} (the declarative writer "
-                    f"never evolves the schema; use "
-                    f"ManagedTable.append(merge_schema=True))"
-                )
+        _check_writable(m, schema)
         commit_schema = schema.json() if not m.schema_json else None
         if op == "overwrite":
             t._commit_files(m, entries, commit_schema, "overwrite", txn=txn)
@@ -665,6 +755,131 @@ def _commit_staged(
             t._commit_files(
                 m, tuple(m.files) + entries, commit_schema, "append", txn=txn
             )
+
+
+def _commit_merge(root: str, schema: T.StructType, messages, key: str) -> None:
+    """MERGE-by-key through the declarative writer (``.mode("append")
+    .option("mergeKey", pk)``): the staged files ARE the source rows;
+    target rows carrying a staged key are tombstoned via a deletion vector
+    and the staged files append — one atomic commit with the same
+    delete+reinsert convergence contract as ``ManagedTable.merge_by_key``
+    (the reference upsert, ``TableUpdateService.cs:81-161``), giving SQL /
+    DataFrame-API users an upsert without leaving the data source.
+
+    The Python Data Source commit hook runs in a SESSION-LESS driver
+    worker (no Spark jobs possible), so the tombstone positions are
+    computed with pyarrow, bounded by manifest stats: only candidate
+    files whose key span admits a staged key have their KEY COLUMN read
+    (column-pruned footer reads), prior DVs are honored, and positions
+    land as one DV parquet — no data file is rewritten. Commit-worker
+    memory is O(staged keys + one file's key column): right for the
+    reference-shaped nightly delta upsert on a key-clustered table (a
+    handful of candidate files); BULK merges — 10^9-key sources, an
+    unclustered target where every span overlaps — belong on the
+    distributed ``ManagedTable.merge_by_key`` path, which shuffles
+    instead of collecting. Concurrency: the optimistic entry-equality
+    commit guard rejects a racing DML on the same files cleanly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_copy_spark.sources.managed_table import (
+        FileEntry,
+        ManagedTable,
+        _file_may_match,
+        _lock_for,
+    )
+
+    if key not in {f.name for f in schema.fields}:
+        raise ValueError(
+            f"mergeKey {key!r} is not a column of the written dataframe "
+            f"({sorted(f.name for f in schema.fields)})"
+        )
+    t = ManagedTable.create(None, root)
+    rootp = Path(root)
+    entries = tuple(
+        FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
+        for m in messages
+        if m is not None and m.path is not None
+    )
+    with _lock_for(t.root):
+        m = t.snapshot()
+        _check_writable(m, schema)
+        commit_schema = schema.json() if not m.schema_json else None
+        keys: set = set()
+        for e in entries:
+            keys |= set(
+                pq.read_table(str(rootp / e.path), columns=[key])
+                .column(key)
+                .to_pylist()
+            )
+        keys.discard(None)
+        if not keys:
+            # empty source still commits + completes the unit
+            # (TableUpdateService.cs:167-172)
+            t._commit_files(m, tuple(m.files) + entries, commit_schema, "merge")
+            return
+        key_arr = np.array(sorted(keys))
+        lo, hi = key_arr[0].item(), key_arr[-1].item()
+        candidates = [
+            f
+            for f in m.files
+            if _file_may_match(f.stats, key, ">=", lo)
+            and _file_may_match(f.stats, key, "<=", hi)
+        ]
+        per_file: dict[str, int] = {}
+        pos_chunks: list[tuple[str, "np.ndarray"]] = []
+        for f in candidates:
+            col = (
+                pq.read_table(str(rootp / f.path), columns=[key])
+                .column(key)
+                .to_numpy(zero_copy_only=False)
+            )
+            hitpos = np.nonzero(np.isin(col, key_arr))[0].astype(np.int64)
+            if len(hitpos) and f.dv_paths:
+                dead = set(
+                    _dv_positions(
+                        tuple(str(rootp / d) for d in f.dv_paths), f.path
+                    )
+                )
+                hitpos = np.array(
+                    [p for p in hitpos.tolist() if p not in dead],
+                    dtype=np.int64,
+                )
+            if len(hitpos) == 0:
+                continue
+            per_file[f.path] = int(len(hitpos))
+            pos_chunks.append((f.path, hitpos))
+        files = tuple(m.files)
+        if per_file:
+            commit_id = uuid.uuid4().hex[:16]
+            dv_dir = rootp / "_dv" / commit_id
+            dv_dir.mkdir(parents=True, exist_ok=True)
+            uris: list[str] = []
+            rels: list[str] = []
+            poss: list[int] = []
+            for rel, hitpos in pos_chunks:
+                # os.path.abspath (NOT resolve): Hadoop qualifies the path
+                # we hand Spark without following symlinks, so this is the
+                # exact _metadata.file_path rendering the JVM anti-join
+                # keys on; the pyarrow reader keys on the rel path instead
+                uri = "file:" + os.path.abspath(str(rootp / rel))
+                uris.extend([uri] * len(hitpos))
+                rels.extend([rel] * len(hitpos))
+                poss.extend(int(p) for p in hitpos)
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_uri": pa.array(uris, type=pa.string()),
+                        "file_path": pa.array(rels, type=pa.string()),
+                        "pos": pa.array(poss, type=pa.int64()),
+                    }
+                ),
+                dv_dir / "part-00000.parquet",
+            )
+            dv_files = (str((dv_dir / "part-00000.parquet").relative_to(rootp)),)
+            files = ManagedTable._grow_dv(m.files, dv_files, per_file)
+        t._commit_files(m, files + entries, commit_schema, "merge")
 
 
 def _abort_staged(root: str, messages) -> None:
@@ -680,18 +895,29 @@ class ManagedTableBatchWriter(DataSourceArrowWriter):
     not applied by this path (``compact()`` re-clusters); day-partitioned
     tables are rejected (see :func:`_commit_staged`)."""
 
-    def __init__(self, root: str, schema: T.StructType, overwrite: bool):
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType,
+        overwrite: bool,
+        merge_key: str | None = None,
+    ):
         self.root = root
         self.schema_json = schema.json()
         self.overwrite = overwrite
+        self.merge_key = merge_key
 
     def write(self, iterator) -> FileCommit:
         return _stage_batches(self.root, iterator)
 
     def commit(self, messages) -> None:
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        if self.merge_key:
+            _commit_merge(self.root, schema, messages, self.merge_key)
+            return
         _commit_staged(
             self.root,
-            T.StructType.fromJson(json.loads(self.schema_json)),
+            schema,
             messages,
             "overwrite" if self.overwrite else "append",
         )
@@ -827,6 +1053,12 @@ class ManagedTableDataSource(DataSource):
         # N, file list from N+1. Batch scans are version-consistent with
         # the schema Spark planned against; the stream reader ignores this
         # pin (its offsets carry the version per batch).
+        # NOTE: this works because PySpark pickles THIS DataSource instance
+        # AFTER schema() runs, so the mutated self.options travels to
+        # reader(). A future PySpark that re-instantiates the DataSource
+        # between schema() and reader() would silently drop the pin —
+        # test_batch_read_is_snapshot_isolated is the guard that would
+        # catch it on upgrade.
         self.options["versionasof"] = str(m.version)
         self.options.pop("timestampasof", None)  # resolved into the pin
         if not m.schema_json:
@@ -847,10 +1079,44 @@ class ManagedTableDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> ManagedTableStreamReader:
         return ManagedTableStreamReader(self._root(), dict(self.options), schema)
 
+    def _fail_fast_writable(self, schema: T.StructType) -> None:
+        # Same checks _commit_staged enforces under the lock, run at plan
+        # time: a day-partitioned target or schema mismatch must not cost
+        # a cluster-wide staging pass first. Commit-time remains
+        # authoritative (a racing evolution can land in between); a table
+        # that does not exist yet is created by the commit.
+        from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+        t = ManagedTable(None, self._root())
+        if t.exists():
+            _check_writable(t.snapshot(), schema)
+
     def writer(self, schema: T.StructType, overwrite: bool) -> ManagedTableBatchWriter:
-        return ManagedTableBatchWriter(self._root(), schema, overwrite)
+        self._fail_fast_writable(schema)
+        merge_key = self.options.get("mergekey")
+        if merge_key and overwrite:
+            raise ValueError(
+                "option('mergeKey', ...) is an upsert — use mode('append'); "
+                "mode('overwrite') would truncate the very rows the merge "
+                "should converge with"
+            )
+        if merge_key and merge_key not in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"mergeKey {merge_key!r} is not a column of the written "
+                f"dataframe ({sorted(f.name for f in schema.fields)})"
+            )
+        return ManagedTableBatchWriter(
+            self._root(), schema, overwrite, merge_key=merge_key
+        )
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> ManagedTableStreamWriter:
+        self._fail_fast_writable(schema)
+        if self.options.get("mergekey"):
+            raise ValueError(
+                "mergeKey is a batch-writer option; a streaming upsert is "
+                "foreachBatch + ManagedTable.merge_by_key (per-batch "
+                "idempotence via txn)"
+            )
         return ManagedTableStreamWriter(
             self._root(), schema, dict(self.options), overwrite
         )

@@ -61,7 +61,7 @@ import shutil
 import threading
 import uuid
 from collections import defaultdict
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from datetime import date, datetime, timezone
 from pathlib import Path
 
@@ -106,6 +106,21 @@ class FileEntry:
     # without exact footer stats are simply absent. Drives file-level data
     # skipping in :meth:`ManagedTable.read` (``where=``).
     stats: dict | None = None
+    # Merge-on-read deletion vectors (Delta DV / Iceberg position-delete
+    # shape): ``dv_paths`` are table-relative parquet files under ``_dv/``
+    # holding ``(file_uri, file_path, pos)`` rows — positions deleted from
+    # this data file — applied as an anti-join at read time; ``dv_rows``
+    # is their total, so manifest row accounting stays metadata-only.
+    # ``rows`` keeps the PHYSICAL footer count (the file is untouched);
+    # effective rows = rows - dv_rows. ``compact()`` folds DVs away.
+    dv_paths: tuple = ()
+    dv_rows: int = 0
+
+    def __post_init__(self):
+        # JSON replay hands lists; normalize so entry equality (the
+        # concurrency guard in _commit_files) survives the round trip
+        if isinstance(self.dv_paths, list):
+            object.__setattr__(self, "dv_paths", tuple(self.dv_paths))
 
 
 @dataclass(frozen=True)
@@ -133,7 +148,8 @@ class Manifest:
 
     @property
     def total_rows(self) -> int:
-        return sum(f.rows for f in self.files)
+        # effective (post-deletion-vector) rows, kept metadata-only
+        return sum(f.rows - f.dv_rows for f in self.files)
 
 
 @dataclass(frozen=True)
@@ -548,17 +564,23 @@ class ManagedTable:
         for v in range(self._head_version() + 1):
             raw = self._raw(v)
             if "files" in raw:  # full state (v0 / legacy): diff against prior
-                new_rows = {f["path"]: f["rows"] for f in raw["files"]}
+                new_rows = {f["path"]: _eff_rows(f) for f in raw["files"]}
                 r_add = sum(r for p, r in new_rows.items() if p not in rows)
                 r_rem = sum(r for p, r in rows.items() if p not in new_rows)
                 rows = new_rows
                 total = sum(rows.values())
             else:
-                r_add = sum(e["rows"] for e in raw["add"])
-                r_rem = sum(rows.pop(p) for p in raw["remove"])
-                for e in raw["add"]:
-                    rows[e["path"]] = e["rows"]
-                total += r_add - r_rem
+                # Net per path: a DV commit re-adds the SAME path with a
+                # grown deletion vector, and its churn is the effective-row
+                # delta (k rows removed), not the whole file out-and-back.
+                # Disjoint add/remove paths (every non-DV commit) reduce to
+                # the plain sums.
+                rem = {p: rows.pop(p) for p in raw["remove"]}
+                add = {e["path"]: _eff_rows(e) for e in raw["add"]}
+                r_add = sum(r - min(r, rem.get(p, 0)) for p, r in add.items())
+                r_rem = sum(r - min(r, add.get(p, 0)) for p, r in rem.items())
+                rows.update(add)
+                total += sum(add.values()) - sum(rem.values())
             out.append(
                 CommitInfo(v, raw["op"], raw["ts"], len(rows), total, r_add, r_rem)
             )
@@ -656,12 +678,13 @@ class ManagedTable:
         trick Delta/Iceberg data skipping performs; parquet row-group
         pushdown still applies inside the files that survive."""
         m = self.snapshot(version, timestamp=timestamp)
-        files = [
-            str(self.root / f.path)
+        sel = [
+            f
             for f in m.files
             if _partition_live(f.partition, partition_min, partition_max, partitions)
             and all(_file_may_match(f.stats, c, op, v) for c, op, v in where or [])
         ]
+        files = [str(self.root / f.path) for f in sel]
         schema = (
             T.StructType.fromJson(json.loads(m.schema_json))
             if m.schema_json
@@ -676,10 +699,41 @@ class ManagedTable:
         # which also skips the footer-sampling schema-inference pass (at
         # 100 TB, one fewer touch of every footer).
         reader = self.spark.read.schema(schema) if schema else self.spark.read
-        df = reader.parquet(*files)
+        df = self._apply_dv(reader.parquet(*files), sel)
         if where:
             df = df.filter(_where_predicate(where))
         return df
+
+    def _apply_dv(self, df: DataFrame, sel: list) -> DataFrame:
+        """Subtract deletion-vectored rows from a scan over ``sel``'s files:
+        one anti-join on ``(_metadata.file_path, _metadata.row_index)``
+        against the union of the selected files' DV parquets. The DV side
+        stores ``file_uri`` exactly as Spark's ``_metadata.file_path``
+        renders it (it was PRODUCED by that column at delete time), so the
+        join needs zero path arithmetic. DV-free scans return ``df``
+        untouched — the hot path pays nothing. The DV side is tiny relative
+        to the data (k deleted rows); AQE broadcasts it when it fits, and a
+        giant DV set degrades to a shuffled anti-join, never an error."""
+        dv_paths = sorted({p for f in sel for p in f.dv_paths})
+        if not dv_paths:
+            return df
+        dv = self.spark.read.parquet(
+            *[str(self.root / p) for p in dv_paths]
+        ).select(
+            F.col("file_uri").alias("__dwcs_dv_uri"),
+            F.col("pos").alias("__dwcs_dv_pos"),
+        )
+        return (
+            df.withColumn("__dwcs_uri", F.col("_metadata.file_path"))
+            .withColumn("__dwcs_pos", F.col("_metadata.row_index"))
+            .join(
+                dv,
+                (F.col("__dwcs_uri") == F.col("__dwcs_dv_uri"))
+                & (F.col("__dwcs_pos") == F.col("__dwcs_dv_pos")),
+                "left_anti",
+            )
+            .drop("__dwcs_uri", "__dwcs_pos")
+        )
 
     def count(self) -> int:
         """Row count from manifest metadata — no Spark job (reference O19's
@@ -779,16 +833,21 @@ class ManagedTable:
         replay-free, same contract as :meth:`read_changes`)."""
         if from_version < 0:
             raise ValueError(
-                f"read_changes range ({from_version}, {to_version}] outside "
+                f"change range ({from_version}, {to_version}] outside "
                 f"history 0..{self._head_version()}"
             )
         return [
             (v, e["path"], e.get("stats"))
-            for v, op, adds, _removed in self.commit_deltas(
+            for v, op, adds, removed in self.commit_deltas(
                 from_version, to_version
             )
             if not _cdc_skip(op)
             for e in adds
+            # a path both removed and re-added in ONE commit is a
+            # metadata-only re-version (a deletion-vector grew) — its
+            # bytes are unchanged, so replaying it would double-deliver
+            # rows the cursor already consumed
+            if e["path"] not in removed
         ]
 
     def read_changes(
@@ -1101,26 +1160,37 @@ class ManagedTable:
             self._commit_files(m, kept + new_files, schema_json, "overwrite_range")
         return deleted, sum(f.rows for f in new_files) - tail_rows
 
-    def delete(self, where: list[tuple]) -> int:
+    def delete(self, where: list[tuple], strategy: str = "dv") -> int:
         """Row-level predicate DELETE as ONE atomic commit (Delta's
         ``DELETE WHERE``). ``where`` is the same conjunctive
         ``(column, op, value)`` list :meth:`read` takes; rows where the
         conjunction is TRUE are deleted (NULL-predicate rows survive —
         SQL semantics). Returns rows deleted.
 
-        Plan, copy-on-write like Delta/Iceberg: files whose manifest
-        min/max stats prove no row can match are kept UNTOUCHED (no read,
-        no rewrite); candidate files are scanned once to check a match
-        actually exists (predicate pushed to parquet), and only then
-        rewritten with the surviving rows. At 100 TB a delete keyed on a
-        clustered or partitioned column touches a handful of files; files
-        without usable stats degrade to candidates (a wider rewrite),
-        never to a wrong answer."""
+        Both strategies stats-prune first: files whose manifest min/max
+        prove no row can match are kept UNTOUCHED, and a candidate set
+        with no actual matches commits a ``delete_noop`` keeping every
+        file byte-identical. Files without usable stats degrade to
+        candidates (a wider touch), never to a wrong answer.
+
+        ``strategy="dv"`` (default) is MERGE-ON-READ, the Delta
+        deletion-vector / Iceberg position-delete shape: deleting k rows
+        writes an O(k) position file under ``_dv/`` plus metadata — no
+        data file is rewritten, so a 1-row delete from a 1 GB file costs
+        kilobytes instead of a gigabyte of rewrite amplification (the
+        100 TB DML cost). Readers subtract DV'd positions with one
+        anti-join; :meth:`compact` folds accumulated DVs back into clean
+        files. ``strategy="cow"`` is classic copy-on-write — rewrite the
+        candidate files' survivors — the right call when a delete guts
+        most of its candidate files (read amplification would outlast the
+        rewrite)."""
         if not where:
             raise ValueError(
                 "delete() requires at least one predicate; "
                 "use overwrite() to truncate"
             )
+        if strategy not in ("dv", "cow"):
+            raise ValueError(f"delete strategy must be 'dv' or 'cow', got {strategy!r}")
         with _lock_for(self.root):
             m = self.snapshot()
             candidates = [
@@ -1131,51 +1201,183 @@ class ManagedTable:
             if not candidates:
                 self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
                 return 0
-            schema = (
-                T.StructType.fromJson(json.loads(m.schema_json))
-                if m.schema_json
-                else T.StructType([])
-            )
-            reader = (
-                self.spark.read.schema(schema) if m.schema_json else self.spark.read
-            )
-            cand_df = reader.parquet(
-                *[str(self.root / f.path) for f in candidates]
-            )
-            pred = _where_predicate(where)
-            n_match = cand_df.filter(pred).count()
-            if n_match == 0:
-                # stats admitted a match but the rows don't exist — keep
-                # every file byte-identical instead of rewriting them
-                self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
-                return 0
-            survivors = cand_df.filter(~F.coalesce(pred, F.lit(False)))
-            new_files = self._write_files(
-                survivors, m.partition_date_col, m.cluster_col
-            )
-            cand_paths = {c.path for c in candidates}
-            kept = tuple(f for f in m.files if f.path not in cand_paths)
-            self._commit_files(m, kept + new_files, m.schema_json, "delete")
-            return n_match
+            if strategy == "dv":
+                return self._delete_dv(m, candidates, where)
+            return self._delete_cow(m, candidates, where)
 
-    def update(self, where: list[tuple], set_exprs: dict) -> int:
+    def _delete_cow(self, m: Manifest, candidates: list, where: list[tuple]) -> int:
+        cand_df = self._scan_with_pos(m, candidates)
+        pred = _where_predicate(where)
+        n_match = cand_df.filter(pred).count()
+        if n_match == 0:
+            # stats admitted a match but the rows don't exist — keep
+            # every file byte-identical instead of rewriting them
+            self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
+            return 0
+        survivors = cand_df.filter(~F.coalesce(pred, F.lit(False))).drop(
+            "__dwcs_uri", "__dwcs_pos"
+        )
+        new_files = self._write_files(
+            survivors, m.partition_date_col, m.cluster_col
+        )
+        cand_paths = {c.path for c in candidates}
+        kept = tuple(f for f in m.files if f.path not in cand_paths)
+        self._commit_files(m, kept + new_files, m.schema_json, "delete")
+        return n_match
+
+    def _delete_dv(self, m: Manifest, candidates: list, where: list[tuple]) -> int:
+        hits = self._scan_with_pos(m, candidates).filter(_where_predicate(where))
+        dv_files, per_file = self._write_dv(hits)
+        if dv_files is None:
+            self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
+            return 0
+        files = self._grow_dv(m.files, dv_files, per_file)
+        self._commit_files(m, files, m.schema_json, "delete")
+        return sum(per_file.values())
+
+    def _scan_with_pos(self, m: Manifest, candidates: list) -> DataFrame:
+        """Scan ``candidates`` under the manifest schema with each row's
+        ``(__dwcs_uri, __dwcs_pos)`` file coordinates attached and rows
+        already deleted by PRIOR deletion vectors subtracted — the ALIVE
+        rows a DML operation may act on."""
+        schema = (
+            T.StructType.fromJson(json.loads(m.schema_json))
+            if m.schema_json
+            else T.StructType([])
+        )
+        reader = (
+            self.spark.read.schema(schema) if m.schema_json else self.spark.read
+        )
+        df = (
+            reader.parquet(*[str(self.root / f.path) for f in candidates])
+            .withColumn("__dwcs_uri", F.col("_metadata.file_path"))
+            .withColumn("__dwcs_pos", F.col("_metadata.row_index"))
+        )
+        dv_paths = sorted({p for f in candidates for p in f.dv_paths})
+        if dv_paths:
+            dv = self.spark.read.parquet(
+                *[str(self.root / p) for p in dv_paths]
+            ).select(
+                F.col("file_uri").alias("__dwcs_dv_uri"),
+                F.col("pos").alias("__dwcs_dv_pos"),
+            )
+            df = df.join(
+                dv,
+                (F.col("__dwcs_uri") == F.col("__dwcs_dv_uri"))
+                & (F.col("__dwcs_pos") == F.col("__dwcs_dv_pos")),
+                "left_anti",
+            )
+        return df
+
+    def _uri_to_rel(self, uri: str) -> str:
+        """Driver-side map of a ``_metadata.file_path`` URI to the
+        table-relative path (per-file DV accounting and the declarative
+        reader's join key; the JVM read path joins the raw URI and never
+        needs this)."""
+        from urllib.parse import unquote, urlparse
+
+        p = Path(unquote(urlparse(uri).path))
+        return str(p.relative_to(self.root.resolve()))
+
+    def _write_dv(
+        self, hits: DataFrame
+    ) -> "tuple[tuple[str, ...] | None, dict[str, int]]":
+        """Materialize one deletion-vector parquet from ``hits`` (any frame
+        carrying ``__dwcs_uri``/``__dwcs_pos``). Stages the positions, reads
+        the small stage back for per-file accounting (never re-running the
+        candidate scan), enriches with the table-relative path, and lands
+        under ``_dv/``. Returns ``(dv file rel-paths, {data rel-path: rows
+        deleted})`` — or ``(None, {})`` when nothing matched (stage cleaned
+        up, caller commits a noop). O(k) bytes for k deleted rows."""
+        commit_id = uuid.uuid4().hex[:16]
+        stage = self.root / "_staging" / f"dv_{commit_id}"
+        (
+            hits.select(
+                F.col("__dwcs_uri").alias("file_uri"),
+                F.col("__dwcs_pos").alias("pos"),
+            )
+            # repartition, not coalesce: coalesce(1) would collapse the
+            # upstream candidate SCAN to one thread; a shuffle of O(k)
+            # matched positions is cheap
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(str(stage))
+        )
+        staged = self.spark.read.parquet(str(stage))
+        counts = {
+            r["file_uri"]: r["n"]
+            for r in staged.groupBy("file_uri").agg(F.count("*").alias("n")).collect()
+        }
+        if not counts:
+            shutil.rmtree(stage, ignore_errors=True)
+            return None, {}
+        mapping = self.spark.createDataFrame(
+            [(u, self._uri_to_rel(u)) for u in counts],
+            "file_uri string, file_path string",
+        )
+        out_stage = self.root / "_staging" / f"dvf_{commit_id}"
+        (
+            staged.join(F.broadcast(mapping), "file_uri")
+            .select("file_uri", "file_path", "pos")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(out_stage))
+        )
+        final = self.root / "_dv" / commit_id
+        final.parent.mkdir(parents=True, exist_ok=True)
+        shutil.move(str(out_stage), str(final))
+        shutil.rmtree(stage, ignore_errors=True)
+        dv_files = tuple(
+            sorted(str(p.relative_to(self.root)) for p in final.rglob("*.parquet"))
+        )
+        per_file = {self._uri_to_rel(u): n for u, n in counts.items()}
+        return dv_files, per_file
+
+    @staticmethod
+    def _grow_dv(
+        files: tuple, dv_files: tuple, per_file: dict
+    ) -> tuple:
+        """Re-version touched entries with the new DV attached; entries
+        whose every row is now deleted leave the manifest entirely (their
+        bytes and DVs become unreferenced — vacuum's problem, not every
+        future scan's)."""
+        grown = tuple(
+            _dc_replace(
+                f,
+                dv_paths=f.dv_paths + dv_files,
+                dv_rows=f.dv_rows + per_file[f.path],
+            )
+            if f.path in per_file
+            else f
+            for f in files
+        )
+        return tuple(f for f in grown if f.dv_rows < f.rows)
+
+    def update(
+        self, where: list[tuple], set_exprs: dict, strategy: str = "dv"
+    ) -> int:
         """Row-level predicate UPDATE as ONE atomic commit (Delta's
         ``UPDATE SET ... WHERE``): rows where the ``where`` conjunction is
         TRUE get each ``set_exprs`` column replaced (value may be a
         Column expression or a SQL string); NULL-predicate rows are
         untouched. Returns rows updated.
 
-        Same copy-on-write shape as :meth:`delete`: stats-pruned
-        candidate files, a match-existence check before any rewrite, and
-        non-matching files byte-identical. Assignments must target
-        existing columns — UPDATE never evolves the schema (that is
-        ``append(merge_schema=True)``'s job) — and values are cast to the
-        column's current type so a same-named type drift cannot poison
-        the table."""
+        Both strategies stats-prune candidates and noop when no row
+        actually matches. ``strategy="dv"`` (default, merge-on-read):
+        matched OLD positions go into a deletion vector and only the k
+        REWRITTEN rows are written as new files — updating k rows costs
+        O(k) regardless of how big the candidate files are.
+        ``strategy="cow"`` rewrites the candidate files whole.
+        Assignments must target existing columns — UPDATE never evolves
+        the schema (that is ``append(merge_schema=True)``'s job) — and
+        values are cast to the column's current type so a same-named type
+        drift cannot poison the table."""
         if not where:
             raise ValueError("update() requires at least one predicate")
         if not set_exprs:
             raise ValueError("update() requires at least one assignment")
+        if strategy not in ("dv", "cow"):
+            raise ValueError(f"update strategy must be 'dv' or 'cow', got {strategy!r}")
         with _lock_for(self.root):
             m = self.snapshot()
             schema = (
@@ -1198,37 +1400,77 @@ class ManagedTable:
             if not candidates:
                 self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
                 return 0
-            reader = (
-                self.spark.read.schema(schema) if m.schema_json else self.spark.read
-            )
-            cand_df = reader.parquet(
-                *[str(self.root / f.path) for f in candidates]
-            )
-            pred = _where_predicate(where)
-            n_match = cand_df.filter(pred).count()
-            if n_match == 0:
+            if strategy == "dv":
+                return self._update_dv(m, candidates, where, set_exprs, schema, known)
+            return self._update_cow(m, candidates, where, set_exprs, schema, known)
+
+    def _update_cow(
+        self, m, candidates, where, set_exprs, schema, known
+    ) -> int:
+        cand_df = self._scan_with_pos(m, candidates).drop(
+            "__dwcs_uri", "__dwcs_pos"
+        )
+        pred = _where_predicate(where)
+        n_match = cand_df.filter(pred).count()
+        if n_match == 0:
+            self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
+            return 0
+        hit = F.coalesce(pred, F.lit(False))
+        # ONE select so every assignment's right-hand side reads the
+        # ORIGINAL row (SQL UPDATE semantics) — sequential withColumn
+        # would let {a: b+1, b: a+1} read each other's new values.
+        assigned = {
+            c: F.when(
+                hit, (F.expr(v) if isinstance(v, str) else v).cast(known[c])
+            ).otherwise(F.col(c)).alias(c)
+            for c, v in set_exprs.items()
+        }
+        rewritten = cand_df.select(
+            *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
+        )
+        new_files = self._write_files(
+            rewritten, m.partition_date_col, m.cluster_col
+        )
+        cand_paths = {c.path for c in candidates}
+        kept = tuple(f for f in m.files if f.path not in cand_paths)
+        self._commit_files(m, kept + new_files, m.schema_json, "update")
+        return n_match
+
+    def _update_dv(
+        self, m, candidates, where, set_exprs, schema, known
+    ) -> int:
+        hit_rows = self._scan_with_pos(m, candidates).filter(
+            _where_predicate(where)
+        )
+        # Stage the matched rows ONCE (originals + file coordinates): the
+        # deletion vector, the match count, and the rewrite all derive from
+        # this O(k) stage instead of re-running the candidate scan thrice.
+        commit_id = uuid.uuid4().hex[:16]
+        stage = self.root / "_staging" / f"upd_{commit_id}"
+        hit_rows.repartition(1).write.mode("overwrite").parquet(str(stage))
+        try:
+            staged = self.spark.read.parquet(str(stage))
+            dv_files, per_file = self._write_dv(staged)
+            if dv_files is None:
                 self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
                 return 0
-            hit = F.coalesce(pred, F.lit(False))
-            # ONE select so every assignment's right-hand side reads the
-            # ORIGINAL row (SQL UPDATE semantics) — sequential withColumn
-            # would let {a: b+1, b: a+1} read each other's new values.
+            # Every staged row matched, so assignments apply unconditionally;
+            # one select keeps SQL UPDATE's read-the-original-row semantics.
             assigned = {
-                c: F.when(
-                    hit, (F.expr(v) if isinstance(v, str) else v).cast(known[c])
-                ).otherwise(F.col(c)).alias(c)
+                c: (F.expr(v) if isinstance(v, str) else v).cast(known[c]).alias(c)
                 for c, v in set_exprs.items()
             }
-            rewritten = cand_df.select(
+            rewritten = staged.select(
                 *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
             )
             new_files = self._write_files(
                 rewritten, m.partition_date_col, m.cluster_col
             )
-            cand_paths = {c.path for c in candidates}
-            kept = tuple(f for f in m.files if f.path not in cand_paths)
-            self._commit_files(m, kept + new_files, m.schema_json, "update")
-            return n_match
+            files = self._grow_dv(m.files, dv_files, per_file)
+            self._commit_files(m, files + new_files, m.schema_json, "update")
+            return sum(per_file.values())
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         """Delete+reinsert by key as ONE atomic commit — the reference's
@@ -1408,10 +1650,20 @@ class ManagedTable:
         skipped. Returns False for such a skip, True when it landed."""
         import time
 
-        prev_paths = {f.path for f in prev.files}
+        prev_by_path = {f.path: f for f in prev.files}
+        prev_paths = set(prev_by_path)
         new_paths = {f.path for f in files}
-        removed_paths = prev_paths - new_paths
-        added = tuple(f for f in files if f.path not in prev_paths)
+        # An entry CHANGED in place (same path, new deletion-vector fields)
+        # rides the log as remove + re-add of its path: replay pops then
+        # re-inserts, and the conflict guard below — which compares the
+        # full ENTRY at the new head, not mere path presence — catches two
+        # writers growing the same file's DV concurrently (path-presence
+        # alone would silently drop the first writer's DV on rebase).
+        changed = tuple(
+            f for f in files if f.path in prev_by_path and prev_by_path[f.path] != f
+        )
+        removed_paths = (prev_paths - new_paths) | {f.path for f in changed}
+        added = tuple(f for f in files if f.path not in prev_paths) + changed
         # Schema-change classification is by canonical fingerprint, decided
         # ONCE against the original base: textual JSON variance (nullability,
         # metadata) must not be mistaken for evolution.
@@ -1441,7 +1693,7 @@ class ManagedTable:
                 "op": op,
                 "ts": ts,
                 "ets": max(ts, base_ets),
-                "add": [f.__dict__ for f in added],
+                "add": [_entry_dict(f) for f in added],
                 "remove": sorted(removed_paths),
                 # null = inherit the base's schema at replay time (which,
                 # after a rebase, transparently carries a concurrent
@@ -1453,12 +1705,15 @@ class ManagedTable:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
                 cur = self.snapshot()
-                if not removed_paths <= {f.path for f in cur.files}:
+                cur_by_path = {f.path: f for f in cur.files}
+                if any(
+                    cur_by_path.get(p) != prev_by_path[p] for p in removed_paths
+                ):
                     raise ConcurrentWriteError(
                         f"{op} at {self.root}: a concurrent commit "
-                        f"(v{cur.version}, op={cur.op}) rewrote files this "
-                        f"commit also rewrites; re-read and retry the "
-                        f"operation"
+                        f"(v{cur.version}, op={cur.op}) rewrote or "
+                        f"re-versioned files this commit also touches; "
+                        f"re-read and retry the operation"
                     ) from None
                 if schema_changing and _schema_fp(cur.schema_json) not in (
                     fp_prev,
@@ -1612,9 +1867,10 @@ class ManagedTable:
 
             def missing() -> list[str]:
                 return [
-                    f.path
+                    p
                     for f in target.files
-                    if not (self.root / f.path).exists()
+                    for p in (f.path, *f.dv_paths)
+                    if not (self.root / p).exists()
                 ]
 
             gone = missing()
@@ -1658,6 +1914,11 @@ class ManagedTable:
             m = self.snapshot()
             by_part = Counter(f.partition for f in m.files)
             crowded = {p for p, n in by_part.items() if n > max_files_per_partition}
+            # Deletion-vector folding: partitions carrying DV'd files are
+            # rewritten too (the read below subtracts DVs, so the new files
+            # are clean and their DV parquets become unreferenced) —
+            # compaction is what bounds merge-on-read's read amplification.
+            crowded |= {f.partition for f in m.files if f.dv_rows}
             if not crowded:
                 return (len(m.files), len(m.files))
             # Read at THIS snapshot's version, not the live head: a
@@ -1723,14 +1984,41 @@ class ManagedTable:
         tables."""
         import time
 
-        live = {str(self.root / f.path) for f in self.snapshot().files}
+        m = self.snapshot()
+        live = {str(self.root / f.path) for f in m.files}
+        live_dv = {str(self.root / p) for f in m.files for p in f.dv_paths}
         cutoff = time.time() - retention_seconds
         removed = 0
         for p in (self.root / "data").rglob("*.parquet"):
             if str(p) not in live and p.stat().st_mtime <= cutoff:
                 p.unlink()
                 removed += 1
+        dv_dir = self.root / "_dv"
+        if dv_dir.exists():
+            # DV parquets folded away by compact (or orphaned by CoW
+            # rewrites) age out under the same retention contract
+            for p in dv_dir.rglob("*.parquet"):
+                if str(p) not in live_dv and p.stat().st_mtime <= cutoff:
+                    p.unlink()
+                    removed += 1
         return removed
+
+
+def _entry_dict(f: FileEntry) -> dict:
+    """JSON shape of a file entry; deletion-vector fields appear only when
+    set, so DV-free tables keep their exact pre-DV log format."""
+    d = dict(f.__dict__)
+    if not d.get("dv_paths"):
+        d.pop("dv_paths", None)
+        d.pop("dv_rows", None)
+    else:
+        d["dv_paths"] = list(d["dv_paths"])
+    return d
+
+
+def _eff_rows(e: dict) -> int:
+    """Effective rows of a raw (JSON) file entry: physical minus DV'd."""
+    return e["rows"] - e.get("dv_rows", 0)
 
 
 def _full_payload(m: Manifest) -> dict:
@@ -1741,7 +2029,7 @@ def _full_payload(m: Manifest) -> dict:
         "version": m.version,
         "partition_date_col": m.partition_date_col,
         "schema_json": m.schema_json,
-        "files": [f.__dict__ for f in m.files],
+        "files": [_entry_dict(f) for f in m.files],
         "op": m.op,
         "ts": m.ts,
         "cluster_col": m.cluster_col,

@@ -4,6 +4,7 @@ and Delta-style stream tailing (initial snapshot, incremental commits,
 checkpoint recovery, change-commit guard)."""
 
 import pytest
+from pathlib import Path
 
 from data_warehouse_copy_spark.sources.datasource import (
     ManagedTableBatchReader,
@@ -790,3 +791,100 @@ print("OK")
     assert t.read().count() == total
     # both write paths visible through the declarative read too
     assert spark.read.format("managed_table").load(root).count() == total
+
+
+class TestDeclarativeMerge:
+    """option('mergeKey', pk): upsert through the declarative writer —
+    DV-tombstone matched target rows (session-less pyarrow commit, stats-
+    scoped), append staged source files, one atomic commit."""
+
+    def _target(self, spark, tmp_path):
+        t = ManagedTable.create(spark, tmp_path / "t", cluster_col="id")
+        t.append(
+            spark.range(0, 1000).selectExpr("id", "CAST(0.0 AS DOUBLE) AS v")
+        )
+        return t
+
+    def test_merge_converges_and_rewrites_nothing(self, spark, tmp_path):
+        t = self._target(spark, tmp_path)
+        states = {
+            str(p): (p.stat().st_size, p.stat().st_mtime)
+            for p in (tmp_path / "t" / "data").rglob("*.parquet")
+        }
+        src = spark.range(100, 120).selectExpr(
+            "id", "CAST(id * 1.5 AS DOUBLE) AS v"
+        ).union(
+            spark.range(5000, 5010).selectExpr(
+                "id", "CAST(id * 1.5 AS DOUBLE) AS v"
+            )
+        )
+        src.write.format("managed_table").mode("append").option(
+            "mergeKey", "id"
+        ).save(str(tmp_path / "t"))
+        out = t.read()
+        assert out.count() == 1010
+        assert out.groupBy("id").count().filter("count > 1").count() == 0
+        assert out.filter("id >= 100 AND id < 120 AND v = 0.0").count() == 0
+        # no pre-existing data file was rewritten — merge wrote DV + adds
+        assert all(
+            (Path(p).stat().st_size, Path(p).stat().st_mtime) == s
+            for p, s in states.items()
+        )
+        m = t.snapshot()
+        assert m.op == "merge" and sum(f.dv_rows for f in m.files) == 20
+        # stats-scoped: only files whose span admits a source key grew a DV
+        assert all(
+            f.dv_rows == 0 or f.stats is not None for f in m.files
+        )
+        # declarative read agrees with the native anti-join path
+        decl = spark.read.format("managed_table").load(str(tmp_path / "t"))
+        assert {tuple(r) for r in decl.collect()} == {
+            tuple(r) for r in out.collect()
+        }
+
+    def test_merge_respects_prior_dvs_and_reconverges(self, spark, tmp_path):
+        t = self._target(spark, tmp_path)
+        t.delete([("id", ">=", 100), ("id", "<", 105)])  # prior DV
+        src = spark.range(100, 110).selectExpr(
+            "id", "CAST(7.0 AS DOUBLE) AS v"
+        )
+        for _ in range(2):  # re-merging the same keys must stay converged
+            src.write.format("managed_table").mode("append").option(
+                "mergeKey", "id"
+            ).save(str(tmp_path / "t"))
+        out = t.read()
+        assert out.count() == 1000  # 995 survivors + 10 merged - 5 re-keyed
+        assert out.filter("id >= 100 AND id < 110").count() == 10
+        assert out.filter("id >= 100 AND id < 110 AND v = 7.0").count() == 10
+        assert out.groupBy("id").count().filter("count > 1").count() == 0
+
+    def test_merge_option_guards(self, spark, tmp_path):
+        t = self._target(spark, tmp_path)
+        src = spark.range(0, 5).selectExpr("id", "CAST(1.0 AS DOUBLE) AS v")
+        with pytest.raises(Exception, match="mode\\('append'\\)"):
+            src.write.format("managed_table").mode("overwrite").option(
+                "mergeKey", "id"
+            ).save(str(tmp_path / "t"))
+        with pytest.raises(Exception, match="not a column"):
+            src.write.format("managed_table").mode("append").option(
+                "mergeKey", "nope"
+            ).save(str(tmp_path / "t"))
+        assert t.read().count() == 1000  # guards fired before any commit
+
+    def test_merge_key_is_batch_only(self, spark, tmp_path):
+        # streamWriter() is invoked on the async stream thread, so assert
+        # on the factory directly (the guard fires before any batch runs)
+        self._target(spark, tmp_path)
+        from pyspark.sql import types as T
+
+        ds = ManagedTableDataSource(
+            {"path": str(tmp_path / "t"), "txnappid": "q", "mergekey": "id"}
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        )
+        with pytest.raises(ValueError, match="batch-writer option"):
+            ds.streamWriter(schema, False)

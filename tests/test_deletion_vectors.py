@@ -1,0 +1,268 @@
+"""Merge-on-read deletion vectors (ManagedTable delete/update
+strategy="dv", the default): deleting k rows must write O(k) positions +
+metadata — never rewrite a data file — while every read surface (native,
+declarative, time travel, compaction, vacuum, restore) stays exact.
+
+Reference anchor: the reference's DML is server-side SQL DELETE/UPDATE
+(TableUpdateService.cs:117-134); the lakehouse twin needs an explicit
+story for rewrite amplification, which DVs provide (the Delta
+deletion-vector / Iceberg position-delete shape).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_warehouse_copy_spark.sources.managed_table import (  # noqa: E402
+    ConcurrentWriteError,
+    ManagedTable,
+)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _mk(spark, root, n=1000):
+    t = ManagedTable.create(spark, root)
+    t.append(
+        spark.range(0, n).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+    )
+    return t
+
+
+def _file_states(root: Path) -> dict[str, tuple[int, float]]:
+    return {
+        str(p): (p.stat().st_size, p.stat().st_mtime)
+        for p in (root / "data").rglob("*.parquet")
+    }
+
+
+def test_dv_delete_writes_o_k_not_a_rewrite(spark, tmp_path):
+    """The headline contract: a k-row delete leaves every data file
+    byte-identical (same paths, sizes, mtimes — no rewrite happened) and
+    records exactly k positions of DV metadata."""
+    t = _mk(spark, tmp_path / "t")
+    before = _file_states(tmp_path / "t")
+    n = t.delete([("k", ">=", 100), ("k", "<", 110)])
+    assert n == 10
+    assert _file_states(tmp_path / "t") == before  # zero data-file churn
+    m = t.snapshot()
+    assert {f.path for f in m.files} == {
+        p.replace(str(tmp_path / "t") + "/", "") for p in before
+    }
+    assert sum(f.dv_rows for f in m.files) == 10
+    # the DV parquet itself is O(k): 10 positions, one tiny file
+    dv_files = {p for f in m.files for p in f.dv_paths}
+    assert dv_files and all((tmp_path / "t" / p).exists() for p in dv_files)
+    import pyarrow.parquet as pq
+
+    assert (
+        sum(pq.ParquetFile(tmp_path / "t" / p).metadata.num_rows for p in dv_files)
+        == 10
+    )
+    # reads subtract the DV exactly
+    assert t.read().count() == 990
+    assert t.read().filter((F.col("k") >= 100) & (F.col("k") < 110)).count() == 0
+    assert t.count() == 990  # metadata-only count stays effective
+
+
+def test_dv_accumulates_and_respects_prior_dvs(spark, tmp_path):
+    """Back-to-back DV deletes grow the vector; rows already DV'd are
+    invisible to later DML (a re-delete of a dead row is a noop)."""
+    t = _mk(spark, tmp_path / "t")
+    assert t.delete([("k", "<", 10)]) == 10
+    assert t.delete([("k", "<", 20)]) == 10  # only the alive half
+    assert t.read().count() == 980
+    assert t.delete([("k", "<", 20)]) == 0
+    assert t.snapshot().op == "delete_noop"
+    assert t.read().count() == 980
+
+
+def test_dv_update_rewrites_only_matched_rows(spark, tmp_path):
+    """UPDATE under DV: old positions tombstoned, exactly the k rewritten
+    rows land as new files — cardinality constant, originals untouched."""
+    t = _mk(spark, tmp_path / "t")
+    before = _file_states(tmp_path / "t")
+    n = t.update([("k", "<", 5)], {"v": "v + 1000"})
+    assert n == 5
+    # original data files untouched; exactly one new-file set with 5 rows
+    assert all(
+        _file_states(tmp_path / "t")[p] == s
+        for p, s in before.items()
+    )
+    m = t.snapshot()
+    new = [f for f in m.files if str(tmp_path / "t" / f.path) not in before]
+    assert sum(f.rows for f in new) == 5
+    assert sum(f.dv_rows for f in m.files) == 5
+    out = t.read()
+    assert out.count() == 1000
+    assert out.filter(F.col("v") >= 1000).count() == 5
+    assert out.filter((F.col("k") < 5) & (F.col("v") < 1000)).count() == 0
+
+
+def test_dv_fully_dead_file_leaves_manifest(spark, tmp_path):
+    """Deleting every row of a file drops its entry entirely — a dead file
+    must not linger as a scan task forever."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(0, 100).select(F.col("id").alias("k")))
+    t.append(spark.range(1000, 1100).select(F.col("id").alias("k")))
+    n_before = len(t.snapshot().files)
+    assert t.delete([("k", ">=", 1000)]) == 100
+    m = t.snapshot()
+    assert len(m.files) < n_before
+    assert all(f.dv_rows < f.rows for f in m.files)
+    assert t.read().count() == 100
+
+
+def test_dv_time_travel_and_restore(spark, tmp_path):
+    """A DV commit is a version like any other: the prior version reads
+    full, restore() brings the pre-delete state back, and restore of a
+    DV'd version requires its DV files (vacuum contract)."""
+    t = _mk(spark, tmp_path / "t")
+    v1 = t.snapshot().version
+    t.delete([("k", "<", 50)])
+    v2 = t.snapshot().version
+    assert t.read(version=v1).count() == 1000
+    assert t.read(version=v2).count() == 950
+    t.restore(v1)
+    assert t.read().count() == 1000
+    t.restore(v2)
+    assert t.read().count() == 950
+
+
+def test_dv_cow_strategy_still_available_and_folds(spark, tmp_path):
+    """strategy='cow' keeps the classic rewrite path: candidate files are
+    replaced, surviving rows of PRIOR DVs are honored, and the rewritten
+    files carry no DV."""
+    t = _mk(spark, tmp_path / "t")
+    t.delete([("k", "<", 10)])  # dv
+    n = t.delete([("k", "<", 20)], strategy="cow")
+    assert n == 10
+    m = t.snapshot()
+    assert all(not f.dv_paths and not f.dv_rows for f in m.files)
+    assert t.read().count() == 980
+
+
+def test_dv_compact_folds_and_vacuum_reaps(spark, tmp_path):
+    """compact() rewrites DV'd partitions into clean files (no DV refs),
+    and vacuum(0) then reaps both the replaced data files AND the orphaned
+    DV parquets."""
+    t = _mk(spark, tmp_path / "t")
+    t.delete([("k", ">=", 100), ("k", "<", 150)])
+    t.update([("k", "<", 5)], {"v": "v + 1000"})
+    assert sum(f.dv_rows for f in t.snapshot().files) > 0
+    t.compact()
+    m = t.snapshot()
+    assert all(not f.dv_paths and not f.dv_rows for f in m.files)
+    assert t.read().count() == 950
+    removed = t.vacuum(retention_seconds=0.0)
+    assert removed > 0
+    dv_left = list((tmp_path / "t" / "_dv").rglob("*.parquet"))
+    assert dv_left == []
+    assert t.read().count() == 950  # live data untouched
+
+
+def test_dv_declarative_reader_matches_native(spark, tmp_path):
+    """The Python Data Source's pyarrow scan applies DVs per file (rel-path
+    keyed positions) — bit-identical to the JVM anti-join path, including
+    after schema evolution put a DV'd file behind the declared schema."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    t = _mk(spark, tmp_path / "t")
+    t.delete([("k", ">=", 100), ("k", "<", 110)])
+    t.update([("k", "<", 5)], {"v": "v + 1000"})
+    native = {tuple(r) for r in t.read().collect()}
+    decl = {
+        tuple(r)
+        for r in spark.read.format("managed_table")
+        .load(str(tmp_path / "t"))
+        .collect()
+    }
+    assert decl == native
+    # pruned declarative read over a DV'd file stays exact
+    pruned = (
+        spark.read.format("managed_table")
+        .option("where", '[["k", "<", 200]]')
+        .load(str(tmp_path / "t"))
+        .filter(F.col("k") < 200)
+    )
+    assert pruned.count() == 200 - 10
+    assert pruned.filter((F.col("k") >= 100) & (F.col("k") < 110)).count() == 0
+
+
+def test_dv_cdc_skips_metadata_readds(spark, tmp_path):
+    """A DV commit re-adds its files' paths with grown vectors — bytes
+    unchanged. The CDC cursor must NOT replay them (double delivery); an
+    update's k rewritten rows ARE its only change."""
+    t = _mk(spark, tmp_path / "t", n=100)
+    t.delete([("k", ">=", 90)])  # v2: DV only — no new rows
+    t.update([("k", "<", 5)], {"k": "k + 1000"})  # v3: 5 rewritten rows
+    ch = t.read_changes(1)
+    assert ch.count() == 5
+    assert ch.filter(F.col("k") >= 1000).count() == 5
+    hist = {h.version: h for h in t.history()}
+    assert hist[2].rows_added == 0 and hist[2].rows_removed == 10
+    assert hist[3].rows_added == 5 and hist[3].rows_removed == 5
+
+
+def test_dv_concurrent_growth_is_serialized(spark, tmp_path):
+    """Two writers growing the SAME file's DV: the path-presence rebase
+    would silently drop the first writer's vector — the entry-equality
+    guard must reject the stale commit instead. Simulated by replaying a
+    commit against a manifest the other writer already advanced."""
+    from dataclasses import replace
+
+    t = _mk(spark, tmp_path / "t")
+    m0 = t.snapshot()
+    t.delete([("k", "=", 1)])  # writer A lands first
+    # writer B built its commit against m0 (stale) and grows the DV of the
+    # SAME file A just touched
+    a_touched = next(f for f in t.snapshot().files if f.dv_rows)
+    grown = tuple(
+        replace(f, dv_paths=("_dv/deadbeef/part-0.parquet",), dv_rows=1)
+        if f.path == a_touched.path
+        else f
+        for f in m0.files
+    )
+    with pytest.raises(ConcurrentWriteError, match="re-versioned"):
+        t._commit_files(m0, grown, m0.schema_json, "delete")
+    # the surviving table still reflects exactly writer A's delete
+    assert t.read().count() == 999
+
+
+def test_dv_on_partitioned_table(spark, tmp_path, lineitem):
+    """Partitioned layout: DV DML keeps every partition's files untouched,
+    updated rows land in their (possibly new) day partitions, and
+    partition-pruned reads subtract DVs."""
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
+    base = lineitem.filter(F.col("l_shipdate").between("1995-01-01", "1995-01-31"))
+    t.append(base)
+    n0 = base.count()
+    before = _file_states(tmp_path / "t")
+    n_del = t.delete([("l_quantity", "<=", 5.0), ("l_shipdate", ">=", "1995-01-10")])
+    assert n_del > 0
+    assert _file_states(tmp_path / "t") == before  # no partition rewritten
+    assert t.read().count() == n0 - n_del
+    n_upd = t.update(
+        [("l_quantity", ">=", 49.0)], {"l_extendedprice": "l_extendedprice * 2"}
+    )
+    assert n_upd > 0
+    assert t.read().count() == n0 - n_del
+    # updates keep their day: partition-pruned reads stay exact (old
+    # positions DV'd, rewritten rows land back in the same partition)
+    one_day = t.read(partition_min="1995-01-05", partition_max="1995-01-05")
+    expect = base.filter(
+        F.to_date("l_shipdate") == F.lit("1995-01-05").cast("date")
+    )
+    assert one_day.count() == expect.count()
