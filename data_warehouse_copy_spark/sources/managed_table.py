@@ -1283,17 +1283,29 @@ class ManagedTable:
         self, hits: DataFrame
     ) -> "tuple[tuple[str, ...] | None, dict[str, int]]":
         """Materialize one deletion-vector parquet from ``hits`` (any frame
-        carrying ``__dwcs_uri``/``__dwcs_pos``). Stages the positions, reads
-        the small stage back for per-file accounting (never re-running the
-        candidate scan), enriches with the table-relative path, and lands
-        under ``_dv/``. Returns ``(dv file rel-paths, {data rel-path: rows
-        deleted})`` — or ``(None, {})`` when nothing matched (stage cleaned
-        up, caller commits a noop). O(k) bytes for k deleted rows."""
+        carrying ``__dwcs_uri``/``__dwcs_pos``) under ``_dv/``, ONE pass
+        over the candidate scan: ``(file_uri, file_path, pos)`` where the
+        table-relative ``file_path`` is derived executor-side by stripping
+        the root's URI prefix (Hadoop renders ``file:`` + the absolute
+        path we handed the reader). The tiny read-back aggregate supplies
+        per-file accounting AND validates that prefix assumption on every
+        URI — if a Spark/Hadoop change ever rendered differently, the DV
+        file is REWRITTEN with driver-computed paths instead of silently
+        shipping broken keys. Returns ``(dv file rel-paths, {data
+        rel-path: rows deleted})`` — or ``(None, {})`` when nothing
+        matched (output cleaned up, caller commits a noop). An
+        uncommitted ``_dv`` dir is unreferenced metadata — vacuum's
+        problem, same as staged data files. O(k) bytes for k deleted
+        rows."""
         commit_id = uuid.uuid4().hex[:16]
-        stage = self.root / "_staging" / f"dv_{commit_id}"
+        final = self.root / "_dv" / commit_id
+        prefix = "file:" + os.path.abspath(str(self.root)) + "/"
         (
             hits.select(
                 F.col("__dwcs_uri").alias("file_uri"),
+                F.expr(
+                    f"substring(__dwcs_uri, {len(prefix) + 1})"
+                ).alias("file_path"),
                 F.col("__dwcs_pos").alias("pos"),
             )
             # repartition, not coalesce: coalesce(1) would collapse the
@@ -1301,32 +1313,34 @@ class ManagedTable:
             # matched positions is cheap
             .repartition(1)
             .write.mode("overwrite")
-            .parquet(str(stage))
+            .parquet(str(final))
         )
-        staged = self.spark.read.parquet(str(stage))
+        out = self.spark.read.parquet(str(final))
         counts = {
             r["file_uri"]: r["n"]
-            for r in staged.groupBy("file_uri").agg(F.count("*").alias("n")).collect()
+            for r in out.groupBy("file_uri").agg(F.count("*").alias("n")).collect()
         }
         if not counts:
-            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(final, ignore_errors=True)
             return None, {}
-        mapping = self.spark.createDataFrame(
-            [(u, self._uri_to_rel(u)) for u in counts],
-            "file_uri string, file_path string",
-        )
-        out_stage = self.root / "_staging" / f"dvf_{commit_id}"
-        (
-            staged.join(F.broadcast(mapping), "file_uri")
-            .select("file_uri", "file_path", "pos")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(str(out_stage))
-        )
-        final = self.root / "_dv" / commit_id
-        final.parent.mkdir(parents=True, exist_ok=True)
-        shutil.move(str(out_stage), str(final))
-        shutil.rmtree(stage, ignore_errors=True)
+        if not all(u.startswith(prefix) for u in counts):
+            # URI rendering drifted from the assumption: rebuild file_path
+            # driver-side (authoritative) and replace the DV file
+            mapping = self.spark.createDataFrame(
+                [(u, self._uri_to_rel(u)) for u in counts],
+                "file_uri string, file_path string",
+            )
+            redo = self.root / "_staging" / f"dvf_{commit_id}"
+            (
+                out.select("file_uri", "pos")
+                .join(F.broadcast(mapping), "file_uri")
+                .select("file_uri", "file_path", "pos")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(redo))
+            )
+            shutil.rmtree(final, ignore_errors=True)
+            shutil.move(str(redo), str(final))
         dv_files = tuple(
             sorted(str(p.relative_to(self.root)) for p in final.rglob("*.parquet"))
         )
