@@ -266,3 +266,50 @@ def test_dv_on_partitioned_table(spark, tmp_path, lineitem):
         F.to_date("l_shipdate") == F.lit("1995-01-05").cast("date")
     )
     assert one_day.count() == expect.count()
+
+
+def test_vacuum_vs_pinned_reader_race(spark, tmp_path):
+    """The retention contract (README §Vacuum retention contract): a
+    pinned snapshot whose files a zero-retention vacuum removed mid-read
+    must fail LOUDLY — a FileNotFound-style scan error — never return
+    silent partial data. Covers both read paths: the declarative source
+    (version pinned at planning) and a native time-travel read."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for lo in (0, 1000, 2000):
+        t.append(spark.range(lo, lo + 500).select(F.col("id").alias("k")))
+    v_old = t.snapshot().version
+
+    # plan a declarative frame NOW: its version (and file list) pin here
+    pinned = spark.read.format("managed_table").load(str(tmp_path / "t"))
+    # head moves on; the pinned snapshot's files become unreferenced
+    t.compact()
+    assert t.vacuum(retention_seconds=0.0) > 0
+
+    # the pinned declarative read: full result or a loud error — never less
+    try:
+        n = pinned.count()
+    except Exception as e:  # noqa: BLE001 — asserting on the failure shape
+        msg = str(e)
+        assert "not exist" in msg or "FileNotFound" in msg or "No such file" in msg
+    else:
+        assert n == 1500
+
+    # native time travel to the vacuumed version: same contract
+    try:
+        n = t.read(version=v_old).count()
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        assert "not exist" in msg or "FileNotFound" in msg or "No such file" in msg
+    else:
+        assert n == 1500
+
+    # the live head is untouched by the race
+    assert t.read().count() == 1500
+    # and restore() to the vacuumed version refuses cleanly (existence
+    # check) instead of committing a head that points at deleted files
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        t.restore(v_old)
+    assert t.read().count() == 1500
