@@ -3744,6 +3744,53 @@ def datasource_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("managed_table").load(root)
 
 
+def catalog_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-table SQL surface (sources/names.py): the March orders land
+    in a ManagedTable, the table is registered in a persistent
+    NamedCatalog and attached, and the query runs as PURE SQL against the
+    NAME — ``global_temp.dwcs_cat_orders`` — the way the reference
+    addresses ``schema_name.table_name`` against SQL Server's catalog.
+    The oracle states the same rollup on the raw table, so the gate
+    covers name resolution end-to-end (catalog file → view → declarative
+    scan)."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_cat_")
+    t = ManagedTable.create(spark, f"{tmp}/orders")
+    t.append(
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(M_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit(M_TO).cast("timestamp"))
+        )
+    )
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_cat_orders", f"{tmp}/orders")
+    cat.attach(spark)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS revenue
+        FROM global_temp.dwcs_cat_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+CATALOG_NAMED_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{M_FROM}'
+  AND o_orderdate <= TIMESTAMP '{M_TO}'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 DATASOURCE_UPSERT_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderdate >= TIMESTAMP '{M_FROM}'
@@ -3992,6 +4039,7 @@ QUERIES: dict[str, QueryFn] = {
     "datasource_roundtrip": datasource_roundtrip,
     "cdc_read_roundtrip": cdc_read_roundtrip,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
+    "catalog_named_sql": catalog_named_sql,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4095,4 +4143,5 @@ ORACLES: dict[str, str] = {
     "datasource_roundtrip": DATASOURCE_ROUNDTRIP_SQL,
     "cdc_read_roundtrip": CDC_READ_SQL,
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
+    "catalog_named_sql": CATALOG_NAMED_SQL,
 }

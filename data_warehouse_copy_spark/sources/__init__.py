@@ -3,9 +3,11 @@ from data_warehouse_copy_spark.sources.datasource import (
     register as register_data_source,
 )
 from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+from data_warehouse_copy_spark.sources.names import NamedCatalog
 
 __all__ = [
     "ManagedTable",
+    "NamedCatalog",
     "load_table",
     "register_data_source",
     "register_views",

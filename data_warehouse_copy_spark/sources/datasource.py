@@ -986,6 +986,18 @@ class ManagedTableDataSource(DataSource):
                 "managed_table requires a table root: .load(path) or "
                 ".option('path', ...)"
             )
+        # The session catalog qualifies a persistent table's location into
+        # a URI (CREATE TABLE ... USING managed_table hands us
+        # 'file:/x/y'); the log/DV machinery is pathlib-based, so map a
+        # local URI back to its filesystem path. Non-file schemes pass
+        # through untouched — they fail later with the storage error, not
+        # a bogus relative path.
+        if root.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            parsed = urlparse(root)
+            if not parsed.netloc:
+                return unquote(parsed.path)
         return root
 
     def schema(self) -> T.StructType:

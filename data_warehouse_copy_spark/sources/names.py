@@ -1,0 +1,173 @@
+"""Named-table catalog: ``spark.table("bronze.lineitem")`` over ManagedTable.
+
+The reference addresses tables by (schema, name) against SQL Server's
+catalog (``TableConfig`` rows name ``schema_name.table_name``,
+``appsettings.json``); this repo's tables are path-addressed. The
+:class:`NamedCatalog` closes that gap with a PERSISTENT name → root
+mapping (one JSON file, atomically rewritten) plus two access surfaces:
+
+- :meth:`NamedCatalog.table` — the canonical programmatic path: a FRESH
+  ``spark.read.format("managed_table")`` per call, so every lookup is a
+  live, snapshot-isolated read of the current head (exactly the semantics
+  ``spark.table`` has on Delta).
+- :meth:`NamedCatalog.attach` — the pure-SQL path: registers every entry
+  as a GLOBAL TEMPORARY VIEW, making ``spark.table("<db>.<name>")`` and
+  ``SELECT ... FROM <db>.<name>`` resolve for any session of the app.
+
+Why views and not ``CREATE TABLE ... USING managed_table`` in the session
+catalog: Spark 4.1 accepts that DDL (the provider resolves and the CREATE
+validates), but at scan time the Python Data Source V2 glue constructs the
+reader with EMPTY options — the stored table properties (including
+``path``) never reach ``DataSource.reader()`` — so a persistent catalog
+table cannot locate its data (verified empirically; a JVM TableProvider
+can read ``getTable(properties)``, the Python bridge does not forward
+them). The global-temp-view layer is the honest workaround.
+
+Known boundary, documented rather than hidden: an ATTACHED view pins the
+snapshot resolved when the view was created — Spark caches the planned
+python-DS read per relation (the same relation-scoped cache that rules
+out ``pushFilters`` pruning, see ``datasource.py``), so later commits are
+invisible to the view until :meth:`refresh` re-registers it.
+:meth:`table` never has this problem (new relation per call). SQL
+sessions that need read-your-writes call ``refresh`` after writes, the
+same way Delta SQL users ``REFRESH TABLE`` after out-of-band changes.
+
+Naming: entries are ``<db>.<name>``. ``attach`` registers into Spark's
+global-temp database, whose NAME is the static conf
+``spark.sql.globalTempDatabase`` (default ``global_temp``) — set it to
+e.g. ``bronze`` at session build for reference-style names, and the
+catalog validates that its entries' db matches at attach time so a name
+never silently resolves elsewhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class NamedCatalog:
+    """Persistent ``db.table`` → ManagedTable-root mapping."""
+
+    def __init__(self, catalog_file: "str | Path"):
+        self.path = Path(catalog_file)
+
+    # ------------------------------------------------------------- storage
+
+    def _load(self) -> dict:
+        if not self.path.exists():
+            return {}
+        return json.loads(self.path.read_text()).get("tables", {})
+
+    def _store(self, tables: dict) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(f".tmp.{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps({"tables": tables}, indent=1, sort_keys=True))
+        os.replace(tmp, self.path)  # atomic: readers see old or new, whole
+
+    # ------------------------------------------------------------- mapping
+
+    @staticmethod
+    def _split(name: str) -> tuple[str, str]:
+        parts = name.split(".")
+        if len(parts) != 2 or not all(p.strip() for p in parts):
+            raise ValueError(
+                f"catalog names are '<db>.<table>', got {name!r}"
+            )
+        return parts[0], parts[1]
+
+    def register(self, name: str, root: "str | Path") -> None:
+        """Map ``db.table`` to a table root (idempotent upsert). The root
+        must already hold a managed table — a catalog must never hand out
+        names that resolve to nothing."""
+        from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+        self._split(name)
+        if not ManagedTable(None, root).exists():
+            raise ValueError(
+                f"no managed table at {root!r}; create it before "
+                f"registering {name!r}"
+            )
+        tables = self._load()
+        tables[name] = {"root": str(root)}
+        self._store(tables)
+
+    def drop(self, name: str) -> None:
+        """Remove a mapping (the table's data is untouched — dropping a
+        NAME must never delete what other names/paths may reference)."""
+        tables = self._load()
+        if name not in tables:
+            raise KeyError(f"{name!r} not in catalog {self.path}")
+        del tables[name]
+        self._store(tables)
+
+    def names(self) -> list[str]:
+        return sorted(self._load())
+
+    def root_of(self, name: str) -> str:
+        tables = self._load()
+        if name not in tables:
+            raise KeyError(
+                f"{name!r} not in catalog {self.path} "
+                f"(have: {sorted(tables)})"
+            )
+        return tables[name]["root"]
+
+    # ------------------------------------------------------------- access
+
+    def table(self, spark: SparkSession, name: str, **options) -> DataFrame:
+        """Live read of ``db.table``: a fresh declarative load per call —
+        snapshot-isolated at the CURRENT head, like ``spark.table`` on
+        Delta. Extra ``options`` pass through (``where=...``,
+        ``versionAsOf=...``, ...)."""
+        from data_warehouse_copy_spark.sources.datasource import register
+
+        register(spark)
+        reader = spark.read.format("managed_table")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(self.root_of(name))
+
+    def attach(self, spark: SparkSession) -> list[str]:
+        """Register every catalog entry as a GLOBAL TEMPORARY VIEW so pure
+        SQL (and ``spark.table``) resolves ``<db>.<name>`` in any session
+        of this app. Returns the registered qualified names. Views pin the
+        attach-time snapshot (module docstring); call :meth:`refresh`
+        after writes that SQL readers must see."""
+        from data_warehouse_copy_spark.sources.datasource import register
+
+        register(spark)
+        gdb = spark.conf.get(
+            "spark.sql.globalTempDatabase", "global_temp"
+        )
+        out = []
+        for name in self.names():
+            db, tbl = self._split(name)
+            if db != gdb:
+                raise ValueError(
+                    f"catalog entry {name!r} names database {db!r} but this "
+                    f"session's global-temp database is {gdb!r} — build the "
+                    f"session with spark.sql.globalTempDatabase={db} (static "
+                    f"conf) or register the table as '{gdb}.{tbl}'"
+                )
+            root = self.root_of(name).replace("'", "''")
+            spark.sql(
+                f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{tbl}` "
+                f"USING managed_table OPTIONS (path '{root}')"
+            )
+            out.append(f"{db}.{tbl}")
+        return out
+
+    def refresh(self, spark: SparkSession) -> list[str]:
+        """Re-resolve every attached view at the current heads (the SQL
+        surface's read-your-writes knob)."""
+        return self.attach(spark)
+
+    def detach(self, spark: SparkSession) -> None:
+        for name in self.names():
+            _, tbl = self._split(name)
+            spark.catalog.dropGlobalTempView(tbl)
