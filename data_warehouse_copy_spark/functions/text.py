@@ -297,6 +297,57 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_score_columns(text_col: str = "text") -> "dict[str, Column]":
+    """The Gopher repetition signals of :func:`with_repetition_scores` as
+    PURE PROJECTIONS — zero shuffles, so they compose into a Structured
+    Streaming DAG where the aggregate form's groupBy+join cannot (an agg
+    mid-stream forces update/complete output modes and watermark
+    plumbing). The bigram mode comes from a run-length fold over the
+    SORTED bigram array (the longest equal-run in a sorted array IS the
+    max count), value-identical to ``max(n)/sum(n)``; equality with the
+    aggregate form is pinned in tests/test_text.py.
+
+    Per-row cost is O(tokens log tokens) for the sort — fine for
+    documents; the aggregate form stays the right shape when one key
+    groups MANY rows."""
+    lines = F.split(F.col(text_col), "\n")
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(bigrams)
+
+    def _run(acc, x):
+        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+
+    best_run = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return {
+        "n_tokens": F.size(toks),
+        "dup_line_frac": (
+            (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+        ),
+        "top_bigram_frac": F.when(
+            F.size(bigrams) > 0, best_run / F.size(bigrams)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def with_repetition_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3744,6 +3744,88 @@ def datasource_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("managed_table").load(root)
 
 
+def stream_curation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation as ONE fully declarative streaming DAG
+    (streaming/curation.py ``stream_curate_declarative``): bronze
+    documents land in two commits; ``readStream.format("managed_table")``
+    tails them (first the snapshot batch, then the incremental tail —
+    both paths exercised), every curation signal is a pure projection
+    (``repetition_score_columns``), dedup is the engine's stateful
+    ``dropDuplicates(fp)``, and ``writeStream.format("managed_table")``
+    lands silver exactly-once through the sink's txnAppId watermark. No
+    foreachBatch anywhere.
+
+    Returned columns are TEXT-DERIVED only (fp + scores): a fingerprint
+    collision's survivor is arrival-order in the engine's dedup, so
+    winner-dependent columns (doc_id) would be nondeterministic; the
+    projection is invariant under any winner, which is what makes a
+    value-exact oracle possible. The oracle restates scrub → score →
+    filter → DISTINCT in SQL."""
+    from data_warehouse_copy_spark.streaming.curation import (
+        stream_curate_declarative,
+    )
+
+    (docs,) = _prep(spark, sf_dir, "documents")
+    tmp = _tmp_table_dir(prefix="dwcs_scur_")
+    bronze = ManagedTable.create(spark, f"{tmp}/bronze")
+    bronze.append(docs.filter(F.col("doc_id") % 2 == 0))
+    q = stream_curate_declarative(
+        spark, f"{tmp}/bronze", f"{tmp}/silver", f"{tmp}/ckpt"
+    )
+    try:
+        q.processAllAvailable()  # batch 1: the initial snapshot
+        bronze.append(docs.filter(F.col("doc_id") % 2 == 1))
+        q.processAllAvailable()  # batch 2: the incremental tail
+    finally:
+        q.stop()
+    return (
+        ManagedTable(spark, f"{tmp}/silver")
+        .read()
+        .select("fp", "n_tokens", "dup_line_frac", "top_bigram_frac")
+    )
+
+
+STREAM_CURATION_SQL = f"""
+WITH scrubbed AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(text,
+           '{{email}}', '<EMAIL>', 'g'),
+           '{{url}}', '<URL>', 'g'),
+           '{{phone}}', '<PHONE>', 'g') AS text
+  FROM documents),
+base AS (
+  SELECT md5(text) AS fp,
+         {_SQL_TOKS_LOWER} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM scrubbed),
+stats AS (
+  SELECT fp, CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+           AS dup_line_frac
+  FROM base),
+bi AS (
+  SELECT fp, unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM base),
+bifreq AS (SELECT fp, bigram, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+-- identical texts share an fp and pool their counts; max/sum is invariant
+-- under that uniform pooling, so per-fp equals per-doc
+bistats AS (
+  SELECT fp, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac
+  FROM bifreq GROUP BY fp)
+SELECT DISTINCT s.fp, s.n_tokens, s.dup_line_frac,
+       COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM stats s LEFT JOIN bistats b ON s.fp = b.fp
+WHERE s.dup_line_frac <= 0.3
+  AND COALESCE(b.top_bigram_frac, 0.0) <= 0.11
+  AND s.n_tokens >= 5
+"""
+STREAM_CURATION_SQL = (
+    STREAM_CURATION_SQL.replace("%%EMAIL%%", _PII_EMAIL)
+    .replace("%%URL%%", _PII_URL)
+    .replace("%%PHONE%%", _PII_PHONE)
+)
+
+
 def catalog_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named-table SQL surface (sources/names.py): the March orders land
     in a ManagedTable, the table is registered in a persistent
@@ -4040,6 +4122,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_read_roundtrip": cdc_read_roundtrip,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "catalog_named_sql": catalog_named_sql,
+    "stream_curation_roundtrip": stream_curation_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4144,4 +4227,5 @@ ORACLES: dict[str, str] = {
     "cdc_read_roundtrip": CDC_READ_SQL,
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
+    "stream_curation_roundtrip": STREAM_CURATION_SQL,
 }

@@ -144,3 +144,59 @@ def stream_curate_from_table(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_curate_declarative(
+    spark,
+    bronze_root: str,
+    silver_root: str,
+    checkpoint_dir: str,
+    app_id: str = "curation-decl",
+):
+    """The curation flow as ONE fully declarative streaming DAG — no
+    foreachBatch anywhere: ``readStream.format("managed_table")`` tails
+    bronze, every curation signal is a pure projection
+    (:func:`repetition_score_columns` — the stream-safe twin of the
+    aggregate scorer), exact dedup is the engine's own stateful
+    ``dropDuplicates`` on the content fingerprint (within AND across
+    micro-batches), and ``writeStream.format("managed_table")`` lands
+    silver EXACTLY-ONCE via the sink's required ``txnAppId`` watermark —
+    the declarative-path twin of :func:`stream_curate_from_table`.
+
+    Trade vs the foreachBatch form, stated honestly: dedup state lives in
+    the ENGINE's state store (one fingerprint per distinct doc — bound it
+    with ``dropDuplicatesWithinWatermark`` when the corpus outgrows state,
+    trading exactness for bounded memory), and the survivor of a
+    fingerprint collision is arrival-order (the foreachBatch form picks
+    min doc_id) — so downstream consumers key on text-derived columns,
+    which are winner-invariant. Restart recovery: the checkpoint replays
+    the last commit-version range and the silver txn watermark makes the
+    replay a no-op — exactly-once table to table with zero imperative
+    code."""
+    from data_warehouse_copy_spark.functions.text import (
+        repetition_score_columns,
+    )
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    scores = repetition_score_columns("text")
+    curated = (
+        spark.readStream.format("managed_table")
+        .load(bronze_root)
+        .withColumn("text", scrub_pii(F.col("text")))
+        .withColumn("fp", F.md5(F.col("text")))
+        .withColumns({name: col for name, col in scores.items()})
+        .filter(
+            (F.col("dup_line_frac") <= 0.3)
+            & (F.col("top_bigram_frac") <= 0.11)
+            & (F.col("n_tokens") >= 5)
+        )
+        .dropDuplicates(["fp"])
+        .select(*CURATED_COLUMNS, "n_tokens", "dup_line_frac", "top_bigram_frac")
+    )
+    return (
+        curated.writeStream.format("managed_table")
+        .option("txnAppId", app_id)
+        .option("checkpointLocation", checkpoint_dir)
+        .start(silver_root)
+    )
