@@ -281,54 +281,73 @@ def lsh_bucket_near_dup_pairs(
     pairs; recall = LSH collision probability (near-identical vectors agree
     on nearly all sign bits, so they collide with high probability).
 
-    Shuffle discipline: the candidate join and dedup run over SLIM
-    ``(id, band, band_key)`` rows — vectors are attached only AFTER
-    ``dropDuplicates`` collapsed the band collisions, via two id
-    equi-joins (AQE broadcasts the vector side when it fits; at corpus
-    scale it degrades to a shuffle join over the already-small candidate
-    set). Shipping the vectors through the candidate shuffle instead was
-    measured 3× slower at sf0.1 (the per-row payload is 2×dim doubles vs
-    24 bytes). Banding is threshold-dependent: low thresholds (weakly
-    correlated sign bits) need many narrow bands and collapse toward
-    all-pairs; at production near-dup thresholds (~0.9+) the default
-    3×4-bit banding prunes candidates by orders of magnitude."""
+    Execution shape mirrors :func:`cosine_near_dup_pairs` but restricted
+    to buckets: each ``(band, band_key)`` group scores its members with
+    ONE float64 normalized matmul (``applyInPandas`` — vectorized, never
+    a per-pair codegen fold over millions of band collisions, which
+    measured ~20 s at sf0.1's low-threshold banding), emits coarse
+    candidates at ``threshold − 1e-6``, and the survivors (tiny) join
+    their vectors back for the exact fixed-fold :func:`cosine` re-score —
+    so returned values are bit-identical to the exact path. Skew bound:
+    a bucket of ``n_b`` rows costs one ``n_b²`` matmul; 2-bit bands cap
+    buckets at ~n/4 (the fixture's low-threshold worst case), while at
+    production near-dup thresholds (~0.9+) the default 3×4-bit banding
+    keeps buckets tiny and candidates orders of magnitude fewer —
+    banding is threshold-dependent, the plan shape is not."""
     bits_per_band = planes // bands
     mask = (1 << bits_per_band) - 1
     sig_fn = sign_bits_udf(dim, planes, seed)
+    id_t = df.schema[id_col].dataType.simpleString()
+    slack = threshold - 1e-6
 
-    sigs = df.select(
-        F.col(id_col).alias("_id"), sig_fn(F.col(vec_col)).alias("sig")
+    banded = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            sig_fn(F.col(vec_col)).alias("sig"),
+        )
+        .select(
+            "_id",
+            "_v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col("sig"), i * bits_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_key"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(
+            "_id",
+            "_v",
+            F.col("bb.band").alias("band"),
+            F.col("bb.band_key").alias("band_key"),
+        )
     )
-    banded_slim = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sig"), i * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_key").alias("band_key"),
-    )
-    a = banded_slim.select(
-        F.col("_id").alias("id_a"), "band", "band_key"
-    )
-    b = banded_slim.select(
-        F.col("_id").alias("id_b"), "band", "band_key"
-    )
+
+    def gen(key, pdf: pandas.DataFrame) -> pandas.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        mat = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        matn = mat / safe[:, None]
+        matn[norms == 0.0] = 0.0  # zero-norm vectors match nothing
+        sim = matn @ matn.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sim[ii, jj] >= slack
+        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pandas.DataFrame({"id_a": lo, "id_b": hi})
+
     cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band", "band_key")
+        .applyInPandas(gen, f"id_a {id_t}, id_b {id_t}")
         .dropDuplicates(["id_a", "id_b"])
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

@@ -1486,15 +1486,25 @@ class ManagedTable:
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
-    def merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
+    def merge_by_key(
+        self, source_df: DataFrame, primary_key: str, strategy: str = "dv"
+    ) -> int:
         """Delete+reinsert by key as ONE atomic commit — the reference's
         upsert (O9 batched ``IN``-list delete + O10 re-select/insert,
-        ``TableUpdateService.cs:108-161``) expressed as a join:
+        ``TableUpdateService.cs:108-161``) expressed as a join.
 
-        1. affected partitions = partitions holding any source key (in the
-           target, via semi-join) plus the source rows' own partitions;
-        2. replacement data for those partitions = target rows with the key
-           removed (``left_anti``) union the source rows;
+        ``strategy="dv"`` (default, merge-on-read like :meth:`delete`):
+        target rows carrying a source key are tombstoned via a deletion
+        vector — positions found by a semi-join over the stats-scoped
+        candidate files — and the source rows append as new files. A
+        merge touches O(matched rows + source rows), never a partition
+        rewrite; :meth:`compact` folds the DVs. ``strategy="cow"`` keeps
+        the classic rewrite:
+
+        1. affected partitions/files = those holding any source key (via
+           semi-join / pk-span stats);
+        2. replacement data = target rows with the key removed
+           (``left_anti``) union the source rows;
         3. only those partitions' files are rewritten.
 
         No key set ever reaches the driver (reference O8 ``collect`` is
@@ -1502,8 +1512,56 @@ class ManagedTable:
         distinct keys merged — matching the reference's metric, which reports
         the *key* count, not the row count (``TableUpdateService.cs:163``).
         """
+        if strategy not in ("dv", "cow"):
+            raise ValueError(f"merge strategy must be 'dv' or 'cow', got {strategy!r}")
         with _lock_for(self.root):
+            if strategy == "dv":
+                return self._merge_dv(source_df, primary_key)
             return self._merge_by_key(source_df, primary_key)
+
+    def _merge_dv(self, source_df: DataFrame, primary_key: str) -> int:
+        m = self.snapshot()
+        keys = source_df.select(primary_key).distinct()
+        n_keys = keys.count()
+        if n_keys == 0:
+            # Empty key set still commits + completes (TableUpdateService.cs:167-172)
+            self._commit_files(m, tuple(m.files), m.schema_json, "merge_noop")
+            return 0
+        # Candidate files by pk span (works partitioned or not — footer
+        # stats cover every column); unusable stats degrade to scanning
+        # every file for POSITIONS, never to a wrong answer, and still
+        # rewrite nothing.
+        affected = self._affected_files_by_stats(m, keys, primary_key)
+        candidates = (
+            list(m.files)
+            if affected is None
+            else [f for f in m.files if f.path in affected]
+        )
+        files = tuple(m.files)
+        if candidates:
+            hits = self._scan_with_pos(m, candidates).join(
+                keys, on=primary_key, how="left_semi"
+            )
+            dv_files, per_file = self._write_dv(hits)
+            if dv_files is not None:
+                files = self._grow_dv(m.files, dv_files, per_file)
+        if m.schema_json:
+            cols = [
+                f.name
+                for f in T.StructType.fromJson(json.loads(m.schema_json)).fields
+            ]
+            new_files = self._write_files(
+                source_df.select(*cols), m.partition_date_col, m.cluster_col
+            )
+            self._commit_files(m, files + new_files, m.schema_json, "merge")
+        else:  # first data into a fresh table: adopt the source schema
+            new_files = self._write_files(
+                source_df, m.partition_date_col, m.cluster_col
+            )
+            self._commit_files(
+                m, files + new_files, source_df.schema.json(), "merge"
+            )
+        return n_keys
 
     def _merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         m = self.snapshot()
@@ -1530,15 +1588,16 @@ class ManagedTable:
                     if m.schema_json
                     else T.StructType([])
                 )
-                # schema-explicit: pre-evolution files null-backfill
-                reader = (
-                    self.spark.read.schema(schema)
-                    if m.schema_json
-                    else self.spark.read
-                )
+                cand = [f for f in m.files if f.path in affected_paths]
+                # _scan_with_pos: schema-explicit (pre-evolution files
+                # null-backfill) AND prior deletion vectors subtracted — a
+                # raw candidate read would resurrect DV'd rows into the
+                # rewrite
                 target = (
-                    reader.parquet(*[str(self.root / p) for p in affected_paths])
-                    if affected_paths
+                    self._scan_with_pos(m, cand).drop(
+                        "__dwcs_uri", "__dwcs_pos"
+                    )
+                    if cand
                     else self.spark.createDataFrame([], schema)
                 )
                 kept = tuple(f for f in m.files if f.path not in affected_paths)

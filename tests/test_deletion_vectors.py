@@ -313,3 +313,74 @@ def test_vacuum_vs_pinned_reader_race(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="vacuum"):
         t.restore(v_old)
     assert t.read().count() == 1500
+
+
+def test_dv_merge_by_key_rewrites_nothing(spark, tmp_path):
+    """merge_by_key default (DV): matched target rows tombstone, source
+    rows append — no pre-existing data file rewritten, convergence exact,
+    prior DVs honored, and strategy='cow' still folds everything."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    t.append(spark.range(0, 1000).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v"))
+    t.delete([("k", ">=", 100), ("k", "<", 105)])  # prior DV
+    before = _file_states(tmp_path / "t")
+    src = spark.range(100, 120).selectExpr(
+        "id AS k", "CAST(id * 2.0 AS DOUBLE) AS v"
+    ).union(
+        spark.range(5000, 5010).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v")
+    )
+    n = t.merge_by_key(src, "k")
+    assert n == 30  # distinct keys, the reference's metric
+    after = _file_states(tmp_path / "t")
+    # every PRE-EXISTING data file is byte-identical (source rows append
+    # as new files; nothing rewrites)
+    assert all(after[p] == st for p, st in before.items())
+    out = t.read()
+    assert out.count() == 995 - 15 + 30  # 995 alive - matched 15 + source 30
+    assert out.groupBy("k").count().filter("count > 1").count() == 0
+    assert out.filter("k >= 100 AND k < 120 AND v = 0.0").count() == 0
+    assert out.filter("k >= 5000").count() == 10
+    m = t.snapshot()
+    assert m.op == "merge"
+    # convergence: a second identical merge changes nothing but versions
+    t.merge_by_key(src, "k")
+    out2 = t.read()
+    assert out2.count() == out.count()
+    assert out2.groupBy("k").count().filter("count > 1").count() == 0
+    # cow strategy folds all DVs away and converges identically
+    t.merge_by_key(src, "k", strategy="cow")
+    m3 = t.snapshot()
+    assert all(not f.dv_paths for f in m3.files)
+    assert {tuple(r) for r in t.read().collect()} == {
+        tuple(r) for r in out.collect()
+    }
+
+
+def test_dv_merge_on_partitioned_table(spark, tmp_path, lineitem):
+    """DV merge on a day-partitioned target: source rows land in their
+    partitions, matched old rows tombstone wherever they live, and
+    partition-pruned reads stay exact."""
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="l_shipdate")
+    base = lineitem.filter(F.col("l_shipdate").between("1995-01-01", "1995-01-31"))
+    t.append(base)
+    n0 = base.count()
+    before = _file_states(tmp_path / "t")
+    # re-send some orders' lines with doubled prices (same keys)
+    src = base.filter("l_orderkey % 17 = 0").withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 2
+    )
+    n_keys = src.select("l_orderkey").distinct().count()
+    assert t.merge_by_key(src, "l_orderkey") == n_keys
+    after = _file_states(tmp_path / "t")
+    assert all(after[p] == st for p, st in before.items())
+    out = t.read()
+    # merge replaced those orders' rows 1:1 (src is the same line set)
+    assert out.count() == n0
+    assert out.filter("l_orderkey % 17 = 0").count() == src.count()
+    # every surviving row for merged keys carries the doubled price
+    doubled = base.filter("l_orderkey % 17 = 0").agg(
+        F.sum(F.col("l_extendedprice") * 2).alias("s")
+    ).first().s
+    got = out.filter("l_orderkey % 17 = 0").agg(
+        F.sum("l_extendedprice").alias("s")
+    ).first().s
+    assert abs(got - doubled) < 1e-6
