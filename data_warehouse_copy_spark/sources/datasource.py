@@ -395,6 +395,9 @@ _FILES_SCHEMA = T.StructType(
         T.StructField("partition", T.StringType(), True),
         T.StructField("rows", T.LongType(), False),
         T.StructField("stats_json", T.StringType(), True),
+        # merge-on-read observability: positions deleted from this file
+        # (0 after compaction folds the DV away)
+        T.StructField("dv_rows", T.LongType(), False),
     ]
 )
 
@@ -421,6 +424,7 @@ class ManagedTableHistoryReader(DataSourceReader):
                     f.partition,
                     f.rows,
                     json.dumps(f.stats) if f.stats else None,
+                    f.dv_rows,
                 )
             return
         for c in t.history():

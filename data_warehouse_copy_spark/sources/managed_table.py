@@ -749,11 +749,19 @@ class ManagedTable:
         table layout with plain SQL at any scale."""
         m = self.snapshot(version)
         rows = [
-            (f.path, f.partition, f.rows, json.dumps(f.stats) if f.stats else None)
+            (
+                f.path,
+                f.partition,
+                f.rows,
+                json.dumps(f.stats) if f.stats else None,
+                f.dv_rows,
+            )
             for f in m.files
         ]
         return self.spark.createDataFrame(
-            rows, "path string, partition string, rows long, stats_json string"
+            rows,
+            "path string, partition string, rows long, stats_json string, "
+            "dv_rows long",
         )
 
     def detail(self) -> dict:
