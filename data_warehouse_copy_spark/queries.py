@@ -4025,6 +4025,157 @@ FROM neighbors
 """
 
 
+_PASSAGE_N = 8  # word n-gram span length for duplicate-passage detection
+
+
+def text_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-PASSAGE detection at word-8-gram granularity — the
+    substring-level dedup of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., ACL 2022), where whole-document dedup
+    misses verbatim passages quoted across otherwise-distinct documents.
+    A deterministic planted batch (every ``doc_id % 17 == 0`` document's
+    first 40 tokens re-arrive as ``doc_id + 500000`` with a fresh tail)
+    guarantees the detector provably fires; the oracle plants identically.
+
+    Per document: ``n_grams`` (8-gram positions), ``dup_grams`` (positions
+    whose gram also appears in ANOTHER document), and the duplicated
+    fraction — the signal a curation pipeline thresholds on.
+
+    100 TB plan shape: shingling is a pure codegen projection
+    (``transform(sequence(...))`` + ``explode``); the shuffle key is the
+    gram's **md5 fingerprint** (32 hex chars), never the raw 8-gram text,
+    so the two gram shuffles (hot-gram aggregate, hot-gram membership
+    equi-join) carry fingerprints ~10× smaller than the passages
+    themselves. No driver state, no cross join; quadratic nowhere —
+    cross-doc duplication is found by GROUP BY, not pairwise comparison."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    n = _PASSAGE_N
+    planted = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 40), " "),
+            F.lit(" planted passage quotation"),
+        ).alias("text"),
+    )
+    corpus = _spread(docs.select("doc_id", "text").unionByName(planted))
+    toks = corpus.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    counts = toks.select(
+        "doc_id",
+        F.greatest(F.size("t") - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    # NOTE: sequence(1, size-7) needs the >= n guard — Spark's sequence()
+    # auto-steps DOWNWARD when start > stop (sequence(1, 0) = [1, 0]), so
+    # short docs would fabricate grams instead of producing none.
+    grams = toks.filter(F.size("t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> md5(array_join(slice(t, i, {n}), ' ')))"
+            )
+        ).alias("g"),
+    )
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup = grams.join(hot, "g").groupBy("doc_id").agg(
+        F.count("*").alias("dup_grams")
+    )
+    return counts.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias("dup_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.coalesce(F.col("dup_grams"), F.lit(0)) / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+DUPLICATE_PASSAGES_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:40], ' ')
+           || ' planted passage quotation' AS text
+  FROM documents WHERE doc_id % 17 = 0),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+counts AS (SELECT doc_id, GREATEST(len(t) - 7, 0) AS n_grams FROM toks),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM toks,
+       UNNEST(generate_series(1::BIGINT, GREATEST(len(t) - 7, 0)::BIGINT)) AS u(i)),
+hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (SELECT doc_id, COUNT(*) AS dup_grams FROM grams
+        WHERE g IN (SELECT g FROM hot) GROUP BY doc_id)
+SELECT c.doc_id, c.n_grams, COALESCE(d.dup_grams, 0) AS dup_grams,
+       CASE WHEN c.n_grams > 0
+            THEN COALESCE(d.dup_grams, 0) / c.n_grams ELSE 0.0 END AS dup_fraction
+FROM counts c LEFT JOIN dup d USING (doc_id)
+"""
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: a unigram LM is fitted
+    on the corpus itself (one token-count aggregate), then every document
+    is scored by its mean per-token log10 probability — the cheap
+    perplexity proxy CCNet (Wenzek et al., LREC 2020) thresholds to split
+    a crawl into quality tiers, here with a unigram model instead of
+    KenLM (no external model artifacts; same pipeline shape).
+
+    Determinism: each token's log-probability is rounded to
+    ``decimal(18,9)`` BEFORE the per-document sum, so the aggregate is
+    exact decimal arithmetic in any fold order (and a potential 1-ulp
+    libm divergence between ``java.lang.Math.log10`` and DuckDB's
+    ``std::log10`` is absorbed by the rounding).
+
+    100 TB plan shape: pass 1 is a map-side-combined token count whose
+    result is VOCABULARY-sized (millions of rows, not corpus-sized) and
+    broadcast back onto the token stream with the 1-row corpus total —
+    the scoring join is broadcast, so the only corpus-sized shuffle is
+    the final per-document aggregate."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = _spread(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("total"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log10(F.col("cnt") / F.col("total"))
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob10"),
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+lm AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS total FROM toks),
+scored AS (
+  SELECT t.doc_id, CAST(log10(l.cnt / s.total) AS DECIMAL(18,9)) AS lp
+  FROM toks t JOIN lm l USING (tok) CROSS JOIN tot s)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob10
+FROM scored GROUP BY doc_id
+"""
+
+
 # Registry ordering contract (pinned by tests/test_registry_order.py):
 # every oracle-backed query precedes every no-oracle one, and all
 # oracle-backed queries sit in the first 50 positions — the driver's
@@ -4123,6 +4274,8 @@ QUERIES: dict[str, QueryFn] = {
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "stream_curation_roundtrip": stream_curation_roundtrip,
+    "text_duplicate_passages": text_duplicate_passages,
+    "text_unigram_logprob": text_unigram_logprob,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4228,4 +4381,6 @@ ORACLES: dict[str, str] = {
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
+    "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,
+    "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
 }
