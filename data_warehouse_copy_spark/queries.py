@@ -1263,6 +1263,49 @@ WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
 """
 
 
+_BLOOM_PROBE_KEYS = [1000 + 137 * i for i in range(24)]
+
+
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index skip-read path (sources/bloom.py): the March window of
+    lineitem lands in a ManagedTable clustered on ``l_shipdate`` but
+    bloom-indexed on ``l_orderkey`` — the hard case for min/max skipping,
+    because every file's orderkey span covers essentially the whole key
+    range (the interleaved appends below guarantee it), so a point lookup
+    would open EVERY file on stats alone. Per-file bloom bitmaps, built
+    distributed at write time and consulted at plan time, prune each
+    probe to the files that may hold the key (no false negatives — a
+    bitmap proves absence, never presence, so results stay exact). The
+    query is ONE batched 24-key lookup (``where=[("l_orderkey", "in",
+    keys)]`` — one scan of the bloom-surviving file union, not 24
+    relations); the oracle is the equivalent ``IN``-list filter on the
+    raw table. At 100 TB this is Delta's bloom-filter-index trade: one
+    columnar pass at write buys point lookups that open O(answer) files
+    on a column clustering can't serve."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    window = li.filter(
+        F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
+    )
+    t = ManagedTable.create(
+        spark,
+        f"{_tmp_table_dir(prefix='dwcs_bloom_')}/lineitem",
+        cluster_col="l_shipdate",
+        bloom_cols=["l_orderkey"],
+    )
+    # three interleaved appends: every file's l_orderkey span overlaps the
+    # full key range, defeating min/max pruning by construction
+    for i in range(3):
+        t.append(window.filter(F.col("l_orderkey") % 3 == i))
+    return t.read(where=[("l_orderkey", "in", _BLOOM_PROBE_KEYS)])
+
+
+BLOOM_LOOKUP_SQL = f"""
+SELECT * FROM lineitem
+WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
+  AND l_orderkey IN ({", ".join(str(k) for k in _BLOOM_PROBE_KEYS)})
+"""
+
+
 def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction + vacuum under the correctness gate: the March
     orders arrive as three separate micro-batch appends (the streaming
@@ -4276,6 +4319,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
     "text_unigram_logprob": text_unigram_logprob,
+    "bloom_point_lookup": bloom_point_lookup,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4383,4 +4427,5 @@ ORACLES: dict[str, str] = {
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "bloom_point_lookup": BLOOM_LOOKUP_SQL,
 }

@@ -167,7 +167,8 @@ def _parse_where_option(options: dict) -> list[tuple]:
     """Parse ``option("where", '[["col", ">=", 1000], ...]')`` — the
     relation-scoped pruning predicate (AND of triples). Values are JSON
     literals: numbers, strings (timestamps/dates as the fixed-width ISO
-    strings the manifest stats use), booleans."""
+    strings the manifest stats use), booleans — or, for the ``in`` op
+    (batched point lookup), a JSON array of them."""
     raw = options.get("where")
     if not raw:
         return []
@@ -398,6 +399,9 @@ _FILES_SCHEMA = T.StructType(
         # merge-on-read observability: positions deleted from this file
         # (0 after compaction folds the DV away)
         T.StructField("dv_rows", T.LongType(), False),
+        # bloom-index observability: the commit sidecar holding this
+        # file's per-column bitmaps (null = not indexed)
+        T.StructField("bloom_path", T.StringType(), True),
     ]
 )
 
@@ -425,6 +429,7 @@ class ManagedTableHistoryReader(DataSourceReader):
                     f.rows,
                     json.dumps(f.stats) if f.stats else None,
                     f.dv_rows,
+                    f.bloom_path,
                 )
             return
         for c in t.history():
@@ -497,16 +502,27 @@ class ManagedTableBatchReader(DataSourceReader):
                 )
             ]
         m = self._snapshot()
+        sel = [
+            f
+            for f in m.files
+            if all(
+                _file_may_match(f.stats, c, op, v) for c, op, v in self.where
+            )
+        ]
+        if self.where and m.bloom_cols:
+            from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+            # bloom tier of the declarative two-tier skip: files whose
+            # bitmap proves an ``=`` predicate can't match never become
+            # partitions (same soundness contract as ManagedTable.read)
+            sel = bloom_prune(root, sel, self.where)
         return [
             FilePartition(
                 str(root / f.path),
                 rel=f.path if f.dv_paths else None,
                 dvs=tuple(str(root / p) for p in f.dv_paths),
             )
-            for f in m.files
-            if all(
-                _file_may_match(f.stats, c, op, v) for c, op, v in self.where
-            )
+            for f in sel
         ]
 
     def read(self, partition: FilePartition) -> "Iterator[pa.RecordBatch]":

@@ -115,6 +115,12 @@ class FileEntry:
     # effective rows = rows - dv_rows. ``compact()`` folds DVs away.
     dv_paths: tuple = ()
     dv_rows: int = 0
+    # Table-relative path of the commit's bloom sidecar parquet (see
+    # sources/bloom.py) holding this file's per-column bloom bitmaps —
+    # consulted by ``read(where=)`` / the declarative reader to skip
+    # files an ``=`` predicate provably cannot match. None (no index)
+    # just means no bloom pruning for this file.
+    bloom_path: str | None = None
 
     def __post_init__(self):
         # JSON replay hands lists; normalize so entry equality (the
@@ -145,6 +151,10 @@ class Manifest:
     # streaming micro-batch presents the same (app, version) and is
     # skipped instead of double-appended — see ManagedTable.append(txn=).
     txns: dict | None = None
+    # Bloom-index spec: column names whose per-file bloom bitmaps are
+    # built at write time (sources/bloom.py) so point lookups skip files
+    # min/max spans cannot prune. Set at create(), immutable after.
+    bloom_cols: list | None = None
 
     @property
     def total_rows(self) -> int:
@@ -263,7 +273,7 @@ def _harvest_stats(md) -> dict:
     return out
 
 
-_WHERE_OPS = ("=", "<", "<=", ">", ">=")
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
@@ -287,6 +297,10 @@ def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
 
     if op not in _WHERE_OPS:
         raise ValueError(f"unsupported where op {op!r}; use one of {_WHERE_OPS}")
+    if op == "in":
+        # batched point lookup: the file may match iff ANY listed value
+        # falls inside its span (empty list: nothing can match)
+        return any(_file_may_match(stats, col, "=", x) for x in value)
     if not stats or col not in stats:
         return True
     v = _stat_scalar(value)
@@ -326,7 +340,7 @@ def _where_predicate(where: list[tuple]) -> Column:
         p = {
             "=": col == v, "<": col < v, "<=": col <= v,
             ">": col > v, ">=": col >= v,
-        }[op]
+        }[op] if op != "in" else col.isin(list(v))
         pred = p if pred is None else (pred & p)
     return pred
 
@@ -348,10 +362,15 @@ class ManagedTable:
         partition_date_col: str | None = None,
         exist_ok: bool = True,
         cluster_col: str | list | None = None,
+        bloom_cols: list | None = None,
     ) -> "ManagedTable":
         """Create the table. ``cluster_col``: a column name range-clusters
         writes on it; a LIST of names Z-ORDERS writes (bit-interleaved
-        quantile buckets) so ``read(where=)`` skips files on any of them."""
+        quantile buckets) so ``read(where=)`` skips files on any of them.
+        ``bloom_cols``: column names to index with per-file bloom bitmaps
+        (sources/bloom.py) so ``=`` lookups skip files even when every
+        file's min/max span covers the key (the unclustered-column point
+        lookup min/max cannot help with)."""
         t = cls(spark, root)
         if t.exists():
             if not exist_ok:
@@ -369,6 +388,7 @@ class ManagedTable:
                     op="create",
                     ts=_utcnow(),
                     cluster_col=cluster_col,
+                    bloom_cols=list(bloom_cols) if bloom_cols else None,
                 )
             )
         except CommitConflict:
@@ -552,6 +572,7 @@ class ManagedTable:
             ts=ts,
             cluster_col=start.cluster_col,
             txns=txns or None,
+            bloom_cols=start.bloom_cols,
         )
 
     def history(self) -> list[CommitInfo]:
@@ -669,7 +690,8 @@ class ManagedTable:
         exactly as cheap as a head read.
 
         ``where`` is a list of ``(column, op, value)`` predicates
-        (ops ``= < <= > >=``) used for **file-level data skipping**: files
+        (ops ``= < <= > >= in`` — ``in`` takes a value LIST, the batched
+        point lookup) used for **file-level data skipping**: files
         whose footer-harvested min/max prove no row can match are dropped
         from the plan before Spark ever lists them, and the same predicates
         are then applied to the DataFrame, so results are exact. At 100 TB
@@ -684,6 +706,13 @@ class ManagedTable:
             if _partition_live(f.partition, partition_min, partition_max, partitions)
             and all(_file_may_match(f.stats, c, op, v) for c, op, v in where or [])
         ]
+        if where and m.bloom_cols:
+            from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+            # second skip tier: per-file bloom bitmaps prove absence for
+            # ``=`` predicates min/max spans cannot prune (unclustered
+            # point lookups) — sound by construction, only ever narrows
+            sel = bloom_prune(self.root, sel, where)
         files = [str(self.root / f.path) for f in sel]
         schema = (
             T.StructType.fromJson(json.loads(m.schema_json))
@@ -691,7 +720,13 @@ class ManagedTable:
             else None
         )
         if not files:
-            return self.spark.createDataFrame([], schema or T.StructType([]))
+            # one (empty) partition, not the 32-way default parallelism:
+            # a pruned-to-zero read costs zero tasks' worth of work, and a
+            # plan unioning many point probes must not pay 32 empty tasks
+            # per probe (24 bloom probes did: a 768-task no-op stage)
+            return self.spark.createDataFrame(
+                [], schema or T.StructType([])
+            ).coalesce(1)
         # Read under the MANIFEST schema, not the first file's: after an
         # additive schema evolution (append(merge_schema=True)) old files
         # lack the new columns, and Spark's parquet reader null-backfills
@@ -755,13 +790,14 @@ class ManagedTable:
                 f.rows,
                 json.dumps(f.stats) if f.stats else None,
                 f.dv_rows,
+                f.bloom_path,
             )
             for f in m.files
         ]
         return self.spark.createDataFrame(
             rows,
             "path string, partition string, rows long, stats_json string, "
-            "dv_rows long",
+            "dv_rows long, bloom_path string",
         )
 
     def detail(self) -> dict:
@@ -777,6 +813,7 @@ class ManagedTable:
             "total_rows": m.total_rows,
             "partition_date_col": m.partition_date_col,
             "cluster_col": m.cluster_col,
+            "bloom_cols": m.bloom_cols,
             # the None bucket of an unpartitioned table is not a partition
             "n_partitions": len({f.partition for f in m.files} - {None}),
         }
@@ -899,7 +936,8 @@ class ManagedTable:
             else T.StructType([])
         )
         if not added:
-            return self.spark.createDataFrame([], schema)
+            # single empty partition (same rationale as read()'s empty path)
+            return self.spark.createDataFrame([], schema).coalesce(1)
         reader = (
             self.spark.read.schema(schema) if end.schema_json else self.spark.read
         )
@@ -982,7 +1020,7 @@ class ManagedTable:
                     df = df.select(*union_order)
                 else:
                     df = df.select(*[f.name for f in existing.fields])
-            new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
+            new_files = self._write_files(df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols)
             # Only a genuine widen (or first write) updates the manifest
             # schema; a same-shape append keeps the table's canonical JSON
             # (the incoming frame's serialization may differ in nullability
@@ -1080,7 +1118,7 @@ class ManagedTable:
         empty table in between."""
         with _lock_for(self.root):
             m = self.snapshot()
-            new_files = self._write_files(df, m.partition_date_col, m.cluster_col)
+            new_files = self._write_files(df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols)
             self._commit_files(m, new_files, df.schema.json(), "overwrite")
         return sum(f.rows for f in new_files)
 
@@ -1124,7 +1162,7 @@ class ManagedTable:
                     else old
                 )
                 merged = kept_rows.unionByName(df) if old.columns else df
-                new_files = self._write_files(merged, None, m.cluster_col)
+                new_files = self._write_files(merged, None, m.cluster_col, bloom_cols=m.bloom_cols)
                 written_total = sum(f.rows for f in new_files)
                 new_window_rows = df.count()
                 deleted = m.total_rows - (written_total - new_window_rows)
@@ -1148,7 +1186,7 @@ class ManagedTable:
                 write_df = df.unionByName(tail) if tail_rows else df
             else:
                 write_df = df
-            new_files = self._write_files(write_df, m.partition_date_col, m.cluster_col)
+            new_files = self._write_files(write_df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols)
             out_of_range = [
                 f for f in new_files if not _in_day_range(f.partition, date_from, date_to)
             ]
@@ -1206,6 +1244,12 @@ class ManagedTable:
                 for f in m.files
                 if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
             ]
+            if m.bloom_cols:
+                from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+                # a point delete touches only the files that may hold the
+                # key — bloom-pruned exactly like the read path
+                candidates = bloom_prune(self.root, candidates, where)
             if not candidates:
                 self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
                 return 0
@@ -1226,7 +1270,8 @@ class ManagedTable:
             "__dwcs_uri", "__dwcs_pos"
         )
         new_files = self._write_files(
-            survivors, m.partition_date_col, m.cluster_col
+            survivors, m.partition_date_col, m.cluster_col,
+            bloom_cols=m.bloom_cols,
         )
         cand_paths = {c.path for c in candidates}
         kept = tuple(f for f in m.files if f.path not in cand_paths)
@@ -1419,6 +1464,10 @@ class ManagedTable:
                 for f in m.files
                 if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
             ]
+            if m.bloom_cols:
+                from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+                candidates = bloom_prune(self.root, candidates, where)
             if not candidates:
                 self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
                 return 0
@@ -1451,7 +1500,8 @@ class ManagedTable:
             *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
         )
         new_files = self._write_files(
-            rewritten, m.partition_date_col, m.cluster_col
+            rewritten, m.partition_date_col, m.cluster_col,
+            bloom_cols=m.bloom_cols,
         )
         cand_paths = {c.path for c in candidates}
         kept = tuple(f for f in m.files if f.path not in cand_paths)
@@ -1486,7 +1536,8 @@ class ManagedTable:
                 *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
             )
             new_files = self._write_files(
-                rewritten, m.partition_date_col, m.cluster_col
+                rewritten, m.partition_date_col, m.cluster_col,
+                bloom_cols=m.bloom_cols,
             )
             files = self._grow_dv(m.files, dv_files, per_file)
             self._commit_files(m, files + new_files, m.schema_json, "update")
@@ -1559,12 +1610,14 @@ class ManagedTable:
                 for f in T.StructType.fromJson(json.loads(m.schema_json)).fields
             ]
             new_files = self._write_files(
-                source_df.select(*cols), m.partition_date_col, m.cluster_col
+                source_df.select(*cols), m.partition_date_col, m.cluster_col,
+                bloom_cols=m.bloom_cols,
             )
             self._commit_files(m, files + new_files, m.schema_json, "merge")
         else:  # first data into a fresh table: adopt the source schema
             new_files = self._write_files(
-                source_df, m.partition_date_col, m.cluster_col
+                source_df, m.partition_date_col, m.cluster_col,
+                bloom_cols=m.bloom_cols,
             )
             self._commit_files(
                 m, files + new_files, source_df.schema.json(), "merge"
@@ -1612,7 +1665,7 @@ class ManagedTable:
             merged = target.join(keys, on=primary_key, how="left_anti").unionByName(
                 source_df.select(*target.columns) if target.columns else source_df
             )
-            new_files = self._write_files(merged, None, m.cluster_col)
+            new_files = self._write_files(merged, None, m.cluster_col, bloom_cols=m.bloom_cols)
             self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
             return n_keys
 
@@ -1645,7 +1698,7 @@ class ManagedTable:
         merged = target_affected.join(
             keys, on=primary_key, how="left_anti"
         ).unionByName(source_df.select(*cols))
-        new_files = self._write_files(merged, part_col, m.cluster_col)
+        new_files = self._write_files(merged, part_col, m.cluster_col, bloom_cols=m.bloom_cols)
         kept = tuple(f for f in m.files if f.partition not in affected)
         self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
         return n_keys
@@ -1828,6 +1881,7 @@ class ManagedTable:
                 ts=ts,
                 cluster_col=base.cluster_col,
                 txns=txns or None,
+                bloom_cols=base.bloom_cols,
             )
             self._advance_latest(version)
             _cache_put(str(self.root.resolve()), new_m)
@@ -1843,6 +1897,7 @@ class ManagedTable:
         self, df: DataFrame, partition_date_col: str | None,
         cluster_col: str | None = None,
         cluster_partitions: int | None = None,
+        bloom_cols: list | None = None,
     ) -> tuple[FileEntry, ...]:
         """Write df into an immutable commit dir; return its file entries.
 
@@ -1925,6 +1980,22 @@ class ManagedTable:
 
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
             entries = [e for e in pool.map(entry_for, paths) if e is not None]
+        if bloom_cols and entries:
+            from dataclasses import replace
+
+            from data_warehouse_copy_spark.sources.bloom import (
+                build_bloom_sidecar,
+            )
+
+            side = build_bloom_sidecar(
+                self.spark,
+                self.root,
+                [(e.path, e.rows) for e in entries],
+                bloom_cols,
+                commit_id,
+            )
+            if side is not None:
+                entries = [replace(e, bloom_path=side) for e in entries]
         return tuple(entries)
 
     def restore(self, version: int) -> int:
@@ -1951,6 +2022,7 @@ class ManagedTable:
                     p
                     for f in target.files
                     for p in (f.path, *f.dv_paths)
+                    + ((f.bloom_path,) if f.bloom_path else ())
                     if not (self.root / p).exists()
                 ]
 
@@ -2027,7 +2099,7 @@ class ManagedTable:
                     F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
                     *sort_cols,
                 )
-                new_files = self._write_files(df, m.partition_date_col, None)
+                new_files = self._write_files(df, m.partition_date_col, None, bloom_cols=m.bloom_cols)
             elif m.cluster_col is not None:
                 # Unpartitioned: pin the range-shuffle width to the target
                 # file count so compaction CONVERGES — an unpinned range
@@ -2036,6 +2108,7 @@ class ManagedTable:
                 new_files = self._write_files(
                     df, None, m.cluster_col,
                     cluster_partitions=max(max_files_per_partition, 1),
+                    bloom_cols=m.bloom_cols,
                 )
             elif m.partition_date_col is not None:
                 # one task per day -> one output file per partition dir
@@ -2043,9 +2116,9 @@ class ManagedTable:
                     max(len(crowded), 1),
                     F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
                 )
-                new_files = self._write_files(df, m.partition_date_col, None)
+                new_files = self._write_files(df, m.partition_date_col, None, bloom_cols=m.bloom_cols)
             else:
-                new_files = self._write_files(df.coalesce(1), None, None)
+                new_files = self._write_files(df.coalesce(1), None, None, bloom_cols=m.bloom_cols)
             kept = tuple(f for f in m.files if f.partition not in crowded)
             self._commit_files(m, kept + new_files, m.schema_json, "compact")
             return (len(m.files), len(kept) + len(new_files))
@@ -2082,6 +2155,18 @@ class ManagedTable:
                 if str(p) not in live_dv and p.stat().st_mtime <= cutoff:
                     p.unlink()
                     removed += 1
+        bloom_dir = self.root / "_bloom"
+        if bloom_dir.exists():
+            # bloom sidecars whose commit's files were all rewritten away
+            live_bloom = {
+                str(self.root / f.bloom_path)
+                for f in m.files
+                if f.bloom_path
+            }
+            for p in bloom_dir.rglob("*.parquet"):
+                if str(p) not in live_bloom and p.stat().st_mtime <= cutoff:
+                    p.unlink()
+                    removed += 1
         return removed
 
 
@@ -2094,6 +2179,8 @@ def _entry_dict(f: FileEntry) -> dict:
         d.pop("dv_rows", None)
     else:
         d["dv_paths"] = list(d["dv_paths"])
+    if d.get("bloom_path") is None:
+        d.pop("bloom_path", None)
     return d
 
 
@@ -2106,7 +2193,7 @@ def _full_payload(m: Manifest) -> dict:
     """Full-state JSON shape shared by v0 records and checkpoints (and by
     every version file of pre-action-log tables, which read back through
     the same loader)."""
-    return {
+    out = {
         "version": m.version,
         "partition_date_col": m.partition_date_col,
         "schema_json": m.schema_json,
@@ -2116,6 +2203,9 @@ def _full_payload(m: Manifest) -> dict:
         "cluster_col": m.cluster_col,
         "txns": m.txns,
     }
+    if m.bloom_cols:  # bloom-free tables keep the exact pre-bloom format
+        out["bloom_cols"] = m.bloom_cols
+    return out
 
 
 def _manifest_from_full(raw: dict) -> Manifest:
@@ -2128,6 +2218,7 @@ def _manifest_from_full(raw: dict) -> Manifest:
         ts=raw["ts"],
         cluster_col=raw.get("cluster_col"),
         txns=raw.get("txns"),
+        bloom_cols=raw.get("bloom_cols"),
     )
 
 
