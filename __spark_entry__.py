@@ -35,9 +35,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents. The ten keys absent here
+    """DuckDB-runnable ANSI SQL equivalents. The eleven keys absent here
     (dedup_minhash_lsh, dedup_simhash, dedup_semantic_clusters_lsh,
-    similarity_topk_lsh, similarity_topk_ivf, approx_analytics,
+    similarity_topk_lsh, similarity_topk_ivf,
+    similarity_topk_ivf_persisted, approx_analytics,
     multimodal_features, ml_text_metrics, events_distinct_sketch_rollup,
     multimodal_audio_spectral) are hash-based/approximate/model-fit by
     nature and not SQL-expressible — the driver records the weaker

@@ -1,0 +1,211 @@
+"""Persisted IVF-flat vector index over a ManagedTable.
+
+``similarity.ivf_topk`` trains its coarse quantizer per query — right for
+one-shot analytics, wrong for serving: at 100 TB the corpus assignment
+pass alone dwarfs any single query. This module splits the classic IVF
+lifecycle the way FAISS/Milvus do, expressed lakehouse-first:
+
+- :meth:`IvfIndex.build` — ONE distributed pass: train centroids on a
+  bounded, partition-order-independent sample (the similarity module's
+  trainer), assign every vector its inverted-list id, and write the
+  corpus into a ManagedTable **range-clustered on ``list_id``** with a
+  bloom index on it. Clustering is the point: each parquet file covers a
+  tight ``list_id`` span, so the manifest alone maps list → files.
+- :meth:`IvfIndex.search` — probe-time cost ∝ the probed lists, not the
+  corpus: the ``nprobe`` nearest lists per query are computed from the
+  kilobyte centroid sidecar, and the corpus read is
+  ``read(where=[("list_id", "in", probed)])`` — manifest stats + bloom
+  prune to just the files holding those lists before Spark lists a
+  single other file. Exact-cosine re-rank inside the candidates.
+- :meth:`IvfIndex.add` — incremental ingest: new vectors are assigned
+  with the FROZEN centroids and appended (one commit); lists drift as
+  the distribution does (rebuild to re-center — the standard IVF trade).
+
+The index directory holds the list table (``lists/``), the centroid
+matrix (``centroids.npy``-equivalent parquet), and a meta JSON. Recall
+floors vs brute force are pinned in tests/test_ann_index.py.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.functions.similarity import (
+    _kmeans_centroids,
+    _nearest_centroids_udf,
+    cosine,
+)
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+_META = "ivf_meta.json"
+_CENTROIDS = "centroids.parquet"
+
+
+class IvfIndex:
+    """A persisted IVF-flat index rooted at a directory (see module doc)."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        root: str | Path,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_lists: int = 16,
+        sample_size: int = 4096,
+        seed: int = 42,
+        target_files: int | None = None,
+    ) -> "IvfIndex":
+        """Train + assign + cluster-write, one atomic overwrite commit on
+        the list table. Rebuild-in-place is safe: readers of the old
+        version stay snapshot-isolated until vacuum. ``target_files``
+        pins the written file count (default ``n_lists`` — one file per
+        inverted list, so a probe's manifest footprint is exactly its
+        lists; raise it when lists outgrow a healthy parquet size)."""
+        idx = cls(spark, root)
+        # bounded, partition-order-independent training sample (same
+        # discipline as ivf_topk: a bare limit() would starve later
+        # regions of a clustered corpus)
+        n_corpus = corpus.count()
+        sampled = corpus.select(id_col, vec_col)
+        if n_corpus > sample_size:
+            frac = min(1.0, 1.5 * sample_size / n_corpus)
+            sampled = sampled.sample(fraction=frac, seed=seed)
+        rows = (
+            sampled.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
+        )
+        sample = np.asarray([r[0] for r in rows], dtype=np.float64)
+        cents = _kmeans_centroids(sample, n_lists, seed=seed)
+        idx._write_centroids(cents)
+        (idx.root / _META).write_text(
+            json.dumps(
+                {
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "n_lists": int(n_lists),
+                    "dim": int(cents.shape[1]),
+                    "seed": int(seed),
+                }
+            )
+        )
+        t = ManagedTable.create(
+            spark,
+            idx.root / "lists",
+            cluster_col="list_id",
+            bloom_cols=["list_id"],
+        )
+        t.overwrite(
+            idx._assign(corpus, cents, id_col, vec_col),
+            cluster_partitions=target_files or n_lists,
+        )
+        return idx
+
+    def add(self, df: DataFrame) -> int:
+        """Append new vectors under the frozen quantizer (one commit).
+        Returns rows added."""
+        meta = self._meta()
+        assigned = self._assign(
+            df, self._centroids(), meta["id_col"], meta["vec_col"]
+        )
+        return self._table().append(assigned)
+
+    # -------------------------------------------------------------- serving
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 3,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Top-``k`` neighbors per query row.
+
+        The probed list ids are collected driver-side — ints, ≤
+        |queries|·nprobe of them, naturally capped at ``n_lists`` — and
+        fed to the list table as an ``in`` skip-read, so a small serving
+        batch opens only the files its lists live in; a huge batch
+        degrades gracefully toward a full scan (exactly IVF's contract).
+        """
+        meta = self._meta()
+        cents = self._centroids()
+        assignp = _nearest_centroids_udf(cents, nprobe)
+        q = queries.select(
+            F.col(meta["id_col"]).alias("query_id"),
+            F.col(meta["vec_col"]).alias("q_vec"),
+            F.explode(assignp(F.col(meta["vec_col"]))).alias("list_id"),
+        )
+        probed = sorted(
+            {r["list_id"] for r in q.select("list_id").distinct().collect()}
+        )
+        c = self._table().read(where=[("list_id", "in", probed)]).select(
+            F.col("neighbor_id"), F.col("c_vec"), F.col("list_id")
+        )
+        scored = q.join(c, "list_id").withColumn(
+            "cosine", cosine(F.col("q_vec"), F.col("c_vec"))
+        ).filter(F.col("cosine").isNotNull())
+        if exclude_self:
+            scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+
+    # ------------------------------------------------------------ internals
+
+    def _assign(self, df: DataFrame, cents, id_col: str, vec_col: str):
+        assign1 = _nearest_centroids_udf(cents, 1)
+        return df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
+        )
+
+    def _table(self) -> ManagedTable:
+        return ManagedTable(self.spark, self.root / "lists")
+
+    def _meta(self) -> dict:
+        return json.loads((self.root / _META).read_text())
+
+    def _write_centroids(self, cents: np.ndarray) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self.root.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "list_id": pa.array(range(len(cents)), pa.int32()),
+                    "centroid": pa.array(
+                        [row.tolist() for row in cents],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            self.root / _CENTROIDS,
+        )
+
+    def _centroids(self) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.root / _CENTROIDS)
+        order = np.argsort(np.asarray(t["list_id"]))
+        return np.asarray(t["centroid"].to_pylist(), dtype=np.float64)[order]

@@ -1711,6 +1711,29 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF serving path (functions/ann_index.py:IvfIndex):
+    build writes the corpus into a ManagedTable range-clustered AND
+    bloom-indexed on the inverted-list id — one file per list — then a
+    probe batch's search reads ``where=[("list_id", "in", probed)]``, so
+    the scan opens only the probed lists' files via manifest stats +
+    bloom pruning. This is the index-once/serve-many split ivf_topk (the
+    per-query trainer) can't offer: at 100 TB a probe touches
+    nprobe/n_lists of the corpus and ZERO non-probed files. Approximate
+    by design → rows-only check; recall-vs-brute-force, pruning-footprint,
+    and incremental-add contracts pinned in tests/test_ann_index.py."""
+    from data_warehouse_copy_spark.functions.ann_index import IvfIndex
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build(
+        spark,
+        _spread(emb),
+        f"{_tmp_table_dir(prefix='dwcs_ivfidx_')}/ivf",
+        n_lists=16,
+    )
+    return idx.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+
+
 # --------------------------------------------------------------------------
 # Text analysis (extension surface)
 # --------------------------------------------------------------------------
@@ -4327,6 +4350,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_semantic_clusters_lsh": dedup_semantic_clusters_lsh,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_ivf": similarity_topk_ivf,
+    "similarity_topk_ivf_persisted": similarity_topk_ivf_persisted,
     "approx_analytics": approx_analytics,
     "multimodal_features": multimodal_features,
     "ml_text_metrics": ml_text_metrics,

@@ -950,6 +950,7 @@ class ManagedTable:
         df: DataFrame,
         merge_schema: bool = False,
         txn: tuple[str, int] | None = None,
+        cluster_partitions: int | None = None,
     ) -> int:
         """Append rows atomically (reference O5 streaming bulk insert,
         ``TableCopyService.cs:144-169``). Returns rows written.
@@ -1020,7 +1021,11 @@ class ManagedTable:
                     df = df.select(*union_order)
                 else:
                     df = df.select(*[f.name for f in existing.fields])
-            new_files = self._write_files(df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols)
+            new_files = self._write_files(
+                df, m.partition_date_col, m.cluster_col,
+                cluster_partitions=cluster_partitions,
+                bloom_cols=m.bloom_cols,
+            )
             # Only a genuine widen (or first write) updates the manifest
             # schema; a same-shape append keeps the table's canonical JSON
             # (the incoming frame's serialization may differ in nullability
@@ -1111,14 +1116,23 @@ class ManagedTable:
             )
         return len(rows)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, cluster_partitions: int | None = None
+    ) -> int:
         """Truncate + load as ONE commit (reference O4,
         ``TableCopyService.cs:94-101`` + the bulk insert, inside one
         transaction). Old files become unreferenced, readers never see an
-        empty table in between."""
+        empty table in between. ``cluster_partitions`` pins the clustered
+        write's range-shuffle width (= file count) when the caller wants
+        a deterministic layout — e.g. one file per inverted list for an
+        IVF index table — instead of AQE's size-based coalescing."""
         with _lock_for(self.root):
             m = self.snapshot()
-            new_files = self._write_files(df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols)
+            new_files = self._write_files(
+                df, m.partition_date_col, m.cluster_col,
+                cluster_partitions=cluster_partitions,
+                bloom_cols=m.bloom_cols,
+            )
             self._commit_files(m, new_files, df.schema.json(), "overwrite")
         return sum(f.rows for f in new_files)
 

@@ -1,0 +1,97 @@
+"""Persisted IVF-flat index (functions/ann_index.py): build → probe must
+match the per-query IVF's recall contract while the probe-time plan
+touches only the probed lists' files (the manifest-pruned serving path);
+incremental add must keep search exact over the union."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_warehouse_copy_spark.functions.ann_index import IvfIndex  # noqa: E402
+from data_warehouse_copy_spark.functions.similarity import (  # noqa: E402
+    brute_force_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _recall(exact_rows, approx_rows) -> float:
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    return len(exact & approx) / max(len(exact), 1)
+
+
+def test_build_search_recall_vs_brute_force(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, emb, tmp_path / "ivf", n_lists=8, sample_size=4096
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    approx = idx.search(qs, k=5, nprobe=3).collect()
+    exact = brute_force_topk(emb, qs, k=5).collect()
+    assert _recall(exact, approx) >= 0.5
+    # contract shape: k rows per query, ranked, self excluded
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["query_id"] != r["neighbor_id"]
+    for rows in by_q.values():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_probe_reads_only_probed_lists_files(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, emb, tmp_path / "ivf", n_lists=8, sample_size=4096
+    )
+    t = idx._table()
+    total = len(t.snapshot().files)
+    assert total > 1, "list table must be multi-file for pruning to show"
+    # a single probed list must open fewer files than the table has —
+    # the range-clustered layout maps list -> few files in the manifest
+    one = t.read(where=[("list_id", "in", [0])])
+    assert 0 < len(one.inputFiles()) < total
+    # values exact: the pruned read returns exactly list 0
+    assert one.select("list_id").distinct().collect()[0]["list_id"] == 0
+
+
+def test_incremental_add_serves_new_vectors(spark, emb, tmp_path):
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = IvfIndex.build(
+        spark, half, tmp_path / "ivf", n_lists=8, sample_size=4096
+    )
+    added = idx.add(rest)
+    assert added == rest.count()
+    # a vector added after build must be findable as its own nearest
+    # neighbor when self-match is allowed
+    probe = rest.limit(1)
+    pid = probe.collect()[0]["vec_id"]
+    hits = idx.search(probe, k=1, nprobe=1, exclude_self=False).collect()
+    assert hits and hits[0]["neighbor_id"] == pid and hits[0]["rank"] == 1
+
+
+def test_reopen_from_disk_no_rebuild(spark, emb, tmp_path):
+    IvfIndex.build(spark, emb, tmp_path / "ivf", n_lists=8)
+    idx2 = IvfIndex(spark, tmp_path / "ivf")  # fresh handle, no build
+    qs = emb.filter(F.col("vec_id") < 3)
+    rows = idx2.search(qs, k=3, nprobe=2).collect()
+    assert len({r["query_id"] for r in rows}) == 3
+
+
+def test_build_is_deterministic(spark, emb, tmp_path):
+    a = IvfIndex.build(spark, emb, tmp_path / "a", n_lists=8, seed=7)
+    b = IvfIndex.build(spark, emb, tmp_path / "b", n_lists=8, seed=7)
+    assert np.array_equal(a._centroids(), b._centroids())
+    qs = emb.filter(F.col("vec_id") < 5)
+    ra = sorted(map(tuple, a.search(qs, k=5).collect()))
+    rb = sorted(map(tuple, b.search(qs, k=5).collect()))
+    assert ra == rb
