@@ -223,6 +223,25 @@ def test_declarative_reader_bloom_prunes(spark, tmp_path):
     assert files.filter(F.col("bloom_path").isNull()).count() == 0
 
 
+def test_declarative_in_option_batched_lookup(spark, tmp_path):
+    """The ``in`` op through option("where") JSON: a value ARRAY —
+    bloom-pruned partitions + exact rows with the paired filter."""
+    import json
+
+    from data_warehouse_copy_spark.sources import register_data_source
+
+    register_data_source(spark)
+    t = _mk(spark, tmp_path / "t")
+    df = (
+        spark.read.format("managed_table")
+        .option("where", json.dumps([["k", "in", [8, 16]]]))
+        .load(str(tmp_path / "t"))
+    )
+    assert df.rdd.getNumPartitions() == 1  # both keys live in file k%4==0
+    rows = df.filter(F.col("k").isin([8, 16])).collect()
+    assert sorted(r["k"] for r in rows) == [8, 16]
+
+
 def test_schema_evolution_unbloomable_and_legacy_files_kept(spark, tmp_path):
     """Files written before a column existed (or with unbloomable types)
     have no bitmap for it — they must be KEPT by pruning."""
