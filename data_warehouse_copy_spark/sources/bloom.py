@@ -381,18 +381,11 @@ def _sidecar(root: Path, rel: str) -> dict:
     return d
 
 
-def bloom_prune(root: Path, entries: list, where: list) -> list:
-    """Drop entries whose bloom PROVES no row satisfies an ``=`` or
-    ``in`` predicate in ``where`` (for ``in``, a file survives if ANY
-    listed value may be present). Entries without a bloom, columns
-    without a bitmap (schema evolution, unbloomable type), and
-    kind-mismatched predicate values are all kept — pruning only ever
-    narrows.
-
-    Driver-side cost: one cached sidecar parse per commit represented in
-    ``entries`` plus k bit probes per (file, predicate value) — metadata
-    scale, the same order as the min/max span walk it composes with."""
-    groups: list[tuple[str, list]] = []  # conjuncts: (col, [(vk, h1, h2)])
+def _probe_groups(where: list) -> list:
+    """Precompute the bloom probes for ``=``/``in`` conjuncts of a
+    ``where`` list: [(col, [(vkind, h1, h2), ...])]. A conjunct with any
+    unbloomable or unhashable value is dropped (it can never prune)."""
+    groups: list[tuple[str, list]] = []
     for c, op, v in where:
         if op == "=":
             vals = [v]
@@ -415,17 +408,25 @@ def bloom_prune(root: Path, entries: list, where: list) -> list:
                 break
         if prunable:
             groups.append((c, probes))
-    if not groups or not any(getattr(f, "bloom_path", None) for f in entries):
-        return list(entries)
-    kept = []
-    for f in entries:
-        if not getattr(f, "bloom_path", None):
-            kept.append(f)
-            continue
-        side = _sidecar(root, f.bloom_path)
-        ok = True
+    return groups
+
+
+def bloom_keeper(root: Path, where: list):
+    """``keep(path, bloom_path) -> bool`` with the probes precomputed —
+    the per-file bloom test shared by batch reads, DML candidate
+    selection, and the declarative CDC/stream tails (whose entries are
+    raw dicts, not FileEntry objects). False only when a bitmap PROVES
+    every ``=``/``in`` value of some conjunct absent from the file."""
+    groups = _probe_groups(where)
+    if not groups:
+        return lambda path, bloom_path: True
+
+    def keep(path: str, bloom_path: str | None) -> bool:
+        if not bloom_path:
+            return True
+        side = _sidecar(root, bloom_path)
         for c, probes in groups:
-            rec = side.get((f.path, c))
+            rec = side.get((path, c))
             if rec is None:
                 continue  # no bitmap for this column -> cannot prune
             if not any(
@@ -433,8 +434,24 @@ def bloom_prune(root: Path, entries: list, where: list) -> list:
                 or _test_bits(rec[3], h1, h2, rec[1])
                 for vk, h1, h2 in probes
             ):
-                ok = False
-                break
-        if ok:
-            kept.append(f)
-    return kept
+                return False
+        return True
+
+    return keep
+
+
+def bloom_prune(root: Path, entries: list, where: list) -> list:
+    """Drop FileEntry-shaped entries whose bloom proves no row satisfies
+    an ``=``/``in`` predicate in ``where`` (for ``in``, a file survives
+    if ANY listed value may be present). Entries without a bloom,
+    columns without a bitmap (schema evolution, unbloomable type), and
+    kind-mismatched predicate values are all kept — pruning only ever
+    narrows.
+
+    Driver-side cost: one cached sidecar parse per commit represented in
+    ``entries`` plus k bit probes per (file, predicate value) — metadata
+    scale, the same order as the min/max span walk it composes with."""
+    keep = bloom_keeper(root, where)
+    return [
+        f for f in entries if keep(f.path, getattr(f, "bloom_path", None))
+    ]

@@ -489,17 +489,21 @@ class ManagedTableBatchReader(DataSourceReader):
             # changesTo] — same contract as ManagedTable.read_changes —
             # each tagged with the commit that produced it, stats-pruned
             # by the where option like any other scan.
+            from data_warehouse_copy_spark.sources.bloom import bloom_keeper
+
             t = _require_table(self.root)
             to = self.options.get("changesto")
+            bkeep = bloom_keeper(root, self.where)
             return [
                 FilePartition(str(root / rel), version=v)
-                for v, rel, stats in t.changed_files(
+                for v, rel, stats, bloom in t.changed_files(
                     int(cf), int(to) if to is not None else None
                 )
                 if all(
                     _file_may_match(stats, c, op, val)
                     for c, op, val in self.where
                 )
+                and bkeep(rel, bloom)
             ]
         m = self._snapshot()
         sel = [
@@ -599,12 +603,16 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> list[FilePartition]:
+        from data_warehouse_copy_spark.sources.bloom import bloom_keeper
+
         t = self._table()
         end_v = end["version"]
         root = Path(self.root)
         keep = lambda stats: all(  # noqa: E731 — manifest-stats skip
             _file_may_match(stats, c, op, v) for c, op, v in self.where
         )
+        bkeep = bloom_keeper(root, self.where)  # bloom skip tier (selective
+        # tailing: an =/in subscriber never ships bitmap-excluded files)
         if start.get("snapshot"):
             # initial snapshot: live files at end_v — deletes that happened
             # before the stream existed are already reflected (including
@@ -617,7 +625,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                     dvs=tuple(str(root / p) for p in f.dv_paths),
                 )
                 for f in end_m.files
-                if keep(f.stats)
+                if keep(f.stats) and bkeep(f.path, f.bloom_path)
             ]
         paths = []
         for v, op, adds, removed in t.commit_deltas(start["version"], end_v):
@@ -640,7 +648,9 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 # removed-and-re-added in one commit = metadata-only DV
                 # re-version; its bytes deliver nothing new (same rule as
                 # changed_files)
-                if keep(e.get("stats")) and e["path"] not in removed
+                if keep(e.get("stats"))
+                and bkeep(e["path"], e.get("bloom_path"))
+                and e["path"] not in removed
             )
         return [FilePartition(str(root / p)) for p in paths]
 

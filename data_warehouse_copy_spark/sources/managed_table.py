@@ -868,12 +868,13 @@ class ManagedTable:
 
     def changed_files(
         self, from_version: int, to_version: int | None = None
-    ) -> list[tuple[int, str, dict | None]]:
-        """``(commit_version, relative_path, stats)`` for every file ADDED
-        by a data commit in ``(from_version, to_version]`` — the walk
-        behind :meth:`read_changes`, exposed so declarative consumers (the
-        ``managed_table`` data source's CDC option) can tag rows with the
-        commit that produced them and skip files on manifest stats.
+    ) -> list[tuple[int, str, dict | None, str | None]]:
+        """``(commit_version, relative_path, stats, bloom_path)`` for
+        every file ADDED by a data commit in ``(from_version,
+        to_version]`` — the walk behind :meth:`read_changes`, exposed so
+        declarative consumers (the ``managed_table`` data source's CDC
+        option) can tag rows with the commit that produced them and skip
+        files on manifest stats + bloom bitmaps.
         Maintenance/rollback commits are skipped (compact/restore
         replay-free, same contract as :meth:`read_changes`)."""
         if from_version < 0:
@@ -882,7 +883,7 @@ class ManagedTable:
                 f"history 0..{self._head_version()}"
             )
         return [
-            (v, e["path"], e.get("stats"))
+            (v, e["path"], e.get("stats"), e.get("bloom_path"))
             for v, op, adds, removed in self.commit_deltas(
                 from_version, to_version
             )
@@ -923,7 +924,9 @@ class ManagedTable:
             to_version = self._head_version()
         added = [
             str(self.root / rel)
-            for _, rel, _stats in self.changed_files(from_version, to_version)
+            for _, rel, _stats, _bloom in self.changed_files(
+                from_version, to_version
+            )
         ]
         # Read under to_version's schema, not the head's: the same
         # (from, to] range must return the same frame shape regardless of

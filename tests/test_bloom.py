@@ -242,6 +242,37 @@ def test_declarative_in_option_batched_lookup(spark, tmp_path):
     assert sorted(r["k"] for r in rows) == [8, 16]
 
 
+def test_cdc_and_stream_tail_bloom_prune(spark, tmp_path):
+    """Selective tailing parity: a CDC cursor (and the stream source's
+    tail, which shares the walk) with an ``=`` where-option must skip
+    added files whose bloom excludes the key — and still deliver every
+    matching row."""
+    import json
+
+    from data_warehouse_copy_spark.sources import register_data_source
+
+    register_data_source(spark)
+    t = _mk(spark, tmp_path / "t")  # 4 appends = versions 1..4
+    # key 1234 (mod class 2) was added by exactly one commit's file
+    df = (
+        spark.read.format("managed_table")
+        .option("changesFrom", "0")
+        .option("where", json.dumps([["k", "=", 1234]]))
+        .load(str(tmp_path / "t"))
+    )
+    assert df.rdd.getNumPartitions() == 1
+    rows = df.filter(F.col("k") == 1234).collect()
+    assert [r["k"] for r in rows] == [1234]
+    # absent key: every added file bloom-pruned from the cursor
+    none = (
+        spark.read.format("managed_table")
+        .option("changesFrom", "0")
+        .option("where", json.dumps([["k", "=", 10**9]]))
+        .load(str(tmp_path / "t"))
+    )
+    assert none.count() == 0
+
+
 def test_schema_evolution_unbloomable_and_legacy_files_kept(spark, tmp_path):
     """Files written before a column existed (or with unbloomable types)
     have no bitmap for it — they must be KEPT by pruning."""
