@@ -1306,6 +1306,49 @@ WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
 """
 
 
+def replace_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped atomic overwrite under the correctness gate —
+    Delta's ``replaceWhere`` (``ManagedTable.replace_where``, the general
+    form of O3+O5's range reload, ``TableCopyService.cs:103-170``): orders
+    load into a key-clustered table, then the [1000, 2000) key slice is
+    atomically replaced with a repriced copy of itself in ONE commit
+    (incoming rows validated against the predicate — the constraint that
+    makes retried backfills idempotent; delete side is merge-on-read
+    deletion vectors, so no pre-existing file is rewritten). The oracle
+    states the converged table directly: untouched rows UNION the
+    repriced slice. Doubling a float is exact in binary, so the oracle
+    hash is bit-stable."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    t = ManagedTable.create(
+        spark,
+        f"{_tmp_table_dir(prefix='dwcs_rw_')}/orders",
+        cluster_col="o_orderkey",
+    )
+    t.append(orders)
+    sl = (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+    repl = orders.filter(sl).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.replace_where(
+        repl, [("o_orderkey", ">=", 1000), ("o_orderkey", "<", 2000)]
+    )
+    return t.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+
+
+REPLACE_WHERE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey < 1000 OR o_orderkey >= 2000
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+"""
+
+
 def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction + vacuum under the correctness gate: the March
     orders arrive as three separate micro-batch appends (the streaming
@@ -4343,6 +4386,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_duplicate_passages": text_duplicate_passages,
     "text_unigram_logprob": text_unigram_logprob,
     "bloom_point_lookup": bloom_point_lookup,
+    "replace_where_roundtrip": replace_where_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4452,4 +4496,5 @@ ORACLES: dict[str, str] = {
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "bloom_point_lookup": BLOOM_LOOKUP_SQL,
+    "replace_where_roundtrip": REPLACE_WHERE_SQL,
 }

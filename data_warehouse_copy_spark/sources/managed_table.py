@@ -1139,6 +1139,105 @@ class ManagedTable:
             self._commit_files(m, new_files, df.schema.json(), "overwrite")
         return sum(f.rows for f in new_files)
 
+    def replace_where(
+        self, df: DataFrame, where: list[tuple], strategy: str = "dv"
+    ) -> tuple[int, int]:
+        """Atomic predicate-scoped overwrite — Delta's ``replaceWhere``,
+        the general form of :meth:`overwrite_range` (which covers day
+        windows): in ONE commit, rows matching ``where`` are deleted and
+        ``df``'s rows are inserted, so a backfill job is idempotent under
+        retries and readers flip between complete states. Every incoming
+        row must satisfy ``where`` (Delta's constraint — otherwise a
+        retry would delete rows the first attempt inserted outside the
+        predicate, silently diverging). Returns ``(rows_deleted,
+        rows_inserted)``.
+
+        The delete side stats+bloom-prunes candidates exactly like
+        :meth:`delete`; ``strategy="dv"`` (default) tombstones matched
+        positions merge-on-read — replacing a k-row slice of a huge file
+        costs O(k) positions + the new data, never a rewrite —
+        ``strategy="cow"`` rewrites candidate survivors."""
+        if not where:
+            raise ValueError(
+                "replace_where() requires a predicate; use overwrite() "
+                "to truncate-and-load"
+            )
+        if strategy not in ("dv", "cow"):
+            raise ValueError(
+                f"replace_where strategy must be 'dv' or 'cow', got {strategy!r}"
+            )
+        pred = _where_predicate(where)
+        with _lock_for(self.root):
+            m = self.snapshot()
+            if m.schema_json:
+                existing = T.StructType.fromJson(json.loads(m.schema_json))
+                have, want = set(df.columns), {f.name for f in existing.fields}
+                if have != want:
+                    raise ValueError(
+                        f"replace_where schema mismatch: table has "
+                        f"{sorted(want)}, dataframe has {sorted(have)}"
+                    )
+                df = df.select(*[f.name for f in existing.fields])
+            n_bad = df.filter(~F.coalesce(pred, F.lit(False))).count()
+            if n_bad:
+                raise ValueError(
+                    f"replace_where: {n_bad} incoming rows do not satisfy "
+                    f"the predicate {where!r} — the replacement must be "
+                    f"confined to the slice it replaces"
+                )
+            candidates = [
+                f
+                for f in m.files
+                if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
+            ]
+            if m.bloom_cols:
+                from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+                candidates = bloom_prune(self.root, candidates, where)
+            new_files = self._write_files(
+                df, m.partition_date_col, m.cluster_col,
+                bloom_cols=m.bloom_cols,
+            )
+            n_ins = sum(f.rows for f in new_files)
+            schema_json = m.schema_json or df.schema.json()
+            if not candidates:
+                self._commit_files(
+                    m, tuple(m.files) + new_files, schema_json, "replace_where"
+                )
+                return (0, n_ins)
+            if strategy == "dv":
+                hits = self._scan_with_pos(m, candidates).filter(pred)
+                dv_files, per_file = self._write_dv(hits)
+                if dv_files is None:
+                    files, n_del = tuple(m.files), 0
+                else:
+                    files = self._grow_dv(m.files, dv_files, per_file)
+                    n_del = sum(per_file.values())
+                self._commit_files(
+                    m, files + new_files, schema_json, "replace_where"
+                )
+                return (n_del, n_ins)
+            cand_df = self._scan_with_pos(m, candidates)
+            n_del = cand_df.filter(pred).count()
+            if n_del == 0:
+                self._commit_files(
+                    m, tuple(m.files) + new_files, schema_json, "replace_where"
+                )
+                return (0, n_ins)
+            survivors = cand_df.filter(~F.coalesce(pred, F.lit(False))).drop(
+                "__dwcs_uri", "__dwcs_pos"
+            )
+            rewritten = self._write_files(
+                survivors, m.partition_date_col, m.cluster_col,
+                bloom_cols=m.bloom_cols,
+            )
+            cand_paths = {c.path for c in candidates}
+            kept = tuple(f for f in m.files if f.path not in cand_paths)
+            self._commit_files(
+                m, kept + rewritten + new_files, schema_json, "replace_where"
+            )
+            return (n_del, n_ins)
+
     def overwrite_range(
         self, df: DataFrame, date_from: str, date_to: str, date_column: str | None = None
     ) -> tuple[int, int]:

@@ -384,3 +384,80 @@ def test_dv_merge_on_partitioned_table(spark, tmp_path, lineitem):
         F.sum("l_extendedprice").alias("s")
     ).first().s
     assert abs(got - doubled) < 1e-6
+
+
+# ---------------------------------------------------------- replace_where
+
+
+def test_replace_where_dv_is_atomic_o_k_and_exact(spark, tmp_path):
+    """Predicate-scoped overwrite: one commit, matched rows tombstoned
+    merge-on-read (zero data-file churn), replacement rows in."""
+    t = _mk(spark, tmp_path / "t")  # k 0..999, v = k % 7
+    v0 = t.snapshot().version
+    before = _file_states(tmp_path / "t")
+    repl = spark.range(100, 150).selectExpr("id AS k", "CAST(99 AS long) AS v")
+    n_del, n_ins = t.replace_where(
+        repl, [("k", ">=", 100), ("k", "<", 200)]
+    )
+    assert (n_del, n_ins) == (100, 50)
+    assert t.snapshot().version == v0 + 1  # ONE commit
+    # merge-on-read: every pre-existing data file byte-identical
+    assert all(
+        _file_states(tmp_path / "t")[p] == st for p, st in before.items()
+    )
+    out = t.read()
+    assert out.count() == 1000 - 100 + 50
+    assert out.filter("k >= 100 AND k < 200").count() == 50
+    assert out.filter("k >= 100 AND k < 200 AND v != 99").count() == 0
+    # untouched slice intact
+    assert out.filter("k < 100").count() == 100
+
+
+def test_replace_where_rejects_rows_outside_predicate(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    bad = spark.range(150, 250).selectExpr("id AS k", "CAST(0 AS long) AS v")
+    with pytest.raises(ValueError, match="do not satisfy"):
+        t.replace_where(bad, [("k", ">=", 100), ("k", "<", 200)])
+    assert t.read().count() == 1000  # nothing committed
+
+
+def test_replace_where_schema_mismatch_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.replace_where(
+            spark.range(5).selectExpr("id AS k"), [("k", "<", 5)]
+        )
+
+
+def test_replace_where_retry_is_idempotent(spark, tmp_path):
+    """Running the same backfill twice converges to the same state —
+    the constraint exists exactly so retries can't diverge."""
+    t = _mk(spark, tmp_path / "t")
+    repl = spark.range(0, 10).selectExpr("id AS k", "CAST(42 AS long) AS v")
+    t.replace_where(repl, [("k", "<", 100)])
+    first = sorted(map(tuple, t.read().collect()))
+    n_del, n_ins = t.replace_where(repl, [("k", "<", 100)])
+    assert (n_del, n_ins) == (10, 10)  # deletes its own prior insert
+    assert sorted(map(tuple, t.read().collect())) == first
+
+
+def test_replace_where_empty_slice_just_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    repl = spark.range(5000, 5010).selectExpr(
+        "id AS k", "CAST(1 AS long) AS v"
+    )
+    n_del, n_ins = t.replace_where(repl, [("k", ">=", 5000)])
+    assert (n_del, n_ins) == (0, 10)
+    assert t.read().count() == 1010
+
+
+def test_replace_where_cow_matches_dv(spark, tmp_path):
+    ta = _mk(spark, tmp_path / "a")
+    tb = _mk(spark, tmp_path / "b")
+    repl = spark.range(200, 220).selectExpr("id AS k", "CAST(7 AS long) AS v")
+    where = [("k", ">=", 200), ("k", "<", 300)]
+    assert ta.replace_where(repl, where, strategy="dv") == (100, 20)
+    assert tb.replace_where(repl, where, strategy="cow") == (100, 20)
+    assert sorted(map(tuple, ta.read().collect())) == sorted(
+        map(tuple, tb.read().collect())
+    )
