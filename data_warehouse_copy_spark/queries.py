@@ -1306,6 +1306,42 @@ WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
 """
 
 
+def clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone under the correctness gate (``ManagedTable.clone_to``,
+    Delta CLONE semantics): orders load into a source table, a
+    metadata-only clone references the same files by absolute path (zero
+    bytes copied — verified), then the CLONE deletes one status's rows
+    via a clone-local deletion vector. The returned frame is the mutated
+    clone; the oracle states it directly in SQL. The query also asserts
+    the isolation contract inline: the source still serves every row
+    after the clone's delete. At 100 TB this is the dev/test-table
+    story: forking a production table costs one commit, not a copy."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_clone_")
+    src = ManagedTable.create(spark, f"{tmp}/src", cluster_col="o_orderkey")
+    n_src = src.append(orders)
+    clone = src.clone_to(f"{tmp}/fork")
+    import pathlib
+
+    staged = list(pathlib.Path(f"{tmp}/fork/data").rglob("*.parquet"))
+    if staged:
+        raise RuntimeError("shallow clone must copy zero data files")
+    clone.delete(where=[("o_orderstatus", "=", "F")])
+    if src.count() != n_src:
+        raise RuntimeError("clone DML leaked into the source table")
+    return clone.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+
+
+CLONE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
 def replace_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate-scoped atomic overwrite under the correctness gate —
     Delta's ``replaceWhere`` (``ManagedTable.replace_where``, the general
@@ -4387,6 +4423,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_unigram_logprob": text_unigram_logprob,
     "bloom_point_lookup": bloom_point_lookup,
     "replace_where_roundtrip": replace_where_roundtrip,
+    "clone_roundtrip": clone_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4497,4 +4534,5 @@ ORACLES: dict[str, str] = {
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "bloom_point_lookup": BLOOM_LOOKUP_SQL,
     "replace_where_roundtrip": REPLACE_WHERE_SQL,
+    "clone_roundtrip": CLONE_SQL,
 }

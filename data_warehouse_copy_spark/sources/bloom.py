@@ -363,17 +363,24 @@ def _sidecar(root: Path, rel: str) -> dict:
     import pyarrow.parquet as pq
 
     t = pq.read_table(key)
-    d = {
-        (f, c): (vk, nb, nh, bts)
-        for f, c, vk, nb, nh, bts in zip(
-            t["file"].to_pylist(),
-            t["col"].to_pylist(),
-            t["vkind"].to_pylist(),
-            t["n_bits"].to_pylist(),
-            t["n_hashes"].to_pylist(),
-            t["bits"].to_pylist(),
-        )
-    }
+    # Dual keying: sidecar rows store paths relative to the SOURCE table
+    # root (the sidecar's grandparent dir), but a shallow clone's
+    # manifest references the same files by ABSOLUTE path — index both
+    # forms so cloned tables keep bloom pruning, soundly (exact-path
+    # match only, never a basename heuristic).
+    side_root = Path(key).parent.parent
+    d = {}
+    for f, c, vk, nb, nh, bts in zip(
+        t["file"].to_pylist(),
+        t["col"].to_pylist(),
+        t["vkind"].to_pylist(),
+        t["n_bits"].to_pylist(),
+        t["n_hashes"].to_pylist(),
+        t["bits"].to_pylist(),
+    ):
+        rec = (vk, nb, nh, bts)
+        d[(f, c)] = rec
+        d[(str(side_root / f), c)] = rec
     with _SIDECAR_GUARD:
         if key not in _SIDECAR_CACHE and len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
             _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))

@@ -1442,11 +1442,16 @@ class ManagedTable:
         """Driver-side map of a ``_metadata.file_path`` URI to the
         table-relative path (per-file DV accounting and the declarative
         reader's join key; the JVM read path joins the raw URI and never
-        needs this)."""
+        needs this). A file OUTSIDE the root is a shallow-cloned
+        reference (see :meth:`clone_to`) — its manifest key is the
+        absolute path, so that is what comes back."""
         from urllib.parse import unquote, urlparse
 
         p = Path(unquote(urlparse(uri).path))
-        return str(p.relative_to(self.root.resolve()))
+        try:
+            return str(p.relative_to(self.root.resolve()))
+        except ValueError:
+            return str(p)
 
     def _write_dv(
         self, hits: DataFrame
@@ -2113,6 +2118,49 @@ class ManagedTable:
             if side is not None:
                 entries = [replace(e, bloom_path=side) for e in entries]
         return tuple(entries)
+
+    def clone_to(self, dest: str | Path) -> "ManagedTable":
+        """SHALLOW CLONE (Delta ``CLONE`` semantics): create a new table
+        at ``dest`` whose first data commit references THIS table's
+        current files **by absolute path** — zero bytes copied, so
+        cloning a 100 TB table is a metadata-only commit. The clone is
+        anchored to the source snapshot at clone time (later source
+        commits never appear), and every write to the clone is
+        clone-local: appends/compaction write under the clone's own
+        ``data/``, DML on a referenced file tombstones it with a
+        clone-local deletion vector (the source file is never touched),
+        and the clone's ``vacuum()`` sweeps only the clone's own
+        directories — it can never delete source bytes.
+
+        Caveat (same as Delta's): the clone borrows the source's files
+        without protecting them — a source ``vacuum()`` after a source
+        rewrite can delete bytes the clone still references (the clone's
+        reads then FAIL LOUDLY, FileNotFound — never silent partial
+        data). ``compact()`` on the clone re-materializes referenced
+        data into clone-local files, severing the dependency."""
+        m = self.snapshot()
+        src_root = self.root.resolve()
+        t = ManagedTable.create(
+            self.spark,
+            dest,
+            partition_date_col=m.partition_date_col,
+            exist_ok=False,
+            cluster_col=m.cluster_col,
+            bloom_cols=m.bloom_cols,
+        )
+        entries = tuple(
+            _dc_replace(
+                f,
+                path=str(src_root / f.path),
+                dv_paths=tuple(str(src_root / p) for p in f.dv_paths),
+                bloom_path=(
+                    str(src_root / f.bloom_path) if f.bloom_path else None
+                ),
+            )
+            for f in m.files
+        )
+        t._commit_files(t.snapshot(), entries, m.schema_json, "clone")
+        return t
 
     def restore(self, version: int) -> int:
         """Roll the table back to ``version``'s contents as a NEW commit
