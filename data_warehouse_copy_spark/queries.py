@@ -1306,6 +1306,46 @@ WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
 """
 
 
+def recluster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-ZORDER-style re-layout under the correctness gate
+    (``ManagedTable.recluster``): the March lineitem window lands in
+    ARRIVAL order (three interleaved appends — every file's orderkey span
+    overlaps, so a key-range read must open everything), then one atomic
+    ``recluster("l_orderkey")`` commit re-lays the table out with tight
+    disjoint spans and updates the manifest spec for all future writes.
+    The returned frame is a post-recluster key-range skip-read; the
+    oracle is the plain filter on the raw table — proving the rewrite
+    neither drops, duplicates, nor mutates rows. The query asserts the
+    skip-read footprint inline (pruned files < table files). At 100 TB
+    this is how a table ingested by time serves point lookups by key."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    window = li.filter(
+        F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
+    )
+    t = ManagedTable.create(
+        spark, f"{_tmp_table_dir(prefix='dwcs_recl_')}/lineitem"
+    )
+    for i in range(3):  # arrival-order ingest: spans interleave
+        t.append(window.filter(F.col("l_orderkey") % 3 == i).coalesce(1))
+    t.recluster("l_orderkey", target_files=6)
+    # a narrow key slice (bottom ~quarter of the smallest SF's key range)
+    # so pruning is demonstrable at every scale factor
+    df = t.read(where=[("l_orderkey", ">=", 1000), ("l_orderkey", "<", 1400)])
+    n_all = len(t.snapshot().files)
+    if n_all > 2 and len(df.inputFiles()) >= n_all:
+        raise RuntimeError(
+            "recluster failed to produce a pruned key-range read"
+        )
+    return df
+
+
+RECLUSTER_SQL = f"""
+SELECT * FROM lineitem
+WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
+  AND l_orderkey >= 1000 AND l_orderkey < 1400
+"""
+
+
 def clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shallow clone under the correctness gate (``ManagedTable.clone_to``,
     Delta CLONE semantics): orders load into a source table, a
@@ -4424,6 +4464,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_point_lookup": bloom_point_lookup,
     "replace_where_roundtrip": replace_where_roundtrip,
     "clone_roundtrip": clone_roundtrip,
+    "recluster_roundtrip": recluster_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4535,4 +4576,5 @@ ORACLES: dict[str, str] = {
     "bloom_point_lookup": BLOOM_LOOKUP_SQL,
     "replace_where_roundtrip": REPLACE_WHERE_SQL,
     "clone_roundtrip": CLONE_SQL,
+    "recluster_roundtrip": RECLUSTER_SQL,
 }

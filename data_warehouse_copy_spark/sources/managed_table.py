@@ -552,6 +552,7 @@ class ManagedTable:
         schema_json = start.schema_json
         txns = dict(start.txns or {})
         op, ts = start.op, start.ts
+        cluster_col = start.cluster_col
         for raw in reversed(pending):
             for p in raw["remove"]:
                 files.pop(p)  # strict: a dead remove means log corruption
@@ -561,6 +562,8 @@ class ManagedTable:
                 schema_json = raw["schema_json"]
             if raw.get("txn"):
                 txns[str(raw["txn"][0])] = raw["txn"][1]
+            if "cluster_col_change" in raw:  # 1-elem list; may carry None
+                cluster_col = raw["cluster_col_change"][0]
             op, ts = raw["op"], raw["ts"]
         self._last_log_reads = reads
         return Manifest(
@@ -570,7 +573,7 @@ class ManagedTable:
             files=tuple(files.values()),
             op=op,
             ts=ts,
-            cluster_col=start.cluster_col,
+            cluster_col=cluster_col,
             txns=txns or None,
             bloom_cols=start.bloom_cols,
         )
@@ -1881,6 +1884,7 @@ class ManagedTable:
         schema_json: str | None,
         op: str,
         txn: tuple[str, int] | None = None,
+        cluster_col_change: tuple | None = None,
     ) -> bool:
         """Commit ``files`` as the next version on top of ``prev``, with
         optimistic cross-process concurrency control.
@@ -1902,7 +1906,13 @@ class ManagedTable:
         (the Delta txnAppId/txnVersion pattern): if the table has already
         recorded this or a later version for the app (a retried streaming
         micro-batch, or a concurrent retry racing this one), the commit is
-        skipped. Returns False for such a skip, True when it landed."""
+        skipped. Returns False for such a skip, True when it landed.
+
+        ``cluster_col_change=(new_spec,)`` records a clustering-spec
+        change IN the action (a 1-tuple so ``(None,)`` can de-cluster):
+        replay applies it on top of whatever full state it starts from —
+        without this a recluster would silently revert when reconstructed
+        from a pre-change checkpoint."""
         import time
 
         prev_by_path = {f.path: f for f in prev.files}
@@ -1956,6 +1966,8 @@ class ManagedTable:
                 "schema_json": schema_json if schema_changing else None,
                 "txn": list(txn) if txn is not None else None,
             }
+            if cluster_col_change is not None:
+                action["cluster_col_change"] = [cluster_col_change[0]]
             try:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
@@ -2000,7 +2012,11 @@ class ManagedTable:
                 + added,
                 op=op,
                 ts=ts,
-                cluster_col=base.cluster_col,
+                cluster_col=(
+                    cluster_col_change[0]
+                    if cluster_col_change is not None
+                    else base.cluster_col
+                ),
                 txns=txns or None,
                 bloom_cols=base.bloom_cols,
             )
@@ -2286,6 +2302,54 @@ class ManagedTable:
             kept = tuple(f for f in m.files if f.partition not in crowded)
             self._commit_files(m, kept + new_files, m.schema_json, "compact")
             return (len(m.files), len(kept) + len(new_files))
+
+    def recluster(
+        self,
+        cluster_col: str | list | None,
+        target_files: int | None = None,
+    ) -> tuple[int, int]:
+        """Re-layout the whole table under a NEW clustering spec — Delta's
+        ``OPTIMIZE ... ZORDER BY`` as one atomic commit: every live row is
+        rewritten range-clustered (str) or Z-ORDERED (list) on
+        ``cluster_col``, deletion vectors fold away, and the manifest's
+        clustering updates so every FUTURE write and compaction follows
+        the new spec (the change rides the action log — see
+        ``_commit_files(cluster_col_change=)``). ``None`` de-clusters.
+        ``target_files`` pins the rewrite's file count (default: AQE
+        sizes it). Returns (files_before, files_after).
+
+        Cost: one full rewrite — the point is choosing the skip-read
+        dimension AFTER the data exists (a table ingested by arrival
+        order serves point lookups only once re-laid out by key; at
+        100 TB run per partition window or rely on bloom indexes
+        instead). Readers stay snapshot-isolated; a concurrent writer
+        rebases or gets a clean ConcurrentWriteError (a recluster
+        touches every file, so any concurrent rewrite conflicts)."""
+        with _lock_for(self.root):
+            m = self.snapshot()
+            df = self.read(version=m.version)  # DV-subtracted live rows
+            spec = (
+                cluster_col
+                if cluster_col is None or isinstance(cluster_col, str)
+                else list(cluster_col)
+            )
+            if spec is not None:
+                new_files = self._write_files(
+                    df, m.partition_date_col, spec,
+                    cluster_partitions=target_files,
+                    bloom_cols=m.bloom_cols,
+                )
+            else:  # de-cluster: plain rewrite
+                new_files = self._write_files(
+                    df if target_files is None else df.repartition(target_files),
+                    m.partition_date_col, None,
+                    bloom_cols=m.bloom_cols,
+                )
+            self._commit_files(
+                m, new_files, m.schema_json, "recluster",
+                cluster_col_change=(spec,),
+            )
+            return (len(m.files), len(new_files))
 
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> int:
         """Delete data files not referenced by the latest manifest. Returns

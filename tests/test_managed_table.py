@@ -1474,3 +1474,68 @@ def test_read_changes_over_dml_commits(spark, tmp_path):
         t.read_changes(0).count()
         == 100 + hist[2].rows_added + hist[3].rows_added
     )
+
+
+class TestRecluster:
+    """recluster(): OPTIMIZE ZORDER BY — re-layout under a new clustering
+    spec as one commit whose spec change rides the action log."""
+
+    def _mk(self, spark, root):
+        t = ManagedTable.create(spark, root)  # unclustered ingest order
+        df = spark.range(4000).selectExpr(
+            "id AS k", "CAST(id % 50 AS long) AS cat", "id * 2 AS v"
+        )
+        for i in range(4):  # arrival-order files: k interleaves everywhere
+            t.append(df.filter(F.col("k") % 4 == i).coalesce(1))
+        return t
+
+    def test_recluster_enables_skip_reads_and_preserves_rows(
+        self, spark, tmp_path
+    ):
+        t = self._mk(spark, tmp_path / "t")
+        before = sorted(map(tuple, t.read().collect()))
+        # pre-recluster: a k-range read must open every file
+        assert len(t.read(where=[("k", "<", 100)]).inputFiles()) == 4
+        nb, na = t.recluster("k", target_files=4)
+        assert nb == 4 and na >= 2
+        m = t.snapshot()
+        assert m.cluster_col == "k" and m.op == "recluster"
+        assert sorted(map(tuple, t.read().collect())) == before
+        # post-recluster: tight disjoint k spans -> pruned read
+        assert len(t.read(where=[("k", "<", 100)]).inputFiles()) < na
+
+    def test_spec_change_survives_log_replay(self, spark, tmp_path):
+        from data_warehouse_copy_spark.sources.managed_table import (
+            _SNAP_CACHE,
+            _SNAP_CACHE_GUARD,
+        )
+
+        t = self._mk(spark, tmp_path / "t")
+        t.recluster(["k", "cat"])  # Z-ORDER spec
+        with _SNAP_CACHE_GUARD:
+            _SNAP_CACHE.clear()
+        m = ManagedTable(spark, tmp_path / "t").snapshot()
+        assert m.cluster_col == ["k", "cat"]
+        # future writes follow the new spec: appended file carries stats
+        # for both z-order columns
+        t.append(
+            spark.range(9000, 9100).selectExpr(
+                "id AS k", "CAST(id % 50 AS long) AS cat", "id * 2 AS v"
+            )
+        )
+        assert ManagedTable(spark, tmp_path / "t").snapshot().cluster_col == [
+            "k",
+            "cat",
+        ]
+
+    def test_decluster_and_dv_folding(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        t.recluster("k", target_files=4)
+        t.delete(where=[("k", "=", 7)])  # DV on the clustered layout
+        assert t.count() == 3999
+        nb, na = t.recluster(None, target_files=2)
+        m = t.snapshot()
+        assert m.cluster_col is None
+        assert t.count() == 3999  # DVs folded into the rewrite
+        assert all(not f.dv_rows for f in m.files)
+        assert t.read().filter("k = 7").count() == 0
