@@ -296,10 +296,13 @@ def build_bloom_sidecar(
 
     def _build(pdf):
         import pandas as pd
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
+        # unquote: Hadoop percent-encodes URL-special characters (spaces
+        # etc.) in _metadata.file_path; without decoding, relative_to
+        # raises executor-side under such roots (same as _uri_to_rel)
         uri = pdf["__uri"].iloc[0]
-        rel = str(Path(urlparse(uri).path).resolve().relative_to(root_str))
+        rel = str(Path(unquote(urlparse(uri).path)).resolve().relative_to(root_str))
         n_bits = _sizing(len(pdf))
         out = []
         for col, vkind in kinds.items():

@@ -266,17 +266,26 @@ def _matching_row_groups(pf, where: list[tuple]) -> list[int] | None:
     return keep if pruned_any else None
 
 
-def _dv_positions(dvs: tuple, rel: str) -> "list[int]":
+def _dv_positions(dvs: tuple, rel: str, abs_path: str | None = None) -> "list[int]":
     """Deleted row positions for data file ``rel`` from its deletion-vector
     parquets (executor-side, dictionary-filtered read of the tiny DV
-    files). Sorted ascending for the searchsorted window per row group."""
+    files). Sorted ascending for the searchsorted window per row group.
+
+    Matched on BOTH keys the DV carries — ``file_path`` (table-relative,
+    the normal case) OR ``file_uri`` (``file:`` + abspath) — because a
+    shallow clone's manifest references SOURCE files by absolute path
+    while the source's DV parquets keyed ``file_path`` relative to the
+    SOURCE root: rel-only matching silently resurrects deleted rows on
+    declarative clone reads (mirrors the JVM ``_apply_dv`` URI anti-join
+    and bloom's dual-keyed sidecar). ``set`` dedupes rows both keys hit."""
     import pyarrow.parquet as pq
 
+    filt = [[("file_path", "=", rel)]]
+    if abs_path is not None:
+        filt.append([("file_uri", "=", "file:" + os.path.abspath(abs_path))])
     pos: list[int] = []
     for d in dvs:
-        t = pq.read_table(
-            d, columns=["file_path", "pos"], filters=[("file_path", "=", rel)]
-        )
+        t = pq.read_table(d, columns=["pos"], filters=filt)
         pos.extend(t.column("pos").to_pylist())
     return sorted(set(pos))
 
@@ -348,7 +357,7 @@ def _read_file_as_batches(
     # toward the offset.
     import numpy as np
 
-    dv_arr = np.asarray(_dv_positions(dvs, rel), dtype=np.int64)
+    dv_arr = np.asarray(_dv_positions(dvs, rel, path), dtype=np.int64)
     md = pf.metadata
     starts = [0]
     for i in range(md.num_row_groups):
@@ -869,7 +878,9 @@ def _commit_merge(root: str, schema: T.StructType, messages, key: str) -> None:
             if len(hitpos) and f.dv_paths:
                 dead = set(
                     _dv_positions(
-                        tuple(str(rootp / d) for d in f.dv_paths), f.path
+                        tuple(str(rootp / d) for d in f.dv_paths),
+                        f.path,
+                        str(rootp / f.path),
                     )
                 )
                 hitpos = np.array(

@@ -742,35 +742,84 @@ class ManagedTable:
             df = df.filter(_where_predicate(where))
         return df
 
+    def _canonicalize_uri(self, uri: "F.Column") -> "F.Column":
+        """A file URI mapped to this handle's CANONICAL path key,
+        executor-side with pure codegen expressions: strip the ``file:``
+        scheme, percent-decode Hadoop's URI encoding (only when an escape
+        is present, so literal ``+`` in clean paths survives
+        ``url_decode``'s form semantics), then strip THIS handle's root
+        prefix — in-root files yield their relative manifest path,
+        shallow-clone references (absolute, outside the root) pass
+        through as the absolute path the clone manifest keys them by."""
+        decoded = F.when(uri.contains("%"), F.url_decode(uri)).otherwise(uri)
+        path = F.when(
+            decoded.startswith("file:"), decoded.substr(F.lit(6), F.lit(1 << 30))
+        ).otherwise(decoded)
+        prefix = os.path.abspath(str(self.root)) + "/"
+        return F.when(
+            path.startswith(prefix),
+            path.substr(F.lit(len(prefix) + 1), F.lit(1 << 30)),
+        ).otherwise(path)
+
+    def _canonical_path_col(self) -> "F.Column":
+        """The scan row's canonical path key (see
+        :meth:`_canonicalize_uri`). Joining DVs on this key instead of
+        the raw URI makes reads agree across HANDLE RENDERINGS: a DV
+        written through a symlinked root and a scan through the real
+        root render different URIs but the same canonical path."""
+        return self._canonicalize_uri(F.col("_metadata.file_path"))
+
+    def _dv_frame(self, dv_paths: list) -> DataFrame:
+        """The union of ``dv_paths``'s position rows keyed for the DV
+        anti-join — under BOTH keyings a position may be known by:
+
+        - its stored ``file_path`` (canonical for the WRITING handle:
+          table-relative normally, source-absolute for a clone-local DV
+          on a referenced file), which matches cross-rendering scans
+          (symlinked vs real root);
+        - its ``file_uri`` canonicalized through THIS handle, which
+          matches a clone scanning a SOURCE-written DV (the source keyed
+          ``file_path`` source-relative, but the URI's absolute path is
+          exactly how the clone manifest keys the file).
+
+        The right side of a ``left_anti`` join tolerates duplicate keys,
+        so rows matched by both keyings cost nothing; the frame stays
+        O(2k) for k deleted positions."""
+        raw = self.spark.read.parquet(
+            *[str(self.root / p) for p in dv_paths]
+        )
+        pos = F.col("pos").alias("__dwcs_dv_pos")
+        return raw.select(
+            F.col("file_path").alias("__dwcs_dv_rel"), pos
+        ).unionAll(
+            raw.select(
+                self._canonicalize_uri(F.col("file_uri")).alias("__dwcs_dv_rel"),
+                pos,
+            )
+        )
+
     def _apply_dv(self, df: DataFrame, sel: list) -> DataFrame:
         """Subtract deletion-vectored rows from a scan over ``sel``'s files:
-        one anti-join on ``(_metadata.file_path, _metadata.row_index)``
-        against the union of the selected files' DV parquets. The DV side
-        stores ``file_uri`` exactly as Spark's ``_metadata.file_path``
-        renders it (it was PRODUCED by that column at delete time), so the
-        join needs zero path arithmetic. DV-free scans return ``df``
-        untouched — the hot path pays nothing. The DV side is tiny relative
-        to the data (k deleted rows); AQE broadcasts it when it fits, and a
-        giant DV set degrades to a shuffled anti-join, never an error."""
+        one anti-join on ``(canonical file path, _metadata.row_index)``
+        against the union of the selected files' DV parquets (see
+        :meth:`_canonical_path_col` for why the join keys on the manifest
+        path, not the raw URI). DV-free scans return ``df`` untouched —
+        the hot path pays nothing. The DV side is tiny relative to the
+        data (k deleted rows); AQE broadcasts it when it fits, and a giant
+        DV set degrades to a shuffled anti-join, never an error."""
         dv_paths = sorted({p for f in sel for p in f.dv_paths})
         if not dv_paths:
             return df
-        dv = self.spark.read.parquet(
-            *[str(self.root / p) for p in dv_paths]
-        ).select(
-            F.col("file_uri").alias("__dwcs_dv_uri"),
-            F.col("pos").alias("__dwcs_dv_pos"),
-        )
         return (
-            df.withColumn("__dwcs_uri", F.col("_metadata.file_path"))
+            df.withColumn("__dwcs_rel", self._canonical_path_col())
             .withColumn("__dwcs_pos", F.col("_metadata.row_index"))
             .join(
-                dv,
-                (F.col("__dwcs_uri") == F.col("__dwcs_dv_uri"))
+                self._dv_frame(dv_paths),
+                (F.col("__dwcs_rel") == F.col("__dwcs_dv_rel"))
                 & (F.col("__dwcs_pos") == F.col("__dwcs_dv_pos")),
                 "left_anti",
             )
-            .drop("__dwcs_uri", "__dwcs_pos")
+            .drop("__dwcs_rel", "__dwcs_pos")
         )
 
     def count(self) -> int:
@@ -1427,34 +1476,44 @@ class ManagedTable:
         )
         dv_paths = sorted({p for f in candidates for p in f.dv_paths})
         if dv_paths:
-            dv = self.spark.read.parquet(
-                *[str(self.root / p) for p in dv_paths]
-            ).select(
-                F.col("file_uri").alias("__dwcs_dv_uri"),
-                F.col("pos").alias("__dwcs_dv_pos"),
-            )
-            df = df.join(
-                dv,
-                (F.col("__dwcs_uri") == F.col("__dwcs_dv_uri"))
-                & (F.col("__dwcs_pos") == F.col("__dwcs_dv_pos")),
-                "left_anti",
+            # canonical-path keys, same as _apply_dv — a prior DV written
+            # through a different root rendering (symlink) still matches
+            df = (
+                df.withColumn("__dwcs_rel", self._canonical_path_col())
+                .join(
+                    self._dv_frame(dv_paths),
+                    (F.col("__dwcs_rel") == F.col("__dwcs_dv_rel"))
+                    & (F.col("__dwcs_pos") == F.col("__dwcs_dv_pos")),
+                    "left_anti",
+                )
+                .drop("__dwcs_rel")
             )
         return df
 
     def _uri_to_rel(self, uri: str) -> str:
         """Driver-side map of a ``_metadata.file_path`` URI to the
         table-relative path (per-file DV accounting and the declarative
-        reader's join key; the JVM read path joins the raw URI and never
-        needs this). A file OUTSIDE the root is a shallow-cloned
+        reader's join key; the JVM read path derives the same key
+        executor-side via :meth:`_canonical_path_col`). A file OUTSIDE
+        the root is a shallow-cloned
         reference (see :meth:`clone_to`) — its manifest key is the
-        absolute path, so that is what comes back."""
+        absolute path, so that is what comes back. Relativized against
+        BOTH root renderings — ``resolve()`` (symlinks followed) and
+        ``os.path.abspath`` (symlinks kept, which is how Hadoop qualifies
+        the path it renders into ``_metadata.file_path``) — because under
+        a symlinked table root the two differ and rel-only matching
+        against one of them would return absolute keys that match no
+        manifest entry (a delete would then report n rows but attach no
+        DV; see the guard in :meth:`_grow_dv`)."""
         from urllib.parse import unquote, urlparse
 
         p = Path(unquote(urlparse(uri).path))
-        try:
-            return str(p.relative_to(self.root.resolve()))
-        except ValueError:
-            return str(p)
+        for base in (self.root.resolve(), Path(os.path.abspath(self.root))):
+            try:
+                return str(p.relative_to(base))
+            except ValueError:
+                continue
+        return str(p)
 
     def _write_dv(
         self, hits: DataFrame
@@ -1531,7 +1590,19 @@ class ManagedTable:
         """Re-version touched entries with the new DV attached; entries
         whose every row is now deleted leave the manifest entirely (their
         bytes and DVs become unreferenced — vacuum's problem, not every
-        future scan's)."""
+        future scan's). Every ``per_file`` key MUST name a manifest entry:
+        a key that matches nothing (e.g. a path-arithmetic drift between
+        the URI Spark rendered and the manifest's relative path) would
+        mean "n rows deleted" was reported while the commit attached no
+        DV — rows silently surviving. Loud failure instead."""
+        known = {f.path for f in files}
+        stray = sorted(set(per_file) - known)
+        if stray:
+            raise RuntimeError(
+                f"deletion-vector accounting references {len(stray)} path(s) "
+                f"absent from the manifest (first: {stray[0]!r}); refusing to "
+                f"commit a delete that would silently drop its DV"
+            )
         grown = tuple(
             _dc_replace(
                 f,

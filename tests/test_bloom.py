@@ -330,3 +330,19 @@ def test_sizing_and_hash_determinism():
     assert _test_bits(b"\xff" * 128, h1a, h2a, 1024)
     # all-zeros bitmap: definite absence
     assert not _test_bits(b"\x00" * 128, h1a, h2a, 1024)
+
+
+def test_distributed_build_under_url_encodable_root(spark, tmp_path, monkeypatch):
+    """Regression: the distributed sidecar build parses
+    _metadata.file_path, which Hadoop percent-encodes — a table root with
+    a space failed relative_to executor-side on every >1M-row write.
+    Force the distributed path (threshold 0) under a space-bearing root
+    and verify the bloom still prunes exactly."""
+    import data_warehouse_copy_spark.sources.bloom as bloom_mod
+
+    monkeypatch.setattr(bloom_mod, "_LOCAL_BUILD_MAX_ROWS", 0)
+    root = tmp_path / "with space" / "t"
+    t = _mk(spark, root, n=2000, files=2)
+    df = t.read(where=[("k", "=", 123)])
+    assert len(df.inputFiles()) == 1  # bloom pruned the other file
+    assert [r["k"] for r in df.collect()] == [123]

@@ -140,3 +140,50 @@ def test_clone_refuses_existing_dest(spark, tmp_path):
     ManagedTable.create(spark, tmp_path / "other")
     with pytest.raises(FileExistsError):
         src.clone_to(tmp_path / "other")
+
+
+def test_clone_declarative_read_honors_source_dv(spark, tmp_path):
+    """Regression: a clone's manifest references source files by ABSOLUTE
+    path, but the source's DV parquets key file_path relative to the
+    SOURCE root — the declarative reader must match on file_uri too, or
+    deleted rows silently resurrect on clone reads."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    src = _mk(spark, tmp_path / "src")
+    assert src.delete(where=[("k", "<", 10)]) == 10  # DV on source files
+    c = src.clone_to(tmp_path / "clone")
+    assert c.read().count() == 990  # JVM path (URI anti-join) — baseline
+    via_ds = spark.read.format("managed_table").load(str(c.root))
+    assert via_ds.count() == 990  # declarative path must agree
+    assert sorted(r["k"] for r in via_ds.collect()) == sorted(
+        r["k"] for r in src.read().collect()
+    )
+
+
+def test_clone_declarative_merge_honors_source_dv(spark, tmp_path):
+    """Regression twin for the write side: a declarative mergeKey upsert
+    into a clone must honor the source's prior DVs. Re-tombstoning
+    already-dead positions inflates dv_rows past the file's row count and
+    evicts a file that still holds live rows — silent data loss."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    src = _mk(spark, tmp_path / "src")  # two files: evens, odds, 500 rows each
+    # DV-kill 499 of 500 rows in each file; only k=998 and k=999 live
+    assert src.delete(where=[("k", "<", 998)]) == 998
+    c = src.clone_to(tmp_path / "clone")
+    assert c.count() == 2
+    # upsert two keys that are ALREADY dead in the evens file: honoring
+    # prior DVs must find zero positions to tombstone (0 and 2 are dead),
+    # so dv_rows stays 499 < 500 and live row k=998 survives
+    up = spark.createDataFrame([(0, 100), (2, 100)], "k long, v long")
+    (
+        up.write.format("managed_table")
+        .mode("append")
+        .option("mergeKey", "k")
+        .save(str(c.root))
+    )
+    got = {r["k"]: r["v"] for r in c.read().collect()}
+    assert got == {998: 998 % 7, 999: 999 % 7, 0: 100, 2: 100}
+    assert max(f.dv_rows for f in c.snapshot().files) == 499  # not inflated

@@ -461,3 +461,24 @@ def test_replace_where_cow_matches_dv(spark, tmp_path):
     assert sorted(map(tuple, ta.read().collect())) == sorted(
         map(tuple, tb.read().collect())
     )
+
+
+def test_dv_delete_under_symlinked_root(spark, tmp_path):
+    """Regression: with a symlinked table root, Hadoop renders
+    _metadata.file_path from os.path.abspath (symlinks KEPT) while
+    root.resolve() follows them — _uri_to_rel must relativize against
+    both, or per-file DV accounting comes back absolute, matches no
+    manifest entry, and delete() reports n rows while the rows survive
+    (now also guarded loudly in _grow_dv)."""
+    real = tmp_path / "real_tables"
+    real.mkdir()
+    _mk(spark, real / "t")
+    link = tmp_path / "link_tables"
+    link.symlink_to(real, target_is_directory=True)
+    t = ManagedTable(spark, link / "t")  # opened THROUGH the symlink
+    assert t.delete(where=[("k", "<", 10)]) == 10
+    assert t.read().count() == 990  # rows actually gone
+    m = t.snapshot()
+    assert sum(f.dv_rows for f in m.files) == 10  # DV attached to manifest
+    # and the real-path handle agrees
+    assert ManagedTable(spark, real / "t").read().count() == 990
