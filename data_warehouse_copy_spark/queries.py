@@ -3880,7 +3880,7 @@ def cdc_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("managed_table")
         .option("changesFrom", "1")
         .load(root)
-        .drop("_commit_version")
+        .drop("_commit_version", "_change_type")
     )
 
 
@@ -3889,6 +3889,62 @@ SELECT * FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{M_FROM}'
   AND l_shipdate <= TIMESTAMP '{M_TO}'
   AND NOT (l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL})
+"""
+
+
+def cdc_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL change feed over DML commits (VERDICT r5 item 2): the
+    March window lands as commit 1 (the cursor's consumed baseline), a
+    deletion-vector ``delete()`` lands as commit 2 and a merge-on-read
+    ``update()`` as commit 3 — and the DECLARATIVE
+    ``option("changesFrom", 1)`` read must surface the exact rows each
+    commit touched with ``_change_type`` tags: the deleted rows
+    (reconstructed from the DV position files the delete already wrote —
+    previously invisible to cursors), the update's preimages (original
+    values; only rows still ALIVE at v3, so the overlap with v2's
+    deletes must not reappear) and postimages. Oracle: the same three
+    row sets stated directly on the raw table."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    window = li.filter(
+        (F.col("l_shipdate") >= F.lit(M_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit(M_TO).cast("timestamp"))
+    )
+    root = f"{_tmp_table_dir(prefix='dwcs_cdf_')}/lineitem"
+    t = ManagedTable.create(spark, root)
+    t.append(window)  # v1: consumed baseline
+    t.delete(where=[("l_quantity", "<", 10.0)])  # v2: DV delete
+    t.update(  # v3: DV update — preimage overlap with v2 must stay dead
+        where=[("l_quantity", "<", 20.0)],
+        set_exprs={"l_extendedprice": F.lit(0.0)},
+    )
+    return (
+        spark.read.format("managed_table")
+        .option("changesFrom", "1")
+        .load(root)
+    )
+
+
+CDC_DELETE_FEED_SQL = f"""
+WITH base AS (
+  SELECT * FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{M_FROM}'
+    AND l_shipdate <= TIMESTAMP '{M_TO}'
+)
+SELECT *, CAST(2 AS BIGINT) AS _commit_version,
+       'delete' AS _change_type
+FROM base WHERE l_quantity < 10
+UNION ALL
+SELECT *, CAST(3 AS BIGINT) AS _commit_version,
+       'update_preimage' AS _change_type
+FROM base WHERE l_quantity >= 10 AND l_quantity < 20
+UNION ALL
+SELECT * REPLACE (CAST(0 AS DOUBLE) AS l_extendedprice),
+       CAST(3 AS BIGINT) AS _commit_version,
+       'update_postimage' AS _change_type
+FROM base WHERE l_quantity >= 10 AND l_quantity < 20
 """
 
 
@@ -4456,6 +4512,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_gap_fill": events_gap_fill,
     "datasource_roundtrip": datasource_roundtrip,
     "cdc_read_roundtrip": cdc_read_roundtrip,
+    "cdc_delete_feed": cdc_delete_feed,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "stream_curation_roundtrip": stream_curation_roundtrip,
@@ -4568,6 +4625,7 @@ ORACLES: dict[str, str] = {
     "events_gap_fill": GAP_FILL_SQL,
     "datasource_roundtrip": DATASOURCE_ROUNDTRIP_SQL,
     "cdc_read_roundtrip": CDC_READ_SQL,
+    "cdc_delete_feed": CDC_DELETE_FEED_SQL,
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,

@@ -141,11 +141,18 @@ class FilePartition(InputPartition):
         version: int | None = None,
         rel: str | None = None,
         dvs: tuple = (),
+        change_type: str | None = None,
+        dv_include: tuple = (),
     ):
         self.path = path
         self.version = version
         self.rel = rel
         self.dvs = dvs
+        # row-level change feed: the constant _change_type this partition
+        # emits, and (delete/preimage partitions) the commit's NEW DV
+        # parquets whose positions are the ONLY rows to read
+        self.change_type = change_type
+        self.dv_include = dv_include
 
 
 def _opt_bool(options: dict, key: str) -> bool:
@@ -227,6 +234,7 @@ def _nullable(schema: T.StructType) -> T.StructType:
 
 #: virtual column carrying the producing commit on CDC reads
 _VERSION_COL = "_commit_version"
+_CHANGE_COL = "_change_type"
 
 
 def _matching_row_groups(pf, where: list[tuple]) -> list[int] | None:
@@ -297,6 +305,8 @@ def _read_file_as_batches(
     where: list[tuple] | None = None,
     rel: str | None = None,
     dvs: tuple = (),
+    change_type: str | None = None,
+    dv_include: tuple = (),
 ) -> "Iterator[pa.RecordBatch]":
     """Executor-side scan of one parquet file, projected to the DECLARED
     schema (the one Spark planned the query against): missing columns
@@ -305,7 +315,14 @@ def _read_file_as_batches(
     normalized, and physical types are cast to the arrow types Spark
     expects. One footer read per file (``pq.ParquetFile``). On CDC reads
     the ``_commit_version`` slot in the declared schema is materialized as
-    a constant — the commit that added this file."""
+    a constant — the commit that added this file — and ``_change_type``
+    (when declared) as the partition's ``change_type``.
+
+    ``dvs`` (merge-on-read) EXCLUDES deletion-vectored positions;
+    ``dv_include`` inverts that — only the listed DV files' positions are
+    read (the row-level change feed's delete/preimage partitions: the
+    rows a commit tombstoned, reconstructed from the positions the commit
+    already wrote)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -316,7 +333,9 @@ def _read_file_as_batches(
     pf = pq.ParquetFile(path)
     present = set(pf.schema_arrow.names)
     want = [
-        n for n in target.names if n in present and n != _VERSION_COL
+        n
+        for n in target.names
+        if n in present and n not in (_VERSION_COL, _CHANGE_COL)
     ]
     rgs = _matching_row_groups(pf, where or [])
     if rgs == []:
@@ -329,6 +348,13 @@ def _read_file_as_batches(
                 cols.append(
                     pa.repeat(
                         pa.scalar(commit_version, type=field.type),
+                        batch.num_rows,
+                    )
+                )
+            elif field.name == _CHANGE_COL and change_type is not None:
+                cols.append(
+                    pa.repeat(
+                        pa.scalar(change_type, type=field.type),
                         batch.num_rows,
                     )
                 )
@@ -345,19 +371,25 @@ def _read_file_as_batches(
 
     # stream row groups batch-by-batch: a multi-GB file must never be
     # materialized as one in-memory table on the executor
-    if not dvs:
+    if not dvs and not dv_include:
         for batch in pf.iter_batches(
             columns=want, row_groups=rgs if rgs is not None else None
         ):
             yield from assemble(batch, None)
         return
-    # Merge-on-read: drop deletion-vectored positions. Positions are
-    # absolute within the FILE, so iterate row group by row group with the
-    # true footer offsets — row groups skipped by stats pruning still count
-    # toward the offset.
+    # Merge-on-read: drop (``dvs``) or keep-only (``dv_include``)
+    # deletion-vectored positions. Positions are absolute within the FILE,
+    # so iterate row group by row group with the true footer offsets — row
+    # groups skipped by stats pruning still count toward the offset.
     import numpy as np
 
-    dv_arr = np.asarray(_dv_positions(dvs, rel, path), dtype=np.int64)
+    include = bool(dv_include)
+    dv_arr = np.asarray(
+        _dv_positions(dv_include if include else dvs, rel, path),
+        dtype=np.int64,
+    )
+    if include and len(dv_arr) == 0:
+        return  # nothing tombstoned in this file by this commit
     md = pf.metadata
     starts = [0]
     for i in range(md.num_row_groups):
@@ -368,7 +400,12 @@ def _read_file_as_batches(
             n = batch.num_rows
             lo = np.searchsorted(dv_arr, offset)
             hi = np.searchsorted(dv_arr, offset + n)
-            if lo == hi:
+            if include:
+                if lo != hi:
+                    mask = np.zeros(n, dtype=bool)
+                    mask[dv_arr[lo:hi] - offset] = True
+                    yield from assemble(batch, mask)
+            elif lo == hi:
                 yield from assemble(batch, None)
             else:
                 mask = np.ones(n, dtype=bool)
@@ -494,26 +531,68 @@ class ManagedTableBatchReader(DataSourceReader):
         root = Path(self.root)
         cf = self.options.get("changesfrom")
         if cf is not None:
-            # CDC read: files added by data commits in (changesFrom,
-            # changesTo] — same contract as ManagedTable.read_changes —
-            # each tagged with the commit that produced it, stats-pruned
-            # by the where option like any other scan.
+            # ROW-LEVEL CDC (Delta CDF shape, via ManagedTable._cdf_plan):
+            # per commit in (changesFrom, changesTo] — new files read whole
+            # (insert / update_postimage), files a commit DV-tombstoned
+            # read ONLY the commit's new positions (delete /
+            # update_preimage), files removed outright read minus their
+            # prior DVs (delete). Insert partitions stats/bloom-prune by
+            # the where option like any other scan; delete-side partitions
+            # prune on stats only (their rows are a subset of the file's
+            # span, so file stats stay a sound bound).
             from data_warehouse_copy_spark.sources.bloom import bloom_keeper
 
             t = _require_table(self.root)
             to = self.options.get("changesto")
             bkeep = bloom_keeper(root, self.where)
-            return [
-                FilePartition(str(root / rel), version=v)
-                for v, rel, stats, bloom in t.changed_files(
-                    int(cf), int(to) if to is not None else None
-                )
-                if all(
+
+            def admits(stats) -> bool:
+                return all(
                     _file_may_match(stats, c, op, val)
                     for c, op, val in self.where
                 )
-                and bkeep(rel, bloom)
-            ]
+
+            out: list[FilePartition] = []
+            for v, op, new_files, new_dvs, affected, removed_prior in (
+                t._cdf_plan(int(cf), int(to) if to is not None else None)
+            ):
+                post_t = "update_postimage" if op == "update" else "insert"
+                pre_t = "update_preimage" if op == "update" else "delete"
+                for e in new_files:
+                    if admits(e.get("stats")) and bkeep(
+                        e["path"], e.get("bloom_path")
+                    ):
+                        out.append(
+                            FilePartition(
+                                str(root / e["path"]),
+                                version=v,
+                                change_type=post_t,
+                            )
+                        )
+                dv_abs = tuple(str(root / p) for p in new_dvs)
+                for e in affected:
+                    if admits(e.get("stats")):
+                        out.append(
+                            FilePartition(
+                                str(root / e["path"]),
+                                version=v,
+                                rel=e["path"],
+                                change_type=pre_t,
+                                dv_include=dv_abs,
+                            )
+                        )
+                for f in removed_prior:
+                    if admits(f.stats):
+                        out.append(
+                            FilePartition(
+                                str(root / f.path),
+                                version=v,
+                                rel=f.path,
+                                dvs=tuple(str(root / p) for p in f.dv_paths),
+                                change_type="delete",
+                            )
+                        )
+            return out
         m = self._snapshot()
         sel = [
             f
@@ -550,6 +629,8 @@ class ManagedTableBatchReader(DataSourceReader):
             where=self.where,
             rel=partition.rel,
             dvs=partition.dvs,
+            change_type=getattr(partition, "change_type", None),
+            dv_include=getattr(partition, "dv_include", ()),
         )
 
 
@@ -1085,11 +1166,15 @@ class ManagedTableDataSource(DataSource):
                 if end.schema_json
                 else T.StructType([])
             )
-            # append the tag BEFORE narrowing so option("columns") can
-            # project _commit_version like any other CDC output column
+            # append the tags BEFORE narrowing so option("columns") can
+            # project _commit_version/_change_type like any other CDC
+            # output column
             full = T.StructType(
                 list(base.fields)
-                + [T.StructField(_VERSION_COL, T.LongType(), True)]
+                + [
+                    T.StructField(_VERSION_COL, T.LongType(), True),
+                    T.StructField(_CHANGE_COL, T.StringType(), True),
+                ]
             )
             return _nullable(
                 T.StructType.fromJson(

@@ -66,7 +66,7 @@ from datetime import date, datetime, timezone
 from pathlib import Path
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1324,6 +1324,171 @@ class ManagedTable:
         )
         return reader.parquet(*added)
 
+    def _cdf_plan(
+        self, from_version: int, to_version: int | None = None
+    ) -> "list[tuple[int, str, list[dict], list[str], list[str], list[FileEntry]]]":
+        """Per-commit row-level change-feed work items for ``(from_version,
+        to_version]``: ``(version, op, new_file_entries, new_dv_paths,
+        dv_affected_paths, removed_prior_entries)``.
+
+        - ``new_file_entries``: files first added by this commit (their
+          rows are inserts / update postimages);
+        - ``new_dv_paths`` + ``dv_affected_entries``: deletion-vector
+          parquets this commit attached and the data files they tombstone
+          — those POSITIONS are the commit's deletes / update preimages
+          (reconstructed from the DV files the commit already wrote: the
+          VERDICT r5 "pure deletes are invisible to cursors" item);
+        - ``removed_prior_entries``: files this commit removed without
+          re-adding (overwrite/truncate/CoW rewrites) — their pre-commit
+          live rows are deletes.
+
+        Byte-motion commits (compact, restore/unrestore, recluster) carry
+        no logical change and yield no items. Prior per-file DV state is
+        seeded from ONE ``snapshot(from_version)`` and tracked forward, so
+        a re-added entry's NEW DVs are separable from ones a cursor
+        already delivered."""
+        deltas = self.commit_deltas(from_version, to_version)
+        prior: dict[str, FileEntry] = (
+            {f.path: f for f in self.snapshot(from_version).files}
+            if from_version >= 0
+            else {}
+        )
+        plan = []
+        for v, op, adds, removed in deltas:
+            adds_by_path = {e["path"]: e for e in adds}
+            if not (_cdc_skip(op) or op == "recluster"):
+                new_files = [
+                    e for p, e in adds_by_path.items() if p not in removed
+                ]
+                new_dvs: list[str] = []
+                affected: list[dict] = []
+                for p, e in adds_by_path.items():
+                    if p not in removed:
+                        continue  # brand-new file, handled above
+                    prev = prior.get(p)
+                    prev_dvs = set(prev.dv_paths) if prev else set()
+                    fresh = [
+                        d for d in e.get("dv_paths", ()) if d not in prev_dvs
+                    ]
+                    if fresh:
+                        new_dvs.extend(fresh)
+                        affected.append(e)
+                # a DV growing past a file's row count evicts the entry:
+                # the log shows remove-without-readd but the commit also
+                # added the DV; its positions are the deletes, and the
+                # file's remaining prior-live rows died with it
+                true_removed = [
+                    prior[p]
+                    for p in sorted(removed - set(adds_by_path))
+                    if p in prior
+                ]
+                plan.append(
+                    (v, op, new_files, sorted(set(new_dvs)), affected,
+                     true_removed)
+                )
+            for p in removed:
+                prior.pop(p, None)
+            for p, e in adds_by_path.items():
+                prior[p] = FileEntry(**e)
+        return plan
+
+    def read_cdf(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """ROW-LEVEL change data feed for ``(from_version, to_version]``
+        (Delta's ``table_changes`` shape): every data column plus
+        ``_change_type`` (``insert`` / ``delete`` / ``update_preimage`` /
+        ``update_postimage``) and ``_commit_version``. Unlike
+        :meth:`read_changes` (added-rows-only), DV commits surface their
+        deleted rows exactly: the positions live in the DV parquets the
+        commit wrote, so the feed semi-joins each commit's data files
+        against its NEW deletion vectors — no extra write-path cost, the
+        commit already paid for the positions.
+
+        Semantics by op: ``append``/``clone``/``merge`` adds are
+        ``insert``; ``update`` adds are ``update_postimage`` and its DV
+        positions ``update_preimage``; every other DV position is
+        ``delete``; files removed outright (overwrite, CoW rewrites)
+        emit their pre-commit live rows as ``delete``. A CoW
+        rewrite / merge therefore renders as delete+insert pairs — the
+        engine's own convergence contract (delete+reinsert,
+        ``TableUpdateService.cs:81-161``) — which re-applies exactly;
+        consumers wanting collapsed updates diff on their key.
+        Maintenance commits (compact/restore/recluster) emit nothing.
+        Like :meth:`read_changes`, reads files a later commit may have
+        removed — vacuum retention must outlast consumer lag."""
+        if to_version is None:
+            to_version = self._head_version()
+        plan = self._cdf_plan(from_version, to_version)
+        end = self.snapshot(to_version)
+        schema = (
+            T.StructType.fromJson(json.loads(end.schema_json))
+            if end.schema_json
+            else T.StructType([])
+        )
+        cols = [f.name for f in schema.fields]
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
+        reader = (
+            self.spark.read.schema(schema) if end.schema_json else self.spark.read
+        )
+
+        def tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
+            return df.select(
+                *cols,
+                F.lit(ctype).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+
+        frames: list[DataFrame] = []
+        for v, op, new_files, new_dvs, affected, removed_prior in plan:
+            post_t = "update_postimage" if op == "update" else "insert"
+            pre_t = "update_preimage" if op == "update" else "delete"
+            if new_files:
+                frames.append(
+                    tag(
+                        reader.parquet(
+                            *[str(self.root / e["path"]) for e in new_files]
+                        ),
+                        post_t,
+                        v,
+                    )
+                )
+            if new_dvs:
+                scan = (
+                    reader.parquet(
+                        *[str(self.root / e["path"]) for e in affected]
+                    )
+                    .withColumn("__dwcs_rel", self._canonical_path_col())
+                    .withColumn("__dwcs_pos", F.col("_metadata.row_index"))
+                )
+                dead = scan.join(
+                    self._dv_frame(new_dvs),
+                    (F.col("__dwcs_rel") == F.col("__dwcs_dv_rel"))
+                    & (F.col("__dwcs_pos") == F.col("__dwcs_dv_pos")),
+                    "left_semi",  # semi: dual-keyed DV rows never duplicate
+                )
+                frames.append(tag(dead, pre_t, v))
+            if removed_prior:
+                gone = self._apply_dv(
+                    reader.parquet(
+                        *[str(self.root / e.path) for e in removed_prior]
+                    ),
+                    removed_prior,
+                )
+                frames.append(tag(gone, "delete", v))
+        if not frames:
+            return self.spark.createDataFrame([], out_schema).coalesce(1)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     # ---------------------------------------------------------------- write
 
     def append(
@@ -1966,6 +2131,13 @@ class ManagedTable:
             raise ValueError("update() requires at least one assignment")
         if strategy not in ("dv", "cow"):
             raise ValueError(f"update strategy must be 'dv' or 'cow', got {strategy!r}")
+        # plain Python scalars are literals (Delta's updateExpr contract:
+        # strings are SQL expressions, Columns pass through, anything
+        # else wraps as a literal value)
+        set_exprs = {
+            c: v if isinstance(v, (Column, str)) else F.lit(v)
+            for c, v in set_exprs.items()
+        }
         with _lock_for(self.root):
             m = self.snapshot()
             schema = (
