@@ -3948,6 +3948,62 @@ FROM base WHERE l_quantity >= 10 AND l_quantity < 20
 """
 
 
+def merge_expressions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-level MERGE (``ManagedTable.merge``, VERDICT r5 item 3):
+    the orders table lands key-clustered; the source is the March window
+    with doubled prices plus key-shifted brand-new rows. One merge
+
+    - partially updates ``o_totalprice = s.o_totalprice`` on matched keys
+      but ONLY where ``t.o_orderstatus = 'O'`` (the conditional clause) —
+      every other column keeps its target value with no caller pre-join;
+    - inserts the not-matched shifted keys.
+
+    Physically merge-on-read (matched positions -> deletion vector, only
+    updated rows rewrite) with the target candidates stats-pruned to the
+    source keys' span (pinned in tests/test_merge_expressions.py). The
+    oracle states the converged table as a LEFT-JOIN CASE in DuckDB."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    root = f"{_tmp_table_dir(prefix='dwcs_mex_')}/orders"
+    t = ManagedTable.create(spark, root, cluster_col="o_orderkey")
+    t.append(orders, cluster_partitions=8)
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit(M_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit(M_TO).cast("timestamp"))
+    )
+    doubled = window.withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    source = doubled.unionByName(
+        doubled.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    )
+    t.merge(
+        source,
+        on="o_orderkey",
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        match_condition="t.o_orderstatus = 'O'",
+    )
+    return t.read()
+
+
+MERGE_EXPRESSIONS_SQL = f"""
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 2 AS new_price
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{M_FROM}'
+    AND o_orderdate <= TIMESTAMP '{M_TO}'
+)
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'O'
+            THEN s.new_price ELSE t.o_totalprice END AS o_totalprice,
+       t.o_orderdate, t.o_orderpriority
+FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+       o_totalprice * 2, o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{M_FROM}'
+  AND o_orderdate <= TIMESTAMP '{M_TO}'
+"""
+
+
 def datasource_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert through the DECLARATIVE write path (sources/datasource.py
     ``_commit_merge``): the target starts as orders with zeroed prices on
@@ -4514,6 +4570,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_read_roundtrip": cdc_read_roundtrip,
     "cdc_delete_feed": cdc_delete_feed,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
+    "merge_expressions_roundtrip": merge_expressions_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -4627,6 +4684,7 @@ ORACLES: dict[str, str] = {
     "cdc_read_roundtrip": CDC_READ_SQL,
     "cdc_delete_feed": CDC_DELETE_FEED_SQL,
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
+    "merge_expressions_roundtrip": MERGE_EXPRESSIONS_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -2396,6 +2396,217 @@ class ManagedTable:
         self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
         return n_keys
 
+    def merge(
+        self,
+        source_df: DataFrame,
+        on: "str | list[str]",
+        when_matched_update: dict | None = None,
+        when_matched_delete: bool = False,
+        match_condition: "Column | str | None" = None,
+        when_not_matched_insert: bool = True,
+    ) -> dict:
+        """Expression-level MERGE (Delta's ``whenMatchedUpdate`` shape —
+        the VERDICT r5 item 3 surface): one atomic commit that
+
+        - UPDATES matched target rows with ``when_matched_update``
+          ``{column: expression}`` assignments — PARTIAL-column: columns
+          not assigned keep their target values, so callers no longer
+          pre-join to build whole replacement rows. Values may be SQL
+          strings, Columns, or plain literals; expressions reference the
+          two sides as ``t.<col>`` (target) and ``s.<col>`` (source);
+        - or DELETES matched rows (``when_matched_delete=True``);
+        - optionally gated by ``match_condition`` (SQL string or Column
+          over ``t.``/``s.``) — matched-but-condition-false rows are
+          untouched;
+        - INSERTS source rows whose key matches no live target row
+          (``when_not_matched_insert``; pass update=None, delete=False
+          for an INSERT-ONLY merge — dedup ingestion).
+
+        Physically merge-on-read: matched positions tombstone via a
+        deletion vector and only the k updated rows (re)write — the same
+        O(k) DML cost model as :meth:`update`. The target side
+        stats-prunes to the files whose key span admits a source key
+        (soundness: a key outside every span provably isn't in the
+        table, so the not-matched anti-join over candidates alone is
+        exact). Ambiguous merges — two condition-passing source rows
+        hitting one target row — fail loudly (Delta's cardinality
+        check), never nondeterministically. Returns ``{"updated": n,
+        "deleted": n, "inserted": n}``.
+
+        ``merge_by_key`` remains the whole-row delete+reinsert contract
+        (the reference semantics, ``TableUpdateService.cs:81-161``);
+        this is the expression-level superset."""
+        if when_matched_update and when_matched_delete:
+            raise ValueError(
+                "when_matched_update and when_matched_delete are exclusive"
+            )
+        if not (when_matched_update or when_matched_delete or when_not_matched_insert):
+            raise ValueError("merge() with no clauses would be a no-op")
+        key_cols = [on] if isinstance(on, str) else list(on)
+        if not key_cols:
+            raise ValueError("merge() requires at least one key column")
+        with _lock_for(self.root):
+            m = self.snapshot()
+            if not m.schema_json:
+                raise ValueError(
+                    "merge() requires an existing table schema; use append() "
+                    "to create the table first"
+                )
+            schema = T.StructType.fromJson(json.loads(m.schema_json))
+            known = {f.name: f.dataType for f in schema.fields}
+            cols = [f.name for f in schema.fields]
+            src_cols = set(source_df.columns)
+            for k in key_cols:
+                if k not in known or k not in src_cols:
+                    raise ValueError(
+                        f"merge key {k!r} must exist on both sides "
+                        f"(target {sorted(known)}, source {sorted(src_cols)})"
+                    )
+            if when_matched_update:
+                bad = sorted(set(when_matched_update) - set(known))
+                if bad:
+                    raise ValueError(
+                        f"merge() assigns unknown columns {bad}"
+                    )
+                overlap = sorted(set(when_matched_update) & set(key_cols))
+                if overlap:
+                    raise ValueError(
+                        f"merge() must not assign its key columns {overlap}"
+                    )
+            if when_not_matched_insert and not set(cols) <= src_cols:
+                raise ValueError(
+                    f"when_not_matched_insert requires the source to carry "
+                    f"every table column; missing "
+                    f"{sorted(set(cols) - src_cols)}"
+                )
+            keys = source_df.select(*key_cols).distinct()
+            affected = self._affected_files_by_stats(m, keys, key_cols[0])
+            candidates = (
+                list(m.files)
+                if affected is None
+                else [f for f in m.files if f.path in affected]
+            )
+            t_scan = (
+                self._scan_with_pos(m, candidates)
+                if candidates
+                else self.spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        list(schema.fields)
+                        + [
+                            T.StructField("__dwcs_uri", T.StringType()),
+                            T.StructField("__dwcs_pos", T.LongType()),
+                        ]
+                    ),
+                )
+            ).alias("t")
+            files = tuple(m.files)
+            written: tuple = ()
+            n_updated = n_deleted = n_inserted = 0
+            frames: list[DataFrame] = []
+            matched = None
+            if when_matched_update or when_matched_delete:
+                join_cond = None
+                for k in key_cols:
+                    c = F.col(f"t.{k}") == F.col(f"s.{k}")
+                    join_cond = c if join_cond is None else (join_cond & c)
+                matched = t_scan.join(
+                    source_df.alias("s"), join_cond, "inner"
+                )
+                if match_condition is not None:
+                    cond = (
+                        F.expr(match_condition)
+                        if isinstance(match_condition, str)
+                        else match_condition
+                    )
+                    matched = matched.filter(cond)
+                matched = matched.persist()
+            try:
+                if matched is not None:
+                    if when_matched_update:
+                        # cardinality guard: one target position, >1
+                        # condition-passing source row → nondeterministic
+                        dup = (
+                            matched.groupBy("__dwcs_uri", "__dwcs_pos")
+                            .count()
+                            .filter("count > 1")
+                            .limit(1)
+                            .count()
+                        )
+                        if dup:
+                            raise ValueError(
+                                "ambiguous merge: multiple source rows match "
+                                "one target row under the merge condition; "
+                                "deduplicate the source or tighten "
+                                "match_condition"
+                            )
+                    # distinct positions: a delete clause tolerates many
+                    # source rows hitting one target row, but the DV (and
+                    # its per-file accounting) must record the position
+                    # once — duplicates would inflate dv_rows and could
+                    # evict a file that still holds live rows
+                    positions = matched.select(
+                        "__dwcs_uri", "__dwcs_pos"
+                    ).dropDuplicates()
+                    n_matched = positions.count()
+                    if n_matched:
+                        dv_files, per_file = self._write_dv(positions)
+                        if dv_files is not None:
+                            files = self._grow_dv(files, dv_files, per_file)
+                        if when_matched_update:
+                            assigned = {
+                                c: (
+                                    F.expr(v)
+                                    if isinstance(v, str)
+                                    else (v if isinstance(v, Column) else F.lit(v))
+                                )
+                                .cast(known[c])
+                                .alias(c)
+                                for c, v in when_matched_update.items()
+                            }
+                            frames.append(
+                                matched.select(
+                                    *[
+                                        assigned.get(c, F.col(f"t.{c}").alias(c))
+                                        for c in cols
+                                    ]
+                                )
+                            )
+                            n_updated = n_matched
+                        else:
+                            n_deleted = n_matched
+                if when_not_matched_insert:
+                    ins = source_df.join(
+                        t_scan.select(*key_cols), on=key_cols, how="left_anti"
+                    ).select(*cols)
+                    n_inserted = ins.count()
+                    if n_inserted:
+                        frames.append(ins)
+                if frames:
+                    out = frames[0]
+                    for fdf in frames[1:]:
+                        out = out.unionByName(fdf)
+                    written = self._write_files(
+                        out,
+                        m.partition_date_col,
+                        m.cluster_col,
+                        bloom_cols=m.bloom_cols,
+                    )
+                self._commit_files(
+                    m,
+                    files + written,
+                    m.schema_json,
+                    "merge" if (n_updated or n_deleted or n_inserted) else "merge_noop",
+                )
+            finally:
+                if matched is not None:
+                    matched.unpersist()
+        return {
+            "updated": n_updated,
+            "deleted": n_deleted,
+            "inserted": n_inserted,
+        }
+
     def _affected_files_by_stats(
         self, m: Manifest, keys: DataFrame, primary_key: str
     ) -> set | None:

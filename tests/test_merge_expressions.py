@@ -1,0 +1,189 @@
+"""Expression-level MERGE (ManagedTable.merge, VERDICT r5 item 3):
+partial-column whenMatchedUpdate with s./t. expressions, a match
+condition, matched-delete, insert-only mode, the Delta cardinality
+guard, and stats-pruned target candidates."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_warehouse_copy_spark.sources.managed_table import (  # noqa: E402
+    ManagedTable,
+)
+
+
+def _mk(spark, root, n=20, **kw):
+    t = ManagedTable.create(spark, root, **kw)
+    t.append(
+        spark.range(0, n).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("a"),
+            (F.col("id") % 3).alias("b"),
+        )
+    )
+    return t
+
+
+def _rows(t) -> dict:
+    return {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+
+
+def test_partial_column_update_keeps_unassigned(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame([(3, 999), (5, 555)], "k long, a long")
+    res = t.merge(
+        src, on="k",
+        when_matched_update={"a": "s.a"},
+        when_not_matched_insert=False,
+    )
+    assert res == {"updated": 2, "deleted": 0, "inserted": 0}
+    got = _rows(t)
+    assert got[3] == (999, 3 % 3) and got[5] == (555, 5 % 3)  # b untouched
+    assert got[4] == (40, 4 % 3)  # unmatched untouched
+    assert len(got) == 20
+
+
+def test_update_expression_references_both_sides(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame([(2, 7)], "k long, a long")
+    t.merge(
+        src, on="k",
+        when_matched_update={"a": "t.a + s.a", "b": F.lit(100)},
+        when_not_matched_insert=False,
+    )
+    assert _rows(t)[2] == (20 + 7, 100)
+
+
+def test_match_condition_gates_update(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    # only rows where the source value EXCEEDS the target update
+    src = spark.createDataFrame([(1, 5), (9, 500)], "k long, a long")
+    res = t.merge(
+        src, on="k",
+        when_matched_update={"a": "s.a"},
+        match_condition="s.a > t.a",
+        when_not_matched_insert=False,
+    )
+    assert res["updated"] == 1
+    got = _rows(t)
+    assert got[1] == (10, 1)  # 5 < 10: untouched
+    assert got[9] == (500, 0)
+
+
+def test_matched_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame([(0,), (1,), (99,)], "k long")
+    res = t.merge(
+        src, on="k",
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert res == {"updated": 0, "deleted": 2, "inserted": 0}
+    got = _rows(t)
+    assert 0 not in got and 1 not in got and len(got) == 18
+
+
+def test_insert_only_merge(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame(
+        [(1, -1, -1), (30, 300, 0), (31, 310, 1)], "k long, a long, b long"
+    )
+    res = t.merge(src, on="k")  # no matched clause: insert-only dedup
+    assert res == {"updated": 0, "deleted": 0, "inserted": 2}
+    got = _rows(t)
+    assert got[1] == (10, 1)  # existing key untouched
+    assert got[30] == (300, 0) and got[31] == (310, 1)
+
+
+def test_upsert_update_plus_insert(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame(
+        [(4, 44, 4), (40, 400, 0)], "k long, a long, b long"
+    )
+    res = t.merge(src, on="k", when_matched_update={"a": "s.a"})
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = _rows(t)
+    assert got[4] == (44, 4 % 3) and got[40] == (400, 0)
+
+
+def test_ambiguous_merge_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame([(3, 1), (3, 2)], "k long, a long")
+    with pytest.raises(ValueError, match="ambiguous merge"):
+        t.merge(
+            src, on="k",
+            when_matched_update={"a": "s.a"},
+            when_not_matched_insert=False,
+        )
+    # duplicate DELETES are fine (position recorded once)
+    res = t.merge(
+        src, on="k", when_matched_delete=True, when_not_matched_insert=False
+    )
+    assert res["deleted"] == 1
+    assert 3 not in _rows(t)
+
+
+def test_merge_validations(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame([(1, 2)], "k long, a long")
+    with pytest.raises(ValueError, match="exclusive"):
+        t.merge(src, on="k", when_matched_update={"a": 1}, when_matched_delete=True)
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge(src, on="k", when_matched_update={"zz": 1},
+                when_not_matched_insert=False)
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge(src, on="k", when_matched_update={"k": 1},
+                when_not_matched_insert=False)
+    with pytest.raises(ValueError, match="every table column"):
+        t.merge(src, on="k", when_matched_update={"a": "s.a"})  # src lacks b
+
+
+def test_merge_target_stats_prunes_candidates(spark, tmp_path):
+    """On a key-clustered table, only files whose key span admits a
+    source key may gain a deletion vector — the merge must not touch
+    (or scan) the rest."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    t.append(
+        spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("a"),
+            (F.col("id") % 3).alias("b"),
+        ),
+        cluster_partitions=8,
+    )
+    m0 = t.snapshot()
+    assert len(m0.files) == 8
+    src = spark.createDataFrame([(5, 1), (7, 2)], "k long, a long")
+    res = t.merge(
+        src, on="k",
+        when_matched_update={"a": "s.a"},
+        when_not_matched_insert=False,
+    )
+    assert res["updated"] == 2
+    m1 = t.snapshot()
+    dvd = [f.path for f in m1.files if f.dv_rows and f.path in
+           {x.path for x in m0.files}]
+    # both keys live in the lowest-span file; every other original file
+    # is untouched (same entry, no DV)
+    assert len(dvd) == 1
+    untouched = {f.path: f for f in m0.files} | {}
+    for f in m1.files:
+        if f.path in untouched and f.path not in dvd:
+            assert f == untouched[f.path]
+
+
+def test_merge_multi_key(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame([(3, 0, -1), (3, 2, -2)], "k long, b long, a long")
+    res = t.merge(
+        src, on=["k", "b"],
+        when_matched_update={"a": "s.a"},
+        when_not_matched_insert=False,
+    )
+    assert res["updated"] == 1  # only (3, b=0) exists (3 % 3 == 0)
+    assert _rows(t)[3] == (-1, 0)
