@@ -408,18 +408,28 @@ class ManagedTable:
             # repair the pointer (snapshot() probes forward from it, so
             # writing 0 is always safe even mid-race).
             ptr = t.root / "_log" / "_LATEST"
-            if not ptr.exists():
-                ptmp = t.root / "_log" / f"_LATEST.tmp.{uuid.uuid4().hex}"
-                ptmp.write_text("0")
-                os.replace(ptmp, ptr)
+            if not t._proto.exists(ptr):
+                t._proto.put_text(ptr, "0")
             if not exist_ok:
                 raise FileExistsError(
                     f"managed table already exists at {root}"
                 ) from None
         return t
 
+    @property
+    def _proto(self):
+        """The commit protocol for this root (POSIX link-CAS by default;
+        object-store conditional-put when registered — see
+        sources/commit_protocol.py). Resolved per call: registration may
+        happen after the handle is constructed."""
+        from data_warehouse_copy_spark.sources.commit_protocol import (
+            protocol_for,
+        )
+
+        return protocol_for(self.root)
+
     def exists(self) -> bool:
-        return (self.root / "_log" / "_LATEST").exists()
+        return self._proto.exists(self.root / "_log" / "_LATEST")
 
     # ------------------------------------------------------------- manifest
 
@@ -433,10 +443,12 @@ class ManagedTable:
         # finds the real head.
         ptr = self.root / "_log" / "_LATEST"
         try:
-            version = int(ptr.read_text())
+            version = int(self._proto.read_text(ptr))
         except FileNotFoundError:
             version = 0
-        while (self.root / "_log" / f"{version + 1:020d}.json").exists():
+        while self._proto.exists(
+            self.root / "_log" / f"{version + 1:020d}.json"
+        ):
             version += 1
         return version
 
@@ -445,7 +457,9 @@ class ManagedTable:
         (v0, legacy pre-action tables) carrying a ``files`` key, or an
         incremental action carrying ``add``/``remove``."""
         return json.loads(
-            (self.root / "_log" / f"{version:020d}.json").read_text()
+            self._proto.read_text(
+                self.root / "_log" / f"{version:020d}.json"
+            )
         )
 
     def _ckpt_path(self, version: int) -> Path:
@@ -547,8 +561,10 @@ class ManagedTable:
                 start = base
                 break
             ck = self._ckpt_path(v)
-            if v and ck.exists():
-                start = _manifest_from_full(json.loads(ck.read_text()))
+            if v and self._proto.exists(ck):
+                start = _manifest_from_full(
+                    json.loads(self._proto.read_text(ck))
+                )
                 reads += 1
                 break
             raw = self._raw(v)
@@ -621,46 +637,30 @@ class ManagedTable:
         return out
 
     def _put_version(self, version: int, payload: str) -> None:
-        """Exclusively create log record ``version`` (put-if-absent via
-        ``os.link`` from a fully-written temp file — the version file
-        appears atomically complete or not at all). Raises
-        :class:`CommitConflict` if another process committed this version
-        first, and a clear error on filesystems without hard-link support
-        (object-store/FUSE mounts) instead of an opaque per-commit
-        failure."""
-        log_dir = self.root / "_log"
-        dest = log_dir / f"{version:020d}.json"
-        tmp = log_dir / f".commit.tmp.{uuid.uuid4().hex}"
-        tmp.write_text(payload)
-        try:
-            os.link(tmp, dest)
-        except FileExistsError:
+        """Exclusively create log record ``version`` through the root's
+        commit protocol (put-if-absent CAS: exclusive hard link on POSIX,
+        conditional put on a registered object store — see
+        sources/commit_protocol.py; the record appears atomically
+        complete or not at all). Raises :class:`CommitConflict` if
+        another writer committed this version first; the link protocol
+        raises a clear error on filesystems without hard-link support
+        instead of an opaque per-commit failure."""
+        dest = self.root / "_log" / f"{version:020d}.json"
+        if not self._proto.put_if_absent(dest, payload):
             raise CommitConflict(
                 f"version {version} already committed by another writer"
-            ) from None
-        except OSError as e:
-            if dest.exists():  # racing writer won; the link failed on exist
-                raise CommitConflict(
-                    f"version {version} already committed by another writer"
-                ) from None
-            raise OSError(
-                f"cannot commit to {log_dir}: the log directory must live "
-                f"on a filesystem with POSIX hard-link support (os.link "
-                f"failed: {e}); NFSv3/FUSE/object-store mounts are not "
-                f"safe for the put-if-absent commit protocol"
-            ) from e
-        finally:
-            tmp.unlink(missing_ok=True)
+            )
 
     def _advance_latest(self, version: int) -> None:
         # Advance the pointer monotonically; a lost race here only leaves
         # the hint stale, which _head_version's forward probe tolerates.
-        log_dir = self.root / "_log"
-        ptr = log_dir / "_LATEST"
-        if not ptr.exists() or int(ptr.read_text()) < version:
-            ptmp = log_dir / f"_LATEST.tmp.{uuid.uuid4().hex}"
-            ptmp.write_text(str(version))
-            os.replace(ptmp, ptr)  # atomic pointer flip
+        ptr = self.root / "_log" / "_LATEST"
+        try:
+            cur = int(self._proto.read_text(ptr))
+        except FileNotFoundError:
+            cur = -1
+        if cur < version:
+            self._proto.put_text(ptr, str(version))  # atomic pointer flip
 
     def _write_checkpoint(self, m: Manifest) -> None:
         """Best-effort full-state checkpoint: readers replay at most
@@ -677,12 +677,10 @@ class ManagedTable:
         pyarrow, not Spark: checkpointing must also work from the
         session-less datasource commit hooks."""
         payload = json.dumps(_full_payload(m), indent=1)
-        tmp = self.root / "_log" / f".ckpt.tmp.{uuid.uuid4().hex}"
         try:
-            tmp.write_text(payload)
-            os.replace(tmp, self._ckpt_path(m.version))
+            self._proto.put_text(self._ckpt_path(m.version), payload)
         except OSError:
-            tmp.unlink(missing_ok=True)
+            pass
         try:
             self._write_checkpoint_parquet(m)
         except OSError:

@@ -1,0 +1,171 @@
+"""Object-store commit protocol (VERDICT r5 item 4): the log's
+put-if-absent CAS extracted behind CommitProtocol. The POSIX link
+protocol stays the default; a ConditionalPutCommitProtocol backed by a
+mock S3-class store (no hard links, no atomic rename) must carry the
+whole concurrency story — storms, injected CAS races, rebases — without
+ever touching os.link/os.replace on the log."""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+from pathlib import Path
+
+import pytest
+from pyspark.sql import types as T
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import data_warehouse_copy_spark.sources.commit_protocol as cp  # noqa: E402
+from data_warehouse_copy_spark.sources.managed_table import (  # noqa: E402
+    ManagedTable,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("writer", T.LongType()), T.StructField("seq", T.LongType())]
+)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    s = cp.InMemoryObjectStore()
+    cp.register_commit_protocol(tmp_path, cp.ConditionalPutCommitProtocol(s))
+    yield s
+    cp.unregister_commit_protocol(tmp_path)
+
+
+def _no_posix_atomics(monkeypatch, log_tails=("_log",)):
+    """Make os.link / os.replace FAIL for any path under a _log dir —
+    proving the store protocol never leans on POSIX atomics."""
+    import os as _os
+
+    real_link, real_replace = _os.link, _os.replace
+
+    def guard(fn):
+        def inner(src, dst, *a, **kw):
+            if any(t in str(dst) for t in log_tails) or any(
+                t in str(src) for t in log_tails
+            ):
+                raise OSError("object store: no POSIX atomics")
+            return fn(src, dst, *a, **kw)
+
+        return inner
+
+    monkeypatch.setattr(_os, "link", guard(real_link))
+    monkeypatch.setattr(_os, "replace", guard(real_replace))
+
+
+def test_store_protocol_basic_roundtrip(tmp_path, store, monkeypatch):
+    _no_posix_atomics(monkeypatch)
+    t = ManagedTable.create(None, tmp_path / "t")
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    t.append_pylist([{"writer": 1, "seq": 2}], SCHEMA)
+    assert t.snapshot().total_rows == 2
+    assert t.snapshot().version == 2
+    # the log lives in the STORE, not the filesystem
+    assert not list((tmp_path / "t" / "_log").glob("*.json"))
+    assert store.get(str(tmp_path / "t" / "_log" / f"{1:020d}.json"))
+
+
+def test_threaded_storm_under_store_protocol(tmp_path, store, monkeypatch):
+    """N threads x K appends through the conditional-put CAS: every
+    commit survives, versions are gapless, zero lost updates."""
+    _no_posix_atomics(monkeypatch)
+    root = tmp_path / "t"
+    ManagedTable.create(None, root)
+    n_threads, n_appends = 6, 5
+    errors: list = []
+
+    def worker(wid: int):
+        try:
+            # fresh handle per thread (separate writers); the in-process
+            # commit lock serializes same-root writers, so drop it to
+            # exercise the optimistic CAS itself
+            t = ManagedTable(None, root)
+            for i in range(n_appends):
+                t.append_pylist([{"writer": wid, "seq": i}], SCHEMA)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = ManagedTable(None, root)
+    m = t.snapshot()
+    assert m.total_rows == n_threads * n_appends
+    assert m.version == n_threads * n_appends
+    # gapless immutable records, all in the store
+    for v in range(m.version + 1):
+        assert store.get(str(root / "_log" / f"{v:020d}.json")) is not None
+
+
+def test_injected_cas_race_rebases_cleanly(tmp_path, store, monkeypatch):
+    """A competitor lands the exact version our writer is CASing — at the
+    CAS window itself. The writer must lose, rebase, and land on the
+    next version without dropping either commit."""
+    _no_posix_atomics(monkeypatch)
+    root = tmp_path / "t"
+    t = ManagedTable.create(None, root)
+    t.append_pylist([{"writer": 0, "seq": 0}], SCHEMA)
+
+    fired = {"n": 0}
+
+    # The competitor fires from inside OUR commit's CAS window (which
+    # holds the in-process root lock), so it pre-claims the version
+    # record directly in the store — exactly what a REMOTE process's
+    # winning conditional put looks like from this store's side.
+    def preclaim(key: str):
+        if key.endswith(f"{2:020d}.json") and fired["n"] == 0:
+            fired["n"] = 1
+            raw1 = json.loads(store.get(str(root / "_log" / f"{1:020d}.json")))
+            store.put(
+                key,
+                json.dumps(
+                    {
+                        "version": 2,
+                        "op": "append",
+                        "ts": raw1["ts"],
+                        "ets": raw1.get("ets", raw1["ts"]),
+                        "add": [],
+                        "remove": [],
+                        "schema_json": None,
+                        "txn": None,
+                    }
+                ),
+            )
+
+    store.before_cas = preclaim
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    store.before_cas = None
+    m = t.snapshot()
+    assert fired["n"] == 1
+    assert m.version == 3  # lost v2 to the preclaim, rebased onto v3
+    assert m.total_rows == 2  # both real commits' rows survive
+
+
+def test_unregistered_roots_keep_link_protocol(tmp_path):
+    t = ManagedTable.create(None, tmp_path / "plain")
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    assert (tmp_path / "plain" / "_log" / f"{1:020d}.json").exists()
+
+
+def test_store_protocol_checkpoints_in_store(tmp_path, store, monkeypatch):
+    import data_warehouse_copy_spark.sources.managed_table as mt
+
+    _no_posix_atomics(monkeypatch)
+    root = tmp_path / "t"
+    t = ManagedTable.create(None, root)
+    for i in range(mt._CKPT_EVERY):
+        t.append_pylist([{"writer": 0, "seq": i}], SCHEMA)
+    ck = store.get(
+        str(root / "_log" / f"{mt._CKPT_EVERY:020d}.checkpoint.json")
+    )
+    assert ck is not None and json.loads(ck)["version"] == mt._CKPT_EVERY
+    # reconstruction replays from the store-held checkpoint
+    assert t.snapshot().total_rows == mt._CKPT_EVERY
