@@ -1354,7 +1354,7 @@ class ManagedTable:
         plan = []
         for v, op, adds, removed in deltas:
             adds_by_path = {e["path"]: e for e in adds}
-            if not (_cdc_skip(op) or op == "recluster"):
+            if not _cdc_skip(op):
                 new_files = [
                     e for p, e in adds_by_path.items() if p not in removed
                 ]
@@ -3129,6 +3129,129 @@ class ManagedTable:
             )
             return (len(m.files), len(new_files))
 
+    def recluster_incremental(
+        self,
+        cluster_col: str | list | None,
+        batch_files: int = 64,
+        target_files: int | None = None,
+        max_batches: int | None = None,
+    ) -> dict:
+        """Batched, RESUMABLE OPTIMIZE (VERDICT r5 item 5): re-layout the
+        table under a new clustering spec in bounded per-batch commits
+        instead of :meth:`recluster`'s single whole-table transaction —
+        at 100 TB the monolithic rewrite never lands (any concurrent
+        rewrite conflicts it, and a failure loses all progress).
+
+        Protocol: a cursor (``_log/_RECLUSTER.json``, written through
+        the commit protocol) records the spec and the original file list
+        still pending. Each batch takes a fresh snapshot, rewrites up to
+        ``batch_files`` pending files (prior DVs subtracted) under the
+        new spec, and commits remove(batch)+add(rewrites) — O(batch)
+        payload, so a concurrent append touches disjoint files and
+        REBASES instead of conflict-aborting; the table stays readable
+        and writable throughout. The spec change itself rides the FIRST
+        batch commit, so every write landing mid-run already follows the
+        new layout. An interrupted run resumes where it stopped: the
+        next call finds the cursor, drops pending files a concurrent
+        DML already rewrote (their replacements were written under the
+        new spec), and continues. ``max_batches`` bounds one call —
+        schedule the OPTIMIZE in slices.
+
+        Trade-off vs the monolithic form, stated plainly: each batch
+        range-clusters ITS OWN rows, so key spans are disjoint within a
+        batch but may overlap across batches — a point lookup prunes to
+        at most one file PER BATCH rather than one file overall (Delta's
+        per-file-group OPTIMIZE makes the same trade). A final
+        :meth:`compact` converges the layout fully.
+
+        Returns ``{"batches", "files_rewritten", "remaining"}``
+        (``remaining`` > 0 means call again to finish)."""
+        if max_batches is not None and max_batches < 1:
+            raise ValueError("max_batches must be >= 1")
+        if batch_files < 1:
+            raise ValueError("batch_files must be >= 1")
+        spec = (
+            cluster_col
+            if cluster_col is None or isinstance(cluster_col, str)
+            else list(cluster_col)
+        )
+        spec_key = json.dumps(spec)
+        cursor_path = self.root / "_log" / "_RECLUSTER.json"
+        with _lock_for(self.root):
+            m = self.snapshot()
+            live = {f.path for f in m.files}
+            cursor = None
+            try:
+                cursor = json.loads(self._proto.read_text(cursor_path))
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+            if cursor is not None and cursor.get("spec") == spec_key:
+                # resume: drop pending files a concurrent DML rewrote
+                # (their replacements already follow the new spec)
+                pending = [p for p in cursor["pending"] if p in live]
+                spec_pending = False
+            else:
+                pending = sorted(live)
+                spec_pending = True
+            self._proto.put_text(
+                cursor_path,
+                json.dumps({"spec": spec_key, "pending": pending}),
+            )
+        batches = rewritten = 0
+        while pending and (max_batches is None or batches < max_batches):
+            batch = pending[:batch_files]
+            with _lock_for(self.root):
+                m = self.snapshot()
+                by_path = {f.path: f for f in m.files}
+                entries = [by_path[p] for p in batch if p in by_path]
+                new_files: tuple = ()
+                if entries:
+                    df = self._scan_with_pos(m, entries).drop(
+                        "__dwcs_uri", "__dwcs_pos"
+                    )
+                    if spec is not None:
+                        new_files = self._write_files(
+                            df, m.partition_date_col, spec,
+                            cluster_partitions=target_files,
+                            bloom_cols=m.bloom_cols,
+                        )
+                    else:
+                        new_files = self._write_files(
+                            df
+                            if target_files is None
+                            else df.repartition(target_files),
+                            m.partition_date_col, None,
+                            bloom_cols=m.bloom_cols,
+                        )
+                kept = tuple(
+                    f for f in m.files if f.path not in set(batch)
+                )
+                self._commit_files(
+                    m, kept + new_files, m.schema_json, "recluster_batch",
+                    cluster_col_change=(spec,) if spec_pending else None,
+                )
+                spec_pending = False
+                pending = pending[len(batch):]
+                rewritten += len(entries)
+                self._proto.put_text(
+                    cursor_path,
+                    json.dumps({"spec": spec_key, "pending": pending}),
+                )
+            batches += 1
+        if not pending and spec_pending:
+            # empty table: the spec change must still land
+            with _lock_for(self.root):
+                m = self.snapshot()
+                self._commit_files(
+                    m, tuple(m.files), m.schema_json, "recluster_batch",
+                    cluster_col_change=(spec,),
+                )
+        return {
+            "batches": batches,
+            "files_rewritten": rewritten,
+            "remaining": len(pending),
+        }
+
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> int:
         """Delete data files not referenced by the latest manifest. Returns
         number of files removed. (Old versions become unreadable — run only
@@ -3249,11 +3372,13 @@ def _manifest_from_full(raw: dict) -> Manifest:
 
 def _cdc_skip(op: str) -> bool:
     """Commits whose added files only re-materialize rows a cursor consumer
-    already processed: compaction rewrites bytes, and restore/unrestore
-    re-reference files whose original ``add`` actions the consumer has
-    already seen (or will see at their original versions) — replaying them
-    would double-deliver."""
-    return op == "compact" or op.startswith(("restore_v", "unrestore_v"))
+    already processed: compaction and reclustering rewrite bytes, and
+    restore/unrestore re-reference files whose original ``add`` actions
+    the consumer has already seen (or will see at their original
+    versions) — replaying them would double-deliver."""
+    return op == "compact" or op.startswith(
+        ("restore_v", "unrestore_v", "recluster")
+    )
 
 
 def _schema_fp(schema_json: str | None) -> tuple | None:

@@ -1539,3 +1539,68 @@ class TestRecluster:
         assert t.count() == 3999  # DVs folded into the rewrite
         assert all(not f.dv_rows for f in m.files)
         assert t.read().filter("k = 7").count() == 0
+
+
+class TestReclusterIncremental:
+    """Batched resumable OPTIMIZE (recluster_incremental): per-batch
+    commits, mid-run interruption + resume, concurrent appends that must
+    rebase instead of conflict-aborting, and CDC silence."""
+
+    def _mk(self, spark, root, files=6, rows=1200):
+        t = ManagedTable.create(spark, root)
+        base = spark.range(0, rows).selectExpr("id AS k", "id % 7 AS v")
+        for i in range(files):  # arrival-order files: k interleaves across all
+            t.append(base.filter(F.col("k") % files == i).coalesce(1))
+        return t
+
+    def test_batches_commit_and_converge(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        before = sorted(map(tuple, t.read().collect()))
+        res = t.recluster_incremental("k", batch_files=2, target_files=2)
+        assert res["remaining"] == 0 and res["batches"] == 3
+        m = t.snapshot()
+        assert m.cluster_col == "k" and m.op == "recluster_batch"
+        assert sorted(map(tuple, t.read().collect())) == before
+        # point lookup prunes to <= one file per batch
+        assert len(t.read(where=[("k", "=", 123)]).inputFiles()) <= 3
+
+    def test_interrupt_and_resume(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        before = sorted(map(tuple, t.read().collect()))
+        r1 = t.recluster_incremental("k", batch_files=2, max_batches=1)
+        assert r1["batches"] == 1 and r1["remaining"] == 4
+        # "crash" here: table is live and exact mid-run
+        assert sorted(map(tuple, t.read().collect())) == before
+        assert t.snapshot().cluster_col == "k"  # spec landed on batch 1
+        r2 = t.recluster_incremental("k", batch_files=2)
+        assert r2["remaining"] == 0
+        assert r1["files_rewritten"] + r2["files_rewritten"] == 6
+        assert sorted(map(tuple, t.read().collect())) == before
+
+    def test_concurrent_append_rebases_not_aborts(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        t.recluster_incremental("k", batch_files=2, max_batches=1)
+        # a writer lands BETWEEN batches (and during: disjoint files)
+        t.append(
+            spark.range(10_000, 10_050).selectExpr("id AS k", "id % 7 AS v")
+        )
+        res = t.recluster_incremental("k", batch_files=2)
+        assert res["remaining"] == 0
+        assert t.read().count() == 1200 + 50  # nothing lost, nothing doubled
+        assert t.read().filter("k >= 10000").count() == 50
+
+    def test_dv_rows_fold_away(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t")
+        t.delete(where=[("k", "<", 100)])
+        t.recluster_incremental("k", batch_files=3)
+        m = t.snapshot()
+        assert all(not f.dv_paths for f in m.files if "recluster" not in f.path)
+        assert t.read().count() == 1100
+        assert t.read().filter("k < 100").count() == 0
+
+    def test_recluster_is_cdc_silent(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path / "t", files=2, rows=100)
+        v = t.snapshot().version
+        t.recluster_incremental("k", batch_files=1)
+        assert t.read_cdf(v).count() == 0  # byte motion is not change
+        assert t.read_changes(v).count() == 0
