@@ -75,34 +75,18 @@ class IvfIndex:
         inverted list, so a probe's manifest footprint is exactly its
         lists; raise it when lists outgrow a healthy parquet size)."""
         idx = cls(spark, root)
-        # bounded, partition-order-independent training sample (same
-        # discipline as ivf_topk: a bare limit() would starve later
-        # regions of a clustered corpus)
-        n_corpus = corpus.count()
-        sampled = corpus.select(id_col, vec_col)
-        if n_corpus > sample_size:
-            frac = min(1.0, 1.5 * sample_size / n_corpus)
-            sampled = sampled.sample(fraction=frac, seed=seed)
-        rows = (
-            sampled.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-            .limit(sample_size)
-            .select(vec_col)
-            .collect()
-        )
-        sample = np.asarray([r[0] for r in rows], dtype=np.float64)
-        cents = _kmeans_centroids(sample, n_lists, seed=seed)
+        idx.root.mkdir(parents=True, exist_ok=True)
+        cents = idx._train(corpus, id_col, sample_size, seed, n_lists,
+                           vec_col=vec_col)
         idx._write_centroids(cents)
-        (idx.root / _META).write_text(
-            json.dumps(
-                {
-                    "id_col": id_col,
-                    "vec_col": vec_col,
-                    "n_lists": int(n_lists),
-                    "dim": int(cents.shape[1]),
-                    "seed": int(seed),
-                }
-            )
-        )
+        meta = {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_lists": int(n_lists),
+            "dim": int(cents.shape[1]),
+            "seed": int(seed),
+        }
+        (idx.root / _META).write_text(json.dumps(meta))
         t = ManagedTable.create(
             spark,
             idx.root / "lists",
@@ -113,16 +97,118 @@ class IvfIndex:
             idx._assign(corpus, cents, id_col, vec_col),
             cluster_partitions=target_files or n_lists,
         )
+        # snapshot the trained distribution: balance()'s drift baseline
+        idx._record_trained_counts(meta)
         return idx
 
     def add(self, df: DataFrame) -> int:
         """Append new vectors under the frozen quantizer (one commit).
-        Returns rows added."""
+        Returns rows added. Lists drift as the distribution does —
+        monitor :meth:`balance` and :meth:`rebuild` past threshold."""
         meta = self._meta()
         assigned = self._assign(
             df, self._centroids(), meta["id_col"], meta["vec_col"]
         )
         return self._table().append(assigned)
+
+    # ---------------------------------------------------------- maintenance
+
+    def list_counts(self) -> dict:
+        """Current per-list vector counts — one map-side-combined agg
+        (shuffle carries ≤ n_lists rows, never the corpus)."""
+        return {
+            r["list_id"]: r["n"]
+            for r in self._table()
+            .read()
+            .groupBy("list_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    def balance(self) -> dict:
+        """Index-health metrics (VERDICT r5 item 7 — the signal that the
+        frozen quantizer no longer fits the corpus):
+
+        - ``imbalance``: max list size / mean list size. 1.0 is perfect;
+          a hot list bounds probe latency (every nprobe hitting it scans
+          its whole file set).
+        - ``drift``: total-variation distance between the CURRENT
+          per-list distribution and the distribution recorded at the
+          last (re)build — 0.0 right after building, →1.0 as ``add()``
+          traffic concentrates where the trained centroids aren't.
+          Recall decays with drift because true neighbors of new
+          vectors increasingly straddle list boundaries.
+        - ``empty_lists``: trained lists serving nothing (wasted
+          quantizer resolution).
+
+        Cost: one ≤ n_lists-row aggregate. Rebuild when ``drift`` or
+        ``imbalance`` crosses the caller's threshold (no universal
+        constant: it is a recall/maintenance-cost trade)."""
+        meta = self._meta()
+        n_lists = meta["n_lists"]
+        trained = {int(k): v for k, v in meta.get("trained_counts", {}).items()}
+        cur = self.list_counts()
+        total = sum(cur.values())
+        if not total:
+            return {"imbalance": 0.0, "drift": 0.0, "empty_lists": n_lists,
+                    "counts": cur}
+        mean = total / n_lists
+        drift = 0.0
+        if trained:
+            ttotal = sum(trained.values()) or 1
+            drift = 0.5 * sum(
+                abs(cur.get(i, 0) / total - trained.get(i, 0) / ttotal)
+                for i in range(n_lists)
+            )
+        return {
+            "imbalance": max(cur.values()) / mean,
+            "drift": drift,
+            "empty_lists": n_lists - sum(1 for v in cur.values() if v),
+            "counts": cur,
+        }
+
+    def rebuild(
+        self,
+        n_lists: int | None = None,
+        sample_size: int = 4096,
+        seed: int | None = None,
+        target_files: int | None = None,
+    ) -> dict:
+        """Retrain the quantizer on the CURRENT corpus and re-assign
+        every vector — one atomic overwrite commit on the list table, so
+        concurrent searches stay snapshot-isolated on the old layout
+        until the commit lands (the centroid sidecar swaps atomically
+        via the same rename; a search racing the swap window may pair
+        new centroids with the old table for one query — degraded
+        recall, never wrong rows, same as FAISS index promotion).
+        Defaults keep the built spec; pass ``n_lists`` to re-size.
+        Returns the post-rebuild :meth:`balance` (drift == 0 by
+        construction)."""
+        import os
+
+        meta = self._meta()
+        n_lists = n_lists or meta["n_lists"]
+        seed = meta["seed"] if seed is None else seed
+        t = self._table()
+        corpus = t.read().select(
+            F.col("neighbor_id").alias(meta["id_col"]),
+            F.col("c_vec").alias(meta["vec_col"]),
+        )
+        cents = self._train(corpus, meta["id_col"], sample_size, seed, n_lists)
+        tmp = self.root / f".{_CENTROIDS}.tmp"
+        final = self.root / _CENTROIDS
+        self._write_centroids(cents, dest=tmp)
+        os.replace(tmp, final)
+        t.overwrite(
+            self._assign(corpus, cents, meta["id_col"], meta["vec_col"]),
+            cluster_partitions=target_files or n_lists,
+        )
+        meta.update(
+            {"n_lists": int(n_lists), "seed": int(seed),
+             "dim": int(cents.shape[1])}
+        )
+        self._record_trained_counts(meta)
+        return self.balance()
 
     # -------------------------------------------------------------- serving
 
@@ -171,6 +257,39 @@ class IvfIndex:
 
     # ------------------------------------------------------------ internals
 
+    def _train(
+        self,
+        corpus: DataFrame,
+        id_col: str,
+        sample_size: int,
+        seed: int,
+        n_lists: int,
+        vec_col: str | None = None,
+    ) -> np.ndarray:
+        """Bounded, partition-order-independent training sample (same
+        discipline as ivf_topk: a bare limit() would starve later
+        regions of a clustered corpus) → k-means centroids."""
+        vec_col = vec_col or self._meta()["vec_col"]
+        n_corpus = corpus.count()
+        sampled = corpus.select(id_col, vec_col)
+        if n_corpus > sample_size:
+            frac = min(1.0, 1.5 * sample_size / n_corpus)
+            sampled = sampled.sample(fraction=frac, seed=seed)
+        rows = (
+            sampled.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
+        )
+        sample = np.asarray([r[0] for r in rows], dtype=np.float64)
+        return _kmeans_centroids(sample, n_lists, seed=seed)
+
+    def _record_trained_counts(self, meta: dict) -> None:
+        meta["trained_counts"] = {
+            str(k): v for k, v in self.list_counts().items()
+        }
+        (self.root / _META).write_text(json.dumps(meta))
+
     def _assign(self, df: DataFrame, cents, id_col: str, vec_col: str):
         assign1 = _nearest_centroids_udf(cents, 1)
         return df.select(
@@ -185,7 +304,7 @@ class IvfIndex:
     def _meta(self) -> dict:
         return json.loads((self.root / _META).read_text())
 
-    def _write_centroids(self, cents: np.ndarray) -> None:
+    def _write_centroids(self, cents: np.ndarray, dest: Path | None = None) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -200,7 +319,7 @@ class IvfIndex:
                     ),
                 }
             ),
-            self.root / _CENTROIDS,
+            dest if dest is not None else self.root / _CENTROIDS,
         )
 
     def _centroids(self) -> np.ndarray:

@@ -95,3 +95,69 @@ def test_build_is_deterministic(spark, emb, tmp_path):
     ra = sorted(map(tuple, a.search(qs, k=5).collect()))
     rb = sorted(map(tuple, b.search(qs, k=5).collect()))
     assert ra == rb
+
+
+def test_balance_fresh_build_has_zero_drift(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, emb, tmp_path / "ivf", n_lists=8, sample_size=4096
+    )
+    b = idx.balance()
+    assert b["drift"] == pytest.approx(0.0)
+    assert b["empty_lists"] == 0
+    assert b["imbalance"] >= 1.0
+    assert sum(b["counts"].values()) == emb.count()
+
+
+def test_drift_detected_and_rebuild_restores(spark, emb, tmp_path):
+    """A drifted corpus (add() traffic concentrated far from every
+    trained centroid) must move the balance metrics; rebuild() must
+    restore the drift baseline and the pinned recall floor over the
+    NEW distribution."""
+    idx = IvfIndex.build(
+        spark, emb, tmp_path / "ivf", n_lists=8, sample_size=4096
+    )
+    dim = len(emb.select("embedding").first()[0])
+    # adversarial drift: 3x the corpus, all in one far-away direction
+    n_new = emb.count() * 3
+    drifted = (
+        spark.range(1_000_000, 1_000_000 + n_new)
+        .selectExpr("id AS vec_id")
+        .withColumn(
+            "embedding",
+            F.array(
+                *[
+                    (F.lit(50.0) + F.rand(seed=7 + i)).cast("float")
+                    for i in range(dim)
+                ]
+            ),
+        )
+        .withColumn("label", F.lit(0).cast("int"))
+    )
+    idx.add(drifted)
+    b = idx.balance()
+    assert b["drift"] > 0.5  # the frozen quantizer no longer fits
+    after = idx.rebuild()
+    assert after["drift"] == pytest.approx(0.0)  # fresh baseline
+    assert after["empty_lists"] == 0
+    assert sum(after["counts"].values()) == emb.count() + n_new
+    # recall floor restored over the union corpus
+    union = emb.unionByName(drifted)
+    qs = union.filter(F.col("vec_id") < 10)
+    approx = idx.search(qs, k=5, nprobe=3).collect()
+    exact = brute_force_topk(union, qs, k=5).collect()
+    assert _recall(exact, approx) >= 0.5
+
+
+def test_rebuild_is_atomic_for_readers(spark, emb, tmp_path):
+    idx = IvfIndex.build(
+        spark, emb, tmp_path / "ivf", n_lists=8, sample_size=4096
+    )
+    t = idx._table()
+    v_before = t.snapshot().version
+    idx.rebuild(n_lists=4)
+    m = t.snapshot()
+    assert m.version == v_before + 1  # ONE overwrite commit
+    assert m.total_rows == emb.count()
+    assert idx._meta()["n_lists"] == 4
+    # old version still readable until vacuum (snapshot isolation)
+    assert t.read(version=v_before).count() == emb.count()
