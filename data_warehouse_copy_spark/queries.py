@@ -1346,6 +1346,54 @@ WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
 """
 
 
+def recluster_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched RESUMABLE OPTIMIZE under the correctness gate
+    (``ManagedTable.recluster_incremental``, VERDICT r5 item 5): the
+    March window lands in arrival order, the OPTIMIZE runs ONE batch and
+    stops (``max_batches=1`` — the mid-run interruption), a concurrent
+    append lands between slices (it must rebase, not conflict-abort,
+    and must follow the new spec), then a second call RESUMES from the
+    protocol-held cursor and finishes. The returned frame is a key-range
+    read over the converged table; the oracle states the same rows on
+    the raw tables — proving the sliced rewrite plus the mid-run append
+    neither drops, duplicates, nor mutates a row. At 100 TB this is the
+    only OPTIMIZE that lands: per-batch commits a concurrent ingester
+    can rebase around, with interrupted runs resuming where they
+    stopped."""
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    window = li.filter(
+        F.col("l_shipdate").between(F.expr(W_START_SQL), F.expr(W_END_SQL))
+    )
+    t = ManagedTable.create(
+        spark, f"{_tmp_table_dir(prefix='dwcs_recli_')}/lineitem"
+    )
+    for i in range(3):  # arrival-order ingest: spans interleave
+        t.append(window.filter(F.col("l_orderkey") % 3 == i).coalesce(1))
+    r1 = t.recluster_incremental("l_orderkey", batch_files=1, max_batches=1)
+    if r1["remaining"] == 0:
+        raise RuntimeError("interruption fixture must leave pending batches")
+    # concurrent append between slices: the window's rows again under a
+    # disjoint high key range (must rebase and follow the new spec)
+    t.append(window.withColumn("l_orderkey", F.col("l_orderkey") + 50_000_000))
+    r2 = t.recluster_incremental("l_orderkey", batch_files=1)
+    if r2["remaining"] != 0:
+        raise RuntimeError("resume failed to drain the cursor")
+    return t.read(
+        where=[("l_orderkey", ">=", 1000), ("l_orderkey", "<", 1400)]
+    ).unionByName(t.read(where=[("l_orderkey", ">=", 50_000_000)]))
+
+
+RECLUSTER_INCREMENTAL_SQL = f"""
+WITH w AS (
+  SELECT * FROM lineitem
+  WHERE l_shipdate BETWEEN {W_START_SQL} AND {W_END_SQL}
+)
+SELECT * FROM w WHERE l_orderkey >= 1000 AND l_orderkey < 1400
+UNION ALL
+SELECT w.* REPLACE (l_orderkey + 50000000 AS l_orderkey) FROM w
+"""
+
+
 def clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shallow clone under the correctness gate (``ManagedTable.clone_to``,
     Delta CLONE semantics): orders load into a source table, a
@@ -4579,6 +4627,7 @@ QUERIES: dict[str, QueryFn] = {
     "replace_where_roundtrip": replace_where_roundtrip,
     "clone_roundtrip": clone_roundtrip,
     "recluster_roundtrip": recluster_roundtrip,
+    "recluster_incremental_roundtrip": recluster_incremental_roundtrip,
     # -- no-oracle block (not SQL-expressible / approximate by design;
     # verified by recall/exactness unit tests — keep LAST) --
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4693,4 +4742,5 @@ ORACLES: dict[str, str] = {
     "replace_where_roundtrip": REPLACE_WHERE_SQL,
     "clone_roundtrip": CLONE_SQL,
     "recluster_roundtrip": RECLUSTER_SQL,
+    "recluster_incremental_roundtrip": RECLUSTER_INCREMENTAL_SQL,
 }

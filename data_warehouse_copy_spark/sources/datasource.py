@@ -593,6 +593,28 @@ class ManagedTableBatchReader(DataSourceReader):
                             )
                         )
             return out
+        # Bounded-memory planning first (same gate as ManagedTable.read):
+        # past 50k live entries the three skip tiers stream over the
+        # parquet checkpoint and this planning worker holds only the
+        # surviving partitions — never the full manifest. partitions()
+        # runs in PySpark's session-less python planning subprocess, so
+        # the planner takes its streamed-pyarrow path (O(batch +
+        # survivors) memory) rather than a Spark job.
+        t = _require_table(self.root)
+        v = self.options.get("versionasof")
+        planned = t._plan_distributed(
+            int(v) if v is not None else None, None, None, None, self.where
+        )
+        if planned is not None:
+            sel, _schema = planned
+            return [
+                FilePartition(
+                    str(root / f.path),
+                    rel=f.path if f.dv_paths else None,
+                    dvs=tuple(str(root / p) for p in f.dv_paths),
+                )
+                for f in sel
+            ]
         m = self._snapshot()
         sel = [
             f

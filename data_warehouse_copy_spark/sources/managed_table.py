@@ -837,11 +837,16 @@ class ManagedTable:
         gate says driver planning is cheaper (small manifest, no parquet
         checkpoint). Driver memory: O(survivors) + O(files touched since
         the last checkpoint) — the selective-query planning cost no
-        longer scales with table file count."""
+        longer scales with table file count.
+
+        SESSION-LESS handles (the declarative reader's planning worker —
+        PySpark runs ``DataSourceReader.partitions()`` in a python
+        subprocess with no SparkSession) take the STREAMED path instead:
+        the same three tiers over pyarrow record batches of the
+        checkpoint, single-threaded but memory-bounded — O(batch +
+        survivors), never the full manifest."""
         import pyarrow.parquet as pq
 
-        if self.spark is None:
-            return None
         v = version if version is not None else self._head_version()
         base = self._plan_base(v)
         if base is None:
@@ -855,16 +860,26 @@ class ManagedTable:
         for raw in actions:
             if raw.get("schema_json"):
                 schema_json = raw["schema_json"]
+        root_str = str(self.root)
+        where_ser = list(where or [])
+        use_bloom = bool(where_ser and bloom_cols)
+        lo, hi, parts = partition_min, partition_max, partitions
+        if self.spark is None:
+            rows = self._plan_streamed(
+                ck, touched, lo, hi, parts, where_ser, use_bloom
+            )
+            return (
+                self._planned_entries(
+                    rows, adds, lo, hi, parts, where_ser, use_bloom
+                ),
+                schema_json,
+            )
         mdf = self.spark.read.schema(self._MANIFEST_ROW_SCHEMA).parquet(str(ck))
         if touched:
             tdf = self.spark.createDataFrame(
                 [(p,) for p in sorted(touched)], "path string"
             )
             mdf = mdf.join(F.broadcast(tdf), "path", "left_anti")
-        root_str = str(self.root)
-        where_ser = list(where or [])
-        use_bloom = bool(where_ser and bloom_cols)
-        lo, hi, parts = partition_min, partition_max, partitions
         if not where_ser and lo is None and hi is None and parts is None:
             # unselective scan: nothing to prune — every entry survives,
             # so skip the pruning job and collect the (path-level) list
@@ -880,8 +895,7 @@ class ManagedTable:
             from pathlib import Path as _P
 
             from data_warehouse_copy_spark.sources.managed_table import (
-                _file_may_match,
-                _partition_live,
+                _prune_manifest_pdf,
             )
 
             keeper = None
@@ -890,40 +904,36 @@ class ManagedTable:
 
                 keeper = bloom_keeper(_P(root_str), where_ser)
             for pdf in batches:
-                # tier 1 vectorized: partition membership + bounds compare
-                # as ISO-day strings over the whole batch at numpy speed
-                # (exact mirror of _partition_live: null partitions pass
-                # bounds but fail an explicit allowed-set)
-                part = pdf["partition"]
-                nn = part.notna()
-                mask = part.isin(parts) if parts is not None else ~part.isna() | True
-                filled = part.fillna("")
-                if lo is not None:
-                    mask &= ~nn | (filled >= lo)
-                if hi is not None:
-                    mask &= ~nn | (filled <= hi)
-                if not where_ser:
-                    yield pdf[mask]
-                    continue
-                # tier 2+3 row-wise on tier-1 survivors only
-                cand = pdf[mask]
-                keep = []
-                for r in cand.itertuples(index=False):
-                    stats = json.loads(r.stats_json) if r.stats_json else None
-                    ok = all(
-                        _file_may_match(stats, c, op, val)
-                        for c, op, val in where_ser
-                    )
-                    if ok and keeper is not None:
-                        ok = keeper(r.path, r.bloom_path)
-                    keep.append(ok)
-                yield cand[keep]
+                yield _prune_manifest_pdf(pdf, lo, hi, parts, where_ser, keeper)
 
         rows = mdf.mapInPandas(prune, self._MANIFEST_ROW_SCHEMA).collect()
         return (
             self._planned_entries(rows, adds, lo, hi, parts, where_ser, use_bloom),
             schema_json,
         )
+
+    def _plan_streamed(
+        self, ck: Path, touched: set, lo, hi, parts, where_ser: list,
+        use_bloom: bool,
+    ) -> list:
+        """Session-less twin of the pruning job: iterate the checkpoint's
+        record batches through the SAME per-batch pruner. Memory is
+        O(batch + survivors) — bounded regardless of manifest width."""
+        import pyarrow.parquet as pq
+
+        keeper = None
+        if use_bloom:
+            from data_warehouse_copy_spark.sources.bloom import bloom_keeper
+
+            keeper = bloom_keeper(self.root, where_ser)
+        out: list[dict] = []
+        for batch in pq.ParquetFile(ck).iter_batches(batch_size=65536):
+            pdf = batch.to_pandas()
+            if touched:
+                pdf = pdf[~pdf["path"].isin(touched)]
+            kept = _prune_manifest_pdf(pdf, lo, hi, parts, where_ser, keeper)
+            out.extend(kept.to_dict("records"))
+        return out
 
     def _planned_entries(
         self, rows, adds: dict, lo, hi, parts, where_ser: list, use_bloom: bool
@@ -938,7 +948,11 @@ class ManagedTable:
                 partition=r["partition"],
                 rows=r["rows"],
                 stats=None,  # already consumed by the pruning job
-                dv_paths=tuple(r["dv_paths"] or ()),
+                # explicit None check: the streamed path hands numpy
+                # arrays, whose `or ()` truthiness is ambiguous
+                dv_paths=tuple(
+                    r["dv_paths"] if r["dv_paths"] is not None else ()
+                ),
                 dv_rows=r["dv_rows"],
                 bloom_path=r["bloom_path"],
             )
@@ -3297,6 +3311,39 @@ class ManagedTable:
                     p.unlink()
                     removed += 1
         return removed
+
+
+def _prune_manifest_pdf(pdf, lo, hi, parts, where_ser: list, keeper):
+    """One pruning pass over a pandas batch of manifest rows — the
+    shared tier logic of the distributed (mapInPandas) and streamed
+    (pyarrow) planners, so their semantics cannot diverge.
+
+    Tier 1 vectorized: partition membership + bounds compare as ISO-day
+    strings at numpy speed (exact mirror of ``_partition_live``: null
+    partitions pass bounds but fail an explicit allowed-set). Tiers 2+3
+    (per-file min/max stats, bloom probes via ``keeper``) run row-wise
+    on tier-1 survivors only."""
+    part = pdf["partition"]
+    nn = part.notna()
+    mask = part.isin(parts) if parts is not None else ~part.isna() | True
+    filled = part.fillna("")
+    if lo is not None:
+        mask &= ~nn | (filled >= lo)
+    if hi is not None:
+        mask &= ~nn | (filled <= hi)
+    cand = pdf[mask]
+    if not where_ser:
+        return cand
+    keep = []
+    for r in cand.itertuples(index=False):
+        stats = json.loads(r.stats_json) if r.stats_json else None
+        ok = all(
+            _file_may_match(stats, c, op, val) for c, op, val in where_ser
+        )
+        if ok and keeper is not None:
+            ok = keeper(r.path, r.bloom_path)
+        keep.append(ok)
+    return cand[keep]
 
 
 def _fold_tail(actions: list) -> "tuple[set, dict]":

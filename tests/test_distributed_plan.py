@@ -180,3 +180,49 @@ def test_manifest_df_matches_snapshot(spark, tmp_path):
     }
     want = {f.path: (f.rows, f.dv_rows, tuple(f.dv_paths)) for f in m.files}
     assert got == want
+
+
+def test_streamed_plan_matches_spark_job_plan(spark, tmp_path, monkeypatch):
+    """A session-less handle (how the datasource planning worker sees the
+    table) must produce the IDENTICAL plan through the streamed-pyarrow
+    twin — including DV carriage and tail folding."""
+    t = _mk(spark, tmp_path / "t")
+    t._write_checkpoint(t.snapshot())
+    t.append(spark.range(5000, 5050).selectExpr("id AS k", "id % 7 AS v"))
+    t.delete(where=[("k", "<", 10)])
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    for where in (None, [("k", "<", 100)], [("k", ">=", 5040)]):
+        with_spark = t._plan_distributed(None, None, None, None, where)
+        streamed = ManagedTable(None, t.root)._plan_distributed(
+            None, None, None, None, where
+        )
+        assert with_spark is not None and streamed is not None
+        key = lambda f: (  # noqa: E731
+            f.path, f.partition, f.rows, f.dv_paths, f.dv_rows, f.bloom_path
+        )
+        assert sorted(map(key, streamed[0])) == sorted(map(key, with_spark[0]))
+        assert streamed[1] == with_spark[1]
+
+
+def test_declarative_partitions_stream_plan_on_wide_manifest(spark, tmp_path):
+    """The datasource's partitions() at 100k+ manifest entries: the
+    session-less streamed planner must serve it (the gate passes with no
+    monkeypatching — proof the REAL declarative path scales), returning
+    only the surviving partition."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableBatchReader,
+    )
+
+    t = _synthetic_wide_manifest(spark, tmp_path / "wide3", 100_001)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    reader = ManagedTableBatchReader(
+        str(t.root),
+        {"versionasof": "1", "where": '[["k", "=", 123456]]'},
+        schema,
+    )
+    parts = reader.partitions()
+    assert [Path(p.path).name for p in parts] == ["0012345.parquet"]
