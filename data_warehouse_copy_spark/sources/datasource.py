@@ -502,6 +502,11 @@ class ManagedTableBatchReader(DataSourceReader):
         self.options = options
         self.schema_json = schema.json()
         self.where = _parse_where_option(options)
+        if _opt_bool(options, "changefeed"):
+            raise ValueError(
+                "changeFeed is a STREAMING option (spark.readStream); "
+                "batch row-level CDC uses changesFrom/changesTo"
+            )
         # Snapshot isolation also on the explicit-.schema(...) path, where
         # DataSource.schema() (which normally pins) never runs: resolve
         # the version ONCE at reader construction so partitions() cannot
@@ -531,68 +536,12 @@ class ManagedTableBatchReader(DataSourceReader):
         root = Path(self.root)
         cf = self.options.get("changesfrom")
         if cf is not None:
-            # ROW-LEVEL CDC (Delta CDF shape, via ManagedTable._cdf_plan):
-            # per commit in (changesFrom, changesTo] — new files read whole
-            # (insert / update_postimage), files a commit DV-tombstoned
-            # read ONLY the commit's new positions (delete /
-            # update_preimage), files removed outright read minus their
-            # prior DVs (delete). Insert partitions stats/bloom-prune by
-            # the where option like any other scan; delete-side partitions
-            # prune on stats only (their rows are a subset of the file's
-            # span, so file stats stay a sound bound).
-            from data_warehouse_copy_spark.sources.bloom import bloom_keeper
-
             t = _require_table(self.root)
             to = self.options.get("changesto")
-            bkeep = bloom_keeper(root, self.where)
-
-            def admits(stats) -> bool:
-                return all(
-                    _file_may_match(stats, c, op, val)
-                    for c, op, val in self.where
-                )
-
-            out: list[FilePartition] = []
-            for v, op, new_files, new_dvs, affected, removed_prior in (
-                t._cdf_plan(int(cf), int(to) if to is not None else None)
-            ):
-                post_t = "update_postimage" if op == "update" else "insert"
-                pre_t = "update_preimage" if op == "update" else "delete"
-                for e in new_files:
-                    if admits(e.get("stats")) and bkeep(
-                        e["path"], e.get("bloom_path")
-                    ):
-                        out.append(
-                            FilePartition(
-                                str(root / e["path"]),
-                                version=v,
-                                change_type=post_t,
-                            )
-                        )
-                dv_abs = tuple(str(root / p) for p in new_dvs)
-                for e in affected:
-                    if admits(e.get("stats")):
-                        out.append(
-                            FilePartition(
-                                str(root / e["path"]),
-                                version=v,
-                                rel=e["path"],
-                                change_type=pre_t,
-                                dv_include=dv_abs,
-                            )
-                        )
-                for f in removed_prior:
-                    if admits(f.stats):
-                        out.append(
-                            FilePartition(
-                                str(root / f.path),
-                                version=v,
-                                rel=f.path,
-                                dvs=tuple(str(root / p) for p in f.dv_paths),
-                                change_type="delete",
-                            )
-                        )
-            return out
+            return _cdf_partitions(
+                t, root, int(cf), int(to) if to is not None else None,
+                self.where,
+            )
         # Bounded-memory planning first (same gate as ManagedTable.read):
         # past 50k live entries the three skip tiers stream over the
         # parquet checkpoint and this planning worker holds only the
@@ -656,6 +605,68 @@ class ManagedTableBatchReader(DataSourceReader):
         )
 
 
+def _cdf_partitions(
+    t: ManagedTable, root: Path, from_v: int, to_v: int | None, where: list
+) -> "list[FilePartition]":
+    """ROW-LEVEL CDC partitions (Delta CDF shape, via
+    ``ManagedTable._cdf_plan``) for commits in ``(from_v, to_v]`` — the
+    ONE builder shared by the batch ``changesFrom`` read and the
+    streaming ``changeFeed`` tail, so their semantics cannot diverge.
+    Per commit: new files read whole (insert / update_postimage), files
+    the commit DV-tombstoned read ONLY its new positions (delete /
+    update_preimage), files removed outright read minus their prior DVs
+    (delete). Insert partitions stats/bloom-prune by the ``where``
+    option like any other scan; delete-side partitions prune on stats
+    only (their rows are a subset of the file's span, so file stats stay
+    a sound bound)."""
+    from data_warehouse_copy_spark.sources.bloom import bloom_keeper
+
+    bkeep = bloom_keeper(root, where)
+
+    def admits(stats) -> bool:
+        return all(_file_may_match(stats, c, op, val) for c, op, val in where)
+
+    out: list[FilePartition] = []
+    for v, op, new_files, new_dvs, affected, removed_prior in t._cdf_plan(
+        from_v, to_v
+    ):
+        post_t = "update_postimage" if op == "update" else "insert"
+        pre_t = "update_preimage" if op == "update" else "delete"
+        for e in new_files:
+            if admits(e.get("stats")) and bkeep(e["path"], e.get("bloom_path")):
+                out.append(
+                    FilePartition(
+                        str(root / e["path"]), version=v, change_type=post_t
+                    )
+                )
+        dv_abs = tuple(str(root / p) for p in new_dvs)
+        for e in affected:
+            if admits(e.get("stats")):
+                out.append(
+                    FilePartition(
+                        str(root / e["path"]),
+                        version=v,
+                        rel=e["path"],
+                        change_type=pre_t,
+                        dv_include=dv_abs,
+                    )
+                )
+        for f in removed_prior:
+            # update-commit evictions/rewrites carry the preimage type
+            # (same rule + rationale as ManagedTable.read_cdf)
+            if admits(f.stats):
+                out.append(
+                    FilePartition(
+                        str(root / f.path),
+                        version=v,
+                        rel=f.path,
+                        dvs=tuple(str(root / p) for p in f.dv_paths),
+                        change_type=pre_t,
+                    )
+                )
+    return out
+
+
 class ManagedTableStreamReader(DataSourceStreamReader):
     """Tails the commit log. Batches project to the PLANNING-TIME declared
     schema, so the stream survives a mid-flight additive evolution (the
@@ -667,6 +678,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         self.schema_json = schema.json()
         self._skip_changes = _opt_bool(options, "skipchangecommits")
         self._ignore_changes = _opt_bool(options, "ignorechanges")
+        self._change_feed = _opt_bool(options, "changefeed")
         self._starting = options.get("startingversion")
         if options.get("changesfrom") is not None or (
             options.get("changesto") is not None
@@ -674,7 +686,14 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "changesFrom/changesTo are batch CDC options; a stream IS "
                 "the change feed — bound where tailing begins with "
-                "startingVersion instead"
+                "startingVersion instead (add changeFeed=true for "
+                "row-level _change_type delivery)"
+            )
+        if self._change_feed and (self._skip_changes or self._ignore_changes):
+            raise ValueError(
+                "changeFeed delivers rewrite commits as exact row-level "
+                "deletes+inserts — skipChangeCommits/ignoreChanges do not "
+                "combine with it"
             )
         # relation-scoped pruning predicate: selective tailing — the
         # stream subscribes to the subset of the table that may match
@@ -728,17 +747,30 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         if start.get("snapshot"):
             # initial snapshot: live files at end_v — deletes that happened
             # before the stream existed are already reflected (including
-            # merge-on-read deletion vectors, applied per file)
+            # merge-on-read deletion vectors, applied per file). On a
+            # changeFeed stream the snapshot rows are the feed's opening
+            # inserts (Delta's startingVersion-replay shape).
             end_m = t.snapshot(end_v)
             return [
                 FilePartition(
                     str(root / f.path),
                     rel=f.path if f.dv_paths else None,
                     dvs=tuple(str(root / p) for p in f.dv_paths),
+                    version=end_v if self._change_feed else None,
+                    change_type="insert" if self._change_feed else None,
                 )
                 for f in end_m.files
                 if keep(f.stats) and bkeep(f.path, f.bloom_path)
             ]
+        if self._change_feed:
+            # ROW-LEVEL tail: each micro-batch delivers the exact
+            # _change_type rows of its commit range — DV deletes surface
+            # (an added-rows tail silently misses them), rewrites render
+            # as delete+insert pairs instead of forcing
+            # skipChangeCommits/ignoreChanges compromises
+            return _cdf_partitions(
+                t, root, start["version"], end_v, self.where
+            )
         paths = []
         for v, op, adds, removed in t.commit_deltas(start["version"], end_v):
             if _cdc_skip(op):
@@ -772,9 +804,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         return _read_file_as_batches(
             partition.path,
             self.schema_json,
+            getattr(partition, "version", None),
             where=self.where,
             rel=partition.rel,
             dvs=partition.dvs,
+            change_type=getattr(partition, "change_type", None),
+            dv_include=getattr(partition, "dv_include", ()),
         )
 
     def commit(self, end: dict) -> None:
@@ -1169,6 +1204,35 @@ class ManagedTableDataSource(DataSource):
             raise ValueError(
                 "changesTo requires changesFrom (a CDC range has both "
                 "bounds; a plain read ignores neither silently)"
+            )
+        if _opt_bool(self.options, "changefeed"):
+            # streaming row-level feed: declared schema = table schema at
+            # the CURRENT head + the feed columns (the stream projects
+            # every batch to this planning-time schema)
+            if cf is not None:
+                raise ValueError(
+                    "changeFeed (streaming) does not combine with "
+                    "changesFrom/changesTo (batch CDC)"
+                )
+            end = t.snapshot()
+            base = (
+                T.StructType.fromJson(json.loads(end.schema_json))
+                if end.schema_json
+                else T.StructType([])
+            )
+            full = T.StructType(
+                list(base.fields)
+                + [
+                    T.StructField(_VERSION_COL, T.LongType(), True),
+                    T.StructField(_CHANGE_COL, T.StringType(), True),
+                ]
+            )
+            return _nullable(
+                T.StructType.fromJson(
+                    json.loads(
+                        _narrow_schema_json(full.json(), dict(self.options))
+                    )
+                )
             )
         if cf is not None:
             # CDC read: rows added in (changesFrom, changesTo], under the

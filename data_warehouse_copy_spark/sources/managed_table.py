@@ -1487,13 +1487,20 @@ class ManagedTable:
                 )
                 frames.append(tag(dead, pre_t, v))
             if removed_prior:
+                # files removed outright: on an UPDATE commit their
+                # prior-live rows are the update's preimages (a DV update
+                # evicts a file exactly when this commit tombstoned its
+                # every remaining row; a CoW update renders copied
+                # unchanged rows as equal-valued pre+post pairs — self
+                # consistent, re-applies exactly); anything else is a
+                # plain delete
                 gone = self._apply_dv(
                     reader.parquet(
                         *[str(self.root / e.path) for e in removed_prior]
                     ),
                     removed_prior,
                 )
-                frames.append(tag(gone, "delete", v))
+                frames.append(tag(gone, pre_t, v))
         if not frames:
             return self.spark.createDataFrame([], out_schema).coalesce(1)
         out = frames[0]
