@@ -93,6 +93,11 @@ _CKPT_EVERY = 20
 # ~10 ms). Tests lower it to force the distributed path on small tables.
 _DISTRIBUTED_PLAN_MIN_FILES = 50_000
 
+# Checkpoint retention: newest K checkpoint versions kept (json +
+# parquet twin); older ones sweep at checkpoint-write time. v0's
+# full-state record keeps every version reconstructible regardless.
+_CKPT_KEEP = 3
+
 
 class CommitConflict(Exception):
     """Internal: another process created this manifest version first."""
@@ -562,11 +567,14 @@ class ManagedTable:
                 break
             ck = self._ckpt_path(v)
             if v and self._proto.exists(ck):
-                start = _manifest_from_full(
-                    json.loads(self._proto.read_text(ck))
-                )
-                reads += 1
-                break
+                try:
+                    start = _manifest_from_full(
+                        json.loads(self._proto.read_text(ck))
+                    )
+                    reads += 1
+                    break
+                except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                    pass  # swept by retention mid-read: replay instead
             raw = self._raw(v)
             reads += 1
             if "files" in raw:
@@ -685,6 +693,33 @@ class ManagedTable:
             self._write_checkpoint_parquet(m)
         except OSError:
             pass
+        self._sweep_old_checkpoints(m.version)
+
+    def _sweep_old_checkpoints(self, head: int) -> None:
+        """Checkpoint retention (Delta's log-cleanup analogue): each
+        checkpoint is O(live files) bytes, so keeping every one makes
+        ``_log`` grow as files × versions/20 — at 10⁶ files that is
+        ~16 MB every 20 commits, unbounded. Keep the newest
+        ``_CKPT_KEEP``; older ones delete best-effort. Deleting a
+        checkpoint never loses data (v0 is a full-state record, so any
+        version still reconstructs by a longer action replay) — a
+        time-travel read racing the sweep falls through to that replay
+        (see :meth:`_reconstruct`), slower, never wrong."""
+        log_dir = self.root / "_log"
+        try:
+            versions = {
+                int(p.name[:20])
+                for pat in ("*.checkpoint.json", "*.checkpoint.parquet")
+                for p in log_dir.glob(pat)
+            }
+        except (OSError, ValueError):
+            return
+        for v in sorted(versions, reverse=True)[_CKPT_KEEP:]:
+            for p in (self._ckpt_path(v), self._ckpt_parquet_path(v)):
+                try:
+                    p.unlink(missing_ok=True)
+                except OSError:
+                    pass
 
     def _ckpt_parquet_path(self, version: int) -> Path:
         return self.root / "_log" / f"{version:020d}.checkpoint.parquet"

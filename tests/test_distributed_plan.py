@@ -226,3 +226,25 @@ def test_declarative_partitions_stream_plan_on_wide_manifest(spark, tmp_path):
     )
     parts = reader.partitions()
     assert [Path(p.path).name for p in parts] == ["0012345.parquet"]
+
+
+def test_checkpoint_retention_sweeps_old(spark, tmp_path):
+    """Only the newest _CKPT_KEEP checkpoint versions survive; every
+    historical version still reconstructs (v0 full state + replay)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    df = spark.range(0, 5).selectExpr("id AS k", "id % 7 AS v")
+    n_commits = mt._CKPT_EVERY * (mt._CKPT_KEEP + 2)
+    for _ in range(n_commits):
+        t.append(df.coalesce(1))
+    log = (tmp_path / "t" / "_log")
+    ck_versions = sorted(
+        int(p.name[:20]) for p in log.glob("*.checkpoint.json")
+    )
+    assert len(ck_versions) == mt._CKPT_KEEP
+    assert ck_versions[-1] == n_commits - (n_commits % mt._CKPT_EVERY)
+    # parquet twins follow the same retention
+    assert len(list(log.glob("*.checkpoint.parquet"))) == mt._CKPT_KEEP
+    # an old version BELOW every surviving checkpoint still reconstructs
+    old_v = mt._CKPT_EVERY  # its checkpoint was swept
+    assert t.snapshot(old_v).total_rows == 5 * old_v
+    assert t.snapshot().total_rows == 5 * n_commits
