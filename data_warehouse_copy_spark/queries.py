@@ -4521,6 +4521,77 @@ FROM scored GROUP BY doc_id
 """
 
 
+def text_ccnet_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality partitioning (Wenzek et al., LREC
+    2020 §4.3): documents are scored by the unigram-LM perplexity proxy
+    (same scoring pass as ``text_unigram_logprob``), then split into
+    three equal tiers PER LANGUAGE by score — the standard crawl
+    curation step that keeps "head" for pretraining and drops or
+    down-samples "tail". Deterministic tie-break on doc_id, so the tier
+    assignment is value-exact against the oracle's NTILE.
+
+    100 TB plan shape: scoring is the broadcast-LM pass (corpus never
+    shuffles for the join; one per-doc aggregate shuffle); the tier
+    window's input is ONE ROW PER DOCUMENT (aggregate-sized, not
+    token-sized), partitioned by language. A billion-doc language makes
+    that partition a sort-spill — production computes the two cutoffs
+    from a bounded per-language sample and broadcasts them as plain
+    thresholds (exactly CCNet's own method); the exact NTILE here is
+    the oracle anchor for that approximation, same oracle-vs-scale
+    pairing as exact percentiles vs ``approx_analytics``."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = _spread(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("total"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log10(F.col("cnt") / F.col("total"))
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob10")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob10").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob10",
+            F.ntile(3).over(w).alias("tier"),
+        )
+    )
+
+
+CCNET_TIERS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+lm AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS total FROM toks),
+scored AS (
+  SELECT t.doc_id, CAST(log10(l.cnt / s.total) AS DECIMAL(18,9)) AS lp
+  FROM toks t JOIN lm l USING (tok) CROSS JOIN tot s),
+docscore AS (
+  SELECT doc_id, CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob10
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, d.lang, s.avg_logprob10,
+       NTILE(3) OVER (
+         PARTITION BY d.lang
+         ORDER BY s.avg_logprob10 DESC, d.doc_id ASC) AS tier
+FROM docscore s JOIN documents d USING (doc_id)
+"""
+
+
 # Registry ordering contract (pinned by tests/test_registry_order.py):
 # every oracle-backed query precedes every no-oracle one, and all
 # oracle-backed queries sit in the first 50 positions — the driver's
@@ -4623,6 +4694,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_ccnet_tiers": text_ccnet_tiers,
     "bloom_point_lookup": bloom_point_lookup,
     "replace_where_roundtrip": replace_where_roundtrip,
     "clone_roundtrip": clone_roundtrip,
@@ -4738,6 +4810,7 @@ ORACLES: dict[str, str] = {
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "text_ccnet_tiers": CCNET_TIERS_SQL,
     "bloom_point_lookup": BLOOM_LOOKUP_SQL,
     "replace_where_roundtrip": REPLACE_WHERE_SQL,
     "clone_roundtrip": CLONE_SQL,
