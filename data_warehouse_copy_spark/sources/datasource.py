@@ -1004,61 +1004,194 @@ def _commit_merge(root: str, schema: T.StructType, messages, key: str) -> None:
             if _file_may_match(f.stats, key, ">=", lo)
             and _file_may_match(f.stats, key, "<=", hi)
         ]
-        per_file: dict[str, int] = {}
-        pos_chunks: list[tuple[str, "np.ndarray"]] = []
-        for f in candidates:
-            col = (
-                pq.read_table(str(rootp / f.path), columns=[key])
-                .column(key)
-                .to_numpy(zero_copy_only=False)
-            )
-            hitpos = np.nonzero(np.isin(col, key_arr))[0].astype(np.int64)
-            if len(hitpos) and f.dv_paths:
-                dead = set(
-                    _dv_positions(
-                        tuple(str(rootp / d) for d in f.dv_paths),
-                        f.path,
-                        str(rootp / f.path),
-                    )
-                )
-                hitpos = np.array(
-                    [p for p in hitpos.tolist() if p not in dead],
-                    dtype=np.int64,
-                )
-            if len(hitpos) == 0:
-                continue
-            per_file[f.path] = int(len(hitpos))
-            pos_chunks.append((f.path, hitpos))
+        per_file, pos_chunks = _harvest_positions(
+            rootp,
+            candidates,
+            [key],
+            lambda tb: np.isin(
+                tb.column(key).to_numpy(zero_copy_only=False), key_arr
+            ),
+        )
         files = tuple(m.files)
         if per_file:
-            commit_id = uuid.uuid4().hex[:16]
-            dv_dir = rootp / "_dv" / commit_id
-            dv_dir.mkdir(parents=True, exist_ok=True)
-            uris: list[str] = []
-            rels: list[str] = []
-            poss: list[int] = []
-            for rel, hitpos in pos_chunks:
-                # os.path.abspath (NOT resolve): Hadoop qualifies the path
-                # we hand Spark without following symlinks, so this is the
-                # exact _metadata.file_path rendering the JVM anti-join
-                # keys on; the pyarrow reader keys on the rel path instead
-                uri = "file:" + os.path.abspath(str(rootp / rel))
-                uris.extend([uri] * len(hitpos))
-                rels.extend([rel] * len(hitpos))
-                poss.extend(int(p) for p in hitpos)
-            pq.write_table(
-                pa.table(
-                    {
-                        "file_uri": pa.array(uris, type=pa.string()),
-                        "file_path": pa.array(rels, type=pa.string()),
-                        "pos": pa.array(poss, type=pa.int64()),
-                    }
-                ),
-                dv_dir / "part-00000.parquet",
-            )
-            dv_files = (str((dv_dir / "part-00000.parquet").relative_to(rootp)),)
+            dv_files = _write_dv_sessionless(rootp, pos_chunks)
             files = ManagedTable._grow_dv(m.files, dv_files, per_file)
         t._commit_files(m, files + entries, commit_schema, "merge")
+
+
+def _harvest_positions(
+    rootp: Path, candidates, cols: list, mask_fn
+) -> "tuple[dict, list]":
+    """Per-candidate-file row positions where ``mask_fn(columns-table)``
+    holds, MINUS prior-DV-dead positions — the session-less (pyarrow)
+    twin of ``_scan_with_pos(...).filter(pred)``. Column-pruned reads:
+    only ``cols`` are materialized, one file at a time."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    per_file: dict[str, int] = {}
+    pos_chunks: list[tuple[str, "np.ndarray"]] = []
+    for f in candidates:
+        tb = pq.read_table(str(rootp / f.path), columns=cols)
+        hitpos = np.nonzero(mask_fn(tb))[0].astype(np.int64)
+        if len(hitpos) and f.dv_paths:
+            dead = set(
+                _dv_positions(
+                    tuple(str(rootp / d) for d in f.dv_paths),
+                    f.path,
+                    str(rootp / f.path),
+                )
+            )
+            hitpos = np.array(
+                [p for p in hitpos.tolist() if p not in dead],
+                dtype=np.int64,
+            )
+        if len(hitpos) == 0:
+            continue
+        per_file[f.path] = int(len(hitpos))
+        pos_chunks.append((f.path, hitpos))
+    return per_file, pos_chunks
+
+
+def _write_dv_sessionless(rootp: Path, pos_chunks: list) -> tuple:
+    """One deletion-vector parquet from ``pos_chunks`` (session-less
+    commit hooks). Dual-keyed rows: ``file_uri`` is the exact
+    ``_metadata.file_path`` rendering the JVM anti-join canonicalizes
+    (os.path.abspath, NOT resolve — Hadoop keeps symlinks), ``file_path``
+    the manifest key the pyarrow reader filters on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    commit_id = uuid.uuid4().hex[:16]
+    dv_dir = rootp / "_dv" / commit_id
+    dv_dir.mkdir(parents=True, exist_ok=True)
+    uris: list[str] = []
+    rels: list[str] = []
+    poss: list[int] = []
+    for rel, hitpos in pos_chunks:
+        uri = "file:" + os.path.abspath(str(rootp / rel))
+        uris.extend([uri] * len(hitpos))
+        rels.extend([rel] * len(hitpos))
+        poss.extend(int(p) for p in hitpos)
+    pq.write_table(
+        pa.table(
+            {
+                "file_uri": pa.array(uris, type=pa.string()),
+                "file_path": pa.array(rels, type=pa.string()),
+                "pos": pa.array(poss, type=pa.int64()),
+            }
+        ),
+        dv_dir / "part-00000.parquet",
+    )
+    return (str((dv_dir / "part-00000.parquet").relative_to(rootp)),)
+
+
+def _pd_where_mask(pdf, where: list) -> "np.ndarray":
+    """Evaluate a conjunctive ``(col, op, value)`` predicate over a
+    pandas frame — the session-less twin of ``_where_predicate``. NULL
+    predicate rows are excluded (SQL semantics); string values compare
+    against datetime columns as timestamps (the same cast Spark
+    applies)."""
+    import numpy as np
+    import pandas as pd
+
+    mask = np.ones(len(pdf), dtype=bool)
+    for c, op, v in where:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s) and isinstance(v, str):
+            v = pd.Timestamp(v)
+        if op == "in":
+            mi = s.isin(list(v))
+        else:
+            mi = {
+                "=": s == v,
+                "<": s < v,
+                "<=": s <= v,
+                ">": s > v,
+                ">=": s >= v,
+            }[op]
+        mask &= mi.fillna(False).to_numpy(dtype=bool)
+    return mask
+
+
+def _commit_replace_where(
+    root: str, schema: T.StructType, messages, where_opt: str
+) -> None:
+    """Predicate-scoped atomic overwrite through the declarative writer
+    (``.mode("overwrite").option("replaceWhere", '[[col, op, value],
+    ...]')`` — Delta's replaceWhere): rows matching the predicate are
+    DV-tombstoned and the staged files land, one atomic commit, same
+    contract as :meth:`ManagedTable.replace_where`. Session-less: the
+    predicate evaluates over column-pruned pyarrow reads of the
+    stats+bloom-scoped candidate files; every staged row must satisfy
+    the predicate (checked against the staged files' predicate columns
+    — Delta's constraint, otherwise a retried backfill deletes rows the
+    first attempt inserted outside the slice)."""
+    from data_warehouse_copy_spark.sources.managed_table import (
+        FileEntry,
+        ManagedTable,
+        _file_may_match,
+        _lock_for,
+    )
+
+    where = _parse_where_option({"where": where_opt})
+    if not where:
+        raise ValueError(
+            "replaceWhere requires a non-empty predicate; plain "
+            "mode('overwrite') is the truncate-and-load"
+        )
+    import pyarrow.parquet as pq
+
+    known = {f.name for f in schema.fields}
+    for c, _op, _v in where:
+        if c not in known:
+            raise ValueError(
+                f"replaceWhere column {c!r} is not a written column "
+                f"({sorted(known)})"
+            )
+    t = ManagedTable.create(None, root)
+    rootp = Path(root)
+    entries = tuple(
+        FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
+        for m in messages
+        if m is not None and m.path is not None
+    )
+    pred_cols = sorted({c for c, _, _ in where})
+    with _lock_for(t.root):
+        m = t.snapshot()
+        _check_writable(m, schema)
+        commit_schema = schema.json() if not m.schema_json else None
+        for e in entries:
+            pdf = pq.read_table(
+                str(rootp / e.path), columns=pred_cols
+            ).to_pandas()
+            n_bad = int((~_pd_where_mask(pdf, where)).sum())
+            if n_bad:
+                raise ValueError(
+                    f"replaceWhere: {n_bad} staged rows do not satisfy the "
+                    f"predicate {where!r} — the replacement must be "
+                    f"confined to the slice it replaces"
+                )
+        candidates = [
+            f
+            for f in m.files
+            if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
+        ]
+        if m.bloom_cols:
+            from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+            candidates = bloom_prune(rootp, candidates, where)
+        per_file, pos_chunks = _harvest_positions(
+            rootp,
+            candidates,
+            pred_cols,
+            lambda tb: _pd_where_mask(tb.to_pandas(), where),
+        )
+        files = tuple(m.files)
+        if per_file:
+            dv_files = _write_dv_sessionless(rootp, pos_chunks)
+            files = ManagedTable._grow_dv(m.files, dv_files, per_file)
+        t._commit_files(m, files + entries, commit_schema, "replace_where")
 
 
 def _abort_staged(root: str, messages) -> None:
@@ -1080,11 +1213,13 @@ class ManagedTableBatchWriter(DataSourceArrowWriter):
         schema: T.StructType,
         overwrite: bool,
         merge_key: str | None = None,
+        replace_where: str | None = None,
     ):
         self.root = root
         self.schema_json = schema.json()
         self.overwrite = overwrite
         self.merge_key = merge_key
+        self.replace_where = replace_where
 
     def write(self, iterator) -> FileCommit:
         return _stage_batches(self.root, iterator)
@@ -1093,6 +1228,11 @@ class ManagedTableBatchWriter(DataSourceArrowWriter):
         schema = T.StructType.fromJson(json.loads(self.schema_json))
         if self.merge_key:
             _commit_merge(self.root, schema, messages, self.merge_key)
+            return
+        if self.replace_where:
+            _commit_replace_where(
+                self.root, schema, messages, self.replace_where
+            )
             return
         _commit_staged(
             self.root,
@@ -1318,6 +1458,7 @@ class ManagedTableDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool) -> ManagedTableBatchWriter:
         self._fail_fast_writable(schema)
         merge_key = self.options.get("mergekey")
+        replace_where = self.options.get("replacewhere")
         if merge_key and overwrite:
             raise ValueError(
                 "option('mergeKey', ...) is an upsert — use mode('append'); "
@@ -1329,8 +1470,22 @@ class ManagedTableDataSource(DataSource):
                 f"mergeKey {merge_key!r} is not a column of the written "
                 f"dataframe ({sorted(f.name for f in schema.fields)})"
             )
+        if replace_where:
+            if merge_key:
+                raise ValueError(
+                    "mergeKey and replaceWhere are exclusive write modes"
+                )
+            if not overwrite:
+                raise ValueError(
+                    "replaceWhere scopes an OVERWRITE — use "
+                    "mode('overwrite') (Delta's contract; append would "
+                    "make the predicate meaningless)"
+                )
+            # validate the predicate shape at PLAN time, not commit time
+            _parse_where_option({"where": replace_where})
         return ManagedTableBatchWriter(
-            self._root(), schema, overwrite, merge_key=merge_key
+            self._root(), schema, overwrite, merge_key=merge_key,
+            replace_where=replace_where,
         )
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> ManagedTableStreamWriter:

@@ -888,3 +888,80 @@ class TestDeclarativeMerge:
         )
         with pytest.raises(ValueError, match="batch-writer option"):
             ds.streamWriter(schema, False)
+
+
+class TestDeclarativeReplaceWhere:
+    """mode('overwrite').option('replaceWhere', json) — Delta's
+    predicate-scoped atomic overwrite through the declarative writer,
+    session-less DV tombstones + staged appends in one commit."""
+
+    def _mk(self, spark, tmp_path, n=100):
+        t = ManagedTable.create(spark, tmp_path / "t")
+        t.append(
+            spark.range(0, n).selectExpr("id AS k", "id % 7 AS v")
+        )
+        return t
+
+    def test_roundtrip(self, spark, tmp_path, _registered):
+        t = self._mk(spark, tmp_path)
+        repl = spark.createDataFrame(
+            [(5, 100), (7, 100)], "k long, v long"
+        )
+        (
+            repl.write.format("managed_table")
+            .mode("overwrite")
+            .option("replaceWhere", '[["k", ">=", 5], ["k", "<", 10]]')
+            .save(str(t.root))
+        )
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        # slice [5,10) fully replaced by the two rows; everything else kept
+        assert got[5] == 100 and got[7] == 100
+        assert all(k not in got for k in (6, 8, 9))
+        assert len(got) == 100 - 5 + 2
+        assert t.snapshot().op == "replace_where"
+
+    def test_retry_is_idempotent(self, spark, tmp_path, _registered):
+        t = self._mk(spark, tmp_path)
+        repl = spark.createDataFrame([(5, 100)], "k long, v long")
+        for _ in range(2):  # a retried backfill converges
+            (
+                repl.write.format("managed_table")
+                .mode("overwrite")
+                .option("replaceWhere", '[["k", ">=", 5], ["k", "<", 8]]')
+                .save(str(t.root))
+            )
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got[5] == 100 and 6 not in got and 7 not in got
+        assert len(got) == 100 - 3 + 1
+
+    def test_out_of_slice_rows_rejected(self, spark, tmp_path, _registered):
+        t = self._mk(spark, tmp_path)
+        bad = spark.createDataFrame([(50, 1)], "k long, v long")
+        with pytest.raises(Exception, match="confined to the slice"):
+            (
+                bad.write.format("managed_table")
+                .mode("overwrite")
+                .option("replaceWhere", '[["k", "<", 10]]')
+                .save(str(t.root))
+            )
+        # nothing committed, nothing lost
+        assert t.read().count() == 100
+
+    def test_option_validation(self, spark, tmp_path, _registered):
+        t = self._mk(spark, tmp_path)
+        df = spark.createDataFrame([(1, 1)], "k long, v long")
+        with pytest.raises(Exception, match="OVERWRITE"):
+            (
+                df.write.format("managed_table")
+                .mode("append")
+                .option("replaceWhere", '[["k", "<", 10]]')
+                .save(str(t.root))
+            )
+        with pytest.raises(Exception, match="exclusive"):
+            (
+                df.write.format("managed_table")
+                .mode("append")
+                .option("replaceWhere", '[["k", "<", 10]]')
+                .option("mergeKey", "k")
+                .save(str(t.root))
+            )
