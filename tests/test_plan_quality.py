@@ -234,3 +234,44 @@ def test_semantic_lsh_clusters_stay_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_semantic_clusters_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dv_read_stays_equi_anti_join(spark, sf_dir):
+    """The canonical-path DV subtraction (round 6: scheme-strip +
+    url_decode + prefix-strip expressions instead of raw-URI equality)
+    must remain a hash/sort-merge EQUI anti-join — a nested-loop
+    fallback here would scan rows x dv_rows on every DV-carrying read."""
+    plan = _plan(spark, sf_dir, "predicate_delete_roundtrip")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdf_delete_feed_stays_equi_semi_join(spark, tmp_path):
+    """read_cdf's deleted-row reconstruction (scan ⋉ new-DV positions)
+    must be an equi LEFT SEMI join on (canonical path, position). (The
+    declarative changesFrom twin needs no JVM join at all — its
+    positions mask executor-side in the arrow scan.)"""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(100).select(F.col("id").alias("k")))
+    t.delete(where=[("k", "<", 5)])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.read_cdf(1).explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_tiers_lm_join_broadcasts(spark, sf_dir):
+    """The tier query's scoring join must broadcast the vocabulary-sized
+    LM onto the token stream — a shuffled LM join would re-shuffle the
+    whole corpus per scoring pass."""
+    plan = _plan(spark, sf_dir, "text_ccnet_tiers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
