@@ -4592,6 +4592,59 @@ FROM docscore s JOIN documents d USING (doc_id)
 """
 
 
+def text_ccnet_tiers_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``text_ccnet_tiers``: instead of an exact
+    per-language NTILE (whose window sorts each language's whole
+    per-document score set), the two tier cutoffs come from
+    ``approx_percentile`` — a mergeable sketch aggregate with CONSTANT
+    memory per language, map-side combined, so no sort and no
+    billion-row window partition anywhere. The |langs|-row cutoff table
+    broadcasts back onto the scores and the tier is a pure CASE
+    projection. This is CCNet's own method (cutoffs from a bounded
+    sample); tier agreement vs the exact NTILE anchor is pinned in
+    tests/test_text.py. Approximate by design → rows-only entry."""
+    (docs,) = _prep(spark, sf_dir, "documents")
+    toks = _spread(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    lm = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("total"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log10(F.col("cnt") / F.col("total"))
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("lp").cast("double") / F.count("*")).alias("avg_logprob10")
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr(
+            "percentile_approx(avg_logprob10, "
+            "array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), 10000)"
+        ).alias("c")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob10",
+            # score DESC tiers: head = top third (above the 2/3 cutoff)
+            F.when(F.col("avg_logprob10") >= F.col("c")[1], F.lit(1))
+            .when(F.col("avg_logprob10") >= F.col("c")[0], F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("tier"),
+        )
+    )
+
+
 # Registry ordering contract (pinned by tests/test_registry_order.py):
 # every oracle-backed query precedes every no-oracle one, and all
 # oracle-backed queries sit in the first 50 positions — the driver's
@@ -4713,6 +4766,7 @@ QUERIES: dict[str, QueryFn] = {
     "ml_text_metrics": ml_text_metrics,
     "events_distinct_sketch_rollup": events_distinct_sketch_rollup,
     "multimodal_audio_spectral": multimodal_audio_spectral,
+    "text_ccnet_tiers_sampled": text_ccnet_tiers_sampled,
 }
 
 ORACLES: dict[str, str] = {

@@ -298,3 +298,30 @@ def test_unigram_logprob_orders_docs_by_token_rarity(spark, sf_dir):
     # n_tokens matches the whitespace token count exactly on a spot sample
     doc0 = next(r for r in rows if r.doc_id == rows[0].doc_id)
     assert doc0.n_tokens > 0
+
+
+def test_ccnet_sampled_tiers_agree_with_exact(spark, sf_dir):
+    """The sketch-cutoff scale twin must assign the same tier as the
+    exact NTILE anchor for nearly every document (disagreement is
+    confined to scores at the sketch's cutoff error band)."""
+    from data_warehouse_copy_spark.queries import (
+        text_ccnet_tiers,
+        text_ccnet_tiers_sampled,
+    )
+
+    exact = {
+        r["doc_id"]: r["tier"]
+        for r in text_ccnet_tiers(spark, sf_dir).collect()
+    }
+    approx = {
+        r["doc_id"]: r["tier"]
+        for r in text_ccnet_tiers_sampled(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    agree = sum(1 for d in exact if exact[d] == approx[d]) / len(exact)
+    assert agree >= 0.9, f"tier agreement {agree:.3f} below floor"
+    # every language keeps three non-empty tiers
+    langs = {}
+    for r in text_ccnet_tiers_sampled(spark, sf_dir).collect():
+        langs.setdefault(r["lang"], set()).add(r["tier"])
+    assert all(t == {1, 2, 3} for t in langs.values())
