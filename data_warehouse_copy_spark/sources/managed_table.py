@@ -3308,7 +3308,11 @@ class ManagedTable:
             "remaining": len(pending),
         }
 
-    def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> int:
+    def vacuum(
+        self,
+        retention_seconds: float = 7 * 24 * 3600.0,
+        distributed: bool | None = None,
+    ) -> int:
         """Delete data files not referenced by the latest manifest. Returns
         number of files removed. (Old versions become unreadable — run only
         when time travel is not needed.)
@@ -3320,9 +3324,34 @@ class ManagedTable:
         7-day retention — the same default, for the same reason, as Delta's
         VACUUM — keeping the no-argument call safe beside live writers;
         ``retention_seconds=0`` is an explicit opt-in for quiesced
-        tables."""
+        tables.
+
+        Past the distributed-planning gate (parquet checkpoint with
+        ≥ ``_DISTRIBUTED_PLAN_MIN_FILES`` entries) the sweep runs AS A
+        SPARK JOB (``distributed=None`` auto-selects; force with
+        True/False): the directory listing streams into a scratch
+        parquet, the live set is the manifest-as-data scan (checkpoint +
+        tail — never materialized in driver memory), garbage =
+        listing ⟕̸ live, and the unlinks execute inside the job. Driver
+        memory stays O(1); only a removed-count aggregate comes back —
+        the Delta VACUUM shape."""
         import time
 
+        if distributed is None:
+            distributed = False
+            if self.spark is not None:
+                base = self._plan_base(self._head_version())
+                if base is not None:
+                    import pyarrow.parquet as pq
+
+                    distributed = (
+                        pq.ParquetFile(base[0]).metadata.num_rows
+                        >= _DISTRIBUTED_PLAN_MIN_FILES
+                    )
+        if distributed:
+            if self.spark is None:
+                raise ValueError("distributed vacuum needs a SparkSession")
+            return self._vacuum_distributed(retention_seconds)
         m = self.snapshot()
         live = {str(self.root / f.path) for f in m.files}
         live_dv = {str(self.root / p) for f in m.files for p in f.dv_paths}
@@ -3353,6 +3382,102 @@ class ManagedTable:
                     p.unlink()
                     removed += 1
         return removed
+
+    def _vacuum_distributed(self, retention_seconds: float) -> int:
+        """The Spark-job sweep behind :meth:`vacuum` (see there). The
+        listing streams to a scratch parquet in bounded batches (the
+        driver never holds the file list), the live set is
+        :meth:`manifest_df` + its exploded DV/bloom sidecars, and the
+        anti-join's survivors unlink executor-side."""
+        import time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cutoff = time.time() - retention_seconds
+        scratch = self.root / "_staging" / f"vacuum_{uuid.uuid4().hex[:12]}"
+        scratch.mkdir(parents=True, exist_ok=True)
+        listing = scratch / "listing.parquet"
+        schema = pa.schema(
+            [("path", pa.string()), ("mtime", pa.float64())]
+        )
+        writer = pq.ParquetWriter(listing, schema)
+        batch_paths: list[str] = []
+        batch_mtime: list[float] = []
+        n_listed = 0
+        try:
+            for d in ("data", "_dv", "_bloom"):
+                sub = self.root / d
+                if not sub.exists():
+                    continue
+                for p in sub.rglob("*.parquet"):
+                    try:
+                        mt = p.stat().st_mtime
+                    except OSError:
+                        continue  # deleted under us
+                    batch_paths.append(str(p.relative_to(self.root)))
+                    batch_mtime.append(mt)
+                    if len(batch_paths) >= 65536:
+                        writer.write_batch(
+                            pa.record_batch(
+                                [batch_paths, batch_mtime], schema=schema
+                            )
+                        )
+                        n_listed += len(batch_paths)
+                        batch_paths, batch_mtime = [], []
+            writer.write_batch(
+                pa.record_batch([batch_paths, batch_mtime], schema=schema)
+            )
+            n_listed += len(batch_paths)
+            writer.close()
+            mdf = self.manifest_df()
+            live = (
+                mdf.select(F.col("path"))
+                .unionByName(
+                    mdf.select(F.explode("dv_paths").alias("path"))
+                )
+                .unionByName(
+                    mdf.filter(F.col("bloom_path").isNotNull()).select(
+                        F.col("bloom_path").alias("path")
+                    )
+                )
+            )
+            cand = (
+                self.spark.read.schema("path string, mtime double")
+                .parquet(str(listing))
+                .filter(F.col("mtime") <= F.lit(cutoff))
+                .join(live, "path", "left_anti")
+            )
+            root_str = str(self.root)
+
+            def rm(batches):
+                import os as _os
+
+                import pandas as _pd
+
+                for pdf in batches:
+                    n = 0
+                    for rel in pdf["path"]:
+                        # paths came from OUR listing (relative, under
+                        # the three swept dirs) — still, never step out
+                        if rel.startswith(("/", "..")) or ".." in rel:
+                            continue
+                        try:
+                            _os.unlink(_os.path.join(root_str, rel))
+                            n += 1
+                        except OSError:
+                            pass
+                    yield _pd.DataFrame({"n": [n]})
+
+            row = (
+                cand.repartition(self.spark.sparkContext.defaultParallelism)
+                .mapInPandas(rm, "n long")
+                .agg(F.sum("n").alias("n"))
+                .collect()[0]
+            )
+            return int(row["n"] or 0)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _prune_manifest_pdf(pdf, lo, hi, parts, where_ser: list, keeper):

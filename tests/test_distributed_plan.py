@@ -248,3 +248,48 @@ def test_checkpoint_retention_sweeps_old(spark, tmp_path):
     old_v = mt._CKPT_EVERY  # its checkpoint was swept
     assert t.snapshot(old_v).total_rows == 5 * old_v
     assert t.snapshot().total_rows == 5 * n_commits
+
+
+def test_distributed_vacuum_matches_classic(spark, tmp_path, monkeypatch):
+    """The Spark-job vacuum must delete exactly what the classic sweep
+    deletes (garbage from rewrites/compaction/DV folding) and leave the
+    table byte-identical to read."""
+
+    def build(root):
+        t = _mk(spark, root)
+        t.delete(where=[("k", "<", 100)])   # DV parquet garbage later
+        t.compact()                          # folds DVs, orphans originals
+        t.append(
+            spark.range(5000, 5010).selectExpr("id AS k", "id % 7 AS v")
+        )
+        t._write_checkpoint(t.snapshot())
+        return t
+
+    a = build(tmp_path / "a")
+    b = build(tmp_path / "b")
+    before = sorted(map(tuple, a.read().collect()))
+    n_classic = a.vacuum(retention_seconds=0.0, distributed=False)
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    n_dist = b.vacuum(retention_seconds=0.0)  # auto-selects distributed
+    assert n_dist == n_classic > 0
+    assert sorted(map(tuple, b.read().collect())) == before
+    # leftover files identical in count per directory
+    for d in ("data", "_dv", "_bloom"):
+        fa = len(list((tmp_path / "a" / d).rglob("*.parquet"))) if (
+            tmp_path / "a" / d).exists() else 0
+        fb = len(list((tmp_path / "b" / d).rglob("*.parquet"))) if (
+            tmp_path / "b" / d).exists() else 0
+        assert fa == fb
+    # scratch listing cleaned up
+    assert not list((tmp_path / "b" / "_staging").glob("vacuum_*"))
+
+
+def test_distributed_vacuum_respects_retention(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    t = _mk(spark, tmp_path / "t")
+    t._write_checkpoint(t.snapshot())
+    t.overwrite(spark.range(3).selectExpr("id AS k", "id % 7 AS v"))
+    # young garbage is protected by the cutoff
+    assert t.vacuum(retention_seconds=3600.0, distributed=True) == 0
+    assert t.vacuum(retention_seconds=0.0, distributed=True) > 0
+    assert t.read().count() == 3
