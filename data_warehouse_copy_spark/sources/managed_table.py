@@ -862,6 +862,7 @@ class ManagedTable:
         partition_max: str | None,
         partitions: set | None,
         where: list | None,
+        keep_stats: bool = False,
     ) -> "tuple[list[FileEntry], str | None] | None":
         """File pruning as a SPARK JOB over the parquet checkpoint + tail
         (the VERDICT r5 driver-ceiling item): every tier the driver path
@@ -905,7 +906,8 @@ class ManagedTable:
             )
             return (
                 self._planned_entries(
-                    rows, adds, lo, hi, parts, where_ser, use_bloom
+                    rows, adds, lo, hi, parts, where_ser, use_bloom,
+                    keep_stats=keep_stats,
                 ),
                 schema_json,
             )
@@ -920,7 +922,13 @@ class ManagedTable:
             # so skip the pruning job and collect the (path-level) list
             # directly; column pruning keeps the collect lean
             rows = mdf.collect()
-            return self._planned_entries(rows, adds, lo, hi, parts, where_ser, use_bloom), schema_json
+            return (
+                self._planned_entries(
+                    rows, adds, lo, hi, parts, where_ser, use_bloom,
+                    keep_stats=keep_stats,
+                ),
+                schema_json,
+            )
         # One checkpoint file reads as one input split; fan the pruning
         # out over the cluster (a 10^6-row manifest is ~14 MB — the
         # shuffle is trivial next to a single-threaded Python scan).
@@ -943,7 +951,10 @@ class ManagedTable:
 
         rows = mdf.mapInPandas(prune, self._MANIFEST_ROW_SCHEMA).collect()
         return (
-            self._planned_entries(rows, adds, lo, hi, parts, where_ser, use_bloom),
+            self._planned_entries(
+                rows, adds, lo, hi, parts, where_ser, use_bloom,
+                keep_stats=keep_stats,
+            ),
             schema_json,
         )
 
@@ -971,7 +982,8 @@ class ManagedTable:
         return out
 
     def _planned_entries(
-        self, rows, adds: dict, lo, hi, parts, where_ser: list, use_bloom: bool
+        self, rows, adds: dict, lo, hi, parts, where_ser: list,
+        use_bloom: bool, keep_stats: bool = False,
     ) -> "list[FileEntry]":
         """Assemble the distributed plan's survivors: collected checkpoint
         rows (already pruned, stats dropped) plus the action tail's adds —
@@ -982,7 +994,14 @@ class ManagedTable:
                 path=r["path"],
                 partition=r["partition"],
                 rows=r["rows"],
-                stats=None,  # already consumed by the pruning job
+                # stats are consumed by the pruning job; the bounded DML
+                # commit path re-parses them (keep_stats) because its
+                # re-versioned entries must keep pruning power
+                stats=(
+                    json.loads(r["stats_json"])
+                    if keep_stats and r["stats_json"]
+                    else None
+                ),
                 # explicit None check: the streamed path hands numpy
                 # arrays, whose `or ()` truthiness is ambiguous
                 dv_paths=tuple(
@@ -1951,6 +1970,17 @@ class ManagedTable:
         if strategy not in ("dv", "cow"):
             raise ValueError(f"delete strategy must be 'dv' or 'cow', got {strategy!r}")
         with _lock_for(self.root):
+            if strategy == "dv":
+                # bounded path first (the write-side driver ceiling): past
+                # the planning gate, candidates come from the distributed
+                # plan and the commit is O(touched) — the full file list
+                # is never materialized
+                head = self._head_version()
+                planned = self._plan_distributed(
+                    head, None, None, None, where, keep_stats=True
+                )
+                if planned is not None:
+                    return self._delete_dv_bounded(head, planned, where)
             m = self.snapshot()
             candidates = [
                 f
@@ -1969,6 +1999,115 @@ class ManagedTable:
             if strategy == "dv":
                 return self._delete_dv(m, candidates, where)
             return self._delete_cow(m, candidates, where)
+
+    def _delete_dv_bounded(
+        self, base_version: int, planned: tuple, where: list[tuple]
+    ) -> int:
+        """DV delete with O(touched) driver memory: candidates are the
+        distributed plan's survivors (stats retained — the re-versioned
+        entries must keep their pruning power), the DV write is the
+        normal one pass, and the commit is an action-diff that never
+        constructs the full file list (:meth:`_commit_bounded`)."""
+        sel, schema_json = planned
+        if not sel:
+            self._commit_bounded(base_version, (), set(), "delete_noop")
+            return 0
+        hits = self._scan_with_pos(
+            None, sel, schema_json=schema_json
+        ).filter(_where_predicate(where))
+        dv_files, per_file = self._write_dv(hits)
+        if dv_files is None:
+            self._commit_bounded(base_version, (), set(), "delete_noop")
+            return 0
+        by_path = {f.path: f for f in sel}
+        stray = sorted(set(per_file) - set(by_path))
+        if stray:  # same loud guard as _grow_dv
+            raise RuntimeError(
+                f"deletion-vector accounting references {len(stray)} "
+                f"path(s) outside the planned candidates (first: "
+                f"{stray[0]!r}); refusing to commit"
+            )
+        changed = []
+        removed: set[str] = set()
+        for rel, n in per_file.items():
+            f = by_path[rel]
+            nf = _dc_replace(
+                f, dv_paths=f.dv_paths + dv_files, dv_rows=f.dv_rows + n
+            )
+            removed.add(rel)
+            if nf.dv_rows < nf.rows:  # fully-dead entries leave outright
+                changed.append(nf)
+        self._commit_bounded(base_version, tuple(changed), removed, "delete")
+        return sum(per_file.values())
+
+    def _commit_bounded(
+        self,
+        base_version: int,
+        added: tuple,
+        removed_paths: set,
+        op: str,
+    ) -> None:
+        """O(touched)-memory commit: write the action diff directly on
+        top of ``base_version`` without ever materializing the full file
+        list (the write-side twin of distributed planning; DML-only — no
+        schema change, no txn, no clustering change rides this path).
+
+        Concurrency: on a version collision, replay the commits landed
+        since the base and REBASE iff none of them touched this commit's
+        files (their diffs commute); a racer that removed or re-versioned
+        a touched file gets a clean :class:`ConcurrentWriteError` — the
+        same outcome the entry-equality guard in ``_commit_files`` gives,
+        derived from the action log instead of two full snapshots.
+
+        Deliberately neither primes the snapshot cache (this commit does
+        not know the full state; an older cached manifest stays correct —
+        it replays this action on top) nor writes a checkpoint (the next
+        full-state commit resumes the cadence; until then snapshots pay a
+        longer action tail, and once the tail outgrows the planner's
+        walk bound the bounded gate itself closes and DML falls back to
+        the classic path — which checkpoints)."""
+        import time
+
+        touched = removed_paths | {f.path for f in added}
+        base_v = base_version
+        for attempt in range(_COMMIT_MAX_ATTEMPTS):
+            version = base_v + 1
+            ts = _utcnow()
+            try:
+                braw = self._raw(base_v)
+                base_ets = braw.get("ets") or braw["ts"]
+            except (FileNotFoundError, KeyError):
+                base_ets = ts
+            action = {
+                "version": version,
+                "op": op,
+                "ts": ts,
+                "ets": max(ts, base_ets),
+                "add": [_entry_dict(f) for f in added],
+                "remove": sorted(removed_paths),
+                "schema_json": None,
+                "txn": None,
+            }
+            try:
+                self._put_version(version, json.dumps(action, indent=1))
+            except CommitConflict:
+                head = self._head_version()
+                for _v, _op, adds2, rem2 in self.commit_deltas(base_v, head):
+                    if touched & (rem2 | {e["path"] for e in adds2}):
+                        raise ConcurrentWriteError(
+                            f"{op} at {self.root}: a concurrent commit "
+                            f"rewrote or re-versioned files this commit "
+                            f"also touches; re-read and retry"
+                        ) from None
+                base_v = head
+                time.sleep(_COMMIT_BACKOFF_S * (attempt + 1))
+                continue
+            self._advance_latest(version)
+            return
+        raise ConcurrentWriteError(
+            f"{op} at {self.root}: gave up after {_COMMIT_MAX_ATTEMPTS} "
+            f"commit attempts under contention"
+        )
 
     def _delete_cow(self, m: Manifest, candidates: list, where: list[tuple]) -> int:
         cand_df = self._scan_with_pos(m, candidates)
@@ -2001,19 +2140,23 @@ class ManagedTable:
         self._commit_files(m, files, m.schema_json, "delete")
         return sum(per_file.values())
 
-    def _scan_with_pos(self, m: Manifest, candidates: list) -> DataFrame:
+    def _scan_with_pos(
+        self,
+        m: "Manifest | None",
+        candidates: list,
+        schema_json: str | None = None,
+    ) -> DataFrame:
         """Scan ``candidates`` under the manifest schema with each row's
         ``(__dwcs_uri, __dwcs_pos)`` file coordinates attached and rows
         already deleted by PRIOR deletion vectors subtracted — the ALIVE
-        rows a DML operation may act on."""
+        rows a DML operation may act on. Bounded-commit callers pass
+        ``m=None`` + ``schema_json`` (the distributed plan's header) so
+        no full manifest need exist."""
+        sj = m.schema_json if m is not None else schema_json
         schema = (
-            T.StructType.fromJson(json.loads(m.schema_json))
-            if m.schema_json
-            else T.StructType([])
+            T.StructType.fromJson(json.loads(sj)) if sj else T.StructType([])
         )
-        reader = (
-            self.spark.read.schema(schema) if m.schema_json else self.spark.read
-        )
+        reader = self.spark.read.schema(schema) if sj else self.spark.read
         df = (
             reader.parquet(*[str(self.root / f.path) for f in candidates])
             .withColumn("__dwcs_uri", F.col("_metadata.file_path"))

@@ -293,3 +293,86 @@ def test_distributed_vacuum_respects_retention(spark, tmp_path, monkeypatch):
     assert t.vacuum(retention_seconds=3600.0, distributed=True) == 0
     assert t.vacuum(retention_seconds=0.0, distributed=True) > 0
     assert t.read().count() == 3
+
+
+class TestBoundedDmlCommit:
+    """Write-side twin of distributed planning: past the gate, delete()
+    plans candidates distributively and commits an action diff without
+    ever materializing the full file list."""
+
+    def _mk(self, spark, root):
+        t = _mk(spark, root)
+        t._write_checkpoint(t.snapshot())
+        return t
+
+    def test_bounded_delete_matches_classic(self, spark, tmp_path, monkeypatch):
+        a = self._mk(spark, tmp_path / "a")
+        b = self._mk(spark, tmp_path / "b")
+        na = a.delete(where=[("k", "<", 10)])  # classic (gate stays high)
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        nb = b.delete(where=[("k", "<", 10)])  # bounded
+        assert na == nb == 10
+        assert b.snapshot().op == "delete"
+        assert sorted(map(tuple, b.read().collect())) == sorted(
+            map(tuple, a.read().collect())
+        )
+        # re-versioned entries KEPT their stats (pruning power survives)
+        m = b.snapshot()
+        assert all(f.stats for f in m.files if f.dv_rows)
+        assert [r["k"] for r in b.read(where=[("k", "=", 500)]).collect()] == [500]
+        # second bounded delete excludes first's dead rows (prior DVs)
+        assert b.delete(where=[("k", "<", 15)]) == 5
+        assert b.read().count() == 1000 - 15
+
+    def test_bounded_noop_and_eviction(self, spark, tmp_path, monkeypatch):
+        t = self._mk(spark, tmp_path / "t")
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        assert t.delete(where=[("k", "=", 10**9)]) == 0
+        assert t.snapshot().op == "delete_noop"
+        # gut one whole file (k % 4 == 0): entry must leave the manifest
+        t2 = self._mk(spark, tmp_path / "t2")
+        n_files_before = len(t2.snapshot().files)
+        # file 0 holds k % 4 == 0; delete exactly those rows
+        src_keys = [k for k in range(1000) if k % 4 == 0]
+        assert t2.delete(where=[("k", "in", src_keys)]) == len(src_keys)
+        m = t2.snapshot()
+        assert len(m.files) == n_files_before - 1  # evicted outright
+        assert t2.read().count() == 1000 - len(src_keys)
+
+    def test_bounded_commit_rebases_disjoint_and_rejects_conflicts(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = self._mk(spark, tmp_path / "t")
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        base = t._head_version()
+        f0 = t.snapshot().files[0]
+        # a racer lands base+1 touching a DIFFERENT file
+        other = t.snapshot().files[1]
+        t._commit_bounded(
+            base,
+            (mt._dc_replace(other, dv_rows=other.dv_rows),),
+            {other.path},
+            "delete",
+        )
+        # our bounded commit from the SAME base must rebase cleanly
+        t._commit_bounded(base, (f0,), {f0.path}, "delete")
+        assert t._head_version() == base + 2
+        # and a commit whose files the racer touched must be rejected
+        with pytest.raises(mt.ConcurrentWriteError, match="re-read"):
+            t._commit_bounded(base, (f0,), {f0.path}, "delete")
+
+    def test_bounded_then_classic_interleave(self, spark, tmp_path, monkeypatch):
+        """Bounded commits replay correctly under classic snapshots and
+        vice versa (no cache poisoning, no checkpoint confusion)."""
+        t = self._mk(spark, tmp_path / "t")
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        t.delete(where=[("k", "<", 5)])       # bounded
+        t.append(spark.range(2000, 2010).selectExpr("id AS k", "id % 7 AS v"))
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 10**9)
+        t.delete(where=[("k", "=", 2005)])    # classic
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        assert t.read().count() == 1000 - 5 + 10 - 1
+        assert t.read(where=[("k", "<", 5)]).count() == 0
+        assert {r["k"] for r in t.read(where=[("k", ">=", 2000)]).collect()} == (
+            set(range(2000, 2010)) - {2005}
+        )
