@@ -2336,6 +2336,40 @@ class ManagedTable:
             for c, v in set_exprs.items()
         }
         with _lock_for(self.root):
+            if strategy == "dv":
+                # bounded path: same write-side ceiling break as delete()
+                head = self._head_version()
+                planned = self._plan_distributed(
+                    head, None, None, None, where, keep_stats=True
+                )
+                if planned is not None:
+                    sel, schema_json = planned
+                    schema = (
+                        T.StructType.fromJson(json.loads(schema_json))
+                        if schema_json
+                        else T.StructType([])
+                    )
+                    known = {f.name: f.dataType for f in schema.fields}
+                    bad = sorted(set(set_exprs) - set(known))
+                    if bad:
+                        raise ValueError(
+                            f"update() assigns unknown columns {bad}; UPDATE "
+                            f"never adds columns (use "
+                            f"append(merge_schema=True))"
+                        )
+                    if not sel:
+                        self._commit_bounded(head, (), set(), "update_noop")
+                        return 0
+                    _ck, header, actions = self._plan_base(head)
+                    cluster_col = header.get("cluster_col")
+                    for raw in actions:
+                        if "cluster_col_change" in raw:
+                            cluster_col = raw["cluster_col_change"][0]
+                    return self._update_dv_core(
+                        None, head, sel, where, set_exprs, schema, known,
+                        header.get("partition_date_col"), cluster_col,
+                        header.get("bloom_cols"), schema_json=schema_json,
+                    )
             m = self.snapshot()
             schema = (
                 T.StructType.fromJson(json.loads(m.schema_json))
@@ -2401,9 +2435,32 @@ class ManagedTable:
     def _update_dv(
         self, m, candidates, where, set_exprs, schema, known
     ) -> int:
-        hit_rows = self._scan_with_pos(m, candidates).filter(
-            _where_predicate(where)
+        return self._update_dv_core(
+            m, None, candidates, where, set_exprs, schema, known,
+            m.partition_date_col, m.cluster_col, m.bloom_cols,
         )
+
+    def _update_dv_core(
+        self,
+        m: "Manifest | None",
+        base_version: int | None,
+        candidates: list,
+        where: list,
+        set_exprs: dict,
+        schema: "T.StructType",
+        known: dict,
+        part_col: str | None,
+        cluster_col,
+        bloom_cols,
+        schema_json: str | None = None,
+    ) -> int:
+        """The DV-update body shared by the classic (full-manifest) and
+        BOUNDED (``m is None``: distributed-plan candidates +
+        :meth:`_commit_bounded` action diff) paths — one implementation,
+        two commit shapes."""
+        hit_rows = self._scan_with_pos(
+            m, candidates, schema_json=schema_json
+        ).filter(_where_predicate(where))
         # Stage the matched rows ONCE (originals + file coordinates): the
         # deletion vector, the match count, and the rewrite all derive from
         # this O(k) stage instead of re-running the candidate scan thrice.
@@ -2414,7 +2471,12 @@ class ManagedTable:
             staged = self.spark.read.parquet(str(stage))
             dv_files, per_file = self._write_dv(staged)
             if dv_files is None:
-                self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
+                if m is not None:
+                    self._commit_files(
+                        m, tuple(m.files), m.schema_json, "update_noop"
+                    )
+                else:
+                    self._commit_bounded(base_version, (), set(), "update_noop")
                 return 0
             # Every staged row matched, so assignments apply unconditionally;
             # one select keeps SQL UPDATE's read-the-original-row semantics.
@@ -2426,11 +2488,35 @@ class ManagedTable:
                 *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
             )
             new_files = self._write_files(
-                rewritten, m.partition_date_col, m.cluster_col,
-                bloom_cols=m.bloom_cols,
+                rewritten, part_col, cluster_col, bloom_cols=bloom_cols,
             )
-            files = self._grow_dv(m.files, dv_files, per_file)
-            self._commit_files(m, files + new_files, m.schema_json, "update")
+            if m is not None:
+                files = self._grow_dv(m.files, dv_files, per_file)
+                self._commit_files(m, files + new_files, m.schema_json, "update")
+            else:
+                by_path = {f.path: f for f in candidates}
+                stray = sorted(set(per_file) - set(by_path))
+                if stray:
+                    raise RuntimeError(
+                        f"deletion-vector accounting references {len(stray)} "
+                        f"path(s) outside the planned candidates (first: "
+                        f"{stray[0]!r}); refusing to commit"
+                    )
+                changed = []
+                removed: set[str] = set()
+                for rel, n in per_file.items():
+                    f = by_path[rel]
+                    nf = _dc_replace(
+                        f,
+                        dv_paths=f.dv_paths + dv_files,
+                        dv_rows=f.dv_rows + n,
+                    )
+                    removed.add(rel)
+                    if nf.dv_rows < nf.rows:
+                        changed.append(nf)
+                self._commit_bounded(
+                    base_version, tuple(changed) + new_files, removed, "update"
+                )
             return sum(per_file.values())
         finally:
             shutil.rmtree(stage, ignore_errors=True)

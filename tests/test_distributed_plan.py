@@ -376,3 +376,22 @@ class TestBoundedDmlCommit:
         assert {r["k"] for r in t.read(where=[("k", ">=", 2000)]).collect()} == (
             set(range(2000, 2010)) - {2005}
         )
+
+    def test_bounded_update_matches_classic(self, spark, tmp_path, monkeypatch):
+        a = self._mk(spark, tmp_path / "ua")
+        b = self._mk(spark, tmp_path / "ub")
+        na = a.update(where=[("k", "<", 10)], set_exprs={"v": 99})
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        nb = b.update(where=[("k", "<", 10)], set_exprs={"v": 99})
+        assert na == nb == 10
+        assert b.snapshot().op == "update"
+        assert sorted(map(tuple, b.read().collect())) == sorted(
+            map(tuple, a.read().collect())
+        )
+        # rewritten rows present exactly once with the new value
+        assert b.read(where=[("k", "<", 10)]).filter("v = 99").count() == 10
+        # bounded noop
+        assert b.update(where=[("k", "=", 10**9)], set_exprs={"v": 1}) == 0
+        assert b.snapshot().op == "update_noop"
+        with pytest.raises(ValueError, match="unknown columns"):
+            b.update(where=[("k", "=", 1)], set_exprs={"zz": 1})
