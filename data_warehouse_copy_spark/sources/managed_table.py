@@ -733,6 +733,9 @@ class ManagedTable:
             for k, v in _full_payload(m).items()
             if k != "files"
         }
+        # bounded count(): the header carries the checkpoint's effective
+        # row total so metadata queries fold only the action tail
+        header["total_rows"] = m.total_rows
         table = pa.table(
             {
                 "path": pa.array([f.path for f in m.files], pa.string()),
@@ -1216,7 +1219,42 @@ class ManagedTable:
 
     def count(self) -> int:
         """Row count from manifest metadata — no Spark job (reference O19's
-        rows-copied metric comes from parquet footers at write time)."""
+        rows-copied metric comes from parquet footers at write time).
+
+        Past the planning gate this is BOUNDED too: the checkpoint header
+        carries its effective row total, so the count folds only the
+        action tail — touched checkpoint entries are looked up with one
+        dictionary-filtered (O(touched)) read of the checkpoint parquet,
+        never the full list."""
+        base = self._plan_base(self._head_version())
+        if base is not None:
+            import pyarrow.parquet as pq
+
+            ck, header, actions = base
+            if (
+                "total_rows" in header
+                and pq.ParquetFile(ck).metadata.num_rows
+                >= _DISTRIBUTED_PLAN_MIN_FILES
+            ):
+                total = int(header["total_rows"])
+                touched, adds = _fold_tail(actions)
+                if touched:
+                    tb = pq.read_table(
+                        ck,
+                        columns=["rows", "dv_rows"],
+                        filters=[("path", "in", sorted(touched))],
+                    )
+                    total -= sum(
+                        r - d
+                        for r, d in zip(
+                            tb.column("rows").to_pylist(),
+                            tb.column("dv_rows").to_pylist(),
+                        )
+                    )
+                total += sum(
+                    e["rows"] - e.get("dv_rows", 0) for e in adds.values()
+                )
+                return total
         return self.snapshot().total_rows
 
     def files_df(self, version: int | None = None) -> DataFrame:

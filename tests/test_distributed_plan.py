@@ -395,3 +395,19 @@ class TestBoundedDmlCommit:
         assert b.snapshot().op == "update_noop"
         with pytest.raises(ValueError, match="unknown columns"):
             b.update(where=[("k", "=", 1)], set_exprs={"zz": 1})
+
+
+def test_bounded_count_matches_snapshot(spark, tmp_path, monkeypatch):
+    """count() past the gate folds the checkpoint header total + tail —
+    appends, DV deletes (re-versioned entries), and evictions must all
+    reconcile exactly with the classic snapshot total."""
+    t = _mk(spark, tmp_path / "t")
+    t._write_checkpoint(t.snapshot())
+    t.append(spark.range(5000, 5050).selectExpr("id AS k", "id % 7 AS v"))
+    t.delete(where=[("k", "<", 10)])  # DV re-version in the tail
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    assert t.count() == t.snapshot().total_rows == 1000 + 50 - 10
+    # gut a whole file: eviction rides the tail as remove-without-readd
+    src_keys = [k for k in range(10, 1000) if k % 4 == 0]
+    t.delete(where=[("k", "in", src_keys)])
+    assert t.count() == t.snapshot().total_rows == 1000 + 50 - 10 - len(src_keys)
