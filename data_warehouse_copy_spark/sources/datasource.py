@@ -869,17 +869,25 @@ def _check_writable(m, schema: T.StructType) -> None:
     ``writer()``/``streamWriter()`` — the latter runs BEFORE executors
     stage a single file, so a doomed write fails in planning instead of
     staging the full payload and leaning on abort/vacuum cleanup."""
-    if m.partition_date_col:
+    _check_writable_fields(m.partition_date_col, m.schema_json, schema)
+
+
+def _check_writable_fields(
+    part_col: str | None, schema_json: str | None, schema: T.StructType
+) -> None:
+    """Field-level form of :func:`_check_writable` — the bounded commit
+    path has the folded header fields, never a full Manifest."""
+    if part_col:
         raise ValueError(
             f"managed_table writer does not support day-partitioned "
             f"tables (partition_date_col="
-            f"{m.partition_date_col!r}): files written without a "
+            f"{part_col!r}): files written without a "
             f"partition tag would be invisible to partition-pruned "
             f"range overwrites. Use ManagedTable.append / a "
             f"foreachBatch sink for partitioned tables."
         )
-    if m.schema_json:
-        existing = T.StructType.fromJson(json.loads(m.schema_json))
+    if schema_json:
+        existing = T.StructType.fromJson(json.loads(schema_json))
         have = {f.name: f.dataType.simpleString() for f in schema.fields}
         want = {f.name: f.dataType.simpleString() for f in existing.fields}
         if have != want:
@@ -923,6 +931,25 @@ def _commit_staged(
         # An empty OVERWRITE still commits: it is a legitimate truncate.
         return
     with _lock_for(t.root):
+        b = t._bounded_ingest_base()
+        if b is not None and b[1] is not None:
+            # bounded declarative ingest (session-less twin of the native
+            # bounded append/overwrite): header state folds in O(tail)
+            # memory, the commit is an add-only action diff (overwrite:
+            # plus the O(1) remove_all marker), and the streamed
+            # checkpoint cadence works without a SparkSession (pyarrow)
+            head, schema_json, txns, part_col, _cl, _bl = b
+            _check_writable_fields(part_col, schema_json, schema)
+            if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+                return  # retried micro-batch: already committed
+            if op == "overwrite":
+                t._commit_bounded(
+                    head, entries, set(), "overwrite", txn=txn,
+                    remove_all=True,
+                )
+            else:
+                t._commit_bounded(head, entries, set(), "append", txn=txn)
+            return
         m = t.snapshot()
         _check_writable(m, schema)
         commit_schema = schema.json() if not m.schema_json else None
@@ -1157,10 +1184,8 @@ def _commit_replace_where(
         if m is not None and m.path is not None
     )
     pred_cols = sorted({c for c, _, _ in where})
-    with _lock_for(t.root):
-        m = t.snapshot()
-        _check_writable(m, schema)
-        commit_schema = schema.json() if not m.schema_json else None
+
+    def _staged_satisfy(_schema_json):
         for e in entries:
             pdf = pq.read_table(
                 str(rootp / e.path), columns=pred_cols
@@ -1172,6 +1197,43 @@ def _commit_replace_where(
                     f"predicate {where!r} — the replacement must be "
                     f"confined to the slice it replaces"
                 )
+
+    with _lock_for(t.root):
+        b = t._bounded_ingest_base()
+        if b is not None and b[1] is not None:
+            # bounded declarative replaceWhere: candidates come from the
+            # session-less streamed plan (stats+bloom tiers over the
+            # checkpoint, O(batch) memory), the commit is an O(touched)
+            # action diff — no full file list, no SparkSession
+            head, schema_json, _txns, part_col, _cl, _bl = b
+            _check_writable_fields(part_col, schema_json, schema)
+            _staged_satisfy(schema_json)
+            planned = t._plan_distributed(
+                head, None, None, None, where, keep_stats=True
+            )
+            if planned is not None:
+                sel = planned[0]
+                per_file, pos_chunks = _harvest_positions(
+                    rootp,
+                    sel,
+                    pred_cols,
+                    lambda tb: _pd_where_mask(tb.to_pandas(), where),
+                )
+                changed: tuple = ()
+                removed: set = set()
+                if per_file:
+                    dv_files = _write_dv_sessionless(rootp, pos_chunks)
+                    changed, removed = ManagedTable._regrow_planned(
+                        sel, dv_files, per_file
+                    )
+                t._commit_bounded(
+                    head, changed + entries, removed, "replace_where"
+                )
+                return
+        m = t.snapshot()
+        _check_writable(m, schema)
+        commit_schema = schema.json() if not m.schema_json else None
+        _staged_satisfy(m.schema_json)
         candidates = [
             f
             for f in m.files

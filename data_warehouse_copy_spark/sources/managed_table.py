@@ -588,6 +588,8 @@ class ManagedTable:
         op, ts = start.op, start.ts
         cluster_col = start.cluster_col
         for raw in reversed(pending):
+            if raw.get("remove_all"):  # bounded overwrite: truncate state
+                files.clear()
             for p in raw["remove"]:
                 files.pop(p)  # strict: a dead remove means log corruption
             for e in raw["add"]:
@@ -633,7 +635,11 @@ class ManagedTable:
                 # delta (k rows removed), not the whole file out-and-back.
                 # Disjoint add/remove paths (every non-DV commit) reduce to
                 # the plain sums.
-                rem = {p: rows.pop(p) for p in raw["remove"]}
+                if raw.get("remove_all"):  # bounded overwrite
+                    rem = dict(rows)
+                    rows = {}
+                else:
+                    rem = {p: rows.pop(p) for p in raw["remove"]}
                 add = {e["path"]: _eff_rows(e) for e in raw["add"]}
                 r_add = sum(r - min(r, rem.get(p, 0)) for p, r in add.items())
                 r_rem = sum(r - min(r, add.get(p, 0)) for p, r in rem.items())
@@ -767,6 +773,216 @@ class ManagedTable:
         pq.write_table(table, tmp)
         os.replace(tmp, self._ckpt_parquet_path(m.version))
 
+    def _write_checkpoint_streamed(self, version: int) -> bool:
+        """Checkpoint ``version`` in O(batch) driver memory: fold the
+        action tail onto the PREVIOUS parquet checkpoint streamingly
+        (pyarrow record batches — never a full manifest of Python
+        objects) and write BOTH checkpoint formats incrementally. This
+        is what makes the bounded-commit cadence self-sustaining: a
+        table ingesting purely through :meth:`_commit_bounded` re-arms
+        the planning gate every ``_CKPT_EVERY`` commits without any
+        O(live files) driver materialization — without it the gate would
+        close once the tail outgrew the planner's walk bound and every
+        ~20th append would pay a full snapshot. Best-effort like
+        :meth:`_write_checkpoint`: a failure costs replay speed (the
+        classic cadence resumes at the next full-state commit), never
+        correctness."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from data_warehouse_copy_spark.sources.commit_protocol import (
+            LinkCommitProtocol,
+        )
+
+        try:
+            base = self._plan_base(version)
+            if base is None:
+                return False
+            ck, header, actions = base
+            touched, adds, wiped = _fold_tail(actions)
+            schema_json = header.get("schema_json")
+            cluster_col = header.get("cluster_col")
+            txns = dict(header.get("txns") or {})
+            op, ts = header.get("op"), header.get("ts")
+            for raw in actions:
+                if raw.get("schema_json"):
+                    schema_json = raw["schema_json"]
+                if raw.get("txn"):
+                    txns[str(raw["txn"][0])] = raw["txn"][1]
+                if "cluster_col_change" in raw:
+                    cluster_col = raw["cluster_col_change"][0]
+                op, ts = raw["op"], raw["ts"]
+            new_header = {
+                "version": version,
+                "partition_date_col": header.get("partition_date_col"),
+                "schema_json": schema_json,
+                "op": op,
+                "ts": ts,
+                "cluster_col": cluster_col,
+                "txns": txns or None,
+            }
+            if header.get("bloom_cols"):
+                new_header["bloom_cols"] = header["bloom_cols"]
+            pq_schema = pa.schema(
+                [
+                    ("path", pa.string()),
+                    ("partition", pa.string()),
+                    ("rows", pa.int64()),
+                    ("stats_json", pa.string()),
+                    ("dv_paths", pa.list_(pa.string())),
+                    ("dv_rows", pa.int64()),
+                    ("bloom_path", pa.string()),
+                ]
+            )
+            tmp_pq = self.root / "_log" / f".ckpt.tmp.{uuid.uuid4().hex}.parquet"
+            tmp_js = self.root / "_log" / f".ckpt.tmp.{uuid.uuid4().hex}.json"
+            # Pre-pass for the header's effective row total (pyarrow 16's
+            # ParquetWriter takes footer metadata only at open): one
+            # column-pruned stream of (path, rows, dv_rows) — O(batch)
+            # memory, a few MB of IO even at 10^6 entries.
+            total = 0
+            if not wiped:
+                t_arr0 = pa.array(sorted(touched), pa.string())
+                for batch in pq.ParquetFile(ck).iter_batches(
+                    batch_size=65536, columns=["path", "rows", "dv_rows"]
+                ):
+                    if len(touched):
+                        batch = batch.filter(
+                            pc.invert(pc.is_in(batch.column("path"), t_arr0))
+                        )
+                    total += pc.sum(batch.column("rows")).as_py() or 0
+                    total -= pc.sum(batch.column("dv_rows")).as_py() or 0
+            total += sum(
+                e["rows"] - e.get("dv_rows", 0) for e in adds.values()
+            )
+            pq_schema = pq_schema.with_metadata(
+                {"dwcs_header": json.dumps({**new_header, "total_rows": total})}
+            )
+            head_txt = json.dumps(new_header, indent=1)
+            try:
+                with pq.ParquetWriter(tmp_pq, pq_schema) as writer, open(
+                    tmp_js, "w"
+                ) as js:
+                    # JSON full state = header fields + streamed files
+                    # array (the loader json.loads the whole text; only
+                    # the WRITE is streamed — bounded-path readers never
+                    # open the JSON twin)
+                    js.write(head_txt[: head_txt.rindex("}")].rstrip())
+                    js.write(',\n "files": [')
+                    first = True
+
+                    def emit(path, partition, rows, stats_json, dv_paths,
+                             dv_rows, bloom_path):
+                        nonlocal first
+                        parts = [
+                            f'"path": {json.dumps(path)}',
+                            f'"partition": {json.dumps(partition)}',
+                            f'"rows": {rows}',
+                            # stats_json is already valid JSON — splice,
+                            # never parse (the streaming win)
+                            f'"stats": {stats_json or "null"}',
+                        ]
+                        if dv_paths:
+                            parts.append(
+                                f'"dv_paths": {json.dumps(list(dv_paths))}'
+                            )
+                            parts.append(f'"dv_rows": {dv_rows}')
+                        if bloom_path is not None:
+                            parts.append(
+                                f'"bloom_path": {json.dumps(bloom_path)}'
+                            )
+                        js.write(("" if first else ",") + "{" + ", ".join(parts) + "}")
+                        first = False
+
+                    if not wiped:
+                        t_arr = pa.array(sorted(touched), pa.string())
+                        for batch in pq.ParquetFile(ck).iter_batches(
+                            batch_size=65536
+                        ):
+                            if len(touched):
+                                keep = pc.invert(
+                                    pc.is_in(batch.column("path"), t_arr)
+                                )
+                                batch = batch.filter(keep)
+                            if batch.num_rows == 0:
+                                continue
+                            cols = {
+                                name: batch.column(name)
+                                for name in pq_schema.names
+                            }
+                            writer.write_batch(
+                                pa.record_batch(
+                                    [cols[n] for n in pq_schema.names],
+                                    schema=pq_schema,
+                                )
+                            )
+                            for row in zip(
+                                *(cols[n].to_pylist() for n in pq_schema.names)
+                            ):
+                                emit(*row)
+                    if adds:
+                        es = list(adds.values())
+                        writer.write_batch(
+                            pa.record_batch(
+                                [
+                                    pa.array([e["path"] for e in es], pa.string()),
+                                    pa.array(
+                                        [e.get("partition") for e in es],
+                                        pa.string(),
+                                    ),
+                                    pa.array([e["rows"] for e in es], pa.int64()),
+                                    pa.array(
+                                        [
+                                            json.dumps(e["stats"])
+                                            if e.get("stats")
+                                            else None
+                                            for e in es
+                                        ],
+                                        pa.string(),
+                                    ),
+                                    pa.array(
+                                        [list(e.get("dv_paths") or ()) for e in es],
+                                        pa.list_(pa.string()),
+                                    ),
+                                    pa.array(
+                                        [e.get("dv_rows", 0) for e in es],
+                                        pa.int64(),
+                                    ),
+                                    pa.array(
+                                        [e.get("bloom_path") for e in es],
+                                        pa.string(),
+                                    ),
+                                ],
+                                schema=pq_schema,
+                            )
+                        )
+                        for e in es:
+                            emit(
+                                e["path"], e.get("partition"), e["rows"],
+                                json.dumps(e["stats"]) if e.get("stats") else None,
+                                tuple(e.get("dv_paths") or ()),
+                                e.get("dv_rows", 0), e.get("bloom_path"),
+                            )
+                    js.write("]\n}\n")
+                os.replace(tmp_pq, self._ckpt_parquet_path(version))
+                ck_dest = self._ckpt_path(version)
+                if isinstance(self._proto, LinkCommitProtocol):
+                    os.replace(tmp_js, ck_dest)
+                else:  # object-store root: one put of the built text
+                    self._proto.put_text(ck_dest, tmp_js.read_text())
+                    tmp_js.unlink(missing_ok=True)
+            finally:
+                for t in (tmp_pq, tmp_js):
+                    try:
+                        t.unlink(missing_ok=True)
+                    except OSError:
+                        pass
+            self._sweep_old_checkpoints(version)
+            return True
+        except OSError:
+            return False
+
     def _plan_base(
         self, version: int
     ) -> "tuple[Path, dict, list[dict]] | None":
@@ -832,7 +1048,25 @@ class ManagedTable:
                 self._MANIFEST_ROW_SCHEMA,
             )
         ck, _header, actions = base
-        touched, adds = _fold_tail(actions)
+        touched, adds, wiped = _fold_tail(actions)
+        if wiped:
+            # a bounded overwrite truncated the table: live set = the
+            # tail's adds alone, checkpoint rows are all dead
+            return self.spark.createDataFrame(
+                [
+                    (
+                        e["path"],
+                        e.get("partition"),
+                        e["rows"],
+                        json.dumps(e["stats"]) if e.get("stats") else None,
+                        list(e.get("dv_paths") or ()),
+                        e.get("dv_rows", 0),
+                        e.get("bloom_path"),
+                    )
+                    for e in adds.values()
+                ],
+                self._MANIFEST_ROW_SCHEMA,
+            )
         mdf = self.spark.read.schema(self._MANIFEST_ROW_SCHEMA).parquet(str(ck))
         if touched:
             tdf = self.spark.createDataFrame(
@@ -893,7 +1127,7 @@ class ManagedTable:
         ck, header, actions = base
         if pq.ParquetFile(ck).metadata.num_rows < _DISTRIBUTED_PLAN_MIN_FILES:
             return None
-        touched, adds = _fold_tail(actions)
+        touched, adds, wiped = _fold_tail(actions)
         schema_json = header.get("schema_json")
         bloom_cols = header.get("bloom_cols")
         for raw in actions:
@@ -903,6 +1137,16 @@ class ManagedTable:
         where_ser = list(where or [])
         use_bloom = bool(where_ser and bloom_cols)
         lo, hi, parts = partition_min, partition_max, partitions
+        if wiped:
+            # bounded overwrite in the tail: every checkpoint row is dead;
+            # the live set is the tail's adds, pruned driver-side (tiny)
+            return (
+                self._planned_entries(
+                    [], adds, lo, hi, parts, where_ser, use_bloom,
+                    keep_stats=keep_stats,
+                ),
+                schema_json,
+            )
         if self.spark is None:
             rows = self._plan_streamed(
                 ck, touched, lo, hi, parts, where_ser, use_bloom
@@ -1237,7 +1481,11 @@ class ManagedTable:
                 >= _DISTRIBUTED_PLAN_MIN_FILES
             ):
                 total = int(header["total_rows"])
-                touched, adds = _fold_tail(actions)
+                touched, adds, wiped = _fold_tail(actions)
+                if wiped:
+                    return sum(
+                        e["rows"] - e.get("dv_rows", 0) for e in adds.values()
+                    )
                 if touched:
                     tb = pq.read_table(
                         ck,
@@ -1340,7 +1588,20 @@ class ManagedTable:
                 prev_paths = set(cur)
             else:
                 adds = list(raw["add"])
-                removed = set(raw["remove"])
+                if raw.get("remove_all"):
+                    # bounded overwrite: the removed set is "everything
+                    # live before" — reconstructed on demand (O(prior
+                    # files), proportional to the change set a truncation
+                    # actually delivers, so CDC stays exact)
+                    if prev_paths is None:
+                        prev_paths = (
+                            set()
+                            if v == 0
+                            else {f.path for f in self.snapshot(v - 1).files}
+                        )
+                    removed = set(prev_paths)
+                else:
+                    removed = set(raw["remove"])
                 if prev_paths is not None:
                     prev_paths = (prev_paths - removed) | {
                         e["path"] for e in adds
@@ -1602,6 +1863,93 @@ class ManagedTable:
 
     # ---------------------------------------------------------------- write
 
+    def _bounded_ingest_base(self):
+        """Ingest-side bounded gate: the state an append/overwrite/
+        replace/merge needs — ``(head_version, schema_json, txns,
+        partition_date_col, cluster_col, bloom_cols)`` — folded from the
+        nearest parquet checkpoint header plus the action tail, in
+        O(tail) driver memory, when that checkpoint holds at least
+        ``_DISTRIBUTED_PLAN_MIN_FILES`` entries. ``None`` below the gate
+        (classic snapshot-based path is cheaper there)."""
+        import pyarrow.parquet as pq
+
+        head = self._head_version()
+        base = self._plan_base(head)
+        if base is None:
+            return None
+        ck, header, actions = base
+        if pq.ParquetFile(ck).metadata.num_rows < _DISTRIBUTED_PLAN_MIN_FILES:
+            return None
+        schema_json = header.get("schema_json")
+        cluster_col = header.get("cluster_col")
+        txns = dict(header.get("txns") or {})
+        for raw in actions:
+            if raw.get("schema_json"):
+                schema_json = raw["schema_json"]
+            if raw.get("txn"):
+                txns[str(raw["txn"][0])] = raw["txn"][1]
+            if "cluster_col_change" in raw:
+                cluster_col = raw["cluster_col_change"][0]
+        return (
+            head,
+            schema_json,
+            txns,
+            header.get("partition_date_col"),
+            cluster_col,
+            header.get("bloom_cols"),
+        )
+
+    def _align_append_df(
+        self, df: DataFrame, schema_json: str | None, merge_schema: bool
+    ) -> "tuple[DataFrame, bool]":
+        """Schema-check and column-align an incoming append frame against
+        the table schema — the ONE contract both the classic and bounded
+        append paths enforce (mismatch/type-drift rejection, additive
+        widen under ``merge_schema``). Returns ``(aligned_df, widened)``."""
+        if not schema_json:
+            return df, False
+        existing = T.StructType.fromJson(json.loads(schema_json))
+        have, want = set(df.columns), {f.name for f in existing.fields}
+        if have != want and not merge_schema:
+            raise ValueError(
+                f"append schema mismatch: table has {sorted(want)}, "
+                f"dataframe has {sorted(have)} "
+                f"(pass merge_schema=True for additive evolution)"
+            )
+        # Compare via simpleString(): nullability-insensitive (a
+        # nested containsNull flip is parquet-compatible, and exact
+        # DataType equality would reject it with an error message
+        # that renders both sides identically).
+        new_types = {f.name: f.dataType for f in df.schema.fields}
+        diverged = [
+            f"{f.name}: table={f.dataType.simpleString()} "
+            f"df={new_types[f.name].simpleString()}"
+            for f in existing.fields
+            if f.name in new_types
+            and new_types[f.name].simpleString() != f.dataType.simpleString()
+        ]
+        if diverged:
+            raise ValueError(
+                "append type mismatch: " + "; ".join(sorted(diverged))
+            )
+        if merge_schema and have != want:
+            # Additive widen: table columns first (stable order for
+            # existing readers), then df's new columns; columns the
+            # df lacks are typed-null backfilled so the written file
+            # carries the full union schema.
+            for f in existing.fields:
+                if f.name not in have:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            union_order = [f.name for f in existing.fields] + [
+                f.name for f in df.schema.fields if f.name not in want
+            ]
+            df = df.select(*union_order)
+            widened = any(c not in want for c in df.columns)
+        else:
+            df = df.select(*[f.name for f in existing.fields])
+            widened = False
+        return df, widened
+
     def append(
         self,
         df: DataFrame,
@@ -1636,48 +1984,31 @@ class ManagedTable:
         presents the same epoch and is skipped instead of double-written
         (Delta's txnAppId/txnVersion pattern)."""
         with _lock_for(self.root):
+            b = self._bounded_ingest_base()
+            if b is not None and b[1] is not None:
+                # bounded ingest (the last O(live files) write path, VERDICT
+                # r6 item 1): schema checks run against the folded header
+                # state, the commit is a pure add-action diff, and txn
+                # idempotency re-checks inside the conflict-rebase loop —
+                # the full file list is never materialized
+                head, schema_json, txns, part_col, cluster_col, bloom_cols = b
+                if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+                    return 0  # retried transaction: already committed
+                df, widened = self._align_append_df(df, schema_json, merge_schema)
+                new_files = self._write_files(
+                    df, part_col, cluster_col,
+                    cluster_partitions=cluster_partitions,
+                    bloom_cols=bloom_cols,
+                )
+                committed = self._commit_bounded(
+                    head, new_files, set(), "append", txn=txn,
+                    schema_json=df.schema.json() if widened else None,
+                )
+                return sum(f.rows for f in new_files) if committed else 0
             m = self.snapshot()
             if txn is not None and (m.txns or {}).get(txn[0], -1) >= txn[1]:
                 return 0  # retried transaction: already committed
-            if m.schema_json:
-                existing = T.StructType.fromJson(json.loads(m.schema_json))
-                have, want = set(df.columns), {f.name for f in existing.fields}
-                if have != want and not merge_schema:
-                    raise ValueError(
-                        f"append schema mismatch: table has {sorted(want)}, "
-                        f"dataframe has {sorted(have)} "
-                        f"(pass merge_schema=True for additive evolution)"
-                    )
-                # Compare via simpleString(): nullability-insensitive (a
-                # nested containsNull flip is parquet-compatible, and exact
-                # DataType equality would reject it with an error message
-                # that renders both sides identically).
-                new_types = {f.name: f.dataType for f in df.schema.fields}
-                diverged = [
-                    f"{f.name}: table={f.dataType.simpleString()} "
-                    f"df={new_types[f.name].simpleString()}"
-                    for f in existing.fields
-                    if f.name in new_types
-                    and new_types[f.name].simpleString() != f.dataType.simpleString()
-                ]
-                if diverged:
-                    raise ValueError(
-                        "append type mismatch: " + "; ".join(sorted(diverged))
-                    )
-                if merge_schema and have != want:
-                    # Additive widen: table columns first (stable order for
-                    # existing readers), then df's new columns; columns the
-                    # df lacks are typed-null backfilled so the written file
-                    # carries the full union schema.
-                    for f in existing.fields:
-                        if f.name not in have:
-                            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-                    union_order = [f.name for f in existing.fields] + [
-                        f.name for f in df.schema.fields if f.name not in want
-                    ]
-                    df = df.select(*union_order)
-                else:
-                    df = df.select(*[f.name for f in existing.fields])
+            df, widened = self._align_append_df(df, m.schema_json, merge_schema)
             new_files = self._write_files(
                 df, m.partition_date_col, m.cluster_col,
                 cluster_partitions=cluster_partitions,
@@ -1688,10 +2019,6 @@ class ManagedTable:
             # (the incoming frame's serialization may differ in nullability
             # only, and drifting the stored text would read as spurious
             # schema changes to concurrent writers).
-            widened = m.schema_json is not None and merge_schema and any(
-                c not in {f.name for f in T.StructType.fromJson(json.loads(m.schema_json)).fields}
-                for c in df.columns
-            )
             commit_schema = (
                 df.schema.json() if (m.schema_json is None or widened) else None
             )
@@ -1784,6 +2111,30 @@ class ManagedTable:
         a deterministic layout — e.g. one file per inverted list for an
         IVF index table — instead of AQE's size-based coalescing."""
         with _lock_for(self.root):
+            b = self._bounded_ingest_base()
+            if b is not None:
+                # bounded truncate-and-load: the action records an O(1)
+                # ``remove_all`` marker instead of every removed path —
+                # replay clears state at that action, so even replacing a
+                # 10^6-file table writes a KB-sized commit. Never rebases
+                # (see _commit_bounded): a racer's commit during the
+                # overwrite is a clean rejection, not silent erasure.
+                head, schema_json, _txns, part_col, cluster_col, bloom_cols = b
+                new_files = self._write_files(
+                    df, part_col, cluster_col,
+                    cluster_partitions=cluster_partitions,
+                    bloom_cols=bloom_cols,
+                )
+                self._commit_bounded(
+                    head, new_files, set(), "overwrite",
+                    schema_json=(
+                        df.schema.json()
+                        if _schema_fp(df.schema.json()) != _schema_fp(schema_json)
+                        else None
+                    ),
+                    remove_all=True,
+                )
+                return sum(f.rows for f in new_files)
             m = self.snapshot()
             new_files = self._write_files(
                 df, m.partition_date_col, m.cluster_col,
@@ -1822,6 +2173,12 @@ class ManagedTable:
             )
         pred = _where_predicate(where)
         with _lock_for(self.root):
+            if strategy == "dv":
+                b = self._bounded_ingest_base()
+                if b is not None and b[1] is not None:
+                    out = self._replace_where_bounded(df, where, pred, b)
+                    if out is not None:
+                        return out
             m = self.snapshot()
             if m.schema_json:
                 existing = T.StructType.fromJson(json.loads(m.schema_json))
@@ -1891,6 +2248,56 @@ class ManagedTable:
                 m, kept + rewritten + new_files, schema_json, "replace_where"
             )
             return (n_del, n_ins)
+
+    def _replace_where_bounded(
+        self, df: DataFrame, where: list[tuple], pred, b
+    ) -> "tuple[int, int] | None":
+        """Bounded DV replace_where: delete-side candidates come from the
+        distributed plan (stats retained), the insert side appends, and
+        the commit is an O(touched) action diff — the full file list is
+        never materialized. ``None`` → caller falls through to classic
+        (the plan gate raced shut)."""
+        head, schema_json, _txns, part_col, cluster_col, bloom_cols = b
+        existing = T.StructType.fromJson(json.loads(schema_json))
+        have, want = set(df.columns), {f.name for f in existing.fields}
+        if have != want:
+            raise ValueError(
+                f"replace_where schema mismatch: table has "
+                f"{sorted(want)}, dataframe has {sorted(have)}"
+            )
+        df = df.select(*[f.name for f in existing.fields])
+        n_bad = df.filter(~F.coalesce(pred, F.lit(False))).count()
+        if n_bad:
+            raise ValueError(
+                f"replace_where: {n_bad} incoming rows do not satisfy "
+                f"the predicate {where!r} — the replacement must be "
+                f"confined to the slice it replaces"
+            )
+        planned = self._plan_distributed(
+            head, None, None, None, where, keep_stats=True
+        )
+        if planned is None:
+            return None
+        sel, plan_schema = planned
+        new_files = self._write_files(
+            df, part_col, cluster_col, bloom_cols=bloom_cols
+        )
+        n_ins = sum(f.rows for f in new_files)
+        if not sel:
+            self._commit_bounded(head, new_files, set(), "replace_where")
+            return (0, n_ins)
+        hits = self._scan_with_pos(
+            None, sel, schema_json=plan_schema
+        ).filter(pred)
+        dv_files, per_file = self._write_dv(hits)
+        if dv_files is None:
+            self._commit_bounded(head, new_files, set(), "replace_where")
+            return (0, n_ins)
+        changed, removed = self._regrow_planned(sel, dv_files, per_file)
+        self._commit_bounded(
+            head, changed + new_files, removed, "replace_where"
+        )
+        return (sum(per_file.values()), n_ins)
 
     def overwrite_range(
         self, df: DataFrame, date_from: str, date_to: str, date_column: str | None = None
@@ -2057,6 +2464,20 @@ class ManagedTable:
         if dv_files is None:
             self._commit_bounded(base_version, (), set(), "delete_noop")
             return 0
+        changed, removed = self._regrow_planned(sel, dv_files, per_file)
+        self._commit_bounded(base_version, changed, removed, "delete")
+        return sum(per_file.values())
+
+    @staticmethod
+    def _regrow_planned(
+        sel: list, dv_files: tuple, per_file: dict
+    ) -> "tuple[tuple, set]":
+        """Bounded-commit twin of :meth:`_grow_dv`: re-version the
+        PLANNED candidates whose positions the new DV tombstones, as a
+        ``(changed entries, removed paths)`` action diff. Same loud
+        guard — accounting keys outside the plan mean the delete would
+        silently drop its DV. Fully-dead entries leave the manifest
+        outright (removed without re-add)."""
         by_path = {f.path: f for f in sel}
         stray = sorted(set(per_file) - set(by_path))
         if stray:  # same loud guard as _grow_dv
@@ -2075,8 +2496,7 @@ class ManagedTable:
             removed.add(rel)
             if nf.dv_rows < nf.rows:  # fully-dead entries leave outright
                 changed.append(nf)
-        self._commit_bounded(base_version, tuple(changed), removed, "delete")
-        return sum(per_file.values())
+        return tuple(changed), removed
 
     def _commit_bounded(
         self,
@@ -2084,26 +2504,40 @@ class ManagedTable:
         added: tuple,
         removed_paths: set,
         op: str,
-    ) -> None:
+        txn: tuple[str, int] | None = None,
+        schema_json: str | None = None,
+        remove_all: bool = False,
+    ) -> bool:
         """O(touched)-memory commit: write the action diff directly on
         top of ``base_version`` without ever materializing the full file
-        list (the write-side twin of distributed planning; DML-only — no
-        schema change, no txn, no clustering change rides this path).
+        list (the write-side twin of distributed planning — DML AND
+        ingest: append rides it with ``txn`` idempotency, overwrite with
+        ``remove_all`` — an O(1) truncate marker replay clears state on,
+        so even a full-table replace records no file list — and a
+        replace_where/merge with its touched diff). No clustering change
+        rides this path. Returns False only for a txn-idempotent skip.
 
         Concurrency: on a version collision, replay the commits landed
         since the base and REBASE iff none of them touched this commit's
         files (their diffs commute); a racer that removed or re-versioned
         a touched file gets a clean :class:`ConcurrentWriteError` — the
         same outcome the entry-equality guard in ``_commit_files`` gives,
-        derived from the action log instead of two full snapshots.
+        derived from the action log instead of two full snapshots. A
+        ``remove_all`` commit never rebases: it truncates "everything
+        live at its base", and silently extending that to a racer's rows
+        would erase data the racer believes committed — clean rejection
+        instead (stricter than the classic overwrite rebase, which
+        preserves concurrent appends; at bounded scale correctness wins
+        over availability).
 
-        Deliberately neither primes the snapshot cache (this commit does
+        Deliberately does not prime the snapshot cache (this commit does
         not know the full state; an older cached manifest stays correct —
-        it replays this action on top) nor writes a checkpoint (the next
-        full-state commit resumes the cadence; until then snapshots pay a
-        longer action tail, and once the tail outgrows the planner's
-        walk bound the bounded gate itself closes and DML falls back to
-        the classic path — which checkpoints)."""
+        it replays this action on top). On the checkpoint cadence it
+        writes the checkpoint STREAMED — previous parquet checkpoint +
+        action tail folded in O(batch) memory (:meth:`
+        _write_checkpoint_streamed`) — so an all-bounded commit sequence
+        (a streaming ingest table) sustains the planning gate forever
+        without any O(live files) driver materialization."""
         import time
 
         touched = removed_paths | {f.path for f in added}
@@ -2123,15 +2557,46 @@ class ManagedTable:
                 "ets": max(ts, base_ets),
                 "add": [_entry_dict(f) for f in added],
                 "remove": sorted(removed_paths),
-                "schema_json": None,
-                "txn": None,
+                "schema_json": schema_json,
+                "txn": list(txn) if txn is not None else None,
             }
+            if remove_all:
+                action["remove_all"] = True
             try:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
                 head = self._head_version()
-                for _v, _op, adds2, rem2 in self.commit_deltas(base_v, head):
-                    if touched & (rem2 | {e["path"] for e in adds2}):
+                if remove_all:
+                    raise ConcurrentWriteError(
+                        f"{op} at {self.root}: a concurrent commit landed "
+                        f"during a bounded overwrite; re-read and retry"
+                    ) from None
+                for v2 in range(base_v + 1, head + 1):
+                    raw2 = self._raw(v2)
+                    if txn is not None and raw2.get("txn"):
+                        app2, txv2 = raw2["txn"][0], raw2["txn"][1]
+                        if app2 == txn[0] and txv2 >= txn[1]:
+                            return False  # retried transaction: skip
+                    if raw2.get("remove_all"):
+                        raise ConcurrentWriteError(
+                            f"{op} at {self.root}: a concurrent overwrite "
+                            f"truncated the table; re-read and retry"
+                        ) from None
+                    if schema_json is not None and raw2.get("schema_json"):
+                        # two concurrent evolutions: rebasing would let the
+                        # last writer's union silently drop the other's
+                        # columns — clean rejection, like _commit_files
+                        raise ConcurrentWriteError(
+                            f"{op} at {self.root}: concurrent schema change "
+                            f"conflicts with this commit's schema"
+                        ) from None
+                    if "files" in raw2:  # legacy full-state record
+                        raise ConcurrentWriteError(
+                            f"{op} at {self.root}: concurrent full-state "
+                            f"commit; re-read and retry"
+                        ) from None
+                    adds2 = {e["path"] for e in raw2["add"]}
+                    if touched & (set(raw2["remove"]) | adds2):
                         raise ConcurrentWriteError(
                             f"{op} at {self.root}: a concurrent commit "
                             f"rewrote or re-versioned files this commit "
@@ -2141,7 +2606,9 @@ class ManagedTable:
                 time.sleep(_COMMIT_BACKOFF_S * (attempt + 1))
                 continue
             self._advance_latest(version)
-            return
+            if version % _CKPT_EVERY == 0:
+                self._write_checkpoint_streamed(version)
+            return True
         raise ConcurrentWriteError(
             f"{op} at {self.root}: gave up after {_COMMIT_MAX_ATTEMPTS} "
             f"commit attempts under contention"
@@ -2589,8 +3056,113 @@ class ManagedTable:
             raise ValueError(f"merge strategy must be 'dv' or 'cow', got {strategy!r}")
         with _lock_for(self.root):
             if strategy == "dv":
+                b = self._bounded_ingest_base()
+                if b is not None and b[1] is not None:
+                    out = self._merge_dv_bounded(source_df, primary_key, b)
+                    if out is not None:
+                        return out
                 return self._merge_dv(source_df, primary_key)
             return self._merge_by_key(source_df, primary_key)
+
+    def _merge_dv_bounded(
+        self, source_df: DataFrame, primary_key: str, b
+    ) -> "int | None":
+        """Bounded DV merge: the pk-span candidate probe runs over
+        :meth:`manifest_df` (checkpoint-backed — the span frame never
+        exists driver-side in Python) and the commit is an O(touched)
+        action diff. ``None`` → classic fallback: non-integer/string pk
+        (float spans exclude NaN — the same soundness rule
+        :meth:`_affected_files_by_stats` enforces), a file without exact
+        pk stats (candidates would be "every file" and the classic scan
+        owns that shape), or a pk name JSON-path extraction can't
+        address."""
+        import re
+
+        head, schema_json, _txns, part_col, cluster_col, bloom_cols = b
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", primary_key):
+            return None
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        pk_field = next(
+            (f for f in schema.fields if f.name == primary_key), None
+        )
+        if pk_field is None:
+            return None
+        tn = pk_field.dataType.typeName()
+        if tn in ("byte", "short", "integer", "long"):
+            span_t = "long"
+        elif tn == "string":
+            span_t = "string"
+        else:
+            return None
+        keys = source_df.select(primary_key).distinct()
+        n_keys = keys.count()
+        if n_keys == 0:
+            self._commit_bounded(head, (), set(), "merge_noop")
+            return 0
+        mdf = self.manifest_df(head)
+        lo = F.get_json_object(
+            F.col("stats_json"), f"$.{primary_key}[0]"
+        ).cast(span_t)
+        hi = F.get_json_object(
+            F.col("stats_json"), f"$.{primary_key}[1]"
+        ).cast(span_t)
+        spans = mdf.select(
+            F.col("path").alias("__mt_path"),
+            lo.alias("__mt_lo"),
+            hi.alias("__mt_hi"),
+        )
+        # Pruning may only narrow, never miss: any file whose pk span is
+        # unparseable makes every span untrustworthy for THIS probe.
+        if (
+            spans.filter(
+                F.col("__mt_lo").isNull() | F.col("__mt_hi").isNull()
+            )
+            .limit(1)
+            .count()
+        ):
+            return None
+        k = keys.select(F.col(primary_key).alias("__mt_k"))
+        hit = (
+            k.join(
+                F.broadcast(spans),
+                (F.col("__mt_k") >= F.col("__mt_lo"))
+                & (F.col("__mt_k") <= F.col("__mt_hi")),
+                "inner",
+            )
+            .select(F.col("__mt_path").alias("path"))
+            .distinct()
+        )
+        cand_rows = mdf.join(F.broadcast(hit), "path", "left_semi").collect()
+        sel = [
+            FileEntry(
+                path=r["path"],
+                partition=r["partition"],
+                rows=r["rows"],
+                stats=json.loads(r["stats_json"]) if r["stats_json"] else None,
+                dv_paths=tuple(r["dv_paths"] or ()),
+                dv_rows=r["dv_rows"],
+                bloom_path=r["bloom_path"],
+            )
+            for r in cand_rows
+        ]
+        changed: tuple = ()
+        removed: set = set()
+        if sel:
+            hits = self._scan_with_pos(
+                None, sel, schema_json=schema_json
+            ).join(keys, on=primary_key, how="left_semi")
+            dv_files, per_file = self._write_dv(hits)
+            if dv_files is not None:
+                changed, removed = self._regrow_planned(
+                    sel, dv_files, per_file
+                )
+        cols = [f.name for f in schema.fields]
+        new_files = self._write_files(
+            source_df.select(*cols), part_col, cluster_col,
+            bloom_cols=bloom_cols,
+        )
+        self._commit_bounded(head, changed + new_files, removed, "merge")
+        return n_keys
 
     def _merge_dv(self, source_df: DataFrame, primary_key: str) -> int:
         m = self.snapshot()
@@ -3780,23 +4352,31 @@ def _prune_manifest_pdf(pdf, lo, hi, parts, where_ser: list, keeper):
     return cand[keep]
 
 
-def _fold_tail(actions: list) -> "tuple[set, dict]":
+def _fold_tail(actions: list) -> "tuple[set, dict, bool]":
     """Fold an ordered action tail into (touched paths, final add
-    entries): a checkpoint row survives iff its path was never touched;
-    ``adds`` holds the final entry for every path whose latest state came
-    from the tail (a changed entry rides the log as remove + re-add, so
-    replay order makes the last add win; an add later removed drops
-    out)."""
+    entries, wiped): a checkpoint row survives iff its path was never
+    touched; ``adds`` holds the final entry for every path whose latest
+    state came from the tail (a changed entry rides the log as remove +
+    re-add, so replay order makes the last add win; an add later removed
+    drops out). ``wiped=True`` means a ``remove_all`` action (bounded
+    overwrite) sits in the tail: the checkpoint contributes NOTHING and
+    the live set is exactly ``adds`` — folding resets at that action, so
+    planners skip the checkpoint scan entirely."""
     touched: set = set()
     adds: dict = {}
+    wiped = False
     for raw in actions:
+        if raw.get("remove_all"):
+            wiped = True
+            touched = set()
+            adds = {}
         for p in raw["remove"]:
             touched.add(p)
             adds.pop(p, None)
         for e in raw["add"]:
             touched.add(e["path"])
             adds[e["path"]] = e
-    return touched, adds
+    return touched, adds, wiped
 
 
 def _entry_dict(f: FileEntry) -> dict:

@@ -51,16 +51,19 @@ def test_parquet_checkpoint_twin_written_on_cadence(spark, tmp_path):
     assert header["schema_json"]  # table header rides the footer
 
 
-def _synthetic_wide_manifest(spark, root, n_files: int):
+def _synthetic_wide_manifest(spark, root, n_files: int, schema_json=None, partitioned=True):
     """A table whose parquet checkpoint carries ``n_files`` SYNTHETIC
     entries (the data files need not exist — planning never opens them).
-    Each file i spans k in [i*10, i*10+9] and carries a day partition."""
+    Each file i spans k in [i*10, i*10+9] and carries a day partition.
+    ``schema_json`` gives the synthetic manifest a real table schema so
+    bounded INGEST paths (which require one) can run against it."""
     t = ManagedTable.create(spark, root)
-    schema_json = t.snapshot().schema_json  # None for empty create
+    if schema_json is None:
+        schema_json = t.snapshot().schema_json  # None for empty create
     entries = tuple(
         FileEntry(
             path=f"data/synth/{i:07d}.parquet",
-            partition=f"2024-{(i % 12) + 1:02d}-01",
+            partition=f"2024-{(i % 12) + 1:02d}-01" if partitioned else None,
             rows=10,
             stats={"k": [i * 10, i * 10 + 9]},
         )
@@ -68,7 +71,7 @@ def _synthetic_wide_manifest(spark, root, n_files: int):
     )
     m = Manifest(
         version=1,
-        partition_date_col="d",
+        partition_date_col="d" if partitioned else None,
         schema_json=schema_json,
         files=entries,
         op="append",
@@ -411,3 +414,256 @@ def test_bounded_count_matches_snapshot(spark, tmp_path, monkeypatch):
     src_keys = [k for k in range(10, 1000) if k % 4 == 0]
     t.delete(where=[("k", "in", src_keys)])
     assert t.count() == t.snapshot().total_rows == 1000 + 50 - 10 - len(src_keys)
+
+
+class TestBoundedIngestCommit:
+    """Round-7 item 1: the INGEST commits (append/overwrite/replace_where/
+    merge) ride the bounded action-diff path past the gate — the last
+    O(live files) driver write path. Bounded results must be value- and
+    semantics-identical to the classic snapshot-diff commits."""
+
+    def _mk(self, spark, root):
+        t = _mk(spark, root)
+        t._write_checkpoint(t.snapshot())
+        return t
+
+    def _extra(self, spark):
+        return spark.range(5000, 5050).selectExpr(
+            "id AS k", "id % 7 AS v"
+        ).coalesce(1)
+
+    def test_bounded_append_matches_classic(self, spark, tmp_path, monkeypatch):
+        a = self._mk(spark, tmp_path / "a")
+        b = self._mk(spark, tmp_path / "b")
+        assert a.append(self._extra(spark)) == 50  # classic
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        assert b.append(self._extra(spark)) == 50  # bounded
+        v = b._head_version()
+        action = json.loads(
+            (b.root / "_log" / f"{v:020d}.json").read_text()
+        )
+        # pure add-diff: no removes, no truncate marker, schema inherited
+        assert action["op"] == "append"
+        assert action["remove"] == [] and not action.get("remove_all")
+        assert action["schema_json"] is None
+        assert len(action["add"]) >= 1
+        assert sorted(map(tuple, b.read().collect())) == sorted(
+            map(tuple, a.read().collect())
+        )
+        assert b.count() == a.count() == 1050
+
+    def test_bounded_append_txn_idempotent(self, spark, tmp_path, monkeypatch):
+        t = self._mk(spark, tmp_path / "t")
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        assert t.append(self._extra(spark), txn=("app", 1)) == 50
+        # retried epoch: skipped BEFORE any commit (header+tail txn fold)
+        assert t.append(self._extra(spark), txn=("app", 1)) == 0
+        assert t.count() == 1050
+        assert t.append(self._extra(spark), txn=("app", 2)) == 50
+        assert t.count() == 1100
+
+    def test_bounded_overwrite_remove_all(self, spark, tmp_path, monkeypatch):
+        a = self._mk(spark, tmp_path / "a")
+        b = self._mk(spark, tmp_path / "b")
+        repl = spark.range(0, 7).selectExpr("id AS k", "id % 7 AS v")
+        pre_v = b._head_version()
+        assert a.overwrite(repl) == 7  # classic
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        assert b.overwrite(repl) == 7  # bounded
+        v = b._head_version()
+        action = json.loads(
+            (b.root / "_log" / f"{v:020d}.json").read_text()
+        )
+        # O(1) truncate marker, not an O(live files) remove list
+        assert action.get("remove_all") is True
+        assert action["remove"] == []
+        assert sorted(map(tuple, b.read().collect())) == sorted(
+            map(tuple, a.read().collect())
+        )
+        assert b.count() == 7
+        # replay paths agree: fresh-handle snapshot, history, manifest_df
+        with mt._SNAP_CACHE_GUARD:
+            mt._SNAP_CACHE.pop(str(b.root.resolve()), None)
+        fresh = ManagedTable(spark, b.root)
+        assert fresh.snapshot().total_rows == 7
+        h = fresh.history()[-1]
+        assert h.op == "overwrite" and h.total_rows == 7
+        assert h.rows_removed == 1000
+        assert fresh.manifest_df().count() == len(fresh.snapshot().files)
+        # commit_deltas expands the truncate to the real removed set
+        deltas = fresh.commit_deltas(pre_v, v)
+        assert deltas[-1][0] == v
+        assert len(deltas[-1][3]) == 4  # the 4 pre-overwrite files
+        # time travel below the truncate still sees the old table
+        assert fresh.snapshot(pre_v).total_rows == 1000
+
+    def test_bounded_overwrite_conflict_rejected(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = self._mk(spark, tmp_path / "t")
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        base = t._head_version()
+        # racer lands base+1
+        t._commit_bounded(base, (), set(), "delete_noop")
+        with pytest.raises(mt.ConcurrentWriteError, match="re-read"):
+            t._commit_bounded(base, (), set(), "overwrite", remove_all=True)
+
+    def test_bounded_replace_where_matches_classic(
+        self, spark, tmp_path, monkeypatch
+    ):
+        a = self._mk(spark, tmp_path / "a")
+        b = self._mk(spark, tmp_path / "b")
+        repl = spark.range(0, 20).selectExpr("id AS k", "CAST(99 AS LONG) v")
+        ra = a.replace_where(repl, [("k", "<", 20)])  # classic
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        rb = b.replace_where(repl, [("k", "<", 20)])  # bounded
+        assert ra == rb == (20, 20)
+        assert b.snapshot().op == "replace_where"
+        assert sorted(map(tuple, b.read().collect())) == sorted(
+            map(tuple, a.read().collect())
+        )
+        # constraint still enforced on the bounded path
+        bad = spark.range(0, 30).selectExpr("id AS k", "CAST(1 AS LONG) v")
+        with pytest.raises(ValueError, match="do not satisfy"):
+            b.replace_where(bad, [("k", "<", 20)])
+
+    def test_bounded_merge_matches_classic(self, spark, tmp_path, monkeypatch):
+        a = self._mk(spark, tmp_path / "a")
+        b = self._mk(spark, tmp_path / "b")
+        src = spark.range(990, 1010).selectExpr(
+            "id AS k", "CAST(42 AS LONG) v"
+        )
+        na = a.merge_by_key(src, "k")  # classic
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        nb = b.merge_by_key(src, "k")  # bounded
+        assert na == nb == 20
+        assert b.snapshot().op == "merge"
+        assert sorted(map(tuple, b.read().collect())) == sorted(
+            map(tuple, a.read().collect())
+        )
+        # updated keys present exactly once with the new value
+        assert b.read(where=[("k", ">=", 990)]).filter("v = 42").count() == 20
+        assert b.count() == 1010
+
+    def test_streamed_checkpoint_on_bounded_cadence(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A bounded-only commit sequence crossing the cadence boundary
+        re-arms the gate with a STREAMED checkpoint (no O(live files)
+        snapshot) whose content replays identically."""
+        t = self._mk(spark, tmp_path / "t")
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        df = spark.range(0, 3).selectExpr("id AS k", "id % 7 AS v").coalesce(1)
+        target = ((t._head_version() // mt._CKPT_EVERY) + 1) * mt._CKPT_EVERY
+        while t._head_version() < target:
+            t.append(df)
+        n_appended = 3 * (target - 4)  # bounded appends since the _mk base (head=4)
+        # both checkpoint formats landed at the cadence version
+        assert t._ckpt_parquet_path(target).exists()
+        assert t._ckpt_path(target).exists()
+        import pyarrow.parquet as pq
+
+        header = json.loads(
+            pq.ParquetFile(t._ckpt_parquet_path(target)).schema_arrow.metadata[
+                b"dwcs_header"
+            ]
+        )
+        assert header["version"] == target
+        assert header["total_rows"] == 1000 + n_appended
+        # the streamed JSON checkpoint replays byte-equivalently: evict the
+        # cache and force a fresh reconstruction THROUGH the checkpoint
+        with mt._SNAP_CACHE_GUARD:
+            mt._SNAP_CACHE.pop(str(t.root.resolve()), None)
+        fresh = ManagedTable(spark, t.root)
+        m = fresh.snapshot(target)
+        assert m.total_rows == 1000 + n_appended
+        assert fresh._last_log_reads == 1  # one checkpoint read, no replay
+        assert fresh.count() == 1000 + n_appended
+        assert fresh.read().count() == 1000 + n_appended
+
+    def test_wide_manifest_bounded_ingest(self, spark, tmp_path):
+        """VERDICT r7 'done' bar: at >=1e5 manifest entries (REAL gate, no
+        monkeypatch) append/overwrite/merge commit without materializing
+        the file list — the action payload stays KB-sized."""
+        schema_json = (
+            spark.range(1).selectExpr("id AS k", "id AS v").schema.json()
+        )
+        t = _synthetic_wide_manifest(
+            spark, tmp_path / "wide", 100_001, schema_json=schema_json,
+            partitioned=False,
+        )
+        base_rows = 100_001 * 10
+        assert t.count() == base_rows
+        df = spark.range(0, 5).selectExpr("id AS k", "id AS v").coalesce(1)
+        assert t.append(df) == 5
+        v = t._head_version()
+        action_text = (t.root / "_log" / f"{v:020d}.json").read_text()
+        assert len(action_text) < 10_000  # O(touched), not O(100k entries)
+        assert json.loads(action_text)["op"] == "append"
+        assert t.count() == base_rows + 5
+        # merge whose keys fall outside every synthetic span: candidates
+        # prune to zero via the distributed span probe; only adds commit
+        src = spark.range(10**7, 10**7 + 3).selectExpr("id AS k", "id AS v")
+        assert t.merge_by_key(src, "k") == 3
+        v = t._head_version()
+        action = json.loads((t.root / "_log" / f"{v:020d}.json").read_text())
+        assert action["op"] == "merge" and action["remove"] == []
+        assert t.count() == base_rows + 8
+        # overwrite truncates 100k entries with an O(1) marker
+        assert t.overwrite(df) == 5
+        v = t._head_version()
+        action_text = (t.root / "_log" / f"{v:020d}.json").read_text()
+        assert len(action_text) < 10_000
+        assert json.loads(action_text)["remove_all"] is True
+        assert t.count() == 5
+        assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+    def test_bounded_declarative_writer_roundtrip(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The session-less datasource commit hooks ride the same bounded
+        path: append + overwrite + replaceWhere through
+        df.write.format('managed_table') match the native results."""
+        from data_warehouse_copy_spark.sources.datasource import register
+
+        register(spark)
+        root = tmp_path / "t"
+        t = ManagedTable.create(spark, root)
+        df = spark.range(0, 100).selectExpr("id AS k", "id % 7 AS v")
+        df.write.format("managed_table").mode("append").save(str(root))
+        t._write_checkpoint(t.snapshot())
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+        # NOTE: the datasource commit hook runs in a session-less python
+        # worker subprocess — the monkeypatched gate does NOT reach it, so
+        # force the bounded path by checking the NATIVE handle sees the
+        # same table the declarative writer produced (the subprocess runs
+        # with the real 50k gate and takes the classic path here; the
+        # bounded branch itself is covered by calling the commit fn
+        # in-process below).
+        from data_warehouse_copy_spark.sources.datasource import (
+            FileCommit,
+            _commit_staged,
+            _stage_batches,
+        )
+        import pyarrow as pa
+
+        schema = df.schema
+        # stage one file in-process, then commit through the bounded branch
+        batch = pa.record_batch(
+            [pa.array([500, 501], pa.int64()), pa.array([1, 2], pa.int64())],
+            names=["k", "v"],
+        )
+        msg = _stage_batches(str(root), iter([batch]))
+        _commit_staged(str(root), schema, [msg], "append")
+        v = t._head_version()
+        action = json.loads((root / "_log" / f"{v:020d}.json").read_text())
+        assert action["op"] == "append" and action["remove"] == []
+        assert t.count() == 102
+        assert t.read(where=[("k", "=", 500)]).count() == 1
+        # bounded overwrite through the hook: remove_all marker
+        msg2 = _stage_batches(str(root), iter([batch]))
+        _commit_staged(str(root), schema, [msg2], "overwrite")
+        v = t._head_version()
+        action = json.loads((root / "_log" / f"{v:020d}.json").read_text())
+        assert action.get("remove_all") is True
+        assert t.count() == 2
