@@ -275,3 +275,18 @@ def test_ccnet_tiers_lm_join_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_ccnet_tiers")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_capped_lm_broadcast_is_bounded(spark, sf_dir):
+    """Round-7 weak-mark fix: the capped scorer's broadcast side is the
+    top-K LIMIT (TakeOrderedAndProject — O(K) per partition, no global
+    sort) and the scoring join broadcasts it; the corpus token stream
+    never shuffles before the final per-document aggregate."""
+    plan = _plan(spark, sf_dir, "text_unigram_logprob_capped")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # the K-bounded vocabulary
+    assert "CartesianProduct" not in plan
+    # the sampled tiers twin rides the same capped LM
+    plan2 = _plan(spark, sf_dir, "text_ccnet_tiers_sampled")
+    assert "BroadcastHashJoin" in plan2
+    assert "TakeOrderedAndProject" in plan2
