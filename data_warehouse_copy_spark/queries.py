@@ -4218,6 +4218,54 @@ ORDER BY o_orderpriority
 """
 
 
+def catalog_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML through the named catalog (VERDICT r6 item 3): the orders
+    land in a key-clustered ManagedTable, the name registers in a
+    NamedCatalog, and the table is then mutated by PURE SQL —
+    ``DELETE FROM db.t WHERE ...`` + ``UPDATE db.t SET ... WHERE ...`` —
+    via ``NamedCatalog.sql``'s parse-and-dispatch front-end
+    (sources/sql_dml.py; Spark 4.1's Python DS cannot intercept
+    row-level SQL natively, a boundary pinned in tests/test_names.py).
+    Both statements run the same transactional merge-on-read paths the
+    Python API uses (atomic commit, O(k) deletion vectors, stats-scoped
+    candidates), so the oracle — the converged table stated as one
+    filter + CASE projection — covers parser, dispatch, DV write and
+    read-side subtraction end-to-end."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_sqldml_")
+    t = ManagedTable.create(spark, f"{tmp}/orders", cluster_col="o_orderkey")
+    t.append(orders)
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_dml_orders", f"{tmp}/orders")
+    cat.sql(
+        spark,
+        "DELETE FROM global_temp.dwcs_dml_orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice < 50000.0",
+    )
+    cat.sql(
+        spark,
+        "UPDATE global_temp.dwcs_dml_orders "
+        "SET o_orderpriority = '1-URGENT', o_totalprice = o_totalprice * 2 "
+        "WHERE o_orderstatus = 'P'",
+    )
+    return t.read()
+
+
+CATALOG_SQL_DML_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate,
+       CASE WHEN o_orderstatus = 'P' THEN '1-URGENT'
+            ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+"""
+
+
+
 DATASOURCE_UPSERT_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderdate >= TIMESTAMP '{M_FROM}'
@@ -4872,6 +4920,7 @@ QUERIES: dict[str, QueryFn] = {
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "merge_expressions_roundtrip": merge_expressions_roundtrip,
     "catalog_named_sql": catalog_named_sql,
+    "catalog_sql_dml": catalog_sql_dml,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
     "text_unigram_logprob": text_unigram_logprob,
@@ -4990,6 +5039,7 @@ ORACLES: dict[str, str] = {
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
     "merge_expressions_roundtrip": MERGE_EXPRESSIONS_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
+    "catalog_sql_dml": CATALOG_SQL_DML_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,

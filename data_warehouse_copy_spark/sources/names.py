@@ -132,6 +132,22 @@ class NamedCatalog:
             reader = reader.option(k, v)
         return reader.load(self.root_of(name))
 
+    def sql(self, spark: SparkSession, query: str) -> DataFrame:
+        """Catalog-aware SQL: ``DELETE``/``UPDATE``/``MERGE INTO`` on a
+        registered ``db.table`` dispatch to the ManagedTable
+        transactional methods (atomic commit, merge-on-read DV, stats+
+        bloom file skipping — the predicate subset maps 1:1 onto the
+        manifest pruning tiers) and return a one-row ``(operation,
+        rows_affected)`` frame; every other statement passes through to
+        ``spark.sql`` untouched. This parse-and-dispatch front-end
+        exists because Spark 4.1's Python Data Source cannot intercept
+        row-level SQL (JVM-only DSv2 interfaces; the native failure is
+        pinned in tests/test_names.py) — see ``sources/sql_dml.py`` for
+        the supported grammar."""
+        from data_warehouse_copy_spark.sources.sql_dml import execute_sql
+
+        return execute_sql(spark, self, query)
+
     def attach(self, spark: SparkSession) -> list[str]:
         """Register every catalog entry as a GLOBAL TEMPORARY VIEW so pure
         SQL (and ``spark.table``) resolves ``<db>.<name>`` in any session

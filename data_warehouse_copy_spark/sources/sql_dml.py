@@ -1,0 +1,460 @@
+"""SQL DML front-end for :class:`NamedCatalog` tables (VERDICT r6 item 3).
+
+A warehouse user's first mutation attempt is ``spark.sql("DELETE FROM
+db.t WHERE ...")``. Spark 4.1 cannot route that to a Python Data Source:
+row-level operations (``SupportsRowLevelOperations`` /
+``SupportsDelete``) are JVM-DSv2-only interfaces the Python bridge does
+not implement, so DML against an attached view fails inside Spark's own
+analyzer ("Table does not support deletes: managed_table") — the same class of
+boundary as the ``CREATE TABLE ... USING`` property-forwarding gap
+documented in ``names.py``, and pinned by a test the same way
+(``tests/test_names.py::test_spark_native_sql_dml_is_unsupported``).
+
+So the catalog ships the honest workaround: :func:`execute_sql` (exposed
+as ``NamedCatalog.sql``) PARSES the statement; DML on a registered name
+dispatches to :class:`ManagedTable`'s transactional methods (the same
+atomic-commit, merge-on-read paths the Python API uses), anything else
+passes through to ``spark.sql`` untouched. Parsing is deliberately
+CONSERVATIVE: a statement outside the supported grammar raises with the
+unsupported fragment named — it never silently misparses into a wrong
+mutation.
+
+Supported grammar (case-insensitive keywords)::
+
+    DELETE FROM db.tbl [WHERE <conj>]
+        -- no WHERE = full truncate (Delta semantics), one atomic commit
+    UPDATE db.tbl SET col = <expr> [, col = <expr>]... WHERE <conj>
+        -- <expr> is any Spark SQL scalar expression over the row
+    MERGE INTO db.tbl [AS] t USING (db2.tbl2 | (<subquery>)) [AS] s
+        ON t.k = s.k [AND t.k2 = s.k2]...
+        [WHEN MATCHED [AND <cond>] THEN (UPDATE SET col = <expr>, ... | DELETE)]
+        [WHEN NOT MATCHED THEN INSERT *]
+
+    <conj> ::= <pred> [AND <pred>]...
+    <pred> ::= col (= | < | <= | > | >=) <literal>
+             | col IN ( <literal> [, <literal>]... )
+    <literal> ::= number | 'string' | TRUE | FALSE
+
+The WHERE subset is exactly the ``(column, op, value)`` conjunction
+``ManagedTable.read/delete/update`` consume — so every SQL predicate
+keeps manifest stats + bloom FILE SKIPPING, not just row filtering.
+``UPDATE``/``MERGE`` assignment right-hand sides are forwarded verbatim
+as Spark SQL expressions (arbitrary scalar SQL is fine there; they run
+under ``F.expr`` inside the transactional rewrite).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<string>'(?:[^']|'')*')
+    | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*(?:\.[A-Za-z_][A-Za-z0-9_$]*)*)
+    | (?P<punct><=|>=|<>|!=|=|<|>|\(|\)|,|\*|\+|-|/|%|\|\|)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "delete", "update", "merge", "from", "into", "using", "set", "where",
+    "and", "on", "when", "matched", "not", "then", "insert", "values",
+    "as", "in", "true", "false",
+}
+
+
+class SqlDmlError(ValueError):
+    """Statement is DML-shaped but outside the supported grammar."""
+
+
+@dataclass
+class _Tok:
+    kind: str  # string | number | ident | punct
+    text: str
+
+
+def _tokenize(sql: str) -> list[_Tok]:
+    out, pos = [], 0
+    s = sql.strip().rstrip(";")
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise SqlDmlError(
+                f"cannot tokenize SQL at: {s[pos:pos + 30]!r}"
+            )
+        pos = m.end()
+        for kind in ("string", "number", "ident", "punct"):
+            t = m.group(kind)
+            if t is not None:
+                out.append(_Tok(kind, t))
+                break
+    return out
+
+
+@dataclass
+class DmlStatement:
+    kind: str  # delete | update | merge
+    table: str
+    where: "list[tuple] | None" = None
+    set_exprs: "dict[str, str] | None" = None
+    # merge fields
+    source: str | None = None          # catalog name of the source, or
+    source_query: str | None = None    # ... a subquery text
+    on: "list[str]" = field(default_factory=list)
+    match_condition: str | None = None
+    when_matched_update: "dict[str, str] | None" = None
+    when_matched_delete: bool = False
+    when_not_matched_insert: bool = False
+
+
+class _Parser:
+    def __init__(self, sql: str):
+        self.toks = _tokenize(sql)
+        self.i = 0
+
+    # ------------------------------------------------------------ plumbing
+
+    def _peek(self, ahead: int = 0) -> "_Tok | None":
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def _kw(self, tok: "_Tok | None") -> str | None:
+        if tok is not None and tok.kind == "ident" and tok.text.lower() in _KEYWORDS:
+            return tok.text.lower()
+        return None
+
+    def _take(self) -> _Tok:
+        if self.i >= len(self.toks):
+            raise SqlDmlError("unexpected end of statement")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _expect_kw(self, *words: str) -> str:
+        t = self._take()
+        kw = self._kw(t)
+        if kw not in words:
+            raise SqlDmlError(
+                f"expected {'/'.join(w.upper() for w in words)}, "
+                f"got {t.text!r}"
+            )
+        return kw
+
+    def _expect_ident(self) -> str:
+        t = self._take()
+        if t.kind != "ident" or self._kw(t):
+            raise SqlDmlError(f"expected identifier, got {t.text!r}")
+        return t.text
+
+    def _expect_punct(self, p: str) -> None:
+        t = self._take()
+        if t.kind != "punct" or t.text != p:
+            raise SqlDmlError(f"expected {p!r}, got {t.text!r}")
+
+    def _at_kw(self, *words: str) -> bool:
+        return self._kw(self._peek()) in words
+
+    # ------------------------------------------------------------ literals
+
+    def _literal(self):
+        t = self._take()
+        if t.kind == "number":
+            txt = t.text
+            return float(txt) if ("." in txt or "e" in txt.lower()) else int(txt)
+        if t.kind == "string":
+            return t.text[1:-1].replace("''", "'")
+        kw = self._kw(t)
+        if kw == "true":
+            return True
+        if kw == "false":
+            return False
+        raise SqlDmlError(f"expected a literal, got {t.text!r}")
+
+    # --------------------------------------------------------- conjunction
+
+    def _where_conj(self) -> list[tuple]:
+        """The ``(col, op, value)`` conjunction ManagedTable consumes —
+        file-skipping-preserving by construction."""
+        preds = []
+        while True:
+            col = self._expect_ident()
+            nxt = self._peek()
+            if self._kw(nxt) == "in":
+                self._take()
+                self._expect_punct("(")
+                vals = [self._literal()]
+                while self._peek() is not None and self._peek().text == ",":
+                    self._take()
+                    vals.append(self._literal())
+                self._expect_punct(")")
+                preds.append((col, "in", vals))
+            else:
+                t = self._take()
+                if t.kind != "punct" or t.text not in ("=", "<", "<=", ">", ">="):
+                    raise SqlDmlError(
+                        f"unsupported operator {t.text!r} in WHERE (supported:"
+                        f" = < <= > >= IN; use the Python API for richer"
+                        f" predicates)"
+                    )
+                preds.append((col, t.text, self._literal()))
+            if self._at_kw("and"):
+                self._take()
+                continue
+            return preds
+
+    # --------------------------------------------------------- expressions
+
+    def _expr_text(self, stop_kws: set, aliases: "dict[str, str] | None" = None) -> str:
+        """Collect tokens into a Spark SQL expression string until a
+        top-level comma or one of ``stop_kws`` at paren depth 0.
+        ``aliases`` rewrites ``<alias>.col`` prefixes (MERGE's t./s.)."""
+        parts, depth = [], 0
+        while True:
+            t = self._peek()
+            if t is None:
+                break
+            if depth == 0 and (
+                (t.kind == "punct" and t.text == ",")
+                or self._kw(t) in stop_kws
+            ):
+                break
+            t = self._take()
+            text = t.text
+            if t.kind == "punct":
+                depth += text == "("
+                depth -= text == ")"
+                if depth < 0:
+                    self.i -= 1  # closing paren belongs to the caller
+                    break
+            if aliases and t.kind == "ident" and "." in text:
+                head, rest = text.split(".", 1)
+                if head.lower() in aliases:
+                    text = f"{aliases[head.lower()]}.{rest}"
+            parts.append(text)
+        if not parts:
+            raise SqlDmlError("empty expression")
+        return " ".join(parts)
+
+    def _assignments(self, stop_kws: set, aliases=None) -> dict:
+        out: dict[str, str] = {}
+        while True:
+            col = self._expect_ident()
+            if "." in col:  # "SET t.col = ..." — strip the target alias
+                col = col.split(".", 1)[1]
+            self._expect_punct("=")
+            out[col] = self._expr_text(stop_kws, aliases)
+            if self._peek() is not None and self._peek().text == ",":
+                self._take()
+                continue
+            return out
+
+    # ---------------------------------------------------------- statements
+
+    def parse(self) -> "DmlStatement | None":
+        head = self._kw(self._peek())
+        if head == "delete":
+            self._take()
+            self._expect_kw("from")
+            st = DmlStatement("delete", self._expect_ident())
+            if self._at_kw("where"):
+                self._take()
+                st.where = self._where_conj()
+            self._done()
+            return st
+        if head == "update":
+            self._take()
+            st = DmlStatement("update", self._expect_ident())
+            self._expect_kw("set")
+            st.set_exprs = self._assignments({"where"})
+            if self._at_kw("where"):
+                self._take()
+                st.where = self._where_conj()
+            self._done()
+            return st
+        if head == "merge":
+            self._take()
+            self._expect_kw("into")
+            return self._merge()
+        return None  # not DML: pass through to spark.sql
+
+    def _done(self) -> None:
+        if self.i != len(self.toks):
+            raise SqlDmlError(
+                f"unsupported trailing SQL: "
+                f"{' '.join(t.text for t in self.toks[self.i:self.i + 8])!r}"
+            )
+
+    def _maybe_alias(self) -> str | None:
+        if self._at_kw("as"):
+            self._take()
+            return self._expect_ident()
+        t = self._peek()
+        if t is not None and t.kind == "ident" and not self._kw(t) and "." not in t.text:
+            return self._take().text
+        return None
+
+    def _merge(self) -> DmlStatement:
+        st = DmlStatement("merge", self._expect_ident())
+        tgt_alias = (self._maybe_alias() or "t").lower()
+        self._expect_kw("using")
+        if self._peek() is not None and self._peek().text == "(":
+            # parenthesized subquery: slice its tokens verbatim
+            self._take()
+            depth, parts = 1, []
+            while depth:
+                t = self._take()
+                if t.kind == "punct":
+                    depth += t.text == "("
+                    depth -= t.text == ")"
+                    if depth == 0:
+                        break
+                parts.append(t.text)
+            st.source_query = " ".join(parts)
+        else:
+            st.source = self._expect_ident()
+        src_alias = (self._maybe_alias() or "s").lower()
+        aliases = {tgt_alias: "t", src_alias: "s"}
+        self._expect_kw("on")
+        st.on = self._merge_on(tgt_alias, src_alias)
+        while self._at_kw("when"):
+            self._take()
+            kw = self._expect_kw("matched", "not")
+            if kw == "matched":
+                if self._at_kw("and"):
+                    self._take()
+                    st.match_condition = self._expr_text({"then"}, aliases)
+                self._expect_kw("then")
+                kw2 = self._expect_kw("update", "delete")
+                if kw2 == "update":
+                    self._expect_kw("set")
+                    st.when_matched_update = self._assignments(
+                        {"when"}, aliases
+                    )
+                else:
+                    st.when_matched_delete = True
+            else:
+                self._expect_kw("matched")
+                self._expect_kw("then")
+                self._expect_kw("insert")
+                self._expect_punct("*")
+                st.when_not_matched_insert = True
+        self._done()
+        if st.when_matched_update and st.when_matched_delete:
+            raise SqlDmlError(
+                "one WHEN MATCHED clause per statement (UPDATE or DELETE)"
+            )
+        return st
+
+    def _merge_on(self, tgt_alias: str, src_alias: str) -> list[str]:
+        """``t.k = s.k [AND ...]`` — equi-join on same-named columns (the
+        ManagedTable.merge key contract)."""
+        cols = []
+        while True:
+            a = self._expect_ident()
+            self._expect_punct("=")
+            b = self._expect_ident()
+            sides = {}
+            for ref in (a, b):
+                if "." not in ref:
+                    raise SqlDmlError(
+                        f"MERGE ON references must be alias-qualified "
+                        f"({tgt_alias}.col = {src_alias}.col), got {ref!r}"
+                    )
+                alias, col = ref.split(".", 1)
+                sides[alias.lower()] = col
+            if set(sides) != {tgt_alias, src_alias}:
+                raise SqlDmlError(
+                    f"MERGE ON must compare target and source aliases, "
+                    f"got {a!r} = {b!r}"
+                )
+            if sides[tgt_alias] != sides[src_alias]:
+                raise SqlDmlError(
+                    f"MERGE ON requires same-named key columns "
+                    f"(got {a!r} = {b!r}); rename the source column"
+                )
+            cols.append(sides[tgt_alias])
+            if self._at_kw("and") and self._kw(self._peek(1)) != "when":
+                # lookahead: AND followed by an equi-pair continues the key;
+                # AND inside WHEN conditions never reaches here
+                nxt = self._peek(1)
+                if nxt is not None and nxt.kind == "ident" and "." in nxt.text:
+                    self._take()
+                    continue
+            return cols
+
+
+def parse_dml(sql: str) -> "DmlStatement | None":
+    """Parse ``sql`` into a :class:`DmlStatement`, ``None`` when the
+    statement is not DELETE/UPDATE/MERGE (callers pass those through to
+    ``spark.sql``). Raises :class:`SqlDmlError` on DML outside the
+    supported grammar — loud, never a misparse."""
+    return _Parser(sql).parse()
+
+
+def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
+    """Run ``sql`` with catalog-aware DML routing (the body of
+    ``NamedCatalog.sql``). DML returns a one-row summary frame
+    ``(operation, rows_affected)`` — the shape Delta's SQL DML returns
+    metrics in; non-DML returns ``spark.sql``'s own result."""
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+    st = parse_dml(sql)
+    if st is None:
+        return spark.sql(sql)
+    t = ManagedTable(spark, catalog.root_of(st.table))
+    if st.kind == "delete":
+        if st.where is None:
+            # DELETE without WHERE = truncate (Delta semantics): one
+            # atomic empty overwrite, old files to vacuum
+            m = t.snapshot()
+            import json as _json
+
+            from pyspark.sql import types as T
+
+            schema = (
+                T.StructType.fromJson(_json.loads(m.schema_json))
+                if m.schema_json
+                else T.StructType([])
+            )
+            n = m.total_rows
+            t.overwrite(spark.createDataFrame([], schema))
+        else:
+            n = t.delete(st.where)
+        return _summary(spark, "DELETE", n)
+    if st.kind == "update":
+        if st.where is None:
+            raise SqlDmlError(
+                "UPDATE without WHERE is not supported through the "
+                "catalog; use ManagedTable.update with an explicit "
+                "always-true predicate if you really mean every row"
+            )
+        n = t.update(st.where, st.set_exprs)
+        return _summary(spark, "UPDATE", n)
+    # merge
+    if st.source is not None:
+        source_df = catalog.table(spark, st.source)
+    else:
+        source_df = spark.sql(st.source_query)
+    res = t.merge(
+        source_df,
+        on=st.on,
+        when_matched_update=st.when_matched_update,
+        when_matched_delete=st.when_matched_delete,
+        match_condition=st.match_condition,
+        when_not_matched_insert=st.when_not_matched_insert,
+    )
+    return _summary(
+        spark, "MERGE", res["updated"] + res["deleted"] + res["inserted"]
+    )
+
+
+def _summary(spark: SparkSession, op: str, n: int) -> DataFrame:
+    return spark.createDataFrame(
+        [(op, n)], "operation string, rows_affected long"
+    )

@@ -117,3 +117,120 @@ def test_dropping_name_keeps_data(spark, cat):
     c.drop("global_temp.orders")
     assert c.names() == []
     assert t.read().count() == 100  # the NAME died, the table did not
+
+
+# ---------------------------------------------------------------- SQL DML
+
+
+def test_spark_native_sql_dml_is_unsupported(spark, cat):
+    """The boundary that justifies the parse-and-dispatch front-end:
+    Spark 4.1 cannot route row-level SQL to a Python Data Source — DML
+    against an attached view fails inside Spark's own analyzer. If this
+    test ever FAILS (native DML starts working), retire sql_dml.py."""
+    c, _t = cat
+    c.attach(spark)
+    with pytest.raises(Exception, match="does not support deletes|DELETE"):
+        spark.sql("DELETE FROM global_temp.orders WHERE k < 5")
+
+
+def test_sql_dml_parser_units():
+    from data_warehouse_copy_spark.sources.sql_dml import (
+        SqlDmlError,
+        parse_dml,
+    )
+
+    st = parse_dml("DELETE FROM db.t WHERE a = 1 AND b >= 2.5 AND c IN ('x', 'y')")
+    assert st.kind == "delete" and st.table == "db.t"
+    assert st.where == [("a", "=", 1), ("b", ">=", 2.5), ("c", "in", ["x", "y"])]
+    st = parse_dml("DELETE FROM db.t")  # truncate form
+    assert st.where is None
+    st = parse_dml("UPDATE db.t SET a = a * 2, b = 'it''s' WHERE k = 3")
+    assert st.kind == "update"
+    assert st.set_exprs == {"a": "a * 2", "b": "'it''s'"}
+    assert st.where == [("k", "=", 3)]
+    st = parse_dml(
+        "MERGE INTO db.t AS tgt USING db.src AS st ON tgt.k = st.k "
+        "WHEN MATCHED AND st.v > tgt.v THEN UPDATE SET v = st.v + 1 "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert st.kind == "merge" and st.on == ["k"] and st.source == "db.src"
+    assert st.match_condition == "s.v > t.v"       # aliases normalized
+    assert st.when_matched_update == {"v": "s.v + 1"}
+    assert st.when_not_matched_insert is True
+    # SELECTs are not DML: pass through
+    assert parse_dml("SELECT * FROM db.t") is None
+    assert parse_dml("  with x as (select 1) select * from x") is None
+    # conservative failures, never misparses
+    with pytest.raises(SqlDmlError, match="unsupported operator"):
+        parse_dml("DELETE FROM db.t WHERE a != 1")
+    with pytest.raises(SqlDmlError, match="operator|literal|expected"):
+        parse_dml("DELETE FROM db.t WHERE a IS NULL")
+    with pytest.raises(SqlDmlError, match="trailing"):
+        parse_dml("DELETE FROM db.t WHERE a = 1 OR b = 2")
+    with pytest.raises(SqlDmlError, match="same-named"):
+        parse_dml("MERGE INTO db.t t USING db.s s ON t.a = s.b "
+                  "WHEN NOT MATCHED THEN INSERT *")
+
+
+def test_sql_dml_delete_update_roundtrip(spark, cat):
+    c, t = cat
+    res = c.sql(
+        spark, "DELETE FROM global_temp.orders WHERE k < 10"
+    ).collect()
+    assert [(r.operation, r.rows_affected) for r in res] == [("DELETE", 10)]
+    assert t.count() == 90
+    res = c.sql(
+        spark,
+        "UPDATE global_temp.orders SET v = v + 100 WHERE k >= 95",
+    ).collect()
+    assert res[0].rows_affected == 5
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 90 and min(got) == 10
+    assert all(got[k] == k % 3 + 100 for k in range(95, 100))
+    assert all(got[k] == k % 3 for k in range(10, 95))
+    # non-DML passes through to spark.sql (catalog views not required)
+    assert c.sql(spark, "SELECT 1 AS one").collect()[0].one == 1
+    # UPDATE without WHERE is refused loudly
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    with pytest.raises(SqlDmlError, match="UPDATE without WHERE"):
+        c.sql(spark, "UPDATE global_temp.orders SET v = 0")
+
+
+def test_sql_dml_truncate_and_merge(spark, tmp_path, cat):
+    c, t = cat
+    # source table for the MERGE
+    src = ManagedTable.create(spark, tmp_path / "src")
+    src.append(
+        spark.range(90, 110).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        )
+    )
+    c.register("global_temp.src", tmp_path / "src")
+    res = c.sql(
+        spark,
+        "MERGE INTO global_temp.orders AS t USING global_temp.src AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert res[0].operation == "MERGE"
+    assert res[0].rows_affected == 20  # 10 updated (k 90..99) + 10 inserted
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 110
+    assert all(got[k] == 7 for k in range(90, 110))
+    assert all(got[k] == k % 3 for k in range(0, 90))
+    # MERGE with a subquery source
+    res = c.sql(
+        spark,
+        "MERGE INTO global_temp.orders t "
+        "USING (SELECT 200 AS k, 9 AS v) s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert res[0].rows_affected == 1
+    assert t.count() == 111
+    # DELETE without WHERE truncates atomically, schema preserved
+    res = c.sql(spark, "DELETE FROM global_temp.orders").collect()
+    assert res[0].rows_affected == 111
+    assert t.count() == 0
+    assert t.read().columns == ["k", "v"]
