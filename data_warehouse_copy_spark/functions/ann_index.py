@@ -101,15 +101,61 @@ class IvfIndex:
         idx._record_trained_counts(meta)
         return idx
 
-    def add(self, df: DataFrame) -> int:
+    def add(self, df: DataFrame, auto_rebuild: dict | None = None) -> int:
         """Append new vectors under the frozen quantizer (one commit).
         Returns rows added. Lists drift as the distribution does —
-        monitor :meth:`balance` and :meth:`rebuild` past threshold."""
+        monitor :meth:`balance` and :meth:`rebuild` past threshold, or
+        pass ``auto_rebuild={...}`` (kwargs for :meth:`maybe_rebuild`)
+        to make that policy operational: after the append the health
+        check runs and a threshold crossing triggers the rebuild
+        in-line (VERDICT r6 item 8). The decision record lands on
+        ``self.last_maintenance`` either way, so callers can log it."""
         meta = self._meta()
         assigned = self._assign(
             df, self._centroids(), meta["id_col"], meta["vec_col"]
         )
-        return self._table().append(assigned)
+        n = self._table().append(assigned)
+        if auto_rebuild is not None:
+            self.last_maintenance = self.maybe_rebuild(**auto_rebuild)
+        return n
+
+    def maybe_rebuild(
+        self,
+        drift_threshold: float = 0.25,
+        imbalance_threshold: float = 4.0,
+        **rebuild_kwargs,
+    ) -> dict:
+        """Opt-in rebuild policy: retrain iff :meth:`balance` crosses a
+        threshold — the operational form of the drift metric (advisory
+        alone, nothing consumed it). Defaults are starting points, not
+        universal constants (the trade is recall vs maintenance cost):
+        TV-drift 0.25 means a quarter of the list mass sits where the
+        trained centroids aren't; imbalance 4.0 means the hottest list
+        scans 4x the mean per probe. Returns ``{"rebuilt", "reason",
+        "before", "after"}`` with the balance snapshots; when triggered,
+        the rebuild is the normal atomic one — concurrent searches stay
+        snapshot-isolated throughout."""
+        before = self.balance()
+        reason = None
+        if before["drift"] >= drift_threshold:
+            reason = (
+                f"drift {before['drift']:.3f} >= {drift_threshold}"
+            )
+        elif before["imbalance"] >= imbalance_threshold:
+            reason = (
+                f"imbalance {before['imbalance']:.2f} >= "
+                f"{imbalance_threshold}"
+            )
+        if reason is None:
+            return {
+                "rebuilt": False, "reason": None,
+                "before": before, "after": None,
+            }
+        after = self.rebuild(**rebuild_kwargs)
+        return {
+            "rebuilt": True, "reason": reason,
+            "before": before, "after": after,
+        }
 
     # ---------------------------------------------------------- maintenance
 

@@ -161,3 +161,50 @@ def test_rebuild_is_atomic_for_readers(spark, emb, tmp_path):
     assert idx._meta()["n_lists"] == 4
     # old version still readable until vacuum (snapshot isolation)
     assert t.read(version=v_before).count() == emb.count()
+
+
+def test_maybe_rebuild_policy_hook(spark, emb, tmp_path):
+    """VERDICT r6 item 8: the drift signal is operational, not advisory —
+    add(auto_rebuild=...) triggers the rebuild when the threshold is
+    crossed, the recall floor is restored, and a healthy index is left
+    untouched."""
+    idx = IvfIndex.build(
+        spark, emb, tmp_path / "ivf", n_lists=8, sample_size=4096
+    )
+    # healthy index + thresholds: no rebuild (decision is recorded)
+    out = idx.maybe_rebuild(drift_threshold=0.25, imbalance_threshold=4.0)
+    assert out["rebuilt"] is False and out["reason"] is None
+    assert out["before"]["drift"] == pytest.approx(0.0)
+
+    dim = len(emb.select("embedding").first()[0])
+    n_new = emb.count() * 3
+    drifted = (
+        spark.range(1_000_000, 1_000_000 + n_new)
+        .selectExpr("id AS vec_id")
+        .withColumn(
+            "embedding",
+            F.array(
+                *[
+                    (F.lit(50.0) + F.rand(seed=7 + i)).cast("float")
+                    for i in range(dim)
+                ]
+            ),
+        )
+        .withColumn("label", F.lit(0).cast("int"))
+    )
+    # the opt-in hook: drifted traffic crosses the threshold in-line
+    idx.add(drifted, auto_rebuild={"drift_threshold": 0.25})
+    assert idx.last_maintenance["rebuilt"] is True
+    assert "drift" in idx.last_maintenance["reason"]
+    assert idx.last_maintenance["before"]["drift"] > 0.25
+    assert idx.last_maintenance["after"]["drift"] == pytest.approx(0.0)
+    # recall floor restored over the union corpus through the hook path
+    union = emb.unionByName(drifted)
+    qs = union.filter(F.col("vec_id") < 10)
+    approx = idx.search(qs, k=5, nprobe=3).collect()
+    exact = brute_force_topk(union, qs, k=5).collect()
+    assert _recall(exact, approx) >= 0.5
+    # and a subsequent small add under the same policy does NOT rebuild
+    tiny = drifted.limit(5)
+    idx.add(tiny, auto_rebuild={"drift_threshold": 0.25})
+    assert idx.last_maintenance["rebuilt"] is False
