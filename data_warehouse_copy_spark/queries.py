@@ -2104,6 +2104,60 @@ def events_hourly_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ca.serve(events.filter(F.col("ts") >= split))
 
 
+def rollup_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-driven continuous-aggregate maintenance
+    (``ContinuousAggregate.refresh_from_changes``, the TimescaleDB
+    invalidation model): the raw events land in a day-partitioned
+    ManagedTable and the hourly rollup is backfilled; then LATE DML
+    mutates already-closed days — a deletion-vector DELETE and an
+    in-place UPDATE — which the day-close heuristic would silently leave
+    stale in the rollup. The row-level change feed (``read_cdf``, which
+    reconstructs DV-delete rows from the commit's own DV parquets)
+    invalidates exactly the touched days and each is re-aggregated in
+    one atomic range overwrite. The oracle is the full hourly aggregate
+    over the mutated raw state — value-equality proves the feed-driven
+    refresh converges to the full recompute while rescanning only the
+    invalidated days."""
+    from data_warehouse_copy_spark.streaming.rollup import ContinuousAggregate
+
+    (events,) = _prep(spark, sf_dir, "events")
+    tmp = _tmp_table_dir(prefix="dwcs_cacdc_")
+    raw = ManagedTable.create(spark, f"{tmp}/raw", partition_date_col="ts")
+    raw.append(events)
+    cursor = raw._head_version()
+    ca = ContinuousAggregate(spark, f"{tmp}/rollup")
+    ca.backfill(raw.read())
+    # late DML on closed days: a DV delete and an in-place update
+    raw.delete(
+        [("event_type", "=", "error"), ("ts", "<", "2024-01-05 00:00:00")]
+    )
+    raw.update(
+        [("event_type", "=", "purchase"), ("ts", "<", "2024-01-03 00:00:00")],
+        {"value": "value * 2"},
+    )
+    res = ca.refresh_from_changes(raw, cursor)
+    assert res["days"], "feed saw no invalidated days — vacuous refresh"
+    return ca.store.read()
+
+
+ROLLUP_CDC_REFRESH_SQL = f"""
+WITH final AS (
+  SELECT ts, event_type, user_id,
+         CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+              THEN value * 2 ELSE value END AS value
+  FROM events
+  WHERE NOT (event_type = 'error' AND ts < TIMESTAMP '2024-01-05 00:00:00'))
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_sql_dec_sum('value')} AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM final
+GROUP BY 1, 2, 3
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap): lag + conditional cumsum, one
     shuffle on user_id."""
@@ -4921,6 +4975,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_expressions_roundtrip": merge_expressions_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "catalog_sql_dml": catalog_sql_dml,
+    "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
     "text_unigram_logprob": text_unigram_logprob,
@@ -5040,6 +5095,7 @@ ORACLES: dict[str, str] = {
     "merge_expressions_roundtrip": MERGE_EXPRESSIONS_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
+    "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,

@@ -80,6 +80,57 @@ class ContinuousAggregate:
         # Skipping it saves one scan+count job per refresh.
         return self.store.overwrite_range(agg, day, day)
 
+    def refresh_from_changes(
+        self,
+        raw: ManagedTable,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> dict:
+        """Feed-driven EXACT maintenance (VERDICT r6 item 6 — the
+        TimescaleDB invalidation-log model): read the raw table's
+        row-level change feed for ``(from_version, to_version]``,
+        project every change row — inserts, DV deletes, update pre/
+        postimages alike — onto its DAY, and re-aggregate exactly the
+        invalidated days from the raw snapshot at ``to_version``, one
+        atomic range overwrite per day. This is what makes LATE DML
+        converge: ``refresh_day`` by day-close heuristic never re-fires
+        for a day it already closed, so a deletion-vector delete or an
+        in-place update on that day silently left the rollup stale;
+        the feed sees those rows (reconstructed from the commit's DV
+        parquets) and invalidates the day.
+
+        Cost ∝ changed rows (the feed) + the invalidated days' raw data
+        (the re-aggregation) — history is never rescanned. Day-targeted
+        recompute rather than +/- delta application because it is exact
+        for EVERY aggregate in the rollup (count_distinct/min/max are
+        not invertible, so a subtraction-based maintainer would be
+        wrong for them) and idempotent under replays of the same feed
+        window. Returns ``{"to_version", "days", "deleted",
+        "inserted"}`` — feed the returned ``to_version`` back in as the
+        next call's ``from_version`` (a cursor, exactly like the stream
+        source's)."""
+        if to_version is None:
+            to_version = raw._head_version()
+        if to_version <= from_version:
+            return {"to_version": from_version, "days": [],
+                    "deleted": 0, "inserted": 0}
+        days = sorted(
+            str(r["d"])
+            for r in raw.read_cdf(from_version, to_version)
+            .select(F.to_date("ts").alias("d"))
+            .where(F.col("d").isNotNull())
+            .distinct()
+            .collect()
+        )
+        events = raw.read(version=to_version)
+        n_del = n_ins = 0
+        for day in days:
+            d, i = self.refresh_day(events, day)
+            n_del += d
+            n_ins += i
+        return {"to_version": to_version, "days": days,
+                "deleted": n_del, "inserted": n_ins}
+
     def serve(self, tail_events: DataFrame) -> DataFrame:
         """Rollup ∪ agg(raw tail): the continuous-aggregate read path.
         ``tail_events`` must be exactly the events of not-yet-refreshed days

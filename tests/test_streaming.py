@@ -895,3 +895,55 @@ class TestDeclarativeCuration:
         finally:
             q2.stop()
         assert ManagedTable(spark, tmp_path / "silver").read().count() == n
+
+
+def test_rollup_refresh_from_changes_converges_late_dml(spark, sf_dir, tmp_path):
+    """VERDICT r6 item 6: a DV delete / in-place update on a CLOSED day
+    leaves the heuristic rollup stale; the feed-driven refresh sees the
+    change rows, invalidates exactly the touched days, and converges to
+    the full recompute. The cursor advances and a replay is a no-op."""
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+    from data_warehouse_copy_spark.streaming.events import tumbling_window_agg
+    from data_warehouse_copy_spark.streaming.rollup import ContinuousAggregate
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = ManagedTable.create(spark, tmp_path / "raw", partition_date_col="ts")
+    raw.append(events)
+    cursor = raw._head_version()
+    ca = ContinuousAggregate(spark, str(tmp_path / "rollup"))
+    ca.backfill(raw.read())
+
+    def full():
+        return {tuple(map(str, r)) for r in tumbling_window_agg(raw.read()).collect()}
+
+    def rolled():
+        return {tuple(map(str, r)) for r in ca.store.read().collect()}
+
+    assert rolled() == full()
+    # late DML on closed days
+    n_del = raw.delete(
+        [("event_type", "=", "error"), ("ts", "<", "2024-01-03 00:00:00")]
+    )
+    n_upd = raw.update(
+        [("event_type", "=", "purchase"), ("ts", "<", "2024-01-02 00:00:00")],
+        {"value": "value + 1000"},
+    )
+    assert n_del > 0 and n_upd > 0
+    assert rolled() != full()  # the documented staleness, demonstrated
+    res = ca.refresh_from_changes(raw, cursor)
+    # only the touched days were invalidated (delete: days 1-2, update: day 1)
+    assert res["days"] == ["2024-01-01", "2024-01-02"]
+    assert rolled() == full()  # converged to the full recompute
+    # cursor advances; replaying the SAME window is idempotent
+    cursor = res["to_version"]
+    again = ca.refresh_from_changes(raw, cursor)
+    assert again["days"] == [] and again["to_version"] == cursor
+    assert rolled() == full()
+    # a fresh append on a NEW day flows through the same cursor
+    extra = events.limit(50).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-02-01 12:00:00")).cast("timestamp_ntz")
+    )
+    raw.append(extra)
+    res = ca.refresh_from_changes(raw, cursor)
+    assert res["days"] == ["2024-02-01"]
+    assert rolled() == full()
