@@ -4106,6 +4106,50 @@ WHERE o_orderdate >= TIMESTAMP '{M_FROM}'
 """
 
 
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename + widen + drop as METADATA-ONLY commits (VERDICT r6 item 4;
+    the reference has no evolution — it remaps columns per run,
+    ``TableCopyService.cs:152-161``). Even-keyed orders land first with
+    ``o_orderkey`` NARROWED to int; the table is then widened back to
+    long (old int files upcast natively by Spark's parquet reader — zero
+    rewrite) and ``o_totalprice`` renamed to ``price`` (Delta
+    column-mapping model: files keep the immutable physical name,
+    ``o_totalprice``, so the rename is one KB-sized commit at any table
+    size). Odd-keyed orders append under the NEW logical shape, a
+    predicate delete runs against the RENAMED column (stats pruning
+    translates logical→physical), and ``o_orderdate`` is dropped. The
+    oracle states the final table directly from the source parquet."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    root = f"{_tmp_table_dir(prefix='dwcs_evo_')}/orders"
+    t = ManagedTable.create(spark, root, cluster_col="o_orderkey")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    ]
+    even = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        *cols[1:],
+    )
+    t.append(even)
+    t.widen_column("o_orderkey", "long")
+    t.rename_column("o_totalprice", "price")
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").alias("price"), "o_orderdate",
+    )
+    t.append(odd)
+    t.delete([("price", ">", 400000.0)])
+    t.drop_column("o_orderdate")
+    return t.read()
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price
+FROM orders
+WHERE o_totalprice <= 400000.0
+"""
+
+
 def datasource_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert through the DECLARATIVE write path (sources/datasource.py
     ``_commit_merge``): the target starts as orders with zeroed prices on
@@ -4973,6 +5017,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_delete_feed": cdc_delete_feed,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "merge_expressions_roundtrip": merge_expressions_roundtrip,
+    "schema_evolution_roundtrip": schema_evolution_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "catalog_sql_dml": catalog_sql_dml,
     "rollup_cdc_refresh": rollup_cdc_refresh,
@@ -5093,6 +5138,7 @@ ORACLES: dict[str, str] = {
     "cdc_delete_feed": CDC_DELETE_FEED_SQL,
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
     "merge_expressions_roundtrip": MERGE_EXPRESSIONS_SQL,
+    "schema_evolution_roundtrip": SCHEMA_EVOLUTION_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,

@@ -119,6 +119,8 @@ from data_warehouse_copy_spark.sources.managed_table import (
     _WHERE_OPS,
     _cdc_skip,
     _file_may_match,
+    _map_where,
+    _phys_map,
 )
 
 if TYPE_CHECKING:
@@ -307,6 +309,7 @@ def _read_file_as_batches(
     dvs: tuple = (),
     change_type: str | None = None,
     dv_include: tuple = (),
+    mapping: dict | None = None,
 ) -> "Iterator[pa.RecordBatch]":
     """Executor-side scan of one parquet file, projected to the DECLARED
     schema (the one Spark planned the query against): missing columns
@@ -322,7 +325,13 @@ def _read_file_as_batches(
     ``dv_include`` inverts that — only the listed DV files' positions are
     read (the row-level change feed's delete/preimage partitions: the
     rows a commit tombstoned, reconstructed from the positions the commit
-    already wrote)."""
+    already wrote).
+
+    ``mapping`` (logical→physical, from the manifest's column-mapping
+    record) makes the projection rename/widen-proof: files are probed by
+    the immutable PHYSICAL name and the column lands under the declared
+    LOGICAL name; a physically-narrow column (pre-``widen_column`` file)
+    is cast up by the explicit target type like any other."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -330,12 +339,16 @@ def _read_file_as_batches(
     spark_schema = _nullable(T.StructType.fromJson(json.loads(schema_json)))
     target = to_arrow_schema(spark_schema)
     target_schema = pa.schema(list(target))
+    phys_of = {
+        n: (mapping or {}).get(n, n)
+        for n in target.names
+    }
     pf = pq.ParquetFile(path)
     present = set(pf.schema_arrow.names)
     want = [
-        n
+        phys_of[n]
         for n in target.names
-        if n in present and n not in (_VERSION_COL, _CHANGE_COL)
+        if phys_of[n] in present and n not in (_VERSION_COL, _CHANGE_COL)
     ]
     rgs = _matching_row_groups(pf, where or [])
     if rgs == []:
@@ -358,12 +371,13 @@ def _read_file_as_batches(
                         batch.num_rows,
                     )
                 )
-            elif field.name in batch.schema.names:
-                cols.append(batch.column(field.name))
+            elif phys_of[field.name] in batch.schema.names:
+                cols.append(batch.column(phys_of[field.name]))
             else:  # additive evolution: file predates the column
                 cols.append(pa.nulls(batch.num_rows, type=field.type))
         # from_arrays with an explicit schema casts every column to the
-        # target arrow types — no second cast pass needed
+        # target arrow types (including the widen upcast for old narrow
+        # files) — no second cast pass needed
         t = pa.Table.from_arrays(cols, schema=target_schema)
         if mask is not None:
             t = t.filter(pa.array(mask))
@@ -522,6 +536,20 @@ class ManagedTableBatchReader(DataSourceReader):
                 self.options.pop("timestampasof", None)
             else:
                 self.options["versionasof"] = str(t._head_version())
+        # Column mapping pinned with the version (rename/widen support):
+        # logical→physical for file probes, physical where for pruning.
+        # CDC reads pin at the range END (physical names are immutable,
+        # so one mapping covers every commit in the range).
+        t = _require_table(root)
+        v = self.options.get("versionasof")
+        pin_v = (
+            int(v) if v is not None
+            else int(self.options["changesto"])
+            if self.options.get("changesto") is not None
+            else None
+        )
+        self.mapping = _phys_map(t._columns_at(pin_v))
+        self.where_phys = _map_where(self.where, self.mapping) or []
 
     def _snapshot(self):
         t = _require_table(self.root)
@@ -540,7 +568,7 @@ class ManagedTableBatchReader(DataSourceReader):
             to = self.options.get("changesto")
             return _cdf_partitions(
                 t, root, int(cf), int(to) if to is not None else None,
-                self.where,
+                self.where_phys,
             )
         # Bounded-memory planning first (same gate as ManagedTable.read):
         # past 50k live entries the three skip tiers stream over the
@@ -555,7 +583,7 @@ class ManagedTableBatchReader(DataSourceReader):
             int(v) if v is not None else None, None, None, None, self.where
         )
         if planned is not None:
-            sel, _schema = planned
+            sel, _schema, _cols = planned
             return [
                 FilePartition(
                     str(root / f.path),
@@ -569,16 +597,17 @@ class ManagedTableBatchReader(DataSourceReader):
             f
             for f in m.files
             if all(
-                _file_may_match(f.stats, c, op, v) for c, op, v in self.where
+                _file_may_match(f.stats, c, op, v)
+                for c, op, v in self.where_phys
             )
         ]
-        if self.where and m.bloom_cols:
+        if self.where_phys and m.bloom_cols:
             from data_warehouse_copy_spark.sources.bloom import bloom_prune
 
             # bloom tier of the declarative two-tier skip: files whose
             # bitmap proves an ``=`` predicate can't match never become
             # partitions (same soundness contract as ManagedTable.read)
-            sel = bloom_prune(root, sel, self.where)
+            sel = bloom_prune(root, sel, self.where_phys)
         return [
             FilePartition(
                 str(root / f.path),
@@ -597,11 +626,12 @@ class ManagedTableBatchReader(DataSourceReader):
             partition.path,
             self.schema_json,
             partition.version,
-            where=self.where,
+            where=self.where_phys,
             rel=partition.rel,
             dvs=partition.dvs,
             change_type=getattr(partition, "change_type", None),
             dv_include=getattr(partition, "dv_include", ()),
+            mapping=self.mapping,
         )
 
 
@@ -701,6 +731,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # whole files via manifest stats and row groups via footers.
         # Conservative superset, same contract as the batch option.
         self.where = _parse_where_option(options)
+        # column mapping pinned with the planned schema (physical names
+        # are immutable, so one mapping serves every later micro-batch;
+        # a mid-stream rename changes only logical names, which this
+        # stream's declared schema has already fixed)
+        self.mapping = _phys_map(_require_table(root)._columns_at())
+        self.where_phys = _map_where(self.where, self.mapping) or []
 
     def _table(self) -> ManagedTable:
         return _require_table(self.root)
@@ -740,9 +776,9 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         end_v = end["version"]
         root = Path(self.root)
         keep = lambda stats: all(  # noqa: E731 — manifest-stats skip
-            _file_may_match(stats, c, op, v) for c, op, v in self.where
+            _file_may_match(stats, c, op, v) for c, op, v in self.where_phys
         )
-        bkeep = bloom_keeper(root, self.where)  # bloom skip tier (selective
+        bkeep = bloom_keeper(root, self.where_phys)  # bloom skip tier (selective
         # tailing: an =/in subscriber never ships bitmap-excluded files)
         if start.get("snapshot"):
             # initial snapshot: live files at end_v — deletes that happened
@@ -769,7 +805,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             # as delete+insert pairs instead of forcing
             # skipChangeCommits/ignoreChanges compromises
             return _cdf_partitions(
-                t, root, start["version"], end_v, self.where
+                t, root, start["version"], end_v, self.where_phys
             )
         paths = []
         for v, op, adds, removed in t.commit_deltas(start["version"], end_v):
@@ -805,11 +841,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             partition.path,
             self.schema_json,
             getattr(partition, "version", None),
-            where=self.where,
+            where=self.where_phys,
             rel=partition.rel,
             dvs=partition.dvs,
             change_type=getattr(partition, "change_type", None),
             dv_include=getattr(partition, "dv_include", ()),
+            mapping=self.mapping,
         )
 
     def commit(self, end: dict) -> None:
@@ -826,7 +863,9 @@ class FileCommit(WriterCommitMessage):
     stats: dict | None
 
 
-def _stage_batches(root: str, iterator) -> FileCommit:
+def _stage_batches(
+    root: str, iterator, mapping: dict | None = None
+) -> FileCommit:
     """Executor-side half of the two-phase commit: write this task's Arrow
     batches as ONE parquet file under the table's data dir (a uuid name —
     no coordination needed), harvest footer stats, and hand the driver a
@@ -845,6 +884,12 @@ def _stage_batches(root: str, iterator) -> FileCommit:
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
+            if mapping:
+                # files carry the immutable PHYSICAL names (rename/widen
+                # support — same invariant as ManagedTable._write_files)
+                batch = batch.rename_columns(
+                    [mapping.get(n, n) for n in batch.schema.names]
+                )
             if writer is None:
                 abs_path.parent.mkdir(parents=True, exist_ok=True)
                 writer = pq.ParquetWriter(
@@ -938,7 +983,7 @@ def _commit_staged(
             # memory, the commit is an add-only action diff (overwrite:
             # plus the O(1) remove_all marker), and the streamed
             # checkpoint cadence works without a SparkSession (pyarrow)
-            head, schema_json, txns, part_col, _cl, _bl = b
+            head, schema_json, txns, part_col, _cl, _bl, columns = b
             _check_writable_fields(part_col, schema_json, schema)
             if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                 return  # retried micro-batch: already committed
@@ -1010,11 +1055,14 @@ def _commit_merge(root: str, schema: T.StructType, messages, key: str) -> None:
         m = t.snapshot()
         _check_writable(m, schema)
         commit_schema = schema.json() if not m.schema_json else None
+        # staged files and manifest stats both carry PHYSICAL names
+        from data_warehouse_copy_spark.sources.managed_table import _phys_map as _pm
+        key_phys = (_pm(m.columns) or {}).get(key, key)
         keys: set = set()
         for e in entries:
             keys |= set(
-                pq.read_table(str(rootp / e.path), columns=[key])
-                .column(key)
+                pq.read_table(str(rootp / e.path), columns=[key_phys])
+                .column(key_phys)
                 .to_pylist()
             )
         keys.discard(None)
@@ -1028,15 +1076,15 @@ def _commit_merge(root: str, schema: T.StructType, messages, key: str) -> None:
         candidates = [
             f
             for f in m.files
-            if _file_may_match(f.stats, key, ">=", lo)
-            and _file_may_match(f.stats, key, "<=", hi)
+            if _file_may_match(f.stats, key_phys, ">=", lo)
+            and _file_may_match(f.stats, key_phys, "<=", hi)
         ]
         per_file, pos_chunks = _harvest_positions(
             rootp,
             candidates,
-            [key],
+            [key_phys],
             lambda tb: np.isin(
-                tb.column(key).to_numpy(zero_copy_only=False), key_arr
+                tb.column(key_phys).to_numpy(zero_copy_only=False), key_arr
             ),
         )
         files = tuple(m.files)
@@ -1183,14 +1231,16 @@ def _commit_replace_where(
         for m in messages
         if m is not None and m.path is not None
     )
-    pred_cols = sorted({c for c, _, _ in where})
+    # staged files and target files both carry PHYSICAL column names
+    where_phys = _map_where(where, _phys_map(t._columns_at())) or where
+    pred_cols = sorted({c for c, _, _ in where_phys})
 
     def _staged_satisfy(_schema_json):
         for e in entries:
             pdf = pq.read_table(
                 str(rootp / e.path), columns=pred_cols
             ).to_pandas()
-            n_bad = int((~_pd_where_mask(pdf, where)).sum())
+            n_bad = int((~_pd_where_mask(pdf, where_phys)).sum())
             if n_bad:
                 raise ValueError(
                     f"replaceWhere: {n_bad} staged rows do not satisfy the "
@@ -1205,7 +1255,7 @@ def _commit_replace_where(
             # session-less streamed plan (stats+bloom tiers over the
             # checkpoint, O(batch) memory), the commit is an O(touched)
             # action diff — no full file list, no SparkSession
-            head, schema_json, _txns, part_col, _cl, _bl = b
+            head, schema_json, _txns, part_col, _cl, _bl, columns = b
             _check_writable_fields(part_col, schema_json, schema)
             _staged_satisfy(schema_json)
             planned = t._plan_distributed(
@@ -1217,7 +1267,7 @@ def _commit_replace_where(
                     rootp,
                     sel,
                     pred_cols,
-                    lambda tb: _pd_where_mask(tb.to_pandas(), where),
+                    lambda tb: _pd_where_mask(tb.to_pandas(), where_phys),
                 )
                 changed: tuple = ()
                 removed: set = set()
@@ -1237,17 +1287,19 @@ def _commit_replace_where(
         candidates = [
             f
             for f in m.files
-            if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
+            if all(
+                _file_may_match(f.stats, c, op, v) for c, op, v in where_phys
+            )
         ]
         if m.bloom_cols:
             from data_warehouse_copy_spark.sources.bloom import bloom_prune
 
-            candidates = bloom_prune(rootp, candidates, where)
+            candidates = bloom_prune(rootp, candidates, where_phys)
         per_file, pos_chunks = _harvest_positions(
             rootp,
             candidates,
             pred_cols,
-            lambda tb: _pd_where_mask(tb.to_pandas(), where),
+            lambda tb: _pd_where_mask(tb.to_pandas(), where_phys),
         )
         files = tuple(m.files)
         if per_file:
@@ -1282,9 +1334,11 @@ class ManagedTableBatchWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.merge_key = merge_key
         self.replace_where = replace_where
+        t = ManagedTable(None, root)
+        self.mapping = _phys_map(t._columns_at()) if t.exists() else None
 
     def write(self, iterator) -> FileCommit:
-        return _stage_batches(self.root, iterator)
+        return _stage_batches(self.root, iterator, self.mapping)
 
     def commit(self, messages) -> None:
         schema = T.StructType.fromJson(json.loads(self.schema_json))
@@ -1333,9 +1387,11 @@ class ManagedTableStreamWriter(DataSourceStreamArrowWriter):
         self.schema_json = schema.json()
         self.app_id = app_id
         self.overwrite = overwrite
+        t = ManagedTable(None, root)
+        self.mapping = _phys_map(t._columns_at()) if t.exists() else None
 
     def write(self, iterator) -> FileCommit:
-        return _stage_batches(self.root, iterator)
+        return _stage_batches(self.root, iterator, self.mapping)
 
     def commit(self, messages, batchId: int) -> None:
         _commit_staged(

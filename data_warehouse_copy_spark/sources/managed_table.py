@@ -170,6 +170,15 @@ class Manifest:
     # built at write time (sources/bloom.py) so point lookups skip files
     # min/max spans cannot prune. Set at create(), immutable after.
     bloom_cols: list | None = None
+    # Column-mapping state (Iceberg field-ID / Delta column-mapping
+    # analogue): ``[{"id": int, "name": logical, "physical": str}, ...]``.
+    # ``physical`` is the IMMUTABLE name data files carry (assigned at
+    # column birth, never rewritten); ``name`` is the current logical
+    # name; ``id`` is the stable field id. None (the default, and every
+    # pre-evolution table) means logical == physical for all columns —
+    # the map is materialized lazily by the first rename/widen/drop, so
+    # evolution-free tables keep their exact log format and read paths.
+    columns: list | None = None
 
     @property
     def total_rows(self) -> int:
@@ -587,6 +596,7 @@ class ManagedTable:
         txns = dict(start.txns or {})
         op, ts = start.op, start.ts
         cluster_col = start.cluster_col
+        columns = start.columns
         for raw in reversed(pending):
             if raw.get("remove_all"):  # bounded overwrite: truncate state
                 files.clear()
@@ -596,6 +606,10 @@ class ManagedTable:
                 files[e["path"]] = FileEntry(**e)
             if raw.get("schema_json"):
                 schema_json = raw["schema_json"]
+            if raw.get("columns") is not None:
+                # explicit [] = mapping cleared (restore to a pre-mapping
+                # version); absent key = inherit
+                columns = raw["columns"] or None
             if raw.get("txn"):
                 txns[str(raw["txn"][0])] = raw["txn"][1]
             if "cluster_col_change" in raw:  # 1-elem list; may carry None
@@ -612,6 +626,7 @@ class ManagedTable:
             cluster_col=cluster_col,
             txns=txns or None,
             bloom_cols=start.bloom_cols,
+            columns=columns,
         )
 
     def history(self) -> list[CommitInfo]:
@@ -804,10 +819,13 @@ class ManagedTable:
             schema_json = header.get("schema_json")
             cluster_col = header.get("cluster_col")
             txns = dict(header.get("txns") or {})
+            columns = header.get("columns")
             op, ts = header.get("op"), header.get("ts")
             for raw in actions:
                 if raw.get("schema_json"):
                     schema_json = raw["schema_json"]
+                if raw.get("columns") is not None:
+                    columns = raw["columns"] or None
                 if raw.get("txn"):
                     txns[str(raw["txn"][0])] = raw["txn"][1]
                 if "cluster_col_change" in raw:
@@ -824,6 +842,8 @@ class ManagedTable:
             }
             if header.get("bloom_cols"):
                 new_header["bloom_cols"] = header["bloom_cols"]
+            if columns:
+                new_header["columns"] = columns
             pq_schema = pa.schema(
                 [
                     ("path", pa.string()),
@@ -1106,7 +1126,10 @@ class ManagedTable:
         applies — partition bounds, per-file min/max stats, per-file
         bloom bitmaps — evaluates executor-side via ``mapInPandas`` using
         the SAME predicate functions, and only the surviving entries are
-        collected. Returns ``(survivors, schema_json)``, or None when the
+        collected. ``where`` arrives in LOGICAL column names and is
+        translated to the PHYSICAL names stats/bloom sidecars are keyed
+        by (see ``_phys_map``) once the header's column mapping is known.
+        Returns ``(survivors, schema_json, columns)``, or None when the
         gate says driver planning is cheaper (small manifest, no parquet
         checkpoint). Driver memory: O(survivors) + O(files touched since
         the last checkpoint) — the selective-query planning cost no
@@ -1130,11 +1153,16 @@ class ManagedTable:
         touched, adds, wiped = _fold_tail(actions)
         schema_json = header.get("schema_json")
         bloom_cols = header.get("bloom_cols")
+        columns = header.get("columns")
         for raw in actions:
             if raw.get("schema_json"):
                 schema_json = raw["schema_json"]
+            if raw.get("columns") is not None:
+                # explicit [] = mapping cleared (restore to a pre-mapping
+                # version); absent key = inherit
+                columns = raw["columns"] or None
         root_str = str(self.root)
-        where_ser = list(where or [])
+        where_ser = list(_map_where(where, _phys_map(columns)) or [])
         use_bloom = bool(where_ser and bloom_cols)
         lo, hi, parts = partition_min, partition_max, partitions
         if wiped:
@@ -1146,6 +1174,7 @@ class ManagedTable:
                     keep_stats=keep_stats,
                 ),
                 schema_json,
+                columns,
             )
         if self.spark is None:
             rows = self._plan_streamed(
@@ -1157,6 +1186,7 @@ class ManagedTable:
                     keep_stats=keep_stats,
                 ),
                 schema_json,
+                columns,
             )
         mdf = self.spark.read.schema(self._MANIFEST_ROW_SCHEMA).parquet(str(ck))
         if touched:
@@ -1175,6 +1205,7 @@ class ManagedTable:
                     keep_stats=keep_stats,
                 ),
                 schema_json,
+                columns,
             )
         # One checkpoint file reads as one input split; fan the pruning
         # out over the cluster (a 10^6-row manifest is ~14 MB — the
@@ -1203,6 +1234,7 @@ class ManagedTable:
                 keep_stats=keep_stats,
             ),
             schema_json,
+            columns,
         )
 
     def _plan_streamed(
@@ -1284,6 +1316,80 @@ class ManagedTable:
             tail_sel = bloom_prune(self.root, tail_sel, where_ser)
         return sel + tail_sel
 
+    def _scan_unselective(self, version: int | None) -> "DataFrame | None":
+        """Unselective scan driven BY the manifest-as-data (VERDICT r6
+        item 5 — the last O(live files) driver array on the read path):
+        past the planning gate, a no-predicate ``read()`` never
+        materializes the path list. :meth:`manifest_df` (checkpoint-backed,
+        O(files-touched-since-checkpoint) driver memory) fans out across
+        the cluster and every task opens its own files with pyarrow —
+        projecting each to the table's logical schema with the SAME
+        executor-side routine the declarative reader uses
+        (``_read_file_as_batches``: additive-evolution null-backfill,
+        column-mapping renames, widen upcasts, deletion-vector
+        subtraction), handed to Spark zero-copy via ``mapInArrow``.
+
+        Driver memory: O(action tail), no matter how many files the
+        table holds — at 10^8 files the classic path's Python list of
+        path strings alone is GBs; this plan's driver footprint does not
+        change between 10^5 and 10^8. Returns None below the gate (small
+        tables keep the native JVM parquet scan, which is faster per
+        byte) or when no parquet checkpoint / schema exists."""
+        import pyarrow.parquet as pq
+
+        v = version if version is not None else self._head_version()
+        base = self._plan_base(v)
+        if base is None or self.spark is None:
+            return None
+        ck, header, actions = base
+        if pq.ParquetFile(ck).metadata.num_rows < _DISTRIBUTED_PLAN_MIN_FILES:
+            return None
+        schema_json = header.get("schema_json")
+        columns = header.get("columns")
+        for raw in actions:
+            if raw.get("schema_json"):
+                schema_json = raw["schema_json"]
+            if raw.get("columns") is not None:
+                columns = raw["columns"] or None
+        if not schema_json:
+            return None
+        mapping = _phys_map(columns)
+        root_str = str(self.root)
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        # all-nullable declared schema: old files null-backfill added
+        # columns, exactly like the declarative reader's contract
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True, f.metadata)
+             for f in schema.fields]
+        )
+        out_json = out_schema.json()
+        mdf = self.manifest_df(v).select("path", "dv_paths")
+        n = self.spark.sparkContext.defaultParallelism
+
+        def scan(batches):
+            from data_warehouse_copy_spark.sources.datasource import (
+                _read_file_as_batches,
+            )
+
+            for b in batches:
+                paths = b.column("path").to_pylist()
+                dvs = b.column("dv_paths").to_pylist()
+                for p, dv in zip(paths, dvs):
+                    yield from _read_file_as_batches(
+                        p if p.startswith("/") else f"{root_str}/{p}",
+                        out_json,
+                        rel=p if dv else None,
+                        dvs=tuple(
+                            d if d.startswith("/") else f"{root_str}/{d}"
+                            for d in (dv or ())
+                        ),
+                        mapping=mapping,
+                    )
+
+        # manifest rows hash-spread over the cluster: file count >> n by
+        # the gate, so tasks stay balanced without any driver bookkeeping
+        return mdf.repartition(n).mapInArrow(scan, out_schema)
+
     def _commit(self, m: Manifest) -> None:
         """Commit ``m`` as a FULL-state record — only for version 0
         (``create``), which doubles as the replay floor for tables that
@@ -1330,14 +1436,30 @@ class ManagedTable:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.version_at(timestamp)
+        if (
+            where is None
+            and partition_min is None
+            and partition_max is None
+            and partitions is None
+        ):
+            # unselective scan past the gate: manifest-driven distributed
+            # read — the driver never materializes the path list (see
+            # _scan_unselective)
+            streamed = self._scan_unselective(version)
+            if streamed is not None:
+                return streamed
         planned = self._plan_distributed(
             version, partition_min, partition_max, partitions, where
         )
         if planned is not None:
-            sel, schema_json = planned
+            sel, schema_json, plan_columns = planned
         else:
             m = self.snapshot(version)
             schema_json = m.schema_json
+            plan_columns = m.columns
+            # stats/bloom sidecars are keyed by the immutable PHYSICAL
+            # column names; predicates arrive logical
+            wp = _map_where(where, _phys_map(plan_columns)) or []
             sel = [
                 f
                 for f in m.files
@@ -1345,17 +1467,18 @@ class ManagedTable:
                     f.partition, partition_min, partition_max, partitions
                 )
                 and all(
-                    _file_may_match(f.stats, c, op, v) for c, op, v in where or []
+                    _file_may_match(f.stats, c, op, v) for c, op, v in wp
                 )
             ]
-            if where and m.bloom_cols:
+            if wp and m.bloom_cols:
                 from data_warehouse_copy_spark.sources.bloom import bloom_prune
 
                 # second skip tier: per-file bloom bitmaps prove absence
                 # for ``=`` predicates min/max spans cannot prune
                 # (unclustered point lookups) — sound by construction
-                sel = bloom_prune(self.root, sel, where)
+                sel = bloom_prune(self.root, sel, wp)
         files = [str(self.root / f.path) for f in sel]
+        pmap = _phys_map(plan_columns)
         schema = (
             T.StructType.fromJson(json.loads(schema_json))
             if schema_json
@@ -1374,9 +1497,19 @@ class ManagedTable:
         # lack the new columns, and Spark's parquet reader null-backfills
         # columns absent from a file when given an explicit read schema —
         # which also skips the footer-sampling schema-inference pass (at
-        # 100 TB, one fewer touch of every footer).
-        reader = self.spark.read.schema(schema) if schema else self.spark.read
+        # 100 TB, one fewer touch of every footer). Under a column mapping
+        # the read schema carries the PHYSICAL names (stable across
+        # renames) with the current LOGICAL types (Spark's parquet reader
+        # upcasts old narrow files after widen_column), renamed to logical
+        # in one projection after the scan — rename and widen both stay
+        # metadata-only with a single native vectorized scan.
+        read_schema = _physical_struct(schema_json, pmap) if schema_json else None
+        reader = (
+            self.spark.read.schema(read_schema) if read_schema else self.spark.read
+        )
         df = self._apply_dv(reader.parquet(*files), sel)
+        if pmap:
+            df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
         if where:
             df = df.filter(_where_predicate(where))
         return df
@@ -1684,10 +1817,23 @@ class ManagedTable:
         if not added:
             # single empty partition (same rationale as read()'s empty path)
             return self.spark.createDataFrame([], schema).coalesce(1)
-        reader = (
-            self.spark.read.schema(schema) if end.schema_json else self.spark.read
+        # files carry physical names (stable across renames); the cursor
+        # consumer sees to_version's logical shape
+        pmap = _phys_map(end.columns)
+        read_schema = (
+            _physical_struct(end.schema_json, pmap)
+            if end.schema_json
+            else None
         )
-        return reader.parquet(*added)
+        reader = (
+            self.spark.read.schema(read_schema)
+            if read_schema is not None
+            else self.spark.read
+        )
+        df = reader.parquet(*added)
+        if pmap:
+            df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
+        return df
 
     def _cdf_plan(
         self, from_version: int, to_version: int | None = None
@@ -1799,9 +1945,24 @@ class ManagedTable:
                 T.StructField("_commit_version", T.LongType(), False),
             ]
         )
-        reader = (
-            self.spark.read.schema(schema) if end.schema_json else self.spark.read
+        pmap = _phys_map(end.columns)
+        read_schema = (
+            _physical_struct(end.schema_json, pmap)
+            if end.schema_json
+            else None
         )
+        reader = (
+            self.spark.read.schema(read_schema)
+            if read_schema is not None
+            else self.spark.read
+        )
+
+        def logical(df: DataFrame) -> DataFrame:
+            # physical scan -> logical shape (attach any _metadata-derived
+            # helpers BEFORE calling this)
+            if pmap:
+                df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
+            return df
 
         def tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
             return df.select(
@@ -1817,8 +1978,10 @@ class ManagedTable:
             if new_files:
                 frames.append(
                     tag(
-                        reader.parquet(
-                            *[str(self.root / e["path"]) for e in new_files]
+                        logical(
+                            reader.parquet(
+                                *[str(self.root / e["path"]) for e in new_files]
+                            )
                         ),
                         post_t,
                         v,
@@ -1838,7 +2001,7 @@ class ManagedTable:
                     & (F.col("__dwcs_pos") == F.col("__dwcs_dv_pos")),
                     "left_semi",  # semi: dual-keyed DV rows never duplicate
                 )
-                frames.append(tag(dead, pre_t, v))
+                frames.append(tag(logical(dead), pre_t, v))
             if removed_prior:
                 # files removed outright: on an UPDATE commit their
                 # prior-live rows are the update's preimages (a DV update
@@ -1853,7 +2016,7 @@ class ManagedTable:
                     ),
                     removed_prior,
                 )
-                frames.append(tag(gone, pre_t, v))
+                frames.append(tag(logical(gone), pre_t, v))
         if not frames:
             return self.spark.createDataFrame([], out_schema).coalesce(1)
         out = frames[0]
@@ -1866,7 +2029,7 @@ class ManagedTable:
     def _bounded_ingest_base(self):
         """Ingest-side bounded gate: the state an append/overwrite/
         replace/merge needs — ``(head_version, schema_json, txns,
-        partition_date_col, cluster_col, bloom_cols)`` — folded from the
+        partition_date_col, cluster_col, bloom_cols, columns)`` — folded from the
         nearest parquet checkpoint header plus the action tail, in
         O(tail) driver memory, when that checkpoint holds at least
         ``_DISTRIBUTED_PLAN_MIN_FILES`` entries. ``None`` below the gate
@@ -1883,9 +2046,14 @@ class ManagedTable:
         schema_json = header.get("schema_json")
         cluster_col = header.get("cluster_col")
         txns = dict(header.get("txns") or {})
+        columns = header.get("columns")
         for raw in actions:
             if raw.get("schema_json"):
                 schema_json = raw["schema_json"]
+            if raw.get("columns") is not None:
+                # explicit [] = mapping cleared (restore to a pre-mapping
+                # version); absent key = inherit
+                columns = raw["columns"] or None
             if raw.get("txn"):
                 txns[str(raw["txn"][0])] = raw["txn"][1]
             if "cluster_col_change" in raw:
@@ -1897,6 +2065,7 @@ class ManagedTable:
             header.get("partition_date_col"),
             cluster_col,
             header.get("bloom_cols"),
+            columns,
         )
 
     def _align_append_df(
@@ -1921,13 +2090,21 @@ class ManagedTable:
         # DataType equality would reject it with an error message
         # that renders both sides identically).
         new_types = {f.name: f.dataType for f in df.schema.fields}
-        diverged = [
-            f"{f.name}: table={f.dataType.simpleString()} "
-            f"df={new_types[f.name].simpleString()}"
-            for f in existing.fields
-            if f.name in new_types
-            and new_types[f.name].simpleString() != f.dataType.simpleString()
-        ]
+        diverged = []
+        for f in existing.fields:
+            if (
+                f.name in new_types
+                and new_types[f.name].simpleString() != f.dataType.simpleString()
+            ):
+                if _can_widen(new_types[f.name], f.dataType):
+                    # the table was widened (widen_column): an old-shaped
+                    # writer presenting the narrow type upcasts losslessly
+                    df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+                else:
+                    diverged.append(
+                        f"{f.name}: table={f.dataType.simpleString()} "
+                        f"df={new_types[f.name].simpleString()}"
+                    )
         if diverged:
             raise ValueError(
                 "append type mismatch: " + "; ".join(sorted(diverged))
@@ -1991,28 +2168,41 @@ class ManagedTable:
                 # state, the commit is a pure add-action diff, and txn
                 # idempotency re-checks inside the conflict-rebase loop —
                 # the full file list is never materialized
-                head, schema_json, txns, part_col, cluster_col, bloom_cols = b
+                head, schema_json, txns, part_col, cluster_col, bloom_cols, columns = b
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return 0  # retried transaction: already committed
                 df, widened = self._align_append_df(df, schema_json, merge_schema)
+                new_cols = (
+                    _extend_columns(columns, df.schema.json())
+                    if widened
+                    else None
+                )
                 new_files = self._write_files(
                     df, part_col, cluster_col,
                     cluster_partitions=cluster_partitions,
                     bloom_cols=bloom_cols,
+                    columns=new_cols if new_cols is not None else columns,
                 )
                 committed = self._commit_bounded(
                     head, new_files, set(), "append", txn=txn,
                     schema_json=df.schema.json() if widened else None,
+                    columns=new_cols,
                 )
                 return sum(f.rows for f in new_files) if committed else 0
             m = self.snapshot()
             if txn is not None and (m.txns or {}).get(txn[0], -1) >= txn[1]:
                 return 0  # retried transaction: already committed
             df, widened = self._align_append_df(df, m.schema_json, merge_schema)
+            new_cols = (
+                _extend_columns(m.columns, df.schema.json())
+                if widened
+                else None
+            )
             new_files = self._write_files(
                 df, m.partition_date_col, m.cluster_col,
                 cluster_partitions=cluster_partitions,
                 bloom_cols=m.bloom_cols,
+                columns=new_cols if new_cols is not None else m.columns,
             )
             # Only a genuine widen (or first write) updates the manifest
             # schema; a same-shape append keeps the table's canonical JSON
@@ -2023,7 +2213,8 @@ class ManagedTable:
                 df.schema.json() if (m.schema_json is None or widened) else None
             )
             committed = self._commit_files(
-                m, tuple(m.files) + new_files, commit_schema, "append", txn=txn
+                m, tuple(m.files) + new_files, commit_schema, "append",
+                txn=txn, columns=new_cols,
             )
         return sum(f.rows for f in new_files) if committed else 0
 
@@ -2080,9 +2271,25 @@ class ManagedTable:
             final_dir = self.root / "data" / commit_id
             final_dir.mkdir(parents=True, exist_ok=True)
             path = final_dir / "part-00000.parquet"
-            full = [
-                {f.name: row.get(f.name) for f in schema.fields} for row in rows
-            ]
+            pmap = _phys_map(m.columns)
+            if pmap:  # files carry PHYSICAL names; rows arrive logical
+                pa_schema = pa.schema(
+                    [(pmap.get(n, n), t_) for n, t_ in zip(
+                        pa_schema.names, pa_schema.types
+                    )]
+                )
+                full = [
+                    {
+                        pmap.get(f.name, f.name): row.get(f.name)
+                        for f in schema.fields
+                    }
+                    for row in rows
+                ]
+            else:
+                full = [
+                    {f.name: row.get(f.name) for f in schema.fields}
+                    for row in rows
+                ]
             pq.write_table(pa.Table.from_pylist(full, schema=pa_schema), path)
             entry = FileEntry(
                 path=str(path.relative_to(self.root)),
@@ -2099,6 +2306,185 @@ class ManagedTable:
                 "append",
             )
         return len(rows)
+
+    # ------------------------------------------------- schema evolution
+
+    def _columns_at(self, version: int | None = None) -> list | None:
+        """The column-mapping record at ``version`` (head when None), in
+        O(tail) driver memory past the planning gate — session-less safe
+        (pure log reads), so the declarative reader/writer workers can
+        pin it without a SparkSession."""
+        v = version if version is not None else self._head_version()
+        base = self._plan_base(v)
+        if base is not None:
+            _ck, header, actions = base
+            columns = header.get("columns")
+            for raw in actions:
+                if raw.get("columns") is not None:
+                    columns = raw["columns"] or None
+            return columns
+        return self.snapshot(v).columns
+
+    def _columns_state(self) -> "tuple[int, str | None, list | None]":
+        """``(head_version, schema_json, columns)`` for an evolution
+        commit — folded boundedly past the planning gate, via snapshot
+        below it (small tables)."""
+        b = self._bounded_ingest_base()
+        if b is not None and b[1] is not None:
+            return b[0], b[1], b[6]
+        m = self.snapshot()
+        return m.version, m.schema_json, m.columns
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename a column — METADATA-ONLY, at any table size (the Delta
+        column-mapping / Iceberg field-id model; the reference sidesteps
+        evolution entirely by remapping columns per run,
+        ``TableCopyService.cs:152-161``). Data files keep their immutable
+        PHYSICAL column names; the commit rewrites only the logical
+        schema and the column-mapping record, so a rename on a 10^8-file
+        table is one KB-sized action. Old files keep reading correctly
+        (scans run under physical names and project to logical), stats
+        and bloom skipping keep working (sidecars are physical-keyed),
+        and time travel to a pre-rename version shows the old name.
+        Without this, a rename would silently become add-column +
+        orphaned-column."""
+        with _lock_for(self.root):
+            head, schema_json, columns = self._columns_state()
+            if not schema_json:
+                raise ValueError("cannot rename a column on an empty table")
+            st = T.StructType.fromJson(json.loads(schema_json))
+            names = [f.name for f in st.fields]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column already exists: {new!r}")
+            cols = [dict(c) for c in (columns or _init_columns(schema_json))]
+            for c in cols:
+                if c["name"] == old and not c.get("dropped"):
+                    c["name"] = new
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        new if f.name == old else f.name,
+                        f.dataType,
+                        True,
+                        f.metadata,
+                    )
+                    for f in st.fields
+                ]
+            )
+            self._commit_bounded(
+                head, (), set(), "rename_column",
+                schema_json=new_schema.json(), columns=cols,
+            )
+
+    def widen_column(self, name: str, new_type: "str | T.DataType") -> None:
+        """Widen a column's type — METADATA-ONLY (Iceberg v2 / Delta type
+        widening): allowed promotions are the value-preserving set
+        (byte→short→int→long, int→double, float→double, date→
+        timestamp_ntz). Old narrow files are never rewritten — Spark 4's
+        vectorized parquet reader upcasts them under the table's explicit
+        (wide) read schema, so the widen is one small commit and every
+        subsequent scan stays a single native pass. Appends may keep
+        presenting the old narrow type; they are upcast on write."""
+        _BY_NAME = {
+            "byte": T.ByteType(), "tinyint": T.ByteType(),
+            "short": T.ShortType(), "smallint": T.ShortType(),
+            "integer": T.IntegerType(), "int": T.IntegerType(),
+            "long": T.LongType(), "bigint": T.LongType(),
+            "float": T.FloatType(), "double": T.DoubleType(),
+            "timestamp_ntz": T.TimestampNTZType(),
+        }
+        if isinstance(new_type, str):
+            to = _BY_NAME.get(new_type.lower())
+            if to is None:
+                raise ValueError(f"unsupported widen target: {new_type!r}")
+        else:
+            to = new_type
+        with _lock_for(self.root):
+            head, schema_json, columns = self._columns_state()
+            if not schema_json:
+                raise ValueError("cannot widen a column on an empty table")
+            st = T.StructType.fromJson(json.loads(schema_json))
+            field = next((f for f in st.fields if f.name == name), None)
+            if field is None:
+                raise ValueError(f"no such column: {name!r}")
+            if field.dataType.simpleString() == to.simpleString():
+                return  # already that type: idempotent no-op
+            if not _can_widen(field.dataType, to):
+                raise ValueError(
+                    f"cannot widen {name!r} from "
+                    f"{field.dataType.simpleString()} to {to.simpleString()}: "
+                    f"only value-preserving promotions are metadata-safe"
+                )
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        to if f.name == name else f.dataType,
+                        True,
+                        f.metadata,
+                    )
+                    for f in st.fields
+                ]
+            )
+            self._commit_bounded(
+                head, (), set(), "widen_column",
+                schema_json=new_schema.json(), columns=columns,
+            )
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column — METADATA-ONLY: files keep the physical column
+        bytes (vacuumed away naturally as files compact/rewrite), the
+        explicit read schema simply stops projecting it. The mapping
+        entry stays as a TOMBSTONE so a later ``merge_schema`` re-add of
+        the same logical name gets a FRESH physical name — the dropped
+        column's old data can never resurrect into the new column.
+        Partition / cluster / bloom columns cannot be dropped."""
+        with _lock_for(self.root):
+            head, schema_json, columns = self._columns_state()
+            if not schema_json:
+                raise ValueError("cannot drop a column on an empty table")
+            st = T.StructType.fromJson(json.loads(schema_json))
+            if name not in [f.name for f in st.fields]:
+                raise ValueError(f"no such column: {name!r}")
+            if len(st.fields) == 1:
+                raise ValueError("cannot drop the table's only column")
+            cols = [dict(c) for c in (columns or _init_columns(schema_json))]
+            entry = next(
+                c for c in cols if c["name"] == name and not c.get("dropped")
+            )
+            b = self._bounded_ingest_base()
+            part_col, cluster_col, bloom_cols = (
+                (b[3], b[4], b[5]) if b is not None and b[1] is not None
+                else (
+                    lambda m: (m.partition_date_col, m.cluster_col, m.bloom_cols)
+                )(self.snapshot())
+            )
+            phys = entry["physical"]
+            cluster_list = (
+                [cluster_col] if isinstance(cluster_col, str)
+                else list(cluster_col or [])
+            )
+            if phys == part_col or phys in cluster_list or phys in (
+                bloom_cols or []
+            ):
+                raise ValueError(
+                    f"cannot drop {name!r}: it is the table's partition, "
+                    f"cluster, or bloom-index column"
+                )
+            entry["dropped"] = True
+            new_schema = T.StructType(
+                [
+                    T.StructField(f.name, f.dataType, True, f.metadata)
+                    for f in st.fields
+                    if f.name != name
+                ]
+            )
+            self._commit_bounded(
+                head, (), set(), "drop_column",
+                schema_json=new_schema.json(), columns=cols,
+            )
 
     def overwrite(
         self, df: DataFrame, cluster_partitions: int | None = None
@@ -2119,11 +2505,12 @@ class ManagedTable:
                 # 10^6-file table writes a KB-sized commit. Never rebases
                 # (see _commit_bounded): a racer's commit during the
                 # overwrite is a clean rejection, not silent erasure.
-                head, schema_json, _txns, part_col, cluster_col, bloom_cols = b
+                head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns = b
                 new_files = self._write_files(
                     df, part_col, cluster_col,
                     cluster_partitions=cluster_partitions,
                     bloom_cols=bloom_cols,
+                    columns=columns,
                 )
                 self._commit_bounded(
                     head, new_files, set(), "overwrite",
@@ -2140,6 +2527,7 @@ class ManagedTable:
                 df, m.partition_date_col, m.cluster_col,
                 cluster_partitions=cluster_partitions,
                 bloom_cols=m.bloom_cols,
+                columns=m.columns,
             )
             self._commit_files(m, new_files, df.schema.json(), "overwrite")
         return sum(f.rows for f in new_files)
@@ -2196,18 +2584,20 @@ class ManagedTable:
                     f"the predicate {where!r} — the replacement must be "
                     f"confined to the slice it replaces"
                 )
+            wp = _map_where(where, _phys_map(m.columns)) or []
             candidates = [
                 f
                 for f in m.files
-                if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
+                if all(_file_may_match(f.stats, c, op, v) for c, op, v in wp)
             ]
             if m.bloom_cols:
                 from data_warehouse_copy_spark.sources.bloom import bloom_prune
 
-                candidates = bloom_prune(self.root, candidates, where)
+                candidates = bloom_prune(self.root, candidates, wp)
             new_files = self._write_files(
                 df, m.partition_date_col, m.cluster_col,
                 bloom_cols=m.bloom_cols,
+                columns=m.columns,
             )
             n_ins = sum(f.rows for f in new_files)
             schema_json = m.schema_json or df.schema.json()
@@ -2241,6 +2631,7 @@ class ManagedTable:
             rewritten = self._write_files(
                 survivors, m.partition_date_col, m.cluster_col,
                 bloom_cols=m.bloom_cols,
+                columns=m.columns,
             )
             cand_paths = {c.path for c in candidates}
             kept = tuple(f for f in m.files if f.path not in cand_paths)
@@ -2257,7 +2648,7 @@ class ManagedTable:
         the commit is an O(touched) action diff — the full file list is
         never materialized. ``None`` → caller falls through to classic
         (the plan gate raced shut)."""
-        head, schema_json, _txns, part_col, cluster_col, bloom_cols = b
+        head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns = b
         existing = T.StructType.fromJson(json.loads(schema_json))
         have, want = set(df.columns), {f.name for f in existing.fields}
         if have != want:
@@ -2278,9 +2669,10 @@ class ManagedTable:
         )
         if planned is None:
             return None
-        sel, plan_schema = planned
+        sel, plan_schema, plan_columns = planned
         new_files = self._write_files(
-            df, part_col, cluster_col, bloom_cols=bloom_cols
+            df, part_col, cluster_col, bloom_cols=bloom_cols,
+            columns=columns,
         )
         n_ins = sum(f.rows for f in new_files)
         if not sel:
@@ -2339,7 +2731,7 @@ class ManagedTable:
                     else old
                 )
                 merged = kept_rows.unionByName(df) if old.columns else df
-                new_files = self._write_files(merged, None, m.cluster_col, bloom_cols=m.bloom_cols)
+                new_files = self._write_files(merged, None, m.cluster_col, bloom_cols=m.bloom_cols, columns=m.columns)
                 written_total = sum(f.rows for f in new_files)
                 new_window_rows = df.count()
                 deleted = m.total_rows - (written_total - new_window_rows)
@@ -2363,7 +2755,7 @@ class ManagedTable:
                 write_df = df.unionByName(tail) if tail_rows else df
             else:
                 write_df = df
-            new_files = self._write_files(write_df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols)
+            new_files = self._write_files(write_df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols, columns=m.columns)
             out_of_range = [
                 f for f in new_files if not _in_day_range(f.partition, date_from, date_to)
             ]
@@ -2427,17 +2819,18 @@ class ManagedTable:
                 if planned is not None:
                     return self._delete_dv_bounded(head, planned, where)
             m = self.snapshot()
+            wp = _map_where(where, _phys_map(m.columns)) or []
             candidates = [
                 f
                 for f in m.files
-                if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
+                if all(_file_may_match(f.stats, c, op, v) for c, op, v in wp)
             ]
             if m.bloom_cols:
                 from data_warehouse_copy_spark.sources.bloom import bloom_prune
 
                 # a point delete touches only the files that may hold the
                 # key — bloom-pruned exactly like the read path
-                candidates = bloom_prune(self.root, candidates, where)
+                candidates = bloom_prune(self.root, candidates, wp)
             if not candidates:
                 self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
                 return 0
@@ -2453,12 +2846,12 @@ class ManagedTable:
         entries must keep their pruning power), the DV write is the
         normal one pass, and the commit is an action-diff that never
         constructs the full file list (:meth:`_commit_bounded`)."""
-        sel, schema_json = planned
+        sel, schema_json, plan_columns = planned
         if not sel:
             self._commit_bounded(base_version, (), set(), "delete_noop")
             return 0
         hits = self._scan_with_pos(
-            None, sel, schema_json=schema_json
+            None, sel, schema_json=schema_json, columns=plan_columns
         ).filter(_where_predicate(where))
         dv_files, per_file = self._write_dv(hits)
         if dv_files is None:
@@ -2507,6 +2900,7 @@ class ManagedTable:
         txn: tuple[str, int] | None = None,
         schema_json: str | None = None,
         remove_all: bool = False,
+        columns: list | None = None,
     ) -> bool:
         """O(touched)-memory commit: write the action diff directly on
         top of ``base_version`` without ever materializing the full file
@@ -2562,6 +2956,8 @@ class ManagedTable:
             }
             if remove_all:
                 action["remove_all"] = True
+            if columns is not None:
+                action["columns"] = columns
             try:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
@@ -2629,6 +3025,7 @@ class ManagedTable:
         new_files = self._write_files(
             survivors, m.partition_date_col, m.cluster_col,
             bloom_cols=m.bloom_cols,
+            columns=m.columns,
         )
         cand_paths = {c.path for c in candidates}
         kept = tuple(f for f in m.files if f.path not in cand_paths)
@@ -2650,16 +3047,21 @@ class ManagedTable:
         m: "Manifest | None",
         candidates: list,
         schema_json: str | None = None,
+        columns: list | None = None,
     ) -> DataFrame:
         """Scan ``candidates`` under the manifest schema with each row's
         ``(__dwcs_uri, __dwcs_pos)`` file coordinates attached and rows
         already deleted by PRIOR deletion vectors subtracted — the ALIVE
         rows a DML operation may act on. Bounded-commit callers pass
-        ``m=None`` + ``schema_json`` (the distributed plan's header) so
-        no full manifest need exist."""
+        ``m=None`` + ``schema_json`` (+ ``columns``, the distributed
+        plan's header state) so no full manifest need exist. The frame
+        returned is LOGICAL: files are read under their physical column
+        names (narrow old types upcast by the parquet reader) and
+        renamed, so every DML caller stays rename/widen-proof."""
         sj = m.schema_json if m is not None else schema_json
+        pmap = _phys_map(m.columns if m is not None else columns)
         schema = (
-            T.StructType.fromJson(json.loads(sj)) if sj else T.StructType([])
+            _physical_struct(sj, pmap) if sj else T.StructType([])
         )
         reader = self.spark.read.schema(schema) if sj else self.spark.read
         df = (
@@ -2667,6 +3069,8 @@ class ManagedTable:
             .withColumn("__dwcs_uri", F.col("_metadata.file_path"))
             .withColumn("__dwcs_pos", F.col("_metadata.row_index"))
         )
+        if pmap:
+            df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
         dv_paths = sorted({p for f in candidates for p in f.dv_paths})
         if dv_paths:
             # canonical-path keys, same as _apply_dv — a prior DV written
@@ -2848,7 +3252,7 @@ class ManagedTable:
                     head, None, None, None, where, keep_stats=True
                 )
                 if planned is not None:
-                    sel, schema_json = planned
+                    sel, schema_json, plan_columns = planned
                     schema = (
                         T.StructType.fromJson(json.loads(schema_json))
                         if schema_json
@@ -2874,6 +3278,7 @@ class ManagedTable:
                         None, head, sel, where, set_exprs, schema, known,
                         header.get("partition_date_col"), cluster_col,
                         header.get("bloom_cols"), schema_json=schema_json,
+                        columns=plan_columns,
                     )
             m = self.snapshot()
             schema = (
@@ -2888,15 +3293,16 @@ class ManagedTable:
                     f"update() assigns unknown columns {bad}; UPDATE never "
                     f"adds columns (use append(merge_schema=True))"
                 )
+            wp = _map_where(where, _phys_map(m.columns)) or []
             candidates = [
                 f
                 for f in m.files
-                if all(_file_may_match(f.stats, c, op, v) for c, op, v in where)
+                if all(_file_may_match(f.stats, c, op, v) for c, op, v in wp)
             ]
             if m.bloom_cols:
                 from data_warehouse_copy_spark.sources.bloom import bloom_prune
 
-                candidates = bloom_prune(self.root, candidates, where)
+                candidates = bloom_prune(self.root, candidates, wp)
             if not candidates:
                 self._commit_files(m, tuple(m.files), m.schema_json, "update_noop")
                 return 0
@@ -2931,6 +3337,7 @@ class ManagedTable:
         new_files = self._write_files(
             rewritten, m.partition_date_col, m.cluster_col,
             bloom_cols=m.bloom_cols,
+            columns=m.columns,
         )
         cand_paths = {c.path for c in candidates}
         kept = tuple(f for f in m.files if f.path not in cand_paths)
@@ -2958,13 +3365,14 @@ class ManagedTable:
         cluster_col,
         bloom_cols,
         schema_json: str | None = None,
+        columns: list | None = None,
     ) -> int:
         """The DV-update body shared by the classic (full-manifest) and
         BOUNDED (``m is None``: distributed-plan candidates +
         :meth:`_commit_bounded` action diff) paths — one implementation,
         two commit shapes."""
         hit_rows = self._scan_with_pos(
-            m, candidates, schema_json=schema_json
+            m, candidates, schema_json=schema_json, columns=columns
         ).filter(_where_predicate(where))
         # Stage the matched rows ONCE (originals + file coordinates): the
         # deletion vector, the match count, and the rewrite all derive from
@@ -2994,6 +3402,7 @@ class ManagedTable:
             )
             new_files = self._write_files(
                 rewritten, part_col, cluster_col, bloom_cols=bloom_cols,
+                columns=columns if m is None else m.columns,
             )
             if m is not None:
                 files = self._grow_dv(m.files, dv_files, per_file)
@@ -3078,7 +3487,7 @@ class ManagedTable:
         address."""
         import re
 
-        head, schema_json, _txns, part_col, cluster_col, bloom_cols = b
+        head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns = b
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", primary_key):
             return None
         schema = T.StructType.fromJson(json.loads(schema_json))
@@ -3100,11 +3509,15 @@ class ManagedTable:
             self._commit_bounded(head, (), set(), "merge_noop")
             return 0
         mdf = self.manifest_df(head)
+        # stats are keyed by the immutable PHYSICAL column name
+        pk_phys = (_phys_map(columns) or {}).get(primary_key, primary_key)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", pk_phys):
+            return None
         lo = F.get_json_object(
-            F.col("stats_json"), f"$.{primary_key}[0]"
+            F.col("stats_json"), f"$.{pk_phys}[0]"
         ).cast(span_t)
         hi = F.get_json_object(
-            F.col("stats_json"), f"$.{primary_key}[1]"
+            F.col("stats_json"), f"$.{pk_phys}[1]"
         ).cast(span_t)
         spans = mdf.select(
             F.col("path").alias("__mt_path"),
@@ -3149,7 +3562,7 @@ class ManagedTable:
         removed: set = set()
         if sel:
             hits = self._scan_with_pos(
-                None, sel, schema_json=schema_json
+                None, sel, schema_json=schema_json, columns=columns
             ).join(keys, on=primary_key, how="left_semi")
             dv_files, per_file = self._write_dv(hits)
             if dv_files is not None:
@@ -3160,6 +3573,7 @@ class ManagedTable:
         new_files = self._write_files(
             source_df.select(*cols), part_col, cluster_col,
             bloom_cols=bloom_cols,
+            columns=columns,
         )
         self._commit_bounded(head, changed + new_files, removed, "merge")
         return n_keys
@@ -3198,12 +3612,14 @@ class ManagedTable:
             new_files = self._write_files(
                 source_df.select(*cols), m.partition_date_col, m.cluster_col,
                 bloom_cols=m.bloom_cols,
+                columns=m.columns,
             )
             self._commit_files(m, files + new_files, m.schema_json, "merge")
         else:  # first data into a fresh table: adopt the source schema
             new_files = self._write_files(
                 source_df, m.partition_date_col, m.cluster_col,
                 bloom_cols=m.bloom_cols,
+                columns=m.columns,
             )
             self._commit_files(
                 m, files + new_files, source_df.schema.json(), "merge"
@@ -3251,7 +3667,7 @@ class ManagedTable:
             merged = target.join(keys, on=primary_key, how="left_anti").unionByName(
                 source_df.select(*target.columns) if target.columns else source_df
             )
-            new_files = self._write_files(merged, None, m.cluster_col, bloom_cols=m.bloom_cols)
+            new_files = self._write_files(merged, None, m.cluster_col, bloom_cols=m.bloom_cols, columns=m.columns)
             self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
             return n_keys
 
@@ -3284,7 +3700,7 @@ class ManagedTable:
         merged = target_affected.join(
             keys, on=primary_key, how="left_anti"
         ).unionByName(source_df.select(*cols))
-        new_files = self._write_files(merged, part_col, m.cluster_col, bloom_cols=m.bloom_cols)
+        new_files = self._write_files(merged, part_col, m.cluster_col, bloom_cols=m.bloom_cols, columns=m.columns)
         kept = tuple(f for f in m.files if f.partition not in affected)
         self._commit_files(m, kept + new_files, merged.schema.json(), "merge")
         return n_keys
@@ -3484,6 +3900,7 @@ class ManagedTable:
                         m.partition_date_col,
                         m.cluster_col,
                         bloom_cols=m.bloom_cols,
+                        columns=m.columns,
                     )
                 self._commit_files(
                     m,
@@ -3512,9 +3929,10 @@ class ManagedTable:
         metadata scale); only file PATHS come back to the driver."""
         if not m.files:
             return set()
+        pk_phys = (_phys_map(m.columns) or {}).get(primary_key, primary_key)
         spans = []
         for f in m.files:
-            s = (f.stats or {}).get(primary_key)
+            s = (f.stats or {}).get(pk_phys)
             if not s:
                 return None
             spans.append((f.path, s[0], s[1]))
@@ -3558,6 +3976,7 @@ class ManagedTable:
         op: str,
         txn: tuple[str, int] | None = None,
         cluster_col_change: tuple | None = None,
+        columns: list | None = None,
     ) -> bool:
         """Commit ``files`` as the next version on top of ``prev``, with
         optimistic cross-process concurrency control.
@@ -3641,6 +4060,8 @@ class ManagedTable:
             }
             if cluster_col_change is not None:
                 action["cluster_col_change"] = [cluster_col_change[0]]
+            if columns is not None:
+                action["columns"] = columns
             try:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
@@ -3692,6 +4113,7 @@ class ManagedTable:
                 ),
                 txns=txns or None,
                 bloom_cols=base.bloom_cols,
+                columns=columns if columns is not None else base.columns,
             )
             self._advance_latest(version)
             _cache_put(str(self.root.resolve()), new_m)
@@ -3708,6 +4130,7 @@ class ManagedTable:
         cluster_col: str | None = None,
         cluster_partitions: int | None = None,
         bloom_cols: list | None = None,
+        columns: list | None = None,
     ) -> tuple[FileEntry, ...]:
         """Write df into an immutable commit dir; return its file entries.
 
@@ -3722,6 +4145,15 @@ class ManagedTable:
         writes leave it to AQE). Row counts come from parquet footers —
         no extra Spark action.
         """
+        # Column mapping: callers hand LOGICAL frames; files carry the
+        # immutable PHYSICAL names (stats, bloom sidecars, partition and
+        # cluster specs are all physical-keyed, so everything below this
+        # line — including footer-stat harvesting — stays rename-proof).
+        pmap = _phys_map(columns)
+        if pmap:
+            df = df.withColumnsRenamed(
+                {l: p for l, p in pmap.items() if l in df.columns and l != p}
+            )
         commit_id = uuid.uuid4().hex[:16]
         staging = self.root / "_staging" / commit_id
         final = self.root / "data" / commit_id
@@ -3848,7 +4280,10 @@ class ManagedTable:
             )
             for f in m.files
         )
-        t._commit_files(t.snapshot(), entries, m.schema_json, "clone")
+        t._commit_files(
+            t.snapshot(), entries, m.schema_json, "clone",
+            columns=m.columns,
+        )
         return t
 
     def restore(self, version: int) -> int:
@@ -3886,7 +4321,8 @@ class ManagedTable:
                     f"files already vacuumed (first: {gone[0]})"
                 )
             self._commit_files(
-                head, target.files, target.schema_json, f"restore_v{version}"
+                head, target.files, target.schema_json,
+                f"restore_v{version}", columns=target.columns or [],
             )
             gone = missing()
             if gone:
@@ -3895,7 +4331,7 @@ class ManagedTable:
                 # snapshot, so they are safe) and fail loudly
                 self._commit_files(
                     self.snapshot(), head.files, head.schema_json,
-                    f"unrestore_v{version}",
+                    f"unrestore_v{version}", columns=head.columns or [],
                 )
                 raise FileNotFoundError(
                     f"restore to v{version} aborted: a concurrent vacuum "
@@ -3952,7 +4388,7 @@ class ManagedTable:
                     F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
                     *sort_cols,
                 )
-                new_files = self._write_files(df, m.partition_date_col, None, bloom_cols=m.bloom_cols)
+                new_files = self._write_files(df, m.partition_date_col, None, bloom_cols=m.bloom_cols, columns=m.columns)
             elif m.cluster_col is not None:
                 # Unpartitioned: pin the range-shuffle width to the target
                 # file count so compaction CONVERGES — an unpinned range
@@ -3962,6 +4398,7 @@ class ManagedTable:
                     df, None, m.cluster_col,
                     cluster_partitions=max(max_files_per_partition, 1),
                     bloom_cols=m.bloom_cols,
+                    columns=m.columns,
                 )
             elif m.partition_date_col is not None:
                 # one task per day -> one output file per partition dir
@@ -3969,9 +4406,9 @@ class ManagedTable:
                     max(len(crowded), 1),
                     F.date_format(F.col(m.partition_date_col), "yyyy-MM-dd"),
                 )
-                new_files = self._write_files(df, m.partition_date_col, None, bloom_cols=m.bloom_cols)
+                new_files = self._write_files(df, m.partition_date_col, None, bloom_cols=m.bloom_cols, columns=m.columns)
             else:
-                new_files = self._write_files(df.coalesce(1), None, None, bloom_cols=m.bloom_cols)
+                new_files = self._write_files(df.coalesce(1), None, None, bloom_cols=m.bloom_cols, columns=m.columns)
             kept = tuple(f for f in m.files if f.partition not in crowded)
             self._commit_files(m, kept + new_files, m.schema_json, "compact")
             return (len(m.files), len(kept) + len(new_files))
@@ -4011,12 +4448,14 @@ class ManagedTable:
                     df, m.partition_date_col, spec,
                     cluster_partitions=target_files,
                     bloom_cols=m.bloom_cols,
+                    columns=m.columns,
                 )
             else:  # de-cluster: plain rewrite
                 new_files = self._write_files(
                     df if target_files is None else df.repartition(target_files),
                     m.partition_date_col, None,
                     bloom_cols=m.bloom_cols,
+                    columns=m.columns,
                 )
             self._commit_files(
                 m, new_files, m.schema_json, "recluster",
@@ -4109,6 +4548,7 @@ class ManagedTable:
                             df, m.partition_date_col, spec,
                             cluster_partitions=target_files,
                             bloom_cols=m.bloom_cols,
+                            columns=m.columns,
                         )
                     else:
                         new_files = self._write_files(
@@ -4117,6 +4557,7 @@ class ManagedTable:
                             else df.repartition(target_files),
                             m.partition_date_col, None,
                             bloom_cols=m.bloom_cols,
+                            columns=m.columns,
                         )
                 kept = tuple(
                     f for f in m.files if f.path not in set(batch)
@@ -4414,6 +4855,8 @@ def _full_payload(m: Manifest) -> dict:
     }
     if m.bloom_cols:  # bloom-free tables keep the exact pre-bloom format
         out["bloom_cols"] = m.bloom_cols
+    if m.columns:  # evolution-free tables keep the pre-mapping format
+        out["columns"] = m.columns
     return out
 
 
@@ -4428,6 +4871,7 @@ def _manifest_from_full(raw: dict) -> Manifest:
         cluster_col=raw.get("cluster_col"),
         txns=raw.get("txns"),
         bloom_cols=raw.get("bloom_cols"),
+        columns=raw.get("columns"),
     )
 
 
@@ -4440,6 +4884,116 @@ def _cdc_skip(op: str) -> bool:
     return op == "compact" or op.startswith(
         ("restore_v", "unrestore_v", "recluster")
     )
+
+
+#: widening casts that are always value-preserving — the set Iceberg v2 /
+#: Delta type widening allow for parquet-backed tables (Spark 4's
+#: vectorized parquet reader upcasts these natively under an explicit
+#: read schema, so a widen commit is METADATA-ONLY: old narrow files are
+#: read wide with zero rewrite).
+_WIDEN_OK: dict[str, tuple[str, ...]] = {
+    "byte": ("short", "integer", "long", "double"),
+    "short": ("integer", "long", "double"),
+    "integer": ("long", "double"),
+    "float": ("double",),
+    "date": ("timestamp_ntz",),
+}
+
+
+def _can_widen(frm: "T.DataType", to: "T.DataType") -> bool:
+    return to.typeName() in _WIDEN_OK.get(frm.typeName(), ())
+
+
+def _phys_map(columns: list | None) -> dict | None:
+    """Logical→physical name map from the manifest's column-mapping state
+    (:attr:`Manifest.columns`); ``None`` when the identity (no mapping
+    materialized, or no column currently renamed) so evolution-free
+    tables skip every mapping branch."""
+    if not columns:
+        return None
+    m = {
+        c["name"]: c["physical"] for c in columns if not c.get("dropped")
+    }
+    return m if any(k != v for k, v in m.items()) else None
+
+
+def _map_where(where: list | None, pmap: dict | None) -> list | None:
+    """Predicates arrive in LOGICAL names; stats / bloom sidecars / row
+    groups are keyed by the immutable PHYSICAL names files carry."""
+    if not where or not pmap:
+        return where
+    return [(pmap.get(c, c), op, v) for c, op, v in where]
+
+
+def _physical_struct(
+    schema_json: str, pmap: dict | None
+) -> "T.StructType":
+    """The read schema data files satisfy: current logical TYPES (wide —
+    Spark's parquet reader upcasts narrow old files) under PHYSICAL
+    names (stable across renames)."""
+    st = T.StructType.fromJson(json.loads(schema_json))
+    if not pmap:
+        return st
+    return T.StructType(
+        [
+            T.StructField(
+                pmap.get(f.name, f.name), f.dataType, True, f.metadata
+            )
+            for f in st.fields
+        ]
+    )
+
+
+def _init_columns(schema_json: str) -> list:
+    """Materialize the identity column-mapping for a pre-evolution table:
+    physical = logical, field ids by ordinal (Iceberg assigns ids at
+    column birth; this runs exactly once, at the table's first
+    rename/widen/drop)."""
+    st = T.StructType.fromJson(json.loads(schema_json))
+    return [
+        {"id": i + 1, "name": f.name, "physical": f.name}
+        for i, f in enumerate(st.fields)
+    ]
+
+
+def _extend_columns(columns: list | None, new_schema_json: str) -> list | None:
+    """Mapping entries for columns a ``merge_schema`` append introduced —
+    only when a mapping already exists (evolution-free tables stay
+    map-free). Returns the extended list, or None when nothing changed
+    (callers pass None through to the commit so the action omits the
+    ``columns`` key)."""
+    if not columns:
+        return None
+    live = {c["name"] for c in columns if not c.get("dropped")}
+    st = T.StructType.fromJson(json.loads(new_schema_json))
+    cols = [dict(c) for c in columns]
+    changed = False
+    for f in st.fields:
+        if f.name not in live:
+            cols.append(
+                {
+                    "id": max(c["id"] for c in cols) + 1,
+                    "name": f.name,
+                    "physical": _fresh_physical(f.name, cols),
+                }
+            )
+            changed = True
+    return cols if changed else None
+
+
+def _fresh_physical(name: str, columns: list) -> str:
+    """A physical name for a NEW column that can never collide with any
+    live or historical physical name (re-adding a renamed-away column
+    must not resurrect the old column's data): the logical name when
+    free, else suffixed with the fresh field id."""
+    used = {c["physical"] for c in columns}
+    if name not in used:
+        return name
+    nid = max(c["id"] for c in columns) + 1
+    cand = f"{name}_{nid}"
+    while cand in used:
+        cand += "_"
+    return cand
 
 
 def _schema_fp(schema_json: str | None) -> tuple | None:

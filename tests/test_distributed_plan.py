@@ -102,7 +102,7 @@ def test_wide_manifest_point_lookup_plans_distributed(spark, tmp_path):
     t = _synthetic_wide_manifest(spark, tmp_path / "wide", n)
     planned = t._plan_distributed(1, None, None, None, [("k", "=", 123456)])
     assert planned is not None  # gate passed: this ran as a Spark job
-    sel, _schema = planned
+    sel, _schema, _cols = planned
     # k=123456 lives in exactly file 12345's span [123450, 123459]
     assert [f.path for f in sel] == ["data/synth/0012345.parquet"]
     # driver materialized ONLY the survivor, not the 100k-entry manifest
@@ -115,7 +115,7 @@ def test_wide_manifest_partition_prune_distributed(spark, tmp_path):
         1, "2024-03-01", "2024-03-31", None, [("k", "<", 1000)]
     )
     assert planned is not None
-    sel, _ = planned
+    sel, _, _cols = planned
     # k<1000 -> files 0..99; March partition -> i % 12 == 2
     expect = {f"data/synth/{i:07d}.parquet" for i in range(100) if i % 12 == 2}
     assert {f.path for f in sel} == expect
@@ -229,6 +229,52 @@ def test_declarative_partitions_stream_plan_on_wide_manifest(spark, tmp_path):
     )
     parts = reader.partitions()
     assert [Path(p.path).name for p in parts] == ["0012345.parquet"]
+
+
+def test_unselective_read_streams_from_manifest(spark, tmp_path, monkeypatch):
+    """VERDICT r6 item 5: a no-predicate read past the gate is
+    manifest-DRIVEN — the plan scans the checkpoint and every task opens
+    its own files (MapInArrow); the driver never materializes the path
+    list. Values must equal the classic JVM scan exactly, including
+    deletion vectors, rename and widen."""
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    t = _mk(spark, tmp_path / "t")
+    t._write_checkpoint(t.snapshot())
+    # rename + DV delete ride the ACTION TAIL past the checkpoint: the
+    # manifest-driven scan must fold both
+    t.rename_column("v", "val")
+    t.delete([("k", "<", 100)])
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 10**9)
+    classic = t.read()
+    assert "MapInArrow" not in classic._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, classic.collect())
+    )
+    assert df.columns == classic.columns == ["k", "val"]
+
+
+def test_unselective_read_wide_manifest_never_lists_paths(spark, tmp_path):
+    """100k+ SYNTHETIC manifest entries whose data files do not exist:
+    planning an unselective read must succeed anyway — proof that neither
+    a driver-side path-list collect nor a file open happens at plan time
+    (the real gate, no monkeypatching). The old path listed every file
+    into a Python array here; executing would fail, planning must not."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = _synthetic_wide_manifest(
+        spark, tmp_path / "wideu", 100_001, schema_json=schema.json(),
+        partitioned=False,
+    )
+    df = t.read()  # plans only — no action
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert df.columns == ["k", "v"]
 
 
 def test_checkpoint_retention_sweeps_old(spark, tmp_path):

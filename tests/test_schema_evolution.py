@@ -1,0 +1,363 @@
+"""Schema evolution beyond additive: rename / widen / drop (VERDICT r6
+item 4).
+
+Model: Delta column mapping + Iceberg field ids, re-expressed for Spark —
+data files carry an IMMUTABLE physical column name assigned at column
+birth; ``rename_column`` rewrites only the logical name in the manifest's
+``columns`` record (a KB-sized metadata commit at any table size), and
+``widen_column`` rewrites only the logical type, relying on Spark 4's
+vectorized parquet reader to upcast old narrow files under the explicit
+wide read schema (verified here). The reference has no evolution at all —
+it remaps columns per run (``TableCopyService.cs:152-161``); this suite
+pins the lakehouse-grade semantics a 100 TB table needs, where a
+rewrite-based rename would cost a full-table pass.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from data_warehouse_copy_spark.sources.managed_table import (
+    ManagedTable,
+    _can_widen,
+    _fresh_physical,
+    _phys_map,
+)
+
+
+def _mk(spark, root, n=20):
+    t = ManagedTable.create(spark, root)
+    t.append(
+        spark.range(n).selectExpr(
+            "cast(id as int) as k",
+            "cast(id * 2 as float) as v",
+            "concat('n', id) as name",
+        )
+    )
+    return t
+
+
+# ------------------------------------------------------------------ rename
+
+
+def test_rename_is_metadata_only_and_reads_old_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    files_before = {f.path for f in t.snapshot().files}
+    t.rename_column("k", "key")
+    m = t.snapshot()
+    assert {f.path for f in m.files} == files_before  # zero rewrite
+    df = t.read()
+    assert df.columns == ["key", "v", "name"]
+    assert df.agg(F.sum("key")).first()[0] == sum(range(20))
+    # mapping: logical 'key' -> physical 'k', stable field id
+    entry = next(c for c in m.columns if c["name"] == "key")
+    assert entry["physical"] == "k" and entry["id"] == 1
+
+
+def test_rename_append_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("k", "key")
+    t.append(
+        spark.range(20, 30).selectExpr(
+            "cast(id as int) as key",
+            "cast(id * 2 as float) as v",
+            "concat('n', id) as name",
+        )
+    )
+    # new files carry the PHYSICAL name so old and new scan as one schema
+    import pyarrow.parquet as pq
+
+    newest = max(t.snapshot().files, key=lambda f: f.path)
+    names = pq.ParquetFile(t.root / newest.path).schema_arrow.names
+    assert "k" in names and "key" not in names
+    assert t.read().agg(F.sum("key")).first()[0] == sum(range(30))
+
+
+def test_rename_preserves_stats_pruning(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for i in range(4):  # four files with disjoint k spans
+        t.append(
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("cast(id as int) as k")
+            .coalesce(1)
+        )
+    t.rename_column("k", "key")
+    assert [r.key for r in t.read(where=[("key", "=", 25)]).collect()] == [25]
+    # file-level skip still applies under the LOGICAL name (stats are
+    # physical-keyed; the predicate translates): 1 of 4 files survives
+    m = t.snapshot()
+    from data_warehouse_copy_spark.sources.managed_table import (
+        _file_may_match,
+        _map_where,
+    )
+
+    wp = _map_where([("key", "=", 25)], _phys_map(m.columns))
+    sel = [
+        f
+        for f in m.files
+        if all(_file_may_match(f.stats, c, op, v) for c, op, v in wp)
+    ]
+    assert len(sel) == 1
+
+
+def test_rename_rejects_bad_names(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("zzz", "a")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("k", "v")
+
+
+def test_rename_time_travel_shows_old_name(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("k", "key")
+    assert t.read(version=1).columns == ["k", "v", "name"]
+    assert t.read().columns == ["key", "v", "name"]
+
+
+def test_rename_chain_keeps_physical(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("k", "b")
+    t.rename_column("b", "c")
+    m = t.snapshot()
+    entry = next(c for c in m.columns if c["name"] == "c")
+    assert entry["physical"] == "k"
+    assert t.read().agg(F.sum("c")).first()[0] == sum(range(20))
+
+
+# ------------------------------------------------------------------- widen
+
+
+def test_widen_int_to_long_reads_old_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.widen_column("k", "long")
+    t.widen_column("v", "double")
+    df = t.read()
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double", "name": "string"}
+    assert df.agg(F.sum("k"), F.sum("v")).first() == (190, 380.0)
+    # metadata-only: zero files rewritten
+    assert t.snapshot().version == 3
+
+
+def test_widen_accepts_narrow_appends(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.widen_column("k", "long")
+    # an old-shaped writer still presents int: upcast, not rejected
+    t.append(
+        spark.range(20, 25).selectExpr(
+            "cast(id as int) as k",
+            "cast(id * 2 as float) as v",
+            "concat('n', id) as name",
+        )
+    )
+    assert t.read().agg(F.sum("k")).first()[0] == sum(range(25))
+
+
+def test_widen_rejects_narrowing_and_lossy(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="only value-preserving"):
+        t.widen_column("name", "long")
+    t.widen_column("k", "long")
+    with pytest.raises(ValueError, match="only value-preserving"):
+        t.widen_column("k", "integer")  # narrowing
+    # narrowing appends stay rejected (long table, int is fine; the
+    # reverse — widening the TABLE via a wide append — is not)
+    with pytest.raises(ValueError, match="append type mismatch"):
+        _mk(spark, tmp_path / "t2").append(
+            spark.range(3).selectExpr(
+                "cast(id as long) as k",
+                "cast(id as float) as v",
+                "'x' as name",
+            )
+        )
+
+
+def test_widen_matrix():
+    assert _can_widen(T.IntegerType(), T.LongType())
+    assert _can_widen(T.IntegerType(), T.DoubleType())
+    assert _can_widen(T.FloatType(), T.DoubleType())
+    assert _can_widen(T.ShortType(), T.IntegerType())
+    assert not _can_widen(T.LongType(), T.IntegerType())
+    assert not _can_widen(T.DoubleType(), T.FloatType())
+    assert not _can_widen(T.StringType(), T.LongType())
+    assert not _can_widen(T.LongType(), T.DoubleType())  # 2^53 loss
+
+
+def test_widen_then_rename_then_dml(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.widen_column("k", "long")
+    t.rename_column("k", "key")
+    assert t.delete([("key", "<", 5)]) == 5
+    assert t.update([("key", "=", 7)], {"v": 99.0}) == 1
+    r = t.read(where=[("key", "=", 7)]).select("v").first()
+    assert r[0] == 99.0
+    assert t.read().count() == 15
+
+
+# -------------------------------------------------------------------- drop
+
+
+def test_drop_column_and_no_resurrection(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.drop_column("name")
+    assert t.read().columns == ["k", "v"]
+    # re-add the same logical name: fresh physical, old data must NOT
+    # resurrect into it
+    t.append(
+        spark.range(20, 23).selectExpr(
+            "cast(id as int) as k",
+            "cast(id * 2 as float) as v",
+            "concat('X', id) as name",
+        ),
+        merge_schema=True,
+    )
+    old = t.read(where=[("k", "=", 7)]).select("name").first()
+    assert old[0] is None  # pre-drop file: tombstoned physical stays dead
+    new = t.read(where=[("k", "=", 21)]).select("name").first()
+    assert new[0] == "X21"
+    m = t.snapshot()
+    reborn = next(
+        c for c in m.columns if c["name"] == "name" and not c.get("dropped")
+    )
+    tomb = next(c for c in m.columns if c.get("dropped"))
+    assert reborn["physical"] != tomb["physical"]
+
+
+def test_drop_rejects_protected_and_last(spark, tmp_path):
+    t = ManagedTable.create(
+        spark, tmp_path / "t", partition_date_col="d"
+    )
+    t.append(
+        spark.range(3).selectExpr(
+            "cast(id as int) as k", "date'2024-01-01' as d"
+        )
+    )
+    with pytest.raises(ValueError, match="partition"):
+        t.drop_column("d")
+    t2 = ManagedTable.create(spark, tmp_path / "t2")
+    t2.append(spark.range(3).selectExpr("id as k"))
+    with pytest.raises(ValueError, match="only column"):
+        t2.drop_column("k")
+
+
+# ------------------------------------------------- declarative reader twin
+
+
+def test_declarative_reader_sees_evolved_schema(spark, tmp_path):
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableDataSource,
+    )
+
+    spark.dataSource.register(ManagedTableDataSource)
+    root = str(tmp_path / "t")
+    t = _mk(spark, root)
+    t.rename_column("k", "key")
+    t.widen_column("key", "long")
+    df = spark.read.format("managed_table").load(root)
+    assert dict(df.dtypes)["key"] == "bigint"
+    assert df.agg(F.sum("key")).first()[0] == sum(range(20))
+    # where option prunes on the renamed (logical) name
+    pruned = (
+        spark.read.format("managed_table")
+        .option("where", json.dumps([["key", "=", 3]]))
+        .load(root)
+        .filter(F.col("key") == 3)
+    )
+    assert pruned.count() == 1
+
+
+def test_declarative_writer_stages_physical_names(spark, tmp_path):
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableDataSource,
+    )
+
+    spark.dataSource.register(ManagedTableDataSource)
+    root = str(tmp_path / "t")
+    t = _mk(spark, root)
+    t.rename_column("k", "key")
+    spark.range(20, 25).selectExpr(
+        "cast(id as int) as key",
+        "cast(id * 2 as float) as v",
+        "concat('w', id) as name",
+    ).write.format("managed_table").mode("append").save(root)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    staged = glob.glob(root + "/data/dsw-*.parquet")
+    assert staged, "declarative writer staged nothing"
+    names = pq.ParquetFile(staged[0]).schema_arrow.names
+    assert "k" in names and "key" not in names
+    assert t.read().agg(F.sum("key")).first()[0] == sum(range(25))
+
+
+# -------------------------------------------- interplay with other features
+
+
+def test_evolved_table_cdf_and_restore(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")          # v1 append
+    t.rename_column("k", "key")             # v2
+    t.delete([("key", "<", 3)])             # v3 (DV)
+    feed = t.read_cdf(1)                    # changes after v1
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type.get("delete") == 3
+    assert "key" in feed.columns and "k" not in feed.columns
+    # restore to v1 rolls the mapping back: logical name reverts
+    t.restore(1)
+    assert t.read().columns == ["k", "v", "name"]
+    assert t.read().count() == 20
+    # and forward again to the evolved head state
+    t.restore(3)
+    assert t.read().columns == ["key", "v", "name"]
+    assert t.read().count() == 17
+
+
+def test_evolved_table_clone_carries_mapping(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("k", "key")
+    c = t.clone_to(tmp_path / "c")
+    assert c.read().columns == ["key", "v", "name"]
+    assert c.read().agg(F.sum("key")).first()[0] == sum(range(20))
+
+
+def test_evolved_table_merge_and_compact(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("k", "key")
+    src = spark.createDataFrame(
+        [(5, 111.0, "m5"), (99, 1.0, "m99")],
+        "key int, v float, name string",
+    )
+    assert t.merge_by_key(src, "key") == 2
+    assert t.read().count() == 21
+    assert t.read(where=[("key", "=", 5)]).select("name").first()[0] == "m5"
+    t.compact()
+    assert t.read().count() == 21
+    assert t.read().agg(F.sum("key")).first()[0] == sum(range(20)) + 99
+    # compacted files carry the physical name
+    import pyarrow.parquet as pq
+
+    f0 = t.snapshot().files[0]
+    assert "k" in pq.ParquetFile(t.root / f0.path).schema_arrow.names
+
+
+def test_fresh_physical_never_collides():
+    cols = [
+        {"id": 1, "name": "b", "physical": "a"},
+        {"id": 2, "name": "a_3", "physical": "a_3"},
+    ]
+    p = _fresh_physical("a", cols)
+    assert p == "a_3_" or p not in {c["physical"] for c in cols}
+
+
+def test_identity_mapping_stays_absent(spark, tmp_path):
+    # evolution-free tables never materialize a mapping: log format and
+    # read paths are byte-identical to pre-evolution behavior
+    t = _mk(spark, tmp_path / "t")
+    assert t.snapshot().columns is None
+    assert _phys_map(None) is None
+    raw = json.loads((t.root / "_log" / f"{1:020d}.json").read_text())
+    assert "columns" not in raw
