@@ -1316,7 +1316,9 @@ class ManagedTable:
             tail_sel = bloom_prune(self.root, tail_sel, where_ser)
         return sel + tail_sel
 
-    def _scan_unselective(self, version: int | None) -> "DataFrame | None":
+    def _scan_unselective(
+        self, version: int | None, columns: "list[str] | None" = None
+    ) -> "DataFrame | None":
         """Unselective scan driven BY the manifest-as-data (VERDICT r6
         item 5 — the last O(live files) driver array on the read path):
         past the planning gate, a no-predicate ``read()`` never
@@ -1345,17 +1347,21 @@ class ManagedTable:
         if pq.ParquetFile(ck).metadata.num_rows < _DISTRIBUTED_PLAN_MIN_FILES:
             return None
         schema_json = header.get("schema_json")
-        columns = header.get("columns")
+        tbl_columns = header.get("columns")
         for raw in actions:
             if raw.get("schema_json"):
                 schema_json = raw["schema_json"]
             if raw.get("columns") is not None:
-                columns = raw["columns"] or None
+                tbl_columns = raw["columns"] or None
         if not schema_json:
             return None
-        mapping = _phys_map(columns)
+        mapping = _phys_map(tbl_columns)
         root_str = str(self.root)
         schema = T.StructType.fromJson(json.loads(schema_json))
+        if columns is not None:
+            # projection pushdown: Catalyst can't prune through the
+            # Python scan, so the narrowing must reach the pyarrow reads
+            schema = _narrow_struct(schema, columns)
         # all-nullable declared schema: old files null-backfill added
         # columns, exactly like the declarative reader's contract
         out_schema = T.StructType(
@@ -1407,6 +1413,7 @@ class ManagedTable:
         version: int | None = None,
         where: list[tuple] | None = None,
         timestamp: "str | datetime | None" = None,
+        columns: "list[str] | None" = None,
     ) -> DataFrame:
         """Read the table, pruning files by partition value at the manifest
         level (metadata-only; ISO day strings compare lexicographically).
@@ -1431,7 +1438,16 @@ class ManagedTable:
         checkpoint), all three pruning tiers run as a SPARK JOB over the
         checkpoint — the driver materializes only the surviving entries,
         so planning memory no longer scales with table file count (see
-        :meth:`_plan_distributed`)."""
+        :meth:`_plan_distributed`).
+
+        ``columns`` (projection pushdown) narrows the read schema BEFORE
+        the scan: the JVM path's explicit read schema lists only those
+        parquet columns (a 2-column projection of a 100-column table
+        reads 2 column chunks per file), and the manifest-driven
+        unselective path — whose Python scan Catalyst cannot prune
+        through — opens only those columns in each pyarrow read. A
+        downstream ``.select()`` still works on either path; ``columns``
+        is how the saving reaches the IO layer on the Python one."""
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
@@ -1445,7 +1461,7 @@ class ManagedTable:
             # unselective scan past the gate: manifest-driven distributed
             # read — the driver never materializes the path list (see
             # _scan_unselective)
-            streamed = self._scan_unselective(version)
+            streamed = self._scan_unselective(version, columns=columns)
             if streamed is not None:
                 return streamed
         planned = self._plan_distributed(
@@ -1484,14 +1500,17 @@ class ManagedTable:
             if schema_json
             else None
         )
+        if columns is not None:
+            schema = _narrow_struct(schema, columns, where)
         if not files:
             # one (empty) partition, not the 32-way default parallelism:
             # a pruned-to-zero read costs zero tasks' worth of work, and a
             # plan unioning many point probes must not pay 32 empty tasks
             # per probe (24 bloom probes did: a 768-task no-op stage)
-            return self.spark.createDataFrame(
+            empty = self.spark.createDataFrame(
                 [], schema or T.StructType([])
             ).coalesce(1)
+            return empty.select(*columns) if columns is not None else empty
         # Read under the MANIFEST schema, not the first file's: after an
         # additive schema evolution (append(merge_schema=True)) old files
         # lack the new columns, and Spark's parquet reader null-backfills
@@ -1503,7 +1522,9 @@ class ManagedTable:
         # upcasts old narrow files after widen_column), renamed to logical
         # in one projection after the scan — rename and widen both stay
         # metadata-only with a single native vectorized scan.
-        read_schema = _physical_struct(schema_json, pmap) if schema_json else None
+        read_schema = (
+            _physical_struct(schema.json(), pmap) if schema is not None else None
+        )
         reader = (
             self.spark.read.schema(read_schema) if read_schema else self.spark.read
         )
@@ -1512,6 +1533,9 @@ class ManagedTable:
             df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
         if where:
             df = df.filter(_where_predicate(where))
+        if columns is not None:
+            # predicate columns were read only for the exact filter above
+            df = df.select(*columns)
         return df
 
     def _canonicalize_uri(self, uri: "F.Column") -> "F.Column":
@@ -4942,6 +4966,34 @@ def _physical_struct(
             for f in st.fields
         ]
     )
+
+
+def _narrow_struct(
+    schema: "T.StructType | None",
+    columns: list,
+    where: list | None = None,
+) -> "T.StructType | None":
+    """Projection-pushdown read schema: the requested ``columns`` in
+    request order, plus any predicate columns ``where`` needs for the
+    exact row filter (selected away after filtering). Unknown names
+    raise — silently scanning a typo as all-null would be a wrong
+    answer, not a projection."""
+    if schema is None:
+        return None
+    by_name = {f.name: f for f in schema.fields}
+    missing = sorted(
+        {c for c in columns if c not in by_name}
+        | {c for c, _op, _v in (where or []) if c not in by_name}
+    )
+    if missing:
+        raise ValueError(
+            f"columns not in table schema: {missing} "
+            f"(have {sorted(by_name)})"
+        )
+    keep = list(columns) + [
+        c for c, _op, _v in (where or []) if c not in set(columns)
+    ]
+    return T.StructType([by_name[c] for c in keep])
 
 
 def _init_columns(schema_json: str) -> list:

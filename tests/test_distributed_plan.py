@@ -256,6 +256,23 @@ def test_unselective_read_streams_from_manifest(spark, tmp_path, monkeypatch):
     assert df.columns == classic.columns == ["k", "val"]
 
 
+def test_unselective_read_columns_pushdown(spark, tmp_path, monkeypatch):
+    """Catalyst cannot column-prune through the manifest-driven Python
+    scan, so read(columns=...) must push the projection into the pyarrow
+    reads; values equal the classic projected scan."""
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    t = _mk(spark, tmp_path / "t")
+    t._write_checkpoint(t.snapshot())
+    df = t.read(columns=["v"])
+    assert "MapInArrow" in df._jdf.queryExecution().executedPlan().toString()
+    assert df.columns == ["v"]
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 10**9)
+    classic = t.read().select("v")
+    assert sorted(r.v for r in df.collect()) == sorted(
+        r.v for r in classic.collect()
+    )
+
+
 def test_unselective_read_wide_manifest_never_lists_paths(spark, tmp_path):
     """100k+ SYNTHETIC manifest entries whose data files do not exist:
     planning an unselective read must succeed anyway — proof that neither

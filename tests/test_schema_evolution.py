@@ -353,6 +353,26 @@ def test_fresh_physical_never_collides():
     assert p == "a_3_" or p not in {c["physical"] for c in cols}
 
 
+def test_read_columns_projection_pushdown(spark, tmp_path):
+    """``read(columns=...)`` narrows the scan's ReadSchema to the
+    requested columns plus predicate columns (selected away after the
+    exact filter) — under a rename the narrowed schema carries the
+    PHYSICAL name. Unknown names raise instead of scanning nulls."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("k", "key")
+    df = t.read(columns=["name"], where=[("key", "=", 7)])
+    assert df.columns == ["name"]
+    assert [r.name for r in df.collect()] == ["n7"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<name:string,k:int>" in plan
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.read(columns=["nope"])
+    # empty-plan path keeps the projection too
+    assert t.read(columns=["name"], where=[("key", "=", -1)]).columns == [
+        "name"
+    ]
+
+
 def test_identity_mapping_stays_absent(spark, tmp_path):
     # evolution-free tables never materialize a mapping: log format and
     # read paths are byte-identical to pre-evolution behavior
