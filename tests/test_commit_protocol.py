@@ -169,3 +169,121 @@ def test_store_protocol_checkpoints_in_store(tmp_path, store, monkeypatch):
     assert ck is not None and json.loads(ck)["version"] == mt._CKPT_EVERY
     # reconstruction replays from the store-held checkpoint
     assert t.snapshot().total_rows == mt._CKPT_EVERY
+
+
+# ------------------------------------------------ fault/latency drills
+
+
+@pytest.fixture()
+def faulty(tmp_path):
+    """An InMemoryObjectStore wrapped in the fault injector; tests set
+    the injection plan on the wrapper before committing."""
+    inner = cp.InMemoryObjectStore()
+    f = cp.FaultyObjectStore(inner)
+    cp.register_commit_protocol(tmp_path, cp.ConditionalPutCommitProtocol(f))
+    yield f
+    cp.unregister_commit_protocol(tmp_path)
+
+
+def test_lost_response_winner_recovers(tmp_path, faulty, monkeypatch):
+    """'PUT applied, ack lost' on a winning commit: the protocol's
+    recovery read sees our exact payload and reports the win — the
+    caller must NOT retry at the next version (that would double-commit
+    the same files)."""
+    _no_posix_atomics(monkeypatch)
+    t = ManagedTable.create(None, tmp_path / "t")  # v0 create = CAS #0
+    faulty.lose_response_on = {faulty.cas_calls}   # the next CAS: v1
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    m = t.snapshot()
+    assert m.version == 1 and m.total_rows == 1  # exactly once
+    t.append_pylist([{"writer": 1, "seq": 2}], SCHEMA)
+    assert t.snapshot().total_rows == 2
+
+
+def test_lost_response_loser_sees_conflict(tmp_path, faulty, monkeypatch):
+    """Ack lost while a RACER's record is what actually landed: the
+    recovery read finds a different payload and reports the loss, so the
+    normal conflict/rebase path runs — never a silent lost update."""
+    _no_posix_atomics(monkeypatch)
+    t = ManagedTable.create(None, tmp_path / "t")
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+
+    inner = faulty.inner
+    key = str(tmp_path / "t" / "_log" / f"{2:020d}.json")
+    racer_payload = json.dumps(
+        {
+            "version": 2, "op": "append", "ts": "2026-01-01T00:00:00.0Z",
+            "ets": "2026-01-01T00:00:00.0Z", "add": [], "remove": [],
+            "schema_json": None, "txn": None,
+        }
+    )
+    real_cas = inner.put_if_absent
+
+    def racer_wins_then_applied(k, data):
+        if k == key and inner.get(k) is None:
+            real_cas(k, racer_payload)  # the racer's record lands first
+        return real_cas(k, data)
+
+    inner.put_if_absent = racer_wins_then_applied
+    # our CAS for v2 loses; no fault needed — but ALSO lose the ack, so
+    # recovery must distinguish "racer's record" from "ours"
+    faulty.lose_response_on = {faulty.cas_calls}
+    t.append_pylist([{"writer": 1, "seq": 2}], SCHEMA)
+    m = t.snapshot()
+    # our append rebased to v3 on top of the racer's empty v2
+    assert m.version == 3 and m.total_rows == 2
+
+
+def test_pre_apply_fault_retries(tmp_path, faulty, monkeypatch):
+    """A request that never reached the store is retried inside the
+    protocol — the caller sees neither an error nor a version gap."""
+    _no_posix_atomics(monkeypatch)
+    t = ManagedTable.create(None, tmp_path / "t")
+    faulty.fail_before_on = {faulty.cas_calls, faulty.cas_calls + 1}
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    assert t.snapshot().version == 1
+    assert t.snapshot().total_rows == 1
+
+
+def test_persistent_outage_surfaces(tmp_path, faulty, monkeypatch):
+    """A store that keeps failing pre-apply must eventually raise the
+    transient error (bounded retries), never loop forever or guess."""
+    _no_posix_atomics(monkeypatch)
+    t = ManagedTable.create(None, tmp_path / "t")
+    faulty.fail_before_on = set(range(faulty.cas_calls, faulty.cas_calls + 50))
+    with pytest.raises(cp.TransientStoreError, match="unavailable"):
+        t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    faulty.fail_before_on = set()
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)  # store recovered
+    assert t.snapshot().total_rows == 1
+
+
+def test_storm_with_latency_and_lost_responses(tmp_path, faulty, monkeypatch):
+    """The round-6 storm drill under injected 1 ms latency + periodic
+    lost responses: every commit lands exactly once, versions gapless."""
+    _no_posix_atomics(monkeypatch)
+    faulty.latency_s = 0.001
+    faulty.lose_response_on = set(range(0, 500, 7))  # every 7th CAS
+    root = tmp_path / "t"
+    ManagedTable.create(None, root)
+    N, K = 4, 5
+    errors: list = []
+
+    def writer(w):
+        t = ManagedTable(None, root)
+        for s in range(K):
+            try:
+                t.append_pylist([{"writer": w, "seq": s}], SCHEMA)
+            except Exception as e:  # noqa: BLE001 — the drill records all
+                errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(N)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = ManagedTable(None, root)
+    m = t.snapshot()
+    assert m.total_rows == N * K  # zero lost, zero doubled
+    assert m.version == N * K
