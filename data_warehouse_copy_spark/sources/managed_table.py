@@ -2411,20 +2411,7 @@ class ManagedTable:
         (wide) read schema, so the widen is one small commit and every
         subsequent scan stays a single native pass. Appends may keep
         presenting the old narrow type; they are upcast on write."""
-        _BY_NAME = {
-            "byte": T.ByteType(), "tinyint": T.ByteType(),
-            "short": T.ShortType(), "smallint": T.ShortType(),
-            "integer": T.IntegerType(), "int": T.IntegerType(),
-            "long": T.LongType(), "bigint": T.LongType(),
-            "float": T.FloatType(), "double": T.DoubleType(),
-            "timestamp_ntz": T.TimestampNTZType(),
-        }
-        if isinstance(new_type, str):
-            to = _BY_NAME.get(new_type.lower())
-            if to is None:
-                raise ValueError(f"unsupported widen target: {new_type!r}")
-        else:
-            to = new_type
+        to = _parse_type(new_type)
         with _lock_for(self.root):
             head, schema_json, columns = self._columns_state()
             if not schema_json:
@@ -2455,6 +2442,37 @@ class ManagedTable:
             self._commit_bounded(
                 head, (), set(), "widen_column",
                 schema_json=new_schema.json(), columns=columns,
+            )
+
+    def add_column(self, name: str, dtype: "str | T.DataType") -> None:
+        """Add a nullable column — METADATA-ONLY (the explicit-DDL twin of
+        ``append(merge_schema=True)``'s implicit widen): existing files
+        simply null-backfill under the explicit read schema. If the same
+        logical name was previously dropped, the new column gets a fresh
+        physical name (see :meth:`drop_column`) so the old data never
+        resurrects."""
+        to = _parse_type(dtype)
+        with _lock_for(self.root):
+            head, schema_json, columns = self._columns_state()
+            if not schema_json:
+                raise ValueError(
+                    "cannot add a column to an empty table (the first "
+                    "append sets the schema)"
+                )
+            st = T.StructType.fromJson(json.loads(schema_json))
+            if name in [f.name for f in st.fields]:
+                raise ValueError(f"column already exists: {name!r}")
+            new_schema = T.StructType(
+                [
+                    T.StructField(f.name, f.dataType, True, f.metadata)
+                    for f in st.fields
+                ]
+                + [T.StructField(name, to, True)]
+            )
+            new_cols = _extend_columns(columns, new_schema.json())
+            self._commit_bounded(
+                head, (), set(), "add_column",
+                schema_json=new_schema.json(), columns=new_cols,
             )
 
     def drop_column(self, name: str) -> None:
@@ -4966,6 +4984,36 @@ def _physical_struct(
             for f in st.fields
         ]
     )
+
+
+#: DDL-name → Spark type for the evolution surface (rename/widen/add);
+#: deliberately the scalar closed set — nested/decimal evolution is out
+#: of scope and rejected loudly rather than misparsed
+_TYPE_BY_NAME: dict = {
+    "byte": T.ByteType(), "tinyint": T.ByteType(),
+    "short": T.ShortType(), "smallint": T.ShortType(),
+    "integer": T.IntegerType(), "int": T.IntegerType(),
+    "long": T.LongType(), "bigint": T.LongType(),
+    "float": T.FloatType(), "real": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(), "varchar": T.StringType(),
+    "boolean": T.BooleanType(), "bool": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+}
+
+
+def _parse_type(dtype: "str | T.DataType") -> "T.DataType":
+    if not isinstance(dtype, str):
+        return dtype
+    t = _TYPE_BY_NAME.get(dtype.strip().lower())
+    if t is None:
+        raise ValueError(
+            f"unsupported column type {dtype!r} "
+            f"(supported: {sorted(_TYPE_BY_NAME)})"
+        )
+    return t
 
 
 def _narrow_struct(

@@ -64,6 +64,8 @@ _KEYWORDS = {
     "delete", "update", "merge", "from", "into", "using", "set", "where",
     "and", "on", "when", "matched", "not", "then", "insert", "values",
     "as", "in", "true", "false",
+    "alter", "table", "rename", "column", "to", "type", "drop", "add",
+    "data",
 }
 
 
@@ -111,6 +113,11 @@ class DmlStatement:
     when_matched_update: "dict[str, str] | None" = None
     when_matched_delete: bool = False
     when_not_matched_insert: bool = False
+    # alter fields (kind == "alter")
+    alter_op: str | None = None        # rename | widen | drop | add
+    column: str | None = None
+    to_name: str | None = None
+    to_type: str | None = None
 
 
 class _Parser:
@@ -281,7 +288,48 @@ class _Parser:
             self._take()
             self._expect_kw("into")
             return self._merge()
+        if head == "alter":
+            self._take()
+            self._expect_kw("table")
+            return self._alter()
         return None  # not DML: pass through to spark.sql
+
+    def _alter(self) -> "DmlStatement":
+        st = DmlStatement("alter", self._expect_ident())
+        op = self._expect_kw("rename", "alter", "drop", "add")
+        if op == "rename":
+            self._expect_kw("column")
+            st.alter_op = "rename"
+            st.column = self._expect_ident()
+            self._expect_kw("to")
+            st.to_name = self._expect_ident()
+        elif op == "alter":
+            self._expect_kw("column")
+            st.alter_op = "widen"
+            st.column = self._expect_ident()
+            # both Spark's TYPE and the SQL-standard SET DATA TYPE forms
+            kw = self._expect_kw("type", "set")
+            if kw == "set":
+                self._expect_kw("data")
+                self._expect_kw("type")
+            st.to_type = self._type_name()
+        elif op == "drop":
+            self._expect_kw("column")
+            st.alter_op = "drop"
+            st.column = self._expect_ident()
+        else:  # add
+            self._expect_kw("column")
+            st.alter_op = "add"
+            st.column = self._expect_ident()
+            st.to_type = self._type_name()
+        self._done()
+        return st
+
+    def _type_name(self) -> str:
+        t = self._take()
+        if t.kind != "ident":
+            raise SqlDmlError(f"expected a type name, got {t.text!r}")
+        return t.text
 
     def _done(self) -> None:
         if self.i != len(self.toks):
@@ -408,6 +456,21 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     if st is None:
         return spark.sql(sql)
     t = ManagedTable(spark, catalog.root_of(st.table))
+    if st.kind == "alter":
+        # schema evolution DDL: metadata-only commits at any table size
+        # (column-mapping renames, native-upcast widens, tombstoned
+        # drops — see ManagedTable's evolution section). Attached views
+        # pin their registration-time schema; call catalog.refresh()
+        # for read-your-DDL through pure SQL, same contract as DML.
+        if st.alter_op == "rename":
+            t.rename_column(st.column, st.to_name)
+        elif st.alter_op == "widen":
+            t.widen_column(st.column, st.to_type)
+        elif st.alter_op == "drop":
+            t.drop_column(st.column)
+        else:
+            t.add_column(st.column, st.to_type)
+        return _summary(spark, f"ALTER {st.alter_op.upper()}", 0)
     if st.kind == "delete":
         if st.where is None:
             # DELETE without WHERE = truncate (Delta semantics): one

@@ -353,6 +353,57 @@ def test_fresh_physical_never_collides():
     assert p == "a_3_" or p not in {c["physical"] for c in cols}
 
 
+def test_add_column_and_post_drop_readd(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.add_column("score", "double")
+    assert dict(t.read().dtypes)["score"] == "double"
+    assert t.read().filter(F.col("score").isNotNull()).count() == 0
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("score", "double")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        t.add_column("m", "map<string,int>")
+    # drop then ADD the same name: fresh physical, no resurrection
+    t.drop_column("name")
+    t.add_column("name", "string")
+    assert t.read().filter(F.col("name").isNotNull()).count() == 0
+
+
+def test_sql_alter_table_ddl(spark, tmp_path):
+    """The full evolution surface through catalog SQL: RENAME COLUMN /
+    ALTER COLUMN TYPE (and SET DATA TYPE) / ADD COLUMN / DROP COLUMN
+    dispatch to the metadata-only ManagedTable commits; a narrowing
+    ALTER rejects loudly."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    t = _mk(spark, str(tmp_path / "t"))
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("db.t", str(tmp_path / "t"))
+    r = cat.sql(spark, "ALTER TABLE db.t RENAME COLUMN k TO key").first()
+    assert (r.operation, r.rows_affected) == ("ALTER RENAME", 0)
+    cat.sql(spark, "ALTER TABLE db.t ALTER COLUMN key TYPE bigint")
+    cat.sql(spark, "ALTER TABLE db.t ADD COLUMN score double")
+    # DML straight onto the evolved columns, same statement surface
+    u = cat.sql(
+        spark, "UPDATE db.t SET score = key * 1.5 WHERE key >= 18"
+    ).first()
+    assert u.rows_affected == 2
+    got = {
+        r.key: r.score
+        for r in t.read(where=[("key", ">=", 18)]).collect()
+    }
+    assert got == {18: 27.0, 19: 28.5}
+    cat.sql(spark, "ALTER TABLE db.t DROP COLUMN name")
+    assert t.read().columns == ["key", "v", "score"]
+    # SQL-standard spelling accepted too; narrowing rejected
+    cat.sql(spark, "ALTER TABLE db.t ALTER COLUMN key SET DATA TYPE bigint")
+    with pytest.raises(ValueError, match="value-preserving"):
+        cat.sql(spark, "ALTER TABLE db.t ALTER COLUMN key TYPE int")
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    with pytest.raises(SqlDmlError):
+        cat.sql(spark, "ALTER TABLE db.t SET TBLPROPERTIES ('a'='b')")
+
+
 def test_read_columns_projection_pushdown(spark, tmp_path):
     """``read(columns=...)`` narrows the scan's ReadSchema to the
     requested columns plus predicate columns (selected away after the
