@@ -4150,6 +4150,35 @@ WHERE o_totalprice <= 400000.0
 """
 
 
+def projection_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection pushdown through ``read(columns=, where=)`` on an
+    EVOLVED table: orders lands key-clustered, ``o_totalprice`` is
+    renamed (metadata-only), and the scan requests two columns plus a
+    predicate on the renamed one. The explicit read schema reaches the
+    parquet scan (two column chunks per file, physical names — pinned in
+    tests/test_schema_evolution.py); predicate columns are read only for
+    the exact filter and selected away. Matters at 100 TB because the
+    manifest-driven unselective scan is Python-side, where Catalyst
+    cannot column-prune — ``columns=`` is how a narrow projection keeps
+    its IO savings there. Oracle: the same projection in SQL."""
+    (orders,) = _prep(spark, sf_dir, "orders")
+    root = f"{_tmp_table_dir(prefix='dwcs_proj_')}/orders"
+    t = ManagedTable.create(spark, root, cluster_col="o_orderkey")
+    t.append(orders)
+    t.rename_column("o_totalprice", "price")
+    return t.read(
+        columns=["o_orderkey", "o_orderstatus"],
+        where=[("price", ">", 300000.0)],
+    )
+
+
+PROJECTION_SCAN_SQL = """
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE o_totalprice > 300000.0
+"""
+
+
 def datasource_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert through the DECLARATIVE write path (sources/datasource.py
     ``_commit_merge``): the target starts as orders with zeroed prices on
@@ -5018,6 +5047,7 @@ QUERIES: dict[str, QueryFn] = {
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "merge_expressions_roundtrip": merge_expressions_roundtrip,
     "schema_evolution_roundtrip": schema_evolution_roundtrip,
+    "projection_scan_roundtrip": projection_scan_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "catalog_sql_dml": catalog_sql_dml,
     "rollup_cdc_refresh": rollup_cdc_refresh,
@@ -5139,6 +5169,7 @@ ORACLES: dict[str, str] = {
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
     "merge_expressions_roundtrip": MERGE_EXPRESSIONS_SQL,
     "schema_evolution_roundtrip": SCHEMA_EVOLUTION_SQL,
+    "projection_scan_roundtrip": PROJECTION_SCAN_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,

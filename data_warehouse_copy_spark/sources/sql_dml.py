@@ -30,6 +30,17 @@ Supported grammar (case-insensitive keywords)::
         [WHEN MATCHED [AND <cond>] THEN (UPDATE SET col = <expr>, ... | DELETE)]
         [WHEN NOT MATCHED THEN INSERT *]
 
+    INSERT INTO db.tbl [(col [, col]...)] (VALUES <rows> | SELECT ...)
+        -- the VALUES/SELECT tail is evaluated by spark.sql verbatim;
+        -- a column list realigns (and typed-null-backfills) the frame,
+        -- the append is one atomic commit
+    ALTER TABLE db.tbl RENAME COLUMN old TO new
+    ALTER TABLE db.tbl ALTER COLUMN c (TYPE | SET DATA TYPE) <type>
+    ALTER TABLE db.tbl ADD COLUMN c <type>
+    ALTER TABLE db.tbl DROP COLUMN c
+        -- all four are METADATA-ONLY commits (column mapping / native
+        -- parquet widen / tombstoned drop) at any table size
+
     <conj> ::= <pred> [AND <pred>]...
     <pred> ::= col (= | < | <= | > | >=) <literal>
              | col IN ( <literal> [, <literal>]... )
@@ -118,6 +129,9 @@ class DmlStatement:
     column: str | None = None
     to_name: str | None = None
     to_type: str | None = None
+    # insert fields (kind == "insert")
+    insert_columns: "list[str] | None" = None
+    insert_query: str | None = None    # the VALUES/SELECT tail, verbatim
 
 
 class _Parser:
@@ -292,7 +306,47 @@ class _Parser:
             self._take()
             self._expect_kw("table")
             return self._alter()
+        if head == "insert":
+            self._take()
+            self._expect_kw("into")
+            return self._insert()
         return None  # not DML: pass through to spark.sql
+
+    def _insert(self) -> "DmlStatement":
+        st = DmlStatement("insert", self._expect_ident())
+        cols: "list[str] | None" = None
+        t = self._peek()
+        if t is not None and t.kind == "punct" and t.text == "(":
+            self._take()
+            cols = [self._expect_ident()]
+            while True:
+                t = self._take()
+                if t.text == ")":
+                    break
+                if t.text != ",":
+                    raise SqlDmlError(
+                        f"expected ',' or ')' in column list, got {t.text!r}"
+                    )
+                cols.append(self._expect_ident())
+        st.insert_columns = cols
+        nxt = self._peek()
+        kw = self._kw(nxt)
+        if kw == "values" or (
+            nxt is not None
+            and nxt.kind == "ident"
+            and nxt.text.lower() == "select"
+        ):
+            # hand the tail to spark.sql verbatim — full Spark SQL power
+            # for the row source, transactional append for the landing
+            st.insert_query = " ".join(
+                tk.text for tk in self.toks[self.i:]
+            )
+            self.i = len(self.toks)
+        else:
+            raise SqlDmlError(
+                "INSERT INTO expects VALUES or SELECT after the target"
+            )
+        return st
 
     def _alter(self) -> "DmlStatement":
         st = DmlStatement("alter", self._expect_ident())
@@ -456,6 +510,52 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     if st is None:
         return spark.sql(sql)
     t = ManagedTable(spark, catalog.root_of(st.table))
+    if st.kind == "insert":
+        import json as _json
+
+        from pyspark.sql import functions as F, types as T
+
+        df = spark.sql(st.insert_query)
+        _head, schema_json, _cols = t._columns_state()
+        if not schema_json:
+            # first data into an empty table adopts the written shape
+            src = (
+                df.toDF(*st.insert_columns) if st.insert_columns else df
+            )
+            n = t.append(src)
+            return _summary(spark, "INSERT", n)
+        table_fields = T.StructType.fromJson(_json.loads(schema_json)).fields
+        if st.insert_columns is not None:
+            names = st.insert_columns
+        elif [c.lower() for c in df.columns] == [
+            f.name.lower() for f in table_fields
+        ]:
+            names = [f.name for f in table_fields]  # named SELECT source
+        else:
+            # SQL INSERT semantics: positional binding to the table order
+            names = [f.name for f in table_fields]
+        if len(df.columns) != len(names):
+            raise SqlDmlError(
+                f"INSERT provides {len(df.columns)} columns for "
+                f"{len(names)} target columns"
+            )
+        src = df.toDF(*names)
+        known = {f.name: f.dataType for f in table_fields}
+        bad = sorted(set(names) - set(known))
+        if bad:
+            raise SqlDmlError(f"INSERT targets unknown columns {bad}")
+        # typed-null backfill for omitted columns; cast the provided ones
+        # so VALUES literals (e.g. int into a double column) land typed
+        src = src.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in set(names)
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in table_fields
+            ]
+        )
+        n = t.append(src)
+        return _summary(spark, "INSERT", n)
     if st.kind == "alter":
         # schema evolution DDL: metadata-only commits at any table size
         # (column-mapping renames, native-upcast widens, tombstoned

@@ -234,3 +234,35 @@ def test_sql_dml_truncate_and_merge(spark, tmp_path, cat):
     assert res[0].rows_affected == 111
     assert t.count() == 0
     assert t.read().columns == ["k", "v"]
+
+
+def test_sql_insert_into(spark, cat):
+    """INSERT INTO through the catalog: positional VALUES, a column list
+    with typed-null backfill, SELECT sources, and atomic appends. The
+    rows land through ManagedTable.append (one commit per statement)."""
+    c, t = cat
+    base = t.count()
+    res = c.sql(
+        spark, "INSERT INTO global_temp.orders VALUES (500, 1), (501, 2)"
+    ).collect()
+    assert [(r.operation, r.rows_affected) for r in res] == [("INSERT", 2)]
+    assert t.count() == base + 2
+    # column list: omitted columns null-backfill typed
+    c.sql(spark, "INSERT INTO global_temp.orders (k) VALUES (502)")
+    got = {r.k: r.v for r in t.read(where=[("k", ">=", 500)]).collect()}
+    assert got == {500: 1, 501: 2, 502: None}
+    # SELECT source, arbitrary Spark SQL
+    c.sql(
+        spark,
+        "INSERT INTO global_temp.orders "
+        "SELECT 600 + id AS k, CAST(id AS INT) AS v FROM RANGE(3)",
+    )
+    assert t.count() == base + 6
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    with pytest.raises(SqlDmlError, match="columns for"):
+        c.sql(spark, "INSERT INTO global_temp.orders VALUES (1)")
+    with pytest.raises(SqlDmlError, match="unknown columns"):
+        c.sql(spark, "INSERT INTO global_temp.orders (zzz) VALUES (1)")
+    with pytest.raises(SqlDmlError, match="VALUES or SELECT"):
+        c.sql(spark, "INSERT INTO global_temp.orders SET k = 1")
