@@ -2497,12 +2497,13 @@ class ManagedTable:
                 c for c in cols if c["name"] == name and not c.get("dropped")
             )
             b = self._bounded_ingest_base()
-            part_col, cluster_col, bloom_cols = (
-                (b[3], b[4], b[5]) if b is not None and b[1] is not None
-                else (
-                    lambda m: (m.partition_date_col, m.cluster_col, m.bloom_cols)
-                )(self.snapshot())
-            )
+            if b is not None and b[1] is not None:
+                part_col, cluster_col, bloom_cols = b[3], b[4], b[5]
+            else:
+                m = self.snapshot()
+                part_col, cluster_col, bloom_cols = (
+                    m.partition_date_col, m.cluster_col, m.bloom_cols
+                )
             phys = entry["physical"]
             cluster_list = (
                 [cluster_col] if isinstance(cluster_col, str)

@@ -424,6 +424,63 @@ def test_read_columns_projection_pushdown(spark, tmp_path):
     ]
 
 
+def test_stream_survives_midstream_rename(spark, tmp_path):
+    """A declarative stream tails across a rename: the planned schema is
+    pinned at stream start (module contract — logical names fixed), the
+    column mapping is pinned with it, and post-rename appends keep
+    flowing because data files keep the immutable PHYSICAL names. A
+    restart picks up the new logical name."""
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableDataSource,
+    )
+
+    spark.dataSource.register(ManagedTableDataSource)
+    t = _mk(spark, tmp_path / "t", n=5)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        spark.readStream.format("managed_table")
+        .load(str(t.root))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t.rename_column("k", "key")  # metadata-only commit: feed-silent
+        t.append(
+            spark.range(5, 9).selectExpr(
+                "cast(id as int) as key",
+                "cast(id * 2 as float) as v",
+                "concat('n', id) as name",
+            )
+        )
+        q.processAllAvailable()
+        df = spark.read.parquet(str(out))
+        # still the PLANNED logical shape, all 9 rows exactly once
+        assert "k" in df.columns and "key" not in df.columns
+        assert sorted(r.k for r in df.collect()) == list(range(9))
+    finally:
+        q.stop()
+    # restart: the new plan sees the evolved logical name
+    out2, ckpt2 = tmp_path / "out2", tmp_path / "ckpt2"
+    q2 = (
+        spark.readStream.format("managed_table")
+        .load(str(t.root))
+        .writeStream.format("parquet")
+        .option("path", str(out2))
+        .option("checkpointLocation", str(ckpt2))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        df2 = spark.read.parquet(str(out2))
+        assert "key" in df2.columns
+        assert sorted(r.key for r in df2.collect()) == list(range(9))
+    finally:
+        q2.stop()
+
+
 def test_identity_mapping_stays_absent(spark, tmp_path):
     # evolution-free tables never materialize a mapping: log format and
     # read paths are byte-identical to pre-evolution behavior
