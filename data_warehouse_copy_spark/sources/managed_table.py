@@ -629,10 +629,24 @@ class ManagedTable:
             columns=columns,
         )
 
-    def history(self) -> list[CommitInfo]:
-        """Commit-log summary, oldest first, in O(live files) memory: one
-        forward replay keeping only per-file row counts — never a full
-        manifest per version."""
+    def history(self, since_version: int | None = None) -> list[CommitInfo]:
+        """Commit-log summary, oldest first. The full walk is one forward
+        replay keeping only per-file row counts — never a full manifest
+        per version — but that dict is still O(live files) and the walk
+        O(all versions). ``since_version`` bounds BOTH (the DESCRIBE
+        HISTORY LIMIT shape every operator actually asks for): past the
+        planning gate the replay starts from the nearest parquet
+        checkpoint's header totals, prior row counts of touched files
+        come from dictionary-filtered checkpoint reads, and memory is
+        O(files touched in the requested range) — a 20-commit tail over
+        a 10^7-file table reads KBs, not the manifest."""
+        if since_version is not None:
+            bounded = self._history_bounded(since_version)
+            if bounded is not None:
+                return bounded
+            return [
+                ci for ci in self.history() if ci.version >= since_version
+            ]
         out: list[CommitInfo] = []
         rows: dict[str, int] = {}
         total = 0
@@ -662,6 +676,87 @@ class ManagedTable:
                 total += sum(add.values()) - sum(rem.values())
             out.append(
                 CommitInfo(v, raw["op"], raw["ts"], len(rows), total, r_add, r_rem)
+            )
+        return out
+
+    def _history_bounded(
+        self, since_version: int
+    ) -> "list[CommitInfo] | None":
+        """The ``history(since_version=)`` fast path: fold per-commit
+        deltas forward from the nearest parquet checkpoint at/below
+        ``since_version - 1``, looking up the prior row counts of
+        touched files with dictionary-filtered checkpoint reads. None
+        when no usable checkpoint (callers fall back to the full walk)
+        or when a legacy full-state record interrupts the action run."""
+        import pyarrow.parquet as pq
+
+        start = since_version - 1
+        if start < 0:
+            return None
+        base = self._plan_base(start)
+        if base is None:
+            return None
+        ck, header, actions = base
+        if "total_rows" not in header:
+            return None
+        n_files = pq.ParquetFile(ck).metadata.num_rows
+        total = int(header["total_rows"])
+        known: dict[str, int] = {}
+        wiped = False
+
+        def lookup(paths: list) -> dict:
+            missing = [p for p in paths if p not in known]
+            if missing and not wiped:
+                tb = pq.read_table(
+                    ck,
+                    columns=["path", "rows", "dv_rows"],
+                    filters=[("path", "in", missing)],
+                )
+                for p, r, d in zip(
+                    tb.column("path").to_pylist(),
+                    tb.column("rows").to_pylist(),
+                    tb.column("dv_rows").to_pylist(),
+                ):
+                    known[p] = r - (d or 0)
+            # a strict log only removes live paths, so a miss here means
+            # the path was added and removed inside the replayed range —
+            # its count is already in ``known``; default 0 is the safe
+            # floor for corrupt-log tolerance, never an exception
+            return {p: known.get(p, 0) for p in paths}
+
+        def apply(raw: dict) -> "tuple[int, int]":
+            nonlocal n_files, total, wiped
+            add = {e["path"]: _eff_rows(e) for e in raw["add"]}
+            if raw.get("remove_all"):
+                r_rem, r_add = total, sum(add.values())
+                n_files, total, wiped = len(add), r_add, True
+                known.clear()
+                known.update(add)
+                return r_add, r_rem
+            rem = lookup(raw["remove"])
+            r_add = sum(r - min(r, rem.get(p, 0)) for p, r in add.items())
+            r_rem = sum(r - min(r, add.get(p, 0)) for p, r in rem.items())
+            n_files += len(add) - len(rem)
+            total += sum(add.values()) - sum(rem.values())
+            for p in rem:
+                known.pop(p, None)
+            known.update(add)
+            return r_add, r_rem
+
+        for raw in actions:  # (checkpoint, start] tail: state only
+            if "files" in raw:
+                return None
+            apply(raw)
+        out: list[CommitInfo] = []
+        for v in range(since_version, self._head_version() + 1):
+            raw = self._raw(v)
+            if "files" in raw:
+                return None  # legacy full record mid-range: full walk
+            r_add, r_rem = apply(raw)
+            out.append(
+                CommitInfo(
+                    v, raw["op"], raw["ts"], n_files, total, r_add, r_rem
+                )
             )
         return out
 

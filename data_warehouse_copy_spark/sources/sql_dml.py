@@ -30,6 +30,9 @@ Supported grammar (case-insensitive keywords)::
         [WHEN MATCHED [AND <cond>] THEN (UPDATE SET col = <expr>, ... | DELETE)]
         [WHEN NOT MATCHED THEN INSERT *]
 
+    DESCRIBE HISTORY db.tbl [LIMIT n]
+        -- commit log newest-first; LIMIT n replays only the last n
+        -- commits from the nearest checkpoint (bounded at any table size)
     INSERT INTO db.tbl [(col [, col]...)] (VALUES <rows> | SELECT ...)
         -- the VALUES/SELECT tail is evaluated by spark.sql verbatim;
         -- a column list realigns (and typed-null-backfills) the frame,
@@ -76,7 +79,7 @@ _KEYWORDS = {
     "and", "on", "when", "matched", "not", "then", "insert", "values",
     "as", "in", "true", "false",
     "alter", "table", "rename", "column", "to", "type", "drop", "add",
-    "data",
+    "data", "describe", "history", "limit",
 }
 
 
@@ -132,6 +135,8 @@ class DmlStatement:
     # insert fields (kind == "insert")
     insert_columns: "list[str] | None" = None
     insert_query: str | None = None    # the VALUES/SELECT tail, verbatim
+    # history fields (kind == "history")
+    limit: int | None = None
 
 
 class _Parser:
@@ -310,6 +315,18 @@ class _Parser:
             self._take()
             self._expect_kw("into")
             return self._insert()
+        if head == "describe" and self._kw(self._peek(1)) == "history":
+            self._take()
+            self._take()
+            st = DmlStatement("history", self._expect_ident())
+            if self._at_kw("limit"):
+                self._take()
+                n = self._literal()
+                if not isinstance(n, int) or n < 1:
+                    raise SqlDmlError("LIMIT expects a positive integer")
+                st.limit = n
+            self._done()
+            return st
         return None  # not DML: pass through to spark.sql
 
     def _insert(self) -> "DmlStatement":
@@ -510,6 +527,29 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     if st is None:
         return spark.sql(sql)
     t = ManagedTable(spark, catalog.root_of(st.table))
+    if st.kind == "history":
+        head_v = t._head_version()
+        since = (
+            max(0, head_v - st.limit + 1) if st.limit is not None else None
+        )
+        rows = t.history(since_version=since)
+        from pyspark.sql import types as T
+
+        hist_schema = T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("op", T.StringType(), False),
+                T.StructField("ts", T.StringType(), False),
+                T.StructField("n_files", T.LongType(), False),
+                T.StructField("total_rows", T.LongType(), False),
+                T.StructField("rows_added", T.LongType(), False),
+                T.StructField("rows_removed", T.LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(
+            [tuple(ci.__dict__.values()) for ci in reversed(rows)],
+            hist_schema,
+        )
     if st.kind == "insert":
         import json as _json
 

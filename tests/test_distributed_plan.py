@@ -294,6 +294,58 @@ def test_unselective_read_wide_manifest_never_lists_paths(spark, tmp_path):
     assert df.columns == ["k", "v"]
 
 
+def test_bounded_history_matches_full_walk(spark, tmp_path):
+    """history(since_version=) replayed from the checkpoint header +
+    dictionary-filtered row lookups must equal the full walk's slice —
+    including DV re-versions (remove+re-add churn), an overwrite's
+    remove_all reset, and metadata-only evolution commits."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for i in range(mt._CKPT_EVERY + 2):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10)
+            .selectExpr("id AS k", "id % 7 AS v")
+            .coalesce(1)
+        )
+    t.delete([("k", "<", 5)])        # DV: remove + re-add same path
+    t.rename_column("v", "val")      # metadata-only commit
+    t.overwrite(
+        spark.range(3).selectExpr("id AS k", "id AS val").coalesce(1)
+    )                                # past the gate: remove_all marker
+    t.append(spark.range(3, 6).selectExpr("id AS k", "id AS val"))
+    full = t.history()
+    for since in (1, mt._CKPT_EVERY, t._head_version() - 2):
+        bounded = t.history(since_version=since)
+        assert bounded == [ci for ci in full if ci.version >= since]
+    # since past head = empty; since 0 = the full walk itself
+    assert t.history(since_version=t._head_version() + 1) == []
+    assert t.history(since_version=0) == full
+
+
+def test_bounded_history_on_wide_manifest(spark, tmp_path):
+    """On a 100k-entry synthetic manifest the bounded walk must serve a
+    recent-history request from header totals + per-touched-path lookups
+    — it cannot page the manifest (the synthetic files don't exist, and
+    the full walk would need only the log, so the REAL pin is the
+    driver-materialization shape: known-paths dict stays O(touched))."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = _synthetic_wide_manifest(
+        spark, tmp_path / "wideh", 100_001, schema_json=schema.json(),
+        partitioned=False,
+    )
+    # a tail of appends on top of the synthetic checkpoint
+    for i in range(3):
+        t.append(
+            spark.range(i * 5, (i + 1) * 5).selectExpr("id AS k").coalesce(1)
+        )
+    rows = t.history(since_version=2)
+    assert [ci.version for ci in rows] == [2, 3, 4]
+    assert rows[0].total_rows == 100_001 * 10 + 5
+    assert rows[-1].n_files == 100_001 + 3
+    assert all(ci.rows_added == 5 for ci in rows)
+
+
 def test_checkpoint_retention_sweeps_old(spark, tmp_path):
     """Only the newest _CKPT_KEEP checkpoint versions survive; every
     historical version still reconstructs (v0 full state + replay)."""

@@ -266,3 +266,25 @@ def test_sql_insert_into(spark, cat):
         c.sql(spark, "INSERT INTO global_temp.orders (zzz) VALUES (1)")
     with pytest.raises(SqlDmlError, match="VALUES or SELECT"):
         c.sql(spark, "INSERT INTO global_temp.orders SET k = 1")
+
+
+def test_sql_describe_history(spark, cat):
+    c, t = cat
+    base_head = t._head_version()
+    c.sql(spark, "INSERT INTO global_temp.orders VALUES (900, 1)")
+    c.sql(spark, "DELETE FROM global_temp.orders WHERE k = 900")
+    h = c.sql(spark, "DESCRIBE HISTORY global_temp.orders LIMIT 2").collect()
+    assert [r.version for r in h] == [base_head + 2, base_head + 1]
+    assert h[0].op == "delete" and h[0].rows_removed == 1
+    assert h[1].op == "append" and h[1].rows_added == 1
+    full = c.sql(spark, "DESCRIBE HISTORY global_temp.orders").collect()
+    assert full[-1].version == 0  # newest-first, down to create
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    with pytest.raises(SqlDmlError, match="positive integer"):
+        c.sql(spark, "DESCRIBE HISTORY global_temp.orders LIMIT 0")
+    # a plain DESCRIBE passes through to spark.sql untouched
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        c.sql(spark, "DESCRIBE nonexistent_table_zzz")
