@@ -123,13 +123,42 @@ class ContinuousAggregate:
             .collect()
         )
         events = raw.read(version=to_version)
-        n_del = n_ins = 0
-        for day in days:
-            d, i = self.refresh_day(events, day)
-            n_del += d
-            n_ins += i
+        n_del, n_ins = self.refresh_days(events, days)
         return {"to_version": to_version, "days": days,
                 "deleted": n_del, "inserted": n_ins}
+
+    def refresh_days(
+        self, events: DataFrame, days: "list[str]"
+    ) -> tuple[int, int]:
+        """Re-aggregate a SET of days with one atomic range overwrite per
+        CONSECUTIVE RUN (late DML usually invalidates a contiguous span —
+        a backfill correction, a retention delete — so this turns n
+        per-day jobs+commits into one; scattered days still refresh
+        independently, never over-replacing untouched days in between).
+        Returns total (rows_deleted, rows_inserted)."""
+        from datetime import date, timedelta
+
+        groups: "list[list[date]]" = []
+        for day in sorted(days):
+            d = date.fromisoformat(day)
+            if groups and d == groups[-1][1] + timedelta(days=1):
+                groups[-1][1] = d
+            else:
+                groups.append([d, d])
+        n_del = n_ins = 0
+        for lo, hi in groups:
+            start = F.to_timestamp(F.lit(lo.isoformat()))
+            end = F.to_timestamp(F.lit((hi + timedelta(days=1)).isoformat()))
+            span = events.filter((F.col("ts") >= start) & (F.col("ts") < end))
+            agg = self._clustered(
+                tumbling_window_agg(span, self.window_duration)
+            )
+            d_, i_ = self.store.overwrite_range(
+                agg, lo.isoformat(), hi.isoformat()
+            )
+            n_del += d_
+            n_ins += i_
+        return n_del, n_ins
 
     def serve(self, tail_events: DataFrame) -> DataFrame:
         """Rollup ∪ agg(raw tail): the continuous-aggregate read path.
