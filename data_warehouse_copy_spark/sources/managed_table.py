@@ -4581,6 +4581,16 @@ class ManagedTable:
                 if cluster_col is None or isinstance(cluster_col, str)
                 else list(cluster_col)
             )
+            # a NEW spec arrives in LOGICAL names; the stored spec (and
+            # the files _write_files lays out) are PHYSICAL — translate
+            # once so reclustering a renamed column keeps working
+            pmap = _phys_map(m.columns)
+            if pmap and spec is not None:
+                spec = (
+                    pmap.get(spec, spec)
+                    if isinstance(spec, str)
+                    else [pmap.get(c, c) for c in spec]
+                )
             if spec is not None:
                 new_files = self._write_files(
                     df, m.partition_date_col, spec,
@@ -4647,6 +4657,14 @@ class ManagedTable:
             if cluster_col is None or isinstance(cluster_col, str)
             else list(cluster_col)
         )
+        pmap = _phys_map(self._columns_at())
+        if pmap and spec is not None:
+            # logical→physical, same contract as recluster()
+            spec = (
+                pmap.get(spec, spec)
+                if isinstance(spec, str)
+                else [pmap.get(c, c) for c in spec]
+            )
         spec_key = json.dumps(spec)
         cursor_path = self.root / "_log" / "_RECLUSTER.json"
         with _lock_for(self.root):

@@ -30,6 +30,12 @@ Supported grammar (case-insensitive keywords)::
         [WHEN MATCHED [AND <cond>] THEN (UPDATE SET col = <expr>, ... | DELETE)]
         [WHEN NOT MATCHED THEN INSERT *]
 
+    VACUUM db.tbl [RETAIN n HOURS]
+        -- reap unreferenced files (Delta syntax; default 168h retention)
+    OPTIMIZE db.tbl [ZORDER BY (c1 [, c2]...)]
+        -- compact small files; ZORDER re-lays-out under the new spec
+    RESTORE db.tbl TO VERSION AS OF n
+        -- roll back as a NEW audited commit
     DESCRIBE HISTORY db.tbl [LIMIT n]
         -- commit log newest-first; LIMIT n replays only the last n
         -- commits from the nearest checkpoint (bounded at any table size)
@@ -80,6 +86,8 @@ _KEYWORDS = {
     "as", "in", "true", "false",
     "alter", "table", "rename", "column", "to", "type", "drop", "add",
     "data", "describe", "history", "limit",
+    "vacuum", "retain", "hours", "optimize", "zorder", "by", "restore",
+    "version", "of",
 }
 
 
@@ -137,6 +145,10 @@ class DmlStatement:
     insert_query: str | None = None    # the VALUES/SELECT tail, verbatim
     # history fields (kind == "history")
     limit: int | None = None
+    # ops fields (vacuum / optimize / restore)
+    retain_hours: float | None = None
+    zorder_cols: "list[str] | None" = None
+    to_version: int | None = None
 
 
 class _Parser:
@@ -315,6 +327,53 @@ class _Parser:
             self._take()
             self._expect_kw("into")
             return self._insert()
+        if head == "vacuum":
+            self._take()
+            st = DmlStatement("vacuum", self._expect_ident())
+            if self._at_kw("retain"):
+                self._take()
+                n = self._literal()
+                if not isinstance(n, (int, float)) or n < 0:
+                    raise SqlDmlError("RETAIN expects a non-negative number")
+                self._expect_kw("hours")
+                st.retain_hours = float(n)
+            self._done()
+            return st
+        if head == "optimize":
+            self._take()
+            st = DmlStatement("optimize", self._expect_ident())
+            if self._at_kw("zorder"):
+                self._take()
+                self._expect_kw("by")
+                self._expect_punct("(")
+                cols = [self._expect_ident()]
+                while True:
+                    t = self._take()
+                    if t.text == ")":
+                        break
+                    if t.text != ",":
+                        raise SqlDmlError(
+                            f"expected ',' or ')' in ZORDER BY, got {t.text!r}"
+                        )
+                    cols.append(self._expect_ident())
+                st.zorder_cols = cols
+            self._done()
+            return st
+        if head == "restore":
+            self._take()
+            st = DmlStatement("restore", self._expect_ident())
+            self._expect_kw("to")
+            self._expect_kw("version")
+            self._expect_kw("as")
+            self._expect_kw("of")
+            n = self._literal()
+            if not isinstance(n, int) or n < 0:
+                raise SqlDmlError(
+                    "VERSION AS OF expects a non-negative integer"
+                )
+            st.to_version = n
+            self._done()
+            return st
         if head == "describe" and self._kw(self._peek(1)) == "history":
             self._take()
             self._take()
@@ -527,6 +586,30 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     if st is None:
         return spark.sql(sql)
     t = ManagedTable(spark, catalog.root_of(st.table))
+    if st.kind == "vacuum":
+        secs = (
+            st.retain_hours * 3600.0
+            if st.retain_hours is not None
+            else 7 * 24 * 3600.0
+        )
+        n = t.vacuum(retention_seconds=secs)
+        return _summary(spark, "VACUUM", n)
+    if st.kind == "optimize":
+        if st.zorder_cols is not None:
+            spec = (
+                st.zorder_cols[0]
+                if len(st.zorder_cols) == 1
+                else st.zorder_cols
+            )
+            files_before, files_after = t.recluster(spec)
+        else:
+            files_before, files_after = t.compact()
+        # rows_affected = files REMOVED by the re-layout (Delta's
+        # numRemovedFiles is the headline OPTIMIZE metric)
+        return _summary(spark, "OPTIMIZE", files_before - files_after)
+    if st.kind == "restore":
+        new_head = t.restore(st.to_version)
+        return _summary(spark, "RESTORE", new_head)
     if st.kind == "history":
         head_v = t._head_version()
         since = (

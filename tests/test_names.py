@@ -288,3 +288,38 @@ def test_sql_describe_history(spark, cat):
 
     with pytest.raises(pyspark.errors.AnalysisException):
         c.sql(spark, "DESCRIBE nonexistent_table_zzz")
+
+
+def test_sql_ops_statements(spark, tmp_path):
+    """VACUUM / OPTIMIZE [ZORDER BY] / RESTORE through catalog SQL — the
+    warehouse-ops statements — dispatch to the transactional maintenance
+    methods; a ZORDER on a RENAMED column stores the physical spec so
+    files and stats stay consistent."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for i in range(4):
+        t.append(
+            spark.range(i * 10, (i + 1) * 10)
+            .selectExpr("cast(id as int) as k", "id % 7 AS v")
+            .coalesce(1)
+        )
+    t.rename_column("k", "key")
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.register("db.t", str(tmp_path / "t"))
+    r = c.sql(spark, "OPTIMIZE db.t ZORDER BY (key, v)").first()
+    assert r.operation == "OPTIMIZE" and r.rows_affected == 3  # 4 files -> 1
+    assert t.snapshot().cluster_col == ["k", "v"]  # physical spec
+    assert c.sql(spark, "OPTIMIZE db.t").first().rows_affected == 0
+    c.sql(spark, "DELETE FROM db.t WHERE key < 5")
+    head = t._head_version()
+    res = c.sql(spark, f"RESTORE db.t TO VERSION AS OF {head - 1}").first()
+    assert res.operation == "RESTORE" and t.count() == 40
+    n = c.sql(spark, "VACUUM db.t RETAIN 0 HOURS").first().rows_affected
+    assert n > 0
+    assert t.count() == 40  # live data untouched
+    with pytest.raises(SqlDmlError, match="non-negative"):
+        c.sql(spark, "VACUUM db.t RETAIN -1 HOURS")
+    with pytest.raises(SqlDmlError, match="VERSION AS OF"):
+        c.sql(spark, "RESTORE db.t TO VERSION AS OF 'x'")
