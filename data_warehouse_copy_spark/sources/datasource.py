@@ -917,6 +917,23 @@ def _check_writable(m, schema: T.StructType) -> None:
     _check_writable_fields(m.partition_date_col, m.schema_json, schema)
 
 
+def _check_no_constraints(t) -> None:
+    """The declarative writer's commit hooks run SESSION-LESS (no Spark
+    jobs possible), so CHECK constraints — arbitrary Spark SQL boolean
+    expressions — cannot be evaluated there. Writes to constrained
+    tables are rejected at plan AND commit time with the workaround
+    named; silently skipping enforcement would make the declarative
+    path a constraint bypass."""
+    cons = t._constraints_at()
+    if cons:
+        raise ValueError(
+            f"managed_table declarative writer cannot enforce CHECK "
+            f"constraint(s) {sorted(cons)} (session-less commit hook); "
+            f"write through ManagedTable.append/merge_by_key or a "
+            f"foreachBatch sink instead"
+        )
+
+
 def _check_writable_fields(
     part_col: str | None, schema_json: str | None, schema: T.StructType
 ) -> None:
@@ -964,6 +981,7 @@ def _commit_staged(
     )
 
     t = ManagedTable.create(None, root)  # no-op when the table exists
+    _check_no_constraints(t)
     entries = tuple(
         FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
         for m in messages
@@ -983,7 +1001,7 @@ def _commit_staged(
             # memory, the commit is an add-only action diff (overwrite:
             # plus the O(1) remove_all marker), and the streamed
             # checkpoint cadence works without a SparkSession (pyarrow)
-            head, schema_json, txns, part_col, _cl, _bl, columns = b
+            head, schema_json, txns, part_col, _cl, _bl, columns, constraints = b
             _check_writable_fields(part_col, schema_json, schema)
             if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                 return  # retried micro-batch: already committed
@@ -1045,6 +1063,7 @@ def _commit_merge(root: str, schema: T.StructType, messages, key: str) -> None:
             f"({sorted(f.name for f in schema.fields)})"
         )
     t = ManagedTable.create(None, root)
+    _check_no_constraints(t)
     rootp = Path(root)
     entries = tuple(
         FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
@@ -1225,6 +1244,7 @@ def _commit_replace_where(
                 f"({sorted(known)})"
             )
     t = ManagedTable.create(None, root)
+    _check_no_constraints(t)
     rootp = Path(root)
     entries = tuple(
         FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
@@ -1255,7 +1275,7 @@ def _commit_replace_where(
             # session-less streamed plan (stats+bloom tiers over the
             # checkpoint, O(batch) memory), the commit is an O(touched)
             # action diff — no full file list, no SparkSession
-            head, schema_json, _txns, part_col, _cl, _bl, columns = b
+            head, schema_json, _txns, part_col, _cl, _bl, columns, constraints = b
             _check_writable_fields(part_col, schema_json, schema)
             _staged_satisfy(schema_json)
             planned = t._plan_distributed(
@@ -1572,6 +1592,7 @@ class ManagedTableDataSource(DataSource):
         t = ManagedTable(None, self._root())
         if t.exists():
             _check_writable(t.snapshot(), schema)
+            _check_no_constraints(t)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> ManagedTableBatchWriter:
         self._fail_fast_writable(schema)

@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import uuid
@@ -179,6 +180,11 @@ class Manifest:
     # the map is materialized lazily by the first rename/widen/drop, so
     # evolution-free tables keep their exact log format and read paths.
     columns: list | None = None
+    # CHECK constraints (Delta's ADD CONSTRAINT): ``{name: sql_expr}``
+    # over LOGICAL column names. Every write path that introduces rows
+    # proves them against each expression before committing; None (the
+    # default) costs nothing anywhere.
+    constraints: dict | None = None
 
     @property
     def total_rows(self) -> int:
@@ -597,6 +603,7 @@ class ManagedTable:
         op, ts = start.op, start.ts
         cluster_col = start.cluster_col
         columns = start.columns
+        constraints = start.constraints
         for raw in reversed(pending):
             if raw.get("remove_all"):  # bounded overwrite: truncate state
                 files.clear()
@@ -610,6 +617,8 @@ class ManagedTable:
                 # explicit [] = mapping cleared (restore to a pre-mapping
                 # version); absent key = inherit
                 columns = raw["columns"] or None
+            if raw.get("constraints") is not None:
+                constraints = raw["constraints"] or None
             if raw.get("txn"):
                 txns[str(raw["txn"][0])] = raw["txn"][1]
             if "cluster_col_change" in raw:  # 1-elem list; may carry None
@@ -627,6 +636,7 @@ class ManagedTable:
             txns=txns or None,
             bloom_cols=start.bloom_cols,
             columns=columns,
+            constraints=constraints,
         )
 
     def history(self, since_version: int | None = None) -> list[CommitInfo]:
@@ -915,12 +925,15 @@ class ManagedTable:
             cluster_col = header.get("cluster_col")
             txns = dict(header.get("txns") or {})
             columns = header.get("columns")
+            constraints = header.get("constraints")
             op, ts = header.get("op"), header.get("ts")
             for raw in actions:
                 if raw.get("schema_json"):
                     schema_json = raw["schema_json"]
                 if raw.get("columns") is not None:
                     columns = raw["columns"] or None
+                if raw.get("constraints") is not None:
+                    constraints = raw["constraints"] or None
                 if raw.get("txn"):
                     txns[str(raw["txn"][0])] = raw["txn"][1]
                 if "cluster_col_change" in raw:
@@ -939,6 +952,8 @@ class ManagedTable:
                 new_header["bloom_cols"] = header["bloom_cols"]
             if columns:
                 new_header["columns"] = columns
+            if constraints:
+                new_header["constraints"] = constraints
             pq_schema = pa.schema(
                 [
                     ("path", pa.string()),
@@ -2166,6 +2181,7 @@ class ManagedTable:
         cluster_col = header.get("cluster_col")
         txns = dict(header.get("txns") or {})
         columns = header.get("columns")
+        constraints = header.get("constraints")
         for raw in actions:
             if raw.get("schema_json"):
                 schema_json = raw["schema_json"]
@@ -2173,6 +2189,8 @@ class ManagedTable:
                 # explicit [] = mapping cleared (restore to a pre-mapping
                 # version); absent key = inherit
                 columns = raw["columns"] or None
+            if raw.get("constraints") is not None:
+                constraints = raw["constraints"] or None
             if raw.get("txn"):
                 txns[str(raw["txn"][0])] = raw["txn"][1]
             if "cluster_col_change" in raw:
@@ -2185,6 +2203,7 @@ class ManagedTable:
             cluster_col,
             header.get("bloom_cols"),
             columns,
+            constraints,
         )
 
     def _align_append_df(
@@ -2287,10 +2306,11 @@ class ManagedTable:
                 # state, the commit is a pure add-action diff, and txn
                 # idempotency re-checks inside the conflict-rebase loop —
                 # the full file list is never materialized
-                head, schema_json, txns, part_col, cluster_col, bloom_cols, columns = b
+                head, schema_json, txns, part_col, cluster_col, bloom_cols, columns, constraints = b
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return 0  # retried transaction: already committed
                 df, widened = self._align_append_df(df, schema_json, merge_schema)
+                self._enforce_constraints(df, constraints, "append")
                 new_cols = (
                     _extend_columns(columns, df.schema.json())
                     if widened
@@ -2312,6 +2332,7 @@ class ManagedTable:
             if txn is not None and (m.txns or {}).get(txn[0], -1) >= txn[1]:
                 return 0  # retried transaction: already committed
             df, widened = self._align_append_df(df, m.schema_json, merge_schema)
+            self._enforce_constraints(df, m.constraints, "append")
             new_cols = (
                 _extend_columns(m.columns, df.schema.json())
                 if widened
@@ -2386,6 +2407,20 @@ class ManagedTable:
                         f"{sorted(existing)}, rows have "
                         f"{sorted(f.name for f in schema.fields)}"
                     )
+            if m.constraints:
+                if self.spark is None:
+                    raise ValueError(
+                        "append_pylist on a CHECK-constrained table needs "
+                        "a SparkSession to evaluate the constraints"
+                    )
+                self._enforce_constraints(
+                    self.spark.createDataFrame(
+                        [tuple(r.get(f.name) for f in schema.fields) for r in rows],
+                        schema,
+                    ),
+                    m.constraints,
+                    "append_pylist",
+                )
             commit_id = uuid.uuid4().hex[:16]
             final_dir = self.root / "data" / commit_id
             final_dir.mkdir(parents=True, exist_ok=True)
@@ -2477,6 +2512,12 @@ class ManagedTable:
                 raise ValueError(f"no such column: {old!r}")
             if new in names:
                 raise ValueError(f"column already exists: {new!r}")
+            refs = self._constraint_refs(old)
+            if refs:
+                raise ValueError(
+                    f"cannot rename {old!r}: referenced by CHECK "
+                    f"constraint(s) {refs} — drop them first"
+                )
             cols = [dict(c) for c in (columns or _init_columns(schema_json))]
             for c in cols:
                 if c["name"] == old and not c.get("dropped"):
@@ -2539,6 +2580,109 @@ class ManagedTable:
                 schema_json=new_schema.json(), columns=columns,
             )
 
+    def _enforce_constraints(
+        self, df: DataFrame, constraints: dict | None, op: str
+    ) -> None:
+        """Prove every INCOMING row satisfies each CHECK constraint — one
+        aggregate job covering all constraints (per-constraint violation
+        counts via conditional sums), run only on constrained tables and
+        only over the rows a write introduces; maintenance rewrites
+        (compact/recluster) never re-check rows that already passed.
+        SQL CHECK semantics: NULL evaluates as pass, FALSE violates."""
+        if not constraints:
+            return
+        names = sorted(constraints)
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(
+                            F.expr(constraints[n]).cast("boolean"),
+                            F.lit(True),
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).first()
+        for i, n in enumerate(names):
+            bad = row[f"c{i}"] or 0
+            if bad:
+                raise ValueError(
+                    f"{op} violates CHECK constraint {n!r} "
+                    f"({constraints[n]}): {bad} row(s)"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Add a CHECK constraint (Delta's ``ALTER TABLE ... ADD
+        CONSTRAINT``): ``expr`` is any Spark SQL boolean expression over
+        the LOGICAL columns. Existing rows are validated first (one
+        aggregate pass — a constraint that the data already violates is
+        rejected, never recorded); afterwards every row-introducing write
+        (append / overwrite / replace_where / merge / update assignments /
+        SQL INSERT) proves its incoming rows, and the commit that would
+        violate fails atomically. NULL evaluations pass (SQL CHECK
+        semantics)."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"constraint name must be an identifier: {name!r}")
+        with _lock_for(self.root):
+            head, schema_json, _cols = self._columns_state()
+            if not schema_json:
+                raise ValueError(
+                    "cannot constrain an empty table (append first)"
+                )
+            cur = dict(self._constraints_at() or {})
+            if name in cur:
+                raise ValueError(f"constraint already exists: {name!r}")
+            # validate the expression AND the existing data in one pass
+            self._enforce_constraints(
+                self.read(), {name: expr}, "existing data"
+            )
+            cur[name] = expr
+            self._commit_bounded(
+                head, (), set(), "add_constraint", constraints=cur
+            )
+
+    def drop_constraint(self, name: str) -> None:
+        with _lock_for(self.root):
+            head = self._head_version()
+            cur = dict(self._constraints_at() or {})
+            if name not in cur:
+                raise ValueError(f"no such constraint: {name!r}")
+            del cur[name]
+            # {} commits as an explicit clear (same contract as columns)
+            self._commit_bounded(
+                head, (), set(), "drop_constraint", constraints=cur
+            )
+
+    def _constraints_at(self, version: int | None = None) -> dict | None:
+        """The CHECK-constraint record at ``version`` (head when None),
+        bounded like :meth:`_columns_at`."""
+        v = version if version is not None else self._head_version()
+        base = self._plan_base(v)
+        if base is not None:
+            _ck, header, actions = base
+            constraints = header.get("constraints")
+            for raw in actions:
+                if raw.get("constraints") is not None:
+                    constraints = raw["constraints"] or None
+            return constraints
+        return self.snapshot(v).constraints
+
+    def _constraint_refs(self, name: str) -> "list[str]":
+        """Constraint names whose expression mentions column ``name`` as
+        an identifier token — conservative (a function spelled like the
+        column also matches), which is the safe direction: evolution of
+        a referenced column is rejected until the constraint is dropped
+        (Delta's rule), never silently broken."""
+        refs = []
+        for cname, expr in (self._constraints_at() or {}).items():
+            tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
+            if name in tokens:
+                refs.append(cname)
+        return sorted(refs)
+
     def add_column(self, name: str, dtype: "str | T.DataType") -> None:
         """Add a nullable column — METADATA-ONLY (the explicit-DDL twin of
         ``append(merge_schema=True)``'s implicit widen): existing files
@@ -2587,6 +2731,12 @@ class ManagedTable:
                 raise ValueError(f"no such column: {name!r}")
             if len(st.fields) == 1:
                 raise ValueError("cannot drop the table's only column")
+            refs = self._constraint_refs(name)
+            if refs:
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by CHECK "
+                    f"constraint(s) {refs} — drop them first"
+                )
             cols = [dict(c) for c in (columns or _init_columns(schema_json))]
             entry = next(
                 c for c in cols if c["name"] == name and not c.get("dropped")
@@ -2643,7 +2793,8 @@ class ManagedTable:
                 # 10^6-file table writes a KB-sized commit. Never rebases
                 # (see _commit_bounded): a racer's commit during the
                 # overwrite is a clean rejection, not silent erasure.
-                head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns = b
+                head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns, constraints = b
+                self._enforce_constraints(df, constraints, "overwrite")
                 new_files = self._write_files(
                     df, part_col, cluster_col,
                     cluster_partitions=cluster_partitions,
@@ -2661,6 +2812,7 @@ class ManagedTable:
                 )
                 return sum(f.rows for f in new_files)
             m = self.snapshot()
+            self._enforce_constraints(df, m.constraints, "overwrite")
             new_files = self._write_files(
                 df, m.partition_date_col, m.cluster_col,
                 cluster_partitions=cluster_partitions,
@@ -2722,6 +2874,7 @@ class ManagedTable:
                     f"the predicate {where!r} — the replacement must be "
                     f"confined to the slice it replaces"
                 )
+            self._enforce_constraints(df, m.constraints, "replace_where")
             wp = _map_where(where, _phys_map(m.columns)) or []
             candidates = [
                 f
@@ -2786,7 +2939,7 @@ class ManagedTable:
         the commit is an O(touched) action diff — the full file list is
         never materialized. ``None`` → caller falls through to classic
         (the plan gate raced shut)."""
-        head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns = b
+        head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns, constraints = b
         existing = T.StructType.fromJson(json.loads(schema_json))
         have, want = set(df.columns), {f.name for f in existing.fields}
         if have != want:
@@ -2795,6 +2948,7 @@ class ManagedTable:
                 f"{sorted(want)}, dataframe has {sorted(have)}"
             )
         df = df.select(*[f.name for f in existing.fields])
+        self._enforce_constraints(df, constraints, "replace_where")
         n_bad = df.filter(~F.coalesce(pred, F.lit(False))).count()
         if n_bad:
             raise ValueError(
@@ -2868,6 +3022,7 @@ class ManagedTable:
                     if old.columns
                     else old
                 )
+                self._enforce_constraints(df, m.constraints, "overwrite_range")
                 merged = kept_rows.unionByName(df) if old.columns else df
                 new_files = self._write_files(merged, None, m.cluster_col, bloom_cols=m.bloom_cols, columns=m.columns)
                 written_total = sum(f.rows for f in new_files)
@@ -2893,6 +3048,7 @@ class ManagedTable:
                 write_df = df.unionByName(tail) if tail_rows else df
             else:
                 write_df = df
+            self._enforce_constraints(df, m.constraints, "overwrite_range")
             new_files = self._write_files(write_df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols, columns=m.columns)
             out_of_range = [
                 f for f in new_files if not _in_day_range(f.partition, date_from, date_to)
@@ -3039,6 +3195,7 @@ class ManagedTable:
         schema_json: str | None = None,
         remove_all: bool = False,
         columns: list | None = None,
+        constraints: dict | None = None,
     ) -> bool:
         """O(touched)-memory commit: write the action diff directly on
         top of ``base_version`` without ever materializing the full file
@@ -3096,6 +3253,8 @@ class ManagedTable:
                 action["remove_all"] = True
             if columns is not None:
                 action["columns"] = columns
+            if constraints is not None:
+                action["constraints"] = constraints
             try:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
@@ -3409,14 +3568,18 @@ class ManagedTable:
                         return 0
                     _ck, header, actions = self._plan_base(head)
                     cluster_col = header.get("cluster_col")
+                    constraints = header.get("constraints")
                     for raw in actions:
                         if "cluster_col_change" in raw:
                             cluster_col = raw["cluster_col_change"][0]
+                        if raw.get("constraints") is not None:
+                            constraints = raw["constraints"] or None
                     return self._update_dv_core(
                         None, head, sel, where, set_exprs, schema, known,
                         header.get("partition_date_col"), cluster_col,
                         header.get("bloom_cols"), schema_json=schema_json,
                         columns=plan_columns,
+                        constraints=constraints,
                     )
             m = self.snapshot()
             schema = (
@@ -3472,6 +3635,7 @@ class ManagedTable:
         rewritten = cand_df.select(
             *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
         )
+        self._enforce_constraints(rewritten, m.constraints, "update")
         new_files = self._write_files(
             rewritten, m.partition_date_col, m.cluster_col,
             bloom_cols=m.bloom_cols,
@@ -3504,6 +3668,7 @@ class ManagedTable:
         bloom_cols,
         schema_json: str | None = None,
         columns: list | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """The DV-update body shared by the classic (full-manifest) and
         BOUNDED (``m is None``: distributed-plan candidates +
@@ -3537,6 +3702,11 @@ class ManagedTable:
             }
             rewritten = staged.select(
                 *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
+            )
+            self._enforce_constraints(
+                rewritten,
+                constraints if m is None else m.constraints,
+                "update",
             )
             new_files = self._write_files(
                 rewritten, part_col, cluster_col, bloom_cols=bloom_cols,
@@ -3625,7 +3795,7 @@ class ManagedTable:
         address."""
         import re
 
-        head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns = b
+        head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns, constraints = b
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", primary_key):
             return None
         schema = T.StructType.fromJson(json.loads(schema_json))
@@ -3708,6 +3878,9 @@ class ManagedTable:
                     sel, dv_files, per_file
                 )
         cols = [f.name for f in schema.fields]
+        self._enforce_constraints(
+            source_df.select(*cols), constraints, "merge"
+        )
         new_files = self._write_files(
             source_df.select(*cols), part_col, cluster_col,
             bloom_cols=bloom_cols,
@@ -3747,6 +3920,9 @@ class ManagedTable:
                 f.name
                 for f in T.StructType.fromJson(json.loads(m.schema_json)).fields
             ]
+            self._enforce_constraints(
+                source_df.select(*cols), m.constraints, "merge"
+            )
             new_files = self._write_files(
                 source_df.select(*cols), m.partition_date_col, m.cluster_col,
                 bloom_cols=m.bloom_cols,
@@ -3766,6 +3942,7 @@ class ManagedTable:
 
     def _merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         m = self.snapshot()
+        self._enforce_constraints(source_df, m.constraints, "merge")
         keys = source_df.select(primary_key).distinct()
         n_keys = keys.count()
         if n_keys == 0:
@@ -4033,6 +4210,7 @@ class ManagedTable:
                     out = frames[0]
                     for fdf in frames[1:]:
                         out = out.unionByName(fdf)
+                    self._enforce_constraints(out, m.constraints, "merge")
                     written = self._write_files(
                         out,
                         m.partition_date_col,
@@ -4115,6 +4293,7 @@ class ManagedTable:
         txn: tuple[str, int] | None = None,
         cluster_col_change: tuple | None = None,
         columns: list | None = None,
+        constraints: dict | None = None,
     ) -> bool:
         """Commit ``files`` as the next version on top of ``prev``, with
         optimistic cross-process concurrency control.
@@ -4200,6 +4379,8 @@ class ManagedTable:
                 action["cluster_col_change"] = [cluster_col_change[0]]
             if columns is not None:
                 action["columns"] = columns
+            if constraints is not None:
+                action["constraints"] = constraints
             try:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
@@ -4252,6 +4433,11 @@ class ManagedTable:
                 txns=txns or None,
                 bloom_cols=base.bloom_cols,
                 columns=columns if columns is not None else base.columns,
+                constraints=(
+                    (constraints or None)
+                    if constraints is not None
+                    else base.constraints
+                ),
             )
             self._advance_latest(version)
             _cache_put(str(self.root.resolve()), new_m)
@@ -4461,6 +4647,7 @@ class ManagedTable:
             self._commit_files(
                 head, target.files, target.schema_json,
                 f"restore_v{version}", columns=target.columns or [],
+                constraints=target.constraints or {},
             )
             gone = missing()
             if gone:
@@ -4470,6 +4657,7 @@ class ManagedTable:
                 self._commit_files(
                     self.snapshot(), head.files, head.schema_json,
                     f"unrestore_v{version}", columns=head.columns or [],
+                    constraints=head.constraints or {},
                 )
                 raise FileNotFoundError(
                     f"restore to v{version} aborted: a concurrent vacuum "
@@ -5013,6 +5201,8 @@ def _full_payload(m: Manifest) -> dict:
         out["bloom_cols"] = m.bloom_cols
     if m.columns:  # evolution-free tables keep the pre-mapping format
         out["columns"] = m.columns
+    if m.constraints:
+        out["constraints"] = m.constraints
     return out
 
 
@@ -5028,6 +5218,7 @@ def _manifest_from_full(raw: dict) -> Manifest:
         txns=raw.get("txns"),
         bloom_cols=raw.get("bloom_cols"),
         columns=raw.get("columns"),
+        constraints=raw.get("constraints"),
     )
 
 

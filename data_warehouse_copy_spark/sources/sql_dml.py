@@ -49,6 +49,10 @@ Supported grammar (case-insensitive keywords)::
     ALTER TABLE db.tbl DROP COLUMN c
         -- all four are METADATA-ONLY commits (column mapping / native
         -- parquet widen / tombstoned drop) at any table size
+    ALTER TABLE db.tbl ADD CONSTRAINT nm CHECK ( <any spark sql boolean> )
+    ALTER TABLE db.tbl DROP CONSTRAINT nm
+        -- CHECK constraints: existing data validated at ADD, every
+        -- row-introducing write proves its rows afterwards
 
     <conj> ::= <pred> [AND <pred>]...
     <pred> ::= col (= | < | <= | > | >=) <literal>
@@ -87,7 +91,7 @@ _KEYWORDS = {
     "alter", "table", "rename", "column", "to", "type", "drop", "add",
     "data", "describe", "history", "limit",
     "vacuum", "retain", "hours", "optimize", "zorder", "by", "restore",
-    "version", "of",
+    "version", "of", "constraint", "check",
 }
 
 
@@ -149,6 +153,8 @@ class DmlStatement:
     retain_hours: float | None = None
     zorder_cols: "list[str] | None" = None
     to_version: int | None = None
+    # constraint fields (alter_op add_constraint / drop_constraint)
+    check_expr: str | None = None
 
 
 class _Parser:
@@ -427,6 +433,35 @@ class _Parser:
     def _alter(self) -> "DmlStatement":
         st = DmlStatement("alter", self._expect_ident())
         op = self._expect_kw("rename", "alter", "drop", "add")
+        if op == "add" and self._at_kw("constraint"):
+            self._take()
+            st.alter_op = "add_constraint"
+            st.column = self._expect_ident()  # the constraint NAME
+            self._expect_kw("check")
+            self._expect_punct("(")
+            # capture the raw expression between the balanced parens and
+            # hand it to Spark verbatim — full SQL power for the check
+            depth, parts = 1, []
+            while depth:
+                t = self._take()
+                if t.kind == "punct" and t.text == "(":
+                    depth += 1
+                elif t.kind == "punct" and t.text == ")":
+                    depth -= 1
+                    if not depth:
+                        break
+                parts.append(t.text)
+            if not parts:
+                raise SqlDmlError("CHECK ( ) requires an expression")
+            st.check_expr = " ".join(parts)
+            self._done()
+            return st
+        if op == "drop" and self._at_kw("constraint"):
+            self._take()
+            st.alter_op = "drop_constraint"
+            st.column = self._expect_ident()
+            self._done()
+            return st
         if op == "rename":
             self._expect_kw("column")
             st.alter_op = "rename"
@@ -685,7 +720,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # drops — see ManagedTable's evolution section). Attached views
         # pin their registration-time schema; call catalog.refresh()
         # for read-your-DDL through pure SQL, same contract as DML.
-        if st.alter_op == "rename":
+        if st.alter_op == "add_constraint":
+            t.add_constraint(st.column, st.check_expr)
+        elif st.alter_op == "drop_constraint":
+            t.drop_constraint(st.column)
+        elif st.alter_op == "rename":
             t.rename_column(st.column, st.to_name)
         elif st.alter_op == "widen":
             t.widen_column(st.column, st.to_type)

@@ -1,0 +1,168 @@
+"""CHECK constraints (Delta's ALTER TABLE ... ADD CONSTRAINT): a
+metadata-recorded boolean SQL expression that every row-introducing
+write proves before committing. One aggregate job covers all
+constraints over the INCOMING rows only; maintenance rewrites
+(compact/recluster) never re-check rows that already passed, and
+unconstrained tables pay nothing anywhere. The reference has no
+constraint surface at all (SQL Server enforced its own); this is
+forward lakehouse surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+
+def _mk(spark, root, n=10):
+    t = ManagedTable.create(spark, root)
+    t.append(
+        spark.range(n).selectExpr(
+            "cast(id as int) as k",
+            "cast(id * 1.0 as double) as v",
+            "concat('n', id) as name",
+        )
+    )
+    return t
+
+
+def test_add_validates_existing_data(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="existing data violates"):
+        t.add_constraint("k_small", "k < 5")
+    t.add_constraint("k_sane", "k < 100")
+    assert t.snapshot().constraints == {"k_sane": "k < 100"}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("k_sane", "k < 50")
+    with pytest.raises(ValueError, match="identifier"):
+        t.add_constraint("bad name", "k < 50")
+
+
+def test_writes_enforce_atomically(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.add_constraint("v_nonneg", "v >= 0")
+    bad = spark.createDataFrame(
+        [(99, -1.0, "bad")], "k int, v double, name string"
+    )
+    for op in ("append", "overwrite", "replace_where", "merge_by_key"):
+        with pytest.raises(ValueError, match="violates CHECK"):
+            if op == "append":
+                t.append(bad)
+            elif op == "overwrite":
+                t.overwrite(bad)
+            elif op == "replace_where":
+                t.replace_where(bad, [("k", "=", 99)])
+            else:
+                t.merge_by_key(bad, "k")
+    assert t.count() == 10  # nothing committed by any failed attempt
+    with pytest.raises(ValueError, match="update violates"):
+        t.update([("k", "=", 3)], {"v": -7.0})
+    assert t.read(where=[("k", "=", 3)]).select("v").first()[0] == 3.0
+    # expression MERGE enforces the post-assignment rows too
+    src = spark.createDataFrame([(3, 0.0, "s")], "k int, v double, name string")
+    with pytest.raises(ValueError, match="merge violates"):
+        t.merge(src, on="k", when_matched_update={"v": "-1.0"})
+    ok = spark.createDataFrame([(50, 5.0, "ok")], "k int, v double, name string")
+    assert t.append(ok) == 1
+
+
+def test_null_passes_sql_check_semantics(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([(1, 2.0)], "k int, v double"))
+    t.add_constraint("v_pos", "v > 0")
+    t.append(spark.createDataFrame([(2, None)], "k int, v double"))
+    assert t.count() == 2
+
+
+def test_evolution_of_referenced_column_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.add_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        t.drop_column("v")
+    t.rename_column("name", "title")  # unreferenced columns evolve freely
+    t.drop_constraint("v_nonneg")
+    t.rename_column("v", "val")
+    assert t.read().columns == ["k", "val", "title"]
+    with pytest.raises(ValueError, match="no such constraint"):
+        t.drop_constraint("v_nonneg")
+
+
+def test_constraints_survive_checkpoint_and_bounded_paths(
+    spark, tmp_path, monkeypatch
+):
+    import data_warehouse_copy_spark.sources.managed_table as mt
+
+    t = _mk(spark, tmp_path / "t")
+    t.add_constraint("v_nonneg", "v >= 0")
+    t._write_checkpoint(t.snapshot())
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    # bounded ingest path sees the constraint from the header fold
+    with pytest.raises(ValueError, match="violates CHECK"):
+        t.append(
+            spark.createDataFrame(
+                [(99, -1.0, "bad")], "k int, v double, name string"
+            )
+        )
+    with pytest.raises(ValueError, match="update violates"):
+        t.update([("k", "=", 3)], {"v": -7.0})
+    assert t._constraints_at() == {"v_nonneg": "v >= 0"}
+
+
+def test_declarative_writer_rejects_constrained_tables(spark, tmp_path):
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableDataSource,
+    )
+
+    spark.dataSource.register(ManagedTableDataSource)
+    t = _mk(spark, str(tmp_path / "t"))
+    t.add_constraint("v_nonneg", "v >= 0")
+    df = spark.createDataFrame([(1, 1.0, "d")], "k int, v double, name string")
+    with pytest.raises(Exception, match="cannot enforce CHECK"):
+        df.write.format("managed_table").mode("append").save(
+            str(tmp_path / "t")
+        )
+    t.drop_constraint("v_nonneg")
+    df.write.format("managed_table").mode("append").save(str(tmp_path / "t"))
+    assert t.count() == 11
+
+
+def test_sql_constraint_ddl(spark, tmp_path):
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    t = _mk(spark, str(tmp_path / "t"))
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.register("db.t", str(tmp_path / "t"))
+    r = c.sql(
+        spark,
+        "ALTER TABLE db.t ADD CONSTRAINT v_rng "
+        "CHECK (v >= 0 AND length(name) > 0)",
+    ).first()
+    assert r.operation == "ALTER ADD_CONSTRAINT"
+    with pytest.raises(ValueError, match="violates CHECK"):
+        c.sql(spark, "INSERT INTO db.t VALUES (100, -2.0, 'x')")
+    c.sql(spark, "INSERT INTO db.t VALUES (100, 2.0, 'x')")
+    assert t.count() == 11
+    c.sql(spark, "ALTER TABLE db.t DROP CONSTRAINT v_rng")
+    c.sql(spark, "INSERT INTO db.t VALUES (101, -2.0, 'y')")
+    assert t.count() == 12
+    with pytest.raises(SqlDmlError, match="requires an expression"):
+        c.sql(spark, "ALTER TABLE db.t ADD CONSTRAINT e CHECK ()")
+
+
+def test_restore_rolls_constraints(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")  # v1
+    t.add_constraint("v_nonneg", "v >= 0")  # v2
+    t.restore(1)  # pre-constraint state
+    t.append(
+        spark.createDataFrame([(99, -1.0, "ok")], "k int, v double, name string")
+    )
+    assert t.count() == 11
+
+
+def test_unconstrained_tables_pay_nothing(spark, tmp_path):
+    # the enforcement helper returns immediately when no constraints
+    t = _mk(spark, tmp_path / "t")
+    assert t.snapshot().constraints is None
+    t._enforce_constraints(None, None, "noop")  # df never touched
