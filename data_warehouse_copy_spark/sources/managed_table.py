@@ -5424,9 +5424,13 @@ def _zorder_column(df: DataFrame, cols: list, buckets: int = 16) -> "F.Column":
     rows close in EVERY clustered dimension at once. Files written in
     z-order carry tight min/max footer stats on all the columns, so
     ``read(where=)`` prunes on any of them. Quantile (not uniform) buckets
-    keep the mapping balanced under skew. Nulls bucket to 0; numeric,
-    date, and timestamp columns are supported (strings have no meaningful
-    interleavable order under truncation and are rejected)."""
+    keep the mapping balanced under skew. Nulls bucket to 0. Numeric,
+    date, and timestamp columns bucket via ``approxQuantile``; STRING
+    columns via order-preserving cut points from a seeded sample (URLs /
+    source ids / language tags are the clustering keys LLM corpora
+    actually have) — the bucket expression is a ≤ buckets-1 comparison
+    ladder, pure codegen, and min/max footer stats on strings prune
+    exactly like numerics."""
     numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
     bits = max(1, (buckets - 1).bit_length())
     types = {f.name: f.dataType.typeName() for f in df.schema.fields}
@@ -5438,9 +5442,37 @@ def _zorder_column(df: DataFrame, cols: list, buckets: int = 16) -> "F.Column":
             col = col.cast("timestamp").cast("double")
         elif tn in numeric:
             col = col.cast("double")
+        elif tn == "string":
+            # order-preserving string cut points from a bounded sample
+            # (first 100k non-null values — LocalLimit short-circuits the
+            # scan): deterministic, one extra bounded pass like
+            # approxQuantile, at most buckets-1 comparisons per row
+            # afterwards. Arrival-order bias can only skew bucket
+            # BALANCE, never correctness — footer min/max stats stay
+            # exact whatever the cuts are.
+            sample = [
+                r[0]
+                for r in df.select(col.alias("_q"))
+                .where(col.isNotNull())
+                .limit(100_000)
+                .sort("_q")
+                .collect()
+            ]
+            cuts = sorted(
+                {
+                    sample[(i * len(sample)) // buckets]
+                    for i in range(1, buckets)
+                }
+            ) if sample else []
+            bucket = F.lit(0)
+            for b in cuts:
+                bucket = bucket + (col > F.lit(b)).cast("int")
+            id_exprs.append(F.coalesce(bucket, F.lit(0)))
+            continue
         else:
             raise ValueError(
-                f"zorder column {c!r} must be numeric/date/timestamp, got {tn}"
+                f"zorder column {c!r} must be numeric/date/timestamp/"
+                f"string, got {tn}"
             )
         qs = df.select(col.alias("_q")).approxQuantile(
             "_q", [i / buckets for i in range(1, buckets)], 0.01

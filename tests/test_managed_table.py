@@ -947,10 +947,36 @@ def test_zorder_survives_compaction(spark, tmp_path):
     assert got.count() == 1
 
 
-def test_zorder_rejects_string_columns(spark, tmp_path, lineitem):
-    t = ManagedTable.create(spark, tmp_path / "t", cluster_col=["l_orderkey", "l_returnflag"])
+def test_zorder_string_dimension_prunes(spark, tmp_path):
+    """Z-ORDER over a (string, numeric) pair — the clustering keys an LLM
+    corpus actually has (source host × time): order-preserving string
+    cut points from a bounded sample give a codegen bucket ladder, and
+    string min/max footer stats prune point lookups exactly like
+    numerics."""
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col=["host", "seq"])
+    df = spark.range(20_000).selectExpr(
+        "concat('host-', lpad(cast(id % 64 as string), 3, '0')) AS host",
+        "id AS seq",
+        "id * 1.5 AS v",
+    )
+    t.append(df, cluster_partitions=16)
+    m = t.snapshot()
+    assert len(m.files) > 4
+    got = t.read(where=[("host", "=", "host-031")])
+    assert len(got.inputFiles()) < len(m.files)  # string-dim file skip
+    assert got.count() == 20_000 // 64 + (1 if 31 < 20_000 % 64 else 0)
+    got2 = t.read(where=[("seq", "=", 12_345)])
+    assert len(got2.inputFiles()) < len(m.files)  # numeric dim still skips
+    assert got2.count() == 1
+
+
+def test_zorder_rejects_unorderable_columns(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col=["a", "b"])
+    df = spark.range(5).selectExpr(
+        "id AS a", "array(id) AS b"
+    )
     with pytest.raises(ValueError, match="zorder"):
-        t.append(lineitem.limit(10))
+        t.append(df)
 
 
 # ------------------------------------------------- review-fix regressions
