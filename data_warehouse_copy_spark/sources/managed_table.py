@@ -2641,7 +2641,8 @@ class ManagedTable:
             )
             cur[name] = expr
             self._commit_bounded(
-                head, (), set(), "add_constraint", constraints=cur
+                head, (), set(), "add_constraint", constraints=cur,
+                exclusive=True,
             )
 
     def drop_constraint(self, name: str) -> None:
@@ -2653,7 +2654,8 @@ class ManagedTable:
             del cur[name]
             # {} commits as an explicit clear (same contract as columns)
             self._commit_bounded(
-                head, (), set(), "drop_constraint", constraints=cur
+                head, (), set(), "drop_constraint", constraints=cur,
+                exclusive=True,
             )
 
     def _constraints_at(self, version: int | None = None) -> dict | None:
@@ -3196,6 +3198,7 @@ class ManagedTable:
         remove_all: bool = False,
         columns: list | None = None,
         constraints: dict | None = None,
+        exclusive: bool = False,
     ) -> bool:
         """O(touched)-memory commit: write the action diff directly on
         top of ``base_version`` without ever materializing the full file
@@ -3259,10 +3262,17 @@ class ManagedTable:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
                 head = self._head_version()
-                if remove_all:
+                if remove_all or exclusive:
+                    # exclusive commits never rebase: an add_constraint
+                    # validated the data AT ITS BASE — silently rebasing
+                    # over a racer's rows would record a constraint those
+                    # rows were never proven against; and two concurrent
+                    # constraint edits both read-modify-write the full
+                    # dict, so last-writer-wins would drop one edit.
+                    # Clean rejection; the caller re-reads and retries.
                     raise ConcurrentWriteError(
                         f"{op} at {self.root}: a concurrent commit landed "
-                        f"during a bounded overwrite; re-read and retry"
+                        f"during an exclusive commit; re-read and retry"
                     ) from None
                 for v2 in range(base_v + 1, head + 1):
                     raw2 = self._raw(v2)
@@ -3274,6 +3284,13 @@ class ManagedTable:
                         raise ConcurrentWriteError(
                             f"{op} at {self.root}: a concurrent overwrite "
                             f"truncated the table; re-read and retry"
+                        ) from None
+                    if raw2.get("constraints") is not None:
+                        # a constraint changed under this write: the rows
+                        # were proven against the OLD set — re-validate
+                        raise ConcurrentWriteError(
+                            f"{op} at {self.root}: a concurrent constraint "
+                            f"change landed; re-read and retry"
                         ) from None
                     if schema_json is not None and raw2.get("schema_json"):
                         # two concurrent evolutions: rebasing would let the
@@ -4402,6 +4419,13 @@ class ManagedTable:
                     raise ConcurrentWriteError(
                         f"{op} at {self.root}: concurrent schema change "
                         f"conflicts with this commit's schema"
+                    ) from None
+                if (cur.constraints or {}) != (base.constraints or {}):
+                    # a constraint changed under this write: its rows were
+                    # proven against the OLD set — re-validate, don't rebase
+                    raise ConcurrentWriteError(
+                        f"{op} at {self.root}: a concurrent constraint "
+                        f"change landed; re-read and retry"
                     ) from None
                 base = cur
                 time.sleep(_COMMIT_BACKOFF_S * (attempt + 1))

@@ -166,3 +166,39 @@ def test_unconstrained_tables_pay_nothing(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     assert t.snapshot().constraints is None
     t._enforce_constraints(None, None, "noop")  # df never touched
+
+
+def test_constraint_commits_never_rebase(spark, tmp_path):
+    """Concurrency: an add_constraint validated the data AT ITS BASE, so
+    it must not silently rebase over a racer's (unvalidated) rows; and a
+    WRITE whose rows were proven against the old constraint set must not
+    rebase over a constraint change. Both directions reject cleanly."""
+    from data_warehouse_copy_spark.sources.managed_table import (
+        ConcurrentWriteError,
+    )
+
+    t = _mk(spark, tmp_path / "t")
+    stale_head = t._head_version()
+    t.append(
+        spark.createDataFrame([(99, -1.0, "racer")],
+                              "k int, v double, name string")
+    )
+    # constraint commit from the stale base: the racer's -1.0 row was
+    # never validated -> clean rejection, not a silent rebase
+    with pytest.raises(ConcurrentWriteError, match="exclusive"):
+        t._commit_bounded(
+            stale_head, (), set(), "add_constraint",
+            constraints={"v_nonneg": "v >= 0"}, exclusive=True,
+        )
+    # write from a stale base racing a constraint change: rejected too
+    m_stale = t.snapshot()
+    t.add_constraint("k_pos", "k >= 0")
+    new = t._write_files(
+        spark.createDataFrame([(50, 1.0, "w")],
+                              "k int, v double, name string"),
+        None, None,
+    )
+    with pytest.raises(ConcurrentWriteError, match="constraint"):
+        t._commit_files(
+            m_stale, tuple(m_stale.files) + new, None, "append"
+        )
