@@ -36,6 +36,8 @@ Supported grammar (case-insensitive keywords)::
         -- compact small files; ZORDER re-lays-out under the new spec
     RESTORE db.tbl TO VERSION AS OF n
         -- roll back as a NEW audited commit
+    DESCRIBE DETAIL db.tbl
+        -- one metadata row: version, files, rows, layout, constraints
     DESCRIBE HISTORY db.tbl [LIMIT n]
         -- commit log newest-first; LIMIT n replays only the last n
         -- commits from the nearest checkpoint (bounded at any table size)
@@ -91,7 +93,7 @@ _KEYWORDS = {
     "alter", "table", "rename", "column", "to", "type", "drop", "add",
     "data", "describe", "history", "limit",
     "vacuum", "retain", "hours", "optimize", "zorder", "by", "restore",
-    "version", "of", "constraint", "check",
+    "version", "of", "constraint", "check", "detail",
 }
 
 
@@ -380,6 +382,12 @@ class _Parser:
             st.to_version = n
             self._done()
             return st
+        if head == "describe" and self._kw(self._peek(1)) == "detail":
+            self._take()
+            self._take()
+            st = DmlStatement("detail", self._expect_ident())
+            self._done()
+            return st
         if head == "describe" and self._kw(self._peek(1)) == "history":
             self._take()
             self._take()
@@ -645,6 +653,59 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     if st.kind == "restore":
         new_head = t.restore(st.to_version)
         return _summary(spark, "RESTORE", new_head)
+    if st.kind == "detail":
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        head_v = t._head_version()
+        b = t._bounded_ingest_base()
+        if b is not None and b[1] is not None:
+            _h, schema_json, _tx, part_col, cluster_col, bloom, cols, cons = b
+        else:
+            m = t.snapshot()
+            schema_json, part_col, cluster_col = (
+                m.schema_json, m.partition_date_col, m.cluster_col
+            )
+            bloom, cols, cons = m.bloom_cols, m.columns, m.constraints
+        n_cols = (
+            len(T.StructType.fromJson(_json.loads(schema_json)).fields)
+            if schema_json
+            else 0
+        )
+        detail_schema = T.StructType(
+            [
+                T.StructField("location", T.StringType(), False),
+                T.StructField("version", T.LongType(), False),
+                T.StructField("num_files", T.LongType(), False),
+                T.StructField("total_rows", T.LongType(), False),
+                T.StructField("num_columns", T.LongType(), False),
+                T.StructField("partition_column", T.StringType(), True),
+                T.StructField("clustering", T.StringType(), True),
+                T.StructField("bloom_columns", T.StringType(), True),
+                T.StructField("column_mapping", T.BooleanType(), False),
+                T.StructField("constraints", T.StringType(), True),
+            ]
+        )
+        hist = t.history(since_version=head_v)
+        n_files, total = (
+            (hist[-1].n_files, hist[-1].total_rows)
+            if hist
+            else (len(t.snapshot().files), t.count())
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    str(t.root), head_v, n_files, total, n_cols,
+                    part_col,
+                    _json.dumps(cluster_col) if cluster_col else None,
+                    _json.dumps(bloom) if bloom else None,
+                    bool(cols),
+                    _json.dumps(cons) if cons else None,
+                )
+            ],
+            detail_schema,
+        )
     if st.kind == "history":
         head_v = t._head_version()
         since = (

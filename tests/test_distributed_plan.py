@@ -346,6 +346,25 @@ def test_bounded_history_on_wide_manifest(spark, tmp_path):
     assert all(ci.rows_added == 5 for ci in rows)
 
 
+def test_unselective_scan_on_clone_absolute_paths(spark, tmp_path, monkeypatch):
+    """A shallow clone's manifest references SOURCE files by ABSOLUTE
+    path; the manifest-driven scan must open them as-is (no root join)
+    and still apply source-written deletion vectors."""
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    src = _mk(spark, tmp_path / "src")
+    src.delete([("k", "<", 100)])
+    clone = src.clone_to(tmp_path / "clone")
+    clone._write_checkpoint(clone.snapshot())
+    df = clone.read()
+    assert "MapInArrow" in df._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 10**9)
+    classic = clone.read()
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, classic.collect())
+    )
+    assert df.count() == 900
+
+
 def test_checkpoint_retention_sweeps_old(spark, tmp_path):
     """Only the newest _CKPT_KEEP checkpoint versions survive; every
     historical version still reconstructs (v0 full state + replay)."""

@@ -323,3 +323,19 @@ def test_sql_ops_statements(spark, tmp_path):
         c.sql(spark, "VACUUM db.t RETAIN -1 HOURS")
     with pytest.raises(SqlDmlError, match="VERSION AS OF"):
         c.sql(spark, "RESTORE db.t TO VERSION AS OF 'x'")
+
+
+def test_sql_describe_detail(spark, tmp_path):
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    t.append(spark.range(100).selectExpr("cast(id as int) as k", "id * 1.0 AS v"))
+    t.rename_column("v", "val")
+    t.add_constraint("v_nn", "val >= 0")
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.register("db.t", str(tmp_path / "t"))
+    r = c.sql(spark, "DESCRIBE DETAIL db.t").first()
+    assert r.version == 3 and r.total_rows == 100 and r.num_columns == 2
+    assert r.clustering == '"k"' and r.column_mapping is True
+    assert "v_nn" in (r.constraints or "")
+    assert r.num_files >= 1
