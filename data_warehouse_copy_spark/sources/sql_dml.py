@@ -36,6 +36,8 @@ Supported grammar (case-insensitive keywords)::
         -- compact small files; ZORDER re-lays-out under the new spec
     RESTORE db.tbl TO VERSION AS OF n
         -- roll back as a NEW audited commit
+    SHOW TABLES
+        -- every registered name with its root, one row each
     DESCRIBE DETAIL db.tbl
         -- one metadata row: version, files, rows, layout, constraints
     DESCRIBE HISTORY db.tbl [LIMIT n]
@@ -93,7 +95,7 @@ _KEYWORDS = {
     "alter", "table", "rename", "column", "to", "type", "drop", "add",
     "data", "describe", "history", "limit",
     "vacuum", "retain", "hours", "optimize", "zorder", "by", "restore",
-    "version", "of", "constraint", "check", "detail",
+    "version", "of", "constraint", "check", "detail", "show", "tables",
 }
 
 
@@ -382,6 +384,12 @@ class _Parser:
             st.to_version = n
             self._done()
             return st
+        if head == "show" and self._kw(self._peek(1)) == "tables":
+            self._take()
+            self._take()
+            st = DmlStatement("show_tables", "")
+            self._done()
+            return st
         if head == "describe" and self._kw(self._peek(1)) == "detail":
             self._take()
             self._take()
@@ -628,6 +636,21 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     st = parse_dml(sql)
     if st is None:
         return spark.sql(sql)
+    if st.kind == "show_tables":
+        from pyspark.sql import types as T
+
+        rows = sorted(
+            (n, str(catalog.root_of(n))) for n in catalog.names()
+        )
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType(), False),
+                    T.StructField("location", T.StringType(), False),
+                ]
+            ),
+        )
     t = ManagedTable(spark, catalog.root_of(st.table))
     if st.kind == "vacuum":
         secs = (

@@ -339,3 +339,19 @@ def test_sql_describe_detail(spark, tmp_path):
     assert r.clustering == '"k"' and r.column_mapping is True
     assert "v_nn" in (r.constraints or "")
     assert r.num_files >= 1
+
+
+def test_sql_show_tables(spark, tmp_path):
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    for nm in ("a", "b"):
+        t = ManagedTable.create(spark, tmp_path / nm)
+        t.append(spark.range(3).selectExpr("id AS k"))
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.register("db.a", str(tmp_path / "a"))
+    c.register("db.b", str(tmp_path / "b"))
+    rows = c.sql(spark, "SHOW TABLES").collect()
+    assert [(r.name, r.location) for r in rows] == [
+        ("db.a", str(tmp_path / "a")),
+        ("db.b", str(tmp_path / "b")),
+    ]
