@@ -3798,6 +3798,88 @@ class ManagedTable:
                 return self._merge_dv(source_df, primary_key)
             return self._merge_by_key(source_df, primary_key)
 
+    def _bounded_span_candidates(
+        self,
+        head: int,
+        keys: DataFrame,
+        key_name: str,
+        schema: "T.StructType",
+        columns: list | None,
+    ) -> "list[FileEntry] | None":
+        """Key-span candidate files as a SPARK probe over the
+        checkpoint-backed :meth:`manifest_df` — the span frame never
+        exists driver-side in Python; only the surviving entries
+        collect. ``None`` → caller falls back to classic planning:
+        non-integer/string key (float spans exclude NaN — the same
+        soundness rule :meth:`_affected_files_by_stats` enforces), a
+        file without exact key stats (candidates would be 'every file'
+        and the classic scan owns that shape), or a key name the JSON
+        path can't address."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key_name):
+            return None
+        key_field = next(
+            (f for f in schema.fields if f.name == key_name), None
+        )
+        if key_field is None:
+            return None
+        tn = key_field.dataType.typeName()
+        if tn in ("byte", "short", "integer", "long"):
+            span_t = "long"
+        elif tn == "string":
+            span_t = "string"
+        else:
+            return None
+        # stats are keyed by the immutable PHYSICAL column name
+        key_phys = (_phys_map(columns) or {}).get(key_name, key_name)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key_phys):
+            return None
+        mdf = self.manifest_df(head)
+        lo = F.get_json_object(
+            F.col("stats_json"), f"$.{key_phys}[0]"
+        ).cast(span_t)
+        hi = F.get_json_object(
+            F.col("stats_json"), f"$.{key_phys}[1]"
+        ).cast(span_t)
+        spans = mdf.select(
+            F.col("path").alias("__mt_path"),
+            lo.alias("__mt_lo"),
+            hi.alias("__mt_hi"),
+        )
+        # Pruning may only narrow, never miss: any file whose key span is
+        # unparseable makes every span untrustworthy for THIS probe.
+        if (
+            spans.filter(
+                F.col("__mt_lo").isNull() | F.col("__mt_hi").isNull()
+            )
+            .limit(1)
+            .count()
+        ):
+            return None
+        k = keys.select(F.col(key_name).alias("__mt_k"))
+        hit = (
+            k.join(
+                F.broadcast(spans),
+                (F.col("__mt_k") >= F.col("__mt_lo"))
+                & (F.col("__mt_k") <= F.col("__mt_hi")),
+                "inner",
+            )
+            .select(F.col("__mt_path").alias("path"))
+            .distinct()
+        )
+        cand_rows = mdf.join(F.broadcast(hit), "path", "left_semi").collect()
+        return [
+            FileEntry(
+                path=r["path"],
+                partition=r["partition"],
+                rows=r["rows"],
+                stats=json.loads(r["stats_json"]) if r["stats_json"] else None,
+                dv_paths=tuple(r["dv_paths"] or ()),
+                dv_rows=r["dv_rows"],
+                bloom_path=r["bloom_path"],
+            )
+            for r in cand_rows
+        ]
+
     def _merge_dv_bounded(
         self, source_df: DataFrame, primary_key: str, b
     ) -> "int | None":
@@ -3810,79 +3892,18 @@ class ManagedTable:
         pk stats (candidates would be "every file" and the classic scan
         owns that shape), or a pk name JSON-path extraction can't
         address."""
-        import re
-
         head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns, constraints = b
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", primary_key):
-            return None
         schema = T.StructType.fromJson(json.loads(schema_json))
-        pk_field = next(
-            (f for f in schema.fields if f.name == primary_key), None
-        )
-        if pk_field is None:
-            return None
-        tn = pk_field.dataType.typeName()
-        if tn in ("byte", "short", "integer", "long"):
-            span_t = "long"
-        elif tn == "string":
-            span_t = "string"
-        else:
-            return None
         keys = source_df.select(primary_key).distinct()
         n_keys = keys.count()
         if n_keys == 0:
             self._commit_bounded(head, (), set(), "merge_noop")
             return 0
-        mdf = self.manifest_df(head)
-        # stats are keyed by the immutable PHYSICAL column name
-        pk_phys = (_phys_map(columns) or {}).get(primary_key, primary_key)
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", pk_phys):
-            return None
-        lo = F.get_json_object(
-            F.col("stats_json"), f"$.{pk_phys}[0]"
-        ).cast(span_t)
-        hi = F.get_json_object(
-            F.col("stats_json"), f"$.{pk_phys}[1]"
-        ).cast(span_t)
-        spans = mdf.select(
-            F.col("path").alias("__mt_path"),
-            lo.alias("__mt_lo"),
-            hi.alias("__mt_hi"),
+        sel = self._bounded_span_candidates(
+            head, keys, primary_key, schema, columns
         )
-        # Pruning may only narrow, never miss: any file whose pk span is
-        # unparseable makes every span untrustworthy for THIS probe.
-        if (
-            spans.filter(
-                F.col("__mt_lo").isNull() | F.col("__mt_hi").isNull()
-            )
-            .limit(1)
-            .count()
-        ):
+        if sel is None:
             return None
-        k = keys.select(F.col(primary_key).alias("__mt_k"))
-        hit = (
-            k.join(
-                F.broadcast(spans),
-                (F.col("__mt_k") >= F.col("__mt_lo"))
-                & (F.col("__mt_k") <= F.col("__mt_hi")),
-                "inner",
-            )
-            .select(F.col("__mt_path").alias("path"))
-            .distinct()
-        )
-        cand_rows = mdf.join(F.broadcast(hit), "path", "left_semi").collect()
-        sel = [
-            FileEntry(
-                path=r["path"],
-                partition=r["partition"],
-                rows=r["rows"],
-                stats=json.loads(r["stats_json"]) if r["stats_json"] else None,
-                dv_paths=tuple(r["dv_paths"] or ()),
-                dv_rows=r["dv_rows"],
-                bloom_path=r["bloom_path"],
-            )
-            for r in cand_rows
-        ]
         changed: tuple = ()
         removed: set = set()
         if sel:
@@ -4087,6 +4108,18 @@ class ManagedTable:
         if not key_cols:
             raise ValueError("merge() requires at least one key column")
         with _lock_for(self.root):
+            b = self._bounded_ingest_base()
+            if b is not None and b[1] is not None:
+                # bounded expression merge: candidates from the
+                # checkpoint-backed span probe, O(touched) action-diff
+                # commit — the last DML path to get its bounded twin
+                out = self._merge_expr_bounded(
+                    source_df, key_cols, when_matched_update,
+                    when_matched_delete, match_condition,
+                    when_not_matched_insert, b,
+                )
+                if out is not None:
+                    return out
             m = self.snapshot()
             if not m.schema_json:
                 raise ValueError(
@@ -4127,128 +4160,229 @@ class ManagedTable:
                 if affected is None
                 else [f for f in m.files if f.path in affected]
             )
-            t_scan = (
-                self._scan_with_pos(m, candidates)
-                if candidates
-                else self.spark.createDataFrame(
-                    [],
-                    T.StructType(
-                        list(schema.fields)
-                        + [
-                            T.StructField("__dwcs_uri", T.StringType()),
-                            T.StructField("__dwcs_pos", T.LongType()),
-                        ]
-                    ),
-                )
-            ).alias("t")
+            dv_files, per_file, written, counts = self._merge_core(
+                m, candidates, source_df, key_cols, schema, known, cols,
+                when_matched_update, when_matched_delete, match_condition,
+                when_not_matched_insert,
+                m.constraints, m.partition_date_col, m.cluster_col,
+                m.bloom_cols, m.columns,
+            )
+            n_updated, n_deleted, n_inserted = counts
             files = tuple(m.files)
-            written: tuple = ()
-            n_updated = n_deleted = n_inserted = 0
-            frames: list[DataFrame] = []
-            matched = None
-            if when_matched_update or when_matched_delete:
-                join_cond = None
-                for k in key_cols:
-                    c = F.col(f"t.{k}") == F.col(f"s.{k}")
-                    join_cond = c if join_cond is None else (join_cond & c)
-                matched = t_scan.join(
-                    source_df.alias("s"), join_cond, "inner"
-                )
-                if match_condition is not None:
-                    cond = (
-                        F.expr(match_condition)
-                        if isinstance(match_condition, str)
-                        else match_condition
-                    )
-                    matched = matched.filter(cond)
-                matched = matched.persist()
-            try:
-                if matched is not None:
-                    if when_matched_update:
-                        # cardinality guard: one target position, >1
-                        # condition-passing source row → nondeterministic
-                        dup = (
-                            matched.groupBy("__dwcs_uri", "__dwcs_pos")
-                            .count()
-                            .filter("count > 1")
-                            .limit(1)
-                            .count()
-                        )
-                        if dup:
-                            raise ValueError(
-                                "ambiguous merge: multiple source rows match "
-                                "one target row under the merge condition; "
-                                "deduplicate the source or tighten "
-                                "match_condition"
-                            )
-                    # distinct positions: a delete clause tolerates many
-                    # source rows hitting one target row, but the DV (and
-                    # its per-file accounting) must record the position
-                    # once — duplicates would inflate dv_rows and could
-                    # evict a file that still holds live rows
-                    positions = matched.select(
-                        "__dwcs_uri", "__dwcs_pos"
-                    ).dropDuplicates()
-                    n_matched = positions.count()
-                    if n_matched:
-                        dv_files, per_file = self._write_dv(positions)
-                        if dv_files is not None:
-                            files = self._grow_dv(files, dv_files, per_file)
-                        if when_matched_update:
-                            assigned = {
-                                c: (
-                                    F.expr(v)
-                                    if isinstance(v, str)
-                                    else (v if isinstance(v, Column) else F.lit(v))
-                                )
-                                .cast(known[c])
-                                .alias(c)
-                                for c, v in when_matched_update.items()
-                            }
-                            frames.append(
-                                matched.select(
-                                    *[
-                                        assigned.get(c, F.col(f"t.{c}").alias(c))
-                                        for c in cols
-                                    ]
-                                )
-                            )
-                            n_updated = n_matched
-                        else:
-                            n_deleted = n_matched
-                if when_not_matched_insert:
-                    ins = source_df.join(
-                        t_scan.select(*key_cols), on=key_cols, how="left_anti"
-                    ).select(*cols)
-                    n_inserted = ins.count()
-                    if n_inserted:
-                        frames.append(ins)
-                if frames:
-                    out = frames[0]
-                    for fdf in frames[1:]:
-                        out = out.unionByName(fdf)
-                    self._enforce_constraints(out, m.constraints, "merge")
-                    written = self._write_files(
-                        out,
-                        m.partition_date_col,
-                        m.cluster_col,
-                        bloom_cols=m.bloom_cols,
-                        columns=m.columns,
-                    )
-                self._commit_files(
-                    m,
-                    files + written,
-                    m.schema_json,
-                    "merge" if (n_updated or n_deleted or n_inserted) else "merge_noop",
-                )
-            finally:
-                if matched is not None:
-                    matched.unpersist()
+            if dv_files is not None:
+                files = self._grow_dv(files, dv_files, per_file)
+            self._commit_files(
+                m,
+                files + written,
+                m.schema_json,
+                "merge" if any(counts) else "merge_noop",
+            )
         return {
             "updated": n_updated,
             "deleted": n_deleted,
             "inserted": n_inserted,
         }
+
+    def _merge_expr_bounded(
+        self,
+        source_df: DataFrame,
+        key_cols: list,
+        when_matched_update: dict | None,
+        when_matched_delete: bool,
+        match_condition,
+        when_not_matched_insert: bool,
+        b,
+    ) -> "dict | None":
+        """Bounded twin of the expression merge: key-span candidates from
+        :meth:`_bounded_span_candidates` (the span frame never exists
+        driver-side), the SAME :meth:`_merge_core` middle, and an
+        O(touched) action-diff commit. ``None`` → classic fallback
+        (multi-column key — the span probe is single-key — or spans the
+        probe can't trust)."""
+        head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns, constraints = b
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        known = {f.name: f.dataType for f in schema.fields}
+        cols = [f.name for f in schema.fields]
+        src_cols = set(source_df.columns)
+        for k in key_cols:
+            if k not in known or k not in src_cols:
+                raise ValueError(
+                    f"merge key {k!r} must exist on both sides "
+                    f"(target {sorted(known)}, source {sorted(src_cols)})"
+                )
+        if when_matched_update:
+            bad = sorted(set(when_matched_update) - set(known))
+            if bad:
+                raise ValueError(f"merge() assigns unknown columns {bad}")
+            overlap = sorted(set(when_matched_update) & set(key_cols))
+            if overlap:
+                raise ValueError(
+                    f"merge() must not assign its key columns {overlap}"
+                )
+        if when_not_matched_insert and not set(cols) <= src_cols:
+            raise ValueError(
+                f"when_not_matched_insert requires the source to carry "
+                f"every table column; missing {sorted(set(cols) - src_cols)}"
+            )
+        keys = source_df.select(*key_cols).distinct()
+        # the span probe prunes on the FIRST key column (sound: a file
+        # whose first-key span admits no source key can't hold a match);
+        # a probe miss falls back to the classic full-manifest plan
+        sel = self._bounded_span_candidates(
+            head, keys.select(key_cols[0]).distinct(), key_cols[0],
+            schema, columns,
+        )
+        if sel is None:
+            return None
+        dv_files, per_file, written, counts = self._merge_core(
+            None, sel, source_df, key_cols, schema, known, cols,
+            when_matched_update, when_matched_delete, match_condition,
+            when_not_matched_insert,
+            constraints, part_col, cluster_col, bloom_cols, columns,
+        )
+        changed: tuple = ()
+        removed: set = set()
+        if dv_files is not None:
+            changed, removed = self._regrow_planned(sel, dv_files, per_file)
+        self._commit_bounded(
+            head, changed + written, removed,
+            "merge" if any(counts) else "merge_noop",
+        )
+        return {
+            "updated": counts[0],
+            "deleted": counts[1],
+            "inserted": counts[2],
+        }
+
+    def _merge_core(
+        self, m, candidates, source_df, key_cols, schema, known, cols,
+        when_matched_update, when_matched_delete, match_condition,
+        when_not_matched_insert, constraints, part_col, cluster_col,
+        bloom_cols, columns,
+    ) -> "tuple[tuple | None, dict, tuple, tuple]":
+        """The expression-merge MIDDLE, shared by the classic and bounded
+        paths (their difference is candidate planning and commit shape
+        only): cardinality guard, distinct-position DV write,
+        update/insert frames, constraint proof, file write. Returns
+        ``(dv_files, per_file, written_entries, (n_upd, n_del, n_ins))``
+        — ``dv_files`` None when no target row matched. ``m`` is None on
+        the bounded path (``_scan_with_pos`` then plans from the header
+        schema/columns)."""
+        schema_json = schema.json()
+        t_scan = (
+            self._scan_with_pos(
+                m, candidates,
+                schema_json=None if m is not None else schema_json,
+                columns=None if m is not None else columns,
+            )
+            if candidates
+            else self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("__dwcs_uri", T.StringType()),
+                        T.StructField("__dwcs_pos", T.LongType()),
+                    ]
+                ),
+            )
+        ).alias("t")
+        written: tuple = ()
+        dv_files, per_file = None, {}
+        n_updated = n_deleted = n_inserted = 0
+        frames: list[DataFrame] = []
+        matched = None
+        if when_matched_update or when_matched_delete:
+            join_cond = None
+            for k in key_cols:
+                c = F.col(f"t.{k}") == F.col(f"s.{k}")
+                join_cond = c if join_cond is None else (join_cond & c)
+            matched = t_scan.join(
+                source_df.alias("s"), join_cond, "inner"
+            )
+            if match_condition is not None:
+                cond = (
+                    F.expr(match_condition)
+                    if isinstance(match_condition, str)
+                    else match_condition
+                )
+                matched = matched.filter(cond)
+            matched = matched.persist()
+        try:
+            if matched is not None:
+                if when_matched_update:
+                    # cardinality guard: one target position, >1
+                    # condition-passing source row → nondeterministic
+                    dup = (
+                        matched.groupBy("__dwcs_uri", "__dwcs_pos")
+                        .count()
+                        .filter("count > 1")
+                        .limit(1)
+                        .count()
+                    )
+                    if dup:
+                        raise ValueError(
+                            "ambiguous merge: multiple source rows match "
+                            "one target row under the merge condition; "
+                            "deduplicate the source or tighten "
+                            "match_condition"
+                        )
+                # distinct positions: a delete clause tolerates many
+                # source rows hitting one target row, but the DV (and
+                # its per-file accounting) must record the position
+                # once — duplicates would inflate dv_rows and could
+                # evict a file that still holds live rows
+                positions = matched.select(
+                    "__dwcs_uri", "__dwcs_pos"
+                ).dropDuplicates()
+                n_matched = positions.count()
+                if n_matched:
+                    dv_files, per_file = self._write_dv(positions)
+                    if when_matched_update:
+                        assigned = {
+                            c: (
+                                F.expr(v)
+                                if isinstance(v, str)
+                                else (v if isinstance(v, Column) else F.lit(v))
+                            )
+                            .cast(known[c])
+                            .alias(c)
+                            for c, v in when_matched_update.items()
+                        }
+                        frames.append(
+                            matched.select(
+                                *[
+                                    assigned.get(c, F.col(f"t.{c}").alias(c))
+                                    for c in cols
+                                ]
+                            )
+                        )
+                        n_updated = n_matched
+                    else:
+                        n_deleted = n_matched
+            if when_not_matched_insert:
+                ins = source_df.join(
+                    t_scan.select(*key_cols), on=key_cols, how="left_anti"
+                ).select(*cols)
+                n_inserted = ins.count()
+                if n_inserted:
+                    frames.append(ins)
+            if frames:
+                out = frames[0]
+                for fdf in frames[1:]:
+                    out = out.unionByName(fdf)
+                self._enforce_constraints(out, constraints, "merge")
+                written = self._write_files(
+                    out,
+                    part_col,
+                    cluster_col,
+                    bloom_cols=bloom_cols,
+                    columns=columns,
+                )
+        finally:
+            if matched is not None:
+                matched.unpersist()
+        return dv_files, per_file, written, (n_updated, n_deleted, n_inserted)
 
     def _affected_files_by_stats(
         self, m: Manifest, keys: DataFrame, primary_key: str

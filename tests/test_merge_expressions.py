@@ -187,3 +187,64 @@ def test_merge_multi_key(spark, tmp_path):
     )
     assert res["updated"] == 1  # only (3, b=0) exists (3 % 3 == 0)
     assert _rows(t)[3] == (-1, 0)
+
+
+def test_bounded_expression_merge_matches_classic(spark, tmp_path, monkeypatch):
+    """Past the planning gate the expression merge plans its candidates
+    from the checkpoint-backed span probe and commits an action diff —
+    values must equal the classic full-manifest path exactly, across
+    update+insert, matched-delete, match conditions, and the noop."""
+    import data_warehouse_copy_spark.sources.managed_table as mt
+
+    def build(root, gate):
+        t = ManagedTable.create(spark, root, cluster_col="k")
+        t.append(
+            spark.range(0, 40).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("a"),
+                (F.col("id") % 3).alias("b"),
+            ),
+            cluster_partitions=4,
+        )
+        t._write_checkpoint(t.snapshot())
+        monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", gate)
+        src = spark.createDataFrame(
+            [(5, 999, 1), (7, 888, 0), (100, 1, 1), (101, 2, 2)],
+            "k long, a long, b long",
+        )
+        res1 = t.merge(
+            src, on="k",
+            when_matched_update={"a": "s.a"},
+            match_condition="t.b = 1",
+        )
+        res2 = t.merge(
+            spark.createDataFrame([(6, 0, 0)], "k long, a long, b long"),
+            on="k", when_matched_delete=True,
+            when_not_matched_insert=False,
+        )
+        res3 = t.merge(  # noop: no match, no insert clause
+            spark.createDataFrame([(500, 0, 0)], "k long, a long, b long"),
+            on="k", when_matched_delete=True, when_not_matched_insert=False,
+        )
+        rows = sorted(map(tuple, t.read().collect()))
+        return res1, res2, res3, rows, t
+
+    b1, b2, b3, bounded_rows, tb = build(tmp_path / "bounded", 1)
+    c1, c2, c3, classic_rows, _ = build(tmp_path / "classic", 10**9)
+    assert (b1, b2, b3) == (c1, c2, c3)
+    assert b1 == {"updated": 1, "deleted": 0, "inserted": 2}
+    assert b2 == {"updated": 0, "deleted": 1, "inserted": 0}
+    assert b3 == {"updated": 0, "deleted": 0, "inserted": 0}
+    assert bounded_rows == classic_rows
+    # the bounded commits are action DIFFS (no full file list in the log)
+    import json as _json
+
+    raws = [
+        _json.loads(
+            (tb.root / "_log" / f"{v:020d}.json").read_text()
+        )
+        for v in range(3, tb._head_version() + 1)
+    ]
+    assert all("files" not in r for r in raws)
+    assert any(r["op"] == "merge" for r in raws)
+    assert any(r["op"] == "merge_noop" for r in raws)
