@@ -144,7 +144,7 @@ class ConditionalPutCommitProtocol(CommitProtocol):
             try:
                 return self.store.put_if_absent(key, payload)
             except TransientStoreError:
-                current = self.store.get(key)
+                current = self._recovery_get(key)
                 if current == payload:
                     return True  # our write applied; only the ack was lost
                 if current is not None:
@@ -154,6 +154,24 @@ class ConditionalPutCommitProtocol(CommitProtocol):
             f"conditional put of {key} kept failing transiently after "
             f"{self._MAX_TRANSIENT_RETRIES} attempts; store unavailable"
         )
+
+    def _recovery_get(self, key: str) -> "str | None":
+        """The recovery read under the SAME bounded-retry discipline as
+        the CAS itself: a transient fault on this read must not abort
+        the whole commit (the conditional put may well have applied —
+        aborting here would report failure for a landed write, the
+        exact ambiguity the recovery exists to resolve)."""
+        last: TransientStoreError | None = None
+        for _ in range(self._MAX_TRANSIENT_RETRIES):
+            try:
+                return self.store.get(key)
+            except TransientStoreError as e:
+                last = e
+        raise TransientStoreError(
+            f"recovery read of {key} kept failing transiently after "
+            f"{self._MAX_TRANSIENT_RETRIES} attempts; commit outcome "
+            f"UNKNOWN — do not retry blindly"
+        ) from last
 
     def put_text(self, dest: Path, payload: str) -> None:
         self.store.put(str(dest), payload)
@@ -217,7 +235,11 @@ class FaultyObjectStore:
       via the recovery read, never by guessing;
     - ``fail_before_on``: CAS call indices rejected with
       :class:`TransientStoreError` BEFORE applying (request never
-      reached the store) — must be retried, not reported as conflict.
+      reached the store) — must be retried, not reported as conflict;
+    - ``fail_get_on``: GET call indices (0-based over the store's
+      lifetime) answered with :class:`TransientStoreError` — exercises
+      the protocol's recovery-read retry (a lost-ack CAS whose first
+      recovery read ALSO times out must still resolve, not abort).
 
     Deterministic by construction (indices, not probabilities), so
     every drill is replayable in tests."""
@@ -228,12 +250,15 @@ class FaultyObjectStore:
         latency_s: float = 0.0,
         lose_response_on: "set[int] | None" = None,
         fail_before_on: "set[int] | None" = None,
+        fail_get_on: "set[int] | None" = None,
     ):
         self.inner = inner
         self.latency_s = latency_s
         self.lose_response_on = set(lose_response_on or ())
         self.fail_before_on = set(fail_before_on or ())
+        self.fail_get_on = set(fail_get_on or ())
         self.cas_calls = 0
+        self.get_calls = 0
         self._lock = threading.Lock()
 
     def _sleep(self):
@@ -262,6 +287,11 @@ class FaultyObjectStore:
 
     def get(self, key: str) -> "str | None":
         self._sleep()
+        with self._lock:
+            call = self.get_calls
+            self.get_calls += 1
+        if call in self.fail_get_on:
+            raise TransientStoreError(f"injected get fault #{call}")
         return self.inner.get(key)
 
 

@@ -778,7 +778,20 @@ class ManagedTable:
         complete or not at all). Raises :class:`CommitConflict` if
         another writer committed this version first; the link protocol
         raises a clear error on filesystems without hard-link support
-        instead of an opaque per-commit failure."""
+        instead of an opaque per-commit failure.
+
+        Every record gets a per-writer ``nonce`` here, at the single CAS
+        funnel: the object-store lost-response recovery decides "we won"
+        by PAYLOAD EQUALITY, and without a nonce two racing metadata-only
+        commits (delete-noop, identical renames) serialize byte-identical
+        whenever their wall-clock ``ts`` collide — both writers would
+        then report success for one landed record. Data commits were
+        already unique (fresh uuid file paths); the nonce makes it hold
+        by construction for every op. Replay readers ignore unknown
+        keys, so the record format stays backward-readable."""
+        rec = json.loads(payload)
+        rec["nonce"] = uuid.uuid4().hex
+        payload = json.dumps(rec, indent=1)
         dest = self.root / "_log" / f"{version:020d}.json"
         if not self._proto.put_if_absent(dest, payload):
             raise CommitConflict(
@@ -1640,7 +1653,7 @@ class ManagedTable:
         )
         df = self._apply_dv(reader.parquet(*files), sel)
         if pmap:
-            df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
+            df = _project_rename(df, {p: l for l, p in pmap.items()})
         if where:
             df = df.filter(_where_predicate(where))
         if columns is not None:
@@ -1966,7 +1979,7 @@ class ManagedTable:
         )
         df = reader.parquet(*added)
         if pmap:
-            df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
+            df = _project_rename(df, {p: l for l, p in pmap.items()})
         return df
 
     def _cdf_plan(
@@ -2095,7 +2108,7 @@ class ManagedTable:
             # physical scan -> logical shape (attach any _metadata-derived
             # helpers BEFORE calling this)
             if pmap:
-                df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
+                df = _project_rename(df, {p: l for l, p in pmap.items()})
             return df
 
         def tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
@@ -2310,7 +2323,7 @@ class ManagedTable:
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return 0  # retried transaction: already committed
                 df, widened = self._align_append_df(df, schema_json, merge_schema)
-                self._enforce_constraints(df, constraints, "append")
+                df = self._enforce_constraints(df, constraints, "append")
                 new_cols = (
                     _extend_columns(columns, df.schema.json())
                     if widened
@@ -2332,7 +2345,7 @@ class ManagedTable:
             if txn is not None and (m.txns or {}).get(txn[0], -1) >= txn[1]:
                 return 0  # retried transaction: already committed
             df, widened = self._align_append_df(df, m.schema_json, merge_schema)
-            self._enforce_constraints(df, m.constraints, "append")
+            df = self._enforce_constraints(df, m.constraints, "append")
             new_cols = (
                 _extend_columns(m.columns, df.schema.json())
                 if widened
@@ -2512,6 +2525,29 @@ class ManagedTable:
                 raise ValueError(f"no such column: {old!r}")
             if new in names:
                 raise ValueError(f"column already exists: {new!r}")
+            # Also reject collisions with any PHYSICAL name (live or
+            # tombstoned) other than the renamed column's own: data files
+            # carry physical names forever, and a logical name shadowing
+            # another column's physical name would make the scan-side
+            # physical→logical projection ambiguous (cols a,b; rename
+            # b→c; rename a→b used to be accepted and read back [c,c]
+            # with b's data lost — round-7 advisor HIGH finding). The
+            # simultaneous _project_rename select fixes the fold; this
+            # guard keeps the mapping itself unambiguous.
+            cols_now = columns or _init_columns(schema_json)
+            own_phys = next(
+                c["physical"]
+                for c in cols_now
+                if c["name"] == old and not c.get("dropped")
+            )
+            phys_used = {c["physical"] for c in cols_now} - {own_phys}
+            if new in phys_used:
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: {new!r} is the "
+                    f"physical name of another (live or dropped) column; "
+                    f"pick a name that never served as a column's "
+                    f"physical identity"
+                )
             refs = self._constraint_refs(old)
             if refs:
                 raise ValueError(
@@ -2582,15 +2618,27 @@ class ManagedTable:
 
     def _enforce_constraints(
         self, df: DataFrame, constraints: dict | None, op: str
-    ) -> None:
+    ) -> DataFrame:
         """Prove every INCOMING row satisfies each CHECK constraint — one
         aggregate job covering all constraints (per-constraint violation
         counts via conditional sums), run only on constrained tables and
         only over the rows a write introduces; maintenance rewrites
         (compact/recluster) never re-check rows that already passed.
-        SQL CHECK semantics: NULL evaluates as pass, FALSE violates."""
+        SQL CHECK semantics: NULL evaluates as pass, FALSE violates.
+
+        Returns the frame the check actually covered, and CALLERS MUST
+        WRITE THAT FRAME: the incoming plan is pinned with a lazy
+        ``localCheckpoint`` first, so the validation aggregate and the
+        subsequent write read the SAME materialized rows. Without the
+        pin this is check-then-act — a non-deterministic source
+        (``rand()``, unstable sampling, shuffle re-execution) can pass
+        the aggregate and then recompute DIFFERENT, violating rows for
+        the write (round-7 advisor finding). The pin costs one
+        executor-local materialization, only on constrained tables;
+        deterministic re-reads of parquet pay block-cache-warm IO."""
         if not constraints:
-            return
+            return df
+        df = df.localCheckpoint(eager=False)
         names = sorted(constraints)
         row = df.agg(
             *[
@@ -2613,6 +2661,7 @@ class ManagedTable:
                     f"{op} violates CHECK constraint {n!r} "
                     f"({constraints[n]}): {bad} row(s)"
                 )
+        return df
 
     def add_constraint(self, name: str, expr: str) -> None:
         """Add a CHECK constraint (Delta's ``ALTER TABLE ... ADD
@@ -2796,7 +2845,7 @@ class ManagedTable:
                 # (see _commit_bounded): a racer's commit during the
                 # overwrite is a clean rejection, not silent erasure.
                 head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns, constraints = b
-                self._enforce_constraints(df, constraints, "overwrite")
+                df = self._enforce_constraints(df, constraints, "overwrite")
                 new_files = self._write_files(
                     df, part_col, cluster_col,
                     cluster_partitions=cluster_partitions,
@@ -2814,7 +2863,7 @@ class ManagedTable:
                 )
                 return sum(f.rows for f in new_files)
             m = self.snapshot()
-            self._enforce_constraints(df, m.constraints, "overwrite")
+            df = self._enforce_constraints(df, m.constraints, "overwrite")
             new_files = self._write_files(
                 df, m.partition_date_col, m.cluster_col,
                 cluster_partitions=cluster_partitions,
@@ -2876,7 +2925,7 @@ class ManagedTable:
                     f"the predicate {where!r} — the replacement must be "
                     f"confined to the slice it replaces"
                 )
-            self._enforce_constraints(df, m.constraints, "replace_where")
+            df = self._enforce_constraints(df, m.constraints, "replace_where")
             wp = _map_where(where, _phys_map(m.columns)) or []
             candidates = [
                 f
@@ -2950,7 +2999,7 @@ class ManagedTable:
                 f"{sorted(want)}, dataframe has {sorted(have)}"
             )
         df = df.select(*[f.name for f in existing.fields])
-        self._enforce_constraints(df, constraints, "replace_where")
+        df = self._enforce_constraints(df, constraints, "replace_where")
         n_bad = df.filter(~F.coalesce(pred, F.lit(False))).count()
         if n_bad:
             raise ValueError(
@@ -3024,7 +3073,7 @@ class ManagedTable:
                     if old.columns
                     else old
                 )
-                self._enforce_constraints(df, m.constraints, "overwrite_range")
+                df = self._enforce_constraints(df, m.constraints, "overwrite_range")
                 merged = kept_rows.unionByName(df) if old.columns else df
                 new_files = self._write_files(merged, None, m.cluster_col, bloom_cols=m.bloom_cols, columns=m.columns)
                 written_total = sum(f.rows for f in new_files)
@@ -3036,6 +3085,10 @@ class ManagedTable:
             # DELETE stops at D2 23:59:59.997 — rows in the last 3 ms of the
             # final day must survive (TableCopyService.cs:112). Pull that tail
             # out of the date_to partition and re-insert it with the window.
+            # pin BEFORE deriving write_df so the checked rows are the
+            # written rows (the tail union re-reads existing files, which
+            # already passed their own write's check)
+            df = self._enforce_constraints(df, m.constraints, "overwrite_range")
             tail_rows = 0
             if date_column is not None:
                 from data_warehouse_copy_spark.window import day_bounds
@@ -3050,7 +3103,6 @@ class ManagedTable:
                 write_df = df.unionByName(tail) if tail_rows else df
             else:
                 write_df = df
-            self._enforce_constraints(df, m.constraints, "overwrite_range")
             new_files = self._write_files(write_df, m.partition_date_col, m.cluster_col, bloom_cols=m.bloom_cols, columns=m.columns)
             out_of_range = [
                 f for f in new_files if not _in_day_range(f.partition, date_from, date_to)
@@ -3384,7 +3436,7 @@ class ManagedTable:
             .withColumn("__dwcs_pos", F.col("_metadata.row_index"))
         )
         if pmap:
-            df = df.withColumnsRenamed({p: l for l, p in pmap.items()})
+            df = _project_rename(df, {p: l for l, p in pmap.items()})
         dv_paths = sorted({p for f in candidates for p in f.dv_paths})
         if dv_paths:
             # canonical-path keys, same as _apply_dv — a prior DV written
@@ -3652,7 +3704,7 @@ class ManagedTable:
         rewritten = cand_df.select(
             *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
         )
-        self._enforce_constraints(rewritten, m.constraints, "update")
+        rewritten = self._enforce_constraints(rewritten, m.constraints, "update")
         new_files = self._write_files(
             rewritten, m.partition_date_col, m.cluster_col,
             bloom_cols=m.bloom_cols,
@@ -3720,7 +3772,7 @@ class ManagedTable:
             rewritten = staged.select(
                 *[assigned.get(f.name, F.col(f.name)) for f in schema.fields]
             )
-            self._enforce_constraints(
+            rewritten = self._enforce_constraints(
                 rewritten,
                 constraints if m is None else m.constraints,
                 "update",
@@ -3916,11 +3968,11 @@ class ManagedTable:
                     sel, dv_files, per_file
                 )
         cols = [f.name for f in schema.fields]
-        self._enforce_constraints(
+        checked = self._enforce_constraints(
             source_df.select(*cols), constraints, "merge"
         )
         new_files = self._write_files(
-            source_df.select(*cols), part_col, cluster_col,
+            checked, part_col, cluster_col,
             bloom_cols=bloom_cols,
             columns=columns,
         )
@@ -3958,11 +4010,11 @@ class ManagedTable:
                 f.name
                 for f in T.StructType.fromJson(json.loads(m.schema_json)).fields
             ]
-            self._enforce_constraints(
+            checked = self._enforce_constraints(
                 source_df.select(*cols), m.constraints, "merge"
             )
             new_files = self._write_files(
-                source_df.select(*cols), m.partition_date_col, m.cluster_col,
+                checked, m.partition_date_col, m.cluster_col,
                 bloom_cols=m.bloom_cols,
                 columns=m.columns,
             )
@@ -3980,7 +4032,7 @@ class ManagedTable:
 
     def _merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         m = self.snapshot()
-        self._enforce_constraints(source_df, m.constraints, "merge")
+        source_df = self._enforce_constraints(source_df, m.constraints, "merge")
         keys = source_df.select(primary_key).distinct()
         n_keys = keys.count()
         if n_keys == 0:
@@ -4066,6 +4118,8 @@ class ManagedTable:
         when_matched_delete: bool = False,
         match_condition: "Column | str | None" = None,
         when_not_matched_insert: bool = True,
+        when_matched: "list[dict] | None" = None,
+        when_not_matched_by_source: "list[dict] | None" = None,
     ) -> dict:
         """Expression-level MERGE (Delta's ``whenMatchedUpdate`` shape —
         the VERDICT r5 item 3 surface): one atomic commit that
@@ -4097,25 +4151,62 @@ class ManagedTable:
 
         ``merge_by_key`` remains the whole-row delete+reinsert contract
         (the reference semantics, ``TableUpdateService.cs:81-161``);
-        this is the expression-level superset."""
-        if when_matched_update and when_matched_delete:
+        this is the expression-level superset.
+
+        **Full clause surface** (round-7 item 2 — Delta's complete MERGE
+        shape): ``when_matched`` takes an ORDERED list of clause dicts —
+        ``{"condition": <sql|Column|None>, "update": {col: expr}}`` or
+        ``{"condition": ..., "delete": True}`` — evaluated
+        FIRST-MATCH-WINS per row (Delta semantics: a row acted on by
+        clause *i* is invisible to clause *i+1*; conditions reference
+        ``t.``/``s.``). ``when_not_matched_by_source`` is the same
+        clause-list shape over TARGET rows no source key matches
+        (conditions see ``t.`` only); its presence forces a full-table
+        candidate scan — by definition every target row participates —
+        so the key-span pruning and the bounded span probe are skipped
+        for that merge (the operation is O(table) by semantics, not by
+        accident). The legacy single-clause arguments remain and are
+        exactly ``when_matched=[{"condition": match_condition,
+        "update"|"delete": ...}]``; passing both forms raises."""
+        if when_matched is not None:
+            if when_matched_update or when_matched_delete or (
+                match_condition is not None
+            ):
+                raise ValueError(
+                    "pass either when_matched=[...] (multi-clause) or the "
+                    "legacy single-clause arguments, not both"
+                )
+            matched_clauses = _normalize_merge_clauses(
+                when_matched, "when_matched"
+            )
+        elif when_matched_update and when_matched_delete:
             raise ValueError(
                 "when_matched_update and when_matched_delete are exclusive"
             )
-        if not (when_matched_update or when_matched_delete or when_not_matched_insert):
+        elif when_matched_update:
+            matched_clauses = [(match_condition, dict(when_matched_update))]
+        elif when_matched_delete:
+            matched_clauses = [(match_condition, None)]
+        else:
+            matched_clauses = []
+        by_source_clauses = _normalize_merge_clauses(
+            when_not_matched_by_source or [], "when_not_matched_by_source"
+        )
+        if not (matched_clauses or by_source_clauses or when_not_matched_insert):
             raise ValueError("merge() with no clauses would be a no-op")
         key_cols = [on] if isinstance(on, str) else list(on)
         if not key_cols:
             raise ValueError("merge() requires at least one key column")
         with _lock_for(self.root):
             b = self._bounded_ingest_base()
-            if b is not None and b[1] is not None:
+            if b is not None and b[1] is not None and not by_source_clauses:
                 # bounded expression merge: candidates from the
                 # checkpoint-backed span probe, O(touched) action-diff
-                # commit — the last DML path to get its bounded twin
+                # commit — the last DML path to get its bounded twin.
+                # (NOT MATCHED BY SOURCE touches every target row by
+                # semantics, so it takes the classic full plan.)
                 out = self._merge_expr_bounded(
-                    source_df, key_cols, when_matched_update,
-                    when_matched_delete, match_condition,
+                    source_df, key_cols, matched_clauses,
                     when_not_matched_insert, b,
                 )
                 if out is not None:
@@ -4136,33 +4227,30 @@ class ManagedTable:
                         f"merge key {k!r} must exist on both sides "
                         f"(target {sorted(known)}, source {sorted(src_cols)})"
                     )
-            if when_matched_update:
-                bad = sorted(set(when_matched_update) - set(known))
-                if bad:
-                    raise ValueError(
-                        f"merge() assigns unknown columns {bad}"
-                    )
-                overlap = sorted(set(when_matched_update) & set(key_cols))
-                if overlap:
-                    raise ValueError(
-                        f"merge() must not assign its key columns {overlap}"
-                    )
+            _validate_merge_assignments(
+                matched_clauses + by_source_clauses, known, key_cols
+            )
             if when_not_matched_insert and not set(cols) <= src_cols:
                 raise ValueError(
                     f"when_not_matched_insert requires the source to carry "
                     f"every table column; missing "
                     f"{sorted(set(cols) - src_cols)}"
                 )
-            keys = source_df.select(*key_cols).distinct()
-            affected = self._affected_files_by_stats(m, keys, key_cols[0])
-            candidates = (
-                list(m.files)
-                if affected is None
-                else [f for f in m.files if f.path in affected]
-            )
+            if by_source_clauses:
+                # every target row participates — pruning would silently
+                # exempt rows in unprobed files from the by-source clauses
+                candidates = list(m.files)
+            else:
+                keys = source_df.select(*key_cols).distinct()
+                affected = self._affected_files_by_stats(m, keys, key_cols[0])
+                candidates = (
+                    list(m.files)
+                    if affected is None
+                    else [f for f in m.files if f.path in affected]
+                )
             dv_files, per_file, written, counts = self._merge_core(
                 m, candidates, source_df, key_cols, schema, known, cols,
-                when_matched_update, when_matched_delete, match_condition,
+                matched_clauses, by_source_clauses,
                 when_not_matched_insert,
                 m.constraints, m.partition_date_col, m.cluster_col,
                 m.bloom_cols, m.columns,
@@ -4187,9 +4275,7 @@ class ManagedTable:
         self,
         source_df: DataFrame,
         key_cols: list,
-        when_matched_update: dict | None,
-        when_matched_delete: bool,
-        match_condition,
+        matched_clauses: list,
         when_not_matched_insert: bool,
         b,
     ) -> "dict | None":
@@ -4198,7 +4284,8 @@ class ManagedTable:
         driver-side), the SAME :meth:`_merge_core` middle, and an
         O(touched) action-diff commit. ``None`` → classic fallback
         (multi-column key — the span probe is single-key — or spans the
-        probe can't trust)."""
+        probe can't trust). By-source clauses never reach here (see
+        :meth:`merge` — they are full-table by semantics)."""
         head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns, constraints = b
         schema = T.StructType.fromJson(json.loads(schema_json))
         known = {f.name: f.dataType for f in schema.fields}
@@ -4210,15 +4297,7 @@ class ManagedTable:
                     f"merge key {k!r} must exist on both sides "
                     f"(target {sorted(known)}, source {sorted(src_cols)})"
                 )
-        if when_matched_update:
-            bad = sorted(set(when_matched_update) - set(known))
-            if bad:
-                raise ValueError(f"merge() assigns unknown columns {bad}")
-            overlap = sorted(set(when_matched_update) & set(key_cols))
-            if overlap:
-                raise ValueError(
-                    f"merge() must not assign its key columns {overlap}"
-                )
+        _validate_merge_assignments(matched_clauses, known, key_cols)
         if when_not_matched_insert and not set(cols) <= src_cols:
             raise ValueError(
                 f"when_not_matched_insert requires the source to carry "
@@ -4236,7 +4315,7 @@ class ManagedTable:
             return None
         dv_files, per_file, written, counts = self._merge_core(
             None, sel, source_df, key_cols, schema, known, cols,
-            when_matched_update, when_matched_delete, match_condition,
+            matched_clauses, [],
             when_not_matched_insert,
             constraints, part_col, cluster_col, bloom_cols, columns,
         )
@@ -4256,18 +4335,19 @@ class ManagedTable:
 
     def _merge_core(
         self, m, candidates, source_df, key_cols, schema, known, cols,
-        when_matched_update, when_matched_delete, match_condition,
-        when_not_matched_insert, constraints, part_col, cluster_col,
-        bloom_cols, columns,
+        matched_clauses, by_source_clauses, when_not_matched_insert,
+        constraints, part_col, cluster_col, bloom_cols, columns,
     ) -> "tuple[tuple | None, dict, tuple, tuple]":
         """The expression-merge MIDDLE, shared by the classic and bounded
         paths (their difference is candidate planning and commit shape
-        only): cardinality guard, distinct-position DV write,
-        update/insert frames, constraint proof, file write. Returns
-        ``(dv_files, per_file, written_entries, (n_upd, n_del, n_ins))``
-        — ``dv_files`` None when no target row matched. ``m`` is None on
-        the bounded path (``_scan_with_pos`` then plans from the header
-        schema/columns)."""
+        only): first-match-wins clause routing, cardinality guard,
+        distinct-position DV write, update/insert frames, constraint
+        proof, file write. ``matched_clauses`` / ``by_source_clauses``
+        are ordered ``(condition, assignments-or-None)`` lists
+        (None = DELETE). Returns ``(dv_files, per_file, written_entries,
+        (n_upd, n_del, n_ins))`` — ``dv_files`` None when no target row
+        was acted on. ``m`` is None on the bounded path
+        (``_scan_with_pos`` then plans from the header schema/columns)."""
         schema_json = schema.json()
         t_scan = (
             self._scan_with_pos(
@@ -4291,75 +4371,130 @@ class ManagedTable:
         dv_files, per_file = None, {}
         n_updated = n_deleted = n_inserted = 0
         frames: list[DataFrame] = []
-        matched = None
-        if when_matched_update or when_matched_delete:
-            join_cond = None
-            for k in key_cols:
-                c = F.col(f"t.{k}") == F.col(f"s.{k}")
-                join_cond = c if join_cond is None else (join_cond & c)
-            matched = t_scan.join(
-                source_df.alias("s"), join_cond, "inner"
+        pos_frames: list[DataFrame] = []
+        persisted: list[DataFrame] = []
+
+        def _cond_col(cond):
+            if cond is None:
+                return F.lit(True)
+            return F.expr(cond) if isinstance(cond, str) else cond
+
+        def _value_col(v, c):
+            col = (
+                F.expr(v)
+                if isinstance(v, str)
+                else (v if isinstance(v, Column) else F.lit(v))
             )
-            if match_condition is not None:
-                cond = (
-                    F.expr(match_condition)
-                    if isinstance(match_condition, str)
-                    else match_condition
+            return col.cast(known[c])
+
+        def _apply_clauses(base, clauses, guard_source_dups):
+            """Route ``base`` rows (carrying uri/pos + t[/s] sides)
+            through ``clauses`` FIRST-MATCH-WINS. Returns
+            ``(n_upd, n_del)`` and appends the acted positions and the
+            rewritten update rows to the shared accumulators."""
+            nonlocal n_updated, n_deleted
+            idx = None
+            for i, (cond, _a) in enumerate(clauses):
+                c = _cond_col(cond)
+                idx = (
+                    F.when(c, F.lit(i)) if idx is None else idx.when(c, F.lit(i))
                 )
-                matched = matched.filter(cond)
-            matched = matched.persist()
-        try:
-            if matched is not None:
-                if when_matched_update:
-                    # cardinality guard: one target position, >1
-                    # condition-passing source row → nondeterministic
-                    dup = (
-                        matched.groupBy("__dwcs_uri", "__dwcs_pos")
-                        .count()
-                        .filter("count > 1")
-                        .limit(1)
-                        .count()
+            acted = (
+                base.withColumn("__dwcs_clause", idx)
+                .filter(F.col("__dwcs_clause").isNotNull())
+                .persist()
+            )
+            persisted.append(acted)
+            upd_idx = [i for i, (_c, a) in enumerate(clauses) if a is not None]
+            if upd_idx and guard_source_dups:
+                # cardinality guard (Delta's): one target position hit by
+                # >1 condition-passing source row under an UPDATE clause
+                # set → nondeterministic result. Delete-only merges stay
+                # tolerant (documented divergence: the DV records the
+                # position once regardless).
+                dup = (
+                    acted.groupBy("__dwcs_uri", "__dwcs_pos")
+                    .count()
+                    .filter("count > 1")
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        "ambiguous merge: multiple source rows match "
+                        "one target row under the merge conditions; "
+                        "deduplicate the source or tighten the clause "
+                        "conditions"
                     )
-                    if dup:
-                        raise ValueError(
-                            "ambiguous merge: multiple source rows match "
-                            "one target row under the merge condition; "
-                            "deduplicate the source or tighten "
-                            "match_condition"
+            # one clause per POSITION (first-match-wins across source
+            # rows too — min index; unique already wherever the guard ran)
+            pos_clause = (
+                acted.select("__dwcs_uri", "__dwcs_pos", "__dwcs_clause")
+                .groupBy("__dwcs_uri", "__dwcs_pos")
+                .agg(F.min("__dwcs_clause").alias("__dwcs_clause"))
+            )
+            counts = {
+                r["__dwcs_clause"]: r["n"]
+                for r in pos_clause.groupBy("__dwcs_clause")
+                .agg(F.count("*").alias("n"))
+                .collect()  # ≤ len(clauses) rows
+            }
+            if not counts:
+                return
+            pos_frames.append(pos_clause.select("__dwcs_uri", "__dwcs_pos"))
+            n_upd = sum(counts.get(i, 0) for i in upd_idx)
+            n_del = sum(n for i, n in counts.items() if i not in upd_idx)
+            n_updated += n_upd
+            n_deleted += n_del
+            if upd_idx and n_upd:
+                # per-column first-match CASE: clause i's assignment, or
+                # the target value for columns the clause leaves alone
+                out_cols = []
+                for c in cols:
+                    e = None
+                    for i in upd_idx:
+                        a = clauses[i][1]
+                        vcol = (
+                            _value_col(a[c], c)
+                            if c in a
+                            else F.col(f"t.{c}")
                         )
-                # distinct positions: a delete clause tolerates many
-                # source rows hitting one target row, but the DV (and
-                # its per-file accounting) must record the position
-                # once — duplicates would inflate dv_rows and could
-                # evict a file that still holds live rows
-                positions = matched.select(
-                    "__dwcs_uri", "__dwcs_pos"
-                ).dropDuplicates()
-                n_matched = positions.count()
-                if n_matched:
-                    dv_files, per_file = self._write_dv(positions)
-                    if when_matched_update:
-                        assigned = {
-                            c: (
-                                F.expr(v)
-                                if isinstance(v, str)
-                                else (v if isinstance(v, Column) else F.lit(v))
-                            )
-                            .cast(known[c])
-                            .alias(c)
-                            for c, v in when_matched_update.items()
-                        }
-                        frames.append(
-                            matched.select(
-                                *[
-                                    assigned.get(c, F.col(f"t.{c}").alias(c))
-                                    for c in cols
-                                ]
-                            )
+                        e = (
+                            F.when(F.col("__dwcs_clause") == i, vcol)
+                            if e is None
+                            else e.when(F.col("__dwcs_clause") == i, vcol)
                         )
-                        n_updated = n_matched
-                    else:
-                        n_deleted = n_matched
+                    out_cols.append(e.otherwise(F.col(f"t.{c}")).alias(c))
+                frames.append(
+                    acted.filter(
+                        F.col("__dwcs_clause").isin([int(i) for i in upd_idx])
+                    ).select(*out_cols)
+                )
+
+        try:
+            if matched_clauses:
+                join_cond = None
+                for k in key_cols:
+                    c = F.col(f"t.{k}") == F.col(f"s.{k}")
+                    join_cond = c if join_cond is None else (join_cond & c)
+                matched = t_scan.join(source_df.alias("s"), join_cond, "inner")
+                _apply_clauses(matched, matched_clauses, True)
+            if by_source_clauses:
+                # target rows NO source key matches (conditions see t.*
+                # only); positions are unique by construction — no guard
+                nms = t_scan.join(
+                    source_df.select(*key_cols).dropDuplicates(),
+                    on=key_cols,
+                    how="left_anti",
+                ).alias("t")
+                _apply_clauses(nms, by_source_clauses, False)
+            if pos_frames:
+                positions = pos_frames[0]
+                for pf in pos_frames[1:]:
+                    # matched and not-matched-by-source are disjoint row
+                    # sets, so a plain union never duplicates a position
+                    positions = positions.unionByName(pf)
+                dv_files, per_file = self._write_dv(positions)
             if when_not_matched_insert:
                 ins = source_df.join(
                     t_scan.select(*key_cols), on=key_cols, how="left_anti"
@@ -4371,7 +4506,7 @@ class ManagedTable:
                 out = frames[0]
                 for fdf in frames[1:]:
                     out = out.unionByName(fdf)
-                self._enforce_constraints(out, constraints, "merge")
+                out = self._enforce_constraints(out, constraints, "merge")
                 written = self._write_files(
                     out,
                     part_col,
@@ -4380,8 +4515,8 @@ class ManagedTable:
                     columns=columns,
                 )
         finally:
-            if matched is not None:
-                matched.unpersist()
+            for df_ in persisted:
+                df_.unpersist()
         return dv_files, per_file, written, (n_updated, n_deleted, n_inserted)
 
     def _affected_files_by_stats(
@@ -4633,8 +4768,9 @@ class ManagedTable:
         # line — including footer-stat harvesting — stays rename-proof).
         pmap = _phys_map(columns)
         if pmap:
-            df = df.withColumnsRenamed(
-                {l: p for l, p in pmap.items() if l in df.columns and l != p}
+            df = _project_rename(
+                df,
+                {l: p for l, p in pmap.items() if l in df.columns and l != p},
             )
         commit_id = uuid.uuid4().hex[:16]
         staging = self.root / "_staging" / commit_id
@@ -5420,6 +5556,82 @@ def _phys_map(columns: list | None) -> dict | None:
         c["name"]: c["physical"] for c in columns if not c.get("dropped")
     }
     return m if any(k != v for k, v in m.items()) else None
+
+
+def _normalize_merge_clauses(raw: list, arg: str) -> "list[tuple]":
+    """Normalize a user clause list (``{"condition": ..., "update":
+    {...}}`` / ``{"condition": ..., "delete": True}`` dicts) into the
+    internal ordered ``(condition, assignments-or-None)`` tuples,
+    rejecting malformed clauses loudly. An UNCONDITIONAL clause followed
+    by more clauses is dead code — rejected (Delta does the same)."""
+    out: list[tuple] = []
+    for i, cl in enumerate(raw):
+        if not isinstance(cl, dict):
+            raise ValueError(
+                f"{arg}[{i}] must be a dict with 'update' or 'delete'"
+            )
+        unknown = set(cl) - {"condition", "update", "delete"}
+        if unknown:
+            raise ValueError(f"{arg}[{i}] has unknown keys {sorted(unknown)}")
+        upd = cl.get("update")
+        dele = bool(cl.get("delete"))
+        if (upd is not None) == dele:
+            raise ValueError(
+                f"{arg}[{i}] needs exactly one of 'update' (assignment "
+                f"dict) or 'delete': True"
+            )
+        if upd is not None and (not isinstance(upd, dict) or not upd):
+            raise ValueError(
+                f"{arg}[{i}]['update'] must be a non-empty "
+                f"{{column: expression}} dict"
+            )
+        cond = cl.get("condition")
+        if cond is None and i < len(raw) - 1:
+            raise ValueError(
+                f"{arg}[{i}] is unconditional but not last — later "
+                f"clauses could never fire (first-match-wins)"
+            )
+        out.append((cond, dict(upd) if upd is not None else None))
+    return out
+
+
+def _validate_merge_assignments(
+    clauses: list, known: dict, key_cols: list
+) -> None:
+    """Shared assignment validation across every update clause: assigned
+    columns must exist and must not be merge keys."""
+    for cond_a in clauses:
+        assigns = cond_a[1]
+        if assigns is None:
+            continue
+        bad = sorted(set(assigns) - set(known))
+        if bad:
+            raise ValueError(f"merge() assigns unknown columns {bad}")
+        overlap = sorted(set(assigns) & set(key_cols))
+        if overlap:
+            raise ValueError(
+                f"merge() must not assign its key columns {overlap}"
+            )
+
+
+def _project_rename(df: DataFrame, renames: dict | None) -> DataFrame:
+    """Apply ``renames`` (old→new) as ONE simultaneous ``select``
+    projection, never ``withColumnsRenamed`` — Spark folds that dict
+    SEQUENTIALLY, so a mapping whose target name equals another source
+    column's current name cascades (physical cols ``[a, b]`` under
+    ``{a: b, b: c}`` became ``[c, c]``, silently duplicating one
+    column's data and losing the other's — the round-7 advisor repro).
+    A single select is order-independent by construction. Non-mapped
+    helper columns (``__dwcs_uri``/``__dwcs_pos``, ``_change_type``)
+    pass through in place."""
+    if not renames:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(renames[c]) if c in renames else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def _map_where(where: list | None, pmap: dict | None) -> list | None:

@@ -769,12 +769,12 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         table_fields = T.StructType.fromJson(_json.loads(schema_json)).fields
         if st.insert_columns is not None:
             names = st.insert_columns
-        elif [c.lower() for c in df.columns] == [
-            f.name.lower() for f in table_fields
-        ]:
-            names = [f.name for f in table_fields]  # named SELECT source
         else:
-            # SQL INSERT semantics: positional binding to the table order
+            # ANSI INSERT ... SELECT semantics: POSITIONAL binding to the
+            # table's column order, regardless of the source's own column
+            # names (Spark's INSERT INTO does the same; INSERT BY NAME is
+            # a distinct, unimplemented form — spell the column list out
+            # to bind by name)
             names = [f.name for f in table_fields]
         if len(df.columns) != len(names):
             raise SqlDmlError(

@@ -287,3 +287,110 @@ def test_storm_with_latency_and_lost_responses(tmp_path, faulty, monkeypatch):
     m = t.snapshot()
     assert m.total_rows == N * K  # zero lost, zero doubled
     assert m.version == N * K
+
+
+def test_identical_metadata_commits_disambiguated_by_nonce(
+    tmp_path, faulty, monkeypatch
+):
+    """Round-7 advisor finding: two racing METADATA-ONLY commits (here:
+    the same constraint drop attempted by two handles) can serialize
+    byte-identically when their wall-clock ts collide — payload-equality
+    recovery would then let BOTH writers claim the same landed record.
+    The per-writer nonce (injected at the _put_version CAS funnel) makes
+    every payload unique by construction: the second writer's lost-ack
+    recovery must see a DIFFERENT payload and take the conflict path."""
+    _no_posix_atomics(monkeypatch)
+    root = tmp_path / "t"
+    t1 = ManagedTable.create(None, root)
+    t1.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+
+    inner = faulty.inner
+    key = str(root / "_log" / f"{2:020d}.json")
+    real_cas = inner.put_if_absent
+    landed: list[str] = []
+
+    def racer_lands_twin(k, data):
+        if k == key and inner.get(k) is None:
+            # the racer is an independent writer whose record came out
+            # byte-identical EXCEPT the nonce (same wall-clock ts, same
+            # metadata-only diff — the pre-nonce ambiguity): its commit
+            # lands first, recording an empty diff at v2.
+            import json as _json
+
+            rec = _json.loads(data)
+            racer = dict(rec, add=[], remove=[], nonce="f" * 32)
+            landed.append(data)
+            real_cas(k, _json.dumps(racer, indent=1))
+            return real_cas(k, data)
+        return real_cas(k, data)
+
+    inner.put_if_absent = racer_lands_twin
+    faulty.lose_response_on = {faulty.cas_calls}
+    # our append's CAS for v2: the racer's near-twin record lands first,
+    # our ack is lost. Pre-nonce, two metadata-only twins compared EQUAL
+    # here and both writers claimed the same record; with the nonce the
+    # recovery read sees a different payload → conflict → clean rebase.
+    t1.append_pylist([{"writer": 1, "seq": 2}], SCHEMA)
+    m = ManagedTable(None, root).snapshot()
+    assert m.version == 3 and m.total_rows == 2  # exactly once, rebased
+    # and the nonce is what distinguished the records: modulo nonce (and
+    # the rebase's version/diff fields), the racer's v2 record mirrors
+    # our payload shape
+    import json as _json
+
+    v2 = _json.loads(inner.get(key))
+    ours = _json.loads(landed[0])
+    assert v2["nonce"] != ours["nonce"]
+    assert v2["ts"] == ours["ts"] and v2["op"] == ours["op"]
+
+
+def test_recovery_read_survives_transient_get_faults(
+    tmp_path, faulty, monkeypatch
+):
+    """Lost-ack CAS whose first recovery reads ALSO time out: the
+    protocol retries the read (bounded) instead of aborting a commit
+    whose write may have applied — aborting there reports failure for a
+    landed record, the exact ambiguity recovery exists to resolve."""
+    _no_posix_atomics(monkeypatch)
+    t = ManagedTable.create(None, tmp_path / "t")
+    key = str(tmp_path / "t" / "_log" / f"{1:020d}.json")
+    real_get = faulty.inner.get
+    fails = {"n": 2}
+
+    def flaky_get(k):
+        v = real_get(k)
+        if k == key and v is not None and fails["n"] > 0:
+            # the applied record is there, but THIS read times out —
+            # exactly the recovery reads following the lost-ack CAS
+            fails["n"] -= 1
+            raise cp.TransientStoreError("injected recovery-read fault")
+        return v
+
+    faulty.inner.get = flaky_get
+    faulty.lose_response_on = {faulty.cas_calls}
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    m = t.snapshot()
+    assert m.version == 1 and m.total_rows == 1  # exactly once
+    assert fails["n"] == 0  # both injected read faults were retried
+
+
+def test_recovery_read_persistent_outage_surfaces_unknown(
+    tmp_path, faulty, monkeypatch
+):
+    """If the recovery read NEVER succeeds the protocol must surface the
+    unknown outcome loudly (TransientStoreError), not guess a side."""
+    _no_posix_atomics(monkeypatch)
+    t = ManagedTable.create(None, tmp_path / "t")
+    key = str(tmp_path / "t" / "_log" / f"{1:020d}.json")
+    real_get = faulty.inner.get
+
+    def dead_get(k):
+        v = real_get(k)
+        if k == key and v is not None:
+            raise cp.TransientStoreError("injected recovery-read outage")
+        return v
+
+    faulty.inner.get = dead_get
+    faulty.lose_response_on = {faulty.cas_calls}
+    with pytest.raises(cp.TransientStoreError, match="UNKNOWN"):
+        t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)

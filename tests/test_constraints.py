@@ -109,21 +109,49 @@ def test_constraints_survive_checkpoint_and_bounded_paths(
     assert t._constraints_at() == {"v_nonneg": "v >= 0"}
 
 
-def test_declarative_writer_rejects_constrained_tables(spark, tmp_path):
+def test_declarative_writer_enforces_portable_constraints(spark, tmp_path):
+    """Round-7 item 1: portable CHECK constraints are PROVEN over the
+    staged bytes by the session-less commit hook (DuckDB over the exact
+    parquet the commit references) — a violating declarative write fails
+    atomically, a valid one lands."""
     from data_warehouse_copy_spark.sources.datasource import (
         ManagedTableDataSource,
     )
 
     spark.dataSource.register(ManagedTableDataSource)
     t = _mk(spark, str(tmp_path / "t"))
-    t.add_constraint("v_nonneg", "v >= 0")
-    df = spark.createDataFrame([(1, 1.0, "d")], "k int, v double, name string")
-    with pytest.raises(Exception, match="cannot enforce CHECK"):
+    t.add_constraint("v_nonneg", "v >= 0 AND length(name) > 0")
+    ok = spark.createDataFrame([(1, 1.0, "d")], "k int, v double, name string")
+    ok.write.format("managed_table").mode("append").save(str(tmp_path / "t"))
+    assert t.count() == 11
+    bad = spark.createDataFrame(
+        [(2, 2.0, "e"), (3, -1.0, "f")], "k int, v double, name string"
+    )
+    with pytest.raises(Exception, match="violates CHECK"):
+        bad.write.format("managed_table").mode("append").save(
+            str(tmp_path / "t")
+        )
+    assert t.count() == 11  # the violating write committed NOTHING
+
+
+def test_declarative_writer_rejects_nonportable_constraints(spark, tmp_path):
+    """A constraint OUTSIDE the portable ANSI subset (here: a regex)
+    cannot be proven session-lessly — the declarative write rejects
+    loudly at plan time, never silently skips enforcement."""
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableDataSource,
+    )
+
+    spark.dataSource.register(ManagedTableDataSource)
+    t = _mk(spark, str(tmp_path / "t"))
+    t.add_constraint("name_shape", "name rlike '^n[0-9]+$'")
+    df = spark.createDataFrame([(1, 1.0, "n1")], "k int, v double, name string")
+    with pytest.raises(Exception, match="portable ANSI subset"):
         df.write.format("managed_table").mode("append").save(
             str(tmp_path / "t")
         )
-    t.drop_constraint("v_nonneg")
-    df.write.format("managed_table").mode("append").save(str(tmp_path / "t"))
+    # the native session-backed path still enforces and accepts it
+    t.append(df)
     assert t.count() == 11
 
 
@@ -202,3 +230,41 @@ def test_constraint_commits_never_rebase(spark, tmp_path):
         t._commit_files(
             m_stale, tuple(m_stale.files) + new, None, "append"
         )
+
+
+def test_check_covers_exactly_the_written_rows(spark, tmp_path):
+    """Round-7 advisor finding: _enforce_constraints used to run as a
+    separate action BEFORE the write re-computed the incoming frame —
+    check-then-act. A non-deterministic source could pass the check and
+    then materialize DIFFERENT (violating) rows for the write. The fix
+    pins the frame (lazy localCheckpoint) so the validation aggregate
+    and the write read the same rows: here a source that yields valid
+    values on its FIRST evaluation and violating ones on any re-run
+    must land its first-evaluation rows (and only evaluate once)."""
+    t = _mk(spark, tmp_path / "t")
+    t.add_constraint("v_nonneg", "v >= 0")
+
+    marker = tmp_path / "evals"
+    marker.write_text("0")
+
+    def unstable(batches):
+        import pandas as pd
+
+        n = int(marker.read_text()) + 1
+        marker.write_text(str(n))
+        v = 5.0 if n == 1 else -5.0
+        for b in batches:
+            yield pd.DataFrame(
+                {"k": b["id"] + 100, "v": v, "name": "gen"}
+            )
+
+    src = (
+        spark.range(3, numPartitions=1)
+        .mapInPandas(unstable, "k long, v double, name string")
+        .selectExpr("cast(k as int) as k", "v", "name")
+    )
+    t.append(src)
+    got = t.read(where=[("k", ">=", 100)]).select("v").collect()
+    assert [r["v"] for r in got] == [5.0, 5.0, 5.0]
+    # and the source was evaluated exactly once (the pinned check)
+    assert marker.read_text() == "1"

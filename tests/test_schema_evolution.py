@@ -126,6 +126,61 @@ def test_rename_chain_keeps_physical(spark, tmp_path):
     assert t.read().agg(F.sum("c")).first()[0] == sum(range(20))
 
 
+def test_rename_rejects_physical_name_collision(spark, tmp_path):
+    """Round-7 advisor HIGH finding: cols (k, v); rename v→w; rename k→v
+    used to be accepted — logical 'v' then shadowed column v's physical
+    name, and the sequential withColumnsRenamed fold read back two
+    copies of one column with the other's data silently lost. The new
+    name must never collide with ANY live or tombstoned physical name
+    (except the renamed column's own, so rename-back stays legal)."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("v", "w")
+    with pytest.raises(ValueError, match="physical name"):
+        t.rename_column("k", "v")
+    # and the tombstoned case: drop a column, its physical stays reserved
+    t.drop_column("w")
+    with pytest.raises(ValueError, match="physical name"):
+        t.rename_column("k", "v")
+    # rename-back to a column's OWN physical name stays legal
+    t.rename_column("k", "tmp")
+    t.rename_column("tmp", "k")
+    assert t.read().agg(F.sum("k")).first()[0] == sum(range(20))
+
+
+def test_physical_logical_projection_is_simultaneous(spark, tmp_path):
+    """Even on a pre-guard table whose mapping already swaps names
+    (logical b ↦ physical a, logical c ↦ physical b), every scan path
+    must project physical→logical in ONE select, not a sequential
+    rename fold. Simulate such a table by editing the mapping record
+    the way the old code could produce it, then assert read() returns
+    each column's own data."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(
+        spark.range(5).selectExpr(
+            "cast(id as int) as a", "cast(id * 100 as int) as b"
+        )
+    )
+    m = t.snapshot()
+    cols = [
+        {"id": 1, "name": "b", "physical": "a"},
+        {"id": 2, "name": "c", "physical": "b"},
+    ]
+    st = T.StructType(
+        [
+            T.StructField("b", T.IntegerType(), True),
+            T.StructField("c", T.IntegerType(), True),
+        ]
+    )
+    t._commit_bounded(m.version, (), set(), "rename_column",
+                      schema_json=st.json(), columns=cols)
+    df = t.read()
+    assert df.columns == ["b", "c"]
+    rows = {r["b"]: r["c"] for r in df.collect()}
+    # logical b must carry physical a's values (0..4), logical c must
+    # carry physical b's (×100) — the folded rename returned [c, c]
+    assert rows == {i: i * 100 for i in range(5)}
+
+
 # ------------------------------------------------------------------- widen
 
 
