@@ -97,6 +97,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from pathlib import Path
 from typing import TYPE_CHECKING, Iterator
@@ -856,30 +857,102 @@ class ManagedTableStreamReader(DataSourceStreamReader):
 @dataclass
 class FileCommit(WriterCommitMessage):
     """One task's staged parquet file: relative path + rows + footer
-    min/max stats, i.e. exactly a manifest :class:`FileEntry` payload."""
+    min/max stats (+ the day-partition tag on partitioned tables), i.e.
+    exactly a manifest :class:`FileEntry` payload."""
 
     path: str | None  # None: the task received no rows and staged nothing
     rows: int
     stats: dict | None
+    partition: str | None = None
+
+
+@dataclass
+class MultiFileCommit(WriterCommitMessage):
+    """A task that staged one file PER DAY PARTITION (a declarative write
+    into a day-partitioned table — each task's rows may span days)."""
+
+    files: tuple  # tuple[FileCommit, ...]
+
+
+def _staged_files(messages) -> "list[FileCommit]":
+    """Flatten task commit messages to the staged files they carry
+    (skipping empty tasks), whichever message shape the task produced."""
+    out: list[FileCommit] = []
+    for m in messages:
+        if m is None:
+            continue
+        for fc in m.files if isinstance(m, MultiFileCommit) else (m,):
+            if fc.path is not None:
+                out.append(fc)
+    return out
+
+
+def _day_tags(batch, part_col: str):
+    """Per-row day-partition tags for ``batch``: the pyarrow twin of the
+    native writer's ``date_format(part_col, 'yyyy-MM-dd')`` (nulls stay
+    null → the Hive null partition). Timestamps are formatted as
+    delivered by Spark's Arrow conversion (session-timezone rendered),
+    so tags agree with the native ``ManagedTable.append`` in the same
+    session."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if part_col not in batch.schema.names:
+        raise ValueError(
+            f"day-partitioned write: the written dataframe lacks the "
+            f"partition column {part_col!r}"
+        )
+    col = batch.column(part_col)
+    if pa.types.is_date(col.type):
+        col = col.cast(pa.timestamp("us"))
+    elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        # ISO date/timestamp strings: the leading 10 chars ARE the day,
+        # matching Spark's implicit string→date cast in date_format
+        return pc.utf8_slice_codeunits(col, 0, 10)
+    elif not pa.types.is_timestamp(col.type):
+        raise ValueError(
+            f"day-partitioned write: partition column {part_col!r} has "
+            f"non-temporal type {col.type} — date/timestamp/ISO-string "
+            f"required"
+        )
+    return pc.strftime(col, format="%Y-%m-%d")
 
 
 def _stage_batches(
-    root: str, iterator, mapping: dict | None = None
-) -> FileCommit:
+    root: str,
+    iterator,
+    mapping: dict | None = None,
+    part_col: str | None = None,
+) -> "FileCommit | MultiFileCommit":
     """Executor-side half of the two-phase commit: write this task's Arrow
     batches as ONE parquet file under the table's data dir (a uuid name —
     no coordination needed), harvest footer stats, and hand the driver a
-    :class:`FileCommit`. The file is invisible until the driver's commit()
-    links it into the log, so a failed/duplicated task leaves only an
-    unreferenced orphan for vacuum()."""
+    :class:`FileCommit`. On a day-partitioned table (``part_col``, the
+    PHYSICAL partition column) the task splits each batch by day and
+    keeps one open writer per day seen — files stay partition-pure so
+    partition-pruned range overwrites keep working — and returns a
+    :class:`MultiFileCommit`. Files are invisible until the driver's
+    commit() links them into the log, so a failed/duplicated task leaves
+    only unreferenced orphans for vacuum()."""
     import uuid as _uuid
 
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    writer = None
-    rel = f"data/dsw-{_uuid.uuid4().hex}.snappy.parquet"
-    abs_path = Path(root) / rel
-    rows = 0
+    writers: dict = {}  # tag -> (writer, rel, rows)
+
+    def _writer_for(tag, schema):
+        if tag not in writers:
+            rel = f"data/dsw-{_uuid.uuid4().hex}.snappy.parquet"
+            abs_path = Path(root) / rel
+            abs_path.parent.mkdir(parents=True, exist_ok=True)
+            writers[tag] = [
+                pq.ParquetWriter(abs_path, schema, compression="snappy"),
+                rel,
+                0,
+            ]
+        return writers[tag]
+
     try:
         for batch in iterator:
             if batch.num_rows == 0:
@@ -890,63 +963,213 @@ def _stage_batches(
                 batch = batch.rename_columns(
                     [mapping.get(n, n) for n in batch.schema.names]
                 )
-            if writer is None:
-                abs_path.parent.mkdir(parents=True, exist_ok=True)
-                writer = pq.ParquetWriter(
-                    abs_path, batch.schema, compression="snappy"
+            if part_col is None:
+                slot = _writer_for(None, batch.schema)
+                slot[0].write_batch(batch)
+                slot[2] += batch.num_rows
+                continue
+            tags = _day_tags(batch, part_col)
+            for tv in pc.unique(tags).to_pylist():
+                mask = (
+                    pc.is_null(tags)
+                    if tv is None
+                    else pc.equal(tags, tv)
                 )
-            writer.write_batch(batch)
-            rows += batch.num_rows
+                sub = batch.filter(mask)
+                if sub.num_rows == 0:
+                    continue
+                slot = _writer_for(tv, sub.schema)
+                slot[0].write_batch(sub)
+                slot[2] += sub.num_rows
     finally:
-        if writer is not None:
-            writer.close()
-    if rows == 0:
-        return FileCommit(path=None, rows=0, stats=None)
+        for slot in writers.values():
+            slot[0].close()
     from data_warehouse_copy_spark.sources.managed_table import _harvest_stats
 
-    stats = _harvest_stats(pq.ParquetFile(abs_path).metadata)
-    return FileCommit(path=rel, rows=rows, stats=stats or None)
+    commits = []
+    for tag, (_w, rel, rows) in sorted(
+        writers.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
+        if rows == 0:
+            (Path(root) / rel).unlink(missing_ok=True)
+            continue
+        stats = _harvest_stats(pq.ParquetFile(Path(root) / rel).metadata)
+        commits.append(
+            FileCommit(path=rel, rows=rows, stats=stats or None, partition=tag)
+        )
+    if part_col is None:
+        return (
+            commits[0]
+            if commits
+            else FileCommit(path=None, rows=0, stats=None)
+        )
+    return MultiFileCommit(files=tuple(commits))
 
 
-def _check_writable(m, schema: T.StructType) -> None:
+def _table_part_col(t) -> str | None:
+    """The table's day-partition column (PHYSICAL name — the name staged
+    files carry), read session-lessly and boundedly: folded header past
+    the planning gate, snapshot below it. None for unpartitioned or
+    not-yet-existing tables."""
+    if not t.exists():
+        return None
+    b = t._bounded_ingest_base()
+    if b is not None and b[1] is not None:
+        return b[3]
+    return t.snapshot().partition_date_col
+
+
+def _check_writable(m, schema: T.StructType, partition_tagged: bool = False) -> None:
     """Writability preconditions shared by the authoritative commit-time
     check (under the table lock) and the fail-fast check in
     ``writer()``/``streamWriter()`` — the latter runs BEFORE executors
     stage a single file, so a doomed write fails in planning instead of
     staging the full payload and leaning on abort/vacuum cleanup."""
-    _check_writable_fields(m.partition_date_col, m.schema_json, schema)
+    _check_writable_fields(
+        m.partition_date_col, m.schema_json, schema, partition_tagged
+    )
 
 
-def _check_no_constraints(t) -> None:
-    """The declarative writer's commit hooks run SESSION-LESS (no Spark
-    jobs possible), so CHECK constraints — arbitrary Spark SQL boolean
-    expressions — cannot be evaluated there. Writes to constrained
-    tables are rejected at plan AND commit time with the workaround
-    named; silently skipping enforcement would make the declarative
-    path a constraint bypass."""
-    cons = t._constraints_at()
-    if cons:
+#: token shapes of the PORTABLE constraint subset (see below)
+_CONS_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,)
+    )""",
+    re.X,
+)
+
+#: functions whose semantics are IDENTICAL in Spark SQL and DuckDB for
+#: the types a CHECK constraint sees — deliberately tiny; anything not
+#: proven identical is rejected, never silently approximated
+_CONS_FUNCS = {
+    "abs", "length", "lower", "upper", "trim", "ltrim", "rtrim",
+    "coalesce", "nullif", "greatest", "least",
+}
+_CONS_KEYWORDS = {
+    "and", "or", "not", "is", "null", "in", "between", "like",
+    "true", "false",
+}
+
+
+def _constraint_portable(expr: str, columns: "set[str]") -> bool:
+    """Whether ``expr`` lies inside the conservative ANSI subset whose
+    evaluation is identical in Spark SQL (the authoritative dialect CHECK
+    constraints are recorded in) and DuckDB (what the session-less commit
+    hook can actually run): column refs, numeric/string literals,
+    comparison + arithmetic operators, AND/OR/NOT, IS [NOT] NULL,
+    IN (...), BETWEEN, LIKE, and the tiny :data:`_CONS_FUNCS` whitelist.
+    Every identifier must be a keyword, a whitelisted function call, or
+    one of ``columns`` (lowercased) — so dialect operators spelled as
+    bare words (``rlike``, ``div``, ``ilike``) and unknown functions all
+    fail closed. Everything else — casts, regexes, date functions,
+    subqueries — is NOT portable and keeps the loud rejection."""
+    cols_lower = {c.lower() for c in columns}
+    pos, toks = 0, []
+    while pos < len(expr):
+        m = _CONS_TOKEN.match(expr, pos)
+        if m is None:
+            return not expr[pos:].strip()
+        pos = m.end()
+        toks.append(m)
+    for i, m in enumerate(toks):
+        name = m.group("name")
+        if name is None:
+            continue
+        low = name.lower()
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        is_call = nxt is not None and nxt.group("op") == "("
+        if is_call:
+            if low not in _CONS_FUNCS:
+                return False  # unknown function: semantics unproven
+        elif low not in _CONS_KEYWORDS and low not in cols_lower:
+            return False  # bare word that is neither keyword nor column
+    return True
+
+
+def _enforce_staged_constraints(
+    rootp: Path, staged: list, constraints: dict | None,
+    mapping: dict | None, schema: T.StructType,
+) -> None:
+    """CHECK-constraint proof for the SESSION-LESS commit hooks: the
+    staged parquet files (exactly the bytes this commit will reference —
+    stronger than check-then-act on a recomputable frame) are validated
+    with DuckDB, one ``count WHERE NOT coalesce(expr, TRUE)`` per
+    constraint over a physical→logical projection. Only expressions the
+    :func:`_constraint_portable` gate admits run here; the writer()-time
+    check already rejected anything outside the subset, and this
+    re-checks under the table lock in case a non-portable constraint
+    landed between plan and commit. A violation raises BEFORE the log
+    commit, so the micro-batch/batch fails atomically (staged orphans
+    fall to vacuum) — never a silent constraint bypass."""
+    if not constraints or not staged:
+        return
+    cols = {f.name for f in schema.fields}
+    bad_exprs = {
+        n: e
+        for n, e in constraints.items()
+        if not _constraint_portable(e, cols)
+    }
+    if bad_exprs:
         raise ValueError(
             f"managed_table declarative writer cannot enforce CHECK "
-            f"constraint(s) {sorted(cons)} (session-less commit hook); "
-            f"write through ManagedTable.append/merge_by_key or a "
+            f"constraint(s) {sorted(bad_exprs)} — expression(s) outside "
+            f"the portable ANSI subset the session-less commit hook can "
+            f"prove; write through ManagedTable.append/merge_by_key or a "
             f"foreachBatch sink instead"
         )
+    import duckdb
+
+    proj = ", ".join(
+        f'"{(mapping or {}).get(f.name, f.name)}" AS "{f.name}"'
+        for f in schema.fields
+    )
+    paths = ", ".join(
+        "'" + str(rootp / fc.path).replace("'", "''") + "'" for fc in staged
+    )
+    con = duckdb.connect()
+    try:
+        for name in sorted(constraints):
+            expr = constraints[name]
+            n_bad = con.execute(
+                f"SELECT count(*) FROM (SELECT {proj} FROM "
+                f"read_parquet([{paths}])) WHERE NOT "
+                f"coalesce(({expr}), TRUE)"
+            ).fetchone()[0]
+            if n_bad:
+                raise ValueError(
+                    f"write violates CHECK constraint {name!r} "
+                    f"({expr}): {n_bad} row(s)"
+                )
+    finally:
+        con.close()
 
 
 def _check_writable_fields(
-    part_col: str | None, schema_json: str | None, schema: T.StructType
+    part_col: str | None,
+    schema_json: str | None,
+    schema: T.StructType,
+    partition_tagged: bool = False,
 ) -> None:
     """Field-level form of :func:`_check_writable` — the bounded commit
-    path has the folded header fields, never a full Manifest."""
-    if part_col:
+    path has the folded header fields, never a full Manifest.
+
+    ``partition_tagged``: the executors staged day-split files carrying
+    partition tags (the writer knew the partition column at plan time),
+    so a day-partitioned target is fine. Without tags — the table BECAME
+    partitioned between plan and commit — the write must still reject:
+    untagged files would be invisible to partition-pruned range
+    overwrites."""
+    if part_col and not partition_tagged:
         raise ValueError(
-            f"managed_table writer does not support day-partitioned "
-            f"tables (partition_date_col="
-            f"{part_col!r}): files written without a "
-            f"partition tag would be invisible to partition-pruned "
-            f"range overwrites. Use ManagedTable.append / a "
-            f"foreachBatch sink for partitioned tables."
+            f"managed_table writer: table is day-partitioned "
+            f"(partition_date_col={part_col!r}) but this write staged "
+            f"files without partition tags (the table was partitioned "
+            f"after the write was planned, or the writer predates "
+            f"partition staging); untagged files would be invisible to "
+            f"partition-pruned range overwrites — retry the write"
         )
     if schema_json:
         existing = T.StructType.fromJson(json.loads(schema_json))
@@ -968,25 +1191,32 @@ def _commit_staged(
     messages,
     op: str,
     txn: tuple | None = None,
+    staged_part_col: str | None = None,
 ) -> None:
     """Driver-side half: validate the write schema against the manifest,
-    then fold every staged file into ONE atomic log commit (O(files
-    touched) payload; optimistic rebase against concurrent writers; txn
-    watermark makes a retried micro-batch a no-op — files staged by the
-    retry stay unreferenced and fall to vacuum)."""
+    prove CHECK constraints over the staged bytes (session-less DuckDB —
+    see :func:`_enforce_staged_constraints`), then fold every staged file
+    into ONE atomic log commit (O(files touched) payload; optimistic
+    rebase against concurrent writers; txn watermark makes a retried
+    micro-batch a no-op — files staged by the retry stay unreferenced
+    and fall to vacuum). ``staged_part_col`` is the physical partition
+    column the executors day-split against (None = staged untagged)."""
     from data_warehouse_copy_spark.sources.managed_table import (
         FileEntry,
         ManagedTable,
         _lock_for,
+        _phys_map as _pm,
     )
 
     t = ManagedTable.create(None, root)  # no-op when the table exists
-    _check_no_constraints(t)
+    staged = _staged_files(messages)
     entries = tuple(
-        FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
-        for m in messages
-        if m is not None and m.path is not None
+        FileEntry(
+            path=fc.path, partition=fc.partition, rows=fc.rows, stats=fc.stats
+        )
+        for fc in staged
     )
+    rootp = Path(root)
     if op == "append" and not entries:
         # nothing staged (an empty micro-batch / empty frame): committing
         # an empty diff per trigger would churn the log for no data, and
@@ -1002,9 +1232,14 @@ def _commit_staged(
             # plus the O(1) remove_all marker), and the streamed
             # checkpoint cadence works without a SparkSession (pyarrow)
             head, schema_json, txns, part_col, _cl, _bl, columns, constraints = b
-            _check_writable_fields(part_col, schema_json, schema)
+            _check_writable_fields(
+                part_col, schema_json, schema, staged_part_col == part_col
+            )
             if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                 return  # retried micro-batch: already committed
+            _enforce_staged_constraints(
+                rootp, staged, constraints, _pm(columns), schema
+            )
             if op == "overwrite":
                 t._commit_bounded(
                     head, entries, set(), "overwrite", txn=txn,
@@ -1014,7 +1249,10 @@ def _commit_staged(
                 t._commit_bounded(head, entries, set(), "append", txn=txn)
             return
         m = t.snapshot()
-        _check_writable(m, schema)
+        _check_writable(m, schema, staged_part_col == m.partition_date_col)
+        _enforce_staged_constraints(
+            rootp, staged, m.constraints, _pm(m.columns), schema
+        )
         commit_schema = schema.json() if not m.schema_json else None
         if op == "overwrite":
             t._commit_files(m, entries, commit_schema, "overwrite", txn=txn)
@@ -1024,7 +1262,13 @@ def _commit_staged(
             )
 
 
-def _commit_merge(root: str, schema: T.StructType, messages, key: str) -> None:
+def _commit_merge(
+    root: str,
+    schema: T.StructType,
+    messages,
+    key: str,
+    staged_part_col: str | None = None,
+) -> None:
     """MERGE-by-key through the declarative writer (``.mode("append")
     .option("mergeKey", pk)``): the staged files ARE the source rows;
     target rows carrying a staged key are tombstoned via a deletion vector
@@ -1063,16 +1307,22 @@ def _commit_merge(root: str, schema: T.StructType, messages, key: str) -> None:
             f"({sorted(f.name for f in schema.fields)})"
         )
     t = ManagedTable.create(None, root)
-    _check_no_constraints(t)
     rootp = Path(root)
+    staged = _staged_files(messages)
     entries = tuple(
-        FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
-        for m in messages
-        if m is not None and m.path is not None
+        FileEntry(
+            path=fc.path, partition=fc.partition, rows=fc.rows, stats=fc.stats
+        )
+        for fc in staged
     )
     with _lock_for(t.root):
         m = t.snapshot()
-        _check_writable(m, schema)
+        _check_writable(m, schema, staged_part_col == m.partition_date_col)
+        from data_warehouse_copy_spark.sources.managed_table import _phys_map as _pm0
+
+        _enforce_staged_constraints(
+            rootp, staged, m.constraints, _pm0(m.columns), schema
+        )
         commit_schema = schema.json() if not m.schema_json else None
         # staged files and manifest stats both carry PHYSICAL names
         from data_warehouse_copy_spark.sources.managed_table import _phys_map as _pm
@@ -1209,7 +1459,11 @@ def _pd_where_mask(pdf, where: list) -> "np.ndarray":
 
 
 def _commit_replace_where(
-    root: str, schema: T.StructType, messages, where_opt: str
+    root: str,
+    schema: T.StructType,
+    messages,
+    where_opt: str,
+    staged_part_col: str | None = None,
 ) -> None:
     """Predicate-scoped atomic overwrite through the declarative writer
     (``.mode("overwrite").option("replaceWhere", '[[col, op, value],
@@ -1244,12 +1498,13 @@ def _commit_replace_where(
                 f"({sorted(known)})"
             )
     t = ManagedTable.create(None, root)
-    _check_no_constraints(t)
     rootp = Path(root)
+    staged = _staged_files(messages)
     entries = tuple(
-        FileEntry(path=m.path, partition=None, rows=m.rows, stats=m.stats)
-        for m in messages
-        if m is not None and m.path is not None
+        FileEntry(
+            path=fc.path, partition=fc.partition, rows=fc.rows, stats=fc.stats
+        )
+        for fc in staged
     )
     # staged files and target files both carry PHYSICAL column names
     where_phys = _map_where(where, _phys_map(t._columns_at())) or where
@@ -1276,7 +1531,12 @@ def _commit_replace_where(
             # checkpoint, O(batch) memory), the commit is an O(touched)
             # action diff — no full file list, no SparkSession
             head, schema_json, _txns, part_col, _cl, _bl, columns, constraints = b
-            _check_writable_fields(part_col, schema_json, schema)
+            _check_writable_fields(
+                part_col, schema_json, schema, staged_part_col == part_col
+            )
+            _enforce_staged_constraints(
+                rootp, staged, constraints, _phys_map(columns), schema
+            )
             _staged_satisfy(schema_json)
             planned = t._plan_distributed(
                 head, None, None, None, where, keep_stats=True
@@ -1301,7 +1561,10 @@ def _commit_replace_where(
                 )
                 return
         m = t.snapshot()
-        _check_writable(m, schema)
+        _check_writable(m, schema, staged_part_col == m.partition_date_col)
+        _enforce_staged_constraints(
+            rootp, staged, m.constraints, _phys_map(m.columns), schema
+        )
         commit_schema = schema.json() if not m.schema_json else None
         _staged_satisfy(m.schema_json)
         candidates = [
@@ -1329,17 +1592,21 @@ def _commit_replace_where(
 
 
 def _abort_staged(root: str, messages) -> None:
-    for msg in messages:
-        if msg is not None and msg.path is not None:
-            (Path(root) / msg.path).unlink(missing_ok=True)
+    for fc in _staged_files(messages):
+        (Path(root) / fc.path).unlink(missing_ok=True)
 
 
 class ManagedTableBatchWriter(DataSourceArrowWriter):
     """``df.write.format("managed_table").mode("append"|"overwrite")``:
     executors stage parquet files in parallel, the driver lands one atomic
     manifest commit — the Delta two-phase write protocol. Clustering is
-    not applied by this path (``compact()`` re-clusters); day-partitioned
-    tables are rejected (see :func:`_commit_staged`)."""
+    not applied by this path (``compact()`` re-clusters). Day-partitioned
+    tables work: each task day-splits its rows into partition-tagged
+    files (see :func:`_stage_batches`), so partition-pruned range
+    overwrites see declaratively-written data. CHECK-constrained tables
+    work when every constraint is inside the portable ANSI subset the
+    session-less commit hook can prove over the staged bytes (see
+    :func:`_enforce_staged_constraints`)."""
 
     def __init__(
         self,
@@ -1356,18 +1623,25 @@ class ManagedTableBatchWriter(DataSourceArrowWriter):
         self.replace_where = replace_where
         t = ManagedTable(None, root)
         self.mapping = _phys_map(t._columns_at()) if t.exists() else None
+        self.part_col = _table_part_col(t)
 
-    def write(self, iterator) -> FileCommit:
-        return _stage_batches(self.root, iterator, self.mapping)
+    def write(self, iterator):
+        return _stage_batches(
+            self.root, iterator, self.mapping, self.part_col
+        )
 
     def commit(self, messages) -> None:
         schema = T.StructType.fromJson(json.loads(self.schema_json))
         if self.merge_key:
-            _commit_merge(self.root, schema, messages, self.merge_key)
+            _commit_merge(
+                self.root, schema, messages, self.merge_key,
+                staged_part_col=self.part_col,
+            )
             return
         if self.replace_where:
             _commit_replace_where(
-                self.root, schema, messages, self.replace_where
+                self.root, schema, messages, self.replace_where,
+                staged_part_col=self.part_col,
             )
             return
         _commit_staged(
@@ -1375,6 +1649,7 @@ class ManagedTableBatchWriter(DataSourceArrowWriter):
             schema,
             messages,
             "overwrite" if self.overwrite else "append",
+            staged_part_col=self.part_col,
         )
 
     def abort(self, messages) -> None:
@@ -1409,9 +1684,12 @@ class ManagedTableStreamWriter(DataSourceStreamArrowWriter):
         self.overwrite = overwrite
         t = ManagedTable(None, root)
         self.mapping = _phys_map(t._columns_at()) if t.exists() else None
+        self.part_col = _table_part_col(t)
 
-    def write(self, iterator) -> FileCommit:
-        return _stage_batches(self.root, iterator, self.mapping)
+    def write(self, iterator):
+        return _stage_batches(
+            self.root, iterator, self.mapping, self.part_col
+        )
 
     def commit(self, messages, batchId: int) -> None:
         _commit_staged(
@@ -1420,6 +1698,7 @@ class ManagedTableStreamWriter(DataSourceStreamArrowWriter):
             messages,
             "overwrite" if self.overwrite else "append",
             txn=(self.app_id, batchId),
+            staged_part_col=self.part_col,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -1583,16 +1862,31 @@ class ManagedTableDataSource(DataSource):
 
     def _fail_fast_writable(self, schema: T.StructType) -> None:
         # Same checks _commit_staged enforces under the lock, run at plan
-        # time: a day-partitioned target or schema mismatch must not cost
-        # a cluster-wide staging pass first. Commit-time remains
+        # time: a schema mismatch or a non-portable CHECK constraint must
+        # not cost a cluster-wide staging pass first. Commit-time remains
         # authoritative (a racing evolution can land in between); a table
-        # that does not exist yet is created by the commit.
+        # that does not exist yet is created by the commit. Partitioned
+        # targets pass: the writer stages day-split, partition-tagged
+        # files (see _stage_batches).
         from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
         t = ManagedTable(None, self._root())
         if t.exists():
-            _check_writable(t.snapshot(), schema)
-            _check_no_constraints(t)
+            _check_writable(t.snapshot(), schema, partition_tagged=True)
+            bad = {
+                n: e
+                for n, e in (t._constraints_at() or {}).items()
+                if not _constraint_portable(e, {f.name for f in schema.fields})
+            }
+            if bad:
+                raise ValueError(
+                    f"managed_table declarative writer cannot enforce "
+                    f"CHECK constraint(s) {sorted(bad)} — expression(s) "
+                    f"outside the portable ANSI subset the session-less "
+                    f"commit hook can prove; write through "
+                    f"ManagedTable.append/merge_by_key or a foreachBatch "
+                    f"sink instead"
+                )
 
     def writer(self, schema: T.StructType, overwrite: bool) -> ManagedTableBatchWriter:
         self._fail_fast_writable(schema)

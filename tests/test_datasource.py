@@ -333,12 +333,81 @@ def test_batch_write_schema_mismatch_rejected(spark, tmp_path):
     assert ManagedTable(spark, root).read().count() == 5
 
 
-def test_batch_write_partitioned_table_rejected(spark, tmp_path):
-    ManagedTable.create(spark, tmp_path / "t", partition_date_col="d")
-    with pytest.raises(Exception, match="day-partitioned"):
-        spark.sql("SELECT DATE'2024-01-01' AS d, 1 AS v").write.format(
-            "managed_table"
-        ).mode("append").save(str(tmp_path / "t"))
+def test_batch_write_partitioned_table_day_splits(spark, tmp_path):
+    """Round-7 item 1: the declarative writer stages DAY-SPLIT,
+    partition-tagged files on a day-partitioned table — the same files
+    a native append produces — so partition-pruned reads and range
+    overwrites see declaratively-written data."""
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root, partition_date_col="d")
+    df = spark.sql(
+        "SELECT DATE'2024-01-01' + CAST(id % 3 AS INT) AS d, id AS v "
+        "FROM range(30)"
+    )
+    df.write.format("managed_table").mode("append").save(root)
+    m = t.snapshot()
+    assert m.total_rows == 30
+    # every file is partition-pure and tagged with its day
+    tags = sorted({f.partition for f in m.files})
+    assert tags == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # partition-pruned read sees exactly one day
+    got = t.read(partitions={"2024-01-02"})
+    assert got.count() == 10
+    assert got.select("d").distinct().first()[0].isoformat() == "2024-01-02"
+    # and a partition-pruned range overwrite REPLACES the day's rows —
+    # the exact operation untagged files would have been invisible to
+    repl = spark.sql(
+        "SELECT DATE'2024-01-02' AS d, CAST(-1 AS BIGINT) AS v FROM range(2)"
+    )
+    t.overwrite_range(repl, "2024-01-02", "2024-01-02", date_column="d")
+    assert t.count() == 22
+    assert t.read(partitions={"2024-01-02"}).count() == 2
+
+
+def test_batch_write_partitioned_null_day(spark, tmp_path):
+    """NULL partition values land in the null partition (partition=None),
+    matching the native writer's Hive-null handling."""
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root, partition_date_col="d")
+    spark.sql(
+        "SELECT IF(id < 3, DATE'2024-05-05', NULL) AS d, id AS v "
+        "FROM range(5)"
+    ).write.format("managed_table").mode("append").save(root)
+    m = t.snapshot()
+    per_part: dict = {}
+    for f in m.files:  # one file per (task, day) — compact() merges later
+        per_part[f.partition] = per_part.get(f.partition, 0) + f.rows
+    assert per_part == {None: 2, "2024-05-05": 3}
+    assert t.count() == 5
+
+
+def test_stream_write_partitioned_fact(spark, tmp_path):
+    """writeStream.format('managed_table') into a day-partitioned fact —
+    the canonical layout of this design — exactly-once with tagged
+    files (round-7 'Next round' item 1's streaming half)."""
+    src = _mk(spark, tmp_path, n=6)
+    sink_root = str(tmp_path / "fact")
+    ManagedTable.create(spark, sink_root, partition_date_col="d")
+    q = (
+        spark.readStream.format("managed_table")
+        .load(str(src.root))
+        .selectExpr("DATE'2024-03-01' + CAST(id % 2 AS INT) AS d", "v")
+        .writeStream.format("managed_table")
+        .option("txnAppId", "q-part")
+        .option("path", sink_root)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sk = ManagedTable(spark, sink_root)
+    assert sk.count() == 6
+    assert {f.partition for f in sk.snapshot().files} == {
+        "2024-03-01", "2024-03-02"
+    }
+    assert sk.read(partitions={"2024-03-02"}).count() == 3
 
 
 def test_stream_sink_exactly_once_and_retry_noop(spark, tmp_path):
