@@ -4392,6 +4392,78 @@ WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
 """
 
 
+def catalog_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-clause SQL MERGE through the named catalog (round-7 item 2):
+    two conditional WHEN MATCHED clauses (first-match-wins, Delta
+    semantics), INSERT *, and a WHEN NOT MATCHED BY SOURCE update —
+    one statement, ONE atomic merge-on-read commit (matched/by-source
+    positions tombstone via a deletion vector; only rewritten + inserted
+    rows land as new files). The source is a second ManagedTable derived
+    from orders: every 5th key, price shifted +1000 (so the oracle can
+    tell s-values from t-values), every 25th key displaced to a fresh
+    key (the INSERT arm). The DuckDB oracle restates the converged table
+    as a LEFT JOIN + CASE projection plus a NOT EXISTS union — covering
+    parser, clause routing, cardinality-guarded update, DV write and
+    read-side subtraction end-to-end, value-exact."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_sqlmerge_")
+    t = ManagedTable.create(spark, f"{tmp}/orders", cluster_col="o_orderkey")
+    t.append(orders)
+    s = ManagedTable.create(spark, f"{tmp}/src")
+    s.append(
+        orders.filter("o_orderkey % 5 = 0").selectExpr(
+            "o_orderkey + CASE WHEN o_orderkey % 25 = 0 "
+            "THEN 100000000 ELSE 0 END AS o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice + 1000.0 AS o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_m_orders", f"{tmp}/orders")
+    cat.register("global_temp.dwcs_m_src", f"{tmp}/src")
+    cat.sql(
+        spark,
+        "MERGE INTO global_temp.dwcs_m_orders t "
+        "USING global_temp.dwcs_m_src s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND s.o_totalprice < 30000.0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2 "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P' "
+        "THEN UPDATE SET o_orderpriority = '9-REMERGED'",
+    )
+    return t.read()
+
+
+CATALOG_SQL_MERGE_SQL = """
+WITH src AS (
+  SELECT o_orderkey + CASE WHEN o_orderkey % 25 = 0
+                           THEN 100000000 ELSE 0 END AS o_orderkey,
+         o_custkey, o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice * 2
+            ELSE t.o_totalprice END AS o_totalprice,
+       t.o_orderdate,
+       CASE WHEN s.o_orderkey IS NULL AND t.o_orderstatus = 'P'
+            THEN '9-REMERGED' ELSE t.o_orderpriority END AS o_orderpriority
+FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE s.o_orderkey IS NULL OR s.o_totalprice >= 30000.0
+UNION ALL
+SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+       s.o_orderdate, s.o_orderpriority
+FROM src s
+WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = s.o_orderkey)
+"""
+
 
 DATASOURCE_UPSERT_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -5050,6 +5122,7 @@ QUERIES: dict[str, QueryFn] = {
     "projection_scan_roundtrip": projection_scan_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "catalog_sql_dml": catalog_sql_dml,
+    "catalog_sql_merge": catalog_sql_merge,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -5172,6 +5245,7 @@ ORACLES: dict[str, str] = {
     "projection_scan_roundtrip": PROJECTION_SCAN_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
+    "catalog_sql_merge": CATALOG_SQL_MERGE_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -27,8 +27,13 @@ Supported grammar (case-insensitive keywords)::
         -- <expr> is any Spark SQL scalar expression over the row
     MERGE INTO db.tbl [AS] t USING (db2.tbl2 | (<subquery>)) [AS] s
         ON t.k = s.k [AND t.k2 = s.k2]...
-        [WHEN MATCHED [AND <cond>] THEN (UPDATE SET col = <expr>, ... | DELETE)]
-        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN MATCHED [AND <cond>] THEN (UPDATE SET col = <expr>, ... | DELETE)]...
+        [WHEN NOT MATCHED [BY TARGET] THEN INSERT *]
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+            (UPDATE SET col = <expr>, ... | DELETE)]...
+        -- multiple conditional WHEN MATCHED / BY SOURCE clauses are
+        -- first-match-wins per row (Delta semantics); an unconditional
+        -- clause must come last
 
     VACUUM db.tbl [RETAIN n HOURS]
         -- reap unreferenced files (Delta syntax; default 168h retention)
@@ -96,6 +101,7 @@ _KEYWORDS = {
     "data", "describe", "history", "limit",
     "vacuum", "retain", "hours", "optimize", "zorder", "by", "restore",
     "version", "of", "constraint", "check", "detail", "show", "tables",
+    "source", "target",
 }
 
 
@@ -139,9 +145,10 @@ class DmlStatement:
     source: str | None = None          # catalog name of the source, or
     source_query: str | None = None    # ... a subquery text
     on: "list[str]" = field(default_factory=list)
-    match_condition: str | None = None
-    when_matched_update: "dict[str, str] | None" = None
-    when_matched_delete: bool = False
+    # ordered clause dicts ({"condition": str|None, "update": {...}} or
+    # {"condition": str|None, "delete": True}) — the merge() shapes
+    matched_clauses: "list[dict]" = field(default_factory=list)
+    by_source_clauses: "list[dict]" = field(default_factory=list)
     when_not_matched_insert: bool = False
     # alter fields (kind == "alter")
     alter_op: str | None = None        # rename | widen | drop | add
@@ -551,33 +558,68 @@ class _Parser:
         aliases = {tgt_alias: "t", src_alias: "s"}
         self._expect_kw("on")
         st.on = self._merge_on(tgt_alias, src_alias)
+        def action_clause(cond: "str | None") -> dict:
+            kw2 = self._expect_kw("update", "delete")
+            if kw2 == "update":
+                self._expect_kw("set")
+                return {
+                    "condition": cond,
+                    "update": self._assignments({"when"}, aliases),
+                }
+            return {"condition": cond, "delete": True}
+
         while self._at_kw("when"):
             self._take()
             kw = self._expect_kw("matched", "not")
             if kw == "matched":
+                cond = None
                 if self._at_kw("and"):
                     self._take()
-                    st.match_condition = self._expr_text({"then"}, aliases)
+                    cond = self._expr_text({"then"}, aliases)
                 self._expect_kw("then")
-                kw2 = self._expect_kw("update", "delete")
-                if kw2 == "update":
-                    self._expect_kw("set")
-                    st.when_matched_update = self._assignments(
-                        {"when"}, aliases
-                    )
-                else:
-                    st.when_matched_delete = True
+                st.matched_clauses.append(action_clause(cond))
             else:
                 self._expect_kw("matched")
+                if self._at_kw("by"):
+                    self._take()
+                    side = self._expect_kw("source", "target")
+                    if side == "source":
+                        cond = None
+                        if self._at_kw("and"):
+                            self._take()
+                            cond = self._expr_text({"then"}, aliases)
+                        self._expect_kw("then")
+                        st.by_source_clauses.append(action_clause(cond))
+                        continue
+                    # BY TARGET = the plain NOT MATCHED insert form
                 self._expect_kw("then")
                 self._expect_kw("insert")
                 self._expect_punct("*")
+                if st.when_not_matched_insert:
+                    raise SqlDmlError(
+                        "one WHEN NOT MATCHED ... INSERT clause per "
+                        "statement (INSERT * has no condition to "
+                        "disambiguate a second one)"
+                    )
                 st.when_not_matched_insert = True
         self._done()
-        if st.when_matched_update and st.when_matched_delete:
-            raise SqlDmlError(
-                "one WHEN MATCHED clause per statement (UPDATE or DELETE)"
-            )
+        for clauses, label in (
+            (st.matched_clauses, "WHEN MATCHED"),
+            (st.by_source_clauses, "WHEN NOT MATCHED BY SOURCE"),
+        ):
+            for i, cl in enumerate(clauses):
+                if cl["condition"] is None and i < len(clauses) - 1:
+                    raise SqlDmlError(
+                        f"unconditional {label} clause must be last — "
+                        f"later clauses could never fire "
+                        f"(first-match-wins)"
+                    )
+        if not (
+            st.matched_clauses
+            or st.by_source_clauses
+            or st.when_not_matched_insert
+        ):
+            raise SqlDmlError("MERGE with no WHEN clauses would be a no-op")
         return st
 
     def _merge_on(self, tgt_alias: str, src_alias: str) -> list[str]:
@@ -853,9 +895,8 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     res = t.merge(
         source_df,
         on=st.on,
-        when_matched_update=st.when_matched_update,
-        when_matched_delete=st.when_matched_delete,
-        match_condition=st.match_condition,
+        when_matched=st.matched_clauses or None,
+        when_not_matched_by_source=st.by_source_clauses or None,
         when_not_matched_insert=st.when_not_matched_insert,
     )
     return _summary(

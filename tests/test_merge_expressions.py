@@ -248,3 +248,145 @@ def test_bounded_expression_merge_matches_classic(spark, tmp_path, monkeypatch):
     assert all("files" not in r for r in raws)
     assert any(r["op"] == "merge" for r in raws)
     assert any(r["op"] == "merge_noop" for r in raws)
+
+
+# ------------------------------------------------- full clause surface (r7 item 2)
+
+
+def test_multi_clause_first_match_wins(spark, tmp_path):
+    """Two conditional WHEN MATCHED clauses: a row passing both is acted
+    on by the FIRST only (Delta semantics)."""
+    t = _mk(spark, tmp_path / "t")  # k 0..19, a = 10k, b = k%3
+    src = spark.createDataFrame(
+        [(3, -1), (5, 7), (7, -2)], "k long, sv long"
+    )
+    res = t.merge(
+        src,
+        on="k",
+        when_matched=[
+            {"condition": "s.sv < 0", "delete": True},
+            {"condition": None, "update": {"a": "s.sv * 100"}},
+        ],
+        when_not_matched_insert=False,
+    )
+    assert res == {"updated": 1, "deleted": 2, "inserted": 0}
+    got = _rows(t)
+    assert 3 not in got and 7 not in got        # clause 0 (delete) won
+    assert got[5] == (700, 2)                   # clause 1 updated, b kept
+    assert len(got) == 18
+
+
+def test_not_matched_by_source_update_and_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10)
+    src = spark.createDataFrame([(0,), (1,), (2,)], "k long")
+    res = t.merge(
+        src,
+        on="k",
+        when_matched=[{"condition": None, "update": {"a": "t.a + 1"}}],
+        when_not_matched_by_source=[
+            {"condition": "t.k >= 8", "delete": True},
+            {"condition": "t.b = 1", "update": {"a": "-5"}},
+        ],
+        when_not_matched_insert=False,
+    )
+    # matched: k 0,1,2 → a+1; by source: k 8,9 deleted; k 4,7 (b==1,
+    # k<8, unmatched) → a=-5; k 3,5,6 untouched
+    assert res == {"updated": 5, "deleted": 2, "inserted": 0}
+    got = _rows(t)
+    assert got[0] == (1, 0) and got[1] == (11, 1) and got[2] == (21, 2)
+    assert 8 not in got and 9 not in got
+    assert got[4] == (-5, 1) and got[7] == (-5, 1)
+    assert got[3] == (30, 0) and got[5] == (50, 2) and got[6] == (60, 0)
+    assert len(got) == 8
+
+
+def test_by_source_is_one_atomic_commit_and_cdc_shape(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=6)
+    v0 = t.snapshot().version
+    src = spark.createDataFrame([(0,), (99,)], "k long")
+    t.merge(
+        src,
+        on="k",
+        when_matched=[{"condition": None, "delete": True}],
+        when_not_matched_by_source=[
+            {"condition": "t.k = 5", "update": {"a": "0"}}
+        ],
+        when_not_matched_insert=False,
+    )
+    assert t.snapshot().version == v0 + 1
+    # the DV recorded each position once: deleted + updated rows distinct
+    assert t.count() == 5 and _rows(t)[5] == (0, 2)
+
+
+def test_clause_validation_rejects_malformed(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=5)
+    src = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="exactly one of"):
+        t.merge(src, on="k", when_matched=[{"condition": "1=1"}])
+    with pytest.raises(ValueError, match="exactly one of"):
+        t.merge(
+            src, on="k",
+            when_matched=[{"update": {"a": "1"}, "delete": True}],
+        )
+    with pytest.raises(ValueError, match="not last"):
+        t.merge(
+            src, on="k",
+            when_matched=[
+                {"delete": True},
+                {"condition": "s.k > 0", "update": {"a": "1"}},
+            ],
+        )
+    with pytest.raises(ValueError, match="not both"):
+        t.merge(
+            src, on="k",
+            when_matched=[{"delete": True}],
+            when_matched_delete=True,
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge(
+            src, on="k",
+            when_matched=[{"update": {"zz": "1"}}],
+            when_not_matched_insert=False,
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge(
+            src, on="k",
+            when_not_matched_by_source=[{"update": {"k": "1"}}],
+            when_not_matched_insert=False,
+        )
+
+
+def test_multi_clause_cardinality_guard(spark, tmp_path):
+    """Two source rows hitting one target row under an update clause set
+    stay ambiguous — the guard fires across clause routing too."""
+    t = _mk(spark, tmp_path / "t", n=5)
+    src = spark.createDataFrame([(1, 5), (1, 9)], "k long, sv long")
+    with pytest.raises(ValueError, match="ambiguous merge"):
+        t.merge(
+            src, on="k",
+            when_matched=[
+                {"condition": "s.sv > 6", "delete": True},
+                {"condition": None, "update": {"a": "s.sv"}},
+            ],
+            when_not_matched_insert=False,
+        )
+
+
+def test_legacy_single_clause_args_unchanged(spark, tmp_path):
+    """The legacy argument form is exactly a one-clause list — identical
+    result, byte-for-byte."""
+    t1 = _mk(spark, tmp_path / "t1")
+    t2 = _mk(spark, tmp_path / "t2")
+    src = spark.createDataFrame([(3, 42), (99, 7)], "k long, a long")
+    src_full = src.withColumn("b", F.lit(0))
+    r1 = t1.merge(
+        src_full, on="k",
+        when_matched_update={"a": "s.a"},
+        match_condition="s.a > 10",
+    )
+    r2 = t2.merge(
+        src_full, on="k",
+        when_matched=[{"condition": "s.a > 10", "update": {"a": "s.a"}}],
+    )
+    assert r1 == r2 == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert _rows(t1) == _rows(t2)

@@ -154,9 +154,43 @@ def test_sql_dml_parser_units():
         "WHEN NOT MATCHED THEN INSERT *"
     )
     assert st.kind == "merge" and st.on == ["k"] and st.source == "db.src"
-    assert st.match_condition == "s.v > t.v"       # aliases normalized
-    assert st.when_matched_update == {"v": "s.v + 1"}
+    assert st.matched_clauses == [
+        {"condition": "s.v > t.v", "update": {"v": "s.v + 1"}}
+    ]  # aliases normalized
     assert st.when_not_matched_insert is True
+    # full clause surface: multiple WHEN MATCHED + NOT MATCHED BY SOURCE
+    st = parse_dml(
+        "MERGE INTO db.t t USING db.src s ON t.k = s.k "
+        "WHEN MATCHED AND s.v < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.v > 100 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
+    )
+    assert st.matched_clauses == [
+        {"condition": "s.v < 0", "delete": True},
+        {"condition": None, "update": {"v": "s.v"}},
+    ]
+    assert st.by_source_clauses == [
+        {"condition": "t.v > 100", "delete": True},
+        {"condition": None, "update": {"v": "0"}},
+    ]
+    assert st.when_not_matched_insert is True
+    # first-match-wins ordering: unconditional clause must come LAST
+    with pytest.raises(SqlDmlError, match="must be last"):
+        parse_dml(
+            "MERGE INTO db.t t USING db.s s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(SqlDmlError, match="no WHEN clauses"):
+        parse_dml("MERGE INTO db.t t USING db.s s ON t.k = s.k")
+    with pytest.raises(SqlDmlError, match="INSERT"):
+        parse_dml(
+            "MERGE INTO db.t t USING db.s s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
     # SELECTs are not DML: pass through
     assert parse_dml("SELECT * FROM db.t") is None
     assert parse_dml("  with x as (select 1) select * from x") is None
@@ -234,6 +268,47 @@ def test_sql_dml_truncate_and_merge(spark, tmp_path, cat):
     assert res[0].rows_affected == 111
     assert t.count() == 0
     assert t.read().columns == ["k", "v"]
+
+
+def test_sql_merge_full_clause_surface(spark, tmp_path, cat):
+    """Round-7 item 2 end-to-end: a MERGE with two conditional WHEN
+    MATCHED clauses (first-match-wins), INSERT *, and WHEN NOT MATCHED
+    BY SOURCE UPDATE/DELETE converges the table in ONE atomic commit."""
+    c, t = cat  # orders: k 0..99, v = k % 3
+    src = ManagedTable.create(spark, tmp_path / "src2")
+    src.append(
+        spark.range(95, 105).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2 - 1).cast("long").alias("v"),  # odd k → v=0, even → v=-1
+        )
+    )
+    c.register("global_temp.src2", tmp_path / "src2")
+    v0 = t.snapshot().version
+    res = c.sql(
+        spark,
+        "MERGE INTO global_temp.orders t USING global_temp.src2 s "
+        "ON t.k = s.k "
+        "WHEN MATCHED AND s.v < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + 10 "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND t.v = 2 THEN UPDATE SET v = 99",
+    ).collect()
+    assert res[0].operation == "MERGE"
+    assert t.snapshot().version == v0 + 1  # ONE atomic commit
+    got = {r.k: r.v for r in t.read().collect()}
+    # matched k 95..99: even k (96, 98) had s.v=-1 → deleted (clause 1
+    # fires first); odd k (95, 97, 99) s.v=0 → updated to 10
+    assert 96 not in got and 98 not in got
+    assert got[95] == 10 and got[97] == 10 and got[99] == 10
+    # not matched (k 100..104) inserted with source v
+    assert got[100] == -1 and got[101] == 0
+    # not matched by source: k 0..2 deleted; remaining v==2 rows → 99
+    assert 0 not in got and 1 not in got and 2 not in got
+    assert got[5] == 99 and got[8] == 99  # k%3==2, k>=3, unmatched
+    assert got[4] == 1 and got[3] == 0    # untouched by every clause
+    # 100 start − 2 matched-deleted − 3 by-source-deleted + 5 inserted
+    assert len(got) == 100
 
 
 def test_sql_insert_into(spark, cat):
