@@ -4465,6 +4465,41 @@ WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = s.o_orderkey)
 """
 
 
+def catalog_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel through the catalog (round-7 item 6): orders land
+    (v1), a DELETE removes every 'F' row (v2), and a pure-SQL SELECT
+    with ``VERSION AS OF 1`` reads the deleted rows back — the audit
+    query Delta users write after a bad DML. The front-end rewrites the
+    travel reference into a version-pinned managed_table view (Spark's
+    native AS OF can't reach a Python DS — sources/sql_dml.py). Oracle:
+    the same projection over raw orders, value-exact; rows the head no
+    longer has MUST appear, proving the read is the pre-DML snapshot."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_sqltt_")
+    t = ManagedTable.create(spark, f"{tmp}/orders", cluster_col="o_orderkey")
+    t.append(orders)  # v1
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_tt_orders", f"{tmp}/orders")
+    cat.sql(
+        spark,
+        "DELETE FROM global_temp.dwcs_tt_orders WHERE o_orderstatus = 'F'",
+    )  # v2: the head loses every 'F' row
+    return cat.sql(
+        spark,
+        "SELECT o_orderkey, o_totalprice, o_orderpriority "
+        "FROM global_temp.dwcs_tt_orders VERSION AS OF 1 "
+        "WHERE o_orderstatus = 'F'",
+    )
+
+
+CATALOG_SQL_TIME_TRAVEL_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 DATASOURCE_UPSERT_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderdate >= TIMESTAMP '{M_FROM}'
@@ -5123,6 +5158,7 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_named_sql": catalog_named_sql,
     "catalog_sql_dml": catalog_sql_dml,
     "catalog_sql_merge": catalog_sql_merge,
+    "catalog_sql_time_travel": catalog_sql_time_travel,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -5246,6 +5282,7 @@ ORACLES: dict[str, str] = {
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
     "catalog_sql_merge": CATALOG_SQL_MERGE_SQL,
+    "catalog_sql_time_travel": CATALOG_SQL_TIME_TRAVEL_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -668,6 +668,64 @@ def parse_dml(sql: str) -> "DmlStatement | None":
     return _Parser(sql).parse()
 
 
+_TT_RE = re.compile(
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_$]*\.[A-Za-z_][A-Za-z0-9_$]*)\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_time_travel(spark: SparkSession, catalog, sql: str) -> str:
+    """SQL time travel through the catalog (round-7 item 6): rewrite
+    ``db.t VERSION AS OF n`` / ``db.t TIMESTAMP AS OF 'ts'`` over
+    REGISTERED names into uniquely-named temp views pinned at that
+    version (``spark.read.format('managed_table').option(...)``), so
+    auditors query history in pure SQL — the Delta SELECT surface.
+    Spark's native ``AS OF`` cannot reach a Python Data Source view (the
+    same JVM-DSv2 boundary as row-level DML), hence the rewrite.
+    Conservative: names not in the catalog pass through untouched (Spark
+    raises its own error), and spans inside single-quoted string
+    literals are never rewritten. Each call pins fresh views — two
+    travels to different versions in one query coexist."""
+    known = set(catalog.names())
+
+    def sub(m):
+        name = m.group("name")
+        if name not in known:
+            return m.group(0)
+        from data_warehouse_copy_spark.sources.datasource import register
+
+        register(spark)
+        import uuid as _uuid
+
+        reader = spark.read.format("managed_table")
+        if m.group("v") is not None:
+            reader = reader.option("versionAsOf", m.group("v"))
+        else:
+            reader = reader.option("timestampAsOf", m.group("ts"))
+        view = f"dwcs_tt_{_uuid.uuid4().hex[:12]}"
+        reader.load(catalog.root_of(name)).createOrReplaceTempView(view)
+        return view
+
+    # protect string literals by SPAN, not by splitting: the timestamp
+    # form's own quoted literal is part of the match, so a split would
+    # sever it. A match is rewritten only when its START lies outside
+    # every string span (its trailing 'ts' literal may lie inside one).
+    spans = [
+        m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql)
+    ]
+    out, last = [], 0
+    for m in _TT_RE.finditer(sql):
+        if any(s < m.start() < e for s, e in spans):
+            continue
+        out.append(sql[last:m.start()])
+        out.append(sub(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     """Run ``sql`` with catalog-aware DML routing (the body of
     ``NamedCatalog.sql``). DML returns a one-row summary frame
@@ -675,6 +733,8 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     metrics in; non-DML returns ``spark.sql``'s own result."""
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
+    if re.search(r"\bAS\s+OF\b", sql, re.IGNORECASE):
+        sql = _rewrite_time_travel(spark, catalog, sql)
     st = parse_dml(sql)
     if st is None:
         return spark.sql(sql)
@@ -889,7 +949,15 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         return _summary(spark, "UPDATE", n)
     # merge
     if st.source is not None:
-        source_df = catalog.table(spark, st.source)
+        # dotted names resolve through the catalog (live managed-table
+        # read); bare names are session views — including the pinned
+        # views a time-travel rewrite just registered, so
+        # `USING db.src VERSION AS OF n` works as a merge source
+        source_df = (
+            catalog.table(spark, st.source)
+            if "." in st.source
+            else spark.table(st.source)
+        )
     else:
         source_df = spark.sql(st.source_query)
     res = t.merge(

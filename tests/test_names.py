@@ -430,3 +430,59 @@ def test_sql_show_tables(spark, tmp_path):
         ("db.a", str(tmp_path / "a")),
         ("db.b", str(tmp_path / "b")),
     ]
+
+
+def test_sql_time_travel_select(spark, tmp_path, cat):
+    """SELECT ... VERSION AS OF / TIMESTAMP AS OF through the catalog:
+    pure SQL reads a pre-DML snapshot (round-7 item 6)."""
+    c, t = cat  # v1: k 0..99
+    c.sql(spark, "DELETE FROM global_temp.orders WHERE k < 50")  # v2
+    assert t.count() == 50
+    # the head's SQL view is unchanged; the travel reads v1
+    rows = c.sql(
+        spark,
+        "SELECT count(*) AS n FROM global_temp.orders VERSION AS OF 1",
+    ).collect()
+    assert rows[0].n == 100
+    # two travels in one query coexist (fresh pinned views per reference)
+    rows = c.sql(
+        spark,
+        "SELECT a.n - b.n AS deleted FROM "
+        "(SELECT count(*) AS n FROM global_temp.orders VERSION AS OF 1) a, "
+        "(SELECT count(*) AS n FROM global_temp.orders VERSION AS OF 2) b",
+    ).collect()
+    assert rows[0].deleted == 50
+    # timestamp travel: the v1 commit's ets reads the full table
+    hist = t.history()
+    ts1 = next(ci.ts for ci in hist if ci.version == 1)
+    rows = c.sql(
+        spark,
+        f"SELECT count(*) AS n FROM global_temp.orders "
+        f"TIMESTAMP AS OF '{ts1}'",
+    ).collect()
+    assert rows[0].n == 100
+    # unregistered names pass through untouched (Spark raises its own)
+    with pytest.raises(Exception):
+        c.sql(spark, "SELECT * FROM nosuch.tbl VERSION AS OF 1").collect()
+    # string literals are never rewritten
+    got = c.sql(
+        spark,
+        "SELECT 'global_temp.orders VERSION AS OF 1' AS s",
+    ).collect()
+    assert got[0].s == "global_temp.orders VERSION AS OF 1"
+
+
+def test_sql_merge_with_time_travel_source(spark, tmp_path, cat):
+    """MERGE USING db.t VERSION AS OF n — re-insert rows a DELETE
+    removed, sourcing them from the table's own history."""
+    c, t = cat
+    c.sql(spark, "DELETE FROM global_temp.orders WHERE k >= 90")
+    assert t.count() == 90
+    res = c.sql(
+        spark,
+        "MERGE INTO global_temp.orders t "
+        "USING global_temp.orders VERSION AS OF 1 s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert res[0].rows_affected == 10
+    assert t.count() == 100
