@@ -32,6 +32,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +45,88 @@ from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
 _META = "ivf_meta.json"
 _CENTROIDS = "centroids.parquet"
+_CODEBOOKS = "pq_codebooks.parquet"
+
+
+def _pq_train_codebooks(
+    sample: np.ndarray, m: int, ks: int, seed: int
+) -> np.ndarray:
+    """Per-subspace k-means codebooks over the NORMALIZED training
+    sample — classic product quantization (the FAISS IVFPQ storage
+    model, minus residual encoding; see :meth:`IvfIndex.build`).
+    Returns ``(m, ks, dsub)`` float64."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(
+            f"pq_m={m} must divide the vector dimension {d} evenly"
+        )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    z = (sample / norms).reshape(n, m, d // m)
+    return np.stack(
+        [
+            _kmeans_centroids(
+                np.ascontiguousarray(z[:, j, :]), ks, seed=seed + j
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """(vec) -> m-byte PQ code, Arrow-batched: normalize, split into m
+    subvectors, nearest codeword per subspace by the IP-expanded L2
+    (argmax z·c − ||c||²/2). Codes are uint8 — pq_bits ≤ 8 by
+    construction."""
+    cb = np.ascontiguousarray(codebooks)
+    m, _ks, dsub = cb.shape
+    half_sq = 0.5 * (cb ** 2).sum(axis=2)  # (m, ks)
+
+    @F.pandas_udf("binary")
+    def enc(vs: pd.Series) -> pd.Series:
+        z = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vs]
+        )
+        if z.size == 0:
+            return pd.Series([], dtype=object)
+        norms = np.linalg.norm(z, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        z = (z / norms).reshape(len(z), m, dsub)
+        codes = np.empty((len(z), m), dtype=np.uint8)
+        for j in range(m):
+            s = z[:, j, :] @ cb[j].T - half_sq[j]
+            codes[:, j] = s.argmax(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return enc
+
+
+def _pq_adc_udf(codebooks: np.ndarray):
+    """(q_vec, pq_code) -> approximate cosine, Arrow-batched ASYMMETRIC
+    distance: the query stays full-precision, the corpus side is its
+    m-byte code — score = Σ_j q_sub[j] · codebook[j][code[j]], i.e. the
+    inner product of the normalized query with the decoded unit-sphere
+    corpus vector. One advanced-index gather + einsum per batch, no
+    per-row Python."""
+    cb = np.ascontiguousarray(codebooks)
+    m, _ks, dsub = cb.shape
+    j_idx = np.arange(m)
+
+    @F.pandas_udf("double")
+    def adc(qv: pd.Series, code: pd.Series) -> pd.Series:
+        q = np.asarray([np.asarray(v, dtype=np.float64) for v in qv])
+        if q.size == 0:
+            return pd.Series([], dtype=np.float64)
+        norms = np.linalg.norm(q, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        qm = (q / norms).reshape(len(q), m, dsub)
+        codes = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in code]
+        ).astype(np.int64)
+        gathered = cb[j_idx[None, :], codes]  # (B, m, dsub)
+        return pd.Series(np.einsum("bmd,bmd->b", qm, gathered))
+
+    return adc
 
 
 class IvfIndex:
@@ -67,17 +150,36 @@ class IvfIndex:
         sample_size: int = 4096,
         seed: int = 42,
         target_files: int | None = None,
+        pq_m: int | None = None,
+        pq_bits: int = 8,
     ) -> "IvfIndex":
         """Train + assign + cluster-write, one atomic overwrite commit on
         the list table. Rebuild-in-place is safe: readers of the old
         version stay snapshot-isolated until vacuum. ``target_files``
         pins the written file count (default ``n_lists`` — one file per
         inverted list, so a probe's manifest footprint is exactly its
-        lists; raise it when lists outgrow a healthy parquet size)."""
+        lists; raise it when lists outgrow a healthy parquet size).
+
+        ``pq_m`` opts into PRODUCT-QUANTIZED storage (round-7 item 5,
+        the FAISS IVFPQ shape): each vector additionally stores an
+        m-byte code (``pq_bits`` bits per sub-quantizer, ≤ 8 — codes
+        stay uint8), trained per-subspace on the same bounded sample
+        over NORMALIZED vectors. Search then runs two-stage — approx
+        asymmetric-distance shortlist over the code column (the probed
+        scan reads m bytes/vector instead of the full float array: at
+        10⁹ × 768-dim that is the difference between code IO and
+        vector IO), exact cosine re-rank of the top-R from the full
+        vectors kept as the cold column (read only for shortlist ids).
+        Plain PQ on the unit sphere, not residual PQ: residuals buy
+        accuracy at equal code size, but need per-list LUTs; the exact
+        re-rank stage already restores ordering for the survivors, so
+        the simpler public form is kept and the trade documented."""
         idx = cls(spark, root)
         idx.root.mkdir(parents=True, exist_ok=True)
-        cents = idx._train(corpus, id_col, sample_size, seed, n_lists,
-                           vec_col=vec_col)
+        sample = idx._train_sample(
+            corpus, id_col, sample_size, seed, vec_col=vec_col
+        )
+        cents = _kmeans_centroids(sample, n_lists, seed=seed)
         idx._write_centroids(cents)
         meta = {
             "id_col": id_col,
@@ -86,6 +188,14 @@ class IvfIndex:
             "dim": int(cents.shape[1]),
             "seed": int(seed),
         }
+        codebooks = None
+        if pq_m is not None:
+            if not 1 <= pq_bits <= 8:
+                raise ValueError("pq_bits must be in 1..8 (uint8 codes)")
+            ks = min(2 ** pq_bits, len(sample))
+            codebooks = _pq_train_codebooks(sample, pq_m, ks, seed)
+            idx._write_codebooks(codebooks)
+            meta["pq"] = {"m": int(pq_m), "ks": int(ks)}
         (idx.root / _META).write_text(json.dumps(meta))
         t = ManagedTable.create(
             spark,
@@ -94,7 +204,7 @@ class IvfIndex:
             bloom_cols=["list_id"],
         )
         t.overwrite(
-            idx._assign(corpus, cents, id_col, vec_col),
+            idx._assign(corpus, cents, id_col, vec_col, codebooks),
             cluster_partitions=target_files or n_lists,
         )
         # snapshot the trained distribution: balance()'s drift baseline
@@ -112,7 +222,8 @@ class IvfIndex:
         ``self.last_maintenance`` either way, so callers can log it."""
         meta = self._meta()
         assigned = self._assign(
-            df, self._centroids(), meta["id_col"], meta["vec_col"]
+            df, self._centroids(), meta["id_col"], meta["vec_col"],
+            self._codebooks() if meta.get("pq") else None,
         )
         n = self._table().append(assigned)
         if auto_rebuild is not None:
@@ -236,17 +347,34 @@ class IvfIndex:
         n_lists = n_lists or meta["n_lists"]
         seed = meta["seed"] if seed is None else seed
         t = self._table()
-        corpus = t.read().select(
+        corpus = t.read(columns=["neighbor_id", "c_vec"]).select(
             F.col("neighbor_id").alias(meta["id_col"]),
             F.col("c_vec").alias(meta["vec_col"]),
         )
-        cents = self._train(corpus, meta["id_col"], sample_size, seed, n_lists)
+        sample = self._train_sample(
+            corpus, meta["id_col"], sample_size, seed
+        )
+        cents = _kmeans_centroids(sample, n_lists, seed=seed)
         tmp = self.root / f".{_CENTROIDS}.tmp"
         final = self.root / _CENTROIDS
         self._write_centroids(cents, dest=tmp)
         os.replace(tmp, final)
+        codebooks = None
+        if meta.get("pq"):
+            # retrain the codebooks on the current corpus too — frozen
+            # codebooks drift exactly like frozen centroids do
+            ks = min(meta["pq"]["ks"], len(sample))
+            codebooks = _pq_train_codebooks(
+                sample, meta["pq"]["m"], ks, seed
+            )
+            tmpc = self.root / f".{_CODEBOOKS}.tmp"
+            self._write_codebooks(codebooks, dest=tmpc)
+            os.replace(tmpc, self.root / _CODEBOOKS)
+            meta["pq"]["ks"] = int(ks)
         t.overwrite(
-            self._assign(corpus, cents, meta["id_col"], meta["vec_col"]),
+            self._assign(
+                corpus, cents, meta["id_col"], meta["vec_col"], codebooks
+            ),
             cluster_partitions=target_files or n_lists,
         )
         meta.update(
@@ -264,6 +392,7 @@ class IvfIndex:
         k: int = 5,
         nprobe: int = 3,
         exclude_self: bool = True,
+        rerank: int | None = None,
     ) -> DataFrame:
         """Top-``k`` neighbors per query row.
 
@@ -272,7 +401,14 @@ class IvfIndex:
         fed to the list table as an ``in`` skip-read, so a small serving
         batch opens only the files its lists live in; a huge batch
         degrades gracefully toward a full scan (exactly IVF's contract).
-        """
+
+        On a PQ index the probe is TWO-STAGE: (1) approximate
+        asymmetric-distance shortlist over the m-byte code column only
+        (projection pushdown keeps the full vectors out of the scan and
+        the shuffle), (2) exact cosine re-rank of the top-``rerank``
+        candidates per query (default ``max(4·k, 32)``) against the
+        full vectors, read only for the shortlisted ids' lists. Raising
+        ``rerank`` trades IO for recall — the standard IVFPQ knob."""
         meta = self._meta()
         cents = self._centroids()
         assignp = _nearest_centroids_udf(cents, nprobe)
@@ -284,14 +420,47 @@ class IvfIndex:
         probed = sorted(
             {r["list_id"] for r in q.select("list_id").distinct().collect()}
         )
-        c = self._table().read(where=[("list_id", "in", probed)]).select(
-            F.col("neighbor_id"), F.col("c_vec"), F.col("list_id")
-        )
-        scored = q.join(c, "list_id").withColumn(
-            "cosine", cosine(F.col("q_vec"), F.col("c_vec"))
-        ).filter(F.col("cosine").isNotNull())
-        if exclude_self:
-            scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        t = self._table()
+        if meta.get("pq"):
+            adc = _pq_adc_udf(self._codebooks())
+            codes = t.read(
+                where=[("list_id", "in", probed)],
+                columns=["neighbor_id", "list_id", "pq_code"],
+            )
+            approx = q.join(codes, "list_id").withColumn(
+                "approx", adc(F.col("q_vec"), F.col("pq_code"))
+            )
+            if exclude_self:
+                approx = approx.filter(
+                    F.col("query_id") != F.col("neighbor_id")
+                )
+            r = rerank or max(4 * k, 32)
+            wa = Window.partitionBy("query_id").orderBy(
+                F.col("approx").desc(), F.col("neighbor_id").asc()
+            )
+            shortlist = (
+                approx.withColumn("arank", F.row_number().over(wa))
+                .filter(F.col("arank") <= r)
+                .select("query_id", "q_vec", "neighbor_id")
+            )
+            full = t.read(
+                where=[("list_id", "in", probed)],
+                columns=["neighbor_id", "c_vec"],
+            )
+            scored = shortlist.join(full, "neighbor_id").withColumn(
+                "cosine", cosine(F.col("q_vec"), F.col("c_vec"))
+            ).filter(F.col("cosine").isNotNull())
+        else:
+            c = t.read(where=[("list_id", "in", probed)]).select(
+                F.col("neighbor_id"), F.col("c_vec"), F.col("list_id")
+            )
+            scored = q.join(c, "list_id").withColumn(
+                "cosine", cosine(F.col("q_vec"), F.col("c_vec"))
+            ).filter(F.col("cosine").isNotNull())
+            if exclude_self:
+                scored = scored.filter(
+                    F.col("query_id") != F.col("neighbor_id")
+                )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
         )
@@ -301,20 +470,40 @@ class IvfIndex:
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
 
+    def column_bytes(self, column: str) -> int:
+        """Compressed on-disk bytes of ``column`` across the list
+        table's live files — the footprint a scan of that column pays.
+        Footer metadata only, no data read; the PQ story's measurable
+        claim (code column ≥4× smaller than the vector column) is
+        asserted from exactly this."""
+        import pyarrow.parquet as pq
+
+        t = self._table()
+        total = 0
+        for f in t.snapshot().files:
+            md = pq.ParquetFile(t.root / f.path).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema.split(".")[0] == column:
+                        total += col.total_compressed_size
+        return total
+
     # ------------------------------------------------------------ internals
 
-    def _train(
+    def _train_sample(
         self,
         corpus: DataFrame,
         id_col: str,
         sample_size: int,
         seed: int,
-        n_lists: int,
         vec_col: str | None = None,
     ) -> np.ndarray:
         """Bounded, partition-order-independent training sample (same
         discipline as ivf_topk: a bare limit() would starve later
-        regions of a clustered corpus) → k-means centroids."""
+        regions of a clustered corpus) — feeds BOTH the coarse k-means
+        and, under PQ, the per-subspace codebooks."""
         vec_col = vec_col or self._meta()["vec_col"]
         n_corpus = corpus.count()
         sampled = corpus.select(id_col, vec_col)
@@ -327,8 +516,7 @@ class IvfIndex:
             .select(vec_col)
             .collect()
         )
-        sample = np.asarray([r[0] for r in rows], dtype=np.float64)
-        return _kmeans_centroids(sample, n_lists, seed=seed)
+        return np.asarray([r[0] for r in rows], dtype=np.float64)
 
     def _record_trained_counts(self, meta: dict) -> None:
         meta["trained_counts"] = {
@@ -336,13 +524,21 @@ class IvfIndex:
         }
         (self.root / _META).write_text(json.dumps(meta))
 
-    def _assign(self, df: DataFrame, cents, id_col: str, vec_col: str):
+    def _assign(
+        self, df: DataFrame, cents, id_col: str, vec_col: str,
+        codebooks: "np.ndarray | None" = None,
+    ):
         assign1 = _nearest_centroids_udf(cents, 1)
-        return df.select(
+        cols = [
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
             F.element_at(assign1(F.col(vec_col)), 1).alias("list_id"),
-        )
+        ]
+        if codebooks is not None:
+            cols.append(
+                _pq_encode_udf(codebooks)(F.col(vec_col)).alias("pq_code")
+            )
+        return df.select(*cols)
 
     def _table(self) -> ManagedTable:
         return ManagedTable(self.spark, self.root / "lists")
@@ -374,3 +570,38 @@ class IvfIndex:
         t = pq.read_table(self.root / _CENTROIDS)
         order = np.argsort(np.asarray(t["list_id"]))
         return np.asarray(t["centroid"].to_pylist(), dtype=np.float64)[order]
+
+    def _write_codebooks(
+        self, cb: np.ndarray, dest: Path | None = None
+    ) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m, ks, _dsub = cb.shape
+        pq.write_table(
+            pa.table(
+                {
+                    "sub": pa.array(
+                        [j for j in range(m) for _ in range(ks)], pa.int32()
+                    ),
+                    "code": pa.array(list(range(ks)) * m, pa.int32()),
+                    "codeword": pa.array(
+                        [cb[j, c].tolist() for j in range(m) for c in range(ks)],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            dest if dest is not None else self.root / _CODEBOOKS,
+        )
+
+    def _codebooks(self) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.root / _CODEBOOKS)
+        sub = np.asarray(t["sub"])
+        code = np.asarray(t["code"])
+        words = np.asarray(t["codeword"].to_pylist(), dtype=np.float64)
+        m, ks = sub.max() + 1, code.max() + 1
+        cb = np.empty((m, ks, words.shape[1]), dtype=np.float64)
+        cb[sub, code] = words
+        return cb

@@ -1901,6 +1901,31 @@ def similarity_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
     return idx.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
 
 
+def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving path (round-7 item 5; FAISS IVFPQ re-expressed
+    lakehouse-first): the list table additionally stores an 8-byte
+    product-quantization code per vector, search shortlists by
+    asymmetric distance over the CODE column only (projection pushdown
+    keeps the full float arrays out of the probe scan — at 10⁹×768-dim
+    the probed-list IO drops from vector bytes to code bytes, measured
+    ≥4× smaller at this fixture), then re-ranks the top-R exactly from
+    the full vectors kept as a cold column. Approximate by design →
+    rows-only; recall floor, exact-re-rank equality, compressed-bytes
+    ratio, and add/rebuild codebook lifecycle pinned in
+    tests/test_ann_index.py."""
+    from data_warehouse_copy_spark.functions.ann_index import IvfIndex
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build(
+        spark,
+        _spread(emb),
+        f"{_tmp_table_dir(prefix='dwcs_ivfpq_')}/ivfpq",
+        n_lists=16,
+        pq_m=8,
+    )
+    return idx.search(emb.filter(F.col("vec_id") < 20), k=5, nprobe=3)
+
+
 # --------------------------------------------------------------------------
 # Text analysis (extension surface)
 # --------------------------------------------------------------------------
@@ -5178,6 +5203,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_topk_ivf_persisted": similarity_topk_ivf_persisted,
+    "similarity_topk_ivf_pq": similarity_topk_ivf_pq,
     "approx_analytics": approx_analytics,
     "multimodal_features": multimodal_features,
     "ml_text_metrics": ml_text_metrics,

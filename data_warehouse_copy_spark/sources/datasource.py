@@ -1260,6 +1260,11 @@ def _commit_staged(
             t._commit_files(
                 m, tuple(m.files) + entries, commit_schema, "append", txn=txn
             )
+    # post-commit auto-compaction (opt-in; no-op without a policy) —
+    # outside the commit lock, pyarrow-only so this session-less hook
+    # can run it; keeps a minute-trigger streaming sink's live file
+    # count bounded without manual compact() (round-7 item 3)
+    t.maybe_auto_compact()
 
 
 def _commit_merge(

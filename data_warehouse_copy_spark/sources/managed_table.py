@@ -2369,7 +2369,14 @@ class ManagedTable:
                 m, tuple(m.files) + new_files, commit_schema, "append",
                 txn=txn, columns=new_cols,
             )
-        return sum(f.rows for f in new_files) if committed else 0
+        n = sum(f.rows for f in new_files) if committed else 0
+        if n:
+            # post-commit auto-compaction (opt-in; a no-op without a
+            # policy): OUTSIDE the append lock — the ingest is already
+            # durable, the policy pass takes its own lock and is
+            # best-effort by contract
+            self.maybe_auto_compact()
+        return n
 
     def append_pylist(self, rows: list[dict], schema: "T.StructType") -> int:
         """Driver-side fast path for tiny appends (audit/metadata rows, a
@@ -5032,6 +5039,145 @@ class ManagedTable:
             kept = tuple(f for f in m.files if f.partition not in crowded)
             self._commit_files(m, kept + new_files, m.schema_json, "compact")
             return (len(m.files), len(kept) + len(new_files))
+
+    # ------------------------------------------------- auto-compaction
+
+    def set_auto_compact(
+        self,
+        max_files_per_partition: int = 16,
+        max_merge_files: int = 128,
+    ) -> None:
+        """Opt into POST-COMMIT auto-compaction (Delta's autoCompact
+        shape, round-7 item 3): after every row-introducing commit
+        (native ``append`` and the declarative batch/streaming sink), a
+        partition holding more than ``max_files_per_partition`` live
+        DV-free files is merged — at most ``max_merge_files`` per
+        partition per pass, so one trigger's work is bounded — into one
+        file, as a separate best-effort ``compact`` commit through the
+        normal atomic path. Without this, a minute-trigger streaming
+        sink degrades into thousands of row-group-starved files unless
+        someone remembers to call :meth:`compact`.
+
+        Properties preserved by construction: exactly-once (the policy
+        commit carries no txn watermark and the ingest commit it follows
+        is already durable — a crash between them just leaves the
+        compaction for the next trigger), CDC feed-silence (``compact``
+        ops are skipped by every cursor/feed consumer — ``_cdc_skip``),
+        and snapshot isolation (old files stay readable until vacuum).
+        The merge itself is PYARROW, not a Spark job, so the
+        session-less declarative sink hooks run it too: small files are
+        a driver-worker-memory-sized workload by definition (that is
+        what makes them small), and a single-column-clustered table's
+        merged file is re-sorted so clustering quality survives.
+
+        Deliberate bounds, documented not hidden: files carrying
+        deletion vectors are left to :meth:`compact` (DV subtraction
+        stays a Spark-side concern), multi-column Z-ORDER layouts merge
+        unsorted (run ``OPTIMIZE ... ZORDER BY`` to restore the curve),
+        bloom sidecars are not rebuilt for the merged file (stats
+        pruning still applies; the next scheduled ``compact`` rebuilds),
+        and past the bounded-planning gate the policy no-ops — a 50k+
+        file table is scheduled-maintenance territory, and auto-compact
+        counting there would defeat the bounded metadata plane."""
+        if max_files_per_partition < 1:
+            raise ValueError("max_files_per_partition must be >= 1")
+        self._proto.put_text(
+            self.root / "_log" / "_AUTOCOMPACT.json",
+            json.dumps(
+                {
+                    "max_files_per_partition": int(max_files_per_partition),
+                    "max_merge_files": int(max_merge_files),
+                }
+            ),
+        )
+
+    def clear_auto_compact(self) -> None:
+        self._proto.put_text(
+            self.root / "_log" / "_AUTOCOMPACT.json", json.dumps(None)
+        )
+
+    def auto_compact_policy(self) -> dict | None:
+        try:
+            raw = self._proto.read_text(
+                self.root / "_log" / "_AUTOCOMPACT.json"
+            )
+        except FileNotFoundError:
+            return None
+        return json.loads(raw)
+
+    def maybe_auto_compact(self) -> int:
+        """Run the auto-compaction policy once (the post-commit hook
+        body; callable directly for tests/manual sweeps). Returns the
+        number of files merged away. Best-effort: a concurrent writer's
+        conflict aborts THIS pass cleanly (the ingest that triggered it
+        is already committed), never the caller."""
+        policy = self.auto_compact_policy()
+        if not policy:
+            return 0
+        try:
+            return self._auto_compact_once(policy)
+        except ConcurrentWriteError:
+            return 0  # a racer won; the next trigger re-checks
+
+    def _auto_compact_once(self, policy: dict) -> int:
+        import pyarrow as pa
+
+        threshold = policy["max_files_per_partition"]
+        cap = policy.get("max_merge_files", 128)
+        with _lock_for(self.root):
+            if self._past_planning_gate():
+                return 0  # documented: scheduled compact() territory
+            m = self.snapshot()
+            by_part: dict = {}
+            for f in m.files:
+                if not f.dv_paths:  # DV'd files are compact()'s job
+                    by_part.setdefault(f.partition, []).append(f)
+            merged_away = 0
+            new_entries: list = []
+            removed: set = set()
+            cluster_phys = (
+                m.cluster_col
+                if isinstance(m.cluster_col, str)
+                else None  # multi-col z-order: merge unsorted
+            )
+            for part, files in sorted(
+                by_part.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+            ):
+                if len(files) <= threshold:
+                    continue
+                batch = sorted(files, key=lambda f: f.path)[:cap]
+                tables = [
+                    pq.read_table(str(self.root / f.path)) for f in batch
+                ]
+                merged = pa.concat_tables(tables, promote_options="default")
+                if cluster_phys and cluster_phys in merged.schema.names:
+                    merged = merged.sort_by(cluster_phys)
+                commit_id = uuid.uuid4().hex[:16]
+                out_dir = self.root / "data" / f"ac-{commit_id}"
+                out_dir.mkdir(parents=True, exist_ok=True)
+                out = out_dir / "part-00000.parquet"
+                pq.write_table(merged, out, compression="snappy")
+                new_entries.append(
+                    FileEntry(
+                        path=str(out.relative_to(self.root)),
+                        partition=part,
+                        rows=merged.num_rows,
+                        stats=_harvest_stats(pq.ParquetFile(out).metadata),
+                    )
+                )
+                removed |= {f.path for f in batch}
+                merged_away += len(batch) - 1
+            if not new_entries:
+                return 0
+            kept = tuple(f for f in m.files if f.path not in removed)
+            self._commit_files(
+                m, kept + tuple(new_entries), m.schema_json, "compact"
+            )
+            return merged_away
+
+    def _past_planning_gate(self) -> bool:
+        b = self._bounded_ingest_base()
+        return b is not None and b[1] is not None
 
     def recluster(
         self,

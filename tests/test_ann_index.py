@@ -208,3 +208,99 @@ def test_maybe_rebuild_policy_hook(spark, emb, tmp_path):
     tiny = drifted.limit(5)
     idx.add(tiny, auto_rebuild={"drift_threshold": 0.25})
     assert idx.last_maintenance["rebuilt"] is False
+
+
+# ----------------------------------------------------- IVF-PQ (r7 item 5)
+
+
+def test_pq_recall_floor_and_probed_bytes(spark, emb, tmp_path):
+    """PQ index at the existing fixture: recall floor vs brute force
+    holds through the approx-shortlist + exact-re-rank pipeline, and
+    the probed code column is ≥4× smaller on disk than the full-vector
+    column — the measurable IO claim."""
+    idx = IvfIndex.build(
+        spark, emb, tmp_path / "ivfpq", n_lists=8, sample_size=4096,
+        pq_m=8, pq_bits=8,
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    approx = idx.search(qs, k=5, nprobe=3).collect()
+    exact = brute_force_topk(emb, qs, k=5).collect()
+    assert _recall(exact, approx) >= 0.5
+    # re-rank produces EXACT cosines: every returned cosine matches the
+    # brute-force value for the same pair
+    exact_by_pair = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact
+    }
+    for r in approx:
+        pair = (r["query_id"], r["neighbor_id"])
+        if pair in exact_by_pair:
+            assert abs(r["cosine"] - exact_by_pair[pair]) < 1e-9
+    # the IO claim: probing codes costs ≥4× less than probing vectors
+    vec_bytes = idx.column_bytes("c_vec")
+    code_bytes = idx.column_bytes("pq_code")
+    assert code_bytes > 0 and vec_bytes >= 4 * code_bytes
+
+
+def test_pq_matches_flat_on_same_shortlist(spark, emb, tmp_path):
+    """With rerank covering the whole probed set, PQ search degenerates
+    to the flat search exactly (the approx stage only orders the
+    shortlist; the exact re-rank decides)."""
+    flat = IvfIndex.build(
+        spark, emb, tmp_path / "flat", n_lists=8, sample_size=4096
+    )
+    pq = IvfIndex.build(
+        spark, emb, tmp_path / "pq", n_lists=8, sample_size=4096,
+        pq_m=8, pq_bits=8,
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in flat.search(qs, k=3, nprobe=8).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq.search(qs, k=3, nprobe=8, rerank=10 ** 6).collect()
+    )
+    assert a == b
+
+
+def test_pq_add_and_rebuild_keep_codes(spark, emb, tmp_path):
+    """add() encodes with the frozen codebooks; rebuild() retrains them;
+    the auto-rebuild policy path stays green on a PQ index."""
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = IvfIndex.build(
+        spark, half, tmp_path / "ivfpq", n_lists=8, sample_size=4096,
+        pq_m=8, pq_bits=6,
+    )
+    added = idx.add(rest, auto_rebuild={"drift_threshold": 2.0})
+    assert added == rest.count()
+    assert idx.last_maintenance["rebuilt"] is False
+    # every row carries an m-byte code after the incremental add
+    t = idx._table()
+    n_null = t.read().filter(F.col("pq_code").isNull()).count()
+    assert n_null == 0
+    lens = t.read().select(F.length("pq_code").alias("n")).distinct().collect()
+    assert [r["n"] for r in lens] == [8]
+    # a found-by-self probe flows through the PQ path
+    probe = rest.limit(1)
+    pid = probe.collect()[0]["vec_id"]
+    hits = idx.search(probe, k=1, nprobe=1, exclude_self=False).collect()
+    assert hits and hits[0]["neighbor_id"] == pid
+    # explicit rebuild retrains codebooks and stays searchable
+    idx.rebuild()
+    qs = emb.filter(F.col("vec_id") < 10)
+    approx = idx.search(qs, k=5, nprobe=3).collect()
+    exact = brute_force_topk(emb, qs, k=5).collect()
+    assert _recall(exact, approx) >= 0.5
+
+
+def test_pq_rejects_bad_shapes(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="divide"):
+        IvfIndex.build(
+            spark, emb, tmp_path / "bad", n_lists=4, pq_m=7
+        )
+    with pytest.raises(ValueError, match="pq_bits"):
+        IvfIndex.build(
+            spark, emb, tmp_path / "bad2", n_lists=4, pq_m=8, pq_bits=9
+        )

@@ -1034,3 +1034,47 @@ class TestDeclarativeReplaceWhere:
                 .option("mergeKey", "k")
                 .save(str(t.root))
             )
+
+
+def test_stream_sink_auto_compact_bounds_live_files(spark, tmp_path):
+    """Round-7 item 3's 'Done' bar: a streaming ingest of 22
+    micro-batches (maxFilesPerTrigger=1 over a file source) into a
+    managed_table sink with auto-compaction on — the live file count
+    stays bounded the whole run, rows land exactly once, and the
+    compaction commits are silent to the change feed."""
+    src_dir = tmp_path / "srcfiles"
+    src_dir.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    for i in range(22):
+        papq.write_table(
+            pa.table({"id": pa.array([i], type=pa.int64())}),
+            src_dir / f"f{i:03d}.parquet",
+        )
+    sink_root = str(tmp_path / "sink")
+    t = ManagedTable.create(spark, sink_root)
+    t.set_auto_compact(max_files_per_partition=4)
+    q = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .writeStream.format("managed_table")
+        .option("txnAppId", "q-ac")
+        .option("path", sink_root)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    m = t.snapshot()
+    assert t.count() == 22                       # exactly once
+    assert len(m.files) <= 5                     # bounded, not 22
+    ops = [ci.op for ci in t.history()]
+    assert ops.count("append") >= 20 and "compact" in ops
+    # change-feed silence: a cursor over the whole history sees each
+    # row exactly once despite the rewrites
+    feed = t.read_changes(0).collect()
+    assert sorted(r.id for r in feed) == list(range(22))

@@ -1630,3 +1630,84 @@ class TestReclusterIncremental:
         t.recluster_incremental("k", batch_files=1)
         assert t.read_cdf(v).count() == 0  # byte motion is not change
         assert t.read_changes(v).count() == 0
+
+
+# ------------------------------------------------- auto-compaction (r7 item 3)
+
+
+def test_auto_compact_bounds_append_loop(spark, tmp_path):
+    """20 native appends with the policy on: live file count stays
+    bounded, rows exactly once, compact commits CDC-silent."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.set_auto_compact(max_files_per_partition=4)
+    for i in range(20):
+        t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+    m = t.snapshot()
+    assert t.count() == 20
+    assert len(m.files) <= 5  # never drifts past threshold+1
+    # the policy actually ran (history holds compact commits)
+    ops = [ci.op for ci in t.history()]
+    assert "compact" in ops
+    # CDC silence: the cursor sees each row exactly once despite the
+    # rewrites (compact adds are skipped by _cdc_skip)
+    feed = t.read_changes(0).collect()
+    assert sorted(r.k for r in feed) == list(range(20))
+
+
+def test_auto_compact_clustered_resorts_and_partitioned_scopes(
+    spark, tmp_path
+):
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    t.set_auto_compact(max_files_per_partition=2)
+    import random
+
+    ks = list(range(12))
+    random.Random(7).shuffle(ks)
+    for k in ks:
+        t.append(spark.createDataFrame([(k, k)], "k long, v long"))
+    m = t.snapshot()
+    assert len(m.files) <= 3
+    # the merged file is re-sorted on the cluster column
+    import pyarrow.parquet as pq
+
+    biggest = max(m.files, key=lambda f: f.rows)
+    vals = pq.read_table(t.root / biggest.path, columns=["k"])["k"].to_pylist()
+    assert vals == sorted(vals)
+    assert t.read().count() == 12
+
+    # partitioned: merging stays per-partition (files stay partition-pure)
+    p = ManagedTable.create(spark, tmp_path / "p", partition_date_col="d")
+    p.set_auto_compact(max_files_per_partition=2)
+    for i in range(6):
+        p.append(
+            spark.sql(
+                f"SELECT DATE'2024-01-0{i % 2 + 1}' AS d, {i} AS v"
+            )
+        )
+    mp = p.snapshot()
+    assert all(f.partition in ("2024-01-01", "2024-01-02") for f in mp.files)
+    per = {}
+    for f in mp.files:
+        per[f.partition] = per.get(f.partition, 0) + 1
+    assert all(n <= 3 for n in per.values())
+    assert p.read(partitions={"2024-01-01"}).count() == 3
+
+
+def test_auto_compact_skips_dv_files_and_respects_clear(spark, tmp_path):
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(10).selectExpr("id AS k", "id AS v").coalesce(1))
+    t.delete([("k", "=", 3)])  # grows a DV on the single 10-row file
+    t.set_auto_compact(max_files_per_partition=1)
+    dv_file = next(f.path for f in t.snapshot().files if f.dv_rows)
+    for i in range(3):
+        t.append(spark.createDataFrame([(100 + i, 0)], "k long, v long"))
+    m = t.snapshot()
+    # the DV'd file was never merged (auto-compact leaves DV folding to
+    # compact()); the DV-free small files were
+    assert dv_file in {f.path for f in m.files}
+    assert t.count() == 12
+    t.clear_auto_compact()
+    assert t.auto_compact_policy() is None
+    n = len(t.snapshot().files)
+    t.append(spark.createDataFrame([(200, 0)], "k long, v long"))
+    assert len(t.snapshot().files) == n + 1  # policy off: no merging
