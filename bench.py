@@ -103,6 +103,35 @@ def main() -> None:
             }
         )
     )
+    # Per-query floor self-report (round-7 item 4): BASELINE_FLOOR.json
+    # carries an isolated min-of-3 floor for the whole registry at
+    # sf0.1; the artifact tail then states the 2x gate verdict itself —
+    # every query's ratio computed, violations (> 2x floor) listed by
+    # name — instead of leaving the judge to join two files. Queries
+    # newer than the floor file are reported as unfloored, not skipped
+    # silently.
+    floor_path = Path(__file__).resolve().parent / "BASELINE_FLOOR.json"
+    if floor_path.exists() and abs(sf - 0.1) < 1e-9:
+        floor = json.loads(floor_path.read_text()).get("queries", {})
+        ratios = {
+            q: round(times[q] / floor[q], 2)
+            for q in times
+            if q in floor and floor[q] > 0
+        }
+        violations = {q: r for q, r in ratios.items() if r > 2.0}
+        worst_q = max(ratios, key=ratios.get) if ratios else None
+        print(
+            json.dumps(
+                {
+                    "metric": "floor_check",
+                    "floored_queries": len(ratios),
+                    "unfloored": sorted(set(times) - set(ratios)),
+                    "violations_over_2x": violations,
+                    "max_ratio": ratios.get(worst_q),
+                    "max_ratio_query": worst_q,
+                }
+            )
+        )
     spark.stop()
 
 

@@ -1079,12 +1079,14 @@ def _constraint_portable(expr: str, columns: "set[str]") -> bool:
         if name is None:
             continue
         low = name.lower()
+        if low in _CONS_KEYWORDS:
+            continue  # IN ( / NOT ( / AND ( are keywords, never calls
         nxt = toks[i + 1] if i + 1 < len(toks) else None
         is_call = nxt is not None and nxt.group("op") == "("
         if is_call:
             if low not in _CONS_FUNCS:
                 return False  # unknown function: semantics unproven
-        elif low not in _CONS_KEYWORDS and low not in cols_lower:
+        elif low not in cols_lower:
             return False  # bare word that is neither keyword nor column
     return True
 

@@ -26,6 +26,7 @@ Deterministic (seed derived from replica index only). Output:
 
 from __future__ import annotations
 
+import sys
 from pathlib import Path
 
 import duckdb
@@ -36,6 +37,67 @@ import pyarrow.parquet as pq
 SRC = Path("/root/testdata/sf0.1")
 DST = Path(__file__).resolve().parents[1] / ".scaling" / "sf1.0"
 REPLICAS = 10
+
+
+def make_sf10_subset() -> None:
+    """100× documents + embeddings ONLY (round-7 item 7: the two top
+    growers — stream_curation_roundtrip / training_data_prep — read
+    documents; dedup_semantic_clusters_lsh reads embeddings; generating
+    the full table set at 100× would take disk and time the measurement
+    doesn't need). Same structure-preserving transforms as sf1.0 —
+    per-replica token bijection / orthogonal embedding transform — so
+    near-dup density per row is constant at 100× rows."""
+    dst = Path(__file__).resolve().parents[1] / ".scaling" / "sf10"
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    n_rep = 100
+    doc_shift = con.execute(
+        f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'"
+    ).fetchone()[0]
+    union = " UNION ALL ".join(
+        f"SELECT doc_id + {i} * {doc_shift} AS doc_id,"
+        f" CASE WHEN {i} = 0 THEN text"
+        f"      ELSE regexp_replace(text, '(\\S+)', '\\1x{i}', 'g') END AS text,"
+        f" lang, source,"
+        f" CASE WHEN {i} = 0 THEN n_chars"
+        f"      ELSE length(regexp_replace(text, '(\\S+)', '\\1x{i}', 'g'))"
+        f" END AS n_chars"
+        f" FROM '{SRC}/documents.parquet'"
+        for i in range(n_rep)
+    )
+    con.execute(
+        f"COPY ({union}) TO '{dst}/documents.parquet' (FORMAT PARQUET)"
+    )
+    tbl = pq.read_table(SRC / "embeddings.parquet")
+    vec = np.array(tbl["embedding"].to_pylist(), dtype=np.float32)
+    ids = tbl["vec_id"].to_numpy()
+    labels = tbl["label"].to_numpy()
+    vec_shift = int(ids.max()) + 1
+    dim = vec.shape[1]
+    parts = []
+    for i in range(n_rep):
+        rng = np.random.default_rng(1000 + i)
+        if i == 0:
+            out = vec
+        else:
+            perm = rng.permutation(dim)
+            signs = rng.choice([-1.0, 1.0], size=dim).astype(np.float32)
+            out = vec[:, perm] * signs
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids + i * vec_shift, pa.int64()),
+                    "embedding": pa.array(list(out), pa.list_(pa.float32())),
+                    "label": pa.array(labels, pa.int32()),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), dst / "embeddings.parquet")
+    for t in ("documents", "embeddings"):
+        n = con.execute(
+            f"SELECT count(*) FROM '{dst}/{t}.parquet'"
+        ).fetchone()[0]
+        print(t, n)
 
 
 def main() -> None:
@@ -125,4 +187,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf10" in sys.argv:
+        make_sf10_subset()
+    else:
+        main()

@@ -268,3 +268,30 @@ def test_check_covers_exactly_the_written_rows(spark, tmp_path):
     assert [r["v"] for r in got] == [5.0, 5.0, 5.0]
     # and the source was evaluated exactly once (the pinned check)
     assert marker.read_text() == "1"
+
+
+def test_constraint_portability_gate_units():
+    """The tokenizer gate behind session-less declarative enforcement:
+    fails CLOSED on anything whose Spark/DuckDB semantics are unproven
+    (regex operators, casts, unknown functions, comments, bare words),
+    admits the portable ANSI core."""
+    from data_warehouse_copy_spark.sources.datasource import (
+        _constraint_portable as p,
+    )
+
+    cols = {"k", "v", "name"}
+    assert p("v >= 0", cols)
+    assert p("v >= 0 AND length(name) > 0", cols)
+    assert p("name LIKE 'a%'", cols)
+    assert p("k IN (1, 2, 3)", cols)
+    assert p("v IS NOT NULL", cols)
+    assert p("k BETWEEN 1 AND 9", cols)
+    assert p("coalesce(v, 0) > -1 OR abs(v) < 1e6", cols)
+    assert p("upper(name) = 'X'", cols)
+    assert not p("name rlike '^n'", cols)      # dialect operator word
+    assert not p("cast(v as int) > 0", cols)   # unknown function
+    assert not p("rand() < v", cols)           # non-deterministic
+    assert not p("year(d) > 2000", cols)       # unknown fn + column
+    assert not p("v > 0 -- cmt", cols)         # untokenizable tail
+    assert not p("k div 2 = 0", cols)          # dialect operator word
+    assert not p("nosuchcol > 0", cols)        # not a column
