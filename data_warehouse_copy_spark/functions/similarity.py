@@ -265,6 +265,62 @@ def lsh_topk(
     )
 
 
+def suggest_banding(
+    n_rows: int,
+    threshold: float,
+    target_bucket: int = 64,
+    target_recall: float = 0.8,
+    max_planes: int = 60,
+) -> "tuple[int, int]":
+    """``(planes, bands)`` for :func:`lsh_bucket_near_dup_pairs`, tuned
+    to BOTH the threshold and the CORPUS SIZE — the scaling law the
+    round-8 sf10 measurement made concrete (SCALING.md): a fixed band
+    key space saturates as the corpus grows (buckets grow linearly →
+    candidate pairs quadratically; the 16-key default measured 1.6 s at
+    20k vectors and 286 s at 200k), while holding the EXPECTED BUCKET
+    SIZE constant keeps the per-bucket matmul cost ~flat (4.1 s → 4.7 s
+    at the same 10× step). Two-sided: a small corpus under a huge key
+    space pays per-group scheduling overhead instead, so bits shrink
+    with n too. ``max_planes`` defaults to 60 because the signature
+    packs into ONE long (``sign_bits_udf``: planes ≤ 62); recall a
+    62-bit budget cannot reach raises loudly with the k-means-bucketing
+    pointer instead of returning a silently-bad config.
+
+    Derivation (standard sign-LSH math, Charikar 2002): a plane agrees
+    on a pair at cosine θ-threshold with p = 1 − arccos(threshold)/π;
+    a b-bit band collides with p^b; bands multiply recall as
+    1 − (1−p^b)^bands. Pick b ≈ log₂(n/target_bucket) for constant
+    expected bucket size, then the smallest band count reaching
+    ``target_recall`` (planes = b·bands, capped)."""
+    import math
+
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    bits = max(2, round(math.log2(max(n_rows, 2) / max(target_bucket, 1))))
+    p_band = p ** bits
+    if p_band >= 1.0 - 1e-12:
+        return bits, 1
+    bands = max(
+        1,
+        math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+        ),
+    )
+    if bands * bits > max_planes:
+        # loud, not silently-bad: capping bands here would return a
+        # config whose ACTUAL recall can be a few percent. At this
+        # corpus size + threshold, sign-LSH needs more signature bits
+        # than is sane — the public answer is clustering-based
+        # bucketing (SemDeDup's k-means with k ∝ n), not more planes.
+        achievable = 1.0 - (1.0 - p_band) ** (max_planes // bits)
+        raise ValueError(
+            f"sign-LSH cannot reach recall {target_recall} at "
+            f"n={n_rows}, threshold={threshold} within {max_planes} "
+            f"planes (best ≈ {achievable:.2f}); raise target_bucket, "
+            f"lower target_recall, or switch to k-means bucketing"
+        )
+    return bits * bands, bands
+
+
 def lsh_bucket_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

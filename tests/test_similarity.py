@@ -157,3 +157,61 @@ def test_ivf_recall_on_sorted_clustered_corpus(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"IVF recall on sorted corpus {recall:.2f}"
+
+
+def test_suggest_banding_scaling_law():
+    """The size-tuned banding helper (round-8 scaling law): bits grow
+    with the corpus (constant expected bucket size), bands reach the
+    recall target, and unreachable targets raise with the
+    k-means-bucketing pointer instead of returning silently-bad recall."""
+    import math
+
+    from data_warehouse_copy_spark.functions.similarity import suggest_banding
+
+    p95 = 1 - math.acos(0.95) / math.pi
+    for n in (2_000, 20_000, 200_000):
+        planes, bands = suggest_banding(n, 0.95)
+        bits = planes // bands
+        # constant expected bucket size: keys/band scale with n
+        assert abs(bits - round(math.log2(n / 64))) <= 1
+        # the config actually reaches the default recall target
+        recall = 1 - (1 - p95 ** bits) ** bands
+        assert recall >= 0.8 - 1e-9
+        assert planes <= 60  # fits the single-long signature
+    # monotone: 10x the corpus never shrinks the key space
+    b1 = suggest_banding(20_000, 0.95)[0] // suggest_banding(20_000, 0.95)[1]
+    b2 = (
+        suggest_banding(200_000, 0.95)[0]
+        // suggest_banding(200_000, 0.95)[1]
+    )
+    assert b2 >= b1
+    # a 62-bit budget can't hit 0.9 recall at 1e9 rows / 0.9 bar: loud
+    with pytest.raises(ValueError, match="k-means bucketing"):
+        suggest_banding(1_000_000_000, 0.9, target_recall=0.9)
+
+
+def test_suggested_banding_recall_end_to_end(spark, sf_dir):
+    """The suggested config at the fixture corpus holds its predicted
+    pair recall against the exact path at the production bar."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+        lsh_bucket_near_dup_pairs,
+        suggest_banding,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    planes, bands = suggest_banding(n, 0.9, target_recall=0.8)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucket_near_dup_pairs(
+            emb, threshold=0.9, planes=planes, bands=bands
+        ).collect()
+    }
+    assert got <= exact  # exact precision by construction
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.8
