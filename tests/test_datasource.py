@@ -1078,3 +1078,49 @@ def test_stream_sink_auto_compact_bounds_live_files(spark, tmp_path):
     # row exactly once despite the rewrites
     feed = t.read_changes(0).collect()
     assert sorted(r.id for r in feed) == list(range(22))
+
+
+def test_replace_where_on_partitioned_table_declarative(spark, tmp_path):
+    """replaceWhere through the declarative writer on a day-partitioned
+    table: staged files carry partition tags, the predicate-scoped
+    tombstone + insert stays one atomic commit."""
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root, partition_date_col="d")
+    spark.sql(
+        "SELECT DATE'2024-01-01' + CAST(id % 2 AS INT) AS d, id AS v "
+        "FROM range(10)"
+    ).write.format("managed_table").mode("append").save(root)
+    v0 = t.snapshot().version
+    spark.sql(
+        "SELECT DATE'2024-01-02' AS d, CAST(id + 100 AS BIGINT) AS v "
+        "FROM range(2)"
+    ).write.format("managed_table").mode("overwrite").option(
+        "replaceWhere", '[["v", ">=", 100]]'
+    ).save(root)
+    assert t.snapshot().version == v0 + 1
+    got = sorted(r.v for r in t.read().collect())
+    assert got == list(range(10)) + [100, 101]
+    # new files are partition-tagged: day-pruned reads see them
+    assert t.read(partitions={"2024-01-02"}).count() == 5 + 2
+
+
+def test_merge_key_on_partitioned_table_declarative(spark, tmp_path):
+    """mergeKey upsert through the declarative writer on a partitioned
+    table: tombstone + tagged-file append, one commit."""
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root, partition_date_col="d")
+    spark.sql(
+        "SELECT DATE'2024-02-01' AS d, id AS k, id * 10 AS v FROM range(6)"
+    ).write.format("managed_table").mode("append").save(root)
+    spark.sql(
+        "SELECT DATE'2024-02-02' AS d, id AS k, CAST(-1 AS BIGINT) AS v "
+        "FROM range(4, 8)"
+    ).write.format("managed_table").mode("append").option(
+        "mergeKey", "k"
+    ).save(root)
+    got = {r.k: (r.v, r.d.isoformat()) for r in t.read().collect()}
+    assert len(got) == 8
+    assert got[3] == (30, "2024-02-01")      # untouched
+    assert got[4] == (-1, "2024-02-02")      # upserted, re-dated
+    assert got[7] == (-1, "2024-02-02")      # inserted
+    assert t.read(partitions={"2024-02-02"}).count() == 4
