@@ -62,6 +62,14 @@ Supported grammar (case-insensitive keywords)::
     ALTER TABLE db.tbl DROP CONSTRAINT nm
         -- CHECK constraints: existing data validated at ADD, every
         -- row-introducing write proves its rows afterwards
+    ALTER TABLE db.tbl (SET | UNSET) TBLPROPERTIES ('k' [= 'v'], ...)
+        -- supported namespace: 'autoCompact' ('true'|'false') /
+        -- 'autoCompact.maxFilesPerPartition' (int) — the opt-in
+        -- post-commit compaction policy; unknown keys raise
+    SELECT ... FROM db.tbl VERSION AS OF n | TIMESTAMP AS OF 'ts' ...
+        -- time travel over registered names: the reference rewrites to
+        -- a version-pinned view, the rest of the statement runs as-is
+        -- (MERGE may source from history the same way)
 
     <conj> ::= <pred> [AND <pred>]...
     <pred> ::= col (= | < | <= | > | >=) <literal>
@@ -101,7 +109,7 @@ _KEYWORDS = {
     "data", "describe", "history", "limit",
     "vacuum", "retain", "hours", "optimize", "zorder", "by", "restore",
     "version", "of", "constraint", "check", "detail", "show", "tables",
-    "source", "target",
+    "source", "target", "tblproperties", "unset",
 }
 
 
@@ -166,6 +174,8 @@ class DmlStatement:
     to_version: int | None = None
     # constraint fields (alter_op add_constraint / drop_constraint)
     check_expr: str | None = None
+    # table properties (alter_op set_properties / unset_properties)
+    properties: "dict[str, str | None] | None" = None
 
 
 class _Parser:
@@ -455,7 +465,51 @@ class _Parser:
 
     def _alter(self) -> "DmlStatement":
         st = DmlStatement("alter", self._expect_ident())
-        op = self._expect_kw("rename", "alter", "drop", "add")
+        op = self._expect_kw("rename", "alter", "drop", "add", "set", "unset")
+        if op in ("set", "unset"):
+            # ALTER TABLE db.t (SET|UNSET) TBLPROPERTIES ('k' [= 'v'], ...)
+            # — the Delta table-property surface; the supported key set
+            # is validated at EXECUTION (conservative: unknown keys
+            # raise, never silently record)
+            self._expect_kw("tblproperties")
+            self._expect_punct("(")
+            props: dict = {}
+            while True:
+                kt = self._take()
+                if kt is None or kt.kind != "string":
+                    raise SqlDmlError(
+                        "TBLPROPERTIES keys are string literals"
+                    )
+                key = kt.text[1:-1].replace("''", "'")
+                if op == "set":
+                    self._expect_punct("=")
+                    vt = self._take()
+                    if vt is None or vt.kind not in ("string", "number"):
+                        raise SqlDmlError(
+                            f"TBLPROPERTIES value for {key!r} must be a "
+                            f"string or number literal"
+                        )
+                    props[key] = (
+                        vt.text[1:-1].replace("''", "'")
+                        if vt.kind == "string"
+                        else vt.text
+                    )
+                else:
+                    props[key] = None
+                nt = self._take()
+                if nt is not None and nt.kind == "punct" and nt.text == ",":
+                    continue
+                if nt is not None and nt.kind == "punct" and nt.text == ")":
+                    break
+                raise SqlDmlError(
+                    "expected ',' or ')' in TBLPROPERTIES list"
+                )
+            st.alter_op = (
+                "set_properties" if op == "set" else "unset_properties"
+            )
+            st.properties = props
+            self._done()
+            return st
         if op == "add" and self._at_kw("constraint"):
             self._take()
             st.alter_op = "add_constraint"
@@ -906,6 +960,40 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # drops — see ManagedTable's evolution section). Attached views
         # pin their registration-time schema; call catalog.refresh()
         # for read-your-DDL through pure SQL, same contract as DML.
+        if st.alter_op in ("set_properties", "unset_properties"):
+            # the supported property namespace is deliberately tiny and
+            # validated here — an unknown key raises rather than being
+            # recorded-and-ignored (a silently-dead knob is worse than
+            # no knob). autoCompact is the Delta autoOptimize shape.
+            _AC = "autoCompact"
+            _ACN = "autoCompact.maxFilesPerPartition"
+            for key, val in st.properties.items():
+                if key not in (_AC, _ACN):
+                    raise SqlDmlError(
+                        f"unsupported table property {key!r}; supported: "
+                        f"'{_AC}' ('true'|'false'), '{_ACN}' (int)"
+                    )
+                if st.alter_op == "unset_properties" or (
+                    key == _AC and str(val).lower() == "false"
+                ):
+                    t.clear_auto_compact()
+                elif key == _ACN:
+                    try:
+                        n_files = int(val)
+                    except (TypeError, ValueError):
+                        raise SqlDmlError(
+                            f"{_ACN} must be an integer, got {val!r}"
+                        ) from None
+                    t.set_auto_compact(max_files_per_partition=n_files)
+                elif str(val).lower() == "true":
+                    t.set_auto_compact()
+                else:
+                    raise SqlDmlError(
+                        f"'{_AC}' takes 'true' or 'false', got {val!r}"
+                    )
+            return _summary(
+                spark, f"ALTER {st.alter_op.upper()}", 0
+            )
         if st.alter_op == "add_constraint":
             t.add_constraint(st.column, st.check_expr)
         elif st.alter_op == "drop_constraint":

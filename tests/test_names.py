@@ -486,3 +486,54 @@ def test_sql_merge_with_time_travel_source(spark, tmp_path, cat):
     ).collect()
     assert res[0].rows_affected == 10
     assert t.count() == 100
+
+
+def test_sql_tblproperties_auto_compact(spark, tmp_path, cat):
+    """ALTER TABLE ... SET/UNSET TBLPROPERTIES drives the auto-compaction
+    policy through pure SQL (the Delta autoOptimize shape); unknown keys
+    raise instead of being recorded-and-ignored."""
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    c, t = cat
+    r = c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+        "('autoCompact.maxFilesPerPartition' = '3')",
+    ).first()
+    assert r.operation == "ALTER SET_PROPERTIES"
+    assert t.auto_compact_policy() == {
+        "max_files_per_partition": 3, "max_merge_files": 128
+    }
+    # the policy is live: a burst of single-row appends stays bounded
+    for i in range(8):
+        t.append(spark.createDataFrame([(1000 + i, 0)], "k long, v long"))
+    assert len(t.snapshot().files) <= 4 + 1  # base file + bounded burst
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders UNSET TBLPROPERTIES ('autoCompact')",
+    )
+    assert t.auto_compact_policy() is None
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+        "('autoCompact' = 'true')",
+    )
+    assert t.auto_compact_policy()["max_files_per_partition"] == 16
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+        "('autoCompact' = 'false')",
+    )
+    assert t.auto_compact_policy() is None
+    with pytest.raises(SqlDmlError, match="unsupported table property"):
+        c.sql(
+            spark,
+            "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+            "('delta.someKnob' = '1')",
+        )
+    with pytest.raises(SqlDmlError, match="integer"):
+        c.sql(
+            spark,
+            "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+            "('autoCompact.maxFilesPerPartition' = 'lots')",
+        )
