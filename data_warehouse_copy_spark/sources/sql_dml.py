@@ -52,6 +52,17 @@ Supported grammar (case-insensitive keywords)::
         -- the VALUES/SELECT tail is evaluated by spark.sql verbatim;
         -- a column list realigns (and typed-null-backfills) the frame,
         -- the append is one atomic commit
+    INSERT OVERWRITE db.tbl [(col...)] (VALUES <rows> | SELECT ...)
+        -- same row-source surface, atomic truncate-and-load landing
+    CREATE TABLE db.tbl (col type [, ...]) [USING managed_table]
+        [LOCATION 'path'] [PARTITIONED BY (dayCol)]
+        [CLUSTERED BY (c1 [, c2]...)]
+        -- creates + registers; the declared schema is pinned before
+        -- any data so constraints/INSERT lists work immediately.
+        -- Non-managed_table providers / CTAS / non-dotted names pass
+        -- through to spark.sql untouched (misparse-safe for DDL)
+    DROP TABLE db.tbl
+        -- drops the NAME; data stays (external-table semantics)
     ALTER TABLE db.tbl RENAME COLUMN old TO new
     ALTER TABLE db.tbl ALTER COLUMN c (TYPE | SET DATA TYPE) <type>
     ALTER TABLE db.tbl ADD COLUMN c <type>
@@ -110,6 +121,7 @@ _KEYWORDS = {
     "vacuum", "retain", "hours", "optimize", "zorder", "by", "restore",
     "version", "of", "constraint", "check", "detail", "show", "tables",
     "source", "target", "tblproperties", "unset",
+    "create", "location", "partitioned", "clustered", "overwrite", "using",
 }
 
 
@@ -176,6 +188,13 @@ class DmlStatement:
     check_expr: str | None = None
     # table properties (alter_op set_properties / unset_properties)
     properties: "dict[str, str | None] | None" = None
+    # insert mode (kind == "insert")
+    insert_overwrite: bool = False
+    # create-table fields (kind == "create_table")
+    create_columns: "list[tuple[str, str]] | None" = None
+    location: str | None = None
+    part_col: str | None = None
+    cluster_cols: "list[str] | None" = None
 
 
 class _Parser:
@@ -352,8 +371,23 @@ class _Parser:
             return self._alter()
         if head == "insert":
             self._take()
-            self._expect_kw("into")
-            return self._insert()
+            kw = self._expect_kw("into", "overwrite")
+            st = self._insert()
+            if kw == "overwrite":
+                # INSERT OVERWRITE = atomic truncate-and-load with the
+                # same row-source/column-list surface as INSERT INTO
+                st.insert_overwrite = True
+            return st
+        if head == "create" and self._kw(self._peek(1)) == "table":
+            self._take()
+            self._take()
+            return self._create_table()
+        if head == "drop" and self._kw(self._peek(1)) == "table":
+            self._take()
+            self._take()
+            st = DmlStatement("drop_table", self._expect_ident())
+            self._done()
+            return st
         if head == "vacuum":
             self._take()
             st = DmlStatement("vacuum", self._expect_ident())
@@ -426,6 +460,85 @@ class _Parser:
             self._done()
             return st
         return None  # not DML: pass through to spark.sql
+
+    def _create_table(self) -> "DmlStatement | None":
+        """``CREATE TABLE db.t (col type, ...) [USING managed_table]
+        [LOCATION 'path'] [PARTITIONED BY (dayCol)] [CLUSTERED BY
+        (c1[, c2...])]``. Returns None — pass the statement through to
+        ``spark.sql`` untouched — whenever the form is NOT ours: a
+        non-dotted name, another provider in USING, a CTAS/other Spark
+        shape, or types outside the scalar set. Pass-through is the
+        misparse-safe direction here (this parser never EXECUTES a wrong
+        mutation by declining; Spark then handles or rejects its own
+        DDL), unlike DML where declining would silently drop a
+        mutation."""
+        name_tok = self._peek()
+        if (
+            name_tok is None
+            or name_tok.kind != "ident"
+            or "." not in name_tok.text
+        ):
+            return None
+        try:
+            st = DmlStatement("create_table", self._expect_ident())
+            nxt = self._peek()
+            if nxt is None or nxt.kind != "punct" or nxt.text != "(":
+                return None  # CTAS / column-less Spark forms
+            self._take()
+            cols: list = []
+            while True:
+                cname = self._expect_ident()
+                ctype = self._type_name()
+                cols.append((cname, ctype))
+                t = self._take()
+                if t is not None and t.text == ")":
+                    break
+                if t is None or t.text != ",":
+                    raise SqlDmlError(
+                        "expected ',' or ')' in the column list"
+                    )
+            st.create_columns = cols
+            while self._peek() is not None:
+                kw = self._kw(self._peek())
+                if kw == "using":
+                    self._take()
+                    prov = self._expect_ident()
+                    if prov.lower() != "managed_table":
+                        return None  # another provider's DDL
+                elif kw == "location":
+                    self._take()
+                    t = self._take()
+                    if t is None or t.kind != "string":
+                        raise SqlDmlError(
+                            "LOCATION expects a quoted path"
+                        )
+                    st.location = t.text[1:-1].replace("''", "'")
+                elif kw == "partitioned":
+                    self._take()
+                    self._expect_kw("by")
+                    self._expect_punct("(")
+                    st.part_col = self._expect_ident()
+                    self._expect_punct(")")
+                elif kw == "clustered":
+                    self._take()
+                    self._expect_kw("by")
+                    self._expect_punct("(")
+                    cl = [self._expect_ident()]
+                    while True:
+                        t = self._take()
+                        if t is not None and t.text == ")":
+                            break
+                        if t is None or t.text != ",":
+                            raise SqlDmlError(
+                                "expected ',' or ')' in CLUSTERED BY"
+                            )
+                        cl.append(self._expect_ident())
+                    st.cluster_cols = cl
+                else:
+                    return None  # TBLPROPERTIES/AS/...: Spark's own DDL
+            return st
+        except SqlDmlError:
+            return None
 
     def _insert(self) -> "DmlStatement":
         st = DmlStatement("insert", self._expect_ident())
@@ -807,6 +920,53 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 ]
             ),
         )
+    if st.kind == "create_table":
+        from pathlib import Path as _Path
+
+        if st.table in set(catalog.names()):
+            raise SqlDmlError(
+                f"table {st.table!r} already exists in the catalog"
+            )
+        root = st.location or str(_Path(catalog.path).parent / st.table)
+        if ManagedTable(None, root).exists():
+            raise SqlDmlError(
+                f"a managed table already exists at {root!r}; DROP TABLE "
+                f"leaves data in place — register it instead"
+            )
+        names = [n for n, _t in st.create_columns]
+        if st.part_col is not None and st.part_col not in names:
+            raise SqlDmlError(
+                f"PARTITIONED BY column {st.part_col!r} is not declared"
+            )
+        for c in st.cluster_cols or []:
+            if c not in names:
+                raise SqlDmlError(
+                    f"CLUSTERED BY column {c!r} is not declared"
+                )
+        cluster = None
+        if st.cluster_cols:
+            cluster = (
+                st.cluster_cols[0]
+                if len(st.cluster_cols) == 1
+                else st.cluster_cols
+            )
+        nt = ManagedTable.create(
+            spark, root, partition_date_col=st.part_col, cluster_col=cluster
+        )
+        # pin the DECLARED schema with an empty typed append (v1) so
+        # constraints/INSERT column lists work before the first data
+        nt.append(
+            spark.createDataFrame(
+                [], ", ".join(f"{n} {ty}" for n, ty in st.create_columns)
+            )
+        )
+        catalog.register(st.table, root)
+        return _summary(spark, "CREATE TABLE", 0)
+    if st.kind == "drop_table":
+        catalog.drop(st.table)
+        # name-only drop (external-table semantics): the data stays; a
+        # re-register resurrects it, vacuum/deletion is an explicit act
+        return _summary(spark, "DROP TABLE", 0)
     t = ManagedTable(spark, catalog.root_of(st.table))
     if st.kind == "vacuum":
         secs = (
@@ -920,8 +1080,14 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             src = (
                 df.toDF(*st.insert_columns) if st.insert_columns else df
             )
-            n = t.append(src)
-            return _summary(spark, "INSERT", n)
+            n = (
+                t.overwrite(src) if st.insert_overwrite else t.append(src)
+            )
+            return _summary(
+                spark,
+                "INSERT OVERWRITE" if st.insert_overwrite else "INSERT",
+                n,
+            )
         table_fields = T.StructType.fromJson(_json.loads(schema_json)).fields
         if st.insert_columns is not None:
             names = st.insert_columns
@@ -952,8 +1118,12 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 for f in table_fields
             ]
         )
-        n = t.append(src)
-        return _summary(spark, "INSERT", n)
+        n = t.overwrite(src) if st.insert_overwrite else t.append(src)
+        return _summary(
+            spark,
+            "INSERT OVERWRITE" if st.insert_overwrite else "INSERT",
+            n,
+        )
     if st.kind == "alter":
         # schema evolution DDL: metadata-only commits at any table size
         # (column-mapping renames, native-upcast widens, tombstoned

@@ -537,3 +537,86 @@ def test_sql_tblproperties_auto_compact(spark, tmp_path, cat):
             "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
             "('autoCompact.maxFilesPerPartition' = 'lots')",
         )
+
+
+def test_sql_create_drop_table_and_insert_overwrite(spark, tmp_path, cat):
+    """CREATE TABLE / DROP TABLE / INSERT OVERWRITE through the catalog:
+    the full table lifecycle in pure SQL (round-8 forward surface)."""
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    c, _t = cat
+    r = c.sql(
+        spark,
+        "CREATE TABLE global_temp.facts "
+        "(d date, k bigint, v double) USING managed_table "
+        f"LOCATION '{tmp_path}/facts' "
+        "PARTITIONED BY (d) CLUSTERED BY (k)",
+    ).first()
+    assert r.operation == "CREATE TABLE"
+    nt = ManagedTable(spark, tmp_path / "facts")
+    assert nt.exists()
+    m = nt.snapshot()
+    assert m.partition_date_col == "d" and m.cluster_col == "k"
+    assert nt.read().columns == ["d", "k", "v"]  # declared schema pinned
+    # the created table takes DML immediately (schema exists pre-data)
+    c.sql(
+        spark,
+        "INSERT INTO global_temp.facts VALUES "
+        "(DATE'2024-01-01', 1, 1.5), (DATE'2024-01-02', 2, 2.5)",
+    )
+    assert nt.count() == 2
+    assert {f.partition for f in nt.snapshot().files} == {
+        "2024-01-01", "2024-01-02"
+    }
+    # INSERT OVERWRITE = atomic truncate-and-load
+    r = c.sql(
+        spark,
+        "INSERT OVERWRITE global_temp.facts VALUES "
+        "(DATE'2024-02-01', 9, 9.0)",
+    ).first()
+    assert r.operation == "INSERT OVERWRITE"
+    assert nt.count() == 1
+    # guards: double-create and unknown partition column reject loudly
+    with pytest.raises(SqlDmlError, match="already exists"):
+        c.sql(
+            spark,
+            "CREATE TABLE global_temp.facts (x int) USING managed_table",
+        )
+    with pytest.raises(SqlDmlError, match="not declared"):
+        c.sql(
+            spark,
+            "CREATE TABLE global_temp.f2 (x int) USING managed_table "
+            f"LOCATION '{tmp_path}/f2' PARTITIONED BY (zz)",
+        )
+    # DROP TABLE drops the NAME; the data stays (external semantics)
+    c.sql(spark, "DROP TABLE global_temp.facts")
+    assert "global_temp.facts" not in c.names()
+    assert nt.read().count() == 1
+    # default LOCATION derives from the catalog directory
+    c.sql(spark, "CREATE TABLE global_temp.dflt (a int) USING managed_table")
+    assert ManagedTable(
+        spark, c.path.parent / "global_temp.dflt"
+    ).exists()
+    c.sql(spark, "DROP TABLE global_temp.dflt")
+
+
+def test_sql_create_table_foreign_forms_pass_through(spark, cat):
+    """CREATE TABLE shapes that are NOT ours (other providers, CTAS,
+    non-dotted names) reach spark.sql untouched — declining is the
+    misparse-safe direction for DDL."""
+    from data_warehouse_copy_spark.sources.sql_dml import parse_dml
+
+    assert parse_dml("CREATE TABLE x (a INT) USING parquet") is None
+    assert parse_dml(
+        "CREATE TABLE db.t (a INT, b DOUBLE) USING parquet"
+    ) is None
+    assert parse_dml("CREATE TABLE db.t AS SELECT 1 AS a") is None
+    assert parse_dml(
+        "CREATE TABLE db.t (a DECIMAL(10,2)) USING managed_table"
+    ) is None  # non-scalar type: Spark's own DDL, never a misparse
+    # and a real pass-through executes through spark.sql
+    c, _t = cat
+    got = c.sql(
+        spark, "CREATE OR REPLACE TEMPORARY VIEW ptv AS SELECT 7 AS x"
+    )
+    assert spark.table("ptv").first().x == 7
