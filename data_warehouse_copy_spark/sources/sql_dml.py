@@ -1024,6 +1024,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 T.StructField("bloom_columns", T.StringType(), True),
                 T.StructField("column_mapping", T.BooleanType(), False),
                 T.StructField("constraints", T.StringType(), True),
+                T.StructField("auto_compact", T.StringType(), True),
             ]
         )
         hist = t.history(since_version=head_v)
@@ -1032,6 +1033,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             if hist
             else (len(t.snapshot().files), t.count())
         )
+        policy = t.auto_compact_policy()
         return spark.createDataFrame(
             [
                 (
@@ -1041,6 +1043,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                     _json.dumps(bloom) if bloom else None,
                     bool(cols),
                     _json.dumps(cons) if cons else None,
+                    _json.dumps(policy) if policy else None,
                 )
             ],
             detail_schema,

@@ -414,6 +414,11 @@ def test_sql_describe_detail(spark, tmp_path):
     assert r.clustering == '"k"' and r.column_mapping is True
     assert "v_nn" in (r.constraints or "")
     assert r.num_files >= 1
+    assert r.auto_compact is None  # policy off by default
+    t.set_auto_compact(max_files_per_partition=7)
+    r = c.sql(spark, "DESCRIBE DETAIL db.t").first()
+    assert "max_files_per_partition" in (r.auto_compact or "")
+    assert '"max_files_per_partition": 7' in r.auto_compact
 
 
 def test_sql_show_tables(spark, tmp_path):
