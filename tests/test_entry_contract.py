@@ -154,10 +154,12 @@ def test_source_rollup_null_text_matches_oracle(spark, tmp_path):
 
 
 def test_semantic_lsh_cluster_identity_sf001(spark, sf_dir_med):
-    """The banded scale path of SemDeDup must reproduce the exact entry's
-    clusters bit-for-bit at sf0.01 (12×2-bit banding recovers all 59
-    exact pairs there), so swapping the O(n²) plan for the LSH plan
-    changes cost, not results, at this scale."""
+    """The size-adaptive scale path of SemDeDup must reproduce the exact
+    entry's clusters bit-for-bit at sf0.01. At n=500 ``suggest_banding``
+    reaches (48 planes / 16 bands, per-pair recall >= 0.99 at the exact
+    bar), so this exercises the sign-LSH arm of the registered entry —
+    swapping the O(n²) plan for the bucketed plan changes cost, not
+    results, at this scale."""
     from data_warehouse_copy_spark.queries import (
         dedup_semantic_clusters,
         dedup_semantic_clusters_lsh,
@@ -174,30 +176,75 @@ def test_semantic_lsh_cluster_identity_sf001(spark, sf_dir_med):
     assert lsh == exact
 
 
+def test_semantic_kmeans_cluster_identity_sf001(spark, sf_dir_med):
+    """The k-means-bucketed arm (the one the registered entry takes at
+    n >= ~1k where sign-LSH recall math can't reach the 0.4 bar) must
+    also reproduce the exact clusters at sf0.01 — calibrated multi-probe
+    assignment recovers every exact pair there, and the exact-cosine
+    re-score makes returned values bit-identical."""
+    from data_warehouse_copy_spark.functions.dedup import connected_components
+    from data_warehouse_copy_spark.functions.similarity import (
+        kmeans_bucket_near_dup_pairs,
+    )
+    from data_warehouse_copy_spark.queries import dedup_semantic_clusters
+
+    exact = {
+        (r.vec_id, r.component, r.is_survivor)
+        for r in dedup_semantic_clusters(spark, sf_dir_med).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir_med}/embeddings.parquet")
+    comp = connected_components(kmeans_bucket_near_dup_pairs(emb, threshold=0.4))
+    km = {
+        (r.id, r.comp, r.id == r.comp)
+        for r in comp.collect()
+    }
+    assert km == exact
+
+
 SF01_DIR = "/root/testdata/sf0.1"
 
 
 @pytest.mark.skipif(
     not Path(SF01_DIR).is_dir(), reason="sf0.1 fixtures not present"
 )
-def test_semantic_lsh_pair_recall_floor_sf01(spark):
-    """Pair-recall floor for the banded SemDeDup path at sf0.1: the
-    24-plane/12-band signature is seeded and deterministic, so the measured
-    918/920 (0.9978) recall is stable — pin >= 0.99 against drift in the
-    plane derivation, banding math, or cosine fold."""
+def test_semantic_kmeans_pair_recall_floor_sf01(spark):
+    """Pair-recall floor for the k-means-bucketed SemDeDup arm at sf0.1
+    (the arm the registered entry takes at n=2000, where suggest_banding
+    raises for the 0.4 bar): seeded sample, seeded Lloyd's, and
+    calibrated probes are all deterministic, so the measured 919/920
+    (0.9989) recall is stable — pin >= 0.99 against drift in the
+    quantizer, the probe calibration, or the cosine fold."""
     from data_warehouse_copy_spark.functions.similarity import (
         cosine_near_dup_pairs,
-        lsh_bucket_near_dup_pairs,
+        kmeans_bucket_near_dup_pairs,
     )
 
     emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
     exact = cosine_near_dup_pairs(emb, threshold=0.4).cache()
     n_exact = exact.count()
     hit = exact.join(
-        lsh_bucket_near_dup_pairs(emb, threshold=0.4, planes=24, bands=12),
+        kmeans_bucket_near_dup_pairs(emb, threshold=0.4),
         ["id_a", "id_b"],
         "left_semi",
     ).count()
     exact.unpersist()
     assert n_exact >= 900  # the fixture's planted near-dup volume
     assert hit / n_exact >= 0.99
+
+
+@pytest.mark.skipif(
+    not Path(SF01_DIR).is_dir(), reason="sf0.1 fixtures not present"
+)
+def test_semantic_registered_entry_takes_scalable_arm(spark):
+    """The registered entry's arm choice derives from corpus size: at
+    n=500 (sf0.01) suggest_banding reaches within the 60-plane signature
+    cap; at n=2000+ it raises and the entry must take the k-means arm —
+    pin the decision boundary so a future edit can't silently reintroduce
+    a fixed-banding config whose candidates grow quadratically."""
+    from data_warehouse_copy_spark.functions.similarity import suggest_banding
+
+    planes, bands = suggest_banding(500, 0.4, target_recall=0.99)
+    assert planes <= 60 and planes == (planes // bands) * bands
+    for n in (2000, 20000, 200000, 2000000):
+        with pytest.raises(ValueError, match="k-means"):
+            suggest_banding(n, 0.4, target_recall=0.99)

@@ -236,6 +236,31 @@ def test_semantic_lsh_clusters_stay_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_kmeans_arm_stays_equi(spark, sf_dir):
+    """The k-means-bucketed arm (taken by the registered entry at corpus
+    sizes where sign-LSH recall math can't reach the 0.4 bar) must also
+    be bucket equi-joins end to end — applyInPandas per bucket, candidate
+    rejoin on ids, closure rounds on labels; never an all-pairs stage."""
+    import contextlib
+    import io
+
+    from data_warehouse_copy_spark.functions.dedup import connected_components
+    from data_warehouse_copy_spark.functions.similarity import (
+        kmeans_bucket_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = connected_components(
+        kmeans_bucket_near_dup_pairs(emb, threshold=0.4)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        comp.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dv_read_stays_equi_anti_join(spark, sf_dir):
     """The canonical-path DV subtraction (round 6: scheme-strip +
     url_decode + prefix-strip expressions instead of raw-URI equality)

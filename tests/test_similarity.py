@@ -215,3 +215,86 @@ def test_suggested_banding_recall_end_to_end(spark, sf_dir):
     assert got <= exact  # exact precision by construction
     if exact:
         assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_calibrate_probes_clustered_data_small_m():
+    """Well-separated clusters need few probes: same-cluster pairs are the
+    only above-threshold pairs and k-means finds the clusters, so m=1
+    (or 2) reaches the target."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        _lloyd_fast,
+        calibrate_probes,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 10.0
+    X = np.vstack([c + rng.normal(scale=0.01, size=(32, 16)) for c in centers])
+    cents = _lloyd_fast(X, 8, seed=7)
+    m = calibrate_probes(X, cents, threshold=0.95, target_recall=0.99)
+    assert m <= 2
+
+
+def test_calibrate_probes_raises_when_unreachable():
+    """Uniform random vectors at a near-zero similarity bar: almost every
+    pair is 'similar' but spread across all cells, so no probe budget
+    reaches the target — the calibration must raise loudly (pointing at
+    the exact path), never return a silently-bad config."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        _lloyd_fast,
+        calibrate_probes,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(512, 8))
+    cents = _lloyd_fast(X, 64, seed=3)
+    with pytest.raises(ValueError, match="exact"):
+        calibrate_probes(X, cents, threshold=-0.9, target_recall=1.0, max_probes=2)
+
+
+def test_calibrate_probes_no_pairs_fallback():
+    """A sample with zero above-threshold pairs has nothing to calibrate
+    on; the function returns a small default instead of dividing by
+    zero or probing everything."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        _lloyd_fast,
+        calibrate_probes,
+    )
+
+    X = np.eye(16)  # orthogonal unit vectors: all cosines are 0
+    cents = _lloyd_fast(X, 4, seed=1)
+    m = calibrate_probes(X, cents, threshold=0.5, target_recall=0.99)
+    assert 1 <= m <= 2
+
+
+def test_kmeans_bucket_pairs_subset_and_bit_identical(emb):
+    """k-means bucketing returns a SUBSET of the exact pair set (exact
+    precision by construction: every candidate re-scores with the same
+    fixed-fold cosine), with the same cosine values bit-for-bit."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        kmeans_bucket_near_dup_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in kmeans_bucket_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact)
+    assert len(got) / max(len(exact), 1) >= 0.95
+    for pair, cos in got.items():
+        assert cos == exact[pair]  # bit-identical, not approximately
+
+
+def test_sq_dists_matches_broadcast_form():
+    """The BLAS expansion used at k ∝ n must agree with the naive
+    broadcast-tensor distances (up to FP round-off)."""
+    from data_warehouse_copy_spark.functions.similarity import _sq_dists
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(50, 12))
+    C = rng.normal(size=(7, 12))
+    naive = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assert np.allclose(_sq_dists(X, C), naive, atol=1e-9)
