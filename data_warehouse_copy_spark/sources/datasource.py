@@ -1265,8 +1265,10 @@ def _commit_staged(
     # post-commit auto-compaction (opt-in; no-op without a policy) —
     # outside the commit lock, pyarrow-only so this session-less hook
     # can run it; keeps a minute-trigger streaming sink's live file
-    # count bounded without manual compact() (round-7 item 3)
-    t.maybe_auto_compact()
+    # count bounded without manual compact() (round-7 item 3). Scoped
+    # to the staged partitions so a past-gate table plans the pass from
+    # a filtered checkpoint stream (round-8 item 2).
+    t.maybe_auto_compact({e.partition for e in entries})
 
 
 def _commit_merge(

@@ -864,14 +864,27 @@ def _rewrite_time_travel(spark: SparkSession, catalog, sql: str) -> str:
         from data_warehouse_copy_spark.sources.datasource import register
 
         register(spark)
-        import uuid as _uuid
+        import hashlib as _hashlib
 
         reader = spark.read.format("managed_table")
         if m.group("v") is not None:
+            pin = f"v{m.group('v')}"
             reader = reader.option("versionAsOf", m.group("v"))
         else:
+            pin = f"ts{m.group('ts')}"
             reader = reader.option("timestampAsOf", m.group("ts"))
-        view = f"dwcs_tt_{_uuid.uuid4().hex[:12]}"
+        # DETERMINISTIC view name per (table root, pinned version/ts):
+        # repeated audit queries re-point the same view instead of
+        # accumulating one temp view per statement forever (round-8
+        # advisor finding). createOrReplaceTempView makes the reuse
+        # idempotent — the replacement definition is identical — and
+        # distinct pins still coexist in one query. Dropping after
+        # execution is NOT an option: the returned DataFrame is lazy
+        # and may be collected long after this rewrite ran.
+        key = _hashlib.md5(
+            f"{catalog.root_of(name)}|{pin}".encode()
+        ).hexdigest()[:12]
+        view = f"dwcs_tt_{key}"
         reader.load(catalog.root_of(name)).createOrReplaceTempView(view)
         return view
 
@@ -1138,32 +1151,80 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             # validated here — an unknown key raises rather than being
             # recorded-and-ignored (a silently-dead knob is worse than
             # no knob). autoCompact is the Delta autoOptimize shape.
+            #
+            # All keys of one statement merge into ONE policy update
+            # against the current policy (round-8 advisor finding: the
+            # old per-key loop made SET ('knob'='8','autoCompact'='true')
+            # order-dependent — the later default-enable silently reset
+            # the knob). Semantics, order-free by construction:
+            #   SET   autoCompact=false       -> policy cleared (knobs in
+            #                                    the same statement too)
+            #   SET   autoCompact=true + knob -> enabled with that knob
+            #   SET   knob alone              -> enabled (current policy
+            #                                    as base), knob updated
+            #   UNSET autoCompact             -> policy cleared entirely
+            #   UNSET knob alone              -> knob back to its default;
+            #                                    enablement unchanged
             _AC = "autoCompact"
-            _ACN = "autoCompact.maxFilesPerPartition"
+            _KNOBS = {
+                "autoCompact.maxFilesPerPartition": (
+                    "max_files_per_partition", 16,
+                ),
+                "autoCompact.maxFileBytes": ("max_file_bytes", 128 << 20),
+            }
+            enable: "bool | None" = None
+            knob_vals: dict = {}
             for key, val in st.properties.items():
-                if key not in (_AC, _ACN):
-                    raise SqlDmlError(
-                        f"unsupported table property {key!r}; supported: "
-                        f"'{_AC}' ('true'|'false'), '{_ACN}' (int)"
-                    )
-                if st.alter_op == "unset_properties" or (
-                    key == _AC and str(val).lower() == "false"
-                ):
-                    t.clear_auto_compact()
-                elif key == _ACN:
+                if key == _AC:
+                    if st.alter_op == "unset_properties":
+                        enable = False
+                        continue
+                    if str(val).lower() == "true":
+                        enable = True
+                    elif str(val).lower() == "false":
+                        enable = False
+                    else:
+                        raise SqlDmlError(
+                            f"'{_AC}' takes 'true' or 'false', got {val!r}"
+                        )
+                elif key in _KNOBS:
+                    arg, default = _KNOBS[key]
+                    if st.alter_op == "unset_properties":
+                        knob_vals[arg] = default
+                        continue
                     try:
-                        n_files = int(val)
+                        knob_vals[arg] = int(val)
                     except (TypeError, ValueError):
                         raise SqlDmlError(
-                            f"{_ACN} must be an integer, got {val!r}"
+                            f"{key} must be an integer, got {val!r}"
                         ) from None
-                    t.set_auto_compact(max_files_per_partition=n_files)
-                elif str(val).lower() == "true":
-                    t.set_auto_compact()
                 else:
                     raise SqlDmlError(
-                        f"'{_AC}' takes 'true' or 'false', got {val!r}"
+                        f"unsupported table property {key!r}; supported: "
+                        f"'{_AC}' ('true'|'false'), "
+                        + ", ".join(f"'{k}' (int)" for k in _KNOBS)
                     )
+            current = t.auto_compact_policy()
+            if enable is False:
+                t.clear_auto_compact()
+            elif enable is True or (
+                knob_vals
+                and (current is not None or st.alter_op == "set_properties")
+            ):
+                merged = {
+                    arg: default for _, (arg, default) in _KNOBS.items()
+                }
+                merged["max_merge_files"] = 128
+                if current:
+                    merged.update(
+                        {k: v for k, v in current.items() if k in (
+                            "max_files_per_partition", "max_merge_files",
+                            "max_file_bytes",
+                        )}
+                    )
+                merged.update(knob_vals)
+                t.set_auto_compact(**merged)
+            # UNSET of a knob on a disabled table: nothing to reset
             return _summary(
                 spark, f"ALTER {st.alter_op.upper()}", 0
             )

