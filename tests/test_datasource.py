@@ -1124,3 +1124,112 @@ def test_merge_key_on_partitioned_table_declarative(spark, tmp_path):
     assert got[4] == (-1, "2024-02-02")      # upserted, re-dated
     assert got[7] == (-1, "2024-02-02")      # inserted
     assert t.read(partitions={"2024-02-02"}).count() == 4
+
+
+# ------------------------------------------------- streaming rate limits
+
+
+def test_stream_max_commits_per_trigger(spark, tmp_path):
+    """Round-9 (verdict item 3): ``maxCommitsPerTrigger`` caps how many
+    commits one micro-batch covers — a long backfill tails in bounded
+    batches instead of one giant catch-up batch — with exactly-once
+    delivery preserved across a checkpoint restart."""
+    t = _mk(spark, tmp_path, n=2)
+    for i in range(10, 16):  # six 1-row commits to tail
+        t.append(
+            spark.range(i, i + 1).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k"
+            )
+        )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(
+        spark, t.root, out, ckpt,
+        startingVersion="2", maxCommitsPerTrigger="2",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.read.parquet(str(out))
+        assert got.count() == 6  # all six commits, exactly once
+        # the six commits arrived over >= 3 capped batches of <= 2 rows
+        progress = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(progress) >= 3
+        assert all(p["numInputRows"] <= 2 for p in progress)
+    finally:
+        q.stop()
+    # restart: commits made while down arrive once; caps re-arm after
+    # the first (documented-uncapped) trigger
+    for i in range(30, 35):
+        t.append(
+            spark.range(i, i + 1).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k"
+            )
+        )
+    q2 = _tail_query(
+        spark, t.root, out, ckpt,
+        startingVersion="2", maxCommitsPerTrigger="2",
+    )
+    try:
+        q2.processAllAvailable()
+        vals = sorted(
+            r.id for r in spark.read.parquet(str(out)).collect()
+        )
+        assert vals == list(range(10, 16)) + list(range(30, 35))
+    finally:
+        q2.stop()
+
+
+def test_stream_max_files_per_trigger_splits_snapshot(spark, tmp_path):
+    """Round-9 (verdict item 3): ``maxFilesPerTrigger`` splits the
+    INITIAL SNAPSHOT into bounded segments — a 100 TB table's backfill
+    no longer arrives as ONE micro-batch — and the stream then tails
+    normally. Segment offsets pin the snapshot version, so a restart
+    replays identical immutable segments (exactly-once)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for i in range(8):  # eight 1-row files in the initial snapshot
+        t.append(
+            spark.range(i, i + 1).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k"
+            )
+        )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(
+        spark, t.root, out, ckpt, maxFilesPerTrigger="3"
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(str(out)).count() == 8
+        progress = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(progress) >= 3  # 3+3+2 segments
+        assert all(p["numInputRows"] <= 3 for p in progress)
+        # the stream tails new commits after the snapshot completes
+        t.append(
+            spark.range(100, 101).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k"
+            )
+        )
+        q.processAllAvailable()
+        assert spark.read.parquet(str(out)).count() == 9
+    finally:
+        q.stop()
+    vals = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert vals == list(range(8)) + [100]  # every row exactly once
+
+
+def test_stream_rate_limit_option_validation(spark, tmp_path):
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableStreamReader,
+    )
+
+    t = _mk(spark, tmp_path, n=2)
+    with pytest.raises(Exception, match=">= 1"):
+        ManagedTableStreamReader(
+            str(t.root), {"maxcommitspertrigger": "0"}, t.read().schema
+        )
+    with pytest.raises(Exception, match="positive integer"):
+        ManagedTableStreamReader(
+            str(t.root), {"maxfilespertrigger": "many"}, t.read().schema
+        )
