@@ -4539,6 +4539,52 @@ FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def catalog_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS through the catalog (round-8 verdict item 4): ``CREATE TABLE
+    ... USING managed_table AS SELECT`` evaluates an aggregate over a
+    registered table and lands it as ONE atomic append into a brand-new
+    managed table — a warehouse user's second DDL statement. The read
+    back comes from the CREATED table (not the query), so the oracle
+    match proves the full write-then-read round trip is value-exact.
+    Oracle: the same aggregate straight over raw orders."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_sqlctas_")
+    t = ManagedTable.create(spark, f"{tmp}/orders")
+    t.append(orders)
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_ctas_orders", f"{tmp}/orders")
+    cat.attach(spark)  # the CTAS tail resolves names through spark.sql
+    cat.sql(
+        spark,
+        f"CREATE TABLE global_temp.dwcs_ctas_sum USING managed_table "
+        f"LOCATION '{tmp}/sum' AS "
+        f"SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        f"SUM(o_totalprice) AS total "
+        f"FROM global_temp.dwcs_ctas_orders "
+        f"WHERE o_orderstatus <> 'P' "
+        f"GROUP BY o_orderpriority",
+    )
+    return (
+        cat.table(spark, "global_temp.dwcs_ctas_sum")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("total"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+CATALOG_SQL_CTAS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 DATASOURCE_UPSERT_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderdate >= TIMESTAMP '{M_FROM}'
@@ -5198,6 +5244,7 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_dml": catalog_sql_dml,
     "catalog_sql_merge": catalog_sql_merge,
     "catalog_sql_time_travel": catalog_sql_time_travel,
+    "catalog_sql_ctas": catalog_sql_ctas,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -5323,6 +5370,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
     "catalog_sql_merge": CATALOG_SQL_MERGE_SQL,
     "catalog_sql_time_travel": CATALOG_SQL_TIME_TRAVEL_SQL,
+    "catalog_sql_ctas": CATALOG_SQL_CTAS_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

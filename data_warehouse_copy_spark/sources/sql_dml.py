@@ -195,6 +195,7 @@ class DmlStatement:
     location: str | None = None
     part_col: str | None = None
     cluster_cols: "list[str] | None" = None
+    ctas_query: str | None = None      # CTAS: the SELECT tail, verbatim
 
 
 class _Parser:
@@ -464,14 +465,19 @@ class _Parser:
     def _create_table(self) -> "DmlStatement | None":
         """``CREATE TABLE db.t (col type, ...) [USING managed_table]
         [LOCATION 'path'] [PARTITIONED BY (dayCol)] [CLUSTERED BY
-        (c1[, c2...])]``. Returns None — pass the statement through to
-        ``spark.sql`` untouched — whenever the form is NOT ours: a
-        non-dotted name, another provider in USING, a CTAS/other Spark
-        shape, or types outside the scalar set. Pass-through is the
-        misparse-safe direction here (this parser never EXECUTES a wrong
-        mutation by declining; Spark then handles or rejects its own
-        DDL), unlike DML where declining would silently drop a
-        mutation."""
+        (c1[, c2...])]`` — or the CTAS form (round-8 verdict item 4)
+        ``CREATE TABLE db.t USING managed_table [LOCATION ...]
+        [PARTITIONED BY ...] [CLUSTERED BY ...] AS SELECT ...`` (the
+        SELECT tail is handed to ``spark.sql`` verbatim, full Spark SQL
+        power for the row source, one atomic commit for the landing).
+        Returns None — pass the statement through to ``spark.sql``
+        untouched — whenever the form is NOT ours: a non-dotted name,
+        another provider in USING, a CTAS WITHOUT an explicit ``USING
+        managed_table`` (the default-provider CTAS stays Spark's), or
+        types outside the scalar set. Pass-through is the misparse-safe
+        direction here (this parser never EXECUTES a wrong mutation by
+        declining; Spark then handles or rejects its own DDL), unlike
+        DML where declining would silently drop a mutation."""
         name_tok = self._peek()
         if (
             name_tok is None
@@ -482,22 +488,22 @@ class _Parser:
         try:
             st = DmlStatement("create_table", self._expect_ident())
             nxt = self._peek()
-            if nxt is None or nxt.kind != "punct" or nxt.text != "(":
-                return None  # CTAS / column-less Spark forms
-            self._take()
-            cols: list = []
-            while True:
-                cname = self._expect_ident()
-                ctype = self._type_name()
-                cols.append((cname, ctype))
-                t = self._take()
-                if t is not None and t.text == ")":
-                    break
-                if t is None or t.text != ",":
-                    raise SqlDmlError(
-                        "expected ',' or ')' in the column list"
-                    )
-            st.create_columns = cols
+            if nxt is not None and nxt.kind == "punct" and nxt.text == "(":
+                self._take()
+                cols: list = []
+                while True:
+                    cname = self._expect_ident()
+                    ctype = self._type_name()
+                    cols.append((cname, ctype))
+                    t = self._take()
+                    if t is not None and t.text == ")":
+                        break
+                    if t is None or t.text != ",":
+                        raise SqlDmlError(
+                            "expected ',' or ')' in the column list"
+                        )
+                st.create_columns = cols
+            saw_provider = False
             while self._peek() is not None:
                 kw = self._kw(self._peek())
                 if kw == "using":
@@ -505,6 +511,7 @@ class _Parser:
                     prov = self._expect_ident()
                     if prov.lower() != "managed_table":
                         return None  # another provider's DDL
+                    saw_provider = True
                 elif kw == "location":
                     self._take()
                     t = self._take()
@@ -534,8 +541,28 @@ class _Parser:
                             )
                         cl.append(self._expect_ident())
                     st.cluster_cols = cl
+                elif kw == "as" and st.create_columns is None:
+                    # CTAS tail: verbatim to spark.sql. A column-list +
+                    # AS combination falls to pass-through below (Spark
+                    # rejects its own schema-and-query form).
+                    self._take()
+                    q = self._peek()
+                    if q is None or not (
+                        (q.kind == "ident" and q.text.lower() in ("select", "with"))
+                        or (q.kind == "punct" and q.text == "(")
+                    ):
+                        return None
+                    st.ctas_query = " ".join(
+                        tk.text for tk in self.toks[self.i:]
+                    )
+                    self.i = len(self.toks)
                 else:
-                    return None  # TBLPROPERTIES/AS/...: Spark's own DDL
+                    return None  # TBLPROPERTIES/...: Spark's own DDL
+            if st.create_columns is None:
+                # column-less forms are ours ONLY as an explicit
+                # managed_table CTAS
+                if st.ctas_query is None or not saw_provider:
+                    return None
             return st
         except SqlDmlError:
             return None
@@ -946,7 +973,17 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 f"a managed table already exists at {root!r}; DROP TABLE "
                 f"leaves data in place — register it instead"
             )
-        names = [n for n, _t in st.create_columns]
+        if st.ctas_query is not None:
+            # CTAS (round-8 verdict item 4): evaluate the SELECT tail
+            # through spark.sql BEFORE creating anything — a bad query
+            # must not leave an empty orphan table — then land the
+            # result as ONE atomic append. The registration happens
+            # last, so a failed write leaves no catalog entry either.
+            src = spark.sql(st.ctas_query)
+            names = src.columns
+        else:
+            src = None
+            names = [n for n, _t in st.create_columns]
         if st.part_col is not None and st.part_col not in names:
             raise SqlDmlError(
                 f"PARTITIONED BY column {st.part_col!r} is not declared"
@@ -966,6 +1003,19 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         nt = ManagedTable.create(
             spark, root, partition_date_col=st.part_col, cluster_col=cluster
         )
+        if src is not None:
+            try:
+                n = nt.append(src)
+            except Exception:
+                # failed landing: remove the just-created empty shell so
+                # the statement is all-or-nothing (nothing registered,
+                # nothing left at the location)
+                import shutil as _shutil
+
+                _shutil.rmtree(root, ignore_errors=True)
+                raise
+            catalog.register(st.table, root)
+            return _summary(spark, "CREATE TABLE AS SELECT", n)
         # pin the DECLARED schema with an empty typed append (v1) so
         # constraints/INSERT column lists work before the first data
         nt.append(
