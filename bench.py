@@ -35,6 +35,36 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def merge_floors(existing: dict, new: dict) -> dict:
+    """The BASELINE_FLOOR growth protocol (round-8 verdict item 8):
+    floors are APPEND-ONLY. A round may add floors for queries the file
+    has never seen (each measured isolated min-of-3 on an idle box —
+    see BASELINE.md); it may NEVER change a recorded floor, in either
+    direction. Raising a floor would quietly loosen the 2x gate
+    (today's slower code judged against an inflated denominator);
+    lowering one would rewrite history the earlier rounds were judged
+    on. New queries therefore print as ``unfloored`` in the artifact
+    tail until someone appends a floor — loud, never silently skipped.
+
+    Returns the merged mapping; raises ValueError on any attempt to
+    overwrite an existing floor with a different value."""
+    merged = dict(existing)
+    for q, sec in new.items():
+        if q in merged:
+            if merged[q] != sec:
+                raise ValueError(
+                    f"floor for {q!r} is already recorded at "
+                    f"{merged[q]}s; floors are append-only — a re-floor "
+                    f"must go through a full re-baseline of the whole "
+                    f"registry, not a per-query overwrite"
+                )
+            continue
+        if not isinstance(sec, (int, float)) or sec <= 0:
+            raise ValueError(f"floor for {q!r} must be positive seconds")
+        merged[q] = sec
+    return merged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)

@@ -1189,6 +1189,10 @@ _CONS_FUNCS = {
 _CONS_KEYWORDS = {
     "and", "or", "not", "is", "null", "in", "between", "like",
     "true", "false",
+    # CASE expressions evaluate identically in Spark SQL and DuckDB for
+    # operands already inside this subset (round-9 differential sweep,
+    # tests/test_constraints.py, pins the parity)
+    "case", "when", "then", "else", "end",
 }
 
 

@@ -295,3 +295,102 @@ def test_constraint_portability_gate_units():
     assert not p("v > 0 -- cmt", cols)         # untokenizable tail
     assert not p("k div 2 = 0", cols)          # dialect operator word
     assert not p("nosuchcol > 0", cols)        # not a column
+
+
+# ------------------------------------------ differential proof parity
+
+
+_SWEEP_SCHEMA = "k long, v double, s string"
+
+# (expr, accepted rows, rejected rows) — each case appends `accepted`
+# (must land in BOTH paths) then `rejected` (must fail atomically in
+# BOTH paths). NULL rows exercise SQL CHECK's NULL-passes semantics.
+_SWEEP_CASES = [
+    ("k >= 0", [(0, 1.0, "a"), (None, 1.0, "a")], [(-1, 1.0, "a")]),
+    ("v * 2 >= k - 1", [(3, 1.0, "a")], [(10, 1.0, "a")]),
+    ("s IN ('a', 'b', 'c')", [(1, 1.0, "b"), (2, 1.0, None)], [(1, 1.0, "z")]),
+    ("length(s) <= 3", [(1, 1.0, "abc"), (1, 1.0, None)], [(1, 1.0, "abcd")]),
+    ("s LIKE 'a%'", [(1, 1.0, "ax")], [(1, 1.0, "bx")]),
+    ("k BETWEEN 0 AND 100", [(100, 1.0, "a")], [(101, 1.0, "a")]),
+    ("coalesce(v, 0.0) >= 0", [(1, None, "a"), (1, 2.0, "a")], [(1, -0.5, "a")]),
+    ("abs(k) < 1000 AND (v > 0 OR s IS NULL)", [(999, 0.1, "a"), (5, -1.0, None)],
+     [(1000, 1.0, "a"), (1, -1.0, "a")]),
+    ("NOT (k = 13)", [(12, 1.0, "a")], [(13, 1.0, "a")]),
+    ("CASE WHEN k > 10 THEN v > 0 ELSE v <= 0 END",
+     [(11, 0.5, "a"), (1, -0.5, "a")], [(11, -0.5, "a"), (1, 0.5, "a")]),
+    ("greatest(k, 0) <= 50 OR upper(s) = 'BIG'",
+     [(40, 1.0, "x"), (60, 1.0, "big")], [(60, 1.0, "x")]),
+]
+
+
+def test_constraint_proof_paths_agree(spark, tmp_path):
+    """Round-9 (verdict item 7): the native Spark-aggregate proof
+    (``_enforce_constraints``) and the declarative DuckDB-over-staged-
+    bytes proof (``_enforce_staged_constraints``) are two evaluators of
+    ONE semantic — sweep a library of CHECK expressions (arithmetic,
+    IN-lists, CASE, string predicates, NULL edges) through BOTH paths
+    and assert accept/reject parity on identical rows."""
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableDataSource,
+        _constraint_portable,
+    )
+
+    spark.dataSource.register(ManagedTableDataSource)
+    for i, (expr, good, bad) in enumerate(_SWEEP_CASES):
+        assert _constraint_portable(expr, {"k", "v", "s"}), expr
+        roots = []
+        for path_name in ("native", "declar"):
+            root = tmp_path / f"c{i}_{path_name}"
+            t = ManagedTable.create(spark, root)
+            # seed with a row the expression accepts (constraints demand
+            # a pinned schema and validate existing data on add)
+            t.append(spark.createDataFrame(good[:1], _SWEEP_SCHEMA))
+            t.add_constraint("chk", expr)
+            roots.append((path_name, t, root))
+        for path_name, t, root in roots:
+            def write(rows):
+                df = spark.createDataFrame(rows, _SWEEP_SCHEMA)
+                if path_name == "native":
+                    t.append(df)
+                else:
+                    df.write.format("managed_table").mode("append").save(
+                        str(root)
+                    )
+            write(good)  # both paths must accept
+            assert t.count() == 1 + len(good), (expr, path_name)
+            with pytest.raises(Exception, match="violates CHECK"):
+                write(bad)  # both paths must reject atomically
+            assert t.count() == 1 + len(good), (expr, path_name)
+
+
+def test_constraint_nonportable_fails_closed_declaratively(spark, tmp_path):
+    """The portability gate's failure mode is LOUD, never silent: an
+    expression outside the proven subset (a cast, a regex, an unknown
+    function) is enforced natively but makes the declarative write
+    reject with a pointer to the native path — a constraint is never
+    recorded-and-skipped."""
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableDataSource,
+        _constraint_portable,
+    )
+
+    spark.dataSource.register(ManagedTableDataSource)
+    for expr in (
+        "CAST(k AS STRING) <> '13'",
+        "s RLIKE '^a'",
+        "my_udf(k) > 0",
+        "k DIV 2 = 0",
+    ):
+        assert not _constraint_portable(expr, {"k", "v", "s"}), expr
+    root = tmp_path / "np"
+    t = ManagedTable.create(spark, root)
+    t.append(spark.createDataFrame([(1, 1.0, "a")], _SWEEP_SCHEMA))
+    t.add_constraint("chk", "CAST(k AS STRING) <> '13'")
+    # native path enforces it
+    with pytest.raises(ValueError, match="violates CHECK"):
+        t.append(spark.createDataFrame([(13, 1.0, "a")], _SWEEP_SCHEMA))
+    # declarative path fails closed, naming the workaround
+    ok = spark.createDataFrame([(2, 1.0, "a")], _SWEEP_SCHEMA)
+    with pytest.raises(Exception, match="cannot enforce|portable"):
+        ok.write.format("managed_table").mode("append").save(str(root))
+    assert t.count() == 1
