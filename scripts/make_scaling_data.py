@@ -93,7 +93,22 @@ def make_sf10_subset() -> None:
             )
         )
     pq.write_table(pa.concat_tables(parts), dst / "embeddings.parquet")
-    for t in ("documents", "embeddings"):
+    # orders at 100x (round-8 verdict item 6: the DML-plane growers —
+    # catalog_sql_dml / catalog_sql_merge / schema_evolution_roundtrip —
+    # read orders; the shifted-key replica shape matches sf1.0's)
+    key_shift = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'"
+    ).fetchone()[0]
+    union_o = " UNION ALL ".join(
+        f"SELECT o_orderkey + {i} * {key_shift} AS o_orderkey, o_custkey,"
+        f" o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+        f" FROM '{SRC}/orders.parquet'"
+        for i in range(n_rep)
+    )
+    con.execute(
+        f"COPY ({union_o}) TO '{dst}/orders.parquet' (FORMAT PARQUET)"
+    )
+    for t in ("documents", "embeddings", "orders"):
         n = con.execute(
             f"SELECT count(*) FROM '{dst}/{t}.parquet'"
         ).fetchone()[0]
