@@ -5278,6 +5278,8 @@ class ManagedTable:
             for part, files in sorted(
                 by_part.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
             ):
+                if len(files) <= policy["max_files_per_partition"]:
+                    continue  # small-file count ≤ total count: no stats needed
                 sized = [
                     (f, sz)
                     for f in sorted(files, key=lambda f: f.path)
@@ -5350,27 +5352,31 @@ class ManagedTable:
         for part in sorted(
             touched_partitions, key=lambda p: (p is None, p or "")
         ):
-            small_count = 0
+            live_count = 0
             cand: list = []  # [(FileEntry, size)] — capped at ``cap``
 
             def consider(path, partition, dvs):
-                nonlocal small_count
+                # count every live file statlessly; stat only while the
+                # candidate list is still filling (≤ cap stats per pass,
+                # regardless of partition size)
+                nonlocal live_count
+                live_count += 1
+                if len(cand) >= cap:
+                    return
                 sz = self._file_size(path)
                 if sz is None or sz >= max_bytes:
                     return
-                small_count += 1
-                if len(cand) < cap:
-                    cand.append(
-                        (
-                            FileEntry(
-                                path=path,
-                                partition=partition,
-                                rows=0,  # inputs only; merged entry re-counts
-                                dv_paths=tuple(dvs or ()),
-                            ),
-                            sz,
-                        )
+                cand.append(
+                    (
+                        FileEntry(
+                            path=path,
+                            partition=partition,
+                            rows=0,  # inputs only; merged entry re-counts
+                            dv_paths=tuple(dvs or ()),
+                        ),
+                        sz,
                     )
+                )
 
             if not wiped:
                 want = (
@@ -5397,7 +5403,7 @@ class ManagedTable:
             for e in adds.values():
                 if e.get("partition") == part:
                     consider(e["path"], part, e.get("dv_paths"))
-            if small_count <= threshold:
+            if live_count <= threshold:
                 continue
             batch = self._select_small_batch(cand, policy, pre_checked=True)
             if batch is None:
