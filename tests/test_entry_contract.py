@@ -154,12 +154,11 @@ def test_source_rollup_null_text_matches_oracle(spark, tmp_path):
 
 
 def test_semantic_lsh_cluster_identity_sf001(spark, sf_dir_med):
-    """The size-adaptive scale path of SemDeDup must reproduce the exact
-    entry's clusters bit-for-bit at sf0.01. At n=500 ``suggest_banding``
-    reaches (48 planes / 16 bands, per-pair recall >= 0.99 at the exact
-    bar), so this exercises the sign-LSH arm of the registered entry —
-    swapping the O(n²) plan for the bucketed plan changes cost, not
-    results, at this scale."""
+    """The registered entry must reproduce the exact entry's clusters
+    bit-for-bit at sf0.01 (n=500 sits under the exact-arm cutoff, so
+    this pins the chooser's small-corpus regime end-to-end); the
+    sign-LSH arm itself is exercised separately below with the banding
+    ``suggest_banding`` derives for this corpus size."""
     from data_warehouse_copy_spark.queries import (
         dedup_semantic_clusters,
         dedup_semantic_clusters_lsh,
@@ -176,9 +175,36 @@ def test_semantic_lsh_cluster_identity_sf001(spark, sf_dir_med):
     assert lsh == exact
 
 
+def test_semantic_lsh_arm_cluster_identity_sf001(spark, sf_dir_med):
+    """The sign-LSH arm with the banding ``suggest_banding`` derives for
+    n=500 (it reaches within the signature cap at this corpus size) must
+    reproduce the exact clusters bit-for-bit — the arm the registered
+    entry takes at large n where the bar permits banding."""
+    from data_warehouse_copy_spark.functions.dedup import connected_components
+    from data_warehouse_copy_spark.functions.similarity import (
+        lsh_bucket_near_dup_pairs,
+        suggest_banding,
+    )
+    from data_warehouse_copy_spark.queries import dedup_semantic_clusters
+
+    exact = {
+        (r.vec_id, r.component, r.is_survivor)
+        for r in dedup_semantic_clusters(spark, sf_dir_med).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir_med}/embeddings.parquet")
+    planes, bands = suggest_banding(500, 0.4, target_recall=0.99)
+    comp = connected_components(
+        lsh_bucket_near_dup_pairs(
+            emb, threshold=0.4, planes=planes, bands=bands
+        )
+    )
+    got = {(r.id, r.comp, r.id == r.comp) for r in comp.collect()}
+    assert got == exact
+
+
 def test_semantic_kmeans_cluster_identity_sf001(spark, sf_dir_med):
     """The k-means-bucketed arm (the one the registered entry takes at
-    n >= ~1k where sign-LSH recall math can't reach the 0.4 bar) must
+    scale where sign-LSH recall math can't reach the 0.4 bar) must
     also reproduce the exact clusters at sf0.01 — calibrated multi-probe
     assignment recovers every exact pair there, and the exact-cosine
     re-score makes returned values bit-identical."""
@@ -209,8 +235,9 @@ SF01_DIR = "/root/testdata/sf0.1"
 )
 def test_semantic_kmeans_pair_recall_floor_sf01(spark):
     """Pair-recall floor for the k-means-bucketed SemDeDup arm at sf0.1
-    (the arm the registered entry takes at n=2000, where suggest_banding
-    raises for the 0.4 bar): seeded sample, seeded Lloyd's, and
+    (the arm the registered entry takes at SCALE, where suggest_banding
+    raises for the 0.4 bar; the entry itself goes exact at this n —
+    this pins the arm directly): seeded sample, seeded Lloyd's, and
     calibrated probes are all deterministic, so the measured 919/920
     (0.9989) recall is stable — pin >= 0.99 against drift in the
     quantizer, the probe calibration, or the cosine fold."""
@@ -235,16 +262,56 @@ def test_semantic_kmeans_pair_recall_floor_sf01(spark):
 @pytest.mark.skipif(
     not Path(SF01_DIR).is_dir(), reason="sf0.1 fixtures not present"
 )
+def test_semantic_registered_entry_identity_sf01(spark):
+    """At sf0.1 (n=2000, under the exact-arm cutoff) the registered
+    entry IS the exact computation — clusters identical bit-for-bit to
+    the exact entry, pinning the chooser end-to-end at this scale."""
+    from data_warehouse_copy_spark.queries import (
+        dedup_semantic_clusters,
+        dedup_semantic_clusters_lsh,
+    )
+
+    exact = {
+        tuple(r) for r in dedup_semantic_clusters(spark, SF01_DIR).collect()
+    }
+    got = {
+        tuple(r)
+        for r in dedup_semantic_clusters_lsh(spark, SF01_DIR).collect()
+    }
+    assert got == exact
+
+
+@pytest.mark.skipif(
+    not Path(SF01_DIR).is_dir(), reason="sf0.1 fixtures not present"
+)
 def test_semantic_registered_entry_takes_scalable_arm(spark):
-    """The registered entry's arm choice derives from corpus size: at
-    n=500 (sf0.01) suggest_banding reaches within the 60-plane signature
-    cap; at n=2000+ it raises and the entry must take the k-means arm —
-    pin the decision boundary so a future edit can't silently reintroduce
-    a fixed-banding config whose candidates grow quadratically."""
+    """The registered entry's three-regime chooser derives from corpus
+    size — pin the decision boundaries so a future edit can't silently
+    reintroduce a fixed config:
+
+    - n <= 4096 (corpus fits the calibration-sample budget): EXACT
+      blocked matmul — measured at sf0.1 the k-means arm's calibrated
+      config generated 4M candidates for a 2M-pair exact corpus, pure
+      bucketing overhead (r8 scaling finding 2: the key space must
+      shrink with n as well as grow, collapsing to exact at the bottom);
+    - larger n where banding reaches the bar: sign-LSH (suggest_banding
+      reaches at 0.4 for n=500-ish corpus targets; at production ~0.95
+      bars it reaches at any n);
+    - larger n at bars banding can't reach: k-means k ∝ n, whose key
+      space grows with the corpus."""
     from data_warehouse_copy_spark.functions.similarity import suggest_banding
 
     planes, bands = suggest_banding(500, 0.4, target_recall=0.99)
     assert planes <= 60 and planes == (planes // bands) * bands
-    for n in (2000, 20000, 200000, 2000000):
+    # at the 0.4 bar past the exact cutoff, banding is unreachable and
+    # the entry must take the k-means arm
+    for n in (20000, 200000, 2000000):
         with pytest.raises(ValueError, match="k-means"):
             suggest_banding(n, 0.4, target_recall=0.99)
+    # at a production bar, banding reaches at moderate scale with the
+    # recall targets the collision math supports (0.95 target at n=20k);
+    # at extreme n even that raises — loudly naming the k-means arm
+    p, b = suggest_banding(20000, 0.95, target_recall=0.95)
+    assert p == (p // b) * b and p <= 60
+    with pytest.raises(ValueError, match="k-means"):
+        suggest_banding(2000000, 0.95, target_recall=0.95)
