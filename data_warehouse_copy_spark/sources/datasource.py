@@ -732,6 +732,17 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # engine's own restart calls (a replayed partitions(start, end)
         # or the commit(end) ack) on a restart, so caps hold from the
         # first trigger in both lifecycles.
+        #
+        # Trigger interaction, pinned in tests: continuous triggers
+        # (processingTime / processAllAvailable) drain fully in bounded
+        # batches. Trigger.AvailableNow latches ONE latestOffset as its
+        # terminal target (the Python DS API exposes no
+        # prepareForTriggerAvailableNow hook to pace toward a pinned
+        # end), so a capped source drains ONE capped step per
+        # availableNow RUN — each run advances the checkpoint
+        # exactly-once and repeated runs drain the table progressively.
+        # For a one-shot full drain, run uncapped or use a continuous
+        # trigger with .stop().
         self._max_commits = self._pos_int_opt(options, "maxcommitspertrigger")
         self._max_files = self._pos_int_opt(options, "maxfilespertrigger")
         self._pos: "dict | None" = None  # last offset this reader saw

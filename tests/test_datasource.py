@@ -1233,3 +1233,40 @@ def test_stream_rate_limit_option_validation(spark, tmp_path):
         ManagedTableStreamReader(
             str(t.root), {"maxfilespertrigger": "many"}, t.read().schema
         )
+
+
+def test_stream_rate_caps_with_available_now_drain_progressively(
+    spark, tmp_path
+):
+    """Trigger.AvailableNow latches ONE latestOffset as its terminal
+    target (the Python DS API has no prepareForTriggerAvailableNow
+    pacing hook), so a rate-capped source drains ONE capped step per
+    RUN — pinned here: each run advances the checkpoint exactly-once
+    and repeated runs drain the table fully, never duplicating or
+    skipping a row."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for i in range(8):
+        t.append(
+            spark.range(i, i + 1).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k"
+            )
+        )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def run_once() -> int:
+        q = (
+            spark.readStream.format("managed_table")
+            .option("maxFilesPerTrigger", "3")
+            .load(str(t.root))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out)).count()
+
+    assert [run_once() for _ in range(4)] == [3, 6, 8, 8]
+    vals = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert vals == list(range(8))  # exactly once across all runs
