@@ -4601,6 +4601,45 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def catalog_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO through the catalog (round-9 forward surface; the SQL
+    form of the reference's whole-table bulk copy,
+    ``BulkCopyManager.cs:100-104``): idempotent file-level bulk
+    ingestion — the first statement loads the landing file, the SECOND
+    identical statement loads ZERO rows (the ledger rides the data
+    commit itself), and the read back proves the landed bytes are
+    value-exact. Oracle: the same projection straight over raw orders —
+    which also proves the no-op second load didn't double anything."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    tmp = _tmp_table_dir(prefix="dwcs_sqlcopy_")
+    ManagedTable.create(spark, f"{tmp}/orders")
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_copy_orders", f"{tmp}/orders")
+    stmt = (
+        f"COPY INTO global_temp.dwcs_copy_orders FROM "
+        f"'{sf_dir}/orders.parquet'"
+    )
+    cat.sql(spark, stmt)
+    cat.sql(spark, stmt)  # idempotent: the ledger makes this a no-op
+    return (
+        cat.table(spark, "global_temp.dwcs_copy_orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+CATALOG_SQL_COPY_INTO_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice')} AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 DATASOURCE_UPSERT_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderdate >= TIMESTAMP '{M_FROM}'
@@ -5261,6 +5300,7 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_merge": catalog_sql_merge,
     "catalog_sql_time_travel": catalog_sql_time_travel,
     "catalog_sql_ctas": catalog_sql_ctas,
+    "catalog_sql_copy_into": catalog_sql_copy_into,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -5387,6 +5427,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_merge": CATALOG_SQL_MERGE_SQL,
     "catalog_sql_time_travel": CATALOG_SQL_TIME_TRAVEL_SQL,
     "catalog_sql_ctas": CATALOG_SQL_CTAS_SQL,
+    "catalog_sql_copy_into": CATALOG_SQL_COPY_INTO_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

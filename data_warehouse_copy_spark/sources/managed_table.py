@@ -2287,6 +2287,7 @@ class ManagedTable:
         merge_schema: bool = False,
         txn: tuple[str, int] | None = None,
         cluster_partitions: int | None = None,
+        copy_sources: "list[str] | None" = None,
     ) -> int:
         """Append rows atomically (reference O5 streaming bulk insert,
         ``TableCopyService.cs:144-169``). Returns rows written.
@@ -2341,7 +2342,7 @@ class ManagedTable:
                 committed = self._commit_bounded(
                     head, new_files, set(), "append", txn=txn,
                     schema_json=df.schema.json() if widened else None,
-                    columns=new_cols,
+                    columns=new_cols, copy_sources=copy_sources,
                 )
                 n = sum(f.rows for f in new_files) if committed else 0
             else:
@@ -2371,7 +2372,7 @@ class ManagedTable:
                 )
                 committed = self._commit_files(
                     m, tuple(m.files) + new_files, commit_schema, "append",
-                    txn=txn, columns=new_cols,
+                    txn=txn, columns=new_cols, copy_sources=copy_sources,
                 )
                 n = sum(f.rows for f in new_files) if committed else 0
         if n:
@@ -2488,6 +2489,137 @@ class ManagedTable:
         return len(rows)
 
     # ------------------------------------------------- schema evolution
+
+    # ------------------------------------------------------- COPY INTO
+
+    def copied_sources(self) -> set:
+        """Every source file path a :meth:`copy_into` has ever loaded —
+        folded from the ``copy_sources`` field of the action log (the
+        ledger rides the data commits themselves, so it is exactly as
+        atomic and durable as the loads). A cumulative parquet cache at
+        ``_copy_history/upto-v{N}.parquet`` bounds the fold to the
+        actions after N; the cache is best-effort (rebuilt from the log
+        if missing/stale) and never authoritative on its own."""
+        import pyarrow.parquet as _pq
+
+        head = self._head_version()
+        loaded: set = set()
+        start_v = 0
+        hist_dir = self.root / "_copy_history"
+        if hist_dir.exists():
+            best = -1
+            for p in hist_dir.glob("upto-v*.parquet"):
+                try:
+                    v = int(p.stem.split("-v")[1])
+                except (IndexError, ValueError):
+                    continue
+                if start_v <= v <= head and v > best:
+                    best = v
+            if best >= 0:
+                try:
+                    t = _pq.read_table(
+                        hist_dir / f"upto-v{best}.parquet",
+                        columns=["source_path"],
+                    )
+                    loaded = set(t.column("source_path").to_pylist())
+                    start_v = best + 1
+                except OSError:
+                    loaded, start_v = set(), 0  # cache unreadable: full fold
+        for v in range(start_v, head + 1):
+            try:
+                raw = self._raw(v)
+            except FileNotFoundError:
+                continue
+            loaded.update(raw.get("copy_sources") or ())
+        return loaded
+
+    def _write_copy_cache(self, loaded: set, upto: int) -> None:
+        """Best-effort cumulative cache write (+ prune older caches) —
+        staleness or loss only costs extra action reads, never
+        correctness."""
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        try:
+            hist_dir = self.root / "_copy_history"
+            hist_dir.mkdir(parents=True, exist_ok=True)
+            tmp = hist_dir / f".tmp.{uuid.uuid4().hex}.parquet"
+            _pq.write_table(
+                _pa.table({"source_path": sorted(loaded)}), tmp
+            )
+            os.replace(tmp, hist_dir / f"upto-v{upto}.parquet")
+            for p in hist_dir.glob("upto-v*.parquet"):
+                try:
+                    if int(p.stem.split("-v")[1]) < upto:
+                        p.unlink()
+                except (IndexError, ValueError, OSError):
+                    pass
+        except Exception:  # noqa: BLE001 — cache only
+            pass
+
+    def copy_into(
+        self,
+        source: "str | Path",
+        pattern: str = "*.parquet",
+        fileformat: str = "parquet",
+        force: bool = False,
+    ) -> tuple[int, int]:
+        """Idempotent file-level bulk ingestion (the Databricks ``COPY
+        INTO`` shape — and the SQL form of the reference's whole-table
+        bulk copy, ``BulkCopyManager.cs:100-104``): load every file
+        under ``source`` matching ``pattern`` that has NOT already been
+        loaded into this table, as ONE atomic append. Returns
+        ``(files_loaded, rows_loaded)``.
+
+        Exactly-once by construction: the loaded source paths ride the
+        SAME commit action as the data files they produced
+        (``copy_sources``), so a crash can never land data without its
+        ledger entry or vice versa — re-running after any failure loads
+        exactly the not-yet-loaded files. ``force=True`` reloads
+        matching files regardless of history (Databricks FORCE; the
+        ledger still records them).
+
+        Scale: the listing and the ledger fold are driver-side metadata
+        (paths only — the cumulative cache bounds the fold); the data
+        itself moves executor-side through ``spark.read`` into the
+        normal append path (schema checked against the table, stats
+        harvested, constraints proven). ``fileformat='parquet'`` is the
+        supported format; others raise loudly rather than guessing a
+        parser.
+
+        Concurrency bound, documented not hidden: the ledger is read at
+        CALL start, so two copy_into calls racing from separate
+        processes over overlapping not-yet-loaded files can both load
+        them (their appends rebase cleanly — the protocol sees disjoint
+        data files). Sequential retries after ANY failure are
+        exactly-once; serialize bulk loaders per table for concurrent
+        ingestion, or route distinct prefixes to distinct loaders."""
+        if fileformat.lower() != "parquet":
+            raise ValueError(
+                f"COPY INTO supports FILEFORMAT = PARQUET here, got "
+                f"{fileformat!r}; convert or ingest via spark.read + append"
+            )
+        if self.spark is None:
+            raise ValueError("copy_into needs a SparkSession handle")
+        src = Path(source)
+        if src.is_file():
+            candidates = [str(src.resolve())]
+        else:
+            candidates = sorted(
+                str(p.resolve()) for p in src.rglob(pattern) if p.is_file()
+            )
+        if not candidates:
+            return (0, 0)
+        if not force:
+            loaded = self.copied_sources()
+            candidates = [c for c in candidates if c not in loaded]
+            if not candidates:
+                return (0, 0)
+        df = self.spark.read.parquet(*candidates)
+        rows = self.append(df, copy_sources=candidates)
+        # refresh the cumulative cache (best-effort)
+        self._write_copy_cache(self.copied_sources(), self._head_version())
+        return (len(candidates), rows)
 
     def _columns_at(self, version: int | None = None) -> list | None:
         """The column-mapping record at ``version`` (head when None), in
@@ -3264,6 +3396,7 @@ class ManagedTable:
         columns: list | None = None,
         constraints: dict | None = None,
         exclusive: bool = False,
+        copy_sources: "list[str] | None" = None,
     ) -> bool:
         """O(touched)-memory commit: write the action diff directly on
         top of ``base_version`` without ever materializing the full file
@@ -3323,6 +3456,8 @@ class ManagedTable:
                 action["columns"] = columns
             if constraints is not None:
                 action["constraints"] = constraints
+            if copy_sources:
+                action["copy_sources"] = sorted(copy_sources)
             try:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:
@@ -4593,6 +4728,7 @@ class ManagedTable:
         cluster_col_change: tuple | None = None,
         columns: list | None = None,
         constraints: dict | None = None,
+        copy_sources: "list[str] | None" = None,
     ) -> bool:
         """Commit ``files`` as the next version on top of ``prev``, with
         optimistic cross-process concurrency control.
@@ -4680,6 +4816,12 @@ class ManagedTable:
                 action["columns"] = columns
             if constraints is not None:
                 action["constraints"] = constraints
+            if copy_sources:
+                # COPY INTO file-level idempotency ledger: the loaded
+                # source paths ride THE SAME action record as the data
+                # they produced, so load + bookkeeping are one atomic
+                # commit (no crash window that double-loads a file)
+                action["copy_sources"] = sorted(copy_sources)
             try:
                 self._put_version(version, json.dumps(action, indent=1))
             except CommitConflict:

@@ -77,6 +77,11 @@ Supported grammar (case-insensitive keywords)::
         -- supported namespace: 'autoCompact' ('true'|'false') /
         -- 'autoCompact.maxFilesPerPartition' (int) — the opt-in
         -- post-commit compaction policy; unknown keys raise
+    COPY INTO db.tbl FROM '<path>' [FILEFORMAT = PARQUET]
+        [PATTERN = '<glob>'] [FORCE = TRUE|FALSE]
+        -- idempotent file-level bulk ingestion: loads only files the
+        -- table's ledger has never seen, one atomic commit; the loaded
+        -- paths ride the commit action itself (exactly-once retries)
     SELECT ... FROM db.tbl VERSION AS OF n | TIMESTAMP AS OF 'ts' ...
         -- time travel over registered names: the reference rewrites to
         -- a version-pinned view, the rest of the statement runs as-is
@@ -122,6 +127,7 @@ _KEYWORDS = {
     "version", "of", "constraint", "check", "detail", "show", "tables",
     "source", "target", "tblproperties", "unset",
     "create", "location", "partitioned", "clustered", "overwrite", "using",
+    "copy", "fileformat", "pattern", "force",
 }
 
 
@@ -196,6 +202,11 @@ class DmlStatement:
     part_col: str | None = None
     cluster_cols: "list[str] | None" = None
     ctas_query: str | None = None      # CTAS: the SELECT tail, verbatim
+    # copy-into fields (kind == "copy_into")
+    copy_source: str | None = None
+    copy_format: str = "parquet"
+    copy_pattern: str = "*.parquet"
+    copy_force: bool = False
 
 
 class _Parser:
@@ -343,6 +354,42 @@ class _Parser:
 
     def parse(self) -> "DmlStatement | None":
         head = self._kw(self._peek())
+        if head == "copy" and self._kw(self._peek(1)) == "into":
+            # COPY INTO db.t FROM '<path>' [FILEFORMAT = PARQUET]
+            # [PATTERN = '<glob>'] [FORCE = TRUE|FALSE] — idempotent
+            # file-level bulk ingestion (ManagedTable.copy_into)
+            self._take()
+            self._take()
+            st = DmlStatement("copy_into", self._expect_ident())
+            self._expect_kw("from")
+            t = self._take()
+            if t is None or t.kind != "string":
+                raise SqlDmlError("COPY INTO expects FROM '<path>'")
+            st.copy_source = t.text[1:-1].replace("''", "'")
+            st.copy_format = "parquet"
+            st.copy_pattern = "*.parquet"
+            st.copy_force = False
+            while self._peek() is not None:
+                kw = self._expect_kw("fileformat", "pattern", "force")
+                self._expect_punct("=")
+                if kw == "fileformat":
+                    st.copy_format = self._expect_ident().lower()
+                elif kw == "pattern":
+                    t = self._take()
+                    if t is None or t.kind != "string":
+                        raise SqlDmlError("PATTERN expects a quoted glob")
+                    st.copy_pattern = t.text[1:-1].replace("''", "'")
+                else:
+                    v = self._take()
+                    low = (v.text if v is not None else "").lower()
+                    if low not in ("true", "false"):
+                        raise SqlDmlError(
+                            f"FORCE takes TRUE or FALSE, got "
+                            f"{v.text if v else None!r}"
+                        )
+                    st.copy_force = low == "true"
+            self._done()
+            return st
         if head == "delete":
             self._take()
             self._expect_kw("from")
@@ -1031,6 +1078,14 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # re-register resurrects it, vacuum/deletion is an explicit act
         return _summary(spark, "DROP TABLE", 0)
     t = ManagedTable(spark, catalog.root_of(st.table))
+    if st.kind == "copy_into":
+        _files, rows = t.copy_into(
+            st.copy_source,
+            pattern=st.copy_pattern,
+            fileformat=st.copy_format,
+            force=st.copy_force,
+        )
+        return _summary(spark, "COPY INTO", rows)
     if st.kind == "vacuum":
         secs = (
             st.retain_hours * 3600.0

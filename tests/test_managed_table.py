@@ -1840,3 +1840,75 @@ def test_auto_compact_bounded_past_planning_gate(spark, tmp_path, monkeypatch):
     for r in t.manifest_df().collect():
         per2[r["partition"]] = per2.get(r["partition"], 0) + 1
     assert per2["2024-01-01"] <= 4
+
+
+def test_copy_into_idempotent_incremental_and_forced(spark, tmp_path):
+    """COPY INTO (round-9 forward surface): file-level idempotent bulk
+    ingestion — only never-loaded files load, the ledger rides the data
+    commit itself (exactly-once across retries), new files load
+    incrementally, FORCE reloads."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    spark.range(10).selectExpr("id AS k", "id*2 AS v").coalesce(1)\
+        .write.parquet(str(src / "batch1"))
+    spark.range(10, 15).selectExpr("id AS k", "id*2 AS v").coalesce(1)\
+        .write.parquet(str(src / "batch2"))
+    t = ManagedTable.create(spark, tmp_path / "t")
+    files, rows = t.copy_into(src)
+    assert files >= 2 and rows == 15
+    assert t.count() == 15
+    # idempotent: nothing new -> no commit, zero rows
+    v = t.snapshot().version
+    assert t.copy_into(src) == (0, 0)
+    assert t.snapshot().version == v
+    # incremental: only the new file loads
+    spark.range(15, 18).selectExpr("id AS k", "id*2 AS v").coalesce(1)\
+        .write.parquet(str(src / "batch3"))
+    files, rows = t.copy_into(src)
+    assert rows == 3 and t.count() == 18
+    assert sorted(r.k for r in t.read().collect()) == list(range(18))
+    # the ledger survives a lost cache (folds from the action log)
+    import shutil
+
+    shutil.rmtree(t.root / "_copy_history", ignore_errors=True)
+    assert t.copy_into(src) == (0, 0)
+    # FORCE reloads regardless of the ledger
+    files, rows = t.copy_into(src, force=True)
+    assert rows == 18 and t.count() == 36
+    # unsupported formats raise loudly, never guess a parser
+    with pytest.raises(ValueError, match="PARQUET"):
+        t.copy_into(src, fileformat="csv")
+
+
+def test_copy_into_single_file_and_sql_surface(spark, tmp_path):
+    """The SQL form: COPY INTO db.t FROM '<path>' — parsed, dispatched,
+    idempotent; PATTERN narrows the listing; a single-file source works."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    spark.range(7).selectExpr("id AS k", "id AS v").coalesce(1)\
+        .write.parquet(str(src / "a"))
+    one = next((src / "a").glob("*.parquet"))
+    t = ManagedTable.create(spark, tmp_path / "t")
+    assert t.copy_into(one)[1] == 7  # single-file source
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.register("db.t", tmp_path / "t")
+    r = c.sql(spark, f"COPY INTO db.t FROM '{src}'").first()
+    assert r.operation == "COPY INTO"
+    assert r.rows_affected == 0  # the file was already loaded directly
+    spark.range(7, 9).selectExpr("id AS k", "id AS v").coalesce(1)\
+        .write.parquet(str(src / "b"))
+    r = c.sql(spark, f"COPY INTO db.t FROM '{src}'").first()
+    assert r.rows_affected == 2
+    r = c.sql(
+        spark,
+        f"COPY INTO db.t FROM '{src}' FILEFORMAT = PARQUET "
+        f"PATTERN = '*.parquet' FORCE = TRUE",
+    ).first()
+    assert r.rows_affected == 9  # force reloads everything matched
+    assert t.count() == 18
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    with pytest.raises(SqlDmlError, match="FORCE takes"):
+        c.sql(spark, f"COPY INTO db.t FROM '{src}' FORCE = MAYBE")
