@@ -43,6 +43,9 @@ Supported grammar (case-insensitive keywords)::
         -- roll back as a NEW audited commit
     SHOW TABLES
         -- every registered name with its root, one row each
+    SHOW TBLPROPERTIES db.tbl
+        -- the table's recorded property surface as (key, value) rows
+        -- (empty when no property is set)
     DESCRIBE DETAIL db.tbl
         -- one metadata row: version, files, rows, layout, constraints
     DESCRIBE HISTORY db.tbl [LIMIT n]
@@ -487,6 +490,12 @@ class _Parser:
             self._take()
             self._take()
             st = DmlStatement("show_tables", "")
+            self._done()
+            return st
+        if head == "show" and self._kw(self._peek(1)) == "tblproperties":
+            self._take()
+            self._take()
+            st = DmlStatement("show_properties", self._expect_ident())
             self._done()
             return st
         if head == "describe" and self._kw(self._peek(1)) == "detail":
@@ -1078,6 +1087,32 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # re-register resurrects it, vacuum/deletion is an explicit act
         return _summary(spark, "DROP TABLE", 0)
     t = ManagedTable(spark, catalog.root_of(st.table))
+    if st.kind == "show_properties":
+        from pyspark.sql import types as T
+
+        policy = t.auto_compact_policy()
+        rows = []
+        if policy:
+            rows = [
+                ("autoCompact", "true"),
+                (
+                    "autoCompact.maxFilesPerPartition",
+                    str(policy.get("max_files_per_partition", 16)),
+                ),
+                (
+                    "autoCompact.maxFileBytes",
+                    str(policy.get("max_file_bytes", 128 << 20)),
+                ),
+            ]
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType(), False),
+                    T.StructField("value", T.StringType(), False),
+                ]
+            ),
+        )
     if st.kind == "copy_into":
         _files, rows = t.copy_into(
             st.copy_source,

@@ -787,3 +787,23 @@ def test_sql_ctas_foreign_provider_passes_through(spark, tmp_path, cat):
     assert parse_dml(
         "CREATE TABLE db.t (a int) USING managed_table AS SELECT 1"
     ) is None
+
+
+def test_sql_show_tblproperties(spark, tmp_path, cat):
+    """SHOW TBLPROPERTIES completes the property surface: SET is
+    readable back in pure SQL as (key, value) rows; an unset table
+    shows an empty result, never an error."""
+    c, t = cat
+    assert c.sql(spark, "SHOW TBLPROPERTIES global_temp.orders").count() == 0
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.orders SET TBLPROPERTIES "
+        "('autoCompact.maxFilesPerPartition' = '6')",
+    )
+    got = {
+        r.key: r.value
+        for r in c.sql(spark, "SHOW TBLPROPERTIES global_temp.orders").collect()
+    }
+    assert got["autoCompact"] == "true"
+    assert got["autoCompact.maxFilesPerPartition"] == "6"
+    assert got["autoCompact.maxFileBytes"] == str(128 << 20)
