@@ -4284,7 +4284,13 @@ class ManagedTable:
           untouched;
         - INSERTS source rows whose key matches no live target row
           (``when_not_matched_insert``; pass update=None, delete=False
-          for an INSERT-ONLY merge — dedup ingestion).
+          for an INSERT-ONLY merge — dedup ingestion). Beyond the
+          ``True`` = INSERT * form, it takes an ORDERED clause list
+          (round-9: Delta's full whenNotMatchedInsert surface):
+          ``[{"condition": <sql|Column|None>, "insert": "*" |
+          {col: expr}}]`` — first-match-wins over not-matched source
+          rows, expressions reference the source as ``s.<col>``,
+          unassigned columns land as typed NULLs.
 
         Physically merge-on-read: matched positions tombstone via a
         deletion vector and only the k updated rows (re)write — the same
@@ -4340,7 +4346,8 @@ class ManagedTable:
         by_source_clauses = _normalize_merge_clauses(
             when_not_matched_by_source or [], "when_not_matched_by_source"
         )
-        if not (matched_clauses or by_source_clauses or when_not_matched_insert):
+        insert_clauses = _normalize_insert_clauses(when_not_matched_insert)
+        if not (matched_clauses or by_source_clauses or insert_clauses):
             raise ValueError("merge() with no clauses would be a no-op")
         key_cols = [on] if isinstance(on, str) else list(on)
         if not key_cols:
@@ -4355,7 +4362,7 @@ class ManagedTable:
                 # semantics, so it takes the classic full plan.)
                 out = self._merge_expr_bounded(
                     source_df, key_cols, matched_clauses,
-                    when_not_matched_insert, b,
+                    insert_clauses, b,
                 )
                 if out is not None:
                     return out
@@ -4378,12 +4385,7 @@ class ManagedTable:
             _validate_merge_assignments(
                 matched_clauses + by_source_clauses, known, key_cols
             )
-            if when_not_matched_insert and not set(cols) <= src_cols:
-                raise ValueError(
-                    f"when_not_matched_insert requires the source to carry "
-                    f"every table column; missing "
-                    f"{sorted(set(cols) - src_cols)}"
-                )
+            _validate_insert_clauses(insert_clauses, known, src_cols, cols)
             if by_source_clauses:
                 # every target row participates — pruning would silently
                 # exempt rows in unprobed files from the by-source clauses
@@ -4399,7 +4401,7 @@ class ManagedTable:
             dv_files, per_file, written, counts = self._merge_core(
                 m, candidates, source_df, key_cols, schema, known, cols,
                 matched_clauses, by_source_clauses,
-                when_not_matched_insert,
+                insert_clauses,
                 m.constraints, m.partition_date_col, m.cluster_col,
                 m.bloom_cols, m.columns,
             )
@@ -4424,7 +4426,7 @@ class ManagedTable:
         source_df: DataFrame,
         key_cols: list,
         matched_clauses: list,
-        when_not_matched_insert: bool,
+        insert_clauses: list,
         b,
     ) -> "dict | None":
         """Bounded twin of the expression merge: key-span candidates from
@@ -4446,11 +4448,7 @@ class ManagedTable:
                     f"(target {sorted(known)}, source {sorted(src_cols)})"
                 )
         _validate_merge_assignments(matched_clauses, known, key_cols)
-        if when_not_matched_insert and not set(cols) <= src_cols:
-            raise ValueError(
-                f"when_not_matched_insert requires the source to carry "
-                f"every table column; missing {sorted(set(cols) - src_cols)}"
-            )
+        _validate_insert_clauses(insert_clauses, known, src_cols, cols)
         keys = source_df.select(*key_cols).distinct()
         # the span probe prunes on the FIRST key column (sound: a file
         # whose first-key span admits no source key can't hold a match);
@@ -4464,7 +4462,7 @@ class ManagedTable:
         dv_files, per_file, written, counts = self._merge_core(
             None, sel, source_df, key_cols, schema, known, cols,
             matched_clauses, [],
-            when_not_matched_insert,
+            insert_clauses,
             constraints, part_col, cluster_col, bloom_cols, columns,
         )
         changed: tuple = ()
@@ -4483,7 +4481,7 @@ class ManagedTable:
 
     def _merge_core(
         self, m, candidates, source_df, key_cols, schema, known, cols,
-        matched_clauses, by_source_clauses, when_not_matched_insert,
+        matched_clauses, by_source_clauses, insert_clauses,
         constraints, part_col, cluster_col, bloom_cols, columns,
     ) -> "tuple[tuple | None, dict, tuple, tuple]":
         """The expression-merge MIDDLE, shared by the classic and bounded
@@ -4643,13 +4641,52 @@ class ManagedTable:
                     # sets, so a plain union never duplicates a position
                     positions = positions.unionByName(pf)
                 dv_files, per_file = self._write_dv(positions)
-            if when_not_matched_insert:
-                ins = source_df.join(
-                    t_scan.select(*key_cols), on=key_cols, how="left_anti"
-                ).select(*cols)
-                n_inserted = ins.count()
-                if n_inserted:
-                    frames.append(ins)
+            if insert_clauses:
+                # FIRST-MATCH-WINS routing over not-matched source rows
+                # (conditions/values see the source as s.<col>); the
+                # common single-star clause stays the one-anti-join,
+                # one-count plan it was before
+                nm = (
+                    source_df.alias("s")
+                    .join(
+                        t_scan.select(*key_cols), on=key_cols,
+                        how="left_anti",
+                    )
+                    .alias("s")
+                )
+                idx = None
+                for i, (cond, _a) in enumerate(insert_clauses):
+                    c = _cond_col(cond)
+                    idx = (
+                        F.when(c, F.lit(i))
+                        if idx is None
+                        else idx.when(c, F.lit(i))
+                    )
+                routed = nm.withColumn("__dwcs_clause", idx).filter(
+                    F.col("__dwcs_clause").isNotNull()
+                )
+                if len(insert_clauses) > 1:
+                    routed = routed.persist()
+                    persisted.append(routed)
+                for i, (_cond, assigns) in enumerate(insert_clauses):
+                    cur = routed.filter(F.col("__dwcs_clause") == i)
+                    if assigns == "*":
+                        ins = cur.select(*cols)
+                    else:
+                        ins = cur.select(
+                            *[
+                                (
+                                    _value_col(assigns[c], c)
+                                    if c in assigns
+                                    else F.lit(None).cast(known[c])
+                                ).alias(c)
+                                for c in cols
+                            ]
+                        )
+                    cnt = ins.count()
+                    if cnt:
+                        n_inserted += cnt
+                        frames.append(ins)
             if frames:
                 out = frames[0]
                 for fdf in frames[1:]:
@@ -6124,6 +6161,72 @@ def _normalize_merge_clauses(raw: list, arg: str) -> "list[tuple]":
             )
         out.append((cond, dict(upd) if upd is not None else None))
     return out
+
+
+def _normalize_insert_clauses(raw) -> "list[tuple]":
+    """Normalize ``when_not_matched_insert`` into ordered ``(condition,
+    "*"-or-assignments)`` tuples: ``True`` is the legacy INSERT * form,
+    ``False``/``None``/``[]`` disables inserts, and a clause list takes
+    ``{"condition": <sql|Column|None>, "insert": "*" | {col: expr}}``
+    dicts evaluated FIRST-MATCH-WINS (Delta's multiple
+    whenNotMatchedInsert clauses; an unconditional clause must be
+    last). Insert expressions reference the source as ``s.<col>``;
+    unassigned columns land as typed NULLs (Delta semantics)."""
+    if raw is True:
+        return [(None, "*")]
+    if not raw:
+        return []
+    if not isinstance(raw, list):
+        raise ValueError(
+            "when_not_matched_insert takes True, False, or a clause list"
+        )
+    out: list = []
+    for i, cl in enumerate(raw):
+        if not isinstance(cl, dict):
+            raise ValueError(
+                f"when_not_matched_insert[{i}] must be a dict with 'insert'"
+            )
+        unknown = set(cl) - {"condition", "insert"}
+        if unknown:
+            raise ValueError(
+                f"when_not_matched_insert[{i}] has unknown keys "
+                f"{sorted(unknown)}"
+            )
+        ins = cl.get("insert")
+        if ins != "*" and (not isinstance(ins, dict) or not ins):
+            raise ValueError(
+                f"when_not_matched_insert[{i}]['insert'] must be '*' or a "
+                f"non-empty {{column: expression}} dict"
+            )
+        cond = cl.get("condition")
+        if cond is None and i < len(raw) - 1:
+            raise ValueError(
+                f"when_not_matched_insert[{i}] is unconditional but not "
+                f"last — later clauses could never fire (first-match-wins)"
+            )
+        out.append((cond, "*" if ins == "*" else dict(ins)))
+    return out
+
+
+def _validate_insert_clauses(
+    insert_clauses: list, known: dict, src_cols: set, cols: list
+) -> None:
+    """Star clauses need the source to carry every table column;
+    assignment clauses must only assign known columns."""
+    for cond, assigns in insert_clauses:
+        if assigns == "*":
+            if not set(cols) <= src_cols:
+                raise ValueError(
+                    f"when_not_matched_insert requires the source to carry "
+                    f"every table column; missing "
+                    f"{sorted(set(cols) - src_cols)}"
+                )
+        else:
+            bad = sorted(set(assigns) - set(known))
+            if bad:
+                raise ValueError(
+                    f"merge() INSERT assigns unknown columns {bad}"
+                )
 
 
 def _validate_merge_assignments(

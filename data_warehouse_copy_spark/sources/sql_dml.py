@@ -28,7 +28,8 @@ Supported grammar (case-insensitive keywords)::
     MERGE INTO db.tbl [AS] t USING (db2.tbl2 | (<subquery>)) [AS] s
         ON t.k = s.k [AND t.k2 = s.k2]...
         [WHEN MATCHED [AND <cond>] THEN (UPDATE SET col = <expr>, ... | DELETE)]...
-        [WHEN NOT MATCHED [BY TARGET] THEN INSERT *]
+        [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+            (INSERT * | INSERT (col [, col]...) VALUES (<expr> [, ...]))]...
         [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
             (UPDATE SET col = <expr>, ... | DELETE)]...
         -- multiple conditional WHEN MATCHED / BY SOURCE clauses are
@@ -205,6 +206,8 @@ class DmlStatement:
     part_col: str | None = None
     cluster_cols: "list[str] | None" = None
     ctas_query: str | None = None      # CTAS: the SELECT tail, verbatim
+    # merge not-matched INSERT clauses (ordered; {"condition","insert"})
+    insert_clauses: "list[dict]" = field(default_factory=list)
     # copy-into fields (kind == "copy_into")
     copy_source: str | None = None
     copy_format: str = "parquet"
@@ -842,20 +845,75 @@ class _Parser:
                         st.by_source_clauses.append(action_clause(cond))
                         continue
                     # BY TARGET = the plain NOT MATCHED insert form
+                cond = None
+                if self._at_kw("and"):
+                    self._take()
+                    cond = self._expr_text({"then"}, aliases)
                 self._expect_kw("then")
                 self._expect_kw("insert")
-                self._expect_punct("*")
-                if st.when_not_matched_insert:
-                    raise SqlDmlError(
-                        "one WHEN NOT MATCHED ... INSERT clause per "
-                        "statement (INSERT * has no condition to "
-                        "disambiguate a second one)"
+                nxt = self._peek()
+                if nxt is not None and nxt.kind == "punct" and nxt.text == "*":
+                    self._take()
+                    st.insert_clauses.append(
+                        {"condition": cond, "insert": "*"}
                     )
-                st.when_not_matched_insert = True
+                else:
+                    # INSERT ( col [, col]... ) VALUES ( expr [, expr]... )
+                    self._expect_punct("(")
+                    ins_cols = [self._expect_ident()]
+                    while True:
+                        t = self._take()
+                        if t is not None and t.text == ")":
+                            break
+                        if t is None or t.text != ",":
+                            raise SqlDmlError(
+                                "expected ',' or ')' in INSERT column list"
+                            )
+                        ins_cols.append(self._expect_ident())
+                    self._expect_kw("values")
+                    self._expect_punct("(")
+                    exprs, depth, parts = [], 1, []
+                    while True:
+                        t = self._take()
+                        if t is None:
+                            raise SqlDmlError(
+                                "unterminated VALUES ( ... ) in MERGE INSERT"
+                            )
+                        if t.kind == "punct" and t.text == "(":
+                            depth += 1
+                        elif t.kind == "punct" and t.text == ")":
+                            depth -= 1
+                            if depth == 0:
+                                exprs.append(" ".join(parts))
+                                break
+                        elif t.kind == "punct" and t.text == "," and depth == 1:
+                            exprs.append(" ".join(parts))
+                            parts = []
+                            continue
+                        text = t.text
+                        if t.kind == "ident" and "." in text:
+                            head, rest = text.split(".", 1)
+                            if head.lower() in aliases:
+                                text = f"{aliases[head.lower()]}.{rest}"
+                        parts.append(text)
+                    if len(exprs) != len(ins_cols) or any(
+                        not e.strip() for e in exprs
+                    ):
+                        raise SqlDmlError(
+                            f"MERGE INSERT has {len(ins_cols)} columns but "
+                            f"{len(exprs)} VALUES expressions"
+                        )
+                    st.insert_clauses.append(
+                        {
+                            "condition": cond,
+                            "insert": dict(zip(ins_cols, exprs)),
+                        }
+                    )
         self._done()
         for clauses, label in (
             (st.matched_clauses, "WHEN MATCHED"),
             (st.by_source_clauses, "WHEN NOT MATCHED BY SOURCE"),
+            (st.insert_clauses, "WHEN NOT MATCHED"),
         ):
             for i, cl in enumerate(clauses):
                 if cl["condition"] is None and i < len(clauses) - 1:
@@ -864,10 +922,11 @@ class _Parser:
                         f"later clauses could never fire "
                         f"(first-match-wins)"
                     )
+        st.when_not_matched_insert = bool(st.insert_clauses)
         if not (
             st.matched_clauses
             or st.by_source_clauses
-            or st.when_not_matched_insert
+            or st.insert_clauses
         ):
             raise SqlDmlError("MERGE with no WHEN clauses would be a no-op")
         return st
@@ -1427,7 +1486,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         on=st.on,
         when_matched=st.matched_clauses or None,
         when_not_matched_by_source=st.by_source_clauses or None,
-        when_not_matched_insert=st.when_not_matched_insert,
+        when_not_matched_insert=st.insert_clauses or False,
     )
     return _summary(
         spark, "MERGE", res["updated"] + res["deleted"] + res["inserted"]

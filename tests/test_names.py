@@ -185,11 +185,29 @@ def test_sql_dml_parser_units():
         )
     with pytest.raises(SqlDmlError, match="no WHEN clauses"):
         parse_dml("MERGE INTO db.t t USING db.s s ON t.k = s.k")
-    with pytest.raises(SqlDmlError, match="INSERT"):
+    # two unconditional INSERT clauses: the first shadows the second
+    # (first-match-wins) — rejected like the other clause families
+    with pytest.raises(SqlDmlError, match="must be last"):
         parse_dml(
             "MERGE INTO db.t t USING db.s s ON t.k = s.k "
             "WHEN NOT MATCHED THEN INSERT * "
             "WHEN NOT MATCHED THEN INSERT *"
+        )
+    # conditional INSERT column/VALUES form parses with aliases normalized
+    st = parse_dml(
+        "MERGE INTO db.t tt USING db.s ss ON tt.k = ss.k "
+        "WHEN NOT MATCHED AND ss.v > 0 THEN INSERT (k, v) "
+        "VALUES (ss.k, ss.v * 2) "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (ss.k)"
+    )
+    assert st.insert_clauses == [
+        {"condition": "s.v > 0", "insert": {"k": "s.k", "v": "s.v * 2"}},
+        {"condition": None, "insert": {"k": "s.k"}},
+    ]
+    with pytest.raises(SqlDmlError, match="VALUES expressions"):
+        parse_dml(
+            "MERGE INTO db.t t USING db.s s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
         )
     # SELECTs are not DML: pass through
     assert parse_dml("SELECT * FROM db.t") is None
@@ -807,3 +825,51 @@ def test_sql_show_tblproperties(spark, tmp_path, cat):
     assert got["autoCompact"] == "true"
     assert got["autoCompact.maxFilesPerPartition"] == "6"
     assert got["autoCompact.maxFileBytes"] == str(128 << 20)
+
+
+def test_sql_merge_insert_columns_values(spark, tmp_path, cat):
+    """MERGE's WHEN NOT MATCHED surface beyond INSERT * (round-9):
+    INSERT (cols) VALUES (exprs) with expressions over the source,
+    typed-NULL backfill for unassigned columns, conditional insert
+    clauses first-match-wins."""
+    c, t = cat  # orders: k long, v long (k = 0..99)
+    src = ManagedTable.create(spark, tmp_path / "src")
+    src.append(
+        spark.createDataFrame(
+            [(98, 5), (200, 7), (300, -1)], "k long, delta long"
+        )
+    )
+    c.register("global_temp.src", tmp_path / "src")
+    r = c.sql(
+        spark,
+        "MERGE INTO global_temp.orders t USING global_temp.src s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.delta "
+        "WHEN NOT MATCHED AND s.delta > 0 THEN "
+        "INSERT (k, v) VALUES (s.k, s.delta * 10) "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+    ).first()
+    assert r.rows_affected == 3  # 1 update + 2 inserts
+    rows = {x.k: x.v for x in t.read().collect()}
+    assert rows[98] == (98 % 3) + 5   # matched: updated
+    assert rows[200] == 70            # conditional insert expression
+    assert rows[300] is None          # fallback clause: v typed-NULL
+    assert len(rows) == 102
+    # python API: clause-list form, unconditional-last enforced
+    with pytest.raises(ValueError, match="unconditional"):
+        t.merge(
+            src.read(),
+            on="k",
+            when_not_matched_insert=[
+                {"condition": None, "insert": "*"},
+                {"condition": "s.delta > 0", "insert": "*"},
+            ],
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge(
+            src.read(),
+            on="k",
+            when_not_matched_insert=[
+                {"condition": None, "insert": {"nope": "s.k"}}
+            ],
+        )
