@@ -394,10 +394,12 @@ def lsh_bucket_near_dup_pairs(
         safe = np.where(norms == 0.0, 1.0, norms)
         matn = mat / safe[:, None]
         matn[norms == 0.0] = 0.0  # zero-norm vectors match nothing
-        sim = matn @ matn.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sim[ii, jj] >= slack
-        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        # BLOCKED upper-triangle matmul: a skewed bucket must not
+        # allocate an n_bucket² sim matrix in one shot (5k rows is
+        # already a 200 MB float64 matrix per group). Row-blocks bound
+        # per-group peak memory to block·n_bucket while scoring every
+        # j > i pair exactly once.
+        ia, ib = _blocked_upper_pairs(ids, matn, slack)
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pandas.DataFrame({"id_a": lo, "id_b": hi})
 
@@ -525,6 +527,31 @@ def ivf_topk(
 
 
 # ------------------------------------------- k-means bucketed near-dup
+
+def _blocked_upper_pairs(
+    ids: np.ndarray, matn: np.ndarray, slack: float, block: int = 1024
+) -> "tuple[np.ndarray, np.ndarray]":
+    """All (i, j>i) index pairs with ``matn[i]·matn[j] >= slack``, via a
+    row-blocked matmul so peak memory is ``block × n`` floats instead of
+    ``n²`` — the shared in-bucket scorer for every bucketed near-dup
+    generator (a skewed bucket must not allocate its full sim matrix)."""
+    outs_a: list = []
+    outs_b: list = []
+    n = len(ids)
+    for s0 in range(0, n, block):
+        s1 = min(s0 + block, n)
+        sim = matn[s0:s1] @ matn[s0:].T  # columns start at s0
+        for r in range(s1 - s0):
+            gi = s0 + r
+            row = sim[r, r + 1:]
+            hit = np.nonzero(row >= slack)[0]
+            if len(hit):
+                outs_a.append(np.full(len(hit), ids[gi]))
+                outs_b.append(ids[gi + 1 + hit])
+    if not outs_a:
+        return ids[:0], ids[:0]
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
 
 def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Squared L2 distances (|X| x |C|) via the expanded form
@@ -715,10 +742,12 @@ def kmeans_bucket_near_dup_pairs(
         safe = np.where(norms == 0.0, 1.0, norms)
         matn = mat / safe[:, None]
         matn[norms == 0.0] = 0.0  # zero-norm vectors match nothing
-        sim = matn @ matn.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sim[ii, jj] >= slack
-        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        # BLOCKED upper-triangle matmul: a skewed bucket must not
+        # allocate an n_bucket² sim matrix in one shot (5k rows is
+        # already a 200 MB float64 matrix per group). Row-blocks bound
+        # per-group peak memory to block·n_bucket while scoring every
+        # j > i pair exactly once.
+        ia, ib = _blocked_upper_pairs(ids, matn, slack)
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pandas.DataFrame({"id_a": lo, "id_b": hi})
 

@@ -58,14 +58,14 @@ Supported grammar (case-insensitive keywords)::
         -- the append is one atomic commit
     INSERT OVERWRITE db.tbl [(col...)] (VALUES <rows> | SELECT ...)
         -- same row-source surface, atomic truncate-and-load landing
-    CREATE TABLE db.tbl (col type [, ...]) [USING managed_table]
+    CREATE TABLE [IF NOT EXISTS] db.tbl (col type [, ...]) [USING managed_table]
         [LOCATION 'path'] [PARTITIONED BY (dayCol)]
         [CLUSTERED BY (c1 [, c2]...)]
         -- creates + registers; the declared schema is pinned before
         -- any data so constraints/INSERT lists work immediately.
         -- Non-managed_table providers / CTAS / non-dotted names pass
         -- through to spark.sql untouched (misparse-safe for DDL)
-    DROP TABLE db.tbl
+    DROP TABLE [IF EXISTS] db.tbl
         -- drops the NAME; data stays (external-table semantics)
     ALTER TABLE db.tbl RENAME COLUMN old TO new
     ALTER TABLE db.tbl ALTER COLUMN c (TYPE | SET DATA TYPE) <type>
@@ -131,7 +131,7 @@ _KEYWORDS = {
     "version", "of", "constraint", "check", "detail", "show", "tables",
     "source", "target", "tblproperties", "unset",
     "create", "location", "partitioned", "clustered", "overwrite", "using",
-    "copy", "fileformat", "pattern", "force",
+    "copy", "fileformat", "pattern", "force", "if", "exists",
 }
 
 
@@ -206,6 +206,9 @@ class DmlStatement:
     part_col: str | None = None
     cluster_cols: "list[str] | None" = None
     ctas_query: str | None = None      # CTAS: the SELECT tail, verbatim
+    # DDL modifiers
+    if_exists: bool = False        # DROP TABLE IF EXISTS
+    if_not_exists: bool = False    # CREATE TABLE IF NOT EXISTS
     # merge not-matched INSERT clauses (ordered; {"condition","insert"})
     insert_clauses: "list[dict]" = field(default_factory=list)
     # copy-into fields (kind == "copy_into")
@@ -439,7 +442,16 @@ class _Parser:
         if head == "drop" and self._kw(self._peek(1)) == "table":
             self._take()
             self._take()
+            if_exists = False
+            if (
+                self._at_kw("if")
+                and self._kw(self._peek(1)) == "exists"
+            ):
+                self._take()
+                self._take()
+                if_exists = True
             st = DmlStatement("drop_table", self._expect_ident())
+            st.if_exists = if_exists
             self._done()
             return st
         if head == "vacuum":
@@ -537,6 +549,16 @@ class _Parser:
         direction here (this parser never EXECUTES a wrong mutation by
         declining; Spark then handles or rejects its own DDL), unlike
         DML where declining would silently drop a mutation."""
+        if_not_exists = False
+        if (
+            self._at_kw("if")
+            and self._kw(self._peek(1)) == "not"
+            and self._kw(self._peek(2)) == "exists"
+        ):
+            self._take()
+            self._take()
+            self._take()
+            if_not_exists = True
         name_tok = self._peek()
         if (
             name_tok is None
@@ -546,6 +568,7 @@ class _Parser:
             return None
         try:
             st = DmlStatement("create_table", self._expect_ident())
+            st.if_not_exists = if_not_exists
             nxt = self._peek()
             if nxt is not None and nxt.kind == "punct" and nxt.text == "(":
                 self._take()
@@ -1079,6 +1102,8 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         from pathlib import Path as _Path
 
         if st.table in set(catalog.names()):
+            if st.if_not_exists:
+                return _summary(spark, "CREATE TABLE", 0)  # no-op, no error
             raise SqlDmlError(
                 f"table {st.table!r} already exists in the catalog"
             )
@@ -1141,6 +1166,8 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         catalog.register(st.table, root)
         return _summary(spark, "CREATE TABLE", 0)
     if st.kind == "drop_table":
+        if st.if_exists and st.table not in set(catalog.names()):
+            return _summary(spark, "DROP TABLE", 0)  # no-op, no error
         catalog.drop(st.table)
         # name-only drop (external-table semantics): the data stays; a
         # re-register resurrects it, vacuum/deletion is an explicit act

@@ -873,3 +873,37 @@ def test_sql_merge_insert_columns_values(spark, tmp_path, cat):
                 {"condition": None, "insert": {"nope": "s.k"}}
             ],
         )
+
+
+def test_sql_create_if_not_exists_and_drop_if_exists(spark, tmp_path, cat):
+    """The guard-friendly DDL forms every deployment script uses:
+    CREATE TABLE IF NOT EXISTS no-ops (never errors, never clobbers)
+    when the name is registered; DROP TABLE IF EXISTS no-ops on an
+    unregistered name."""
+    c, t = cat
+    # no-op create against the existing name: data untouched
+    r = c.sql(
+        spark,
+        "CREATE TABLE IF NOT EXISTS global_temp.orders "
+        "(x int) USING managed_table",
+    ).first()
+    assert r.operation == "CREATE TABLE" and r.rows_affected == 0
+    assert t.count() == 100  # untouched
+    # fresh name still creates
+    c.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS global_temp.fresh (x int) "
+        f"USING managed_table LOCATION '{tmp_path}/fresh'",
+    )
+    assert "global_temp.fresh" in set(c.names())
+    # drop-if-exists: present drops, absent no-ops
+    assert c.sql(
+        spark, "DROP TABLE IF EXISTS global_temp.fresh"
+    ).first().operation == "DROP TABLE"
+    assert "global_temp.fresh" not in set(c.names())
+    assert c.sql(
+        spark, "DROP TABLE IF EXISTS global_temp.fresh"
+    ).first().rows_affected == 0
+    # plain DROP of a missing name still errors
+    with pytest.raises(KeyError):
+        c.sql(spark, "DROP TABLE global_temp.fresh")

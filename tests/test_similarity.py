@@ -298,3 +298,27 @@ def test_sq_dists_matches_broadcast_form():
     C = rng.normal(size=(7, 12))
     naive = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     assert np.allclose(_sq_dists(X, C), naive, atol=1e-9)
+
+
+def test_blocked_upper_pairs_matches_naive():
+    """The row-blocked in-bucket scorer must emit exactly the naive
+    full-matrix upper-triangle pairs — including across block
+    boundaries (block smaller than the corpus forces multi-block)."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        _blocked_upper_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(300, 16))
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    ids = np.arange(1000, 1300)
+    sim = Xn @ Xn.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    keep = sim[ii, jj] >= 0.3
+    naive = set(zip(ids[ii[keep]].tolist(), ids[jj[keep]].tolist()))
+    ia, ib = _blocked_upper_pairs(ids, Xn, 0.3, block=64)
+    got = set(zip(ia.tolist(), ib.tolist()))
+    assert got == naive and len(naive) > 50
+    # empty result shape survives
+    ea, eb = _blocked_upper_pairs(ids, Xn, 2.0, block=64)
+    assert len(ea) == 0 and len(eb) == 0
