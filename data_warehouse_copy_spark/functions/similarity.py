@@ -540,14 +540,20 @@ def _blocked_upper_pairs(
     n = len(ids)
     for s0 in range(0, n, block):
         s1 = min(s0 + block, n)
-        sim = matn[s0:s1] @ matn[s0:].T  # columns start at s0
-        for r in range(s1 - s0):
-            gi = s0 + r
-            row = sim[r, r + 1:]
-            hit = np.nonzero(row >= slack)[0]
-            if len(hit):
-                outs_a.append(np.full(len(hit), ids[gi]))
-                outs_b.append(ids[gi + 1 + hit])
+        # within-block upper triangle, fully vectorized
+        sim_d = matn[s0:s1] @ matn[s0:s1].T
+        ii, jj = np.triu_indices(s1 - s0, k=1)
+        keep = sim_d[ii, jj] >= slack
+        if keep.any():
+            outs_a.append(ids[s0 + ii[keep]])
+            outs_b.append(ids[s0 + jj[keep]])
+        # this block against every LATER column (j > i holds globally)
+        if s1 < n:
+            sim_x = matn[s0:s1] @ matn[s1:].T
+            ri, ci = np.nonzero(sim_x >= slack)
+            if len(ri):
+                outs_a.append(ids[s0 + ri])
+                outs_b.append(ids[s1 + ci])
     if not outs_a:
         return ids[:0], ids[:0]
     return np.concatenate(outs_a), np.concatenate(outs_b)
