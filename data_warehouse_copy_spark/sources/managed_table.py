@@ -2492,17 +2492,26 @@ class ManagedTable:
 
     # ------------------------------------------------------- COPY INTO
 
-    def copied_sources(self) -> set:
+    def copied_sources(self, head_version: "int | None" = None) -> set:
         """Every source file path a :meth:`copy_into` has ever loaded —
         folded from the ``copy_sources`` field of the action log (the
         ledger rides the data commits themselves, so it is exactly as
         atomic and durable as the loads). A cumulative parquet cache at
         ``_copy_history/upto-v{N}.parquet`` bounds the fold to the
         actions after N; the cache is best-effort (rebuilt from the log
-        if missing/stale) and never authoritative on its own."""
+        if missing/stale) and never authoritative on its own.
+
+        ``head_version`` pins the fold (cache writers MUST pass the
+        version they folded — labeling a cache with a head that raced
+        past the fold would permanently hide that commit's sources from
+        every later incremental fold)."""
         import pyarrow.parquet as _pq
 
-        head = self._head_version()
+        head = (
+            head_version
+            if head_version is not None
+            else self._head_version()
+        )
         loaded: set = set()
         start_v = 0
         hist_dir = self.root / "_copy_history"
@@ -2617,8 +2626,12 @@ class ManagedTable:
                 return (0, 0)
         df = self.spark.read.parquet(*candidates)
         rows = self.append(df, copy_sources=candidates)
-        # refresh the cumulative cache (best-effort)
-        self._write_copy_cache(self.copied_sources(), self._head_version())
+        # refresh the cumulative cache (best-effort), PINNED to the head
+        # we actually fold — a concurrent commit landing between the
+        # fold and the label would otherwise be hidden from every later
+        # incremental fold
+        h = self._head_version()
+        self._write_copy_cache(self.copied_sources(h), h)
         return (len(candidates), rows)
 
     def _columns_at(self, version: int | None = None) -> list | None:
