@@ -649,21 +649,30 @@ def calibrate_probes(
         return min(2, len(cents))
     order = np.argsort(_sq_dists(X, cents), axis=1)
     max_m = min(max_probes, len(cents))
-    m = 1
-    while m <= max_m:
-        tops = order[:, :m]
-        # pairwise set-intersection via sorted membership per row
-        member = np.zeros((len(X), len(cents)), dtype=bool)
-        member[np.arange(len(X))[:, None], tops] = True
-        collide = (member[pi] & member[pj]).any(axis=1)
-        recall = collide.mean()
-        if recall >= target_recall:
+    # ONE pass instead of a per-m membership rebuild (round-9 review
+    # finding): a pair (i, j) first collides at probe count
+    # min over centroids c of max(rank_i(c), rank_j(c)) + 1 — so invert
+    # the argsort into a rank matrix once and take the pairwise min-max,
+    # chunked over pairs to bound the |pairs| × k intermediate.
+    ranks = np.empty_like(order)
+    ranks[np.arange(len(X))[:, None], order] = np.arange(
+        order.shape[1]
+    )[None, :]
+    min_m = np.empty(len(pi), dtype=np.int64)
+    chunk = max(1, (1 << 22) // max(len(cents), 1))
+    for s0 in range(0, len(pi), chunk):
+        s1 = min(s0 + chunk, len(pi))
+        min_m[s0:s1] = (
+            np.maximum(ranks[pi[s0:s1]], ranks[pj[s0:s1]]).min(axis=1) + 1
+        )
+    for m in range(1, max_m + 1):
+        if (min_m <= m).mean() >= target_recall:
             return m
-        m += 1
+    best = (min_m <= max_m).mean()
     raise ValueError(
         f"k-means bucketing cannot reach recall {target_recall} at "
         f"threshold {threshold} within {max_probes} probes over "
-        f"{len(cents)} centroids (best ≈ {recall:.2f}); the threshold is "
+        f"{len(cents)} centroids (best ≈ {best:.2f}); the threshold is "
         f"too low for the data's cluster structure — use the exact "
         f"blocked matmul (cosine_near_dup_pairs)"
     )
@@ -710,7 +719,16 @@ def kmeans_bucket_near_dup_pairs(
     P(pair shares a probed bucket) >= target_recall, estimated unbiased
     in-sample; precision exact (every returned pair re-scored)."""
     n = n_rows if n_rows is not None else df.count()
-    k = max(2, round(n / max(target_cluster, 1)))
+    # k ∝ n saturates at the TRAINING SAMPLE (Lloyd's cannot produce
+    # more centroids than it has points, and a quantizer with ~1 point
+    # per centroid is noise): clamp to sample_size // 4 EXPLICITLY and
+    # document the boundary instead of letting _lloyd_fast truncate
+    # silently (round-9 review finding). Past n ≈ target_cluster ·
+    # sample_size/4 (~260k at the defaults), expected bucket size grows
+    # as ~4·n/sample_size — pass a proportionally larger ``sample_size``
+    # to keep buckets constant (FAISS practice: train on ~32-256 points
+    # per centroid; driver cost is the s×k distance matrix).
+    k = max(2, min(round(n / max(target_cluster, 1)), sample_size // 4))
     if n > sample_size:
         # Seeded uniform pre-sample + global hash-order cap — the same
         # partition-order-independent bounded sample as ivf_topk.

@@ -3610,12 +3610,19 @@ def dedup_semantic_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n <= 4096:  # corpus fits the calibration sample: exact is optimal
         pairs = cosine_near_dup_pairs(emb, threshold=0.4)
     else:
+        # the try covers ONLY suggest_banding — its "recall unreachable"
+        # ValueError is the documented arm-selection signal; an error
+        # raised inside the generators themselves must surface, never
+        # silently switch algorithms (round-9 review finding)
         try:
-            planes, bands = suggest_banding(n, 0.4, target_recall=0.99)
-            pairs = lsh_bucket_near_dup_pairs(
-                emb, threshold=0.4, planes=planes, bands=bands
-            )
+            banding = suggest_banding(n, 0.4, target_recall=0.99)
         except ValueError:
+            banding = None
+        if banding is not None:
+            pairs = lsh_bucket_near_dup_pairs(
+                emb, threshold=0.4, planes=banding[0], bands=banding[1]
+            )
+        else:
             pairs = kmeans_bucket_near_dup_pairs(
                 emb, threshold=0.4, n_rows=n
             )

@@ -321,16 +321,24 @@ class LocalFSObjectStore:
     :class:`FaultyObjectStore` drills) is adapter-agnostic — pinned by
     the cross-process storm in tests/test_commit_protocol.py."""
 
+    @staticmethod
+    def _write_full(tmp: Path, data: str) -> None:
+        """Write the COMPLETE payload + fsync. A raw os.write may return
+        short (signal interruption mid-write on a large record); linking
+        a truncated temp file onto the key would commit a partial record
+        through the atomic CAS — the exact partial-object state the
+        contract forbids (round-9 review finding). Buffered file writes
+        loop internally until every byte is out."""
+        with open(tmp, "xb") as fh:
+            fh.write(data.encode())
+            fh.flush()
+            os.fsync(fh.fileno())
+
     def put_if_absent(self, key: str, data: str) -> bool:
         dest = Path(key)
         dest.parent.mkdir(parents=True, exist_ok=True)
         tmp = dest.parent / f".cas.{uuid.uuid4().hex}.tmp"
-        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        try:
-            os.write(fd, data.encode())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        self._write_full(tmp, data)
         try:
             os.link(tmp, dest)
             return True
@@ -343,12 +351,7 @@ class LocalFSObjectStore:
         dest = Path(key)
         dest.parent.mkdir(parents=True, exist_ok=True)
         tmp = dest.parent / f".put.{uuid.uuid4().hex}.tmp"
-        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        try:
-            os.write(fd, data.encode())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        self._write_full(tmp, data)
         os.replace(tmp, dest)
 
     def get(self, key: str) -> "str | None":

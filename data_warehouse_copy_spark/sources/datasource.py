@@ -851,9 +851,14 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         cur = self._pos if self._pos is not None else self._anchor_offset()
         if cur.get("snapshot") and "idx" not in cur:
             # fresh stream: begin the initial snapshot — split it when
-            # the live file count exceeds the per-trigger file cap
-            n_files = len(self._snapshot_entries(head))
-            if self._max_files is not None and n_files > self._max_files:
+            # the live file count exceeds the per-trigger file cap.
+            # No file cap → never materialize the snapshot's file list
+            # here (a commit-capped huge-table stream would pay an
+            # avoidable full-manifest driver stall at query start —
+            # round-9 review finding)
+            if self._max_files is not None and (
+                len(self._snapshot_entries(head)) > self._max_files
+            ):
                 nxt = {
                     "version": -1,
                     "snapshot": True,
@@ -944,6 +949,23 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         else:
             out = []
         end_v = end["version"]
+        if end_v < start.get("version", -1):
+            # A regressed batch range can only arise when a restart's
+            # first latestOffset ran before ANY engine anchor (no
+            # pending-batch replay, no committed-offset ack) and the
+            # rate-limit cursor fell back to the stream's STARTING
+            # anchor. Never observed with Spark 4.1's restart sequence
+            # (both paths anchor first — pinned by the restart tests),
+            # but if an engine change ever gets here: fail with the
+            # remedy instead of a cryptic commit-range error, and never
+            # deliver rows for an inverted range (silent duplicates).
+            raise ValueError(
+                f"managed_table stream: batch range end v{end_v} is "
+                f"behind start v{start.get('version')} — the rate-limit "
+                f"cursor was unanchored at restart. Restart the query "
+                f"once WITHOUT maxCommitsPerTrigger/maxFilesPerTrigger "
+                f"to let it pass this batch, then re-enable the caps."
+            )
         if self._change_feed:
             # ROW-LEVEL tail: each micro-batch delivers the exact
             # _change_type rows of its commit range — DV deletes surface

@@ -5544,31 +5544,42 @@ class ManagedTable:
         for part in sorted(
             touched_partitions, key=lambda p: (p is None, p or "")
         ):
-            live_count = 0
+            small_count = 0
+            # Stat budget: the trigger must count SMALL files — the same
+            # semantic as the below-gate path and the docstring ("more
+            # than max_files_per_partition SMALL live files"); a
+            # total-count trigger would fire perpetual merge commits on
+            # partitions dominated by large files (round-9 review
+            # finding). Stats stay bounded per pass regardless of
+            # partition size; a partition fronted by more than the
+            # budget's worth of large files defers to scheduled
+            # compact() (under-compaction, never needless churn).
+            stat_budget = max(4 * cap, threshold + 1)
             cand: list = []  # [(FileEntry, size)] — capped at ``cap``
 
             def consider(path, partition, dvs):
-                # count every live file statlessly; stat only while the
-                # candidate list is still filling (≤ cap stats per pass,
-                # regardless of partition size)
-                nonlocal live_count
-                live_count += 1
-                if len(cand) >= cap:
+                nonlocal small_count, stat_budget
+                if small_count > threshold and len(cand) >= cap:
+                    return  # triggered and batch full: nothing to learn
+                if stat_budget <= 0:
                     return
+                stat_budget -= 1
                 sz = self._file_size(path)
                 if sz is None or sz >= max_bytes:
                     return
-                cand.append(
-                    (
-                        FileEntry(
-                            path=path,
-                            partition=partition,
-                            rows=0,  # inputs only; merged entry re-counts
-                            dv_paths=tuple(dvs or ()),
-                        ),
-                        sz,
+                small_count += 1
+                if len(cand) < cap:
+                    cand.append(
+                        (
+                            FileEntry(
+                                path=path,
+                                partition=partition,
+                                rows=0,  # inputs only; merge re-counts
+                                dv_paths=tuple(dvs or ()),
+                            ),
+                            sz,
+                        )
                     )
-                )
 
             if not wiped:
                 want = (
@@ -5595,7 +5606,7 @@ class ManagedTable:
             for e in adds.values():
                 if e.get("partition") == part:
                     consider(e["path"], part, e.get("dv_paths"))
-            if live_count <= threshold:
+            if small_count <= threshold:
                 continue
             batch = self._select_small_batch(cand, policy, pre_checked=True)
             if batch is None:

@@ -1121,6 +1121,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             # last, so a failed write leaves no catalog entry either.
             src = spark.sql(st.ctas_query)
             names = src.columns
+            root_existed = _Path(root).exists()
         else:
             src = None
             names = [n for n, _t in st.create_columns]
@@ -1147,12 +1148,20 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             try:
                 n = nt.append(src)
             except Exception:
-                # failed landing: remove the just-created empty shell so
-                # the statement is all-or-nothing (nothing registered,
-                # nothing left at the location)
+                # failed landing: remove what THIS statement created so
+                # it is all-or-nothing — but never a pre-existing
+                # LOCATION directory's unrelated contents (round-9
+                # review finding: rmtree(root) on a runtime failure
+                # would wipe user files the statement never wrote)
                 import shutil as _shutil
 
-                _shutil.rmtree(root, ignore_errors=True)
+                if root_existed:
+                    for sub in ("_log", "data", "_bloom", "_dv"):
+                        _shutil.rmtree(
+                            _Path(root) / sub, ignore_errors=True
+                        )
+                else:
+                    _shutil.rmtree(root, ignore_errors=True)
                 raise
             catalog.register(st.table, root)
             return _summary(spark, "CREATE TABLE AS SELECT", n)
