@@ -1912,3 +1912,47 @@ def test_copy_into_single_file_and_sql_surface(spark, tmp_path):
 
     with pytest.raises(SqlDmlError, match="FORCE takes"):
         c.sql(spark, f"COPY INTO db.t FROM '{src}' FORCE = MAYBE")
+
+
+def test_auto_compact_past_gate_ignores_large_file_crowds(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 review fix: past the planning gate the policy triggers on
+    the SMALL-file count (the same semantic as below the gate) — a
+    partition crowded with at-bar-or-larger files must not fire merge
+    commits on every ingest."""
+    import data_warehouse_copy_spark.sources.managed_table as mt
+
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="d")
+    # several "large" files (large relative to the policy bar below)
+    for i in range(5):
+        t.append(
+            spark.sql(
+                f"SELECT DATE'2024-01-01' AS d, id AS v FROM range({i*1000}, {i*1000+1000})"
+            )
+        )
+    big_sz = min(
+        (t.root / f.path).stat().st_size for f in t.snapshot().files
+    )
+    t._write_checkpoint(t.snapshot())
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    assert t._past_planning_gate()
+    # smallness bar below every existing file: none is mergeable
+    t.set_auto_compact(max_files_per_partition=2, max_file_bytes=big_sz)
+    v0 = t._head_version()
+    # one more large append: no compact commit may follow
+    t.append(
+        spark.sql(
+            "SELECT DATE'2024-01-01' AS d, id AS v FROM range(9000, 10000)"
+        )
+    )
+    raws = [t._raw(v) for v in range(v0 + 1, t._head_version() + 1)]
+    assert [r["op"] for r in raws] == ["append"]  # no compact churn
+    # but genuine small files still merge past the gate
+    for i in range(4):
+        t.append(spark.sql(f"SELECT DATE'2024-01-01' AS d, {i} AS v"))
+    ops = [
+        t._raw(v)["op"] for v in range(1, t._head_version() + 1)
+    ]
+    assert "compact" in ops[-4:]
+    assert t.read().count() == 6000 + 4
