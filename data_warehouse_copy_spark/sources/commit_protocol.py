@@ -334,6 +334,20 @@ class LocalFSObjectStore:
             fh.flush()
             os.fsync(fh.fileno())
 
+    @staticmethod
+    def _fsync_dir(path: Path) -> None:
+        """fsync the directory so the just-linked/replaced entry itself
+        is durable. Without this a power loss after the ack can drop an
+        already-acked committed key — file-content fsync makes the BYTES
+        durable, but POSIX only makes the directory ENTRY durable after
+        an fsync on the directory fd (round-9 advice finding; the
+        lost-ack recovery path assumes the winner's object survives)."""
+        fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     def put_if_absent(self, key: str, data: str) -> bool:
         dest = Path(key)
         dest.parent.mkdir(parents=True, exist_ok=True)
@@ -341,6 +355,7 @@ class LocalFSObjectStore:
         self._write_full(tmp, data)
         try:
             os.link(tmp, dest)
+            self._fsync_dir(dest.parent)
             return True
         except FileExistsError:
             return False
@@ -353,6 +368,7 @@ class LocalFSObjectStore:
         tmp = dest.parent / f".put.{uuid.uuid4().hex}.tmp"
         self._write_full(tmp, data)
         os.replace(tmp, dest)
+        self._fsync_dir(dest.parent)
 
     def get(self, key: str) -> "str | None":
         try:

@@ -5557,11 +5557,19 @@ class ManagedTable:
             stat_budget = max(4 * cap, threshold + 1)
             cand: list = []  # [(FileEntry, size)] — capped at ``cap``
 
+            def done_scanning():
+                # Nothing left to learn: either the stat budget is spent
+                # or the trigger already fired with a full merge batch.
+                # The checkpoint stream must STOP here, not merely skip —
+                # a huge checkpoint would otherwise pay full-scan IO per
+                # partition per trigger (round-9 advice finding).
+                return stat_budget <= 0 or (
+                    small_count > threshold and len(cand) >= cap
+                )
+
             def consider(path, partition, dvs):
                 nonlocal small_count, stat_budget
-                if small_count > threshold and len(cand) >= cap:
-                    return  # triggered and batch full: nothing to learn
-                if stat_budget <= 0:
+                if done_scanning():
                     return
                 stat_budget -= 1
                 sz = self._file_size(path)
@@ -5591,6 +5599,8 @@ class ManagedTable:
                     batch_size=65536,
                     columns=["path", "partition", "dv_paths"],
                 ):
+                    if done_scanning():
+                        break
                     keep = want(bt.column("partition"))
                     if len(touched):
                         keep = pc.and_kleene(
@@ -5602,6 +5612,8 @@ class ManagedTable:
                         bt.column("path").to_pylist(),
                         bt.column("dv_paths").to_pylist(),
                     ):
+                        if done_scanning():
+                            break
                         consider(path, part, dvs)
             for e in adds.values():
                 if e.get("partition") == part:

@@ -378,8 +378,16 @@ class _Parser:
             st.copy_format = "parquet"
             st.copy_pattern = "*.parquet"
             st.copy_force = False
+            seen_opts: set = set()
             while self._peek() is not None:
                 kw = self._expect_kw("fileformat", "pattern", "force")
+                if kw in seen_opts:
+                    # last-wins on a repeated option would silently mask
+                    # a typo; the rest of the grammar errors loudly
+                    raise SqlDmlError(
+                        f"duplicate COPY INTO option {kw.upper()}"
+                    )
+                seen_opts.add(kw)
                 self._expect_punct("=")
                 if kw == "fileformat":
                     st.copy_format = self._expect_ident().lower()
@@ -1122,6 +1130,17 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             src = spark.sql(st.ctas_query)
             names = src.columns
             root_existed = _Path(root).exists()
+            # Record which table subdirs exist BEFORE create so a failed
+            # landing removes only the ones THIS statement made — a
+            # pre-existing LOCATION may already hold unrelated user
+            # content in e.g. data/ even though it is not a managed
+            # table (exists() checks only _log/_LATEST; round-9 advice
+            # finding).
+            pre_subdirs = {
+                sub
+                for sub in ("_log", "data", "_bloom", "_dv")
+                if (_Path(root) / sub).exists()
+            }
         else:
             src = None
             names = [n for n, _t in st.create_columns]
@@ -1157,9 +1176,10 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
 
                 if root_existed:
                     for sub in ("_log", "data", "_bloom", "_dv"):
-                        _shutil.rmtree(
-                            _Path(root) / sub, ignore_errors=True
-                        )
+                        if sub not in pre_subdirs:
+                            _shutil.rmtree(
+                                _Path(root) / sub, ignore_errors=True
+                            )
                 else:
                     _shutil.rmtree(root, ignore_errors=True)
                 raise
@@ -1197,6 +1217,10 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 (
                     "autoCompact.maxFileBytes",
                     str(policy.get("max_file_bytes", 128 << 20)),
+                ),
+                (
+                    "autoCompact.maxMergeFiles",
+                    str(policy.get("max_merge_files", 128)),
                 ),
             ]
         return spark.createDataFrame(

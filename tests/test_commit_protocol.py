@@ -438,6 +438,31 @@ def test_localfs_cas_is_atomic_across_processes(tmp_path):
             assert seen == winners[0]
 
 
+def test_localfs_store_fsyncs_directory_entry(tmp_path, monkeypatch):
+    """Round-10 advice fix: content fsync alone is not durability — the
+    directory ENTRY needs an fsync on the directory fd, or a power loss
+    after the ack can drop an already-acked committed key (lost-ack
+    recovery assumes the winner's object survives). Pin that every
+    acked put/put_if_absent fsyncs the destination's parent, and a CAS
+    loser (no new entry) does not."""
+    synced = []
+    real = cp.LocalFSObjectStore._fsync_dir
+    monkeypatch.setattr(
+        cp.LocalFSObjectStore,
+        "_fsync_dir",
+        staticmethod(lambda p: (synced.append(Path(p)), real(p))[1]),
+    )
+    s = cp.LocalFSObjectStore()
+    key = str(tmp_path / "sub" / "k1")
+    assert s.put_if_absent(key, "v1")
+    assert synced == [tmp_path / "sub"]
+    assert not s.put_if_absent(key, "v2")  # loser: no entry, no fsync
+    assert synced == [tmp_path / "sub"]
+    s.put(str(tmp_path / "sub" / "k2"), "v3")
+    assert synced == [tmp_path / "sub"] * 2
+    assert s.get(key) == "v1"
+
+
 def _append_storm_worker(args):
     root, wid, n_appends = args
     from pyspark.sql import types as T

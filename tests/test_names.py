@@ -786,6 +786,34 @@ def test_sql_ctas_managed_table(spark, tmp_path, cat):
     assert not os.path.exists(tmp_path / "broken")
 
 
+def test_sql_ctas_failure_preserves_preexisting_subdirs(spark, tmp_path, cat):
+    """Round-10 advice fix: a failed CTAS onto a PRE-EXISTING location
+    removes only the subdirs this statement created — user content that
+    already lived in e.g. ``data/`` (the dir is not a managed table, so
+    the exists() guard passes) must survive the cleanup."""
+    c, _t = cat
+    root = tmp_path / "pre"
+    (root / "data").mkdir(parents=True)
+    (root / "data" / "keep.txt").write_text("user content")
+    with pytest.raises(Exception):
+        c.sql(
+            spark,
+            f"CREATE TABLE global_temp.pre USING managed_table LOCATION "
+            f"'{root}' AS SELECT raise_error('boom') AS x",
+        )
+    assert (root / "data" / "keep.txt").read_text() == "user content"
+    assert not (root / "_log").exists()  # created by the statement: gone
+    assert "global_temp.pre" not in set(c.names())
+    # and the location is reusable afterward
+    r = c.sql(
+        spark,
+        f"CREATE TABLE global_temp.pre USING managed_table LOCATION "
+        f"'{root}' AS SELECT 1 AS x",
+    ).first()
+    assert r.rows_affected == 1
+    assert (root / "data" / "keep.txt").exists()
+
+
 def test_sql_ctas_foreign_provider_passes_through(spark, tmp_path, cat):
     """CTAS without USING managed_table (or with another provider) stays
     Spark's own DDL — the parser declines, Spark handles/rejects it."""
@@ -825,6 +853,15 @@ def test_sql_show_tblproperties(spark, tmp_path, cat):
     assert got["autoCompact"] == "true"
     assert got["autoCompact.maxFilesPerPartition"] == "6"
     assert got["autoCompact.maxFileBytes"] == str(128 << 20)
+    # round-10 advice fix: the full knob surface round-trips — a policy
+    # set via Python with a non-default max_merge_files is visible
+    assert got["autoCompact.maxMergeFiles"] == "128"
+    t.set_auto_compact(max_merge_files=9)
+    got = {
+        r.key: r.value
+        for r in c.sql(spark, "SHOW TBLPROPERTIES global_temp.orders").collect()
+    }
+    assert got["autoCompact.maxMergeFiles"] == "9"
 
 
 def test_sql_merge_insert_columns_values(spark, tmp_path, cat):
