@@ -745,6 +745,16 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # trigger with .stop().
         self._max_commits = self._pos_int_opt(options, "maxcommitspertrigger")
         self._max_files = self._pos_int_opt(options, "maxfilespertrigger")
+        # ``maxBytesPerTrigger`` (round-10, Delta parity): the size-based
+        # rate limit real backfills want — commit/file counts are
+        # proxies. Budgets the ADDED data-file bytes (os sizes of the
+        # immutable files, so cursor math is deterministic across
+        # restarts): the snapshot splits where the cumulative segment
+        # reaches the budget, the tail includes commits until their
+        # added bytes reach it — always at least one file / one commit
+        # per batch regardless (a single over-budget file must still
+        # make progress). Caps compose; the most restrictive wins.
+        self._max_bytes = self._pos_int_opt(options, "maxbytespertrigger")
         self._pos: "dict | None" = None  # last offset this reader saw
         self._snap_files: "tuple | None" = None  # (version, [FileEntry])
         if options.get("changesfrom") is not None or (
@@ -803,9 +813,44 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         return self._snap_files[1]
 
     def _cap_tail(self, from_v: int, head: int) -> int:
-        if self._max_commits is None:
-            return head
-        return min(head, from_v + self._max_commits)
+        cap_v = head
+        if self._max_commits is not None:
+            cap_v = min(cap_v, from_v + self._max_commits)
+        if self._max_bytes is None or cap_v <= from_v:
+            return cap_v
+        # Byte budget over the tail: walk one commit at a time (early
+        # stop — a million-commit backlog must not pay a full-range log
+        # read to plan a one-commit batch) summing the added data
+        # files' on-disk sizes; include commits until the budget is
+        # reached, at least one regardless.
+        t = self._table()
+        b = 0
+        for v in range(from_v + 1, cap_v + 1):
+            for _v, _op, adds, _removed in t.commit_deltas(v - 1, v):
+                b += sum(t._file_size(e["path"]) or 0 for e in adds)
+            if b >= self._max_bytes:
+                return v
+        return cap_v
+
+    def _advance_snapshot_cursor(self, entries: list, idx: int) -> int:
+        """The next split-snapshot segment boundary past ``idx`` under
+        the file/byte caps — at least one file per segment; the whole
+        remainder when no cap applies (the uncapped-restart case)."""
+        n = len(entries)
+        if idx >= n:
+            return n
+        if self._max_files is None and self._max_bytes is None:
+            return n
+        t = self._table()
+        j, b = idx, 0
+        while j < n:
+            b += t._file_size(entries[j].path) or 0
+            j += 1
+            if self._max_files is not None and j - idx >= self._max_files:
+                break
+            if self._max_bytes is not None and b >= self._max_bytes:
+                break
+        return j
 
     def initialOffset(self) -> dict:
         # Default: the snapshot sentinel — the first batch is the live file
@@ -846,38 +891,45 @@ class ManagedTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = self._table()._head_version()
-        if self._max_commits is None and self._max_files is None:
+        if (
+            self._max_commits is None
+            and self._max_files is None
+            and self._max_bytes is None
+        ):
             return {"version": head}
         cur = self._pos if self._pos is not None else self._anchor_offset()
         if cur.get("snapshot") and "idx" not in cur:
             # fresh stream: begin the initial snapshot — split it when
-            # the live file count exceeds the per-trigger file cap.
-            # No file cap → never materialize the snapshot's file list
+            # the live files exceed the per-trigger file or byte cap.
+            # Neither cap → never materialize the snapshot's file list
             # here (a commit-capped huge-table stream would pay an
             # avoidable full-manifest driver stall at query start —
             # round-9 review finding)
-            if self._max_files is not None and (
-                len(self._snapshot_entries(head)) > self._max_files
-            ):
-                nxt = {
-                    "version": -1,
-                    "snapshot": True,
-                    "snap_v": head,
-                    "idx": self._max_files,
-                }
+            if self._max_files is not None or self._max_bytes is not None:
+                entries = self._snapshot_entries(head)
+                j = self._advance_snapshot_cursor(entries, 0)
+                if j < len(entries):
+                    nxt = {
+                        "version": -1,
+                        "snapshot": True,
+                        "snap_v": head,
+                        "idx": j,
+                    }
+                else:
+                    nxt = {"version": head}
             else:
                 nxt = {"version": head}
         elif "idx" in cur:
-            n_files = len(self._snapshot_entries(cur["snap_v"]))
-            if cur["idx"] < n_files:
-                # restarted mid-snapshot with the file cap removed:
-                # finish the snapshot in one segment (step = remainder)
-                step = (
-                    self._max_files
-                    if self._max_files is not None
-                    else n_files
-                )
-                nxt = {**cur, "idx": min(n_files, cur["idx"] + step)}
+            entries = self._snapshot_entries(cur["snap_v"])
+            if cur["idx"] < len(entries):
+                # next segment under the caps (the whole remainder on a
+                # restart with the caps removed)
+                nxt = {
+                    **cur,
+                    "idx": self._advance_snapshot_cursor(
+                        entries, cur["idx"]
+                    ),
+                }
             else:  # snapshot done: tail from its pinned version, capped
                 nxt = {"version": self._cap_tail(cur["snap_v"], head)}
         else:
@@ -2121,3 +2173,47 @@ class ManagedTableDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the ``managed_table`` format on a session."""
     spark.dataSource.register(ManagedTableDataSource)
+
+
+def drain_available(
+    start_query, max_runs: int = 1000, timeout_sec: float = 600.0
+) -> int:
+    """Delta-parity FULL drain for a rate-capped ``Trigger.AvailableNow``
+    query (round-9 verdict item 7). The Python DataSource API has no
+    ``prepareForTriggerAvailableNow`` pacing hook, so an availableNow
+    run over a capped ``managed_table`` stream latches ONE capped
+    latestOffset as its terminal target and drains a single step per
+    run (documented at :class:`ManagedTableStreamReader`). This helper
+    re-runs the query until a run advances no offsets — the behavior
+    Delta gives in one run — with each run checkpointed exactly-once.
+
+    ``start_query`` is a zero-arg callable returning a freshly STARTED
+    ``StreamingQuery`` — the same definition each time, pointing at the
+    same checkpointLocation (that continuity is what makes the runs one
+    logical drain). Returns the number of runs performed, including the
+    final no-progress run that proved the drain complete.
+
+    Raises ``TimeoutError`` if a run outlives ``timeout_sec`` (the query
+    is stopped first) and ``RuntimeError`` after ``max_runs`` runs
+    without convergence (e.g. a concurrent writer outpacing the cap —
+    at that point a continuous trigger is the right tool)."""
+    for runs in range(1, max_runs + 1):
+        q = start_query()
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"drain_available: run {runs} still active after "
+                f"{timeout_sec}s; stopped it — raise timeout_sec or "
+                f"reduce the per-trigger cap"
+            )
+        lp = q.lastProgress
+        srcs = (lp or {}).get("sources") or []
+        if lp is None or all(
+            s.get("startOffset") == s.get("endOffset") for s in srcs
+        ):
+            return runs  # this run advanced nothing: fully drained
+    raise RuntimeError(
+        f"drain_available did not converge within {max_runs} runs — a "
+        f"writer may be outpacing the per-trigger cap; use a continuous "
+        f"trigger for keep-up tailing"
+    )

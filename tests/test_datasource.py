@@ -1235,6 +1235,132 @@ def test_stream_rate_limit_option_validation(spark, tmp_path):
         )
 
 
+def test_stream_max_bytes_per_trigger(spark, tmp_path):
+    """Round-10 (verdict item 5): ``maxBytesPerTrigger`` — the
+    size-based rate limit real backfills want. The initial snapshot
+    splits where cumulative file bytes reach the budget, the tail
+    includes commits until their added bytes reach it, exactly-once is
+    preserved across a checkpoint restart, and a single over-budget
+    file still makes progress (at least one file per batch)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for i in range(8):  # eight ~equal 1-row files
+        t.append(
+            spark.range(i, i + 1).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k"
+            )
+        )
+    sizes = [
+        (t.root / f.path).stat().st_size for f in t.snapshot().files
+    ]
+    budget = int(2.5 * max(sizes))  # 3 files reach it, 2 do not
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(
+        spark, t.root, out, ckpt, maxBytesPerTrigger=str(budget)
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(str(out)).count() == 8
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(progress) >= 3  # 3+3+2 segments
+        assert all(p["numInputRows"] <= 3 for p in progress)
+        # tail: two commits whose combined bytes exceed the budget
+        # arrive as separate capped batches
+        for i in (100, 101):
+            t.append(
+                spark.range(i, i + 1).selectExpr(
+                    "id", "id*2 AS v", "concat('k',id) AS k"
+                )
+            )
+        seen = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        q.processAllAvailable()
+        assert spark.read.parquet(str(out)).count() == 10
+        tail = [p for p in q.recentProgress if p["numInputRows"] > 0][seen:]
+        assert all(p["numInputRows"] <= 1 for p in tail)
+    finally:
+        q.stop()
+    # restart: commits made while down arrive exactly once
+    for i in (200, 201, 202):
+        t.append(
+            spark.range(i, i + 1).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k"
+            )
+        )
+    q2 = _tail_query(
+        spark, t.root, out, ckpt, maxBytesPerTrigger=str(budget)
+    )
+    try:
+        q2.processAllAvailable()
+        vals = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+        assert vals == list(range(8)) + [100, 101, 200, 201, 202]
+    finally:
+        q2.stop()
+    # at-least-one floor: a 1-byte budget still advances, one file/batch
+    out2, ckpt2 = tmp_path / "out2", tmp_path / "ckpt2"
+    q3 = _tail_query(spark, t.root, out2, ckpt2, maxBytesPerTrigger="1")
+    try:
+        q3.processAllAvailable()
+        assert spark.read.parquet(str(out2)).count() == 13
+        progress = [p for p in q3.recentProgress if p["numInputRows"] > 0]
+        assert all(p["numInputRows"] <= 1 for p in progress)
+    finally:
+        q3.stop()
+    # validation matches the other caps
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableStreamReader,
+    )
+
+    with pytest.raises(Exception, match=">= 1"):
+        ManagedTableStreamReader(
+            str(t.root), {"maxbytespertrigger": "0"}, t.read().schema
+        )
+
+
+def test_drain_available_fully_drains_capped_stream(spark, tmp_path):
+    """Round-10 (verdict item 7): ``drain_available`` re-runs a capped
+    availableNow query until a run advances no offsets — the
+    Delta-parity one-call full drain — exactly-once across the runs."""
+    from data_warehouse_copy_spark.sources.datasource import (
+        drain_available,
+    )
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    for i in range(8):
+        t.append(
+            spark.range(i, i + 1).selectExpr(
+                "id", "id*2 AS v", "concat('k',id) AS k"
+            )
+        )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def start():
+        return (
+            spark.readStream.format("managed_table")
+            .option("maxFilesPerTrigger", "3")
+            .load(str(t.root))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs = drain_available(start, timeout_sec=120)
+    assert runs >= 3  # 3+3+2 capped steps before the proving run
+    vals = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert vals == list(range(8))  # drained to the head, exactly once
+    # a drained stream converges in one proving run
+    assert drain_available(start, timeout_sec=120) == 1
+    # and new commits drain on the next call, still exactly once
+    t.append(
+        spark.range(50, 51).selectExpr(
+            "id", "id*2 AS v", "concat('k',id) AS k"
+        )
+    )
+    drain_available(start, timeout_sec=120)
+    vals = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert vals == list(range(8)) + [50]
+
+
 def test_stream_rate_caps_with_available_now_drain_progressively(
     spark, tmp_path
 ):
