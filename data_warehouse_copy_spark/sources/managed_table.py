@@ -5365,9 +5365,13 @@ class ManagedTable:
         touched, planned from a partition-filtered STREAM of the
         parquet checkpoint + action tail (O(batch + candidates) driver
         memory — the full file list is never materialized), committed
-        through the bounded diff path. Remaining deliberate bound:
-        multi-column Z-ORDER layouts merge unsorted (run ``OPTIMIZE
-        ... ZORDER BY`` to restore the curve)."""
+        through the bounded diff path.
+
+        Round-10: multi-column Z-ORDER layouts merge SORTED too — the
+        numpy z-interleave twin re-orders the merged batch and the file
+        writes bounded row groups, so selective reads keep pruning
+        (row-group level within the merged file) without a scheduled
+        ``OPTIMIZE ... ZORDER BY``."""
         if max_files_per_partition < 1:
             raise ValueError("max_files_per_partition must be >= 1")
         if max_file_bytes < 1:
@@ -5429,7 +5433,11 @@ class ManagedTable:
             return 0
 
     def _select_small_batch(
-        self, files: list, policy: dict, pre_checked: bool = False
+        self,
+        files: list,
+        policy: dict,
+        pre_checked: bool = False,
+        byte_capped: bool = True,
     ):
         """Pick one partition's merge batch: live files in stable order,
         on-disk size under ``max_file_bytes`` (big files are never
@@ -5439,7 +5447,13 @@ class ManagedTable:
         None when the partition's SMALL-file count is within policy.
         ``pre_checked=True`` skips the threshold test (the bounded path
         counts small files over the full checkpoint stream but hands in
-        only the first ``max_merge_files`` candidates)."""
+        only the first ``max_merge_files`` candidates).
+        ``byte_capped=False`` lifts the total-input-bytes budget — the
+        budget encodes DRIVER memory for the pyarrow merge; the
+        executor-side Spark merge (round-10) bounds per-task memory
+        instead, so it selects by the smallness bar and the file cap
+        only. ONE selection function serves both merge paths so their
+        policy semantics cannot diverge."""
         threshold = policy["max_files_per_partition"]
         cap = policy.get("max_merge_files", 128)
         max_bytes = policy.get("max_file_bytes", 128 << 20)
@@ -5450,11 +5464,51 @@ class ManagedTable:
         for f, sz in small:
             if len(batch) >= cap:
                 break
-            if len(batch) >= 2 and total + sz > max_bytes:
+            if byte_capped and len(batch) >= 2 and total + sz > max_bytes:
                 break
             batch.append(f)
             total += sz
         return batch if len(batch) >= 2 else None
+
+    def _merge_small_files_spark(
+        self, m: Manifest, batch: list, policy: dict
+    ) -> tuple[FileEntry, ...]:
+        """Executor-side merge of one selected batch (round-9 verdict
+        item 3): when a SparkSession is available — the native ``append``
+        path — the merge reads the batch's ALIVE rows distributed
+        (:meth:`_scan_with_pos`: deletion vectors subtracted, logical
+        names), lays them out under the table's cluster spec (single
+        column range-sort; multi-column z-order — the SAME
+        ``_zorder_column`` expression normal writes use), and writes
+        right-sized files through :meth:`_write_files` (stats + bloom
+        sidecars harvested there). This lifts the pyarrow path's
+        driver-byte batch ceiling: selection drops the byte budget and
+        the output splits into ``ceil(input_bytes / max_file_bytes)``
+        files instead of one. The session-less pyarrow merge remains
+        the declarative-hook path; both share ``_select_small_batch``.
+        """
+        import math
+
+        policy_bytes = policy.get("max_file_bytes", 128 << 20)
+        total = sum(self._file_size(f.path) or 0 for f in batch)
+        n_out = max(1, math.ceil(total / policy_bytes))
+        df = self._scan_with_pos(m, batch).drop("__dwcs_uri", "__dwcs_pos")
+        if m.cluster_col is not None:
+            return self._write_files(
+                df,
+                m.partition_date_col,
+                m.cluster_col,
+                cluster_partitions=n_out,
+                bloom_cols=m.bloom_cols,
+                columns=m.columns,
+            )
+        return self._write_files(
+            df.coalesce(n_out),
+            m.partition_date_col,
+            None,
+            bloom_cols=m.bloom_cols,
+            columns=m.columns,
+        )
 
     def _merge_small_files(
         self, batch: list, cluster_phys: "str | None", bloom_phys: list
@@ -5463,8 +5517,20 @@ class ManagedTable:
         session-less declarative sink hooks run this too): deletion
         vectors fold away during the merge (positions dropped via the
         same dual-keyed DV read the declarative reader uses), the merged
-        file re-sorts on a single physical cluster column, and its bloom
-        sidecar is rebuilt so point-lookup pruning survives the pass."""
+        file re-sorts on the cluster spec — single column directly,
+        multi-column via the numpy z-interleave twin
+        (:func:`_zorder_sort_order`; round-10 — previously multi-col
+        layouts merged UNSORTED, decaying the curve until a manual
+        OPTIMIZE ZORDER) — and its bloom sidecar is rebuilt so
+        point-lookup pruning survives the pass. Sorted merges write
+        BOUNDED ROW GROUPS (≥16 per file): the merged file is one
+        byte-capped file, so file-level stats necessarily widen to the
+        batch's span, but sortedness + small row groups keep selective
+        reads cheap — Spark's parquet scan (and the declarative
+        reader's ``_matching_row_groups``) prunes row groups on footer
+        min/max, so a z-point query reads ~1/16 of the merged bytes."""
+        import math
+
         import numpy as np
         import pyarrow as pa
 
@@ -5487,13 +5553,31 @@ class ManagedTable:
                     t = t.filter(pa.array(mask))
             tables.append(t)
         merged = pa.concat_tables(tables, promote_options="default")
-        if cluster_phys and cluster_phys in merged.schema.names:
+        sorted_merge = False
+        if isinstance(cluster_phys, (list, tuple)):
+            present = [c for c in cluster_phys if c in merged.schema.names]
+            if len(present) >= 2 and merged.num_rows:
+                order = _zorder_sort_order(merged, present)
+                merged = merged.take(pa.array(order))
+                sorted_merge = True
+            elif present:
+                merged = merged.sort_by(present[0])
+                sorted_merge = True
+        elif cluster_phys and cluster_phys in merged.schema.names:
             merged = merged.sort_by(cluster_phys)
+            sorted_merge = True
         commit_id = uuid.uuid4().hex[:16]
         out_dir = self.root / "data" / f"ac-{commit_id}"
         out_dir.mkdir(parents=True, exist_ok=True)
         out = out_dir / "part-00000.parquet"
-        pq.write_table(merged, out, compression="snappy")
+        write_kw = {}
+        if sorted_merge and merged.num_rows:
+            # bounded row groups make the sort USEFUL: footer min/max
+            # per group is what row-group pruning skips on
+            write_kw["row_group_size"] = max(
+                1024, math.ceil(merged.num_rows / 16)
+            )
+        pq.write_table(merged, out, compression="snappy", **write_kw)
         rel = str(out.relative_to(self.root))
         bloom_rel = None
         cols = [c for c in bloom_phys if c in merged.schema.names]
@@ -5533,7 +5617,9 @@ class ManagedTable:
             cluster_phys = (
                 pmap.get(m.cluster_col, m.cluster_col)
                 if isinstance(m.cluster_col, str)
-                else None  # multi-col z-order: merge unsorted
+                else [pmap.get(c, c) for c in m.cluster_col]
+                if m.cluster_col
+                else None
             )
             bloom_phys = [pmap.get(c, c) for c in (m.bloom_cols or [])]
             by_part: dict = {}
@@ -5552,14 +5638,25 @@ class ManagedTable:
                     for f in sorted(files, key=lambda f: f.path)
                     if (sz := self._file_size(f.path)) is not None
                 ]
-                batch = self._select_small_batch(sized, policy)
+                # native path (session available): executor-side merge —
+                # no driver byte ceiling on the batch; declarative hooks
+                # (no session) keep the byte-capped pyarrow merge
+                batch = self._select_small_batch(
+                    sized, policy, byte_capped=self.spark is None
+                )
                 if batch is None:
                     continue
-                new_entries.append(
-                    self._merge_small_files(batch, cluster_phys, bloom_phys)
-                )
+                if self.spark is not None:
+                    out = self._merge_small_files_spark(m, batch, policy)
+                else:
+                    out = (
+                        self._merge_small_files(
+                            batch, cluster_phys, bloom_phys
+                        ),
+                    )
+                new_entries.extend(out)
                 removed |= {f.path for f in batch}
-                merged_away += len(batch) - 1
+                merged_away += len(batch) - len(out)
             if not new_entries:
                 return 0
             kept = tuple(f for f in m.files if f.path not in removed)
@@ -5604,6 +5701,8 @@ class ManagedTable:
         cluster_phys = (
             pmap.get(cluster_col, cluster_col)
             if isinstance(cluster_col, str)
+            else [pmap.get(c, c) for c in cluster_col]
+            if cluster_col
             else None
         )
         bloom_phys = [
@@ -6604,6 +6703,41 @@ def _zorder_column(df: DataFrame, cols: list, buckets: int = 16) -> "F.Column":
                 bit * len(cols) + j,
             )
     return z
+
+
+def _zorder_sort_order(table, cols: list, buckets: int = 16):
+    """Row order that z-interleaves quantile-bucket ids of ``cols`` —
+    the numpy twin of :func:`_zorder_column` (same bit layout) for the
+    session-less pyarrow merge path (round-10: multi-column clustered
+    tables used to merge UNSORTED under auto-compaction, decaying the
+    curve until a manual ``OPTIMIZE ZORDER``). Rank-based bucket ids
+    ARE quantile buckets (balanced under skew, no approxQuantile pass
+    needed — the merged batch is already in memory); nulls bucket to 0,
+    matching the Spark expression. Returns the stable argsort of the
+    interleaved z-values."""
+    import numpy as np
+    import pandas
+
+    bits = max(1, (buckets - 1).bit_length())
+    bucket_ids = []
+    for c in cols:
+        s = table.column(c).to_pandas()
+        r = s.rank(method="first")  # nulls stay NaN
+        nn = int(r.notna().sum())
+        if nn == 0:
+            bucket_ids.append(np.zeros(len(s), dtype=np.int64))
+            continue
+        b = np.floor((r - 1) * buckets / nn)
+        b = np.nan_to_num(b.to_numpy(dtype=np.float64), nan=0.0).astype(
+            np.int64
+        )
+        np.clip(b, 0, buckets - 1, out=b)
+        bucket_ids.append(b)
+    z = np.zeros(len(table), dtype=np.int64)
+    for bit in range(bits):
+        for j, b in enumerate(bucket_ids):
+            z |= ((b >> bit) & 1) << (bit * len(cols) + j)
+    return np.argsort(z, kind="stable")
 
 
 def _utcnow() -> str:
