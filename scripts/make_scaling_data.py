@@ -115,6 +115,40 @@ def make_sf10_subset() -> None:
         print(t, n)
 
 
+def add_scaled_events() -> None:
+    """10×/100× events tables into .scaling/sf1.0 and .scaling/sf10
+    (round-10, verdict item 8: rollup_cdc_refresh reads events, which
+    both fixtures had only COPIED — the streaming-adjacent DML plane had
+    no scaled point). Replicas shift event_id and user_id (disjoint key
+    spaces); ts / event_type / value distributions are untouched, so
+    the day count — what the CDC refresh invalidates over — stays
+    constant while per-day row volume scales, exactly the regime a
+    growing event stream puts the rollup in."""
+    con = duckdb.connect()
+    id_shift = con.execute(
+        f"SELECT max(event_id) + 1 FROM '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    uid_shift = con.execute(
+        f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'"
+    ).fetchone()[0]
+    for dst, n_rep in ((DST, REPLICAS), (DST.parent / "sf10", 100)):
+        dst.mkdir(parents=True, exist_ok=True)
+        union = " UNION ALL ".join(
+            f"SELECT event_id + {i} * {id_shift} AS event_id, ts,"
+            f" user_id + {i} * {uid_shift} AS user_id,"
+            f" event_type, value, props"
+            f" FROM '{SRC}/events.parquet'"
+            for i in range(n_rep)
+        )
+        con.execute(
+            f"COPY ({union}) TO '{dst}/events.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{dst}/events.parquet'"
+        ).fetchone()[0]
+        print("events", dst.name, n)
+
+
 def main() -> None:
     DST.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -202,7 +236,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--sf10" in sys.argv:
+    if "--events" in sys.argv:
+        add_scaled_events()
+    elif "--sf10" in sys.argv:
         make_sf10_subset()
     else:
         main()
