@@ -4647,6 +4647,46 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def catalog_sql_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO MANAGED_TABLE through the catalog (round-10 forward
+    surface; Delta's ``CONVERT TO DELTA`` shape): adopt a flat parquet
+    dump IN PLACE — no data copy, the commit records the files with
+    footer stats — then read it back through the catalog name. Oracle:
+    the same projection straight over raw orders, which proves the
+    adopted bytes are value-exact (nothing re-encoded, nothing lost).
+    At 100 TB this is instant adoption of a historical dump versus
+    re-landing it."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    tmp = _tmp_table_dir(prefix="dwcs_sqlconv_")
+    # a plain spark parquet dump — exactly what a CONVERT user holds
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartitionByRange(
+        4, "o_orderkey"
+    ).write.parquet(f"{tmp}/dump")
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.sql(
+        spark,
+        f"CONVERT TO MANAGED_TABLE '{tmp}/dump' "
+        f"AS global_temp.dwcs_conv_orders",
+    )
+    return (
+        cat.table(spark, "global_temp.dwcs_conv_orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+CATALOG_SQL_CONVERT_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice')} AS total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 DATASOURCE_UPSERT_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderdate >= TIMESTAMP '{M_FROM}'
@@ -5308,6 +5348,7 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_time_travel": catalog_sql_time_travel,
     "catalog_sql_ctas": catalog_sql_ctas,
     "catalog_sql_copy_into": catalog_sql_copy_into,
+    "catalog_sql_convert": catalog_sql_convert,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -5435,6 +5476,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_time_travel": CATALOG_SQL_TIME_TRAVEL_SQL,
     "catalog_sql_ctas": CATALOG_SQL_CTAS_SQL,
     "catalog_sql_copy_into": CATALOG_SQL_COPY_INTO_SQL,
+    "catalog_sql_convert": CATALOG_SQL_CONVERT_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -2665,6 +2665,88 @@ class ManagedTable:
         self._write_copy_cache(self.copied_sources(h), h)
         return (n_files, rows)
 
+    @classmethod
+    def convert_in_place(
+        cls, spark: "SparkSession | None", root: "str | Path"
+    ) -> "ManagedTable":
+        """CONVERT an existing directory of parquet files into a managed
+        table IN PLACE (Delta's ``CONVERT TO DELTA parquet.`path```
+        shape) — no data copy, no rewrite: the commit just RECORDS the
+        files, with footer stats harvested so file skipping works from
+        the first read. At 100 TB this is the difference between
+        adopting a historical dump instantly and re-landing it.
+
+        Scope, loud not silent: FLAT directories only. A hive-layout
+        (``col=value/``) dump keeps the partition column in the
+        directory name, not the file bytes — Spark's ``partitionBy``
+        writer drops it — and this table format stores real columns in
+        the files (reads would null-backfill the partition column,
+        silently corrupting it). Re-land such dumps through a managed
+        write instead. All files must agree on the arrow schema
+        (names + types); a mixed dump raises with the offending file.
+
+        Works sessionless (pyarrow footers + the arrow→Spark schema
+        bridge); the commit op is ``convert`` so CDC/stream consumers
+        deliver the adopted rows as the table's opening inserts, exactly
+        like an initial append."""
+        root = Path(root)
+        t = cls(spark, root)
+        if t.exists():
+            raise ValueError(
+                f"{root} is already a managed table; CONVERT adopts raw "
+                f"parquet directories only"
+            )
+        reserved = {"_log", "_staging", "_dv", "_bloom", "_copy_history"}
+        files = sorted(
+            p
+            for p in root.rglob("*.parquet")
+            if p.is_file() and not (set(p.relative_to(root).parts) & reserved)
+        )
+        if not files:
+            raise ValueError(f"no parquet files to convert under {root}")
+        for p in files:
+            if "=" in str(p.relative_to(root).parent):
+                raise ValueError(
+                    f"hive-partitioned layout at {p.relative_to(root)}: "
+                    f"the partition column lives in the directory name, "
+                    f"not the file bytes — re-land through a managed "
+                    f"write instead of CONVERT"
+                )
+        first = pq.ParquetFile(files[0])
+        ref_schema = first.schema_arrow
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema_json = from_arrow_schema(ref_schema).json()
+
+        def entry_for(p: Path) -> FileEntry:
+            pf = pq.ParquetFile(p)
+            got = pf.schema_arrow
+            if [(f.name, f.type) for f in got] != [
+                (f.name, f.type) for f in ref_schema
+            ]:
+                raise ValueError(
+                    f"schema mismatch: {p.relative_to(root)} reads "
+                    f"{got} but {files[0].relative_to(root)} set "
+                    f"{ref_schema}; CONVERT requires one schema"
+                )
+            return FileEntry(
+                path=str(p.relative_to(root)),
+                partition=None,
+                rows=pf.metadata.num_rows,
+                stats=_harvest_stats(pf.metadata),
+            )
+
+        # footer reads are driver-side IO — pooled, like _write_files
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            entries = tuple(pool.map(entry_for, files))
+        t = cls.create(spark, root)
+        with _lock_for(t.root):
+            m = t.snapshot()
+            t._commit_files(m, entries, schema_json, "convert")
+        return t
+
     def _columns_at(self, version: int | None = None) -> list | None:
         """The column-mapping record at ``version`` (head when None), in
         O(tail) driver memory past the planning gate — session-less safe
@@ -5240,7 +5322,11 @@ class ManagedTable:
                 )
             return self.snapshot().version
 
-    def compact(self, max_files_per_partition: int = 1) -> tuple[int, int]:
+    def compact(
+        self,
+        max_files_per_partition: int = 1,
+        partitions: "set | None" = None,
+    ) -> tuple[int, int]:
         """Small-file compaction: rewrite every partition holding more than
         ``max_files_per_partition`` files into coalesced files, as ONE
         atomic commit (readers never block; prior versions stay readable
@@ -5248,6 +5334,12 @@ class ManagedTable:
         small files; compaction restores scan efficiency — fewer tasks,
         dense row groups — which at 100 TB is the difference between a scan
         bounded by file-open overhead and one bounded by IO bandwidth.
+
+        ``partitions`` scopes the pass to those partition values (the
+        ``OPTIMIZE ... WHERE`` shape, round 10): at 100 TB you fix the
+        one hot ingest day, never rewrite a petabyte to do it. Only
+        crowded/DV'd partitions INSIDE the scope rewrite; everything
+        else is untouched metadata.
 
         Returns (files_before, files_after)."""
         from collections import Counter
@@ -5261,6 +5353,8 @@ class ManagedTable:
             # are clean and their DV parquets become unreferenced) —
             # compaction is what bounds merge-on-read's read amplification.
             crowded |= {f.partition for f in m.files if f.dv_rows}
+            if partitions is not None:
+                crowded &= set(partitions)
             if not crowded:
                 return (len(m.files), len(m.files))
             # Read at THIS snapshot's version, not the live head: a

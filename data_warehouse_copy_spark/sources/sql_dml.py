@@ -132,6 +132,7 @@ _KEYWORDS = {
     "source", "target", "tblproperties", "unset",
     "create", "location", "partitioned", "clustered", "overwrite", "using",
     "copy", "fileformat", "pattern", "force", "if", "exists",
+    "convert",
 }
 
 
@@ -474,9 +475,38 @@ class _Parser:
                 st.retain_hours = float(n)
             self._done()
             return st
+        if head == "convert":
+            # CONVERT TO MANAGED_TABLE '<path>' [AS db.name] — adopt a
+            # flat parquet directory in place (no data copy); see
+            # ManagedTable.convert_in_place
+            self._take()
+            self._expect_kw("to")
+            prov = self._expect_ident()
+            if prov.lower() != "managed_table":
+                raise SqlDmlError(
+                    f"CONVERT TO supports MANAGED_TABLE here, got {prov!r}"
+                )
+            t = self._take()
+            if t is None or t.kind != "string":
+                raise SqlDmlError(
+                    "CONVERT TO MANAGED_TABLE expects a quoted '<path>'"
+                )
+            st = DmlStatement("convert", "")
+            st.location = t.text[1:-1].replace("''", "'")
+            if self._at_kw("as"):
+                self._take()
+                st.table = self._expect_ident()
+            self._done()
+            return st
         if head == "optimize":
             self._take()
             st = DmlStatement("optimize", self._expect_ident())
+            if self._at_kw("where"):
+                # OPTIMIZE ... WHERE <partition predicate> (Delta shape):
+                # scope the rewrite to matching partitions — at 100 TB
+                # you fix the hot day, never rewrite the table
+                self._take()
+                st.where = self._where_conj()
             if self._at_kw("zorder"):
                 self._take()
                 self._expect_kw("by")
@@ -1201,6 +1231,16 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # name-only drop (external-table semantics): the data stays; a
         # re-register resurrects it, vacuum/deletion is an explicit act
         return _summary(spark, "DROP TABLE", 0)
+    if st.kind == "convert":
+        nt = ManagedTable.convert_in_place(spark, st.location)
+        if st.table:
+            if st.table in set(catalog.names()):
+                raise SqlDmlError(
+                    f"table {st.table!r} already exists in the catalog"
+                )
+            catalog.register(st.table, st.location)
+        # rows_affected = adopted rows (metadata count; no scan)
+        return _summary(spark, "CONVERT TO MANAGED_TABLE", nt.count())
     t = ManagedTable(spark, catalog.root_of(st.table))
     if st.kind == "show_properties":
         from pyspark.sql import types as T
@@ -1249,13 +1289,34 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         n = t.vacuum(retention_seconds=secs)
         return _summary(spark, "VACUUM", n)
     if st.kind == "optimize":
+        scope = _optimize_scope(t, st.where) if st.where else None
         if st.zorder_cols is not None:
             spec = (
                 st.zorder_cols[0]
                 if len(st.zorder_cols) == 1
                 else st.zorder_cols
             )
-            files_before, files_after = t.recluster(spec)
+            if scope is not None:
+                # WHERE + ZORDER: valid only as a restatement of the
+                # table's CURRENT clustering (compact() z-sorts within
+                # the scoped days); re-clustering only some partitions
+                # under a DIFFERENT spec would leave the table's layout
+                # incoherent — change the spec with a full-table
+                # OPTIMIZE ZORDER BY instead
+                cur = t.snapshot().cluster_col
+                cur_list = [cur] if isinstance(cur, str) else list(cur or [])
+                if cur_list != st.zorder_cols:
+                    raise SqlDmlError(
+                        f"OPTIMIZE ... WHERE ZORDER BY may only restate "
+                        f"the table's current clustering {cur_list}; "
+                        f"changing the spec requires a full-table "
+                        f"OPTIMIZE ZORDER BY"
+                    )
+                files_before, files_after = t.compact(partitions=scope)
+            else:
+                files_before, files_after = t.recluster(spec)
+        elif scope is not None:
+            files_before, files_after = t.compact(partitions=scope)
         else:
             files_before, files_after = t.compact()
         # rows_affected = files REMOVED by the re-layout (Delta's
@@ -1551,6 +1612,48 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     return _summary(
         spark, "MERGE", res["updated"] + res["deleted"] + res["inserted"]
     )
+
+
+def _optimize_scope(t: ManagedTable, where: list) -> set:
+    """Resolve OPTIMIZE's WHERE conjunction to the set of matching
+    partition values (Delta's rule: the predicate may reference ONLY the
+    partition column — anything else cannot scope a file rewrite and is
+    rejected loudly). Day partitions are 'yyyy-MM-dd' strings, so the
+    comparison operators are plain lexicographic compares."""
+    m = t.snapshot()
+    pcol = m.partition_date_col
+    if pcol is None:
+        raise SqlDmlError(
+            "OPTIMIZE ... WHERE requires a day-partitioned table (the "
+            "predicate scopes partitions)"
+        )
+    bad = sorted({c for c, _op, _v in where if c != pcol})
+    if bad:
+        raise SqlDmlError(
+            f"OPTIMIZE WHERE may reference only the partition column "
+            f"{pcol!r}, got {bad}"
+        )
+
+    def admit(p: "str | None") -> bool:
+        if p is None:
+            return False
+        for _c, op, val in where:
+            if op == "in":
+                if p not in {str(v) for v in val}:
+                    return False
+            else:
+                v = str(val)
+                if (
+                    (op == "=" and p != v)
+                    or (op == "<" and not p < v)
+                    or (op == "<=" and not p <= v)
+                    or (op == ">" and not p > v)
+                    or (op == ">=" and not p >= v)
+                ):
+                    return False
+        return True
+
+    return {f.partition for f in m.files if admit(f.partition)}
 
 
 def _summary(spark: SparkSession, op: str, n: int) -> DataFrame:

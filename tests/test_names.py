@@ -786,6 +786,128 @@ def test_sql_ctas_managed_table(spark, tmp_path, cat):
     assert not os.path.exists(tmp_path / "broken")
 
 
+def test_sql_optimize_where_scopes_partitions(spark, tmp_path, cat):
+    """Round-10: OPTIMIZE ... WHERE <partition predicate> rewrites ONLY
+    the matching partitions (Delta shape) — at 100 TB you fix the hot
+    ingest day, never the table. Predicates off the partition column
+    are rejected loudly."""
+    c, _t = cat
+    p = ManagedTable.create(spark, tmp_path / "p", partition_date_col="d")
+    for day in ("2024-01-01", "2024-01-02"):
+        for i in range(4):  # both days crowded
+            p.append(spark.sql(f"SELECT DATE'{day}' AS d, {i} AS v"))
+    c.register("global_temp.p", tmp_path / "p")
+    per_before = {}
+    for f in p.snapshot().files:
+        per_before[f.partition] = per_before.get(f.partition, 0) + 1
+    assert per_before == {"2024-01-01": 4, "2024-01-02": 4}
+    r = c.sql(
+        spark,
+        "OPTIMIZE global_temp.p WHERE d = '2024-01-01'",
+    ).first()
+    assert r.operation == "OPTIMIZE" and r.rows_affected == 3
+    per = {}
+    for f in p.snapshot().files:
+        per[f.partition] = per.get(f.partition, 0) + 1
+    assert per == {"2024-01-01": 1, "2024-01-02": 4}  # scope held
+    assert p.read().count() == 8
+    # range predicates compose; untouched scope is a clean no-op
+    r = c.sql(
+        spark,
+        "OPTIMIZE global_temp.p WHERE d >= '2024-01-02' AND d <= '2024-01-02'",
+    ).first()
+    assert r.rows_affected == 3
+    assert len(p.snapshot().files) == 2
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    with pytest.raises(SqlDmlError, match="partition column"):
+        c.sql(spark, "OPTIMIZE global_temp.p WHERE v = 1")
+    with pytest.raises(SqlDmlError, match="day-partitioned"):
+        c.sql(spark, "OPTIMIZE global_temp.orders WHERE d = '2024-01-01'")
+    # WHERE + ZORDER BY: only a restatement of the current clustering
+    z = ManagedTable.create(
+        spark, tmp_path / "z", partition_date_col="d", cluster_col=["x", "y"]
+    )
+    for i in range(4):
+        z.append(
+            spark.sql(f"SELECT DATE'2024-01-01' AS d, {i} AS x, {i*7} AS y")
+        )
+    c.register("global_temp.z", tmp_path / "z")
+    r = c.sql(
+        spark,
+        "OPTIMIZE global_temp.z WHERE d = '2024-01-01' ZORDER BY (x, y)",
+    ).first()
+    assert r.rows_affected == 3
+    assert z.read().count() == 4
+    with pytest.raises(SqlDmlError, match="restate"):
+        c.sql(
+            spark,
+            "OPTIMIZE global_temp.z WHERE d = '2024-01-01' ZORDER BY (y)",
+        )
+
+
+def test_sql_convert_to_managed_table(spark, tmp_path, cat):
+    """Round-10: CONVERT TO MANAGED_TABLE '<path>' adopts a flat parquet
+    directory IN PLACE — no data copy; footer stats harvested so file
+    skipping works from the first read; CDC delivers the adopted rows
+    as opening inserts; hive layouts and mixed schemas are rejected
+    loudly (reads would corrupt/confuse them silently)."""
+    c, _t = cat
+    dump = tmp_path / "dump"
+    spark.range(1000).selectExpr("id AS k", "id * 2 AS v")\
+        .repartitionByRange(4, "k").write.parquet(str(dump))
+    n_parquet = len(list(dump.glob("*.parquet")))
+    assert n_parquet >= 2
+    r = c.sql(
+        spark,
+        f"CONVERT TO MANAGED_TABLE '{dump}' AS global_temp.conv",
+    ).first()
+    assert r.operation == "CONVERT TO MANAGED_TABLE"
+    assert r.rows_affected == 1000
+    t = ManagedTable(spark, dump)
+    assert t.exists()
+    got = c.table(spark, "global_temp.conv")
+    assert got.count() == 1000
+    assert sorted(r.k for r in got.collect()) == list(range(1000))
+    # the ADOPTED files are the table's files — no copy happened
+    assert {f.path for f in t.snapshot().files} == {
+        p.name for p in dump.glob("*.parquet")
+    }
+    # footer stats drive file skipping from the first read
+    sel = t.read(where=[("k", "=", 7)])
+    assert len(sel.inputFiles()) < n_parquet
+    assert sel.count() == 1
+    # CDC: adopted rows are the opening inserts (op 'convert' delivers)
+    deltas = t.commit_deltas(0)
+    assert [op for _v, op, _a, _r in deltas] == ["convert"]
+    assert sum(e["rows"] for _v, _op, adds, _r in deltas for e in adds) == 1000
+    # and the table keeps working as a normal managed table
+    assert t.append(spark.createDataFrame([(5000, 1)], "k long, v long")) == 1
+    assert t.count() == 1001
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    with pytest.raises(ValueError, match="already a managed table"):
+        ManagedTable.convert_in_place(spark, dump)
+    # hive layout: loud rejection (partition col lives in dir names)
+    hive = tmp_path / "hive"
+    spark.range(10).selectExpr("id AS k", "id % 2 AS part")\
+        .write.partitionBy("part").parquet(str(hive))
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        ManagedTable.convert_in_place(spark, hive)
+    # mixed schemas: loud rejection naming the offender
+    mixed = tmp_path / "mixed"
+    spark.range(5).selectExpr("id AS k").coalesce(1)\
+        .write.parquet(str(mixed / "a"))
+    spark.range(5).selectExpr("id AS other", "id AS extra").coalesce(1)\
+        .write.parquet(str(mixed / "b"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        ManagedTable.convert_in_place(spark, mixed)
+    with pytest.raises(ValueError, match="no parquet files"):
+        ManagedTable.convert_in_place(spark, tmp_path / "empty_nowhere")
+    with pytest.raises(SqlDmlError, match="MANAGED_TABLE"):
+        c.sql(spark, f"CONVERT TO MANAGED_TABLE {dump}")  # unquoted path
+
+
 def test_sql_ctas_failure_preserves_preexisting_subdirs(spark, tmp_path, cat):
     """Round-10 advice fix: a failed CTAS onto a PRE-EXISTING location
     removes only the subdirs this statement created — user content that
