@@ -2220,6 +2220,46 @@ def test_auto_compact_past_gate_stops_checkpoint_scan_early(
     assert t.read().count() == 40  # merge preserved every row
 
 
+def test_auto_compact_past_gate_spark_merge_lifts_byte_ceiling(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10: past the planning gate the policy ALSO merges
+    executor-side when a session is available — header-folded state
+    feeds _scan_with_pos directly (no Manifest materializes, the
+    bounded plane holds) and the byte ceiling lifts like below the
+    gate. Cluster order survives the bounded merge."""
+    import data_warehouse_copy_spark.sources.managed_table as mt
+
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    for lo in range(0, 6_000, 1_000):
+        t.append(
+            spark.range(lo, lo + 1_000).selectExpr("id AS k", "id*2 AS v")
+        )
+    sizes = [(t.root / f.path).stat().st_size for f in t.snapshot().files]
+    bar = int(sum(sizes) / 2)  # total needs ~2 outputs; each file small
+    assert all(sz < bar for sz in sizes)
+    t._write_checkpoint(t.snapshot())
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    assert t._past_planning_gate()
+    policy = {
+        "max_files_per_partition": 2,
+        "max_file_bytes": bar,
+        "max_merge_files": 64,
+    }
+    merged = t._auto_compact_past_gate(policy, {None})
+    # all six inputs merged in ONE bounded pass into ceil(total/bar)
+    # right-sized outputs (2 or 3 by int rounding) — the pyarrow path's
+    # byte budget would have stopped at the first ~2-file batch
+    assert merged >= 3
+    assert t._raw(t._head_version())["op"] == "compact"
+    assert t.read().count() == 6_000
+    assert len(t.snapshot().files) <= 3
+    # cluster spans stay disjoint: selective reads keep skipping
+    got = t.read(where=[("k", "=", 4_321)])
+    assert got.count() == 1
+    assert len(got.inputFiles()) < len(t.snapshot().files)
+
+
 def test_auto_compact_past_gate_ignores_large_file_crowds(
     spark, tmp_path, monkeypatch
 ):
