@@ -4687,6 +4687,38 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def catalog_sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS through the catalog (round-10 parity op): land
+    events day-partitioned, then list partition values + live row counts
+    straight off the MANIFEST — metadata-as-data, no table scan at any
+    size (the frame scales with partition count, never file count, and
+    past the planning gate it plans from the parquet checkpoint).
+    Oracle: the per-day counts recomputed from raw events — value
+    equality proves the manifest's row accounting is exact. File counts
+    are layout-dependent (not oracle-able), so the entry projects the
+    oracle-checkable columns."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    tmp = _tmp_table_dir(prefix="dwcs_sqlparts_")
+    t = ManagedTable.create(spark, f"{tmp}/events", partition_date_col="ts")
+    (events,) = _prep(spark, sf_dir, "events")
+    t.append(events)
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_parts_events", f"{tmp}/events")
+    return (
+        cat.sql(spark, "SHOW PARTITIONS global_temp.dwcs_parts_events")
+        .select("partition", "n_rows")
+        .orderBy("partition")
+    )
+
+
+CATALOG_SQL_SHOW_PARTITIONS_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS partition,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 DATASOURCE_UPSERT_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderdate >= TIMESTAMP '{M_FROM}'
@@ -5349,6 +5381,7 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_ctas": catalog_sql_ctas,
     "catalog_sql_copy_into": catalog_sql_copy_into,
     "catalog_sql_convert": catalog_sql_convert,
+    "catalog_sql_show_partitions": catalog_sql_show_partitions,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -5477,6 +5510,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_ctas": CATALOG_SQL_CTAS_SQL,
     "catalog_sql_copy_into": CATALOG_SQL_COPY_INTO_SQL,
     "catalog_sql_convert": CATALOG_SQL_CONVERT_SQL,
+    "catalog_sql_show_partitions": CATALOG_SQL_SHOW_PARTITIONS_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

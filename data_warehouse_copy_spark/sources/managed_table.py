@@ -6135,10 +6135,17 @@ class ManagedTable:
         self,
         retention_seconds: float = 7 * 24 * 3600.0,
         distributed: bool | None = None,
+        dry_run: bool = False,
     ) -> int:
         """Delete data files not referenced by the latest manifest. Returns
         number of files removed. (Old versions become unreadable — run only
         when time travel is not needed.)
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``, round 10)
+        counts what WOULD be removed under the same retention/liveness
+        rules without unlinking anything — the audit step a careful
+        operator runs before destroying time travel. Both sweep paths
+        honor it.
 
         ``retention_seconds`` skips files younger than the cutoff: a
         concurrent writer's files land under ``data/`` moments before its
@@ -6174,7 +6181,7 @@ class ManagedTable:
         if distributed:
             if self.spark is None:
                 raise ValueError("distributed vacuum needs a SparkSession")
-            return self._vacuum_distributed(retention_seconds)
+            return self._vacuum_distributed(retention_seconds, dry_run)
         m = self.snapshot()
         live = {str(self.root / f.path) for f in m.files}
         live_dv = {str(self.root / p) for f in m.files for p in f.dv_paths}
@@ -6182,7 +6189,8 @@ class ManagedTable:
         removed = 0
         for p in (self.root / "data").rglob("*.parquet"):
             if str(p) not in live and p.stat().st_mtime <= cutoff:
-                p.unlink()
+                if not dry_run:
+                    p.unlink()
                 removed += 1
         dv_dir = self.root / "_dv"
         if dv_dir.exists():
@@ -6190,7 +6198,8 @@ class ManagedTable:
             # rewrites) age out under the same retention contract
             for p in dv_dir.rglob("*.parquet"):
                 if str(p) not in live_dv and p.stat().st_mtime <= cutoff:
-                    p.unlink()
+                    if not dry_run:
+                        p.unlink()
                     removed += 1
         bloom_dir = self.root / "_bloom"
         if bloom_dir.exists():
@@ -6202,16 +6211,20 @@ class ManagedTable:
             }
             for p in bloom_dir.rglob("*.parquet"):
                 if str(p) not in live_bloom and p.stat().st_mtime <= cutoff:
-                    p.unlink()
+                    if not dry_run:
+                        p.unlink()
                     removed += 1
         return removed
 
-    def _vacuum_distributed(self, retention_seconds: float) -> int:
+    def _vacuum_distributed(
+        self, retention_seconds: float, dry_run: bool = False
+    ) -> int:
         """The Spark-job sweep behind :meth:`vacuum` (see there). The
         listing streams to a scratch parquet in bounded batches (the
         driver never holds the file list), the live set is
         :meth:`manifest_df` + its exploded DV/bloom sidecars, and the
-        anti-join's survivors unlink executor-side."""
+        anti-join's survivors unlink executor-side (or just COUNT, on a
+        dry run — same plan, no unlink)."""
         import time
 
         import pyarrow as pa
@@ -6271,6 +6284,8 @@ class ManagedTable:
                 .filter(F.col("mtime") <= F.lit(cutoff))
                 .join(live, "path", "left_anti")
             )
+            if dry_run:
+                return cand.count()  # same garbage plan, nothing unlinked
             root_str = str(self.root)
 
             def rm(batches):

@@ -132,7 +132,7 @@ _KEYWORDS = {
     "source", "target", "tblproperties", "unset",
     "create", "location", "partitioned", "clustered", "overwrite", "using",
     "copy", "fileformat", "pattern", "force", "if", "exists",
-    "convert",
+    "convert", "dry", "run", "partitions",
 }
 
 
@@ -212,6 +212,8 @@ class DmlStatement:
     if_not_exists: bool = False    # CREATE TABLE IF NOT EXISTS
     # merge not-matched INSERT clauses (ordered; {"condition","insert"})
     insert_clauses: "list[dict]" = field(default_factory=list)
+    # vacuum audit mode (kind == "vacuum")
+    vacuum_dry: bool = False
     # copy-into fields (kind == "copy_into")
     copy_source: str | None = None
     copy_format: str = "parquet"
@@ -473,6 +475,13 @@ class _Parser:
                     raise SqlDmlError("RETAIN expects a non-negative number")
                 self._expect_kw("hours")
                 st.retain_hours = float(n)
+            if self._at_kw("dry"):
+                # VACUUM ... DRY RUN (Delta shape, round 10): count what
+                # would be removed, unlink nothing — the audit before
+                # destroying time travel
+                self._take()
+                self._expect_kw("run")
+                st.vacuum_dry = True
             self._done()
             return st
         if head == "convert":
@@ -537,6 +546,15 @@ class _Parser:
                     "VERSION AS OF expects a non-negative integer"
                 )
             st.to_version = n
+            self._done()
+            return st
+        if head == "show" and self._kw(self._peek(1)) == "partitions":
+            # SHOW PARTITIONS db.t — partition values with live file and
+            # row counts, straight off the manifest (metadata-as-data;
+            # no table scan at any size)
+            self._take()
+            self._take()
+            st = DmlStatement("show_partitions", self._expect_ident())
             self._done()
             return st
         if head == "show" and self._kw(self._peek(1)) == "tables":
@@ -1280,14 +1298,28 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             force=st.copy_force,
         )
         return _summary(spark, "COPY INTO", rows)
+    if st.kind == "show_partitions":
+        from pyspark.sql import functions as F
+
+        return (
+            t.manifest_df()
+            .groupBy("partition")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum(F.col("rows") - F.col("dv_rows")).alias("n_rows"),
+            )
+            .orderBy(F.col("partition").asc_nulls_first())
+        )
     if st.kind == "vacuum":
         secs = (
             st.retain_hours * 3600.0
             if st.retain_hours is not None
             else 7 * 24 * 3600.0
         )
-        n = t.vacuum(retention_seconds=secs)
-        return _summary(spark, "VACUUM", n)
+        n = t.vacuum(retention_seconds=secs, dry_run=st.vacuum_dry)
+        return _summary(
+            spark, "VACUUM DRY RUN" if st.vacuum_dry else "VACUUM", n
+        )
     if st.kind == "optimize":
         scope = _optimize_scope(t, st.where) if st.where else None
         if st.zorder_cols is not None:

@@ -418,6 +418,54 @@ def test_sql_ops_statements(spark, tmp_path):
         c.sql(spark, "RESTORE db.t TO VERSION AS OF 'x'")
 
 
+def test_sql_vacuum_dry_run_and_show_partitions(spark, tmp_path):
+    """Round-10 parity ops: VACUUM ... DRY RUN counts removable files
+    under the same retention/liveness rules WITHOUT unlinking (the audit
+    before destroying time travel), and SHOW PARTITIONS lists partition
+    values with live file/row counts straight off the manifest — no
+    table scan at any size."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    t = ManagedTable.create(spark, tmp_path / "t", partition_date_col="d")
+    for day in ("2024-03-01", "2024-03-02"):
+        for i in range(3):
+            t.append(spark.sql(f"SELECT DATE'{day}' AS d, {i} AS v"))
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.register("db.t", str(tmp_path / "t"))
+    rows = c.sql(spark, "SHOW PARTITIONS db.t").collect()
+    assert [(r.partition, r.n_files, r.n_rows) for r in rows] == [
+        ("2024-03-01", 3, 3),
+        ("2024-03-02", 3, 3),
+    ]
+    # a delete updates the live counts (here the single-row file drops
+    # out entirely: a fully-deleted file leaves no survivor entry)
+    assert t.delete([("v", "=", 1), ("d", "=", "2024-03-01")]) == 1
+    rows = c.sql(spark, "SHOW PARTITIONS db.t").collect()
+    assert [(r.partition, r.n_files, r.n_rows) for r in rows] == [
+        ("2024-03-01", 2, 2),
+        ("2024-03-02", 3, 3),
+    ]
+    # make garbage: overwrite one day, so its old files become unreferenced
+    t.overwrite_range(
+        spark.sql("SELECT DATE'2024-03-02' AS d, 99 AS v"),
+        "2024-03-02", "2024-03-02",
+    )
+    files_before = sorted(
+        str(p) for p in (t.root / "data").rglob("*.parquet")
+    )
+    dry = c.sql(spark, "VACUUM db.t RETAIN 0 HOURS DRY RUN").first()
+    assert dry.operation == "VACUUM DRY RUN" and dry.rows_affected > 0
+    assert sorted(
+        str(p) for p in (t.root / "data").rglob("*.parquet")
+    ) == files_before  # dry run deleted NOTHING
+    real = c.sql(spark, "VACUUM db.t RETAIN 0 HOURS").first()
+    assert real.rows_affected == dry.rows_affected  # audit was exact
+    # live data untouched: 2 rows left on day1, 1 overwrite row on day2
+    assert t.read().count() == 3
+    # dry-run parity on the DISTRIBUTED sweep too
+    assert t.vacuum(0, distributed=True, dry_run=True) == 0
+
+
 def test_sql_describe_detail(spark, tmp_path):
     from data_warehouse_copy_spark.sources.names import NamedCatalog
 
