@@ -4454,6 +4454,54 @@ WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
 """
 
 
+def catalog_sql_predicate_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL-predicate SQL DML (round-10): DELETE/UPDATE accept ANY
+    Spark SQL boolean WHERE (Delta parity) — OR, LIKE, BETWEEN,
+    functions — via sql_dml.py's mixed classifier: top-level AND
+    conjuncts in the sargable subset stay ``(col, op, value)`` tuples
+    (manifest-stats + bloom FILE SKIPPING preserved, pinned in
+    tests/test_names.py), everything else rides verbatim as a residual
+    ``F.expr`` row filter after pruning. The DELETE here is a whole-
+    clause residual (top-level OR + LIKE); the UPDATE mixes one sargable
+    equality conjunct (prunes candidates) with BETWEEN and length()
+    residuals. Oracle: the converged table restated as one NOT-filter +
+    CASE projection — covering classifier, dispatch, DV write and
+    read-side subtraction end-to-end, value-exact."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_sqlpred_")
+    t = ManagedTable.create(spark, f"{tmp}/orders", cluster_col="o_orderkey")
+    t.append(orders)
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_pred_orders", f"{tmp}/orders")
+    cat.sql(
+        spark,
+        "DELETE FROM global_temp.dwcs_pred_orders "
+        "WHERE o_orderpriority LIKE '3%' OR o_totalprice < 1000.0",
+    )
+    cat.sql(
+        spark,
+        "UPDATE global_temp.dwcs_pred_orders "
+        "SET o_totalprice = o_totalprice + 1.0 "
+        "WHERE o_totalprice BETWEEN 50000.0 AND 150000.0 "
+        "AND o_orderstatus = 'O' AND length(o_orderpriority) >= 8",
+    )
+    return t.read()
+
+
+CATALOG_SQL_PREDICATE_DML_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_totalprice BETWEEN 50000.0 AND 150000.0
+                 AND o_orderstatus = 'O'
+                 AND length(o_orderpriority) >= 8
+            THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE NOT (o_orderpriority LIKE '3%' OR o_totalprice < 1000.0)
+"""
+
+
 def catalog_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-clause SQL MERGE through the named catalog (round-7 item 2):
     two conditional WHEN MATCHED clauses (first-match-wins, Delta
@@ -5376,6 +5424,7 @@ QUERIES: dict[str, QueryFn] = {
     "projection_scan_roundtrip": projection_scan_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "catalog_sql_dml": catalog_sql_dml,
+    "catalog_sql_predicate_dml": catalog_sql_predicate_dml,
     "catalog_sql_merge": catalog_sql_merge,
     "catalog_sql_time_travel": catalog_sql_time_travel,
     "catalog_sql_ctas": catalog_sql_ctas,
@@ -5505,6 +5554,7 @@ ORACLES: dict[str, str] = {
     "projection_scan_roundtrip": PROJECTION_SCAN_SQL,
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
+    "catalog_sql_predicate_dml": CATALOG_SQL_PREDICATE_DML_SQL,
     "catalog_sql_merge": CATALOG_SQL_MERGE_SQL,
     "catalog_sql_time_travel": CATALOG_SQL_TIME_TRAVEL_SQL,
     "catalog_sql_ctas": CATALOG_SQL_CTAS_SQL,

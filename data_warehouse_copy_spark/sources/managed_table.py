@@ -314,7 +314,7 @@ def _harvest_stats(md) -> dict:
     return out
 
 
-_WHERE_OPS = ("=", "<", "<=", ">", ">=", "in")
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "in", "expr")
 
 
 def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
@@ -338,6 +338,12 @@ def _file_may_match(stats: dict | None, col: str, op: str, value) -> bool:
 
     if op not in _WHERE_OPS:
         raise ValueError(f"unsupported where op {op!r}; use one of {_WHERE_OPS}")
+    if op == "expr":
+        # residual Spark SQL conjunct: stats can prove nothing about an
+        # arbitrary expression — the file is kept and the row filter
+        # applies it exactly. Pruning still runs on any sibling sargable
+        # conjuncts in the same where-list.
+        return True
     if op == "in":
         # batched point lookup: the file may match iff ANY listed value
         # falls inside its span (empty list: nothing can match)
@@ -374,14 +380,26 @@ def _where_predicate(where: list[tuple]) -> Column:
     """ONE Column for a conjunctive ``(column, op, value)`` predicate list —
     the single definition shared by read-side filtering and DML rewrites,
     so read-side data skipping and write-side rewriting can never diverge
-    on operator semantics."""
+    on operator semantics.
+
+    A ``("", "expr", <sql text>)`` conjunct is a RESIDUAL predicate: any
+    Spark SQL boolean expression in LOGICAL column names, applied with
+    ``F.expr`` (exact row filter; contributes nothing to file skipping —
+    see ``_file_may_match``). This is how SQL ``DELETE``/``UPDATE``
+    accept arbitrary predicates while their sargable conjuncts keep
+    pruning."""
     pred = None
     for c, op, v in where:
-        col = F.col(c)
-        p = {
-            "=": col == v, "<": col < v, "<=": col <= v,
-            ">": col > v, ">=": col >= v,
-        }[op] if op != "in" else col.isin(list(v))
+        if op == "expr":
+            p = F.expr(v)
+        elif op == "in":
+            p = F.col(c).isin(list(v))
+        else:
+            col = F.col(c)
+            p = {
+                "=": col == v, "<": col < v, "<=": col <= v,
+                ">": col > v, ">=": col >= v,
+            }[op]
         pred = p if pred is None else (pred & p)
     return pred
 
@@ -6690,18 +6708,33 @@ def _narrow_struct(
     if schema is None:
         return None
     by_name = {f.name: f for f in schema.fields}
+    sargable = [c for c, op, _v in (where or []) if op != "expr"]
+    # a residual ("", "expr", text) conjunct names its columns only
+    # inside the SQL text: keep every identifier that IS a schema column
+    # (a superset is safe — extra read columns are selected away after
+    # the filter; missing ones would make F.expr fail the exact filter)
+    expr_cols: set = set()
+    for _c, op, v in where or []:
+        if op == "expr":
+            expr_cols.update(
+                t
+                for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", v)
+                if t in by_name
+            )
     missing = sorted(
         {c for c in columns if c not in by_name}
-        | {c for c, _op, _v in (where or []) if c not in by_name}
+        | {c for c in sargable if c not in by_name}
     )
     if missing:
         raise ValueError(
             f"columns not in table schema: {missing} "
             f"(have {sorted(by_name)})"
         )
-    keep = list(columns) + [
-        c for c, _op, _v in (where or []) if c not in set(columns)
-    ]
+    keep, seen = list(columns), set(columns)
+    for c in sargable + sorted(expr_cols):
+        if c not in seen:
+            keep.append(c)
+            seen.add(c)
     return T.StructType([by_name[c] for c in keep])
 
 

@@ -21,9 +21,14 @@ mutation.
 
 Supported grammar (case-insensitive keywords)::
 
-    DELETE FROM db.tbl [WHERE <conj>]
+    DELETE FROM db.tbl [WHERE <pred-mixed>]
         -- no WHERE = full truncate (Delta semantics), one atomic commit
-    UPDATE db.tbl SET col = <expr> [, col = <expr>]... WHERE <conj>
+    UPDATE db.tbl SET col = <expr> [, col = <expr>]... WHERE <pred-mixed>
+        -- <pred-mixed> is ANY Spark SQL boolean expression (Delta
+        -- parity: OR / NOT / BETWEEN / LIKE / IS NULL / functions...).
+        -- Top-level AND conjuncts in the sargable <pred> subset below
+        -- keep manifest-stats + bloom FILE SKIPPING; the rest applies
+        -- as an exact residual row filter after pruning
         -- <expr> is any Spark SQL scalar expression over the row
     MERGE INTO db.tbl [AS] t USING (db2.tbl2 | (<subquery>)) [AS] s
         ON t.k = s.k [AND t.k2 = s.k2]...
@@ -221,6 +226,20 @@ class DmlStatement:
     copy_force: bool = False
 
 
+def _try_subset(toks: "list[_Tok]") -> "tuple | None":
+    """Parse ``toks`` as EXACTLY one sargable predicate (whole-conjunct
+    consumption required), or None — the classifier `_where_mixed` uses
+    to decide tuple (file-skipping) vs residual expression."""
+    p = _Parser.__new__(_Parser)
+    p.toks = list(toks)
+    p.i = 0
+    try:
+        pred = p._subset_pred()
+    except SqlDmlError:
+        return None
+    return pred if p.i == len(p.toks) else None
+
+
 class _Parser:
     def __init__(self, sql: str):
         self.toks = _tokenize(sql)
@@ -286,35 +305,102 @@ class _Parser:
 
     # --------------------------------------------------------- conjunction
 
+    def _subset_pred(self) -> tuple:
+        """One predicate of the sargable subset:
+        ``col (= | < | <= | > | >=) literal`` or ``col IN (lit, ...)``."""
+        col = self._expect_ident()
+        nxt = self._peek()
+        if self._kw(nxt) == "in":
+            self._take()
+            self._expect_punct("(")
+            vals = [self._literal()]
+            while self._peek() is not None and self._peek().text == ",":
+                self._take()
+                vals.append(self._literal())
+            self._expect_punct(")")
+            return (col, "in", vals)
+        t = self._take()
+        if t.kind != "punct" or t.text not in ("=", "<", "<=", ">", ">="):
+            raise SqlDmlError(
+                f"unsupported operator {t.text!r} in WHERE (supported:"
+                f" = < <= > >= IN; use the Python API for richer"
+                f" predicates)"
+            )
+        return (col, t.text, self._literal())
+
     def _where_conj(self) -> list[tuple]:
         """The ``(col, op, value)`` conjunction ManagedTable consumes —
-        file-skipping-preserving by construction."""
-        preds = []
+        file-skipping-preserving by construction (OPTIMIZE's partition
+        scope keeps this strict form: a predicate it cannot map to
+        partitions must fail loudly, not degrade to a row filter)."""
+        preds = [self._subset_pred()]
+        while self._at_kw("and"):
+            self._take()
+            preds.append(self._subset_pred())
+        return preds
+
+    def _where_mixed(self) -> list[tuple]:
+        """WHERE for DELETE / UPDATE: ANY Spark SQL boolean expression
+        (Delta parity). Top-level AND conjuncts that fit the sargable
+        subset become ``(col, op, value)`` tuples — manifest-stats +
+        bloom FILE SKIPPING exactly as before; every other conjunct
+        rides verbatim as a ``("", "expr", <sql>)`` residual the scan
+        applies row-wise (``F.expr``) after pruning. A top-level OR
+        makes the WHOLE clause one residual — splitting on AND across
+        an OR would rewrite ``a AND b OR c`` as ``a AND (b OR c)``."""
+        region: list[_Tok] = []
+        depth = 0
         while True:
-            col = self._expect_ident()
-            nxt = self._peek()
-            if self._kw(nxt) == "in":
-                self._take()
-                self._expect_punct("(")
-                vals = [self._literal()]
-                while self._peek() is not None and self._peek().text == ",":
-                    self._take()
-                    vals.append(self._literal())
-                self._expect_punct(")")
-                preds.append((col, "in", vals))
-            else:
-                t = self._take()
-                if t.kind != "punct" or t.text not in ("=", "<", "<=", ">", ">="):
-                    raise SqlDmlError(
-                        f"unsupported operator {t.text!r} in WHERE (supported:"
-                        f" = < <= > >= IN; use the Python API for richer"
-                        f" predicates)"
-                    )
-                preds.append((col, t.text, self._literal()))
-            if self._at_kw("and"):
-                self._take()
+            t = self._peek()
+            if t is None:
+                break
+            if t.kind == "punct":
+                if t.text == ")" and depth == 0:
+                    break  # caller's paren — malformed here; _done() raises
+                depth += t.text == "("
+                depth -= t.text == ")"
+            region.append(self._take())
+        if not region:
+            raise SqlDmlError("empty WHERE clause")
+
+        def text(toks: "list[_Tok]") -> str:
+            return " ".join(t.text for t in toks)
+
+        pieces: list[list] = []
+        cur: list[_Tok] = []
+        depth, has_or, pending_between = 0, False, 0
+        for t in region:
+            if t.kind == "punct":
+                depth += t.text == "("
+                depth -= t.text == ")"
+            low = t.text.lower() if t.kind == "ident" else None
+            if depth == 0 and low == "between":
+                # BETWEEN lo AND hi: its AND is part of the predicate,
+                # not a conjunction boundary
+                pending_between += 1
+            if depth == 0 and low == "or":
+                has_or = True
+            if depth == 0 and low == "and":
+                if pending_between:
+                    pending_between -= 1
+                    cur.append(t)
+                    continue
+                if not cur:
+                    raise SqlDmlError("dangling AND in WHERE clause")
+                pieces.append(cur)
+                cur = []
                 continue
-            return preds
+            cur.append(t)
+        if not cur:
+            raise SqlDmlError("dangling AND in WHERE clause")
+        pieces.append(cur)
+        if has_or:
+            return [("", "expr", text(region))]
+        preds = []
+        for ct in pieces:
+            sub = _try_subset(ct)
+            preds.append(sub if sub is not None else ("", "expr", text(ct)))
+        return preds
 
     # --------------------------------------------------------- expressions
 
@@ -416,7 +502,7 @@ class _Parser:
             st = DmlStatement("delete", self._expect_ident())
             if self._at_kw("where"):
                 self._take()
-                st.where = self._where_conj()
+                st.where = self._where_mixed()
             self._done()
             return st
         if head == "update":
@@ -426,7 +512,7 @@ class _Parser:
             st.set_exprs = self._assignments({"where"})
             if self._at_kw("where"):
                 self._take()
-                st.where = self._where_conj()
+                st.where = self._where_mixed()
             self._done()
             return st
         if head == "merge":

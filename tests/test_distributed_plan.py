@@ -163,6 +163,27 @@ def test_distributed_read_matches_classic(spark, tmp_path, monkeypatch):
     assert both(where=[("k", "<", 10)]) == []
 
 
+def test_distributed_plan_handles_residual_expr(spark, tmp_path, monkeypatch):
+    """A ``("", "expr", sql)`` residual conjunct through the DISTRIBUTED
+    planner (round-10): `_prune_manifest_pdf` keeps every file for the
+    residual (stats prove nothing about an expression) while sargable
+    siblings still prune, and read / bounded DV delete stay value-exact
+    vs the classic path."""
+    t = _mk(spark, tmp_path / "t")
+    t._write_checkpoint(t.snapshot())
+    where = [("k", ">=", 100), ("", "expr", "k % 10 = 3")]
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 10**9)
+    classic = sorted(map(tuple, t.read(where=where).collect()))
+    monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
+    assert t._plan_distributed(None, None, None, None, where) is not None
+    assert sorted(map(tuple, t.read(where=where).collect())) == classic
+    assert classic == [(k, k % 7) for k in range(100, 1000) if k % 10 == 3]
+    # bounded DV delete with the same mixed where
+    n = t.delete(where=where)
+    assert n == len(classic)
+    assert t.read().count() == 1000 - n
+
+
 def test_distributed_plan_falls_back_without_parquet_ckpt(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(mt, "_DISTRIBUTED_PLAN_MIN_FILES", 1)
     t = _mk(spark, tmp_path / "t")

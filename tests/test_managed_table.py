@@ -1280,6 +1280,50 @@ def test_delete_where_removes_exact_rows_and_keeps_nulls(spark, tmp_path):
     assert t.snapshot().op == "delete"
 
 
+def test_residual_expr_predicate_read_and_dml(spark, tmp_path):
+    """The ``("", "expr", <sql>)`` residual conjunct (round-10): any
+    Spark SQL boolean rides the same where-list through read / delete /
+    update — exact row filtering, sargable siblings still prune, and a
+    projection (``columns=``) auto-widens to the residual's referenced
+    columns before selecting them away."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    df = spark.range(0, 200).selectExpr(
+        "CAST(id AS int) k",
+        "CONCAT('w', id % 13) tag",
+        "CAST(id * 1.5 AS double) x",
+    )
+    t.append(df)
+    # read: residual + sargable mix
+    got = t.read(where=[("k", "<", 100), ("", "expr", "tag LIKE 'w1%'")])
+    exp = df.filter("k < 100 AND tag LIKE 'w1%'")
+    assert got.count() == exp.count() > 0
+    # projection: columns=['x'] while the residual needs tag, k
+    got = t.read(
+        where=[("", "expr", "tag = 'w3' AND k < 50")], columns=["x"]
+    )
+    assert got.columns == ["x"]
+    assert sorted(r.x for r in got.collect()) == sorted(
+        r.x for r in df.filter("tag = 'w3' AND k < 50").select("x").collect()
+    )
+    # delete / update take the same form
+    n = t.delete([("", "expr", "tag IN ('w0', 'w1') OR x > 270.0")])
+    assert n == df.filter("tag IN ('w0', 'w1') OR x > 270.0").count()
+    n = t.update([("", "expr", "length(tag) = 2 AND k % 2 = 1")], {"x": "x + 1000"})
+    assert n > 0
+    twin = (
+        df.filter("NOT (tag IN ('w0', 'w1') OR x > 270.0)")
+        .withColumn(
+            "x",
+            F.when(
+                F.expr("length(tag) = 2 AND k % 2 = 1"), F.col("x") + 1000
+            ).otherwise(F.col("x")),
+        )
+    )
+    assert {(r.k, r.x) for r in t.read().collect()} == {
+        (r.k, r.x) for r in twin.collect()
+    }
+
+
 def test_delete_prunes_untouched_files_by_stats(spark, tmp_path):
     """A delete keyed inside one append's key span must leave the other
     appends' files byte-identical (same paths in the manifest) — the

@@ -212,16 +212,102 @@ def test_sql_dml_parser_units():
     # SELECTs are not DML: pass through
     assert parse_dml("SELECT * FROM db.t") is None
     assert parse_dml("  with x as (select 1) select * from x") is None
-    # conservative failures, never misparses
-    with pytest.raises(SqlDmlError, match="unsupported operator"):
-        parse_dml("DELETE FROM db.t WHERE a != 1")
-    with pytest.raises(SqlDmlError, match="operator|literal|expected"):
-        parse_dml("DELETE FROM db.t WHERE a IS NULL")
-    with pytest.raises(SqlDmlError, match="trailing"):
-        parse_dml("DELETE FROM db.t WHERE a = 1 OR b = 2")
+    # general predicates (round-10): conjuncts outside the sargable
+    # subset ride verbatim as ("", "expr", sql) residuals — classified,
+    # never misparsed
+    st = parse_dml("DELETE FROM db.t WHERE a != 1")
+    assert st.where == [("", "expr", "a != 1")]
+    st = parse_dml("DELETE FROM db.t WHERE a IS NULL AND b = 2")
+    assert st.where == [("", "expr", "a IS NULL"), ("b", "=", 2)]
+    # a top-level OR keeps the WHOLE clause one residual (AND-splitting
+    # across OR would rewrite precedence)
+    st = parse_dml("DELETE FROM db.t WHERE a = 1 OR b = 2")
+    assert st.where == [("", "expr", "a = 1 OR b = 2")]
+    # BETWEEN's AND is not a conjunction boundary
+    st = parse_dml("DELETE FROM db.t WHERE p BETWEEN 1 AND 2 AND k = 3")
+    assert st.where == [("", "expr", "p BETWEEN 1 AND 2"), ("k", "=", 3)]
     with pytest.raises(SqlDmlError, match="same-named"):
         parse_dml("MERGE INTO db.t t USING db.s s ON t.a = s.b "
                   "WHEN NOT MATCHED THEN INSERT *")
+
+
+def test_sql_dml_general_predicates(spark, tmp_path):
+    """Arbitrary WHERE expressions through SQL DELETE/UPDATE (round-10,
+    Delta parity): OR / IS NULL / LIKE / BETWEEN / functions all land on
+    the same transactional merge-on-read paths, value-exact vs a
+    DataFrame twin; predicate-NULL rows survive DELETE and stay
+    untouched by UPDATE (SQL three-valued logic)."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    df = spark.createDataFrame(
+        [
+            (i, f"c{i % 7}", float(i * 10), None if i % 5 == 0 else f"n{i}")
+            for i in range(100)
+        ],
+        "k int, cat string, price double, note string",
+    )
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    t.append(df)
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(
+        spark, "DELETE FROM db.t WHERE note IS NULL OR cat LIKE 'c1%'"
+    ).collect()
+    exp_deleted = df.filter("note IS NULL OR cat LIKE 'c1%'")
+    assert res[0].rows_affected == exp_deleted.count() == 32
+    res = c.sql(
+        spark,
+        "UPDATE db.t SET price = price * 2 "
+        "WHERE price BETWEEN 100 AND 300 AND k >= 15 AND length(note) >= 2",
+    ).collect()
+    assert res[0].rows_affected == 10
+    twin = df.filter("NOT (note IS NULL OR cat LIKE 'c1%')").withColumn(
+        "price",
+        F.when(
+            F.expr("price BETWEEN 100 AND 300 AND k >= 15"),
+            F.col("price") * 2,
+        ).otherwise(F.col("price")),
+    )
+    assert {(r.k, r.price) for r in t.read().collect()} == {
+        (r.k, r.price) for r in twin.collect()
+    }
+    # predicate-NULL semantics: a comparison against a NULL note is NULL,
+    # so those rows must NOT be deleted by a plain comparison...
+    before = t.count()
+    t2 = ManagedTable.create(spark, tmp_path / "t2")
+    t2.append(df)
+    c.register("db.t2", tmp_path / "t2")
+    res = c.sql(spark, "DELETE FROM db.t2 WHERE note < 'n2'").collect()
+    # ...only rows whose note is non-NULL and < 'n2' go
+    assert res[0].rows_affected == df.filter("note < 'n2'").count()
+    assert t2.count() == 100 - res[0].rows_affected
+    assert t.count() == before  # the other table untouched
+    c.detach(spark)
+
+
+def test_sql_dml_mixed_where_keeps_file_skipping(spark, tmp_path):
+    """A residual expression conjunct must not widen the candidate set
+    beyond what its SARGABLE siblings admit: two disjoint-k-range files,
+    DELETE with (k-range tuple + LIKE residual) — the out-of-range file
+    ends byte-identical with zero DV rows attached."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    lo = spark.range(0, 50).selectExpr("CAST(id AS int) k", "CONCAT('a', id) s")
+    hi = spark.range(50, 100).selectExpr("CAST(id AS int) k", "CONCAT('a', id) s")
+    t.append(lo)
+    t.append(hi)
+    c.register("db.t", tmp_path / "t")
+    m0 = t.snapshot()
+    assert len(m0.files) >= 2
+    res = c.sql(
+        spark, "DELETE FROM db.t WHERE k < 50 AND s LIKE 'a1%'"
+    ).collect()
+    assert res[0].rows_affected == 11  # a1, a10..a19
+    m1 = t.snapshot()
+    # files whose k-span is entirely >= 50 carry no deletion vector —
+    # the sargable conjunct pruned them before the residual ever ran
+    hi_files = [f for f in m1.files if f.stats and f.stats["k"][0] >= 50]
+    assert hi_files and all(not f.dv_paths for f in hi_files)
+    assert t.count() == 89
+    c.detach(spark)
 
 
 def test_sql_dml_delete_update_roundtrip(spark, cat):
