@@ -4502,6 +4502,55 @@ WHERE NOT (o_orderpriority LIKE '3%' OR o_totalprice < 1000.0)
 """
 
 
+def catalog_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_changes('db.t', v1, v2)`` TVF in pure SQL (round-10;
+    Delta's CDF SELECT surface): orders land (v1), a predicate DELETE
+    tombstones cheap rows via a deletion vector (v2), an UPDATE rewrites
+    the 'P' rows merge-on-read (v3) — then ONE SQL statement reads the
+    row-level feed for commits 2..3 (inclusive, Delta's contract)
+    through sql_dml.py's TVF rewrite over :meth:`ManagedTable.read_cdf`.
+    Oracle: the exact delete / update_preimage / update_postimage row
+    sets restated from raw orders (the update sees only rows the delete
+    left alive), including ``_commit_version`` — value-exact coverage of
+    the DV-position feed, the postimage rewrite, and the version
+    bookkeeping in one query."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_sqltc_")
+    t = ManagedTable.create(spark, f"{tmp}/orders", cluster_col="o_orderkey")
+    t.append(orders)  # v1
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_tc_orders", f"{tmp}/orders")
+    cat.sql(
+        spark,
+        "DELETE FROM global_temp.dwcs_tc_orders WHERE o_totalprice < 5000.0",
+    )  # v2: DV delete
+    cat.sql(
+        spark,
+        "UPDATE global_temp.dwcs_tc_orders SET o_totalprice = "
+        "o_totalprice * 2.0 WHERE o_orderstatus = 'P'",
+    )  # v3: DV update (preimage + postimage)
+    return cat.sql(
+        spark,
+        "SELECT _change_type, _commit_version, o_orderkey, o_totalprice "
+        "FROM table_changes('global_temp.dwcs_tc_orders', 2, 3)",
+    )
+
+
+CATALOG_SQL_TABLE_CHANGES_SQL = """
+SELECT 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+       o_orderkey, o_totalprice
+FROM orders WHERE o_totalprice < 5000.0
+UNION ALL
+SELECT 'update_preimage', 3, o_orderkey, o_totalprice
+FROM orders WHERE o_orderstatus = 'P' AND NOT o_totalprice < 5000.0
+UNION ALL
+SELECT 'update_postimage', 3, o_orderkey, o_totalprice * 2.0
+FROM orders WHERE o_orderstatus = 'P' AND NOT o_totalprice < 5000.0
+"""
+
+
 def catalog_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-clause SQL MERGE through the named catalog (round-7 item 2):
     two conditional WHEN MATCHED clauses (first-match-wins, Delta
@@ -5425,6 +5474,7 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_named_sql": catalog_named_sql,
     "catalog_sql_dml": catalog_sql_dml,
     "catalog_sql_predicate_dml": catalog_sql_predicate_dml,
+    "catalog_sql_table_changes": catalog_sql_table_changes,
     "catalog_sql_merge": catalog_sql_merge,
     "catalog_sql_time_travel": catalog_sql_time_travel,
     "catalog_sql_ctas": catalog_sql_ctas,
@@ -5555,6 +5605,7 @@ ORACLES: dict[str, str] = {
     "catalog_named_sql": CATALOG_NAMED_SQL,
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
     "catalog_sql_predicate_dml": CATALOG_SQL_PREDICATE_DML_SQL,
+    "catalog_sql_table_changes": CATALOG_SQL_TABLE_CHANGES_SQL,
     "catalog_sql_merge": CATALOG_SQL_MERGE_SQL,
     "catalog_sql_time_travel": CATALOG_SQL_TIME_TRAVEL_SQL,
     "catalog_sql_ctas": CATALOG_SQL_CTAS_SQL,

@@ -310,6 +310,62 @@ def test_sql_dml_mixed_where_keeps_file_skipping(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_table_changes_tvf(spark, tmp_path):
+    """``table_changes('db.t', v1 [, v2])`` in pure SQL (round-10): the
+    TVF rewrites to ManagedTable.read_cdf with Delta's INCLUSIVE version
+    contract; the open-ended form tracks the head; an unregistered name
+    raises loudly; a quoted literal containing the TVF text is never
+    rewritten."""
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    df = spark.range(0, 50).selectExpr(
+        "CAST(id AS int) k",
+        "CAST(id * 10.0 AS double) p",
+        "CASE WHEN id % 3 = 0 THEN 'P' ELSE 'O' END st",
+    )
+    t.append(df)  # v1
+    t.delete([("p", "<", 100.0)])  # v2: k 0..9
+    t.update([("st", "=", "P")], {"p": "p * 2.0"})  # v3: surviving P rows
+    c.register("db.t", tmp_path / "t")
+    out = c.sql(
+        spark,
+        "SELECT _change_type, _commit_version, k, p "
+        "FROM table_changes('db.t', 2, 3)",
+    )
+    got = sorted(map(tuple, out.collect()))
+    p_keys = [k for k in range(10, 50) if k % 3 == 0]
+    exp = sorted(
+        [("delete", 2, k, k * 10.0) for k in range(10)]
+        + [("update_preimage", 3, k, k * 10.0) for k in p_keys]
+        + [("update_postimage", 3, k, k * 20.0) for k in p_keys]
+    )
+    assert got == exp
+    # inclusive-start: v1 pulls the 50 inserts too; open-ended = head
+    assert (
+        c.sql(
+            spark, "SELECT COUNT(*) AS n FROM table_changes('db.t', 1)"
+        ).collect()[0].n
+        == 50 + len(exp)
+    )
+    # composes with plain SQL (joins/aggregates over the feed)
+    agg = c.sql(
+        spark,
+        "SELECT _change_type, COUNT(*) AS n "
+        "FROM table_changes('db.t', 2, 2) GROUP BY _change_type",
+    ).collect()
+    assert [(r._change_type, r.n) for r in agg] == [("delete", 10)]
+    with pytest.raises(SqlDmlError, match="not a registered table"):
+        c.sql(spark, "SELECT * FROM table_changes('db.nope', 1)")
+    # inside a string literal: untouched (passes through to spark.sql)
+    lit = c.sql(
+        spark, "SELECT 'table_changes(''db.t'', 1)' AS s"
+    ).collect()
+    assert lit[0].s == "table_changes('db.t', 1)"
+    c.detach(spark)
+
+
 def test_sql_dml_delete_update_roundtrip(spark, cat):
     c, t = cat
     res = c.sql(
