@@ -5238,11 +5238,17 @@ class ManagedTable:
                 entries = [replace(e, bloom_path=side) for e in entries]
         return tuple(entries)
 
-    def clone_to(self, dest: str | Path) -> "ManagedTable":
+    def clone_to(
+        self, dest: str | Path, version: int | None = None
+    ) -> "ManagedTable":
         """SHALLOW CLONE (Delta ``CLONE`` semantics): create a new table
         at ``dest`` whose first data commit references THIS table's
         current files **by absolute path** — zero bytes copied, so
-        cloning a 100 TB table is a metadata-only commit. The clone is
+        cloning a 100 TB table is a metadata-only commit. ``version``
+        pins the clone to a HISTORICAL snapshot instead of the head
+        (Delta's ``CLONE src VERSION AS OF n``) — the referenced files
+        must still exist, the same vacuum-retention contract as any
+        time travel. The clone is
         anchored to the source snapshot at clone time (later source
         commits never appear), and every write to the clone is
         clone-local: appends/compaction write under the clone's own
@@ -5257,7 +5263,7 @@ class ManagedTable:
         reads then FAIL LOUDLY, FileNotFound — never silent partial
         data). ``compact()`` on the clone re-materializes referenced
         data into clone-local files, severing the dependency."""
-        m = self.snapshot()
+        m = self.snapshot(version)
         src_root = self.root.resolve()
         t = ManagedTable.create(
             self.spark,

@@ -70,6 +70,11 @@ Supported grammar (case-insensitive keywords)::
         -- any data so constraints/INSERT lists work immediately.
         -- Non-managed_table providers / CTAS / non-dotted names pass
         -- through to spark.sql untouched (misparse-safe for DDL)
+    CREATE TABLE [IF NOT EXISTS] db.t2 SHALLOW CLONE db.t1
+        [VERSION AS OF n] [LOCATION 'path']
+        -- metadata-only snapshot reference (zero bytes copied); the
+        -- clone is anchored at the source's head — or the pinned
+        -- historical version — and registered under the new name
     DROP TABLE [IF EXISTS] db.tbl
         -- drops the NAME; data stays (external-table semantics)
     ALTER TABLE db.tbl RENAME COLUMN old TO new
@@ -143,6 +148,7 @@ _KEYWORDS = {
     "create", "location", "partitioned", "clustered", "overwrite", "using",
     "copy", "fileformat", "pattern", "force", "if", "exists",
     "convert", "dry", "run", "partitions",
+    "shallow", "clone",
 }
 
 
@@ -224,6 +230,9 @@ class DmlStatement:
     insert_clauses: "list[dict]" = field(default_factory=list)
     # vacuum audit mode (kind == "vacuum")
     vacuum_dry: bool = False
+    # SHALLOW CLONE (kind == "create_clone")
+    clone_source: str | None = None
+    clone_version: int | None = None
     # copy-into fields (kind == "copy_into")
     copy_source: str | None = None
     copy_format: str = "parquet"
@@ -716,6 +725,33 @@ class _Parser:
         try:
             st = DmlStatement("create_table", self._expect_ident())
             st.if_not_exists = if_not_exists
+            if self._at_kw("shallow"):
+                # CREATE TABLE db.t2 SHALLOW CLONE db.t1
+                #   [VERSION AS OF n] [LOCATION 'path']
+                # (Delta CLONE shape): metadata-only snapshot reference,
+                # zero bytes copied — see ManagedTable.clone_to
+                self._take()
+                self._expect_kw("clone")
+                st.kind = "create_clone"
+                st.clone_source = self._expect_ident()
+                if self._at_kw("version"):
+                    self._take()
+                    self._expect_kw("as")
+                    self._expect_kw("of")
+                    v = self._literal()
+                    if not isinstance(v, int) or v < 0:
+                        raise SqlDmlError(
+                            "VERSION AS OF expects a non-negative integer"
+                        )
+                    st.clone_version = v
+                if self._at_kw("location"):
+                    self._take()
+                    t = self._take()
+                    if t is None or t.kind != "string":
+                        raise SqlDmlError("LOCATION expects a quoted path")
+                    st.location = t.text[1:-1].replace("''", "'")
+                self._done()
+                return st
             nxt = self._peek()
             if nxt is not None and nxt.kind == "punct" and nxt.text == "(":
                 self._take()
@@ -1288,7 +1324,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     metrics in; non-DML returns ``spark.sql``'s own result."""
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
-    if re.search(r"\bAS\s+OF\b", sql, re.IGNORECASE):
+    if re.search(r"\bAS\s+OF\b", sql, re.IGNORECASE) and not re.search(
+        r"\bSHALLOW\s+CLONE\b", sql, re.IGNORECASE
+    ):
+        # SHALLOW CLONE parses its own VERSION AS OF (the clone source
+        # is a table to snapshot, not a view to query)
         sql = _rewrite_time_travel(spark, catalog, sql)
     if re.search(r"\btable_changes\s*\(", sql, re.IGNORECASE):
         sql = _rewrite_table_changes(spark, catalog, sql)
@@ -1310,6 +1350,30 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 ]
             ),
         )
+    if st.kind == "create_clone":
+        from pathlib import Path as _Path
+
+        if st.table in set(catalog.names()):
+            if st.if_not_exists:
+                return _summary(spark, "SHALLOW CLONE", 0)
+            raise SqlDmlError(
+                f"table {st.table!r} already exists in the catalog"
+            )
+        if st.clone_source not in set(catalog.names()):
+            raise SqlDmlError(
+                f"SHALLOW CLONE source {st.clone_source!r} is not a "
+                f"registered table"
+            )
+        src = ManagedTable(spark, catalog.root_of(st.clone_source))
+        root = st.location or str(_Path(catalog.path).parent / st.table)
+        if ManagedTable(None, root).exists():
+            raise SqlDmlError(
+                f"a managed table already exists at {root!r}; DROP TABLE "
+                f"leaves data in place — register it instead"
+            )
+        clone = src.clone_to(root, version=st.clone_version)
+        catalog.register(st.table, root)
+        return _summary(spark, "SHALLOW CLONE", clone.count())
     if st.kind == "create_table":
         from pathlib import Path as _Path
 

@@ -366,6 +366,49 @@ def test_sql_table_changes_tvf(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_shallow_clone(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE ... [VERSION AS OF n] (round-10,
+    Delta CLONE shape): metadata-only snapshot reference registered
+    under the new name; pinned clones take history; clones are anchored
+    (later source commits invisible); clone-local DML never touches
+    source bytes."""
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(0, 100).selectExpr("id AS k"))  # v1
+    t.append(spark.range(100, 150).selectExpr("id AS k"))  # v2
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(spark, "CREATE TABLE db.t2 SHALLOW CLONE db.t").collect()
+    assert (res[0].operation, res[0].rows_affected) == ("SHALLOW CLONE", 150)
+    assert c.table(spark, "db.t2").count() == 150
+    # zero bytes copied: the clone's data/ dir holds no files yet
+    clone_root = Path(c.root_of("db.t2"))
+    assert not any((clone_root / "data").rglob("*.parquet"))
+    # version-pinned clone sees only v1
+    c.sql(spark, "CREATE TABLE db.t1v SHALLOW CLONE db.t VERSION AS OF 1")
+    assert c.table(spark, "db.t1v").count() == 100
+    # anchored: a later source append never appears in either clone
+    t.append(spark.range(150, 160).selectExpr("id AS k"))
+    assert c.table(spark, "db.t2").count() == 150
+    # clone-local DML leaves the source untouched
+    c.sql(spark, "DELETE FROM db.t2 WHERE k < 50")
+    assert c.table(spark, "db.t2").count() == 100
+    assert t.count() == 160
+    # IF NOT EXISTS no-op; duplicate and unknown source are loud
+    assert (
+        c.sql(spark, "CREATE TABLE IF NOT EXISTS db.t2 SHALLOW CLONE db.t")
+        .collect()[0]
+        .rows_affected
+        == 0
+    )
+    with pytest.raises(SqlDmlError, match="already exists"):
+        c.sql(spark, "CREATE TABLE db.t2 SHALLOW CLONE db.t")
+    with pytest.raises(SqlDmlError, match="not a\\s+registered"):
+        c.sql(spark, "CREATE TABLE db.x SHALLOW CLONE db.missing")
+    c.detach(spark)
+
+
 def test_sql_dml_delete_update_roundtrip(spark, cat):
     c, t = cat
     res = c.sql(
