@@ -45,8 +45,12 @@ Supported grammar (case-insensitive keywords)::
         -- reap unreferenced files (Delta syntax; default 168h retention)
     OPTIMIZE db.tbl [ZORDER BY (c1 [, c2]...)]
         -- compact small files; ZORDER re-lays-out under the new spec
-    RESTORE db.tbl TO VERSION AS OF n
-        -- roll back as a NEW audited commit
+    RESTORE db.tbl TO (VERSION AS OF n | TIMESTAMP AS OF 'ts')
+        -- roll back as a NEW audited commit (timestamp resolves
+        -- through the commit log's version_at)
+    TRUNCATE TABLE db.tbl
+        -- standard-SQL spelling of DELETE without WHERE: one atomic
+        -- empty overwrite, old files stay for time travel / vacuum
     SHOW TABLES
         -- every registered name with its root, one row each
     SHOW TBLPROPERTIES db.tbl
@@ -148,7 +152,9 @@ _KEYWORDS = {
     "create", "location", "partitioned", "clustered", "overwrite", "using",
     "copy", "fileformat", "pattern", "force", "if", "exists",
     "convert", "dry", "run", "partitions",
-    "shallow", "clone",
+    "shallow", "clone", "truncate",
+    # NOTE: "timestamp" is deliberately NOT a keyword — it is a common
+    # column name and a type name; RESTORE matches it by raw text
 }
 
 
@@ -211,6 +217,7 @@ class DmlStatement:
     retain_hours: float | None = None
     zorder_cols: "list[str] | None" = None
     to_version: int | None = None
+    to_timestamp: str | None = None   # RESTORE ... TO TIMESTAMP AS OF
     # constraint fields (alter_op add_constraint / drop_constraint)
     check_expr: str | None = None
     # table properties (alter_op set_properties / unset_properties)
@@ -637,15 +644,37 @@ class _Parser:
             self._take()
             st = DmlStatement("restore", self._expect_ident())
             self._expect_kw("to")
-            self._expect_kw("version")
+            kt = self._take()
+            kw = kt.text.lower() if kt.kind == "ident" else None
+            if kw not in ("version", "timestamp"):
+                raise SqlDmlError(
+                    f"expected VERSION/TIMESTAMP, got {kt.text!r}"
+                )
             self._expect_kw("as")
             self._expect_kw("of")
-            n = self._literal()
-            if not isinstance(n, int) or n < 0:
-                raise SqlDmlError(
-                    "VERSION AS OF expects a non-negative integer"
-                )
-            st.to_version = n
+            if kw == "version":
+                n = self._literal()
+                if not isinstance(n, int) or n < 0:
+                    raise SqlDmlError(
+                        "VERSION AS OF expects a non-negative integer"
+                    )
+                st.to_version = n
+            else:
+                ts = self._take()
+                if ts.kind != "string":
+                    raise SqlDmlError(
+                        "TIMESTAMP AS OF expects a quoted timestamp"
+                    )
+                st.to_timestamp = ts.text[1:-1].replace("''", "'")
+            self._done()
+            return st
+        if head == "truncate" and self._kw(self._peek(1)) == "table":
+            # TRUNCATE TABLE db.t — same one-atomic-empty-overwrite as
+            # DELETE without WHERE (old files stay for time travel /
+            # vacuum), standard-SQL spelling
+            self._take()
+            self._take()
+            st = DmlStatement("truncate", self._expect_ident())
             self._done()
             return st
         if head == "show" and self._kw(self._peek(1)) == "partitions":
@@ -1575,8 +1604,27 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # numRemovedFiles is the headline OPTIMIZE metric)
         return _summary(spark, "OPTIMIZE", files_before - files_after)
     if st.kind == "restore":
-        new_head = t.restore(st.to_version)
+        v = (
+            st.to_version
+            if st.to_timestamp is None
+            else t.version_at(st.to_timestamp)
+        )
+        new_head = t.restore(v)
         return _summary(spark, "RESTORE", new_head)
+    if st.kind == "truncate":
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        m = t.snapshot()
+        schema = (
+            T.StructType.fromJson(_json.loads(m.schema_json))
+            if m.schema_json
+            else T.StructType([])
+        )
+        n = m.total_rows
+        t.overwrite(spark.createDataFrame([], schema))
+        return _summary(spark, "TRUNCATE", n)
     if st.kind == "detail":
         import json as _json
 

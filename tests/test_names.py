@@ -366,6 +366,37 @@ def test_sql_table_changes_tvf(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
+    """TRUNCATE TABLE (standard-SQL spelling of the no-WHERE delete) and
+    RESTORE ... TO TIMESTAMP AS OF (resolves through version_at) —
+    round-10 parity forms. Old files stay restorable after TRUNCATE."""
+    import time
+    from datetime import datetime
+
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(0, 100).selectExpr("id AS k"))  # v1
+    time.sleep(0.05)
+    mark = datetime.now().isoformat()
+    time.sleep(0.05)
+    t.append(spark.range(100, 150).selectExpr("id AS k"))  # v2
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(spark, "TRUNCATE TABLE db.t").collect()
+    assert (res[0].operation, res[0].rows_affected) == ("TRUNCATE", 150)
+    assert t.count() == 0
+    # timestamp restore lands on the state as of `mark` (v1)
+    c.sql(spark, f"RESTORE db.t TO TIMESTAMP AS OF '{mark}'")
+    assert t.count() == 100
+    c.sql(spark, "RESTORE db.t TO VERSION AS OF 2")
+    assert t.count() == 150
+    # a column NAMED timestamp still parses (not a reserved word)
+    c.sql(
+        spark,
+        "CREATE TABLE db.ts (k int, ts timestamp) USING managed_table",
+    )
+    c.detach(spark)
+
+
 def test_sql_shallow_clone(spark, tmp_path):
     """CREATE TABLE ... SHALLOW CLONE ... [VERSION AS OF n] (round-10,
     Delta CLONE shape): metadata-only snapshot reference registered
