@@ -250,7 +250,27 @@ class DmlStatement:
 def _try_subset(toks: "list[_Tok]") -> "tuple | None":
     """Parse ``toks`` as EXACTLY one sargable predicate (whole-conjunct
     consumption required), or None — the classifier `_where_mixed` uses
-    to decide tuple (file-skipping) vs residual expression."""
+    to decide tuple (file-skipping) vs residual expression. Redundant
+    wrapping parens are stripped first so ``(a = 1) AND ...`` keeps the
+    pruning its unwrapped form would get."""
+    toks = list(toks)
+    while (
+        len(toks) >= 2
+        and toks[0].kind == "punct" and toks[0].text == "("
+        and toks[-1].kind == "punct" and toks[-1].text == ")"
+    ):
+        depth = 0
+        matched = True
+        for i, t in enumerate(toks):
+            if t.kind == "punct":
+                depth += t.text == "("
+                depth -= t.text == ")"
+            if depth == 0 and i < len(toks) - 1:
+                matched = False  # e.g. "(a = 1) IN (...)": outer ≠ pair
+                break
+        if not matched:
+            break
+        toks = toks[1:-1]
     p = _Parser.__new__(_Parser)
     p.toks = list(toks)
     p.i = 0

@@ -226,6 +226,9 @@ def test_sql_dml_parser_units():
     # BETWEEN's AND is not a conjunction boundary
     st = parse_dml("DELETE FROM db.t WHERE p BETWEEN 1 AND 2 AND k = 3")
     assert st.where == [("", "expr", "p BETWEEN 1 AND 2"), ("k", "=", 3)]
+    # redundant parens around a sargable conjunct keep its pruning
+    st = parse_dml("DELETE FROM db.t WHERE ((a = 1)) AND (b IN (1, 2))")
+    assert st.where == [("a", "=", 1), ("b", "in", [1, 2])]
     with pytest.raises(SqlDmlError, match="same-named"):
         parse_dml("MERGE INTO db.t t USING db.s s ON t.a = s.b "
                   "WHEN NOT MATCHED THEN INSERT *")
