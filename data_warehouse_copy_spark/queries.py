@@ -4551,6 +4551,64 @@ FROM orders WHERE o_orderstatus = 'P' AND NOT o_totalprice < 5000.0
 """
 
 
+def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-10,
+    Spark/Delta's stored-statistics surface): one distributed aggregate
+    pass computes row count + per-column null count / min / max / HLL++
+    NDV / max length, persisted version-stamped under the table's log
+    and read back through ``table_stats()`` (the SQL surface is
+    ``DESCRIBE EXTENDED db.t col``, pinned in tests/test_names.py).
+    Oracle: the EXACT fields (row/null counts, min/max as strings)
+    restated as plain aggregates over raw orders — NDV is a sketch by
+    design (exact distinct would shuffle every column at 100 TB for an
+    advisory hint) and is pinned within 5% of exact in pytest instead
+    of oracle-compared."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_sqlanl_")
+    t = ManagedTable.create(spark, f"{tmp}/orders")
+    t.append(orders)
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_anl_orders", f"{tmp}/orders")
+    cat.sql(
+        spark,
+        "ANALYZE TABLE global_temp.dwcs_anl_orders COMPUTE STATISTICS "
+        "FOR COLUMNS o_custkey, o_orderstatus",
+    )
+    stats = t.table_stats()
+    rows = [
+        (
+            c,
+            stats["row_count"],
+            cs["null_count"],
+            str(cs["min"]),
+            str(cs["max"]),
+        )
+        for c, cs in sorted(stats["columns"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, row_count long, null_count long, "
+        "min_s string, max_s string",
+    )
+
+
+CATALOG_SQL_ANALYZE_SQL = """
+SELECT 'o_custkey' AS column_name, COUNT(*) AS row_count,
+       COUNT(*) - COUNT(o_custkey) AS null_count,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       COUNT(*) - COUNT(o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR),
+       CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+"""
+
+
 def catalog_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-clause SQL MERGE through the named catalog (round-7 item 2):
     two conditional WHEN MATCHED clauses (first-match-wins, Delta
@@ -5475,6 +5533,7 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_dml": catalog_sql_dml,
     "catalog_sql_predicate_dml": catalog_sql_predicate_dml,
     "catalog_sql_table_changes": catalog_sql_table_changes,
+    "catalog_sql_analyze": catalog_sql_analyze,
     "catalog_sql_merge": catalog_sql_merge,
     "catalog_sql_time_travel": catalog_sql_time_travel,
     "catalog_sql_ctas": catalog_sql_ctas,
@@ -5606,6 +5665,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_dml": CATALOG_SQL_DML_SQL,
     "catalog_sql_predicate_dml": CATALOG_SQL_PREDICATE_DML_SQL,
     "catalog_sql_table_changes": CATALOG_SQL_TABLE_CHANGES_SQL,
+    "catalog_sql_analyze": CATALOG_SQL_ANALYZE_SQL,
     "catalog_sql_merge": CATALOG_SQL_MERGE_SQL,
     "catalog_sql_time_travel": CATALOG_SQL_TIME_TRAVEL_SQL,
     "catalog_sql_ctas": CATALOG_SQL_CTAS_SQL,

@@ -1857,6 +1857,82 @@ class ManagedTable:
             "n_partitions": len({f.partition for f in m.files} - {None}),
         }
 
+    def analyze(self, columns: "list[str] | None" = None) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]``:
+        table row count plus, per requested column, null count, min,
+        max, NDV (HyperLogLog++ ``approx_count_distinct`` — the same
+        sketch Spark's own CBO stats use; exact distinct would shuffle
+        every column at 100 TB for a planning hint), and max string
+        length. Everything computes in ONE distributed aggregate pass
+        over the live table (map-side combined, no per-column jobs).
+
+        The result persists as a ``_log/_STATS.json`` sidecar stamped
+        with the analyzed head version — readers can tell stale stats
+        from fresh (`table_stats()["version"]` vs the current head) —
+        through the commit protocol's durable put (last ANALYZE wins;
+        stats are advisory metadata, not transactional state, the same
+        posture as Delta's extended statistics)."""
+        m = self.snapshot()
+        schema = (
+            T.StructType.fromJson(json.loads(m.schema_json))
+            if m.schema_json
+            else T.StructType([])
+        )
+        known = {f.name: f.dataType for f in schema.fields}
+        cols = list(columns) if columns is not None else []
+        bad = sorted(set(cols) - set(known))
+        if bad:
+            raise ValueError(
+                f"analyze() of unknown columns {bad} (have {sorted(known)})"
+            )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(cols):
+            aggs += [
+                F.count(c).alias(f"__nn_{i}"),
+                F.min(c).alias(f"__min_{i}"),
+                F.max(c).alias(f"__max_{i}"),
+                F.approx_count_distinct(c).alias(f"__ndv_{i}"),
+            ]
+            if isinstance(known[c], T.StringType):
+                aggs.append(F.max(F.length(c)).alias(f"__len_{i}"))
+        row = self.read().agg(*aggs).collect()[0].asDict()
+
+        def js(v):
+            # JSON-safe scalar: timestamps/dates/decimals stringify
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        stats = {
+            "version": m.version,
+            "row_count": int(row["__rows"]),
+            "columns": {
+                c: {
+                    "null_count": int(row["__rows"]) - int(row[f"__nn_{i}"]),
+                    "min": js(row[f"__min_{i}"]),
+                    "max": js(row[f"__max_{i}"]),
+                    "ndv": int(row[f"__ndv_{i}"]),
+                    **(
+                        {"max_len": int(row[f"__len_{i}"])}
+                        if f"__len_{i}" in row and row[f"__len_{i}"] is not None
+                        else {}
+                    ),
+                }
+                for i, c in enumerate(cols)
+            },
+        }
+        self._proto.put_text(
+            self.root / "_log" / "_STATS.json", json.dumps(stats)
+        )
+        return stats
+
+    def table_stats(self) -> "dict | None":
+        """The last :meth:`analyze` result (or None): compare its
+        ``version`` against the current head to detect staleness."""
+        try:
+            raw = self._proto.read_text(self.root / "_log" / "_STATS.json")
+        except FileNotFoundError:
+            return None
+        return json.loads(raw)
+
     def commit_deltas(
         self, from_version: int, to_version: int | None = None
     ) -> list[tuple[int, str, list[dict], set[str]]]:

@@ -61,6 +61,14 @@ Supported grammar (case-insensitive keywords)::
     DESCRIBE HISTORY db.tbl [LIMIT n]
         -- commit log newest-first; LIMIT n replays only the last n
         -- commits from the nearest checkpoint (bounded at any table size)
+    ANALYZE TABLE db.tbl COMPUTE STATISTICS
+        [FOR COLUMNS c1 [, c2]... | FOR ALL COLUMNS]
+        -- one distributed aggregate pass: row count + per-column null
+        -- count / min / max / HLL++ NDV / max string length, persisted
+        -- version-stamped under _log (advisory metadata, Delta posture)
+    DESCRIBE EXTENDED db.tbl col
+        -- the stored column statistics as (info_name, info_value) rows
+        -- (Spark's column-stats surface), with a staleness flag
     INSERT INTO db.tbl [(col [, col]...)] (VALUES <rows> | SELECT ...)
         -- the VALUES/SELECT tail is evaluated by spark.sql verbatim;
         -- a column list realigns (and typed-null-backfills) the frame,
@@ -153,6 +161,7 @@ _KEYWORDS = {
     "copy", "fileformat", "pattern", "force", "if", "exists",
     "convert", "dry", "run", "partitions",
     "shallow", "clone", "truncate",
+    "analyze", "compute", "statistics", "for", "all", "extended", "columns",
     # NOTE: "timestamp" is deliberately NOT a keyword — it is a common
     # column name and a type name; RESTORE matches it by raw text
 }
@@ -240,6 +249,9 @@ class DmlStatement:
     # SHALLOW CLONE (kind == "create_clone")
     clone_source: str | None = None
     clone_version: int | None = None
+    # ANALYZE TABLE (kind == "analyze")
+    analyze_columns: "list[str] | None" = None
+    analyze_all: bool = False
     # copy-into fields (kind == "copy_into")
     copy_source: str | None = None
     copy_format: str = "parquet"
@@ -734,6 +746,50 @@ class _Parser:
                 if not isinstance(n, int) or n < 1:
                     raise SqlDmlError("LIMIT expects a positive integer")
                 st.limit = n
+            self._done()
+            return st
+        if head == "describe" and self._kw(self._peek(1)) == "extended":
+            # DESCRIBE EXTENDED db.t col — Spark's column-statistics
+            # surface, served from the last ANALYZE's stored stats.
+            # A non-dotted name (or missing column) passes through to
+            # spark.sql (its own DESCRIBE EXTENDED).
+            nm = self._peek(2)
+            col = self._peek(3)
+            if (
+                nm is not None
+                and nm.kind == "ident"
+                and "." in nm.text
+                and col is not None
+                and col.kind == "ident"
+            ):
+                self._take()
+                self._take()
+                st = DmlStatement("describe_column", self._expect_ident())
+                st.column = self._expect_ident()
+                self._done()
+                return st
+            return None
+        if head == "analyze" and self._kw(self._peek(1)) == "table":
+            self._take()
+            self._take()
+            st = DmlStatement("analyze", self._expect_ident())
+            self._expect_kw("compute")
+            self._expect_kw("statistics")
+            if self._at_kw("for"):
+                self._take()
+                kw = self._expect_kw("columns", "all")
+                if kw == "all":
+                    self._expect_kw("columns")
+                    st.analyze_all = True
+                else:
+                    cols = [self._expect_ident()]
+                    while (
+                        self._peek() is not None
+                        and self._peek().text == ","
+                    ):
+                        self._take()
+                        cols.append(self._expect_ident())
+                    st.analyze_columns = cols
             self._done()
             return st
         return None  # not DML: pass through to spark.sql
@@ -1645,6 +1701,58 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         n = m.total_rows
         t.overwrite(spark.createDataFrame([], schema))
         return _summary(spark, "TRUNCATE", n)
+    if st.kind == "analyze":
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        cols = st.analyze_columns
+        if st.analyze_all:
+            m = t.snapshot()
+            cols = (
+                [
+                    f.name
+                    for f in T.StructType.fromJson(
+                        _json.loads(m.schema_json)
+                    ).fields
+                ]
+                if m.schema_json
+                else []
+            )
+        stats = t.analyze(cols)
+        return _summary(spark, "ANALYZE", stats["row_count"])
+    if st.kind == "describe_column":
+        from pyspark.sql import types as T
+
+        stats = t.table_stats()
+        if stats is None or st.column not in stats.get("columns", {}):
+            raise SqlDmlError(
+                f"no stored statistics for column {st.column!r}; run "
+                f"ANALYZE TABLE {st.table} COMPUTE STATISTICS FOR "
+                f"COLUMNS {st.column} first"
+            )
+        cs = stats["columns"][st.column]
+        rows = [
+            ("col_name", st.column),
+            ("row_count", str(stats["row_count"])),
+            ("null_count", str(cs["null_count"])),
+            ("distinct_count_est", str(cs["ndv"])),
+            ("min", "NULL" if cs["min"] is None else str(cs["min"])),
+            ("max", "NULL" if cs["max"] is None else str(cs["max"])),
+        ]
+        if "max_len" in cs:
+            rows.append(("max_col_len", str(cs["max_len"])))
+        rows.append(("stats_version", str(stats["version"])))
+        rows.append(("stale", str(stats["version"] != t._head_version()).lower()))
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("info_name", T.StringType(), False),
+                    T.StructField("info_value", T.StringType(), False),
+                ]
+            ),
+        )
     if st.kind == "detail":
         import json as _json
 

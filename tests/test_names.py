@@ -400,6 +400,63 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_analyze_and_describe_extended(spark, tmp_path):
+    """ANALYZE TABLE ... COMPUTE STATISTICS (round-10): one aggregate
+    pass persists version-stamped row/null/min/max/NDV stats; DESCRIBE
+    EXTENDED db.t col serves them as (info_name, info_value) rows with
+    a staleness flag; the HLL NDV estimate stays within 5% of exact."""
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (i, None if i % 4 == 0 else f"s{i % 10}", float(i % 37))
+            for i in range(1000)
+        ],
+        "k int, s string, x double",
+    )
+    t.append(df)
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(
+        spark,
+        "ANALYZE TABLE db.t COMPUTE STATISTICS FOR COLUMNS k, s",
+    ).collect()
+    assert (res[0].operation, res[0].rows_affected) == ("ANALYZE", 1000)
+    info = {
+        r.info_name: r.info_value
+        for r in c.sql(spark, "DESCRIBE EXTENDED db.t s").collect()
+    }
+    assert info["row_count"] == "1000"
+    assert info["null_count"] == "250"
+    assert (info["min"], info["max"]) == ("s0", "s9")  # i=10 -> s0, non-null
+    assert info["max_col_len"] == "2"
+    assert info["stale"] == "false"
+    # NDV is a sketch: within 5% of the exact distinct count
+    assert abs(int(info["distinct_count_est"]) - 10) <= max(1, 10 * 0.05)
+    stats = t.table_stats()
+    assert abs(stats["columns"]["k"]["ndv"] - 1000) <= 1000 * 0.05
+    # FOR ALL COLUMNS covers the schema; a write flips the stale flag
+    c.sql(spark, "ANALYZE TABLE db.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert sorted(t.table_stats()["columns"]) == ["k", "s", "x"]
+    t.append(spark.createDataFrame([(5000, "zz", 1.0)], df.schema))
+    info = {
+        r.info_name: r.info_value
+        for r in c.sql(spark, "DESCRIBE EXTENDED db.t s").collect()
+    }
+    assert info["stale"] == "true"
+    # unknown column / never-analyzed column is loud
+    with pytest.raises(SqlDmlError, match="no stored statistics"):
+        c.sql(spark, "DESCRIBE EXTENDED db.t nope")
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.analyze(["nope"])
+    # non-catalog DESCRIBE EXTENDED forms pass through to spark.sql
+    spark.range(3).createOrReplaceTempView("dwcs_anl_plain")
+    out = c.sql(spark, "DESCRIBE EXTENDED dwcs_anl_plain")
+    assert "col_name" in out.columns  # Spark's own DESCRIBE result
+    c.detach(spark)
+
+
 def test_sql_shallow_clone(spark, tmp_path):
     """CREATE TABLE ... SHALLOW CLONE ... [VERSION AS OF n] (round-10,
     Delta CLONE shape): metadata-only snapshot reference registered
