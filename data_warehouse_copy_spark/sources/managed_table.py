@@ -4512,6 +4512,7 @@ class ManagedTable:
         when_not_matched_insert: bool = True,
         when_matched: "list[dict] | None" = None,
         when_not_matched_by_source: "list[dict] | None" = None,
+        schema_evolution: bool = False,
     ) -> dict:
         """Expression-level MERGE (Delta's ``whenMatchedUpdate`` shape —
         the VERDICT r5 item 3 surface): one atomic commit that
@@ -4565,7 +4566,44 @@ class ManagedTable:
         for that merge (the operation is O(table) by semantics, not by
         accident). The legacy single-clause arguments remain and are
         exactly ``when_matched=[{"condition": match_condition,
-        "update"|"delete": ...}]``; passing both forms raises."""
+        "update"|"delete": ...}]``; passing both forms raises.
+
+        ``schema_evolution=True`` (Delta's ``MERGE WITH SCHEMA
+        EVOLUTION``): source columns absent from the target are ADDED
+        first as nullable metadata-only columns (:meth:`add_column` —
+        existing files null-backfill under the explicit read schema, no
+        rewrite), so ``INSERT *`` carries them and UPDATE expressions
+        may assign them. Without the flag, extra source columns are
+        ignored — the target schema is the contract (Delta's default).
+        Honesty note on atomicity: the evolution lands as its own
+        metadata commit immediately before the merge commit (two
+        versions, not Delta's one); a crash in between leaves only
+        nullable added columns — additive and harmless."""
+        if schema_evolution:
+            _h, schema_json, _cols = self._columns_state()
+            if schema_json:
+                tgt_fields = T.StructType.fromJson(
+                    json.loads(schema_json)
+                ).fields
+                have = {f.name for f in tgt_fields}
+                for f in source_df.schema.fields:
+                    if f.name not in have:
+                        self.add_column(f.name, f.dataType)
+                # Delta's evolution contract both ways: target columns
+                # ABSENT from the source ride as typed NULLs (INSERT *
+                # inserts null; s.<col> references see null) — the
+                # source projection is the one place both the star and
+                # assignment paths read from
+                src_have = set(source_df.columns)
+                missing = [f for f in tgt_fields if f.name not in src_have]
+                if missing:
+                    source_df = source_df.select(
+                        "*",
+                        *[
+                            F.lit(None).cast(f.dataType).alias(f.name)
+                            for f in missing
+                        ],
+                    )
         if when_matched is not None:
             if when_matched_update or when_matched_delete or (
                 match_condition is not None

@@ -30,7 +30,8 @@ Supported grammar (case-insensitive keywords)::
         -- keep manifest-stats + bloom FILE SKIPPING; the rest applies
         -- as an exact residual row filter after pruning
         -- <expr> is any Spark SQL scalar expression over the row
-    MERGE INTO db.tbl [AS] t USING (db2.tbl2 | (<subquery>)) [AS] s
+    MERGE [WITH SCHEMA EVOLUTION] INTO db.tbl [AS] t
+        USING (db2.tbl2 | (<subquery>)) [AS] s
         ON t.k = s.k [AND t.k2 = s.k2]...
         [WHEN MATCHED [AND <cond>] THEN (UPDATE SET col = <expr>, ... | DELETE)]...
         [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
@@ -252,6 +253,8 @@ class DmlStatement:
     # ANALYZE TABLE (kind == "analyze")
     analyze_columns: "list[str] | None" = None
     analyze_all: bool = False
+    # MERGE WITH SCHEMA EVOLUTION (kind == "merge")
+    merge_evolve: bool = False
     # copy-into fields (kind == "copy_into")
     copy_source: str | None = None
     copy_format: str = "parquet"
@@ -570,8 +573,28 @@ class _Parser:
             return st
         if head == "merge":
             self._take()
+            evolve = False
+            nxt = self._peek()
+            if (
+                nxt is not None
+                and nxt.kind == "ident"
+                and nxt.text.lower() == "with"
+            ):
+                # MERGE WITH SCHEMA EVOLUTION INTO ... (Delta grammar);
+                # matched by raw text so "schema"/"evolution" stay valid
+                # column names everywhere else
+                self._take()
+                for w in ("schema", "evolution"):
+                    tk = self._take()
+                    if tk.kind != "ident" or tk.text.lower() != w:
+                        raise SqlDmlError(
+                            f"expected WITH SCHEMA EVOLUTION, got {tk.text!r}"
+                        )
+                evolve = True
             self._expect_kw("into")
-            return self._merge()
+            st = self._merge()
+            st.merge_evolve = evolve
+            return st
         if head == "alter":
             self._take()
             self._expect_kw("table")
@@ -2036,6 +2059,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         when_matched=st.matched_clauses or None,
         when_not_matched_by_source=st.by_source_clauses or None,
         when_not_matched_insert=st.insert_clauses or False,
+        schema_evolution=st.merge_evolve,
     )
     return _summary(
         spark, "MERGE", res["updated"] + res["deleted"] + res["inserted"]

@@ -390,3 +390,44 @@ def test_legacy_single_clause_args_unchanged(spark, tmp_path):
     )
     assert r1 == r2 == {"updated": 1, "deleted": 0, "inserted": 1}
     assert _rows(t1) == _rows(t2)
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """schema_evolution=True (Delta's MERGE WITH SCHEMA EVOLUTION):
+    extra source columns are ADDED to the target (nullable,
+    metadata-only) before the merge, so INSERT * carries them, matched
+    UPDATEs may assign them, and pre-existing rows null-backfill.
+    Default stays Delta's: extra source columns ignored."""
+    t = _mk(spark, tmp_path / "t")
+    src = spark.createDataFrame(
+        [(3, 999, "x3"), (99, 555, "x99")], "k long, a long, extra string"
+    )
+    res = t.merge(
+        src,
+        on="k",
+        when_matched=[{"condition": None, "update": {"a": "s.a", "extra": "s.extra"}}],
+        schema_evolution=True,
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert t.read().columns == ["k", "a", "b", "extra"]
+    got = {r.k: (r.a, r.extra) for r in t.read().collect()}
+    assert got[3] == (999, "x3")       # matched update assigned the new col
+    assert got[99] == (555, "x99")     # INSERT * carried it
+    assert got[0] == (0, None)         # untouched row null-backfilled
+    # target column 'b' absent from the source: inserted rows get NULL
+    # (Delta's evolution contract), existing rows keep their value
+    got_b = {r.k: r.b for r in t.read().collect()}
+    assert got_b[99] is None and got_b[3] == 0
+    # idempotent on re-merge (column already exists -> no re-add)
+    t.merge(src, on="k", schema_evolution=True)
+    assert t.read().columns == ["k", "a", "b", "extra"]
+    # default: no evolution — INSERT * still demands every target column
+    # (the strict contract), and the schema never grows
+    t2 = _mk(spark, tmp_path / "t2")
+    with pytest.raises(ValueError, match="every table column"):
+        t2.merge(src, on="k")
+    src_full = spark.createDataFrame(
+        [(99, 555, 0, "x99")], "k long, a long, b long, extra string"
+    )
+    t2.merge(src_full, on="k")  # extra source column silently unused
+    assert t2.read().columns == ["k", "a", "b"]

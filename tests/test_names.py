@@ -400,6 +400,44 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION INTO ... (round-10, Delta grammar):
+    extra source columns evolve the target (nullable add, metadata-only)
+    and flow through INSERT * / UPDATE; without the clause the schema
+    never grows."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"))
+    s = ManagedTable.create(spark, tmp_path / "s")
+    s.append(
+        spark.range(5, 15).selectExpr(
+            "id AS k", "id * 3 AS v", "CONCAT('n', id) AS extra"
+        )
+    )
+    c.register("db.t", tmp_path / "t")
+    c.register("db.s", tmp_path / "s")
+    res = c.sql(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO db.t t USING db.s s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, extra = s.extra "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert res[0].rows_affected == 10
+    assert t.read().columns == ["k", "v", "extra"]
+    got = {r.k: r.extra for r in t.read().collect()}
+    assert got[0] is None and got[7] == "n7" and got[14] == "n14"
+    # malformed clause is loud, not misparsed
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    with pytest.raises(SqlDmlError, match="SCHEMA EVOLUTION"):
+        c.sql(
+            spark,
+            "MERGE WITH SCHEMA INTO db.t t USING db.s s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    c.detach(spark)
+
+
 def test_sql_analyze_and_describe_extended(spark, tmp_path):
     """ANALYZE TABLE ... COMPUTE STATISTICS (round-10): one aggregate
     pass persists version-stamped row/null/min/max/NDV stats; DESCRIBE
