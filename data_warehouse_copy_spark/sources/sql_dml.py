@@ -76,6 +76,11 @@ Supported grammar (case-insensitive keywords)::
         -- the append is one atomic commit
     INSERT OVERWRITE db.tbl [(col...)] (VALUES <rows> | SELECT ...)
         -- same row-source surface, atomic truncate-and-load landing
+    INSERT INTO db.tbl [(col...)] REPLACE WHERE <pred-mixed>
+        (VALUES <rows> | SELECT ...)
+        -- Delta's SQL replaceWhere: ONE atomic commit deletes the
+        -- predicate's rows and lands the new ones; every incoming row
+        -- must satisfy the predicate (retry-safe backfills)
     CREATE TABLE [IF NOT EXISTS] db.tbl (col type [, ...]) [USING managed_table]
         [LOCATION 'path'] [PARTITIONED BY (dayCol)]
         [CLUSTERED BY (c1 [, c2]...)]
@@ -161,7 +166,7 @@ _KEYWORDS = {
     "create", "location", "partitioned", "clustered", "overwrite", "using",
     "copy", "fileformat", "pattern", "force", "if", "exists",
     "convert", "dry", "run", "partitions",
-    "shallow", "clone", "truncate",
+    "shallow", "clone", "truncate", "replace",
     "analyze", "compute", "statistics", "for", "all", "extended", "columns",
     # NOTE: "timestamp" is deliberately NOT a keyword — it is a common
     # column name and a type name; RESTORE matches it by raw text
@@ -255,6 +260,8 @@ class DmlStatement:
     analyze_all: bool = False
     # MERGE WITH SCHEMA EVOLUTION (kind == "merge")
     merge_evolve: bool = False
+    # INSERT INTO ... REPLACE WHERE (kind == "insert")
+    replace_where: "list[tuple] | None" = None
     # copy-into fields (kind == "copy_into")
     copy_source: str | None = None
     copy_format: str = "parquet"
@@ -395,7 +402,7 @@ class _Parser:
             preds.append(self._subset_pred())
         return preds
 
-    def _where_mixed(self) -> list[tuple]:
+    def _where_mixed(self, stop_texts: tuple = ()) -> list[tuple]:
         """WHERE for DELETE / UPDATE: ANY Spark SQL boolean expression
         (Delta parity). Top-level AND conjuncts that fit the sargable
         subset become ``(col, op, value)`` tuples — manifest-stats +
@@ -410,6 +417,12 @@ class _Parser:
             t = self._peek()
             if t is None:
                 break
+            if (
+                depth == 0
+                and t.kind == "ident"
+                and t.text.lower() in stop_texts
+            ):
+                break  # caller's tail (e.g. REPLACE WHERE's SELECT/VALUES)
             if t.kind == "punct":
                 if t.text == ")" and depth == 0:
                     break  # caller's paren — malformed here; _done() raises
@@ -606,6 +619,12 @@ class _Parser:
             if kw == "overwrite":
                 # INSERT OVERWRITE = atomic truncate-and-load with the
                 # same row-source/column-list surface as INSERT INTO
+                if st.replace_where is not None:
+                    raise SqlDmlError(
+                        "INSERT OVERWRITE and REPLACE WHERE are exclusive"
+                        " (REPLACE WHERE is already an overwrite, scoped"
+                        " to its predicate)"
+                    )
                 st.insert_overwrite = True
             return st
         if head == "create" and self._kw(self._peek(1)) == "table":
@@ -977,6 +996,16 @@ class _Parser:
                     )
                 cols.append(self._expect_ident())
         st.insert_columns = cols
+        if self._at_kw("replace"):
+            # INSERT INTO db.t REPLACE WHERE <pred> (Delta's SQL
+            # replaceWhere): predicate-scoped atomic overwrite — one
+            # commit deletes matching rows and lands the new ones; every
+            # incoming row must satisfy the predicate (retry safety)
+            self._take()
+            self._expect_kw("where")
+            st.replace_where = self._where_mixed(
+                stop_texts=("select", "values")
+            )
         nxt = self._peek()
         kw = self._kw(nxt)
         if kw == "values" or (
@@ -1862,6 +1891,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
 
         df = spark.sql(st.insert_query)
         _head, schema_json, _cols = t._columns_state()
+        if not schema_json and st.replace_where is not None:
+            raise SqlDmlError(
+                "REPLACE WHERE requires an existing table schema (the "
+                "first INSERT sets it)"
+            )
         if not schema_json:
             # first data into an empty table adopts the written shape
             src = (
@@ -1905,6 +1939,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 for f in table_fields
             ]
         )
+        if st.replace_where is not None:
+            _deleted, n = t.replace_where(src, st.replace_where)
+            return _summary(spark, "INSERT REPLACE WHERE", n)
         n = t.overwrite(src) if st.insert_overwrite else t.append(src)
         return _summary(
             spark,

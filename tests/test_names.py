@@ -400,6 +400,56 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_insert_replace_where(spark, tmp_path):
+    """INSERT INTO ... REPLACE WHERE (round-10, Delta's SQL
+    replaceWhere): one atomic commit deletes the predicate's rows and
+    lands the new ones; incoming rows outside the predicate are
+    rejected; OVERWRITE+REPLACE is refused; mixed (sargable + residual)
+    predicates work."""
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(
+        spark.range(0, 100).selectExpr("id AS k", "CAST(id % 7 AS long) AS v")
+    )
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(
+        spark,
+        "INSERT INTO db.t REPLACE WHERE k < 10 "
+        "SELECT id AS k, CAST(100 AS long) AS v FROM range(0, 5)",
+    ).collect()
+    assert (res[0].operation, res[0].rows_affected) == (
+        "INSERT REPLACE WHERE",
+        5,
+    )
+    got = sorted((x.k, x.v) for x in t.read().collect())
+    assert len(got) == 95 and got[0] == (0, 100) and got[5] == (10, 3)
+    # one atomic commit (not delete-then-insert)
+    assert t.snapshot().op == "replace_where"
+    with pytest.raises(Exception, match="do not satisfy the predicate"):
+        c.sql(
+            spark,
+            "INSERT INTO db.t REPLACE WHERE k < 10 "
+            "SELECT 50 AS k, CAST(1 AS long) AS v",
+        )
+    with pytest.raises(SqlDmlError, match="exclusive"):
+        c.sql(
+            spark,
+            "INSERT OVERWRITE db.t REPLACE WHERE k < 10 "
+            "SELECT 1 AS k, CAST(1 AS long) AS v",
+        )
+    # residual conjunct in the replace predicate
+    res = c.sql(
+        spark,
+        "INSERT INTO db.t REPLACE WHERE k >= 90 AND v % 2 = 1 "
+        "SELECT 95 AS k, CAST(1 AS long) AS v",
+    ).collect()
+    assert res[0].rows_affected == 1
+    assert t.read().filter("k >= 90 AND v % 2 = 1").count() == 1
+    c.detach(spark)
+
+
 def test_sql_merge_with_schema_evolution(spark, tmp_path):
     """MERGE WITH SCHEMA EVOLUTION INTO ... (round-10, Delta grammar):
     extra source columns evolve the target (nullable add, metadata-only)
