@@ -98,6 +98,7 @@ Supported grammar (case-insensitive keywords)::
     ALTER TABLE db.tbl RENAME COLUMN old TO new
     ALTER TABLE db.tbl ALTER COLUMN c (TYPE | SET DATA TYPE) <type>
     ALTER TABLE db.tbl ADD COLUMN c <type>
+    ALTER TABLE db.tbl ADD COLUMNS (c1 <type> [, c2 <type>]...)
     ALTER TABLE db.tbl DROP COLUMN c
         -- all four are METADATA-ONLY commits (column mapping / native
         -- parquet widen / tombstoned drop) at any table size
@@ -262,6 +263,8 @@ class DmlStatement:
     merge_evolve: bool = False
     # INSERT INTO ... REPLACE WHERE (kind == "insert")
     replace_where: "list[tuple] | None" = None
+    # ALTER TABLE ... ADD COLUMNS (plural form)
+    add_columns: "list[tuple] | None" = None
     # copy-into fields (kind == "copy_into")
     copy_source: str | None = None
     copy_format: str = "parquet"
@@ -1122,7 +1125,29 @@ class _Parser:
             st.alter_op = "drop"
             st.column = self._expect_ident()
         else:  # add
-            self._expect_kw("column")
+            kw = self._expect_kw("column", "columns")
+            if kw == "columns":
+                # ALTER TABLE t ADD COLUMNS (a int, b string) — the
+                # Spark/Delta plural form; each add is its own
+                # metadata-only commit, applied in order
+                self._expect_punct("(")
+                cols = []
+                while True:
+                    cname = self._expect_ident()
+                    ctype = self._type_name()
+                    cols.append((cname, ctype))
+                    tk = self._take()
+                    if tk.kind == "punct" and tk.text == ")":
+                        break
+                    if tk.kind != "punct" or tk.text != ",":
+                        raise SqlDmlError(
+                            f"expected ',' or ')' in ADD COLUMNS, got "
+                            f"{tk.text!r}"
+                        )
+                st.alter_op = "add_columns"
+                st.add_columns = cols
+                self._done()
+                return st
             st.alter_op = "add"
             st.column = self._expect_ident()
             st.to_type = self._type_name()
@@ -2046,6 +2071,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             t.widen_column(st.column, st.to_type)
         elif st.alter_op == "drop":
             t.drop_column(st.column)
+        elif st.alter_op == "add_columns":
+            for cname, ctype in st.add_columns:
+                t.add_column(cname, ctype)
         else:
             t.add_column(st.column, st.to_type)
         return _summary(spark, f"ALTER {st.alter_op.upper()}", 0)

@@ -449,6 +449,16 @@ def test_sql_alter_table_ddl(spark, tmp_path):
     assert got == {18: 27.0, 19: 28.5}
     cat.sql(spark, "ALTER TABLE db.t DROP COLUMN name")
     assert t.read().columns == ["key", "v", "score"]
+    # plural ADD COLUMNS (...) — ordered metadata-only adds (round-10)
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    r = cat.sql(
+        spark, "ALTER TABLE db.t ADD COLUMNS (tag string, w double)"
+    ).first()
+    assert (r.operation, r.rows_affected) == ("ALTER ADD_COLUMNS", 0)
+    assert t.read().columns == ["key", "v", "score", "tag", "w"]
+    with pytest.raises(SqlDmlError):
+        cat.sql(spark, "ALTER TABLE db.t ADD COLUMNS (tag string,)")
     # SQL-standard spelling accepted too; narrowing rejected
     cat.sql(spark, "ALTER TABLE db.t ALTER COLUMN key SET DATA TYPE bigint")
     with pytest.raises(ValueError, match="value-preserving"):
