@@ -48,7 +48,10 @@ began are not replayed), and every later batch is the action-log tail
 ``(N, N']`` — O(new commits) driver work per trigger, never a table
 rescan. ``startingVersion`` is INCLUSIVE (Delta parity: commits from
 version N on are delivered; ``"latest"`` tails only new commits) and must
-not exceed the head. Maintenance commits (``compact``, ``restore_*``) are
+not exceed the head. ``startingTimestamp`` (exclusive with it) tails from
+the first commit at-or-after the timestamp via the log's monotonic
+effective timestamps — before-history replays everything, past-head
+tails new commits only. Maintenance commits (``compact``, ``restore_*``) are
 skipped by the same rule as :meth:`ManagedTable.read_changes`.
 Data-rewriting commits (``delete``/``merge``/``overwrite``) raise by
 default — their added files carry surviving old rows, which a tailing
@@ -719,6 +722,17 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         self._ignore_changes = _opt_bool(options, "ignorechanges")
         self._change_feed = _opt_bool(options, "changefeed")
         self._starting = options.get("startingversion")
+        # ``startingTimestamp`` (round-10, Delta parity): tail from the
+        # first commit at-or-after the timestamp. Resolution happens in
+        # _anchor_offset via the commit log's monotonic effective
+        # timestamps (version_at, O(log versions)); a timestamp before
+        # the first commit replays everything, one past the head tails
+        # new commits only. Exclusive with startingVersion.
+        self._starting_ts = options.get("startingtimestamp")
+        if self._starting is not None and self._starting_ts is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are exclusive"
+            )
         # Rate limiting (round-8 verdict item 3): the Spark 4.1 Python DS
         # streaming API has no ReadLimit/admission-control hook, but
         # latestOffset is THIS source's own code — so it caps its own
@@ -871,8 +885,25 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         cursor is anchored by the engine instead: it replays a pending
         batch through partitions(start, end) or acks the committed
         offset through commit(end) before asking for new data."""
-        if self._starting is None:
+        if self._starting is None and self._starting_ts is None:
             return {"version": -1, "snapshot": True}
+        if self._starting_ts is not None:
+            t = self._table()
+            try:
+                v = t.version_at(self._starting_ts)
+            except ValueError:
+                # timestamp predates the first commit: replay everything
+                # (Delta's startingTimestamp contract)
+                return {"version": -1}
+            # version_at = last commit whose effective ts <= the given
+            # timestamp. A commit stamped EXACTLY at it is at-or-after,
+            # so it belongs in the stream (anchor one earlier); prefix
+            # timestamps (e.g. a bare date) never compare equal to the
+            # fixed-width commit stamps, and for them v is strictly
+            # before the timestamp — tail from v+1, i.e. anchor v.
+            raw = t._raw(v)
+            e = raw.get("ets") or raw["ts"]
+            return {"version": v - 1 if e == self._starting_ts else v}
         head = self._table()._head_version()
         if self._starting == "latest":
             return {"version": head}

@@ -472,6 +472,60 @@ def test_stream_sink_requires_txn_app_id(spark, tmp_path):
         ManagedTableStreamWriter(str(tmp_path / "t"), None, {}, overwrite=False)
 
 
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp (round-10, Delta parity): tail from the first
+    commit at-or-after the timestamp — a mid-history stamp skips the
+    commits before it, one before history replays everything, one past
+    the head tails new commits only; exclusive with startingVersion."""
+    import time
+    from datetime import datetime, timezone
+
+    def utc_now() -> str:
+        return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+    t = _mk(spark, tmp_path, n=5)  # v1 = ids 0..4
+    time.sleep(0.05)
+    mid = utc_now()
+    time.sleep(0.05)
+    t.append(spark.range(5, 8).selectExpr("id", "id*2 AS v", "concat('k',id) AS k"))  # v2
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = _tail_query(spark, t.root, out, ckpt, startingTimestamp=mid)
+    try:
+        q.processAllAvailable()
+        df = spark.read.parquet(str(out))
+        assert sorted(r.id for r in df.collect()) == [5, 6, 7]  # v2 only
+    finally:
+        q.stop()
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableStreamReader,
+    )
+
+    # before the first commit: replay everything (anchor -1, no snapshot)
+    r = ManagedTableStreamReader(
+        str(t.root),
+        {"startingtimestamp": "2000-01-01T00:00:00.000000Z"},
+        t.read().schema,
+    )
+    assert r.initialOffset() == {"version": -1}
+    # past the head: tail new commits only
+    r2 = ManagedTableStreamReader(
+        str(t.root), {"startingtimestamp": utc_now()}, t.read().schema
+    )
+    assert r2.initialOffset() == {"version": t._head_version()}
+    # a commit stamped EXACTLY at the timestamp is included
+    raw_ets = t._raw(2).get("ets") or t._raw(2)["ts"]
+    r3 = ManagedTableStreamReader(
+        str(t.root), {"startingtimestamp": raw_ets}, t.read().schema
+    )
+    assert r3.initialOffset() == {"version": 1}  # anchor v-1 -> v2 delivered
+    with pytest.raises(ValueError, match="exclusive"):
+        ManagedTableStreamReader(
+            str(t.root),
+            {"startingversion": "1", "startingtimestamp": mid},
+            t.read().schema,
+        )
+
+
 def test_stream_starting_version_latest_skips_history(spark, tmp_path):
     t = _mk(spark, tmp_path, n=10)
     out, ckpt = tmp_path / "out", tmp_path / "ckpt"
