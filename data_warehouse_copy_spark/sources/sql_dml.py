@@ -54,6 +54,9 @@ Supported grammar (case-insensitive keywords)::
         -- empty overwrite, old files stay for time travel / vacuum
     SHOW TABLES
         -- every registered name with its root, one row each
+    SHOW CREATE TABLE db.tbl
+        -- the reconstructable DDL, one createtab_stmt row: schema +
+        -- USING + LOCATION + PARTITIONED/CLUSTERED BY + TBLPROPERTIES
     SHOW TBLPROPERTIES db.tbl
         -- the table's recorded property surface as (key, value) rows
         -- (empty when no property is set)
@@ -763,6 +766,16 @@ class _Parser:
             st = DmlStatement("show_partitions", self._expect_ident())
             self._done()
             return st
+        if head == "show" and self._kw(self._peek(1)) == "create":
+            # SHOW CREATE TABLE db.t — the reconstructable DDL (Spark/
+            # Delta auditor surface): schema + USING + LOCATION +
+            # PARTITIONED/CLUSTERED BY + TBLPROPERTIES
+            self._take()
+            self._take()
+            self._expect_kw("table")
+            st = DmlStatement("show_create", self._expect_ident())
+            self._done()
+            return st
         if head == "show" and self._kw(self._peek(1)) == "tables":
             self._take()
             self._take()
@@ -956,6 +969,15 @@ class _Parser:
                             )
                         cl.append(self._expect_ident())
                     st.cluster_cols = cl
+                elif kw == "tblproperties":
+                    # inline TBLPROPERTIES (round-10): applied via the
+                    # same validated namespace as ALTER ... SET
+                    # TBLPROPERTIES, so SHOW CREATE TABLE's emitted DDL
+                    # round-trips
+                    self._take()
+                    st.properties = self._tblproperties_list(
+                        with_values=True
+                    )
                 elif kw == "as" and st.create_columns is None:
                     # CTAS tail: verbatim to spark.sql. A column-list +
                     # AS combination falls to pass-through below (Spark
@@ -1037,38 +1059,7 @@ class _Parser:
             # is validated at EXECUTION (conservative: unknown keys
             # raise, never silently record)
             self._expect_kw("tblproperties")
-            self._expect_punct("(")
-            props: dict = {}
-            while True:
-                kt = self._take()
-                if kt is None or kt.kind != "string":
-                    raise SqlDmlError(
-                        "TBLPROPERTIES keys are string literals"
-                    )
-                key = kt.text[1:-1].replace("''", "'")
-                if op == "set":
-                    self._expect_punct("=")
-                    vt = self._take()
-                    if vt is None or vt.kind not in ("string", "number"):
-                        raise SqlDmlError(
-                            f"TBLPROPERTIES value for {key!r} must be a "
-                            f"string or number literal"
-                        )
-                    props[key] = (
-                        vt.text[1:-1].replace("''", "'")
-                        if vt.kind == "string"
-                        else vt.text
-                    )
-                else:
-                    props[key] = None
-                nt = self._take()
-                if nt is not None and nt.kind == "punct" and nt.text == ",":
-                    continue
-                if nt is not None and nt.kind == "punct" and nt.text == ")":
-                    break
-                raise SqlDmlError(
-                    "expected ',' or ')' in TBLPROPERTIES list"
-                )
+            props = self._tblproperties_list(with_values=op == "set")
             st.alter_op = (
                 "set_properties" if op == "set" else "unset_properties"
             )
@@ -1153,6 +1144,39 @@ class _Parser:
             st.to_type = self._type_name()
         self._done()
         return st
+
+    def _tblproperties_list(self, with_values: bool) -> dict:
+        """Parse ``('k' [= 'v'], ...)`` — shared by ALTER SET/UNSET
+        TBLPROPERTIES and CREATE TABLE's inline TBLPROPERTIES clause."""
+        self._expect_punct("(")
+        props: dict = {}
+        while True:
+            kt = self._take()
+            if kt is None or kt.kind != "string":
+                raise SqlDmlError("TBLPROPERTIES keys are string literals")
+            key = kt.text[1:-1].replace("''", "'")
+            if with_values:
+                self._expect_punct("=")
+                vt = self._take()
+                if vt is None or vt.kind not in ("string", "number"):
+                    raise SqlDmlError(
+                        f"TBLPROPERTIES value for {key!r} must be a "
+                        f"string or number literal"
+                    )
+                props[key] = (
+                    vt.text[1:-1].replace("''", "'")
+                    if vt.kind == "string"
+                    else vt.text
+                )
+            else:
+                props[key] = None
+            nt = self._take()
+            if nt is not None and nt.kind == "punct" and nt.text == ",":
+                continue
+            if nt is not None and nt.kind == "punct" and nt.text == ")":
+                break
+            raise SqlDmlError("expected ',' or ')' in TBLPROPERTIES list")
+        return props
 
     def _type_name(self) -> str:
         t = self._take()
@@ -1499,6 +1523,90 @@ def _rewrite_time_travel(spark: SparkSession, catalog, sql: str) -> str:
     return "".join(out)
 
 
+
+def _apply_table_properties(
+    t: "ManagedTable", properties: dict, unset: bool
+) -> None:
+    """Apply a (SET | UNSET) TBLPROPERTIES map to ``t`` — the shared body
+    of ALTER TABLE SET/UNSET TBLPROPERTIES and CREATE TABLE's inline
+    TBLPROPERTIES clause (so SHOW CREATE TABLE's emitted DDL round-trips).
+
+    The supported namespace is deliberately tiny and validated here — an
+    unknown key raises rather than being recorded-and-ignored (a
+    silently-dead knob is worse than no knob). autoCompact is the Delta
+    autoOptimize shape. All keys of ONE statement merge into a single
+    policy update against the current policy (order-free by
+    construction):
+      SET   autoCompact=false       -> policy cleared (knobs in the same
+                                       statement too)
+      SET   autoCompact=true + knob -> enabled with that knob
+      SET   knob alone              -> enabled (current policy as base),
+                                       knob updated
+      UNSET autoCompact             -> policy cleared entirely
+      UNSET knob alone              -> knob back to its default;
+                                       enablement unchanged"""
+    _AC = "autoCompact"
+    _KNOBS = {
+        "autoCompact.maxFilesPerPartition": (
+            "max_files_per_partition", 16,
+        ),
+        "autoCompact.maxMergeFiles": ("max_merge_files", 128),
+        "autoCompact.maxFileBytes": ("max_file_bytes", 128 << 20),
+    }
+    enable: "bool | None" = None
+    knob_vals: dict = {}
+    for key, val in properties.items():
+        if key == _AC:
+            if unset:
+                enable = False
+                continue
+            if str(val).lower() == "true":
+                enable = True
+            elif str(val).lower() == "false":
+                enable = False
+            else:
+                raise SqlDmlError(
+                    f"'{_AC}' takes 'true' or 'false', got {val!r}"
+                )
+        elif key in _KNOBS:
+            arg, default = _KNOBS[key]
+            if unset:
+                knob_vals[arg] = default
+                continue
+            try:
+                knob_vals[arg] = int(val)
+            except (TypeError, ValueError):
+                raise SqlDmlError(
+                    f"{key} must be an integer, got {val!r}"
+                ) from None
+        else:
+            raise SqlDmlError(
+                f"unsupported table property {key!r}; supported: "
+                f"'{_AC}' ('true'|'false'), "
+                + ", ".join(f"'{k}' (int)" for k in _KNOBS)
+            )
+    current = t.auto_compact_policy()
+    if enable is False:
+        t.clear_auto_compact()
+    elif enable is True or (
+        knob_vals and (current is not None or not unset)
+    ):
+        merged = {arg: default for _, (arg, default) in _KNOBS.items()}
+        if current:
+            merged.update(
+                {
+                    k: v
+                    for k, v in current.items()
+                    if k in (
+                        "max_files_per_partition", "max_merge_files",
+                        "max_file_bytes",
+                    )
+                }
+            )
+        merged.update(knob_vals)
+        t.set_auto_compact(**merged)
+
+
 def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     """Run ``sql`` with catalog-aware DML routing (the body of
     ``NamedCatalog.sql``). DML returns a one-row summary frame
@@ -1613,6 +1721,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         nt = ManagedTable.create(
             spark, root, partition_date_col=st.part_col, cluster_col=cluster
         )
+        if st.properties:
+            # inline TBLPROPERTIES: same validated namespace as ALTER
+            # SET TBLPROPERTIES — applied before any data lands so a
+            # CTAS landing already runs under the policy
+            _apply_table_properties(nt, st.properties, unset=False)
         if src is not None:
             try:
                 n = nt.append(src)
@@ -1778,6 +1891,50 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         n = m.total_rows
         t.overwrite(spark.createDataFrame([], schema))
         return _summary(spark, "TRUNCATE", n)
+    if st.kind == "show_create":
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        m = t.snapshot()
+        schema = (
+            T.StructType.fromJson(_json.loads(m.schema_json))
+            if m.schema_json
+            else T.StructType([])
+        )
+        cols = ",\n".join(
+            f"  {f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        parts = [
+            f"CREATE TABLE {st.table} (\n{cols}\n) USING managed_table",
+            f"LOCATION '{t.root}'",
+        ]
+        if m.partition_date_col:
+            parts.append(f"PARTITIONED BY ({m.partition_date_col})")
+        if m.cluster_col:
+            cc = (
+                m.cluster_col
+                if isinstance(m.cluster_col, str)
+                else ", ".join(m.cluster_col)
+            )
+            parts.append(f"CLUSTERED BY ({cc})")
+        policy = t.auto_compact_policy()
+        if policy:
+            props = [
+                "'autoCompact' = 'true'",
+                "'autoCompact.maxFilesPerPartition' = "
+                f"'{policy['max_files_per_partition']}'",
+                f"'autoCompact.maxMergeFiles' = '{policy['max_merge_files']}'",
+                f"'autoCompact.maxFileBytes' = '{policy['max_file_bytes']}'",
+            ]
+            parts.append("TBLPROPERTIES (" + ", ".join(props) + ")")
+        stmt = "\n".join(parts)
+        return spark.createDataFrame(
+            [(stmt,)],
+            T.StructType(
+                [T.StructField("createtab_stmt", T.StringType(), False)]
+            ),
+        )
     if st.kind == "analyze":
         import json as _json
 
@@ -1980,83 +2137,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # pin their registration-time schema; call catalog.refresh()
         # for read-your-DDL through pure SQL, same contract as DML.
         if st.alter_op in ("set_properties", "unset_properties"):
-            # the supported property namespace is deliberately tiny and
-            # validated here — an unknown key raises rather than being
-            # recorded-and-ignored (a silently-dead knob is worse than
-            # no knob). autoCompact is the Delta autoOptimize shape.
-            #
-            # All keys of one statement merge into ONE policy update
-            # against the current policy (round-8 advisor finding: the
-            # old per-key loop made SET ('knob'='8','autoCompact'='true')
-            # order-dependent — the later default-enable silently reset
-            # the knob). Semantics, order-free by construction:
-            #   SET   autoCompact=false       -> policy cleared (knobs in
-            #                                    the same statement too)
-            #   SET   autoCompact=true + knob -> enabled with that knob
-            #   SET   knob alone              -> enabled (current policy
-            #                                    as base), knob updated
-            #   UNSET autoCompact             -> policy cleared entirely
-            #   UNSET knob alone              -> knob back to its default;
-            #                                    enablement unchanged
-            _AC = "autoCompact"
-            _KNOBS = {
-                "autoCompact.maxFilesPerPartition": (
-                    "max_files_per_partition", 16,
-                ),
-                "autoCompact.maxFileBytes": ("max_file_bytes", 128 << 20),
-            }
-            enable: "bool | None" = None
-            knob_vals: dict = {}
-            for key, val in st.properties.items():
-                if key == _AC:
-                    if st.alter_op == "unset_properties":
-                        enable = False
-                        continue
-                    if str(val).lower() == "true":
-                        enable = True
-                    elif str(val).lower() == "false":
-                        enable = False
-                    else:
-                        raise SqlDmlError(
-                            f"'{_AC}' takes 'true' or 'false', got {val!r}"
-                        )
-                elif key in _KNOBS:
-                    arg, default = _KNOBS[key]
-                    if st.alter_op == "unset_properties":
-                        knob_vals[arg] = default
-                        continue
-                    try:
-                        knob_vals[arg] = int(val)
-                    except (TypeError, ValueError):
-                        raise SqlDmlError(
-                            f"{key} must be an integer, got {val!r}"
-                        ) from None
-                else:
-                    raise SqlDmlError(
-                        f"unsupported table property {key!r}; supported: "
-                        f"'{_AC}' ('true'|'false'), "
-                        + ", ".join(f"'{k}' (int)" for k in _KNOBS)
-                    )
-            current = t.auto_compact_policy()
-            if enable is False:
-                t.clear_auto_compact()
-            elif enable is True or (
-                knob_vals
-                and (current is not None or st.alter_op == "set_properties")
-            ):
-                merged = {
-                    arg: default for _, (arg, default) in _KNOBS.items()
-                }
-                merged["max_merge_files"] = 128
-                if current:
-                    merged.update(
-                        {k: v for k, v in current.items() if k in (
-                            "max_files_per_partition", "max_merge_files",
-                            "max_file_bytes",
-                        )}
-                    )
-                merged.update(knob_vals)
-                t.set_auto_compact(**merged)
+            _apply_table_properties(
+                t, st.properties, st.alter_op == "unset_properties"
+            )
             # UNSET of a knob on a disabled table: nothing to reset
             return _summary(
                 spark, f"ALTER {st.alter_op.upper()}", 0

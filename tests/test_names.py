@@ -400,6 +400,45 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_show_create_table_roundtrips(spark, tmp_path):
+    """SHOW CREATE TABLE emits DDL that RE-RUNS through this same parser
+    (round-10): schema + USING + LOCATION + PARTITIONED BY + inline
+    TBLPROPERTIES (now accepted at CREATE, same validated namespace as
+    ALTER SET — and maxMergeFiles is settable, closing the SHOW/SET
+    asymmetry)."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.sql(
+        spark,
+        f"CREATE TABLE db.t (k int, s string, ts timestamp) "
+        f"USING managed_table LOCATION '{tmp_path}/t' PARTITIONED BY (ts) "
+        f"TBLPROPERTIES ('autoCompact' = 'true', "
+        f"'autoCompact.maxMergeFiles' = '64')",
+    )
+    t = ManagedTable(spark, tmp_path / "t")
+    assert t.auto_compact_policy()["max_merge_files"] == 64
+    stmt = c.sql(spark, "SHOW CREATE TABLE db.t").collect()[0].createtab_stmt
+    assert stmt.startswith("CREATE TABLE db.t (")
+    assert "PARTITIONED BY (ts)" in stmt and "'autoCompact' = 'true'" in stmt
+    # the emitted DDL re-runs verbatim (new name + location)
+    c.sql(
+        spark,
+        stmt.replace(f"{tmp_path}/t", f"{tmp_path}/t2").replace(
+            "db.t", "db.t2"
+        ),
+    )
+    t2 = ManagedTable(spark, tmp_path / "t2")
+    assert t2.auto_compact_policy() == t.auto_compact_policy()
+    assert c.table(spark, "db.t2").columns == ["k", "s", "ts"]
+    # SET of the previously show-only knob works now
+    c.sql(
+        spark,
+        "ALTER TABLE db.t SET TBLPROPERTIES "
+        "('autoCompact.maxMergeFiles' = '32')",
+    )
+    assert t.auto_compact_policy()["max_merge_files"] == 32
+    c.detach(spark)
+
+
 def test_sql_insert_replace_where(spark, tmp_path):
     """INSERT INTO ... REPLACE WHERE (round-10, Delta's SQL
     replaceWhere): one atomic commit deletes the predicate's rows and
