@@ -91,6 +91,10 @@ Supported grammar (case-insensitive keywords)::
         -- any data so constraints/INSERT lists work immediately.
         -- Non-managed_table providers / CTAS / non-dotted names pass
         -- through to spark.sql untouched (misparse-safe for DDL)
+    CREATE OR REPLACE TABLE db.tbl USING managed_table AS SELECT ...
+        -- a registered name is REPLACED as one atomic overwrite commit
+        -- (layout/location preserved — refused loudly otherwise);
+        -- a fresh name is a plain CTAS
     CREATE TABLE [IF NOT EXISTS] db.t2 SHALLOW CLONE db.t1
         [VERSION AS OF n] [LOCATION 'path']
         -- metadata-only snapshot reference (zero bytes copied); the
@@ -268,6 +272,8 @@ class DmlStatement:
     replace_where: "list[tuple] | None" = None
     # ALTER TABLE ... ADD COLUMNS (plural form)
     add_columns: "list[tuple] | None" = None
+    # CREATE OR REPLACE TABLE (kind == "create_table")
+    or_replace: bool = False
     # copy-into fields (kind == "copy_into")
     copy_source: str | None = None
     copy_format: str = "parquet"
@@ -637,6 +643,36 @@ class _Parser:
             self._take()
             self._take()
             return self._create_table()
+        if (
+            head == "create"
+            and self._peek(1) is not None
+            and self._peek(1).kind == "ident"
+            and self._peek(1).text.lower() == "or"
+            and self._kw(self._peek(2)) == "replace"
+            and self._kw(self._peek(3)) == "table"
+        ):
+            # CREATE OR REPLACE TABLE ... AS SELECT (Delta shape): an
+            # existing registered table is REPLACED atomically (one
+            # overwrite commit — readers flip between complete states,
+            # history stays time-travelable); a fresh name is a plain
+            # CTAS. Parsed by the same _create_table body.
+            self._take()
+            self._take()
+            self._take()
+            self._take()
+            st = self._create_table()
+            if st is not None:
+                if st.ctas_query is None:
+                    raise SqlDmlError(
+                        "CREATE OR REPLACE TABLE requires an AS SELECT "
+                        "tail (USING managed_table)"
+                    )
+                if st.if_not_exists:
+                    raise SqlDmlError(
+                        "IF NOT EXISTS and OR REPLACE are exclusive"
+                    )
+                st.or_replace = True
+            return st
         if head == "drop" and self._kw(self._peek(1)) == "table":
             self._take()
             self._take()
@@ -1668,6 +1704,30 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         from pathlib import Path as _Path
 
         if st.table in set(catalog.names()):
+            if st.or_replace:
+                # REPLACE of a registered table: ONE atomic overwrite
+                # commit (readers flip between complete states, history
+                # stays time-travelable). The table's physical layout
+                # (location, partitioning, clustering) is preserved —
+                # declaring a different one here would silently not
+                # apply, so it is refused loudly.
+                root = catalog.root_of(st.table)
+                if st.location and str(st.location) != str(root):
+                    raise SqlDmlError(
+                        f"OR REPLACE keeps the existing LOCATION "
+                        f"{root!r}; DROP TABLE + CREATE to relocate"
+                    )
+                if st.part_col or st.cluster_cols:
+                    raise SqlDmlError(
+                        "OR REPLACE preserves the existing table's "
+                        "layout; DROP TABLE + CREATE to re-partition or "
+                        "re-cluster"
+                    )
+                et = ManagedTable(spark, root)
+                if st.properties:
+                    _apply_table_properties(et, st.properties, unset=False)
+                n = et.overwrite(spark.sql(st.ctas_query))
+                return _summary(spark, "CREATE OR REPLACE TABLE", n)
             if st.if_not_exists:
                 return _summary(spark, "CREATE TABLE", 0)  # no-op, no error
             raise SqlDmlError(

@@ -400,6 +400,62 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_create_or_replace_table(spark, tmp_path):
+    """CREATE OR REPLACE TABLE ... AS SELECT (round-10, Delta shape):
+    a registered name is replaced as ONE atomic overwrite commit —
+    schema may change, history stays time-travelable; a fresh name is a
+    plain CTAS; layout/location changes and missing AS are refused."""
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    c = NamedCatalog(tmp_path / "cat.json")
+    res = c.sql(
+        spark,
+        f"CREATE OR REPLACE TABLE db.t USING managed_table "
+        f"LOCATION '{tmp_path}/t' "
+        f"AS SELECT id AS k, id * 2 AS v FROM range(0, 10)",
+    ).collect()
+    assert (res[0].operation, res[0].rows_affected) == (
+        "CREATE TABLE AS SELECT",
+        10,
+    )
+    t = ManagedTable(spark, tmp_path / "t")
+    v_before = t._head_version()
+    res = c.sql(
+        spark,
+        "CREATE OR REPLACE TABLE db.t USING managed_table "
+        "AS SELECT id AS k, CONCAT('x', id) AS s FROM range(0, 3)",
+    ).collect()
+    assert (res[0].operation, res[0].rows_affected) == (
+        "CREATE OR REPLACE TABLE",
+        3,
+    )
+    assert c.table(spark, "db.t").columns == ["k", "s"]
+    assert t.snapshot().op == "overwrite"  # one atomic commit
+    # history survives the replace
+    n_old = c.sql(
+        spark, f"SELECT COUNT(*) AS n FROM db.t VERSION AS OF {v_before}"
+    ).collect()[0].n
+    assert n_old == 10
+    with pytest.raises(SqlDmlError, match="preserves the existing"):
+        c.sql(
+            spark,
+            "CREATE OR REPLACE TABLE db.t USING managed_table "
+            "CLUSTERED BY (k) AS SELECT 1 AS k",
+        )
+    with pytest.raises(SqlDmlError, match="keeps the existing LOCATION"):
+        c.sql(
+            spark,
+            f"CREATE OR REPLACE TABLE db.t USING managed_table "
+            f"LOCATION '{tmp_path}/elsewhere' AS SELECT 1 AS k",
+        )
+    with pytest.raises(SqlDmlError, match="AS SELECT"):
+        c.sql(
+            spark,
+            "CREATE OR REPLACE TABLE db.t (k int) USING managed_table",
+        )
+    c.detach(spark)
+
+
 def test_sql_show_create_table_roundtrips(spark, tmp_path):
     """SHOW CREATE TABLE emits DDL that RE-RUNS through this same parser
     (round-10): schema + USING + LOCATION + PARTITIONED BY + inline
