@@ -104,6 +104,10 @@ Supported grammar (case-insensitive keywords)::
         -- drops the NAME; data stays (external-table semantics)
     ALTER TABLE db.tbl RENAME COLUMN old TO new
     ALTER TABLE db.tbl ALTER COLUMN c (TYPE | SET DATA TYPE) <type>
+    ALTER TABLE db.tbl ALTER COLUMN c (SET NOT NULL | DROP NOT NULL)
+        -- Delta nullability via the CHECK machinery (constraint
+        -- nn_<col>): existing rows validated at SET, later writes
+        -- prove their rows
     ALTER TABLE db.tbl ADD COLUMN c <type>
     ALTER TABLE db.tbl ADD COLUMNS (c1 <type> [, c2 <type>]...)
     ALTER TABLE db.tbl DROP COLUMN c
@@ -1139,13 +1143,35 @@ class _Parser:
             st.to_name = self._expect_ident()
         elif op == "alter":
             self._expect_kw("column")
-            st.alter_op = "widen"
             st.column = self._expect_ident()
-            # both Spark's TYPE and the SQL-standard SET DATA TYPE forms
-            kw = self._expect_kw("type", "set")
+            # Spark's TYPE, the SQL-standard SET DATA TYPE, and the
+            # Delta nullability forms SET NOT NULL / DROP NOT NULL
+            kw = self._expect_kw("type", "set", "drop")
+            if kw == "drop":
+                self._expect_kw("not")
+                tk = self._take()
+                if tk.kind != "ident" or tk.text.lower() != "null":
+                    raise SqlDmlError(
+                        f"expected NULL after DROP NOT, got {tk.text!r}"
+                    )
+                st.alter_op = "drop_not_null"
+                self._done()
+                return st
             if kw == "set":
+                nxt = self._kw(self._peek())
+                if nxt == "not":
+                    self._take()
+                    tk = self._take()
+                    if tk.kind != "ident" or tk.text.lower() != "null":
+                        raise SqlDmlError(
+                            f"expected NULL after SET NOT, got {tk.text!r}"
+                        )
+                    st.alter_op = "set_not_null"
+                    self._done()
+                    return st
                 self._expect_kw("data")
                 self._expect_kw("type")
+            st.alter_op = "widen"
             st.to_type = self._type_name()
         elif op == "drop":
             self._expect_kw("column")
@@ -2208,6 +2234,15 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             t.add_constraint(st.column, st.check_expr)
         elif st.alter_op == "drop_constraint":
             t.drop_constraint(st.column)
+        elif st.alter_op == "set_not_null":
+            # Delta's NOT NULL rides the CHECK machinery: existing rows
+            # validated at ADD, every later row-introducing write proves
+            # its rows (a NULL evaluates the check to FALSE — exactly
+            # NOT NULL). Named nn_<col> so DROP NOT NULL finds it and
+            # DESCRIBE DETAIL lists it with the other constraints.
+            t.add_constraint(f"nn_{st.column}", f"{st.column} IS NOT NULL")
+        elif st.alter_op == "drop_not_null":
+            t.drop_constraint(f"nn_{st.column}")
         elif st.alter_op == "rename":
             t.rename_column(st.column, st.to_name)
         elif st.alter_op == "widen":

@@ -394,3 +394,33 @@ def test_constraint_nonportable_fails_closed_declaratively(spark, tmp_path):
     with pytest.raises(Exception, match="cannot enforce|portable"):
         ok.write.format("managed_table").mode("append").save(str(root))
     assert t.count() == 1
+
+
+def test_sql_not_null_constraint_surface(spark, tmp_path):
+    """ALTER TABLE ... ALTER COLUMN c SET NOT NULL / DROP NOT NULL
+    (round-10, Delta's nullability DDL): rides the CHECK machinery as
+    constraint nn_<col> — existing rows validated at SET (a present
+    NULL rejects it), every later write proves its rows, DROP lifts it;
+    TYPE / SET DATA TYPE keep parsing beside the new forms."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    t = _mk(spark, tmp_path / "t")
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("db.t", tmp_path / "t")
+    res = cat.sql(
+        spark, "ALTER TABLE db.t ALTER COLUMN name SET NOT NULL"
+    ).collect()
+    assert res[0].operation == "ALTER SET_NOT_NULL"
+    with pytest.raises(ValueError, match="nn_name"):
+        cat.sql(spark, "INSERT INTO db.t VALUES (99, 9.0, NULL)")
+    assert t.count() == 10  # the violating insert landed nothing
+    # the widen forms still parse next to the nullability forms
+    cat.sql(spark, "ALTER TABLE db.t ALTER COLUMN k SET DATA TYPE bigint")
+    cat.sql(spark, "ALTER TABLE db.t ALTER COLUMN k TYPE bigint")
+    cat.sql(spark, "ALTER TABLE db.t ALTER COLUMN name DROP NOT NULL")
+    cat.sql(spark, "INSERT INTO db.t VALUES (99, 9.0, NULL)")
+    assert t.count() == 11
+    # SET NOT NULL over data that already holds a NULL is refused
+    with pytest.raises(ValueError, match="existing data violates"):
+        cat.sql(spark, "ALTER TABLE db.t ALTER COLUMN name SET NOT NULL")
+    cat.detach(spark)
