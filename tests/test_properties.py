@@ -256,3 +256,76 @@ def test_datasource_writer_interleaves_with_native(
         map(tuple, spark.read.format("managed_table").load(root).collect())
     )
     assert native == via_ds == sorted(expected)
+
+
+# ---------------------------------------------------------------- round-10
+# WHERE-classifier semantics: for RANDOM boolean expressions, the mixed
+# classifier's (sargable tuples + residual exprs) conjunction must filter
+# exactly like Spark evaluating the whole original text — the property
+# that makes general-predicate SQL DELETE/UPDATE safe to ship.
+
+_PRED_COLS = ("pa", "pb", "pc")
+
+
+def _pred_strategy():
+    leaf = st.one_of(
+        st.tuples(
+            st.sampled_from(_PRED_COLS),
+            st.sampled_from(("=", "<", "<=", ">", ">=", "!=")),
+            st.integers(0, 20),
+        ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+        st.tuples(st.sampled_from(_PRED_COLS), st.integers(0, 9)).map(
+            lambda t: f"{t[0]} IN ({t[1]}, {t[1] + 2})"
+        ),
+        st.sampled_from(_PRED_COLS).map(lambda c: f"{c} IS NULL"),
+        st.tuples(
+            st.sampled_from(_PRED_COLS), st.integers(0, 10), st.integers(0, 10)
+        ).map(lambda t: f"{t[0]} BETWEEN {min(t[1], t[2])} AND {max(t[1], t[2])}"),
+        st.sampled_from(("ps LIKE 's1%'", "ps LIKE '%3'", "length(ps) > 2")),
+    )
+
+    def combine(children):
+        a, b = children
+        op = "AND" if (len(a) + len(b)) % 2 else "OR"
+        wrap_a = f"({a})" if " OR " in a else a
+        wrap_b = f"({b})" if " OR " in b else b
+        return f"{wrap_a} {op} {wrap_b}"
+
+    return st.recursive(
+        leaf, lambda kids: st.tuples(kids, kids).map(combine), max_leaves=5
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=_pred_strategy())
+def test_where_classifier_matches_whole_expression(spark, where):
+    from data_warehouse_copy_spark.sources.managed_table import (
+        _where_predicate,
+    )
+    from data_warehouse_copy_spark.sources.sql_dml import parse_dml
+
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                None if i % 7 == 0 else i % 13,
+                None if i % 11 == 0 else (i * 3) % 17,
+                i % 5,
+                f"s{i % 23}",
+            )
+            for i in range(120)
+        ],
+        "rid int, pa int, pb int, pc int, ps string",
+    ).cache()
+    st_ = parse_dml(f"DELETE FROM db.t WHERE {where}")
+    classified = sorted(
+        r.rid for r in df.filter(_where_predicate(st_.where)).collect()
+    )
+    whole = sorted(r.rid for r in df.filter(where).collect())
+    assert classified == whole, (
+        f"classifier diverged for {where!r}: parsed {st_.where}"
+    )
