@@ -113,6 +113,10 @@ Supported grammar (case-insensitive keywords)::
     ALTER TABLE db.tbl DROP COLUMN c
         -- all four are METADATA-ONLY commits (column mapping / native
         -- parquet widen / tombstoned drop) at any table size
+    ALTER TABLE db.tbl CLUSTER BY ((c1 [, c2]...) | NONE)
+        -- re-layout under a new clustering spec as ONE atomic rewrite
+        -- (range-clustered for one column, Z-ORDER for several); future
+        -- writes and compactions follow it; NONE de-clusters
     ALTER TABLE db.tbl ADD CONSTRAINT nm CHECK ( <any spark sql boolean> )
     ALTER TABLE db.tbl DROP CONSTRAINT nm
         -- CHECK constraints: existing data validated at ADD, every
@@ -178,7 +182,7 @@ _KEYWORDS = {
     "create", "location", "partitioned", "clustered", "overwrite", "using",
     "copy", "fileformat", "pattern", "force", "if", "exists",
     "convert", "dry", "run", "partitions",
-    "shallow", "clone", "truncate", "replace",
+    "shallow", "clone", "truncate", "replace", "cluster",
     "analyze", "compute", "statistics", "for", "all", "extended", "columns",
     # NOTE: "timestamp" is deliberately NOT a keyword — it is a common
     # column name and a type name; RESTORE matches it by raw text
@@ -1092,7 +1096,41 @@ class _Parser:
 
     def _alter(self) -> "DmlStatement":
         st = DmlStatement("alter", self._expect_ident())
-        op = self._expect_kw("rename", "alter", "drop", "add", "set", "unset")
+        op = self._expect_kw(
+            "rename", "alter", "drop", "add", "set", "unset", "cluster"
+        )
+        if op == "cluster":
+            # ALTER TABLE t CLUSTER BY (c1 [, c2]) | CLUSTER BY NONE —
+            # re-layout the table under a new clustering spec as ONE
+            # atomic rewrite (ManagedTable.recluster); future writes and
+            # compactions follow the new spec. NONE de-clusters.
+            self._expect_kw("by")
+            nxt = self._peek()
+            if (
+                nxt is not None
+                and nxt.kind == "ident"
+                and nxt.text.lower() == "none"
+            ):
+                self._take()
+                st.alter_op = "cluster_by"
+                st.cluster_cols = []
+                self._done()
+                return st
+            self._expect_punct("(")
+            cl = [self._expect_ident()]
+            while True:
+                tk = self._take()
+                if tk.kind == "punct" and tk.text == ")":
+                    break
+                if tk.kind != "punct" or tk.text != ",":
+                    raise SqlDmlError(
+                        f"expected ',' or ')' in CLUSTER BY, got {tk.text!r}"
+                    )
+                cl.append(self._expect_ident())
+            st.alter_op = "cluster_by"
+            st.cluster_cols = cl
+            self._done()
+            return st
         if op in ("set", "unset"):
             # ALTER TABLE db.t (SET|UNSET) TBLPROPERTIES ('k' [= 'v'], ...)
             # — the Delta table-property surface; the supported key set
@@ -2234,6 +2272,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             t.add_constraint(st.column, st.check_expr)
         elif st.alter_op == "drop_constraint":
             t.drop_constraint(st.column)
+        elif st.alter_op == "cluster_by":
+            cols = st.cluster_cols or []
+            spec = None if not cols else (cols[0] if len(cols) == 1 else cols)
+            _before, after = t.recluster(spec)
+            return _summary(spark, "ALTER CLUSTER BY", after)
         elif st.alter_op == "set_not_null":
             # Delta's NOT NULL rides the CHECK machinery: existing rows
             # validated at ADD, every later row-introducing write proves

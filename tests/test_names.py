@@ -400,6 +400,37 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_alter_cluster_by(spark, tmp_path):
+    """ALTER TABLE ... CLUSTER BY (cols) | NONE (round-10): one atomic
+    recluster rewrite — the spec flips (str / list / None), future
+    writes follow it, and a point lookup on the new key prunes files."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(
+        spark.range(0, 2000)
+        .selectExpr("CAST(rand(7) * 1000 AS int) AS k", "id AS v")
+        .repartition(6)
+    )
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(spark, "ALTER TABLE db.t CLUSTER BY (k)").collect()
+    assert res[0].operation == "ALTER CLUSTER BY"
+    m = t.snapshot()
+    assert m.cluster_col == "k" and m.op == "recluster"
+    # the rewrite is range-clustered: at most a sliver of files admits
+    # one key (all admit it only if the rewrite landed a single file)
+    admitting = [
+        f
+        for f in m.files
+        if f.stats and f.stats["k"][0] <= 500 <= f.stats["k"][1]
+    ]
+    assert len(admitting) <= max(1, len(m.files) // 2)
+    c.sql(spark, "ALTER TABLE db.t CLUSTER BY NONE")
+    assert t.snapshot().cluster_col is None
+    c.sql(spark, "ALTER TABLE db.t CLUSTER BY (k, v)")
+    assert t.snapshot().cluster_col == ["k", "v"]
+    c.detach(spark)
+
+
 def test_sql_create_or_replace_table(spark, tmp_path):
     """CREATE OR REPLACE TABLE ... AS SELECT (round-10, Delta shape):
     a registered name is replaced as ONE atomic overwrite commit —
