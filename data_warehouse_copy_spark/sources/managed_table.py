@@ -1895,7 +1895,12 @@ class ManagedTable:
             ]
             if isinstance(known[c], T.StringType):
                 aggs.append(F.max(F.length(c)).alias(f"__len_{i}"))
-        row = self.read().agg(*aggs).collect()[0].asDict()
+        # projection pushdown: the scan reads ONLY the analyzed columns
+        # (COUNT(*) needs no extra column — Spark counts rows from any
+        # projection) — at 100 TB analyzing 2 of 40 columns reads 2
+        # column chunks per file, not 40
+        src = self.read(columns=cols) if cols else self.read()
+        row = src.agg(*aggs).collect()[0].asDict()
 
         def js(v):
             # JSON-safe scalar: timestamps/dates/decimals stringify
