@@ -5357,6 +5357,30 @@ class ManagedTable:
                 entries = [replace(e, bloom_path=side) for e in entries]
         return tuple(entries)
 
+    def deep_clone_to(
+        self, dest: str | Path, version: int | None = None
+    ) -> "ManagedTable":
+        """DEEP CLONE (Delta ``CREATE TABLE ... CLONE`` without SHALLOW):
+        a fully independent copy — same layout config (partitioning,
+        clustering, bloom columns), the snapshot's rows re-materialized
+        into the clone's OWN files as one distributed write + one atomic
+        commit. Unlike :meth:`clone_to` the result shares no bytes with
+        the source, so a later source ``vacuum()`` can never strand it.
+        Rows are re-encoded (not file-copied) — value-identical, layout
+        re-derived under the same spec; at 100 TB this is a full-data
+        job by definition, exactly like Delta's deep clone."""
+        m = self.snapshot(version)
+        t = ManagedTable.create(
+            self.spark,
+            dest,
+            partition_date_col=m.partition_date_col,
+            exist_ok=False,
+            cluster_col=m.cluster_col,
+            bloom_cols=m.bloom_cols,
+        )
+        t.append(self.read(version=version))
+        return t
+
     def clone_to(
         self, dest: str | Path, version: int | None = None
     ) -> "ManagedTable":

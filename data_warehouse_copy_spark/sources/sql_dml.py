@@ -95,11 +95,14 @@ Supported grammar (case-insensitive keywords)::
         -- a registered name is REPLACED as one atomic overwrite commit
         -- (layout/location preserved — refused loudly otherwise);
         -- a fresh name is a plain CTAS
-    CREATE TABLE [IF NOT EXISTS] db.t2 SHALLOW CLONE db.t1
+    CREATE TABLE [IF NOT EXISTS] db.t2 [SHALLOW | DEEP] CLONE db.t1
         [VERSION AS OF n] [LOCATION 'path']
-        -- metadata-only snapshot reference (zero bytes copied); the
-        -- clone is anchored at the source's head — or the pinned
-        -- historical version — and registered under the new name
+        -- SHALLOW: metadata-only snapshot reference (zero bytes
+        -- copied); DEEP (also the bare-CLONE default, Delta parity):
+        -- the snapshot re-materialized into independent files under
+        -- the same layout config — a later source vacuum can never
+        -- strand it. Either way the clone is anchored at the source's
+        -- head — or the pinned version — and registered atomically-last
     DROP TABLE [IF EXISTS] db.tbl
         -- drops the NAME; data stays (external-table semantics)
     ALTER TABLE db.tbl RENAME COLUMN old TO new
@@ -268,9 +271,10 @@ class DmlStatement:
     insert_clauses: "list[dict]" = field(default_factory=list)
     # vacuum audit mode (kind == "vacuum")
     vacuum_dry: bool = False
-    # SHALLOW CLONE (kind == "create_clone")
+    # SHALLOW / DEEP CLONE (kind == "create_clone")
     clone_source: str | None = None
     clone_version: int | None = None
+    clone_deep: bool = False
     # ANALYZE TABLE (kind == "analyze")
     analyze_columns: "list[str] | None" = None
     analyze_all: bool = False
@@ -932,12 +936,23 @@ class _Parser:
         try:
             st = DmlStatement("create_table", self._expect_ident())
             st.if_not_exists = if_not_exists
-            if self._at_kw("shallow"):
-                # CREATE TABLE db.t2 SHALLOW CLONE db.t1
+            nxt0 = self._peek()
+            is_deep_kw = (
+                nxt0 is not None
+                and nxt0.kind == "ident"
+                and nxt0.text.lower() == "deep"  # raw text: "deep" stays
+                and self._kw(self._peek(1)) == "clone"  # a valid column name
+            )
+            if self._at_kw("shallow", "clone") or is_deep_kw:
+                # CREATE TABLE db.t2 (SHALLOW | DEEP | <bare>) CLONE db.t1
                 #   [VERSION AS OF n] [LOCATION 'path']
-                # (Delta CLONE shape): metadata-only snapshot reference,
-                # zero bytes copied — see ManagedTable.clone_to
-                self._take()
+                # (Delta CLONE shapes): SHALLOW = metadata-only snapshot
+                # reference, zero bytes copied (clone_to); DEEP — also
+                # the bare-CLONE default, Delta parity — re-materializes
+                # the snapshot into independent files (deep_clone_to)
+                st.clone_deep = not self._at_kw("shallow")
+                if not self._at_kw("clone"):
+                    self._take()  # SHALLOW or DEEP
                 self._expect_kw("clone")
                 st.kind = "create_clone"
                 st.clone_source = self._expect_ident()
@@ -1715,10 +1730,10 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
     if re.search(r"\bAS\s+OF\b", sql, re.IGNORECASE) and not re.search(
-        r"\bSHALLOW\s+CLONE\b", sql, re.IGNORECASE
+        r"^\s*CREATE\s+TABLE\b[\s\S]*\bCLONE\b", sql, re.IGNORECASE
     ):
-        # SHALLOW CLONE parses its own VERSION AS OF (the clone source
-        # is a table to snapshot, not a view to query)
+        # CLONE statements parse their own VERSION AS OF (the clone
+        # source is a table to snapshot, not a view to query)
         sql = _rewrite_time_travel(spark, catalog, sql)
     if re.search(r"\btable_changes\s*\(", sql, re.IGNORECASE):
         sql = _rewrite_table_changes(spark, catalog, sql)
@@ -1761,9 +1776,17 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 f"a managed table already exists at {root!r}; DROP TABLE "
                 f"leaves data in place — register it instead"
             )
-        clone = src.clone_to(root, version=st.clone_version)
+        clone = (
+            src.deep_clone_to(root, version=st.clone_version)
+            if st.clone_deep
+            else src.clone_to(root, version=st.clone_version)
+        )
         catalog.register(st.table, root)
-        return _summary(spark, "SHALLOW CLONE", clone.count())
+        return _summary(
+            spark,
+            "DEEP CLONE" if st.clone_deep else "SHALLOW CLONE",
+            clone.count(),
+        )
     if st.kind == "create_table":
         from pathlib import Path as _Path
 

@@ -400,6 +400,46 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_deep_clone(spark, tmp_path):
+    """CREATE TABLE ... [DEEP] CLONE (round-10; bare CLONE = deep, Delta
+    parity): the snapshot re-materializes into INDEPENDENT files under
+    the same layout config — it survives a source rewrite + vacuum that
+    would strand a shallow clone; VERSION AS OF pins history (and the
+    clone's own AS OF parse must not be eaten by the time-travel
+    rewrite)."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    t.append(spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"))  # v1
+    t.append(spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v"))
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(spark, "CREATE TABLE db.d CLONE db.t").collect()
+    assert (res[0].operation, res[0].rows_affected) == ("DEEP CLONE", 150)
+    d = ManagedTable(spark, c.root_of("db.d"))
+    # independent bytes: manifest paths are clone-local, layout preserved
+    assert all(
+        not f.path.startswith(str(tmp_path / "t")) for f in d.snapshot().files
+    )
+    assert d.snapshot().cluster_col == "k"
+    # version-pinned deep clone
+    res = c.sql(
+        spark, "CREATE TABLE db.d1 DEEP CLONE db.t VERSION AS OF 1"
+    ).collect()
+    assert res[0].rows_affected == 100
+    # the deep clone survives a source rewrite + retention-0 vacuum
+    t.overwrite(spark.range(0, 5).selectExpr("id AS k", "id * 2 AS v"))
+    t.vacuum(retention_seconds=0)
+    assert c.table(spark, "db.d").count() == 150
+    assert c.table(spark, "db.d1").count() == 100
+    # SELECT time travel still rewrites (the clone skip is CREATE-scoped)
+    assert (
+        c.sql(spark, "SELECT COUNT(*) AS n FROM db.t VERSION AS OF 3")
+        .collect()[0]
+        .n
+        == 5
+    )
+    c.detach(spark)
+
+
 def test_sql_alter_cluster_by(spark, tmp_path):
     """ALTER TABLE ... CLUSTER BY (cols) | NONE (round-10): one atomic
     recluster rewrite — the spec flips (str / list / None), future
