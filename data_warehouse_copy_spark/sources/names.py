@@ -105,6 +105,19 @@ class NamedCatalog:
         del tables[name]
         self._store(tables)
 
+    def rename(self, old: str, new: str) -> None:
+        """Rename a mapping (ALTER TABLE ... RENAME TO): ONE catalog
+        write — pure name metadata, the table root and its data are
+        untouched (external-table semantics, same as drop)."""
+        self._split(new)
+        tables = self._load()
+        if old not in tables:
+            raise KeyError(f"{old!r} not in catalog {self.path}")
+        if new in tables:
+            raise ValueError(f"{new!r} already in catalog {self.path}")
+        tables[new] = tables.pop(old)
+        self._store(tables)
+
     def names(self) -> list[str]:
         return sorted(self._load())
 

@@ -105,6 +105,8 @@ Supported grammar (case-insensitive keywords)::
         -- head — or the pinned version — and registered atomically-last
     DROP TABLE [IF EXISTS] db.tbl
         -- drops the NAME; data stays (external-table semantics)
+    ALTER TABLE db.tbl RENAME TO db.new
+        -- catalog-level name rename, one metadata write; data untouched
     ALTER TABLE db.tbl RENAME COLUMN old TO new
     ALTER TABLE db.tbl ALTER COLUMN c (TYPE | SET DATA TYPE) <type>
     ALTER TABLE db.tbl ALTER COLUMN c (SET NOT NULL | DROP NOT NULL)
@@ -1189,6 +1191,14 @@ class _Parser:
             self._done()
             return st
         if op == "rename":
+            if self._at_kw("to"):
+                # ALTER TABLE db.t RENAME TO db.t2 — catalog-level name
+                # rename, one metadata write; data/root untouched
+                self._take()
+                st.alter_op = "rename_table"
+                st.to_name = self._expect_ident()
+                self._done()
+                return st
             self._expect_kw("column")
             st.alter_op = "rename"
             st.column = self._expect_ident()
@@ -2295,6 +2305,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             t.add_constraint(st.column, st.check_expr)
         elif st.alter_op == "drop_constraint":
             t.drop_constraint(st.column)
+        elif st.alter_op == "rename_table":
+            catalog.rename(st.table, st.to_name)
+            return _summary(spark, "ALTER RENAME TO", 0)
         elif st.alter_op == "cluster_by":
             cols = st.cluster_cols or []
             spec = None if not cols else (cols[0] if len(cols) == 1 else cols)

@@ -400,6 +400,29 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_rename_table(spark, tmp_path):
+    """ALTER TABLE ... RENAME TO (round-10): one catalog metadata write
+    — the root and its data untouched; duplicate targets and unknown
+    sources are loud; RENAME COLUMN keeps parsing beside it."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(5).selectExpr("id AS k"))
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(spark, "ALTER TABLE db.t RENAME TO db.renamed").collect()
+    assert res[0].operation == "ALTER RENAME TO"
+    assert c.names() == ["db.renamed"]
+    assert c.table(spark, "db.renamed").count() == 5
+    assert str(c.root_of("db.renamed")) == str(tmp_path / "t")  # data stays
+    with pytest.raises(KeyError):
+        c.sql(spark, "ALTER TABLE db.gone RENAME TO db.x")
+    c.register("db.other", tmp_path / "t")
+    with pytest.raises(ValueError, match="already in catalog"):
+        c.sql(spark, "ALTER TABLE db.renamed RENAME TO db.other")
+    c.sql(spark, "ALTER TABLE db.renamed RENAME COLUMN k TO key")
+    assert c.table(spark, "db.renamed").columns == ["key"]
+    c.detach(spark)
+
+
 def test_sql_deep_clone(spark, tmp_path):
     """CREATE TABLE ... [DEEP] CLONE (round-10; bare CLONE = deep, Delta
     parity): the snapshot re-materializes into INDEPENDENT files under
