@@ -400,6 +400,36 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_sql_general_predicates_under_column_mapping(spark, tmp_path):
+    """Mixed WHERE on a RENAMED (column-mapped) table: the residual
+    references logical names (the scan renames before the filter), the
+    sargable conjunct's stats pruning translates through the physical
+    mapping — the two round-10 features compose."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    t.append(
+        spark.range(0, 100).selectExpr(
+            "CAST(id AS int) AS k", "CONCAT('v', id % 9) AS tag"
+        )
+    )
+    t.rename_column("tag", "label")
+    t.rename_column("k", "key")
+    c.register("db.t", tmp_path / "t")
+    res = c.sql(
+        spark, "DELETE FROM db.t WHERE key < 30 AND label LIKE 'v1%'"
+    ).collect()
+    assert res[0].rows_affected == 4  # ids 1, 10, 19, 28
+    res = c.sql(
+        spark,
+        "UPDATE db.t SET label = upper(label) "
+        "WHERE key BETWEEN 90 AND 95 OR label = 'v0'",
+    ).collect()
+    assert res[0].rows_affected == 17
+    got = {x.key: x.label for x in t.read().collect()}
+    assert got[90] == "V0" and got[45] == "V0" and got[44] == "v8"
+    c.detach(spark)
+
+
 def test_sql_rename_table(spark, tmp_path):
     """ALTER TABLE ... RENAME TO (round-10): one catalog metadata write
     — the root and its data untouched; duplicate targets and unknown
