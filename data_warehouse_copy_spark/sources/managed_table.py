@@ -5379,6 +5379,14 @@ class ManagedTable:
             bloom_cols=m.bloom_cols,
         )
         t.append(self.read(version=version))
+        # Delta clones carry constraints + table properties; constraints
+        # re-validate against the landed rows (one aggregate pass — they
+        # held at the source, so this is a structural no-op check)
+        for cname, cexpr in (m.constraints or {}).items():
+            t.add_constraint(cname, cexpr)
+        pol = self.auto_compact_policy()
+        if pol:
+            t.set_auto_compact(**pol)
         return t
 
     def clone_to(
@@ -5430,7 +5438,14 @@ class ManagedTable:
         t._commit_files(
             t.snapshot(), entries, m.schema_json, "clone",
             columns=m.columns,
+            # Delta clones carry the source's constraints: enforcement
+            # continues on clone-local writes with zero re-validation
+            # (the snapshot's rows already proved them at the source)
+            constraints=dict(m.constraints) if m.constraints else None,
         )
+        pol = self.auto_compact_policy()
+        if pol:
+            t.set_auto_compact(**pol)
         return t
 
     def restore(self, version: int) -> int:

@@ -187,3 +187,24 @@ def test_clone_declarative_merge_honors_source_dv(spark, tmp_path):
     got = {r["k"]: r["v"] for r in c.read().collect()}
     assert got == {998: 998 % 7, 999: 999 % 7, 0: 100, 2: 100}
     assert max(f.dv_rows for f in c.snapshot().files) == 499  # not inflated
+
+
+def test_clone_carries_constraints_and_properties(spark, tmp_path):
+    """Delta clones carry the source's CHECK constraints and table
+    properties (round-10): both clone flavors keep enforcing on
+    clone-local writes, and the auto-compact policy follows."""
+    import pytest
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.range(1, 10).selectExpr("id AS k"))
+    t.add_constraint("k_pos", "k > 0")
+    t.set_auto_compact(max_files_per_partition=8)
+    s = t.clone_to(tmp_path / "s")
+    d = t.deep_clone_to(tmp_path / "d")
+    for clone in (s, d):
+        assert clone.snapshot().constraints == {"k_pos": "k > 0"}
+        assert clone.auto_compact_policy()["max_files_per_partition"] == 8
+        with pytest.raises(ValueError, match="k_pos"):
+            clone.append(spark.range(-3, -1).selectExpr("id AS k"))
+    # the source's own state is untouched by the clones' existence
+    assert t.snapshot().constraints == {"k_pos": "k > 0"}
