@@ -1823,7 +1823,25 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 et = ManagedTable(spark, root)
                 if st.properties:
                     _apply_table_properties(et, st.properties, unset=False)
-                n = et.overwrite(spark.sql(st.ctas_query))
+                # OR REPLACE is a full NEW table definition: the old
+                # CHECK constraints do not carry (Delta semantics — and
+                # a constraint naming a column the new schema drops
+                # would otherwise poison every later write). Dropped
+                # BEFORE the landing so the overwrite doesn't enforce
+                # them against the new shape; restored best-effort if
+                # the landing fails (the table kept its old data).
+                old_cons = dict(et.snapshot().constraints or {})
+                for cname in old_cons:
+                    et.drop_constraint(cname)
+                try:
+                    n = et.overwrite(spark.sql(st.ctas_query))
+                except Exception:
+                    for cname, cexpr in old_cons.items():
+                        try:
+                            et.add_constraint(cname, cexpr)
+                        except Exception:
+                            pass  # best-effort restore; original error wins
+                    raise
                 return _summary(spark, "CREATE OR REPLACE TABLE", n)
             if st.if_not_exists:
                 return _summary(spark, "CREATE TABLE", 0)  # no-op, no error

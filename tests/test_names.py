@@ -577,6 +577,25 @@ def test_sql_create_or_replace_table(spark, tmp_path):
             spark,
             "CREATE OR REPLACE TABLE db.t (k int) USING managed_table",
         )
+    # OR REPLACE is a full new definition: old constraints do not carry
+    # (a stale constraint naming a dropped column would poison writes);
+    # a FAILED replace restores them and leaves the data untouched
+    c.sql(spark, "ALTER TABLE db.t ADD CONSTRAINT s_nn CHECK (s IS NOT NULL)")
+    c.sql(
+        spark,
+        "CREATE OR REPLACE TABLE db.t USING managed_table "
+        "AS SELECT id AS a, id AS b FROM range(0, 4)",
+    )
+    assert t.snapshot().constraints is None
+    c.sql(spark, "ALTER TABLE db.t ADD CONSTRAINT a_pos CHECK (a >= 0)")
+    with pytest.raises(Exception, match="no_such_fn"):
+        c.sql(
+            spark,
+            "CREATE OR REPLACE TABLE db.t USING managed_table "
+            "AS SELECT no_such_fn(1) AS z",
+        )
+    assert t.snapshot().constraints == {"a_pos": "a >= 0"}  # restored
+    assert c.table(spark, "db.t").count() == 4  # data untouched
     c.detach(spark)
 
 
