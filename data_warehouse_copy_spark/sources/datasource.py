@@ -184,6 +184,25 @@ def _require_table(root: str) -> ManagedTable:
     return t
 
 
+def _normalize_commit_ts(ts: str) -> str:
+    """Map an ISO-8601 timestamp onto the fixed-width UTC format commit
+    records carry (``%Y-%m-%dT%H:%M:%S.%fZ``), so equality against a
+    commit's effective timestamp cannot miss an equivalent-instant
+    spelling (``...:00Z`` sorts AFTER ``...:00.000000Z`` raw). Partial
+    prefixes (a bare date) and unparseable strings pass through — for
+    them lexicographic prefix compare is already the right semantics."""
+    from datetime import datetime, timezone
+
+    s = ts.strip()
+    try:
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return ts
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
 def _parse_where_option(options: dict) -> list[tuple]:
     """Parse ``option("where", '[["col", ">=", 1000], ...]')`` — the
     relation-scoped pruning predicate (AND of triples). Values are JSON
@@ -889,21 +908,34 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             return {"version": -1, "snapshot": True}
         if self._starting_ts is not None:
             t = self._table()
+            ts = _normalize_commit_ts(self._starting_ts)
             try:
-                v = t.version_at(self._starting_ts)
+                v = t.version_at(ts)
             except ValueError:
                 # timestamp predates the first commit: replay everything
                 # (Delta's startingTimestamp contract)
                 return {"version": -1}
-            # version_at = last commit whose effective ts <= the given
-            # timestamp. A commit stamped EXACTLY at it is at-or-after,
-            # so it belongs in the stream (anchor one earlier); prefix
-            # timestamps (e.g. a bare date) never compare equal to the
-            # fixed-width commit stamps, and for them v is strictly
-            # before the timestamp — tail from v+1, i.e. anchor v.
-            raw = t._raw(v)
-            e = raw.get("ets") or raw["ts"]
-            return {"version": v - 1 if e == self._starting_ts else v}
+            # version_at = RIGHTMOST commit whose effective ts <= the
+            # timestamp. Commits stamped EXACTLY at it are at-or-after,
+            # so the anchor must sit before the LEFTMOST of them —
+            # effective timestamps are a running max, so clock-skewed
+            # commits can collapse onto one equal-ets run and anchoring
+            # at v-1 alone would silently skip the earlier ones. The
+            # normalization above maps equivalent-instant spellings
+            # (e.g. no fractional seconds, trailing 'Z' dropped) onto
+            # the fixed-width commit format so the equality test cannot
+            # miss the boundary; prefix timestamps (a bare date) stay
+            # prefixes and resolve to strictly-before, anchoring at v.
+
+            def ets(ver: int) -> str:
+                raw = t._raw(ver)
+                return raw.get("ets") or raw["ts"]
+
+            if ets(v) == ts:
+                while v > 0 and ets(v - 1) == ts:
+                    v -= 1
+                return {"version": v - 1}
+            return {"version": v}
         head = self._table()._head_version()
         if self._starting == "latest":
             return {"version": head}

@@ -5650,6 +5650,11 @@ class ManagedTable:
         ``OPTIMIZE ... ZORDER BY``."""
         if max_files_per_partition < 1:
             raise ValueError("max_files_per_partition must be >= 1")
+        if max_merge_files < 2:
+            # a merge needs two inputs; a smaller cap would record a
+            # policy that is enabled yet can never compact anything —
+            # exactly the silently-dead knob this surface refuses
+            raise ValueError("max_merge_files must be >= 2")
         if max_file_bytes < 1:
             raise ValueError("max_file_bytes must be >= 1")
         self._proto.put_text(

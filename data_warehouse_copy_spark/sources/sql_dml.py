@@ -187,10 +187,13 @@ _KEYWORDS = {
     "create", "location", "partitioned", "clustered", "overwrite", "using",
     "copy", "fileformat", "pattern", "force", "if", "exists",
     "convert", "dry", "run", "partitions",
-    "shallow", "clone", "truncate", "replace", "cluster",
-    "analyze", "compute", "statistics", "for", "all", "extended", "columns",
-    # NOTE: "timestamp" is deliberately NOT a keyword — it is a common
-    # column name and a type name; RESTORE matches it by raw text
+    # NOTE: the round-10 statement words (shallow / clone / deep /
+    # truncate / replace / cluster / analyze / compute / statistics /
+    # for / all / extended / columns / timestamp / null / none / case /
+    # end / or / between / like) are deliberately NOT keywords — they
+    # are plausible column names, and a word in this set is rejected by
+    # _expect_ident everywhere. The parser matches them by RAW TEXT
+    # (_word / _at_word / _expect_word) at their grammar positions.
 }
 
 
@@ -376,6 +379,31 @@ class _Parser:
     def _at_kw(self, *words: str) -> bool:
         return self._kw(self._peek()) in words
 
+    # Raw-TEXT matching for statement words that must NOT become
+    # reserved (they are plausible column names — a word in _KEYWORDS
+    # is rejected by _expect_ident everywhere, so reserving e.g. "all"
+    # or "cluster" would break existing tables using it as a column).
+
+    def _word(self, tok: "_Tok | None") -> "str | None":
+        return (
+            tok.text.lower()
+            if tok is not None and tok.kind == "ident"
+            else None
+        )
+
+    def _at_word(self, *words: str) -> bool:
+        return self._word(self._peek()) in words
+
+    def _expect_word(self, *words: str) -> str:
+        t = self._take()
+        w = self._word(t)
+        if w not in words:
+            raise SqlDmlError(
+                f"expected {'/'.join(x.upper() for x in words)}, "
+                f"got {t.text!r}"
+            )
+        return w
+
     # ------------------------------------------------------------ literals
 
     def _literal(self):
@@ -463,19 +491,26 @@ class _Parser:
 
         pieces: list[list] = []
         cur: list[_Tok] = []
-        depth, has_or, pending_between = 0, False, 0
+        depth, case_depth, has_or, pending_between = 0, 0, False, 0
         for t in region:
             if t.kind == "punct":
                 depth += t.text == "("
                 depth -= t.text == ")"
             low = t.text.lower() if t.kind == "ident" else None
-            if depth == 0 and low == "between":
+            # CASE ... END nests like parens: its WHEN conditions hold
+            # ANDs/ORs that are NOT conjunction boundaries of the WHERE
+            if low == "case":
+                case_depth += 1
+            elif low == "end" and case_depth:
+                case_depth -= 1
+            top = depth == 0 and case_depth == 0
+            if top and low == "between":
                 # BETWEEN lo AND hi: its AND is part of the predicate,
                 # not a conjunction boundary
                 pending_between += 1
-            if depth == 0 and low == "or":
+            if top and low == "or":
                 has_or = True
-            if depth == 0 and low == "and":
+            if top and low == "and":
                 if pending_between:
                     pending_between -= 1
                     cur.append(t)
@@ -659,10 +694,8 @@ class _Parser:
             return self._create_table()
         if (
             head == "create"
-            and self._peek(1) is not None
-            and self._peek(1).kind == "ident"
-            and self._peek(1).text.lower() == "or"
-            and self._kw(self._peek(2)) == "replace"
+            and self._word(self._peek(1)) == "or"
+            and self._word(self._peek(2)) == "replace"
             and self._kw(self._peek(3)) == "table"
         ):
             # CREATE OR REPLACE TABLE ... AS SELECT (Delta shape): an
@@ -798,7 +831,10 @@ class _Parser:
                 st.to_timestamp = ts.text[1:-1].replace("''", "'")
             self._done()
             return st
-        if head == "truncate" and self._kw(self._peek(1)) == "table":
+        if (
+            self._word(self._peek()) == "truncate"
+            and self._kw(self._peek(1)) == "table"
+        ):
             # TRUNCATE TABLE db.t — same one-atomic-empty-overwrite as
             # DELETE without WHERE (old files stay for time travel /
             # vacuum), standard-SQL spelling
@@ -856,7 +892,10 @@ class _Parser:
                 st.limit = n
             self._done()
             return st
-        if head == "describe" and self._kw(self._peek(1)) == "extended":
+        if (
+            head == "describe"
+            and self._word(self._peek(1)) == "extended"
+        ):
             # DESCRIBE EXTENDED db.t col — Spark's column-statistics
             # surface, served from the last ANALYZE's stored stats.
             # A non-dotted name (or missing column) passes through to
@@ -877,17 +916,20 @@ class _Parser:
                 self._done()
                 return st
             return None
-        if head == "analyze" and self._kw(self._peek(1)) == "table":
+        if (
+            self._word(self._peek()) == "analyze"
+            and self._kw(self._peek(1)) == "table"
+        ):
             self._take()
             self._take()
             st = DmlStatement("analyze", self._expect_ident())
-            self._expect_kw("compute")
-            self._expect_kw("statistics")
-            if self._at_kw("for"):
+            self._expect_word("compute")
+            self._expect_word("statistics")
+            if self._at_word("for"):
                 self._take()
-                kw = self._expect_kw("columns", "all")
+                kw = self._expect_word("columns", "all")
                 if kw == "all":
-                    self._expect_kw("columns")
+                    self._expect_word("columns")
                     st.analyze_all = True
                 else:
                     cols = [self._expect_ident()]
@@ -938,24 +980,21 @@ class _Parser:
         try:
             st = DmlStatement("create_table", self._expect_ident())
             st.if_not_exists = if_not_exists
-            nxt0 = self._peek()
             is_deep_kw = (
-                nxt0 is not None
-                and nxt0.kind == "ident"
-                and nxt0.text.lower() == "deep"  # raw text: "deep" stays
-                and self._kw(self._peek(1)) == "clone"  # a valid column name
+                self._word(self._peek()) == "deep"
+                and self._word(self._peek(1)) == "clone"
             )
-            if self._at_kw("shallow", "clone") or is_deep_kw:
+            if self._at_word("shallow", "clone") or is_deep_kw:
                 # CREATE TABLE db.t2 (SHALLOW | DEEP | <bare>) CLONE db.t1
                 #   [VERSION AS OF n] [LOCATION 'path']
                 # (Delta CLONE shapes): SHALLOW = metadata-only snapshot
                 # reference, zero bytes copied (clone_to); DEEP — also
                 # the bare-CLONE default, Delta parity — re-materializes
                 # the snapshot into independent files (deep_clone_to)
-                st.clone_deep = not self._at_kw("shallow")
-                if not self._at_kw("clone"):
+                st.clone_deep = not self._at_word("shallow")
+                if not self._at_word("clone"):
                     self._take()  # SHALLOW or DEEP
-                self._expect_kw("clone")
+                self._expect_word("clone")
                 st.kind = "create_clone"
                 st.clone_source = self._expect_ident()
                 if self._at_kw("version"):
@@ -1082,7 +1121,10 @@ class _Parser:
                     )
                 cols.append(self._expect_ident())
         st.insert_columns = cols
-        if self._at_kw("replace"):
+        if (
+            self._at_word("replace")
+            and self._kw(self._peek(1)) == "where"
+        ):
             # INSERT INTO db.t REPLACE WHERE <pred> (Delta's SQL
             # replaceWhere): predicate-scoped atomic overwrite — one
             # commit deletes matching rows and lands the new ones; every
@@ -1113,9 +1155,13 @@ class _Parser:
 
     def _alter(self) -> "DmlStatement":
         st = DmlStatement("alter", self._expect_ident())
-        op = self._expect_kw(
-            "rename", "alter", "drop", "add", "set", "unset", "cluster"
-        )
+        if self._at_word("cluster"):
+            self._take()
+            op = "cluster"
+        else:
+            op = self._expect_kw(
+                "rename", "alter", "drop", "add", "set", "unset"
+            )
         if op == "cluster":
             # ALTER TABLE t CLUSTER BY (c1 [, c2]) | CLUSTER BY NONE —
             # re-layout the table under a new clustering spec as ONE
@@ -1241,7 +1287,7 @@ class _Parser:
             st.alter_op = "drop"
             st.column = self._expect_ident()
         else:  # add
-            kw = self._expect_kw("column", "columns")
+            kw = self._expect_word("column", "columns")
             if kw == "columns":
                 # ALTER TABLE t ADD COLUMNS (a int, b string) — the
                 # Spark/Delta plural form; each add is its own
@@ -1768,15 +1814,16 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     if st.kind == "create_clone":
         from pathlib import Path as _Path
 
+        clone_op = "DEEP CLONE" if st.clone_deep else "SHALLOW CLONE"
         if st.table in set(catalog.names()):
             if st.if_not_exists:
-                return _summary(spark, "SHALLOW CLONE", 0)
+                return _summary(spark, clone_op, 0)
             raise SqlDmlError(
                 f"table {st.table!r} already exists in the catalog"
             )
         if st.clone_source not in set(catalog.names()):
             raise SqlDmlError(
-                f"SHALLOW CLONE source {st.clone_source!r} is not a "
+                f"{clone_op} source {st.clone_source!r} is not a "
                 f"registered table"
             )
         src = ManagedTable(spark, catalog.root_of(st.clone_source))
@@ -1792,11 +1839,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             else src.clone_to(root, version=st.clone_version)
         )
         catalog.register(st.table, root)
-        return _summary(
-            spark,
-            "DEEP CLONE" if st.clone_deep else "SHALLOW CLONE",
-            clone.count(),
-        )
+        return _summary(spark, clone_op, clone.count())
     if st.kind == "create_table":
         from pathlib import Path as _Path
 
@@ -1821,8 +1864,6 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                         "re-cluster"
                     )
                 et = ManagedTable(spark, root)
-                if st.properties:
-                    _apply_table_properties(et, st.properties, unset=False)
                 # OR REPLACE is a full NEW table definition: the old
                 # CHECK constraints do not carry (Delta semantics — and
                 # a constraint naming a column the new schema drops
@@ -1842,6 +1883,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                         except Exception:
                             pass  # best-effort restore; original error wins
                     raise
+                # inline TBLPROPERTIES apply AFTER the landing: a failed
+                # replace must not leave the live table's policy mutated
+                # (review finding)
+                if st.properties:
+                    _apply_table_properties(et, st.properties, unset=False)
                 return _summary(spark, "CREATE OR REPLACE TABLE", n)
             if st.if_not_exists:
                 return _summary(spark, "CREATE TABLE", 0)  # no-op, no error
@@ -1949,6 +1995,14 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             catalog.register(st.table, st.location)
         # rows_affected = adopted rows (metadata count; no scan)
         return _summary(spark, "CONVERT TO MANAGED_TABLE", nt.count())
+    if st.kind in ("truncate", "analyze", "describe_column") and (
+        st.table not in set(catalog.names())
+    ):
+        # TRUNCATE TABLE / ANALYZE TABLE / DESCRIBE EXTENDED are valid
+        # Spark SQL over SESSION tables too — an unregistered name is
+        # Spark's statement, not ours (same pass-through posture as
+        # non-managed CREATE forms)
+        return spark.sql(sql)
     t = ManagedTable(spark, catalog.root_of(st.table))
     if st.kind == "show_properties":
         from pyspark.sql import types as T
@@ -2052,20 +2106,6 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         )
         new_head = t.restore(v)
         return _summary(spark, "RESTORE", new_head)
-    if st.kind == "truncate":
-        import json as _json
-
-        from pyspark.sql import types as T
-
-        m = t.snapshot()
-        schema = (
-            T.StructType.fromJson(_json.loads(m.schema_json))
-            if m.schema_json
-            else T.StructType([])
-        )
-        n = m.total_rows
-        t.overwrite(spark.createDataFrame([], schema))
-        return _summary(spark, "TRUNCATE", n)
     if st.kind == "show_create":
         import json as _json
 
@@ -2352,10 +2392,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         else:
             t.add_column(st.column, st.to_type)
         return _summary(spark, f"ALTER {st.alter_op.upper()}", 0)
-    if st.kind == "delete":
+    if st.kind in ("delete", "truncate"):
         if st.where is None:
-            # DELETE without WHERE = truncate (Delta semantics): one
-            # atomic empty overwrite, old files to vacuum
+            # DELETE without WHERE / TRUNCATE TABLE — one shared body
+            # (Delta semantics): one atomic empty overwrite, old files
+            # stay for time travel / vacuum
             m = t.snapshot()
             import json as _json
 
@@ -2370,7 +2411,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             t.overwrite(spark.createDataFrame([], schema))
         else:
             n = t.delete(st.where)
-        return _summary(spark, "DELETE", n)
+        return _summary(
+            spark, "TRUNCATE" if st.kind == "truncate" else "DELETE", n
+        )
     if st.kind == "update":
         if st.where is None:
             raise SqlDmlError(

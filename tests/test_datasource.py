@@ -518,6 +518,27 @@ def test_stream_starting_timestamp(spark, tmp_path):
         str(t.root), {"startingtimestamp": raw_ets}, t.read().schema
     )
     assert r3.initialOffset() == {"version": 1}  # anchor v-1 -> v2 delivered
+    # equivalent-instant spelling without fractional seconds / 'Z'
+    # variants resolve the same boundary (normalization, review fix)
+    head, frac = raw_ets[:-1].split(".")
+    if frac == "000000":  # whole-second stamp: the short forms coincide
+        for variant in (head + "Z", head, head + "+00:00"):
+            rv = ManagedTableStreamReader(
+                str(t.root), {"startingtimestamp": variant}, t.read().schema
+            )
+            assert rv.initialOffset() == {"version": 1}
+    # an equal-ETS RUN anchors before its LEFTMOST member (clock-skewed
+    # commits collapse onto one effective timestamp; anchoring at the
+    # rightmost would silently skip the earlier ones — review fix)
+    import json as _json
+
+    raw1 = t._raw(1)
+    raw1["ets"] = raw_ets  # forge: v1 and v2 share one effective stamp
+    (t.root / "_log" / f"{1:020d}.json").write_text(_json.dumps(raw1))
+    r4 = ManagedTableStreamReader(
+        str(t.root), {"startingtimestamp": raw_ets}, t.read().schema
+    )
+    assert r4.initialOffset() == {"version": 0}  # v1 AND v2 delivered
     with pytest.raises(ValueError, match="exclusive"):
         ManagedTableStreamReader(
             str(t.root),

@@ -400,6 +400,81 @@ def test_sql_truncate_and_restore_timestamp(spark, tmp_path):
     c.detach(spark)
 
 
+def test_round10_review_fixes(spark, tmp_path):
+    """Review-pass regressions (round-10): CASE..END ANDs are not
+    conjunction boundaries end-to-end; the round-10 statement words stay
+    usable as column names; a failed OR REPLACE leaves the compaction
+    policy untouched; maxMergeFiles < 2 is refused; IF NOT EXISTS on a
+    DEEP clone reports DEEP CLONE."""
+    from data_warehouse_copy_spark.sources.sql_dml import SqlDmlError
+
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(
+        spark.range(0, 20).selectExpr(
+            "id AS k", "id % 3 AS a", "id % 5 AS b"
+        )
+    )
+    c.register("db.t", tmp_path / "t")
+    # CASE with internal AND/OR, composed with a sargable conjunct
+    res = c.sql(
+        spark,
+        "DELETE FROM db.t WHERE 1 = CASE WHEN a = 1 AND b = 2 THEN 1 "
+        "WHEN a = 0 OR b = 4 THEN 1 ELSE 0 END AND k >= 10",
+    ).collect()
+    exp = [
+        k
+        for k in range(10, 20)
+        if (k % 3 == 1 and k % 5 == 2) or k % 3 == 0 or k % 5 == 4
+    ]
+    assert res[0].rows_affected == len(exp)
+    # statement words as column names, end-to-end
+    c.sql(
+        spark,
+        f"CREATE TABLE db.w (k int, cluster int, truncate int) "
+        f"USING managed_table LOCATION '{tmp_path}/w'",
+    )
+    c.sql(spark, "INSERT INTO db.w VALUES (1, 2, 3)")
+    res = c.sql(
+        spark, "UPDATE db.w SET cluster = 9 WHERE truncate = 3"
+    ).collect()
+    assert res[0].rows_affected == 1
+    # failed OR REPLACE: policy untouched, constraints restored
+    c.sql(spark, "ALTER TABLE db.w ADD CONSTRAINT k_pos CHECK (k > 0)")
+    with pytest.raises(Exception, match="no_such_fn"):
+        c.sql(
+            spark,
+            "CREATE OR REPLACE TABLE db.w USING managed_table "
+            "TBLPROPERTIES ('autoCompact' = 'true') "
+            "AS SELECT no_such_fn(1) AS z",
+        )
+    w = ManagedTable(spark, tmp_path / "w")
+    assert w.auto_compact_policy() is None  # the failed replace did not enable it
+    assert w.snapshot().constraints == {"k_pos": "k > 0"}
+    # dead-knob refusal, SQL and Python
+    with pytest.raises(ValueError, match="max_merge_files must be >= 2"):
+        c.sql(
+            spark,
+            "ALTER TABLE db.w SET TBLPROPERTIES "
+            "('autoCompact.maxMergeFiles' = '0')",
+        )
+    with pytest.raises(ValueError, match=">= 2"):
+        w.set_auto_compact(max_merge_files=1)
+    # IF NOT EXISTS deep-clone no-op carries the right label
+    c.sql(spark, "CREATE TABLE db.d CLONE db.t")
+    res = c.sql(
+        spark, "CREATE TABLE IF NOT EXISTS db.d DEEP CLONE db.t"
+    ).collect()
+    assert res[0].operation == "DEEP CLONE"
+    with pytest.raises(SqlDmlError, match="DEEP CLONE source"):
+        c.sql(spark, "CREATE TABLE db.x CLONE db.missing")
+    # TRUNCATE / ANALYZE of an unregistered name pass through to Spark
+    spark.range(4).createOrReplaceTempView("dwcs_r10_plain")
+    with pytest.raises(Exception, match="TRUNCATE|NOT_SUPPORTED|TABLE_OR_VIEW"):
+        c.sql(spark, "TRUNCATE TABLE dwcs_r10_plain")  # Spark's own error
+    c.detach(spark)
+
+
 def test_sql_general_predicates_under_column_mapping(spark, tmp_path):
     """Mixed WHERE on a RENAMED (column-mapped) table: the residual
     references logical names (the scan renames before the filter), the
