@@ -65,6 +65,60 @@ def merge_floors(existing: dict, new: dict) -> dict:
     return merged
 
 
+def next_round(repo_dir: Path) -> int:
+    """The round number the CURRENT bench run belongs to: one past the
+    newest ``BENCH_r{N}.json`` the driver has recorded (the driver writes
+    that artifact AFTER running bench, so at run time the newest existing
+    file is last round's). A fresh repo is round 1."""
+    rounds = []
+    for p in repo_dir.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return (max(rounds) + 1) if rounds else 1
+
+
+def build_detail(
+    times: dict, floors: dict, sf: float, rnd: int, loadavg: dict,
+    adjudicated: dict,
+) -> dict:
+    """The full per-query record (round-10 verdict item 6): the driver
+    truncates BENCH_r{N}.json's stdout tail to ~2KB, losing the first
+    ~70 per-query timings from the judged record — so bench.py itself
+    writes a committed ``BENCH_DETAIL_r{N}.json`` carrying every query's
+    seconds, its floor, and the ratio. Floors only apply at sf0.1 (the
+    scale BASELINE_FLOOR.json was measured at); at any other sf the
+    floor/ratio fields are null. Pure function, pinned by
+    tests/test_bench_protocol.py."""
+    at_floor_sf = abs(sf - 0.1) < 1e-9
+    queries = {}
+    for q, sec in sorted(times.items()):
+        f = floors.get(q) if at_floor_sf else None
+        queries[q] = {
+            "sec": sec,
+            "floor_sec": f,
+            "ratio": round(sec / f, 3) if f else None,
+        }
+    ratios = [v["ratio"] for v in queries.values() if v["ratio"] is not None]
+    return {
+        "metric": "headline_queries_detail",
+        "round": rnd,
+        "sf": sf,
+        "total_sec": round(sum(times.values()), 3),
+        "n_queries": len(times),
+        "n_floored": len(ratios),
+        "max_ratio": max(ratios) if ratios else None,
+        "violations_over_2x": {
+            q: v["ratio"]
+            for q, v in queries.items()
+            if v["ratio"] is not None and v["ratio"] > 2.0
+        },
+        "violations_adjudicated": adjudicated,
+        "loadavg": loadavg,
+        "queries": queries,
+    }
+
+
 def adjudicate_violations(
     measure_once, violations: dict, floor: dict, passes: int = 3
 ) -> dict:
@@ -172,9 +226,16 @@ def main() -> None:
     # name — instead of leaving the judge to join two files. Queries
     # newer than the floor file are reported as unfloored, not skipped
     # silently.
-    floor_path = Path(__file__).resolve().parent / "BASELINE_FLOOR.json"
+    repo_dir = Path(__file__).resolve().parent
+    floor_path = repo_dir / "BASELINE_FLOOR.json"
+    all_floors: dict = (
+        json.loads(floor_path.read_text()).get("queries", {})
+        if floor_path.exists()
+        else {}
+    )
+    adjudicated: dict = {}
     if floor_path.exists() and abs(sf - 0.1) < 1e-9:
-        floor = json.loads(floor_path.read_text()).get("queries", {})
+        floor = all_floors
         ratios = {
             q: round(times[q] / floor[q], 2)
             for q in times
@@ -182,7 +243,6 @@ def main() -> None:
         }
         violations = {q: r for q, r in ratios.items() if r > 2.0}
         worst_q = max(ratios, key=ratios.get) if ratios else None
-        adjudicated: dict = {}
         if violations:
 
             def measure_once(q: str) -> float:
@@ -216,6 +276,14 @@ def main() -> None:
                 }
             )
         )
+    # Committed full-detail artifact (round-10 item 6): survives the
+    # driver's 2KB stdout-tail truncation, carries every per-query
+    # timing + floor ratio for the judged record.
+    rnd = next_round(repo_dir)
+    detail = build_detail(times, all_floors, sf, rnd, loadavg, adjudicated)
+    (repo_dir / f"BENCH_DETAIL_r{rnd}.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
     spark.stop()
 
 

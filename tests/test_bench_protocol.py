@@ -12,7 +12,13 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from bench import BENCH_QUERIES, adjudicate_violations, merge_floors  # noqa: E402
+from bench import (  # noqa: E402
+    BENCH_QUERIES,
+    adjudicate_violations,
+    build_detail,
+    merge_floors,
+    next_round,
+)
 
 
 def test_adjudicate_violations_reports_both_numbers_and_verdict():
@@ -66,6 +72,45 @@ def test_merge_floors_rejects_nonpositive():
         merge_floors({}, {"q": 0})
     with pytest.raises(ValueError, match="positive"):
         merge_floors({}, {"q": -1.2})
+
+
+def test_next_round_is_one_past_newest_bench_artifact(tmp_path):
+    """bench.py runs BEFORE the driver records BENCH_r{N}.json for the
+    current round, so the newest existing artifact is LAST round's."""
+    assert next_round(tmp_path) == 1  # fresh repo
+    (tmp_path / "BENCH_r01.json").write_text("{}")
+    (tmp_path / "BENCH_r10.json").write_text("{}")
+    (tmp_path / "BENCH_r2.json").write_text("{}")
+    (tmp_path / "BENCH_rX.json").write_text("{}")  # not a round artifact
+    assert next_round(tmp_path) == 11
+
+
+def test_build_detail_schema_and_ratios():
+    """Round-10 verdict item 6: the committed BENCH_DETAIL_r{N}.json
+    carries EVERY query's seconds + floor + ratio (the driver's stdout
+    tail truncates the big JSON; this file is the full judged record)."""
+    times = {"a": 2.0, "b": 1.0, "c": 5.0}
+    floors = {"a": 1.0, "b": 4.0}  # c unfloored
+    d = build_detail(
+        times, floors, 0.1, 11, {"sweep_end": [1.0, 1.0, 1.0]},
+        {"a": {"verdict": "host_contention"}},
+    )
+    assert d["round"] == 11 and d["sf"] == 0.1
+    assert d["total_sec"] == 8.0 and d["n_queries"] == 3
+    assert d["queries"]["a"] == {"sec": 2.0, "floor_sec": 1.0, "ratio": 2.0}
+    assert d["queries"]["b"]["ratio"] == 0.25
+    assert d["queries"]["c"] == {"sec": 5.0, "floor_sec": None, "ratio": None}
+    assert d["n_floored"] == 2 and d["max_ratio"] == 2.0
+    assert d["violations_over_2x"] == {}  # 2.0 is AT the gate, not over
+    assert d["violations_adjudicated"]["a"]["verdict"] == "host_contention"
+    assert d["loadavg"]["sweep_end"] == [1.0, 1.0, 1.0]
+    # floors only mean anything at sf0.1 — any other sf nulls them
+    d2 = build_detail(times, floors, 0.01, 3, {}, {})
+    assert all(v["ratio"] is None for v in d2["queries"].values())
+    assert d2["violations_over_2x"] == {}
+    # a genuine violation is listed
+    d3 = build_detail({"a": 2.1}, {"a": 1.0}, 0.1, 1, {}, {})
+    assert d3["violations_over_2x"] == {"a": 2.1}
 
 
 def test_floor_file_covers_registry_or_reports_unfloored():
