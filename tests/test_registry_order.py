@@ -45,6 +45,29 @@ def test_every_driver_slot_is_oracle_backed():
     )
 
 
+def test_round11_rotated_surfaces_hold_driver_slots():
+    """Round-10 verdict item 3: the driver certified the same 50 queries
+    since round 1 while the round-8/9/10 SQL plane was only locally
+    hash-checked. The rotation puts the SQL surfaces + streaming CDF
+    inside the cap (near-duplicate slots moved below it, where
+    tests/test_entry_contract.py still hash-checks them)."""
+    names = list(entrymod.queries())[:DRIVER_CORRECTNESS_CAP]
+    for q in (
+        "catalog_sql_merge",
+        "catalog_sql_predicate_dml",
+        "catalog_sql_table_changes",
+        "catalog_sql_analyze",
+        "catalog_sql_ctas",
+        "catalog_sql_copy_into",
+        "stream_cdf_roundtrip",
+    ):
+        assert q in names, f"{q} lost its driver correctness slot"
+    # the demoted near-duplicates stay registered (local gate) but must
+    # not burn driver slots that unique surfaces could use
+    for q in ("q18_salted_variant", "events_hourly_hybrid", "orders_cube"):
+        assert q in entrymod.queries() and q not in names
+
+
 def test_no_oracle_entries_trail_the_registry():
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
