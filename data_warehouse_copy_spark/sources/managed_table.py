@@ -547,11 +547,18 @@ class ManagedTable:
             return raw.get("ets") or raw["ts"]
 
         head = self._head_version()
-        if ets(0) > timestamp:
+        floor = self.log_floor()
+        if ets(floor) > timestamp:
+            if floor:
+                raise ValueError(
+                    f"timestamp {timestamp} lands below the log retention "
+                    f"floor (version {floor}) — older history was removed "
+                    f"by clean_log/vacuum(log retention)"
+                )
             raise ValueError(
                 f"timestamp {timestamp} predates the table's first commit"
             )
-        lo, hi = 0, head  # invariant: ets(lo) <= timestamp
+        lo, hi = floor, head  # invariant: ets(lo) <= timestamp
         while lo < hi:
             mid = (lo + hi + 1) // 2
             if ets(mid) <= timestamp:
@@ -619,7 +626,14 @@ class ManagedTable:
                     break
                 except (FileNotFoundError, json.JSONDecodeError, KeyError):
                     pass  # swept by retention mid-read: replay instead
-            raw = self._raw(v)
+            try:
+                raw = self._raw(v)
+            except FileNotFoundError:
+                # Either the version never existed, or log retention
+                # removed its base — tell the reader WHICH, loudly.
+                if v < version or v <= self._head_version():
+                    raise self._retention_error(version) from None
+                raise
             reads += 1
             if "files" in raw:
                 start = _manifest_from_full(raw)
@@ -689,7 +703,27 @@ class ManagedTable:
         out: list[CommitInfo] = []
         rows: dict[str, int] = {}
         total = 0
-        for v in range(self._head_version() + 1):
+        start_v = 0
+        floor = self.log_floor()
+        if floor:
+            # trimmed log (clean_log): seed from the earliest version that
+            # still reconstructs and account its whole state as adds,
+            # exactly the v0-full-state treatment — the surviving origin.
+            # Records in [floor, earliest) (floor survives for CDF but its
+            # checkpoint was later superseded) carry no prior state to
+            # diff against, so the walk starts past them.
+            earliest = min(
+                (c for c in self._surviving_ckpt_versions() if c >= floor),
+                default=floor,
+            )
+            m = self.snapshot(earliest)
+            rows = {f.path: f.rows - f.dv_rows for f in m.files}
+            total = sum(rows.values())
+            out.append(
+                CommitInfo(earliest, m.op, m.ts, len(rows), total, total, 0)
+            )
+            start_v = earliest + 1
+        for v in range(start_v, self._head_version() + 1):
             raw = self._raw(v)
             if "files" in raw:  # full state (v0 / legacy): diff against prior
                 new_rows = {f["path"]: _eff_rows(f) for f in raw["files"]}
@@ -891,6 +925,134 @@ class ManagedTable:
 
     def _ckpt_parquet_path(self, version: int) -> Path:
         return self.root / "_log" / f"{version:020d}.checkpoint.parquet"
+
+    def log_floor(self) -> int:
+        """The oldest version whose log record still exists — 0 until
+        :meth:`clean_log` ever trims history. Versions below the floor
+        are gone from the log entirely: no snapshot, no time travel, no
+        CDF — readers fail LOUDLY (see :meth:`_reconstruct`,
+        :meth:`version_at`, :meth:`commit_deltas`) instead of
+        FileNotFoundError-ing into something that looks like corruption."""
+        try:
+            return int(
+                json.loads(
+                    self._proto.read_text(self.root / "_log" / "_FLOOR.json")
+                )["floor"]
+            )
+        except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
+            return 0
+
+    def _surviving_ckpt_versions(self) -> list[int]:
+        out = set()
+        for pat in ("*.checkpoint.json", "*.checkpoint.parquet"):
+            for p in (self.root / "_log").glob(pat):
+                try:
+                    out.add(int(p.name[:20]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def clean_log(
+        self,
+        retention_seconds: float = 30 * 24 * 3600.0,
+        dry_run: bool = False,
+    ) -> int:
+        """Trim the commit log — Delta's ``logRetentionDuration`` model.
+        Without this no path ever removes old ``_log`` action records, so
+        a streaming table at 100× (years of micro-batch commits)
+        accumulates millions of tiny metadata objects; READS stay bounded
+        (checkpoint + ≤``_CKPT_EVERY``-action tail) but storage and
+        object listings grow forever.
+
+        Rules, chosen so every SURVIVING version keeps working:
+
+        - The anchor is the NEWEST surviving checkpoint ``c`` whose
+          predecessor record has aged past ``retention_seconds``
+          (effective timestamps are monotonic, so ``ets(c-1) <= cutoff``
+          means everything below ``c`` has aged). Action records and
+          checkpoints strictly below ``c`` delete; the record AT ``c``
+          survives (``startingVersion=c`` is inclusive and must still
+          deliver commit c's changes).
+        - The new floor ``c`` persists to ``_log/_FLOOR.json``; time
+          travel / ``version_at`` / CDF below it fail loudly (pinned in
+          tests/test_log_retention.py). Versions >= c reconstruct from
+          checkpoint c (or newer) exactly as before.
+        - Nothing deletes unless a checkpoint anchors the remaining
+          history — a table that never checkpointed keeps its full log
+          regardless of age (correctness beats cleanup).
+
+        Returns the number of log objects removed (or that WOULD be, on
+        ``dry_run=True``). Racing readers are safe the same way data
+        vacuum is: a read that already resolved a version >= c never
+        touches the deleted records; one resolving below c gets the loud
+        floor error rather than silent wrong answers."""
+        import time
+
+        log_dir = self.root / "_log"
+        if not self._proto.exists(log_dir / "_LATEST"):
+            return 0  # creator died mid-birth; nothing safe to anchor
+        head = self._head_version()
+        old_floor = self.log_floor()
+        cutoff = time.time() - retention_seconds
+        anchor = None
+        for c in reversed(self._surviving_ckpt_versions()):
+            if not old_floor < c <= head:
+                continue
+            try:
+                prev = self._raw(c - 1)
+            except FileNotFoundError:
+                continue  # an earlier clean already took c-1: c IS a floor
+            ets = prev.get("ets") or prev["ts"]
+            aged = (
+                datetime.strptime(ets, "%Y-%m-%dT%H:%M:%S.%fZ")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+            if aged <= cutoff:
+                anchor = c
+                break
+        if anchor is None:
+            return 0
+        removed = 0
+        for p in log_dir.glob("*.json"):
+            name = p.name
+            if not (len(name) >= 20 and name[:20].isdigit()):
+                continue  # _LATEST/_FLOOR/_STATS/... sidecars stay
+            if int(name[:20]) >= anchor:
+                continue
+            if not dry_run:
+                try:
+                    p.unlink()
+                except OSError:
+                    continue
+            removed += 1
+        for p in log_dir.glob("*.checkpoint.parquet"):
+            if p.name[:20].isdigit() and int(p.name[:20]) < anchor:
+                if not dry_run:
+                    try:
+                        p.unlink()
+                    except OSError:
+                        continue
+                removed += 1
+        if not dry_run and anchor > old_floor:
+            self._proto.put_text(
+                log_dir / "_FLOOR.json",
+                json.dumps({"floor": anchor}),
+            )
+        return removed
+
+    def _retention_error(self, version: int) -> ValueError:
+        floor = self.log_floor()
+        ckpts = self._surviving_ckpt_versions()
+        earliest = min((c for c in ckpts if c >= floor), default=floor)
+        return ValueError(
+            f"version {version} is gone from the log: records below the "
+            f"retention floor {floor} were removed by clean_log/vacuum "
+            f"(log retention), and the earliest checkpointed version "
+            f"still reconstructable is {earliest}. Time travel / restore "
+            f"/ clone below that version is permanently unavailable; "
+            f"CDF and streaming startingVersion work from {floor}."
+        )
 
     def _write_checkpoint_parquet(self, m: Manifest) -> None:
         import pyarrow as pa
@@ -1961,6 +2123,17 @@ class ManagedTable:
                 f"commit range ({from_version}, {to_version}] outside "
                 f"history 0..{head_version}"
             )
+        floor = self.log_floor()
+        if floor and from_version < floor - 1:
+            # records below the floor are GONE — a CDF range reaching
+            # under it must fail loudly, never deliver a partial feed
+            raise ValueError(
+                f"commit range ({from_version}, {to_version}] reaches "
+                f"below the log retention floor {floor}: those records "
+                f"were removed by clean_log/vacuum(log retention); the "
+                f"earliest deliverable change commit is {floor} "
+                f"(changesFrom={floor - 1})"
+            )
         out: list[tuple[int, str, list[dict], set[str]]] = []
         prev_paths: set[str] | None = None  # lazy: only legacy records need it
         for v in range(from_version + 1, to_version + 1):
@@ -2943,6 +3116,72 @@ class ManagedTable:
                 head, (), set(), "rename_column",
                 schema_json=new_schema.json(), columns=cols,
             )
+
+    def set_column_comment(self, name: str, comment: "str | None") -> None:
+        """Column comment — stored in the schema's FIELD METADATA (the
+        exact slot Delta uses), so it rides every commit, checkpoint,
+        clone and restore for free, and survives rename/widen (both
+        rebuild fields carrying ``f.metadata`` through). ``None``
+        clears. One metadata-only commit at any table size."""
+        with _lock_for(self.root):
+            head, schema_json, columns = self._columns_state()
+            if not schema_json:
+                raise ValueError("cannot comment a column on an empty table")
+            st = T.StructType.fromJson(json.loads(schema_json))
+            if name not in [f.name for f in st.fields]:
+                raise ValueError(f"no such column: {name!r}")
+
+            def md(f):
+                m = dict(f.metadata or {})
+                if comment is None:
+                    m.pop("comment", None)
+                else:
+                    m["comment"] = comment
+                return m
+
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        md(f) if f.name == name else f.metadata,
+                    )
+                    for f in st.fields
+                ]
+            )
+            self._commit_bounded(
+                head, (), set(), "comment_column",
+                schema_json=new_schema.json(), columns=columns,
+            )
+
+    def column_comments(self) -> dict:
+        """``{logical column name: comment}`` at the current head."""
+        m = self.snapshot()
+        if not m.schema_json:
+            return {}
+        st = T.StructType.fromJson(json.loads(m.schema_json))
+        return {
+            f.name: f.metadata["comment"]
+            for f in st.fields
+            if f.metadata and "comment" in f.metadata
+        }
+
+    def set_table_comment(self, comment: "str | None") -> None:
+        """Table-level comment — a ``_log`` sidecar like the auto-compact
+        policy (clones carry it; see :meth:`clone_to`)."""
+        self._proto.put_text(
+            self.root / "_log" / "_COMMENT.json", json.dumps(comment)
+        )
+
+    def table_comment(self) -> "str | None":
+        try:
+            raw = self._proto.read_text(
+                self.root / "_log" / "_COMMENT.json"
+            )
+        except FileNotFoundError:
+            return None
+        return json.loads(raw)
 
     def widen_column(self, name: str, new_type: "str | T.DataType") -> None:
         """Widen a column's type — METADATA-ONLY (Iceberg v2 / Delta type
@@ -5387,6 +5626,9 @@ class ManagedTable:
         pol = self.auto_compact_policy()
         if pol:
             t.set_auto_compact(**pol)
+        tc = self.table_comment()
+        if tc is not None:
+            t.set_table_comment(tc)
         return t
 
     def clone_to(
@@ -5446,6 +5688,9 @@ class ManagedTable:
         pol = self.auto_compact_policy()
         if pol:
             t.set_auto_compact(**pol)
+        tc = self.table_comment()
+        if tc is not None:
+            t.set_table_comment(tc)
         return t
 
     def restore(self, version: int) -> int:
@@ -6323,10 +6568,19 @@ class ManagedTable:
         retention_seconds: float = 7 * 24 * 3600.0,
         distributed: bool | None = None,
         dry_run: bool = False,
+        log_retention_seconds: float | None = None,
     ) -> int:
         """Delete data files not referenced by the latest manifest. Returns
         number of files removed. (Old versions become unreadable — run only
         when time travel is not needed.)
+
+        ``log_retention_seconds`` additionally trims the COMMIT LOG via
+        :meth:`clean_log` (Delta's ``logRetentionDuration`` riding
+        VACUUM): action records and checkpoints older than that retention
+        and below the anchoring checkpoint delete, and the retention
+        floor persists so pre-floor time travel fails loudly. ``None``
+        (default) leaves the log untouched — data retention and history
+        retention are different promises and are opted into separately.
 
         ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``, round 10)
         counts what WOULD be removed under the same retention/liveness
@@ -6365,10 +6619,15 @@ class ManagedTable:
                         pq.ParquetFile(base[0]).metadata.num_rows
                         >= _DISTRIBUTED_PLAN_MIN_FILES
                     )
+        extra = (
+            self.clean_log(log_retention_seconds, dry_run=dry_run)
+            if log_retention_seconds is not None
+            else 0
+        )
         if distributed:
             if self.spark is None:
                 raise ValueError("distributed vacuum needs a SparkSession")
-            return self._vacuum_distributed(retention_seconds, dry_run)
+            return extra + self._vacuum_distributed(retention_seconds, dry_run)
         m = self.snapshot()
         live = {str(self.root / f.path) for f in m.files}
         live_dv = {str(self.root / p) for f in m.files for p in f.dv_paths}
@@ -6401,7 +6660,7 @@ class ManagedTable:
                     if not dry_run:
                         p.unlink()
                     removed += 1
-        return removed
+        return removed + extra
 
     def _vacuum_distributed(
         self, retention_seconds: float, dry_run: bool = False

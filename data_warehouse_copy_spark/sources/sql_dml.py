@@ -42,8 +42,11 @@ Supported grammar (case-insensitive keywords)::
         -- first-match-wins per row (Delta semantics); an unconditional
         -- clause must come last
 
-    VACUUM db.tbl [RETAIN n HOURS]
-        -- reap unreferenced files (Delta syntax; default 168h retention)
+    VACUUM db.tbl [RETAIN n HOURS] [LOG RETENTION n HOURS] [DRY RUN]
+        -- reap unreferenced files (Delta syntax; default 168h retention);
+        -- LOG RETENTION additionally trims commit-log records +
+        -- superseded checkpoints older than n hours (logRetentionDuration
+        -- model: pre-floor time travel then fails loudly)
     OPTIMIZE db.tbl [ZORDER BY (c1 [, c2]...)]
         -- compact small files; ZORDER re-lays-out under the new spec
     RESTORE db.tbl TO (VERSION AS OF n | TIMESTAMP AS OF 'ts')
@@ -60,6 +63,18 @@ Supported grammar (case-insensitive keywords)::
     SHOW TBLPROPERTIES db.tbl
         -- the table's recorded property surface as (key, value) rows
         -- (empty when no property is set)
+    SHOW COLUMNS (IN | FROM) db.tbl
+        -- one col_name row per live logical column, schema order
+    COMMENT ON TABLE db.tbl IS ('txt' | NULL)
+    COMMENT ON COLUMN db.tbl.col IS ('txt' | NULL)
+        -- table comment rides a _log sidecar (clones carry it); column
+        -- comments live in the schema's field metadata (the Delta slot)
+        -- so they survive rename/widen/evolution and time travel; both
+        -- emit from SHOW CREATE TABLE. ALTER TABLE t ALTER COLUMN c
+        -- COMMENT 'txt' is the ALTER spelling of the column form.
+    CREATE TABLE db.t2 LIKE db.t1 [LOCATION 'path']
+        -- new EMPTY table copying t1's schema (comments included),
+        -- layout, CHECK constraints and table properties
     DESCRIBE DETAIL db.tbl
         -- one metadata row: version, files, rows, layout, constraints
     DESCRIBE HISTORY db.tbl [LIMIT n]
@@ -160,7 +175,9 @@ under ``F.expr`` inside the transactional rewrite).
 
 from __future__ import annotations
 
+import json
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -254,11 +271,16 @@ class DmlStatement:
     limit: int | None = None
     # ops fields (vacuum / optimize / restore)
     retain_hours: float | None = None
+    log_retain_hours: float | None = None  # VACUUM ... LOG RETENTION n HOURS
     zorder_cols: "list[str] | None" = None
     to_version: int | None = None
     to_timestamp: str | None = None   # RESTORE ... TO TIMESTAMP AS OF
     # constraint fields (alter_op add_constraint / drop_constraint)
     check_expr: str | None = None
+    # COMMENT ON / ALTER COLUMN ... COMMENT / CREATE ... COMMENT
+    comment: str | None = None
+    # CREATE TABLE db.t LIKE db.src
+    like_source: str | None = None
     # table properties (alter_op set_properties / unset_properties)
     properties: "dict[str, str | None] | None" = None
     # insert mode (kind == "insert")
@@ -745,6 +767,20 @@ class _Parser:
                     raise SqlDmlError("RETAIN expects a non-negative number")
                 self._expect_kw("hours")
                 st.retain_hours = float(n)
+            if self._at_word("log"):
+                # VACUUM ... LOG RETENTION n HOURS — trim the commit log
+                # too (Delta's logRetentionDuration riding VACUUM).
+                # "log"/"retention" are raw-text matched, staying valid
+                # column names everywhere else.
+                self._take()
+                self._expect_word("retention")
+                n = self._literal()
+                if not isinstance(n, (int, float)) or n < 0:
+                    raise SqlDmlError(
+                        "LOG RETENTION expects a non-negative number"
+                    )
+                self._expect_kw("hours")
+                st.log_retain_hours = float(n)
             if self._at_kw("dry"):
                 # VACUUM ... DRY RUN (Delta shape, round 10): count what
                 # would be removed, unlink nothing — the audit before
@@ -872,6 +908,53 @@ class _Parser:
             self._take()
             self._take()
             st = DmlStatement("show_properties", self._expect_ident())
+            self._done()
+            return st
+        if head == "show" and self._word(self._peek(1)) == "columns":
+            # SHOW COLUMNS (IN | FROM) db.t — one col_name row per live
+            # logical column, schema order (Spark's SHOW COLUMNS shape)
+            self._take()
+            self._take()
+            self._expect_kw("in", "from")
+            st = DmlStatement("show_columns", self._expect_ident())
+            self._done()
+            return st
+        if self._word(self._peek()) == "comment":
+            # COMMENT ON TABLE db.t IS 'txt' | COMMENT ON COLUMN
+            # db.t.c IS 'txt' — IS NULL clears (Spark semantics).
+            # "comment"/"is" are raw-text matched, staying valid column
+            # names.
+            self._take()
+            self._expect_kw("on")
+            what = self._expect_kw("table", "column")
+            name = self._expect_ident()
+            if what == "column":
+                tbl, _, col = name.rpartition(".")
+                if "." not in tbl:
+                    raise SqlDmlError(
+                        "COMMENT ON COLUMN expects db.table.column, got "
+                        f"{name!r}"
+                    )
+                st = DmlStatement("comment_column", tbl)
+                st.column = col
+            else:
+                st = DmlStatement("comment_table", name)
+            self._expect_word("is")
+            nxt = self._peek()
+            if (
+                nxt is not None
+                and nxt.kind == "ident"
+                and nxt.text.lower() == "null"
+            ):
+                self._take()
+                st.comment = None
+            else:
+                v = self._literal()
+                if not isinstance(v, str):
+                    raise SqlDmlError(
+                        "COMMENT ... IS expects a quoted string or NULL"
+                    )
+                st.comment = v
             self._done()
             return st
         if head == "describe" and self._kw(self._peek(1)) == "detail":
@@ -1015,6 +1098,23 @@ class _Parser:
                     st.location = t.text[1:-1].replace("''", "'")
                 self._done()
                 return st
+            if self._at_word("like"):
+                # CREATE TABLE db.t2 LIKE db.t1 [LOCATION 'p'] — a new
+                # EMPTY table copying the source's schema, layout,
+                # constraints, comments and table properties (Spark's
+                # CREATE TABLE LIKE). "like" is raw-text matched: still
+                # a valid column name everywhere else.
+                self._take()
+                st.kind = "create_like"
+                st.like_source = self._expect_ident()
+                if self._at_kw("location"):
+                    self._take()
+                    t = self._take()
+                    if t is None or t.kind != "string":
+                        raise SqlDmlError("LOCATION expects a quoted path")
+                    st.location = t.text[1:-1].replace("''", "'")
+                self._done()
+                return st
             nxt = self._peek()
             if nxt is not None and nxt.kind == "punct" and nxt.text == "(":
                 self._take()
@@ -1022,7 +1122,18 @@ class _Parser:
                 while True:
                     cname = self._expect_ident()
                     ctype = self._type_name()
-                    cols.append((cname, ctype))
+                    ccomment = None
+                    if self._at_word("comment"):
+                        # c INT COMMENT 'txt' — raw-text matched so
+                        # "comment" stays a valid column name
+                        self._take()
+                        v = self._literal()
+                        if not isinstance(v, str):
+                            raise SqlDmlError(
+                                "column COMMENT expects a quoted string"
+                            )
+                        ccomment = v
+                    cols.append((cname, ctype, ccomment))
                     t = self._take()
                     if t is not None and t.text == ")":
                         break
@@ -1078,6 +1189,15 @@ class _Parser:
                     st.properties = self._tblproperties_list(
                         with_values=True
                     )
+                elif kw is None and self._word(self._peek()) == "comment":
+                    # table-level COMMENT 'txt' (Spark DDL position)
+                    self._take()
+                    v = self._literal()
+                    if not isinstance(v, str):
+                        raise SqlDmlError(
+                            "table COMMENT expects a quoted string"
+                        )
+                    st.comment = v
                 elif kw == "as" and st.create_columns is None:
                     # CTAS tail: verbatim to spark.sql. A column-list +
                     # AS combination falls to pass-through below (Spark
@@ -1253,6 +1373,27 @@ class _Parser:
         elif op == "alter":
             self._expect_kw("column")
             st.column = self._expect_ident()
+            if self._at_word("comment"):
+                # ALTER TABLE t ALTER COLUMN c COMMENT 'txt' | NULL
+                self._take()
+                nxt = self._peek()
+                if (
+                    nxt is not None
+                    and nxt.kind == "ident"
+                    and nxt.text.lower() == "null"
+                ):
+                    self._take()
+                    st.comment = None
+                else:
+                    v = self._literal()
+                    if not isinstance(v, str):
+                        raise SqlDmlError(
+                            "COMMENT expects a quoted string or NULL"
+                        )
+                    st.comment = v
+                st.alter_op = "comment_column"
+                self._done()
+                return st
             # Spark's TYPE, the SQL-standard SET DATA TYPE, and the
             # Delta nullability forms SET NOT NULL / DROP NOT NULL
             kw = self._expect_kw("type", "set", "drop")
@@ -1778,6 +1919,331 @@ def _apply_table_properties(
         t.set_auto_compact(**merged)
 
 
+# --------------------------------------------------------------------------
+# Join-time dynamic file pruning (round-10 verdict item 4).
+#
+# A selective dim ⋈ fact through the attached views scans EVERY fact file:
+# Spark's own dynamic file pruning lives in the JVM optimizer and cannot
+# cross the Python Data Source boundary, so the runtime subquery filter it
+# would build never reaches the managed_table scan. The engine-native
+# equivalent: when ANALYZE stats prove one join side small, probe its
+# DISTINCT join keys (bounded collect) and push an ``in`` predicate into
+# the fact side's relation-scoped ``where`` option — manifest min/max
+# stats, bloom sidecars and row-group footers then skip fact files exactly
+# as they do for literal predicates. This is also the stats' first
+# planning CONSUMER (they were write-only telemetry before).
+#
+# Correctness is by construction, never by the stats: the probe collects
+# the ACTUAL keys at query time (stats only gate whether we try), pruning
+# an inner join's fact side by a superset of the dim's keys drops only
+# rows that cannot join, and ANY structural doubt (outer joins, multiple
+# joins, subqueries in FROM, unresolvable names, non-scalar keys, a probe
+# overflowing the cap, a rewrite that fails analysis) falls back to the
+# untouched original text — correct-but-unpruned, the right failure
+# direction. Cross-relation snapshot skew is closed on the dim side by
+# pinning the rewritten dim to the probe's version (``versionAsOf``); the
+# fact resolves once, in the rewritten query itself.
+
+_DFP_MAX_KEYS = 20_000   # probe cap: largest IN-list pushed into the scan
+_DFP_DIM_MAX = 2_000_000  # never probe a dim the stats call bigger
+_DFP_MIN_RATIO = 4.0     # fact must be provably >= this x dim rows
+
+#: words that may legally follow a table ref without being its alias
+_DFP_STOPWORDS = {
+    "join", "inner", "left", "right", "full", "cross", "on", "where",
+    "group", "order", "limit", "having", "union", "as", "semi", "anti",
+    "natural", "lateral", "using",
+}
+#: non-column identifier words inside a WHERE conjunct
+_DFP_EXPR_WORDS = {
+    "and", "or", "not", "between", "in", "like", "rlike", "ilike", "is",
+    "null", "true", "false", "case", "when", "then", "else", "end",
+    "cast", "as", "interval", "distinct", "escape",
+}
+
+
+def _dfp_split_conjuncts(toks: "list[_Tok]") -> "list[list[_Tok]]":
+    """Top-level AND split (paren/CASE/BETWEEN aware — the _where_mixed
+    rules). A top-level OR makes the whole clause one conjunct."""
+    pieces: list[list[_Tok]] = []
+    cur: list[_Tok] = []
+    depth = case_depth = pending_between = 0
+    has_or = False
+    for t in toks:
+        if t.kind == "punct":
+            depth += t.text == "("
+            depth -= t.text == ")"
+        low = t.text.lower() if t.kind == "ident" else None
+        if low == "case":
+            case_depth += 1
+        elif low == "end" and case_depth:
+            case_depth -= 1
+        top = depth == 0 and case_depth == 0
+        if top and low == "between":
+            pending_between += 1
+        if top and low == "or":
+            has_or = True
+        if top and low == "and" and not pending_between:
+            pieces.append(cur)
+            cur = []
+            continue
+        if top and low == "and" and pending_between:
+            pending_between -= 1
+        cur.append(t)
+    pieces.append(cur)
+    if has_or:
+        return [toks]
+    return [p for p in pieces if p]
+
+
+def _dfp_conjunct_refs(toks: "list[_Tok]") -> "tuple[set, set, bool]":
+    """(qualifiers, bare column idents, has_subquery) of one conjunct.
+    The tokenizer lexes ``d.tier`` as ONE dotted ident token, so a
+    qualifier is the prefix before the first dot."""
+    quals: set = set()
+    bare: set = set()
+    sub = False
+    for i, t in enumerate(toks):
+        if t.kind != "ident":
+            continue
+        low = t.text.lower()
+        if low == "select":
+            sub = True
+        if low in _DFP_EXPR_WORDS:
+            continue
+        if "." in low:
+            quals.add(low.split(".", 1)[0])
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if nxt is not None and nxt.kind == "punct" and nxt.text == "(":
+            continue  # function name
+        bare.add(low)
+    return quals, bare, sub
+
+
+def try_dynamic_prune(
+    spark: SparkSession, catalog, sql: str, info: "dict | None" = None
+) -> "DataFrame | None":
+    """Attempt the semi-join-probe rewrite on a SELECT over two attached
+    tables; None on any reason not to (the caller runs the original).
+    ``info`` (tests) receives the probe decision when a rewrite lands."""
+    try:
+        return _try_dynamic_prune(spark, catalog, sql, info)
+    except Exception:
+        return None  # ANY doubt → the untouched original text
+
+
+def _try_dynamic_prune(spark, catalog, sql, info):
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+    toks = _tokenize(sql)
+    if not toks or toks[0].text.lower() != "select":
+        return None
+    # locate the single top-level FROM
+    depth = 0
+    from_i = None
+    for i, t in enumerate(toks):
+        if t.kind == "punct":
+            depth += t.text == "("
+            depth -= t.text == ")"
+        elif depth == 0 and t.text.lower() == "from":
+            from_i = i
+            break
+    if from_i is None:
+        return None
+
+    def table_ref(i):
+        # the tokenizer lexes db.tbl as ONE dotted ident token
+        if i >= len(toks) or toks[i].kind != "ident":
+            return None
+        name = toks[i].text
+        j = i + 1
+        alias = None
+        if (
+            j < len(toks)
+            and toks[j].kind == "ident"
+            and "." not in toks[j].text
+            and toks[j].text.lower() not in _DFP_STOPWORDS
+        ):
+            alias = toks[j].text
+            j += 1
+        elif (
+            j + 1 < len(toks)
+            and toks[j].text.lower() == "as"
+            and toks[j + 1].kind == "ident"
+            and "." not in toks[j + 1].text
+        ):
+            alias = toks[j + 1].text
+            j += 2
+        return name, alias, i, j
+
+    r1 = table_ref(from_i + 1)
+    if r1 is None:
+        return None
+    t1, a1, s1, j = r1
+    if j < len(toks) and toks[j].text.lower() == "inner":
+        j += 1
+    if j >= len(toks) or toks[j].text.lower() != "join":
+        return None
+    r2 = table_ref(j + 1)
+    if r2 is None:
+        return None
+    t2, a2, s2, j = r2
+    if j >= len(toks) or toks[j].text.lower() != "on":
+        return None
+    # ON must be exactly  qual.col = qual.col  at top level
+    if not (
+        j + 3 < len(toks)
+        and toks[j + 1].kind == "ident"
+        and toks[j + 1].text.count(".") == 1
+        and toks[j + 2].kind == "punct"
+        and toks[j + 2].text == "="
+        and toks[j + 3].kind == "ident"
+        and toks[j + 3].text.count(".") == 1
+    ):
+        return None
+    on_l = (toks[j + 1].text, j + 2)
+    on_r = (toks[j + 3].text, j + 4)
+    after_on = j + 4
+    tail_kw = (
+        toks[after_on].text.lower() if after_on < len(toks) else None
+    )
+    if tail_kw not in (None, "where", "group", "order", "limit", "having"):
+        return None  # compound ON / second join / anything exotic
+    # exactly one JOIN in the whole statement
+    if sum(1 for t in toks if t.text.lower() == "join") != 1:
+        return None
+    names = set(catalog.names())
+    if t1 not in names or t2 not in names or t1 == t2:
+        return None
+    a1 = a1 or t1.split(".")[-1]
+    a2 = a2 or t2.split(".")[-1]
+    qual_l, col_l = on_l[0].split(".")
+    qual_r, col_r = on_r[0].split(".")
+    key_by_alias = {qual_l.lower(): col_l, qual_r.lower(): col_r}
+    if set(key_by_alias) != {a1.lower(), a2.lower()}:
+        return None
+
+    # WHERE conjuncts (token slices), if any
+    where_toks: list = []
+    if tail_kw == "where":
+        k = after_on + 1
+        d = 0
+        while k < len(toks):
+            t = toks[k]
+            if t.kind == "punct":
+                d += t.text == "("
+                d -= t.text == ")"
+            elif d == 0 and t.text.lower() in ("group", "order", "limit",
+                                               "having"):
+                break
+            where_toks.append(t)
+            k += 1
+    conjuncts = _dfp_split_conjuncts(where_toks) if where_toks else []
+
+    # stats gate: dim provably small AND fact provably >> dim, both fresh
+    def fresh_stats(name):
+        t = ManagedTable(spark, catalog.root_of(name))
+        s = t.table_stats()
+        if s is None or s.get("version") != t._head_version():
+            return None
+        return s
+
+    s1s, s2s = fresh_stats(t1), fresh_stats(t2)
+    pick = None
+    for fact, facts, fa, dim, dims, da in (
+        (t1, s1s, a1, t2, s2s, a2),
+        (t2, s2s, a2, t1, s1s, a1),
+    ):
+        if facts is None or dims is None:
+            continue
+        if (
+            dims["row_count"] <= _DFP_DIM_MAX
+            and facts["row_count"] >= _DFP_MIN_RATIO * max(dims["row_count"], 1)
+        ):
+            pick = (fact, fa, dim, da)
+            break
+    if pick is None:
+        return None
+    fact, fa, dim, da = pick
+    fact_key = key_by_alias[fa.lower()]
+    dim_key = key_by_alias[da.lower()]
+
+    # probe: DISTINCT dim keys under the dim-only conjuncts, version-pinned
+    dim_root = catalog.root_of(dim)
+    dim_v = ManagedTable(spark, dim_root)._head_version()
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    probe = (
+        spark.read.format("managed_table")
+        .option("versionAsOf", str(dim_v))
+        .load(dim_root)
+    )
+    used_conj = 0
+    for c in conjuncts:
+        quals, bare, sub = _dfp_conjunct_refs(c)
+        if sub or bare or quals != {da.lower()}:
+            continue  # not provably dim-only: probe stays a superset
+        prefix = da.lower() + "."
+        stripped = [
+            t.text[len(prefix):]
+            if t.kind == "ident" and t.text.lower().startswith(prefix)
+            else t.text
+            for t in c
+        ]
+        probe = probe.where(" ".join(stripped))
+        used_conj += 1
+    rows = (
+        probe.select(dim_key).distinct().limit(_DFP_MAX_KEYS + 1).collect()
+    )
+    if len(rows) > _DFP_MAX_KEYS:
+        return None
+    keys = [r[0] for r in rows if r[0] is not None]
+    if not all(isinstance(k, (int, str)) and not isinstance(k, bool)
+               for k in keys):
+        return None  # only scalar key types the manifest stats compare
+
+    where_json = json.dumps([[fact_key, "in", keys]])
+    suffix = uuid.uuid4().hex[:12]
+    vf, vd = f"__dwcs_dfp_f_{suffix}", f"__dwcs_dfp_d_{suffix}"
+    fact_root = str(catalog.root_of(fact)).replace("'", "''")
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW `{vf}` USING managed_table "
+        f"OPTIONS (path '{fact_root}', "
+        f"where '{where_json.replace(chr(39), chr(39) * 2)}')"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW `{vd}` USING managed_table "
+        f"OPTIONS (path '{str(dim_root).replace(chr(39), chr(39) * 2)}', "
+        f"versionAsOf '{dim_v}')"
+    )
+    # rebuild the query with both table refs swapped for the views
+    spans = sorted(
+        [(s1, r1[3], vf if t1 == fact else vd, a1),
+         (s2, r2[3], vf if t2 == fact else vd, a2)],
+        reverse=True,
+    )
+    out = [t.text for t in toks]
+    for start, end, view, alias in spans:
+        out[start:end] = [f"`{view}`", "AS", alias]
+    new_sql = " ".join(out)
+    try:
+        df = spark.sql(new_sql)
+    except Exception:
+        return None  # rewrite failed analysis (e.g. db-qualified col refs)
+    finally:
+        spark.catalog.dropTempView(vf)
+        spark.catalog.dropTempView(vd)
+    if info is not None:
+        info.update(
+            fact=fact, dim=dim, fact_key=fact_key, dim_key=dim_key,
+            n_keys=len(keys), where_json=where_json, dim_version=dim_v,
+            dim_conjuncts_used=used_conj,
+        )
+    return df
+
+
 def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     """Run ``sql`` with catalog-aware DML routing (the body of
     ``NamedCatalog.sql``). DML returns a one-row summary frame
@@ -1795,6 +2261,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         sql = _rewrite_table_changes(spark, catalog, sql)
     st = parse_dml(sql)
     if st is None:
+        pruned = try_dynamic_prune(spark, catalog, sql)
+        if pruned is not None:
+            return pruned
         return spark.sql(sql)
     if st.kind == "show_tables":
         from pyspark.sql import types as T
@@ -1840,6 +2309,56 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         )
         catalog.register(st.table, root)
         return _summary(spark, clone_op, clone.count())
+    if st.kind == "create_like":
+        from pathlib import Path as _Path
+
+        from pyspark.sql import types as T
+
+        if st.table in set(catalog.names()):
+            if st.if_not_exists:
+                return _summary(spark, "CREATE TABLE LIKE", 0)
+            raise SqlDmlError(
+                f"table {st.table!r} already exists in the catalog"
+            )
+        if st.like_source not in set(catalog.names()):
+            raise SqlDmlError(
+                f"LIKE source {st.like_source!r} is not a registered table"
+            )
+        src = ManagedTable(spark, catalog.root_of(st.like_source))
+        m = src.snapshot()
+        if not m.schema_json:
+            raise SqlDmlError(
+                f"LIKE source {st.like_source!r} has no schema yet"
+            )
+        root = st.location or str(_Path(catalog.path).parent / st.table)
+        if ManagedTable(None, root).exists():
+            raise SqlDmlError(
+                f"a managed table already exists at {root!r}; DROP TABLE "
+                f"leaves data in place — register it instead"
+            )
+        nt = ManagedTable.create(
+            spark,
+            root,
+            partition_date_col=m.partition_date_col,
+            cluster_col=m.cluster_col,
+            bloom_cols=m.bloom_cols,
+        )
+        # pin the source's CURRENT logical schema (comments ride the
+        # field metadata inside it) with an empty typed append, then
+        # carry constraints, properties and the table comment — an
+        # empty table needs no re-validation
+        schema = T.StructType.fromJson(json.loads(m.schema_json))
+        nt.append(spark.createDataFrame([], schema))
+        for cname, cexpr in (m.constraints or {}).items():
+            nt.add_constraint(cname, cexpr)
+        pol = src.auto_compact_policy()
+        if pol:
+            nt.set_auto_compact(**pol)
+        tc = src.table_comment()
+        if tc is not None:
+            nt.set_table_comment(tc)
+        catalog.register(st.table, root)
+        return _summary(spark, "CREATE TABLE LIKE", 0)
     if st.kind == "create_table":
         from pathlib import Path as _Path
 
@@ -1888,6 +2407,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 # (review finding)
                 if st.properties:
                     _apply_table_properties(et, st.properties, unset=False)
+                # full new-definition semantics, like the constraints:
+                # the old table comment does not carry unless restated
+                et.set_table_comment(st.comment)
                 return _summary(spark, "CREATE OR REPLACE TABLE", n)
             if st.if_not_exists:
                 return _summary(spark, "CREATE TABLE", 0)  # no-op, no error
@@ -1922,7 +2444,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             }
         else:
             src = None
-            names = [n for n, _t in st.create_columns]
+            names = [c[0] for c in st.create_columns]
         if st.part_col is not None and st.part_col not in names:
             raise SqlDmlError(
                 f"PARTITIONED BY column {st.part_col!r} is not declared"
@@ -1967,15 +2489,22 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 else:
                     _shutil.rmtree(root, ignore_errors=True)
                 raise
+            if st.comment is not None:
+                nt.set_table_comment(st.comment)
             catalog.register(st.table, root)
             return _summary(spark, "CREATE TABLE AS SELECT", n)
         # pin the DECLARED schema with an empty typed append (v1) so
         # constraints/INSERT column lists work before the first data
         nt.append(
             spark.createDataFrame(
-                [], ", ".join(f"{n} {ty}" for n, ty in st.create_columns)
+                [], ", ".join(f"{n} {ty}" for n, ty, _c in st.create_columns)
             )
         )
+        for n, _ty, cm in st.create_columns:
+            if cm is not None:
+                nt.set_column_comment(n, cm)
+        if st.comment is not None:
+            nt.set_table_comment(st.comment)
         catalog.register(st.table, root)
         return _summary(spark, "CREATE TABLE", 0)
     if st.kind == "drop_table":
@@ -2004,6 +2533,29 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # non-managed CREATE forms)
         return spark.sql(sql)
     t = ManagedTable(spark, catalog.root_of(st.table))
+    if st.kind == "show_columns":
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        m = t.snapshot()
+        fields = (
+            T.StructType.fromJson(_json.loads(m.schema_json)).fields
+            if m.schema_json
+            else []
+        )
+        return spark.createDataFrame(
+            [(f.name,) for f in fields],
+            T.StructType(
+                [T.StructField("col_name", T.StringType(), False)]
+            ),
+        )
+    if st.kind == "comment_table":
+        t.set_table_comment(st.comment)
+        return _summary(spark, "COMMENT ON TABLE", 0)
+    if st.kind == "comment_column":
+        t.set_column_comment(st.column, st.comment)
+        return _summary(spark, "COMMENT ON COLUMN", 0)
     if st.kind == "show_properties":
         from pyspark.sql import types as T
 
@@ -2060,7 +2612,15 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             if st.retain_hours is not None
             else 7 * 24 * 3600.0
         )
-        n = t.vacuum(retention_seconds=secs, dry_run=st.vacuum_dry)
+        n = t.vacuum(
+            retention_seconds=secs,
+            dry_run=st.vacuum_dry,
+            log_retention_seconds=(
+                st.log_retain_hours * 3600.0
+                if st.log_retain_hours is not None
+                else None
+            ),
+        )
         return _summary(
             spark, "VACUUM DRY RUN" if st.vacuum_dry else "VACUUM", n
         )
@@ -2117,13 +2677,23 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             if m.schema_json
             else T.StructType([])
         )
-        cols = ",\n".join(
-            f"  {f.name} {f.dataType.simpleString()}" for f in schema.fields
-        )
+        def col_ddl(f):
+            base = f"  {f.name} {f.dataType.simpleString()}"
+            cm = (f.metadata or {}).get("comment")
+            if cm is not None:
+                base += " COMMENT '" + str(cm).replace("'", "''") + "'"
+            return base
+
+        cols = ",\n".join(col_ddl(f) for f in schema.fields)
         parts = [
             f"CREATE TABLE {st.table} (\n{cols}\n) USING managed_table",
             f"LOCATION '{t.root}'",
         ]
+        tcomment = t.table_comment()
+        if tcomment is not None:
+            parts.append(
+                "COMMENT '" + str(tcomment).replace("'", "''") + "'"
+            )
         if m.partition_date_col:
             parts.append(f"PARTITIONED BY ({m.partition_date_col})")
         if m.cluster_col:
@@ -2380,6 +2950,8 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             t.add_constraint(f"nn_{st.column}", f"{st.column} IS NOT NULL")
         elif st.alter_op == "drop_not_null":
             t.drop_constraint(f"nn_{st.column}")
+        elif st.alter_op == "comment_column":
+            t.set_column_comment(st.column, st.comment)
         elif st.alter_op == "rename":
             t.rename_column(st.column, st.to_name)
         elif st.alter_op == "widen":

@@ -543,3 +543,175 @@ def test_localfs_lost_ack_recovery_is_durable(tmp_path):
         assert t2.snapshot().total_rows == 2
     finally:
         cp.unregister_commit_protocol(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# Network-boundary adapter (round-10 verdict item 5): the SAME protocol
+# matrix over a real localhost socket — serialization, connect, timeout,
+# and genuinely lost responses the in-process adapters cannot produce.
+
+
+@pytest.fixture()
+def http_bucket(tmp_path):
+    from data_warehouse_copy_spark.sources.http_store import (
+        HttpObjectStore,
+        HttpObjectStoreServer,
+    )
+
+    with HttpObjectStoreServer() as srv:
+        client = HttpObjectStore(srv.port)
+        cp.register_commit_protocol(
+            tmp_path, cp.ConditionalPutCommitProtocol(client)
+        )
+        yield srv, client
+        cp.unregister_commit_protocol(tmp_path)
+
+
+def test_http_store_contract_semantics(http_bucket):
+    """201/412/404 mapping at the adapter level — the store contract."""
+    srv, client = http_bucket
+    assert client.get("a/b c.json") is None
+    assert client.put_if_absent("a/b c.json", "one") is True
+    assert client.put_if_absent("a/b c.json", "two") is False
+    assert client.get("a/b c.json") == "one"
+    client.put("a/b c.json", "three")  # plain PUT overwrites
+    assert client.get("a/b c.json") == "three"
+
+
+def test_http_basic_roundtrip(tmp_path, http_bucket, monkeypatch):
+    _no_posix_atomics(monkeypatch)
+    srv, _ = http_bucket
+    t = ManagedTable.create(None, tmp_path / "t")
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    t.append_pylist([{"writer": 1, "seq": 2}], SCHEMA)
+    assert t.snapshot().version == 2 and t.snapshot().total_rows == 2
+    # the log lives across the socket, not on the filesystem
+    assert not list((tmp_path / "t" / "_log").glob("*.json"))
+    assert srv.store.get(str(tmp_path / "t" / "_log" / f"{1:020d}.json"))
+
+
+def test_http_threaded_storm(tmp_path, http_bucket, monkeypatch):
+    """N writers x K appends, every CAS a real HTTP round trip: gapless
+    versions, zero lost updates."""
+    _no_posix_atomics(monkeypatch)
+    srv, _ = http_bucket
+    root = tmp_path / "t"
+    ManagedTable.create(None, root)
+    n_threads, n_appends = 5, 4
+    errors: list = []
+
+    def worker(wid: int):
+        try:
+            t = ManagedTable(None, root)
+            for i in range(n_appends):
+                t.append_pylist([{"writer": wid, "seq": i}], SCHEMA)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    m = ManagedTable(None, root).snapshot()
+    assert m.version == n_threads * n_appends
+    assert m.total_rows == n_threads * n_appends
+    for v in range(m.version + 1):
+        assert srv.store.get(str(root / "_log" / f"{v:020d}.json"))
+
+
+def test_http_lost_ack_recovers_exactly_once(tmp_path, http_bucket,
+                                             monkeypatch):
+    """The server applies the CAS then kills the connection with no
+    status line. The client cannot know the outcome; the protocol's
+    recovery read must see our payload and report the win — one commit,
+    no retry at the next version."""
+    _no_posix_atomics(monkeypatch)
+    srv, _ = http_bucket
+    t = ManagedTable.create(None, tmp_path / "t")
+    srv.faults.drop_after_next_cas = 1
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    m = t.snapshot()
+    assert m.version == 1 and m.total_rows == 1  # exactly once
+    t.append_pylist([{"writer": 1, "seq": 2}], SCHEMA)
+    assert t.snapshot().total_rows == 2
+
+
+def test_http_timeout_after_apply_recovers(tmp_path, http_bucket,
+                                           monkeypatch):
+    """CAS ack delayed past the client timeout: the write APPLIED, the
+    socket read timed out — recovery resolves it as a win."""
+    from data_warehouse_copy_spark.sources.http_store import HttpObjectStore
+
+    _no_posix_atomics(monkeypatch)
+    srv, _ = http_bucket
+    slow = HttpObjectStore(srv.port, timeout=0.3)
+    cp.register_commit_protocol(
+        tmp_path, cp.ConditionalPutCommitProtocol(slow)
+    )
+    t = ManagedTable.create(None, tmp_path / "t")
+    srv.faults.latency_cas_s = 1.0
+    try:
+        t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    finally:
+        srv.faults.latency_cas_s = 0.0
+    assert t.snapshot().version == 1 and t.snapshot().total_rows == 1
+
+
+def test_http_pre_apply_503_retries(tmp_path, http_bucket, monkeypatch):
+    _no_posix_atomics(monkeypatch)
+    srv, _ = http_bucket
+    t = ManagedTable.create(None, tmp_path / "t")
+    srv.faults.fail_before_next_cas = 2
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    assert t.snapshot().version == 1 and t.snapshot().total_rows == 1
+
+
+def test_http_persistent_outage_surfaces(tmp_path, http_bucket, monkeypatch):
+    _no_posix_atomics(monkeypatch)
+    srv, _ = http_bucket
+    t = ManagedTable.create(None, tmp_path / "t")
+    srv.faults.fail_before_next_cas = 50
+    with pytest.raises(cp.TransientStoreError, match="unavailable"):
+        t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)
+    srv.faults.fail_before_next_cas = 0
+    t.append_pylist([{"writer": 1, "seq": 1}], SCHEMA)  # store recovered
+    assert t.snapshot().total_rows == 1
+
+
+def test_http_storm_with_latency_and_lost_acks(tmp_path, http_bucket,
+                                               monkeypatch):
+    """The full drill: concurrent writers, global latency, a sprinkle of
+    lost CAS acks — still gapless, still exactly-once."""
+    _no_posix_atomics(monkeypatch)
+    srv, _ = http_bucket
+    root = tmp_path / "t"
+    ManagedTable.create(None, root)
+    srv.faults.latency_s = 0.01
+    srv.faults.drop_after_next_cas = 3
+    n_threads, n_appends = 4, 3
+    errors: list = []
+
+    def worker(wid: int):
+        try:
+            t = ManagedTable(None, root)
+            for i in range(n_appends):
+                t.append_pylist([{"writer": wid, "seq": i}], SCHEMA)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    srv.faults.latency_s = 0.0
+    assert not errors
+    m = ManagedTable(None, root).snapshot()
+    assert m.version == n_threads * n_appends
+    assert m.total_rows == n_threads * n_appends

@@ -1,0 +1,208 @@
+"""Join-time dynamic file pruning (round-10 verdict item 4): a selective
+small dim joined to a big fact through NamedCatalog.sql must NOT scan
+every fact file. The semi-join probe collects the dim's actual join keys
+(gated by fresh ANALYZE stats — their first planning consumer) and pushes
+an ``in`` predicate into the fact's relation-scoped where option; any
+structural doubt falls back to the untouched original text.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_warehouse_copy_spark.sources.datasource import (  # noqa: E402
+    ManagedTableBatchReader,
+)
+from data_warehouse_copy_spark.sources.managed_table import (  # noqa: E402
+    ManagedTable,
+)
+from data_warehouse_copy_spark.sources.names import NamedCatalog  # noqa: E402
+from data_warehouse_copy_spark.sources.sql_dml import (  # noqa: E402
+    try_dynamic_prune,
+)
+
+
+@pytest.fixture()
+def star(spark, tmp_path):
+    """A file-prunable fact (range-clustered, disjoint per-file spans) and
+    a small dim, both ANALYZEd and attached."""
+    fact = ManagedTable.create(spark, tmp_path / "fact", cluster_col="k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        fact.append(
+            spark.range(40_000)
+            .selectExpr("id AS k", "id % 97 AS v")
+            .repartition(8)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    dim = ManagedTable.create(spark, tmp_path / "dim")
+    dim.append(
+        spark.range(100).selectExpr(
+            "id + 1000 AS dk", "CASE WHEN id < 10 THEN 'hot' ELSE 'cold' END AS tier"
+        )
+    )
+    fact.analyze()
+    dim.analyze()
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("global_temp.f", str(tmp_path / "fact"))
+    cat.register("global_temp.d", str(tmp_path / "dim"))
+    cat.attach(spark)
+    return cat, fact, dim
+
+
+Q = (
+    "SELECT f.k, f.v, d.tier FROM global_temp.f f "
+    "JOIN global_temp.d d ON f.k = d.dk WHERE d.tier = 'hot'"
+)
+
+
+def test_dfp_prunes_fact_files_and_stays_exact(spark, star):
+    cat, fact, dim = star
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, Q, info)
+    assert df is not None, "the rewrite should land on this shape"
+    assert info["fact"] == "global_temp.f" and info["dim"] == "global_temp.d"
+    assert info["n_keys"] == 10 and info["dim_conjuncts_used"] == 1
+    got = sorted((r.k, r.v, r.tier) for r in df.collect())
+    want = sorted(
+        (r.k, r.v, r.tier) for r in spark.sql(Q).collect()
+    )
+    assert got == want and len(got) == 10
+    # the pushed predicate really prunes the fact's file set
+    n_files = len(fact.snapshot().files)
+    assert n_files > 1
+    reader = ManagedTableBatchReader(
+        str(fact.root), {"where": info["where_json"]}, fact.read().schema
+    )
+    assert len(reader.partitions()) < n_files
+    # and the rewrite flows through the public surface too
+    via_sql = sorted(
+        (r.k, r.v, r.tier) for r in cat.sql(spark, Q).collect()
+    )
+    assert via_sql == want
+
+
+def test_dfp_mixed_conjuncts_stay_exact(spark, star):
+    cat, _fact, _dim = star
+    q = (
+        "SELECT f.k, d.tier FROM global_temp.f f "
+        "JOIN global_temp.d d ON f.k = d.dk "
+        "WHERE d.tier = 'hot' AND f.v > 3 AND f.k < d.dk + 5"
+    )
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, q, info)
+    assert df is not None
+    # only the provably-dim-only conjunct feeds the probe
+    assert info["dim_conjuncts_used"] == 1
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )
+
+
+def test_dfp_aggregates_survive_rewrite(spark, star):
+    cat, _fact, _dim = star
+    q = (
+        "SELECT d.tier, COUNT(*) AS n, SUM(f.v) AS sv "
+        "FROM global_temp.f f JOIN global_temp.d d ON f.k = d.dk "
+        "WHERE d.tier = 'hot' GROUP BY d.tier ORDER BY d.tier"
+    )
+    df = try_dynamic_prune(spark, cat, q, {})
+    assert df is not None
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in spark.sql(q).collect()
+    ]
+
+
+def test_dfp_zero_matching_keys(spark, star):
+    cat, _fact, _dim = star
+    q = Q.replace("'hot'", "'nosuch'")
+    df = try_dynamic_prune(spark, cat, q, {})
+    assert df is not None
+    assert df.count() == 0
+
+
+def test_dfp_structural_fallbacks(spark, star):
+    cat, _fact, _dim = star
+    # outer join: pruning the fact side would drop preserved rows
+    assert try_dynamic_prune(
+        spark, cat, Q.replace("JOIN", "LEFT JOIN"), {}
+    ) is None
+    # multiple joins
+    assert try_dynamic_prune(
+        spark, cat,
+        "SELECT * FROM global_temp.f f JOIN global_temp.d d ON f.k = d.dk "
+        "JOIN global_temp.d e ON f.k = e.dk", {},
+    ) is None
+    # compound ON
+    assert try_dynamic_prune(
+        spark, cat,
+        "SELECT * FROM global_temp.f f JOIN global_temp.d d "
+        "ON f.k = d.dk AND f.v = 1", {},
+    ) is None
+    # unregistered table
+    assert try_dynamic_prune(
+        spark, cat,
+        "SELECT * FROM other o JOIN global_temp.d d ON o.k = d.dk", {},
+    ) is None
+    # not a select
+    assert try_dynamic_prune(spark, cat, "SHOW TABLES", {}) is None
+
+
+def test_dfp_stale_or_missing_stats_fall_back(spark, tmp_path):
+    fact = ManagedTable.create(spark, tmp_path / "fact")
+    fact.append(spark.range(10_000).selectExpr("id AS k", "id AS v"))
+    dim = ManagedTable.create(spark, tmp_path / "dim")
+    dim.append(spark.range(50).selectExpr("id AS dk"))
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("global_temp.f2", str(tmp_path / "fact"))
+    cat.register("global_temp.d2", str(tmp_path / "dim"))
+    cat.attach(spark)
+    q = (
+        "SELECT f.k FROM global_temp.f2 f "
+        "JOIN global_temp.d2 d ON f.k = d.dk"
+    )
+    # no stats at all
+    assert try_dynamic_prune(spark, cat, q, {}) is None
+    fact.analyze()
+    dim.analyze()
+    assert try_dynamic_prune(spark, cat, q, {}) is not None
+    # a write after ANALYZE makes the stats stale -> full scan again
+    dim.append(spark.range(50, 60).selectExpr("id AS dk"))
+    assert try_dynamic_prune(spark, cat, q, {}) is None
+
+
+def test_dfp_ratio_gate(spark, tmp_path):
+    """Two similarly-sized tables: the probe never pays off, don't try."""
+    a = ManagedTable.create(spark, tmp_path / "a")
+    a.append(spark.range(1000).selectExpr("id AS k"))
+    b = ManagedTable.create(spark, tmp_path / "b")
+    b.append(spark.range(900).selectExpr("id AS dk"))
+    a.analyze()
+    b.analyze()
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("global_temp.a3", str(tmp_path / "a"))
+    cat.register("global_temp.b3", str(tmp_path / "b"))
+    cat.attach(spark)
+    assert try_dynamic_prune(
+        spark, cat,
+        "SELECT * FROM global_temp.a3 x JOIN global_temp.b3 y ON x.k = y.dk",
+        {},
+    ) is None
+
+
+def test_dfp_dim_version_pinned_against_probe_skew(spark, star):
+    """The rewritten dim rides versionAsOf at the probe's version, so the
+    keys the fact was pruned by and the dim rows the join sees are the
+    SAME snapshot even if the dim is written between probe and run."""
+    cat, _fact, dim = star
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, Q, info)
+    assert info["dim_version"] == dim._head_version()
+    assert df.count() == 10
