@@ -4196,6 +4196,77 @@ WHERE l_shipdate BETWEEN TIMESTAMP '1995-04-01'
 """
 
 
+def stream_cdf_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF replica maintenance end-to-end (streaming/cdf_sync.py) — the
+    change feed's canonical consumer: a downstream table kept ROW-EXACT
+    with an upstream that receives DV deletes, merge-on-read updates and
+    appends, by folding each micro-batch to one net image per key and
+    applying it as ONE idempotent txn-stamped merge (exactly-once across
+    replay, pinned in tests/test_cdf_sync.py). The upstream lands the
+    March lineitem window (v1), a DV delete (v2) drains through the
+    bootstrap batch, then an update (v3) and an April-week append (v4)
+    land mid-query and the live tail propagates them. Returned frame:
+    the REPLICA's converged rows — the oracle restates the upstream's
+    final state directly on the raw table, so the gate proves
+    replica ≡ source."""
+    from data_warehouse_copy_spark.streaming.cdf_sync import (
+        stream_replicate,
+    )
+
+    (li,) = _prep(spark, sf_dir, "lineitem")
+    window = li.filter(
+        (F.col("l_shipdate") >= F.lit(M_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit(M_TO).cast("timestamp"))
+    )
+    april_week = li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-04-01").cast("timestamp"),
+            F.expr("TIMESTAMP '1995-04-07 23:59:59.997'"),
+        )
+    )
+    tmp = _tmp_table_dir(prefix="dwcs_crep_")
+    t = ManagedTable.create(spark, f"{tmp}/src")
+    t.append(window)  # v1
+    t.delete(where=[("l_quantity", "<", 10.0)])  # v2: DV delete
+    q = stream_replicate(
+        spark,
+        f"{tmp}/src",
+        f"{tmp}/replica",
+        f"{tmp}/ckpt",
+        # replication, like any MERGE, presumes a key UNIQUE upstream;
+        # the synthetic lineitem needs all four to be one
+        key_cols=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+    try:
+        q.processAllAvailable()  # bootstrap: snapshot-as-inserts + v2
+        t.update(  # v3: merge-on-read update
+            where=[("l_quantity", "<", 20.0)],
+            set_exprs={"l_extendedprice": F.lit(0.0)},
+        )
+        t.append(april_week)  # v4: plain append
+        q.processAllAvailable()  # live tail propagates v3 + v4
+    finally:
+        q.stop()
+    return ManagedTable(spark, f"{tmp}/replica").read()
+
+
+STREAM_CDF_REPLICA_SQL = f"""
+WITH base AS (
+  SELECT * FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{M_FROM}'
+    AND l_shipdate <= TIMESTAMP '{M_TO}'
+)
+SELECT * REPLACE (
+  CASE WHEN l_quantity < 20 THEN CAST(0 AS DOUBLE)
+       ELSE l_extendedprice END AS l_extendedprice)
+FROM base WHERE l_quantity >= 10
+UNION ALL
+SELECT * FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-04-01'
+                     AND TIMESTAMP '1995-04-07 23:59:59.997'
+"""
+
+
 def merge_expressions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-level MERGE (``ManagedTable.merge``, VERDICT r5 item 3):
     the orders table lands key-clustered; the source is the March window
@@ -5626,6 +5697,7 @@ QUERIES: dict[str, QueryFn] = {
     "datasource_roundtrip": datasource_roundtrip,
     "cdc_read_roundtrip": cdc_read_roundtrip,
     "cdc_delete_feed": cdc_delete_feed,
+    "stream_cdf_replica_sync": stream_cdf_replica_sync,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "merge_expressions_roundtrip": merge_expressions_roundtrip,
     "schema_evolution_roundtrip": schema_evolution_roundtrip,
@@ -5753,6 +5825,7 @@ ORACLES: dict[str, str] = {
     "cdc_read_roundtrip": CDC_READ_SQL,
     "cdc_delete_feed": CDC_DELETE_FEED_SQL,
     "stream_cdf_roundtrip": STREAM_CDF_SQL,
+    "stream_cdf_replica_sync": STREAM_CDF_REPLICA_SQL,
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
     "merge_expressions_roundtrip": MERGE_EXPRESSIONS_SQL,
     "schema_evolution_roundtrip": SCHEMA_EVOLUTION_SQL,

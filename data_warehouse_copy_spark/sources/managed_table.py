@@ -4757,6 +4757,7 @@ class ManagedTable:
         when_matched: "list[dict] | None" = None,
         when_not_matched_by_source: "list[dict] | None" = None,
         schema_evolution: bool = False,
+        txn: "tuple[str, int] | None" = None,
     ) -> dict:
         """Expression-level MERGE (Delta's ``whenMatchedUpdate`` shape —
         the VERDICT r5 item 3 surface): one atomic commit that
@@ -4878,8 +4879,21 @@ class ManagedTable:
         key_cols = [on] if isinstance(on, str) else list(on)
         if not key_cols:
             raise ValueError("merge() requires at least one key column")
+        skipped = {"updated": 0, "deleted": 0, "inserted": 0,
+                   "skipped": True}
         with _lock_for(self.root):
             b = self._bounded_ingest_base()
+            if txn is not None and b is not None:
+                # ``txn=(app_id, version)`` makes the merge IDEMPOTENT per
+                # app (the append/overwrite contract extended to MERGE —
+                # what a foreachBatch CDF consumer needs for exactly-once
+                # replica maintenance): a replayed micro-batch whose epoch
+                # the table already recorded skips before doing any work;
+                # a CAS race with a concurrent retry is caught again at
+                # commit time (the commit returns False).
+                last = (b[2] or {}).get(str(txn[0]))
+                if last is not None and last >= txn[1]:
+                    return dict(skipped)
             if b is not None and b[1] is not None and not by_source_clauses:
                 # bounded expression merge: candidates from the
                 # checkpoint-backed span probe, O(touched) action-diff
@@ -4888,11 +4902,15 @@ class ManagedTable:
                 # semantics, so it takes the classic full plan.)
                 out = self._merge_expr_bounded(
                     source_df, key_cols, matched_clauses,
-                    insert_clauses, b,
+                    insert_clauses, b, txn=txn,
                 )
                 if out is not None:
                     return out
             m = self.snapshot()
+            if txn is not None:
+                last = (m.txns or {}).get(str(txn[0]))
+                if last is not None and last >= txn[1]:
+                    return dict(skipped)
             if not m.schema_json:
                 raise ValueError(
                     "merge() requires an existing table schema; use append() "
@@ -4935,12 +4953,15 @@ class ManagedTable:
             files = tuple(m.files)
             if dv_files is not None:
                 files = self._grow_dv(files, dv_files, per_file)
-            self._commit_files(
+            landed = self._commit_files(
                 m,
                 files + written,
                 m.schema_json,
                 "merge" if any(counts) else "merge_noop",
+                txn=txn,
             )
+            if not landed:
+                return dict(skipped)  # a concurrent retry won the epoch
         return {
             "updated": n_updated,
             "deleted": n_deleted,
@@ -4954,6 +4975,7 @@ class ManagedTable:
         matched_clauses: list,
         insert_clauses: list,
         b,
+        txn: "tuple[str, int] | None" = None,
     ) -> "dict | None":
         """Bounded twin of the expression merge: key-span candidates from
         :meth:`_bounded_span_candidates` (the span frame never exists
@@ -4995,10 +5017,14 @@ class ManagedTable:
         removed: set = set()
         if dv_files is not None:
             changed, removed = self._regrow_planned(sel, dv_files, per_file)
-        self._commit_bounded(
+        landed = self._commit_bounded(
             head, changed + written, removed,
             "merge" if any(counts) else "merge_noop",
+            txn=txn,
         )
+        if not landed:
+            return {"updated": 0, "deleted": 0, "inserted": 0,
+                    "skipped": True}
         return {
             "updated": counts[0],
             "deleted": counts[1],
