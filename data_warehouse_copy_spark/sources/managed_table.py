@@ -896,6 +896,42 @@ class ManagedTable:
         except OSError:
             pass
         self._sweep_old_checkpoints(m.version)
+        self._maybe_clean_log()
+
+    def set_log_retention(self, hours: "float | None") -> None:
+        """The ``logRetention.hours`` table property (Delta's
+        ``logRetentionDuration``): with it set, every checkpoint write
+        also trims log records/checkpoints older than the retention —
+        automatic bounded metadata under streaming ingest, no operator
+        VACUUM needed. ``None`` clears (history grows again)."""
+        if hours is not None and hours < 0:
+            raise ValueError("logRetention.hours must be >= 0")
+        self._proto.put_text(
+            self.root / "_log" / "_RETENTION.json",
+            json.dumps(hours),
+        )
+
+    def log_retention_policy(self) -> "float | None":
+        try:
+            raw = self._proto.read_text(
+                self.root / "_log" / "_RETENTION.json"
+            )
+        except FileNotFoundError:
+            return None
+        return json.loads(raw)
+
+    def _maybe_clean_log(self) -> None:
+        """Policy-driven log cleanup riding the checkpoint cadence (the
+        Delta model: metadata cleanup happens when checkpoints are
+        written). Best-effort BY CONTRACT, like auto-compact: the commit
+        that triggered this checkpoint is already durable, so cleanup
+        failures must never surface as a write failure."""
+        try:
+            hours = self.log_retention_policy()
+            if hours is not None:
+                self.clean_log(retention_seconds=hours * 3600.0)
+        except Exception:
+            pass
 
     def _sweep_old_checkpoints(self, head: int) -> None:
         """Checkpoint retention (Delta's log-cleanup analogue): each
@@ -1313,6 +1349,7 @@ class ManagedTable:
                     except OSError:
                         pass
             self._sweep_old_checkpoints(version)
+            self._maybe_clean_log()
             return True
         except OSError:
             return False
@@ -5655,6 +5692,9 @@ class ManagedTable:
         tc = self.table_comment()
         if tc is not None:
             t.set_table_comment(tc)
+        lr = self.log_retention_policy()
+        if lr is not None:
+            t.set_log_retention(lr)
         return t
 
     def clone_to(
@@ -5717,6 +5757,9 @@ class ManagedTable:
         tc = self.table_comment()
         if tc is not None:
             t.set_table_comment(tc)
+        lr = self.log_retention_policy()
+        if lr is not None:
+            t.set_log_retention(lr)
         return t
 
     def restore(self, version: int) -> int:

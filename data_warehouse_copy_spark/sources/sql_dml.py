@@ -1891,11 +1891,25 @@ def _apply_table_properties(
                 raise SqlDmlError(
                     f"{key} must be an integer, got {val!r}"
                 ) from None
+        elif key == "logRetention.hours":
+            # Delta's logRetentionDuration: checkpoint writes also trim
+            # log records/checkpoints older than this — automatic
+            # bounded metadata under streaming ingest
+            if unset:
+                t.set_log_retention(None)
+                continue
+            try:
+                t.set_log_retention(float(val))
+            except (TypeError, ValueError):
+                raise SqlDmlError(
+                    f"logRetention.hours must be a number, got {val!r}"
+                ) from None
         else:
             raise SqlDmlError(
                 f"unsupported table property {key!r}; supported: "
                 f"'{_AC}' ('true'|'false'), "
                 + ", ".join(f"'{k}' (int)" for k in _KNOBS)
+                + ", 'logRetention.hours' (number)"
             )
     current = t.auto_compact_policy()
     if enable is False:
@@ -2357,6 +2371,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         tc = src.table_comment()
         if tc is not None:
             nt.set_table_comment(tc)
+        lr = src.log_retention_policy()
+        if lr is not None:
+            nt.set_log_retention(lr)
         catalog.register(st.table, root)
         return _summary(spark, "CREATE TABLE LIKE", 0)
     if st.kind == "create_table":
@@ -2577,6 +2594,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                     str(policy.get("max_merge_files", 128)),
                 ),
             ]
+        lr = t.log_retention_policy()
+        if lr is not None:
+            rows.append(("logRetention.hours", str(lr)))
         return spark.createDataFrame(
             rows,
             T.StructType(
@@ -2704,6 +2724,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             )
             parts.append(f"CLUSTERED BY ({cc})")
         policy = t.auto_compact_policy()
+        props = []
         if policy:
             props = [
                 "'autoCompact' = 'true'",
@@ -2712,6 +2733,10 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 f"'autoCompact.maxMergeFiles' = '{policy['max_merge_files']}'",
                 f"'autoCompact.maxFileBytes' = '{policy['max_file_bytes']}'",
             ]
+        lr = t.log_retention_policy()
+        if lr is not None:
+            props.append(f"'logRetention.hours' = '{lr}'")
+        if props:
             parts.append("TBLPROPERTIES (" + ", ".join(props) + ")")
         stmt = "\n".join(parts)
         return spark.createDataFrame(

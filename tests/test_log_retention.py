@@ -217,6 +217,55 @@ def test_sql_vacuum_log_retention(spark, tmp_path):
         c.sql(spark, "VACUUM db.t LOG RETENTION -1 HOURS")
 
 
+def test_log_retention_property_auto_cleans_at_checkpoints(spark, tmp_path):
+    """TBLPROPERTIES ('logRetention.hours') — Delta's logRetentionDuration
+    as a TABLE POLICY: once set, every checkpoint write also trims aged
+    log records, so a streaming table's metadata stays bounded with NO
+    operator VACUUM. UNSET stops the cleanup; clones carry the policy."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    t = _mk(spark, tmp_path / "t", 2)
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.register("db.t", str(tmp_path / "t"))
+    c.sql(
+        spark,
+        "ALTER TABLE db.t SET TBLPROPERTIES ('logRetention.hours' = '0')",
+    )
+    assert t.log_retention_policy() == 0.0
+    for i in range(43):  # cross the 20- and 40-commit checkpoints
+        t.append_pylist([{"k": 100 + i, "v": 0}], SCHEMA)
+    assert t.log_floor() == 40  # cleaned by the checkpoint hook itself
+    assert f"{39:020d}.json" not in _log_objects(tmp_path / "t")
+    assert t.read().count() == 45
+    # property surfaces: SHOW TBLPROPERTIES + SHOW CREATE emit it
+    props = {
+        r.key: r.value
+        for r in c.sql(spark, "SHOW TBLPROPERTIES db.t").collect()
+    }
+    assert props["logRetention.hours"] == "0.0"
+    ddl = c.sql(spark, "SHOW CREATE TABLE db.t").first().createtab_stmt
+    assert "'logRetention.hours' = '0.0'" in ddl
+    # clones carry the policy
+    clone = t.clone_to(str(tmp_path / "c"))
+    assert clone.log_retention_policy() == 0.0
+    # UNSET stops the cleanup: later checkpoints leave the floor alone
+    c.sql(
+        spark,
+        "ALTER TABLE db.t UNSET TBLPROPERTIES ('logRetention.hours')",
+    )
+    assert t.log_retention_policy() is None
+    for i in range(20):
+        t.append_pylist([{"k": 200 + i, "v": 0}], SCHEMA)
+    assert t.log_floor() == 40  # unchanged
+    assert f"{41:020d}.json" in _log_objects(tmp_path / "t")
+    with pytest.raises(ValueError, match="number"):
+        c.sql(
+            spark,
+            "ALTER TABLE db.t SET TBLPROPERTIES "
+            "('logRetention.hours' = 'soon')",
+        )
+
+
 def test_clone_and_restore_interplay(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", 45)
     t.clean_log(retention_seconds=0)  # floor 40
