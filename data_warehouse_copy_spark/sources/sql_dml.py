@@ -2541,13 +2541,14 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             catalog.register(st.table, st.location)
         # rows_affected = adopted rows (metadata count; no scan)
         return _summary(spark, "CONVERT TO MANAGED_TABLE", nt.count())
-    if st.kind in ("truncate", "analyze", "describe_column") and (
-        st.table not in set(catalog.names())
-    ):
-        # TRUNCATE TABLE / ANALYZE TABLE / DESCRIBE EXTENDED are valid
-        # Spark SQL over SESSION tables too — an unregistered name is
-        # Spark's statement, not ours (same pass-through posture as
-        # non-managed CREATE forms)
+    if st.kind in (
+        "truncate", "analyze", "describe_column",
+        "show_columns", "comment_table", "comment_column",
+    ) and st.table not in set(catalog.names()):
+        # TRUNCATE TABLE / ANALYZE TABLE / DESCRIBE EXTENDED / SHOW
+        # COLUMNS / COMMENT ON are valid Spark SQL over SESSION tables
+        # too — an unregistered name is Spark's statement, not ours
+        # (same pass-through posture as non-managed CREATE forms)
         return spark.sql(sql)
     t = ManagedTable(spark, catalog.root_of(st.table))
     if st.kind == "show_columns":

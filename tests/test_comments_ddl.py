@@ -166,6 +166,22 @@ def test_create_table_like(spark, cat, tmp_path):
         c.sql(spark, "CREATE TABLE db.t3 LIKE db.nosuch")
 
 
+def test_unregistered_names_pass_through_to_spark(spark, cat):
+    """SHOW COLUMNS / COMMENT ON over a SESSION table is Spark's
+    statement, not ours — an unregistered name must pass through, never
+    KeyError."""
+    c, _t = cat
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW sess_v AS SELECT 1 AS a")
+    rows = c.sql(spark, "SHOW COLUMNS IN sess_v").collect()
+    assert [r.col_name for r in rows] == ["a"]
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        # Spark's own error for commenting a temp view — OUR error would
+        # be a KeyError from the catalog lookup
+        c.sql(spark, "COMMENT ON TABLE sess_v IS 'x'")
+
+
 def test_or_replace_resets_table_comment(spark, cat):
     c, t = cat
     t.set_table_comment("old notes")
