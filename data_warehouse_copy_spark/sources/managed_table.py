@@ -2549,6 +2549,19 @@ class ManagedTable:
         if not schema_json:
             return df, False
         existing = T.StructType.fromJson(json.loads(schema_json))
+        # GENERATED ALWAYS AS columns (Delta's generated-column model):
+        # an incoming frame that OMITS a generated column gets it
+        # computed here, at the one align chokepoint every append path
+        # crosses (native, bounded, SQL INSERT, streaming sinks). A
+        # frame that PROVIDES the column is validated instead — by the
+        # gen_<col> CHECK constraint registered at CREATE, which also
+        # covers every non-append DML path (merge/update/replace_where).
+        for f in existing.fields:
+            gexpr = (f.metadata or {}).get("generation_expression")
+            if gexpr and f.name not in df.columns:
+                df = df.withColumn(
+                    f.name, F.expr(gexpr).cast(f.dataType)
+                )
         have, want = set(df.columns), {f.name for f in existing.fields}
         if have != want and not merge_schema:
             raise ValueError(
@@ -3191,6 +3204,70 @@ class ManagedTable:
                 head, (), set(), "comment_column",
                 schema_json=new_schema.json(), columns=columns,
             )
+
+    def set_generation_expression(self, name: str, expr: str) -> None:
+        """Mark ``name`` GENERATED ALWAYS AS ``expr`` (Delta's
+        generated-column model, stored in the field metadata slot like
+        comments so it rides every commit/clone/restore and survives
+        widen). Appends that omit the column compute it
+        (:meth:`_align_append_df`); every write path that PROVIDES it is
+        validated by the ``gen_<name>`` CHECK constraint the caller
+        registers alongside (``<col> <=> (<expr>)`` — the constraint
+        machinery already guards renames of referenced columns and
+        enforces on merge/update/replace_where). A generation expression
+        may not reference another generated column (evaluation order
+        would be ambiguous)."""
+        with _lock_for(self.root):
+            head, schema_json, columns = self._columns_state()
+            if not schema_json:
+                raise ValueError(
+                    "cannot mark a generated column on an empty table"
+                )
+            st = T.StructType.fromJson(json.loads(schema_json))
+            names = [f.name for f in st.fields]
+            if name not in names:
+                raise ValueError(f"no such column: {name!r}")
+            gen_cols = {
+                f.name
+                for f in st.fields
+                if (f.metadata or {}).get("generation_expression")
+            }
+            toks = set(re.findall(r"[A-Za-z_]\w*", expr))
+            bad = sorted((toks & gen_cols) - {name})
+            if bad:
+                raise ValueError(
+                    f"generation expression for {name!r} references "
+                    f"generated column(s) {bad}"
+                )
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        {**(f.metadata or {}), "generation_expression": expr}
+                        if f.name == name
+                        else f.metadata,
+                    )
+                    for f in st.fields
+                ]
+            )
+            self._commit_bounded(
+                head, (), set(), "generated_column",
+                schema_json=new_schema.json(), columns=columns,
+            )
+
+    def generated_columns(self) -> dict:
+        """``{column: generation expression}`` at the current head."""
+        m = self.snapshot()
+        if not m.schema_json:
+            return {}
+        st = T.StructType.fromJson(json.loads(m.schema_json))
+        return {
+            f.name: f.metadata["generation_expression"]
+            for f in st.fields
+            if f.metadata and "generation_expression" in f.metadata
+        }
 
     def column_comments(self) -> dict:
         """``{logical column name: comment}`` at the current head."""

@@ -75,6 +75,12 @@ Supported grammar (case-insensitive keywords)::
     CREATE TABLE db.t2 LIKE db.t1 [LOCATION 'path']
         -- new EMPTY table copying t1's schema (comments included),
         -- layout, CHECK constraints and table properties
+    CREATE TABLE db.t (..., c type GENERATED ALWAYS AS (expr), ...)
+        -- Delta generated columns: writes that OMIT c compute it from
+        -- expr; writes that PROVIDE it are validated by an automatic
+        -- gen_c CHECK constraint (c <=> expr) on EVERY write path.
+        -- The expression rides the schema's field metadata (clones,
+        -- time travel, SHOW CREATE re-run all carry it).
     DESCRIBE DETAIL db.tbl
         -- one metadata row: version, files, rows, layout, constraints
     DESCRIBE HISTORY db.tbl [LIMIT n]
@@ -1123,17 +1129,52 @@ class _Parser:
                     cname = self._expect_ident()
                     ctype = self._type_name()
                     ccomment = None
-                    if self._at_word("comment"):
-                        # c INT COMMENT 'txt' — raw-text matched so
-                        # "comment" stays a valid column name
-                        self._take()
-                        v = self._literal()
-                        if not isinstance(v, str):
-                            raise SqlDmlError(
-                                "column COMMENT expects a quoted string"
-                            )
-                        ccomment = v
-                    cols.append((cname, ctype, ccomment))
+                    genexpr = None
+                    while True:
+                        if self._at_word("comment") and ccomment is None:
+                            # c INT COMMENT 'txt' — raw-text matched so
+                            # "comment" stays a valid column name
+                            self._take()
+                            v = self._literal()
+                            if not isinstance(v, str):
+                                raise SqlDmlError(
+                                    "column COMMENT expects a quoted string"
+                                )
+                            ccomment = v
+                        elif (
+                            self._at_word("generated")
+                            and genexpr is None
+                        ):
+                            # c INT GENERATED ALWAYS AS (expr) — Delta's
+                            # generated columns; expr is the balanced
+                            # token run inside the parens
+                            self._take()
+                            self._expect_word("always")
+                            self._expect_kw("as")
+                            self._expect_punct("(")
+                            depth, parts = 1, []
+                            while depth:
+                                tk = self._take()
+                                if tk is None:
+                                    raise SqlDmlError(
+                                        "unterminated GENERATED ALWAYS "
+                                        "AS (...) expression"
+                                    )
+                                if tk.kind == "punct":
+                                    depth += tk.text == "("
+                                    depth -= tk.text == ")"
+                                    if not depth:
+                                        break
+                                parts.append(tk.text)
+                            if not parts:
+                                raise SqlDmlError(
+                                    "GENERATED ALWAYS AS (...) needs an "
+                                    "expression"
+                                )
+                            genexpr = " ".join(parts)
+                        else:
+                            break
+                    cols.append((cname, ctype, ccomment, genexpr))
                     t = self._take()
                     if t is not None and t.text == ")":
                         break
@@ -2379,6 +2420,8 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     if st.kind == "create_table":
         from pathlib import Path as _Path
 
+        from pyspark.sql import functions as F
+
         if st.table in set(catalog.names()):
             if st.or_replace:
                 # REPLACE of a registered table: ONE atomic overwrite
@@ -2514,12 +2557,31 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # constraints/INSERT column lists work before the first data
         nt.append(
             spark.createDataFrame(
-                [], ", ".join(f"{n} {ty}" for n, ty, _c in st.create_columns)
+                [], ", ".join(f"{c[0]} {c[1]}" for c in st.create_columns)
             )
         )
-        for n, _ty, cm in st.create_columns:
+        for n, _ty, cm, _ge in st.create_columns:
             if cm is not None:
                 nt.set_column_comment(n, cm)
+        for n, _ty, _cm, ge in st.create_columns:
+            if ge is not None:
+                # validate the expression resolves against the declared
+                # schema BEFORE recording anything — a bad expr must not
+                # leave a half-generated table
+                try:
+                    spark.createDataFrame([], nt.read().schema).select(
+                        F.expr(ge)
+                    )
+                except Exception as e:
+                    raise SqlDmlError(
+                        f"GENERATED ALWAYS AS expression for {n!r} does "
+                        f"not resolve: {e}"
+                    ) from None
+                nt.set_generation_expression(n, ge)
+                # the validation side: every write path that PROVIDES the
+                # column proves <col> <=> (expr) through the existing
+                # CHECK machinery (merge/update/replace_where included)
+                nt.add_constraint(f"gen_{n}", f"{n} <=> ({ge})")
         if st.comment is not None:
             nt.set_table_comment(st.comment)
         catalog.register(st.table, root)
@@ -2700,6 +2762,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         )
         def col_ddl(f):
             base = f"  {f.name} {f.dataType.simpleString()}"
+            ge = (f.metadata or {}).get("generation_expression")
+            if ge is not None:
+                base += f" GENERATED ALWAYS AS ({ge})"
             cm = (f.metadata or {}).get("comment")
             if cm is not None:
                 base += " COMMENT '" + str(cm).replace("'", "''") + "'"
@@ -2922,16 +2987,28 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         bad = sorted(set(names) - set(known))
         if bad:
             raise SqlDmlError(f"INSERT targets unknown columns {bad}")
-        # typed-null backfill for omitted columns; cast the provided ones
-        # so VALUES literals (e.g. int into a double column) land typed
+        # typed-null backfill for omitted columns — except GENERATED
+        # ones, which compute from their expression (Delta semantics);
+        # cast the provided ones so VALUES literals (e.g. int into a
+        # double column) land typed. A PROVIDED generated column is
+        # validated by its gen_<col> CHECK constraint on write.
+        gen = t.generated_columns()
+        provided = set(names)
         src = src.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in set(names)
+                if f.name in provided
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in table_fields
+                if f.name in provided or f.name not in gen
             ]
         )
+        for f in table_fields:  # then compute, so the exprs can see
+            if f.name in gen and f.name not in provided:  # every column
+                src = src.withColumn(
+                    f.name, F.expr(gen[f.name]).cast(f.dataType)
+                )
+        src = src.select(*[f.name for f in table_fields])
         if st.replace_where is not None:
             _deleted, n = t.replace_where(src, st.replace_where)
             return _summary(spark, "INSERT REPLACE WHERE", n)
