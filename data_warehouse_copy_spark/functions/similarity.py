@@ -167,6 +167,92 @@ def cosine_near_dup_pairs(
     )
 
 
+def cross_cosine_matches(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """``(left_id, right_id, cosine)`` for every LEFT × RIGHT pair with
+    cosine >= threshold — the INCREMENTAL near-dup probe (a batch of
+    arrivals against the standing corpus). Exact (oracle-matching).
+
+    Same two-phase shape as :func:`cosine_near_dup_pairs`, but the
+    blocked matmul covers ONLY cross-set pairs: scoring a 10% arrival
+    batch against the 90% corpus via the all-pairs scorer would spend
+    ~81% of the matmul on corpus×corpus pairs nobody asked about. Each
+    (left-block, right-block) pair is one ``applyInPandas`` group doing
+    a single float64 normalized matmul; candidates above
+    ``threshold - 1e-6`` re-score with the fixed-left-fold
+    :func:`cosine`, so the final >= uses the same double the SQL oracle
+    computes."""
+    id_t = left.schema[id_col].dataType.simpleString()
+    lt = left.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.lit(0).alias("side"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("b"),
+    )
+    rt = right.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.lit(1).alias("side"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("b"),
+    )
+    # a left row in block bl participates in groups (bl, *): replicate it
+    # over the OTHER side's blocks — each row ships n_blocks times, the
+    # same fan-out the all-pairs scorer pays
+    exploded = lt.unionByName(rt).select(
+        "id",
+        "v",
+        "side",
+        "b",
+        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("j"),
+    ).withColumn(
+        "pk",
+        F.when(F.col("side") == 0, F.concat_ws("_", "b", "j")).otherwise(
+            F.concat_ws("_", "j", "b")
+        ),
+    )
+    slack = threshold - 1e-6
+
+    def gen(key, pdf: pandas.DataFrame) -> pandas.DataFrame:
+        sides = pdf["side"].to_numpy()
+        ml, mr = sides == 0, sides == 1
+        if not ml.any() or not mr.any():
+            return pandas.DataFrame({"left_id": [], "right_id": []}).astype(
+                {"left_id": "int64", "right_id": "int64"}
+            )
+        ids = pdf["id"].to_numpy()
+        mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        matn = mat / safe[:, None]
+        matn[norms == 0.0] = 0.0  # zero-norm vectors match nothing
+        sim = matn[ml] @ matn[mr].T
+        ii, jj = np.nonzero(sim >= slack)
+        return pandas.DataFrame(
+            {"left_id": ids[ml][ii], "right_id": ids[mr][jj]}
+        )
+
+    cand = exploded.groupBy("pk").applyInPandas(
+        gen, f"left_id {id_t}, right_id {id_t}"
+    )
+    a = left.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("va"))
+    b = right.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("vb")
+    )
+    return (
+        cand.join(a, "left_id")
+        .join(b, "right_id")
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
 # ----------------------------------------------------- sign-bit LSH buckets
 
 def sign_bits_udf(dim: int, planes: int, seed: int = 42):

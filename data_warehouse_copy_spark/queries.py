@@ -1858,6 +1858,58 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — the arrival-batch shape (new crawl
+    lands, drop documents whose embedding near-duplicates the standing
+    corpus): arrivals = every 10th vector, corpus = the rest; an arrival
+    survives iff NO corpus vector reaches cosine 0.4. The probe is
+    :func:`cross_cosine_matches` (functions/similarity.py) — blocked
+    float64 matmuls over ONLY cross-set pairs (an all-pairs scorer would
+    spend ~81% of the work on corpus×corpus), candidates re-scored with
+    the fixed-left-fold cosine so the decision double is bit-identical
+    to the SQL oracle. Survivors anti-join matched ids — the embedding
+    twin of ``dedup_incremental``'s exact-fingerprint anti-join. At
+    100 TB the standing corpus is served by the persisted IVF index
+    instead (``similarity_topk_ivf_persisted``'s probe path); this entry
+    is the exact anchor."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        cross_cosine_matches,
+    )
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    arrivals = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    matched = (
+        cross_cosine_matches(_spread(arrivals), corpus, threshold=0.4)
+        .select(F.col("left_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        arrivals.join(matched, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_SEMANTIC_INCREMENTAL_SQL = f"""
+WITH {_COSINE_CTE},
+arr AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+matched AS (
+  SELECT DISTINCT a.vec_id
+  FROM arr a JOIN corp c
+    ON list_dot_product(a.v, c.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(c.v, c.v))) >= 0.4
+)
+SELECT a.vec_id, emb.label
+FROM arr a
+JOIN embeddings emb ON emb.vec_id = a.vec_id
+WHERE a.vec_id NOT IN (SELECT vec_id FROM matched)
+ORDER BY a.vec_id
+"""
+
+
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH-bucketed approximate top-5 (the scale path: equi-join on
     band keys instead of a cross join). Probabilistic recall → rows-only
@@ -5698,6 +5750,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_read_roundtrip": cdc_read_roundtrip,
     "cdc_delete_feed": cdc_delete_feed,
     "stream_cdf_replica_sync": stream_cdf_replica_sync,
+    "dedup_semantic_incremental": dedup_semantic_incremental,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "merge_expressions_roundtrip": merge_expressions_roundtrip,
     "schema_evolution_roundtrip": schema_evolution_roundtrip,
@@ -5826,6 +5879,7 @@ ORACLES: dict[str, str] = {
     "cdc_delete_feed": CDC_DELETE_FEED_SQL,
     "stream_cdf_roundtrip": STREAM_CDF_SQL,
     "stream_cdf_replica_sync": STREAM_CDF_REPLICA_SQL,
+    "dedup_semantic_incremental": DEDUP_SEMANTIC_INCREMENTAL_SQL,
     "datasource_upsert_roundtrip": DATASOURCE_UPSERT_SQL,
     "merge_expressions_roundtrip": MERGE_EXPRESSIONS_SQL,
     "schema_evolution_roundtrip": SCHEMA_EVOLUTION_SQL,

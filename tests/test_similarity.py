@@ -410,3 +410,49 @@ def test_blocked_upper_pairs_matches_naive():
     # empty result shape survives
     ea, eb = _blocked_upper_pairs(ids, Xn, 2.0, block=64)
     assert len(ea) == 0 and len(eb) == 0
+
+
+def test_cross_cosine_matches_equals_allpairs_cross_subset(emb):
+    """The incremental probe (cross_cosine_matches) must find EXACTLY the
+    cross-set pairs the all-pairs scorer finds — no within-set pairs, no
+    misses, identical exact cosines."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+        cross_cosine_matches,
+    )
+
+    left = emb.filter(F.col("vec_id") % 10 == 0)
+    right = emb.filter(F.col("vec_id") % 10 != 0)
+    got = {
+        (r["left_id"], r["right_id"], round(r["cosine"], 12))
+        for r in cross_cosine_matches(left, right, threshold=0.35).collect()
+    }
+    want = set()
+    for r in cosine_near_dup_pairs(emb, threshold=0.35).collect():
+        a_left = r["id_a"] % 10 == 0
+        b_left = r["id_b"] % 10 == 0
+        if a_left == b_left:
+            continue  # within-set: the probe must not emit it
+        li, ri = (r["id_a"], r["id_b"]) if a_left else (r["id_b"], r["id_a"])
+        want.add((li, ri, round(r["cosine"], 12)))
+    assert got == want and len(want) > 0
+
+
+def test_cross_cosine_matches_zero_norm_and_empty_sides(spark):
+    from data_warehouse_copy_spark.functions.similarity import (
+        cross_cosine_matches,
+    )
+
+    left = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    right = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = cross_cosine_matches(left, right, threshold=0.9).collect()
+    # only the (2, 10) identical-direction pair; zero-norm matches nothing
+    assert [(r["left_id"], r["right_id"]) for r in rows] == [(2, 10)]
+    empty = right.filter("vec_id < 0")
+    assert cross_cosine_matches(left, empty, threshold=0.5).count() == 0
