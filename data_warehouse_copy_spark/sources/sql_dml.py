@@ -63,6 +63,10 @@ Supported grammar (case-insensitive keywords)::
     SHOW TBLPROPERTIES db.tbl
         -- the table's recorded property surface as (key, value) rows
         -- (empty when no property is set)
+    INSERT INTO db.tbl BY NAME (SELECT ... | VALUES ...)
+        -- by-name binding (Spark parity): source columns bind to
+        -- same-named table columns in any order; omitted columns
+        -- null-backfill (generated ones compute)
     SHOW COLUMNS (IN | FROM) db.tbl
         -- one col_name row per live logical column, schema order
     COMMENT ON TABLE db.tbl IS ('txt' | NULL)
@@ -273,6 +277,7 @@ class DmlStatement:
     # insert fields (kind == "insert")
     insert_columns: "list[str] | None" = None
     insert_query: str | None = None    # the VALUES/SELECT tail, verbatim
+    insert_by_name: bool = False       # INSERT INTO t BY NAME SELECT ...
     # history fields (kind == "history")
     limit: int | None = None
     # ops fields (vacuum / optimize / restore)
@@ -1282,6 +1287,23 @@ class _Parser:
                     )
                 cols.append(self._expect_ident())
         st.insert_columns = cols
+        if (
+            self._at_kw("by")
+            and self._word(self._peek(1)) == "name"
+        ):
+            # INSERT INTO db.t BY NAME SELECT ... (Spark's by-name
+            # binding): source columns bind to SAME-NAMED table columns,
+            # any order; omitted columns null-backfill (generated ones
+            # compute). Exclusive with an explicit column list — that IS
+            # already a name binding.
+            if cols is not None:
+                raise SqlDmlError(
+                    "INSERT BY NAME does not take a column list (the "
+                    "source's own names are the binding)"
+                )
+            self._take()
+            self._take()
+            st.insert_by_name = True
         if (
             self._at_word("replace")
             and self._kw(self._peek(1)) == "where"
@@ -2896,6 +2918,10 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 T.StructField("column_mapping", T.BooleanType(), False),
                 T.StructField("constraints", T.StringType(), True),
                 T.StructField("auto_compact", T.StringType(), True),
+                T.StructField("comment", T.StringType(), True),
+                T.StructField("generated_columns", T.StringType(), True),
+                T.StructField("log_retention_hours", T.DoubleType(), True),
+                T.StructField("log_floor_version", T.LongType(), False),
             ]
         )
         hist = t.history(since_version=head_v)
@@ -2915,6 +2941,12 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                     bool(cols),
                     _json.dumps(cons) if cons else None,
                     _json.dumps(policy) if policy else None,
+                    t.table_comment(),
+                    (_json.dumps(t.generated_columns())
+                     if t.generated_columns() else None),
+                    (float(t.log_retention_policy())
+                     if t.log_retention_policy() is not None else None),
+                    t.log_floor(),
                 )
             ],
             detail_schema,
@@ -2968,7 +3000,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 n,
             )
         table_fields = T.StructType.fromJson(_json.loads(schema_json)).fields
-        if st.insert_columns is not None:
+        if st.insert_by_name:
+            # BY NAME binding: the source's own column names are the
+            # target list — any order, omitted columns backfill below
+            names = list(df.columns)
+        elif st.insert_columns is not None:
             names = st.insert_columns
         else:
             # ANSI INSERT ... SELECT semantics: POSITIONAL binding to the

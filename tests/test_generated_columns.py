@@ -133,3 +133,25 @@ def test_generated_composes_with_comment_clause(spark, tmp_path):
     # rename of the referenced column is blocked by the constraint
     with pytest.raises(ValueError, match="constraint"):
         t.rename_column("a", "alpha")
+
+
+def test_insert_by_name_binds_and_computes(spark, gen_table):
+    """INSERT INTO t BY NAME SELECT ...: source columns bind to
+    same-named table columns in any order; omitted generated columns
+    compute, omitted plain columns null-backfill."""
+    c, t = gen_table
+    c.sql(
+        spark,
+        "INSERT INTO db.g BY NAME SELECT 'n' AS note, 3 AS a",
+    )
+    assert _rows(t) == [(3, 4, "n")]
+    # unknown source column is loud
+    with pytest.raises(Exception, match="unknown columns"):
+        c.sql(spark, "INSERT INTO db.g BY NAME SELECT 1 AS zz")
+    # BY NAME + column list is contradictory
+    with pytest.raises(ValueError, match="column list"):
+        c.sql(spark, "INSERT INTO db.g (a) BY NAME SELECT 1 AS a")
+    # 'by' / 'name' outside this position stay usable (positional insert
+    # of a source whose columns are named differently still works)
+    c.sql(spark, "INSERT INTO db.g (a, note) SELECT 9 AS x, 'p' AS y")
+    assert (9, 10, "p") in _rows(t)

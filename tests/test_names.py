@@ -1162,6 +1162,14 @@ def test_sql_describe_detail(spark, tmp_path):
     r = c.sql(spark, "DESCRIBE DETAIL db.t").first()
     assert "max_files_per_partition" in (r.auto_compact or "")
     assert '"max_files_per_partition": 7' in r.auto_compact
+    # round-11 metadata columns: comment / generated / retention / floor
+    assert r.comment is None and r.generated_columns is None
+    assert r.log_retention_hours is None and r.log_floor_version == 0
+    t.set_table_comment("detail test")
+    t.set_log_retention(720)
+    r = c.sql(spark, "DESCRIBE DETAIL db.t").first()
+    assert r.comment == "detail test"
+    assert r.log_retention_hours == 720.0
 
 
 def test_sql_show_tables(spark, tmp_path):
