@@ -2154,57 +2154,77 @@ def _try_dynamic_prune(spark, catalog, sql, info):
             j += 2
         return name, alias, i, j
 
-    r1 = table_ref(from_i + 1)
-    if r1 is None:
+    # FROM T0 [a0] (INNER? JOIN Ti [ai] ON q.c = q.c)+ — the star shape
+    # (round-11: generalized from the single-join form; a 3-table chain
+    # t0⋈t1⋈t2 is the star around t1, equally prunable)
+    r0 = table_ref(from_i + 1)
+    if r0 is None:
         return None
-    t1, a1, s1, j = r1
-    if j < len(toks) and toks[j].text.lower() == "inner":
-        j += 1
-    if j >= len(toks) or toks[j].text.lower() != "join":
+    tables = [r0]
+    joins: list = []  # (left "q.c", right "q.c")
+    j = r0[3]
+    while True:
+        if j < len(toks) and toks[j].text.lower() == "inner":
+            j += 1
+        if j >= len(toks) or toks[j].text.lower() != "join":
+            break
+        r = table_ref(j + 1)
+        if r is None:
+            return None
+        tables.append(r)
+        j = r[3]
+        # ON must be exactly  qual.col = qual.col  at top level
+        if not (
+            j + 3 < len(toks)
+            and toks[j].text.lower() == "on"
+            and toks[j + 1].kind == "ident"
+            and toks[j + 1].text.count(".") == 1
+            and toks[j + 2].kind == "punct"
+            and toks[j + 2].text == "="
+            and toks[j + 3].kind == "ident"
+            and toks[j + 3].text.count(".") == 1
+        ):
+            return None
+        joins.append((toks[j + 1].text, toks[j + 3].text))
+        j += 4
+    if not joins:
         return None
-    r2 = table_ref(j + 1)
-    if r2 is None:
-        return None
-    t2, a2, s2, j = r2
-    if j >= len(toks) or toks[j].text.lower() != "on":
-        return None
-    # ON must be exactly  qual.col = qual.col  at top level
-    if not (
-        j + 3 < len(toks)
-        and toks[j + 1].kind == "ident"
-        and toks[j + 1].text.count(".") == 1
-        and toks[j + 2].kind == "punct"
-        and toks[j + 2].text == "="
-        and toks[j + 3].kind == "ident"
-        and toks[j + 3].text.count(".") == 1
-    ):
-        return None
-    on_l = (toks[j + 1].text, j + 2)
-    on_r = (toks[j + 3].text, j + 4)
-    after_on = j + 4
-    tail_kw = (
-        toks[after_on].text.lower() if after_on < len(toks) else None
-    )
+    tail_kw = toks[j].text.lower() if j < len(toks) else None
     if tail_kw not in (None, "where", "group", "order", "limit", "having"):
-        return None  # compound ON / second join / anything exotic
-    # exactly one JOIN in the whole statement
-    if sum(1 for t in toks if t.text.lower() == "join") != 1:
-        return None
+        return None  # compound ON / anything exotic
+    if sum(1 for t in toks if t.text.lower() == "join") != len(joins):
+        return None  # a JOIN hiding in a subquery somewhere
     names = set(catalog.names())
-    if t1 not in names or t2 not in names or t1 == t2:
+    tnames = [t[0] for t in tables]
+    if len(set(tnames)) != len(tnames):  # self-joins: key spaces collide
         return None
-    a1 = a1 or t1.split(".")[-1]
-    a2 = a2 or t2.split(".")[-1]
-    qual_l, col_l = on_l[0].split(".")
-    qual_r, col_r = on_r[0].split(".")
-    key_by_alias = {qual_l.lower(): col_l, qual_r.lower(): col_r}
-    if set(key_by_alias) != {a1.lower(), a2.lower()}:
+    if any(n not in names for n in tnames):
         return None
+    aliases = [(t[1] or t[0].split(".")[-1]) for t in tables]
+    amap = {a.lower(): i for i, a in enumerate(aliases)}
+    if len(amap) != len(aliases):
+        return None
+    pairs: list = []  # (left_alias, left_col, right_alias, right_col)
+    for lq_c, rq_c in joins:
+        lq, lc = lq_c.split(".")
+        rq, rc = rq_c.split(".")
+        if lq.lower() not in amap or rq.lower() not in amap:
+            return None
+        if lq.lower() == rq.lower():
+            return None
+        pairs.append((lq.lower(), lc, rq.lower(), rc))
+    # the fact is an alias present in EVERY join (the star's center);
+    # a two-table join has two candidates — stats orient it below
+    cands = [
+        a for a in amap if all(a in (p[0], p[2]) for p in pairs)
+    ]
+    if not cands:
+        return None  # not a star (e.g. two joins sharing no table)
 
     # WHERE conjuncts (token slices), if any
     where_toks: list = []
     if tail_kw == "where":
-        k = after_on + 1
+        k = j + 1
         d = 0
         while k < len(toks):
             t = toks[k]
@@ -2218,7 +2238,8 @@ def _try_dynamic_prune(spark, catalog, sql, info):
             k += 1
     conjuncts = _dfp_split_conjuncts(where_toks) if where_toks else []
 
-    # stats gate: dim provably small AND fact provably >> dim, both fresh
+    # stats gate: every dim provably small, the fact provably >> each,
+    # all stats fresh (version == head)
     def fresh_stats(name):
         t = ManagedTable(spark, catalog.root_of(name))
         s = t.table_stats()
@@ -2226,98 +2247,138 @@ def _try_dynamic_prune(spark, catalog, sql, info):
             return None
         return s
 
-    s1s, s2s = fresh_stats(t1), fresh_stats(t2)
+    stats = {a.lower(): fresh_stats(tables[i][0]) for a, i in amap.items()}
     pick = None
-    for fact, facts, fa, dim, dims, da in (
-        (t1, s1s, a1, t2, s2s, a2),
-        (t2, s2s, a2, t1, s1s, a1),
-    ):
-        if facts is None or dims is None:
+    for fa in cands:
+        fs = stats[fa]
+        if fs is None:
             continue
-        if (
-            dims["row_count"] <= _DFP_DIM_MAX
-            and facts["row_count"] >= _DFP_MIN_RATIO * max(dims["row_count"], 1)
+        dims = sorted({p[0] if p[2] == fa else p[2] for p in pairs})
+        if all(
+            stats[da] is not None
+            and stats[da]["row_count"] <= _DFP_DIM_MAX
+            and fs["row_count"]
+            >= _DFP_MIN_RATIO * max(stats[da]["row_count"], 1)
+            for da in dims
         ):
-            pick = (fact, fa, dim, da)
+            pick = (fa, dims)
             break
     if pick is None:
         return None
-    fact, fa, dim, da = pick
-    fact_key = key_by_alias[fa.lower()]
-    dim_key = key_by_alias[da.lower()]
+    fa, dim_aliases = pick
 
-    # probe: DISTINCT dim keys under the dim-only conjuncts, version-pinned
-    dim_root = catalog.root_of(dim)
-    dim_v = ManagedTable(spark, dim_root)._head_version()
     from data_warehouse_copy_spark.sources.datasource import register
 
     register(spark)
-    probe = (
-        spark.read.format("managed_table")
-        .option("versionAsOf", str(dim_v))
-        .load(dim_root)
-    )
-    used_conj = 0
-    for c in conjuncts:
-        quals, bare, sub = _dfp_conjunct_refs(c)
-        if sub or bare or quals != {da.lower()}:
-            continue  # not provably dim-only: probe stays a superset
-        prefix = da.lower() + "."
-        stripped = [
-            t.text[len(prefix):]
-            if t.kind == "ident" and t.text.lower().startswith(prefix)
-            else t.text
-            for t in c
-        ]
-        probe = probe.where(" ".join(stripped))
-        used_conj += 1
-    rows = (
-        probe.select(dim_key).distinct().limit(_DFP_MAX_KEYS + 1).collect()
-    )
-    if len(rows) > _DFP_MAX_KEYS:
-        return None
-    keys = [r[0] for r in rows if r[0] is not None]
-    if not all(isinstance(k, (int, str)) and not isinstance(k, bool)
-               for k in keys):
-        return None  # only scalar key types the manifest stats compare
-
-    where_json = json.dumps([[fact_key, "in", keys]])
     suffix = uuid.uuid4().hex[:12]
-    vf, vd = f"__dwcs_dfp_f_{suffix}", f"__dwcs_dfp_d_{suffix}"
-    fact_root = str(catalog.root_of(fact)).replace("'", "''")
-    spark.sql(
-        f"CREATE OR REPLACE TEMPORARY VIEW `{vf}` USING managed_table "
-        f"OPTIONS (path '{fact_root}', "
-        f"where '{where_json.replace(chr(39), chr(39) * 2)}')"
-    )
-    spark.sql(
-        f"CREATE OR REPLACE TEMPORARY VIEW `{vd}` USING managed_table "
-        f"OPTIONS (path '{str(dim_root).replace(chr(39), chr(39) * 2)}', "
-        f"versionAsOf '{dim_v}')"
-    )
-    # rebuild the query with both table refs swapped for the views
-    spans = sorted(
-        [(s1, r1[3], vf if t1 == fact else vd, a1),
-         (s2, r2[3], vf if t2 == fact else vd, a2)],
-        reverse=True,
-    )
-    out = [t.text for t in toks]
-    for start, end, view, alias in spans:
-        out[start:end] = [f"`{view}`", "AS", alias]
-    new_sql = " ".join(out)
-    try:
-        df = spark.sql(new_sql)
-    except Exception:
-        return None  # rewrite failed analysis (e.g. db-qualified col refs)
-    finally:
-        spark.catalog.dropTempView(vf)
-        spark.catalog.dropTempView(vd)
-    if info is not None:
-        info.update(
-            fact=fact, dim=dim, fact_key=fact_key, dim_key=dim_key,
-            n_keys=len(keys), where_json=where_json, dim_version=dim_v,
-            dim_conjuncts_used=used_conj,
+    made_views: list = []
+
+    def _mk_view(vname: str, root: str, **opts) -> None:
+        parts = [f"path '{str(root).replace(chr(39), chr(39) * 2)}'"] + [
+            f"{k} '{str(v).replace(chr(39), chr(39) * 2)}'"
+            for k, v in opts.items()
+        ]
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW `{vname}` "
+            f"USING managed_table OPTIONS ({', '.join(parts)})"
         )
+        made_views.append(vname)
+
+    try:
+        # probe each dim's DISTINCT join keys under its dim-only
+        # conjuncts, version-pinned; an over-cap probe just drops THAT
+        # dim's in-list (partial pruning stays conservative)
+        triples: list = []
+        probed: dict = {}  # dim alias -> (view name, version, n_keys, used)
+        for da in dim_aliases:
+            dim_name = tables[amap[da]][0]
+            # the one join connecting this dim to the fact
+            p = next(p for p in pairs if da in (p[0], p[2]))
+            fact_key = p[1] if p[0] == fa else p[3]
+            dim_key = p[1] if p[0] == da else p[3]
+            dim_root = catalog.root_of(dim_name)
+            dim_v = ManagedTable(spark, dim_root)._head_version()
+            probe = (
+                spark.read.format("managed_table")
+                .option("versionAsOf", str(dim_v))
+                .load(dim_root)
+            )
+            used = 0
+            for c in conjuncts:
+                quals, bare, sub = _dfp_conjunct_refs(c)
+                if sub or bare or quals != {da}:
+                    continue  # not provably this-dim-only: stay a superset
+                prefix = da + "."
+                stripped = [
+                    t.text[len(prefix):]
+                    if t.kind == "ident"
+                    and t.text.lower().startswith(prefix)
+                    else t.text
+                    for t in c
+                ]
+                probe = probe.where(" ".join(stripped))
+                used += 1
+            rows = (
+                probe.select(dim_key)
+                .distinct()
+                .limit(_DFP_MAX_KEYS + 1)
+                .collect()
+            )
+            if len(rows) > _DFP_MAX_KEYS:
+                continue  # this dim contributes no pruning
+            keys = [r[0] for r in rows if r[0] is not None]
+            if not all(
+                isinstance(k, (int, str)) and not isinstance(k, bool)
+                for k in keys
+            ):
+                continue  # only scalar key types the manifest stats compare
+            triples.append([fact_key, "in", keys])
+            vd = f"__dwcs_dfp_d{len(probed)}_{suffix}"
+            _mk_view(vd, dim_root, versionAsOf=dim_v)
+            probed[da] = (vd, dim_v, len(keys), used)
+        if not triples:
+            return None  # nothing to push — run the original
+        where_json = json.dumps(triples)
+        vf = f"__dwcs_dfp_f_{suffix}"
+        _mk_view(vf, catalog.root_of(tables[amap[fa]][0]), where=where_json)
+        # rebuild the query with the fact + probed dim refs swapped
+        spans = []
+        for a, i in amap.items():
+            if a == fa:
+                spans.append((tables[i][2], tables[i][3], vf, aliases[i]))
+            elif a in probed:
+                spans.append(
+                    (tables[i][2], tables[i][3], probed[a][0], aliases[i])
+                )
+        out = [t.text for t in toks]
+        for start, end, view, alias in sorted(spans, reverse=True):
+            out[start:end] = [f"`{view}`", "AS", alias]
+        new_sql = " ".join(out)
+        try:
+            df = spark.sql(new_sql)
+        except Exception:
+            return None  # rewrite failed analysis (db-qualified col refs)
+    finally:
+        for v in made_views:
+            spark.catalog.dropTempView(v)
+    if info is not None:
+        first = dim_aliases[0] if dim_aliases else None
+        info.update(
+            fact=tables[amap[fa]][0],
+            dims={
+                da: {"n_keys": probed[da][2], "version": probed[da][1],
+                     "conjuncts_used": probed[da][3]}
+                for da in probed
+            },
+            where_json=where_json,
+        )
+        if first in probed:  # single-join compatibility fields
+            info.update(
+                dim=tables[amap[first]][0],
+                n_keys=probed[first][2],
+                dim_version=probed[first][1],
+                dim_conjuncts_used=probed[first][3],
+            )
     return df
 
 

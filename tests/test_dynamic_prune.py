@@ -206,3 +206,56 @@ def test_dfp_dim_version_pinned_against_probe_skew(spark, star):
     df = try_dynamic_prune(spark, cat, Q, info)
     assert info["dim_version"] == dim._head_version()
     assert df.count() == 10
+
+
+def test_dfp_star_multi_dim(spark, star, tmp_path):
+    """Round-11 generalization: fact JOIN d1 JOIN d2 prunes the fact by
+    BOTH dims' key sets (ANDed in-lists), value-exact."""
+    cat, fact, _dim = star
+    d2 = ManagedTable.create(spark, tmp_path / "dim2")
+    d2.append(
+        spark.range(40).selectExpr(
+            "id * 1000 AS mk", "CASE WHEN id < 3 THEN 'a' ELSE 'b' END AS g"
+        )
+    )
+    d2.analyze()
+    cat.register("global_temp.d2", str(tmp_path / "dim2"))
+    cat.attach(spark)
+    q = (
+        "SELECT f.k, d.tier, e.g FROM global_temp.f f "
+        "JOIN global_temp.d d ON f.k = d.dk "
+        "JOIN global_temp.d2 e ON f.k = e.mk "
+        "WHERE d.tier = 'hot' AND e.g = 'a'"
+    )
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, q, info)
+    assert df is not None
+    assert len(info["dims"]) == 2
+    assert {d["n_keys"] for d in info["dims"].values()} == {10, 3}
+    import json as _json
+
+    assert len(_json.loads(info["where_json"])) == 2  # two ANDed in-lists
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )
+    # a chain t0⋈t1⋈t2 is the star around t1: still rewritable when the
+    # center is the provably-big side
+    q2 = (
+        "SELECT f.k FROM global_temp.d d "
+        "JOIN global_temp.f f ON d.dk = f.k "
+        "JOIN global_temp.d2 e ON f.k = e.mk "
+        "WHERE d.tier = 'hot'"
+    )
+    info2: dict = {}
+    df2 = try_dynamic_prune(spark, cat, q2, info2)
+    assert df2 is not None and info2["fact"] == "global_temp.f"
+    assert sorted(map(tuple, df2.collect())) == sorted(
+        map(tuple, spark.sql(q2).collect())
+    )
+    # two joins sharing NO common table are not a star -> untouched
+    assert try_dynamic_prune(
+        spark, cat,
+        "SELECT * FROM global_temp.f f JOIN global_temp.d d ON f.k = d.dk "
+        "JOIN global_temp.d2 e ON d.dk = e.mk "
+        "JOIN global_temp.f g ON e.mk = g.k", {},
+    ) is None
