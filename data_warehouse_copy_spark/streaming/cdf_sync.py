@@ -36,14 +36,19 @@ _CDF_COLS = ("_change_type", "_commit_version")
 
 def fold_changes(batch_df, key_cols: list):
     """The net effect of a change batch, one row per key: order each
-    key's changes by ``_commit_version`` (ties broken so the postimage
-    outranks its preimage within one commit) and keep the LAST — a key
+    key's changes by ``_commit_version`` and keep the LAST — a key
     inserted then deleted folds to a delete, updated twice folds to the
-    final image. ``update_preimage`` rows never WIN the fold (their
-    commit also carries the postimage, which outranks them); a surviving
-    preimage is impossible by construction. Returns the folded frame
-    with one extra column ``__is_delete``."""
-    rank = F.when(F.col("_change_type") == "update_preimage", 0).otherwise(1)
+    final image. WITHIN one commit the rank encodes the commit's net
+    effect: preimage < delete < insert/postimage — a preimage never wins
+    (its commit also carries the postimage), and a replace_where commit
+    that deletes AND reinserts the same key at ONE version folds to the
+    insert (the key IS in that commit's post-state). Returns the folded
+    frame with one extra column ``__is_delete``."""
+    rank = (
+        F.when(F.col("_change_type") == "update_preimage", 0)
+        .when(F.col("_change_type") == "delete", 1)
+        .otherwise(2)
+    )
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("_commit_version").desc(), rank.desc()
     )

@@ -71,6 +71,21 @@ class TestFold:
         )
         assert got == {(1, 99, False)}
 
+    def test_replace_where_delete_plus_insert_same_version(self, spark):
+        """A replace_where commit deletes AND reinserts a key at ONE
+        _commit_version: the fold must pick the insert (the key is in
+        that commit's post-state), deterministically — not a row_number
+        coin flip between two rank-tied rows."""
+        got = self._fold(
+            spark,
+            [
+                (1, 10, "delete", 4),
+                (1, 77, "insert", 4),
+                (2, 20, "delete", 4),  # deleted, NOT reinserted
+            ],
+        )
+        assert got == {(1, 77, False), (2, 20, True)}
+
     def test_double_update_folds_to_final(self, spark):
         got = self._fold(
             spark,
@@ -102,6 +117,15 @@ def test_stream_replica_tracks_dml_exactly(spark, tmp_path):
         assert _rows(rep) == _rows(src)
         assert (100, 0) in _rows(rep)
         assert not [r for r in _rows(rep) if r[0] == 7]
+        # replace_where: delete+insert of the SAME keys in ONE commit —
+        # the fold's same-version tie-break (insert wins) end to end
+        src.replace_where(
+            spark.createDataFrame([(4, 40), (5, 50)], "k long, v long"),
+            where=[("k", ">=", 4), ("k", "<=", 5)],
+        )
+        q.processAllAvailable()
+        assert _rows(rep) == _rows(src)
+        assert (4, 40) in _rows(rep) and (5, 50) in _rows(rep)
     finally:
         q.stop()
 
