@@ -4328,6 +4328,66 @@ class ManagedTable:
         )
         return tuple(f for f in grown if f.dv_rows < f.rows)
 
+    def _augment_generated_updates(self, set_exprs: dict) -> dict:
+        """Delta parity for UPDATE over generated columns: an assignment
+        that changes a generation expression's SOURCE without assigning
+        the generated column itself RECOMPUTES it — two-phase semantics
+        (user assignments evaluate over the OLD row, then the generation
+        expression over the UPDATED values), realized by substituting the
+        new-value SQL into the expression text. Only SQL-string/scalar
+        assignments can substitute; a Column object (or an expression
+        carrying string literals, where word-boundary substitution could
+        corrupt content) gets a LOUD error telling the caller to assign
+        the generated column explicitly — never a silent wrong value
+        (the gen_<col> CHECK would catch it anyway, but with a worse
+        message). Explicit assignments pass through untouched and are
+        validated by that constraint. Schema lookup rides
+        :meth:`_columns_state` (bounded past the planning gate), so a
+        10^6-file table's UPDATE never materializes its manifest here."""
+        _head, schema_json, _cols = self._columns_state()
+        if not schema_json:
+            return set_exprs
+        gen = {
+            f.name: f.metadata["generation_expression"]
+            for f in T.StructType.fromJson(json.loads(schema_json)).fields
+            if f.metadata and "generation_expression" in f.metadata
+        }
+        if not gen:
+            return set_exprs
+        out = dict(set_exprs)
+        for g, expr in gen.items():
+            if g in out:
+                continue  # explicit: the gen_<col> CHECK validates it
+            refs = set(re.findall(r"[A-Za-z_]\w*", expr))
+            touched = sorted(refs & set(out))
+            if not touched:
+                continue  # sources untouched: the stored value stays right
+            if "'" in expr or '"' in expr:
+                raise ValueError(
+                    f"UPDATE changes {touched}, which generated column "
+                    f"{g!r} derives from, but its expression carries "
+                    f"string literals so it cannot be recomputed by "
+                    f"substitution — assign {g} explicitly"
+                )
+            sub = expr
+            for c in sorted(touched, key=len, reverse=True):
+                v = out[c]
+                if isinstance(v, Column):
+                    raise ValueError(
+                        f"UPDATE changes {touched!r}, which generated "
+                        f"column {g!r} derives from; pass SQL-string "
+                        f"assignments (or assign {g} explicitly) so it "
+                        f"can be recomputed"
+                    )
+                if not isinstance(v, str):
+                    v = "NULL" if v is None else (
+                        f"CAST({v} AS BOOLEAN)" if isinstance(v, bool)
+                        else repr(v)
+                    )
+                sub = re.sub(rf"\b{re.escape(c)}\b", f"({v})", sub)
+            out[g] = sub
+        return out
+
     def update(
         self, where: list[tuple], set_exprs: dict, strategy: str = "dv"
     ) -> int:
@@ -4353,6 +4413,7 @@ class ManagedTable:
             raise ValueError("update() requires at least one assignment")
         if strategy not in ("dv", "cow"):
             raise ValueError(f"update strategy must be 'dv' or 'cow', got {strategy!r}")
+        set_exprs = self._augment_generated_updates(set_exprs)
         # plain Python scalars are literals (Delta's updateExpr contract:
         # strings are SQL expressions, Columns pass through, anything
         # else wraps as a literal value)

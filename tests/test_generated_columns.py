@@ -65,12 +65,26 @@ def test_python_append_computes_when_absent(spark, gen_table):
 def test_dml_paths_keep_the_invariant(spark, gen_table):
     c, t = gen_table
     c.sql(spark, "INSERT INTO db.g (a, note) VALUES (1, 'x')")
-    # an UPDATE that would break b <=> a + 1 is refused by the constraint
-    with pytest.raises(Exception, match="gen_b"):
-        c.sql(spark, "UPDATE db.g SET a = 100 WHERE note = 'x'")
-    # a consistent update passes
-    c.sql(spark, "UPDATE db.g SET a = 100, b = 101 WHERE note = 'x'")
+    # an UPDATE changing the SOURCE recomputes the generated column
+    # (Delta semantics) — two-phase: a evaluates over the OLD row, then
+    # b over the updated value
+    c.sql(spark, "UPDATE db.g SET a = a + 99 WHERE note = 'x'")
     assert _rows(t) == [(100, 101, "x")]
+    # an explicit INCONSISTENT assignment is refused by the constraint
+    with pytest.raises(Exception, match="gen_b"):
+        c.sql(spark, "UPDATE db.g SET a = 5, b = 99 WHERE note = 'x'")
+    # an explicit consistent one passes
+    c.sql(spark, "UPDATE db.g SET a = 5, b = 6 WHERE note = 'x'")
+    assert _rows(t) == [(5, 6, "x")]
+    # updates NOT touching the source leave the generated value alone
+    c.sql(spark, "UPDATE db.g SET note = 'y' WHERE a = 5")
+    assert _rows(t) == [(5, 6, "y")]
+    # Python-API scalar assignment recomputes too (literal substitution)
+    t.update(where=[("note", "=", "y")], set_exprs={"a": 7})
+    assert _rows(t) == [(7, 8, "y")]
+    # a Column-object assignment to the source cannot substitute: loud
+    with pytest.raises(ValueError, match="assign b explicitly"):
+        t.update(where=[("note", "=", "y")], set_exprs={"a": F.lit(1) + 1})
 
 
 def test_show_create_emits_and_reruns(spark, gen_table, tmp_path):
