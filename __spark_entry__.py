@@ -35,15 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents. The thirteen keys absent
+    """DuckDB-runnable ANSI SQL equivalents. The fourteen keys absent
     here (dedup_minhash_lsh, dedup_simhash, dedup_semantic_clusters_lsh,
     similarity_topk_lsh, similarity_topk_ivf,
     similarity_topk_ivf_persisted, similarity_topk_ivf_pq,
     approx_analytics, multimodal_features, ml_text_metrics,
     events_distinct_sketch_rollup, multimodal_audio_spectral,
-    text_ccnet_tiers_sampled) are hash-based/approximate/model-fit/
-    sampled by nature and not SQL-expressible — the driver records the
-    weaker rows-only check; each is backed by
-    recall/exactness/pinned-metric tests instead (see their
-    docstrings)."""
+    text_ccnet_tiers_sampled, dedup_semantic_incremental_ivf) are
+    hash-based/approximate/model-fit/sampled by nature and not
+    SQL-expressible — the driver records the weaker rows-only check;
+    each is backed by recall/exactness/pinned-metric tests instead (see
+    their docstrings)."""
     return dict(ORACLES)

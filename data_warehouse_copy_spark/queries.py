@@ -1910,6 +1910,43 @@ ORDER BY a.vec_id
 """
 
 
+def dedup_semantic_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE twin of ``dedup_semantic_incremental``: the standing corpus
+    serves through the PERSISTED IVF index (functions/ann_index.py) —
+    each arrival probes ``nprobe`` inverted lists (manifest+bloom-pruned
+    file reads, never a cross-set matmul), its best probed neighbor's
+    EXACT cosine decides survival. At 100 TB an arrival batch touches
+    nprobe/n_lists of the corpus's files and zero others; the index is
+    built once and served many times (``IvfIndex.add`` absorbs corpus
+    growth, drift triggers rebuild). Approximate by design (a missed
+    probe keeps an arrival the exact anchor would drop — never the
+    reverse, since any found match is exact-scored): rows-only driver
+    check; drops ⊆ exact-drops and a recall floor are pinned in
+    tests/test_similarity.py."""
+    from data_warehouse_copy_spark.functions.ann_index import IvfIndex
+
+    (emb,) = _prep(spark, sf_dir, "embeddings")
+    arrivals = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    idx = IvfIndex.build(
+        spark,
+        _spread(corpus),
+        f"{_tmp_table_dir(prefix='dwcs_incivf_')}/ivf",
+        n_lists=16,
+    )
+    best = idx.search(arrivals, k=1, nprobe=4, exclude_self=False)
+    matched = (
+        best.filter(F.col("cosine") >= 0.4)
+        .select(F.col("query_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        arrivals.join(matched, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH-bucketed approximate top-5 (the scale path: equi-join on
     band keys instead of a cross join). Probabilistic recall → rows-only
@@ -5786,6 +5823,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_distinct_sketch_rollup": events_distinct_sketch_rollup,
     "multimodal_audio_spectral": multimodal_audio_spectral,
     "text_ccnet_tiers_sampled": text_ccnet_tiers_sampled,
+    "dedup_semantic_incremental_ivf": dedup_semantic_incremental_ivf,
 }
 
 ORACLES: dict[str, str] = {

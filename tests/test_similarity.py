@@ -456,3 +456,36 @@ def test_cross_cosine_matches_zero_norm_and_empty_sides(spark):
     assert [(r["left_id"], r["right_id"]) for r in rows] == [(2, 10)]
     empty = right.filter("vec_id < 0")
     assert cross_cosine_matches(left, empty, threshold=0.5).count() == 0
+
+
+def test_incremental_ivf_twin_precision_and_recall(spark, sf_dir):
+    """The IVF scale twin of dedup_semantic_incremental: any match it
+    FINDS is exact-scored (drops ⊆ exact drops — precision 1.0 by
+    construction), and it must find enough (drop-recall ≥ 0.9 on this
+    fixture). Missed probes only ever KEEP extra arrivals."""
+    from data_warehouse_copy_spark.queries import (
+        dedup_semantic_incremental,
+        dedup_semantic_incremental_ivf,
+    )
+
+    exact = {r["vec_id"] for r in
+             dedup_semantic_incremental(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in
+              dedup_semantic_incremental_ivf(spark, sf_dir).collect()}
+    # survivors: approx ⊇ exact (a missed probe keeps, never drops)
+    assert approx >= exact
+    from data_warehouse_copy_spark.sources.catalog import load_table
+
+    arrivals = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter("vec_id % 10 = 0")
+        .select("vec_id")
+        .collect()
+    }
+    exact_drops = arrivals - exact
+    approx_drops = arrivals - approx
+    assert approx_drops <= exact_drops  # precision 1.0
+    assert len(exact_drops) > 0
+    recall = len(approx_drops) / len(exact_drops)
+    assert recall >= 0.9, (recall, len(exact_drops))
