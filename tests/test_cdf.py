@@ -253,3 +253,57 @@ def test_change_feed_option_validation(spark, tmp_path):
             {"changefeed": "true", "skipchangecommits": "true"},
             T.StructType([]),
         )
+
+
+def test_change_feed_composes_with_selective_where(spark, tmp_path):
+    """changeFeed + the relation-scoped where option: a key-range
+    subscriber's change stream prunes files on manifest stats (the
+    conservative-superset contract) — every IN-RANGE change row must
+    arrive, tagged correctly, across snapshot AND tail batches."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    t = ManagedTable.create(spark, tmp_path / "t", cluster_col="k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(
+            spark.range(1000).selectExpr("id AS k", "id % 7 AS v")
+            .repartition(4)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        spark.readStream.format("managed_table")
+        .option("changeFeed", "true")
+        .option("where", '[["k", "<", 100]]')
+        .load(str(t.root))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # snapshot batch, pruned
+        first = spark.read.parquet(str(out))
+        got = {(r["k"], r["_change_type"]) for r in first.collect()}
+        assert {(k, "insert") for k in range(100)} <= got
+        t.delete(where=[("k", "<", 5)])
+        t.update(where=[("k", "=", 50)], set_exprs={"v": F.lit(-1)})
+        t.delete(where=[("k", ">=", 900)])  # out-of-range churn
+        q.processAllAvailable()  # tail, pruned
+        rows = spark.read.parquet(str(out)).collect()
+        tail = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in rows
+            if r["_change_type"] != "insert"
+        }
+        # every in-range change arrived with its exact row
+        for k in range(5):
+            assert (k, k % 7, "delete") in tail
+        assert (50, 50 % 7, "update_preimage") in tail
+        assert (50, -1, "update_postimage") in tail
+    finally:
+        q.stop()
