@@ -4795,6 +4795,59 @@ FROM orders WHERE o_orderstatus = 'P' AND NOT o_totalprice < 5000.0
 """
 
 
+def catalog_sql_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-time dynamic file pruning end-to-end (round-11,
+    sources/sql_dml.py:try_dynamic_prune): orders land key-clustered on
+    ``o_custkey`` (disjoint per-file spans), customers are the small
+    dim, BOTH are ANALYZEd (fresh stats are the gate — their planning
+    consumer), and the star SELECT runs through ``cat.sql`` — the
+    rewrite probes the BUILDING customers' keys and pushes the in-list
+    into the fact scan, where manifest stats skip non-matching files.
+    The oracle restates the join on the raw tables, so the driver's
+    value-hash proves the REWRITTEN plan computes exactly the original
+    semantics; that the rewrite actually fires on this shape (and how
+    many files it skips) is pinned in tests/test_dynamic_prune.py."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    orders, customer = _prep(spark, sf_dir, "orders", "customer")
+    tmp = _tmp_table_dir(prefix="dwcs_dfp_")
+    f = ManagedTable.create(spark, f"{tmp}/orders", cluster_col="o_custkey")
+    f.append(orders, cluster_partitions=8)
+    d = ManagedTable.create(spark, f"{tmp}/customer")
+    d.append(customer)
+    f.analyze()
+    d.analyze()
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_dfp_orders", f"{tmp}/orders")
+    cat.register("global_temp.dwcs_dfp_customer", f"{tmp}/customer")
+    cat.attach(spark)
+    return cat.sql(
+        spark,
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS revenue
+        FROM global_temp.dwcs_dfp_orders o
+        JOIN global_temp.dwcs_dfp_customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """,
+    )
+
+
+CATALOG_SQL_DFP_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-10,
     Spark/Delta's stored-statistics surface): one distributed aggregate
@@ -5797,6 +5850,7 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_time_travel": catalog_sql_time_travel,
     "catalog_sql_convert": catalog_sql_convert,
     "catalog_sql_show_partitions": catalog_sql_show_partitions,
+    "catalog_sql_dynamic_prune": catalog_sql_dynamic_prune,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -5933,6 +5987,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_copy_into": CATALOG_SQL_COPY_INTO_SQL,
     "catalog_sql_convert": CATALOG_SQL_CONVERT_SQL,
     "catalog_sql_show_partitions": CATALOG_SQL_SHOW_PARTITIONS_SQL,
+    "catalog_sql_dynamic_prune": CATALOG_SQL_DFP_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -259,3 +259,49 @@ def test_dfp_star_multi_dim(spark, star, tmp_path):
         "JOIN global_temp.d2 e ON d.dk = e.mk "
         "JOIN global_temp.f g ON e.mk = g.k", {},
     ) is None
+
+
+def test_registered_entry_shape_fires_and_prunes(spark, tmp_path, sf_dir):
+    """The catalog_sql_dynamic_prune registry entry's exact shape: the
+    rewrite FIRES (fresh stats, ratio holds) and the pushed in-list
+    prunes the key-clustered fact's files."""
+    from data_warehouse_copy_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    f = ManagedTable.create(spark, tmp_path / "o", cluster_col="o_custkey")
+    f.append(orders, cluster_partitions=8)
+    d = ManagedTable.create(spark, tmp_path / "c")
+    d.append(customer)
+    f.analyze()
+    d.analyze()
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("global_temp.eo", str(tmp_path / "o"))
+    cat.register("global_temp.ec", str(tmp_path / "c"))
+    cat.attach(spark)
+    q = (
+        "SELECT o.o_orderpriority, COUNT(*) AS n "
+        "FROM global_temp.eo o JOIN global_temp.ec c "
+        "ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+    )
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, q, info)
+    assert df is not None, "the registered entry's shape must rewrite"
+    assert info["fact"] == "global_temp.eo"
+    assert 0 < info["n_keys"] < customer.count()
+    # a MORE selective dim predicate prunes clustered fact files
+    one_key = customer.filter("c_mktsegment = 'BUILDING'").first().c_custkey
+    info2: dict = {}
+    df2 = try_dynamic_prune(
+        spark, cat, q.replace(
+            "c.c_mktsegment = 'BUILDING'", f"c.c_custkey = {one_key}"
+        ), info2,
+    )
+    assert df2 is not None and info2["n_keys"] == 1
+    reader = ManagedTableBatchReader(
+        str(f.root), {"where": info2["where_json"]}, f.read().schema
+    )
+    n_files = len(f.snapshot().files)
+    assert n_files > 1 and len(reader.partitions()) < n_files
