@@ -715,3 +715,42 @@ def test_http_storm_with_latency_and_lost_acks(tmp_path, http_bucket,
     m = ManagedTable(None, root).snapshot()
     assert m.version == n_threads * n_appends
     assert m.total_rows == n_threads * n_appends
+
+
+def _http_cas_race_worker(args):
+    """Top-level (picklable) cross-PROCESS racer over the SOCKET store:
+    each process opens its own TCP connections to the shared server."""
+    from data_warehouse_copy_spark.sources.http_store import HttpObjectStore
+
+    port, key, payload = args
+    s = HttpObjectStore(port)
+    won = s.put_if_absent(key, payload)
+    seen = s.get(key)
+    return won, payload, seen
+
+
+def test_http_cas_is_atomic_across_processes(http_bucket):
+    """The conditional-put CAS over the NETWORK boundary, raced by real
+    OS processes — every racer a separate client process with its own
+    sockets: exactly one winner per key, every racer's read-after sees
+    the winner's complete payload."""
+    import multiprocessing as mp
+
+    srv, _ = http_bucket
+    n_keys, racers_per_key = 3, 6
+    jobs = [
+        (srv.port, f"race/k{k}", f"proc{p}-payload-{'x' * 2048}")
+        for k in range(n_keys)
+        for p in range(racers_per_key)
+    ]
+    with mp.get_context("fork").Pool(6) as pool:
+        results = pool.map(_http_cas_race_worker, jobs)
+    by_key: dict = {}
+    for (_, key, _pl), (won, payload, seen) in zip(jobs, results):
+        by_key.setdefault(key, []).append((won, payload, seen))
+    for key, rs in by_key.items():
+        winners = [payload for won, payload, _ in rs if won]
+        assert len(winners) == 1, key
+        assert srv.store.get(key) == winners[0]
+        for _, _, seen in rs:
+            assert seen == winners[0]
