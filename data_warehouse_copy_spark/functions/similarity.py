@@ -222,8 +222,11 @@ def cross_cosine_matches(
         sides = pdf["side"].to_numpy()
         ml, mr = sides == 0, sides == 1
         if not ml.any() or not mr.any():
-            return pandas.DataFrame({"left_id": [], "right_id": []}).astype(
-                {"left_id": "int64", "right_id": "int64"}
+            # empty frame typed off the ACTUAL id dtype — hardcoding int64
+            # breaks string/other id columns at the Arrow boundary
+            empty = pdf["id"].iloc[:0]
+            return pandas.DataFrame(
+                {"left_id": empty, "right_id": empty.copy()}
             )
         ids = pdf["id"].to_numpy()
         mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)

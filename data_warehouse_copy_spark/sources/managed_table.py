@@ -942,7 +942,15 @@ class ManagedTable:
         checkpoint never loses data (v0 is a full-state record, so any
         version still reconstructs by a longer action replay) — a
         time-travel read racing the sweep falls through to that replay
-        (see :meth:`_reconstruct`), slower, never wrong."""
+        (see :meth:`_reconstruct`), slower, never wrong.
+
+        EXCEPT when :meth:`clean_log` has raised the retention floor:
+        records below the floor are GONE, so the earliest surviving
+        checkpoint >= floor is the only base that can reconstruct the
+        versions in [floor, next-kept-checkpoint) — it must survive every
+        sweep (clean_log's contract: every surviving version keeps
+        working), or version_at would resolve a version snapshot() then
+        refuses."""
         log_dir = self.root / "_log"
         try:
             versions = {
@@ -952,7 +960,17 @@ class ManagedTable:
             }
         except (OSError, ValueError):
             return
+        floor = self.log_floor()
+        # floor == 0 needs no anchor: v0's full-state record replays any
+        # version without a checkpoint base.
+        anchor = (
+            min((v for v in versions if v >= floor), default=None)
+            if floor > 0
+            else None
+        )
         for v in sorted(versions, reverse=True)[_CKPT_KEEP:]:
+            if v == anchor:
+                continue  # the floor's reconstruction base: never swept
             for p in (self._ckpt_path(v), self._ckpt_parquet_path(v)):
                 try:
                     p.unlink(missing_ok=True)
@@ -4369,8 +4387,14 @@ class ManagedTable:
                     f"string literals so it cannot be recomputed by "
                     f"substitution — assign {g} explicitly"
                 )
-            sub = expr
-            for c in sorted(touched, key=len, reverse=True):
+            # SIMULTANEOUS substitution: SQL UPDATE evaluates every
+            # assignment RHS over the OLD row, so no replacement text may
+            # itself be rewritten by a later column's replacement
+            # (UPDATE a=b+1, b=0 must recompute a+b as (b+1)+(0), not
+            # ((0)+1)+(0)). One alternation pass over the ORIGINAL
+            # expression text guarantees that.
+            repl = {}
+            for c in touched:
                 v = out[c]
                 if isinstance(v, Column):
                     raise ValueError(
@@ -4384,8 +4408,13 @@ class ManagedTable:
                         f"CAST({v} AS BOOLEAN)" if isinstance(v, bool)
                         else repr(v)
                     )
-                sub = re.sub(rf"\b{re.escape(c)}\b", f"({v})", sub)
-            out[g] = sub
+                repl[c] = f"({v})"
+            alt = "|".join(
+                re.escape(c) for c in sorted(repl, key=len, reverse=True)
+            )
+            out[g] = re.sub(
+                rf"\b(?:{alt})\b", lambda m: repl[m.group(0)], expr
+            )
         return out
 
     def update(

@@ -2646,7 +2646,7 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         for n, _ty, cm, _ge in st.create_columns:
             if cm is not None:
                 nt.set_column_comment(n, cm)
-        for n, _ty, _cm, ge in st.create_columns:
+        for n, ty, _cm, ge in st.create_columns:
             if ge is not None:
                 # validate the expression resolves against the declared
                 # schema BEFORE recording anything — a bad expr must not
@@ -2663,8 +2663,15 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 nt.set_generation_expression(n, ge)
                 # the validation side: every write path that PROVIDES the
                 # column proves <col> <=> (expr) through the existing
-                # CHECK machinery (merge/update/replace_where included)
-                nt.add_constraint(f"gen_{n}", f"{n} <=> ({ge})")
+                # CHECK machinery (merge/update/replace_where included).
+                # Compare against CAST(expr AS declared-type): the compute
+                # paths store cast(expr, col.dataType), so a declared type
+                # narrower than the expression's natural type (FLOAT from
+                # a DOUBLE product) must check the CAST value or the
+                # engine's own computed value would fail its own CHECK.
+                nt.add_constraint(
+                    f"gen_{n}", f"{n} <=> CAST(({ge}) AS {ty})"
+                )
         if st.comment is not None:
             nt.set_table_comment(st.comment)
         catalog.register(st.table, root)

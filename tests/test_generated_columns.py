@@ -95,7 +95,7 @@ def test_show_create_emits_and_reruns(spark, gen_table, tmp_path):
     c2.sql(spark, ddl.replace(str(t.root), str(tmp_path / "g2")))
     t2 = ManagedTable(spark, tmp_path / "g2")
     assert t2.generated_columns() == {"b": "a + 1"}
-    assert t2.snapshot().constraints == {"gen_b": "b <=> (a + 1)"}
+    assert t2.snapshot().constraints == {"gen_b": "b <=> CAST((a + 1) AS int)"}
 
 
 def test_clone_and_like_carry_generation(spark, gen_table, tmp_path):
@@ -169,3 +169,51 @@ def test_insert_by_name_binds_and_computes(spark, gen_table):
     # of a source whose columns are named differently still works)
     c.sql(spark, "INSERT INTO db.g (a, note) SELECT 9 AS x, 'p' AS y")
     assert (9, 10, "p") in _rows(t)
+
+
+def test_update_rhs_sees_old_values_simultaneous_substitution(
+    spark, tmp_path
+):
+    """SQL UPDATE semantics: every assignment RHS evaluates over the OLD
+    row. With g GENERATED ALWAYS AS (a + b) and UPDATE SET a = b + 1,
+    b = 0, the recompute must be (old_b + 1) + 0 — sequential text
+    substitution would corrupt it to ((0) + 1) + (0)."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.sql(
+        spark,
+        f"CREATE TABLE db.s (a INT, b INT, "
+        f"g INT GENERATED ALWAYS AS (a + b)) "
+        f"USING managed_table LOCATION '{tmp_path / 's'}'",
+    )
+    c.sql(spark, "INSERT INTO db.s (a, b) VALUES (10, 7)")
+    t = ManagedTable(spark, tmp_path / "s")
+    t.update([("b", "=", 7)], {"a": "b + 1", "b": "0"})
+    # new a = old_b + 1 = 8, new b = 0, g = 8 + 0 = 8
+    assert _rows(t) == [(8, 0, 8)]
+
+
+def test_generated_narrowing_cast_checks_the_stored_value(spark, tmp_path):
+    """A generated column whose declared type NARROWS the expression's
+    natural type (FLOAT from a DOUBLE product): the engine stores
+    cast(expr AS float), so the auto CHECK must compare against the same
+    cast — otherwise every insert on the table rejects its own value."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.sql(
+        spark,
+        f"CREATE TABLE db.nw (a DOUBLE, "
+        f"b FLOAT GENERATED ALWAYS AS (a * 0.1)) "
+        f"USING managed_table LOCATION '{tmp_path / 'nw'}'",
+    )
+    c.sql(spark, "INSERT INTO db.nw (a) VALUES (3.0), (7.7)")
+    t = ManagedTable(spark, tmp_path / "nw")
+    got = {r["a"]: r["b"] for r in t.read().collect()}
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    assert got == {3.0: f32(0.30000000000000004), 7.7: f32(0.77)}
+    # UPDATE through the recompute path keeps the same cast contract
+    t.update([("a", "=", 3.0)], {"a": "4.0"})
+    got = {r["a"]: r["b"] for r in t.read().collect()}
+    assert got[4.0] == f32(0.4)

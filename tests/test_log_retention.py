@@ -278,3 +278,24 @@ def test_clone_and_restore_interplay(spark, tmp_path):
     # restore to a SURVIVING version works and re-extends history
     t.restore(42)
     assert t.read().count() == 42
+
+
+def test_sweep_never_deletes_the_floor_anchor_checkpoint(spark, tmp_path):
+    """clean_log's contract is that every SURVIVING version keeps
+    working. After the floor lands at checkpoint c, later checkpoint
+    churn (_CKPT_KEEP newest) must still retain c — it is the only
+    reconstruction base for versions in [c, next-kept-checkpoint), whose
+    log records survive but whose predecessors are gone."""
+    t = _mk(spark, tmp_path / "t", 45)  # checkpoints at 20, 40
+    t.clean_log(retention_seconds=0)
+    assert t.log_floor() == 40
+    # churn WAY past _CKPT_KEEP newer checkpoints: 60, 80, 100, 120
+    for i in range(45, 125):
+        t.append_pylist([{"k": i, "v": i * 2}], SCHEMA)
+    names = _log_objects(tmp_path / "t")
+    assert any(n.startswith(f"{40:020d}.checkpoint") for n in names)
+    # every surviving version still resolves — the one just above the
+    # floor needs checkpoint 40 as its base
+    assert t.snapshot(41).version == 41
+    assert t.snapshot(40).version == 40
+    assert t.read().count() == 125

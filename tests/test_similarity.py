@@ -489,3 +489,28 @@ def test_incremental_ivf_twin_precision_and_recall(spark, sf_dir):
     assert len(exact_drops) > 0
     recall = len(approx_drops) / len(exact_drops)
     assert recall >= 0.9, (recall, len(exact_drops))
+
+
+def test_cross_cosine_matches_string_ids(spark):
+    """Non-integer id columns must survive both the empty-group frame
+    (typed off the actual id dtype, not a hardcoded int64) and the
+    non-empty numpy-object path."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        cross_cosine_matches,
+    )
+
+    left = spark.createDataFrame(
+        [("qa", [1.0, 0.0]), ("qb", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [("ca", [2.0, 0.0]), ("cb", [0.0, 3.0]), ("cc", [1.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in cross_cosine_matches(
+            left, right, threshold=0.99, n_blocks=4
+        ).collect()
+    }
+    assert got == {("qa", "ca"), ("qb", "cb")}
