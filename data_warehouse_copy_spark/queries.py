@@ -4848,6 +4848,72 @@ ORDER BY o.o_orderpriority
 """
 
 
+def catalog_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL views end-to-end (round-12, sources/sql_dml.py views block):
+    ``CREATE VIEW`` persists the SELECT text in the NamedCatalog JSON;
+    queries resolve by textual inlining, so the whole rewrite stack
+    (time travel, dynamic pruning, catalog DML sources) composes. This
+    entry layers view-ON-view — a star-join view with a dim filter,
+    a second view adding another predicate on top — and aggregates
+    through both. The oracle restates the fully-inlined SQL over the
+    raw tables, so the driver's value-hash proves view resolution is
+    EXACTLY the inlined query. Read-only enforcement / DDL surface /
+    dropped-base loudness are pinned in tests/test_views.py."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    orders, customer = _prep(spark, sf_dir, "orders", "customer")
+    tmp = _tmp_table_dir(prefix="dwcs_view_")
+    f = ManagedTable.create(spark, f"{tmp}/orders")
+    f.append(orders)
+    d = ManagedTable.create(spark, f"{tmp}/customer")
+    d.append(customer)
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.vq_orders", f"{tmp}/orders")
+    cat.register("global_temp.vq_customer", f"{tmp}/customer")
+    cat.attach(spark)
+    cat.sql(
+        spark,
+        """
+        CREATE VIEW global_temp.vq_building AS
+        SELECT o.o_orderpriority, o.o_totalprice, c.c_nationkey
+        FROM global_temp.vq_orders o
+        JOIN global_temp.vq_customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        """,
+    )
+    cat.sql(
+        spark,
+        """
+        CREATE VIEW global_temp.vq_pri AS
+        SELECT o_orderpriority, o_totalprice
+        FROM global_temp.vq_building WHERE c_nationkey < 13
+        """,
+    )
+    return cat.sql(
+        spark,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS revenue
+        FROM global_temp.vq_pri
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )
+
+
+CATALOG_SQL_VIEW_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_nationkey < 13
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-10,
     Spark/Delta's stored-statistics surface): one distributed aggregate
@@ -5749,13 +5815,10 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
-    "q14_promo_revenue": q14_promo_revenue,
     "q4_order_priority": q4_order_priority,
     "q8_market_share": q8_market_share,
-    "q12_priority_shipping": q12_priority_shipping,
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q21_sole_blame_supplier": q21_sole_blame_supplier,
@@ -5793,11 +5856,21 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_ctas": catalog_sql_ctas,
     "catalog_sql_copy_into": catalog_sql_copy_into,
     "stream_cdf_roundtrip": stream_cdf_roundtrip,
+    # round-12 rotation (verdict item 6 + views): the dynamic-prune
+    # rewrite, schema evolution, and the new view surface take driver
+    # slots from three TPC-H near-neighbors (q12≈q4, q14≈q19,
+    # q17≈q20 family), which stay hash-checked below the cap.
+    "catalog_sql_view": catalog_sql_view,
+    "catalog_sql_dynamic_prune": catalog_sql_dynamic_prune,
+    "schema_evolution_roundtrip": schema_evolution_roundtrip,
     # -- everything below is past the driver's 50 correctness slots (every
     # slot above is taken by an oracle-backed entry, the maximum possible
     # driver-side hash coverage). First the partsupp-adapted TPC-H
     # completions: they DO have oracles, and tests/test_entry_contract.py
     # hash-checks them side-by-side exactly like the driver would --
+    "q12_priority_shipping": q12_priority_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_salted_variant": q18_salted_variant,
     "range_copy_roundtrip": range_copy_roundtrip,
     "events_hourly_hybrid": events_hourly_hybrid,
@@ -5843,14 +5916,12 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_semantic_incremental": dedup_semantic_incremental,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "merge_expressions_roundtrip": merge_expressions_roundtrip,
-    "schema_evolution_roundtrip": schema_evolution_roundtrip,
     "projection_scan_roundtrip": projection_scan_roundtrip,
     "catalog_named_sql": catalog_named_sql,
     "catalog_sql_dml": catalog_sql_dml,
     "catalog_sql_time_travel": catalog_sql_time_travel,
     "catalog_sql_convert": catalog_sql_convert,
     "catalog_sql_show_partitions": catalog_sql_show_partitions,
-    "catalog_sql_dynamic_prune": catalog_sql_dynamic_prune,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
@@ -5988,6 +6059,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_convert": CATALOG_SQL_CONVERT_SQL,
     "catalog_sql_show_partitions": CATALOG_SQL_SHOW_PARTITIONS_SQL,
     "catalog_sql_dynamic_prune": CATALOG_SQL_DFP_SQL,
+    "catalog_sql_view": CATALOG_SQL_VIEW_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

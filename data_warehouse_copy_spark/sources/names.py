@@ -58,15 +58,26 @@ class NamedCatalog:
 
     # ------------------------------------------------------------- storage
 
-    def _load(self) -> dict:
+    def _doc(self) -> dict:
         if not self.path.exists():
-            return {}
-        return json.loads(self.path.read_text()).get("tables", {})
+            return {"tables": {}, "views": {}}
+        doc = json.loads(self.path.read_text())
+        doc.setdefault("tables", {})
+        doc.setdefault("views", {})
+        return doc
+
+    def _load(self) -> dict:
+        return self._doc()["tables"]
 
     def _store(self, tables: dict) -> None:
+        doc = self._doc()
+        doc["tables"] = tables
+        self._store_doc(doc)
+
+    def _store_doc(self, doc: dict) -> None:
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(f".tmp.{uuid.uuid4().hex}")
-        tmp.write_text(json.dumps({"tables": tables}, indent=1, sort_keys=True))
+        tmp.write_text(json.dumps(doc, indent=1, sort_keys=True))
         os.replace(tmp, self.path)  # atomic: readers see old or new, whole
 
     # ------------------------------------------------------------- mapping
@@ -92,9 +103,14 @@ class NamedCatalog:
                 f"no managed table at {root!r}; create it before "
                 f"registering {name!r}"
             )
-        tables = self._load()
-        tables[name] = {"root": str(root)}
-        self._store(tables)
+        doc = self._doc()
+        if name in doc["views"]:
+            raise ValueError(
+                f"{name!r} is a VIEW in catalog {self.path} — DROP VIEW "
+                f"it before registering a table under the name"
+            )
+        doc["tables"][name] = {"root": str(root)}
+        self._store_doc(doc)
 
     def drop(self, name: str) -> None:
         """Remove a mapping (the table's data is untouched — dropping a
@@ -129,6 +145,50 @@ class NamedCatalog:
                 f"(have: {sorted(tables)})"
             )
         return tables[name]["root"]
+
+    # -------------------------------------------------------------- views
+
+    def register_view(
+        self, name: str, sql: str, refs: "list[str] | None" = None
+    ) -> None:
+        """Persist ``db.view`` → SELECT text (``CREATE [OR REPLACE]
+        VIEW``'s storage half; the validation/inlining half lives in
+        ``sql_dml``). ``refs`` records which catalog names the body
+        references so later use can fail LOUDLY when a base table was
+        dropped, instead of resolving against a stale attached temp
+        view. A view is pure catalog metadata — one JSON write, no data
+        anywhere."""
+        self._split(name)
+        doc = self._doc()
+        if name in doc["tables"]:
+            raise ValueError(
+                f"{name!r} is a TABLE in catalog {self.path} — a view "
+                f"cannot shadow it"
+            )
+        doc["views"][name] = {"sql": sql, "refs": sorted(refs or [])}
+        self._store_doc(doc)
+
+    def drop_view(self, name: str) -> None:
+        doc = self._doc()
+        if name not in doc["views"]:
+            raise KeyError(f"view {name!r} not in catalog {self.path}")
+        del doc["views"][name]
+        self._store_doc(doc)
+
+    def view_names(self) -> list[str]:
+        return sorted(self._doc()["views"])
+
+    def view_sql(self, name: str) -> str:
+        views = self._doc()["views"]
+        if name not in views:
+            raise KeyError(f"view {name!r} not in catalog {self.path}")
+        return views[name]["sql"]
+
+    def view_refs(self, name: str) -> list[str]:
+        views = self._doc()["views"]
+        if name not in views:
+            raise KeyError(f"view {name!r} not in catalog {self.path}")
+        return list(views[name].get("refs", []))
 
     # ------------------------------------------------------------- access
 
@@ -189,6 +249,26 @@ class NamedCatalog:
                 f"USING managed_table OPTIONS (path '{root}')"
             )
             out.append(f"{db}.{tbl}")
+        # catalog views ride the same global-temp surface: the body
+        # inlines view-on-view references first, so registration order
+        # never matters and plain spark.sql resolves them too
+        from data_warehouse_copy_spark.sources.sql_dml import (
+            resolve_view_text,
+        )
+
+        for name in self.view_names():
+            db, vname = self._split(name)
+            if db != gdb:
+                raise ValueError(
+                    f"catalog view {name!r} names database {db!r} but "
+                    f"this session's global-temp database is {gdb!r}"
+                )
+            body = resolve_view_text(spark, self, self.view_sql(name))
+            spark.sql(
+                f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{vname}` "
+                f"AS {body}"
+            )
+            out.append(f"{db}.{vname}")
         return out
 
     def refresh(self, spark: SparkSession) -> list[str]:
@@ -197,6 +277,6 @@ class NamedCatalog:
         return self.attach(spark)
 
     def detach(self, spark: SparkSession) -> None:
-        for name in self.names():
+        for name in self.names() + self.view_names():
             _, tbl = self._split(name)
             spark.catalog.dropGlobalTempView(tbl)

@@ -1898,6 +1898,315 @@ def _rewrite_time_travel(spark: SparkSession, catalog, sql: str) -> str:
     return "".join(out)
 
 
+# ---------------------------------------------------------------- SQL views
+#
+# CREATE [OR REPLACE] VIEW db.v AS SELECT ... — a persisted, named query
+# (standard warehouse views; the reference has no SQL at all, so this is
+# engine surface). A view is pure catalog metadata: its SELECT text lives
+# in the NamedCatalog JSON next to the table map. Resolution is TEXTUAL
+# INLINING at execute_sql time, which makes every existing rewrite
+# compose for free: time travel inside a view body, table_changes,
+# catalog DML sources (MERGE ... USING db.v), and — through the
+# flatten fast-path — join-time dynamic file pruning THROUGH a view
+# (the expanded text is the same star-join text the prune parser
+# already fires on). Spark's own temp views would hide all of that
+# behind an opaque relation the text-level machinery cannot see.
+
+_QNAME = r"[A-Za-z_][A-Za-z0-9_$]*\.[A-Za-z_][A-Za-z0-9_$]*"
+_CREATE_VIEW_RE = re.compile(
+    rf"^\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?VIEW\s+"
+    rf"(?P<name>{_QNAME})\s+AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    rf"^\s*DROP\s+VIEW\s+(?P<ife>IF\s+EXISTS\s+)?"
+    rf"(?P<name>{_QNAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_VIEWS_RE = re.compile(r"^\s*SHOW\s+VIEWS\s*;?\s*$", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+(?P<kind>TABLE|VIEW)\s+"
+    rf"(?P<name>{_QNAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VIEW_NAME_RE = re.compile(rf"\b{_QNAME}\b")
+
+# words that terminate a FROM item — a view reference followed by one of
+# these carries no alias, so the inliner must supply AS <view-short-name>
+# to keep qualified column references (v.col) resolving
+_VIEW_CLAUSE_WORDS = frozenset(
+    "where group order limit having on join inner left right full cross "
+    "union except intersect when using set values and or then window "
+    "qualify natural semi anti lateral".split()
+)
+
+
+def _body_is_flat(body: str) -> bool:
+    """True when the view body has no top-level WHERE/GROUP/ORDER/LIMIT/
+    HAVING/UNION — the shapes whose text can take an appended outer
+    tail without changing meaning."""
+    try:
+        toks = _tokenize(body)
+    except SqlDmlError:
+        return False
+    depth = 0
+    for t in toks:
+        if t.kind == "punct":
+            depth += t.text == "("
+            depth -= t.text == ")"
+        elif depth == 0 and t.text.lower() in (
+            "where", "group", "order", "limit", "having",
+            "union", "except", "intersect",
+        ):
+            return False
+    return True
+
+
+def inline_views(catalog, sql: str, _depth: int = 0):
+    """Expand every catalog-view reference in ``sql`` to its stored
+    SELECT text; returns the SQL unchanged when no view is referenced.
+
+    - **flatten fast-path**: ``SELECT * FROM db.v [tail]`` becomes the
+      body itself (tail appended when the body provably takes one), so
+      a view over a star join hits ``try_dynamic_prune`` with exactly
+      the text it knows how to probe.
+    - **general**: each reference becomes ``( body ) AS <v>`` — or a
+      bare ``( body )`` when the query supplies its own alias — valid
+      in any FROM/JOIN/USING position.
+    - **view-on-view** resolves by fixpoint iteration; a cycle trips
+      the depth cap LOUDLY.
+    - **dropped bases fail loudly**: each view records the catalog
+      names its body referenced at CREATE time; if one has since been
+      dropped, the error names it — never a stale read through a
+      lingering attached temp view.
+    """
+    views = set(catalog.view_names())
+    if not views:
+        return sql
+    if _depth > 10:
+        raise SqlDmlError(
+            "view inlining exceeded depth 10 — view-on-view cycle?"
+        )
+    spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql)]
+    hits = [
+        m
+        for m in _VIEW_NAME_RE.finditer(sql)
+        if m.group(0) in views
+        and not any(s < m.start() < e for s, e in spans)
+    ]
+    if not hits:
+        return sql
+    tables = set(catalog.names())
+    for vn in sorted({m.group(0) for m in hits}):
+        for ref in catalog.view_refs(vn):
+            if ref not in tables and ref not in views:
+                raise SqlDmlError(
+                    f"view {vn!r} references {ref!r}, which is no "
+                    f"longer in the catalog — recreate the view or "
+                    f"re-register the table"
+                )
+    flat = re.match(
+        rf"^\s*SELECT\s+\*\s+FROM\s+(?P<name>{_QNAME})\s*(?P<tail>.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if flat and flat.group("name") in views:
+        body = catalog.view_sql(flat.group("name")).strip().rstrip(";")
+        tail = flat.group("tail").strip().rstrip(";")
+        if not tail:
+            return inline_views(catalog, body, _depth + 1)
+        first = tail.split(None, 1)[0].lower()
+        if first in (
+            "where", "group", "order", "limit", "having"
+        ) and _body_is_flat(body):
+            return inline_views(catalog, f"{body} {tail}", _depth + 1)
+    out, last = [], 0
+    for m in hits:
+        out.append(sql[last:m.start()])
+        body = catalog.view_sql(m.group(0)).strip().rstrip(";")
+        vshort = m.group(0).split(".")[1]
+        rest = sql[m.end():].lstrip()
+        nw = re.match(r"[A-Za-z_][A-Za-z0-9_$]*", rest)
+        word = nw.group(0).lower() if nw else None
+        has_alias = word == "as" or (
+            nw is not None
+            and word not in _VIEW_CLAUSE_WORDS
+            and "." not in nw.group(0)
+        )
+        out.append(f"( {body} )" if has_alias else f"( {body} ) AS {vshort}")
+        last = m.end()
+    out.append(sql[last:])
+    return inline_views(catalog, "".join(out), _depth + 1)
+
+
+def resolve_view_text(spark, catalog, body: str) -> str:
+    """Fully resolve a view body for session registration: inline
+    nested views, then apply the time-travel / table_changes text
+    rewrites reads get (NamedCatalog.attach's view-mirror half)."""
+    out = inline_views(catalog, body)
+    if re.search(r"\bAS\s+OF\b", out, re.IGNORECASE):
+        out = _rewrite_time_travel(spark, catalog, out)
+    if re.search(r"\btable_changes\s*\(", out, re.IGNORECASE):
+        out = _rewrite_table_changes(spark, catalog, out)
+    return out
+
+
+def _view_write_guard(catalog, sql: str) -> None:
+    """Views are read-only: a write-shaped statement whose TARGET is a
+    view fails here with the right message, BEFORE inlining would mangle
+    it into an unparseable subquery target."""
+    vnames = set(catalog.view_names())
+    if not vnames:
+        return
+    try:
+        toks = _tokenize(sql)
+    except SqlDmlError:
+        return
+    texts = [t.text for t in toks]
+    low = [t.lower() for t in texts]
+
+    def at(i):
+        return low[i] if i < len(low) else None
+
+    def txt(i):
+        return texts[i] if i < len(texts) else ""
+
+    def chk(name, op):
+        if name in vnames:
+            raise SqlDmlError(
+                f"{op} targets {name!r}, which is a VIEW — views are "
+                f"read-only (write to its base tables, or DROP VIEW "
+                f"first)"
+            )
+
+    if at(0) == "delete" and at(1) == "from":
+        chk(txt(2), "DELETE")
+    elif at(0) == "update":
+        chk(txt(1), "UPDATE")
+    elif at(0) == "insert" and at(1) in ("into", "overwrite"):
+        chk(txt(2), "INSERT")
+    elif at(0) == "merge":
+        j = 4 if at(1) == "with" else 1  # MERGE WITH SCHEMA EVOLUTION
+        if at(j) == "into":
+            chk(txt(j + 1), "MERGE")
+    elif at(0) == "alter" and at(1) == "table":
+        chk(txt(2), "ALTER TABLE")
+    elif at(0) == "truncate" and at(1) == "table":
+        chk(txt(2), "TRUNCATE TABLE")
+    elif at(0) in ("optimize", "vacuum", "restore"):
+        chk(txt(1), at(0).upper())
+    elif at(0) == "copy" and at(1) == "into":
+        chk(txt(2), "COPY INTO")
+    elif at(0) == "analyze" and at(1) == "table":
+        chk(txt(2), "ANALYZE TABLE")
+    elif at(0) == "drop" and at(1) == "table":
+        name = txt(2) if at(2) != "if" else txt(4)
+        if name in vnames:
+            raise SqlDmlError(f"{name!r} is a VIEW — use DROP VIEW")
+
+
+def _handle_view_ddl(spark, catalog, sql: str):
+    """CREATE/DROP/SHOW VIEW + SHOW CREATE over a view; None when the
+    statement is none of these (the caller continues)."""
+    from pyspark.sql import types as T
+
+    m = _CREATE_VIEW_RE.match(sql)
+    if m is not None:
+        name = m.group("name")
+        body = m.group("body").strip().rstrip(";")
+        if m.group("orr") is None and name in set(catalog.view_names()):
+            raise SqlDmlError(
+                f"view {name!r} already exists — CREATE OR REPLACE VIEW "
+                f"replaces it"
+            )
+        head = body.split(None, 1)[0].lower() if body.split() else ""
+        if head not in ("select", "with") and not body.startswith("("):
+            raise SqlDmlError(
+                "CREATE VIEW body must be a SELECT/WITH query"
+            )
+        known = set(catalog.names()) | set(catalog.view_names())
+        try:
+            refs = sorted(
+                {
+                    t.text
+                    for t in _tokenize(body)
+                    if t.kind == "ident"
+                    and t.text.count(".") == 1
+                    and t.text in known
+                }
+            )
+        except SqlDmlError:
+            refs = []
+        inlined = inline_views(catalog, body)
+        try:
+            catalog.attach(spark)
+        except Exception:
+            pass  # validation may still resolve via session temp views
+        # validation (and the session mirror below) needs the same
+        # text rewrites execute_sql applies to reads — a body using
+        # time travel / table_changes is legal view SQL
+        resolved = inlined
+        if re.search(r"\bAS\s+OF\b", resolved, re.IGNORECASE):
+            resolved = _rewrite_time_travel(spark, catalog, resolved)
+        if re.search(r"\btable_changes\s*\(", resolved, re.IGNORECASE):
+            resolved = _rewrite_table_changes(spark, catalog, resolved)
+        try:
+            spark.sql(resolved)  # analysis only — no job runs
+        except Exception as e:
+            raise SqlDmlError(
+                f"CREATE VIEW {name}: body does not resolve: {e}"
+            ) from None
+        catalog.register_view(name, body, refs)
+        db, vshort = name.split(".")
+        gdb = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
+        if db == gdb:
+            # keep the pure-SQL surface in step with the catalog
+            spark.sql(
+                f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{vshort}` "
+                f"AS {resolved}"
+            )
+        return _summary(spark, "CREATE VIEW", 0)
+    m = _DROP_VIEW_RE.match(sql)
+    if m is not None:
+        name = m.group("name")
+        if name not in set(catalog.view_names()):
+            if m.group("ife") is not None:
+                return _summary(spark, "DROP VIEW", 0)
+            if name in set(catalog.names()):
+                raise SqlDmlError(f"{name!r} is a TABLE — use DROP TABLE")
+            raise SqlDmlError(f"view {name!r} not in catalog")
+        catalog.drop_view(name)
+        try:
+            spark.catalog.dropGlobalTempView(name.split(".")[1])
+        except Exception:
+            pass
+        return _summary(spark, "DROP VIEW", 0)
+    if _SHOW_VIEWS_RE.match(sql) is not None:
+        rows = [(n, catalog.view_sql(n)) for n in catalog.view_names()]
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType(), False),
+                    T.StructField("view_sql", T.StringType(), False),
+                ]
+            ),
+        )
+    m = _SHOW_CREATE_RE.match(sql)
+    if m is not None:
+        name = m.group("name")
+        if name in set(catalog.view_names()):
+            stmt = f"CREATE OR REPLACE VIEW {name} AS {catalog.view_sql(name)}"
+            return spark.createDataFrame(
+                [(stmt,)],
+                T.StructType(
+                    [T.StructField("createtab_stmt", T.StringType(), False)]
+                ),
+            )
+        if m.group("kind").lower() == "view":
+            raise SqlDmlError(f"view {name!r} not in catalog")
+    return None
+
 
 def _apply_table_properties(
     t: "ManagedTable", properties: dict, unset: bool
@@ -2389,6 +2698,12 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     metrics in; non-DML returns ``spark.sql``'s own result."""
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
+    if hasattr(catalog, "view_names"):
+        handled = _handle_view_ddl(spark, catalog, sql)
+        if handled is not None:
+            return handled
+        _view_write_guard(catalog, sql)
+        sql = inline_views(catalog, sql)
     if re.search(r"\bAS\s+OF\b", sql, re.IGNORECASE) and not re.search(
         r"^\s*CREATE\s+TABLE\b[\s\S]*\bCLONE\b", sql, re.IGNORECASE
     ):

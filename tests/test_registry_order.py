@@ -79,3 +79,24 @@ def test_no_oracle_entries_trail_the_registry():
         "no-oracle entries interleaved before oracle-backed ones "
         f"(wastes cap slots): {early_unoracled}"
     )
+
+
+def test_round12_rotated_surfaces_hold_driver_slots():
+    """Round-11 verdict item 6 + round-12 views: the dynamic-prune
+    rewrite, schema evolution, and the new SQL-view surface deserve
+    driver certification more than three TPC-H near-neighbors
+    (q12≈q4, q14≈q19, q17≈q20 family), which rotate below the cap
+    where tests/test_entry_contract.py still hash-checks them."""
+    names = list(entrymod.queries())[:DRIVER_CORRECTNESS_CAP]
+    for q in (
+        "catalog_sql_view",
+        "catalog_sql_dynamic_prune",
+        "schema_evolution_roundtrip",
+    ):
+        assert q in names, f"{q} lost its driver correctness slot"
+    for q in (
+        "q12_priority_shipping",
+        "q14_promo_revenue",
+        "q17_small_quantity_revenue",
+    ):
+        assert q in entrymod.queries() and q not in names
