@@ -404,6 +404,175 @@ def _where_predicate(where: list[tuple]) -> Column:
     return pred
 
 
+# ------------------------------------------------- logical conflict rules
+#
+# Round-12: the rebase loops' compatibility check grows from file identity
+# to Delta's WriteSerializable conflict rules (the public conflict matrix):
+#
+# - BLIND appends never conflict with a concurrent reader-writer: a blind
+#   write carries no read set, so it can be logically ordered AFTER the
+#   rebasing operation even though it committed first (exactly Delta's
+#   WriteSerializable relaxation, its default isolation).
+# - REWRITE-ONLY ops (compaction/recluster) change layout, not content —
+#   their adds never invalidate a read.
+# - Any OTHER racer op's genuine adds (new paths, not re-versioned
+#   entries) conflict when they could fall inside the rebasing commit's
+#   READ REGION (``read_spans``): the racer's decisions rode reads we
+#   cannot reorder around, and our own reads missed its rows — neither
+#   serial order exists. Disjoint regions commute and rebase.
+# - Two commits GROWING the same file's deletion vector reconcile
+#   row-level (Delta's DV row-level concurrency): disjoint position
+#   deltas merge; overlapping positions (two writers claiming one row)
+#   still raise.
+
+_BLIND_ADD_OPS = frozenset({"append", "create", "convert", "clone"})
+_REWRITE_ONLY_OPS = frozenset({"compact", "recluster", "recluster_batch"})
+
+
+def _identity_specs(schema_json: "str | None") -> dict:
+    """``{col: {"start", "step"}}`` straight off a schema JSON — cheap
+    enough for every append to check without a manifest read."""
+    if not schema_json:
+        return {}
+    out = {}
+    for f in json.loads(schema_json).get("fields", ()):
+        md = f.get("metadata") or {}
+        if "identity" in md:
+            out[f["name"]] = md["identity"]
+    return out
+
+
+def _assign_identity(
+    df: DataFrame, col: str, dtype, high: int, step: int
+) -> DataFrame:
+    """Collision-free id assignment in ONE pass, zero shuffles, zero
+    extra jobs: executor ``pid`` strides the id space —
+    ``id = high + step * (1 + pid + STRIDE * i)`` for the partition's
+    i-th row — so no cross-executor coordination ever happens mid-job.
+    Ids have GAPS (Delta's documented identity contract); the watermark
+    advances by the REAL maximum (harvested from the written files'
+    footer stats, which the manifest records anyway), so it grows
+    proportionally to rows written, not to the stride. STRIDE carries a
+    4x safety factor over the plan's partition count; a pid beyond it
+    (an AQE repartitioning surprise) fails LOUDLY rather than ever
+    risking a duplicate id."""
+    stride = max(4 * max(df.rdd.getNumPartitions(), 1), 64)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(col, dtype, True)]
+    )
+    np_t = "int32" if isinstance(dtype, T.IntegerType) else "int64"
+    base = int(high)
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        import numpy as _np
+
+        pid = TaskContext.get().partitionId()
+        if pid >= stride:
+            raise RuntimeError(
+                f"identity stride {stride} exceeded by partition {pid}; "
+                f"refusing to risk duplicate ids"
+            )
+        i = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[col] = (
+                base
+                + step * (1 + pid + stride * (_np.arange(n) + i))
+            ).astype(np_t)
+            i += n
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def _entry_in_read_spans(e: dict, read_spans: dict) -> bool:
+    """Could any row of raw file entry ``e`` fall inside the read region?
+    ``read_spans`` maps column -> (lo, hi) (None = unbounded side); the
+    region is their CONJUNCTION, so the entry is excluded as soon as one
+    column's file range provably misses its span. ``{}`` means the
+    operation read everywhere (whole-table scan). Missing/foreign-typed
+    stats keep the column inconclusive — conservative True."""
+    if not read_spans:
+        return True
+    stats = e.get("stats") or {}
+    for col, (lo, hi) in read_spans.items():
+        s = stats.get(col)
+        if not s or s[0] is None or s[1] is None:
+            continue  # unknown range: cannot exclude on this column
+        fmin, fmax = s
+        try:
+            if hi is not None and fmin > hi:
+                return False
+            if lo is not None and fmax < lo:
+                return False
+        except TypeError:
+            continue  # incomparable types: stay conservative
+    return True
+
+
+def _where_read_spans(where: "list[tuple] | None") -> dict:
+    """Read region of a conjunctive predicate list as {col: (lo, hi)}.
+    Residual/`in` conjuncts only NARROW the true region, so extracting
+    bounds from the sargable comparisons alone yields a SUPERSET —
+    conservative for conflict detection. No extractable bound at all
+    returns {} (reads everywhere)."""
+    spans: dict = {}
+
+    def tighten(col, lo, hi):
+        plo, phi = spans.get(col, (None, None))
+        if lo is not None and (plo is None or lo > plo):
+            plo = lo
+        if hi is not None and (phi is None or hi < phi):
+            phi = hi
+        spans[col] = (plo, phi)
+
+    for c, op, v in where or ():
+        if op == "in" and v:
+            vals = [_stat_scalar(x) for x in v]
+            if None in vals:
+                continue
+            try:
+                tighten(c, min(vals), max(vals))
+            except TypeError:
+                pass
+            continue
+        s = _stat_scalar(v)
+        if s is None:
+            continue
+        if op == "=":
+            tighten(c, s, s)
+        elif op in ("<", "<="):
+            tighten(c, None, s)
+        elif op in (">", ">="):
+            tighten(c, s, None)
+    return spans
+
+
+def _dv_delta_positions(root, dv_paths, data_path: str) -> "set | None":
+    """Positions the given DV parquet files delete from ``data_path``;
+    None when any file is unreadable (caller treats as a conflict —
+    never reconcile on evidence it cannot read)."""
+    import pyarrow.parquet as pq
+
+    out: set = set()
+    for d in dv_paths:
+        try:
+            tb = pq.read_table(
+                str(Path(root) / d), columns=["file_path", "pos"]
+            )
+        except Exception:
+            return None
+        for fp, pos in zip(
+            tb.column("file_path").to_pylist(), tb.column("pos").to_pylist()
+        ):
+            if fp == data_path:
+                out.add(pos)
+    return out
+
+
 class ManagedTable:
     """Atomic parquet table with a file manifest and optional day partitioning."""
 
@@ -2557,6 +2726,103 @@ class ManagedTable:
             constraints,
         )
 
+    def _append_with_identity(
+        self,
+        df: DataFrame,
+        specs: dict,
+        merge_schema: bool,
+        txn: "tuple[str, int] | None",
+        cluster_partitions: "int | None",
+        copy_sources: "list[str] | None",
+        copy_ledger_version: "int | None",
+    ) -> int:
+        """Append into a table with GENERATED ALWAYS AS IDENTITY columns
+        (called under the table lock, from :meth:`append`). Per attempt:
+        read each column's watermark, assign strided ids in the data
+        pass (:func:`_assign_identity` — no extra jobs), write, harvest
+        the REAL allocated maxima from the written footer stats the
+        manifest records anyway, then CAS-advance the watermark chain.
+        A lost CAS means a racer allocated from the same watermark — the
+        staged files are discarded and the whole assignment re-runs, so
+        committed ids are collision-free BY CONSTRUCTION under any
+        number of processes. A crash between reserve and commit burns
+        the range: a gap, which identity explicitly allows — never a
+        reuse."""
+        provided = sorted(c for c in specs if c in df.columns)
+        if provided:
+            raise ValueError(
+                f"column(s) {provided} are GENERATED ALWAYS AS IDENTITY "
+                f"— the engine allocates them; writes cannot provide them"
+            )
+        m = self.snapshot()
+        if txn is not None and (m.txns or {}).get(txn[0], -1) >= txn[1]:
+            return 0  # retried transaction: already committed
+        schema_json = m.schema_json
+        types = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(schema_json)).fields
+        }
+        for _attempt in range(_COMMIT_MAX_ATTEMPTS):
+            df2 = df
+            states = {}
+            for col, spec in specs.items():
+                seq, high = self._identity_state(col, spec)
+                states[col] = (seq, high)
+                df2 = _assign_identity(
+                    df2, col, types[col], high, int(spec["step"])
+                )
+            aligned, widened = self._align_append_df(
+                df2, schema_json, merge_schema
+            )
+            aligned = self._enforce_constraints(
+                aligned, m.constraints, "append"
+            )
+            new_cols = (
+                _extend_columns(m.columns, aligned.schema.json())
+                if widened
+                else None
+            )
+            new_files = self._write_files(
+                aligned, m.partition_date_col, m.cluster_col,
+                cluster_partitions=cluster_partitions,
+                bloom_cols=m.bloom_cols,
+                columns=new_cols if new_cols is not None else m.columns,
+            )
+            if not new_files:
+                return 0
+            lost = False
+            for col, (seq, high) in states.items():
+                maxima = [
+                    f.stats[col][1]
+                    for f in new_files
+                    if f.stats and f.stats.get(col) is not None
+                ]
+                real = int(max(maxima)) if maxima else high
+                if not self._identity_reserve(col, seq, real):
+                    lost = True
+                    break
+            if lost:
+                # a racer advanced the watermark first: our staged ids
+                # may collide — discard and re-assign from the new high
+                for d in {Path(f.path).parts[0] for f in new_files}:
+                    shutil.rmtree(self.root / d, ignore_errors=True)
+                continue
+            self._commit_files(
+                m,
+                tuple(m.files) + new_files,
+                aligned.schema.json() if widened else schema_json,
+                "append",
+                txn=txn,
+                columns=new_cols,
+                copy_sources=copy_sources,
+                copy_ledger_version=copy_ledger_version,
+            )
+            return sum(f.rows for f in new_files)
+        raise ConcurrentWriteError(
+            f"append at {self.root}: identity watermark contention "
+            f"persisted for {_COMMIT_MAX_ATTEMPTS} attempts"
+        )
+
     def _align_append_df(
         self, df: DataFrame, schema_json: str | None, merge_schema: bool
     ) -> "tuple[DataFrame, bool]":
@@ -2579,6 +2845,15 @@ class ManagedTable:
             if gexpr and f.name not in df.columns:
                 df = df.withColumn(
                     f.name, F.expr(gexpr).cast(f.dataType)
+                )
+            # DEFAULT <expr> (round-12): an omitted defaulted column
+            # computes its default instead of a typed NULL — same
+            # chokepoint, so native append, SQL INSERT and streaming
+            # sinks all honor it; a PROVIDED value passes through.
+            dexpr = (f.metadata or {}).get("default_expression")
+            if dexpr and f.name not in df.columns:
+                df = df.withColumn(
+                    f.name, F.expr(dexpr).cast(f.dataType)
                 )
         have, want = set(df.columns), {f.name for f in existing.fields}
         if have != want and not merge_schema:
@@ -2675,6 +2950,13 @@ class ManagedTable:
                 head, schema_json, txns, part_col, cluster_col, bloom_cols, columns, constraints = b
                 if txn is not None and txns.get(txn[0], -1) >= txn[1]:
                     return 0  # retried transaction: already committed
+                id_specs = _identity_specs(schema_json)
+                if id_specs:
+                    return self._append_with_identity(
+                        df, id_specs, merge_schema, txn,
+                        cluster_partitions, copy_sources,
+                        copy_ledger_version,
+                    )
                 df, widened = self._align_append_df(df, schema_json, merge_schema)
                 df = self._enforce_constraints(df, constraints, "append")
                 new_cols = (
@@ -2699,6 +2981,13 @@ class ManagedTable:
                 m = self.snapshot()
                 if txn is not None and (m.txns or {}).get(txn[0], -1) >= txn[1]:
                     return 0  # retried transaction: already committed
+                id_specs = _identity_specs(m.schema_json)
+                if id_specs:
+                    return self._append_with_identity(
+                        df, id_specs, merge_schema, txn,
+                        cluster_partitions, copy_sources,
+                        copy_ledger_version,
+                    )
                 df, widened = self._align_append_df(df, m.schema_json, merge_schema)
                 df = self._enforce_constraints(df, m.constraints, "append")
                 new_cols = (
@@ -3275,6 +3564,142 @@ class ManagedTable:
                 schema_json=new_schema.json(), columns=columns,
             )
 
+    def _set_field_metadata(self, name: str, key: str, value) -> None:
+        """One metadata-only commit flipping field ``name``'s ``key`` (the
+        comments/generation slot — rides clone/restore/widen). ``value``
+        None removes the key."""
+        with _lock_for(self.root):
+            head, schema_json, columns = self._columns_state()
+            if not schema_json:
+                raise ValueError(
+                    f"cannot set {key} on an empty table"
+                )
+            st = T.StructType.fromJson(json.loads(schema_json))
+            if name not in {f.name for f in st.fields}:
+                raise ValueError(f"no such column: {name!r}")
+
+            def meta(f):
+                if f.name != name:
+                    return f.metadata
+                md = dict(f.metadata or {})
+                if value is None:
+                    md.pop(key, None)
+                else:
+                    md[key] = value
+                return md or None
+
+            new_schema = T.StructType(
+                [
+                    T.StructField(f.name, f.dataType, True, meta(f))
+                    for f in st.fields
+                ]
+            )
+            self._commit_bounded(
+                head, (), set(), "column_metadata",
+                schema_json=new_schema.json(), columns=columns,
+            )
+
+    def set_column_default(self, name: str, expr: "str | None") -> None:
+        """``DEFAULT <expr>`` for ``name`` (Delta/SQL column defaults):
+        appends/INSERTs that OMIT the column compute ``expr`` instead of
+        a typed NULL (:meth:`_align_append_df` — the one chokepoint
+        every append path crosses). Applies to FUTURE writes only;
+        existing rows are untouched (Delta's SET DEFAULT contract).
+        ``None`` drops the default. MERGE insert clauses keep their
+        explicit-assignment contract (unassigned = typed NULL)."""
+        if expr is not None:
+            # resolvability check against a typed empty frame: a default
+            # that cannot evaluate must fail at DDL time, not at the
+            # first insert
+            st = T.StructType.fromJson(
+                json.loads(self.snapshot().schema_json or "{}")
+            )
+            self.spark.createDataFrame([], st).select(F.expr(expr))
+        self._set_field_metadata(name, "default_expression", expr)
+
+    def column_defaults(self) -> dict:
+        """``{column: default expression}`` at the current head."""
+        m = self.snapshot()
+        if not m.schema_json:
+            return {}
+        st = T.StructType.fromJson(json.loads(m.schema_json))
+        return {
+            f.name: f.metadata["default_expression"]
+            for f in st.fields
+            if f.metadata and "default_expression" in f.metadata
+        }
+
+    def set_identity(self, name: str, start: int = 1, step: int = 1) -> None:
+        """Mark ``name`` GENERATED ALWAYS AS IDENTITY (Delta identity
+        columns): appends that omit the column get collision-free
+        monotonic ids allocated from a per-column watermark chain under
+        ``_log`` (see :meth:`_append_with_identity`); writes that
+        PROVIDE the column are rejected (ALWAYS semantics). Closes the
+        reference's target-side ``Id`` regeneration — the excluded
+        identity column SQL Server re-assigns on insert
+        (TableCopyService.cs:156-160). ``step`` must be positive
+        (descending identities are out of scope); ids may have GAPS
+        (Delta's documented identity contract) — the strided per-
+        partition allocator never coordinates executors mid-job."""
+        if step < 1:
+            raise ValueError("identity step must be a positive integer")
+        st = T.StructType.fromJson(
+            json.loads(self.snapshot().schema_json or "{}")
+        )
+        field = next((f for f in st.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: {name!r}")
+        if not isinstance(field.dataType, (T.LongType, T.IntegerType)):
+            raise ValueError(
+                f"identity column {name!r} must be BIGINT/INT, got "
+                f"{field.dataType.simpleString()}"
+            )
+        self._set_field_metadata(
+            name, "identity", {"start": int(start), "step": int(step)}
+        )
+
+    def identity_columns(self) -> dict:
+        """``{column: {"start": n, "step": m}}`` at the current head."""
+        m = self.snapshot()
+        if not m.schema_json:
+            return {}
+        st = T.StructType.fromJson(json.loads(m.schema_json))
+        return {
+            f.name: f.metadata["identity"]
+            for f in st.fields
+            if f.metadata and "identity" in f.metadata
+        }
+
+    def _identity_state(self, col: str, spec: dict) -> "tuple[int, int]":
+        """(seq, high) of the per-column watermark chain — the highest
+        ``_log/_idseq_<col>/<seq>.json`` object. An empty chain anchors
+        ``high`` one step below ``start``. The chain is independent of
+        the data log ON PURPOSE: a crashed writer burns its range (a
+        gap, which identity explicitly allows) instead of ever reusing
+        ids — and restore/time-travel cannot resurrect a watermark."""
+        d = self.root / "_log" / f"_idseq_{col}"
+        seq, high = 0, int(spec["start"]) - int(spec["step"])
+        try:
+            entries = sorted(d.glob("*.json"))
+        except OSError:
+            entries = []
+        if entries:
+            last = entries[-1]
+            seq = int(last.stem)
+            high = int(json.loads(self._proto.read_text(last))["high"])
+        return seq, high
+
+    def _identity_reserve(self, col: str, seq: int, high: int) -> bool:
+        """CAS the watermark chain from ``seq`` to ``seq+1`` = ``high``.
+        False when a racer took ``seq+1`` first — its allocation started
+        from the same watermark, so the caller's assigned ids may
+        collide and must be regenerated."""
+        d = self.root / "_log" / f"_idseq_{col}"
+        d.mkdir(parents=True, exist_ok=True)
+        return self._proto.put_if_absent(
+            d / f"{seq + 1:020d}.json", json.dumps({"high": int(high)})
+        )
+
     def generated_columns(self) -> dict:
         """``{column: generation expression}`` at the current head."""
         m = self.snapshot()
@@ -3686,7 +4111,8 @@ class ManagedTable:
             schema_json = m.schema_json or df.schema.json()
             if not candidates:
                 self._commit_files(
-                    m, tuple(m.files) + new_files, schema_json, "replace_where"
+                    m, tuple(m.files) + new_files, schema_json, "replace_where",
+                    read_spans=_where_read_spans(where),
                 )
                 return (0, n_ins)
             if strategy == "dv":
@@ -3698,14 +4124,16 @@ class ManagedTable:
                     files = self._grow_dv(m.files, dv_files, per_file)
                     n_del = sum(per_file.values())
                 self._commit_files(
-                    m, files + new_files, schema_json, "replace_where"
+                    m, files + new_files, schema_json, "replace_where",
+                    read_spans=_where_read_spans(where),
                 )
                 return (n_del, n_ins)
             cand_df = self._scan_with_pos(m, candidates)
             n_del = cand_df.filter(pred).count()
             if n_del == 0:
                 self._commit_files(
-                    m, tuple(m.files) + new_files, schema_json, "replace_where"
+                    m, tuple(m.files) + new_files, schema_json, "replace_where",
+                    read_spans=_where_read_spans(where),
                 )
                 return (0, n_ins)
             survivors = cand_df.filter(~F.coalesce(pred, F.lit(False))).drop(
@@ -3719,7 +4147,8 @@ class ManagedTable:
             cand_paths = {c.path for c in candidates}
             kept = tuple(f for f in m.files if f.path not in cand_paths)
             self._commit_files(
-                m, kept + rewritten + new_files, schema_json, "replace_where"
+                m, kept + rewritten + new_files, schema_json, "replace_where",
+                read_spans=_where_read_spans(where),
             )
             return (n_del, n_ins)
 
@@ -3760,19 +4189,19 @@ class ManagedTable:
         )
         n_ins = sum(f.rows for f in new_files)
         if not sel:
-            self._commit_bounded(head, new_files, set(), "replace_where")
+            self._commit_bounded(head, new_files, set(), "replace_where", read_spans=_where_read_spans(where))
             return (0, n_ins)
         hits = self._scan_with_pos(
             None, sel, schema_json=plan_schema
         ).filter(pred)
         dv_files, per_file = self._write_dv(hits)
         if dv_files is None:
-            self._commit_bounded(head, new_files, set(), "replace_where")
+            self._commit_bounded(head, new_files, set(), "replace_where", read_spans=_where_read_spans(where))
             return (0, n_ins)
         changed, removed = self._regrow_planned(sel, dv_files, per_file)
         self._commit_bounded(
             head, changed + new_files, removed, "replace_where"
-        )
+        , read_spans=_where_read_spans(where))
         return (sum(per_file.values()), n_ins)
 
     def overwrite_range(
@@ -3947,7 +4376,10 @@ class ManagedTable:
             self._commit_bounded(base_version, (), set(), "delete_noop")
             return 0
         changed, removed = self._regrow_planned(sel, dv_files, per_file)
-        self._commit_bounded(base_version, changed, removed, "delete")
+        self._commit_bounded(
+            base_version, changed, removed, "delete",
+            read_spans=_where_read_spans(where),
+        )
         return sum(per_file.values())
 
     @staticmethod
@@ -3980,6 +4412,66 @@ class ManagedTable:
                 changed.append(nf)
         return tuple(changed), removed
 
+    @staticmethod
+    def _source_key_spans(keys: DataFrame, key_col: str) -> "dict | None":
+        """The read region of a key-driven DML (merge): the [min, max]
+        span of the DISTINCT source keys — one tiny aggregate on an
+        already-needed frame. None for an empty source (nothing read,
+        the commit degrades to legacy file-identity rules); ``{}`` for a
+        key type the stats cannot order (whole-table read region,
+        conservative)."""
+        row = keys.agg(F.min(key_col), F.max(key_col)).first()
+        if row is None or row[0] is None or row[1] is None:
+            return None
+        lo, hi = _stat_scalar(row[0]), _stat_scalar(row[1])
+        if lo is None or hi is None:
+            return {}
+        return {key_col: (lo, hi)}
+
+    def _reconcile_dv_entries(
+        self, path: str, ours: "FileEntry", racer: dict
+    ) -> "FileEntry | None":
+        """Row-level concurrency (Delta's DV reconciliation): both this
+        commit and a racer re-versioned ``path`` by GROWING its deletion
+        vector. When the two DV deltas delete DISJOINT positions and
+        every data-file field agrees, the diffs commute: returns the
+        racer's entry with our delta folded in (so the rebased re-add
+        carries BOTH writers' deletes). None = genuine row conflict or
+        unverifiable evidence — the caller raises, never guesses."""
+        if not racer.get("dv_paths") or not ours.dv_paths:
+            return None
+        od, rd = _entry_dict(ours), dict(racer)
+        for k in ("dv_paths", "dv_rows"):
+            od.pop(k, None)
+            rd.pop(k, None)
+        if od != rd:
+            return None  # not a pure DV growth on both sides
+        r_set = set(racer["dv_paths"])
+        our_new = [d for d in ours.dv_paths if d not in r_set]
+        racer_new = [d for d in racer["dv_paths"] if d not in set(ours.dv_paths)]
+        if not our_new or not racer_new:
+            return None
+        our_pos = _dv_delta_positions(self.root, our_new, path)
+        racer_pos = _dv_delta_positions(self.root, racer_new, path)
+        if not our_pos or not racer_pos or (our_pos & racer_pos):
+            return None  # overlap, or positions we cannot verify
+        # accounting cross-check: both deltas must explain both counters
+        # relative to the same base, or the file_path keying drifted and
+        # the disjointness above proved nothing
+        base_rows = racer["dv_rows"] - len(racer_pos)
+        if ours.dv_rows - len(our_pos) != base_rows or base_rows < 0:
+            return None
+        merged_rows = racer["dv_rows"] + len(our_pos)
+        if merged_rows > racer["rows"]:
+            return None  # cannot delete more rows than the file holds
+        return FileEntry(
+            **{
+                **racer,
+                "dv_paths": tuple(racer["dv_paths"]) + tuple(our_new),
+                "dv_rows": merged_rows,
+            }
+        )
+
     def _commit_bounded(
         self,
         base_version: int,
@@ -3994,6 +4486,7 @@ class ManagedTable:
         exclusive: bool = False,
         copy_sources: "list[str] | None" = None,
         copy_ledger_version: "int | None" = None,
+        read_spans: "dict | None" = None,
     ) -> bool:
         """O(touched)-memory commit: write the action diff directly on
         top of ``base_version`` without ever materializing the full file
@@ -4094,6 +4587,8 @@ class ManagedTable:
                         f"{op} at {self.root}: a concurrent commit landed "
                         f"during an exclusive commit; re-read and retry"
                     ) from None
+                ours_by_path = {f.path: f for f in added}
+                reconciled: dict = {}
                 for v2 in range(base_v + 1, head + 1):
                     raw2 = self._raw(v2)
                     if txn is not None and raw2.get("txn"):
@@ -4125,13 +4620,54 @@ class ManagedTable:
                             f"{op} at {self.root}: concurrent full-state "
                             f"commit; re-read and retry"
                         ) from None
-                    adds2 = {e["path"] for e in raw2["add"]}
-                    if touched & (set(raw2["remove"]) | adds2):
-                        raise ConcurrentWriteError(
-                            f"{op} at {self.root}: a concurrent commit "
-                            f"rewrote or re-versioned files this commit "
-                            f"also touches; re-read and retry"
-                        ) from None
+                    racer_removed = set(raw2["remove"])
+                    adds2 = {e["path"]: e for e in raw2["add"]}
+                    op2 = raw2.get("op")
+                    if (
+                        read_spans is not None
+                        and op2 not in _BLIND_ADD_OPS
+                        and op2 not in _REWRITE_ONLY_OPS
+                    ):
+                        # the racer's GENUINE adds (new paths, not DV
+                        # re-versions) rode its own reads — if any could
+                        # fall inside our read region, no serial order
+                        # exists (module comment: logical conflict rules)
+                        for p2, e2 in adds2.items():
+                            if p2 in racer_removed:
+                                continue  # re-versioned entry: no new rows
+                            if _entry_in_read_spans(e2, read_spans):
+                                raise ConcurrentWriteError(
+                                    f"{op} at {self.root}: concurrent "
+                                    f"{op2} (v{v2}) added rows inside "
+                                    f"this operation's read region; "
+                                    f"re-read and retry"
+                                ) from None
+                    for p2 in sorted(touched & (racer_removed | set(adds2))):
+                        ours_e = ours_by_path.get(p2)
+                        racer_e = (
+                            adds2.get(p2) if p2 in racer_removed else None
+                        )
+                        merged = (
+                            self._reconcile_dv_entries(p2, ours_e, racer_e)
+                            if ours_e is not None
+                            and racer_e is not None
+                            and p2 in removed_paths
+                            else None
+                        )
+                        if merged is None:
+                            raise ConcurrentWriteError(
+                                f"{op} at {self.root}: a concurrent commit "
+                                f"rewrote or re-versioned files this commit "
+                                f"also touches; re-read and retry"
+                            ) from None
+                        # disjoint row-level deltas: carry the racer's DVs
+                        # in our re-add so replay keeps both writers' rows
+                        ours_by_path[p2] = merged
+                        reconciled[p2] = merged
+                if reconciled:
+                    added = tuple(
+                        reconciled.get(f.path, f) for f in added
+                    )
                 base_v = head
                 time.sleep(_COMMIT_BACKOFF_S * (attempt + 1))
                 continue
@@ -4163,7 +4699,10 @@ class ManagedTable:
         )
         cand_paths = {c.path for c in candidates}
         kept = tuple(f for f in m.files if f.path not in cand_paths)
-        self._commit_files(m, kept + new_files, m.schema_json, "delete")
+        self._commit_files(
+            m, kept + new_files, m.schema_json, "delete",
+            read_spans=_where_read_spans(where),
+        )
         return n_match
 
     def _delete_dv(self, m: Manifest, candidates: list, where: list[tuple]) -> int:
@@ -4173,7 +4712,10 @@ class ManagedTable:
             self._commit_files(m, tuple(m.files), m.schema_json, "delete_noop")
             return 0
         files = self._grow_dv(m.files, dv_files, per_file)
-        self._commit_files(m, files, m.schema_json, "delete")
+        self._commit_files(
+            m, files, m.schema_json, "delete",
+            read_spans=_where_read_spans(where),
+        )
         return sum(per_file.values())
 
     def _scan_with_pos(
@@ -4552,7 +5094,10 @@ class ManagedTable:
         )
         cand_paths = {c.path for c in candidates}
         kept = tuple(f for f in m.files if f.path not in cand_paths)
-        self._commit_files(m, kept + new_files, m.schema_json, "update")
+        self._commit_files(
+            m, kept + new_files, m.schema_json, "update",
+            read_spans=_where_read_spans(where),
+        )
         return n_match
 
     def _update_dv(
@@ -4623,7 +5168,10 @@ class ManagedTable:
             )
             if m is not None:
                 files = self._grow_dv(m.files, dv_files, per_file)
-                self._commit_files(m, files + new_files, m.schema_json, "update")
+                self._commit_files(
+                    m, files + new_files, m.schema_json, "update",
+                    read_spans=_where_read_spans(where),
+                )
             else:
                 by_path = {f.path: f for f in candidates}
                 stray = sorted(set(per_file) - set(by_path))
@@ -4646,7 +5194,8 @@ class ManagedTable:
                     if nf.dv_rows < nf.rows:
                         changed.append(nf)
                 self._commit_bounded(
-                    base_version, tuple(changed) + new_files, removed, "update"
+                    base_version, tuple(changed) + new_files, removed, "update",
+                    read_spans=_where_read_spans(where),
                 )
             return sum(per_file.values())
         finally:
@@ -5134,10 +5683,17 @@ class ManagedTable:
                 matched_clauses + by_source_clauses, known, key_cols
             )
             _validate_insert_clauses(insert_clauses, known, src_cols, cols)
+            if insert_clauses and _identity_specs(m.schema_json):
+                raise ValueError(
+                    "MERGE insert clauses cannot allocate GENERATED "
+                    "ALWAYS AS IDENTITY ids (append/INSERT-scoped "
+                    "allocation); use a matched-only merge plus append"
+                )
             if by_source_clauses:
                 # every target row participates — pruning would silently
                 # exempt rows in unprobed files from the by-source clauses
                 candidates = list(m.files)
+                merge_spans: "dict | None" = {}  # by-source reads everything
             else:
                 keys = source_df.select(*key_cols).distinct()
                 affected = self._affected_files_by_stats(m, keys, key_cols[0])
@@ -5146,6 +5702,7 @@ class ManagedTable:
                     if affected is None
                     else [f for f in m.files if f.path in affected]
                 )
+                merge_spans = self._source_key_spans(keys, key_cols[0])
             dv_files, per_file, written, counts = self._merge_core(
                 m, candidates, source_df, key_cols, schema, known, cols,
                 matched_clauses, by_source_clauses,
@@ -5163,6 +5720,7 @@ class ManagedTable:
                 m.schema_json,
                 "merge" if any(counts) else "merge_noop",
                 txn=txn,
+                read_spans=merge_spans,
             )
             if not landed:
                 return dict(skipped)  # a concurrent retry won the epoch
@@ -5201,6 +5759,12 @@ class ManagedTable:
                 )
         _validate_merge_assignments(matched_clauses, known, key_cols)
         _validate_insert_clauses(insert_clauses, known, src_cols, cols)
+        if insert_clauses and _identity_specs(schema_json):
+            raise ValueError(
+                "MERGE insert clauses cannot allocate GENERATED ALWAYS "
+                "AS IDENTITY ids (append/INSERT-scoped allocation); use "
+                "a matched-only merge plus append"
+            )
         keys = source_df.select(*key_cols).distinct()
         # the span probe prunes on the FIRST key column (sound: a file
         # whose first-key span admits no source key can't hold a match);
@@ -5225,6 +5789,7 @@ class ManagedTable:
             head, changed + written, removed,
             "merge" if any(counts) else "merge_noop",
             txn=txn,
+            read_spans=self._source_key_spans(keys, key_cols[0]),
         )
         if not landed:
             return {"updated": 0, "deleted": 0, "inserted": 0,
@@ -5523,6 +6088,7 @@ class ManagedTable:
         constraints: dict | None = None,
         copy_sources: "list[str] | None" = None,
         copy_ledger_version: "int | None" = None,
+        read_spans: "dict | None" = None,
     ) -> bool:
         """Commit ``files`` as the next version on top of ``prev``, with
         optimistic cross-process concurrency control.
@@ -5640,15 +6206,66 @@ class ManagedTable:
             except CommitConflict:
                 cur = self.snapshot()
                 cur_by_path = {f.path: f for f in cur.files}
-                if any(
-                    cur_by_path.get(p) != prev_by_path[p] for p in removed_paths
-                ):
-                    raise ConcurrentWriteError(
-                        f"{op} at {self.root}: a concurrent commit "
-                        f"(v{cur.version}, op={cur.op}) rewrote or "
-                        f"re-versioned files this commit also touches; "
-                        f"re-read and retry the operation"
-                    ) from None
+                if read_spans is not None:
+                    # same read-region rule as _commit_bounded (module
+                    # comment: logical conflict rules) — walk the racer
+                    # actions so blind appends and rewrite-only ops stay
+                    # exempt, exactly Delta's WriteSerializable matrix
+                    for v2 in range(base.version + 1, cur.version + 1):
+                        raw2 = self._raw(v2)
+                        if "files" in raw2:  # legacy full-state record
+                            raise ConcurrentWriteError(
+                                f"{op} at {self.root}: concurrent "
+                                f"full-state commit; re-read and retry"
+                            ) from None
+                        op2 = raw2.get("op")
+                        if (
+                            op2 in _BLIND_ADD_OPS
+                            or op2 in _REWRITE_ONLY_OPS
+                        ):
+                            continue
+                        racer_removed2 = set(raw2["remove"])
+                        for e2 in raw2["add"]:
+                            if e2["path"] in racer_removed2:
+                                continue  # re-version: no new rows
+                            if _entry_in_read_spans(e2, read_spans):
+                                raise ConcurrentWriteError(
+                                    f"{op} at {self.root}: concurrent "
+                                    f"{op2} (v{v2}) added rows inside "
+                                    f"this operation's read region; "
+                                    f"re-read and retry"
+                                ) from None
+                contested = [
+                    p
+                    for p in sorted(removed_paths)
+                    if cur_by_path.get(p) != prev_by_path[p]
+                ]
+                if contested:
+                    ours_by_path = {f.path: f for f in added}
+                    reconciled: dict = {}
+                    for p in contested:
+                        ours_e = ours_by_path.get(p)
+                        racer_e = cur_by_path.get(p)
+                        merged = (
+                            self._reconcile_dv_entries(
+                                p, ours_e, _entry_dict(racer_e)
+                            )
+                            if ours_e is not None and racer_e is not None
+                            else None
+                        )
+                        if merged is None:
+                            raise ConcurrentWriteError(
+                                f"{op} at {self.root}: a concurrent commit "
+                                f"(v{cur.version}, op={cur.op}) rewrote or "
+                                f"re-versioned files this commit also "
+                                f"touches; re-read and retry the operation"
+                            ) from None
+                        reconciled[p] = merged
+                        # the entry we now expect live at the head is the
+                        # racer's — keeps a later retry's equality check
+                        # (and re-reconciliation) idempotent
+                        prev_by_path[p] = racer_e
+                    added = tuple(reconciled.get(f.path, f) for f in added)
                 if schema_changing and _schema_fp(cur.schema_json) not in (
                     fp_prev,
                     fp_ours,
