@@ -4914,6 +4914,100 @@ ORDER BY o.o_orderpriority
 """
 
 
+def catalog_sql_default_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values end-to-end (round-12,
+    sources/sql_dml.py + managed_table.py:set_column_default): DEFAULT
+    in CREATE computes for INSERTs that omit the column, provided
+    values pass through, and ALTER COLUMN SET DEFAULT applies to FUTURE
+    writes only. The oracle restates the expected rows as constants, so
+    the driver's value-hash proves the compute-if-absent semantics
+    exactly. DDL surface / SHOW CREATE re-run / native-append parity
+    are pinned in tests/test_defaults_identity.py."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    tmp = _tmp_table_dir(prefix="dwcs_dflt_")
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.sql(
+        spark,
+        f"CREATE TABLE global_temp.dwcs_dflt (k INT, "
+        f"seg STRING DEFAULT 'unknown', score DOUBLE DEFAULT (0.5 * 4)) "
+        f"USING managed_table LOCATION '{tmp}/t'",
+    )
+    cat.sql(spark, "INSERT INTO global_temp.dwcs_dflt (k) VALUES (1), (2)")
+    cat.sql(
+        spark,
+        "INSERT INTO global_temp.dwcs_dflt (k, seg) VALUES (3, 'given')",
+    )
+    cat.sql(
+        spark,
+        "ALTER TABLE global_temp.dwcs_dflt ALTER COLUMN seg "
+        "SET DEFAULT 'later'",
+    )
+    cat.sql(spark, "INSERT INTO global_temp.dwcs_dflt (k) VALUES (4)")
+    t = ManagedTable(spark, f"{tmp}/t")
+    return t.read().select("k", "seg", "score").orderBy("k")
+
+
+CATALOG_SQL_DEFAULT_SQL = """
+SELECT CAST(k AS INT) AS k, seg, CAST(score AS DOUBLE) AS score
+FROM (VALUES (1, 'unknown', 2.0), (2, 'unknown', 2.0),
+             (3, 'given', 2.0), (4, 'later', 2.0)) AS v(k, seg, score)
+ORDER BY k
+"""
+
+
+def catalog_sql_identity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY end-to-end (round-12,
+    managed_table.py:set_identity / _append_with_identity — the
+    reference's target-side ``Id`` regeneration,
+    TableCopyService.cs:156-160): ids allocate from a CAS watermark
+    chain, collision-free and monotonic, with GAPS allowed (Delta's
+    identity contract) — so the oracle certifies the INVARIANTS
+    (row/distinct counts, start floor, step residue, data columns)
+    rather than engine-chosen id values; uniqueness under a genuine
+    cross-process storm is pinned in tests/test_defaults_identity.py."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    tmp = _tmp_table_dir(prefix="dwcs_ident_")
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.sql(
+        spark,
+        f"CREATE TABLE global_temp.dwcs_ident (id BIGINT GENERATED "
+        f"ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3), "
+        f"name STRING) USING managed_table LOCATION '{tmp}/t'",
+    )
+    cat.sql(
+        spark,
+        "INSERT INTO global_temp.dwcs_ident (name) "
+        "VALUES ('a'), ('b'), ('c')",
+    )
+    cat.sql(
+        spark, "INSERT INTO global_temp.dwcs_ident (name) VALUES ('d'), ('e')"
+    )
+    t = ManagedTable(spark, f"{tmp}/t")
+    return (
+        t.read()
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("id").alias("n_ids"),
+            (F.min("id") >= F.lit(100)).alias("ids_floor"),
+            F.sum(
+                (((F.col("id") - 100) % 3) == 0).cast("long")
+            ).alias("on_step"),
+            F.concat_ws("|", F.array_sort(F.collect_list("name"))).alias(
+                "names"
+            ),
+        )
+    )
+
+
+CATALOG_SQL_IDENTITY_SQL = """
+SELECT CAST(5 AS BIGINT) AS n_rows, CAST(5 AS BIGINT) AS n_ids,
+       TRUE AS ids_floor, CAST(5 AS BIGINT) AS on_step,
+       'a|b|c|d|e' AS names
+"""
+
+
 def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-10,
     Spark/Delta's stored-statistics surface): one distributed aggregate
@@ -5868,6 +5962,8 @@ QUERIES: dict[str, QueryFn] = {
     # driver-side hash coverage). First the partsupp-adapted TPC-H
     # completions: they DO have oracles, and tests/test_entry_contract.py
     # hash-checks them side-by-side exactly like the driver would --
+    "catalog_sql_default_roundtrip": catalog_sql_default_roundtrip,
+    "catalog_sql_identity_roundtrip": catalog_sql_identity_roundtrip,
     "q12_priority_shipping": q12_priority_shipping,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -6060,6 +6156,8 @@ ORACLES: dict[str, str] = {
     "catalog_sql_show_partitions": CATALOG_SQL_SHOW_PARTITIONS_SQL,
     "catalog_sql_dynamic_prune": CATALOG_SQL_DFP_SQL,
     "catalog_sql_view": CATALOG_SQL_VIEW_SQL,
+    "catalog_sql_default_roundtrip": CATALOG_SQL_DEFAULT_SQL,
+    "catalog_sql_identity_roundtrip": CATALOG_SQL_IDENTITY_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -2803,9 +2803,11 @@ class ManagedTable:
                     break
             if lost:
                 # a racer advanced the watermark first: our staged ids
-                # may collide — discard and re-assign from the new high
-                for d in {Path(f.path).parts[0] for f in new_files}:
-                    shutil.rmtree(self.root / d, ignore_errors=True)
+                # may collide — discard the staged COMMIT DIRS (never a
+                # shared parent) and re-assign from the new high
+                for d in {str(Path(f.path).parent) for f in new_files}:
+                    if d not in (".", ""):
+                        shutil.rmtree(self.root / d, ignore_errors=True)
                 continue
             self._commit_files(
                 m,

@@ -244,10 +244,30 @@ class NamedCatalog:
                     f"conf) or register the table as '{gdb}.{tbl}'"
                 )
             root = self.root_of(name).replace("'", "''")
-            spark.sql(
-                f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{tbl}` "
-                f"USING managed_table OPTIONS (path '{root}')"
-            )
+            # ANALYZE-driven broadcast hint (round-12): a Python-DS
+            # relation reports no size, so Spark never auto-broadcasts
+            # it — joins against provably tiny dims fall to sort-merge.
+            # When FRESH stats say the table is small, the public view
+            # wraps the raw relation in a BROADCAST hint (hints resolve
+            # through views to the subtree), so every SQL join against
+            # it picks the hash-broadcast plan. Stale/absent stats keep
+            # the plain registration — never hint on a guess.
+            if self._fresh_small(name):
+                spark.sql(
+                    f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW "
+                    f"`__dwcs_raw_{tbl}` "
+                    f"USING managed_table OPTIONS (path '{root}')"
+                )
+                spark.sql(
+                    f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{tbl}` AS "
+                    f"SELECT /*+ BROADCAST */ * FROM "
+                    f"{gdb}.`__dwcs_raw_{tbl}`"
+                )
+            else:
+                spark.sql(
+                    f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{tbl}` "
+                    f"USING managed_table OPTIONS (path '{root}')"
+                )
             out.append(f"{db}.{tbl}")
         # catalog views ride the same global-temp surface: the body
         # inlines view-on-view references first, so registration order
@@ -276,7 +296,29 @@ class NamedCatalog:
         surface's read-your-writes knob)."""
         return self.attach(spark)
 
+    # dims at or under this many ANALYZEd rows get the BROADCAST-hint
+    # wrapper on attach (conservative: ~25 MB at 100 B/row, well inside
+    # executor memory at any realistic width)
+    BROADCAST_MAX_ROWS = 250_000
+
+    def _fresh_small(self, name: str) -> bool:
+        from data_warehouse_copy_spark.sources.managed_table import (
+            ManagedTable,
+        )
+
+        try:
+            t = ManagedTable(None, self.root_of(name))
+            s = t.table_stats()
+            return (
+                s is not None
+                and s.get("version") == t._head_version()
+                and s.get("row_count", 1 << 62) <= self.BROADCAST_MAX_ROWS
+            )
+        except Exception:
+            return False
+
     def detach(self, spark: SparkSession) -> None:
         for name in self.names() + self.view_names():
             _, tbl = self._split(name)
             spark.catalog.dropGlobalTempView(tbl)
+            spark.catalog.dropGlobalTempView(f"__dwcs_raw_{tbl}")

@@ -186,6 +186,7 @@ under ``F.expr`` inside the transactional rewrite).
 from __future__ import annotations
 
 import json
+import logging
 import re
 import uuid
 from dataclasses import dataclass, field
@@ -286,6 +287,7 @@ class DmlStatement:
     zorder_cols: "list[str] | None" = None
     to_version: int | None = None
     to_timestamp: str | None = None   # RESTORE ... TO TIMESTAMP AS OF
+    default_expr: str | None = None   # ALTER COLUMN ... SET DEFAULT
     # constraint fields (alter_op add_constraint / drop_constraint)
     check_expr: str | None = None
     # COMMENT ON / ALTER COLUMN ... COMMENT / CREATE ... COMMENT
@@ -1135,6 +1137,7 @@ class _Parser:
                     ctype = self._type_name()
                     ccomment = None
                     genexpr = None
+                    extra = None  # ("default", expr) | ("identity", s, p)
                     while True:
                         if self._at_word("comment") and ccomment is None:
                             # c INT COMMENT 'txt' — raw-text matched so
@@ -1146,16 +1149,80 @@ class _Parser:
                                     "column COMMENT expects a quoted string"
                                 )
                             ccomment = v
+                        elif self._at_word("default") and extra is None:
+                            # c INT DEFAULT <literal | (expr)> — computed
+                            # for INSERTs/appends that omit the column
+                            self._take()
+                            nx = self._peek()
+                            if (
+                                nx is not None
+                                and nx.kind == "punct"
+                                and nx.text == "("
+                            ):
+                                self._take()
+                                depth, parts = 1, []
+                                while depth:
+                                    tk = self._take()
+                                    if tk.kind == "punct":
+                                        depth += tk.text == "("
+                                        depth -= tk.text == ")"
+                                        if not depth:
+                                            break
+                                    parts.append(tk.text)
+                                if not parts:
+                                    raise SqlDmlError(
+                                        "DEFAULT (...) needs an expression"
+                                    )
+                                extra = ("default", " ".join(parts))
+                            else:
+                                tk = self._take()
+                                if tk is None or tk.kind not in (
+                                    "number", "string", "ident"
+                                ):
+                                    raise SqlDmlError(
+                                        "DEFAULT expects a literal or a "
+                                        "parenthesized expression"
+                                    )
+                                extra = ("default", tk.text)
                         elif (
                             self._at_word("generated")
                             and genexpr is None
+                            and extra is None
                         ):
                             # c INT GENERATED ALWAYS AS (expr) — Delta's
-                            # generated columns; expr is the balanced
-                            # token run inside the parens
+                            # generated columns — or GENERATED ALWAYS AS
+                            # IDENTITY [(START WITH n [INCREMENT BY m])]
                             self._take()
                             self._expect_word("always")
                             self._expect_kw("as")
+                            if self._at_word("identity"):
+                                self._take()
+                                start, step = 1, 1
+                                nx = self._peek()
+                                if (
+                                    nx is not None
+                                    and nx.kind == "punct"
+                                    and nx.text == "("
+                                ):
+                                    self._take()
+                                    self._expect_word("start")
+                                    self._expect_word("with")
+                                    start = self._literal()
+                                    if self._at_word("increment"):
+                                        self._take()
+                                        self._expect_kw("by")
+                                        step = self._literal()
+                                    self._expect_punct(")")
+                                    if not isinstance(start, int) or not (
+                                        isinstance(step, int) and step >= 1
+                                    ):
+                                        raise SqlDmlError(
+                                            "IDENTITY START WITH expects an "
+                                            "integer and INCREMENT BY a "
+                                            "positive integer"
+                                        )
+                                extra = ("identity", start, step)
+                                continue
                             self._expect_punct("(")
                             depth, parts = 1, []
                             while depth:
@@ -1179,7 +1246,7 @@ class _Parser:
                             genexpr = " ".join(parts)
                         else:
                             break
-                    cols.append((cname, ctype, ccomment, genexpr))
+                    cols.append((cname, ctype, ccomment, genexpr, extra))
                     t = self._take()
                     if t is not None and t.text == ")":
                         break
@@ -1461,6 +1528,12 @@ class _Parser:
             # Delta nullability forms SET NOT NULL / DROP NOT NULL
             kw = self._expect_kw("type", "set", "drop")
             if kw == "drop":
+                if self._at_word("default"):
+                    # ALTER TABLE t ALTER COLUMN c DROP DEFAULT
+                    self._take()
+                    st.alter_op = "drop_default"
+                    self._done()
+                    return st
                 self._expect_kw("not")
                 tk = self._take()
                 if tk.kind != "ident" or tk.text.lower() != "null":
@@ -1472,6 +1545,21 @@ class _Parser:
                 return st
             if kw == "set":
                 nxt = self._kw(self._peek())
+                if self._word(self._peek()) == "default":
+                    # ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr> —
+                    # the remaining tokens verbatim (literal or any SQL
+                    # expression; applies to future INSERTs only)
+                    self._take()
+                    rest = [tk.text for tk in self.toks[self.i:]]
+                    if not rest:
+                        raise SqlDmlError(
+                            "SET DEFAULT expects an expression"
+                        )
+                    self.i = len(self.toks)
+                    st.alter_op = "set_default"
+                    st.default_expr = " ".join(rest)
+                    self._done()
+                    return st
                 if nxt == "not":
                     self._take()
                     tk = self._take()
@@ -2330,6 +2418,7 @@ def _apply_table_properties(
 # pinning the rewritten dim to the probe's version (``versionAsOf``); the
 # fact resolves once, in the rewritten query itself.
 
+_DFP_LOG = logging.getLogger("dwcs.dynamic_prune")
 _DFP_MAX_KEYS = 20_000   # probe cap: largest IN-list pushed into the scan
 _DFP_DIM_MAX = 2_000_000  # never probe a dim the stats call bigger
 _DFP_MIN_RATIO = 4.0     # fact must be provably >= this x dim rows
@@ -2414,9 +2503,20 @@ def try_dynamic_prune(
     tables; None on any reason not to (the caller runs the original).
     ``info`` (tests) receives the probe decision when a rewrite lands."""
     try:
-        return _try_dynamic_prune(spark, catalog, sql, info)
-    except Exception:
+        out = _try_dynamic_prune(spark, catalog, sql, info)
+    except Exception as e:
+        if info is not None and "fallback_reason" not in info:
+            info["fallback_reason"] = f"rewrite error: {e}"
+        _DFP_LOG.debug("dynamic prune fell back: %s", e)
         return None  # ANY doubt → the untouched original text
+    if out is None and info is not None and "fallback_reason" not in info:
+        info["fallback_reason"] = "not a prunable shape"
+    if out is None:
+        _DFP_LOG.debug(
+            "dynamic prune fell back: %s",
+            (info or {}).get("fallback_reason", "not a prunable shape"),
+        )
+    return out
 
 
 def _try_dynamic_prune(spark, catalog, sql, info):
@@ -2463,24 +2563,36 @@ def _try_dynamic_prune(spark, catalog, sql, info):
             j += 2
         return name, alias, i, j
 
-    # FROM T0 [a0] (INNER? JOIN Ti [ai] ON q.c = q.c)+ — the star shape
-    # (round-11: generalized from the single-join form; a 3-table chain
-    # t0⋈t1⋈t2 is the star around t1, equally prunable)
+    # FROM T0 [a0] ((INNER | LEFT [OUTER])? JOIN Ti [ai] ON q.c = q.c)+
+    # — the star shape (round-11: generalized from the single-join form;
+    # a 3-table chain t0⋈t1⋈t2 is the star around t1, equally prunable.
+    # Round-12: LEFT OUTER joins prune too, but ONLY when the WHERE
+    # carries a null-rejecting this-dim-only conjunct — exactly the
+    # condition under which the outer join degenerates to inner, so the
+    # fact-side in-list push stays value-exact).
     r0 = table_ref(from_i + 1)
     if r0 is None:
         return None
     tables = [r0]
     joins: list = []  # (left "q.c", right "q.c")
+    left_joined: list = []  # per-join: True when LEFT [OUTER]
     j = r0[3]
     while True:
+        is_left = False
         if j < len(toks) and toks[j].text.lower() == "inner":
             j += 1
+        elif j < len(toks) and toks[j].text.lower() == "left":
+            is_left = True
+            j += 1
+            if j < len(toks) and toks[j].text.lower() == "outer":
+                j += 1
         if j >= len(toks) or toks[j].text.lower() != "join":
             break
         r = table_ref(j + 1)
         if r is None:
             return None
         tables.append(r)
+        left_joined.append(is_left)
         j = r[3]
         # ON must be exactly  qual.col = qual.col  at top level
         if not (
@@ -2497,7 +2609,9 @@ def _try_dynamic_prune(spark, catalog, sql, info):
         joins.append((toks[j + 1].text, toks[j + 3].text))
         j += 4
     if not joins:
-        return None
+        return _try_dynamic_prune_in_subquery(
+            spark, catalog, sql, toks, from_i, r0, info
+        )
     tail_kw = toks[j].text.lower() if j < len(toks) else None
     if tail_kw not in (None, "where", "group", "order", "limit", "having"):
         return None  # compound ON / anything exotic
@@ -2557,6 +2671,15 @@ def _try_dynamic_prune(spark, catalog, sql, info):
         return s
 
     stats = {a.lower(): fresh_stats(tables[i][0]) for a, i in amap.items()}
+    stale = sorted(
+        tables[amap[a]][0] for a, s2 in stats.items() if s2 is None
+    )
+    if stale and info is not None:
+        # surfaced so a user can tell WHY pruning did not fire (run
+        # ANALYZE on these and it will)
+        info["fallback_reason"] = (
+            f"stale or missing ANALYZE stats for {stale}"
+        )
     pick = None
     for fa in cands:
         fs = stats[fa]
@@ -2575,6 +2698,21 @@ def _try_dynamic_prune(spark, catalog, sql, info):
     if pick is None:
         return None
     fa, dim_aliases = pick
+
+    # LEFT-join soundness (round-12): a left join whose JOINED-IN side
+    # is a dim preserves unmatched fact rows, so pruning the fact by
+    # that dim's keys needs a null-rejecting this-dim-only WHERE
+    # conjunct (inner-degeneration) — recorded here, enforced at probe
+    # time (every sargable conjunct form is null-rejecting). A left
+    # join that joins the FACT in (dim LEFT JOIN fact) never preserves
+    # unmatched fact rows: unconditionally prunable.
+    needs_filter = set()
+    for i, is_left in enumerate(left_joined):
+        if not is_left:
+            continue
+        joined_alias = aliases[i + 1].lower()
+        if joined_alias != fa:
+            needs_filter.add(joined_alias)
 
     from data_warehouse_copy_spark.sources.datasource import register
 
@@ -2627,6 +2765,11 @@ def _try_dynamic_prune(spark, catalog, sql, info):
                 ]
                 probe = probe.where(" ".join(stripped))
                 used += 1
+            if da in needs_filter and used == 0:
+                # LEFT-joined dim without a null-rejecting dim filter:
+                # unmatched fact rows survive the join, so its keys
+                # must not prune the fact — skip this dim entirely
+                continue
             rows = (
                 probe.select(dim_key)
                 .distinct()
@@ -2688,6 +2831,177 @@ def _try_dynamic_prune(spark, catalog, sql, info):
                 dim_version=probed[first][1],
                 dim_conjuncts_used=probed[first][3],
             )
+    return df
+
+
+def _try_dynamic_prune_in_subquery(
+    spark, catalog, sql, toks, from_i, r0, info
+):
+    """Round-12: the semi-join shape — ``SELECT ... FROM fact [f] WHERE
+    key IN (SELECT ... FROM dim ...)`` over registered tables. The
+    subquery's DISTINCT keys probe (version-pinned, capped at
+    ``_DFP_MAX_KEYS``) and push as an in-list into the fact scan; the
+    rewritten query keeps the IN predicate itself — against the SAME
+    pinned dim views — so the result is value-exact while manifest
+    stats skip non-matching fact files. Correlated EXISTS stays a
+    documented fallback (the correlation makes the probe per-row)."""
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+    fact_name, alias, t_start, t_end = r0
+    names = set(catalog.names())
+    if fact_name not in names:
+        return None
+    j = t_end
+    if j >= len(toks) or toks[j].text.lower() != "where":
+        return None
+    where_toks: list = []
+    k = j + 1
+    d = 0
+    while k < len(toks):
+        t = toks[k]
+        if t.kind == "punct":
+            d += t.text == "("
+            d -= t.text == ")"
+        elif d == 0 and t.text.lower() in (
+            "group", "order", "limit", "having"
+        ):
+            break
+        where_toks.append(t)
+        k += 1
+    conjuncts = _dfp_split_conjuncts(where_toks)
+    falias = (alias or fact_name.split(".")[-1]).lower()
+    pick = None
+    for c in conjuncts:
+        if (
+            len(c) >= 5
+            and c[0].kind == "ident"
+            and c[1].text.lower() == "in"
+            and c[2].kind == "punct"
+            and c[2].text == "("
+            and c[3].text.lower() == "select"
+            and c[-1].kind == "punct"
+            and c[-1].text == ")"
+        ):
+            col = c[0].text
+            if "." in col:
+                q, rest = col.split(".", 1)
+                if q.lower() != falias or "." in rest:
+                    continue
+                col = rest
+            pick = (col, c[3:-1])
+            break
+    if pick is None:
+        return None
+    fact_key, inner = pick
+    inner_names = {
+        t.text
+        for t in inner
+        if t.kind == "ident" and t.text.count(".") == 1 and t.text in names
+    }
+    if not inner_names or fact_name in inner_names:
+        return None  # no registered dim / self-reference: stay out
+
+    def fresh_stats(name):
+        t = ManagedTable(spark, catalog.root_of(name))
+        s = t.table_stats()
+        if s is None or s.get("version") != t._head_version():
+            return None
+        return s
+
+    fstats = fresh_stats(fact_name)
+    if fstats is None:
+        if info is not None:
+            info["fallback_reason"] = (
+                f"stale or missing ANALYZE stats for [{fact_name!r}]"
+            )
+        return None
+    for n in inner_names:
+        s = fresh_stats(n)
+        if s is None:
+            if info is not None:
+                info["fallback_reason"] = (
+                    f"stale or missing ANALYZE stats for [{n!r}]"
+                )
+            return None
+        if (
+            s["row_count"] > _DFP_DIM_MAX
+            or fstats["row_count"]
+            < _DFP_MIN_RATIO * max(s["row_count"], 1)
+        ):
+            return None
+
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    register(spark)
+    suffix = uuid.uuid4().hex[:12]
+    made_views: list = []
+
+    def _mk_view(vname: str, root: str, **opts) -> None:
+        parts = [f"path '{str(root).replace(chr(39), chr(39) * 2)}'"] + [
+            f"{k2} '{str(v2).replace(chr(39), chr(39) * 2)}'"
+            for k2, v2 in opts.items()
+        ]
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW `{vname}` "
+            f"USING managed_table OPTIONS ({', '.join(parts)})"
+        )
+        made_views.append(vname)
+
+    try:
+        pins: dict = {}
+        for n in sorted(inner_names):
+            root = catalog.root_of(n)
+            v = ManagedTable(spark, root)._head_version()
+            vn = f"__dwcs_dfp_in{len(pins)}_{suffix}"
+            _mk_view(vn, root, versionAsOf=v)
+            pins[n] = vn
+        inner_text = " ".join(
+            f"`{pins[t.text]}`"
+            if t.kind == "ident" and t.text in pins
+            else t.text
+            for t in inner
+        )
+        rows = spark.sql(
+            f"SELECT DISTINCT * FROM ( {inner_text} ) __dwcs_probe "
+            f"LIMIT {_DFP_MAX_KEYS + 1}"
+        ).collect()
+        if len(rows) > _DFP_MAX_KEYS:
+            return None  # over cap: pruning would carry a huge in-list
+        if rows and len(rows[0]) != 1:
+            return None  # the IN subquery must yield one column
+        keys = [r[0] for r in rows if r[0] is not None]
+        if not all(
+            isinstance(kk, (int, str)) and not isinstance(kk, bool)
+            for kk in keys
+        ):
+            return None
+        where_json = json.dumps([[fact_key, "in", keys]])
+        vf = f"__dwcs_dfp_f_{suffix}"
+        _mk_view(vf, catalog.root_of(fact_name), where=where_json)
+        # rebuild the text: the fact ref swaps to the pruned view, every
+        # inner-table ref swaps to its pinned view (so the in-list and
+        # the surviving IN predicate read the SAME dim version)
+        texts = [t.text for t in toks]
+        for idx, t in enumerate(toks):
+            if t.kind == "ident" and t.text in pins:
+                texts[idx] = f"`{pins[t.text]}`"
+        texts[t_start:t_end] = [f"`{vf}`", "AS", falias]
+        new_sql = " ".join(texts)
+        try:
+            df = spark.sql(new_sql)
+        except Exception:
+            return None
+    finally:
+        for v in made_views:
+            spark.catalog.dropTempView(v)
+    if info is not None:
+        info.update(
+            fact=fact_name,
+            in_subquery=True,
+            n_keys=len(keys),
+            where_json=where_json,
+            dims={n: {"pinned": pins[n]} for n in pins},
+        )
     return df
 
 
@@ -2958,10 +3272,21 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 [], ", ".join(f"{c[0]} {c[1]}" for c in st.create_columns)
             )
         )
-        for n, _ty, cm, _ge in st.create_columns:
+        for n, _ty, cm, _ge, _ex in st.create_columns:
             if cm is not None:
                 nt.set_column_comment(n, cm)
-        for n, ty, _cm, ge in st.create_columns:
+        for n, _ty, _cm, _ge, ex in st.create_columns:
+            if ex is not None and ex[0] == "default":
+                try:
+                    nt.set_column_default(n, ex[1])
+                except Exception as e:
+                    raise SqlDmlError(
+                        f"DEFAULT expression for {n!r} does not "
+                        f"resolve: {e}"
+                    ) from None
+            elif ex is not None and ex[0] == "identity":
+                nt.set_identity(n, start=ex[1], step=ex[2])
+        for n, ty, _cm, ge, _ex in st.create_columns:
             if ge is not None:
                 # validate the expression resolves against the declared
                 # schema BEFORE recording anything — a bad expr must not
@@ -3170,6 +3495,15 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             ge = (f.metadata or {}).get("generation_expression")
             if ge is not None:
                 base += f" GENERATED ALWAYS AS ({ge})"
+            ident = (f.metadata or {}).get("identity")
+            if ident is not None:
+                base += (
+                    f" GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{ident['start']} INCREMENT BY {ident['step']})"
+                )
+            de = (f.metadata or {}).get("default_expression")
+            if de is not None:
+                base += f" DEFAULT ({de})"
             cm = (f.metadata or {}).get("comment")
             if cm is not None:
                 base += " COMMENT '" + str(cm).replace("'", "''") + "'"
@@ -3412,22 +3746,42 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         # double column) land typed. A PROVIDED generated column is
         # validated by its gen_<col> CHECK constraint on write.
         gen = t.generated_columns()
+        defaults = t.column_defaults()
+        idents = t.identity_columns()
         provided = set(names)
+        computed = set(gen) | set(defaults) | set(idents)
         src = src.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in provided
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in table_fields
-                if f.name in provided or f.name not in gen
+                if f.name in provided or f.name not in computed
             ]
         )
         for f in table_fields:  # then compute, so the exprs can see
-            if f.name in gen and f.name not in provided:  # every column
+            if f.name in provided:  # every column
+                continue
+            if f.name in gen:
                 src = src.withColumn(
                     f.name, F.expr(gen[f.name]).cast(f.dataType)
                 )
-        src = src.select(*[f.name for f in table_fields])
+            elif f.name in defaults:
+                # DEFAULT <expr> — same compute-if-absent as append's
+                # align chokepoint, restated here because INSERT builds
+                # the full-row frame itself
+                src = src.withColumn(
+                    f.name, F.expr(defaults[f.name]).cast(f.dataType)
+                )
+        # an omitted IDENTITY column stays omitted: append allocates it
+        # (a PROVIDED one passes through so append rejects it loudly)
+        src = src.select(
+            *[
+                f.name
+                for f in table_fields
+                if f.name in provided or f.name not in idents
+            ]
+        )
         if st.replace_where is not None:
             _deleted, n = t.replace_where(src, st.replace_where)
             return _summary(spark, "INSERT REPLACE WHERE", n)
@@ -3474,6 +3828,17 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
             t.drop_constraint(f"nn_{st.column}")
         elif st.alter_op == "comment_column":
             t.set_column_comment(st.column, st.comment)
+        elif st.alter_op == "set_default":
+            try:
+                t.set_column_default(st.column, st.default_expr)
+            except SqlDmlError:
+                raise
+            except Exception as e:
+                raise SqlDmlError(
+                    f"SET DEFAULT for {st.column!r}: {e}"
+                ) from None
+        elif st.alter_op == "drop_default":
+            t.set_column_default(st.column, None)
         elif st.alter_op == "rename":
             t.rename_column(st.column, st.to_name)
         elif st.alter_op == "widen":

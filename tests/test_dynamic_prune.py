@@ -130,9 +130,11 @@ def test_dfp_zero_matching_keys(spark, star):
 
 def test_dfp_structural_fallbacks(spark, star):
     cat, _fact, _dim = star
-    # outer join: pruning the fact side would drop preserved rows
+    # RIGHT outer join: pruning the fact side would drop preserved rows
+    # (LEFT with a null-rejecting dim filter prunes since round 12 —
+    # see test_dfp_left_join_prunes_only_with_null_rejecting_filter)
     assert try_dynamic_prune(
-        spark, cat, Q.replace("JOIN", "LEFT JOIN"), {}
+        spark, cat, Q.replace("JOIN", "RIGHT JOIN"), {}
     ) is None
     # multiple joins
     assert try_dynamic_prune(
@@ -305,3 +307,173 @@ def test_registered_entry_shape_fires_and_prunes(spark, tmp_path, sf_dir):
     )
     n_files = len(f.snapshot().files)
     assert n_files > 1 and len(reader.partitions()) < n_files
+
+
+def test_dfp_left_join_prunes_only_with_null_rejecting_filter(spark, star):
+    """Round-12: LEFT OUTER joins prune the fact iff a this-dim-only
+    sargable conjunct null-rejects the outer side (inner-degeneration);
+    a bare LEFT JOIN must fall back — its unmatched fact rows survive."""
+    cat, fact, _dim = star
+    q = (
+        "SELECT f.k, f.v, d.tier FROM global_temp.f f "
+        "LEFT OUTER JOIN global_temp.d d ON f.k = d.dk "
+        "WHERE d.tier = 'hot'"
+    )
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, q, info)
+    assert df is not None and info["n_keys"] == 10
+    got = sorted((r.k, r.v, r.tier) for r in df.collect())
+    assert got == sorted((r.k, r.v, r.tier) for r in spark.sql(q).collect())
+    n_files = len(fact.snapshot().files)
+    reader = ManagedTableBatchReader(
+        str(fact.root), {"where": info["where_json"]}, fact.read().schema
+    )
+    assert len(reader.partitions()) < n_files  # files really skipped
+    # bare LEFT JOIN (no dim filter): unmatched fact rows survive, so
+    # the rewrite must NOT fire
+    bare = (
+        "SELECT f.k, d.tier FROM global_temp.f f "
+        "LEFT JOIN global_temp.d d ON f.k = d.dk"
+    )
+    assert try_dynamic_prune(spark, cat, bare) is None
+    # fact-side-only filter doesn't unlock it either
+    assert (
+        try_dynamic_prune(
+            spark,
+            cat,
+            bare + " WHERE f.v > 3",
+        )
+        is None
+    )
+
+
+def test_dfp_in_subquery_prunes_and_stays_exact(spark, star):
+    """Round-12: the semi-join shape — WHERE key IN (SELECT ...) over a
+    fresh-ANALYZEd small dim probes the subquery's keys, pushes the
+    in-list into the fact scan, and keeps the IN predicate against the
+    SAME pinned dim version (value-exact)."""
+    cat, fact, _dim = star
+    q = (
+        "SELECT k, v FROM global_temp.f "
+        "WHERE k IN (SELECT dk FROM global_temp.d WHERE tier = 'hot')"
+    )
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, q, info)
+    assert df is not None and info.get("in_subquery") and info["n_keys"] == 10
+    got = sorted((r.k, r.v) for r in df.collect())
+    assert got == sorted((r.k, r.v) for r in spark.sql(q).collect())
+    assert len(got) == 10
+    n_files = len(fact.snapshot().files)
+    reader = ManagedTableBatchReader(
+        str(fact.root), {"where": info["where_json"]}, fact.read().schema
+    )
+    assert len(reader.partitions()) < n_files
+    # qualified fact column + extra fact conjunct also fire
+    q2 = (
+        "SELECT f.k FROM global_temp.f f "
+        "WHERE f.k IN (SELECT dk FROM global_temp.d WHERE tier = 'hot') "
+        "AND f.v >= 0"
+    )
+    info2: dict = {}
+    assert try_dynamic_prune(spark, cat, q2, info2) is not None
+    # public surface equality
+    assert sorted(r.k for r in cat.sql(spark, q2).collect()) == sorted(
+        r.k for r in spark.sql(q2).collect()
+    )
+
+
+def test_dfp_in_subquery_fallbacks(spark, star, tmp_path):
+    cat, _fact, _dim = star
+    # self-referencing subquery: stays out
+    assert (
+        try_dynamic_prune(
+            spark,
+            cat,
+            "SELECT k FROM global_temp.f WHERE k IN "
+            "(SELECT k FROM global_temp.f WHERE v = 1)",
+        )
+        is None
+    )
+    # unregistered inner table: stays out
+    assert (
+        try_dynamic_prune(
+            spark,
+            cat,
+            "SELECT k FROM global_temp.f WHERE k IN "
+            "(SELECT id FROM range(10))",
+        )
+        is None
+    )
+    # correlated EXISTS: documented fallback
+    assert (
+        try_dynamic_prune(
+            spark,
+            cat,
+            "SELECT k FROM global_temp.f f WHERE EXISTS "
+            "(SELECT 1 FROM global_temp.d d WHERE d.dk = f.k)",
+        )
+        is None
+    )
+
+
+def test_attach_broadcast_hint_from_fresh_stats(spark, tmp_path):
+    """Round-12: attach() wraps fresh-ANALYZEd small tables in a
+    BROADCAST hint view (a Python-DS relation reports no size, so Spark
+    would otherwise sort-merge every join against a tiny dim); stale or
+    absent stats keep the plain registration."""
+    big = ManagedTable.create(spark, tmp_path / "big")
+    big.append(spark.range(20_000).selectExpr("id AS k", "id % 7 AS v"))
+    dim = ManagedTable.create(spark, tmp_path / "dim")
+    dim.append(spark.range(50).selectExpr("id AS k", "id AS g"))
+    dim.analyze()
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("global_temp.bh_big", str(tmp_path / "big"))
+    cat.register("global_temp.bh_dim", str(tmp_path / "dim"))
+    cat.attach(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = (
+            "SELECT b.k FROM global_temp.bh_big b "
+            "JOIN global_temp.bh_dim d ON b.v = d.g"
+        )
+        plan = (
+            spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the hinted view is value-identical to the raw relation
+        assert spark.sql(q).count() == 20_000
+        # stale stats (a write after ANALYZE) drop the hint on refresh
+        dim.append(spark.range(50, 60).selectExpr("id AS k", "id AS g"))
+        cat.refresh(spark)
+        plan2 = (
+            spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        cat.detach(spark)
+
+
+def test_dfp_fallback_reason_surfaced(spark, tmp_path):
+    """Round-12 polish: when pruning does not fire, info carries WHY —
+    stale ANALYZE stats are named so a user knows what to run."""
+    fact = ManagedTable.create(spark, tmp_path / "fact")
+    fact.append(spark.range(10_000).selectExpr("id AS k", "id AS v"))
+    dim = ManagedTable.create(spark, tmp_path / "dim")
+    dim.append(spark.range(10).selectExpr("id AS dk"))
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("global_temp.fr_f", str(tmp_path / "fact"))
+    cat.register("global_temp.fr_d", str(tmp_path / "dim"))
+    cat.attach(spark)
+    info: dict = {}
+    q = (
+        "SELECT f.k FROM global_temp.fr_f f "
+        "JOIN global_temp.fr_d d ON f.k = d.dk"
+    )
+    assert try_dynamic_prune(spark, cat, q, info) is None
+    assert "ANALYZE" in info.get("fallback_reason", "")
+    info2: dict = {}
+    assert try_dynamic_prune(spark, cat, "SHOW TABLES", info2) is None
+    assert info2.get("fallback_reason") == "not a prunable shape"
+    cat.detach(spark)
