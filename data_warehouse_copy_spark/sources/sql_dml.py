@@ -2280,6 +2280,51 @@ def _handle_view_ddl(spark, catalog, sql: str):
                 ]
             ),
         )
+    m = re.match(
+        rf"^\s*DESCRIBE\s+DETAIL\s+(?P<name>{_QNAME})\s*;?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m is not None and m.group("name") in set(catalog.view_names()):
+        # DESCRIBE DETAIL on a view: metadata-only summary — a view has
+        # no files/version of its own, just its stored text and bases
+        name = m.group("name")
+        return spark.createDataFrame(
+            [
+                (
+                    name,
+                    "VIEW",
+                    catalog.view_sql(name),
+                    sorted(catalog.view_refs(name)),
+                )
+            ],
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType(), False),
+                    T.StructField("type", T.StringType(), False),
+                    T.StructField("view_sql", T.StringType(), False),
+                    T.StructField(
+                        "base_references", T.ArrayType(T.StringType()), False
+                    ),
+                ]
+            ),
+        )
+    m = re.match(
+        rf"^\s*SHOW\s+TBLPROPERTIES\s+(?P<name>{_QNAME})\s*;?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m is not None and m.group("name") in set(catalog.view_names()):
+        # views carry no table properties — empty result, not an error
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType(), False),
+                    T.StructField("value", T.StringType(), False),
+                ]
+            ),
+        )
     m = _SHOW_CREATE_RE.match(sql)
     if m is not None:
         name = m.group("name")

@@ -293,3 +293,17 @@ def test_dynamic_prune_fires_through_a_view(spark, tmp_path):
         ).collect()
     )
     assert sorted(r.amount for r in got.collect()) == expect
+
+
+def test_describe_detail_and_tblproperties_on_views(spark, vcat):
+    c, _t = vcat
+    c.sql(
+        spark,
+        "CREATE VIEW global_temp.dd AS SELECT g FROM global_temp.base",
+    )
+    row = c.sql(spark, "DESCRIBE DETAIL global_temp.dd").first()
+    assert (row["name"], row["type"]) == ("global_temp.dd", "VIEW")
+    assert row["view_sql"] == "SELECT g FROM global_temp.base"
+    assert row["base_references"] == ["global_temp.base"]
+    props = c.sql(spark, "SHOW TBLPROPERTIES global_temp.dd")
+    assert props.count() == 0 and props.columns == ["key", "value"]
