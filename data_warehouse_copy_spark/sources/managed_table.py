@@ -4202,8 +4202,9 @@ class ManagedTable:
             return (0, n_ins)
         changed, removed = self._regrow_planned(sel, dv_files, per_file)
         self._commit_bounded(
-            head, changed + new_files, removed, "replace_where"
-        , read_spans=_where_read_spans(where))
+            head, changed + new_files, removed, "replace_where",
+            read_spans=_where_read_spans(where),
+        )
         return (sum(per_file.values()), n_ins)
 
     def overwrite_range(
@@ -4488,7 +4489,7 @@ class ManagedTable:
         exclusive: bool = False,
         copy_sources: "list[str] | None" = None,
         copy_ledger_version: "int | None" = None,
-        read_spans: "dict | None" = None,
+        read_spans: "dict | None" = None,  # or a 0-arg callable -> dict
     ) -> bool:
         """O(touched)-memory commit: write the action diff directly on
         top of ``base_version`` without ever materializing the full file
@@ -4591,6 +4592,10 @@ class ManagedTable:
                     ) from None
                 ours_by_path = {f.path: f for f in added}
                 reconciled: dict = {}
+                if callable(read_spans):
+                    # merge passes the span LAZILY: conflict-free commits
+                    # (the common case) never pay the min/max aggregate
+                    read_spans = read_spans()
                 for v2 in range(base_v + 1, head + 1):
                     raw2 = self._raw(v2)
                     if txn is not None and raw2.get("txn"):
@@ -5695,7 +5700,7 @@ class ManagedTable:
                 # every target row participates — pruning would silently
                 # exempt rows in unprobed files from the by-source clauses
                 candidates = list(m.files)
-                merge_spans: "dict | None" = {}  # by-source reads everything
+                merge_spans = {}  # by-source reads everything (eager)
             else:
                 keys = source_df.select(*key_cols).distinct()
                 affected = self._affected_files_by_stats(m, keys, key_cols[0])
@@ -5704,7 +5709,10 @@ class ManagedTable:
                     if affected is None
                     else [f for f in m.files if f.path in affected]
                 )
-                merge_spans = self._source_key_spans(keys, key_cols[0])
+                _k = keys
+                merge_spans = (
+                    lambda k=_k, c=key_cols[0]: self._source_key_spans(k, c)
+                )
             dv_files, per_file, written, counts = self._merge_core(
                 m, candidates, source_df, key_cols, schema, known, cols,
                 matched_clauses, by_source_clauses,
@@ -5791,7 +5799,9 @@ class ManagedTable:
             head, changed + written, removed,
             "merge" if any(counts) else "merge_noop",
             txn=txn,
-            read_spans=self._source_key_spans(keys, key_cols[0]),
+            read_spans=(
+                lambda k=keys, c=key_cols[0]: self._source_key_spans(k, c)
+            ),
         )
         if not landed:
             return {"updated": 0, "deleted": 0, "inserted": 0,
@@ -6090,7 +6100,7 @@ class ManagedTable:
         constraints: dict | None = None,
         copy_sources: "list[str] | None" = None,
         copy_ledger_version: "int | None" = None,
-        read_spans: "dict | None" = None,
+        read_spans: "dict | None" = None,  # or a 0-arg callable -> dict
     ) -> bool:
         """Commit ``files`` as the next version on top of ``prev``, with
         optimistic cross-process concurrency control.
@@ -6208,6 +6218,9 @@ class ManagedTable:
             except CommitConflict:
                 cur = self.snapshot()
                 cur_by_path = {f.path: f for f in cur.files}
+                if callable(read_spans):
+                    # lazily-evaluated read region (see _commit_bounded)
+                    read_spans = read_spans()
                 if read_spans is not None:
                     # same read-region rule as _commit_bounded (module
                     # comment: logical conflict rules) — walk the racer
