@@ -3659,6 +3659,36 @@ class ManagedTable:
         self._set_field_metadata(
             name, "identity", {"start": int(start), "step": int(step)}
         )
+        # rows may PREDATE the marking (convert/adopt flows): sync the
+        # watermark above them so the first allocation never collides
+        self.sync_identity()
+
+    def sync_identity(self) -> dict:
+        """Delta's ``ALTER TABLE ... SYNC IDENTITY``: advance each
+        identity column's watermark chain to the data's current max (one
+        aggregate per column; a no-op when the chain is already ahead).
+        Returns ``{column: watermark}``. This is the recovery for tables
+        whose rows predate the identity marking — allocation reads the
+        CHAIN, never the data, so an out-of-band backfill needs this to
+        become collision-safe."""
+        out: dict = {}
+        for col, spec in self.identity_columns().items():
+            row = self.read().agg(F.max(col)).first()
+            data_max = row[0] if row is not None else None
+            for _attempt in range(_COMMIT_MAX_ATTEMPTS):
+                seq, high = self._identity_state(col, spec)
+                if data_max is None or data_max <= high:
+                    out[col] = high
+                    break
+                if self._identity_reserve(col, seq, int(data_max)):
+                    out[col] = int(data_max)
+                    break
+            else:
+                raise ConcurrentWriteError(
+                    f"sync_identity at {self.root}: watermark contention "
+                    f"persisted for {_COMMIT_MAX_ATTEMPTS} attempts"
+                )
+        return out
 
     def identity_columns(self) -> dict:
         """``{column: {"start": n, "step": m}}`` at the current head."""

@@ -1405,6 +1405,15 @@ class _Parser:
 
     def _alter(self) -> "DmlStatement":
         st = DmlStatement("alter", self._expect_ident())
+        if self._at_word("sync"):
+            # ALTER TABLE t SYNC IDENTITY (Delta): advance every identity
+            # column's watermark to the data's max — the recovery for
+            # tables whose rows predate the identity marking
+            self._take()
+            self._expect_word("identity")
+            st.alter_op = "sync_identity"
+            self._done()
+            return st
         if self._at_word("cluster"):
             self._take()
             op = "cluster"
@@ -2002,8 +2011,10 @@ def _rewrite_time_travel(spark: SparkSession, catalog, sql: str) -> str:
 
 _QNAME = r"[A-Za-z_][A-Za-z0-9_$]*\.[A-Za-z_][A-Za-z0-9_$]*"
 _CREATE_VIEW_RE = re.compile(
-    rf"^\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?VIEW\s+"
-    rf"(?P<name>{_QNAME})\s+AS\s+(?P<body>.+)$",
+    rf"^\s*(?:CREATE\s+(?P<orr>OR\s+REPLACE\s+)?|(?P<alt>ALTER\s+))VIEW\s+"
+    rf"(?P<name>{_QNAME})\s*"
+    rf"(?:\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?"
+    rf"AS\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_VIEW_RE = re.compile(
@@ -2202,7 +2213,12 @@ def _handle_view_ddl(spark, catalog, sql: str):
     if m is not None:
         name = m.group("name")
         body = m.group("body").strip().rstrip(";")
-        if m.group("orr") is None and name in set(catalog.view_names()):
+        if m.group("alt") is not None:
+            # ALTER VIEW v AS SELECT ... — SQL-standard respelling of
+            # CREATE OR REPLACE VIEW, except the view must exist
+            if name not in set(catalog.view_names()):
+                raise SqlDmlError(f"view {name!r} not in catalog")
+        elif m.group("orr") is None and name in set(catalog.view_names()):
             raise SqlDmlError(
                 f"view {name!r} already exists — CREATE OR REPLACE VIEW "
                 f"replaces it"
@@ -2211,6 +2227,19 @@ def _handle_view_ddl(spark, catalog, sql: str):
         if head not in ("select", "with") and not body.startswith("("):
             raise SqlDmlError(
                 "CREATE VIEW body must be a SELECT/WITH query"
+            )
+        if m.group("cols"):
+            # CREATE VIEW v (a, b) AS ... — the column list renames the
+            # body's output positionally, stored INSIDE the body text so
+            # every resolution path (inline, attach mirror, SHOW CREATE
+            # re-run) sees the renamed shape
+            cols = [c.strip() for c in m.group("cols").split(",")]
+            body = (
+                "SELECT "
+                + ", ".join(f"__dwcs_v.{c}" for c in cols)
+                + f" FROM ( {body} ) AS __dwcs_v ("
+                + ", ".join(cols)
+                + ")"
             )
         known = set(catalog.names()) | set(catalog.view_names())
         try:
@@ -3884,6 +3913,8 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 ) from None
         elif st.alter_op == "drop_default":
             t.set_column_default(st.column, None)
+        elif st.alter_op == "sync_identity":
+            t.sync_identity()
         elif st.alter_op == "rename":
             t.rename_column(st.column, st.to_name)
         elif st.alter_op == "widen":

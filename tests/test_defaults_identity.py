@@ -218,3 +218,27 @@ def test_identity_collision_free_under_cross_process_storm(spark, tmp_path):
     ids = [r.id for r in rows]
     assert len(set(ids)) == 40, "identity ids collided under the storm"
     assert len({r.name for r in rows}) == 40
+
+
+def test_sync_identity_marks_preexisting_rows_safe(spark, tmp_path):
+    """set_identity on a table with PREEXISTING rows auto-syncs the
+    watermark above them (and ALTER TABLE ... SYNC IDENTITY re-runs it
+    after any out-of-band backfill), so the first allocation can never
+    collide with data that predates the marking."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(
+        spark.createDataFrame(
+            [(500, "old"), (900, "old2")], "id bigint, name string"
+        )
+    )
+    t.set_identity("id")
+    t.append(spark.createDataFrame([("new",)], "name string"))
+    rows = sorted((r.id, r.name) for r in t.read().collect())
+    ids = [i for i, _n in rows]
+    assert len(set(ids)) == 3 and max(ids) > 900
+    # SQL spelling is a no-op when already ahead, and returns a summary
+    c.register("global_temp.sy", str(tmp_path / "t"))
+    out = c.sql(spark, "ALTER TABLE global_temp.sy SYNC IDENTITY").first()
+    assert out.operation == "ALTER SYNC_IDENTITY"
+    assert t.sync_identity()["id"] >= max(ids)

@@ -307,3 +307,34 @@ def test_describe_detail_and_tblproperties_on_views(spark, vcat):
     assert row["base_references"] == ["global_temp.base"]
     props = c.sql(spark, "SHOW TBLPROPERTIES global_temp.dd")
     assert props.count() == 0 and props.columns == ["key", "value"]
+
+
+def test_create_view_column_list_and_alter_view(spark, vcat):
+    c, _t = vcat
+    c.sql(
+        spark,
+        "CREATE VIEW global_temp.cl (id, label) AS "
+        "SELECT k, g FROM global_temp.base WHERE v > 6",
+    )
+    rows = sorted(
+        map(tuple, c.sql(spark, "SELECT * FROM global_temp.cl").collect())
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "a")]
+    assert (
+        c.sql(
+            spark,
+            "SELECT label FROM global_temp.cl WHERE id = 2",
+        ).first().label
+        == "b"
+    )
+    # ALTER VIEW ... AS replaces the body; the view must already exist
+    c.sql(
+        spark,
+        "ALTER VIEW global_temp.cl AS "
+        "SELECT k AS id, v AS val FROM global_temp.base WHERE v > 25",
+    )
+    assert [tuple(r) for r in c.sql(spark, "SELECT * FROM global_temp.cl").collect()] == [
+        (3, 30.0)
+    ]
+    with pytest.raises(SqlDmlError, match="not in catalog"):
+        c.sql(spark, "ALTER VIEW global_temp.none AS SELECT 1")
