@@ -3708,29 +3708,50 @@ class ManagedTable:
         ``high`` one step below ``start``. The chain is independent of
         the data log ON PURPOSE: a crashed writer burns its range (a
         gap, which identity explicitly allows) instead of ever reusing
-        ids — and restore/time-travel cannot resurrect a watermark."""
+        ids — and restore/time-travel cannot resurrect a watermark.
+
+        Resolved THROUGH the commit protocol (a ``_LATEST`` hint +
+        probe-forward, the :meth:`_head_version` pattern) — never a
+        filesystem glob, so identity works over the object-store
+        protocols too."""
         d = self.root / "_log" / f"_idseq_{col}"
-        seq, high = 0, int(spec["start"]) - int(spec["step"])
+        seq = 0
         try:
-            entries = sorted(d.glob("*.json"))
-        except OSError:
-            entries = []
-        if entries:
-            last = entries[-1]
-            seq = int(last.stem)
-            high = int(json.loads(self._proto.read_text(last))["high"])
+            seq = int(self._proto.read_text(d / "_LATEST"))
+        except Exception:
+            seq = 0
+        if seq and not self._proto.exists(d / f"{seq:020d}.json"):
+            seq = 0  # stale/garbled hint: rebuild from the chain itself
+        while self._proto.exists(d / f"{seq + 1:020d}.json"):
+            seq += 1
+        if seq == 0:
+            return 0, int(spec["start"]) - int(spec["step"])
+        high = int(
+            json.loads(self._proto.read_text(d / f"{seq:020d}.json"))["high"]
+        )
         return seq, high
 
     def _identity_reserve(self, col: str, seq: int, high: int) -> bool:
         """CAS the watermark chain from ``seq`` to ``seq+1`` = ``high``.
         False when a racer took ``seq+1`` first — its allocation started
         from the same watermark, so the caller's assigned ids may
-        collide and must be regenerated."""
+        collide and must be regenerated. The winner refreshes the
+        ``_LATEST`` hint best-effort (a lost hint only costs the next
+        reader its probe-forward)."""
         d = self.root / "_log" / f"_idseq_{col}"
-        d.mkdir(parents=True, exist_ok=True)
-        return self._proto.put_if_absent(
+        try:
+            d.mkdir(parents=True, exist_ok=True)
+        except OSError:
+            pass  # object-store protocols have no directories
+        won = self._proto.put_if_absent(
             d / f"{seq + 1:020d}.json", json.dumps({"high": int(high)})
         )
+        if won:
+            try:
+                self._proto.put_text(d / "_LATEST", str(seq + 1))
+            except Exception:
+                pass
+        return won
 
     def generated_columns(self) -> dict:
         """``{column: generation expression}`` at the current head."""

@@ -242,3 +242,37 @@ def test_sync_identity_marks_preexisting_rows_safe(spark, tmp_path):
     out = c.sql(spark, "ALTER TABLE global_temp.sy SYNC IDENTITY").first()
     assert out.operation == "ALTER SYNC_IDENTITY"
     assert t.sync_identity()["id"] >= max(ids)
+
+
+def test_identity_watermark_rides_the_commit_protocol(spark, tmp_path):
+    """The watermark chain resolves THROUGH the commit protocol (hint +
+    probe-forward), never a filesystem glob — identity allocation works
+    over the network object store exactly as on POSIX."""
+    from data_warehouse_copy_spark.sources import commit_protocol as cp
+    from data_warehouse_copy_spark.sources.http_store import (
+        HttpObjectStore,
+        HttpObjectStoreServer,
+    )
+
+    root = str(tmp_path / "t")
+    with HttpObjectStoreServer() as srv:
+        cp.register_commit_protocol(
+            root,
+            cp.ConditionalPutCommitProtocol(
+                HttpObjectStore(srv.port, timeout=5)
+            ),
+        )
+        try:
+            t = ManagedTable.create(spark, root)
+            t.append(spark.createDataFrame([], "id bigint, name string"))
+            t.set_identity("id")
+            t.append(
+                spark.createDataFrame([("a",), ("b",)], "name string")
+            )
+            t.append(spark.createDataFrame([("c",)], "name string"))
+            ids = [r.id for r in t.read().collect()]
+            assert len(set(ids)) == 3
+            # the chain lives in the HTTP bucket, not on the local FS
+            assert any("_idseq_id" in k for k in srv.store._objects)
+        finally:
+            cp.unregister_commit_protocol(root)
