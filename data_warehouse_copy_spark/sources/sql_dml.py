@@ -2092,6 +2092,10 @@ def inline_views(catalog, sql: str, _depth: int = 0):
         for m in _VIEW_NAME_RE.finditer(sql)
         if m.group(0) in views
         and not any(s < m.start() < e for s, e in spans)
+        # a dot on either side means this is PART of a longer reference
+        # (db.v.col / x.db.v) — never a standalone view name
+        and not (m.end() < len(sql) and sql[m.end()] == ".")
+        and not (m.start() > 0 and sql[m.start() - 1] == ".")
     ]
     if not hits:
         return sql
