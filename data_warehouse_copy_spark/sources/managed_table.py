@@ -513,12 +513,21 @@ def _entry_in_read_spans(e: dict, read_spans: dict) -> bool:
     return True
 
 
-def _where_read_spans(where: "list[tuple] | None") -> dict:
+def _where_read_spans(
+    where: "list[tuple] | None", columns: "list | None" = None
+) -> dict:
     """Read region of a conjunctive predicate list as {col: (lo, hi)}.
     Residual/`in` conjuncts only NARROW the true region, so extracting
     bounds from the sargable comparisons alone yields a SUPERSET —
     conservative for conflict detection. No extractable bound at all
-    returns {} (reads everywhere)."""
+    returns {} (reads everywhere).
+
+    ``columns`` (the column-mapping state) converts the keys to the
+    PHYSICAL names file-entry stats carry — without it, a rename chain
+    that REUSES a logical name could compare the wrong column's range
+    (a missed conflict, not merely a spurious one)."""
+    pmap = _phys_map(columns)
+    where = _map_where(where, pmap)
     spans: dict = {}
 
     def tighten(col, lo, hi):
@@ -4165,7 +4174,7 @@ class ManagedTable:
             if not candidates:
                 self._commit_files(
                     m, tuple(m.files) + new_files, schema_json, "replace_where",
-                    read_spans=_where_read_spans(where),
+                    read_spans=_where_read_spans(where, m.columns),
                 )
                 return (0, n_ins)
             if strategy == "dv":
@@ -4178,7 +4187,7 @@ class ManagedTable:
                     n_del = sum(per_file.values())
                 self._commit_files(
                     m, files + new_files, schema_json, "replace_where",
-                    read_spans=_where_read_spans(where),
+                    read_spans=_where_read_spans(where, m.columns),
                 )
                 return (n_del, n_ins)
             cand_df = self._scan_with_pos(m, candidates)
@@ -4186,7 +4195,7 @@ class ManagedTable:
             if n_del == 0:
                 self._commit_files(
                     m, tuple(m.files) + new_files, schema_json, "replace_where",
-                    read_spans=_where_read_spans(where),
+                    read_spans=_where_read_spans(where, m.columns),
                 )
                 return (0, n_ins)
             survivors = cand_df.filter(~F.coalesce(pred, F.lit(False))).drop(
@@ -4201,7 +4210,7 @@ class ManagedTable:
             kept = tuple(f for f in m.files if f.path not in cand_paths)
             self._commit_files(
                 m, kept + rewritten + new_files, schema_json, "replace_where",
-                read_spans=_where_read_spans(where),
+                read_spans=_where_read_spans(where, m.columns),
             )
             return (n_del, n_ins)
 
@@ -4242,19 +4251,19 @@ class ManagedTable:
         )
         n_ins = sum(f.rows for f in new_files)
         if not sel:
-            self._commit_bounded(head, new_files, set(), "replace_where", read_spans=_where_read_spans(where))
+            self._commit_bounded(head, new_files, set(), "replace_where", read_spans=_where_read_spans(where, columns))
             return (0, n_ins)
         hits = self._scan_with_pos(
             None, sel, schema_json=plan_schema
         ).filter(pred)
         dv_files, per_file = self._write_dv(hits)
         if dv_files is None:
-            self._commit_bounded(head, new_files, set(), "replace_where", read_spans=_where_read_spans(where))
+            self._commit_bounded(head, new_files, set(), "replace_where", read_spans=_where_read_spans(where, columns))
             return (0, n_ins)
         changed, removed = self._regrow_planned(sel, dv_files, per_file)
         self._commit_bounded(
             head, changed + new_files, removed, "replace_where",
-            read_spans=_where_read_spans(where),
+            read_spans=_where_read_spans(where, columns),
         )
         return (sum(per_file.values()), n_ins)
 
@@ -4432,7 +4441,7 @@ class ManagedTable:
         changed, removed = self._regrow_planned(sel, dv_files, per_file)
         self._commit_bounded(
             base_version, changed, removed, "delete",
-            read_spans=_where_read_spans(where),
+            read_spans=_where_read_spans(where, plan_columns),
         )
         return sum(per_file.values())
 
@@ -4467,7 +4476,9 @@ class ManagedTable:
         return tuple(changed), removed
 
     @staticmethod
-    def _source_key_spans(keys: DataFrame, key_col: str) -> "dict | None":
+    def _source_key_spans(
+        keys: DataFrame, key_col: str, columns: "list | None" = None
+    ) -> "dict | None":
         """The read region of a key-driven DML (merge): the [min, max]
         span of the DISTINCT source keys — one tiny aggregate on an
         already-needed frame. None for an empty source (nothing read,
@@ -4480,7 +4491,8 @@ class ManagedTable:
         lo, hi = _stat_scalar(row[0]), _stat_scalar(row[1])
         if lo is None or hi is None:
             return {}
-        return {key_col: (lo, hi)}
+        pmap = _phys_map(columns)
+        return {(pmap or {}).get(key_col, key_col): (lo, hi)}
 
     def _reconcile_dv_entries(
         self, path: str, ours: "FileEntry", racer: dict
@@ -4759,7 +4771,7 @@ class ManagedTable:
         kept = tuple(f for f in m.files if f.path not in cand_paths)
         self._commit_files(
             m, kept + new_files, m.schema_json, "delete",
-            read_spans=_where_read_spans(where),
+            read_spans=_where_read_spans(where, m.columns),
         )
         return n_match
 
@@ -4772,7 +4784,7 @@ class ManagedTable:
         files = self._grow_dv(m.files, dv_files, per_file)
         self._commit_files(
             m, files, m.schema_json, "delete",
-            read_spans=_where_read_spans(where),
+            read_spans=_where_read_spans(where, m.columns),
         )
         return sum(per_file.values())
 
@@ -5154,7 +5166,7 @@ class ManagedTable:
         kept = tuple(f for f in m.files if f.path not in cand_paths)
         self._commit_files(
             m, kept + new_files, m.schema_json, "update",
-            read_spans=_where_read_spans(where),
+            read_spans=_where_read_spans(where, m.columns),
         )
         return n_match
 
@@ -5228,7 +5240,7 @@ class ManagedTable:
                 files = self._grow_dv(m.files, dv_files, per_file)
                 self._commit_files(
                     m, files + new_files, m.schema_json, "update",
-                    read_spans=_where_read_spans(where),
+                    read_spans=_where_read_spans(where, m.columns),
                 )
             else:
                 by_path = {f.path: f for f in candidates}
@@ -5253,7 +5265,7 @@ class ManagedTable:
                         changed.append(nf)
                 self._commit_bounded(
                     base_version, tuple(changed) + new_files, removed, "update",
-                    read_spans=_where_read_spans(where),
+                    read_spans=_where_read_spans(where, columns),
                 )
             return sum(per_file.values())
         finally:
@@ -5762,7 +5774,8 @@ class ManagedTable:
                 )
                 _k = keys
                 merge_spans = (
-                    lambda k=_k, c=key_cols[0]: self._source_key_spans(k, c)
+                    lambda k=_k, c=key_cols[0], cl=m.columns:
+                    self._source_key_spans(k, c, cl)
                 )
             dv_files, per_file, written, counts = self._merge_core(
                 m, candidates, source_df, key_cols, schema, known, cols,
@@ -5851,7 +5864,8 @@ class ManagedTable:
             "merge" if any(counts) else "merge_noop",
             txn=txn,
             read_spans=(
-                lambda k=keys, c=key_cols[0]: self._source_key_spans(k, c)
+                lambda k=keys, c=key_cols[0], cl=columns:
+                self._source_key_spans(k, c, cl)
             ),
         )
         if not landed:

@@ -305,3 +305,24 @@ def test_cross_process_disjoint_partition_mergers_both_commit(
     }
     assert rows == expect
     assert t._head_version() == 3  # append + two merge commits, no loss
+
+
+def test_read_spans_keyed_by_physical_names_under_mapping(spark, tmp_path):
+    """Column-mapping soundness: file-entry stats are keyed by PHYSICAL
+    names, so the read region must be too — a rename chain that REUSES
+    a logical name would otherwise compare the wrong column's range
+    (a missed conflict)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([(1, 2)], "a int, v int"))
+    t.rename_column("a", "b")
+    t.add_column("a", "int")  # NEW column reusing the old logical name
+    cols = t.snapshot().columns
+    from data_warehouse_copy_spark.sources.managed_table import (
+        _phys_map,
+    )
+
+    pmap = _phys_map(cols)
+    assert pmap["b"] == "a"  # the rename kept the physical name
+    assert pmap["a"] != "a"  # the reused logical name got a fresh one
+    spans = _where_read_spans([("b", "=", 5), ("a", ">", 3)], cols)
+    assert spans == {"a": (5, 5), pmap["a"]: (3, None)}
