@@ -1243,9 +1243,9 @@ class ManagedTable:
             if aged <= cutoff:
                 anchor = c
                 break
+        removed = self._trim_idseq(log_dir, dry_run)
         if anchor is None:
-            return 0
-        removed = 0
+            return removed
         for p in log_dir.glob("*.json"):
             name = p.name
             if not (len(name) >= 20 and name[:20].isdigit()):
@@ -1271,6 +1271,32 @@ class ManagedTable:
                 log_dir / "_FLOOR.json",
                 json.dumps({"floor": anchor}),
             )
+        return removed
+
+    @staticmethod
+    def _trim_idseq(log_dir: Path, dry_run: bool) -> int:
+        """Identity watermark chains grow one tiny object per allocating
+        append — bounded metadata like the log itself. Trim each chain to
+        the newest 64 entries (allocation reads ONLY the newest; the
+        generous slack covers any plausibly-stale ``_LATEST`` hint, and
+        ``_identity_state`` fails LOUDLY — never re-anchors at start —
+        if a hint ever points below the kept block). Runs on every
+        ``clean_log``, independent of the log anchor."""
+        removed = 0
+        for d in log_dir.glob("_idseq_*"):
+            try:
+                entries = sorted(
+                    p for p in d.glob("*.json") if p.name[:20].isdigit()
+                )
+            except OSError:
+                continue
+            for p in entries[:-64]:
+                if not dry_run:
+                    try:
+                        p.unlink()
+                    except OSError:
+                        continue
+                removed += 1
         return removed
 
     def _retention_error(self, version: int) -> ValueError:
@@ -3729,12 +3755,22 @@ class ManagedTable:
             seq = int(self._proto.read_text(d / "_LATEST"))
         except Exception:
             seq = 0
-        if seq and not self._proto.exists(d / f"{seq:020d}.json"):
-            seq = 0  # stale/garbled hint: rebuild from the chain itself
+        hint_missing = seq > 0 and not self._proto.exists(
+            d / f"{seq:020d}.json"
+        )
         while self._proto.exists(d / f"{seq + 1:020d}.json"):
             seq += 1
         if seq == 0:
             return 0, int(spec["start"]) - int(spec["step"])
+        if hint_missing and not self._proto.exists(d / f"{seq:020d}.json"):
+            # the hint's target was trimmed (clean_log keeps the newest
+            # block) and no newer entry is reachable from it: NEVER
+            # re-anchor at start — a silent reset could reissue live ids
+            raise RuntimeError(
+                f"identity watermark hint for {col!r} at {self.root} "
+                f"points below the trimmed chain; repair the "
+                f"_log/_idseq_{col}/_LATEST hint before allocating"
+            )
         high = int(
             json.loads(self._proto.read_text(d / f"{seq:020d}.json"))["high"]
         )

@@ -276,3 +276,27 @@ def test_identity_watermark_rides_the_commit_protocol(spark, tmp_path):
             assert any("_idseq_id" in k for k in srv.store._objects)
         finally:
             cp.unregister_commit_protocol(root)
+
+
+def test_identity_chain_trimmed_by_clean_log(spark, tmp_path):
+    """The watermark chain is bounded metadata too: clean_log trims it
+    to the newest 64 entries, and allocation keeps working across the
+    trim (it reads only the newest)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id")
+    t.append(spark.createDataFrame([("a",)], "name string"))
+    # grow the chain the way 70 allocating appends would (one reserve
+    # each), without paying 70 Spark jobs
+    seq, high = t._identity_state("id", {"start": 1, "step": 1})
+    for i in range(70):
+        assert t._identity_reserve("id", seq + i, high + i + 1)
+    d = Path(t.root) / "_log" / "_idseq_id"
+    assert len(list(d.glob("0*.json"))) >= 70
+    t.clean_log(retention_seconds=0)
+    assert len(list(d.glob("0*.json"))) == 64
+    # allocation still works and stays collision-free across the trim
+    t.append(spark.createDataFrame([("post",)], "name string"))
+    ids = [r.id for r in t.read().collect()]
+    assert len(set(ids)) == len(ids) == 2
+    assert max(ids) > high + 70  # above every reserved watermark
