@@ -4348,7 +4348,16 @@ class ManagedTable:
                 written_total = sum(f.rows for f in new_files)
                 new_window_rows = df.count()
                 deleted = m.total_rows - (written_total - new_window_rows)
-                self._commit_files(m, new_files, merged.schema.json(), "overwrite_range")
+                self._commit_files(
+                    m, new_files, merged.schema.json(), "overwrite_range",
+                    # read region = the replaced window ("~" sorts after
+                    # any timestamp suffix of the day-string bounds)
+                    read_spans=_where_read_spans(
+                        [(date_column, ">=", date_from),
+                         (date_column, "<=", date_to + "~")],
+                        m.columns,
+                    ),
+                )
                 return deleted, new_window_rows
             # Partitioned path drops whole day partitions, but the reference's
             # DELETE stops at D2 23:59:59.997 — rows in the last 3 ms of the
@@ -4389,7 +4398,15 @@ class ManagedTable:
             # unpartitioned path's metrics).
             deleted = m.total_rows - sum(f.rows for f in kept) - tail_rows
             schema_json = write_df.schema.json() if write_df.schema.fields else m.schema_json
-            self._commit_files(m, kept + new_files, schema_json, "overwrite_range")
+            span_col = date_column or m.partition_date_col
+            self._commit_files(
+                m, kept + new_files, schema_json, "overwrite_range",
+                read_spans=_where_read_spans(
+                    [(span_col, ">=", date_from),
+                     (span_col, "<=", date_to + "~")],
+                    m.columns,
+                ),
+            )
         return deleted, sum(f.rows for f in new_files) - tail_rows
 
     def delete(self, where: list[tuple], strategy: str = "dv") -> int:
