@@ -1464,6 +1464,21 @@ def _check_writable_fields(
             f"partition-pruned range overwrites — retry the write"
         )
     if schema_json:
+        from data_warehouse_copy_spark.sources.managed_table import (
+            _identity_specs,
+        )
+
+        idc = sorted(_identity_specs(schema_json))
+        if idc:
+            # GENERATED ALWAYS AS IDENTITY: the engine allocates ids via
+            # the watermark chain inside ManagedTable.append — the
+            # declarative writer would ship caller-supplied values and
+            # collide with it. Loud, never a silent violation.
+            raise ValueError(
+                f"managed_table writer: column(s) {idc} are GENERATED "
+                f"ALWAYS AS IDENTITY — write through "
+                f"ManagedTable.append / SQL INSERT, which allocate them"
+            )
         existing = T.StructType.fromJson(json.loads(schema_json))
         have = {f.name: f.dataType.simpleString() for f in schema.fields}
         want = {f.name: f.dataType.simpleString() for f in existing.fields}

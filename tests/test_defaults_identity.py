@@ -300,3 +300,24 @@ def test_identity_chain_trimmed_by_clean_log(spark, tmp_path):
     ids = [r.id for r in t.read().collect()]
     assert len(set(ids)) == len(ids) == 2
     assert max(ids) > high + 70  # above every reserved watermark
+
+
+def test_declarative_writer_rejects_identity_tables(spark, tmp_path):
+    """The declarative writer ships caller-supplied values verbatim — on
+    an identity table that would bypass allocation and collide with the
+    watermark, so it must reject loudly (append/INSERT are the write
+    paths that allocate)."""
+    from data_warehouse_copy_spark.sources.datasource import register
+
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id")
+    register(spark)
+    with pytest.raises(Exception, match="IDENTITY"):
+        (
+            spark.createDataFrame([(1, "x")], "id bigint, name string")
+            .write.format("managed_table")
+            .mode("append")
+            .save(str(tmp_path / "t"))
+        )
+    assert t.read().count() == 0
