@@ -3707,7 +3707,17 @@ class ManagedTable:
         CHAIN, never the data, so an out-of-band backfill needs this to
         become collision-safe."""
         out: dict = {}
-        for col, spec in self.identity_columns().items():
+        specs = self.identity_columns()
+        if not specs:
+            return out
+        if self.snapshot().total_rows == 0:
+            # metadata-only fast path: an empty table (the CREATE flow)
+            # has nothing to sync — never pay a scan job for it
+            return {
+                col: self._identity_state(col, spec)[1]
+                for col, spec in specs.items()
+            }
+        for col, spec in specs.items():
             row = self.read().agg(F.max(col)).first()
             data_max = row[0] if row is not None else None
             for _attempt in range(_COMMIT_MAX_ATTEMPTS):
