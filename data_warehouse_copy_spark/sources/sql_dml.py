@@ -2948,9 +2948,9 @@ def _try_dynamic_prune_in_subquery(
         k += 1
     conjuncts = _dfp_split_conjuncts(where_toks)
     falias = (alias or fact_name.split(".")[-1]).lower()
-    pick = None
-    for c in conjuncts:
-        if (
+
+    def match_in(c):
+        if not (
             len(c) >= 5
             and c[0].kind == "ident"
             and c[1].text.lower() == "in"
@@ -2960,13 +2960,112 @@ def _try_dynamic_prune_in_subquery(
             and c[-1].kind == "punct"
             and c[-1].text == ")"
         ):
-            col = c[0].text
-            if "." in col:
-                q, rest = col.split(".", 1)
-                if q.lower() != falias or "." in rest:
+            return None
+        col = c[0].text
+        if "." in col:
+            q, rest = col.split(".", 1)
+            if q.lower() != falias or "." in rest:
+                return None
+            col = rest
+        return col, c[3:-1]
+
+    def match_exists(c):
+        # EXISTS (SELECT ... FROM dim [d] WHERE d.c = f.key [AND
+        # <dim-only conjuncts>]) — single-equality correlation
+        # DECORRELATES to the IN shape: probe `SELECT c FROM dim [d]
+        # WHERE <dim-only>` and push the fact key's in-list. Any other
+        # correlation shape stays a documented fallback.
+        if not (
+            len(c) >= 6
+            and c[0].kind == "ident"
+            and c[0].text.lower() == "exists"
+            and c[1].kind == "punct"
+            and c[1].text == "("
+            and c[2].text.lower() == "select"
+            and c[-1].kind == "punct"
+            and c[-1].text == ")"
+        ):
+            return None
+        inner = c[2:-1]
+        # locate the inner top-level FROM
+        depth = 0
+        fi = None
+        for i, t in enumerate(inner):
+            if t.kind == "punct":
+                depth += t.text == "("
+                depth -= t.text == ")"
+            elif depth == 0 and t.text.lower() == "from":
+                fi = i
+                break
+        if fi is None or fi + 1 >= len(inner):
+            return None
+        dt = inner[fi + 1]
+        if dt.kind != "ident" or dt.text.count(".") != 1:
+            return None
+        dname = dt.text
+        j2 = fi + 2
+        dalias = dname.split(".")[-1].lower()
+        alias_toks = []
+        if (
+            j2 < len(inner)
+            and inner[j2].kind == "ident"
+            and "." not in inner[j2].text
+            and inner[j2].text.lower() != "where"
+        ):
+            dalias = inner[j2].text.lower()
+            alias_toks = [inner[j2].text]
+            j2 += 1
+        if j2 >= len(inner) or inner[j2].text.lower() != "where":
+            return None  # no correlation at all: not this shape
+        inner_conj = _dfp_split_conjuncts(inner[j2 + 1:])
+        corr = None
+        rest: list = []
+        for cc in inner_conj:
+            if (
+                len(cc) == 3
+                and cc[0].kind == "ident"
+                and cc[0].text.count(".") == 1
+                and cc[1].kind == "punct"
+                and cc[1].text == "="
+                and cc[2].kind == "ident"
+                and cc[2].text.count(".") == 1
+            ):
+                qa, ca = cc[0].text.split(".")
+                qb, cb = cc[2].text.split(".")
+                pair = None
+                if qa.lower() == dalias and qb.lower() == falias:
+                    pair = (ca, cb)
+                elif qb.lower() == dalias and qa.lower() == falias:
+                    pair = (cb, ca)
+                if pair is not None:
+                    if corr is not None:
+                        return None  # multi-equality: stay out
+                    corr = pair
                     continue
-                col = rest
-            pick = (col, c[3:-1])
+            quals, bare, sub = _dfp_conjunct_refs(cc)
+            if sub or bare or quals != {dalias}:
+                return None  # not provably dim-only
+            rest.append(cc)
+        if corr is None:
+            return None
+        dim_col, fact_col = corr
+        probe_toks = (
+            [_Tok("ident", "SELECT"), _Tok("ident", dim_col),
+             _Tok("ident", "FROM"), _Tok("ident", dname)]
+            + [_Tok("ident", a) for a in alias_toks]
+        )
+        if rest:
+            probe_toks.append(_Tok("ident", "WHERE"))
+            for i2, cc in enumerate(rest):
+                if i2:
+                    probe_toks.append(_Tok("ident", "AND"))
+                probe_toks.extend(cc)
+        return fact_col, probe_toks
+
+    pick = None
+    for c in conjuncts:
+        pick = match_in(c) or match_exists(c)
+        if pick is not None:
             break
     if pick is None:
         return None

@@ -404,13 +404,15 @@ def test_dfp_in_subquery_fallbacks(spark, star, tmp_path):
         )
         is None
     )
-    # correlated EXISTS: documented fallback
+    # non-equality-correlated EXISTS: documented fallback (the single-
+    # equality form decorrelates and prunes since round 12 — see
+    # test_dfp_exists_decorrelates_and_prunes)
     assert (
         try_dynamic_prune(
             spark,
             cat,
             "SELECT k FROM global_temp.f f WHERE EXISTS "
-            "(SELECT 1 FROM global_temp.d d WHERE d.dk = f.k)",
+            "(SELECT 1 FROM global_temp.d d WHERE d.dk >= f.k)",
         )
         is None
     )
@@ -477,3 +479,54 @@ def test_dfp_fallback_reason_surfaced(spark, tmp_path):
     assert try_dynamic_prune(spark, cat, "SHOW TABLES", info2) is None
     assert info2.get("fallback_reason") == "not a prunable shape"
     cat.detach(spark)
+
+
+def test_dfp_exists_decorrelates_and_prunes(spark, star):
+    """Round-12: single-equality correlated EXISTS decorrelates to the
+    IN shape — the dim-only conjuncts feed the probe, the fact key's
+    in-list pushes into the scan, and the EXISTS itself survives
+    against the SAME pinned dim (value-exact)."""
+    cat, fact, _dim = star
+    q = (
+        "SELECT f.k, f.v FROM global_temp.f f WHERE EXISTS "
+        "(SELECT 1 FROM global_temp.d d WHERE d.dk = f.k "
+        "AND d.tier = 'hot')"
+    )
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, q, info)
+    assert df is not None and info["n_keys"] == 10
+    got = sorted((r.k, r.v) for r in df.collect())
+    assert got == sorted((r.k, r.v) for r in spark.sql(q).collect())
+    assert len(got) == 10
+    n_files = len(fact.snapshot().files)
+    reader = ManagedTableBatchReader(
+        str(fact.root), {"where": info["where_json"]}, fact.read().schema
+    )
+    assert len(reader.partitions()) < n_files
+    # reversed equality side + extra fact conjunct also fire
+    q2 = (
+        "SELECT f.k FROM global_temp.f f WHERE EXISTS "
+        "(SELECT 1 FROM global_temp.d d WHERE f.k = d.dk "
+        "AND d.tier = 'hot') AND f.v >= 0"
+    )
+    assert try_dynamic_prune(spark, cat, q2, {}) is not None
+    # non-equality correlation / multi-equality: documented fallbacks
+    assert (
+        try_dynamic_prune(
+            spark,
+            cat,
+            "SELECT f.k FROM global_temp.f f WHERE EXISTS "
+            "(SELECT 1 FROM global_temp.d d WHERE d.dk < f.k)",
+        )
+        is None
+    )
+    assert (
+        try_dynamic_prune(
+            spark,
+            cat,
+            "SELECT f.k FROM global_temp.f f WHERE EXISTS "
+            "(SELECT 1 FROM global_temp.d d WHERE d.dk = f.k "
+            "AND d.dk = f.v)",
+        )
+        is None
+    )
