@@ -4867,10 +4867,11 @@ def catalog_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     f.append(orders)
     d = ManagedTable.create(spark, f"{tmp}/customer")
     d.append(customer)
+    d.analyze()  # fresh stats -> attach wraps the dim in a BROADCAST
     cat = NamedCatalog(f"{tmp}/catalog.json")
     cat.register("global_temp.vq_orders", f"{tmp}/orders")
     cat.register("global_temp.vq_customer", f"{tmp}/customer")
-    cat.attach(spark)
+    cat.attach(spark)  # hint view; the star inside the view then BHJs
     cat.sql(
         spark,
         """
