@@ -196,10 +196,27 @@ class NamedCatalog:
         """Live read of ``db.table``: a fresh declarative load per call —
         snapshot-isolated at the CURRENT head, like ``spark.table`` on
         Delta. Extra ``options`` pass through (``where=...``,
-        ``versionAsOf=...``, ...)."""
+        ``versionAsOf=...``, ...). A VIEW name resolves through the
+        same inlining SQL reads use (reader options don't apply — a
+        view has no relation of its own)."""
         from data_warehouse_copy_spark.sources.datasource import register
 
         register(spark)
+        if name in self._doc()["views"]:
+            if options:
+                raise ValueError(
+                    f"{name!r} is a view — reader options like "
+                    f"{sorted(options)} apply to tables; put predicates "
+                    f"in SQL over the view instead"
+                )
+            from data_warehouse_copy_spark.sources.sql_dml import (
+                resolve_view_text,
+            )
+
+            self.attach(spark)  # the inlined body reads attached names
+            return spark.sql(
+                resolve_view_text(spark, self, self.view_sql(name))
+            )
         reader = spark.read.format("managed_table")
         for k, v in options.items():
             reader = reader.option(k, v)

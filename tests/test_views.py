@@ -338,3 +338,43 @@ def test_create_view_column_list_and_alter_view(spark, vcat):
     ]
     with pytest.raises(SqlDmlError, match="not in catalog"):
         c.sql(spark, "ALTER VIEW global_temp.none AS SELECT 1")
+
+
+def test_programmatic_table_resolves_views(spark, vcat):
+    c, _t = vcat
+    c.sql(
+        spark,
+        "CREATE VIEW global_temp.pt AS "
+        "SELECT g, v FROM global_temp.base WHERE v > 6",
+    )
+    df = c.table(spark, "global_temp.pt")
+    assert sorted(map(tuple, df.collect())) == [
+        ("a", 10.0),
+        ("a", 30.0),
+        ("b", 20.0),
+    ]
+    with pytest.raises(ValueError, match="view"):
+        c.table(spark, "global_temp.pt", versionAsOf="0")
+
+
+def test_ctas_and_insert_compose_through_views(spark, vcat, tmp_path):
+    """The inliner runs before every statement parse, so CTAS and
+    INSERT ... SELECT read through views like any SELECT."""
+    c, _t = vcat
+    c.sql(
+        spark,
+        "CREATE VIEW global_temp.cv2 AS "
+        "SELECT k, v FROM global_temp.base WHERE v > 6",
+    )
+    c.sql(
+        spark,
+        f"CREATE TABLE global_temp.ct USING managed_table LOCATION "
+        f"'{tmp_path / 'ct'}' AS SELECT * FROM global_temp.cv2",
+    )
+    t2 = ManagedTable(spark, tmp_path / "ct")
+    assert t2.read().count() == 3
+    c.sql(
+        spark,
+        "INSERT INTO global_temp.ct SELECT k + 100, v FROM global_temp.cv2",
+    )
+    assert t2.read().count() == 6
