@@ -4573,6 +4573,8 @@ class ManagedTable:
         for k in ("dv_paths", "dv_rows"):
             od.pop(k, None)
             rd.pop(k, None)
+        if rd.get("bloom_path") is None:
+            rd.pop("bloom_path", None)  # _entry_dict's canonical form
         if od != rd:
             return None  # not a pure DV growth on both sides
         r_set = set(racer["dv_paths"])
