@@ -2549,6 +2549,48 @@ def _dfp_split_conjuncts(toks: "list[_Tok]") -> "list[list[_Tok]]":
     return [p for p in pieces if p]
 
 
+def _dfp_null_rejecting(toks: "list[_Tok]") -> bool:
+    """True iff this dim-only conjunct provably evaluates to non-TRUE
+    when every dim column is NULL — the condition under which a LEFT
+    join degenerates to inner. Conservative whitelist: plain
+    comparison / IN / [NOT] LIKE / BETWEEN / IS NOT NULL / bare
+    boolean-column forms (a NULL operand makes all of these NULL,
+    which WHERE filters out), optionally CAST-wrapped. Anything that
+    can map NULL dim columns to TRUE is rejected: ``IS NULL``,
+    null-safe equality ``<=>``, ``IS [NOT] DISTINCT FROM``, ``CASE``,
+    and any non-builtin function call (``coalesce``, ``nvl``,
+    ``ifnull``, ... may swallow NULLs)."""
+    if "<=>" in "".join(t.text for t in toks):
+        return False
+    n = len(toks)
+    i = 0
+    while i < n:
+        t = toks[i]
+        low = t.text.lower() if t.kind == "ident" else None
+        if low in ("distinct", "case"):
+            return False
+        if low == "is":
+            # only the exact  IS NOT NULL  form rejects NULLs
+            if (
+                i + 2 < n
+                and toks[i + 1].text.lower() == "not"
+                and toks[i + 2].text.lower() == "null"
+            ):
+                i += 3
+                continue
+            return False
+        if (
+            t.kind == "ident"
+            and low not in _DFP_EXPR_WORDS
+            and i + 1 < n
+            and toks[i + 1].kind == "punct"
+            and toks[i + 1].text == "("
+        ):
+            return False  # function call — may be NULL-tolerant
+        i += 1
+    return True
+
+
 def _dfp_conjunct_refs(toks: "list[_Tok]") -> "tuple[set, set, bool]":
     """(qualifiers, bare column idents, has_subquery) of one conjunct.
     The tokenizer lexes ``d.tier`` as ONE dotted ident token, so a
@@ -2777,13 +2819,15 @@ def _try_dynamic_prune(spark, catalog, sql, info):
         return None
     fa, dim_aliases = pick
 
-    # LEFT-join soundness (round-12): a left join whose JOINED-IN side
-    # is a dim preserves unmatched fact rows, so pruning the fact by
-    # that dim's keys needs a null-rejecting this-dim-only WHERE
-    # conjunct (inner-degeneration) — recorded here, enforced at probe
-    # time (every sargable conjunct form is null-rejecting). A left
-    # join that joins the FACT in (dim LEFT JOIN fact) never preserves
-    # unmatched fact rows: unconditionally prunable.
+    # LEFT-join soundness (round-12, tightened round-13): a left join
+    # whose JOINED-IN side is a dim preserves unmatched fact rows, so
+    # pruning the fact by that dim's keys needs a PROVABLY
+    # null-rejecting this-dim-only WHERE conjunct (inner-degeneration)
+    # — recorded here, enforced at probe time via _dfp_null_rejecting
+    # (the anti-join idiom ``WHERE d.x IS NULL`` and NULL-tolerant
+    # forms like ``coalesce(d.x,0)=0`` do NOT count). A left join that
+    # joins the FACT in (dim LEFT JOIN fact) never preserves unmatched
+    # fact rows: unconditionally prunable.
     needs_filter = set()
     for i, is_left in enumerate(left_joined):
         if not is_left:
@@ -2829,10 +2873,19 @@ def _try_dynamic_prune(spark, catalog, sql, info):
                 .load(dim_root)
             )
             used = 0
+            null_rejecting = 0
             for c in conjuncts:
                 quals, bare, sub = _dfp_conjunct_refs(c)
                 if sub or bare or quals != {da}:
                     continue  # not provably this-dim-only: stay a superset
+                if da in needs_filter and not _dfp_null_rejecting(c):
+                    # a LEFT-joined dim's probe may only apply
+                    # provably null-rejecting conjuncts: NULL-tolerant
+                    # ones (IS NULL, coalesce(...)=0) are satisfied by
+                    # the all-NULL row unmatched fact rows see, so
+                    # filtering the probe by them could shrink the
+                    # in-list below the matched-key set
+                    continue
                 prefix = da + "."
                 stripped = [
                     t.text[len(prefix):]
@@ -2843,10 +2896,13 @@ def _try_dynamic_prune(spark, catalog, sql, info):
                 ]
                 probe = probe.where(" ".join(stripped))
                 used += 1
-            if da in needs_filter and used == 0:
-                # LEFT-joined dim without a null-rejecting dim filter:
-                # unmatched fact rows survive the join, so its keys
-                # must not prune the fact — skip this dim entirely
+                if _dfp_null_rejecting(c):
+                    null_rejecting += 1
+            if da in needs_filter and null_rejecting == 0:
+                # LEFT-joined dim without a provably null-rejecting dim
+                # filter (inner-degeneration): unmatched fact rows
+                # survive the join, so its keys must not prune the
+                # fact — skip this dim entirely
                 continue
             rows = (
                 probe.select(dim_key)

@@ -347,6 +347,52 @@ def test_dfp_left_join_prunes_only_with_null_rejecting_filter(spark, star):
     )
 
 
+def test_dfp_left_join_null_tolerant_conjuncts_do_not_unlock(spark, star):
+    """Round-13 (advice fix): a this-dim-only conjunct only unlocks
+    LEFT-join pruning when PROVABLY null-rejecting. The anti-join idiom
+    ``WHERE d.x IS NULL`` and NULL-tolerant forms (coalesce, <=>,
+    IS DISTINCT FROM, CASE) are satisfied by the all-NULL dim row that
+    unmatched fact rows see — pruning would silently drop exactly the
+    rows the query exists to return."""
+    cat, _fact, _dim = star
+    base = (
+        "SELECT f.k, f.v FROM global_temp.f f "
+        "LEFT JOIN global_temp.d d ON f.k = d.dk "
+    )
+    # the anti-join idiom: result = the 39,900 unmatched fact rows
+    anti = base + "WHERE d.tier IS NULL"
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, anti, info)
+    assert df is None, f"anti-join was pruned: {info}"
+    assert spark.sql(anti).count() == 40_000 - 100
+    # other NULL-tolerant dim-only conjuncts must not unlock either
+    for cond in (
+        "coalesce(d.tier, 'hot') = 'hot'",
+        "d.tier <=> 'hot'",
+        "d.tier IS DISTINCT FROM 'hot'",
+        "CASE WHEN d.tier = 'hot' THEN 1 ELSE 1 END = 1",
+        "nvl(d.tier, 'x') = 'x'",
+    ):
+        assert try_dynamic_prune(spark, cat, base + "WHERE " + cond) is None, cond
+    # ... and a NULL-tolerant conjunct ALONGSIDE a null-rejecting one:
+    # prune fires (degenerate-to-inner via the rejecting conjunct) but
+    # the tolerant conjunct must not narrow the probe unsoundly —
+    # result stays value-exact vs the unpruned plan
+    mixed = base + "WHERE d.tier = 'hot' AND coalesce(d.tier, 'hot') = 'hot'"
+    info2: dict = {}
+    df2 = try_dynamic_prune(spark, cat, mixed, info2)
+    assert df2 is not None and info2["n_keys"] == 10
+    assert sorted((r.k, r.v) for r in df2.collect()) == sorted(
+        (r.k, r.v) for r in spark.sql(mixed).collect()
+    )
+    # IS NOT NULL *is* null-rejecting: unlocks pruning, stays exact
+    notnull = base + "WHERE d.tier IS NOT NULL"
+    info3: dict = {}
+    df3 = try_dynamic_prune(spark, cat, notnull, info3)
+    assert df3 is not None and info3["n_keys"] == 100
+    assert df3.count() == spark.sql(notnull).count() == 100
+
+
 def test_dfp_in_subquery_prunes_and_stays_exact(spark, star):
     """Round-12: the semi-join shape — WHERE key IN (SELECT ...) over a
     fresh-ANALYZEd small dim probes the subquery's keys, pushes the
