@@ -1290,6 +1290,17 @@ class ManagedTable:
                 )
             except OSError:
                 continue
+            if len(entries) > 64 and not dry_run:
+                # persist the oldest KEPT seq BEFORE removing anything:
+                # _identity_state probes forward from this marker when
+                # the _LATEST hint is lost, so a trimmed chain can never
+                # silently re-anchor at start (round-13 advice fix)
+                try:
+                    (d / "_FLOOR").write_text(
+                        str(int(entries[-64].name[:20]))
+                    )
+                except OSError:
+                    continue  # no marker → no trim: stay probe-able
             for p in entries[:-64]:
                 if not dry_run:
                     try:
@@ -2797,11 +2808,14 @@ class ManagedTable:
             f.name: f.dataType
             for f in T.StructType.fromJson(json.loads(schema_json)).fields
         }
+        # watermark chain + footer stats are keyed by PHYSICAL column
+        # names (immutable across rename_column); specs arrive logical
+        phys = _phys_map(m.columns) or {}
         for _attempt in range(_COMMIT_MAX_ATTEMPTS):
             df2 = df
             states = {}
             for col, spec in specs.items():
-                seq, high = self._identity_state(col, spec)
+                seq, high = self._identity_state(phys.get(col, col), spec)
                 states[col] = (seq, high)
                 df2 = _assign_identity(
                     df2, col, types[col], high, int(spec["step"])
@@ -2827,13 +2841,14 @@ class ManagedTable:
                 return 0
             lost = False
             for col, (seq, high) in states.items():
+                pcol = phys.get(col, col)
                 maxima = [
-                    f.stats[col][1]
+                    f.stats[pcol][1]
                     for f in new_files
-                    if f.stats and f.stats.get(col) is not None
+                    if f.stats and f.stats.get(pcol) is not None
                 ]
                 real = int(max(maxima)) if maxima else high
-                if not self._identity_reserve(col, seq, real):
+                if not self._identity_reserve(pcol, seq, real):
                     lost = True
                     break
             if lost:
@@ -3710,22 +3725,25 @@ class ManagedTable:
         specs = self.identity_columns()
         if not specs:
             return out
-        if self.snapshot().total_rows == 0:
+        m = self.snapshot()
+        phys = _phys_map(m.columns) or {}
+        if m.total_rows == 0:
             # metadata-only fast path: an empty table (the CREATE flow)
             # has nothing to sync — never pay a scan job for it
             return {
-                col: self._identity_state(col, spec)[1]
+                col: self._identity_state(phys.get(col, col), spec)[1]
                 for col, spec in specs.items()
             }
         for col, spec in specs.items():
+            pcol = phys.get(col, col)
             row = self.read().agg(F.max(col)).first()
             data_max = row[0] if row is not None else None
             for _attempt in range(_COMMIT_MAX_ATTEMPTS):
-                seq, high = self._identity_state(col, spec)
+                seq, high = self._identity_state(pcol, spec)
                 if data_max is None or data_max <= high:
                     out[col] = high
                     break
-                if self._identity_reserve(col, seq, int(data_max)):
+                if self._identity_reserve(pcol, seq, int(data_max)):
                     out[col] = int(data_max)
                     break
             else:
@@ -3747,53 +3765,86 @@ class ManagedTable:
             if f.metadata and "identity" in f.metadata
         }
 
-    def _identity_state(self, col: str, spec: dict) -> "tuple[int, int]":
+    def _identity_state(self, pcol: str, spec: dict) -> "tuple[int, int]":
         """(seq, high) of the per-column watermark chain — the highest
-        ``_log/_idseq_<col>/<seq>.json`` object. An empty chain anchors
-        ``high`` one step below ``start``. The chain is independent of
-        the data log ON PURPOSE: a crashed writer burns its range (a
-        gap, which identity explicitly allows) instead of ever reusing
-        ids — and restore/time-travel cannot resurrect a watermark.
+        ``_log/_idseq_<pcol>/<seq>.json`` object, keyed by the column's
+        immutable PHYSICAL name (round-13: logical keying orphaned the
+        chain on ``rename_column`` — a fresh dir re-anchored at start
+        and silently reissued live ids). An empty chain anchors ``high``
+        one step below ``start``. The chain is independent of the data
+        log ON PURPOSE: a crashed writer burns its range (a gap, which
+        identity explicitly allows) instead of ever reusing ids — and
+        restore/time-travel cannot resurrect a watermark.
 
         Resolved THROUGH the commit protocol (a ``_LATEST`` hint +
         probe-forward, the :meth:`_head_version` pattern) — never a
         filesystem glob, so identity works over the object-store
-        protocols too."""
-        d = self.root / "_log" / f"_idseq_{col}"
-        seq = 0
-        try:
-            seq = int(self._proto.read_text(d / "_LATEST"))
-        except Exception:
-            seq = 0
+        protocols too. When the hint is lost or points below the
+        trimmed block, the ``_FLOOR`` marker :meth:`_trim_idseq` writes
+        anchors the probe at the oldest KEPT entry, so a lost hint on a
+        trimmed chain self-heals instead of re-anchoring at start."""
+        d = self.root / "_log" / f"_idseq_{pcol}"
+
+        def _read_int(p) -> int:
+            try:
+                return int(self._proto.read_text(p))
+            except Exception:
+                return 0
+
+        seq = _read_int(d / "_LATEST")
+        floor = _read_int(d / "_FLOOR")
+        if floor and seq < floor:
+            # lost or stale-below-the-trim hint: the floor marker
+            # (written BEFORE _trim_idseq removes anything) is a safe
+            # probe anchor — floor.json is always a kept entry
+            seq = floor - 1
         hint_missing = seq > 0 and not self._proto.exists(
             d / f"{seq:020d}.json"
         )
         while self._proto.exists(d / f"{seq + 1:020d}.json"):
             seq += 1
         if seq == 0:
+            # defense for pre-floor-marker trims: a chain that was
+            # trimmed WITHOUT a _FLOOR marker has no 1.json to probe
+            # from — a best-effort local listing distinguishes "never
+            # allocated" from "trimmed + hint lost" (object-store
+            # protocols skip this and rely on the marker)
+            try:
+                leftover = any(
+                    p.name[:20].isdigit() for p in Path(d).glob("*.json")
+                )
+            except Exception:
+                leftover = False
+            if leftover:
+                raise RuntimeError(
+                    f"identity watermark chain for {pcol!r} at "
+                    f"{self.root} has entries but no reachable anchor "
+                    f"(_LATEST and _FLOOR both lost); repair the "
+                    f"_log/_idseq_{pcol}/_LATEST hint before allocating"
+                )
             return 0, int(spec["start"]) - int(spec["step"])
         if hint_missing and not self._proto.exists(d / f"{seq:020d}.json"):
             # the hint's target was trimmed (clean_log keeps the newest
             # block) and no newer entry is reachable from it: NEVER
             # re-anchor at start — a silent reset could reissue live ids
             raise RuntimeError(
-                f"identity watermark hint for {col!r} at {self.root} "
+                f"identity watermark hint for {pcol!r} at {self.root} "
                 f"points below the trimmed chain; repair the "
-                f"_log/_idseq_{col}/_LATEST hint before allocating"
+                f"_log/_idseq_{pcol}/_LATEST hint before allocating"
             )
         high = int(
             json.loads(self._proto.read_text(d / f"{seq:020d}.json"))["high"]
         )
         return seq, high
 
-    def _identity_reserve(self, col: str, seq: int, high: int) -> bool:
+    def _identity_reserve(self, pcol: str, seq: int, high: int) -> bool:
         """CAS the watermark chain from ``seq`` to ``seq+1`` = ``high``.
         False when a racer took ``seq+1`` first — its allocation started
         from the same watermark, so the caller's assigned ids may
         collide and must be regenerated. The winner refreshes the
         ``_LATEST`` hint best-effort (a lost hint only costs the next
-        reader its probe-forward)."""
-        d = self.root / "_log" / f"_idseq_{col}"
+        reader its probe-forward). ``pcol`` is the PHYSICAL name."""
+        d = self.root / "_log" / f"_idseq_{pcol}"
         try:
             d.mkdir(parents=True, exist_ok=True)
         except OSError:

@@ -302,6 +302,84 @@ def test_identity_chain_trimmed_by_clean_log(spark, tmp_path):
     assert max(ids) > high + 70  # above every reserved watermark
 
 
+def test_identity_survives_rename_column(spark, tmp_path):
+    """Round-13 (advice fix): the watermark chain and the footer-stats
+    harvest are keyed by the column's immutable PHYSICAL name, so
+    rename_column neither orphans the chain (which would re-anchor at
+    start and reissue live ids) nor stalls the watermark (which would
+    let the NEXT append collide)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id", start=10, step=2)
+    t.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    before = sorted(r.id for r in t.read().collect())
+    t.rename_column("id", "doc_id")
+    # chain stays at the physical name — no orphan dir appears
+    log = Path(t.root) / "_log"
+    assert (log / "_idseq_id").exists()
+    assert not (log / "_idseq_doc_id").exists()
+    t.append(spark.createDataFrame([("c",), ("d",)], "name string"))
+    rows = sorted((r.name, r.doc_id) for r in t.read().collect())
+    ids = [i for _n, i in rows]
+    assert len(set(ids)) == 4, f"duplicate ids after rename: {rows}"
+    # the post-rename batch allocates strictly ABOVE the pre-rename max
+    post = [i for n, i in rows if n in ("c", "d")]
+    assert min(post) > max(before)
+    assert all((i - 10) % 2 == 0 for i in ids)
+    # ... and the watermark ADVANCED from the post-rename append (the
+    # stats harvest found the physical-keyed maxima): one more append
+    # still allocates above everything
+    t.append(spark.createDataFrame([("e",)], "name string"))
+    ids2 = [r.doc_id for r in t.read().collect()]
+    assert len(set(ids2)) == 5
+    # sync_identity maps through the rename too
+    assert t.sync_identity()["doc_id"] >= max(ids2)
+
+
+def test_identity_trimmed_chain_lost_hint_self_heals(spark, tmp_path):
+    """Round-13 (advice fix): losing the _LATEST hint on a TRIMMED
+    chain must not re-anchor at start (reissuing live ids). The _FLOOR
+    marker clean_log writes before trimming anchors the probe at the
+    oldest kept entry, so the state self-heals to the true watermark."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id")
+    t.append(spark.createDataFrame([("a",)], "name string"))
+    seq, high = t._identity_state("id", {"start": 1, "step": 1})
+    for i in range(70):
+        assert t._identity_reserve("id", seq + i, high + i + 1)
+    t.clean_log(retention_seconds=0)
+    d = Path(t.root) / "_log" / "_idseq_id"
+    assert (d / "_FLOOR").exists()
+    (d / "_LATEST").unlink()
+    s2, h2 = t._identity_state("id", {"start": 1, "step": 1})
+    assert h2 == high + 70, "lost hint on trimmed chain must self-heal"
+    # allocation resumes above every reserved watermark
+    t.append(spark.createDataFrame([("post",)], "name string"))
+    ids = [r.id for r in t.read().collect()]
+    assert len(set(ids)) == len(ids) == 2 and max(ids) > high + 70
+
+
+def test_identity_trimmed_chain_without_anchor_raises(spark, tmp_path):
+    """Both anchors lost on a trimmed chain (pre-marker trims): the
+    state must fail LOUDLY instead of silently re-anchoring at start."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id")
+    t.append(spark.createDataFrame([("a",)], "name string"))
+    seq, high = t._identity_state("id", {"start": 1, "step": 1})
+    for i in range(70):
+        assert t._identity_reserve("id", seq + i, high + i + 1)
+    t.clean_log(retention_seconds=0)
+    d = Path(t.root) / "_log" / "_idseq_id"
+    (d / "_LATEST").unlink()
+    (d / "_FLOOR").unlink()
+    with pytest.raises(RuntimeError, match="no reachable anchor"):
+        t._identity_state("id", {"start": 1, "step": 1})
+    with pytest.raises(RuntimeError, match="no reachable anchor"):
+        t.append(spark.createDataFrame([("b",)], "name string"))
+
+
 def test_declarative_writer_rejects_identity_tables(spark, tmp_path):
     """The declarative writer ships caller-supplied values verbatim — on
     an identity table that would bypass allocation and collide with the
