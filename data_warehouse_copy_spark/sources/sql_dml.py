@@ -1175,7 +1175,26 @@ class _Parser:
                                     )
                                 extra = ("default", " ".join(parts))
                             else:
+                                # unparenthesized forms (round-13):
+                                # signed numerics (DEFAULT -1) and
+                                # niladic functions
+                                # (DEFAULT CURRENT_TIMESTAMP()) parse
+                                # too — anything richer must be
+                                # parenthesized
                                 tk = self._take()
+                                sign = ""
+                                if (
+                                    tk is not None
+                                    and tk.kind == "punct"
+                                    and tk.text in ("-", "+")
+                                ):
+                                    sign = tk.text
+                                    tk = self._take()
+                                    if tk is None or tk.kind != "number":
+                                        raise SqlDmlError(
+                                            "signed DEFAULT expects a "
+                                            "numeric literal"
+                                        )
                                 if tk is None or tk.kind not in (
                                     "number", "string", "ident"
                                 ):
@@ -1183,7 +1202,29 @@ class _Parser:
                                         "DEFAULT expects a literal or a "
                                         "parenthesized expression"
                                     )
-                                extra = ("default", tk.text)
+                                text = sign + tk.text
+                                nx2 = self._peek()
+                                if (
+                                    tk.kind == "ident"
+                                    and nx2 is not None
+                                    and nx2.kind == "punct"
+                                    and nx2.text == "("
+                                ):
+                                    self._take()
+                                    cl = self._take()
+                                    if (
+                                        cl is None
+                                        or cl.kind != "punct"
+                                        or cl.text != ")"
+                                    ):
+                                        raise SqlDmlError(
+                                            "bare DEFAULT f() takes no "
+                                            "arguments — parenthesize "
+                                            "the whole expression: "
+                                            "DEFAULT (f(...))"
+                                        )
+                                    text = tk.text + "()"
+                                extra = ("default", text)
                         elif (
                             self._at_word("generated")
                             and genexpr is None
@@ -2277,15 +2318,23 @@ def _handle_view_ddl(spark, catalog, sql: str):
             raise SqlDmlError(
                 f"CREATE VIEW {name}: body does not resolve: {e}"
             ) from None
-        catalog.register_view(name, body, refs)
         db, vshort = name.split(".")
         gdb = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
-        if db == gdb:
-            # keep the pure-SQL surface in step with the catalog
-            spark.sql(
-                f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{vshort}` "
-                f"AS {resolved}"
+        if db != gdb:
+            # round-13 (advice fix): a wrong-db view used to persist
+            # fine and then POISON every later attach() — of unrelated
+            # tables too — until dropped; fail here, where the table
+            # registration path already fails at attach
+            raise SqlDmlError(
+                f"CREATE VIEW {name}: views live in this session's "
+                f"global-temp database {gdb!r}; use {gdb}.{vshort}"
             )
+        catalog.register_view(name, body, refs)
+        # keep the pure-SQL surface in step with the catalog
+        spark.sql(
+            f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{vshort}` "
+            f"AS {resolved}"
+        )
         return _summary(spark, "CREATE VIEW", 0)
     m = _DROP_VIEW_RE.match(sql)
     if m is not None:

@@ -50,6 +50,35 @@ def test_default_computes_when_omitted(spark, tmp_path):
     assert (4, "n/a", 3.0) in set(map(tuple, t.read().collect()))
 
 
+def test_default_signed_and_niladic_function_forms(spark, tmp_path):
+    """Round-13 (advice fix): unparenthesized ``DEFAULT -1`` and
+    ``DEFAULT CURRENT_TIMESTAMP()`` parse (Delta accepts both); richer
+    expressions still require parentheses, loudly."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.sql(
+        spark,
+        f"CREATE TABLE global_temp.ds (k INT, n INT DEFAULT -1, "
+        f"p DOUBLE DEFAULT +2.5, ts TIMESTAMP DEFAULT CURRENT_TIMESTAMP()) "
+        f"USING managed_table LOCATION '{tmp_path / 'ds'}'",
+    )
+    c.sql(spark, "INSERT INTO global_temp.ds (k) VALUES (1)")
+    r = ManagedTable(spark, tmp_path / "ds").read().first()
+    assert (r.k, r.n, r.p) == (1, -1, 2.5) and r.ts is not None
+    # richer unparenthesized expressions don't parse in this dialect —
+    # the statement falls through to spark.sql, which rejects it loudly
+    # (never a silently-wrong table)
+    for bad in (
+        f"CREATE TABLE global_temp.bad (k INT DEFAULT abs(-1)) "
+        f"USING managed_table LOCATION '{tmp_path / 'bad'}'",
+        f"CREATE TABLE global_temp.bad2 (k STRING DEFAULT -'x') "
+        f"USING managed_table LOCATION '{tmp_path / 'bad2'}'",
+    ):
+        with pytest.raises(Exception):
+            c.sql(spark, bad)
+        assert not (tmp_path / "bad").exists()
+        assert not (tmp_path / "bad2").exists()
+
+
 def test_set_drop_default_future_writes_only(spark, tmp_path):
     c = NamedCatalog(tmp_path / "cat.json")
     c.sql(

@@ -237,6 +237,21 @@ def test_create_view_validates_body(spark, vcat):
     assert c.view_names() == []
 
 
+def test_create_view_rejects_wrong_database(spark, vcat):
+    """Round-13 (advice fix): a view under a non-global-temp db used to
+    persist fine and then poison EVERY later attach() — of unrelated
+    tables too — until dropped; now CREATE VIEW fails upfront and the
+    catalog stays fully attachable."""
+    c, _t = vcat
+    with pytest.raises(SqlDmlError, match="global-temp database"):
+        c.sql(
+            spark,
+            "CREATE VIEW otherdb.v AS SELECT k FROM global_temp.base",
+        )
+    assert c.view_names() == []
+    assert "global_temp.base" in c.attach(spark)  # not wedged
+
+
 def test_time_travel_through_a_view(spark, vcat):
     c, t = vcat
     v0 = t._head_version()
