@@ -5907,7 +5907,6 @@ QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
-    "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q4_order_priority": q4_order_priority,
@@ -5915,7 +5914,6 @@ QUERIES: dict[str, QueryFn] = {
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q18_large_volume_customers": q18_large_volume_customers,
-    "q19_discounted_revenue": q19_discounted_revenue,
     "q21_sole_blame_supplier": q21_sole_blame_supplier,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "bucketed_orders_revenue": bucketed_orders_revenue,
@@ -5958,13 +5956,20 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_view": catalog_sql_view,
     "catalog_sql_dynamic_prune": catalog_sql_dynamic_prune,
     "schema_evolution_roundtrip": schema_evolution_roundtrip,
+    # round-13 rotation (verdict item 1): the round-12 flagship DDL
+    # surfaces (column DEFAULTs, GENERATED ALWAYS AS IDENTITY) take
+    # driver slots from two TPC-H near-neighbors (q6 ~ q14's
+    # promo-revenue family, q19 has the q17 small-quantity sibling),
+    # which stay hash-checked below the cap.
+    "catalog_sql_default_roundtrip": catalog_sql_default_roundtrip,
+    "catalog_sql_identity_roundtrip": catalog_sql_identity_roundtrip,
     # -- everything below is past the driver's 50 correctness slots (every
     # slot above is taken by an oracle-backed entry, the maximum possible
     # driver-side hash coverage). First the partsupp-adapted TPC-H
     # completions: they DO have oracles, and tests/test_entry_contract.py
     # hash-checks them side-by-side exactly like the driver would --
-    "catalog_sql_default_roundtrip": catalog_sql_default_roundtrip,
-    "catalog_sql_identity_roundtrip": catalog_sql_identity_roundtrip,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "q12_priority_shipping": q12_priority_shipping,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,

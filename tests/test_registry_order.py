@@ -100,3 +100,19 @@ def test_round12_rotated_surfaces_hold_driver_slots():
         "q17_small_quantity_revenue",
     ):
         assert q in entrymod.queries() and q not in names
+
+
+def test_round13_rotated_surfaces_hold_driver_slots():
+    """Round-12 verdict item 1: the round-12 flagship DDL surfaces —
+    column DEFAULTs and GENERATED ALWAYS AS IDENTITY — take driver
+    slots from two more TPC-H near-neighbors (q6 ≈ q14's promo-revenue
+    family, q19 ≈ q17's small-quantity family), which stay hash-checked
+    below the cap by tests/test_entry_contract.py."""
+    names = list(entrymod.queries())[:DRIVER_CORRECTNESS_CAP]
+    for q in (
+        "catalog_sql_default_roundtrip",
+        "catalog_sql_identity_roundtrip",
+    ):
+        assert q in names, f"{q} lost its driver correctness slot"
+    for q in ("q6_forecast_revenue", "q19_discounted_revenue"):
+        assert q in entrymod.queries() and q not in names
