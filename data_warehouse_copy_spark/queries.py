@@ -5009,6 +5009,94 @@ SELECT CAST(5 AS BIGINT) AS n_rows, CAST(5 AS BIGINT) AS n_ids,
 """
 
 
+def catalog_sql_identity_bydefault_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED BY DEFAULT AS IDENTITY end-to-end (round-13,
+    managed_table.py:set_identity(always=False) — Delta's BY DEFAULT
+    contract, the shape the reference's PK-carrying upsert re-inserts
+    need, TableUpdateService.cs:130-161): explicit values PASS THROUGH
+    (value-exact in the oracle), omitted frames and NULL slots allocate,
+    MERGE insert clauses may carry the PK, and the watermark syncs past
+    every provided max at commit so later allocations never collide —
+    certified here by the floor invariants (engine-chosen ids are
+    legitimately nondeterministic); cross-process mixed-writer
+    uniqueness is pinned in tests/test_defaults_identity.py."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    tmp = _tmp_table_dir(prefix="dwcs_identbd_")
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.sql(
+        spark,
+        f"CREATE TABLE global_temp.dwcs_identbd (id BIGINT GENERATED "
+        f"BY DEFAULT AS IDENTITY (START WITH 50 INCREMENT BY 5), "
+        f"name STRING) USING managed_table LOCATION '{tmp}/t'",
+    )
+    cat.sql(
+        spark,
+        "INSERT INTO global_temp.dwcs_identbd (id, name) "
+        "VALUES (1000, 'p1'), (2000, 'p2')",
+    )
+    cat.sql(
+        spark,
+        "INSERT INTO global_temp.dwcs_identbd (name) VALUES ('a1'), ('a2')",
+    )
+    cat.sql(
+        spark,
+        "INSERT INTO global_temp.dwcs_identbd (id, name) "
+        "VALUES (NULL, 'ns'), (7, 'low')",
+    )
+    t = ManagedTable(spark, f"{tmp}/t")
+    t.merge(
+        spark.createDataFrame([(5000, "mg")], "id bigint, name string"),
+        on="id",
+    )
+    t.append(spark.createDataFrame([("post",)], "name string"))
+    explicit = ("p1", "p2", "low", "mg")
+    df = t.read()
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("name").isin(*explicit),
+                        F.concat_ws("=", F.col("name"), F.col("id")),
+                    )
+                )
+            ),
+        ).alias("explicit_ids"),
+        (
+            F.min(
+                F.when(
+                    F.col("name").isin("a1", "a2", "ns"), F.col("id")
+                )
+            )
+            > F.lit(2000)
+        ).alias("alloc_above_provided"),
+        (
+            F.min(F.when(F.col("name") == "post", F.col("id")))
+            > F.lit(5000)
+        ).alias("post_above_merge"),
+        F.sum(
+            (
+                (~F.col("name").isin(*explicit))
+                & (((F.col("id") - 50) % 5) == 0)
+            ).cast("long")
+        ).alias("on_step"),
+    )
+
+
+CATALOG_SQL_IDENTITY_BYDEFAULT_SQL = """
+SELECT CAST(8 AS BIGINT) AS n_rows, CAST(8 AS BIGINT) AS n_ids,
+       'low=7|mg=5000|p1=1000|p2=2000' AS explicit_ids,
+       TRUE AS alloc_above_provided, TRUE AS post_above_merge,
+       CAST(4 AS BIGINT) AS on_step
+"""
+
+
 def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-10,
     Spark/Delta's stored-statistics surface): one distributed aggregate
@@ -5970,6 +6058,8 @@ QUERIES: dict[str, QueryFn] = {
     # hash-checks them side-by-side exactly like the driver would --
     "q6_forecast_revenue": q6_forecast_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "catalog_sql_identity_bydefault_roundtrip":
+        catalog_sql_identity_bydefault_roundtrip,
     "q12_priority_shipping": q12_priority_shipping,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -6164,6 +6254,8 @@ ORACLES: dict[str, str] = {
     "catalog_sql_view": CATALOG_SQL_VIEW_SQL,
     "catalog_sql_default_roundtrip": CATALOG_SQL_DEFAULT_SQL,
     "catalog_sql_identity_roundtrip": CATALOG_SQL_IDENTITY_SQL,
+    "catalog_sql_identity_bydefault_roundtrip":
+        CATALOG_SQL_IDENTITY_BYDEFAULT_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -457,8 +457,16 @@ def _assign_identity(
     (an AQE repartitioning surprise) fails LOUDLY rather than ever
     risking a duplicate id."""
     stride = max(4 * max(df.rdd.getNumPartitions(), 1), 64)
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(col, dtype, True)]
+    # fill mode (GENERATED BY DEFAULT, round-13): the frame PROVIDES the
+    # column — user values pass through, only NULL slots allocate; the
+    # schema is unchanged. Still the same single zero-shuffle pass.
+    fill = col in df.columns
+    out_schema = (
+        df.schema
+        if fill
+        else T.StructType(
+            list(df.schema.fields) + [T.StructField(col, dtype, True)]
+        )
     )
     np_t = "int32" if isinstance(dtype, T.IntegerType) else "int64"
     base = int(high)
@@ -467,6 +475,7 @@ def _assign_identity(
         from pyspark import TaskContext
 
         import numpy as _np
+        import pandas as _pd
 
         pid = TaskContext.get().partitionId()
         if pid >= stride:
@@ -478,10 +487,20 @@ def _assign_identity(
         for pdf in batches:
             n = len(pdf)
             pdf = pdf.copy()
-            pdf[col] = (
+            vals = (
                 base
                 + step * (1 + pid + stride * (_np.arange(n) + i))
             ).astype(np_t)
+            if fill:
+                # nullable-Int64 staging keeps full int64 precision (a
+                # float64 round-trip would corrupt provided ids >2^53)
+                s = pdf[col].astype("Int64")
+                s = s.where(
+                    s.notna(), _pd.Series(vals, index=pdf.index)
+                )
+                pdf[col] = s.astype(np_t)
+            else:
+                pdf[col] = vals
             i += n
             yield pdf
 
@@ -2782,10 +2801,12 @@ class ManagedTable:
         copy_sources: "list[str] | None",
         copy_ledger_version: "int | None",
     ) -> int:
-        """Append into a table with GENERATED ALWAYS AS IDENTITY columns
-        (called under the table lock, from :meth:`append`). Per attempt:
-        read each column's watermark, assign strided ids in the data
-        pass (:func:`_assign_identity` — no extra jobs), write, harvest
+        """Append into a table with GENERATED ALWAYS / BY DEFAULT AS
+        IDENTITY columns (called under the table lock, from
+        :meth:`append`). Per attempt: read each column's watermark,
+        assign strided ids in the data pass (:func:`_assign_identity` —
+        no extra jobs; BY DEFAULT frames that PROVIDE the column keep
+        their values and only fill NULL slots), write, harvest
         the REAL allocated maxima from the written footer stats the
         manifest records anyway, then CAS-advance the watermark chain.
         A lost CAS means a racer allocated from the same watermark — the
@@ -2795,10 +2816,14 @@ class ManagedTable:
         the range: a gap, which identity explicitly allows — never a
         reuse."""
         provided = sorted(c for c in specs if c in df.columns)
-        if provided:
+        always_provided = [
+            c for c in provided if specs[c].get("always", True)
+        ]
+        if always_provided:
             raise ValueError(
-                f"column(s) {provided} are GENERATED ALWAYS AS IDENTITY "
-                f"— the engine allocates them; writes cannot provide them"
+                f"column(s) {always_provided} are GENERATED ALWAYS AS "
+                f"IDENTITY — the engine allocates them; writes cannot "
+                f"provide them"
             )
         m = self.snapshot()
         if txn is not None and (m.txns or {}).get(txn[0], -1) >= txn[1]:
@@ -2848,6 +2873,17 @@ class ManagedTable:
                     if f.stats and f.stats.get(pcol) is not None
                 ]
                 real = int(max(maxima)) if maxima else high
+                if col in provided and maxima and real <= high:
+                    # BY DEFAULT pure passthrough below the watermark:
+                    # every value in this batch is user-provided and
+                    # ≤ high (an allocated id is > high by
+                    # construction), so there is nothing to advance —
+                    # and skipping the CAS keeps passthrough appends
+                    # contention-free
+                    continue
+                # never REGRESS the watermark on a provided-below-max
+                # batch that still allocated some NULL slots
+                real = max(real, high)
                 if not self._identity_reserve(pcol, seq, real):
                     lost = True
                     break
@@ -3681,18 +3717,31 @@ class ManagedTable:
             if f.metadata and "default_expression" in f.metadata
         }
 
-    def set_identity(self, name: str, start: int = 1, step: int = 1) -> None:
-        """Mark ``name`` GENERATED ALWAYS AS IDENTITY (Delta identity
-        columns): appends that omit the column get collision-free
-        monotonic ids allocated from a per-column watermark chain under
-        ``_log`` (see :meth:`_append_with_identity`); writes that
-        PROVIDE the column are rejected (ALWAYS semantics). Closes the
-        reference's target-side ``Id`` regeneration — the excluded
-        identity column SQL Server re-assigns on insert
-        (TableCopyService.cs:156-160). ``step`` must be positive
-        (descending identities are out of scope); ids may have GAPS
-        (Delta's documented identity contract) — the strided per-
-        partition allocator never coordinates executors mid-job."""
+    def set_identity(
+        self, name: str, start: int = 1, step: int = 1,
+        always: bool = True,
+    ) -> None:
+        """Mark ``name`` GENERATED ``ALWAYS``/``BY DEFAULT`` AS IDENTITY
+        (Delta identity columns): appends that omit the column get
+        collision-free monotonic ids allocated from a per-column
+        watermark chain under ``_log`` (see
+        :meth:`_append_with_identity`). With ``always=True`` writes that
+        PROVIDE the column are rejected (ALWAYS semantics); with
+        ``always=False`` (Delta's ``GENERATED BY DEFAULT``, round-13)
+        provided values PASS THROUGH — NULL slots still allocate — and
+        the watermark syncs past the provided maximum at commit so
+        later allocations never collide with them (the shape the
+        reference's PK-carrying upsert re-inserts need,
+        ``TableUpdateService.cs:130-161``). Closes the reference's
+        target-side ``Id`` regeneration — the excluded identity column
+        SQL Server re-assigns on insert (TableCopyService.cs:156-160).
+        ``step`` must be positive (descending identities are out of
+        scope); ids may have GAPS (Delta's documented identity
+        contract) — the strided per-partition allocator never
+        coordinates executors mid-job. As in Delta, BY DEFAULT provides
+        no in-batch uniqueness guarantee between a USER-CHOSEN id and
+        ids allocated in the SAME batch's NULL slots — choose provided
+        ids below the watermark or from a disjoint range."""
         if step < 1:
             raise ValueError("identity step must be a positive integer")
         st = T.StructType.fromJson(
@@ -3707,7 +3756,9 @@ class ManagedTable:
                 f"{field.dataType.simpleString()}"
             )
         self._set_field_metadata(
-            name, "identity", {"start": int(start), "step": int(step)}
+            name, "identity",
+            {"start": int(start), "step": int(step),
+             "always": bool(always)},
         )
         # rows may PREDATE the marking (convert/adopt flows): sync the
         # watermark above them so the first allocation never collides
@@ -3752,6 +3803,42 @@ class ManagedTable:
                     f"persisted for {_COMMIT_MAX_ATTEMPTS} attempts"
                 )
         return out
+
+    def _advance_identity_past_files(
+        self, cols: list, files, columns
+    ) -> None:
+        """Sync each BY DEFAULT identity watermark past the maxima the
+        freshly-written files carry (footer stats, PHYSICAL-keyed — no
+        extra scan job) so later allocations never collide with
+        user-provided ids: Delta's SYNC IDENTITY fold, applied
+        automatically at merge commit. A lost CAS just re-reads — a
+        racer can only have moved the watermark FORWARD."""
+        specs = self.identity_columns()
+        phys = _phys_map(columns) or {}
+        for col in cols:
+            spec = specs.get(col)
+            if spec is None:
+                continue
+            pcol = phys.get(col, col)
+            maxima = [
+                f.stats[pcol][1]
+                for f in files
+                if f.stats and f.stats.get(pcol) is not None
+            ]
+            if not maxima:
+                continue
+            real = int(max(maxima))
+            for _attempt in range(_COMMIT_MAX_ATTEMPTS):
+                seq, high = self._identity_state(pcol, spec)
+                if real <= high:
+                    break
+                if self._identity_reserve(pcol, seq, real):
+                    break
+            else:
+                raise ConcurrentWriteError(
+                    f"identity watermark sync at {self.root} contended "
+                    f"for {_COMMIT_MAX_ATTEMPTS} attempts"
+                )
 
     def identity_columns(self) -> dict:
         """``{column: {"start": n, "step": m}}`` at the current head."""
@@ -5869,12 +5956,9 @@ class ManagedTable:
                 matched_clauses + by_source_clauses, known, key_cols
             )
             _validate_insert_clauses(insert_clauses, known, src_cols, cols)
-            if insert_clauses and _identity_specs(m.schema_json):
-                raise ValueError(
-                    "MERGE insert clauses cannot allocate GENERATED "
-                    "ALWAYS AS IDENTITY ids (append/INSERT-scoped "
-                    "allocation); use a matched-only merge plus append"
-                )
+            id_sync_cols = _merge_identity_gate(
+                _identity_specs(m.schema_json), insert_clauses
+            )
             if by_source_clauses:
                 # every target row participates — pruning would silently
                 # exempt rows in unprobed files from the by-source clauses
@@ -5914,6 +5998,12 @@ class ManagedTable:
             )
             if not landed:
                 return dict(skipped)  # a concurrent retry won the epoch
+            if id_sync_cols and written:
+                # BY DEFAULT identity: the watermark must outrun every
+                # provided id so later ALLOCATIONS never collide
+                self._advance_identity_past_files(
+                    id_sync_cols, written, m.columns
+                )
         return {
             "updated": n_updated,
             "deleted": n_deleted,
@@ -5949,12 +6039,9 @@ class ManagedTable:
                 )
         _validate_merge_assignments(matched_clauses, known, key_cols)
         _validate_insert_clauses(insert_clauses, known, src_cols, cols)
-        if insert_clauses and _identity_specs(schema_json):
-            raise ValueError(
-                "MERGE insert clauses cannot allocate GENERATED ALWAYS "
-                "AS IDENTITY ids (append/INSERT-scoped allocation); use "
-                "a matched-only merge plus append"
-            )
+        id_sync_cols = _merge_identity_gate(
+            _identity_specs(schema_json), insert_clauses
+        )
         keys = source_df.select(*key_cols).distinct()
         # the span probe prunes on the FIRST key column (sound: a file
         # whose first-key span admits no source key can't hold a match);
@@ -5987,6 +6074,10 @@ class ManagedTable:
         if not landed:
             return {"updated": 0, "deleted": 0, "inserted": 0,
                     "skipped": True}
+        if id_sync_cols and written:
+            self._advance_identity_past_files(
+                id_sync_cols, written, columns
+            )
         return {
             "updated": counts[0],
             "deleted": counts[1],
@@ -8053,6 +8144,36 @@ def _normalize_insert_clauses(raw) -> "list[tuple]":
             )
         out.append((cond, "*" if ins == "*" else dict(ins)))
     return out
+
+
+def _merge_identity_gate(specs: dict, insert_clauses: list) -> list:
+    """Merge insert clauses never ALLOCATE identity ids. ALWAYS columns
+    reject outright; BY DEFAULT columns (round-13) are allowed exactly
+    when every insert clause PROVIDES the column (star clauses already
+    carry every table column by validation) — the reference's
+    PK-carrying upsert shape, ``TableUpdateService.cs:130-161``.
+    Returns the BY DEFAULT identity columns whose provided maxima must
+    sync the watermark after commit."""
+    if not insert_clauses or not specs:
+        return []
+    always = sorted(c for c, s in specs.items() if s.get("always", True))
+    if always:
+        raise ValueError(
+            "MERGE insert clauses cannot allocate GENERATED ALWAYS AS "
+            "IDENTITY ids (append/INSERT-scoped allocation); use a "
+            "matched-only merge plus append"
+        )
+    for _cond, assigns in insert_clauses:
+        if assigns == "*":
+            continue
+        missing = sorted(set(specs) - set(assigns))
+        if missing:
+            raise ValueError(
+                f"MERGE insert clauses must PROVIDE the GENERATED BY "
+                f"DEFAULT AS IDENTITY column(s) {missing} — merge never "
+                f"allocates ids; use append for allocation"
+            )
+    return sorted(specs)
 
 
 def _validate_insert_clauses(

@@ -288,6 +288,7 @@ class DmlStatement:
     to_version: int | None = None
     to_timestamp: str | None = None   # RESTORE ... TO TIMESTAMP AS OF
     default_expr: str | None = None   # ALTER COLUMN ... SET DEFAULT
+    cascade: bool = False             # RENAME/DROP COLUMN ... CASCADE
     # constraint fields (alter_op add_constraint / drop_constraint)
     check_expr: str | None = None
     # COMMENT ON / ALTER COLUMN ... COMMENT / CREATE ... COMMENT
@@ -1231,11 +1232,26 @@ class _Parser:
                             and extra is None
                         ):
                             # c INT GENERATED ALWAYS AS (expr) — Delta's
-                            # generated columns — or GENERATED ALWAYS AS
-                            # IDENTITY [(START WITH n [INCREMENT BY m])]
+                            # generated columns — or GENERATED
+                            # (ALWAYS | BY DEFAULT) AS IDENTITY
+                            # [(START WITH n [INCREMENT BY m])]
                             self._take()
-                            self._expect_word("always")
+                            always = True
+                            if self._at_word("by"):
+                                self._take()
+                                self._expect_word("default")
+                                always = False
+                            else:
+                                self._expect_word("always")
                             self._expect_kw("as")
+                            if not always and not self._at_word(
+                                "identity"
+                            ):
+                                raise SqlDmlError(
+                                    "GENERATED BY DEFAULT is only valid "
+                                    "AS IDENTITY (generated-expression "
+                                    "columns are ALWAYS)"
+                                )
                             if self._at_word("identity"):
                                 self._take()
                                 start, step = 1, 1
@@ -1262,7 +1278,9 @@ class _Parser:
                                             "integer and INCREMENT BY a "
                                             "positive integer"
                                         )
-                                extra = ("identity", start, step)
+                                extra = (
+                                    "identity", start, step, always
+                                )
                                 continue
                             self._expect_punct("(")
                             depth, parts = 1, []
@@ -1655,6 +1673,15 @@ class _Parser:
             st.alter_op = "add"
             st.column = self._expect_ident()
             st.to_type = self._type_name()
+        if self._at_word("cascade"):
+            # RENAME/DROP COLUMN ... CASCADE (round-13): also drop the
+            # dependent catalog views the bare form refuses to break
+            if st.alter_op not in ("rename", "drop"):
+                raise SqlDmlError(
+                    "CASCADE applies to RENAME COLUMN / DROP COLUMN only"
+                )
+            self._take()
+            st.cascade = True
         self._done()
         return st
 
@@ -2596,6 +2623,74 @@ def _dfp_split_conjuncts(toks: "list[_Tok]") -> "list[list[_Tok]]":
     if has_or:
         return [toks]
     return [p for p in pieces if p]
+
+
+def _dependent_views(catalog, table_name: str, column: str) -> list:
+    """Catalog views broken by evolving ``column`` on ``table_name``
+    (round-13 verdict item 3): a view counts when its stored body
+    references the table AND touches the column — a bare or
+    dot-qualified identifier match, or ``SELECT *`` (which touches
+    every column). Unparseable bodies count conservatively. Closed
+    transitively over view-on-view refs, so a parent of a broken view
+    is named too."""
+    views = catalog.view_names()
+    col = column.lower()
+    out: list = []
+    for v in views:
+        if table_name not in catalog.view_refs(v):
+            continue
+        try:
+            toks = _tokenize(catalog.view_sql(v))
+        except SqlDmlError:
+            out.append(v)
+            continue
+        if any(
+            (
+                t.kind == "ident"
+                and (
+                    t.text.lower() == col
+                    or t.text.lower().endswith("." + col)
+                )
+            )
+            or (t.kind == "punct" and t.text == "*")
+            for t in toks
+        ):
+            out.append(v)
+    changed = True
+    while changed:
+        changed = False
+        for v in views:
+            if v not in out and any(
+                r in out for r in catalog.view_refs(v)
+            ):
+                out.append(v)
+                changed = True
+    return sorted(out)
+
+
+def _guard_view_dependencies(spark, catalog, st, opname: str) -> None:
+    """DDL-time guard for RENAME/DROP COLUMN under dependent views:
+    without it, evolution silently broke the view until query time,
+    where the failure was a generic analysis error naming neither the
+    view nor the DDL. Bare form fails LOUDLY naming the views; CASCADE
+    drops them (catalog + session mirror) before the evolution
+    proceeds."""
+    deps = _dependent_views(catalog, st.table, st.column)
+    if not deps:
+        return
+    if st.cascade:
+        for v in deps:
+            catalog.drop_view(v)
+            try:
+                spark.catalog.dropGlobalTempView(v.split(".", 1)[1])
+            except Exception:
+                pass
+        return
+    raise SqlDmlError(
+        f"{opname} {st.column} on {st.table} would break dependent "
+        f"view(s) {deps}; DROP VIEW them (or re-CREATE them without "
+        f"the column) first, or append CASCADE to drop them with it"
+    )
 
 
 def _dfp_null_rejecting(toks: "list[_Tok]") -> bool:
@@ -3567,7 +3662,9 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                         f"resolve: {e}"
                     ) from None
             elif ex is not None and ex[0] == "identity":
-                nt.set_identity(n, start=ex[1], step=ex[2])
+                nt.set_identity(
+                    n, start=ex[1], step=ex[2], always=ex[3]
+                )
         for n, ty, _cm, ge, _ex in st.create_columns:
             if ge is not None:
                 # validate the expression resolves against the declared
@@ -3779,8 +3876,11 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
                 base += f" GENERATED ALWAYS AS ({ge})"
             ident = (f.metadata or {}).get("identity")
             if ident is not None:
+                mode = (
+                    "ALWAYS" if ident.get("always", True) else "BY DEFAULT"
+                )
                 base += (
-                    f" GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f" GENERATED {mode} AS IDENTITY (START WITH "
                     f"{ident['start']} INCREMENT BY {ident['step']})"
                 )
             de = (f.metadata or {}).get("default_expression")
@@ -4124,10 +4224,14 @@ def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
         elif st.alter_op == "sync_identity":
             t.sync_identity()
         elif st.alter_op == "rename":
+            _guard_view_dependencies(
+                spark, catalog, st, "RENAME COLUMN"
+            )
             t.rename_column(st.column, st.to_name)
         elif st.alter_op == "widen":
             t.widen_column(st.column, st.to_type)
         elif st.alter_op == "drop":
+            _guard_view_dependencies(spark, catalog, st, "DROP COLUMN")
             t.drop_column(st.column)
         elif st.alter_op == "add_columns":
             for cname, ctype in st.add_columns:

@@ -176,7 +176,7 @@ def test_identity_allocates_unique_monotonic(spark, tmp_path):
         ),
     )
     assert ManagedTable(spark, tmp_path / "i2").identity_columns() == {
-        "id": {"start": 100, "step": 3}
+        "id": {"start": 100, "step": 3, "always": True}
     }
 
 
@@ -329,6 +329,154 @@ def test_identity_chain_trimmed_by_clean_log(spark, tmp_path):
     ids = [r.id for r in t.read().collect()]
     assert len(set(ids)) == len(ids) == 2
     assert max(ids) > high + 70  # above every reserved watermark
+
+
+def test_identity_by_default_mixed_explicit_and_allocated(spark, tmp_path):
+    """Round-13 (verdict item 2): GENERATED BY DEFAULT AS IDENTITY —
+    explicit values PASS THROUGH, omitted frames and NULL slots
+    allocate, and the watermark syncs past the provided max at commit
+    so later allocations never collide (Delta's BY DEFAULT contract)."""
+    c = NamedCatalog(tmp_path / "cat.json")
+    c.sql(
+        spark,
+        f"CREATE TABLE global_temp.bd (id BIGINT GENERATED BY DEFAULT "
+        f"AS IDENTITY (START WITH 10 INCREMENT BY 2), name STRING) "
+        f"USING managed_table LOCATION '{tmp_path / 'bd'}'",
+    )
+    # explicit value ABOVE the watermark, then allocation resumes above
+    c.sql(spark, "INSERT INTO global_temp.bd (id, name) VALUES (500, 'hi')")
+    c.sql(spark, "INSERT INTO global_temp.bd (name) VALUES ('a1'), ('a2')")
+    # NULL slot allocates inside a PROVIDED frame; low explicit passes
+    c.sql(
+        spark,
+        "INSERT INTO global_temp.bd (id, name) "
+        "VALUES (NULL, 'ns'), (3, 'low')",
+    )
+    t = ManagedTable(spark, tmp_path / "bd")
+    rows = sorted((r.name, r.id) for r in t.read().collect())
+    byname = dict(rows)
+    ids = [i for _n, i in rows]
+    assert len(set(ids)) == 5, rows
+    assert byname["hi"] == 500 and byname["low"] == 3  # passthrough
+    for n in ("a1", "a2", "ns"):
+        assert byname[n] > 500, rows  # watermark outran the explicit max
+        assert (byname[n] - 10) % 2 == 0  # start/step respected
+    # SHOW CREATE renders BY DEFAULT and re-runs verbatim
+    ddl = c.sql(
+        spark, "SHOW CREATE TABLE global_temp.bd"
+    ).first().createtab_stmt
+    assert (
+        "GENERATED BY DEFAULT AS IDENTITY (START WITH 10 INCREMENT BY 2)"
+        in ddl
+    )
+    c2 = NamedCatalog(tmp_path / "cat2.json")
+    c2.sql(
+        spark,
+        ddl.replace(str(tmp_path / "bd"), str(tmp_path / "bd2")).replace(
+            "global_temp.bd", "global_temp.bd2"
+        ),
+    )
+    spec = ManagedTable(spark, tmp_path / "bd2").identity_columns()["id"]
+    assert (spec["start"], spec["step"], spec["always"]) == (10, 2, False)
+    # the native append path accepts a provided frame too
+    t.append(spark.createDataFrame([(9000, "big")], "id bigint, name string"))
+    t.append(spark.createDataFrame([("after",)], "name string"))
+    rows2 = dict((r.name, r.id) for r in t.read().collect())
+    assert rows2["big"] == 9000 and rows2["after"] > 9000
+    assert len(set(rows2.values())) == 7
+
+
+def test_identity_by_default_merge_pk_upsert(spark, tmp_path):
+    """The reference's PK-carrying upsert shape
+    (TableUpdateService.cs:130-161): MERGE insert clauses may PROVIDE a
+    BY DEFAULT identity column (never allocate), and the watermark
+    syncs past the inserted max at commit."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id", always=False)
+    t.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    src = spark.createDataFrame(
+        [(7000, "x"), (7010, "y")], "id bigint, name string"
+    )
+    res = t.merge(src, on="id")  # INSERT * carries the PK
+    assert res["inserted"] == 2
+    # post-merge allocation lands ABOVE the merged-in ids
+    t.append(spark.createDataFrame([("post",)], "name string"))
+    rows = dict((r.name, r.id) for r in t.read().collect())
+    assert rows["x"] == 7000 and rows["y"] == 7010
+    assert rows["post"] > 7010
+    assert len(set(rows.values())) == 5
+    # assignment-form insert clauses must still PROVIDE the column
+    with pytest.raises(ValueError, match="PROVIDE"):
+        t.merge(
+            spark.createDataFrame([(1, "z")], "k bigint, name string"),
+            on="name",
+            when_not_matched_insert=[
+                {"condition": None, "insert": {"name": "s.name"}}
+            ],
+        )
+    # ... and ALWAYS tables keep rejecting insert clauses outright
+    ta = ManagedTable.create(spark, tmp_path / "ta")
+    ta.append(spark.createDataFrame([], "id bigint, name string"))
+    ta.set_identity("id")
+    with pytest.raises(ValueError, match="ALWAYS"):
+        ta.merge(
+            spark.createDataFrame([(1, "z")], "id bigint, name string"),
+            on="id",
+        )
+
+
+_BYDEFAULT_WORKER = r"""
+import sys
+from data_warehouse_copy_spark.session import get_spark
+from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+root, wid, n_appends = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark(shuffle_partitions=2)
+t = ManagedTable(spark, root)
+for i in range(n_appends):
+    if wid == 0:
+        # explicit-PK writer: disjoint negative range, pure passthrough
+        t.append(spark.createDataFrame(
+            [(-(1000 * (i + 1) + j), f"w0b{i}r{j}") for j in range(5)],
+            "id bigint, name string"))
+    else:
+        t.append(spark.createDataFrame(
+            [(f"w1b{i}r{j}",) for j in range(5)], "name string"))
+print("OK", wid)
+"""
+
+
+def test_identity_by_default_mixed_writer_storm(spark, tmp_path):
+    """Cross-process storm with MIXED writers — one providing explicit
+    PKs, one allocating: every committed id unique, nothing lost."""
+    import subprocess
+
+    root = str(tmp_path / "t")
+    t = ManagedTable.create(spark, root)
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id", always=False)
+    env = dict(__import__("os").environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _BYDEFAULT_WORKER, root, str(w), "4"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for w in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-2000:]
+        assert "OK" in out
+    rows = t.read().collect()
+    assert len(rows) == 40
+    ids = [r.id for r in rows]
+    assert len(set(ids)) == 40, "ids collided under the mixed storm"
+    assert sum(1 for i in ids if i < 0) == 20  # explicit PKs intact
 
 
 def test_identity_survives_rename_column(spark, tmp_path):

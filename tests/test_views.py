@@ -252,6 +252,67 @@ def test_create_view_rejects_wrong_database(spark, vcat):
     assert "global_temp.base" in c.attach(spark)  # not wedged
 
 
+def test_column_evolution_guarded_by_view_dependencies(spark, vcat):
+    """Round-13 (verdict item 3): RENAME/DROP COLUMN on a table
+    referenced by a view fails LOUDLY naming the dependent views
+    (previously the view silently broke until query time); CASCADE
+    drops them with the column; columns no view touches evolve freely."""
+    c, t = vcat
+    c.sql(
+        spark,
+        "CREATE VIEW global_temp.v1 AS "
+        "SELECT k, v FROM global_temp.base WHERE v > 5",
+    )
+    c.sql(
+        spark,
+        "CREATE VIEW global_temp.v2 AS "  # view-on-view: transitive dep
+        "SELECT k FROM global_temp.v1",
+    )
+    for ddl in (
+        "ALTER TABLE global_temp.base RENAME COLUMN v TO val",
+        "ALTER TABLE global_temp.base DROP COLUMN v",
+    ):
+        with pytest.raises(SqlDmlError, match=r"v1.*v2|global_temp\.v1"):
+            c.sql(spark, ddl)
+    # the guard names BOTH views (v2 via the transitive closure)
+    try:
+        c.sql(spark, "ALTER TABLE global_temp.base DROP COLUMN v")
+    except SqlDmlError as e:
+        assert "global_temp.v1" in str(e) and "global_temp.v2" in str(e)
+    # a column no view touches evolves freely
+    c.sql(spark, "ALTER TABLE global_temp.base RENAME COLUMN g TO grp")
+    assert "grp" in [f.name for f in t.read().schema.fields]
+    # ... and the views still resolve value-exact after it
+    assert c.sql(spark, "SELECT * FROM global_temp.v2").count() == 3
+    # CASCADE drops the dependent views, then the evolution lands
+    c.sql(
+        spark,
+        "ALTER TABLE global_temp.base RENAME COLUMN v TO val CASCADE",
+    )
+    assert c.view_names() == []
+    assert "val" in [f.name for f in t.read().schema.fields]
+    # CASCADE is rename/drop-only
+    with pytest.raises(SqlDmlError, match="CASCADE"):
+        c.sql(
+            spark,
+            "ALTER TABLE global_temp.base ADD COLUMN extra INT CASCADE",
+        )
+
+
+def test_select_star_view_blocks_any_column_evolution(spark, vcat):
+    """A SELECT * view touches every column — any rename/drop under it
+    is guarded."""
+    c, _t = vcat
+    c.sql(
+        spark,
+        "CREATE VIEW global_temp.star AS SELECT * FROM global_temp.base",
+    )
+    with pytest.raises(SqlDmlError, match="star"):
+        c.sql(spark, "ALTER TABLE global_temp.base RENAME COLUMN g TO x")
+    c.sql(spark, "DROP VIEW global_temp.star")
+    c.sql(spark, "ALTER TABLE global_temp.base RENAME COLUMN g TO x")
+
+
 def test_time_travel_through_a_view(spark, vcat):
     c, t = vcat
     v0 = t._head_version()
