@@ -3121,8 +3121,10 @@ def _try_dynamic_prune_in_subquery(
     ``_DFP_MAX_KEYS``) and push as an in-list into the fact scan; the
     rewritten query keeps the IN predicate itself — against the SAME
     pinned dim views — so the result is value-exact while manifest
-    stats skip non-matching fact files. Correlated EXISTS stays a
-    documented fallback (the correlation makes the probe per-row)."""
+    stats skip non-matching fact files. Correlated EXISTS decorrelates
+    too (round-12 single-equality; round-13 multi-equality in-lists +
+    inequality range bounds — see ``match_exists``); only
+    expression-wrapped correlations stay documented fallbacks."""
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
     fact_name, alias, t_start, t_end = r0
@@ -3218,7 +3220,18 @@ def _try_dynamic_prune_in_subquery(
         if j2 >= len(inner) or inner[j2].text.lower() != "where":
             return None  # no correlation at all: not this shape
         inner_conj = _dfp_split_conjuncts(inner[j2 + 1:])
-        corr = None
+        # correlation conjuncts: <dim.c> OP <fact.k> (either side) for
+        # OP in {=, <, <=, >, >=}. Equalities decorrelate to per-column
+        # in-lists (a conservative superset of the true tuple set —
+        # round-13 widened this to MULTI-equality); inequalities push
+        # the dim-side extremum as a range bound on the fact key
+        # (∃d: d.c >= f.k  ⇔  f.k <= max(d.c), under the dim-only
+        # filters). The EXISTS predicate itself survives the rewrite
+        # against the SAME pinned dim, so every push is a pre-filter,
+        # never the semantics.
+        _CMP = {"=", "<", "<=", ">", ">="}
+        eqs: list = []     # (dim_col, fact_col)
+        ineqs: list = []   # (dim_col, fact_col, fact_op, agg)
         rest: list = []
         for cc in inner_conj:
             if (
@@ -3226,41 +3239,63 @@ def _try_dynamic_prune_in_subquery(
                 and cc[0].kind == "ident"
                 and cc[0].text.count(".") == 1
                 and cc[1].kind == "punct"
-                and cc[1].text == "="
+                and cc[1].text in _CMP
                 and cc[2].kind == "ident"
                 and cc[2].text.count(".") == 1
             ):
                 qa, ca = cc[0].text.split(".")
                 qb, cb = cc[2].text.split(".")
+                op = cc[1].text
                 pair = None
                 if qa.lower() == dalias and qb.lower() == falias:
-                    pair = (ca, cb)
+                    pair = (ca, cb, op)          # dim OP fact
                 elif qb.lower() == dalias and qa.lower() == falias:
-                    pair = (cb, ca)
+                    # fact OP dim — flip so the dim side is on the left
+                    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                            "=": "="}
+                    pair = (cb, ca, flip[op])
                 if pair is not None:
-                    if corr is not None:
-                        return None  # multi-equality: stay out
-                    corr = pair
+                    dc, fc, op = pair
+                    if op == "=":
+                        eqs.append((dc, fc))
+                    elif op in (">", ">="):
+                        # ∃d: d.c >/>= f.k ⇔ f.k </<= max(d.c)
+                        ineqs.append(
+                            (dc, fc, "<" if op == ">" else "<=", "max")
+                        )
+                    else:
+                        ineqs.append(
+                            (dc, fc, ">" if op == "<" else ">=", "min")
+                        )
                     continue
             quals, bare, sub = _dfp_conjunct_refs(cc)
             if sub or bare or quals != {dalias}:
                 return None  # not provably dim-only
             rest.append(cc)
-        if corr is None:
+        if not eqs and not ineqs:
             return None
-        dim_col, fact_col = corr
-        probe_toks = (
-            [_Tok("ident", "SELECT"), _Tok("ident", dim_col),
-             _Tok("ident", "FROM"), _Tok("ident", dname)]
-            + [_Tok("ident", a) for a in alias_toks]
-        )
-        if rest:
-            probe_toks.append(_Tok("ident", "WHERE"))
-            for i2, cc in enumerate(rest):
-                if i2:
-                    probe_toks.append(_Tok("ident", "AND"))
-                probe_toks.extend(cc)
-        return fact_col, probe_toks
+        if len(eqs) == 1 and not ineqs:
+            # the round-12 single-equality probe path, unchanged
+            dim_col, fact_col = eqs[0]
+            probe_toks = (
+                [_Tok("ident", "SELECT"), _Tok("ident", dim_col),
+                 _Tok("ident", "FROM"), _Tok("ident", dname)]
+                + [_Tok("ident", a) for a in alias_toks]
+            )
+            if rest:
+                probe_toks.append(_Tok("ident", "WHERE"))
+                for i2, cc in enumerate(rest):
+                    if i2:
+                        probe_toks.append(_Tok("ident", "AND"))
+                    probe_toks.extend(cc)
+            return fact_col, probe_toks
+        return "__multi__", {
+            "dname": dname,
+            "dalias": dalias,
+            "eqs": eqs,
+            "ineqs": ineqs,
+            "rest": rest,
+        }
 
     pick = None
     for c in conjuncts:
@@ -3269,12 +3304,20 @@ def _try_dynamic_prune_in_subquery(
             break
     if pick is None:
         return None
-    fact_key, inner = pick
-    inner_names = {
-        t.text
-        for t in inner
-        if t.kind == "ident" and t.text.count(".") == 1 and t.text in names
-    }
+    multi = None
+    if pick[0] == "__multi__":
+        # round-13: multi-equality / inequality EXISTS correlations
+        multi = pick[1]
+        inner_names = {multi["dname"]} & names
+    else:
+        fact_key, inner = pick
+        inner_names = {
+            t.text
+            for t in inner
+            if t.kind == "ident"
+            and t.text.count(".") == 1
+            and t.text in names
+        }
     if not inner_names or fact_name in inner_names:
         return None  # no registered dim / self-reference: stay out
 
@@ -3332,27 +3375,76 @@ def _try_dynamic_prune_in_subquery(
             vn = f"__dwcs_dfp_in{len(pins)}_{suffix}"
             _mk_view(vn, root, versionAsOf=v)
             pins[n] = vn
-        inner_text = " ".join(
-            f"`{pins[t.text]}`"
-            if t.kind == "ident" and t.text in pins
-            else t.text
-            for t in inner
-        )
-        rows = spark.sql(
-            f"SELECT DISTINCT * FROM ( {inner_text} ) __dwcs_probe "
-            f"LIMIT {_DFP_MAX_KEYS + 1}"
-        ).collect()
-        if len(rows) > _DFP_MAX_KEYS:
-            return None  # over cap: pruning would carry a huge in-list
-        if rows and len(rows[0]) != 1:
-            return None  # the IN subquery must yield one column
-        keys = [r[0] for r in rows if r[0] is not None]
-        if not all(
-            isinstance(kk, (int, str)) and not isinstance(kk, bool)
-            for kk in keys
-        ):
-            return None
-        where_json = json.dumps([[fact_key, "in", keys]])
+        if multi is not None:
+            da = multi["dalias"]
+            vn = pins[multi["dname"]]
+            where_sql = ""
+            if multi["rest"]:
+                where_sql = " WHERE " + " AND ".join(
+                    " ".join(t.text for t in cc) for cc in multi["rest"]
+                )
+            base = f"FROM `{vn}` AS {da}{where_sql}"
+            triples: list = []
+            n_keys = 0
+            if multi["eqs"]:
+                # ONE distinct scan over the correlated columns; each
+                # column's value set pushes independently (conservative
+                # superset of the true tuple set — the surviving EXISTS
+                # enforces tuple membership)
+                cols = ", ".join(f"{da}.{dc}" for dc, _fc in multi["eqs"])
+                rows = spark.sql(
+                    f"SELECT DISTINCT {cols} {base} "
+                    f"LIMIT {_DFP_MAX_KEYS + 1}"
+                ).collect()
+                if len(rows) <= _DFP_MAX_KEYS:
+                    for i2, (_dc, fc) in enumerate(multi["eqs"]):
+                        ks = sorted({
+                            r[i2] for r in rows if r[i2] is not None
+                        })
+                        if all(
+                            isinstance(kk, (int, str))
+                            and not isinstance(kk, bool)
+                            for kk in ks
+                        ):
+                            triples.append([fc, "in", ks])
+                            n_keys = max(n_keys, len(ks))
+            for _dc, fc, fop, agg in multi["ineqs"]:
+                row = spark.sql(f"SELECT {agg}({da}.{_dc}) {base}").first()
+                b = row[0] if row is not None else None
+                if b is None:
+                    # empty (filtered) dim: the EXISTS is FALSE for
+                    # every fact row — push the impossible in-list
+                    triples.append([fc, "in", []])
+                elif isinstance(b, (int, float, str)) and not isinstance(
+                    b, bool
+                ):
+                    triples.append([fc, fop, b])
+            if not triples:
+                return None  # nothing pushable (over-cap + odd types)
+            keys = list(range(n_keys))  # only len() feeds info below
+            where_json = json.dumps(triples)
+        else:
+            inner_text = " ".join(
+                f"`{pins[t.text]}`"
+                if t.kind == "ident" and t.text in pins
+                else t.text
+                for t in inner
+            )
+            rows = spark.sql(
+                f"SELECT DISTINCT * FROM ( {inner_text} ) __dwcs_probe "
+                f"LIMIT {_DFP_MAX_KEYS + 1}"
+            ).collect()
+            if len(rows) > _DFP_MAX_KEYS:
+                return None  # over cap: a huge in-list prunes nothing
+            if rows and len(rows[0]) != 1:
+                return None  # the IN subquery must yield one column
+            keys = [r[0] for r in rows if r[0] is not None]
+            if not all(
+                isinstance(kk, (int, str)) and not isinstance(kk, bool)
+                for kk in keys
+            ):
+                return None
+            where_json = json.dumps([[fact_key, "in", keys]])
         vf = f"__dwcs_dfp_f_{suffix}"
         _mk_view(vf, catalog.root_of(fact_name), where=where_json)
         # rebuild the text: the fact ref swaps to the pruned view, every
@@ -3375,6 +3467,7 @@ def _try_dynamic_prune_in_subquery(
         info.update(
             fact=fact_name,
             in_subquery=True,
+            exists_multi=multi is not None,
             n_keys=len(keys),
             where_json=where_json,
             dims={n: {"pinned": pins[n]} for n in pins},

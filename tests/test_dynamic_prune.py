@@ -8,6 +8,7 @@ structural doubt falls back to the untouched original text.
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -450,15 +451,14 @@ def test_dfp_in_subquery_fallbacks(spark, star, tmp_path):
         )
         is None
     )
-    # non-equality-correlated EXISTS: documented fallback (the single-
-    # equality form decorrelates and prunes since round 12 — see
-    # test_dfp_exists_decorrelates_and_prunes)
+    # a correlation the comparison grammar can't see (expression-wrapped
+    # fact ref): still a documented fallback
     assert (
         try_dynamic_prune(
             spark,
             cat,
             "SELECT k FROM global_temp.f f WHERE EXISTS "
-            "(SELECT 1 FROM global_temp.d d WHERE d.dk >= f.k)",
+            "(SELECT 1 FROM global_temp.d d WHERE d.dk >= f.k + 1)",
         )
         is None
     )
@@ -556,23 +556,84 @@ def test_dfp_exists_decorrelates_and_prunes(spark, star):
         "AND d.tier = 'hot') AND f.v >= 0"
     )
     assert try_dynamic_prune(spark, cat, q2, {}) is not None
-    # non-equality correlation / multi-equality: documented fallbacks
-    assert (
-        try_dynamic_prune(
-            spark,
-            cat,
-            "SELECT f.k FROM global_temp.f f WHERE EXISTS "
-            "(SELECT 1 FROM global_temp.d d WHERE d.dk < f.k)",
-        )
-        is None
+    # round-13: non-equality and multi-equality correlations now
+    # decorrelate too (see test_dfp_exists_multi_and_inequality)
+
+
+def test_dfp_exists_multi_and_inequality(spark, star, tmp_path):
+    """Round-13 (verdict item 4): EXISTS correlations beyond single
+    equality. Multi-equality pushes each correlated column's in-list
+    (one distinct probe scan; conservative superset — the surviving
+    EXISTS enforces tuple membership); an inequality correlation pushes
+    the dim-side extremum as a range bound (∃d: d.c < f.k ⇔
+    f.k > min(d.c)). Both stay value-exact against the unrewritten
+    query."""
+    cat, fact, _dim = star
+    # inequality: dim dk spans 1000..1099, so  d.dk < f.k  ⇔  f.k > 1000
+    q = (
+        "SELECT f.k FROM global_temp.f f WHERE EXISTS "
+        "(SELECT 1 FROM global_temp.d d WHERE d.dk < f.k)"
     )
-    assert (
-        try_dynamic_prune(
-            spark,
-            cat,
-            "SELECT f.k FROM global_temp.f f WHERE EXISTS "
-            "(SELECT 1 FROM global_temp.d d WHERE d.dk = f.k "
-            "AND d.dk = f.v)",
-        )
-        is None
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, q, info)
+    assert df is not None and info["exists_multi"]
+    assert json.loads(info["where_json"]) == [["k", ">", 1000]]
+    assert df.count() == spark.sql(q).count() == 40_000 - 1001
+    # dim-only conjunct narrows the extremum: hot dks are 1000..1009,
+    # so  d.dk >= f.k AND tier='hot'  ⇔  f.k <= 1009 — selective enough
+    # that whole fact files (disjoint k spans) are skipped
+    q2 = (
+        "SELECT f.k FROM global_temp.f f WHERE EXISTS "
+        "(SELECT 1 FROM global_temp.d d WHERE d.dk >= f.k "
+        "AND d.tier = 'hot')"
     )
+    info2: dict = {}
+    df2 = try_dynamic_prune(spark, cat, q2, info2)
+    assert df2 is not None
+    assert json.loads(info2["where_json"]) == [["k", "<=", 1009]]
+    assert df2.count() == spark.sql(q2).count() == 1010
+    n_files = len(fact.snapshot().files)
+    reader = ManagedTableBatchReader(
+        str(fact.root), {"where": info2["where_json"]}, fact.read().schema
+    )
+    assert len(reader.partitions()) < n_files  # range bound skips files
+    # multi-equality: both columns' in-lists push; value-exact
+    q3 = (
+        "SELECT f.k, f.v FROM global_temp.f f WHERE EXISTS "
+        "(SELECT 1 FROM global_temp.d d WHERE d.dk = f.k "
+        "AND d.dk = f.v AND d.tier = 'hot')"
+    )
+    info3: dict = {}
+    df3 = try_dynamic_prune(spark, cat, q3, info3)
+    assert df3 is not None and info3["exists_multi"]
+    trips = json.loads(info3["where_json"])
+    assert sorted(t[0] for t in trips) == ["k", "v"]
+    assert sorted((r.k, r.v) for r in df3.collect()) == sorted(
+        (r.k, r.v) for r in spark.sql(q3).collect()
+    )
+    # mixed equality + inequality in one EXISTS
+    q4 = (
+        "SELECT f.k FROM global_temp.f f WHERE EXISTS "
+        "(SELECT 1 FROM global_temp.d d WHERE d.dk = f.k "
+        "AND d.dk > f.v AND d.tier = 'hot')"
+    )
+    info4: dict = {}
+    df4 = try_dynamic_prune(spark, cat, q4, info4)
+    assert df4 is not None
+    trips4 = json.loads(info4["where_json"])
+    assert ["v", "<", 1009] in trips4 and any(
+        t[0] == "k" and t[1] == "in" for t in trips4
+    )
+    assert sorted(r.k for r in df4.collect()) == sorted(
+        r.k for r in spark.sql(q4).collect()
+    )
+    # an empty filtered dim pushes the impossible in-list: zero rows
+    q5 = (
+        "SELECT f.k FROM global_temp.f f WHERE EXISTS "
+        "(SELECT 1 FROM global_temp.d d WHERE d.dk < f.k "
+        "AND d.tier = 'nope')"
+    )
+    info5: dict = {}
+    df5 = try_dynamic_prune(spark, cat, q5, info5)
+    assert df5 is not None and df5.count() == 0
+    assert json.loads(info5["where_json"]) == [["k", "in", []]]
