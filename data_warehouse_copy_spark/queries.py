@@ -5097,6 +5097,60 @@ SELECT CAST(8 AS BIGINT) AS n_rows, CAST(8 AS BIGINT) AS n_ids,
 """
 
 
+def catalog_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW end-to-end (round-13,
+    sql_dml.py:_handle_matview_ddl + streaming/matview.py — the SQL
+    surface of the TimescaleDB-style continuous-aggregate engine,
+    streaming/rollup.py): an hourly windowed rollup over events
+    materializes day-partitioned; a late DV DELETE invalidates its day
+    through the change feed; REFRESH MATERIALIZED VIEW re-aggregates
+    exactly the touched days and advances the persisted cursor; the
+    final MV read equals the full recompute — certified value-exact
+    against DuckDB's equivalent aggregate over the SAME raw parquet
+    with the same delete applied. Day-scoped refresh cost and
+    exact-between-refreshes reads are pinned in tests/test_matview.py."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (events,) = _prep(spark, sf_dir, "events")
+    tmp = _tmp_table_dir(prefix="dwcs_mv_")
+    raw = ManagedTable.create(spark, f"{tmp}/raw")
+    raw.append(events.select("ts", "event_type", "value"))
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_mv_raw", f"{tmp}/raw")
+    cat.sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW global_temp.dwcs_mv LOCATION "
+        f"'{tmp}/mv' AS SELECT window.start AS window_start, event_type, "
+        f"COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS tv "
+        f"FROM global_temp.dwcs_mv_raw "
+        f"GROUP BY window(ts, '1 hour'), event_type",
+    )
+    # late DML on already-materialized days, folded by a CDC refresh
+    cat.sql(
+        spark,
+        "DELETE FROM global_temp.dwcs_mv_raw "
+        "WHERE event_type = 'error' AND value > 5",
+    )
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW global_temp.dwcs_mv")
+    return cat.sql(
+        spark,
+        "SELECT event_type, COUNT(*) AS n_windows, SUM(n) AS n_events, "
+        "CAST(SUM(tv) AS DOUBLE) AS total_v FROM global_temp.dwcs_mv "
+        "GROUP BY event_type ORDER BY event_type",
+    )
+
+
+CATALOG_SQL_MATVIEW_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT date_trunc('hour', ts)) AS n_windows,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_v
+FROM events
+WHERE NOT (event_type = 'error' AND value > 5)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-10,
     Spark/Delta's stored-statistics surface): one distributed aggregate
@@ -6060,6 +6114,7 @@ QUERIES: dict[str, QueryFn] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "catalog_sql_identity_bydefault_roundtrip":
         catalog_sql_identity_bydefault_roundtrip,
+    "catalog_sql_matview": catalog_sql_matview,
     "q12_priority_shipping": q12_priority_shipping,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -6256,6 +6311,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_identity_roundtrip": CATALOG_SQL_IDENTITY_SQL,
     "catalog_sql_identity_bydefault_roundtrip":
         CATALOG_SQL_IDENTITY_BYDEFAULT_SQL,
+    "catalog_sql_matview": CATALOG_SQL_MATVIEW_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -60,10 +60,11 @@ class NamedCatalog:
 
     def _doc(self) -> dict:
         if not self.path.exists():
-            return {"tables": {}, "views": {}}
+            return {"tables": {}, "views": {}, "matviews": {}}
         doc = json.loads(self.path.read_text())
         doc.setdefault("tables", {})
         doc.setdefault("views", {})
+        doc.setdefault("matviews", {})
         return doc
 
     def _load(self) -> dict:
@@ -104,6 +105,11 @@ class NamedCatalog:
                 f"registering {name!r}"
             )
         doc = self._doc()
+        if name in doc["matviews"]:
+            raise ValueError(
+                f"{name!r} is a MATERIALIZED VIEW in catalog {self.path} "
+                f"— DROP MATERIALIZED VIEW it first"
+            )
         if name in doc["views"]:
             raise ValueError(
                 f"{name!r} is a VIEW in catalog {self.path} — DROP VIEW "
@@ -165,7 +171,58 @@ class NamedCatalog:
                 f"{name!r} is a TABLE in catalog {self.path} — a view "
                 f"cannot shadow it"
             )
+        if name in doc["matviews"]:
+            raise ValueError(
+                f"{name!r} is a MATERIALIZED VIEW in catalog {self.path} "
+                f"— a view cannot shadow it"
+            )
         doc["views"][name] = {"sql": sql, "refs": sorted(refs or [])}
+        self._store_doc(doc)
+
+    # --------------------------------------------------- materialized views
+
+    def register_matview(self, name: str, meta: dict) -> None:
+        """Persist ``db.mv`` → materialized-view metadata (round-13:
+        ``CREATE MATERIALIZED VIEW``'s storage half): the stored SELECT
+        text, base table, rollup store location, event-time column and
+        the CDC refresh cursor. One JSON write, like views."""
+        self._split(name)
+        doc = self._doc()
+        if name in doc["tables"] or name in doc["views"]:
+            raise ValueError(
+                f"{name!r} already names a table or view in catalog "
+                f"{self.path}"
+            )
+        doc["matviews"][name] = dict(meta)
+        self._store_doc(doc)
+
+    def drop_matview(self, name: str) -> None:
+        doc = self._doc()
+        if name not in doc["matviews"]:
+            raise KeyError(
+                f"materialized view {name!r} not in catalog {self.path}"
+            )
+        del doc["matviews"][name]
+        self._store_doc(doc)
+
+    def matview_names(self) -> list[str]:
+        return sorted(self._doc()["matviews"])
+
+    def matview(self, name: str) -> dict:
+        mvs = self._doc()["matviews"]
+        if name not in mvs:
+            raise KeyError(
+                f"materialized view {name!r} not in catalog {self.path}"
+            )
+        return dict(mvs[name])
+
+    def set_matview_cursor(self, name: str, cursor: int) -> None:
+        doc = self._doc()
+        if name not in doc["matviews"]:
+            raise KeyError(
+                f"materialized view {name!r} not in catalog {self.path}"
+            )
+        doc["matviews"][name]["cursor"] = int(cursor)
         self._store_doc(doc)
 
     def drop_view(self, name: str) -> None:
@@ -202,6 +259,17 @@ class NamedCatalog:
         from data_warehouse_copy_spark.sources.datasource import register
 
         register(spark)
+        if name in self._doc()["matviews"]:
+            if options:
+                raise ValueError(
+                    f"{name!r} is a materialized view — reader options "
+                    f"like {sorted(options)} apply to tables"
+                )
+            from data_warehouse_copy_spark.streaming.matview import (
+                MaterializedView,
+            )
+
+            return MaterializedView(spark, self, name).read()
         if name in self._doc()["views"]:
             if options:
                 raise ValueError(

@@ -31,9 +31,22 @@ class ContinuousAggregate:
     """
 
     def __init__(
-        self, spark: SparkSession, path: str, window_duration: str = "1 hour"
+        self, spark: SparkSession, path: str, window_duration: str = "1 hour",
+        agg_fn=None, ts_col: str = "ts",
     ):
+        """``agg_fn`` (round-13, the CREATE MATERIALIZED VIEW hook):
+        any ``DataFrame -> DataFrame`` aggregator whose output carries a
+        ``window_start`` timestamp column and is a PURE FUNCTION of one
+        day's rows (day-aligned buckets; dims within the day) — the
+        per-day refresh machinery is then exact for it, unchanged.
+        Defaults to :func:`tumbling_window_agg` at ``window_duration``.
+        ``ts_col`` names the raw event-time column the day filters cut
+        on."""
         self.window_duration = window_duration
+        self._agg = agg_fn or (
+            lambda ev: tumbling_window_agg(ev, window_duration)
+        )
+        self.ts_col = ts_col
         # Partitioned by window_start's day: refresh_day's range overwrite is
         # then a metadata-only partition replace (drop one day's files, write
         # one day's files) — without this the unpartitioned fallback rewrites
@@ -55,9 +68,7 @@ class ContinuousAggregate:
     def backfill(self, events: DataFrame) -> int:
         """Initial build: aggregate everything given, one commit (use for
         first materialization; afterwards prefer :meth:`refresh_day`)."""
-        return self.store.overwrite(
-            self._clustered(tumbling_window_agg(events, self.window_duration))
-        )
+        return self.store.overwrite(self._clustered(self._agg(events)))
 
     def refresh_day(self, events: DataFrame, day: str) -> tuple[int, int]:
         """Re-aggregate ONE closed day and swap its rollup rows atomically.
@@ -70,10 +81,13 @@ class ContinuousAggregate:
         """
         start = F.to_timestamp(F.lit(day))
         day_events = events.filter(
-            (F.col("ts") >= start)
-            & (F.col("ts") < F.date_add(start.cast("date"), 1).cast("timestamp"))
+            (F.col(self.ts_col) >= start)
+            & (
+                F.col(self.ts_col)
+                < F.date_add(start.cast("date"), 1).cast("timestamp")
+            )
         )
-        agg = self._clustered(tumbling_window_agg(day_events, self.window_duration))
+        agg = self._clustered(self._agg(day_events))
         # date_column=None: the reference's 23:59:59.997 tail-preservation
         # scan is meaningless here — window_start values are hour-aligned,
         # so the last-3ms tail of a day partition is empty by construction.
@@ -117,7 +131,7 @@ class ContinuousAggregate:
         days = sorted(
             str(r["d"])
             for r in raw.read_cdf(from_version, to_version)
-            .select(F.to_date("ts").alias("d"))
+            .select(F.to_date(self.ts_col).alias("d"))
             .where(F.col("d").isNotNull())
             .distinct()
             .collect()
@@ -149,10 +163,10 @@ class ContinuousAggregate:
         for lo, hi in groups:
             start = F.to_timestamp(F.lit(lo.isoformat()))
             end = F.to_timestamp(F.lit((hi + timedelta(days=1)).isoformat()))
-            span = events.filter((F.col("ts") >= start) & (F.col("ts") < end))
-            agg = self._clustered(
-                tumbling_window_agg(span, self.window_duration)
+            span = events.filter(
+                (F.col(self.ts_col) >= start) & (F.col(self.ts_col) < end)
             )
+            agg = self._clustered(self._agg(span))
             d_, i_ = self.store.overwrite_range(
                 agg, lo.isoformat(), hi.isoformat()
             )
@@ -164,9 +178,7 @@ class ContinuousAggregate:
         """Rollup ∪ agg(raw tail): the continuous-aggregate read path.
         ``tail_events`` must be exactly the events of not-yet-refreshed days
         (caller filters by its refresh high-water mark)."""
-        return self.store.read().unionByName(
-            tumbling_window_agg(tail_events, self.window_duration)
-        )
+        return self.store.read().unionByName(self._agg(tail_events))
 
 
 class SketchRollup:
