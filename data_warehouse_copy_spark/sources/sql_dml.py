@@ -2537,6 +2537,21 @@ def _handle_matview_ddl(spark, catalog, sql: str):
                 ),
             ]),
         )
+    m = _SHOW_CREATE_RE.match(sql)
+    if m is not None and m.group("name") in set(catalog.matview_names()):
+        # SHOW CREATE TABLE/VIEW on an MV: emit the re-runnable DDL
+        name = m.group("name")
+        mv = catalog.matview(name)
+        ddl = (
+            f"CREATE MATERIALIZED VIEW {name} LOCATION "
+            f"'{mv['location']}' AS {mv['sql']}"
+        )
+        return spark.createDataFrame(
+            [(ddl,)],
+            T.StructType(
+                [T.StructField("createtab_stmt", T.StringType(), False)]
+            ),
+        )
     m = re.match(
         rf"^\s*DESCRIBE\s+DETAIL\s+(?P<name>{_QNAME})\s*;?\s*$",
         sql,

@@ -231,6 +231,25 @@ def test_matview_name_clashes_and_drop(spark, tmp_path):
     assert ManagedTable(spark, tmp_path / "mv").read().count() > 0
 
 
+def test_matview_show_create_reruns(spark, tmp_path):
+    """SHOW CREATE TABLE on an MV emits the CREATE MATERIALIZED VIEW
+    DDL, and (after a DROP) the emitted text re-runs verbatim,
+    rebuilding the store at the same location."""
+    cat, _raw = _mk_raw(spark, tmp_path)
+    cat.sql(spark, MV_DDL.format(loc=tmp_path / "mv"))
+    ddl = cat.sql(
+        spark, "SHOW CREATE TABLE global_temp.mmv"
+    ).first().createtab_stmt
+    assert ddl.startswith("CREATE MATERIALIZED VIEW global_temp.mmv")
+    assert "window(ts, '1 hour')" in ddl
+    cat.sql(spark, "DROP MATERIALIZED VIEW global_temp.mmv")
+    cat.sql(spark, ddl)  # re-runs verbatim
+    assert cat.matview_names() == ["global_temp.mmv"]
+    assert _rows(
+        cat.sql(spark, "SELECT * FROM global_temp.mmv")
+    ) == _recompute(spark, cat)
+
+
 def test_matview_persists_across_catalog_reopen(spark, tmp_path):
     cat, raw = _mk_raw(spark, tmp_path)
     cat.sql(spark, MV_DDL.format(loc=tmp_path / "mv"))
