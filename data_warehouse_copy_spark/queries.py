@@ -6060,7 +6060,6 @@ QUERIES: dict[str, QueryFn] = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "bucketed_orders_revenue": bucketed_orders_revenue,
     "top_customers_per_nation": top_customers_per_nation,
-    "orders_rollup": orders_rollup,
     "windowed_range_scan": windowed_range_scan,
     "changed_keys_antijoin": changed_keys_antijoin,
     "pipeline_e2e_audit": pipeline_e2e_audit,
@@ -6083,7 +6082,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_pivot_by_type": events_pivot_by_type,
     "orders_grouping_sets": orders_grouping_sets,
     "lineitem_percentiles": lineitem_percentiles,
-    "customers_with_urgent_orders": customers_with_urgent_orders,
     "catalog_sql_predicate_dml": catalog_sql_predicate_dml,
     "catalog_sql_table_changes": catalog_sql_table_changes,
     "catalog_sql_analyze": catalog_sql_analyze,
@@ -6105,6 +6103,14 @@ QUERIES: dict[str, QueryFn] = {
     # which stay hash-checked below the cap.
     "catalog_sql_default_roundtrip": catalog_sql_default_roundtrip,
     "catalog_sql_identity_roundtrip": catalog_sql_identity_roundtrip,
+    # round-13 second rotation: the BY DEFAULT identity contract and the
+    # materialized-view surface take driver slots from two in-cap
+    # near-duplicates (orders_rollup ⊂ orders_grouping_sets;
+    # customers_with_urgent_orders ≈ changed_keys_antijoin's semi/anti
+    # twin), which stay hash-checked below the cap.
+    "catalog_sql_identity_bydefault_roundtrip":
+        catalog_sql_identity_bydefault_roundtrip,
+    "catalog_sql_matview": catalog_sql_matview,
     # -- everything below is past the driver's 50 correctness slots (every
     # slot above is taken by an oracle-backed entry, the maximum possible
     # driver-side hash coverage). First the partsupp-adapted TPC-H
@@ -6112,9 +6118,8 @@ QUERIES: dict[str, QueryFn] = {
     # hash-checks them side-by-side exactly like the driver would --
     "q6_forecast_revenue": q6_forecast_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
-    "catalog_sql_identity_bydefault_roundtrip":
-        catalog_sql_identity_bydefault_roundtrip,
-    "catalog_sql_matview": catalog_sql_matview,
+    "orders_rollup": orders_rollup,
+    "customers_with_urgent_orders": customers_with_urgent_orders,
     "q12_priority_shipping": q12_priority_shipping,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,

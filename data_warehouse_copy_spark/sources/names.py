@@ -278,12 +278,16 @@ class NamedCatalog:
                     f"in SQL over the view instead"
                 )
             from data_warehouse_copy_spark.sources.sql_dml import (
+                _resolve_matviews,
                 resolve_view_text,
             )
 
             self.attach(spark)  # the inlined body reads attached names
             return spark.sql(
-                resolve_view_text(spark, self, self.view_sql(name))
+                _resolve_matviews(
+                    spark, self,
+                    resolve_view_text(spark, self, self.view_sql(name)),
+                )
             )
         reader = spark.read.format("managed_table")
         for k, v in options.items():
@@ -358,6 +362,7 @@ class NamedCatalog:
         # inlines view-on-view references first, so registration order
         # never matters and plain spark.sql resolves them too
         from data_warehouse_copy_spark.sources.sql_dml import (
+            _resolve_matviews,
             resolve_view_text,
         )
 
@@ -368,7 +373,10 @@ class NamedCatalog:
                     f"catalog view {name!r} names database {db!r} but "
                     f"this session's global-temp database is {gdb!r}"
                 )
-            body = resolve_view_text(spark, self, self.view_sql(name))
+            body = _resolve_matviews(
+                spark, self,
+                resolve_view_text(spark, self, self.view_sql(name)),
+            )
             spark.sql(
                 f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{vname}` "
                 f"AS {body}"

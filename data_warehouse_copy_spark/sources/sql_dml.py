@@ -2168,6 +2168,8 @@ def inline_views(catalog, sql: str, _depth: int = 0):
     if not hits:
         return sql
     tables = set(catalog.names())
+    if hasattr(catalog, "matview_names"):
+        tables |= set(catalog.matview_names())  # views-over-MVs resolve
     for vn in sorted({m.group(0) for m in hits}):
         for ref in catalog.view_refs(vn):
             if ref not in tables and ref not in views:
@@ -2609,7 +2611,10 @@ def _resolve_matviews(spark, catalog, sql: str):
         return sql
     made: dict = {}
     for n in referenced:
-        v = f"__dwcs_mv_{uuid.uuid4().hex[:12]}"
+        # DETERMINISTIC name per MV: createOrReplace keeps one session
+        # temp view per MV (fresh each read) instead of leaking one per
+        # query; plans already analyzed keep their old relation
+        v = "__dwcs_mv_" + re.sub(r"[^A-Za-z0-9_]", "_", n)
         MaterializedView(spark, catalog, n).read().createOrReplaceTempView(v)
         made[n] = v
     out = []
@@ -2667,6 +2672,8 @@ def _handle_view_ddl(spark, catalog, sql: str):
                 + ")"
             )
         known = set(catalog.names()) | set(catalog.view_names())
+        if hasattr(catalog, "matview_names"):
+            known |= set(catalog.matview_names())
         try:
             refs = sorted(
                 {
@@ -2692,6 +2699,12 @@ def _handle_view_ddl(spark, catalog, sql: str):
             resolved = _rewrite_time_travel(spark, catalog, resolved)
         if re.search(r"\btable_changes\s*\(", resolved, re.IGNORECASE):
             resolved = _rewrite_table_changes(spark, catalog, resolved)
+        if hasattr(catalog, "matview_names"):
+            # views COMPOSE over materialized views (round-13): the MV
+            # ref resolves at read time (execute_sql runs
+            # _resolve_matviews AFTER view inlining), so validation and
+            # the session mirror resolve it the same way here
+            resolved = _resolve_matviews(spark, catalog, resolved)
         try:
             spark.sql(resolved)  # analysis only — no job runs
         except Exception as e:

@@ -250,6 +250,58 @@ def test_matview_show_create_reruns(spark, tmp_path):
     ) == _recompute(spark, cat)
 
 
+def test_view_composes_over_matview(spark, tmp_path):
+    """A plain SQL view may SELECT from a materialized view: the MV
+    reference resolves at read time (after view inlining), so the view
+    stays LIVE — late base DML shows through both layers, exactly."""
+    cat, raw = _mk_raw(spark, tmp_path)
+    cat.sql(spark, MV_DDL.format(loc=tmp_path / "mv"))
+    cat.sql(
+        spark,
+        "CREATE VIEW global_temp.vtop AS SELECT event_type, "
+        "SUM(n) AS total FROM global_temp.mmv GROUP BY event_type",
+    )
+    got = sorted(
+        map(tuple, cat.sql(spark, "SELECT * FROM global_temp.vtop").collect())
+    )
+    assert got == [("click", 72), ("view", 72)]
+    raw.append(
+        spark.createDataFrame(
+            [(datetime.datetime(2024, 3, 1, 9, 0), "click", 2.0)],
+            "ts timestamp_ntz, event_type string, value double",
+        )
+    )
+    got2 = sorted(
+        map(tuple, cat.sql(spark, "SELECT * FROM global_temp.vtop").collect())
+    )
+    assert got2 == [("click", 73), ("view", 72)]  # live through BOTH layers
+    # programmatic view resolution composes too
+    assert sorted(
+        map(tuple, cat.table(spark, "global_temp.vtop").collect())
+    ) == got2
+
+
+def test_matview_name_in_string_literal_not_replaced(spark, tmp_path):
+    """Adversarial identifier collision (the r12 verdict's watch item for
+    text rewriting): the MV name inside a STRING LITERAL must survive
+    resolution untouched — only ident tokens are swapped."""
+    cat, _raw = _mk_raw(spark, tmp_path)
+    cat.sql(spark, MV_DDL.format(loc=tmp_path / "mv"))
+    r = cat.sql(
+        spark,
+        "SELECT 'global_temp.mmv' AS lit, COUNT(*) AS n "
+        "FROM global_temp.mmv",
+    ).first()
+    assert r.lit == "global_temp.mmv" and r.n == 144
+    # ... and a column alias shaped like the short name stays intact
+    r2 = cat.sql(
+        spark,
+        "SELECT mmv.event_type, COUNT(*) AS n FROM global_temp.mmv "
+        "GROUP BY mmv.event_type ORDER BY mmv.event_type",
+    ).collect()
+    assert [x.event_type for x in r2] == ["click", "view"]
+
+
 def test_matview_persists_across_catalog_reopen(spark, tmp_path):
     cat, raw = _mk_raw(spark, tmp_path)
     cat.sql(spark, MV_DDL.format(loc=tmp_path / "mv"))

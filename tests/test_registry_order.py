@@ -116,3 +116,15 @@ def test_round13_rotated_surfaces_hold_driver_slots():
         assert q in names, f"{q} lost its driver correctness slot"
     for q in ("q6_forecast_revenue", "q19_discounted_revenue"):
         assert q in entrymod.queries() and q not in names
+    # second round-13 rotation: the NEW round-13 surfaces themselves —
+    # BY DEFAULT identity and the materialized-view pipeline — take
+    # driver slots from two in-cap near-duplicates (orders_rollup ⊂
+    # orders_grouping_sets; customers_with_urgent_orders ≈
+    # changed_keys_antijoin's semi/anti twin)
+    for q in (
+        "catalog_sql_identity_bydefault_roundtrip",
+        "catalog_sql_matview",
+    ):
+        assert q in names, f"{q} lost its driver correctness slot"
+    for q in ("orders_rollup", "customers_with_urgent_orders"):
+        assert q in entrymod.queries() and q not in names
