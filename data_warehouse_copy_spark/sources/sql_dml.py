@@ -3090,6 +3090,27 @@ def _dfp_null_rejecting(toks: "list[_Tok]") -> bool:
     if "<=>" in "".join(t.text for t in toks):
         return False
     n = len(toks)
+    # a free-standing NOT (one not fused into IS NOT NULL / NOT IN /
+    # NOT LIKE / NOT BETWEEN) over an IS-form inverts its null
+    # semantics: NOT(d.x IS NOT NULL) ≡ d.x IS NULL is TRUE on the
+    # all-NULL row — reject the combination outright (found by the
+    # soundness property test, tests/test_dynamic_prune.py)
+    has_is = any(
+        t.kind == "ident" and t.text.lower() == "is" for t in toks
+    )
+    if has_is:
+        for i, t in enumerate(toks):
+            if t.kind != "ident" or t.text.lower() != "not":
+                continue
+            prev = toks[i - 1] if i > 0 else None
+            if prev is not None and prev.text.lower() == "is":
+                continue  # the IS NOT NULL trigram
+            nxt = toks[i + 1] if i + 1 < n else None
+            if nxt is not None and nxt.text.lower() in (
+                "in", "like", "between", "rlike", "ilike"
+            ):
+                continue  # NOT IN / NOT LIKE / ... are NULL-propagating
+            return False  # free NOT + an IS form: may invert to TRUE
     i = 0
     while i < n:
         t = toks[i]

@@ -394,6 +394,67 @@ def test_dfp_left_join_null_tolerant_conjuncts_do_not_unlock(spark, star):
     assert df3.count() == spark.sql(notnull).count() == 100
 
 
+def test_dfp_null_rejecting_whitelist_is_sound(spark):
+    """Soundness property behind the LEFT-join gate: whenever
+    `_dfp_null_rejecting` accepts a conjunct, Spark evaluating that
+    conjunct on the ALL-NULL dim row (what unmatched fact rows see)
+    must yield non-TRUE — i.e. the join really degenerates to inner.
+    The reverse direction (rejecting some safe forms) is allowed:
+    the whitelist is conservative by design."""
+    from data_warehouse_copy_spark.sources.sql_dml import (
+        _dfp_null_rejecting,
+        _tokenize,
+    )
+
+    forms = [
+        "d.x = 1", "d.x <> 1", "d.x < 5", "d.x >= 5",
+        "d.s = 'hot'", "d.s LIKE 'a%'", "d.s NOT LIKE 'a%'",
+        "d.x IN (1, 2, 3)", "d.x NOT IN (1, 2)",
+        "d.x BETWEEN 1 AND 5", "d.x NOT BETWEEN 1 AND 5",
+        "d.x IS NOT NULL", "d.b", "NOT d.b", "NOT ( d.x = 1 )",
+        "CAST(d.x AS STRING) = '1'", "d.x + 1 = 2", "- d.x = 1",
+        "d.x = NULL", "d.s = '' OR d.x = 1",
+        # NULL-tolerant forms — must be REJECTED by the whitelist
+        "d.x IS NULL", "d.s IS NULL", "NOT ( d.x IS NOT NULL )",
+        "coalesce(d.x, 0) = 0", "nvl(d.s, 'x') = 'x'",
+        "ifnull(d.x, 1) = 1", "nullif(d.x, 1) IS NULL",
+        "d.x <=> NULL", "d.s <=> 'hot'",
+        "d.x IS DISTINCT FROM 1", "d.s IS NOT DISTINCT FROM NULL",
+        "CASE WHEN d.x = 1 THEN 1 ELSE 1 END = 1",
+        "isnull(d.x)", "isnotnull(d.x) OR d.x IS NULL",
+    ]
+    null_row = spark.sql(
+        "SELECT CAST(NULL AS INT) AS x, CAST(NULL AS STRING) AS s, "
+        "CAST(NULL AS BOOLEAN) AS b"
+    )
+    null_row.createOrReplaceTempView("__dwcs_nulldim")
+    accepted_but_unsound = []
+    for f in forms:
+        try:
+            toks = _tokenize(f)
+        except Exception:
+            continue
+        if not _dfp_null_rejecting(toks):
+            continue  # conservative rejection is always fine
+        sat = (
+            spark.sql(
+                "SELECT COUNT(*) AS n FROM __dwcs_nulldim d WHERE " + f
+            ).first().n
+            > 0
+        )
+        if sat:
+            accepted_but_unsound.append(f)
+    assert not accepted_but_unsound, (
+        f"whitelisted conjuncts satisfied by the all-NULL row (would "
+        f"silently drop unmatched LEFT-join rows): {accepted_but_unsound}"
+    )
+    # and the specific adversarial forms ARE rejected
+    for f in ("d.x IS NULL", "coalesce(d.x, 0) = 0", "d.x <=> NULL",
+              "d.x IS DISTINCT FROM 1",
+              "CASE WHEN d.x = 1 THEN 1 ELSE 1 END = 1"):
+        assert not _dfp_null_rejecting(_tokenize(f)), f
+
+
 def test_dfp_in_subquery_prunes_and_stays_exact(spark, star):
     """Round-12: the semi-join shape — WHERE key IN (SELECT ...) over a
     fresh-ANALYZEd small dim probes the subquery's keys, pushes the
