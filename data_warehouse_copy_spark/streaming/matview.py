@@ -150,11 +150,18 @@ class MaterializedView:
         head, days = self.pending_days()
         if not days:
             return store.read()
+        from data_warehouse_copy_spark.streaming.rollup import (
+            _day_span_bounds,
+        )
+
         raw = self._raw()
         ts = self.meta["ts_col"]
-        tail = raw.read(version=head).where(
-            F.to_date(F.col(ts)).isin(days)
-        )
+        # manifest-level day bounds prune the raw scan (a Python DS
+        # relation gets no pushed filters); the exact day-set filter
+        # applies on top
+        tail = raw.read(
+            version=head, where=_day_span_bounds(ts, days)
+        ).where(F.to_date(F.col(ts)).isin(days))
         fresh = self.aggregate(tail)
         return (
             store.read()

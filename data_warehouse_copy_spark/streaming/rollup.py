@@ -21,6 +21,26 @@ from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 from data_warehouse_copy_spark.streaming.events import tumbling_window_agg
 
 
+def _day_span_bounds(ts_col: str, days: "list[str]") -> "list[tuple] | None":
+    """File-skipping ``where`` bounds covering the invalidated days —
+    a Python Data Source relation receives NO pushed filters (the
+    relation-scoped plan cache, see ``names.py``), so a DataFrame-level
+    ``.where`` alone scans every raw file; these manifest-level bounds
+    are what keep a touched-days re-aggregate from opening 100 TB of
+    history. Conservative [min day, max day+1) span; the exact per-day
+    filters still apply on top."""
+    if not days:
+        return None
+    from datetime import date, timedelta
+
+    lo = min(days)
+    hi = (date.fromisoformat(max(days)) + timedelta(days=1)).isoformat()
+    return [
+        (ts_col, ">=", f"{lo} 00:00:00"),
+        (ts_col, "<", f"{hi} 00:00:00"),
+    ]
+
+
 class ContinuousAggregate:
     """An hourly (or any tumbling-window) rollup over an event stream,
     materialized into a :class:`ManagedTable` and maintained day-by-day.
@@ -136,7 +156,10 @@ class ContinuousAggregate:
             .distinct()
             .collect()
         )
-        events = raw.read(version=to_version)
+        events = raw.read(
+            version=to_version,
+            where=_day_span_bounds(self.ts_col, days),
+        )
         n_del, n_ins = self.refresh_days(events, days)
         return {"to_version": to_version, "days": days,
                 "deleted": n_del, "inserted": n_ins}

@@ -41,11 +41,16 @@ def _mk_raw(spark, tmp_path, days=3, rows_per_day=48):
                 (ts, "click" if i % 2 == 0 else "view", float(d * 100 + i))
             )
     raw = ManagedTable.create(spark, tmp_path / "raw")
-    raw.append(
-        spark.createDataFrame(
-            rows, "ts timestamp_ntz, event_type string, value double"
+    # one append per day -> per-day raw files, so the day-bounded
+    # refresh/read scans are file-level prunable (and testable as such)
+    for d in range(days):
+        day = f"2024-03-0{1 + d}"
+        raw.append(
+            spark.createDataFrame(
+                [r for r in rows if str(r[0].date()) == day],
+                "ts timestamp_ntz, event_type string, value double",
+            ).coalesce(1)
         )
-    )
     cat = NamedCatalog(tmp_path / "cat.json")
     cat.register("global_temp.mraw", str(tmp_path / "raw"))
     cat.attach(spark)
@@ -159,6 +164,26 @@ def test_matview_refresh_cost_is_day_scoped(spark, tmp_path):
         spark, "REFRESH MATERIALIZED VIEW global_temp.mmv"
     ).first()
     assert rr2.refreshed_days == [] and rr2.rows_deleted == 0
+    # ... and the RAW-side re-aggregate scan is file-level pruned to
+    # the touched day's span (a Python DS relation gets no pushed
+    # filters, so this bound is what keeps refresh from opening the
+    # whole history at 100 TB)
+    import json as _json
+
+    from data_warehouse_copy_spark.sources.datasource import (
+        ManagedTableBatchReader,
+    )
+    from data_warehouse_copy_spark.streaming.rollup import _day_span_bounds
+
+    bounds = _day_span_bounds("ts", ["2024-03-03"])
+    rd = ManagedTableBatchReader(
+        str(raw.root),
+        {"where": _json.dumps([list(b) for b in bounds])},
+        raw.read().schema,
+    )
+    n_raw_files = len(raw.snapshot().files)
+    assert n_raw_files >= 4
+    assert len(rd.partitions()) < n_raw_files
 
 
 def test_matview_grammar_validation(spark, tmp_path):
