@@ -5235,6 +5235,28 @@ class ManagedTable:
     def update(
         self, where: list[tuple], set_exprs: dict, strategy: str = "dv"
     ) -> int:
+        """See :meth:`_update_impl` — this wrapper adds the identity
+        contract (round-13): assigning a GENERATED ALWAYS AS IDENTITY
+        column is rejected (Delta semantics — the engine owns those
+        values), and an UPDATE that assigns a BY DEFAULT identity
+        column syncs the watermark past the data max afterwards so a
+        raised id can never collide with a later allocation."""
+        specs = _identity_specs(self.snapshot().schema_json)
+        touched = sorted(c for c in (set_exprs or {}) if c in specs)
+        always = [c for c in touched if specs[c].get("always", True)]
+        if always:
+            raise ValueError(
+                f"column(s) {always} are GENERATED ALWAYS AS IDENTITY "
+                f"— UPDATE cannot assign them"
+            )
+        n = self._update_impl(where, set_exprs, strategy)
+        if n and touched:
+            self.sync_identity()
+        return n
+
+    def _update_impl(
+        self, where: list[tuple], set_exprs: dict, strategy: str = "dv"
+    ) -> int:
         """Row-level predicate UPDATE as ONE atomic commit (Delta's
         ``UPDATE SET ... WHERE``): rows where the ``where`` conjunction is
         TRUE get each ``set_exprs`` column replaced (value may be a

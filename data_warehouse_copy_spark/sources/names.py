@@ -217,12 +217,17 @@ class NamedCatalog:
         return dict(mvs[name])
 
     def set_matview_cursor(self, name: str, cursor: int) -> None:
+        """MONOTONIC cursor advance: two concurrent REFRESHes both
+        converge the data (day overwrites are idempotent), but the
+        slower one must not regress the cursor — that would re-flag its
+        racer's days as pending forever-pending work."""
         doc = self._doc()
         if name not in doc["matviews"]:
             raise KeyError(
                 f"materialized view {name!r} not in catalog {self.path}"
             )
-        doc["matviews"][name]["cursor"] = int(cursor)
+        cur = int(doc["matviews"][name].get("cursor", 0))
+        doc["matviews"][name]["cursor"] = max(int(cursor), cur)
         self._store_doc(doc)
 
     def drop_view(self, name: str) -> None:

@@ -426,6 +426,41 @@ def test_identity_by_default_merge_pk_upsert(spark, tmp_path):
         )
 
 
+def test_identity_update_contract(spark, tmp_path):
+    """Round-13 hardening: UPDATE cannot assign an ALWAYS identity
+    column (Delta semantics); an UPDATE that raises a BY DEFAULT
+    identity value syncs the watermark so later allocations clear it."""
+    ta = ManagedTable.create(spark, tmp_path / "ta")
+    ta.append(spark.createDataFrame([], "id bigint, name string"))
+    ta.set_identity("id")
+    ta.append(spark.createDataFrame([("a",)], "name string"))
+    with pytest.raises(ValueError, match="ALWAYS"):
+        ta.update([("name", "=", "a")], {"id": 99})
+    tb = ManagedTable.create(spark, tmp_path / "tb")
+    tb.append(spark.createDataFrame([], "id bigint, name string"))
+    tb.set_identity("id", always=False)
+    tb.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    assert tb.update([("name", "=", "a")], {"id": 5000}) == 1
+    tb.append(spark.createDataFrame([("c",)], "name string"))
+    rows = dict((r.name, r.id) for r in tb.read().collect())
+    assert rows["a"] == 5000 and rows["c"] > 5000
+    assert len(set(rows.values())) == 3
+
+
+def test_matview_cursor_is_monotonic(tmp_path):
+    """A slower concurrent REFRESH must not regress the persisted
+    cursor below its racer's advance."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog as NC
+
+    c = NC(tmp_path / "cat.json")
+    c.register_matview("global_temp.m", {"sql": "x", "base": "b",
+                                         "location": "l", "ts_col": "ts",
+                                         "duration": "1 hour", "cursor": 0})
+    c.set_matview_cursor("global_temp.m", 6)
+    c.set_matview_cursor("global_temp.m", 5)  # slow racer lands late
+    assert c.matview("global_temp.m")["cursor"] == 6
+
+
 _BYDEFAULT_WORKER = r"""
 import sys
 from data_warehouse_copy_spark.session import get_spark
