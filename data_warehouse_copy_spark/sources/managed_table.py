@@ -3827,18 +3827,21 @@ class ManagedTable:
             ]
             if not maxima:
                 continue
-            real = int(max(maxima))
-            for _attempt in range(_COMMIT_MAX_ATTEMPTS):
-                seq, high = self._identity_state(pcol, spec)
-                if real <= high:
-                    break
-                if self._identity_reserve(pcol, seq, real):
-                    break
-            else:
-                raise ConcurrentWriteError(
-                    f"identity watermark sync at {self.root} contended "
-                    f"for {_COMMIT_MAX_ATTEMPTS} attempts"
-                )
+            self._identity_sync_to(pcol, spec, int(max(maxima)))
+
+    def _identity_sync_to(self, pcol: str, spec: dict, real: int) -> None:
+        """CAS-advance one watermark chain to at least ``real``. A lost
+        CAS just re-reads — a racer can only have moved it FORWARD."""
+        for _attempt in range(_COMMIT_MAX_ATTEMPTS):
+            seq, high = self._identity_state(pcol, spec)
+            if real <= high:
+                return
+            if self._identity_reserve(pcol, seq, real):
+                return
+        raise ConcurrentWriteError(
+            f"identity watermark sync at {self.root} contended "
+            f"for {_COMMIT_MAX_ATTEMPTS} attempts"
+        )
 
     def identity_columns(self) -> dict:
         """``{column: {"start": n, "step": m}}`` at the current head."""
@@ -5524,15 +5527,57 @@ class ManagedTable:
         """
         if strategy not in ("dv", "cow"):
             raise ValueError(f"merge strategy must be 'dv' or 'cow', got {strategy!r}")
+        # identity contract (round-13): merge_by_key re-inserts PROVIDED
+        # rows and never allocates — ALWAYS identity tables reject
+        # (their ids are engine-owned), BY DEFAULT sources must carry
+        # the column and the watermark syncs past their max afterwards
+        specs = _identity_specs(self.snapshot().schema_json)
+        if specs:
+            always = sorted(
+                c for c, sp in specs.items() if sp.get("always", True)
+            )
+            if always:
+                raise ValueError(
+                    f"column(s) {always} are GENERATED ALWAYS AS "
+                    f"IDENTITY — merge_by_key re-inserts provided rows "
+                    f"and never allocates; use BY DEFAULT identity, or "
+                    f"a matched-only merge plus append"
+                )
+            missing = sorted(
+                c for c in specs if c not in source_df.columns
+            )
+            if missing:
+                raise ValueError(
+                    f"merge_by_key source must PROVIDE the GENERATED BY "
+                    f"DEFAULT AS IDENTITY column(s) {missing}"
+                )
         with _lock_for(self.root):
             if strategy == "dv":
                 b = self._bounded_ingest_base()
                 if b is not None and b[1] is not None:
                     out = self._merge_dv_bounded(source_df, primary_key, b)
                     if out is not None:
-                        return out
-                return self._merge_dv(source_df, primary_key)
-            return self._merge_by_key(source_df, primary_key)
+                        out_n = out
+                        self._sync_identity_past_source(specs, source_df)
+                        return out_n
+                n = self._merge_dv(source_df, primary_key)
+            else:
+                n = self._merge_by_key(source_df, primary_key)
+        self._sync_identity_past_source(specs, source_df)
+        return n
+
+    def _sync_identity_past_source(self, specs: dict, source_df) -> None:
+        """Post-merge watermark sync for BY DEFAULT identity columns the
+        source provided: one column-pruned aggregate over the SOURCE
+        (never the table)."""
+        if not specs:
+            return
+        phys = _phys_map(self.snapshot().columns) or {}
+        for col, spec in specs.items():
+            row = source_df.agg(F.max(col)).first()
+            mx = row[0] if row is not None else None
+            if mx is not None:
+                self._identity_sync_to(phys.get(col, col), spec, int(mx))
 
     def _bounded_span_candidates(
         self,
@@ -5979,7 +6024,8 @@ class ManagedTable:
             )
             _validate_insert_clauses(insert_clauses, known, src_cols, cols)
             id_sync_cols = _merge_identity_gate(
-                _identity_specs(m.schema_json), insert_clauses
+                _identity_specs(m.schema_json), insert_clauses,
+                matched_clauses + by_source_clauses,
             )
             if by_source_clauses:
                 # every target row participates — pruning would silently
@@ -6062,7 +6108,7 @@ class ManagedTable:
         _validate_merge_assignments(matched_clauses, known, key_cols)
         _validate_insert_clauses(insert_clauses, known, src_cols, cols)
         id_sync_cols = _merge_identity_gate(
-            _identity_specs(schema_json), insert_clauses
+            _identity_specs(schema_json), insert_clauses, matched_clauses
         )
         keys = source_df.select(*key_cols).distinct()
         # the span probe prunes on the FIRST key column (sound: a file
@@ -8168,34 +8214,57 @@ def _normalize_insert_clauses(raw) -> "list[tuple]":
     return out
 
 
-def _merge_identity_gate(specs: dict, insert_clauses: list) -> list:
-    """Merge insert clauses never ALLOCATE identity ids. ALWAYS columns
-    reject outright; BY DEFAULT columns (round-13) are allowed exactly
-    when every insert clause PROVIDES the column (star clauses already
-    carry every table column by validation) — the reference's
-    PK-carrying upsert shape, ``TableUpdateService.cs:130-161``.
-    Returns the BY DEFAULT identity columns whose provided maxima must
+def _merge_identity_gate(
+    specs: dict, insert_clauses: list, update_clauses: "list | None" = None
+) -> list:
+    """Merge clauses never ALLOCATE identity ids. For insert clauses,
+    ALWAYS columns reject outright; BY DEFAULT columns (round-13) are
+    allowed exactly when every insert clause PROVIDES the column (star
+    clauses already carry every table column by validation) — the
+    reference's PK-carrying upsert shape,
+    ``TableUpdateService.cs:130-161``. Update-clause ASSIGNMENTS to an
+    ALWAYS column reject too (the engine owns those values); to a BY
+    DEFAULT column they pass and join the post-commit watermark sync.
+    Returns the BY DEFAULT identity columns whose written maxima must
     sync the watermark after commit."""
-    if not insert_clauses or not specs:
+    if not specs:
         return []
-    always = sorted(c for c, s in specs.items() if s.get("always", True))
-    if always:
-        raise ValueError(
-            "MERGE insert clauses cannot allocate GENERATED ALWAYS AS "
-            "IDENTITY ids (append/INSERT-scoped allocation); use a "
-            "matched-only merge plus append"
-        )
-    for _cond, assigns in insert_clauses:
-        if assigns == "*":
+    sync: set = set()
+    for cl in update_clauses or []:
+        assigns = cl[1]
+        if not isinstance(assigns, dict):
             continue
-        missing = sorted(set(specs) - set(assigns))
-        if missing:
+        touched = sorted(c for c in assigns if c in specs)
+        bad = [c for c in touched if specs[c].get("always", True)]
+        if bad:
             raise ValueError(
-                f"MERGE insert clauses must PROVIDE the GENERATED BY "
-                f"DEFAULT AS IDENTITY column(s) {missing} — merge never "
-                f"allocates ids; use append for allocation"
+                f"column(s) {bad} are GENERATED ALWAYS AS IDENTITY — "
+                f"MERGE update clauses cannot assign them"
             )
-    return sorted(specs)
+        sync.update(touched)
+    if insert_clauses:
+        always = sorted(
+            c for c, s in specs.items() if s.get("always", True)
+        )
+        if always:
+            raise ValueError(
+                "MERGE insert clauses cannot allocate GENERATED ALWAYS "
+                "AS IDENTITY ids (append/INSERT-scoped allocation); use "
+                "a matched-only merge plus append"
+            )
+        for _cond, assigns in insert_clauses:
+            if assigns == "*":
+                continue
+            missing = sorted(set(specs) - set(assigns))
+            if missing:
+                raise ValueError(
+                    f"MERGE insert clauses must PROVIDE the GENERATED "
+                    f"BY DEFAULT AS IDENTITY column(s) {missing} — "
+                    f"merge never allocates ids; use append for "
+                    f"allocation"
+                )
+        sync.update(specs)
+    return sorted(sync)
 
 
 def _validate_insert_clauses(

@@ -426,6 +426,66 @@ def test_identity_by_default_merge_pk_upsert(spark, tmp_path):
         )
 
 
+def test_identity_merge_clauses_and_merge_by_key_contract(spark, tmp_path):
+    """Round-13 hardening: MERGE update clauses cannot assign an ALWAYS
+    identity column; assigning a BY DEFAULT one syncs the watermark.
+    merge_by_key (the reference upsert) rejects ALWAYS identity tables
+    outright, requires BY DEFAULT sources to carry the column, and
+    syncs the watermark past the source max."""
+    ta = ManagedTable.create(spark, tmp_path / "ta")
+    ta.append(spark.createDataFrame([], "id bigint, k int, name string"))
+    ta.set_identity("id")
+    ta.append(spark.createDataFrame([(1, "a")], "k int, name string"))
+    with pytest.raises(ValueError, match="cannot assign"):
+        ta.merge(
+            spark.createDataFrame([(1, "b")], "k int, name string"),
+            on="k",
+            when_matched_update={"id": "s.k"},
+            when_not_matched_insert=False,
+        )
+    with pytest.raises(ValueError, match="merge_by_key"):
+        ta.merge_by_key(
+            spark.createDataFrame(
+                [(9, 1, "b")], "id bigint, k int, name string"
+            ),
+            "k",
+        )
+    tb = ManagedTable.create(spark, tmp_path / "tb")
+    tb.append(spark.createDataFrame([], "id bigint, k int, name string"))
+    tb.set_identity("id", always=False)
+    tb.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string"))
+    # BY DEFAULT source must carry the column
+    with pytest.raises(ValueError, match="PROVIDE"):
+        tb.merge_by_key(
+            spark.createDataFrame([(1, "c")], "k int, name string"), "k"
+        )
+    # PK-carrying upsert with an id ABOVE the watermark syncs it
+    n = tb.merge_by_key(
+        spark.createDataFrame(
+            [(8000, 1, "upd"), (8010, 9, "new")],
+            "id bigint, k int, name string",
+        ),
+        "k",
+    )
+    assert n == 2
+    tb.append(spark.createDataFrame([(5, "post")], "k int, name string"))
+    rows = dict((r.name, r.id) for r in tb.read().collect())
+    assert rows["upd"] == 8000 and rows["new"] == 8010
+    assert rows["post"] > 8010
+    assert len(set(rows.values())) == 4
+    # a matched-update raising the id syncs too
+    tb.merge(
+        spark.createDataFrame([(9, 9500)], "k int, newid bigint"),
+        on="k",
+        when_matched_update={"id": "s.newid"},
+        when_not_matched_insert=False,
+    )
+    tb.append(spark.createDataFrame([(6, "post2")], "k int, name string"))
+    rows2 = dict((r.name, r.id) for r in tb.read().collect())
+    assert rows2["new"] == 9500 and rows2["post2"] > 9500
+    assert len(set(rows2.values())) == 5
+
+
 def test_identity_update_contract(spark, tmp_path):
     """Round-13 hardening: UPDATE cannot assign an ALWAYS identity
     column (Delta semantics); an UPDATE that raises a BY DEFAULT
