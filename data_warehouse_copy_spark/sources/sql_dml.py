@@ -3187,6 +3187,25 @@ def try_dynamic_prune(
     return out
 
 
+def _dfp_row_stats(spark, catalog, name: str) -> "dict | None":
+    """Cardinalities for the prune gate: fresh ANALYZE stats when
+    available, else the MANIFEST row total — exact at head, free, and
+    always current (round-13: the gate only needs row counts, and
+    pruning correctness never rests on stats — the probe reads actual
+    keys — so stale ANALYZE must not cost a full fact scan). ``None``
+    only for a table whose manifest cannot be read."""
+    from data_warehouse_copy_spark.sources.managed_table import ManagedTable
+
+    t = ManagedTable(spark, catalog.root_of(name))
+    s = t.table_stats()
+    if s is not None and s.get("version") == t._head_version():
+        return s
+    try:
+        return {"row_count": t.snapshot().total_rows, "source": "manifest"}
+    except Exception:
+        return None
+
+
 def _try_dynamic_prune(spark, catalog, sql, info):
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
@@ -3329,24 +3348,19 @@ def _try_dynamic_prune(spark, catalog, sql, info):
             k += 1
     conjuncts = _dfp_split_conjuncts(where_toks) if where_toks else []
 
-    # stats gate: every dim provably small, the fact provably >> each,
-    # all stats fresh (version == head)
-    def fresh_stats(name):
-        t = ManagedTable(spark, catalog.root_of(name))
-        s = t.table_stats()
-        if s is None or s.get("version") != t._head_version():
-            return None
-        return s
-
-    stats = {a.lower(): fresh_stats(tables[i][0]) for a, i in amap.items()}
-    stale = sorted(
+    # cardinality gate: every dim provably small, the fact provably >>
+    # each — from fresh ANALYZE stats when present, else exact manifest
+    # row totals (round-13: no ANALYZE required for pruning to fire)
+    stats = {
+        a.lower(): _dfp_row_stats(spark, catalog, tables[i][0])
+        for a, i in amap.items()
+    }
+    unreadable = sorted(
         tables[amap[a]][0] for a, s2 in stats.items() if s2 is None
     )
-    if stale and info is not None:
-        # surfaced so a user can tell WHY pruning did not fire (run
-        # ANALYZE on these and it will)
+    if unreadable and info is not None:
         info["fallback_reason"] = (
-            f"stale or missing ANALYZE stats for {stale}"
+            f"unreadable manifest for {unreadable}"
         )
     pick = None
     for fa in cands:
@@ -3725,26 +3739,19 @@ def _try_dynamic_prune_in_subquery(
     if not inner_names or fact_name in inner_names:
         return None  # no registered dim / self-reference: stay out
 
-    def fresh_stats(name):
-        t = ManagedTable(spark, catalog.root_of(name))
-        s = t.table_stats()
-        if s is None or s.get("version") != t._head_version():
-            return None
-        return s
-
-    fstats = fresh_stats(fact_name)
+    fstats = _dfp_row_stats(spark, catalog, fact_name)
     if fstats is None:
         if info is not None:
             info["fallback_reason"] = (
-                f"stale or missing ANALYZE stats for [{fact_name!r}]"
+                f"unreadable manifest for [{fact_name!r}]"
             )
         return None
     for n in inner_names:
-        s = fresh_stats(n)
+        s = _dfp_row_stats(spark, catalog, n)
         if s is None:
             if info is not None:
                 info["fallback_reason"] = (
-                    f"stale or missing ANALYZE stats for [{n!r}]"
+                    f"unreadable manifest for [{n!r}]"
                 )
             return None
         if (

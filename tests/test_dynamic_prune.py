@@ -1,7 +1,8 @@
 """Join-time dynamic file pruning (round-10 verdict item 4): a selective
 small dim joined to a big fact through NamedCatalog.sql must NOT scan
 every fact file. The semi-join probe collects the dim's actual join keys
-(gated by fresh ANALYZE stats — their first planning consumer) and pushes
+(gated by fresh ANALYZE stats or, since round 13, the exact manifest
+row totals — no ANALYZE required) and pushes
 an ``in`` predicate into the fact's relation-scoped where option; any
 structural doubt falls back to the untouched original text.
 """
@@ -158,7 +159,12 @@ def test_dfp_structural_fallbacks(spark, star):
     assert try_dynamic_prune(spark, cat, "SHOW TABLES", {}) is None
 
 
-def test_dfp_stale_or_missing_stats_fall_back(spark, tmp_path):
+def test_dfp_manifest_counts_gate_without_analyze(spark, tmp_path):
+    """Round-13: the prune gate needs only CARDINALITIES, and the
+    manifest row total is exact at head and free — so pruning fires
+    with NO ANALYZE at all, keeps firing when ANALYZE stats go stale
+    (manifest fallback), and stays value-exact throughout. The
+    stale-stats full-scan penalty is gone."""
     fact = ManagedTable.create(spark, tmp_path / "fact")
     fact.append(spark.range(10_000).selectExpr("id AS k", "id AS v"))
     dim = ManagedTable.create(spark, tmp_path / "dim")
@@ -171,14 +177,37 @@ def test_dfp_stale_or_missing_stats_fall_back(spark, tmp_path):
         "SELECT f.k FROM global_temp.f2 f "
         "JOIN global_temp.d2 d ON f.k = d.dk"
     )
-    # no stats at all
-    assert try_dynamic_prune(spark, cat, q, {}) is None
+    # no stats at all: manifest counts gate it
+    info: dict = {}
+    df = try_dynamic_prune(spark, cat, q, info)
+    assert df is not None and info["n_keys"] == 50
+    assert df.count() == spark.sql(q).count() == 50
     fact.analyze()
     dim.analyze()
     assert try_dynamic_prune(spark, cat, q, {}) is not None
-    # a write after ANALYZE makes the stats stale -> full scan again
+    # a write after ANALYZE makes the stats stale -> manifest fallback
+    # keeps pruning, at the NEW exact cardinality
     dim.append(spark.range(50, 60).selectExpr("id AS dk"))
-    assert try_dynamic_prune(spark, cat, q, {}) is None
+    cat.refresh(spark)  # re-pin the attached views for the oracle
+    info2: dict = {}
+    df2 = try_dynamic_prune(spark, cat, q, info2)
+    assert df2 is not None and info2["n_keys"] == 60
+    assert df2.count() == spark.sql(q).count() == 60
+    # the ratio gate still rejects on manifest counts: two
+    # similarly-sized tables, NO analyze — the probe never pays off
+    other = ManagedTable.create(spark, tmp_path / "other")
+    other.append(spark.range(40, 95).selectExpr("id AS dk"))
+    cat.register("global_temp.d3", str(tmp_path / "other"))
+    cat.attach(spark)
+    assert (
+        try_dynamic_prune(
+            spark,
+            cat,
+            "SELECT d.dk FROM global_temp.d2 d "
+            "JOIN global_temp.d3 e ON d.dk = e.dk",
+        )
+        is None
+    )
 
 
 def test_dfp_ratio_gate(spark, tmp_path):
@@ -525,16 +554,17 @@ def test_dfp_in_subquery_fallbacks(spark, star, tmp_path):
     )
 
 
-def test_attach_broadcast_hint_from_fresh_stats(spark, tmp_path):
-    """Round-12: attach() wraps fresh-ANALYZEd small tables in a
-    BROADCAST hint view (a Python-DS relation reports no size, so Spark
-    would otherwise sort-merge every join against a tiny dim); stale or
-    absent stats keep the plain registration."""
+def test_attach_broadcast_hint_small_tables(spark, tmp_path):
+    """Round-12 (round-13 update): attach() wraps provably small tables
+    in a BROADCAST hint view (a Python-DS relation reports no size, so
+    Spark would otherwise sort-merge every join against a tiny dim).
+    The size proof now comes from fresh ANALYZE stats OR the exact
+    manifest row total — so the hint fires with zero ANALYZE runs and
+    SURVIVES stats going stale; only a genuinely large table skips it."""
     big = ManagedTable.create(spark, tmp_path / "big")
     big.append(spark.range(20_000).selectExpr("id AS k", "id % 7 AS v"))
     dim = ManagedTable.create(spark, tmp_path / "dim")
     dim.append(spark.range(50).selectExpr("id AS k", "id AS g"))
-    dim.analyze()
     cat = NamedCatalog(tmp_path / "cat.json")
     cat.register("global_temp.bh_big", str(tmp_path / "big"))
     cat.register("global_temp.bh_dim", str(tmp_path / "dim"))
@@ -546,27 +576,43 @@ def test_attach_broadcast_hint_from_fresh_stats(spark, tmp_path):
             "SELECT b.k FROM global_temp.bh_big b "
             "JOIN global_temp.bh_dim d ON b.v = d.g"
         )
+        # NO analyze anywhere: the manifest row total proves the dim
+        # small and the hint fires
         plan = (
             spark.sql(q)._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
         # the hinted view is value-identical to the raw relation
         assert spark.sql(q).count() == 20_000
-        # stale stats (a write after ANALYZE) drop the hint on refresh
+        # a write (stale-stats case) KEEPS the hint — the manifest
+        # total is still exact
         dim.append(spark.range(50, 60).selectExpr("id AS k", "id AS g"))
         cat.refresh(spark)
         plan2 = (
             spark.sql(q)._jdf.queryExecution().executedPlan().toString()
         )
-        assert "BroadcastHashJoin" not in plan2
+        assert "BroadcastHashJoin" in plan2
+        assert spark.sql(q).count() == 20_000
+        # a table past the row cap never gets the hint
+        cap = NamedCatalog.BROADCAST_MAX_ROWS
+        NamedCatalog.BROADCAST_MAX_ROWS = 10
+        try:
+            cat.refresh(spark)
+            plan3 = (
+                spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "BroadcastHashJoin" not in plan3
+        finally:
+            NamedCatalog.BROADCAST_MAX_ROWS = cap
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         cat.detach(spark)
 
 
 def test_dfp_fallback_reason_surfaced(spark, tmp_path):
-    """Round-12 polish: when pruning does not fire, info carries WHY —
-    stale ANALYZE stats are named so a user knows what to run."""
+    """Round-12 polish (round-13 update: no-ANALYZE is no longer a
+    fallback — manifest counts gate it): when pruning does not fire,
+    info still carries WHY."""
     fact = ManagedTable.create(spark, tmp_path / "fact")
     fact.append(spark.range(10_000).selectExpr("id AS k", "id AS v"))
     dim = ManagedTable.create(spark, tmp_path / "dim")
@@ -580,8 +626,9 @@ def test_dfp_fallback_reason_surfaced(spark, tmp_path):
         "SELECT f.k FROM global_temp.fr_f f "
         "JOIN global_temp.fr_d d ON f.k = d.dk"
     )
-    assert try_dynamic_prune(spark, cat, q, info) is None
-    assert "ANALYZE" in info.get("fallback_reason", "")
+    # manifest counts gate it now: fires with zero ANALYZE runs
+    assert try_dynamic_prune(spark, cat, q, info) is not None
+    assert info["n_keys"] == 10
     info2: dict = {}
     assert try_dynamic_prune(spark, cat, "SHOW TABLES", info2) is None
     assert info2.get("fallback_reason") == "not a prunable shape"
