@@ -486,6 +486,53 @@ def test_identity_merge_clauses_and_merge_by_key_contract(spark, tmp_path):
     assert len(set(rows2.values())) == 5
 
 
+def test_identity_by_default_fill_preserves_big_ints(spark, tmp_path):
+    """The fill pass stages through nullable Int64, never float64 —
+    provided ids beyond 2^53 (where doubles lose integer precision)
+    round-trip bit-exact, NULL slots allocate unique ids, and the
+    watermark outruns the provided max."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id", always=False)
+    big = [(2**53 + 1, "b1"), (2**61 + 7, "b2"), (None, "n1"),
+           (123, "small"), (None, "n2")]
+    t.append(spark.createDataFrame(big, "id bigint, name string"))
+    rows = dict((r.name, r.id) for r in t.read().collect())
+    assert rows["b1"] == 2**53 + 1  # a float64 stage would corrupt this
+    assert rows["b2"] == 2**61 + 7
+    assert rows["small"] == 123
+    assert rows["n1"] is not None and rows["n2"] is not None
+    assert len(set(rows.values())) == 5
+    t.append(spark.createDataFrame([("post",)], "name string"))
+    post = dict((r.name, r.id) for r in t.read().collect())["post"]
+    assert post > 2**61 + 7  # watermark synced past the huge provided id
+
+
+def test_identity_by_default_merge_by_key_after_rename(spark, tmp_path):
+    """Physical-name keying end-to-end: rename the BY DEFAULT identity
+    column, then run the PK-carrying upsert — the watermark sync maps
+    through the rename, so a post-merge append still clears the
+    merged-in max."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, k int, name string"))
+    t.set_identity("id", always=False)
+    t.append(spark.createDataFrame([(1, "a")], "k int, name string"))
+    t.rename_column("id", "doc_id")
+    n = t.merge_by_key(
+        spark.createDataFrame(
+            [(7777, 1, "upd"), (7788, 2, "new")],
+            "doc_id bigint, k int, name string",
+        ),
+        "k",
+    )
+    assert n == 2
+    t.append(spark.createDataFrame([(3, "post")], "k int, name string"))
+    rows = dict((r.name, r.doc_id) for r in t.read().collect())
+    assert rows["upd"] == 7777 and rows["new"] == 7788
+    assert rows["post"] > 7788
+    assert len(set(rows.values())) == 3
+
+
 def test_identity_update_contract(spark, tmp_path):
     """Round-13 hardening: UPDATE cannot assign an ALWAYS identity
     column (Delta semantics); an UPDATE that raises a BY DEFAULT
