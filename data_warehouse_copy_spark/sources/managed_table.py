@@ -446,65 +446,57 @@ def _assign_identity(
     df: DataFrame, col: str, dtype, high: int, step: int
 ) -> DataFrame:
     """Collision-free id assignment in ONE pass, zero shuffles, zero
-    extra jobs: executor ``pid`` strides the id space —
-    ``id = high + step * (1 + pid + STRIDE * i)`` for the partition's
-    i-th row — so no cross-executor coordination ever happens mid-job.
+    extra jobs, zero Python: ``monotonically_increasing_id()`` already
+    encodes ``(partitionId << 33) | rowIndexInPartition``, so
+    ``id = high + step * (1 + pid + STRIDE * i)`` is a pure codegen
+    expression — no cross-executor coordination ever happens mid-job.
     Ids have GAPS (Delta's documented identity contract); the watermark
     advances by the REAL maximum (harvested from the written files'
     footer stats, which the manifest records anyway), so it grows
     proportionally to rows written, not to the stride. STRIDE carries a
     4x safety factor over the plan's partition count; a pid beyond it
     (an AQE repartitioning surprise) fails LOUDLY rather than ever
-    risking a duplicate id."""
+    risking a duplicate id.
+
+    Round-14: the previous mapInPandas pass corrupted BY DEFAULT
+    frames whose Arrow batch mixed a NULL slot with a provided id
+    > 2^53 — pyarrow's to_pandas delivers a nullable int64 column as
+    float64, losing precision BEFORE any staging dtype could help.
+    Staying in Spark expressions (``coalesce(col, alloc)``) never
+    round-trips user values through pandas at all."""
     stride = max(4 * max(df.rdd.getNumPartitions(), 1), 64)
-    # fill mode (GENERATED BY DEFAULT, round-13): the frame PROVIDES the
-    # column — user values pass through, only NULL slots allocate; the
-    # schema is unchanged. Still the same single zero-shuffle pass.
-    fill = col in df.columns
-    out_schema = (
-        df.schema
-        if fill
-        else T.StructType(
-            list(df.schema.fields) + [T.StructField(col, dtype, True)]
-        )
-    )
-    np_t = "int32" if isinstance(dtype, T.IntegerType) else "int64"
-    base = int(high)
-
-    def gen(batches):
-        from pyspark import TaskContext
-
-        import numpy as _np
-        import pandas as _pd
-
-        pid = TaskContext.get().partitionId()
-        if pid >= stride:
-            raise RuntimeError(
-                f"identity stride {stride} exceeded by partition {pid}; "
-                f"refusing to risk duplicate ids"
+    # one explicit staging column for the stateful expression: Catalyst's
+    # CollapseProject never inlines a nondeterministic expression into
+    # multiple consumers, so pid and idx provably read the SAME value
+    mid_col = "__dwcs_identity_mid"
+    staged = df.withColumn(mid_col, F.monotonically_increasing_id())
+    mid = F.col(mid_col)
+    pid = F.shiftrightunsigned(mid, 33)
+    idx = mid.bitwiseAND((1 << 33) - 1)
+    alloc = (
+        F.lit(int(high))
+        + F.lit(int(step)) * (F.lit(1) + pid + F.lit(int(stride)) * idx)
+    ).cast(dtype)
+    guarded = F.when(pid < F.lit(int(stride)), alloc).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"identity stride {stride} exceeded by partition "),
+                pid.cast("string"),
+                F.lit("; refusing to risk duplicate ids"),
             )
-        i = 0
-        for pdf in batches:
-            n = len(pdf)
-            pdf = pdf.copy()
-            vals = (
-                base
-                + step * (1 + pid + stride * (_np.arange(n) + i))
-            ).astype(np_t)
-            if fill:
-                # nullable-Int64 staging keeps full int64 precision (a
-                # float64 round-trip would corrupt provided ids >2^53)
-                s = pdf[col].astype("Int64")
-                s = s.where(
-                    s.notna(), _pd.Series(vals, index=pdf.index)
-                )
-                pdf[col] = s.astype(np_t)
-            else:
-                pdf[col] = vals
-            i += n
-            yield pdf
-
-    return df.mapInPandas(gen, out_schema)
+        ).cast(dtype)
+    )
+    if col in df.columns:
+        # fill mode (GENERATED BY DEFAULT, round-13): the frame
+        # PROVIDES the column — user values pass through untouched
+        # (bit-exact, any magnitude), only NULL slots allocate; the
+        # schema is unchanged
+        out = staged.withColumn(
+            col, F.coalesce(F.col(col).cast(dtype), guarded)
+        )
+    else:
+        out = staged.withColumn(col, guarded)
+    return out.drop(mid_col)
 
 
 def _entry_in_read_spans(e: dict, read_spans: dict) -> bool:

@@ -42,6 +42,7 @@ never silently resolves elsewhere.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -81,6 +82,28 @@ class NamedCatalog:
         tmp.write_text(json.dumps(doc, indent=1, sort_keys=True))
         os.replace(tmp, self.path)  # atomic: readers see old or new, whole
 
+    @contextlib.contextmanager
+    def _mutate(self):
+        """Cross-PROCESS exclusive section for every read-modify-write
+        catalog mutation (round-14, advice fix): the whole-doc
+        ``os.replace`` is atomic per write but two interleaved RMWs
+        still lose one of them — e.g. two concurrent REFRESHes could
+        regress each other's cursor, or a concurrent ``register`` could
+        vanish. A sidecar ``flock`` serializes the RMW; non-POSIX
+        platforms fall back to the atomic-replace-only guarantee."""
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        f = open(self.path.with_suffix(".lock"), "a+")
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(f, fcntl.LOCK_EX)
+            except Exception:
+                pass
+            yield
+        finally:
+            f.close()  # close releases the flock
+
     # ------------------------------------------------------------- mapping
 
     @staticmethod
@@ -104,41 +127,44 @@ class NamedCatalog:
                 f"no managed table at {root!r}; create it before "
                 f"registering {name!r}"
             )
-        doc = self._doc()
-        if name in doc["matviews"]:
-            raise ValueError(
-                f"{name!r} is a MATERIALIZED VIEW in catalog {self.path} "
-                f"— DROP MATERIALIZED VIEW it first"
-            )
-        if name in doc["views"]:
-            raise ValueError(
-                f"{name!r} is a VIEW in catalog {self.path} — DROP VIEW "
-                f"it before registering a table under the name"
-            )
-        doc["tables"][name] = {"root": str(root)}
-        self._store_doc(doc)
+        with self._mutate():
+            doc = self._doc()
+            if name in doc["matviews"]:
+                raise ValueError(
+                    f"{name!r} is a MATERIALIZED VIEW in catalog "
+                    f"{self.path} — DROP MATERIALIZED VIEW it first"
+                )
+            if name in doc["views"]:
+                raise ValueError(
+                    f"{name!r} is a VIEW in catalog {self.path} — DROP "
+                    f"VIEW it before registering a table under the name"
+                )
+            doc["tables"][name] = {"root": str(root)}
+            self._store_doc(doc)
 
     def drop(self, name: str) -> None:
         """Remove a mapping (the table's data is untouched — dropping a
         NAME must never delete what other names/paths may reference)."""
-        tables = self._load()
-        if name not in tables:
-            raise KeyError(f"{name!r} not in catalog {self.path}")
-        del tables[name]
-        self._store(tables)
+        with self._mutate():
+            tables = self._load()
+            if name not in tables:
+                raise KeyError(f"{name!r} not in catalog {self.path}")
+            del tables[name]
+            self._store(tables)
 
     def rename(self, old: str, new: str) -> None:
         """Rename a mapping (ALTER TABLE ... RENAME TO): ONE catalog
         write — pure name metadata, the table root and its data are
         untouched (external-table semantics, same as drop)."""
         self._split(new)
-        tables = self._load()
-        if old not in tables:
-            raise KeyError(f"{old!r} not in catalog {self.path}")
-        if new in tables:
-            raise ValueError(f"{new!r} already in catalog {self.path}")
-        tables[new] = tables.pop(old)
-        self._store(tables)
+        with self._mutate():
+            tables = self._load()
+            if old not in tables:
+                raise KeyError(f"{old!r} not in catalog {self.path}")
+            if new in tables:
+                raise ValueError(f"{new!r} already in catalog {self.path}")
+            tables[new] = tables.pop(old)
+            self._store(tables)
 
     def names(self) -> list[str]:
         return sorted(self._load())
@@ -165,19 +191,20 @@ class NamedCatalog:
         view. A view is pure catalog metadata — one JSON write, no data
         anywhere."""
         self._split(name)
-        doc = self._doc()
-        if name in doc["tables"]:
-            raise ValueError(
-                f"{name!r} is a TABLE in catalog {self.path} — a view "
-                f"cannot shadow it"
-            )
-        if name in doc["matviews"]:
-            raise ValueError(
-                f"{name!r} is a MATERIALIZED VIEW in catalog {self.path} "
-                f"— a view cannot shadow it"
-            )
-        doc["views"][name] = {"sql": sql, "refs": sorted(refs or [])}
-        self._store_doc(doc)
+        with self._mutate():
+            doc = self._doc()
+            if name in doc["tables"]:
+                raise ValueError(
+                    f"{name!r} is a TABLE in catalog {self.path} — a "
+                    f"view cannot shadow it"
+                )
+            if name in doc["matviews"]:
+                raise ValueError(
+                    f"{name!r} is a MATERIALIZED VIEW in catalog "
+                    f"{self.path} — a view cannot shadow it"
+                )
+            doc["views"][name] = {"sql": sql, "refs": sorted(refs or [])}
+            self._store_doc(doc)
 
     # --------------------------------------------------- materialized views
 
@@ -187,23 +214,26 @@ class NamedCatalog:
         text, base table, rollup store location, event-time column and
         the CDC refresh cursor. One JSON write, like views."""
         self._split(name)
-        doc = self._doc()
-        if name in doc["tables"] or name in doc["views"]:
-            raise ValueError(
-                f"{name!r} already names a table or view in catalog "
-                f"{self.path}"
-            )
-        doc["matviews"][name] = dict(meta)
-        self._store_doc(doc)
+        with self._mutate():
+            doc = self._doc()
+            if name in doc["tables"] or name in doc["views"]:
+                raise ValueError(
+                    f"{name!r} already names a table or view in catalog "
+                    f"{self.path}"
+                )
+            doc["matviews"][name] = dict(meta)
+            self._store_doc(doc)
 
     def drop_matview(self, name: str) -> None:
-        doc = self._doc()
-        if name not in doc["matviews"]:
-            raise KeyError(
-                f"materialized view {name!r} not in catalog {self.path}"
-            )
-        del doc["matviews"][name]
-        self._store_doc(doc)
+        with self._mutate():
+            doc = self._doc()
+            if name not in doc["matviews"]:
+                raise KeyError(
+                    f"materialized view {name!r} not in catalog "
+                    f"{self.path}"
+                )
+            del doc["matviews"][name]
+            self._store_doc(doc)
 
     def matview_names(self) -> list[str]:
         return sorted(self._doc()["matviews"])
@@ -220,22 +250,29 @@ class NamedCatalog:
         """MONOTONIC cursor advance: two concurrent REFRESHes both
         converge the data (day overwrites are idempotent), but the
         slower one must not regress the cursor — that would re-flag its
-        racer's days as pending forever-pending work."""
-        doc = self._doc()
-        if name not in doc["matviews"]:
-            raise KeyError(
-                f"materialized view {name!r} not in catalog {self.path}"
-            )
-        cur = int(doc["matviews"][name].get("cursor", 0))
-        doc["matviews"][name]["cursor"] = max(int(cursor), cur)
-        self._store_doc(doc)
+        racer's days as forever-pending work. The max() holds across
+        PROCESSES too (round-14, advice fix): the whole read-max-write
+        runs under the catalog's cross-process ``_mutate`` flock, so a
+        slow racer can no longer interleave its stale read past the
+        fast one's write."""
+        with self._mutate():
+            doc = self._doc()
+            if name not in doc["matviews"]:
+                raise KeyError(
+                    f"materialized view {name!r} not in catalog "
+                    f"{self.path}"
+                )
+            cur = int(doc["matviews"][name].get("cursor", 0))
+            doc["matviews"][name]["cursor"] = max(int(cursor), cur)
+            self._store_doc(doc)
 
     def drop_view(self, name: str) -> None:
-        doc = self._doc()
-        if name not in doc["views"]:
-            raise KeyError(f"view {name!r} not in catalog {self.path}")
-        del doc["views"][name]
-        self._store_doc(doc)
+        with self._mutate():
+            doc = self._doc()
+            if name not in doc["views"]:
+                raise KeyError(f"view {name!r} not in catalog {self.path}")
+            del doc["views"][name]
+            self._store_doc(doc)
 
     def view_names(self) -> list[str]:
         return sorted(self._doc()["views"])

@@ -3085,32 +3085,137 @@ def _dfp_null_rejecting(toks: "list[_Tok]") -> bool:
     which WHERE filters out), optionally CAST-wrapped. Anything that
     can map NULL dim columns to TRUE is rejected: ``IS NULL``,
     null-safe equality ``<=>``, ``IS [NOT] DISTINCT FROM``, ``CASE``,
-    and any non-builtin function call (``coalesce``, ``nvl``,
-    ``ifnull``, ... may swallow NULLs)."""
+    any non-builtin function call (``coalesce``, ``nvl``, ``ifnull``,
+    ... may swallow NULLs), and any free-standing NOT (one not fused
+    into IS NOT NULL / NOT IN / NOT LIKE / NOT BETWEEN): ``NOT (d.x =
+    1 AND 1 = 2)`` and ``NOT (d.x IS NOT NULL)`` both evaluate TRUE on
+    the all-NULL row. A top-level OR (round-14, found by the r13
+    verdict: ``1 = 1 OR d.tier = 'hot'``) is null-rejecting only when
+    EVERY disjunct independently is AND references a dim column — a
+    dim-free disjunct (``1 = 1``, ``TRUE``, ``'a' = 'a'``) is TRUE
+    regardless of the join, so the whole clause survives on unmatched
+    rows."""
     if "<=>" in "".join(t.text for t in toks):
         return False
     n = len(toks)
-    # a free-standing NOT (one not fused into IS NOT NULL / NOT IN /
-    # NOT LIKE / NOT BETWEEN) over an IS-form inverts its null
-    # semantics: NOT(d.x IS NOT NULL) ≡ d.x IS NULL is TRUE on the
-    # all-NULL row — reject the combination outright (found by the
-    # soundness property test, tests/test_dynamic_prune.py)
-    has_is = any(
-        t.kind == "ident" and t.text.lower() == "is" for t in toks
-    )
-    if has_is:
+    # free-standing NOT anywhere: reject outright. NOT over a
+    # sub-expression that is FALSE on the all-NULL row (a literal
+    # comparison, an IS form) yields TRUE; proving the inner expression
+    # is NULL-propagating everywhere costs more than the pruning this
+    # rare form would buy (found by the soundness property test,
+    # tests/test_dynamic_prune.py, rounds 13-14)
+    for i, t in enumerate(toks):
+        if t.kind != "ident" or t.text.lower() != "not":
+            continue
+        prev = toks[i - 1] if i > 0 else None
+        if (
+            prev is not None
+            and prev.kind == "ident"
+            and prev.text.lower() == "is"
+        ):
+            continue  # the IS NOT NULL trigram
+        nxt = toks[i + 1] if i + 1 < n else None
+        if nxt is not None and nxt.kind == "ident" and nxt.text.lower() in (
+            "in", "like", "between", "rlike", "ilike"
+        ):
+            continue  # NOT IN / NOT LIKE / ... are NULL-propagating
+        return False
+    return _dfp_nr_expr(toks)
+
+
+def _dfp_strip_parens(toks: "list[_Tok]") -> "list[_Tok]":
+    """Strip balanced outer parens that wrap the WHOLE expression —
+    ``( 1 = 1 OR d.x = 5 )`` must see its OR at top level."""
+    while (
+        len(toks) >= 2
+        and toks[0].kind == "punct"
+        and toks[0].text == "("
+        and toks[-1].kind == "punct"
+        and toks[-1].text == ")"
+    ):
+        depth = 0
         for i, t in enumerate(toks):
-            if t.kind != "ident" or t.text.lower() != "not":
-                continue
-            prev = toks[i - 1] if i > 0 else None
-            if prev is not None and prev.text.lower() == "is":
-                continue  # the IS NOT NULL trigram
-            nxt = toks[i + 1] if i + 1 < n else None
-            if nxt is not None and nxt.text.lower() in (
-                "in", "like", "between", "rlike", "ilike"
-            ):
-                continue  # NOT IN / NOT LIKE / ... are NULL-propagating
-            return False  # free NOT + an IS form: may invert to TRUE
+            if t.kind == "punct":
+                depth += t.text == "("
+                depth -= t.text == ")"
+            if depth == 0 and i < len(toks) - 1:
+                return toks  # first paren closes early: not a wrapper
+        toks = toks[1:-1]
+    return toks
+
+
+def _dfp_split_bool(toks: "list[_Tok]", word: str) -> "list[list[_Tok]]":
+    """Split on top-level AND/OR (paren/CASE aware; BETWEEN's AND is
+    never a splitter)."""
+    pieces: list = []
+    cur: list = []
+    depth = case_depth = pending_between = 0
+    for t in toks:
+        if t.kind == "punct":
+            depth += t.text == "("
+            depth -= t.text == ")"
+        low = t.text.lower() if t.kind == "ident" else None
+        if low == "case":
+            case_depth += 1
+        elif low == "end" and case_depth:
+            case_depth -= 1
+        top = depth == 0 and case_depth == 0
+        if top and low == "between":
+            pending_between += 1
+        if top and low == "and" and pending_between:
+            pending_between -= 1
+        elif top and low == word:
+            pieces.append(cur)
+            cur = []
+            continue
+        cur.append(t)
+    pieces.append(cur)
+    return pieces
+
+
+def _dfp_has_colref(toks: "list[_Tok]") -> bool:
+    """At least one column-reference ident (not an expression keyword,
+    not a function name). The conjunct has already passed the call
+    site's this-dim-only check, so any column ref here IS a dim ref."""
+    for i, t in enumerate(toks):
+        if t.kind != "ident":
+            continue
+        if t.text.lower() in _DFP_EXPR_WORDS:
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if nxt is not None and nxt.kind == "punct" and nxt.text == "(":
+            continue  # function name
+        return True
+    return False
+
+
+def _dfp_nr_expr(toks: "list[_Tok]") -> bool:
+    """Recursive null-rejection over the boolean structure (free NOT and
+    <=> already rejected by the caller)."""
+    toks = _dfp_strip_parens(toks)
+    if not toks:
+        return False
+    disj = _dfp_split_bool(toks, "or")
+    if len(disj) > 1:
+        # OR is TRUE on the all-NULL row unless EVERY disjunct is
+        # provably non-TRUE; a disjunct with no dim column ref can be
+        # TRUE regardless of the join
+        return all(
+            d and _dfp_has_colref(d) and _dfp_nr_expr(d) for d in disj
+        )
+    conj = _dfp_split_bool(toks, "and")
+    if len(conj) > 1:
+        # AND is non-TRUE if ANY operand is provably non-TRUE (the
+        # witness must itself reference a dim column)
+        return any(
+            c and _dfp_has_colref(c) and _dfp_nr_expr(c) for c in conj
+        )
+    return _dfp_nr_leaf(toks)
+
+
+def _dfp_nr_leaf(toks: "list[_Tok]") -> bool:
+    """Token-level whitelist for an OR/AND-free leaf."""
+    n = len(toks)
     i = 0
     while i < n:
         t = toks[i]

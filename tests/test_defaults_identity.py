@@ -487,16 +487,22 @@ def test_identity_merge_clauses_and_merge_by_key_contract(spark, tmp_path):
 
 
 def test_identity_by_default_fill_preserves_big_ints(spark, tmp_path):
-    """The fill pass stages through nullable Int64, never float64 —
-    provided ids beyond 2^53 (where doubles lose integer precision)
-    round-trip bit-exact, NULL slots allocate unique ids, and the
-    watermark outruns the provided max."""
+    """The fill pass never round-trips user values through pandas
+    (round-14: pyarrow's to_pandas delivers nullable int64 as float64,
+    so ANY pandas stage corrupts ids beyond 2^53 whenever a NULL shares
+    the Arrow batch) — provided ids beyond 2^53 round-trip bit-exact
+    even with NULL slots in the SAME single partition, NULL slots
+    allocate unique ids, and the watermark outruns the provided max."""
     t = ManagedTable.create(spark, tmp_path / "t")
     t.append(spark.createDataFrame([], "id bigint, name string"))
     t.set_identity("id", always=False)
     big = [(2**53 + 1, "b1"), (2**61 + 7, "b2"), (None, "n1"),
            (123, "small"), (None, "n2")]
-    t.append(spark.createDataFrame(big, "id bigint, name string"))
+    # coalesce(1): NULLs and >2^53 ids share one partition AND one
+    # Arrow batch — the exact shape the float64 round-trip corrupted
+    t.append(
+        spark.createDataFrame(big, "id bigint, name string").coalesce(1)
+    )
     rows = dict((r.name, r.id) for r in t.read().collect())
     assert rows["b1"] == 2**53 + 1  # a float64 stage would corrupt this
     assert rows["b2"] == 2**61 + 7
@@ -506,6 +512,20 @@ def test_identity_by_default_fill_preserves_big_ints(spark, tmp_path):
     t.append(spark.createDataFrame([("post",)], "name string"))
     post = dict((r.name, r.id) for r in t.read().collect())["post"]
     assert post > 2**61 + 7  # watermark synced past the huge provided id
+    # multi-partition: still unique, still bit-exact
+    t2 = ManagedTable.create(spark, tmp_path / "t2")
+    t2.append(spark.createDataFrame([], "id bigint, name string"))
+    t2.set_identity("id", always=False)
+    t2.append(
+        spark.createDataFrame(
+            [(2**53 + 1, "b1"), (None, "n1"), (2**53 + 3, "b3"),
+             (None, "n2"), (None, "n3")],
+            "id bigint, name string",
+        ).repartition(3)
+    )
+    got = dict((r.name, r.id) for r in t2.read().collect())
+    assert got["b1"] == 2**53 + 1 and got["b3"] == 2**53 + 3
+    assert len(set(got.values())) == 5
 
 
 def test_identity_by_default_merge_by_key_after_rename(spark, tmp_path):

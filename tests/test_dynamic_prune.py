@@ -451,6 +451,20 @@ def test_dfp_null_rejecting_whitelist_is_sound(spark):
         "d.x IS DISTINCT FROM 1", "d.s IS NOT DISTINCT FROM NULL",
         "CASE WHEN d.x = 1 THEN 1 ELSE 1 END = 1",
         "isnull(d.x)", "isnotnull(d.x) OR d.x IS NULL",
+        # round-14 (r13 verdict defect): OR with a literal-tautology or
+        # otherwise dim-free disjunct is TRUE on the all-NULL row —
+        # every disjunct must independently null-reject AND reference
+        # the dim
+        "1 = 1 OR d.x = 5", "true OR d.x = 5", "d.x = 5 OR 'a' = 'a'",
+        "d.x = 1 OR TRUE", "d.x = 1 OR 1 = 1",
+        "d.x IS NOT NULL OR NOT FALSE", "( 1 = 1 OR d.x = 5 )",
+        "( ( true ) OR d.x = 5 )", "d.x = 1 OR ( 1 = 1 AND d.s = 'a' )",
+        "NOT FALSE", "NOT ( d.x = 1 AND 1 = 2 )", "NOT ( 1 = 2 )",
+        "d.x = 1 OR NOT ( d.s = 'a' )",
+        # sound OR forms that must KEEP unlocking pruning
+        "d.s = '' OR d.x = 1 OR d.b",
+        "( d.s = 'a' OR d.x BETWEEN 1 AND 2 )",
+        "d.x = 1 OR ( d.s = 'a' AND 1 = 1 )",
     ]
     null_row = spark.sql(
         "SELECT CAST(NULL AS INT) AS x, CAST(NULL AS STRING) AS s, "
@@ -480,8 +494,50 @@ def test_dfp_null_rejecting_whitelist_is_sound(spark):
     # and the specific adversarial forms ARE rejected
     for f in ("d.x IS NULL", "coalesce(d.x, 0) = 0", "d.x <=> NULL",
               "d.x IS DISTINCT FROM 1",
-              "CASE WHEN d.x = 1 THEN 1 ELSE 1 END = 1"):
+              "CASE WHEN d.x = 1 THEN 1 ELSE 1 END = 1",
+              "1 = 1 OR d.x = 5", "true OR d.x = 5",
+              "d.x = 5 OR 'a' = 'a'", "( 1 = 1 OR d.x = 5 )",
+              "NOT ( d.x = 1 AND 1 = 2 )",
+              "d.x IS NOT NULL OR NOT FALSE"):
         assert not _dfp_null_rejecting(_tokenize(f)), f
+    # ... while all-dim-referencing OR disjunct chains stay accepted
+    for f in ("d.s = '' OR d.x = 1", "d.s = '' OR d.x = 1 OR d.b",
+              "( d.s = 'a' OR d.x BETWEEN 1 AND 2 )"):
+        assert _dfp_null_rejecting(_tokenize(f)), f
+
+
+def test_dfp_left_join_or_tautology_not_pruned(spark, star):
+    """Round-13 verdict defect, end-to-end: ``WHERE 1 = 1 OR d.tier =
+    'hot'`` is TRUE on the all-NULL dim row, so the LEFT join does NOT
+    degenerate to inner — pruning by the dim's keys would silently drop
+    the 39,900 unmatched fact rows (200 vs 40,000)."""
+    cat, _fact, _dim = star
+    base = (
+        "SELECT f.k, f.v, d.tier FROM global_temp.f f "
+        "LEFT JOIN global_temp.d d ON f.k = d.dk "
+    )
+    for cond in (
+        "1 = 1 OR d.tier = 'hot'",
+        "true OR d.tier = 'hot'",
+        "d.tier = 'hot' OR 'a' = 'a'",
+        "( 1 = 1 OR d.tier = 'hot' )",
+    ):
+        q = base + "WHERE " + cond
+        info: dict = {}
+        df = try_dynamic_prune(spark, cat, q, info)
+        expect = spark.sql(q).count()
+        assert expect == 40_000, cond
+        if df is not None:  # a rewrite may land only if value-exact
+            assert df.count() == expect, (cond, info)
+    # the all-dim OR form still prunes (degenerates to inner) and is
+    # value-exact
+    q2 = base + "WHERE d.tier = 'hot' OR d.tier = 'warm'"
+    info2: dict = {}
+    df2 = try_dynamic_prune(spark, cat, q2, info2)
+    assert df2 is not None and info2["n_keys"] == 10
+    assert sorted((r.k, r.v) for r in df2.collect()) == sorted(
+        (r.k, r.v) for r in spark.sql(q2).collect()
+    )
 
 
 def test_dfp_in_subquery_prunes_and_stays_exact(spark, star):
@@ -745,3 +801,70 @@ def test_dfp_exists_multi_and_inequality(spark, star, tmp_path):
     df5 = try_dynamic_prune(spark, cat, q5, info5)
     assert df5 is not None and df5.count() == 0
     assert json.loads(info5["where_json"]) == [["k", "in", []]]
+
+
+# ---------------------------------------------------------------------------
+# Round-14 (verdict item 2): property-test the WHOLE dynamic-prune gate,
+# not just the null-rejection whitelist. Random star queries over the
+# `_where_mixed` grammar — INNER/LEFT joins, dim-only WHERE trees mixing
+# sound leaves, NULL-tolerant leaves, literal tautologies, OR/AND/NOT/
+# paren combinators — and the invariant: WHENEVER a rewrite lands, its
+# result is value-exact vs plain spark.sql. (The reverse — falling back
+# on safe queries — is allowed: the gate is conservative by design.)
+# Deterministic seeds so a hole found once fails every run.
+# ---------------------------------------------------------------------------
+
+_PT_DIM_LEAVES = [
+    "d.tier = 'hot'", "d.tier <> 'cold'", "d.tier LIKE 'h%'",
+    "d.dk < 1050", "d.dk >= 1010", "d.dk BETWEEN 1000 AND 1020",
+    "d.dk IN (1001, 1002, 1003)", "d.dk NOT IN (1001, 1002)",
+    "d.tier IS NOT NULL", "d.tier IS NULL",
+    "coalesce(d.tier, 'hot') = 'hot'", "nvl(d.tier, 'x') = 'x'",
+    "d.dk <=> 1001", "d.tier IS DISTINCT FROM 'hot'",
+    "CASE WHEN d.dk = 1001 THEN 1 ELSE 0 END = 1",
+    "NOT ( d.dk = 1001 )", "NOT ( d.dk = 1001 AND 1 = 2 )",
+    "1 = 1", "true", "'a' = 'a'", "1 = 2", "false", "NOT FALSE",
+]
+
+
+def _pt_tree(rng, depth=0):
+    if depth >= 2 or rng.random() < 0.45:
+        return rng.choice(_PT_DIM_LEAVES)
+    a = _pt_tree(rng, depth + 1)
+    b = _pt_tree(rng, depth + 1)
+    op = rng.choice(["AND", "OR"])
+    s = f"{a} {op} {b}"
+    return f"( {s} )" if rng.random() < 0.5 else s
+
+
+def test_dfp_gate_random_star_queries_value_exact(spark, star):
+    """25+ grammar-random star queries: every landed rewrite must be
+    value-exact vs spark.sql on the same text."""
+    import random
+
+    cat, _fact, _dim = star
+    landed = 0
+    for seed in range(30):
+        rng = random.Random(seed)
+        jt = rng.choice(["JOIN", "LEFT JOIN"])
+        cond = _pt_tree(rng)
+        if rng.random() < 0.3:
+            cond += " AND f.v < 60"
+        q = (
+            f"SELECT f.k, f.v, d.tier FROM global_temp.f f "
+            f"{jt} global_temp.d d ON f.k = d.dk WHERE {cond}"
+        )
+        info: dict = {}
+        df = try_dynamic_prune(spark, cat, q, info)
+        if df is None:
+            continue
+        landed += 1
+        got = sorted(
+            (r.k, r.v, r.tier) for r in df.collect()
+        )
+        want = sorted(
+            (r.k, r.v, r.tier) for r in spark.sql(q).collect()
+        )
+        assert got == want, (seed, q, info)
+    # the gate must not degenerate to reject-everything
+    assert landed >= 3, f"only {landed}/30 random queries pruned"

@@ -1799,3 +1799,48 @@ def test_sql_create_if_not_exists_and_drop_if_exists(spark, tmp_path, cat):
     # plain DROP of a missing name still errors
     with pytest.raises(KeyError):
         c.sql(spark, "DROP TABLE global_temp.fresh")
+
+
+def test_catalog_mutations_survive_cross_process_storm(tmp_path):
+    """Round-14 (advice fix): every catalog RMW runs under a sidecar
+    flock, so concurrent mutations in SEPARATE PROCESSES neither lose
+    each other (the whole-doc os.replace races otherwise) nor regress
+    the matview cursor max(). 6 workers x 20 view registrations + 20
+    cursor advances each — all 120 views survive, cursor == global
+    max."""
+    import subprocess
+    import sys as _sys
+
+    cat_file = tmp_path / "cat.json"
+    cat = NamedCatalog(cat_file)
+    cat.register_matview(
+        "global_temp.mv",
+        {"base": "global_temp.raw", "sql": "SELECT 1", "cursor": 0,
+         "location": str(tmp_path / "mv"), "ts_col": "ts"},
+    )
+    script = (
+        "import sys\n"
+        "from data_warehouse_copy_spark.sources.names import NamedCatalog\n"
+        "cat = NamedCatalog(sys.argv[1]); w = int(sys.argv[2])\n"
+        "for i in range(20):\n"
+        "    cat.register_view(f'global_temp.v{w}_{i}', 'SELECT 1', [])\n"
+        "    cat.set_matview_cursor('global_temp.mv', w * 100 + i)\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script, str(cat_file), str(w)],
+            cwd=str(Path(__file__).resolve().parents[1]),
+        )
+        for w in range(6)
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+    views = set(cat.view_names())
+    missing = [
+        f"global_temp.v{w}_{i}"
+        for w in range(6)
+        for i in range(20)
+        if f"global_temp.v{w}_{i}" not in views
+    ]
+    assert not missing, f"lost {len(missing)} registrations: {missing[:5]}"
+    assert int(cat.matview("global_temp.mv")["cursor"]) == 5 * 100 + 19
