@@ -5151,6 +5151,74 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def catalog_sql_matview_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dims-kind MATERIALIZED VIEW end-to-end (round-14,
+    sql_dml.py:_parse_matview_body + streaming/matview.py): the common
+    warehouse rollup — plain ``GROUP BY dims``, no window bucket — with
+    KEY-scoped CDC refresh: the change feed names the touched group
+    keys, and one atomic ``replace_where`` swaps exactly that key
+    region for its re-aggregate (TimescaleDB invalidation log /
+    Delta MV refresh, by concept). Flow: create over orders grouped by
+    (status, priority); DELETE a status slice; REFRESH (touches only
+    that status's 5 groups); DELETE another slice WITHOUT refreshing —
+    the final read must still be exact (store rows for untouched keys ∪
+    re-aggregated touched keys). Certified value-exact against DuckDB's
+    full recompute with both deletes applied. Key-scoped refresh cost
+    and NULL-key/alias contracts are pinned in tests/test_matview.py."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (orders,) = _prep(spark, sf_dir, "orders")
+    tmp = _tmp_table_dir(prefix="dwcs_mvd_")
+    raw = ManagedTable.create(spark, f"{tmp}/raw")
+    raw.append(
+        orders.select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_mvd_raw", f"{tmp}/raw")
+    cat.sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW global_temp.dwcs_mvd LOCATION "
+        f"'{tmp}/mv' AS SELECT o_orderstatus, o_orderpriority AS prio, "
+        f"COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total "
+        f"FROM global_temp.dwcs_mvd_raw "
+        f"GROUP BY o_orderstatus, o_orderpriority",
+    )
+    # late DML folded by a key-scoped refresh (touches one status slice)
+    cat.sql(
+        spark,
+        "DELETE FROM global_temp.dwcs_mvd_raw "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 150000",
+    )
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW global_temp.dwcs_mvd")
+    # a second slice deleted and NOT refreshed: the read must serve the
+    # exact hybrid (store ∪ touched-key re-aggregate)
+    cat.sql(
+        spark,
+        "DELETE FROM global_temp.dwcs_mvd_raw "
+        "WHERE o_orderstatus = 'O' AND o_totalprice < 5000",
+    )
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, prio, n, CAST(total AS DOUBLE) AS total "
+        "FROM global_temp.dwcs_mvd ORDER BY o_orderstatus, prio",
+    )
+
+
+CATALOG_SQL_MATVIEW_DIMS_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority AS prio,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+  AND NOT (o_orderstatus = 'O' AND o_totalprice < 5000)
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, prio
+"""
+
+
 def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-10,
     Spark/Delta's stored-statistics surface): one distributed aggregate
@@ -6072,14 +6140,11 @@ QUERIES: dict[str, QueryFn] = {
     "text_fingerprints": text_fingerprints,
     "training_data_prep": training_data_prep,
     "events_hourly": events_hourly,
-    "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_asof_last_purchase": events_asof_last_purchase,
     "events_purchase_attribution": events_purchase_attribution,
     "events_json_extract": events_json_extract,
-    "embedding_component_stats": embedding_component_stats,
     "set_ops_customers": set_ops_customers,
-    "events_pivot_by_type": events_pivot_by_type,
     "orders_grouping_sets": orders_grouping_sets,
     "lineitem_percentiles": lineitem_percentiles,
     "catalog_sql_predicate_dml": catalog_sql_predicate_dml,
@@ -6111,6 +6176,17 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_identity_bydefault_roundtrip":
         catalog_sql_identity_bydefault_roundtrip,
     "catalog_sql_matview": catalog_sql_matview,
+    # round-14 rotation (verdict item 4): the streaming flagships —
+    # the CDF replica-sync consumer contract and the continuous-
+    # aggregate CDC refresh — plus the new dims-kind materialized view
+    # take driver slots from three in-cap near-neighbors
+    # (events_sliding ≈ events_hourly's window twin;
+    # events_pivot_by_type ≈ the same grouped-agg family;
+    # embedding_component_stats ≈ similarity_topk_bruteforce's vector
+    # plumbing), which stay hash-checked below the cap.
+    "stream_cdf_replica_sync": stream_cdf_replica_sync,
+    "rollup_cdc_refresh": rollup_cdc_refresh,
+    "catalog_sql_matview_dims": catalog_sql_matview_dims,
     # -- everything below is past the driver's 50 correctness slots (every
     # slot above is taken by an oracle-backed entry, the maximum possible
     # driver-side hash coverage). First the partsupp-adapted TPC-H
@@ -6118,6 +6194,9 @@ QUERIES: dict[str, QueryFn] = {
     # hash-checks them side-by-side exactly like the driver would --
     "q6_forecast_revenue": q6_forecast_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "events_sliding": events_sliding,
+    "events_pivot_by_type": events_pivot_by_type,
+    "embedding_component_stats": embedding_component_stats,
     "orders_rollup": orders_rollup,
     "customers_with_urgent_orders": customers_with_urgent_orders,
     "q12_priority_shipping": q12_priority_shipping,
@@ -6164,7 +6243,6 @@ QUERIES: dict[str, QueryFn] = {
     "datasource_roundtrip": datasource_roundtrip,
     "cdc_read_roundtrip": cdc_read_roundtrip,
     "cdc_delete_feed": cdc_delete_feed,
-    "stream_cdf_replica_sync": stream_cdf_replica_sync,
     "dedup_semantic_incremental": dedup_semantic_incremental,
     "datasource_upsert_roundtrip": datasource_upsert_roundtrip,
     "merge_expressions_roundtrip": merge_expressions_roundtrip,
@@ -6174,7 +6252,6 @@ QUERIES: dict[str, QueryFn] = {
     "catalog_sql_time_travel": catalog_sql_time_travel,
     "catalog_sql_convert": catalog_sql_convert,
     "catalog_sql_show_partitions": catalog_sql_show_partitions,
-    "rollup_cdc_refresh": rollup_cdc_refresh,
     "stream_curation_roundtrip": stream_curation_roundtrip,
     "text_duplicate_passages": text_duplicate_passages,
     "text_unigram_logprob": text_unigram_logprob,
@@ -6317,6 +6394,7 @@ ORACLES: dict[str, str] = {
     "catalog_sql_identity_bydefault_roundtrip":
         CATALOG_SQL_IDENTITY_BYDEFAULT_SQL,
     "catalog_sql_matview": CATALOG_SQL_MATVIEW_SQL,
+    "catalog_sql_matview_dims": CATALOG_SQL_MATVIEW_DIMS_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

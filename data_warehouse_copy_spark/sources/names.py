@@ -266,6 +266,21 @@ class NamedCatalog:
             doc["matviews"][name]["cursor"] = max(int(cursor), cur)
             self._store_doc(doc)
 
+    def set_matview_auto_refresh(self, name: str, enabled: bool) -> None:
+        """Persist the ``matview.autoRefresh`` policy (round-14): when
+        true, every mutating catalog-SQL statement best-effort refreshes
+        this MV after its own commit (reads stay exact either way — the
+        policy only bounds how much re-aggregation a later read pays)."""
+        with self._mutate():
+            doc = self._doc()
+            if name not in doc["matviews"]:
+                raise KeyError(
+                    f"materialized view {name!r} not in catalog "
+                    f"{self.path}"
+                )
+            doc["matviews"][name]["auto_refresh"] = bool(enabled)
+            self._store_doc(doc)
+
     def drop_view(self, name: str) -> None:
         with self._mutate():
             doc = self._doc()

@@ -2225,6 +2225,9 @@ def resolve_view_text(spark, catalog, body: str) -> str:
 
 
 def _matview_write_guard(catalog, sql: str) -> None:
+    # note: ALTER TABLE <mv> SET/UNSET TBLPROPERTIES — the one ALTER
+    # form an MV accepts — is dispatched by _handle_matview_ddl BEFORE
+    # this guard runs
     _view_write_guard(
         catalog, sql, vnames=set(catalog.matview_names()),
         kind="MATERIALIZED VIEW", drop_stmt="DROP MATERIALIZED VIEW",
@@ -2304,7 +2307,10 @@ def _view_write_guard(
 
 _CREATE_MATVIEW_RE = re.compile(
     rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>{_QNAME})\s+"
-    rf"LOCATION\s+'(?P<loc>[^']+)'\s+AS\s+(?P<body>.+)$",
+    rf"LOCATION\s+'(?P<loc>[^']+)'\s+"
+    rf"(?:TBLPROPERTIES\s*\(\s*'matview\.autoRefresh'\s*=\s*"
+    rf"'(?P<autorefresh>true|false)'\s*\)\s+)?"
+    rf"AS\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_MATVIEW_RE = re.compile(
@@ -2342,12 +2348,23 @@ def _mv_duration_seconds(dur: str) -> int:
 
 
 def _parse_matview_body(catalog, body: str) -> dict:
-    """Validate + extract the MV invariants from the SELECT text:
-    single registered FROM table, a GROUP BY containing exactly one
-    ``window(<ts>, '<dur>')`` whose duration divides 24 h (so no bucket
-    straddles a day — the per-day refresh exactness condition), other
-    grouping items plain column refs, and a ``window_start`` output
-    column (the store's partition column)."""
+    """Validate + extract the MV invariants from the SELECT text.
+    Two kinds (round-14 adds the second):
+
+    - ``kind="window"``: GROUP BY contains exactly one ``window(<ts>,
+      '<dur>')`` whose duration divides 24 h (so no bucket straddles a
+      day — the per-day refresh exactness condition), other grouping
+      items plain column refs, and a ``window_start`` output column
+      (the store's partition column). Refresh scope = touched DAYS.
+    - ``kind="dims"``: GROUP BY is plain column refs only (the common
+      warehouse rollup, ``GROUP BY region, status``); every grouping
+      column must also appear as a plain select item (optionally
+      aliased) — it is the store's key. Refresh scope = touched KEYS
+      from the change feed.
+
+    Both require a single registered FROM table; joins, global
+    aggregates (no GROUP BY) and expression grouping items reject
+    loudly."""
     toks = _tokenize(body)
     if not toks or toks[0].text.lower() != "select":
         raise SqlDmlError(
@@ -2374,15 +2391,6 @@ def _parse_matview_body(catalog, body: str) -> dict:
         raise SqlDmlError(
             f"materialized view base {base!r} is not a registered table"
         )
-    if not any(
-        t.kind == "ident" and t.text.lower() == "window_start"
-        for t in toks[:from_i]
-    ):
-        raise SqlDmlError(
-            "materialized view SELECT must expose the bucket as a "
-            "window_start column (e.g. window.start AS window_start) — "
-            "it is the store's day-partition column"
-        )
     # locate top-level GROUP BY
     gi = None
     depth = 0
@@ -2400,10 +2408,15 @@ def _parse_matview_body(catalog, body: str) -> dict:
             break
     if gi is None:
         raise SqlDmlError(
-            "materialized view needs GROUP BY window(<ts>, '<duration>')"
+            "materialized view needs GROUP BY — either "
+            "window(<ts>, '<duration>') [, dims] (day-scoped refresh) "
+            "or plain columns (key-scoped refresh); global aggregates "
+            "are not supported"
         )
+    # collect the GROUP BY token range and scan for window(...)
     ts_col = None
     duration = None
+    gb_toks: list = []
     i = gi
     depth = 0
     while i < len(toks):
@@ -2436,20 +2449,87 @@ def _parse_matview_body(catalog, body: str) -> dict:
             duration = toks[i + 4].text.strip("'\"")
             i += 6
             continue
+        gb_toks.append(t)
         i += 1
-    if ts_col is None:
-        raise SqlDmlError(
-            "materialized view GROUP BY must contain "
-            "window(<ts_col>, '<duration>') — day-aligned buckets are "
-            "what make per-day refresh exact"
-        )
-    secs = _mv_duration_seconds(duration)
-    if 86400 % secs != 0:
-        raise SqlDmlError(
-            f"materialized-view window duration {duration!r} must "
-            f"divide 24 h so no bucket straddles a day boundary"
-        )
-    return {"base": base, "ts_col": ts_col, "duration": duration}
+    if ts_col is not None:
+        if not any(
+            t.kind == "ident" and t.text.lower() == "window_start"
+            for t in toks[:from_i]
+        ):
+            raise SqlDmlError(
+                "materialized view SELECT must expose the bucket as a "
+                "window_start column (e.g. window.start AS "
+                "window_start) — it is the store's day-partition column"
+            )
+        secs = _mv_duration_seconds(duration)
+        if 86400 % secs != 0:
+            raise SqlDmlError(
+                f"materialized-view window duration {duration!r} must "
+                f"divide 24 h so no bucket straddles a day boundary"
+            )
+        return {
+            "base": base, "kind": "window", "ts_col": ts_col,
+            "duration": duration,
+        }
+    # dims kind: every grouping item must be ONE plain column ref
+    items: list = []
+    cur: list = []
+    for t in gb_toks:
+        if t.kind == "punct" and t.text == ",":
+            items.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    items.append(cur)
+    raw_dims: list = []
+    for it in items:
+        if len(it) != 1 or it[0].kind != "ident":
+            raise SqlDmlError(
+                "materialized view GROUP BY items must be plain column "
+                "refs (or one window(<ts>, '<dur>') bucket) — "
+                "expression grouping keys are not supported; "
+                f"got {' '.join(t.text for t in it) or '<empty>'!r}"
+            )
+        raw_dims.append(it[0].text.split(".")[-1].lower())
+    # map each grouping column to its OUTPUT name via the select list
+    sel_items: list = []
+    cur = []
+    depth = 0
+    for t in toks[1:from_i]:
+        if t.kind == "punct":
+            depth += t.text == "("
+            depth -= t.text == ")"
+        if t.kind == "punct" and t.text == "," and depth == 0:
+            sel_items.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    sel_items.append(cur)
+    out_of: dict = {}
+    for it in sel_items:
+        if len(it) == 1 and it[0].kind == "ident":
+            raw = it[0].text.split(".")[-1].lower()
+            out_of.setdefault(raw, raw)
+        elif (
+            len(it) == 3
+            and it[0].kind == "ident"
+            and it[1].kind == "ident"
+            and it[1].text.lower() == "as"
+            and it[2].kind == "ident"
+        ):
+            out_of.setdefault(
+                it[0].text.split(".")[-1].lower(), it[2].text.lower()
+            )
+    dims: list = []
+    for rc in raw_dims:
+        if rc not in out_of:
+            raise SqlDmlError(
+                f"materialized view grouping column {rc!r} must appear "
+                f"as a plain select item (optionally aliased) — it is "
+                f"the store's key, so the output must carry it"
+            )
+        dims.append([rc, out_of[rc]])
+    return {"base": base, "kind": "dims", "dims": dims}
 
 
 def _handle_matview_ddl(spark, catalog, sql: str):
@@ -2476,6 +2556,10 @@ def _handle_matview_ddl(spark, catalog, sql: str):
             )
         meta = _parse_matview_body(catalog, body)
         meta.update(sql=body, location=m.group("loc"), cursor=0)
+        if m.group("autorefresh") is not None:
+            meta["auto_refresh"] = (
+                m.group("autorefresh").lower() == "true"
+            )
         catalog.register_matview(name, meta)
         try:
             n = MaterializedView(spark, catalog, name).build()
@@ -2483,6 +2567,45 @@ def _handle_matview_ddl(spark, catalog, sql: str):
             catalog.drop_matview(name)  # never persist a broken MV
             raise
         return _summary(spark, "CREATE MATERIALIZED VIEW", n)
+    m = re.match(
+        rf"^\s*ALTER\s+TABLE\s+(?P<name>{_QNAME})\s+"
+        rf"(?P<op>SET|UNSET)\s+TBLPROPERTIES\s*\((?P<props>[^)]*)\)"
+        rf"\s*;?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m is not None and m.group("name") in set(catalog.matview_names()):
+        # ALTER TABLE on a MATERIALIZED VIEW name (round-14): the only
+        # MV property is the autoRefresh policy — anything else is loud.
+        # Handled HERE, before _resolve_matviews would rewrite the MV
+        # reference into its read-time temp view.
+        name = m.group("name")
+        unset = m.group("op").upper() == "UNSET"
+        pairs = re.findall(
+            r"'([^']+)'(?:\s*=\s*'([^']*)')?", m.group("props")
+        )
+        if not pairs:
+            raise SqlDmlError("TBLPROPERTIES list is empty")
+        for key, val in pairs:
+            if key != "matview.autoRefresh":
+                raise SqlDmlError(
+                    f"unsupported materialized-view property {key!r}; "
+                    f"supported: 'matview.autoRefresh' ('true'|'false')"
+                )
+            if unset:
+                catalog.set_matview_auto_refresh(name, False)
+            elif val.lower() in ("true", "false"):
+                catalog.set_matview_auto_refresh(
+                    name, val.lower() == "true"
+                )
+            else:
+                raise SqlDmlError(
+                    f"'matview.autoRefresh' takes 'true' or 'false', "
+                    f"got {val!r}"
+                )
+        return _summary(
+            spark, f"ALTER {'UNSET' if unset else 'SET'}_PROPERTIES", 0
+        )
     m = _DROP_MATVIEW_RE.match(sql)
     if m is not None:
         name = m.group("name")
@@ -2544,9 +2667,15 @@ def _handle_matview_ddl(spark, catalog, sql: str):
         # SHOW CREATE TABLE/VIEW on an MV: emit the re-runnable DDL
         name = m.group("name")
         mv = catalog.matview(name)
+        props = (
+            "TBLPROPERTIES ('matview.autoRefresh' = "
+            f"'{str(bool(mv.get('auto_refresh'))).lower()}') "
+            if mv.get("auto_refresh") is not None
+            else ""
+        )
         ddl = (
             f"CREATE MATERIALIZED VIEW {name} LOCATION "
-            f"'{mv['location']}' AS {mv['sql']}"
+            f"'{mv['location']}' {props}AS {mv['sql']}"
         )
         return spark.createDataFrame(
             [(ddl,)],
@@ -2723,7 +2852,15 @@ def _handle_view_ddl(spark, catalog, sql: str):
                 f"global-temp database {gdb!r}; use {gdb}.{vshort}"
             )
         catalog.register_view(name, body, refs)
-        # keep the pure-SQL surface in step with the catalog
+        # session mirror for the pure-SQL surface. Known boundary
+        # (round-14, advice): an MV-referencing body resolves through a
+        # __dwcs_mv_* temp view whose plan is version-pinned at the
+        # LAST _resolve_matviews run — so PLAIN spark.sql over the
+        # mirror can go stale after later base-table writes (same
+        # attach-pinning contract as table views; names.py module
+        # docstring; pinned in tests/test_matview.py). catalog.sql
+        # stays exact (it re-resolves per statement);
+        # catalog.refresh(spark)/attach re-pin the mirror.
         spark.sql(
             f"CREATE OR REPLACE GLOBAL TEMPORARY VIEW `{vshort}` "
             f"AS {resolved}"
@@ -3752,8 +3889,56 @@ def _try_dynamic_prune_in_subquery(
         # filters). The EXISTS predicate itself survives the rewrite
         # against the SAME pinned dim, so every push is a pre-filter,
         # never the semantics.
+        def _qual_side(tok):
+            """('dim'|'fact', column) when ``tok`` is an alias-qualified
+            single-dot ident of either side; None otherwise."""
+            if tok.kind != "ident" or tok.text.count(".") != 1:
+                return None
+            q, c2 = tok.text.split(".")
+            if q.lower() == dalias:
+                return "dim", c2
+            if q.lower() == falias:
+                return "fact", c2
+            return None
+
+        def match_shift_eq(cc):
+            """Constant-shift equality correlation (round-14, verdict
+            item 6): ``d.c = f.k ± N`` / ``f.k ± N = d.c`` / ``d.c ± N
+            = f.k`` / ``f.k = d.c ± N`` with an INTEGER literal N
+            decorrelates to a SHIFTED in-list — ∃d: d.c = f.k + n  ⇔
+            f.k ∈ {v − n : v ∈ dim values}. Returns (dim_col, fact_col,
+            shift) where ``fact key = dim value + shift``; int-only
+            (float shifts would be inexact)."""
+            if not (
+                len(cc) == 5
+                and cc[1].kind == "punct"
+                and cc[3].kind == "punct"
+                and {cc[1].text, cc[3].text} <= {"=", "+", "-"}
+            ):
+                return None
+            if cc[1].text == "=" and cc[3].text in ("+", "-"):
+                lhs, rhs, sgn_tok, num_tok = cc[0], cc[2], cc[3], cc[4]
+            elif cc[3].text == "=" and cc[1].text in ("+", "-"):
+                lhs, rhs, sgn_tok, num_tok = cc[4], cc[0], cc[1], cc[2]
+            else:
+                return None
+            # lhs = plain side; rhs ± N = shifted side
+            if num_tok.kind != "number" or "." in num_tok.text:
+                return None
+            n = int(num_tok.text)
+            if sgn_tok.text == "-":
+                n = -n
+            a, b = _qual_side(lhs), _qual_side(rhs)
+            if a is None or b is None or a[0] == b[0]:
+                return None
+            if a[0] == "dim":
+                # d.c = f.k + n  ->  f.k = v - n
+                return a[1], b[1], -n
+            # f.k = d.c + n  ->  f.k = v + n
+            return b[1], a[1], n
+
         _CMP = {"=", "<", "<=", ">", ">="}
-        eqs: list = []     # (dim_col, fact_col)
+        eqs: list = []     # (dim_col, fact_col, shift)
         ineqs: list = []   # (dim_col, fact_col, fact_op, agg)
         rest: list = []
         for cc in inner_conj:
@@ -3780,7 +3965,7 @@ def _try_dynamic_prune_in_subquery(
                 if pair is not None:
                     dc, fc, op = pair
                     if op == "=":
-                        eqs.append((dc, fc))
+                        eqs.append((dc, fc, 0))
                     elif op in (">", ">="):
                         # ∃d: d.c >/>= f.k ⇔ f.k </<= max(d.c)
                         ineqs.append(
@@ -3791,15 +3976,31 @@ def _try_dynamic_prune_in_subquery(
                             (dc, fc, ">" if op == "<" else ">=", "min")
                         )
                     continue
+            sh = match_shift_eq(cc)
+            if sh is not None:
+                eqs.append(sh)
+                continue
             quals, bare, sub = _dfp_conjunct_refs(cc)
             if sub or bare or quals != {dalias}:
+                if (
+                    info is not None
+                    and "fallback_reason" not in info
+                    and dalias in quals
+                    and falias in quals
+                ):
+                    # a correlation we cannot decorrelate: say WHICH
+                    # expression, so the full-scan is a named decision
+                    info["fallback_reason"] = (
+                        "unsupported EXISTS correlation expression: "
+                        + " ".join(t.text for t in cc)
+                    )
                 return None  # not provably dim-only
             rest.append(cc)
         if not eqs and not ineqs:
             return None
-        if len(eqs) == 1 and not ineqs:
+        if len(eqs) == 1 and not ineqs and eqs[0][2] == 0:
             # the round-12 single-equality probe path, unchanged
-            dim_col, fact_col = eqs[0]
+            dim_col, fact_col, _shift0 = eqs[0]
             probe_toks = (
                 [_Tok("ident", "SELECT"), _Tok("ident", dim_col),
                  _Tok("ident", "FROM"), _Tok("ident", dname)]
@@ -3907,23 +4108,36 @@ def _try_dynamic_prune_in_subquery(
                 # column's value set pushes independently (conservative
                 # superset of the true tuple set — the surviving EXISTS
                 # enforces tuple membership)
-                cols = ", ".join(f"{da}.{dc}" for dc, _fc in multi["eqs"])
+                cols = ", ".join(
+                    f"{da}.{dc}" for dc, _fc, _sh in multi["eqs"]
+                )
                 rows = spark.sql(
                     f"SELECT DISTINCT {cols} {base} "
                     f"LIMIT {_DFP_MAX_KEYS + 1}"
                 ).collect()
                 if len(rows) <= _DFP_MAX_KEYS:
-                    for i2, (_dc, fc) in enumerate(multi["eqs"]):
-                        ks = sorted({
-                            r[i2] for r in rows if r[i2] is not None
-                        })
-                        if all(
-                            isinstance(kk, (int, str))
-                            and not isinstance(kk, bool)
-                            for kk in ks
-                        ):
-                            triples.append([fc, "in", ks])
-                            n_keys = max(n_keys, len(ks))
+                    for i2, (_dc, fc, shift) in enumerate(multi["eqs"]):
+                        vals = {r[i2] for r in rows if r[i2] is not None}
+                        if shift:
+                            # shifted in-list: int values only (the
+                            # shift itself is int by construction)
+                            if not all(
+                                isinstance(kk, int)
+                                and not isinstance(kk, bool)
+                                for kk in vals
+                            ):
+                                continue
+                            ks = sorted(kk + shift for kk in vals)
+                        else:
+                            ks = sorted(vals)
+                            if not all(
+                                isinstance(kk, (int, str))
+                                and not isinstance(kk, bool)
+                                for kk in ks
+                            ):
+                                continue
+                        triples.append([fc, "in", ks])
+                        n_keys = max(n_keys, len(ks))
             for _dc, fc, fop, agg in multi["ineqs"]:
                 row = spark.sql(f"SELECT {agg}({da}.{_dc}) {base}").first()
                 b = row[0] if row is not None else None
@@ -3991,11 +4205,53 @@ def _try_dynamic_prune_in_subquery(
     return df
 
 
+#: statements that can advance a registered base table's head — the
+#: only shapes worth paying the autoRefresh head-probe after
+_MUTATING_SQL_RE = re.compile(
+    r"^\s*(INSERT|UPDATE|DELETE|MERGE|TRUNCATE|COPY|RESTORE)\b",
+    re.IGNORECASE,
+)
+
+
+def _auto_refresh_matviews(spark, catalog) -> None:
+    """Best-effort post-commit hook (round-14, the auto-compact
+    pattern): refresh every ``matview.autoRefresh`` MV whose base moved
+    past its cursor. BEST-EFFORT BY CONTRACT — the triggering commit is
+    already durable, so any failure here (a racing refresh, a vacuumed
+    feed file) logs and moves on rather than failing a committed write.
+    Reads are exact with or without the policy (the hybrid read); the
+    policy only bounds the re-aggregation a later read pays."""
+    from data_warehouse_copy_spark.streaming.matview import (
+        MaterializedView,
+    )
+
+    for name in catalog.matview_names():
+        try:
+            mv = MaterializedView(spark, catalog, name)
+            if not mv.meta.get("auto_refresh"):
+                continue
+            if mv._raw()._head_version() > int(mv.meta["cursor"]):
+                mv.refresh()
+        except Exception as exc:  # noqa: BLE001 — best-effort contract
+            logging.getLogger("dwcs.matview").warning(
+                "autoRefresh of %s skipped: %s", name, exc
+            )
+
+
 def execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
     """Run ``sql`` with catalog-aware DML routing (the body of
-    ``NamedCatalog.sql``). DML returns a one-row summary frame
-    ``(operation, rows_affected)`` — the shape Delta's SQL DML returns
-    metrics in; non-DML returns ``spark.sql``'s own result."""
+    ``NamedCatalog.sql``); after a mutating statement, fire the
+    best-effort ``matview.autoRefresh`` post-commit hook."""
+    out = _execute_sql(spark, catalog, sql)
+    if _MUTATING_SQL_RE.match(sql) and hasattr(catalog, "matview_names"):
+        _auto_refresh_matviews(spark, catalog)
+    return out
+
+
+def _execute_sql(spark: SparkSession, catalog, sql: str) -> DataFrame:
+    """DML returns a one-row summary frame ``(operation,
+    rows_affected)`` — the shape Delta's SQL DML returns metrics in;
+    non-DML returns ``spark.sql``'s own result."""
     from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 
     if hasattr(catalog, "matview_names"):

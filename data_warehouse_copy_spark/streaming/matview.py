@@ -34,17 +34,29 @@ from pyspark.sql import functions as F
 from data_warehouse_copy_spark.sources.managed_table import ManagedTable
 from data_warehouse_copy_spark.streaming.rollup import ContinuousAggregate
 
+#: refresh in-list cap per grouping column (dims kind): beyond it the
+#: per-key replace_where predicate would outweigh a full rebuild
+_MV_DIMS_MAX_KEYS = 10_000
+#: SHOW/DESCRIBE staleness listing cap (dims kind)
+_MV_DIMS_SHOW = 32
+
 
 class MaterializedView:
     """Runtime half of ``CREATE MATERIALIZED VIEW``: wraps the catalog
-    metadata (stored SELECT, base table, store location, ts column,
-    cursor) and serves build/read/refresh/staleness."""
+    metadata (stored SELECT, base table, store location, refresh-scope
+    spec, cursor) and serves build/read/refresh/staleness. Two kinds:
+    ``window`` (day-partitioned store, day-scoped CDC refresh — the
+    round-13 original) and ``dims`` (round-14: a plain ``GROUP BY
+    dims`` rollup — key-scoped CDC refresh; the change feed names the
+    touched group keys, exactly those groups re-aggregate)."""
 
     def __init__(self, spark: SparkSession, catalog, name: str):
         self.spark = spark
         self.catalog = catalog
         self.name = name
         self.meta = catalog.matview(name)
+        # pre-round-14 catalogs carry no kind: they are all window MVs
+        self.kind = self.meta.get("kind", "window")
 
     # ------------------------------------------------------------ plumbing
 
@@ -98,6 +110,120 @@ class MaterializedView:
             self.spark.catalog.dropTempView(v)
         return df
 
+    # ---------------------------------------------------- dims-kind plumbing
+
+    def _dims(self) -> "list[tuple[str, str]]":
+        """[(raw column, output/store column), ...] of a dims-kind MV."""
+        return [tuple(p) for p in self.meta["dims"]]
+
+    def _touched_keys(self, head: int) -> "DataFrame | None":
+        """DISTINCT group keys named by the change feed past the cursor
+        (pre- and postimages both count — an update moving a row
+        between groups touches both), as a DataFrame under the RAW
+        column names. None when the cursor is at head. O(changed
+        rows)."""
+        cursor = int(self.meta["cursor"])
+        if head <= cursor:
+            return None
+        raw_cols = [rc for rc, _ in self._dims()]
+        return (
+            self._raw()
+            .read_cdf(cursor, head)
+            .select(*[F.col(rc) for rc in raw_cols])
+            .distinct()
+        )
+
+    @staticmethod
+    def _key_bounds(rows: list, raw_cols: "list[str]") -> "list | None":
+        """Manifest-level scan bounds from collected touched keys —
+        per-column [min, max] spans (a Python DS relation gets no
+        pushed filters, so these ``where`` triples are what keep the
+        re-aggregate from opening every raw file). Only orderable
+        scalar types contribute; the exact per-key filter applies on
+        top regardless."""
+        out = []
+        for i, rc in enumerate(raw_cols):
+            vals = [
+                r[i] for r in rows
+                if isinstance(r[i], (int, float, str))
+                and not isinstance(r[i], bool)
+            ]
+            if len(vals) == len(rows) and vals:
+                out.append((rc, ">=", min(vals)))
+                out.append((rc, "<=", max(vals)))
+        return out or None
+
+    def _dims_refresh(self) -> dict:
+        """Key-scoped CDC refresh: the touched keys' per-column value
+        sets form a conjunctive in-list predicate; ONE atomic
+        ``replace_where`` swaps that region's store rows for its
+        re-aggregate at the raw head. The per-column cartesian is a
+        SUPERSET of the strictly-touched tuples, but delete-region ==
+        recompute-domain, so the swap is exact (groups that vanished
+        from the base are deleted and not re-inserted). Cost ∝ changed
+        rows + the touched region's raw data. A column with more than
+        ``_MV_DIMS_MAX_KEYS`` touched values falls back to one full
+        rebuild (atomic overwrite) — logged in the result as
+        ``days=['<full-rebuild>']``."""
+        raw = self._raw()
+        head = raw._head_version()
+        touched = self._touched_keys(head)
+        if touched is None:
+            return {"to_version": int(self.meta["cursor"]), "days": [],
+                    "deleted": 0, "inserted": 0}
+        dims = self._dims()
+        raw_cols = [rc for rc, _ in dims]
+        rows = touched.limit(_MV_DIMS_MAX_KEYS + 1).collect()
+        store = ManagedTable(self.spark, self.meta["location"])
+        if not rows:
+            # schema-only / no-data-change commits: just advance
+            return {"to_version": head, "days": [],
+                    "deleted": 0, "inserted": 0}
+        if len(rows) > _MV_DIMS_MAX_KEYS:
+            n = store.overwrite(self.aggregate(raw.read(version=head)))
+            return {"to_version": head, "days": ["<full-rebuild>"],
+                    "deleted": 0, "inserted": n}
+        if any(v is None for r in rows for v in r):
+            # NULL group keys break in-list semantics (NULL IN (...) is
+            # never TRUE) — replace_where would miss those rows. Full
+            # rebuild keeps the refresh exact.
+            n = store.overwrite(self.aggregate(raw.read(version=head)))
+            return {"to_version": head, "days": ["<full-rebuild>"],
+                    "deleted": 0, "inserted": n}
+        per_col = {
+            rc: sorted({r[i] for r in rows})
+            for i, rc in enumerate(raw_cols)
+        }
+        region_raw = [(rc, "in", per_col[rc]) for rc in raw_cols]
+        region_store = [
+            (oc, "in", per_col[rc]) for rc, oc in dims
+        ]
+        src = raw.read(
+            version=head, where=self._key_bounds(rows, raw_cols)
+        )
+        flt = None
+        for rc in raw_cols:
+            p = F.col(rc).isin(per_col[rc])
+            flt = p if flt is None else (flt & p)
+        fresh = self.aggregate(src.where(flt))
+        n_del, n_ins = store.replace_where(fresh, region_store)
+        keys = self._serialize_keys(rows, raw_cols)
+        return {"to_version": head, "days": keys,
+                "deleted": n_del, "inserted": n_ins}
+
+    @staticmethod
+    def _serialize_keys(rows: list, raw_cols: "list[str]") -> "list[str]":
+        """Human-readable touched-key listing for the REFRESH/SHOW/
+        DESCRIBE surfaces (their ``days`` columns are array<string>),
+        capped at ``_MV_DIMS_SHOW`` with an overflow marker."""
+        out = sorted(
+            ",".join(f"{c}={r[i]}" for i, c in enumerate(raw_cols))
+            for r in rows[:_MV_DIMS_SHOW]
+        )
+        if len(rows) > _MV_DIMS_SHOW:
+            out.append(f"... (+{len(rows) - _MV_DIMS_SHOW} more)")
+        return out
+
     # ------------------------------------------------------------- actions
 
     def build(self) -> int:
@@ -106,30 +232,46 @@ class MaterializedView:
         head."""
         raw = self._raw()
         head = raw._head_version()
-        n = self._rollup().backfill(raw.read(version=head))
+        if self.kind == "dims":
+            n = ManagedTable.create(
+                self.spark, self.meta["location"]
+            ).overwrite(self.aggregate(raw.read(version=head)))
+        else:
+            n = self._rollup().backfill(raw.read(version=head))
         self.catalog.set_matview_cursor(self.name, head)
         self.meta["cursor"] = head
         return n
 
     def refresh(self) -> dict:
-        """``REFRESH MATERIALIZED VIEW``: CDC-driven day-scoped refresh
-        (``refresh_from_changes`` — cost ∝ changed rows + touched days'
-        raw data, never history), then advance the persisted cursor."""
-        res = self._rollup().refresh_from_changes(
-            self._raw(), int(self.meta["cursor"])
-        )
+        """``REFRESH MATERIALIZED VIEW``: CDC-driven scoped refresh —
+        day-scoped for window MVs (``refresh_from_changes``), key-scoped
+        for dims MVs (``_dims_refresh``); cost ∝ changed rows + the
+        touched slice's raw data, never history. Advances the persisted
+        cursor."""
+        if self.kind == "dims":
+            res = self._dims_refresh()
+        else:
+            res = self._rollup().refresh_from_changes(
+                self._raw(), int(self.meta["cursor"])
+            )
         self.catalog.set_matview_cursor(self.name, res["to_version"])
         self.meta["cursor"] = res["to_version"]
         return res
 
     def pending_days(self) -> "tuple[int, list[str]]":
-        """(raw head version, days touched past the cursor) — the
-        staleness surface. O(changed rows), no aggregation."""
+        """(raw head version, staleness listing past the cursor) — days
+        for window MVs, serialized touched keys for dims MVs (capped at
+        ``_MV_DIMS_SHOW``). O(changed rows), no aggregation."""
         raw = self._raw()
         head = raw._head_version()
         cursor = int(self.meta["cursor"])
         if head <= cursor:
             return head, []
+        if self.kind == "dims":
+            touched = self._touched_keys(head)
+            raw_cols = [rc for rc, _ in self._dims()]
+            rows = touched.limit(_MV_DIMS_MAX_KEYS + 1).collect()
+            return head, self._serialize_keys(rows, raw_cols)
         days = sorted(
             str(r["d"])
             for r in raw.read_cdf(cursor, head)
@@ -141,12 +283,53 @@ class MaterializedView:
         return head, days
 
     def read(self) -> DataFrame:
-        """EXACT read at the raw head: rollup rows for days untouched
-        since the cursor ∪ the stored aggregate over the touched days'
-        raw rows (version-pinned). Between refreshes this is the
-        TimescaleDB real-time-aggregation shape; after a refresh the
-        touched set is empty and the read is the plain rollup scan."""
+        """EXACT read at the raw head: store rows for the slices
+        untouched since the cursor ∪ the stored aggregate over the
+        touched slices' raw rows (version-pinned). Between refreshes
+        this is the TimescaleDB real-time-aggregation shape; after a
+        refresh the touched set is empty and the read is the plain
+        store scan. Window MVs slice by day; dims MVs slice by group
+        key (semi/anti joins against the touched-key set — never a
+        collect of data rows)."""
         store = ManagedTable(self.spark, self.meta["location"])
+        if self.kind == "dims":
+            raw = self._raw()
+            head = raw._head_version()
+            touched = self._touched_keys(head)
+            if touched is None:
+                return store.read()
+            dims = self._dims()
+            raw_cols = [rc for rc, _ in dims]
+            # bounded sample only to decide emptiness + derive scan
+            # bounds; the joins below carry the EXACT key set
+            sample = touched.limit(_MV_DIMS_MAX_KEYS + 1).collect()
+            if not sample:
+                return store.read()
+            bounds = (
+                self._key_bounds(sample, raw_cols)
+                if len(sample) <= _MV_DIMS_MAX_KEYS
+                else None
+            )
+            # NULL-SAFE join keys: NULL group keys are legal GROUP BY
+            # output, and a null-unsafe semi/anti pair would silently
+            # serve the stale store row for the NULL group
+            src = raw.read(version=head, where=bounds)
+            cond = None
+            for rc in raw_cols:
+                p = src[rc].eqNullSafe(touched[rc])
+                cond = p if cond is None else (cond & p)
+            fresh = self.aggregate(src.join(touched, cond, "semi"))
+            touched_out = touched.select(
+                *[F.col(rc).alias(oc) for rc, oc in dims]
+            )
+            stored = store.read()
+            acond = None
+            for _, oc in dims:
+                p = stored[oc].eqNullSafe(touched_out[oc])
+                acond = p if acond is None else (acond & p)
+            return stored.join(touched_out, acond, "left_anti").unionByName(
+                fresh
+            )
         head, days = self.pending_days()
         if not days:
             return store.read()

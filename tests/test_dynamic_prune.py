@@ -868,3 +868,66 @@ def test_dfp_gate_random_star_queries_value_exact(spark, star):
         assert got == want, (seed, q, info)
     # the gate must not degenerate to reject-everything
     assert landed >= 3, f"only {landed}/30 random queries pruned"
+
+
+def test_dfp_exists_constant_shift_correlation(spark, star):
+    """Round-14 (verdict item 6): ``EXISTS (... WHERE d.dk = f.k + N)``
+    decorrelates to a SHIFTED in-list — ∃d: d.dk = f.k + n ⇔ f.k ∈
+    {v − n} — pushed into the fact scan; the EXISTS itself survives
+    against the same pinned dim, so results stay value-exact. All four
+    syntactic placements of the shift land."""
+    cat, fact, _dim = star
+    forms = [
+        "d.dk = f.k + 1000",
+        "f.k + 1000 = d.dk",
+        "f.k = d.dk - 1000",
+        "d.dk - 1000 = f.k",
+    ]
+    for corr in forms:
+        q = (
+            f"SELECT f.k, f.v FROM global_temp.f f WHERE EXISTS "
+            f"(SELECT 1 FROM global_temp.d d WHERE {corr} "
+            f"AND d.tier = 'hot')"
+        )
+        info: dict = {}
+        df = try_dynamic_prune(spark, cat, q, info)
+        assert df is not None, (corr, info)
+        got = sorted((r.k, r.v) for r in df.collect())
+        want = sorted((r.k, r.v) for r in spark.sql(q).collect())
+        assert got == want and len(got) == 10, corr
+        # the shifted in-list covers exactly the hot keys minus 1000
+        trips = json.loads(info["where_json"])
+        assert trips == [["k", "in", list(range(10))]], (corr, trips)
+    # ... and the pushed predicate really prunes fact files
+    reader = ManagedTableBatchReader(
+        str(fact.root),
+        {"where": json.dumps([["k", "in", list(range(10))]])},
+        fact.read().schema,
+    )
+    assert len(reader.partitions()) < len(fact.snapshot().files)
+
+
+def test_dfp_exists_unsupported_correlation_named_fallback(spark, star):
+    """Correlations the decorrelator cannot handle fall back to the
+    full scan LOUDLY — the fallback reason names the exact expression,
+    so a user with a computed join key sees WHY pruning did not fire."""
+    cat, _fact, _dim = star
+    for corr, frag in [
+        ("d.dk = f.k * 2", "f.k * 2"),
+        ("abs(d.dk) = f.k", "abs"),
+        ("d.dk = f.k + 1.5", "1.5"),
+    ]:
+        q = (
+            f"SELECT f.k FROM global_temp.f f WHERE EXISTS "
+            f"(SELECT 1 FROM global_temp.d d WHERE {corr})"
+        )
+        info: dict = {}
+        df = try_dynamic_prune(spark, cat, q, info)
+        if df is not None:
+            # a rewrite may only land if value-exact
+            assert df.count() == spark.sql(q).count(), corr
+            continue
+        assert "unsupported EXISTS correlation expression" in info.get(
+            "fallback_reason", ""
+        ), (corr, info)
+        assert frag in info["fallback_reason"], (corr, info)

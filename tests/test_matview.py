@@ -189,13 +189,28 @@ def test_matview_refresh_cost_is_day_scoped(spark, tmp_path):
 def test_matview_grammar_validation(spark, tmp_path):
     cat, _raw = _mk_raw(spark, tmp_path)
     loc = tmp_path / "mv"
-    # no window bucket
-    with pytest.raises(SqlDmlError, match="window"):
+    # no GROUP BY at all (global aggregate): loud — neither kind
+    with pytest.raises(SqlDmlError, match="GROUP BY"):
         cat.sql(
             spark,
             f"CREATE MATERIALIZED VIEW global_temp.bad LOCATION '{loc}' "
-            f"AS SELECT event_type, COUNT(*) AS n, "
-            f"CAST(NULL AS TIMESTAMP) AS window_start "
+            f"AS SELECT COUNT(*) AS n FROM global_temp.mraw",
+        )
+    # expression grouping key without a window bucket: loud (round-14:
+    # a windowless GROUP BY is the dims kind, which needs plain refs)
+    with pytest.raises(SqlDmlError, match="plain column"):
+        cat.sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW global_temp.bad LOCATION '{loc}' "
+            f"AS SELECT upper(event_type) AS e, COUNT(*) AS n "
+            f"FROM global_temp.mraw GROUP BY upper(event_type)",
+        )
+    # dims kind: every grouping column must be a plain select item
+    with pytest.raises(SqlDmlError, match="plain select item"):
+        cat.sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW global_temp.bad LOCATION '{loc}' "
+            f"AS SELECT COUNT(*) AS n "
             f"FROM global_temp.mraw GROUP BY event_type",
         )
     # duration must divide 24 h
@@ -340,3 +355,277 @@ def test_matview_persists_across_catalog_reopen(spark, tmp_path):
     )
     got = _rows(cat2.sql(spark, "SELECT * FROM global_temp.mmv"))
     assert got == _recompute(spark, cat2)  # cursor + text survived
+
+
+# ---------------------------------------------------------------------------
+# Round-14 (verdict item 3): dims-kind materialized views — plain
+# ``GROUP BY dims`` rollups with KEY-scoped CDC refresh (the touched
+# group keys come from the change feed; exactly that region of the store
+# is swapped for its re-aggregate in one atomic replace_where).
+# ---------------------------------------------------------------------------
+
+
+def _mk_dims_raw(spark, tmp_path):
+    raw = ManagedTable.create(spark, tmp_path / "draw")
+    raw.append(
+        spark.createDataFrame(
+            [("eu", "ok", 10), ("eu", "ok", 5), ("eu", "err", 1),
+             ("us", "ok", 7), ("ap", "ok", 2), ("ap", "err", 3)],
+            "region string, status string, amount int",
+        )
+    )
+    cat = NamedCatalog(tmp_path / "cat.json")
+    cat.register("global_temp.draw", str(tmp_path / "draw"))
+    cat.attach(spark)
+    return cat, raw
+
+
+DIMS_DDL = (
+    "CREATE MATERIALIZED VIEW global_temp.dmv LOCATION '{loc}' AS "
+    "SELECT region, status AS st, COUNT(*) AS n, SUM(amount) AS total "
+    "FROM global_temp.draw GROUP BY region, status"
+)
+
+DIMS_RECOMPUTE = (
+    "SELECT region, status AS st, COUNT(*) AS n, SUM(amount) AS total "
+    "FROM global_temp.draw GROUP BY region, status"
+)
+
+
+def test_matview_dims_create_read_refresh_exact(spark, tmp_path):
+    """Create / exact pre-refresh reads under late DML (new group, grown
+    group, VANISHED group) / key-scoped refresh / staleness surfaces.
+    The store key uses the select-list ALIAS (status AS st)."""
+    cat, raw = _mk_dims_raw(spark, tmp_path)
+    r = cat.sql(spark, DIMS_DDL.format(loc=tmp_path / "dmv")).first()
+    assert r.operation == "CREATE MATERIALIZED VIEW" and r.rows_affected == 5
+
+    def recompute():
+        cat.refresh(spark)
+        return _rows(spark.sql(DIMS_RECOMPUTE))
+
+    got = _rows(cat.sql(spark, "SELECT * FROM global_temp.dmv"))
+    assert got == recompute() and len(got) == 5
+    # late DML: grow eu-ok, add a brand-new group, vanish us entirely
+    raw.append(
+        spark.createDataFrame(
+            [("eu", "ok", 100), ("sa", "new", 9)],
+            "region string, status string, amount int",
+        )
+    )
+    raw.delete([("region", "=", "us")])
+    d = cat.sql(spark, "DESCRIBE DETAIL global_temp.dmv").first()
+    assert d.stale and sorted(d.pending_days) == [
+        "region=eu,status=ok", "region=sa,status=new",
+        "region=us,status=ok",
+    ]
+    assert _rows(
+        cat.sql(spark, "SELECT * FROM global_temp.dmv")
+    ) == recompute()  # exact BEFORE any refresh
+    rr = cat.sql(spark, "REFRESH MATERIALIZED VIEW global_temp.dmv").first()
+    assert sorted(rr.refreshed_days) == [
+        "region=eu,status=ok", "region=sa,status=new",
+        "region=us,status=ok",
+    ]
+    # touched region = region IN (eu,sa,us) x status IN (ok,new):
+    # deletes eu-ok + us-ok (eu-err is outside the region and stays),
+    # re-inserts eu-ok + sa-new; the vanished us-ok group is NOT
+    # re-inserted
+    assert rr.rows_deleted == 2 and rr.rows_inserted == 2
+    d2 = cat.sql(spark, "DESCRIBE DETAIL global_temp.dmv").first()
+    assert not d2.stale and d2.pending_days == []
+    want = recompute()
+    assert _rows(cat.sql(spark, "SELECT * FROM global_temp.dmv")) == want
+    # the persisted store alone (no hybrid) now equals the recompute
+    assert _rows(ManagedTable(spark, tmp_path / "dmv").read()) == want
+    assert not any(r[0] == "us" for r in want)  # group really vanished
+
+
+def test_matview_dims_refresh_leaves_untouched_files_alone(spark, tmp_path):
+    """Key-scoped refresh cost pin: replace_where's DV strategy keeps
+    every store file whose stats provably miss the touched region —
+    untouched groups' files survive REFRESH byte-identical."""
+    cat, raw = _mk_dims_raw(spark, tmp_path)
+    cat.sql(spark, DIMS_DDL.format(loc=tmp_path / "dmv"))
+    store = ManagedTable(spark, tmp_path / "dmv")
+    before = {f.path for f in store.snapshot().files}
+    assert before
+    raw.append(
+        spark.createDataFrame(
+            [("zz", "ok", 1)], "region string, status string, amount int"
+        )
+    )
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW global_temp.dmv")
+    after = {f.path for f in store.snapshot().files}
+    # 'zz' sorts past every pre-existing region: the original files'
+    # stats exclude the touched region, so they all survive
+    assert before <= after and len(after) > len(before)
+
+
+def test_matview_dims_null_group_keys_stay_exact(spark, tmp_path):
+    """NULL group keys are legal GROUP BY output: the hybrid read joins
+    null-SAFELY (a null-unsafe semi/anti pair would serve the stale
+    store row for the NULL group), and refresh detects NULL keys and
+    falls back to one atomic full rebuild (in-lists cannot express
+    NULL)."""
+    cat, raw = _mk_dims_raw(spark, tmp_path)
+    cat.sql(spark, DIMS_DDL.format(loc=tmp_path / "dmv"))
+
+    def nrows(df):
+        # None-tolerant row sort (NULL group keys are the point here)
+        return sorted(
+            map(tuple, df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    def recompute():
+        cat.refresh(spark)
+        return nrows(spark.sql(DIMS_RECOMPUTE))
+
+    raw.append(
+        spark.createDataFrame(
+            [(None, "ok", 50), (None, None, 4), ("eu", "ok", 1)],
+            "region string, status string, amount int",
+        )
+    )
+    assert nrows(
+        cat.sql(spark, "SELECT * FROM global_temp.dmv")
+    ) == recompute()
+    rr = cat.sql(spark, "REFRESH MATERIALIZED VIEW global_temp.dmv").first()
+    assert rr.refreshed_days == ["<full-rebuild>"]
+    assert nrows(
+        cat.sql(spark, "SELECT * FROM global_temp.dmv")
+    ) == recompute()
+    # and NULL-group updates after the rebuild stay exact too
+    raw.append(
+        spark.createDataFrame(
+            [(None, "ok", 7)], "region string, status string, amount int"
+        )
+    )
+    assert nrows(
+        cat.sql(spark, "SELECT * FROM global_temp.dmv")
+    ) == recompute()
+
+
+def test_matview_auto_refresh_policy(spark, tmp_path, monkeypatch):
+    """Round-14 (verdict item 7): ``matview.autoRefresh`` drives a
+    best-effort post-commit refresh through the catalog-SQL surface —
+    a mutating statement on the base leaves the MV's cursor at head
+    (store fresh, no pending work) without any explicit REFRESH.
+    Toggleable via ALTER TABLE SET/UNSET TBLPROPERTIES on the MV name;
+    SHOW CREATE TABLE emits the property and the emitted DDL re-runs;
+    hook failures are swallowed (the triggering commit already
+    succeeded)."""
+    cat, raw = _mk_dims_raw(spark, tmp_path)
+    cat.sql(
+        spark,
+        DIMS_DDL.format(loc=tmp_path / "dmv").replace(
+            "AS SELECT",
+            "TBLPROPERTIES ('matview.autoRefresh' = 'true') AS SELECT",
+        ),
+    )
+    assert cat.matview("global_temp.dmv")["auto_refresh"] is True
+    cat.sql(
+        spark, "DELETE FROM global_temp.draw WHERE region = 'us'"
+    )
+    d = cat.sql(spark, "DESCRIBE DETAIL global_temp.dmv").first()
+    assert not d.stale and d.pending_days == []  # hook already folded it
+    assert not any(
+        r.region == "us"
+        for r in ManagedTable(spark, tmp_path / "dmv").read().collect()
+    )
+    # UNSET turns the policy off: the next DML leaves the MV stale
+    cat.sql(
+        spark,
+        "ALTER TABLE global_temp.dmv UNSET TBLPROPERTIES "
+        "('matview.autoRefresh')",
+    )
+    cat.sql(spark, "DELETE FROM global_temp.draw WHERE region = 'ap'")
+    assert cat.sql(spark, "DESCRIBE DETAIL global_temp.dmv").first().stale
+    # SET turns it back on; SHOW CREATE emits it and the DDL re-runs
+    cat.sql(
+        spark,
+        "ALTER TABLE global_temp.dmv SET TBLPROPERTIES "
+        "('matview.autoRefresh' = 'true')",
+    )
+    ddl = cat.sql(
+        spark, "SHOW CREATE TABLE global_temp.dmv"
+    ).first().createtab_stmt
+    assert "TBLPROPERTIES ('matview.autoRefresh' = 'true')" in ddl
+    cat.sql(spark, "DROP MATERIALIZED VIEW global_temp.dmv")
+    cat.sql(spark, ddl)
+    assert cat.matview("global_temp.dmv")["auto_refresh"] is True
+    # unknown MV property: loud
+    with pytest.raises(SqlDmlError, match="matview.autoRefresh"):
+        cat.sql(
+            spark,
+            "ALTER TABLE global_temp.dmv SET TBLPROPERTIES "
+            "('autoCompact' = 'true')",
+        )
+    # best-effort: a hook failure never fails the triggering commit
+    from data_warehouse_copy_spark.streaming import matview as mv_mod
+
+    def boom(self):
+        raise RuntimeError("synthetic refresh failure")
+
+    monkeypatch.setattr(mv_mod.MaterializedView, "refresh", boom)
+    r = cat.sql(
+        spark, "DELETE FROM global_temp.draw WHERE region = 'eu'"
+    ).first()
+    assert r.operation == "DELETE" and r.rows_affected > 0
+    monkeypatch.undo()
+    # ... and the MV read is STILL exact (hybrid) despite the dead hook
+    cat.refresh(spark)
+    assert _rows(cat.sql(spark, "SELECT * FROM global_temp.dmv")) == _rows(
+        spark.sql(DIMS_RECOMPUTE)
+    )
+
+
+def test_view_over_matview_mirror_staleness_contract(spark, tmp_path):
+    """Round-14 (advice item): a catalog view whose body references an
+    MV serves, through PLAIN spark.sql over its session mirror, the MV
+    state pinned at the LAST resolution (view creation, any cat.sql
+    read of the MV, attach/refresh) — the same attach-pinning contract
+    table views carry. The exactness contract: cat.sql stays exact with
+    no refresh at all, and cat.refresh(spark) re-pins the mirror."""
+    cat, raw = _mk_dims_raw(spark, tmp_path)
+    cat.sql(spark, DIMS_DDL.format(loc=tmp_path / "dmv"))
+    cat.sql(
+        spark,
+        "CREATE VIEW global_temp.vmv AS SELECT region, SUM(total) AS t "
+        "FROM global_temp.dmv GROUP BY region",
+    )
+    before = _rows(spark.sql("SELECT * FROM global_temp.vmv"))
+    assert before == _rows(cat.sql(spark, "SELECT * FROM global_temp.vmv"))
+
+    def oracle():
+        return sorted(
+            (r.region, r.t)
+            for r in raw.read()
+            .groupBy("region")
+            .agg({"amount": "sum"})
+            .withColumnRenamed("sum(amount)", "t")
+            .collect()
+        )
+
+    raw.append(
+        spark.createDataFrame(
+            [("eu", "ok", 1000)], "region string, status string, amount int"
+        )
+    )
+    # plain SQL over the mirror: pinned at the LAST resolution (the
+    # CREATE) — the documented staleness boundary
+    assert _rows(spark.sql("SELECT * FROM global_temp.vmv")) == before
+    # cat.sql re-resolves per statement: exact with NO refresh
+    got = _rows(cat.sql(spark, "SELECT * FROM global_temp.vmv"))
+    assert got != before and got == oracle()
+    # a SECOND base write with no intervening resolution: the mirror
+    # serves the previous resolution's state, until refresh re-pins
+    raw.append(
+        spark.createDataFrame(
+            [("ap", "ok", 500)], "region string, status string, amount int"
+        )
+    )
+    assert _rows(spark.sql("SELECT * FROM global_temp.vmv")) == got
+    cat.refresh(spark)
+    assert _rows(spark.sql("SELECT * FROM global_temp.vmv")) == oracle()

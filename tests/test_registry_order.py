@@ -128,3 +128,27 @@ def test_round13_rotated_surfaces_hold_driver_slots():
         assert q in names, f"{q} lost its driver correctness slot"
     for q in ("orders_rollup", "customers_with_urgent_orders"):
         assert q in entrymod.queries() and q not in names
+
+
+def test_round14_rotated_surfaces_hold_driver_slots():
+    """Round-13 verdict item 4: the streaming flagships — the CDF
+    replica-sync consumer contract and the continuous-aggregate CDC
+    refresh — plus the new dims-kind materialized view take driver
+    slots from three in-cap near-neighbors (events_sliding ≈
+    events_hourly's window twin; events_pivot_by_type ≈ the same
+    grouped-agg family; embedding_component_stats ≈
+    similarity_topk_bruteforce's vector plumbing), which stay
+    hash-checked below the cap by tests/test_entry_contract.py."""
+    names = list(entrymod.queries())[:DRIVER_CORRECTNESS_CAP]
+    for q in (
+        "stream_cdf_replica_sync",
+        "rollup_cdc_refresh",
+        "catalog_sql_matview_dims",
+    ):
+        assert q in names, f"{q} lost its driver correctness slot"
+    for q in (
+        "events_sliding",
+        "events_pivot_by_type",
+        "embedding_component_stats",
+    ):
+        assert q in entrymod.queries() and q not in names
