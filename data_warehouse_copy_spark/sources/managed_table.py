@@ -2803,10 +2803,23 @@ class ManagedTable:
         manifest records anyway, then CAS-advance the watermark chain.
         A lost CAS means a racer allocated from the same watermark — the
         staged files are discarded and the whole assignment re-runs, so
-        committed ids are collision-free BY CONSTRUCTION under any
-        number of processes. A crash between reserve and commit burns
-        the range: a gap, which identity explicitly allows — never a
-        reuse."""
+        ALLOCATED ids are collision-free among themselves BY
+        CONSTRUCTION under any number of processes, and always land
+        above every provided max committed before the allocation read
+        its watermark. A crash between reserve and commit burns the
+        range: a gap, which identity explicitly allows — never a reuse.
+
+        Boundary (round-14, found by the cross-process storm in
+        scripts/measure_round14_stress.py): USER-PROVIDED ids are data
+        — a BY DEFAULT append whose explicit ids fall at or below the
+        current watermark passes them through, and they can equal ids
+        the engine allocated earlier. This is not a concurrency
+        anomaly: the same duplicates arise in the SERIAL schedule
+        "provider-of-huge-ids commits (watermark jumps), allocator
+        commits (allocates above it), second provider commits explicit
+        ids inside that allocated range". Delta documents the same
+        caveat for explicit identity inserts; uniqueness of provided
+        values is the user's constraint, not the allocator's."""
         provided = sorted(c for c in specs if c in df.columns)
         always_provided = [
             c for c in provided if specs[c].get("always", True)
@@ -4281,7 +4294,8 @@ class ManagedTable:
         return sum(f.rows for f in new_files)
 
     def replace_where(
-        self, df: DataFrame, where: list[tuple], strategy: str = "dv"
+        self, df: DataFrame, where: list[tuple], strategy: str = "dv",
+        validate: bool = True,
     ) -> tuple[int, int]:
         """Atomic predicate-scoped overwrite — Delta's ``replaceWhere``,
         the general form of :meth:`overwrite_range` (which covers day
@@ -4312,7 +4326,9 @@ class ManagedTable:
             if strategy == "dv":
                 b = self._bounded_ingest_base()
                 if b is not None and b[1] is not None:
-                    out = self._replace_where_bounded(df, where, pred, b)
+                    out = self._replace_where_bounded(
+                        df, where, pred, b, validate=validate
+                    )
                     if out is not None:
                         return out
             m = self.snapshot()
@@ -4325,13 +4341,21 @@ class ManagedTable:
                         f"{sorted(want)}, dataframe has {sorted(have)}"
                     )
                 df = df.select(*[f.name for f in existing.fields])
-            n_bad = df.filter(~F.coalesce(pred, F.lit(False))).count()
-            if n_bad:
-                raise ValueError(
-                    f"replace_where: {n_bad} incoming rows do not satisfy "
-                    f"the predicate {where!r} — the replacement must be "
-                    f"confined to the slice it replaces"
-                )
+            if validate:
+                # ``validate=False`` (round-14, Delta's replaceWhere
+                # constraint-check knob): callers whose replacement is
+                # confined BY CONSTRUCTION (the dims-MV refresh derives
+                # both the predicate and the recompute filter from the
+                # same value sets) skip this pass — it re-evaluates the
+                # full incoming plan once just to count violations
+                n_bad = df.filter(~F.coalesce(pred, F.lit(False))).count()
+                if n_bad:
+                    raise ValueError(
+                        f"replace_where: {n_bad} incoming rows do not "
+                        f"satisfy the predicate {where!r} — the "
+                        f"replacement must be confined to the slice it "
+                        f"replaces"
+                    )
             df = self._enforce_constraints(df, m.constraints, "replace_where")
             wp = _map_where(where, _phys_map(m.columns)) or []
             candidates = [
@@ -4394,7 +4418,8 @@ class ManagedTable:
             return (n_del, n_ins)
 
     def _replace_where_bounded(
-        self, df: DataFrame, where: list[tuple], pred, b
+        self, df: DataFrame, where: list[tuple], pred, b,
+        validate: bool = True,
     ) -> "tuple[int, int] | None":
         """Bounded DV replace_where: delete-side candidates come from the
         distributed plan (stats retained), the insert side appends, and
@@ -4411,13 +4436,14 @@ class ManagedTable:
             )
         df = df.select(*[f.name for f in existing.fields])
         df = self._enforce_constraints(df, constraints, "replace_where")
-        n_bad = df.filter(~F.coalesce(pred, F.lit(False))).count()
-        if n_bad:
-            raise ValueError(
-                f"replace_where: {n_bad} incoming rows do not satisfy "
-                f"the predicate {where!r} — the replacement must be "
-                f"confined to the slice it replaces"
-            )
+        if validate:
+            n_bad = df.filter(~F.coalesce(pred, F.lit(False))).count()
+            if n_bad:
+                raise ValueError(
+                    f"replace_where: {n_bad} incoming rows do not "
+                    f"satisfy the predicate {where!r} — the replacement "
+                    f"must be confined to the slice it replaces"
+                )
         planned = self._plan_distributed(
             head, None, None, None, where, keep_stats=True
         )

@@ -206,7 +206,13 @@ class MaterializedView:
             p = F.col(rc).isin(per_col[rc])
             flt = p if flt is None else (flt & p)
         fresh = self.aggregate(src.where(flt))
-        n_del, n_ins = store.replace_where(fresh, region_store)
+        # validate=False: the recompute is region-confined BY
+        # CONSTRUCTION (its raw filter and the store predicate derive
+        # from the same per-column value sets) — the validation pass
+        # would re-evaluate the whole aggregate once just to prove it
+        n_del, n_ins = store.replace_where(
+            fresh, region_store, validate=False
+        )
         keys = self._serialize_keys(rows, raw_cols)
         return {"to_version": head, "days": keys,
                 "deleted": n_del, "inserted": n_ins}

@@ -7,9 +7,12 @@ provided values pass through; SET/DROP DEFAULT apply to future writes
 only. GENERATED ALWAYS AS IDENTITY closes the reference's target-side
 ``Id`` regeneration (TableCopyService.cs:156-160 excludes the column;
 SQL Server's identity re-assigns it): ids allocate from a per-column
-CAS watermark chain under ``_log`` — collision-free under any number
-of processes BY CONSTRUCTION (a lost CAS discards the staged files and
-re-assigns), monotonic, gaps allowed (Delta's documented contract).
+CAS watermark chain under ``_log`` — ALLOCATED ids are collision-free
+among themselves under any number of processes BY CONSTRUCTION (a lost
+CAS discards the staged files and re-assigns), monotonic, gaps allowed
+(Delta's documented contract). USER-PROVIDED ids are data and can
+equal earlier allocations (Delta's explicit-insert caveat — see
+test_identity_by_default_provided_vs_allocated_boundary).
 """
 
 from __future__ import annotations
@@ -738,3 +741,42 @@ def test_declarative_writer_rejects_identity_tables(spark, tmp_path):
             .save(str(tmp_path / "t"))
         )
     assert t.read().count() == 0
+
+
+def test_identity_by_default_provided_vs_allocated_boundary(spark, tmp_path):
+    """Round-14 (found by the cross-process storm): the engine
+    guarantees ALLOCATED ids are unique among themselves and above
+    every previously-committed provided max — it does NOT deduplicate
+    USER-PROVIDED ids against earlier allocations. The SERIAL schedule
+    below produces the collision deterministically: a huge provided id
+    jumps the watermark, the allocator allocates just above it, then a
+    second append provides an id inside that allocated range —
+    passthrough-below-watermark accepts it (Delta's documented
+    explicit-insert identity caveat; uniqueness of provided values is
+    the user's constraint)."""
+    t = ManagedTable.create(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([], "id bigint, name string"))
+    t.set_identity("id", always=False)
+    # 1. provider jumps the watermark to 1_000_000
+    t.append(
+        spark.createDataFrame([(1_000_000, "jump")], "id bigint, name string")
+    )
+    # 2. allocator: NULL slots allocate above 1_000_000
+    t.append(
+        spark.createDataFrame([("a1",), ("a2",)], "name string")
+    )
+    rows = dict((r.name, r.id) for r in t.read().collect())
+    assert rows["a1"] > 1_000_000 and rows["a2"] > 1_000_000
+    assert rows["a1"] != rows["a2"]
+    # 3. second provider re-uses an allocated id: passthrough accepts it
+    taken = rows["a1"]
+    t.append(
+        spark.createDataFrame([(taken, "clash")], "id bigint, name string")
+    )
+    got = t.read().where(f"id = {taken}").count()
+    assert got == 2  # the documented boundary: provided values are data
+    # ... and later allocations STILL stay unique and above everything
+    t.append(spark.createDataFrame([("post",)], "name string"))
+    final = [(r.name, r.id) for r in t.read().collect()]
+    post_id = dict(final)["post"]
+    assert post_id > max(i for _n, i in final if _n != "post")
