@@ -5219,6 +5219,92 @@ ORDER BY o_orderstatus, prio
 """
 
 
+def catalog_sql_matview_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join MATERIALIZED VIEW end-to-end (round-14,
+    sql_dml.py:_parse_matview_body join scan + streaming/matview.py
+    dim-cursor machinery): an hourly rollup whose body INNER-joins the
+    events fact against a small category dim. The dim's read version is
+    CURSORED at create; fact-only churn keeps the day-scoped CDC
+    refresh (late DELETE → REFRESH touches only its days), while a dim
+    UPDATE past the pin degrades reads to an exact full recompute
+    against the new dim (the TimescaleDB join-caggs posture) — this
+    entry certifies BOTH paths: DELETE+REFRESH (day-scoped), then a dim
+    recategorization with NO refresh, so the final read must serve the
+    degraded-but-exact plan. Certified value-exact against DuckDB's
+    full recompute with the same delete and the post-update dim.
+    Rebuild/re-pin and staleness surfaces are pinned in
+    tests/test_matview.py."""
+    from data_warehouse_copy_spark.sources.names import NamedCatalog
+
+    (events,) = _prep(spark, sf_dir, "events")
+    tmp = _tmp_table_dir(prefix="dwcs_mvs_")
+    raw = ManagedTable.create(spark, f"{tmp}/raw")
+    raw.append(events.select("ts", "event_type", "value"))
+    dim = ManagedTable.create(spark, f"{tmp}/dim")
+    dim.append(
+        spark.createDataFrame(
+            [
+                ("click", "engagement"),
+                ("view", "engagement"),
+                ("purchase", "conversion"),
+                ("signup", "conversion"),
+                ("error", "ops"),
+            ],
+            "event_type string, category string",
+        )
+    )
+    cat = NamedCatalog(f"{tmp}/catalog.json")
+    cat.register("global_temp.dwcs_mvs_raw", f"{tmp}/raw")
+    cat.register("global_temp.dwcs_mvs_dim", f"{tmp}/dim")
+    cat.sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW global_temp.dwcs_mvs LOCATION "
+        f"'{tmp}/mv' AS SELECT window.start AS window_start, "
+        f"d.category AS category, COUNT(*) AS n, "
+        f"SUM(CAST(f.value AS DECIMAL(18,6))) AS tv "
+        f"FROM global_temp.dwcs_mvs_raw f "
+        f"JOIN global_temp.dwcs_mvs_dim d "
+        f"ON f.event_type = d.event_type "
+        f"GROUP BY window(f.ts, '1 hour'), d.category",
+    )
+    # fact-only late DML: folded by a DAY-scoped refresh
+    cat.sql(
+        spark,
+        "DELETE FROM global_temp.dwcs_mvs_raw "
+        "WHERE event_type = 'error' AND value > 5",
+    )
+    cat.sql(spark, "REFRESH MATERIALIZED VIEW global_temp.dwcs_mvs")
+    # dim change past the pinned cursor, NOT refreshed: the read must
+    # degrade to the exact full recompute against the new dim
+    cat.sql(
+        spark,
+        "UPDATE global_temp.dwcs_mvs_dim SET category = 'growth' "
+        "WHERE event_type = 'signup'",
+    )
+    return cat.sql(
+        spark,
+        "SELECT category, COUNT(*) AS n_windows, SUM(n) AS n_events, "
+        "CAST(SUM(tv) AS DOUBLE) AS total_v "
+        "FROM global_temp.dwcs_mvs GROUP BY category ORDER BY category",
+    )
+
+
+CATALOG_SQL_MATVIEW_STAR_SQL = """
+WITH dim(event_type, category) AS (
+    VALUES ('click', 'engagement'), ('view', 'engagement'),
+           ('purchase', 'conversion'), ('signup', 'growth'),
+           ('error', 'ops')
+)
+SELECT d.category,
+       COUNT(DISTINCT date_trunc('hour', e.ts)) AS n_windows,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_v
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE NOT (e.event_type = 'error' AND e.value > 5)
+GROUP BY d.category ORDER BY d.category
+"""
+
+
 def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-10,
     Spark/Delta's stored-statistics surface): one distributed aggregate
@@ -6142,7 +6228,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_last_purchase": events_asof_last_purchase,
-    "events_purchase_attribution": events_purchase_attribution,
     "events_json_extract": events_json_extract,
     "set_ops_customers": set_ops_customers,
     "orders_grouping_sets": orders_grouping_sets,
@@ -6187,6 +6272,12 @@ QUERIES: dict[str, QueryFn] = {
     "stream_cdf_replica_sync": stream_cdf_replica_sync,
     "rollup_cdc_refresh": rollup_cdc_refresh,
     "catalog_sql_matview_dims": catalog_sql_matview_dims,
+    # round-14 second rotation: the star-join materialized view (dim
+    # version pins, day-scoped fact refresh, dim-change degrade path)
+    # takes the driver slot of events_purchase_attribution, which
+    # COMPOSES the as-of machinery events_asof_last_purchase already
+    # certifies in-cap; it stays hash-checked below the cap.
+    "catalog_sql_matview_star": catalog_sql_matview_star,
     # -- everything below is past the driver's 50 correctness slots (every
     # slot above is taken by an oracle-backed entry, the maximum possible
     # driver-side hash coverage). First the partsupp-adapted TPC-H
@@ -6194,6 +6285,7 @@ QUERIES: dict[str, QueryFn] = {
     # hash-checks them side-by-side exactly like the driver would --
     "q6_forecast_revenue": q6_forecast_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "events_purchase_attribution": events_purchase_attribution,
     "events_sliding": events_sliding,
     "events_pivot_by_type": events_pivot_by_type,
     "embedding_component_stats": embedding_component_stats,
@@ -6395,6 +6487,7 @@ ORACLES: dict[str, str] = {
         CATALOG_SQL_IDENTITY_BYDEFAULT_SQL,
     "catalog_sql_matview": CATALOG_SQL_MATVIEW_SQL,
     "catalog_sql_matview_dims": CATALOG_SQL_MATVIEW_DIMS_SQL,
+    "catalog_sql_matview_star": CATALOG_SQL_MATVIEW_STAR_SQL,
     "rollup_cdc_refresh": ROLLUP_CDC_REFRESH_SQL,
     "stream_curation_roundtrip": STREAM_CURATION_SQL,
     "text_duplicate_passages": DUPLICATE_PASSAGES_SQL,

@@ -266,6 +266,25 @@ class NamedCatalog:
             doc["matviews"][name]["cursor"] = max(int(cursor), cur)
             self._store_doc(doc)
 
+    def set_matview_dim_cursors(self, name: str, cursors: dict) -> None:
+        """Persist the per-dim version cursors of a star-join MV
+        (round-14): the dim versions the store's contents were computed
+        against. MONOTONIC per dim under the same cross-process lock as
+        the base cursor — a slow racing refresh must not regress a dim
+        cursor either."""
+        with self._mutate():
+            doc = self._doc()
+            if name not in doc["matviews"]:
+                raise KeyError(
+                    f"materialized view {name!r} not in catalog "
+                    f"{self.path}"
+                )
+            cur = dict(doc["matviews"][name].get("dim_cursors") or {})
+            for d, v in cursors.items():
+                cur[d] = max(int(v), int(cur.get(d, 0)))
+            doc["matviews"][name]["dim_cursors"] = cur
+            self._store_doc(doc)
+
     def set_matview_auto_refresh(self, name: str, enabled: bool) -> None:
         """Persist the ``matview.autoRefresh`` policy (round-14): when
         true, every mutating catalog-SQL statement best-effort refreshes

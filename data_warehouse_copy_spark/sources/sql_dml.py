@@ -2362,9 +2362,14 @@ def _parse_matview_body(catalog, body: str) -> dict:
       aliased) — it is the store's key. Refresh scope = touched KEYS
       from the change feed.
 
-    Both require a single registered FROM table; joins, global
-    aggregates (no GROUP BY) and expression grouping items reject
-    loudly."""
+    The FROM table is the BASE (its change feed drives incremental
+    refresh). ``kind="window"`` additionally accepts INNER star-joins
+    against other registered tables (round-14): each joined table is a
+    DIM whose read version is cursored — a dim change degrades reads
+    to exact full recompute and the next refresh to a full rebuild.
+    Outer/cross joins, dim-sourced window timestamps, base self-joins,
+    joins on the dims kind, global aggregates (no GROUP BY) and
+    expression grouping items reject loudly."""
     toks = _tokenize(body)
     if not toks or toks[0].text.lower() != "select":
         raise SqlDmlError(
@@ -2391,6 +2396,77 @@ def _parse_matview_body(catalog, body: str) -> dict:
         raise SqlDmlError(
             f"materialized view base {base!r} is not a registered table"
         )
+    # round-14: star-join bodies — FROM fact [f] JOIN dim [d] ON ...
+    # The FIRST table is the BASE (its change feed drives incremental
+    # refresh); every joined table is a DIM whose version is cursored
+    # (a dim change degrades reads to exact full recompute and refresh
+    # to a full rebuild — the TimescaleDB join-caggs posture). INNER
+    # joins only: an outer join would make output rows depend on dim
+    # NON-matches, breaking the frozen-dim day-purity argument.
+    join_dims: list = []
+    dim_quals: set = set()  # dim short names + aliases, for ts guard
+    ji = from_i + 2
+    depth = 0
+    while ji < len(toks):
+        t = toks[ji]
+        if t.kind == "punct":
+            depth += t.text == "("
+            depth -= t.text == ")"
+            ji += 1
+            continue
+        low = t.text.lower()
+        if depth == 0 and low in (
+            "group", "where", "order", "limit", "having"
+        ):
+            break
+        if depth == 0 and low in ("left", "right", "full", "cross",
+                                  "semi", "anti", "natural", "lateral"):
+            raise SqlDmlError(
+                f"materialized view joins must be INNER ({low.upper()} "
+                f"join bodies are not supported — an outer join's output "
+                f"depends on dim non-matches, which breaks day-scoped "
+                f"refresh exactness)"
+            )
+        if depth == 0 and low in ("join", "inner"):
+            if low == "inner":
+                ji += 1
+                continue
+            if ji + 1 >= len(toks) or toks[ji + 1].kind != "ident":
+                raise SqlDmlError("materialized view: JOIN needs a table")
+            dname = toks[ji + 1].text
+            if dname.count(".") != 1 or dname not in set(catalog.names()):
+                raise SqlDmlError(
+                    f"materialized view join table {dname!r} is not a "
+                    f"registered table"
+                )
+            if dname.lower() == base.lower():
+                raise SqlDmlError(
+                    "materialized view: self-join with the base table "
+                    "is not supported (the base reference swaps for "
+                    "the refresh day-slice; a second reference would "
+                    "swap too and lose the join semantics)"
+                )
+            join_dims.append(dname)
+            dim_quals.add(dname.lower())
+            dim_quals.add(dname.lower().split(".")[-1])
+            # record the dim's alias ([AS] ident) for the ts guard
+            k = ji + 2
+            if (
+                k < len(toks)
+                and toks[k].kind == "ident"
+                and toks[k].text.lower() == "as"
+            ):
+                k += 1
+            if (
+                k < len(toks)
+                and toks[k].kind == "ident"
+                and toks[k].text.lower() not in _VIEW_CLAUSE_WORDS
+                and "." not in toks[k].text
+            ):
+                dim_quals.add(toks[k].text.lower())
+            ji += 2
+            continue
+        ji += 1
     # locate top-level GROUP BY
     gi = None
     depth = 0
@@ -2445,7 +2521,18 @@ def _parse_matview_body(catalog, body: str) -> dict:
                 raise SqlDmlError(
                     "materialized view: exactly ONE window(...) bucket"
                 )
-            ts_col = toks[i + 2].text.split(".")[-1]
+            qual = toks[i + 2].text
+            if (
+                "." in qual
+                and qual.rsplit(".", 1)[0].lower() in dim_quals
+            ):
+                raise SqlDmlError(
+                    f"materialized view: the window timestamp {qual!r} "
+                    f"must come from the base table {base!r} — "
+                    f"day-scoped refresh cuts the base's change feed "
+                    f"and raw scan by it"
+                )
+            ts_col = qual.split(".")[-1]
             duration = toks[i + 4].text.strip("'\"")
             i += 6
             continue
@@ -2467,10 +2554,19 @@ def _parse_matview_body(catalog, body: str) -> dict:
                 f"materialized-view window duration {duration!r} must "
                 f"divide 24 h so no bucket straddles a day boundary"
             )
-        return {
+        out = {
             "base": base, "kind": "window", "ts_col": ts_col,
             "duration": duration,
         }
+        if join_dims:
+            out["join_dims"] = sorted(set(join_dims))
+        return out
+    if join_dims:
+        raise SqlDmlError(
+            "materialized view: star-join bodies need a window(<ts>, "
+            "'<dur>') bucket (day-scoped refresh); plain GROUP BY over "
+            "a join is not supported yet"
+        )
     # dims kind: every grouping item must be ONE plain column ref
     items: list = []
     cur: list = []
@@ -3182,11 +3278,13 @@ def _guard_view_dependencies(spark, catalog, st, opname: str) -> None:
     mv_deps = []
     if hasattr(catalog, "matview_names"):
         # materialized views guard conservatively on ANY column of
-        # their base: the stored aggregate almost always reads it, and
-        # a broken refresh is worse than a too-eager error
+        # their base (or a star-joined dim): the stored aggregate
+        # almost always reads it, and a broken refresh is worse than a
+        # too-eager error
         mv_deps = [
             n for n in catalog.matview_names()
             if catalog.matview(n).get("base") == st.table
+            or st.table in (catalog.matview(n).get("join_dims") or [])
         ]
     if not deps and not mv_deps:
         return
@@ -4230,7 +4328,9 @@ def _auto_refresh_matviews(spark, catalog) -> None:
             mv = MaterializedView(spark, catalog, name)
             if not mv.meta.get("auto_refresh"):
                 continue
-            if mv._raw()._head_version() > int(mv.meta["cursor"]):
+            if mv._raw()._head_version() > int(mv.meta["cursor"]) or (
+                mv.meta.get("join_dims") and mv._moved_dims()
+            ):
                 mv.refresh()
         except Exception as exc:  # noqa: BLE001 — best-effort contract
             logging.getLogger("dwcs.matview").warning(

@@ -73,26 +73,55 @@ class MaterializedView:
             ts_col=self.meta["ts_col"],
         )
 
-    def aggregate(self, events: DataFrame) -> DataFrame:
+    def aggregate(
+        self, events: DataFrame, dim_versions: "dict | None" = None
+    ) -> DataFrame:
         """Run the stored SELECT with the base-table reference swapped
         for ``events`` — the aggregator the rollup engine calls on
         day-restricted slices. Exact for any slice that is a whole
-        number of days (the grammar guarantees day-aligned buckets)."""
+        number of days (the grammar guarantees day-aligned buckets).
+
+        Star-join bodies (round-14): every joined dim reference swaps
+        for a VERSION-PINNED temp view — at the MV's recorded dim
+        cursors by default (the versions the store was computed
+        against, so incremental slices compose exactly), or at
+        ``dim_versions`` overrides (the full-recompute path passes the
+        current heads)."""
         from data_warehouse_copy_spark.sources.sql_dml import (
             _VIEW_CLAUSE_WORDS,
             _tokenize,
         )
 
-        v = f"__dwcs_mvsrc_{uuid.uuid4().hex[:12]}"
+        suffix = uuid.uuid4().hex[:12]
+        v = f"__dwcs_mvsrc_{suffix}"
         events.createOrReplaceTempView(v)
+        made = [v]
+        swap = {self.meta["base"].lower(): v}
+        dims = self.meta.get("join_dims") or []
+        if dims:
+            pins = dict(self.meta.get("dim_cursors") or {})
+            if dim_versions:
+                pins.update(dim_versions)
+            for i, dname in enumerate(dims):
+                dv = f"__dwcs_mvdim{i}_{suffix}"
+                ManagedTable(
+                    self.spark, self.catalog.root_of(dname)
+                ).read(
+                    version=(
+                        int(pins[dname])
+                        if pins.get(dname) is not None
+                        else None
+                    )
+                ).createOrReplaceTempView(dv)
+                made.append(dv)
+                swap[dname.lower()] = dv
         try:
             toks = _tokenize(self.meta["sql"])
-            base = self.meta["base"].lower()
-            short = base.split(".")[-1]
             out = []
             for i, t in enumerate(toks):
-                if t.kind == "ident" and t.text.lower() == base:
-                    out.append(f"`{v}`")
+                low = t.text.lower() if t.kind == "ident" else None
+                if low in swap:
+                    out.append(f"`{swap[low]}`")
                     nxt = toks[i + 1] if i + 1 < len(toks) else None
                     if nxt is None or (
                         nxt.kind == "ident"
@@ -100,15 +129,76 @@ class MaterializedView:
                     ) or nxt.kind == "punct":
                         # no alias follows: supply the table short name
                         # so qualified refs (raw.col) keep resolving
-                        out.append(f"AS {short}")
+                        out.append(f"AS {low.split('.')[-1]}")
                 else:
                     out.append(t.text)
             df = self.spark.sql(" ".join(out))
         finally:
-            # the analyzed plan holds the relation; dropping the temp
-            # view after spark.sql returns is safe
-            self.spark.catalog.dropTempView(v)
+            # the analyzed plan holds the relations; dropping the temp
+            # views after spark.sql returns is safe
+            for vn in made:
+                self.spark.catalog.dropTempView(vn)
         return df
+
+    # ------------------------------------------------- star-join plumbing
+
+    def _dim_heads(self) -> dict:
+        """Current head version of every joined dim."""
+        return {
+            d: ManagedTable(
+                self.spark, self.catalog.root_of(d)
+            )._head_version()
+            for d in (self.meta.get("join_dims") or [])
+        }
+
+    def _moved_dims(self) -> "list[str]":
+        """Joined dims whose head passed the recorded cursor — the
+        signal that degrades reads to full recompute and refresh to a
+        full rebuild (a dim change can invalidate EVERY stored group;
+        the TimescaleDB join-caggs posture)."""
+        cursors = self.meta.get("dim_cursors") or {}
+        return sorted(
+            d for d, h in self._dim_heads().items()
+            if h > int(cursors.get(d, -1))
+        )
+
+    def _pin_dims(self, heads: "dict | None" = None) -> dict:
+        """Record the dim cursors (catalog + in-memory meta)."""
+        heads = heads if heads is not None else self._dim_heads()
+        if heads:
+            self.catalog.set_matview_dim_cursors(self.name, heads)
+            cur = dict(self.meta.get("dim_cursors") or {})
+            cur.update({d: int(v) for d, v in heads.items()})
+            self.meta["dim_cursors"] = cur
+        return heads
+
+    def _star_rebuild(self) -> dict:
+        """Full rebuild of a star-join MV after a dim change: ONE
+        atomic overwrite of the store from the raw head joined against
+        the CURRENT dim heads, then re-pin the dim cursors to those
+        heads. This is the TimescaleDB join-caggs maintenance posture —
+        dims are treated as slowly-changing; when one does change, the
+        whole aggregate is recomputed rather than attempting a
+        (generally impossible) delta repair of non-invertible
+        aggregates across every bucket the changed rows joined."""
+        raw = self._raw()
+        head = raw._head_version()
+        heads = self._dim_heads()
+        rollup = self._rollup()
+        n = rollup.store.overwrite(
+            rollup._clustered(
+                self.aggregate(
+                    raw.read(version=head), dim_versions=heads
+                )
+            )
+        )
+        self._pin_dims(heads)
+        return {
+            "to_version": head,
+            "days": ["<full-rebuild:dim-changed>"],
+            "deleted": 0,
+            "inserted": n,
+        }
 
     # ---------------------------------------------------- dims-kind plumbing
 
@@ -235,9 +325,14 @@ class MaterializedView:
     def build(self) -> int:
         """Initial materialization (the CREATE flow): aggregate the raw
         table pinned at its current head, one commit; cursor = that
-        head."""
+        head. Star-join MVs pin their dim cursors FIRST, so the build
+        aggregate reads the dims at exactly the recorded versions and
+        later incremental slices compose against the same frozen dim
+        contents."""
         raw = self._raw()
         head = raw._head_version()
+        if self.meta.get("join_dims"):
+            self._pin_dims()
         if self.kind == "dims":
             n = ManagedTable.create(
                 self.spark, self.meta["location"]
@@ -256,6 +351,13 @@ class MaterializedView:
         cursor."""
         if self.kind == "dims":
             res = self._dims_refresh()
+        elif self.meta.get("join_dims") and self._moved_dims():
+            # a joined dim moved past its cursor: any stored bucket may
+            # be wrong (one dim-row rewrite touches every day that
+            # joined it), so day-scoping would be unsound — full
+            # rebuild (``_star_rebuild``); fact-only churn never takes
+            # this path
+            res = self._star_rebuild()
         else:
             res = self._rollup().refresh_from_changes(
                 self._raw(), int(self.meta["cursor"])
@@ -264,15 +366,26 @@ class MaterializedView:
         self.meta["cursor"] = res["to_version"]
         return res
 
-    def pending_days(self) -> "tuple[int, list[str]]":
+    def pending_days(self, dim_marks: bool = True) -> "tuple[int, list[str]]":
         """(raw head version, staleness listing past the cursor) — days
         for window MVs, serialized touched keys for dims MVs (capped at
-        ``_MV_DIMS_SHOW``). O(changed rows), no aggregation."""
+        ``_MV_DIMS_SHOW``). O(changed rows), no aggregation.
+
+        Star-join MVs also append a ``<dim-changed:db.dim>`` marker per
+        joined dim whose head passed its cursor (the condition that
+        makes the next REFRESH a full rebuild); ``dim_marks=False``
+        suppresses them for callers that consume the listing as literal
+        day strings (``read``)."""
         raw = self._raw()
         head = raw._head_version()
         cursor = int(self.meta["cursor"])
+        marks = (
+            [f"<dim-changed:{d}>" for d in self._moved_dims()]
+            if dim_marks and self.meta.get("join_dims")
+            else []
+        )
         if head <= cursor:
-            return head, []
+            return head, marks
         if self.kind == "dims":
             touched = self._touched_keys(head)
             raw_cols = [rc for rc, _ in self._dims()]
@@ -286,7 +399,7 @@ class MaterializedView:
             .distinct()
             .collect()
         )
-        return head, days
+        return head, days + marks
 
     def read(self) -> DataFrame:
         """EXACT read at the raw head: store rows for the slices
@@ -336,7 +449,23 @@ class MaterializedView:
             return stored.join(touched_out, acond, "left_anti").unionByName(
                 fresh
             )
-        head, days = self.pending_days()
+        if self.meta.get("join_dims"):
+            heads = self._dim_heads()
+            cursors = self.meta.get("dim_cursors") or {}
+            if any(
+                h > int(cursors.get(d, -1)) for d, h in heads.items()
+            ):
+                # a dim moved past its pin: the store may be stale in
+                # EVERY bucket, so the hybrid union is unsound — serve
+                # an exact full recompute at the raw head against the
+                # current dim heads (REFRESH re-pins and restores the
+                # store-backed fast path)
+                raw = self._raw()
+                return self.aggregate(
+                    raw.read(version=raw._head_version()),
+                    dim_versions=heads,
+                )
+        head, days = self.pending_days(dim_marks=False)
         if not days:
             return store.read()
         from data_warehouse_copy_spark.streaming.rollup import (

@@ -629,3 +629,185 @@ def test_view_over_matview_mirror_staleness_contract(spark, tmp_path):
     assert _rows(spark.sql("SELECT * FROM global_temp.vmv")) == got
     cat.refresh(spark)
     assert _rows(spark.sql("SELECT * FROM global_temp.vmv")) == oracle()
+
+
+# ---------------------------------------------------------------- star-join
+
+
+def _mk_star(spark, tmp_path):
+    """Fact table (the _mk_raw events) + a small dim keyed by
+    event_type, both registered — the star-join MV fixture."""
+    cat, raw = _mk_raw(spark, tmp_path)
+    dim = ManagedTable.create(spark, tmp_path / "dim")
+    dim.append(
+        spark.createDataFrame(
+            [("click", "engage"), ("view", "passive"), ("late", "other")],
+            "event_type string, category string",
+        )
+    )
+    cat.register("global_temp.mdim", str(tmp_path / "dim"))
+    cat.attach(spark)
+    return cat, raw, dim
+
+
+STAR_DDL = (
+    "CREATE MATERIALIZED VIEW global_temp.msv LOCATION '{loc}' AS "
+    "SELECT window.start AS window_start, d.category AS category, "
+    "COUNT(*) AS n, SUM(CAST(f.value AS DECIMAL(18,6))) AS tv "
+    "FROM global_temp.mraw f JOIN global_temp.mdim d "
+    "ON f.event_type = d.event_type "
+    "GROUP BY window(f.ts, '1 hour'), d.category"
+)
+
+STAR_RECOMPUTE = (
+    "SELECT window.start AS window_start, d.category AS category, "
+    "COUNT(*) AS n, SUM(CAST(f.value AS DECIMAL(18,6))) AS tv "
+    "FROM global_temp.mraw f JOIN global_temp.mdim d "
+    "ON f.event_type = d.event_type "
+    "GROUP BY window(f.ts, '1 hour'), d.category"
+)
+
+
+def _star_recompute(spark, cat):
+    cat.refresh(spark)
+    return _rows(spark.sql(STAR_RECOMPUTE))
+
+
+def test_matview_star_create_read_equals_recompute(spark, tmp_path):
+    cat, _raw, _dim = _mk_star(spark, tmp_path)
+    r = cat.sql(spark, STAR_DDL.format(loc=tmp_path / "msv")).first()
+    assert r.operation == "CREATE MATERIALIZED VIEW" and r.rows_affected > 0
+    got = _rows(cat.sql(spark, "SELECT * FROM global_temp.msv"))
+    assert got == _rows(spark.sql(STAR_RECOMPUTE))
+    # the catalog carries the star metadata: joined dims + their pins
+    meta = cat.matview("global_temp.msv")
+    assert meta["join_dims"] == ["global_temp.mdim"]
+    assert "global_temp.mdim" in (meta.get("dim_cursors") or {})
+    # SHOW CREATE round-trips the join body
+    ddl = cat.sql(
+        spark, "SHOW CREATE TABLE global_temp.msv"
+    ).first().createtab_stmt
+    assert "JOIN global_temp.mdim" in ddl
+
+
+def test_matview_star_fact_churn_stays_day_scoped(spark, tmp_path):
+    """Fact-only late DML keeps the window machinery: exact hybrid
+    reads pre-refresh, day-scoped REFRESH (touched days only, other
+    days' store files byte-identical), no full rebuild."""
+    cat, raw, _dim = _mk_star(spark, tmp_path)
+    cat.sql(spark, STAR_DDL.format(loc=tmp_path / "msv"))
+    store = ManagedTable(spark, tmp_path / "msv")
+    before = {f.path for f in store.snapshot().files}
+    raw.append(
+        spark.createDataFrame(
+            [(datetime.datetime(2024, 3, 2, 5, 15), "late", 7.0)],
+            "ts timestamp_ntz, event_type string, value double",
+        )
+    )
+    d = cat.sql(spark, "DESCRIBE DETAIL global_temp.msv").first()
+    assert d.stale and d.pending_days == ["2024-03-02"]
+    assert _rows(
+        cat.sql(spark, "SELECT * FROM global_temp.msv")
+    ) == _star_recompute(spark, cat)
+    rr = cat.sql(
+        spark, "REFRESH MATERIALIZED VIEW global_temp.msv"
+    ).first()
+    assert rr.refreshed_days == ["2024-03-02"]
+    after = {f.path for f in store.snapshot().files}
+    # day-partitioned range overwrite: the other days' files survive
+    kept = {p for p in before if "2024-03-02" not in p}
+    assert kept <= after
+    assert _rows(
+        cat.sql(spark, "SELECT * FROM global_temp.msv")
+    ) == _star_recompute(spark, cat)
+
+
+def test_matview_star_dim_change_degrades_then_rebuilds(spark, tmp_path):
+    """A dim write past the pinned cursor (1) surfaces as a
+    <dim-changed:...> staleness marker, (2) degrades reads to an exact
+    full recompute against the NEW dim, (3) makes the next REFRESH a
+    full rebuild that re-pins, after which (4) fact churn is day-scoped
+    again."""
+    cat, raw, _dim = _mk_star(spark, tmp_path)
+    cat.sql(spark, STAR_DDL.format(loc=tmp_path / "msv"))
+    cat.sql(
+        spark,
+        "UPDATE global_temp.mdim SET category = 'boosted' "
+        "WHERE event_type = 'click'",
+    )
+    d = cat.sql(spark, "DESCRIBE DETAIL global_temp.msv").first()
+    assert d.stale
+    assert "<dim-changed:global_temp.mdim>" in d.pending_days
+    # reads are EXACT vs the new dim despite the stale store
+    got = _rows(cat.sql(spark, "SELECT * FROM global_temp.msv"))
+    assert got == _star_recompute(spark, cat)
+    assert any(t[1] == "boosted" for t in got)
+    rr = cat.sql(
+        spark, "REFRESH MATERIALIZED VIEW global_temp.msv"
+    ).first()
+    assert rr.refreshed_days == ["<full-rebuild:dim-changed>"]
+    d2 = cat.sql(spark, "DESCRIBE DETAIL global_temp.msv").first()
+    assert not d2.stale and d2.pending_days == []
+    assert _rows(
+        cat.sql(spark, "SELECT * FROM global_temp.msv")
+    ) == _star_recompute(spark, cat)
+    # back on the day-scoped path for fact churn
+    raw.append(
+        spark.createDataFrame(
+            [(datetime.datetime(2024, 3, 1, 9, 45), "click", 3.0)],
+            "ts timestamp_ntz, event_type string, value double",
+        )
+    )
+    rr2 = cat.sql(
+        spark, "REFRESH MATERIALIZED VIEW global_temp.msv"
+    ).first()
+    assert rr2.refreshed_days == ["2024-03-01"]
+    assert _rows(
+        cat.sql(spark, "SELECT * FROM global_temp.msv")
+    ) == _star_recompute(spark, cat)
+
+
+def test_matview_star_grammar_rejections(spark, tmp_path):
+    cat, _raw, _dim = _mk_star(spark, tmp_path)
+    loc = tmp_path / "msv"
+
+    def ddl(body):
+        return (
+            f"CREATE MATERIALIZED VIEW global_temp.msv LOCATION "
+            f"'{loc}' AS {body}"
+        )
+
+    sel = (
+        "SELECT window.start AS window_start, COUNT(*) AS n "
+        "FROM global_temp.mraw f {join} "
+        "GROUP BY window(f.ts, '1 hour')"
+    )
+    with pytest.raises(SqlDmlError, match="must be INNER"):
+        cat.sql(spark, ddl(sel.format(
+            join="LEFT JOIN global_temp.mdim d ON f.event_type = "
+                 "d.event_type"
+        )))
+    with pytest.raises(SqlDmlError, match="not a registered table"):
+        cat.sql(spark, ddl(sel.format(
+            join="JOIN global_temp.nope d ON f.event_type = d.e"
+        )))
+    with pytest.raises(SqlDmlError, match="self-join"):
+        cat.sql(spark, ddl(sel.format(
+            join="JOIN global_temp.mraw g ON f.event_type = g.event_type"
+        )))
+    with pytest.raises(SqlDmlError, match="must come from the base"):
+        cat.sql(spark, ddl(
+            "SELECT window.start AS window_start, COUNT(*) AS n "
+            "FROM global_temp.mraw f "
+            "JOIN global_temp.mdim d ON f.event_type = d.event_type "
+            "GROUP BY window(d.ts, '1 hour')"
+        ))
+    with pytest.raises(SqlDmlError, match="window"):
+        cat.sql(spark, ddl(
+            "SELECT d.category AS category, COUNT(*) AS n "
+            "FROM global_temp.mraw f "
+            "JOIN global_temp.mdim d ON f.event_type = d.event_type "
+            "GROUP BY d.category"
+        ))
+    # nothing half-registered after the rejections
+    assert "global_temp.msv" not in cat.matview_names()

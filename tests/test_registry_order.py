@@ -152,3 +152,17 @@ def test_round14_rotated_surfaces_hold_driver_slots():
         "embedding_component_stats",
     ):
         assert q in entrymod.queries() and q not in names
+
+
+def test_round14_star_matview_holds_driver_slot():
+    """Round-14 second rotation: the star-join materialized view (dim
+    version pins, dim-change degrade path) takes the driver slot of
+    events_purchase_attribution, which composes the as-of machinery
+    that events_asof_last_purchase already certifies in-cap; the
+    displaced entry stays hash-checked below the cap by
+    tests/test_entry_contract.py."""
+    names = list(entrymod.queries())[:DRIVER_CORRECTNESS_CAP]
+    assert "catalog_sql_matview_star" in names
+    assert "events_asof_last_purchase" in names
+    q = "events_purchase_attribution"
+    assert q in entrymod.queries() and q not in names
