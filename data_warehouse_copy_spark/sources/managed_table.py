@@ -102,6 +102,13 @@ _DISTRIBUTED_PLAN_MIN_FILES = 50_000
 # full-state record keeps every version reconstructible regardless.
 _CKPT_KEEP = 3
 
+# DV read-back accounting stays driver-side (pyarrow over the single
+# repartition(1) parquet, zero Spark jobs) up to this many positions —
+# ~400 MB of uri strings worst case under the 8g driver. A larger delete
+# takes the distributed read-back aggregate instead (guide §5: the driver
+# does metadata-scale work only).
+_DV_DRIVER_COUNT_ROWS = 4_000_000
+
 
 class CommitConflict(Exception):
     """Internal: another process created this manifest version first."""
@@ -5082,6 +5089,69 @@ class ManagedTable:
                 continue
         return str(p)
 
+    def _write_dv_local(
+        self, stage: Path
+    ) -> "tuple[tuple[str, ...] | None, dict[str, int]] | None":
+        """Driver-side DV build from an already-staged hit parquet (the
+        update path's ``repartition(1)`` stage): reads ONLY the
+        ``(__dwcs_uri, __dwcs_pos)`` columns with pyarrow and writes the
+        deletion-vector file without launching any Spark job — the
+        distributed :meth:`_write_dv` here was two jobs of pure
+        scheduling over a file the driver already has. ``None`` → stage
+        too large for driver-side work or URI rendering drifted; the
+        caller falls back to the distributed path. ``(None, {})`` → no
+        hits (caller commits a noop)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        parts = sorted(stage.rglob("*.parquet"))
+        if not parts:
+            return None, {}
+        if (
+            sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+            > _DV_DRIVER_COUNT_ROWS
+        ):
+            return None
+        tbl = pa.concat_tables(
+            [
+                pq.read_table(p, columns=["__dwcs_uri", "__dwcs_pos"])
+                for p in parts
+            ]
+        )
+        if tbl.num_rows == 0:
+            return None, {}
+        prefix = "file:" + os.path.abspath(str(self.root)) + "/"
+        uris = tbl.column("__dwcs_uri")
+        if not pc.all(
+            pc.starts_with(uris, pattern=prefix)
+        ).as_py():
+            return None  # rendering drift: distributed rewrite handles it
+        commit_id = uuid.uuid4().hex[:16]
+        final = self.root / "_dv" / commit_id
+        final.mkdir(parents=True, exist_ok=True)
+        out = pa.table(
+            {
+                "file_uri": uris.cast(pa.string()),
+                "file_path": pc.utf8_slice_codeunits(
+                    uris.cast(pa.string()), start=len(prefix)
+                ),
+                "pos": tbl.column("__dwcs_pos").cast(pa.int64()),
+            }
+        )
+        pq.write_table(out, final / "part-00000.parquet")
+        counts = {
+            s["values"]: int(s["counts"])
+            for s in pc.value_counts(uris).to_pylist()
+        }
+        dv_files = tuple(
+            sorted(
+                str(p.relative_to(self.root))
+                for p in final.rglob("*.parquet")
+            )
+        )
+        per_file = {self._uri_to_rel(u): n for u, n in counts.items()}
+        return dv_files, per_file
+
     def _write_dv(
         self, hits: DataFrame
     ) -> "tuple[tuple[str, ...] | None, dict[str, int]]":
@@ -5118,15 +5188,52 @@ class ManagedTable:
             .write.mode("overwrite")
             .parquet(str(final))
         )
-        out = self.spark.read.parquet(str(final))
-        counts = {
-            r["file_uri"]: r["n"]
-            for r in out.groupBy("file_uri").agg(F.count("*").alias("n")).collect()
-        }
+        # Per-file accounting: the written DV is ONE repartition(1) file, so
+        # below the row gate the group-by runs driver-side on the parquet
+        # dictionary (pyarrow value_counts — zero Spark jobs; the read-back
+        # job was ~0.1-0.2 s of pure scheduling at every DML). Past the gate
+        # (a huge delete) the original distributed read-back aggregates it.
+        counts: "dict | None" = None
+        part_files = sorted(final.rglob("*.parquet"))
+        total_rows = sum(
+            pq.ParquetFile(p).metadata.num_rows for p in part_files
+        )
+        if total_rows <= _DV_DRIVER_COUNT_ROWS:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            if total_rows == 0:
+                counts = {}
+            else:
+                tbl = pa.concat_tables(
+                    [
+                        pq.read_table(p, columns=["file_uri"])
+                        for p in part_files
+                    ]
+                )
+                counts = {
+                    s["values"]: int(s["counts"])
+                    for s in pc.value_counts(
+                        tbl.column("file_uri")
+                    ).to_pylist()
+                }
+            if counts and not all(u.startswith(prefix) for u in counts):
+                # URI rendering drift: the rare defensive rewrite stays on
+                # the original Spark path below
+                counts = None
+        if counts is None:
+            out = self.spark.read.parquet(str(final))
+            counts = {
+                r["file_uri"]: r["n"]
+                for r in out.groupBy("file_uri")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
         if not counts:
             shutil.rmtree(final, ignore_errors=True)
             return None, {}
         if not all(u.startswith(prefix) for u in counts):
+            out = self.spark.read.parquet(str(final))
             # URI rendering drifted from the assumption: rebuild file_path
             # driver-side (authoritative) and replace the DV file
             mapping = self.spark.createDataFrame(
@@ -5455,7 +5562,11 @@ class ManagedTable:
         hit_rows.repartition(1).write.mode("overwrite").parquet(str(stage))
         try:
             staged = self.spark.read.parquet(str(stage))
-            dv_files, per_file = self._write_dv(staged)
+            local = self._write_dv_local(stage)
+            if local is not None:
+                dv_files, per_file = local
+            else:
+                dv_files, per_file = self._write_dv(staged)
             if dv_files is None:
                 if m is not None:
                     self._commit_files(
@@ -6224,11 +6335,15 @@ class ManagedTable:
             )
             return col.cast(known[c])
 
-        def _apply_clauses(base, clauses, guard_source_dups):
+        def _apply_clauses(base, clauses, guard_source_dups,
+                           persist_base=False):
             """Route ``base`` rows (carrying uri/pos + t[/s] sides)
-            through ``clauses`` FIRST-MATCH-WINS. Returns
-            ``(n_upd, n_del)`` and appends the acted positions and the
-            rewritten update rows to the shared accumulators."""
+            through ``clauses`` FIRST-MATCH-WINS, appending the acted
+            positions and the rewritten update rows to the shared
+            accumulators. ``persist_base=True`` caches the RAW join
+            instead of the clause-filtered subset so the caller can
+            reuse it (the insert path probes matched source keys from
+            this cache rather than re-scanning the candidate files)."""
             nonlocal n_updated, n_deleted
             idx = None
             for i, (cond, _a) in enumerate(clauses):
@@ -6236,49 +6351,59 @@ class ManagedTable:
                 idx = (
                     F.when(c, F.lit(i)) if idx is None else idx.when(c, F.lit(i))
                 )
-            acted = (
-                base.withColumn("__dwcs_clause", idx)
-                .filter(F.col("__dwcs_clause").isNotNull())
-                .persist()
+            if persist_base:
+                base = base.persist()
+                persisted.append(base)
+            acted = base.withColumn("__dwcs_clause", idx).filter(
+                F.col("__dwcs_clause").isNotNull()
             )
-            persisted.append(acted)
+            if not persist_base:
+                acted = acted.persist()
+                persisted.append(acted)
             upd_idx = [i for i, (_c, a) in enumerate(clauses) if a is not None]
-            if upd_idx and guard_source_dups:
+            # ONE aggregation pass per clause set: the per-position row
+            # count (``hits``) carries the cardinality evidence Delta's
+            # guard needs, and the min-clause rollup yields the per-clause
+            # counts — the old separate guard ``count()`` re-evaluated the
+            # whole join a second time just to look for a duplicate.
+            pos_hits = (
+                acted.select("__dwcs_uri", "__dwcs_pos", "__dwcs_clause")
+                .groupBy("__dwcs_uri", "__dwcs_pos")
+                .agg(
+                    F.min("__dwcs_clause").alias("__dwcs_clause"),
+                    F.count(F.lit(1)).alias("__dwcs_hits"),
+                )
+            )
+            stats = (
+                pos_hits.groupBy("__dwcs_clause")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("__dwcs_hits").alias("mx"),
+                )
+                .collect()  # ≤ len(clauses) rows
+            )
+            if (
+                upd_idx
+                and guard_source_dups
+                and any(r["mx"] > 1 for r in stats)
+            ):
                 # cardinality guard (Delta's): one target position hit by
                 # >1 condition-passing source row under an UPDATE clause
                 # set → nondeterministic result. Delete-only merges stay
                 # tolerant (documented divergence: the DV records the
                 # position once regardless).
-                dup = (
-                    acted.groupBy("__dwcs_uri", "__dwcs_pos")
-                    .count()
-                    .filter("count > 1")
-                    .limit(1)
-                    .count()
+                raise ValueError(
+                    "ambiguous merge: multiple source rows match "
+                    "one target row under the merge conditions; "
+                    "deduplicate the source or tighten the clause "
+                    "conditions"
                 )
-                if dup:
-                    raise ValueError(
-                        "ambiguous merge: multiple source rows match "
-                        "one target row under the merge conditions; "
-                        "deduplicate the source or tighten the clause "
-                        "conditions"
-                    )
-            # one clause per POSITION (first-match-wins across source
-            # rows too — min index; unique already wherever the guard ran)
-            pos_clause = (
-                acted.select("__dwcs_uri", "__dwcs_pos", "__dwcs_clause")
-                .groupBy("__dwcs_uri", "__dwcs_pos")
-                .agg(F.min("__dwcs_clause").alias("__dwcs_clause"))
-            )
-            counts = {
-                r["__dwcs_clause"]: r["n"]
-                for r in pos_clause.groupBy("__dwcs_clause")
-                .agg(F.count("*").alias("n"))
-                .collect()  # ≤ len(clauses) rows
-            }
+            counts = {r["__dwcs_clause"]: r["n"] for r in stats}
             if not counts:
                 return
-            pos_frames.append(pos_clause.select("__dwcs_uri", "__dwcs_pos"))
+            # one clause per POSITION (first-match-wins across source
+            # rows too — min index; unique already wherever the guard ran)
+            pos_frames.append(pos_hits.select("__dwcs_uri", "__dwcs_pos"))
             n_upd = sum(counts.get(i, 0) for i in upd_idx)
             n_del = sum(n for i, n in counts.items() if i not in upd_idx)
             n_updated += n_upd
@@ -6315,7 +6440,8 @@ class ManagedTable:
                     c = F.col(f"t.{k}") == F.col(f"s.{k}")
                     join_cond = c if join_cond is None else (join_cond & c)
                 matched = t_scan.join(source_df.alias("s"), join_cond, "inner")
-                _apply_clauses(matched, matched_clauses, True)
+                _apply_clauses(matched, matched_clauses, True,
+                               persist_base=True)
             if by_source_clauses:
                 # target rows NO source key matches (conditions see t.*
                 # only); positions are unique by construction — no guard
@@ -6334,15 +6460,21 @@ class ManagedTable:
                 dv_files, per_file = self._write_dv(positions)
             if insert_clauses:
                 # FIRST-MATCH-WINS routing over not-matched source rows
-                # (conditions/values see the source as s.<col>); the
-                # common single-star clause stays the one-anti-join,
-                # one-count plan it was before
+                # (conditions/values see the source as s.<col>). When the
+                # matched join is already cached, its source keys are
+                # exactly the source keys present in the table (the span
+                # pruning is sound either way), so the anti-join probes
+                # the cache instead of re-scanning the candidate files —
+                # one fewer pass over the target.
+                if matched_clauses:
+                    probe = matched.select(
+                        *[F.col(f"s.{k}").alias(k) for k in key_cols]
+                    )
+                else:
+                    probe = t_scan.select(*key_cols)
                 nm = (
                     source_df.alias("s")
-                    .join(
-                        t_scan.select(*key_cols), on=key_cols,
-                        how="left_anti",
-                    )
+                    .join(probe, on=key_cols, how="left_anti")
                     .alias("s")
                 )
                 idx = None
@@ -6374,10 +6506,7 @@ class ManagedTable:
                                 for c in cols
                             ]
                         )
-                    cnt = ins.count()
-                    if cnt:
-                        n_inserted += cnt
-                        frames.append(ins)
+                    frames.append(ins)
             if frames:
                 out = frames[0]
                 for fdf in frames[1:]:
@@ -6390,6 +6519,16 @@ class ManagedTable:
                     bloom_cols=bloom_cols,
                     columns=columns,
                 )
+                if insert_clauses:
+                    # Insert count from the parquet footers _write_files
+                    # already harvested (zero extra jobs): the written
+                    # frame is update rewrites — exactly n_updated rows,
+                    # since positions are unique wherever an update frame
+                    # exists (cardinality guard / by-source construction)
+                    # — plus the insert rows. An Observation on the insert
+                    # subtree is UNSOUND here: repartitionByRange's range-
+                    # sampling pass re-executes it, doubling the metric.
+                    n_inserted = sum(e.rows for e in written) - n_updated
         finally:
             for df_ in persisted:
                 df_.unpersist()
