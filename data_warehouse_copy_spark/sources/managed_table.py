@@ -6335,140 +6335,163 @@ class ManagedTable:
             )
             return col.cast(known[c])
 
-        def _apply_clauses(base, clauses, guard_source_dups,
-                           persist_base=False):
-            """Route ``base`` rows (carrying uri/pos + t[/s] sides)
-            through ``clauses`` FIRST-MATCH-WINS, appending the acted
-            positions and the rewritten update rows to the shared
-            accumulators. ``persist_base=True`` caches the RAW join
-            instead of the clause-filtered subset so the caller can
-            reuse it (the insert path probes matched source keys from
-            this cache rather than re-scanning the candidate files)."""
-            nonlocal n_updated, n_deleted
-            idx = None
-            for i, (cond, _a) in enumerate(clauses):
-                c = _cond_col(cond)
-                idx = (
-                    F.when(c, F.lit(i)) if idx is None else idx.when(c, F.lit(i))
-                )
-            if persist_base:
-                base = base.persist()
-                persisted.append(base)
-            acted = base.withColumn("__dwcs_clause", idx).filter(
-                F.col("__dwcs_clause").isNotNull()
-            )
-            if not persist_base:
-                acted = acted.persist()
-                persisted.append(acted)
-            upd_idx = [i for i, (_c, a) in enumerate(clauses) if a is not None]
-            # ONE aggregation pass per clause set: the per-position row
-            # count (``hits``) carries the cardinality evidence Delta's
-            # guard needs, and the min-clause rollup yields the per-clause
-            # counts — the old separate guard ``count()`` re-evaluated the
-            # whole join a second time just to look for a duplicate.
-            pos_hits = (
-                acted.select("__dwcs_uri", "__dwcs_pos", "__dwcs_clause")
-                .groupBy("__dwcs_uri", "__dwcs_pos")
-                .agg(
-                    F.min("__dwcs_clause").alias("__dwcs_clause"),
-                    F.count(F.lit(1)).alias("__dwcs_hits"),
-                )
-            )
-            stats = (
-                pos_hits.groupBy("__dwcs_clause")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("__dwcs_hits").alias("mx"),
-                )
-                .collect()  # ≤ len(clauses) rows
-            )
-            if (
-                upd_idx
-                and guard_source_dups
-                and any(r["mx"] > 1 for r in stats)
-            ):
-                # cardinality guard (Delta's): one target position hit by
-                # >1 condition-passing source row under an UPDATE clause
-                # set → nondeterministic result. Delete-only merges stay
-                # tolerant (documented divergence: the DV records the
-                # position once regardless).
-                raise ValueError(
-                    "ambiguous merge: multiple source rows match "
-                    "one target row under the merge conditions; "
-                    "deduplicate the source or tighten the clause "
-                    "conditions"
-                )
-            counts = {r["__dwcs_clause"]: r["n"] for r in stats}
-            if not counts:
-                return
-            # one clause per POSITION (first-match-wins across source
-            # rows too — min index; unique already wherever the guard ran)
-            pos_frames.append(pos_hits.select("__dwcs_uri", "__dwcs_pos"))
-            n_upd = sum(counts.get(i, 0) for i in upd_idx)
-            n_del = sum(n for i, n in counts.items() if i not in upd_idx)
-            n_updated += n_upd
-            n_deleted += n_del
-            if upd_idx and n_upd:
-                # per-column first-match CASE: clause i's assignment, or
-                # the target value for columns the clause leaves alone
-                out_cols = []
-                for c in cols:
-                    e = None
-                    for i in upd_idx:
-                        a = clauses[i][1]
-                        vcol = (
-                            _value_col(a[c], c)
-                            if c in a
-                            else F.col(f"t.{c}")
-                        )
-                        e = (
-                            F.when(F.col("__dwcs_clause") == i, vcol)
-                            if e is None
-                            else e.when(F.col("__dwcs_clause") == i, vcol)
-                        )
-                    out_cols.append(e.otherwise(F.col(f"t.{c}")).alias(c))
-                frames.append(
-                    acted.filter(
-                        F.col("__dwcs_clause").isin([int(i) for i in upd_idx])
-                    ).select(*out_cols)
-                )
-
         try:
-            if matched_clauses:
+            # ---- ONE JOIN PASS for all three clause families (guide
+            # §2/§3: shuffle the candidates once, not once per clause
+            # set). A LEFT OUTER join of the candidate scan against the
+            # marked source keeps every target row and every match:
+            # s-present rows are the MATCHED set, s-absent rows the
+            # NOT-MATCHED-BY-SOURCE set, and the insert anti-join probes
+            # the cached t-side keys instead of re-scanning the candidate
+            # files. Unlike a full outer, the left outer keeps the small
+            # source broadcast-eligible. Clause ids are numbered globally
+            # (matched first, then by-source); the two position sets are
+            # disjoint — an unmatched target row joins exactly once — so
+            # first-match-wins stays per-set and any duplicated position
+            # is necessarily a matched-set duplicate.
+            joined = None
+            if by_source_clauses:
+                # by-source conditions must see t.* ONLY. The old
+                # anti-join shape rejected an s.* reference at analysis;
+                # the left outer would instead hand those rows a NULL
+                # s-side and silently skip the clause — so resolve each
+                # condition against a target-only frame first (analysis
+                # only, no job) to keep the failure loud.
+                bare = self.spark.createDataFrame([], schema).alias("t")
+                for cond, _a in by_source_clauses:
+                    if cond is None:
+                        continue
+                    try:
+                        bare.filter(_cond_col(cond))
+                    except Exception as e:
+                        raise ValueError(
+                            "when_not_matched_by_source condition "
+                            f"{cond!r} must reference target columns "
+                            f"only: {e}"
+                        ) from None
+            if matched_clauses or by_source_clauses:
                 join_cond = None
                 for k in key_cols:
                     c = F.col(f"t.{k}") == F.col(f"s.{k}")
                     join_cond = c if join_cond is None else (join_cond & c)
-                matched = t_scan.join(source_df.alias("s"), join_cond, "inner")
-                _apply_clauses(matched, matched_clauses, True,
-                               persist_base=True)
-            if by_source_clauses:
-                # target rows NO source key matches (conditions see t.*
-                # only); positions are unique by construction — no guard
-                nms = t_scan.join(
-                    source_df.select(*key_cols).dropDuplicates(),
-                    on=key_cols,
-                    how="left_anti",
-                ).alias("t")
-                _apply_clauses(nms, by_source_clauses, False)
+                src = source_df.withColumn(
+                    "__dwcs_s_present", F.lit(True)
+                ).alias("s")
+                how = "left_outer" if by_source_clauses else "inner"
+                joined = t_scan.join(src, join_cond, how).persist()
+                persisted.append(joined)
+                present = F.col("__dwcs_s_present").isNotNull()
+                all_clauses = list(matched_clauses) + list(by_source_clauses)
+                m_n = len(matched_clauses)
+                idx = None
+                for i, (cond, _a) in enumerate(all_clauses):
+                    gate = present if i < m_n else ~present
+                    c = gate & _cond_col(cond)
+                    idx = (
+                        F.when(c, F.lit(i))
+                        if idx is None
+                        else idx.when(c, F.lit(i))
+                    )
+                acted = joined.withColumn("__dwcs_clause", idx).filter(
+                    F.col("__dwcs_clause").isNotNull()
+                )
+                upd_idx = [
+                    i for i, (_c, a) in enumerate(all_clauses)
+                    if a is not None
+                ]
+                # ONE aggregation pass: the per-position hit count carries
+                # the cardinality evidence Delta's guard needs, and the
+                # min-clause rollup yields the per-clause counts — the old
+                # shape paid a separate guard count() that re-evaluated
+                # the whole join.
+                pos_hits = (
+                    acted.select("__dwcs_uri", "__dwcs_pos", "__dwcs_clause")
+                    .groupBy("__dwcs_uri", "__dwcs_pos")
+                    .agg(
+                        F.min("__dwcs_clause").alias("__dwcs_clause"),
+                        F.count(F.lit(1)).alias("__dwcs_hits"),
+                    )
+                )
+                stats = (
+                    pos_hits.groupBy("__dwcs_clause")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.max("__dwcs_hits").alias("mx"),
+                    )
+                    .collect()  # ≤ len(all_clauses) rows
+                )
+                if any(a is not None for _c, a in matched_clauses) and any(
+                    r["mx"] > 1 for r in stats
+                ):
+                    # cardinality guard (Delta's): one target position hit
+                    # by >1 condition-passing source row under an UPDATE
+                    # clause set → nondeterministic result. Delete-only
+                    # matched merges stay tolerant (documented divergence:
+                    # the DV records the position once regardless). A
+                    # duplicated position is always s-present, so mx>1 is
+                    # always a matched-set duplicate.
+                    raise ValueError(
+                        "ambiguous merge: multiple source rows match "
+                        "one target row under the merge conditions; "
+                        "deduplicate the source or tighten the clause "
+                        "conditions"
+                    )
+                counts = {r["__dwcs_clause"]: r["n"] for r in stats}
+                if counts:
+                    # one clause per POSITION (first-match-wins across
+                    # source rows too — min index; unique already
+                    # wherever the guard ran)
+                    pos_frames.append(
+                        pos_hits.select("__dwcs_uri", "__dwcs_pos")
+                    )
+                    n_updated = sum(counts.get(i, 0) for i in upd_idx)
+                    n_deleted = sum(
+                        n for i, n in counts.items() if i not in upd_idx
+                    )
+                    if upd_idx and n_updated:
+                        # per-column first-match CASE: clause i's
+                        # assignment, or the target value for columns the
+                        # clause leaves alone
+                        out_cols = []
+                        for c in cols:
+                            e = None
+                            for i in upd_idx:
+                                a = all_clauses[i][1]
+                                vcol = (
+                                    _value_col(a[c], c)
+                                    if c in a
+                                    else F.col(f"t.{c}")
+                                )
+                                e = (
+                                    F.when(F.col("__dwcs_clause") == i, vcol)
+                                    if e is None
+                                    else e.when(
+                                        F.col("__dwcs_clause") == i, vcol
+                                    )
+                                )
+                            out_cols.append(
+                                e.otherwise(F.col(f"t.{c}")).alias(c)
+                            )
+                        frames.append(
+                            acted.filter(
+                                F.col("__dwcs_clause").isin(
+                                    [int(i) for i in upd_idx]
+                                )
+                            ).select(*out_cols)
+                        )
             if pos_frames:
-                positions = pos_frames[0]
-                for pf in pos_frames[1:]:
-                    # matched and not-matched-by-source are disjoint row
-                    # sets, so a plain union never duplicates a position
-                    positions = positions.unionByName(pf)
-                dv_files, per_file = self._write_dv(positions)
+                dv_files, per_file = self._write_dv(pos_frames[0])
             if insert_clauses:
                 # FIRST-MATCH-WINS routing over not-matched source rows
-                # (conditions/values see the source as s.<col>). When the
-                # matched join is already cached, its source keys are
-                # exactly the source keys present in the table (the span
-                # pruning is sound either way), so the anti-join probes
-                # the cache instead of re-scanning the candidate files —
-                # one fewer pass over the target.
-                if matched_clauses:
-                    probe = matched.select(
-                        *[F.col(f"s.{k}").alias(k) for k in key_cols]
+                # (conditions/values see the source as s.<col>). The
+                # anti-join probes the cached join's t-side keys when
+                # available (every candidate target key survives the
+                # left outer; the inner join's keys are target∩source,
+                # sufficient for the anti-join either way) instead of
+                # re-scanning the candidate files.
+                if joined is not None:
+                    probe = joined.select(
+                        *[F.col(f"t.{k}").alias(k) for k in key_cols]
                     )
                 else:
                     probe = t_scan.select(*key_cols)
