@@ -172,7 +172,25 @@ def stream_curate_declarative(
     which are winner-invariant. Restart recovery: the checkpoint replays
     the last commit-version range and the silver txn watermark makes the
     replay a no-op — exactly-once table to table with zero imperative
-    code."""
+    code.
+
+    Operator order (round-14 optimization, guide §4.4's duplication
+    hazard applied to plain expressions): a filter referencing a
+    projected column is pushed below the projection by SUBSTITUTION, so
+    every referenced score is evaluated twice — and the bigram
+    run-length fold (sort + aggregate lambda, interpreted, no CSE) is
+    ~10x the cost of every other signal combined. The cheap signals
+    (``dup_line_frac``, ``n_tokens``) filter BEFORE the stateful dedup
+    (double evaluation is pennies, and junk rows never reach state);
+    the fold-bearing ``top_bigram_frac`` filter sits AFTER
+    ``dropDuplicates`` — the blocking dedup operator materializes the
+    projected value, so the filter reads the stored column instead of
+    re-deriving the fold (measured 3.3x on the composed batch twin).
+    Output-exact by commutation: rows sharing an fp share the scrubbed
+    text, hence every text-derived score — a fingerprint group passes
+    or fails the bigram gate as one, so filtering it above or below the
+    fp-dedup yields the same rows (state additionally holds the fps of
+    bigram-spam docs, bounded by the same watermark mechanism)."""
     from data_warehouse_copy_spark.functions.text import (
         repetition_score_columns,
     )
@@ -186,12 +204,9 @@ def stream_curate_declarative(
         .withColumn("text", scrub_pii(F.col("text")))
         .withColumn("fp", F.md5(F.col("text")))
         .withColumns({name: col for name, col in scores.items()})
-        .filter(
-            (F.col("dup_line_frac") <= 0.3)
-            & (F.col("top_bigram_frac") <= 0.11)
-            & (F.col("n_tokens") >= 5)
-        )
+        .filter((F.col("dup_line_frac") <= 0.3) & (F.col("n_tokens") >= 5))
         .dropDuplicates(["fp"])
+        .filter(F.col("top_bigram_frac") <= 0.11)
         .select(*CURATED_COLUMNS, "n_tokens", "dup_line_frac", "top_bigram_frac")
     )
     return (

@@ -315,3 +315,47 @@ def test_capped_lm_broadcast_is_bounded(spark, sf_dir):
     plan2 = _plan(spark, sf_dir, "text_ccnet_tiers_sampled")
     assert "BroadcastHashJoin" in plan2
     assert "TakeOrderedAndProject" in plan2
+
+
+def test_declarative_curation_fold_evaluated_once(spark, sf_dir):
+    """Round-14: the bigram run-length fold (interpreted aggregate lambda,
+    no CSE) must appear exactly ONCE in the curation DAG's physical plan.
+    A filter referencing top_bigram_frac placed BELOW the fp-dedup gets
+    pushed into the projection by substitution and re-derives the fold
+    per row (2 occurrences, measured 3.3x the composed cost); the
+    blocking dropDuplicates materializes the column so the gate above it
+    reads the stored value. Rows sharing an fp share every text-derived
+    score, so the reordering is output-exact by commutation (pinned
+    value-wise by the entry oracle and TestDeclarativeCuration)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_copy_spark.functions.text import (
+        repetition_score_columns,
+        scrub_pii,
+    )
+    from data_warehouse_copy_spark.streaming.curation import CURATED_COLUMNS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = repetition_score_columns("text")
+    # the batch twin of stream_curate_declarative's DAG: same Columns,
+    # same operator order (the streaming plan only swaps the source/sink
+    # and the stateful dedup implementation)
+    df = (
+        docs.withColumn("text", scrub_pii(F.col("text")))
+        .withColumn("fp", F.md5(F.col("text")))
+        .withColumns({name: col for name, col in scores.items()})
+        .filter((F.col("dup_line_frac") <= 0.3) & (F.col("n_tokens") >= 5))
+        .dropDuplicates(["fp"])
+        .filter(F.col("top_bigram_frac") <= 0.11)
+        .select(
+            *CURATED_COLUMNS, "n_tokens", "dup_line_frac", "top_bigram_frac"
+        )
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("aggregate(") == 1
