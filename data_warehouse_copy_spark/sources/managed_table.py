@@ -4585,6 +4585,69 @@ class ManagedTable:
             )
         return deleted, sum(f.rows for f in new_files) - tail_rows
 
+    def overwrite_days(
+        self, df: DataFrame, days: "list[str]"
+    ) -> tuple[int, int]:
+        """Day-SET atomic overwrite for a day-partitioned table: ONE
+        commit drops exactly the named day partitions and lands ``df``
+        (whose rows must all fall on those days) — the n-commit
+        generalization of :meth:`overwrite_range` for SCATTERED
+        invalidation sets. A feed-driven rollup refresh with 60
+        scattered touched days paid 60 range-overwrite commits
+        (measured 19.5 s vs 3.2 s for 120 CONTIGUOUS days — SCALING.md
+        round 14; the cost was commit count, not data); this is the
+        same swap as one write + one commit, cost ∝ the touched days'
+        data regardless of how they scatter. Commits under the
+        ``overwrite_range`` op (identical add/remove semantics, so
+        history and change-feed consumers see the familiar shape);
+        the recorded read region is the conservative [min-day,
+        max-day] span — wider than the exact set, so concurrent-writer
+        conflict checks stay sound. NULL-partition rows are never
+        dropped (same contract as the range form). Returns
+        (rows_deleted, rows_written)."""
+        if not days:
+            raise ValueError("overwrite_days() requires at least one day")
+        dayset = set(days)
+        with _lock_for(self.root):
+            m = self.snapshot()
+            if m.partition_date_col is None:
+                raise ValueError(
+                    "overwrite_days() requires a day-partitioned table; "
+                    "unpartitioned tables take overwrite_range("
+                    "date_column=...) per day range"
+                )
+            df = self._enforce_constraints(
+                df, m.constraints, "overwrite_range"
+            )
+            new_files = self._write_files(
+                df, m.partition_date_col, m.cluster_col,
+                bloom_cols=m.bloom_cols, columns=m.columns,
+            )
+            out_of_set = [
+                f for f in new_files if f.partition not in dayset
+            ]
+            if out_of_set:
+                raise ValueError(
+                    f"overwrite_days: incoming data has partitions outside "
+                    f"the day set: "
+                    f"{[f.partition for f in out_of_set][:5]}"
+                )
+            kept = tuple(f for f in m.files if f.partition not in dayset)
+            deleted = m.total_rows - sum(f.rows for f in kept)
+            schema_json = (
+                df.schema.json() if df.schema.fields else m.schema_json
+            )
+            lo, hi = min(dayset), max(dayset)
+            self._commit_files(
+                m, kept + new_files, schema_json, "overwrite_range",
+                read_spans=_where_read_spans(
+                    [(m.partition_date_col, ">=", lo),
+                     (m.partition_date_col, "<=", hi + "~")],
+                    m.columns,
+                ),
+            )
+        return deleted, sum(f.rows for f in new_files)
+
     def delete(self, where: list[tuple], strategy: str = "dv") -> int:
         """Row-level predicate DELETE as ONE atomic commit (Delta's
         ``DELETE WHERE``). ``where`` is the same conjunctive

@@ -167,16 +167,32 @@ class ContinuousAggregate:
     def refresh_days(
         self, events: DataFrame, days: "list[str]"
     ) -> tuple[int, int]:
-        """Re-aggregate a SET of days with one atomic range overwrite per
-        CONSECUTIVE RUN (late DML usually invalidates a contiguous span —
-        a backfill correction, a retention delete — so this turns n
-        per-day jobs+commits into one; scattered days still refresh
-        independently, never over-replacing untouched days in between).
+        """Re-aggregate a SET of days and swap them in ONE atomic
+        commit (round-14: the per-consecutive-run loop paid one
+        range-overwrite commit per run — 60 scattered days = 60
+        aggregates + 60 commits, measured 6x the one-commit cost in the
+        r14 stress harness). Day-aligned buckets make the aggregate of
+        a union of days ≡ the union of per-day aggregates (the module
+        invariant every refresh already rests on), so one aggregate
+        pass over the exact day set plus one :meth:`~ManagedTable.
+        overwrite_days` partition swap is value-identical to the
+        per-run loop — untouched days in between are never replaced
+        (set membership, not a range). Unpartitioned stores keep the
+        per-run range overwrites (the day-set drop is partition-level).
         Returns total (rows_deleted, rows_inserted)."""
+        days = sorted(set(days))
+        if not days:
+            return 0, 0
+        if self.store.snapshot().partition_date_col is not None:
+            span = events.filter(
+                F.to_date(F.col(self.ts_col)).isin(days)
+            )
+            agg = self._clustered(self._agg(span))
+            return self.store.overwrite_days(agg, days)
         from datetime import date, timedelta
 
         groups: "list[list[date]]" = []
-        for day in sorted(days):
+        for day in days:
             d = date.fromisoformat(day)
             if groups and d == groups[-1][1] + timedelta(days=1):
                 groups[-1][1] = d

@@ -275,6 +275,49 @@ class TestContinuousAggregate:
         assert got == self._full(events)
 
 
+def test_refresh_days_scattered_is_one_commit_and_exact(
+    spark, events, tmp_path
+):
+    """Round-14: a scattered invalidation set refreshes as ONE aggregate
+    pass + ONE atomic day-set commit (the old per-consecutive-run loop
+    paid one commit per run — 60 scattered days = 60 commits, the 6x
+    cost the r14 stress harness measured). Value-exactness: untouched
+    days in between keep their files verbatim (set membership, never a
+    range over-replace) and the store equals the from-scratch aggregate
+    after the swap."""
+    from data_warehouse_copy_spark.streaming.rollup import ContinuousAggregate
+
+    ca = ContinuousAggregate(spark, str(tmp_path / "rollup"))
+    ca.backfill(events.filter(F.col("ts") < F.lit("2024-01-12")))
+    before_files = {
+        f.path: f.partition for f in ca.store.snapshot().files
+    }
+    head_before = ca.store._head_version()
+    # days 10 and... 08: scattered (a gap at 09 and 11)
+    n_del, n_ins = ca.refresh_days(events, ["2024-01-10", "2024-01-08"])
+    assert n_del > 0 and n_ins > 0
+    # ONE commit for the whole scattered set
+    assert ca.store._head_version() == head_before + 1
+    after = ca.store.snapshot().files
+    untouched = {
+        p: d for p, d in before_files.items()
+        if d not in ("2024-01-08", "2024-01-10")
+    }
+    # every untouched day's file (incl. the 09/11 gap days) survives verbatim
+    assert untouched == {
+        f.path: f.partition for f in after
+        if f.partition not in ("2024-01-08", "2024-01-10")
+    }
+    got = {tuple(map(str, r)) for r in ca.store.read().collect()}
+    full = {
+        tuple(map(str, r))
+        for r in tumbling_window_agg(
+            events.filter(F.col("ts") < F.lit("2024-01-12"))
+        ).collect()
+    }
+    assert got == full
+
+
 def test_refresh_day_rewrites_only_that_days_files(spark, events, tmp_path):
     """The rollup store is partitioned by window_start's day, so refresh_day
     must be a metadata-only partition replace: every file belonging to other
