@@ -34,6 +34,7 @@ import pandas
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def _to_double(vec: Column) -> Column:
@@ -50,10 +51,116 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine_expr(a: Column, b: Column) -> Column:
+    """The original pure-expression cosine (kept as the semantic
+    reference :func:`cosine` is pinned against): interpreted left-folds
+    — higher-order lambdas are CodegenFallback and get no common-
+    subexpression elimination, so one call evaluates FIVE folds per row
+    pair (dot, plus each norm twice: once in the ``when`` condition,
+    once in the divisor)."""
     a, b = _to_double(a), _to_double(b)
     denom = norm(a) * norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
+
+
+def _cosine_row_exact(av, bv) -> "float | None":
+    """Per-row scalar twin of :func:`cosine_expr`, op-for-op: elementwise
+    double cast, product, LEFT-FOLD accumulation, ``sqrt(fold)`` norms —
+    the exact IEEE op sequence, so the value is bit-identical. Spark's
+    ``when(denom > 0, ...)`` sees NaN as greater than everything, hence
+    the explicit isnan branch."""
+    import math
+
+    if av is None or bv is None:
+        return None
+    if len(av) != len(bv):
+        # zip_with pads the shorter side with NULL -> NULL product ->
+        # the fold (and thus the cosine) is NULL
+        return None
+    d = na = nb = 0.0
+    for x, y in zip(av, bv):
+        if x is None or y is None:
+            return None
+        x, y = float(x), float(y)
+        d += x * y
+        na += x * x
+        nb += y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    if math.isnan(denom) or denom > 0:
+        return d / denom
+    return None
+
+
+@pandas_udf(DoubleType())
+def _cosine_vec(a: pandas.Series, b: pandas.Series) -> pandas.Series:
+    """Arrow-vectorized :func:`cosine` kernel (round-14, guide §4.2):
+    one numpy pass per batch instead of five interpreted folds per row.
+    BIT-EXACT with :func:`cosine_expr` because every IEEE operation is
+    reproduced in the same order: elementwise float->double widening,
+    elementwise products, and ``np.cumsum`` — whose prefix semantics
+    force the same sequential left-to-right accumulation as the fold
+    (``np.sum``'s pairwise reordering would NOT be) — then
+    ``sqrt(na)*sqrt(nb)`` and one division. Pinned bitwise against the
+    expression form over every fixture pair in tests/test_similarity.py.
+
+    Rows with a NULL vector, mismatched lengths, or zero norms fall out
+    as NULL via the exact per-row fallback / mask. Known Arrow-boundary
+    divergences, stated honestly (both require non-finite or null
+    ELEMENT values, which no fixture, oracle, or real embedding
+    carries): a NULL element inside a float vector reaches pandas as
+    NaN (pyarrow list conversion), and a NaN RESULT (inf/NaN inputs)
+    serializes back as NULL (pandas->Arrow nan-as-null) — where the
+    expression form yields NULL and NaN respectively. Callers needing
+    those corners exactly can use :func:`cosine_expr`; both corners are
+    pinned in tests/test_similarity.py."""
+    n = len(a)
+    av, bv = a.to_numpy(), b.to_numpy()
+    valid = np.array(
+        [x is not None and y is not None for x, y in zip(av, bv)]
+    )
+    out = pandas.Series([None] * n, dtype="float64")
+    if not valid.any():
+        return out
+    try:
+        A = np.vstack(av[valid]).astype(np.float64)
+        B = np.vstack(bv[valid]).astype(np.float64)
+        if A.shape != B.shape:
+            raise ValueError("ragged")
+    except ValueError:
+        # ragged batch (mixed dims): exact per-row fallback
+        return pandas.Series(
+            [_cosine_row_exact(x, y) for x, y in zip(av, bv)],
+            dtype="float64",
+        )
+    if A.shape[1] == 0:
+        return out  # empty vectors: zero norms -> NULL, like the fold
+    dots = np.cumsum(A * B, axis=1)[:, -1]
+    na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+    nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+    denom = na * nb
+    keep = (denom > 0) | np.isnan(denom)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vals = dots / np.where(denom == 0, np.nan, denom)
+    res = np.where(keep, vals, np.nan)
+    idx = np.flatnonzero(valid)
+    out.iloc[idx[keep]] = res[keep]
+    return out
+
+
+# asNondeterministic (guide §4.4): every call site follows the
+# withColumn-then-filter shape, and a filter referencing a UDF-computed
+# column is pushed below the projection by DUPLICATING the UDF — two
+# ArrowEvalPython nodes per plan, every row paying the boundary twice
+# (seen in plans/r14/similarity_topk_ivf_cosine_after.txt before this
+# mark). The value is deterministic; the mark only forbids the
+# optimizer from duplicating/reordering it — one evaluation per row.
+_cosine_vec_once = _cosine_vec.asNondeterministic()
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine, Arrow-vectorized (see :func:`_cosine_vec`); value
+    bit-identical to the expression form and the DuckDB oracle's fold."""
+    return _cosine_vec_once(a, b)
 
 
 def brute_force_topk(

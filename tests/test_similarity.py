@@ -514,3 +514,73 @@ def test_cross_cosine_matches_string_ids(spark):
         ).collect()
     }
     assert got == {("qa", "ca"), ("qb", "cb")}
+
+
+def test_cosine_vectorized_bitwise_equals_expression_form(spark, emb):
+    """Round-14: cosine() is Arrow-vectorized (one numpy pass per batch
+    instead of five interpreted folds per pair). The VALUE contract is
+    bitwise equality with the expression form (and hence the DuckDB
+    oracle's fold): np.cumsum's prefix semantics force the same
+    sequential left-fold accumulation, so every pair over the real
+    fixture must agree null-safe-EXACTLY — no tolerance. Adversarial
+    shapes (NULL vectors, mismatched dims, empty vectors, zero norms)
+    must also agree."""
+    from data_warehouse_copy_spark.functions.similarity import (
+        cosine,
+        cosine_expr,
+    )
+
+    # every (i, i+stride) fixture pair, full corpus, bucketed self-join
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        (F.col("vec_id") % 37).alias("bk"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        (F.col("vec_id") % 37).alias("bk"),
+    )
+    pairs = a.join(b, "bk")
+    diff = pairs.filter(
+        ~cosine(F.col("va"), F.col("vb")).eqNullSafe(
+            cosine_expr(F.col("va"), F.col("vb"))
+        )
+    ).count()
+    assert diff == 0
+
+    adversarial = spark.createDataFrame(
+        [
+            ([1.0, 2.0], [3.0, 4.0]),
+            (None, [1.0, 2.0]),
+            ([1.0, 2.0], None),
+            ([1.0, 2.0, 3.0], [1.0, 2.0]),  # mismatched dims
+            ([], []),  # empty
+            ([0.0, 0.0], [1.0, 1.0]),  # zero norm
+            ([1.5], [2.5]),
+        ],
+        "va array<double>, vb array<double>",
+    )
+    rows = adversarial.select(
+        cosine(F.col("va"), F.col("vb")).alias("v"),
+        cosine_expr(F.col("va"), F.col("vb")).alias("e"),
+    ).collect()
+    for r in rows:
+        if r["v"] is None or r["e"] is None:
+            assert r["v"] is None and r["e"] is None
+        else:
+            import struct
+
+            assert struct.pack("d", r["v"]) == struct.pack("d", r["e"])
+    # documented Arrow-boundary corner (non-finite inputs, unreachable
+    # from any fixture): the expression form yields NaN, the vectorized
+    # form NULL (pandas->Arrow nan-as-null)
+    inf_case = spark.createDataFrame(
+        [([1e308, 1e308], [1e308, 1e308])],
+        "va array<double>, vb array<double>",
+    ).select(
+        cosine(F.col("va"), F.col("vb")).alias("v"),
+        cosine_expr(F.col("va"), F.col("vb")).alias("e"),
+    ).collect()[0]
+    assert inf_case["v"] is None
+    assert inf_case["e"] != inf_case["e"]  # NaN
