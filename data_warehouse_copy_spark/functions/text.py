@@ -15,13 +15,22 @@ DuckDB oracle can verify it value-for-value:
   (Karp-Rabin style), plus a length-bucketed near-dup prefilter key.
 
 At 100 TB all of these are embarrassingly parallel single-pass projections:
-no shuffle, no UDF, fully pushed into the scan stage.
+no shuffle, fully pushed into the scan stage. One deliberate exception to
+"no Python": the streaming bigram mode (`_top_bigram_frac_vec`) is an
+Arrow-vectorized kernel — the pure-expression fold it replaced is
+interpreted (HOF lambdas get no codegen) and measured 5× slower; the
+kernel is pinned bit-exact against the expression reference.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 # Small curated marker-word lists (public common stopwords). Keep them SHORT
 # and frozen: they are part of the operator's contract with the SQL oracle.
@@ -297,21 +306,17 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_score_columns(text_col: str = "text") -> "dict[str, Column]":
-    """The Gopher repetition signals of :func:`with_repetition_scores` as
-    PURE PROJECTIONS — zero shuffles, so they compose into a Structured
-    Streaming DAG where the aggregate form's groupBy+join cannot (an agg
-    mid-stream forces update/complete output modes and watermark
-    plumbing). The bigram mode comes from a run-length fold over the
-    SORTED bigram array (the longest equal-run in a sorted array IS the
-    max count), value-identical to ``max(n)/sum(n)``; equality with the
-    aggregate form is pinned in tests/test_text.py.
-
-    Per-row cost is O(tokens log tokens) for the sort — fine for
-    documents; the aggregate form stays the right shape when one key
-    groups MANY rows."""
-    lines = F.split(F.col(text_col), "\n")
-    toks = whitespace_tokens(F.lower(F.col(text_col)))
+def top_bigram_frac_fold(toks: Column) -> Column:
+    """The original pure-expression bigram mode (kept as the semantic
+    reference :func:`repetition_score_columns` is pinned against): a
+    run-length fold over the SORTED bigram array (the longest equal-run
+    in a sorted array IS the max count), value-identical to
+    ``max(n)/sum(n)``. Higher-order lambdas are CodegenFallback —
+    interpreted, no CSE — so this costs an O(n log n) sort plus a
+    struct-allocating fold per row; round-14 replaced it on the hot
+    path with the Arrow kernel below (a boundaries-expression rewrite
+    was tried first and measured 135× WORSE: a lambda body referencing
+    the sort re-evaluates it per element)."""
     bigrams = F.when(
         F.size(toks) >= 2,
         F.zip_with(
@@ -337,14 +342,66 @@ def repetition_score_columns(text_col: str = "text") -> "dict[str, Column]":
         ),
         lambda acc: acc["best"],
     )
+    return F.when(
+        F.size(bigrams) > 0, best_run / F.size(bigrams)
+    ).otherwise(F.lit(0.0))
+
+
+@pandas_udf(DoubleType())
+def _top_bigram_frac_vec(toks: pandas.Series) -> pandas.Series:
+    """Arrow-vectorized bigram mode (round-14, guide §4.2): count the
+    most frequent ADJACENT token pair per row with a Counter over
+    tuples instead of sorting + run-length-folding a concatenated-string
+    array in the interpreted expression evaluator. BIT-EXACT with
+    :func:`top_bigram_frac_fold`: tokens are whitespace-split (no token
+    contains the join separator), so pair-tuple counts equal
+    concatenated-string counts; both forms divide the same two ints as
+    IEEE doubles; fewer than two tokens (or NULL) is 0.0 both ways.
+    Pinned bitwise over the full fixture + adversarial shapes in
+    tests/test_text.py. Tokenization stays in the JVM — the kernel
+    receives the token array, not the text."""
+    from collections import Counter
+
+    out = np.empty(len(toks), dtype=np.float64)
+    for i, t in enumerate(toks.to_numpy()):
+        if t is None or len(t) < 2:
+            out[i] = 0.0
+            continue
+        c = Counter(zip(t[:-1], t[1:]))
+        out[i] = max(c.values()) / (len(t) - 1)
+    return pandas.Series(out)
+
+
+# asNondeterministic (guide §4.4): the curation DAG filters on the
+# computed column; without the mark, filter pushdown would CLONE the
+# kernel below the gate (two ArrowEvalPython nodes, every row paying
+# the boundary twice — the exact hazard the round-14 curation fix
+# documented for the fold form).
+_top_bigram_frac_once = _top_bigram_frac_vec.asNondeterministic()
+
+
+def repetition_score_columns(text_col: str = "text") -> "dict[str, Column]":
+    """The Gopher repetition signals of :func:`with_repetition_scores` as
+    PURE PROJECTIONS — zero shuffles, so they compose into a Structured
+    Streaming DAG where the aggregate form's groupBy+join cannot (an agg
+    mid-stream forces update/complete output modes and watermark
+    plumbing). The bigram mode is the Arrow kernel
+    (:func:`_top_bigram_frac_vec`), value-identical to ``max(n)/sum(n)``
+    and bit-exact with the expression reference
+    (:func:`top_bigram_frac_fold`); equality with the aggregate form is
+    pinned in tests/test_text.py.
+
+    Per-row cost is O(tokens) in one vectorized batch pass; the
+    aggregate form stays the right shape when one key groups MANY
+    rows."""
+    lines = F.split(F.col(text_col), "\n")
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
     return {
         "n_tokens": F.size(toks),
         "dup_line_frac": (
             (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
         ),
-        "top_bigram_frac": F.when(
-            F.size(bigrams) > 0, best_run / F.size(bigrams)
-        ).otherwise(F.lit(0.0)),
+        "top_bigram_frac": _top_bigram_frac_once(toks),
     }
 
 

@@ -358,4 +358,9 @@ def test_declarative_curation_fold_evaluated_once(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert plan.count("aggregate(") == 1
+    # round-14 (continued): the bigram mode is now the Arrow kernel —
+    # the interpreted fold must be GONE from the hot DAG entirely, and
+    # the kernel (asNondeterministic, so filter pushdown cannot clone
+    # it below the gate — guide §4.4) must appear exactly once
+    assert plan.count("aggregate(") == 0
+    assert plan.count("_top_bigram_frac_vec") == 1

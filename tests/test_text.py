@@ -448,3 +448,55 @@ def test_capped_lm_fidelity_on_zipfian_corpus(spark, tmp_path, monkeypatch):
         )[0, 1]
     )
     assert rho >= 0.95, f"Zipf-corpus rank correlation {rho:.3f} below floor"
+
+
+def test_top_bigram_kernel_bitwise_equals_fold_and_aggregate(spark, sf_dir):
+    """Round-14 (continued): the streaming bigram mode is an Arrow
+    kernel (Counter over adjacent token pairs) replacing the interpreted
+    sort+run-length fold. The VALUE contract is bitwise equality with
+    the expression reference (tokens are whitespace-split, so pair-tuple
+    counts equal concatenated-string counts; both divide the same two
+    ints as IEEE doubles) AND with the aggregate form keyed on a unique
+    id — over the full document fixture plus adversarial shapes (NULL,
+    empty, blank, single-token, all-same-bigram, mixed whitespace)."""
+    from data_warehouse_copy_spark.functions.text import (
+        repetition_score_columns,
+        top_bigram_frac_fold,
+        whitespace_tokens,
+        with_repetition_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    adv = spark.createDataFrame(
+        [
+            (1000001, None),
+            (1000002, ""),
+            (1000003, "one"),
+            (1000004, "a a a a a"),
+            (1000005, "  x   y  "),
+            (1000006, "A\tB\nA b"),
+        ],
+        "doc_id long, text string",
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(adv)
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    kernel = repetition_score_columns("text")["top_bigram_frac"]
+    fold = top_bigram_frac_fold(toks)
+    assert (
+        all_docs.select(
+            kernel.alias("k"), fold.alias("f")
+        ).filter(~F.col("k").eqNullSafe(F.col("f"))).count()
+        == 0
+    )
+    # aggregate-form parity on the real fixture (unique doc_id key)
+    agg = {
+        r["doc_id"]: r["top_bigram_frac"]
+        for r in with_repetition_scores(docs, id_col="doc_id")
+        .select("doc_id", "top_bigram_frac")
+        .collect()
+    }
+    ker = {
+        r["doc_id"]: r["k"]
+        for r in docs.select("doc_id", kernel.alias("k")).collect()
+    }
+    assert agg == ker
