@@ -16,6 +16,7 @@ from bench import (  # noqa: E402
     BENCH_QUERIES,
     adjudicate_violations,
     build_detail,
+    floor_check_line,
     merge_floors,
     next_round,
 )
@@ -111,6 +112,67 @@ def test_build_detail_schema_and_ratios():
     # a genuine violation is listed
     d3 = build_detail({"a": 2.1}, {"a": 1.0}, 0.1, 1, {}, {})
     assert d3["violations_over_2x"] == {"a": 2.1}
+
+
+def test_floor_check_line_stays_tail_safe_under_stress():
+    """Round-14 verdict item 1a: the r14 floor_check line inlined 12
+    full adjudication records (~1900 chars) and pushed the headline
+    one-line JSON out of the driver's ~2KB stdout-tail capture —
+    PERF_r14 came back all-null. The line must stay SHORT no matter how
+    many violations a contended sweep produces: counts + a capped
+    confirmed-regressions list, full records only in BENCH_DETAIL."""
+    long = [f"dedup_semantic_incremental_ivf_variant_{i:02d}" for i in range(20)]
+    ratios = {q: 3.0 for q in long}
+    violations = dict(ratios)
+    adjudicated = {
+        q: {
+            "sweep_ratio": 3.0,
+            "remeasured_sec": 9.999,
+            "remeasured_ratio": 2.9,
+            "verdict": "regression" if i % 2 else "host_contention",
+        }
+        for i, q in enumerate(long)
+    }
+    loadavg = {
+        "warmup_end": [12.34, 12.34, 12.34],
+        "sweep_end": [12.34, 12.34, 12.34],
+        "adjudication_end": [12.34, 12.34, 12.34],
+    }
+    line = floor_check_line(ratios, violations, adjudicated, long, loadavg)
+    assert len(json.dumps(line)) < 500, json.dumps(line)
+    # the signal content survives the compaction
+    assert line["metric"] == "floor_check"
+    assert line["n_violations_over_2x"] == 20
+    assert line["n_confirmed_regressions"] == 10
+    assert line["n_adjudicated_contention"] == 10
+    assert len(line["confirmed_regressions"]) == 2  # capped, count is honest
+    assert line["n_unfloored"] == 20  # names live in BENCH_DETAIL
+    assert line["max_ratio"] == 3.0
+    # the healthy case (r13 shape): everything present, nothing truncated
+    ok = floor_check_line({"a": 1.1, "b": 0.9}, {}, {}, [], loadavg)
+    assert ok["max_ratio"] == 1.1 and ok["max_ratio_query"] == "a"
+    assert ok["confirmed_regressions"] == []
+    assert len(json.dumps(ok)) < 500
+    # empty-ratios edge: no floors at this sf
+    empty = floor_check_line({}, {}, {}, ["q"], {})
+    assert empty["max_ratio"] is None and empty["max_ratio_query"] is None
+
+
+def test_compact_headline_line_stays_tail_safe():
+    """The second headline_queries_total line (the one with no queries
+    dict) is what the driver's tail capture must always contain — pin
+    its worst-case size with the longest registry names."""
+    longest = max(BENCH_QUERIES, key=len)
+    line = {
+        "metric": "headline_queries_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "n_queries": len(BENCH_QUERIES),
+        "sf": 0.1,
+        "worst_query": longest,
+        "worst_sec": 99999.999,
+    }
+    assert len(json.dumps(line)) < 250
 
 
 def test_floor_file_covers_registry_or_reports_unfloored():
