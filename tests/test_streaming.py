@@ -997,6 +997,68 @@ class TestDeclarativeCuration:
             }
         assert fps["w8"] == fps["w3"] and fps["w8"]
 
+    def test_auto_state_width_derives_from_trigger_volume(
+        self, spark, tmp_path, sf_dir
+    ):
+        """Round-15 (verdict item 6): the default width is no longer a
+        constant — it derives from the declared first-trigger volume
+        (the bronze manifest row count) at one store per 200k keys,
+        floor 1, cap 1024. The small fixture must therefore pin width 1
+        into the checkpoint, and the pure sizing function must scale up
+        for large triggers instead of freezing small-trigger behavior
+        into big deployments."""
+        import glob
+        import json
+
+        from data_warehouse_copy_spark.sources.managed_table import (
+            ManagedTable,
+        )
+        from data_warehouse_copy_spark.streaming.curation import (
+            _STATE_KEYS_PER_PARTITION,
+            _STATE_WIDTH_CAP,
+            _auto_state_width,
+            stream_curate_declarative,
+        )
+
+        # the sizing rule, both directions
+        assert _auto_state_width(0) == 1
+        assert _auto_state_width(2_500) == 1
+        assert _auto_state_width(_STATE_KEYS_PER_PARTITION) == 1
+        assert _auto_state_width(_STATE_KEYS_PER_PARTITION + 1) == 2
+        assert _auto_state_width(100_000_000) == 500
+        assert _auto_state_width(10**12) == _STATE_WIDTH_CAP
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bronze = ManagedTable.create(spark, tmp_path / "bronze_auto")
+        bronze.append(docs)
+        before_conf = spark.conf.get("spark.sql.shuffle.partitions")
+        q = stream_curate_declarative(
+            spark,
+            str(tmp_path / "bronze_auto"),
+            str(tmp_path / "silver_auto"),
+            str(tmp_path / "ckpt_auto"),
+        )  # default state_partitions="auto"
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before_conf
+        off = sorted(glob.glob(str(tmp_path / "ckpt_auto/offsets/*")))
+        pinned = None
+        for line in open(off[0]):
+            if "shuffle.partitions" in line:
+                pinned = json.loads(line)["conf"][
+                    "spark.sql.shuffle.partitions"
+                ]
+        assert pinned == "1"  # fixture volume << 200k keys
+        # auto-width output identical to the batch twin's fp set
+        from data_warehouse_copy_spark.streaming.curation import curate_batch
+
+        silver = ManagedTable(spark, tmp_path / "silver_auto").read()
+        assert {r.fp for r in silver.select("fp").collect()} == {
+            r.fp for r in curate_batch(docs).select("fp").collect()
+        }
+
 
 def test_rollup_refresh_from_changes_converges_late_dml(spark, sf_dir, tmp_path):
     """VERDICT r6 item 6: a DV delete / in-place update on a CLOSED day
