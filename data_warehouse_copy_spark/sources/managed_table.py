@@ -2182,10 +2182,16 @@ class ManagedTable:
 
         The right side of a ``left_anti`` join tolerates duplicate keys,
         so rows matched by both keyings cost nothing; the frame stays
-        O(2k) for k deleted positions."""
-        raw = self.spark.read.parquet(
-            *[str(self.root / p) for p in dv_paths]
-        )
+        O(2k) for k deleted positions.
+
+        The DV schema is FIXED by both writers (``_write_dv`` and the
+        session-less pyarrow twin): declaring it here skips parquet
+        schema inference — a per-call footer-open round trip that every
+        DV-bearing read, delete, merge and CDF plan was paying (round-15;
+        on an object store that inference is a remote GET per plan)."""
+        raw = self.spark.read.schema(
+            "file_uri string, file_path string, pos long"
+        ).parquet(*[str(self.root / p) for p in dv_paths])
         pos = F.col("pos").alias("__dwcs_dv_pos")
         return raw.select(
             F.col("file_path").alias("__dwcs_dv_rel"), pos
