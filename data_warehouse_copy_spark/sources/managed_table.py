@@ -5873,94 +5873,120 @@ class ManagedTable:
         address."""
         head, schema_json, _txns, part_col, cluster_col, bloom_cols, columns, constraints = b
         schema = T.StructType.fromJson(json.loads(schema_json))
-        keys = source_df.select(primary_key).distinct()
-        n_keys = keys.count()
-        if n_keys == 0:
-            self._commit_bounded(head, (), set(), "merge_noop")
-            return 0
-        sel = self._bounded_span_candidates(
-            head, keys, primary_key, schema, columns
-        )
-        if sel is None:
-            return None
-        changed: tuple = ()
-        removed: set = set()
-        if sel:
-            hits = self._scan_with_pos(
-                None, sel, schema_json=schema_json, columns=columns
-            ).join(keys, on=primary_key, how="left_semi")
-            dv_files, per_file = self._write_dv(hits)
-            if dv_files is not None:
-                changed, removed = self._regrow_planned(
-                    sel, dv_files, per_file
-                )
-        cols = [f.name for f in schema.fields]
-        checked = self._enforce_constraints(
-            source_df.select(*cols), constraints, "merge"
-        )
-        new_files = self._write_files(
-            checked, part_col, cluster_col,
-            bloom_cols=bloom_cols,
-            columns=columns,
-        )
-        self._commit_bounded(head, changed + new_files, removed, "merge")
-        return n_keys
+        # persisted for the same 3-action reuse as _merge_dv (count, span
+        # probe, position semi-join) — see the rationale there
+        keys = source_df.select(primary_key).distinct().persist()
+        try:
+            n_keys = keys.count()
+            if n_keys == 0:
+                self._commit_bounded(head, (), set(), "merge_noop")
+                return 0
+            sel = self._bounded_span_candidates(
+                head, keys, primary_key, schema, columns
+            )
+            if sel is None:
+                return None
+            changed: tuple = ()
+            removed: set = set()
+            if sel:
+                hits = self._scan_with_pos(
+                    None, sel, schema_json=schema_json, columns=columns
+                ).join(keys, on=primary_key, how="left_semi")
+                dv_files, per_file = self._write_dv(hits)
+                if dv_files is not None:
+                    changed, removed = self._regrow_planned(
+                        sel, dv_files, per_file
+                    )
+            cols = [f.name for f in schema.fields]
+            checked = self._enforce_constraints(
+                source_df.select(*cols), constraints, "merge"
+            )
+            new_files = self._write_files(
+                checked, part_col, cluster_col,
+                bloom_cols=bloom_cols,
+                columns=columns,
+            )
+            self._commit_bounded(head, changed + new_files, removed, "merge")
+            return n_keys
+        finally:
+            keys.unpersist()
 
     def _merge_dv(self, source_df: DataFrame, primary_key: str) -> int:
         m = self.snapshot()
-        keys = source_df.select(primary_key).distinct()
-        n_keys = keys.count()
-        if n_keys == 0:
-            # Empty key set still commits + completes (TableUpdateService.cs:167-172)
-            self._commit_files(m, tuple(m.files), m.schema_json, "merge_noop")
-            return 0
-        # Candidate files by pk span (works partitioned or not — footer
-        # stats cover every column); unusable stats degrade to scanning
-        # every file for POSITIONS, never to a wrong answer, and still
-        # rewrite nothing.
-        affected = self._affected_files_by_stats(m, keys, primary_key)
-        candidates = (
-            list(m.files)
-            if affected is None
-            else [f for f in m.files if f.path in affected]
-        )
-        files = tuple(m.files)
-        if candidates:
-            hits = self._scan_with_pos(m, candidates).join(
-                keys, on=primary_key, how="left_semi"
+        # The distinct-key frame feeds THREE separate actions (count,
+        # span probe, position semi-join); unpersisted, each re-scans the
+        # source and re-runs the distinct shuffle — at scale that is 3x
+        # the source I/O for one merge. Persisting it is safe where the
+        # round-14 in-merge source persist was not: keys is already
+        # pruned to the single key column (nothing for pruning to lose)
+        # and its cached runtime size keeps the semi-join's broadcast
+        # decision accurate.
+        keys = source_df.select(primary_key).distinct().persist()
+        try:
+            n_keys = keys.count()
+            if n_keys == 0:
+                # Empty key set still commits + completes (TableUpdateService.cs:167-172)
+                self._commit_files(m, tuple(m.files), m.schema_json, "merge_noop")
+                return 0
+            # Candidate files by pk span (works partitioned or not — footer
+            # stats cover every column); unusable stats degrade to scanning
+            # every file for POSITIONS, never to a wrong answer, and still
+            # rewrite nothing.
+            affected = self._affected_files_by_stats(m, keys, primary_key)
+            candidates = (
+                list(m.files)
+                if affected is None
+                else [f for f in m.files if f.path in affected]
             )
-            dv_files, per_file = self._write_dv(hits)
-            if dv_files is not None:
-                files = self._grow_dv(m.files, dv_files, per_file)
-        if m.schema_json:
-            cols = [
-                f.name
-                for f in T.StructType.fromJson(json.loads(m.schema_json)).fields
-            ]
-            checked = self._enforce_constraints(
-                source_df.select(*cols), m.constraints, "merge"
-            )
-            new_files = self._write_files(
-                checked, m.partition_date_col, m.cluster_col,
-                bloom_cols=m.bloom_cols,
-                columns=m.columns,
-            )
-            self._commit_files(m, files + new_files, m.schema_json, "merge")
-        else:  # first data into a fresh table: adopt the source schema
-            new_files = self._write_files(
-                source_df, m.partition_date_col, m.cluster_col,
-                bloom_cols=m.bloom_cols,
-                columns=m.columns,
-            )
-            self._commit_files(
-                m, files + new_files, source_df.schema.json(), "merge"
-            )
-        return n_keys
+            files = tuple(m.files)
+            if candidates:
+                hits = self._scan_with_pos(m, candidates).join(
+                    keys, on=primary_key, how="left_semi"
+                )
+                dv_files, per_file = self._write_dv(hits)
+                if dv_files is not None:
+                    files = self._grow_dv(m.files, dv_files, per_file)
+            if m.schema_json:
+                cols = [
+                    f.name
+                    for f in T.StructType.fromJson(json.loads(m.schema_json)).fields
+                ]
+                checked = self._enforce_constraints(
+                    source_df.select(*cols), m.constraints, "merge"
+                )
+                new_files = self._write_files(
+                    checked, m.partition_date_col, m.cluster_col,
+                    bloom_cols=m.bloom_cols,
+                    columns=m.columns,
+                )
+                self._commit_files(m, files + new_files, m.schema_json, "merge")
+            else:  # first data into a fresh table: adopt the source schema
+                new_files = self._write_files(
+                    source_df, m.partition_date_col, m.cluster_col,
+                    bloom_cols=m.bloom_cols,
+                    columns=m.columns,
+                )
+                self._commit_files(
+                    m, files + new_files, source_df.schema.json(), "merge"
+                )
+            return n_keys
+        finally:
+            keys.unpersist()
 
     def _merge_by_key(self, source_df: DataFrame, primary_key: str) -> int:
         m = self.snapshot()
         source_df = self._enforce_constraints(source_df, m.constraints, "merge")
-        keys = source_df.select(primary_key).distinct()
+        # persisted for the same multi-action reuse as _merge_dv (count,
+        # candidate probe, rewrite anti-join) — see the rationale there
+        keys = source_df.select(primary_key).distinct().persist()
+        try:
+            return self._merge_by_key_planned(m, source_df, keys, primary_key)
+        finally:
+            keys.unpersist()
+
+    def _merge_by_key_planned(
+        self, m, source_df: DataFrame, keys: DataFrame, primary_key: str
+    ) -> int:
         n_keys = keys.count()
         if n_keys == 0:
             # Empty key set still commits + completes (TableUpdateService.cs:167-172)
@@ -6225,43 +6251,50 @@ class ManagedTable:
                 _identity_specs(m.schema_json), insert_clauses,
                 matched_clauses + by_source_clauses,
             )
-            if by_source_clauses:
-                # every target row participates — pruning would silently
-                # exempt rows in unprobed files from the by-source clauses
-                candidates = list(m.files)
-                merge_spans = {}  # by-source reads everything (eager)
-            else:
-                keys = source_df.select(*key_cols).distinct()
-                affected = self._affected_files_by_stats(m, keys, key_cols[0])
-                candidates = (
-                    list(m.files)
-                    if affected is None
-                    else [f for f in m.files if f.path in affected]
+            keys = None
+            try:
+                if by_source_clauses:
+                    # every target row participates — pruning would silently
+                    # exempt rows in unprobed files from the by-source clauses
+                    candidates = list(m.files)
+                    merge_spans = {}  # by-source reads everything (eager)
+                else:
+                    # persisted: the key frame feeds the candidate probe AND
+                    # the commit's read-span aggregate — see _merge_dv
+                    keys = source_df.select(*key_cols).distinct().persist()
+                    affected = self._affected_files_by_stats(m, keys, key_cols[0])
+                    candidates = (
+                        list(m.files)
+                        if affected is None
+                        else [f for f in m.files if f.path in affected]
+                    )
+                    _k = keys
+                    merge_spans = (
+                        lambda k=_k, c=key_cols[0], cl=m.columns:
+                        self._source_key_spans(k, c, cl)
+                    )
+                dv_files, per_file, written, counts = self._merge_core(
+                    m, candidates, source_df, key_cols, schema, known, cols,
+                    matched_clauses, by_source_clauses,
+                    insert_clauses,
+                    m.constraints, m.partition_date_col, m.cluster_col,
+                    m.bloom_cols, m.columns,
                 )
-                _k = keys
-                merge_spans = (
-                    lambda k=_k, c=key_cols[0], cl=m.columns:
-                    self._source_key_spans(k, c, cl)
+                n_updated, n_deleted, n_inserted = counts
+                files = tuple(m.files)
+                if dv_files is not None:
+                    files = self._grow_dv(files, dv_files, per_file)
+                landed = self._commit_files(
+                    m,
+                    files + written,
+                    m.schema_json,
+                    "merge" if any(counts) else "merge_noop",
+                    txn=txn,
+                    read_spans=merge_spans,
                 )
-            dv_files, per_file, written, counts = self._merge_core(
-                m, candidates, source_df, key_cols, schema, known, cols,
-                matched_clauses, by_source_clauses,
-                insert_clauses,
-                m.constraints, m.partition_date_col, m.cluster_col,
-                m.bloom_cols, m.columns,
-            )
-            n_updated, n_deleted, n_inserted = counts
-            files = tuple(m.files)
-            if dv_files is not None:
-                files = self._grow_dv(files, dv_files, per_file)
-            landed = self._commit_files(
-                m,
-                files + written,
-                m.schema_json,
-                "merge" if any(counts) else "merge_noop",
-                txn=txn,
-                read_spans=merge_spans,
-            )
+            finally:
+                if keys is not None:
+                    keys.unpersist()
             if not landed:
                 return dict(skipped)  # a concurrent retry won the epoch
             if id_sync_cols and written:
@@ -6308,35 +6341,40 @@ class ManagedTable:
         id_sync_cols = _merge_identity_gate(
             _identity_specs(schema_json), insert_clauses, matched_clauses
         )
-        keys = source_df.select(*key_cols).distinct()
-        # the span probe prunes on the FIRST key column (sound: a file
-        # whose first-key span admits no source key can't hold a match);
-        # a probe miss falls back to the classic full-manifest plan
-        sel = self._bounded_span_candidates(
-            head, keys.select(key_cols[0]).distinct(), key_cols[0],
-            schema, columns,
-        )
-        if sel is None:
-            return None
-        dv_files, per_file, written, counts = self._merge_core(
-            None, sel, source_df, key_cols, schema, known, cols,
-            matched_clauses, [],
-            insert_clauses,
-            constraints, part_col, cluster_col, bloom_cols, columns,
-        )
-        changed: tuple = ()
-        removed: set = set()
-        if dv_files is not None:
-            changed, removed = self._regrow_planned(sel, dv_files, per_file)
-        landed = self._commit_bounded(
-            head, changed + written, removed,
-            "merge" if any(counts) else "merge_noop",
-            txn=txn,
-            read_spans=(
-                lambda k=keys, c=key_cols[0], cl=columns:
-                self._source_key_spans(k, c, cl)
-            ),
-        )
+        # persisted: feeds the span probe AND the commit's read-span
+        # aggregate — see _merge_dv for the persist rationale
+        keys = source_df.select(*key_cols).distinct().persist()
+        try:
+            # the span probe prunes on the FIRST key column (sound: a file
+            # whose first-key span admits no source key can't hold a match);
+            # a probe miss falls back to the classic full-manifest plan
+            sel = self._bounded_span_candidates(
+                head, keys.select(key_cols[0]).distinct(), key_cols[0],
+                schema, columns,
+            )
+            if sel is None:
+                return None
+            dv_files, per_file, written, counts = self._merge_core(
+                None, sel, source_df, key_cols, schema, known, cols,
+                matched_clauses, [],
+                insert_clauses,
+                constraints, part_col, cluster_col, bloom_cols, columns,
+            )
+            changed: tuple = ()
+            removed: set = set()
+            if dv_files is not None:
+                changed, removed = self._regrow_planned(sel, dv_files, per_file)
+            landed = self._commit_bounded(
+                head, changed + written, removed,
+                "merge" if any(counts) else "merge_noop",
+                txn=txn,
+                read_spans=(
+                    lambda k=keys, c=key_cols[0], cl=columns:
+                    self._source_key_spans(k, c, cl)
+                ),
+            )
+        finally:
+            keys.unpersist()
         if not landed:
             return {"updated": 0, "deleted": 0, "inserted": 0,
                     "skipped": True}
