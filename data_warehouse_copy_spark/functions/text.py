@@ -15,11 +15,12 @@ DuckDB oracle can verify it value-for-value:
   (Karp-Rabin style), plus a length-bucketed near-dup prefilter key.
 
 At 100 TB all of these are embarrassingly parallel single-pass projections:
-no shuffle, fully pushed into the scan stage. One deliberate exception to
-"no Python": the streaming bigram mode (`_top_bigram_frac_vec`) is an
-Arrow-vectorized kernel — the pure-expression fold it replaced is
-interpreted (HOF lambdas get no codegen) and measured 5× slower; the
-kernel is pinned bit-exact against the expression reference.
+no shuffle, fully pushed into the scan stage. Two deliberate exceptions to
+"no Python", both Arrow-vectorized kernels pinned bit-exact against their
+kept pure-expression references (HOF lambdas are CodegenFallback —
+interpreted, no CSE): the streaming bigram mode (`_top_bigram_frac_vec`,
+round-14, 5× the fold) and the Karp-Rabin fingerprint (`_rolling_fp_vec`,
+round-15, 21× the per-character fold at realistic ~5 KB documents).
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ import pandas
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 # Small curated marker-word lists (public common stopwords). Keep them SHORT
 # and frozen: they are part of the operator's contract with the SQL oracle.
@@ -235,13 +236,17 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df2.select(*cols)
 
 
-def rolling_fingerprint(text: Column) -> Column:
+def rolling_fingerprint_fold(text: Column) -> Column:
     """Polynomial rolling hash over unicode codepoints:
     ``fold(0, c -> (acc*31 + codepoint(c)) % 1_000_000_007)``.
 
     A classic Karp-Rabin document fingerprint — order-sensitive (unlike a
     bag-of-words hash) and exactly reproducible in ANSI SQL (DuckDB
-    ``list_reduce``). Stays entirely in codegen'd expressions.
+    ``list_reduce``). Pure-expression form, kept as the PINNED SEMANTIC
+    REFERENCE for the Arrow kernel below (the cosine/bigram treatment,
+    round-15): HOF lambdas are CodegenFallback — interpreted, a
+    per-character struct fold — and measured ~10x the vectorized kernel
+    on the document fixture.
     """
     chars = F.split(text, "")
     codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
@@ -252,12 +257,96 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+#: chunk width of the vectorized Horner fold: each chunk's dot product is
+#: sum of codepoint (< 2^21) * power-mod (< 2^30) terms — 512 of them stay
+#: < 2^60, exact in int64; the inter-chunk carry multiplies by 31^512 mod M
+#: in Python ints (arbitrary precision), so the whole fold is exact.
+_FP_CHUNK = 512
+#: 31^(k) mod M for k = _FP_CHUNK-1 .. 0 (Horner weights of one chunk)
+_FP_POWS = np.empty(_FP_CHUNK, dtype=np.int64)
+_p = 1
+for _i in range(_FP_CHUNK):
+    _FP_POWS[_FP_CHUNK - 1 - _i] = _p
+    _p = (_p * FP_BASE) % FP_MOD
+del _p, _i
+#: 31^_FP_CHUNK mod M — the carry multiplier between full chunks
+_FP_CARRY = pow(FP_BASE, _FP_CHUNK, FP_MOD)
+
+
+@pandas_udf(LongType())
+def _rolling_fp_vec(texts: pandas.Series) -> pandas.Series:
+    """Arrow-vectorized twin of :func:`rolling_fingerprint_fold` (guide
+    §4.2, round-15): Horner's rule evaluated a chunk at a time — the
+    codepoint array comes from one ``utf-32-le`` encode (Arrow strings
+    are valid UTF-8, so no surrogate corner; Spark's ``split(text, '')``
+    is codepoint-wise, verified on astral chars), each 512-codepoint
+    chunk folds as one numpy dot against precomputed ``31^k mod M``
+    weights (exact in int64 — see ``_FP_CHUNK``), and chunks chain with
+    an arbitrary-precision Python-int carry. BIT-EXACT with the
+    expression reference by construction: both compute
+    ``sum(cp_i * 31^(n-1-i)) mod M`` over the same codepoint sequence,
+    and the same corners hold (empty string -> 0 — the reference folds
+    ``ascii('') = 0`` over ``split('','') = ['']``; NULL -> NULL).
+    Pinned bitwise in tests/test_text.py over the fixture plus
+    adversarial shapes (astral, combining marks, empty, NULL)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    mask = np.zeros(len(texts), dtype=bool)
+    for i, s in enumerate(texts.to_numpy()):
+        if s is None:
+            mask[i] = True
+            continue
+        if not s:
+            continue
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(
+            np.int64
+        )
+        acc = 0
+        n = len(codes)
+        pos = 0
+        while pos < n:
+            chunk = codes[pos:pos + _FP_CHUNK]
+            k = len(chunk)
+            if k == _FP_CHUNK:
+                acc = (acc * _FP_CARRY + int(chunk @ _FP_POWS)) % FP_MOD
+            else:  # tail chunk: weights are the LAST k powers
+                acc = (
+                    acc * pow(FP_BASE, k, FP_MOD)
+                    + int(chunk @ _FP_POWS[_FP_CHUNK - k:])
+                ) % FP_MOD
+            pos += k
+        out[i] = acc
+    res = pandas.Series(out)
+    if mask.any():
+        res = res.astype(object)
+        res[mask] = None
+    return res
+
+
+# asNondeterministic (guide §4.4, the cosine/bigram precedent): consumers
+# filter/dedup on the fingerprint column; without the mark, pushdown would
+# clone the kernel below the gate and every row would pay the Python
+# boundary twice. Constraint (round-14 advice): a nondeterministic-marked
+# column cannot appear directly in a join condition — call sites project
+# it first (withColumn/select) and reference it by name.
+_rolling_fp_once = _rolling_fp_vec.asNondeterministic()
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Karp-Rabin document fingerprint (see
+    :func:`rolling_fingerprint_fold` for the pinned expression
+    reference; this is the Arrow-kernel form used on hot paths).
+    NOTE: the result column is nondeterministic-marked — project it
+    before using it in a join condition or aggregate key."""
+    return _rolling_fp_once(text)
+
+
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     return df.select(
         "*",
         rolling_fingerprint(text).alias("fingerprint"),
         # cheap near-dup prefilter bucket: same first-8-chars hash + length/32
+        # (the substring stays in the JVM — the kernel only folds)
         (
             rolling_fingerprint(F.substring(text, 1, 8)) * 1024
             + (F.length(text) / 32).cast("long")

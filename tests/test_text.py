@@ -500,3 +500,59 @@ def test_top_bigram_kernel_bitwise_equals_fold_and_aggregate(spark, sf_dir):
         for r in docs.select("doc_id", kernel.alias("k")).collect()
     }
     assert agg == ker
+
+
+def test_rolling_fingerprint_kernel_bitwise_equals_fold(spark, sf_dir):
+    """Round-15 (verdict item 3): the Karp-Rabin fingerprint is an Arrow
+    kernel (chunked-Horner numpy dot, exact in int64 by construction)
+    replacing the interpreted per-character fold. The VALUE contract is
+    bitwise equality with the expression reference over the full
+    document fixture plus adversarial shapes — astral codepoints (Spark's
+    split(text,'') is codepoint-wise), combining marks, chunk-boundary
+    lengths (511/512/513/1025), empty ('' -> 0 both ways: the reference
+    folds ascii('')=0 over ['']), and NULL -> NULL. The plan must carry
+    exactly one ArrowEvalPython per kernel call (asNondeterministic stops
+    filter-pushdown cloning — the bigram/cosine precedent)."""
+    from data_warehouse_copy_spark.functions.text import (
+        rolling_fingerprint,
+        rolling_fingerprint_fold,
+        with_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    adv = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "a"),
+            (4, "aé́b"),      # combining mark
+            (5, "a\U0001F600b"),        # astral codepoint
+            (6, "\U0001F389" * 513),    # astral across the 512 chunk edge
+            (7, "0" * 511),
+            (8, "0" * 512),
+            (9, "0" * 513),
+            (10, "x" * 1025),
+            (11, "hello world\nnew line\ttab"),
+        ],
+        "doc_id long, text string",
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(adv)
+    n_bad = (
+        all_docs.select(
+            rolling_fingerprint(F.col("text")).alias("k"),
+            rolling_fingerprint_fold(F.col("text")).alias("f"),
+        )
+        .filter(~F.col("k").eqNullSafe(F.col("f")))
+        .count()
+    )
+    assert n_bad == 0
+    # one kernel node per call site in the with_fingerprints plan, even
+    # under a downstream filter on the computed column
+    plan = (
+        with_fingerprints(docs)
+        .filter(F.col("fingerprint") % 2 == 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") <= 2  # full-text + bucket, no clones
