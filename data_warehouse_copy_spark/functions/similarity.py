@@ -4,8 +4,10 @@ The ``embeddings`` table carries ``array<float>`` vectors (dim 64 in the
 fixtures). Three search paths:
 
 - **brute-force cosine top-k** — the exact baseline: query-set × corpus
-  join, cosine as a codegen'd ``zip_with``/``aggregate`` expression (no
-  Python), ``row_number() <= k`` per query. Cost O(|Q|·|C|·d): right when
+  join, cosine as an Arrow-vectorized numpy kernel (:func:`_cosine_vec`,
+  round-14 — pinned bit-exact against the kept pure-expression reference
+  :func:`cosine_expr`, whose interpreted folds were the hot cost),
+  ``row_number() <= k`` per query. Cost O(|Q|·|C|·d): right when
   |Q| is small or as the verification oracle.
 - **random-hyperplane LSH (sign-bit) buckets** — the scale path: ``p``
   deterministic pseudo-random hyperplanes (seeded, derived from xxhash64 so
@@ -159,7 +161,23 @@ _cosine_vec_once = _cosine_vec.asNondeterministic()
 
 def cosine(a: Column, b: Column) -> Column:
     """Exact cosine, Arrow-vectorized (see :func:`_cosine_vec`); value
-    bit-identical to the expression form and the DuckDB oracle's fold."""
+    bit-identical to the expression form and the DuckDB oracle's fold
+    on all FINITE inputs.
+
+    Non-finite corner (round-14 behavior change, deliberate): where the
+    expression form returned NaN for a NaN norm product (Spark treats
+    ``NaN > 0`` as true), the kernel returns NULL (pandas→Arrow
+    nan-as-null). Ranking implication for callers with inf/NaN
+    embeddings: a NaN cosine used to sort FIRST under the descending
+    top-k order in :func:`brute_force_topk`; it is now dropped by the
+    ``isNotNull`` gate — the safer semantics, but a change if you relied
+    on NaN rows surfacing.
+
+    Constraint: the result is nondeterministic-marked (to stop pushdown
+    cloning the kernel), so it cannot appear DIRECTLY in a join
+    condition or some aggregate positions (AnalysisException) — project
+    it first (``withColumn``/``select``) and reference it by name, as
+    every call site here does."""
     return _cosine_vec_once(a, b)
 
 

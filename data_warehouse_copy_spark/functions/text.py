@@ -482,7 +482,12 @@ def repetition_score_columns(text_col: str = "text") -> "dict[str, Column]":
 
     Per-row cost is O(tokens) in one vectorized batch pass; the
     aggregate form stays the right shape when one key groups MANY
-    rows."""
+    rows.
+
+    Constraint: ``top_bigram_frac`` is nondeterministic-marked (to stop
+    pushdown cloning the kernel), so it cannot appear DIRECTLY in a
+    join condition or some aggregate positions — project it first and
+    reference it by name, as the curation DAG does."""
     lines = F.split(F.col(text_col), "\n")
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     return {
