@@ -345,10 +345,15 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         rolling_fingerprint(text).alias("fingerprint"),
-        # cheap near-dup prefilter bucket: same first-8-chars hash + length/32
-        # (the substring stays in the JVM — the kernel only folds)
+        # cheap near-dup prefilter bucket: same first-8-chars hash + length/32.
+        # Deliberately the EXPRESSION fold, not the kernel: the fold is
+        # O(chars) interpreted and 8 chars is a bounded constant, while the
+        # kernel pays a per-row Python/Arrow boundary — measured 2.6x the
+        # entry floor when the kernel folded this 8-char column (round-15
+        # bench adjudication), vs at-floor with the fold. The kernel wins
+        # exactly where work-per-row is large (full documents).
         (
-            rolling_fingerprint(F.substring(text, 1, 8)) * 1024
+            rolling_fingerprint_fold(F.substring(text, 1, 8)) * 1024
             + (F.length(text) / 32).cast("long")
         ).alias("fp_bucket"),
     )
