@@ -340,18 +340,40 @@ def rolling_fingerprint(text: Column) -> Column:
     return _rolling_fp_once(text)
 
 
-def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_fingerprints(
+    df: DataFrame, text_col: str = "text", kernel: bool = True
+) -> DataFrame:
+    """Add ``fingerprint`` (full-text Karp-Rabin) and ``fp_bucket`` (a
+    near-dup prefilter key: first-8-chars hash + length/32).
+
+    ``kernel`` picks the full-text implementation; BOTH are pinned
+    bit-exact, so the choice is cost-only, never semantics:
+
+    - ``True`` (default, the 100 TB-correct choice): the Arrow kernel —
+      21× the fold at realistic ~5 KB documents, and in compositions
+      whose consumers reference the fingerprint (dedup groupBy, filters)
+      its ``asNondeterministic`` mark stops the optimizer re-deriving
+      the fold per reference (measured 1.4× on the composed
+      training-prep pipeline even at the 300-char fixture).
+    - ``False``: the pure-expression fold — wins only in the regime
+      where the per-row work is smaller than the Python/Arrow boundary
+      tax: a BARE single-evaluation projection over small documents in
+      small partitions (measured: the sub-second fixture-scale
+      projection entry runs ~0.31 s fold vs ~0.58 s kernel, interleaved
+      idle min-of-6 — the boundary's fixed per-task cost dominates at
+      ~156 rows/partition × ~300 chars/doc).
+
+    The 8-char ``fp_bucket`` prefix ALWAYS uses the fold: bounded
+    constant work per row never amortizes a Python boundary."""
     text = F.col(text_col)
+    full = (
+        rolling_fingerprint(text)
+        if kernel
+        else rolling_fingerprint_fold(text)
+    )
     return df.select(
         "*",
-        rolling_fingerprint(text).alias("fingerprint"),
-        # cheap near-dup prefilter bucket: same first-8-chars hash + length/32.
-        # Deliberately the EXPRESSION fold, not the kernel: the fold is
-        # O(chars) interpreted and 8 chars is a bounded constant, while the
-        # kernel pays a per-row Python/Arrow boundary — measured 2.6x the
-        # entry floor when the kernel folded this 8-char column (round-15
-        # bench adjudication), vs at-floor with the fold. The kernel wins
-        # exactly where work-per-row is large (full documents).
+        full.alias("fingerprint"),
         (
             rolling_fingerprint_fold(F.substring(text, 1, 8)) * 1024
             + (F.length(text) / 32).cast("long")

@@ -2120,9 +2120,20 @@ FROM s
 
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Rabin rolling-hash document fingerprint + near-dup prefilter
-    bucket — order-sensitive, exact-integer, SQL-reproducible."""
+    bucket — order-sensitive, exact-integer, SQL-reproducible.
+
+    ``kernel=False`` (round-15, measured): this entry is the BARE
+    single-evaluation projection over ~300-char fixture docs in
+    ~156-row partitions — exactly the regime where the expression fold
+    beats the Arrow kernel's per-task boundary tax (0.31 s vs 0.58 s
+    interleaved idle min-of-6; see ``with_fingerprints``'s docstring
+    for the shape rule). Value-identical either way — both forms are
+    pinned bit-exact; compositions with fingerprint-referencing
+    consumers (``training_data_prep``) keep the kernel default."""
     (docs,) = _prep(spark, sf_dir, "documents")
-    return with_fingerprints(_spread(docs)).select("doc_id", "fingerprint", "fp_bucket")
+    return with_fingerprints(_spread(docs), kernel=False).select(
+        "doc_id", "fingerprint", "fp_bucket"
+    )
 
 
 def _sql_fp(expr: str) -> str:
